@@ -1,0 +1,112 @@
+"""Benchmark harness: headline pipeline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Mirrors testbed/tests/scenarios.go's sustained-load measurement: rows are
+fully materialized (hash-forced so Catalyst can't prune the parse work away),
+throughput = rows / wall-sec. The two-parallelism scaling run lives in
+scripts/scaling_bench.py (writes BENCH/BASELINE.md evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def force(df: DataFrame) -> int:
+    """Evaluate every column (xxhash64 over all) so column pruning can't skip
+    the work being measured; returns row count."""
+    hashed = df.select(F.xxhash64(*[F.col(c) for c in df.columns if not c.startswith("copy_")]).alias("h"))
+    row = hashed.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(h)").alias("h"),  # overflow-proof full-row materialization
+    ).collect()[0]
+    return row["n"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from opentelemetry_collector_contrib_spark.plans.pipeline import build_routed, pipeline_aggregates
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * int(cpus))
+
+    # warm the JVM + fixture generation outside the timed region
+    routed_warm = build_routed(spark, sf_dir)
+    n_rows = routed_warm.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # q1: full parse→enrich→route, all columns materialized
+    timed("q1_pipeline_routed", lambda: force(build_routed(spark, sf_dir)))
+
+    # q2: fan-out — persist routed once, count every sink (move partition + copy)
+    def sinks():
+        from opentelemetry_collector_contrib_spark.operators.route import FIXTURE_ROUTES, sink_frames
+
+        routed = build_routed(spark, sf_dir).persist()
+        try:
+            for _name, sdf in sink_frames(routed, FIXTURE_ROUTES).items():
+                sdf.count()
+        finally:
+            routed.unpersist()
+
+    timed("q2_sink_fanout", sinks)
+
+    # q3: per-conv aggregate (salted two-phase, the skew path)
+    def agg_conv():
+        from opentelemetry_collector_contrib_spark.operators.aggregate import salted_agg
+
+        force(salted_agg(build_routed(spark, sf_dir), ["route_id", "conv_id"], {"turn_count": ("count", ""), "sum_latency": ("sum", "latency_ms")}))
+
+    timed("q3_agg_per_conv_salted", agg_conv)
+
+    # q4: per-tool aggregate
+    def agg_tool():
+        routed = build_routed(spark, sf_dir)
+        force(pipeline_aggregates(routed)["agg_per_tool"])
+
+    timed("q4_agg_per_tool", agg_tool)
+
+    # q5: vectorized (pandas UDF) parse bank over the same table
+    def vec():
+        from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
+        from opentelemetry_collector_contrib_spark.operators.parse import parse_vectorized
+
+        df = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
+        force(parse_vectorized(df).select("conv_id", "pattern_id", "sev", "latency_ms", "status"))
+
+    timed("q5_vectorized_parse", vec)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "parse→enrich→route→aggregate pipeline, transcripts",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "rows": n_rows,
+        "turns_per_sec": round(n_rows / timings["q1_pipeline_routed"], 1),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""OTTL function registry → Spark Column expressions.
+
+The reference registers 121 function factories (16 editors + 105 converters)
+into its parser at startup (pkg/ottl/ottlfuncs/functions.go:11-39) and
+interprets them per record. Here every OTTL function that has a vectorized
+Spark equivalent is a Column-builder: the "compilation" the reference does
+once at startup (transformprocessor/internal/logs/processor.go:26-45) is our
+Column-tree construction, and Catalyst + whole-stage codegen replace the
+per-record interpreter.
+
+Naming follows the OTTL converter names (pkg/ottl/ottlfuncs/func_<name>.go).
+Editors that mutate a record (`set`, `delete_key`, ...) are exposed in
+operators/transform.py as DataFrame-level actions; this module is the scalar
+function surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnFn = Callable[..., Column]
+
+OTTL_FUNCTIONS: dict[str, ColumnFn] = {}
+
+
+def ottl_fn(name: str) -> Callable[[ColumnFn], ColumnFn]:
+    def reg(fn: ColumnFn) -> ColumnFn:
+        OTTL_FUNCTIONS[name] = fn
+        return fn
+
+    return reg
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x) if isinstance(x, str) else F.lit(x)
+
+
+# --- string (func_concat.go, func_format.go, func_split.go, ...) -----------
+OTTL_FUNCTIONS.update(
+    {
+        "Concat": lambda sep, *cols: F.concat_ws(sep, *[_c(c) for c in cols]),
+        "Format": lambda fmt, *cols: F.format_string(fmt, *[_c(c) for c in cols]),
+        "Split": lambda col, sep: F.split(_c(col), sep),
+        "Substring": lambda col, start, length: F.substring(_c(col), start + 1, length),
+        "Trim": lambda col, cut=" ": F.trim(_c(col)) if cut == " " else F.btrim(_c(col), F.lit(cut)),
+        "TrimPrefix": lambda col, p: F.when(
+            _c(col).startswith(p), F.expr(f"substring({_sql(col)}, {len(p) + 1})")
+        ).otherwise(_c(col)),
+        "TrimSuffix": lambda col, s: F.when(
+            _c(col).endswith(s), F.substring(_c(col), F.lit(1), F.length(_c(col)) - len(s))
+        ).otherwise(_c(col)),
+        "ToLowerCase": lambda col: F.lower(_c(col)),
+        "ToUpperCase": lambda col: F.upper(_c(col)),
+        "ConvertCase": lambda col, to: {"lower": F.lower, "upper": F.upper, "camel": F.initcap, "snake": lambda c: F.lower(F.regexp_replace(c, "([a-z0-9])([A-Z])", r"$1_$2"))}[to](_c(col)),
+        "ToCamelCase": lambda col: F.initcap(_c(col)),
+        "ToSnakeCase": lambda col: F.lower(F.regexp_replace(_c(col), "([a-z0-9])([A-Z])", r"$1_$2")),
+        "HasPrefix": lambda col, p: _c(col).startswith(p),
+        "HasSuffix": lambda col, s: _c(col).endswith(s),
+        "Find": lambda col, sub: F.locate(sub, _c(col)) - 1,  # OTTL is 0-based
+        "Len": lambda col: F.length(_c(col)),
+        "IsMatch": lambda col, pattern: _c(col).rlike(pattern),
+        "IsString": lambda col: _c(col).cast("string").isNotNull(),
+        "IsEmpty": lambda col: (F.length(_c(col)) == 0) | _c(col).isNull(),
+    }
+)
+
+
+def _sql(col) -> str:
+    return col if isinstance(col, str) else str(col)
+
+
+# --- regex / parse ----------------------------------------------------------
+OTTL_FUNCTIONS.update(
+    {
+        # func_extract_patterns.go — named-capture regex → map. In Spark we
+        # return one column per requested group (columnar > map at scale).
+        "ExtractPatterns": lambda col, pattern, group=1: F.regexp_extract(_c(col), pattern, group),
+        "ParseJSON": lambda col, schema: F.from_json(_c(col), schema),
+        "ParseKeyValue": lambda col, pair_delim=" ", kv_delim="=": F.str_to_map(_c(col), F.lit(pair_delim), F.lit(kv_delim)),
+        "ParseCSV": lambda col, schema, sep=",": F.from_csv(_c(col), schema, {"sep": sep}),
+        "ParseInt": lambda col, base=10: F.conv(_c(col), base, 10).cast("long") if base != 10 else _c(col).cast("long"),
+        "URL": lambda col, part="HOST": F.parse_url(_c(col), F.lit(part)),
+        "Decode": lambda col, enc="base64": F.unbase64(_c(col)) if enc == "base64" else F.decode(_c(col), enc),
+        "Base64Decode": lambda col: F.unbase64(_c(col)).cast("string"),
+        "Base64Encode": lambda col: F.base64(_c(col).cast("binary")),
+        "Unquote": lambda col: F.regexp_replace(_c(col), '^"(.*)"$', "$1"),
+    }
+)
+
+# --- datetime (func_time.go, func_truncate_time.go, func_duration.go, ...) --
+OTTL_FUNCTIONS.update(
+    {
+        "Time": lambda col, fmt: F.to_timestamp(_c(col), fmt),
+        "FormatTime": lambda col, fmt: F.date_format(_c(col), fmt),
+        "TruncateTime": lambda col, unit: F.date_trunc(unit, _c(col)),
+        "Now": lambda: F.current_timestamp(),
+        "Unix": lambda col: F.unix_timestamp(_c(col)),
+        "UnixSeconds": lambda col: F.unix_timestamp(_c(col)),
+        "UnixMilli": lambda col: F.unix_millis(_c(col)),
+        "UnixMicro": lambda col: F.unix_micros(_c(col)),
+        "UnixNano": lambda col: F.unix_micros(_c(col)) * 1000,
+        "Year": lambda col: F.year(_c(col)),
+        "Month": lambda col: F.month(_c(col)),
+        "Day": lambda col: F.dayofmonth(_c(col)),
+        "Weekday": lambda col: F.dayofweek(_c(col)) - 1,
+        "Hour": lambda col: F.hour(_c(col)),
+        "Minute": lambda col: F.minute(_c(col)),
+        "Second": lambda col: F.second(_c(col)),
+    }
+)
+
+# --- math / type ------------------------------------------------------------
+OTTL_FUNCTIONS.update(
+    {
+        "Int": lambda col: _c(col).cast("long"),
+        "Double": lambda col: _c(col).cast("double"),
+        "String": lambda col: _c(col).cast("string"),
+        "Bool": lambda col: _c(col).cast("boolean"),
+        "Hex": lambda col: F.hex(_c(col)),
+        "Log": lambda col: F.log(_c(col)),
+        "IsInt": lambda col: _c(col).cast("long").isNotNull(),
+        "IsDouble": lambda col: _c(col).cast("double").isNotNull(),
+        "IsBool": lambda col: _c(col).cast("boolean").isNotNull(),
+    }
+)
+
+# --- hash / id (func_sha256.go, func_murmur3hash.go, func_xxh3.go, ...) -----
+# Spark's hash() IS murmur3_x86_32; xxhash64 is native JVM-side.
+OTTL_FUNCTIONS.update(
+    {
+        "SHA1": lambda col: F.sha1(_c(col).cast("binary")),
+        "SHA256": lambda col: F.sha2(_c(col).cast("binary"), 256),
+        "SHA512": lambda col: F.sha2(_c(col).cast("binary"), 512),
+        "MD5": lambda col: F.md5(_c(col).cast("binary")),
+        "Murmur3Hash": lambda col: F.hash(_c(col)),
+        "XXH64": lambda col: F.xxhash64(_c(col)),
+        "UUID": lambda: F.expr("uuid()"),
+    }
+)
+
+# --- map / array — near 1:1 with Spark higher-order functions ---------------
+OTTL_FUNCTIONS.update(
+    {
+        "Keys": lambda col: F.map_keys(_c(col)),
+        "Values": lambda col: F.map_values(_c(col)),
+        "Sort": lambda col, desc=False: F.sort_array(_c(col), asc=not desc),
+        "Index": lambda col, i: F.element_at(_c(col), i + 1),
+        "SliceToMap": lambda keys, values: F.map_from_arrays(_c(keys), _c(values)),
+        "ContainsValue": lambda col, v: F.array_contains(_c(col), v),
+        "Append": lambda col, v: F.array_append(_c(col), v),
+        "Coalesce": lambda *cols: F.coalesce(*[_c(c) for c in cols]),
+        "MapEach": lambda col, fn: F.transform(_c(col), fn),
+        "Filter": lambda col, fn: F.filter(_c(col), fn),
+        "Reduce": lambda col, init, merge: F.aggregate(_c(col), _c(init), merge),
+        "All": lambda col, fn: F.forall(_c(col), fn),
+        "Any": lambda col, fn: F.exists(_c(col), fn),
+        "Flatten": lambda col: F.flatten(_c(col)),
+    }
+)
+
+# --- telemetry-specific ------------------------------------------------------
+OTTL_FUNCTIONS.update(
+    {
+        # func_is_root_span.go: parent span id is all-zero
+        "IsRootSpan": lambda parent: _c(parent).isNull() | (_c(parent) == ""),
+    }
+)
+
+
+def call(name: str, *args) -> Column:
+    """Invoke a registered OTTL function by its reference name."""
+    return OTTL_FUNCTIONS[name](*args)

@@ -1,0 +1,195 @@
+"""Aggregation operators: count/sum connectors, logdedup, groupbyattrs,
+interval, delta/cumulative family, metricstransform, spanmetrics.
+
+Every operator here is a Catalyst hash aggregation — partial (map-side)
+combine + final merge comes free, which is the whole reason these beat the
+reference's per-record counters at scale. The one thing Spark does NOT give
+for free is hot-key skew inside a single group-by; `salted_agg` implements
+the two-phase salted aggregation the north rule requires for monster
+conversations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- countconnector (connector/countconnector/counter.go:20-149) -----------
+def count_connector(
+    df: DataFrame,
+    dims: list[str],
+    condition: Column | str | None = None,
+    default_value: str = "null",
+    out_col: str = "log_count",
+) -> DataFrame:
+    """Count records matching `condition` grouped by attribute dims; missing
+    dim values get `default_value` (counter.go README `default_value`)."""
+    out = df
+    if condition is not None:
+        out = out.filter(F.expr(condition) if isinstance(condition, str) else condition)
+    sel = [F.coalesce(F.col(d).cast("string"), F.lit(default_value)).alias(d) for d in dims]
+    return out.select(*sel).groupBy(*dims).agg(F.count(F.lit(1)).alias(out_col))
+
+
+# --- sumconnector (connector/sumconnector/sum.go:21-60) ---------------------
+def sum_connector(
+    df: DataFrame,
+    dims: list[str],
+    source: str,
+    condition: Column | str | None = None,
+    out_col: str = "total",
+) -> DataFrame:
+    out = df
+    if condition is not None:
+        out = out.filter(F.expr(condition) if isinstance(condition, str) else condition)
+    return out.groupBy(*dims).agg(F.sum(F.col(source).cast("double")).alias(out_col))
+
+
+# --- logdedupprocessor (processor/logdedupprocessor/counter.go:47-84,203) ---
+def log_dedup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    interval_s: int = 10,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per tumbling interval, collapse identical records (key = body +
+    severity + attrs minus excluded fields) to one row + log_count +
+    first/last observed ts. Window start is emitted as epoch seconds so the
+    result is engine-portable."""
+    keys = key_cols or ["text", "role", "tool"]
+    win = (F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / interval_s) * interval_s).cast("bigint")
+    return (
+        df.withColumn("window_start", win)
+        .groupBy("window_start", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("first_observed_us"),
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("last_observed_us"),
+        )
+    )
+
+
+# --- groupbyattrsprocessor (processor/groupbyattrsprocessor/processor.go:63-99)
+def group_by_attrs(df: DataFrame, keys: list[str], agg_exprs: dict[str, Column] | None = None) -> DataFrame:
+    """Promote attributes to grouping identity. In a relational model this IS
+    groupBy; default aggregates mirror the per-conv rollup the north star
+    names (turn counts, first/last ts)."""
+    aggs = agg_exprs or {
+        "turn_count": F.count(F.lit(1)),
+        "first_ts_us": F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        "last_ts_us": F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    }
+    return df.groupBy(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
+
+
+# --- salted two-phase aggregation (north-rule skew requirement) -------------
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_source: str = "turn_idx",
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys (monster conversations).
+
+    Phase 1 groups by (keys, salt) — a hot key's rows spread over
+    `salt_buckets` reducers; phase 2 merges the partials. Only
+    merge-decomposable aggs are accepted: count/sum/min/max.
+
+    `aggs`: out_col -> (fn, src_col) with fn in {count,sum,min,max}.
+    The reference has NO answer to this (a hot trace pins one goroutine,
+    processor/groupbytraceprocessor/processor.go:27-34 just hashes and hopes).
+    """
+    salt = F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets)).alias("_salt")
+    phase1_aggs = []
+    phase2_aggs = []
+    for out, (fn, src) in aggs.items():
+        part = f"_p_{out}"
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(part))
+            phase2_aggs.append(F.sum(part).alias(out))
+        elif fn == "sum":
+            phase1_aggs.append(F.sum(src).alias(part))
+            phase2_aggs.append(F.sum(part).alias(out))
+        elif fn == "min":
+            phase1_aggs.append(F.min(src).alias(part))
+            phase2_aggs.append(F.min(part).alias(out))
+        elif fn == "max":
+            phase1_aggs.append(F.max(src).alias(part))
+            phase2_aggs.append(F.max(part).alias(out))
+        else:
+            raise ValueError(f"non-decomposable agg: {fn}")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_aggs)
+    return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+# --- intervalprocessor (processor/intervalprocessor/processor.go:102,186-209)
+def interval_last(df: DataFrame, id_cols: list[str], ts_col: str, value_col: str, interval_s: int = 60) -> DataFrame:
+    """Keep the LAST datapoint per stream identity per tumbling interval."""
+    win = (F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / interval_s) * interval_s).cast("bigint")
+    out = df.withColumn("window_start", win)
+    return out.groupBy("window_start", *id_cols).agg(
+        F.max_by(F.col(value_col), F.struct(F.col(ts_col), F.col(value_col))).alias("last_value"),
+        F.max(F.col(value_col)).alias("max_value"),
+    )
+
+
+# --- delta/cumulative family -------------------------------------------------
+def delta_to_cumulative(df: DataFrame, id_cols: list[str], ts_col: str, value_col: str, out_col: str = "cumulative") -> DataFrame:
+    """processor/deltatocumulativeprocessor — running sum per stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*id_cols).orderBy(F.col(ts_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
+
+
+def cumulative_to_delta(df: DataFrame, id_cols: list[str], ts_col: str, value_col: str, out_col: str = "delta") -> DataFrame:
+    """processor/cumulativetodeltaprocessor — diff vs previous point."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*id_cols).orderBy(F.col(ts_col))
+    return df.withColumn(out_col, F.col(value_col) - F.lag(F.col(value_col)).over(w))
+
+
+def delta_to_rate(df: DataFrame, id_cols: list[str], ts_col: str, value_col: str, out_col: str = "rate") -> DataFrame:
+    """processor/deltatorateprocessor — delta ÷ seconds since previous."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*id_cols).orderBy(F.col(ts_col))
+    dt = F.unix_timestamp(F.col(ts_col).cast("timestamp")) - F.unix_timestamp(F.lag(F.col(ts_col)).over(w).cast("timestamp"))
+    return df.withColumn(out_col, F.when(dt > 0, F.col(value_col) / dt))
+
+
+# --- metricstransformprocessor aggregate_labels ------------------------------
+def metrics_transform_agg(df: DataFrame, kept_labels: list[str], value_col: str) -> DataFrame:
+    """internal/coreinternal/aggregateutil/type.go:15-37 — sum/mean/min/max/
+    median/count across collapsed label sets. Median is EXACT percentile
+    (matches a row-at-a-time reference; approx_percentile would diverge)."""
+    v = F.col(value_col)
+    return df.groupBy(*kept_labels).agg(
+        F.sum(v).alias("agg_sum"),
+        F.avg(v).alias("agg_mean"),
+        F.min(v).alias("agg_min"),
+        F.max(v).alias("agg_max"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("agg_median"),
+        F.count(v).alias("agg_count"),
+    )
+
+
+# --- spanmetricsconnector (explicit-bucket histogram) -------------------------
+def span_metrics_histogram(df: DataFrame, dims: list[str], value_col: str, buckets: list[float]) -> DataFrame:
+    """RED-style duration histogram with explicit bounds
+    (connector/spanmetricsconnector/config.go:25-29): assign each value its
+    bucket upper bound via one when-chain, then hash-aggregate counts."""
+    v = F.col(value_col)
+    chain = None
+    for b in buckets:
+        cond = v <= F.lit(b)
+        chain = F.when(cond, F.lit(float(b))) if chain is None else chain.when(cond, F.lit(float(b)))
+    bucket = chain.otherwise(F.lit(float("inf"))).alias("le")
+    return (
+        df.select(*dims, bucket)
+        .groupBy(*dims, "le")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )

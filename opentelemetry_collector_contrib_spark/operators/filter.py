@@ -1,0 +1,46 @@
+"""Filters + sampling: filterprocessor, stanza filter, probabilisticsampler.
+
+filterprocessor drops records where ANY condition matches (OR-ed,
+processor/filterprocessor/logs.go:98-171); stanza filter adds drop_ratio
+sampling (operator/transformer/filter/transformer.go); probabilisticsampler
+keeps records whose key-hash falls under a threshold
+(processor/probabilisticsamplerprocessor/logsprocessor.go:22-70).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_processor(df: DataFrame, drop_conditions: list[Column | str]) -> DataFrame:
+    """Drop rows where ANY condition is true (OR semantics, logs.go:130)."""
+    conds = [F.expr(c) if isinstance(c, str) else c for c in drop_conditions]
+    combined = conds[0]
+    for c in conds[1:]:
+        combined = combined | c
+    return df.filter(~F.coalesce(combined, F.lit(False)))
+
+
+def stanza_filter(df: DataFrame, drop_condition: Column | str, drop_ratio: float = 1.0, seed: int = 42) -> DataFrame:
+    """Drop matching rows with probability drop_ratio."""
+    cond = F.expr(drop_condition) if isinstance(drop_condition, str) else drop_condition
+    if drop_ratio >= 1.0:
+        return df.filter(~F.coalesce(cond, F.lit(False)))
+    return df.filter(~(F.coalesce(cond, F.lit(False)) & (F.rand(seed) < drop_ratio)))
+
+
+def probabilistic_sampler(df: DataFrame, key_col: str, percent: float) -> DataFrame:
+    """Consistent hash-based sampling: same key always gets the same verdict
+    (logsprocessor.go threshold-from-traceid semantics). xxhash64 is JVM-side
+    and uniform; stays in codegen."""
+    threshold = int((percent / 100.0) * (1 << 62))
+    return df.filter(F.abs(F.xxhash64(F.col(key_col))) % (1 << 62) < threshold)
+
+
+def deterministic_sampler_mod(df: DataFrame, key_col: str, modulus: int, keep_under: int) -> DataFrame:
+    """Engine-portable deterministic sampler: numeric suffix of the key mod
+    `modulus`. Used where the oracle must reproduce the verdict exactly
+    (cross-engine hash functions differ; digit arithmetic does not)."""
+    suffix = F.regexp_extract(F.col(key_col), r"(\d+)$", 1).cast("long")
+    return df.filter(F.pmod(suffix, F.lit(modulus)) < keep_under)

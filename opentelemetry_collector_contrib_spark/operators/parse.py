@@ -1,0 +1,229 @@
+"""Parse stage: stanza parser operators re-expressed columnar.
+
+Reference semantics
+  - regex_parser: named-capture regex → map, compiled ONCE at Build()
+    (pkg/stanza/operator/parser/regex/config.go:58-60, parser.go:16-67)
+  - ExtractGrokPatterns: compile-once when literal
+    (pkg/ottl/ottlfuncs/func_extract_grok_patterns.go:70-77)
+  - json_parser with number fidelity (operator/parser/jsonparser/parser.go:62-95)
+  - key_value_parser (operator/parser/keyvalue/parser.go:15-52)
+  - stanza router first-match-wins (operator/transformer/router/transformer.go:59-66)
+  - on_error policy → here an `_unparsed` passthrough (pattern_id = 'raw')
+
+Two interchangeable implementations of the same pattern bank:
+
+  parse_native(df)      — pure Catalyst: regexp_extract / from_json /
+                          str_to_map inside whole-stage codegen. Patterns are
+                          literals, so Catalyst constant-folds the compile.
+                          This is the default (fastest) path.
+  parse_vectorized(df)  — mapInPandas over Arrow batches; the pattern bank is
+                          compiled once per executor at UDF-module import
+                          (mirroring compile-once), never per row. Exists for
+                          grok-style patterns Spark's regex dialect can't
+                          express; semantics identical on the fixture bank.
+
+Output schema (both): input columns + pattern_id, sev, latency_ms, status,
+event_name, tokens, model, component, message, log_ts — promoted typed
+columns, not a map (columnar pruning beats map lookups at 10^12 rows,
+SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The pattern bank. First match wins (stanza router order semantics).
+# Each entry: (pattern_id, regex with groups, [field names by group index]).
+KV_RE = r"^LOG lvl=(\w+) tool=(\w+) latency_ms=(\d+) status=(ok|err)$"
+SYSLOG_RE = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) \[(\w+)\] (\w+): (.*)$"
+JSON_RE = r'^\{"event":"(\w+)","tokens":(\d+),"model":"([\w-]+)"\}$'
+
+PARSED_FIELDS: list[tuple[str, str]] = [
+    ("pattern_id", "string"),
+    ("sev", "string"),       # raw severity text as found (kv lower / syslog upper)
+    ("latency_ms", "bigint"),
+    ("status", "string"),
+    ("event_name", "string"),
+    ("tokens", "bigint"),
+    ("model", "string"),
+    ("component", "string"),
+    ("message", "string"),
+    ("log_ts", "string"),    # ISO string from syslog template; parse downstream
+]
+
+
+def parse_native(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """First-match pattern bank as a single Catalyst projection."""
+    t = F.col(text_col)
+    is_kv = t.rlike(KV_RE)
+    is_syslog = t.rlike(SYSLOG_RE)
+    is_json = t.rlike(JSON_RE)
+
+    def ex(regex: str, group: int) -> Column:
+        return F.regexp_extract(t, regex, group)
+
+    pattern_id = (
+        F.when(is_kv, F.lit("kv"))
+        .when(is_syslog, F.lit("syslog"))
+        .when(is_json, F.lit("json"))
+        .otherwise(F.lit("raw"))
+    )
+    return df.select(
+        "*",
+        pattern_id.alias("pattern_id"),
+        F.when(is_kv, ex(KV_RE, 1)).when(is_syslog, ex(SYSLOG_RE, 2)).alias("sev"),
+        F.when(is_kv, ex(KV_RE, 3).cast("bigint")).alias("latency_ms"),
+        F.when(is_kv, ex(KV_RE, 4)).alias("status"),
+        F.when(is_json, ex(JSON_RE, 1)).alias("event_name"),
+        F.when(is_json, ex(JSON_RE, 2).cast("bigint")).alias("tokens"),
+        F.when(is_json, ex(JSON_RE, 3)).alias("model"),
+        F.when(is_syslog, ex(SYSLOG_RE, 3)).alias("component"),
+        F.when(is_syslog, ex(SYSLOG_RE, 4)).alias("message"),
+        F.when(is_syslog, ex(SYSLOG_RE, 1)).alias("log_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pandas/Arrow path. The bank is compiled at module import — i.e.
+# once per executor process when the UDF module is shipped — mirroring
+# func_extract_grok_patterns.go:70-77 ("compiled once when pattern is a
+# literal"). Never per row, never per batch.
+# ---------------------------------------------------------------------------
+import re as _re  # noqa: E402
+
+_COMPILED_BANK = [
+    ("kv", _re.compile(KV_RE), ["sev", "_tool", "latency_ms", "status"]),
+    ("syslog", _re.compile(SYSLOG_RE), ["log_ts", "sev", "component", "message"]),
+    ("json", _re.compile(JSON_RE), ["event_name", "tokens", "model"]),
+]
+
+_OUT_FIELD_NAMES = [f for f, _ in PARSED_FIELDS]
+
+
+def _parse_batch(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized first-match extraction over one Arrow batch.
+
+    Uses pandas .str.extract (C-loop regex over the whole column) per
+    pattern, masked to rows not yet matched — each row is regex-tested at
+    most len(bank) times and extracted once, columnar throughout.
+    """
+    n = len(texts)
+    out = pd.DataFrame(index=texts.index)
+    out["pattern_id"] = pd.array(["raw"] * n, dtype="string")
+    for name in _OUT_FIELD_NAMES[1:]:
+        out[name] = pd.array([None] * n, dtype="string")
+    unmatched = pd.Series(True, index=texts.index)
+    for pid, creg, fields in _COMPILED_BANK:
+        if not unmatched.any():
+            break
+        sub = texts[unmatched]
+        ext = sub.str.extract(creg)
+        hit = ext[0].notna() if 0 in ext.columns else ext.iloc[:, 0].notna()
+        hit_idx = ext.index[hit]
+        if len(hit_idx) == 0:
+            continue
+        out.loc[hit_idx, "pattern_id"] = pid
+        for gi, fname in enumerate(fields):
+            if fname.startswith("_"):
+                continue
+            out.loc[hit_idx, fname] = ext.loc[hit_idx, gi].astype("string")
+        unmatched.loc[hit_idx] = False
+    return out
+
+
+def parse_vectorized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """mapInPandas pattern-bank parse; schema identical to parse_native."""
+    in_fields = df.schema.fields
+    out_schema = T.StructType(
+        list(in_fields)
+        + [T.StructField(f, T.StringType() if t == "string" else T.LongType(), True) for f, t in PARSED_FIELDS]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = _parse_batch(pdf[text_col])
+            for f, t in PARSED_FIELDS:
+                col = parsed[f]
+                if t == "bigint":
+                    col = pd.to_numeric(col, errors="coerce").astype("Int64")
+                pdf[f] = col
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# --- standalone parser operators (stanza 1:1) -------------------------------
+
+def regex_parser(df: DataFrame, source: str, pattern: str, fields: list[str]) -> DataFrame:
+    """operator/parser/regex/parser.go:16-67 — named groups → typed columns."""
+    out = df
+    for i, f_name in enumerate(fields, start=1):
+        out = out.withColumn(f_name, F.regexp_extract(F.col(source), pattern, i))
+    return out
+
+
+def key_value_parser(df: DataFrame, source: str, dest: str = "kv", pair_delim: str = " ", kv_delim: str = "=") -> DataFrame:
+    """operator/parser/keyvalue/parser.go:15-52 → str_to_map."""
+    return df.withColumn(dest, F.str_to_map(F.col(source), F.lit(pair_delim), F.lit(kv_delim)))
+
+
+def json_parser(df: DataFrame, source: str, schema: T.StructType | str, dest: str = "parsed_json") -> DataFrame:
+    """operator/parser/jsonparser/parser.go — from_json with explicit schema
+    (number fidelity comes from declaring long vs double in the schema)."""
+    return df.withColumn(dest, F.from_json(F.col(source), schema))
+
+
+def csv_parser(df: DataFrame, source: str, schema: str, sep: str = ",", dest: str = "parsed_csv") -> DataFrame:
+    """operator/parser/csv/parser.go → from_csv."""
+    return df.withColumn(dest, F.from_csv(F.col(source), schema, {"sep": sep}))
+
+
+def uri_parser(df: DataFrame, source: str) -> DataFrame:
+    """operator/parser/uri/parser.go → parse_url family."""
+    s = F.col(source)
+    return df.select(
+        "*",
+        F.parse_url(s, F.lit("PROTOCOL")).alias("uri_scheme"),
+        F.parse_url(s, F.lit("HOST")).alias("uri_host"),
+        F.parse_url(s, F.lit("PATH")).alias("uri_path"),
+        F.parse_url(s, F.lit("QUERY")).alias("uri_query"),
+    )
+
+
+# severity alias map — helper/severity_builder.go:75-84 presets
+SEVERITY_ALIASES: dict[str, str] = {
+    "trace": "TRACE", "debug": "DEBUG", "info": "INFO", "information": "INFO",
+    "notice": "INFO", "warn": "WARN", "warning": "WARN",
+    "err": "ERROR", "error": "ERROR", "fatal": "FATAL", "critical": "FATAL",
+    "emerg": "FATAL", "panic": "FATAL",
+}
+
+SEVERITY_NUMBERS: dict[str, int] = {
+    "TRACE": 1, "DEBUG": 5, "INFO": 9, "WARN": 13, "ERROR": 17, "FATAL": 21,
+}
+
+
+def severity_parser(df: DataFrame, source: str, text_dest: str = "severity_text", num_dest: str = "severity_number") -> DataFrame:
+    """operator/parser/severity/parser.go — alias → enum via a CASE chain
+    (a literal map lookup stays inside codegen; no join, no UDF)."""
+    src = F.lower(F.col(source))
+    expr: Column = F.lit(None).cast("string")
+    # build reversed so the first alias wins in the when-chain
+    chain = F.when(F.lit(False), F.lit(None).cast("string"))
+    for alias, canon in SEVERITY_ALIASES.items():
+        chain = chain.when(src == alias, F.lit(canon))
+    chain = chain.otherwise(F.lit(None).cast("string"))
+    num = F.when(F.lit(False), F.lit(None).cast("int"))
+    for canon, n in SEVERITY_NUMBERS.items():
+        num = num.when(chain == canon, F.lit(n))
+    return df.withColumn(text_dest, chain).withColumn(num_dest, num.otherwise(F.lit(0)).cast("int"))
+
+
+def time_parser(df: DataFrame, source: str, fmt: str = "yyyy-MM-dd'T'HH:mm:ss", dest: str = "event_ts") -> DataFrame:
+    """operator/helper/time.go:24-47 — strptime/epoch layouts → to_timestamp."""
+    return df.withColumn(dest, F.to_timestamp(F.col(source), fmt))

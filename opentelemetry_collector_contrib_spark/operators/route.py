@@ -1,0 +1,137 @@
+"""Route-table compiler: routingconnector + stanza router, Spark-first.
+
+Reference semantics (connector/routingconnector/logs.go:63-172):
+  - ordered route table; each route = condition + target pipeline(s)
+  - MOVE (default): first matching route claims the record, evaluation stops
+    (MoveRecordsWithContextIf at logs.go:142) — the routes PARTITION the stream
+  - COPY: record is copied to the route's sinks and continues matching
+  - leftovers → default_pipelines (logs.go:163)
+
+Spark mapping: move-routes compile to ONE ordered `when` chain producing a
+`route_id` column — first-match-wins is the chain's native semantics, and the
+whole table evaluates in a single codegen'd projection, no per-route pass.
+Copy-routes are independent boolean columns. Sink fan-out filters the routed
+frame once per sink; the routed frame is cached/persisted so the scan +
+parse + enrich work is paid once, not once per sink (the reference pays the
+full pipeline per record regardless).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Route:
+    name: str
+    condition: Callable[[DataFrame], Column] | Column | str  # str = SQL expr
+    mode: str = "move"  # 'move' | 'copy'
+
+
+@dataclass
+class RouteTable:
+    routes: list[Route]
+    default: str = "general"
+
+    def move_routes(self) -> list[Route]:
+        return [r for r in self.routes if r.mode == "move"]
+
+    def copy_routes(self) -> list[Route]:
+        return [r for r in self.routes if r.mode == "copy"]
+
+
+def _cond(df: DataFrame, c) -> Column:
+    if isinstance(c, str):
+        return F.expr(c)
+    if callable(c) and not isinstance(c, Column):
+        return c(df)
+    return c
+
+
+def apply_routes(df: DataFrame, table: RouteTable) -> DataFrame:
+    """Add `route_id` (first-match move semantics) and one `copy_<name>`
+    boolean per copy-route. One projection, no data movement."""
+    chain: Column | None = None
+    for r in table.move_routes():
+        cond = _cond(df, r.condition)
+        chain = F.when(cond, F.lit(r.name)) if chain is None else chain.when(cond, F.lit(r.name))
+    route_id = (chain.otherwise(F.lit(table.default)) if chain is not None else F.lit(table.default))
+    out = df.withColumn("route_id", route_id)
+    for r in table.copy_routes():
+        out = out.withColumn(f"copy_{r.name}", _cond(out, r.condition))
+    return out
+
+
+def sink_frames(routed: DataFrame, table: RouteTable) -> dict[str, DataFrame]:
+    """One DataFrame per sink. Caller should .persist() `routed` first when
+    writing multiple sinks (one upstream computation, N cheap filters)."""
+    sinks: dict[str, DataFrame] = {}
+    for r in table.move_routes():
+        sinks[r.name] = routed.filter(F.col("route_id") == r.name)
+    sinks[table.default] = routed.filter(F.col("route_id") == table.default)
+    for r in table.copy_routes():
+        sinks[r.name] = routed.filter(F.col(f"copy_{r.name}"))
+    return sinks
+
+
+def write_sinks(
+    routed: DataFrame,
+    table: RouteTable,
+    base_path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> dict[str, str]:
+    """Fan-out write: persist the routed frame once, then one job per sink.
+
+    At cluster scale you'd prefer a single partitionBy('route_id') write for
+    the move-routes (one job, one shuffle-free write) — exposed via
+    write_sinks_partitioned — but per-sink writes match the reference's
+    exporter-per-pipeline layout and let each sink choose its own layout.
+    """
+    routed = routed.persist()
+    try:
+        paths: dict[str, str] = {}
+        for name, df in sink_frames(routed, table).items():
+            path = f"{base_path}/{name}"
+            w = df.drop(*[c for c in df.columns if c.startswith("copy_")]).write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.format(fmt).save(path)
+            paths[name] = path
+        return paths
+    finally:
+        routed.unpersist()
+
+
+def write_sinks_partitioned(routed: DataFrame, base_path: str) -> str:
+    """Single-job variant: all move-route sinks in one write partitioned by
+    route_id (Hive layout `route_id=<sink>/`). At 100 TB this is the path:
+    one pass, no persist, dynamic partition overwrite."""
+    path = f"{base_path}/routed"
+    (
+        routed.drop(*[c for c in routed.columns if c.startswith("copy_")])
+        .write.mode("overwrite")
+        .partitionBy("route_id")
+        .parquet(path)
+    )
+    return path
+
+
+# The fixture route table (FIXTURES.md §4, mirrors
+# connector/routingconnector/testdata/config/logs.yaml):
+#   1. parsed status == 'err'                  → errors      (move)
+#   2. tool != 'none' AND role == 'assistant'  → tool_events (move)
+#   3. role_group == 'human'                   → human_turns (copy)
+#   default                                    → general
+FIXTURE_ROUTES = RouteTable(
+    routes=[
+        Route("errors", "status = 'err'", "move"),
+        Route("tool_events", "tool <> 'none' AND role = 'assistant'", "move"),
+        Route("human_turns", "role_group = 'human'", "copy"),
+    ],
+    default="general",
+)

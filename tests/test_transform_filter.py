@@ -1,0 +1,107 @@
+"""attributesprocessor actions, stanza transformers, filters, samplers,
+recombine/sessionization, tail sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import transform as tr
+from opentelemetry_collector_contrib_spark.operators import filter as flt
+from opentelemetry_collector_contrib_spark.operators.recombine import group_by_trace, recombine, tail_sampling
+
+
+def test_attr_actions(spark):
+    df = spark.createDataFrame([("v", None), (None, "w")], "a string, b string")
+    out = tr.apply_attr_actions(
+        df,
+        [
+            tr.AttrAction("insert", "a", value="filled"),       # only fills nulls
+            tr.AttrAction("upsert", "c", value="new"),
+            tr.AttrAction("copy", "x") if False else tr.AttrAction("convert", "a", converted_type="string"),
+        ],
+    )
+    rows = out.orderBy("b").collect()
+    assert {r["a"] for r in rows} == {"v", "filled"}
+    assert all(r["c"] == "new" for r in rows)
+
+
+def test_attr_hash_and_extract(spark):
+    df = spark.createDataFrame([("secret", "id-123")], "pw string, ident string")
+    out = tr.apply_attr_actions(
+        df,
+        [
+            tr.AttrAction("hash", "pw"),
+            tr.AttrAction("extract", "num", from_attribute="ident", pattern=r"id-(\d+)"),
+        ],
+    ).collect()[0]
+    assert len(out["pw"]) == 64 and out["pw"] != "secret"
+    assert out["num"] == "123"
+
+
+def test_stanza_field_ops(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    assert tr.move(df, "b", "c").columns == ["a", "c"]
+    assert tr.retain(df, ["b"]).columns == ["b"]
+    assert "d" in tr.add(df, "d", 5).columns
+    out = tr.flatten(df.withColumn("s", F.struct(F.lit(1).alias("x"), F.lit(2).alias("y"))), "s")
+    assert set(out.columns) == {"a", "b", "x", "y"}
+
+
+def test_redact(spark):
+    df = spark.createDataFrame([("card 4111111111111111 used", "keepme")], "msg string, other string")
+    out = tr.redact(df, masked_patterns={"msg": r"\d{16}"}).collect()[0]
+    assert "4111111111111111" not in out["msg"] and "****" in out["msg"]
+
+
+def test_unroll_explode(spark):
+    df = spark.createDataFrame([(1, ["a", "b"])], "id int, arr array<string>")
+    assert tr.unroll(df, "arr").count() == 2
+
+
+def test_filter_processor_or_semantics(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int")
+    out = flt.filter_processor(df, ["k = 'a'", "v = 3"])
+    assert [r["k"] for r in out.collect()] == ["b"]
+
+
+def test_probabilistic_sampler_consistent(spark):
+    df = spark.createDataFrame([(f"conv-{i}",) for i in range(1000)], "conv_id string")
+    a = flt.probabilistic_sampler(df, "conv_id", 25.0)
+    n1, n2 = a.count(), flt.probabilistic_sampler(df, "conv_id", 25.0).count()
+    assert n1 == n2  # deterministic
+    assert 150 < n1 < 350  # ~25%
+
+
+def test_recombine_segments(spark):
+    rows = [
+        ("f1", 0, "START a", 1), ("f1", 1, "cont b", 0), ("f1", 2, "cont c", 0),
+        ("f1", 3, "START d", 1), ("f2", 0, "START x", 1),
+    ]
+    df = spark.createDataFrame(rows, "src string, seq int, text string, first int")
+    out = recombine(df, "src", "seq", F.col("first") == 1, combine_with=" ")
+    got = {(r["src"], r["run_id"]): r["combined"] for r in out.collect()}
+    assert got[("f1", 1)] == "START a cont b cont c"
+    assert got[("f1", 2)] == "START d"
+    assert got[("f2", 1)] == "START x"
+
+
+def test_group_by_trace_ordered(spark):
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [("c", 2, "third", ts), ("c", 0, "first", ts), ("c", 1, "second", ts)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, ts timestamp")
+    out = group_by_trace(df).collect()[0]
+    assert out["transcript"] == "first\nsecond\nthird"
+    assert out["n_turns"] == 3
+
+
+def test_tail_sampling_policies(spark):
+    rows = [
+        ("c1", "err", 10), ("c1", "ok", 5),       # has_error
+        ("c2", "ok", 20000),                        # high latency
+        ("c3", "ok", 5),                            # neither
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, status string, latency_ms long")
+    out = {r["conv_id"]: r["sampled"] for r in tail_sampling(df).collect()}
+    assert out == {"c1": True, "c2": True, "c3": False}
