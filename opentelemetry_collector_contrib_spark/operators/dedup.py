@@ -1,0 +1,294 @@
+"""Deduplication family for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+The collector's own dedup is logdedupprocessor (identical-record collapse,
+processor/logdedupprocessor/counter.go:203 — a hash-groupBy); this module is
+the corpus-scale generalization a 100 TB training-data pipeline needs.
+
+Scale design:
+  - exact dedup       : one hash aggregation (map-side partial combine).
+  - Jaccard           : inverted-index self-join on shingles — NEVER a cross
+                        join. Optional doc-frequency cap drops stop-shingles
+                        (the skew killer: a shingle in f docs joins f^2 pairs).
+  - MinHash+LSH       : banded signatures → candidates share a band bucket →
+                        exact Jaccard verify on candidates only. The bucket
+                        join is an equi-join on (band, bucket) — shuffle-
+                        partitioned, skew handled by AQE.
+  - SimHash           : 60-bit relational simhash; candidate pairs via
+                        4-chunk pigeonhole blocking (hamming<=3 guarantee),
+                        verified with bit_count(xor).
+  - embedding cosine  : threshold pairs; brute force here, bucketed/IVF path
+                        in operators/similarity.py.
+
+Engine-portability: every hash is the 60-bit md5 hash (textstats.h60), so
+the DuckDB oracle reproduces signatures, buckets, and verdicts exactly.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import h60, tokens, word_shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """One row per distinct (normalized) text: representative id = min id,
+    n_copies. A single hash aggregation; at 100 TB this is a map-side
+    partial-combine + one shuffle on the 60-bit key."""
+    t = F.col(text_col)
+    key = h60(F.lower(F.concat_ws(" ", tokens(t)))) if normalize else h60(t)
+    return (
+        df.select(F.col(id_col), key.alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep only the representative row per duplicate group."""
+    keep = exact_dedup(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# shingle inverted index + exact Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) inverted index, distinct shingles per doc."""
+    return df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via the inverted index:
+    |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+
+    `max_doc_freq` drops shingles appearing in more than that many docs
+    before the join (stop-shingle skew cap); with it set this becomes an
+    approximation that only misses pairs whose overlap is entirely
+    stop-shingles. Default None = exact (used by the oracle gate)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= max_doc_freq)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, bands: int = 4, rows: int = 2
+) -> DataFrame:
+    """bands*rows MinHash values per doc: mh_{b}_{r} = min over shingles of
+    h60('{b}:{r}:' || shingle). One explode + one hash aggregation; the
+    per-(b,r) mins are computed in a single groupBy pass (bands*rows agg
+    expressions), not bands*rows passes."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(h60(F.concat(F.lit(f"{b}:{r}:"), F.col("shingle")))).alias(f"mh_{b}_{r}")
+        for b in range(bands)
+        for r in range(rows)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_buckets(sigs: DataFrame, bands: int = 4, rows: int = 2) -> DataFrame:
+    """(doc, band, bucket): bucket = the band's row-signature concatenation.
+    Docs sharing any band bucket are candidate near-dups."""
+    frames = []
+    for b in range(bands):
+        bucket = F.concat_ws("-", *[F.col(f"mh_{b}_{r}").cast("string") for r in range(rows)])
+        frames.append(sigs.select(F.col("doc"), F.lit(b).alias("band"), bucket.alias("bucket")))
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, bands: int = 4, rows: int = 2
+) -> DataFrame:
+    """Distinct candidate pairs from band-bucket collisions. The join is an
+    equi-join on (band, bucket) — at 10^12 docs this is the entire point:
+    candidates ~ O(true dups), not O(n^2)."""
+    bk = lsh_buckets(minhash_signatures(df, id_col, text_col, n, bands, rows), bands, rows)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates → exact Jaccard verification (the scale pipeline:
+    cheap recall stage, exact precision stage)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, bands, rows)
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("doc", "doc_a")
+    b = sh.withColumnRenamed("doc", "doc_b")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits the portable 60-bit hash
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per doc, fully relational (no UDF):
+    token occurrences → per-bit +1/-1 votes → majority bit → packed long.
+    Two hash aggregations on (doc, bit) then (doc); both partial-combine."""
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = h60(F.col("tok"))
+    # shiftright by a column isn't in the functions API; use expr
+    bits = tok.select("doc", h.alias("h")).select(
+        "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    votes = bits.groupBy("doc", "j").agg(F.sum("vote").alias("v"))
+    packed = votes.groupBy("doc").agg(
+        F.sum(F.when(F.col("v") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(F.lit(0))).alias("simhash")
+    )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation by pigeonhole chunk blocking: split the 60-bit
+    signature into `chunks` equal chunks; any pair within `chunks-1` bit
+    flips shares at least one chunk, so an equi-join on (chunk_idx,
+    chunk_val) has guaranteed recall for max_hamming <= chunks-1. Verify
+    with bit_count(xor). No cross join anywhere."""
+    assert max_hamming <= chunks - 1, "pigeonhole guarantee needs max_hamming <= chunks-1"
+    sig = simhash(df, id_col, text_col)
+    width = SIMHASH_BITS // chunks
+    chunked = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}").alias("cv"),
+                )
+                for i in range(chunks)
+            ])
+        ).alias("c"),
+    ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cands = (
+        a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv"), F.col("a.doc") < F.col("b.doc")])
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double — the DuckDB oracle replicates
+    the same fold order so values match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """Cosine >= threshold pairs, brute force O(n^2/2) — correctness
+    baseline. The scale path buckets first (similarity.ivf_assign) so the
+    pairwise stage runs per-bucket; see operators/similarity.py."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,138 @@
+"""Multimodal columns: image/audio/video as opaque `binary` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched pandas transforms over mapInPandas.
+
+The Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
+is real and tested; the codec step is STUBBED — the sandbox has no
+image/audio libraries, so `decode_*` raise NotImplementedError unless
+`deterministic_fake=True`, which substitutes a seeded, content-derived fake
+(hash-driven) so downstream plumbing and oracles stay exactly reproducible.
+
+Schema convention (mirrors how the collector treats payloads it does not
+introspect — bytes + attributes):
+    content   : binary              (the opaque payload)
+    media_type: string              ('image/png', 'audio/wav', ...)
+    meta      : struct<width:int, height:int, duration_ms:bigint>
+
+Scale notes: binary payloads dominate row size — keep
+spark.sql.files.maxPartitionBytes low enough that a partition of blobs fits
+executor memory, and push metadata-only predicates BEFORE any decode stage
+so pruning happens at the parquet scan, never after Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", media_type: str = "image/png") -> DataFrame:
+    """Build the multimodal envelope from a text column (fixture path: the
+    payload bytes are the utf-8 text — deterministic, content-addressed).
+    In production this column comes straight from the lakehouse scan."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.encode(t, "utf-8").alias("content"),
+        F.lit(media_type).alias("media_type"),
+        F.struct(
+            (F.length(t) % 1920).cast("int").alias("width"),
+            (F.length(t) % 1080).cast("int").alias("height"),
+            (F.length(t).cast("bigint") * 40).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode / feature extraction (Arrow-batched; codec stubbed)
+# ---------------------------------------------------------------------------
+
+_FEAT_DIM = 8
+
+
+def _fake_features(payload: bytes, dim: int = _FEAT_DIM) -> list[float]:
+    """Deterministic content-derived fake embedding: md5(payload) bytes →
+    dim floats in [0,1). Stands in for a real vision/audio encoder."""
+    digest = hashlib.md5(payload).digest()
+    return [digest[i % 16] / 255.0 for i in range(dim)]
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    content_col: str = "content",
+    deterministic_fake: bool = True,
+    batch_feature_dim: int = _FEAT_DIM,
+) -> DataFrame:
+    """mapInPandas decode + feature-extract stage.
+
+    Real path (unavailable in-sandbox): PIL/libav decode per batch →
+    np feature tensor. Stub path: content-hash features. Either way the
+    plumbing is identical: Iterator[pd.DataFrame] → Iterator[pd.DataFrame],
+    one Arrow batch at a time, features as array<double>."""
+    in_fields = df.schema.fields
+    out_schema = T.StructType(
+        list(in_fields)
+        + [
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+            T.StructField("payload_bytes", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real image/audio decode requires PIL/libav, not present in this environment"
+                )
+            payloads = pdf[content_col]
+            pdf["features"] = [
+                _fake_features(bytes(p), batch_feature_dim) if p is not None else None for p in payloads
+            ]
+            pdf["payload_bytes"] = [len(bytes(p)) if p is not None else 0 for p in payloads]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, content_col: str = "content") -> DataFrame:
+    """Resize stage — codec stubbed: passes content through and rewrites the
+    meta dims (the real implementation decodes, resamples, re-encodes inside
+    the same mapInPandas shape as decode_and_featurize)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ),
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled timestamp
+    (pure relational: sequence + explode on metadata — the decode of the
+    actual frame bytes belongs to the stubbed codec stage)."""
+    return df.withColumn(
+        "frame_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0).cast("bigint")),
+                F.lit(every_ms).cast("bigint"),
+            )
+        ),
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(correctness baseline) and an IVF-bucketed variant (the 100 TB path).
+
+Embeddings are `array<float>` columns; all math is promoted to double with
+a sequential fold so the DuckDB oracle (same fold order) matches
+bit-for-bit. No UDFs — `zip_with` + `aggregate` stay JVM-side inside
+whole-stage codegen; at scale the dominant cost is the shuffle of the
+candidate join, which IVF cuts by ~n_cells×.
+
+IVF (inverted-file) design, deterministic for oracle parity:
+  - coarse centroids = the first `n_cells` vectors of the table itself
+    (vec_id < n_cells) — a deterministic stand-in for k-means centroids;
+    swap in trained centroids in production, the plan shape is identical.
+  - assign: every vector → argmax cosine over centroids (broadcast join,
+    n_cells is tiny).
+  - probe: a query searches only its cell (nprobe=1) or the top-p cells.
+    Recall loss vs brute force is the standard IVF tradeoff and is measured
+    by tests/test_similarity.py::test_ivf_recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def _with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
+    return df.withColumn(
+        out,
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query row (cosine), excluding self-matches
+    on id equality. Plan: broadcast the (small) query side, score every
+    (query, vector) pair in one codegen'd projection, keep top-k per query
+    with a window. At 100 TB the scoring pass is a single scan of the
+    embedding table — no shuffle until the tiny top-k aggregation."""
+    q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    base = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = base.join(F.broadcast(q), F.col("qid") != F.col("nid")).withColumn(
+        "cos", F.round(cosine(F.col("qv"), F.col("nv")), 6)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer: first n_cells vectors by id."""
+    return emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine; tie → lowest
+    cell id). Broadcast join against the tiny centroid table, then a window
+    keeps the argmax — one scan, one narrow shuffle on vec_id."""
+    scored = emb.join(F.broadcast(centroids)).withColumn(
+        "cell_cos", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cell_cos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(id_col, vec_col, "cell", "cell_cos")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search with nprobe=1: score only vectors in the query's cell.
+    The candidate join becomes an equi-join on `cell` — at 10^12 vectors
+    this is the difference between scanning the world per query and
+    scanning 1/n_cells of it."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    q_assigned = (
+        ivf_assign(q.withColumnRenamed("qid", id_col).withColumnRenamed("qv", vec_col), cents, id_col, vec_col)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), F.col("cell").alias("qcell"))
+    )
+    cand = assigned.join(
+        q_assigned,
+        (F.col("cell") == F.col("qcell")) & (F.col(id_col) != F.col("qid")),
+    ).withColumn("cos", F.round(cosine(F.col("qv"), F.col(vec_col)), 6))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col(id_col).alias("neighbor_id"), "cos", "rank")
+    )

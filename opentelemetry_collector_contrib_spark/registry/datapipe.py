@@ -1,0 +1,398 @@
+"""Driver-contract registry: training-data pipeline queries over the
+driver's `documents` and `embeddings` tables, each with a DuckDB oracle
+implementing the SAME deterministic algorithm in SQL.
+
+Portability contract (see operators/textstats.py):
+  h60(x)      = int(md5(x)[:15], 16)
+  tokens      = split trim(text) on \\s+, drop empties
+  shingles    = distinct 3-word windows
+  all ratios/cosines rounded to 6 places on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# SQL fragments mirroring the Spark-side portable primitives
+# ---------------------------------------------------------------------------
+
+
+def sql_h60(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+SQL_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+    " ELSE CAST([] AS VARCHAR[]) END"
+)
+
+SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, {dim}), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    dot = SQL_DOT.format(a=a, b=b, dim=dim)
+    na = SQL_DOT.format(a=a, b=a, dim=dim)
+    nb = SQL_DOT.format(a=b, b=b, dim=dim)
+    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+_DOC_TOKS_CTE = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+tokd AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM d)
+"""
+
+_SHINGLE_CTE = (
+    _DOC_TOKS_CTE
+    + f""",
+shing_list AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tokd),
+shing AS (SELECT doc_id AS doc, unnest(shingles) AS shingle FROM shing_list),
+sizes AS (SELECT doc, count(*) AS n_sh FROM shing GROUP BY doc)
+"""
+)
+
+# ---------------------------------------------------------------------------
+# queries (Spark) — all read {sf_dir}/documents.parquet / embeddings.parquet
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_stats(spark, sf_dir):
+    from ..operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_c", "n_ws_tokens", "n_bpe_tokens", "avg_token_len"
+    )
+
+
+def q_quality(spark, sf_dir):
+    from ..operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "digit_ratio", "quality"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from ..operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark, sf_dir):
+    from ..operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_exact", "fp_shingle")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "doc_id")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from ..operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.4)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_dedup_pairs
+
+    return minhash_lsh_dedup_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.4)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from ..operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), "doc_id", max_hamming=3)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    from ..operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.35)
+
+
+def _query_vectors(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+
+
+def q_topk_brute(spark, sf_dir):
+    from ..operators.similarity import brute_force_topk
+
+    emb = _embs(spark, sf_dir)
+    return brute_force_topk(emb, _query_vectors(emb), k=5)
+
+
+def q_topk_ivf(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    emb = _embs(spark, sf_dir)
+    return ivf_topk(emb, _query_vectors(emb), k=5, n_cells=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from ..operators.multimodal import attach_binary_payload, decode_and_featurize
+
+    feat = decode_and_featurize(attach_binary_payload(_docs(spark, sf_dir)))
+    cols = [F.round(F.element_at(F.col("features"), i + 1), 6).alias(f"f{i}") for i in range(8)]
+    return feat.select("doc_id", "media_type", "payload_bytes", *cols)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    frames = sample_frames(attach_binary_payload(_docs(spark, sf_dir)), every_ms=1000)
+    return frames.select("doc_id", "frame_ms")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_stats": q_token_stats,
+    "text_quality": q_quality,
+    "text_lang_id": q_lang_id,
+    "text_fingerprint": q_fingerprint,
+    "dedup_exact_docs": q_dedup_exact,
+    "dedup_jaccard_pairs": q_jaccard_pairs,
+    "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_simhash_pairs": q_simhash_pairs,
+    "dedup_embedding_pairs": q_embedding_dup_pairs,
+    "sim_topk_brute": q_topk_brute,
+    "sim_topk_ivf": q_topk_ivf,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL) — same algorithms, same rounding
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_STOP_RE = r"\b(?:the|a|and|of|to|in|is|it|that|for)\b"
+_LANG_MARKERS = {
+    "en": r"\b(?:the|and|of|to|is|was|with)\b",
+    "de": r"\b(?:der|die|das|und|ist|nicht|mit)\b",
+    "fr": r"\b(?:le|la|les|et|est|pas|avec)\b",
+    "es": r"\b(?:el|los|las|y|es|no|con)\b",
+}
+
+
+def _minhash_sig_sql(bands: int = 4, rows: int = 2) -> str:
+    cols = []
+    for b in range(bands):
+        for r in range(rows):
+            salted = "'" + f"{b}:{r}:" + "' || shingle"
+            cols.append(f"min({sql_h60(salted)}) AS mh_{b}_{r}")
+    return f"sig AS (SELECT doc, {', '.join(cols)} FROM shing GROUP BY doc)"
+
+
+def _lsh_bucket_sql(bands: int = 4, rows: int = 2) -> str:
+    parts = [
+        f"SELECT doc, {b} AS band, concat_ws('-', {', '.join(f'CAST(mh_{b}_{r} AS VARCHAR)' for r in range(rows))}) AS bucket FROM sig"
+        for b in range(bands)
+    ]
+    return "buckets AS (" + " UNION ALL ".join(parts) + ")"
+
+
+def _oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["text_token_stats"] = (
+        _DOC_TOKS_CTE
+        + f"""
+SELECT doc_id,
+  length(text) AS n_chars_c,
+  len(toks) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+  round(CASE WHEN len(toks) > 0
+        THEN length(regexp_replace(text, '\\s', '', 'g')) / len(toks)
+        ELSE 0.0 END, 6) AS avg_token_len
+FROM tokd"""
+    )
+
+    o["text_quality"] = (
+        _DOC_TOKS_CTE
+        + f""",
+m AS (SELECT doc_id,
+  len(toks) AS n_tok,
+  greatest(length(text), 1) AS n_char,
+  len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stop,
+  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+  len(regexp_extract_all(text, '[0-9]')) AS n_digit
+FROM tokd)
+SELECT doc_id,
+  round(n_stop / greatest(n_tok, 1), 6) AS stopword_ratio,
+  round(n_punct / n_char, 6) AS punct_ratio,
+  round(n_digit / n_char, 6) AS digit_ratio,
+  round(0.4 * least(n_tok / 20.0, 1.0)
+      + 0.3 * least((n_stop / greatest(n_tok, 1)) * 4, 1.0)
+      + 0.15 * (1.0 - least((n_punct / n_char) * 5, 1.0))
+      + 0.15 * (1.0 - least((n_digit / n_char) * 5, 1.0)), 6) AS quality
+FROM m"""
+    )
+
+    scores = ",\n  ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}" for lang, pat in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    chain = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    o["text_lang_id"] = f"""
+WITH s AS (SELECT doc_id,
+  {scores}
+FROM documents)
+SELECT doc_id, {chain} AS lang_pred FROM s"""
+
+    o["text_fingerprint"] = (
+        _DOC_TOKS_CTE
+        + f""",
+shing_list AS (SELECT doc_id, toks, {SQL_SHINGLES} AS shingles FROM tokd)
+SELECT doc_id,
+  {sql_h60("lower(array_to_string(toks, ' '))")} AS fp_exact,
+  CASE WHEN len(shingles) > 0
+       THEN list_aggregate(list_transform(shingles, s -> md5(s)), 'min')
+       ELSE NULL END AS fp_shingle
+FROM shing_list"""
+    )
+
+    o["dedup_exact_docs"] = (
+        _DOC_TOKS_CTE
+        + f"""
+SELECT {sql_h60("lower(array_to_string(toks, ' '))")} AS text_key,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM tokd GROUP BY 1"""
+    )
+
+    o["dedup_jaccard_pairs"] = (
+        _SHINGLE_CTE
+        + """,
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+  FROM shing a JOIN shing b USING (shingle)
+  WHERE a.doc < b.doc GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4"""
+    )
+
+    o["dedup_minhash_lsh_pairs"] = (
+        _SHINGLE_CTE
+        + ",\n"
+        + _minhash_sig_sql()
+        + ",\n"
+        + _lsh_bucket_sql()
+        + """,
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.doc < b.doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shing a ON a.doc = c.doc_a
+  JOIN shing b ON b.doc = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4"""
+    )
+
+    o["dedup_simhash_pairs"] = (
+        _DOC_TOKS_CTE
+        + f""",
+tok AS (SELECT doc_id AS doc, unnest(toks) AS tok FROM tokd),
+h AS (SELECT doc, {sql_h60('tok')} AS h FROM tok),
+bits AS (
+  SELECT doc, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js),
+votes AS (SELECT doc, j, sum(vote) AS v FROM bits GROUP BY 1, 2),
+sig AS (SELECT doc, sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    )
+
+    cos_ab = sql_cosine("a.embedding", "b.embedding")
+    o["dedup_embedding_pairs"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos_ab} >= 0.35"""
+
+    cos_qn = sql_cosine("q.embedding", "n.embedding")
+    o["sim_topk_brute"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id, {cos_qn} AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {cos_qn} DESC, n.vec_id ASC) AS rank
+  FROM q JOIN embeddings n ON n.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5"""
+
+    cos_vc = sql_cosine("v.embedding", "c.centroid")
+    o["sim_topk_ivf"] = f"""
+WITH cents AS (SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, embedding, cell, cc AS cell_cos FROM (
+    SELECT v.vec_id, v.embedding, c.cell, {cos_vc} AS cc,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.cell ASC) AS r
+    FROM embeddings v CROSS JOIN cents c) t WHERE r = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv, cell AS qcell FROM assign WHERE qid % 50 = 0),
+cand AS (
+  SELECT q.qid, a.vec_id, {sql_cosine('q.qv', 'a.embedding')} AS cos
+  FROM q JOIN assign a ON a.cell = q.qcell AND a.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT qid AS query_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+    feats = ",\n  ".join(
+        f"round(CAST('0x' || substr(md5(text), {2 * (i % 16) + 1}, 2) AS INT) / 255.0, 6) AS f{i}"
+        for i in range(8)
+    )
+    o["multimodal_features"] = f"""
+SELECT doc_id, 'image/png' AS media_type,
+  CAST(strlen(text) AS BIGINT) AS payload_bytes,
+  {feats}
+FROM documents"""
+
+    o["multimodal_frames"] = """
+SELECT doc_id, CAST(unnest(generate_series(0,
+         greatest(CAST(length(text) AS BIGINT) * 40 - 1, 0), 1000)) AS BIGINT) AS frame_ms
+FROM documents"""
+
+    return o
+
+
+ORACLES: dict[str, str] = _oracles()

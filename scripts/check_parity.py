@@ -5,6 +5,7 @@ row count, column names, and an order-insensitive value hash."""
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -47,7 +48,12 @@ def main(names: list[str] | None = None) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # mirror the driver: testdata tables pre-registered as views
+    for tbl in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
     failures = 0
     for name, fn in qs.items():
         if names and name not in names:

@@ -1,0 +1,158 @@
+"""Unit tests for the training-data pipeline operators: text stats, dedup
+family, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content about spark plans"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "tiny"),                                           # < 3 tokens
+        (5, "der hund ist nicht mit der katze"),
+        (6, "le chat est avec le chien et la souris"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shingles_short_doc(docs):
+    out = docs.select("doc_id", textstats.word_shingles(F.col("text")).alias("sh"))
+    got = {r["doc_id"]: r["sh"] for r in out.collect()}
+    assert got[4] == []
+    assert "the quick brown" in got[0]
+
+
+def test_token_stats(docs):
+    out = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    assert out[0]["n_ws_tokens"] == 9
+    assert out[4]["n_ws_tokens"] == 1
+    assert out[0]["n_bpe_tokens"] == 9  # pure letters, one per word
+    assert abs(out[4]["avg_token_len"] - 4.0) < 1e-9
+
+
+def test_quality_bounds(docs):
+    for r in textstats.quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["stopword_ratio"] >= 0.0
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[5] == "de"
+    assert out[6] == "fr"
+    assert out[4] == "und"
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup(docs, "doc_id").collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[0] == 2          # docs 0 and 3 collapse
+    assert len(groups) == 6          # 7 docs, one dup pair
+    kept = dedup.drop_exact_dups(docs, "doc_id")
+    assert kept.count() == 6
+    assert kept.filter(F.col("doc_id") == 3).count() == 0  # min-id representative wins
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs, "doc_id", threshold=0.3).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_catches_near_dups(docs):
+    got = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.3).collect()}
+    assert (0, 3) in got  # exact dup always collides in every band
+    exact = {(r["doc_a"], r["doc_b"]) for r in dedup.jaccard_pairs(docs, "doc_id", threshold=0.3).collect()}
+    assert got <= exact   # LSH+verify never invents pairs
+
+
+def test_jaccard_doc_freq_cap(docs):
+    # with a df cap of 1 every shared shingle is dropped -> no pairs survive
+    pairs = dedup.jaccard_pairs(docs, "doc_id", threshold=0.1, max_doc_freq=1).collect()
+    assert pairs == []
+
+
+def test_simhash_identical_and_blocking(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_pairs(docs, "doc_id", max_hamming=3).collect()}
+    assert pairs[(0, 3)] == 0  # identical text -> identical signature
+
+
+def test_embedding_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),   # nearly identical to 0
+        (2, [0.0, 1.0, 0.0]),    # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in dedup.embedding_dup_pairs(emb, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+
+
+def test_brute_force_topk(spark):
+    rows = [(i, [float(i == j) + 0.1 * j for j in range(4)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(emb, q, k=3).collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
+    # ranks ordered by descending cosine
+    cs = [r["cos"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_ivf_recall_vs_brute(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = similarity.brute_force_topk(emb, q, k=5).collect()
+    ivf = similarity.ivf_topk(emb, q, k=5, n_cells=8).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    # IVF nprobe=1 trades recall for a 1/n_cells candidate set; on this
+    # fixture it must still find a meaningful fraction of true neighbors
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    # and every IVF hit is a real scored neighbor with correct ranking shape
+    assert all(1 <= r["rank"] <= 5 for r in ivf)
+
+
+def test_multimodal_plumbing(docs):
+    env = multimodal.attach_binary_payload(docs)
+    assert dict(env.dtypes)["content"] == "binary"
+    feat = multimodal.decode_and_featurize(env)
+    rows = feat.filter(F.col("doc_id") == 0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert len(r["features"]) == 8
+    assert all(0.0 <= x < 1.0 for x in r["features"])
+    assert r["payload_bytes"] == len(rows[0]["text"].encode())
+    # deterministic: same content -> same features
+    r3 = feat.filter(F.col("doc_id") == 3).collect()[0]
+    assert r3["features"] == r["features"]
+
+
+def test_multimodal_stub_raises(docs):
+    env = multimodal.attach_binary_payload(docs)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.decode_and_featurize(env, deterministic_fake=False).collect()
+
+
+def test_resize_and_frames(docs):
+    env = multimodal.attach_binary_payload(docs.filter(F.col("doc_id") == 4))
+    resized = multimodal.resize_images(env, 224, 224)
+    meta = resized.collect()[0]["meta"]
+    assert (meta["width"], meta["height"]) == (224, 224)
+    frames = multimodal.sample_frames(env, every_ms=40).collect()
+    # 'tiny' = 4 chars -> 160ms duration -> frames at 0,40,80,120
+    assert [f["frame_ms"] for f in frames] == [0, 40, 80, 120]
