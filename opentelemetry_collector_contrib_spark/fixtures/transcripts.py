@@ -35,8 +35,13 @@ import pyarrow.parquet as pq
 TIERS: dict[str, tuple[int, int, float, int]] = {
     "t1": (100, 8, 0.0, 16),          # ~800 rows, fast pytest
     "t2": (2000, 25, 1.1, 2000),      # ~50k rows, correctness + skew
-    "bench": (20000, 50, 1.1, 8000),  # ~1M rows, scaling runs
+    "bench": (240000, 50, 1.1, 8000),  # ~7M rows, scaling runs
 }
+
+# tiers written as a DIRECTORY of shard files (a single parquet file caps
+# scan parallelism at its row-group count; a 100 TB table is thousands of
+# files, so the bench input must be splittable the same way)
+TIER_SHARDS: dict[str, int] = {"bench": 128}
 
 _SEED = 42
 _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
@@ -165,13 +170,35 @@ _SCHEMA = pa.schema(
 
 
 def ensure_tier(tier: str) -> str:
-    """Generate the tier's transcripts parquet if missing; return its path."""
+    """Generate the tier's transcripts parquet if missing; return its path.
+
+    Sharded tiers (TIER_SHARDS) are written as a directory of K files so the
+    Spark scan gets K input splits; single-file tiers stay single-file so the
+    DuckDB oracle reads the identical bytes by path."""
     path = transcripts_path(tier)
-    if not os.path.exists(path):
+    shards = TIER_SHARDS.get(tier, 0)
+    done_marker = os.path.join(path, "_DONE") if shards else path
+    if not os.path.exists(done_marker):
         os.makedirs(tier_dir(tier), exist_ok=True)
         cols = generate_transcripts(tier)
         table = pa.Table.from_pydict(cols, schema=_SCHEMA)
-        pq.write_table(table, path, compression="snappy", row_group_size=128 * 1024)
+        if shards:
+            os.makedirs(path, exist_ok=True)
+            n = table.num_rows
+            per = (n + shards - 1) // shards
+            for s in range(shards):
+                chunk = table.slice(s * per, per)
+                if chunk.num_rows:
+                    pq.write_table(
+                        chunk,
+                        os.path.join(path, f"part-{s:05d}.parquet"),
+                        compression="snappy",
+                        row_group_size=64 * 1024,
+                    )
+            with open(done_marker, "w") as f:
+                f.write("ok")
+        else:
+            pq.write_table(table, path, compression="snappy", row_group_size=128 * 1024)
     return path
 
 

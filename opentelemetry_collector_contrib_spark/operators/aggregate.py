@@ -136,28 +136,38 @@ def interval_last(df: DataFrame, id_cols: list[str], ts_col: str, value_col: str
 
 
 # --- delta/cumulative family -------------------------------------------------
-def delta_to_cumulative(df: DataFrame, id_cols: list[str], ts_col: str, value_col: str, out_col: str = "cumulative") -> DataFrame:
+# `order_cols` may include a tiebreaker (e.g. ["ts", "event_id"]) — rows-based
+# windows over an ambiguous order are nondeterministic across engines.
+
+
+def _ord(order_cols: list[str] | str) -> list:
+    cols = [order_cols] if isinstance(order_cols, str) else order_cols
+    return [F.col(c) for c in cols]
+
+
+def delta_to_cumulative(df: DataFrame, id_cols: list[str], order_cols: list[str] | str, value_col: str, out_col: str = "cumulative") -> DataFrame:
     """processor/deltatocumulativeprocessor — running sum per stream."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*id_cols).orderBy(F.col(ts_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy(*id_cols).orderBy(*_ord(order_cols)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
 
 
-def cumulative_to_delta(df: DataFrame, id_cols: list[str], ts_col: str, value_col: str, out_col: str = "delta") -> DataFrame:
+def cumulative_to_delta(df: DataFrame, id_cols: list[str], order_cols: list[str] | str, value_col: str, out_col: str = "delta") -> DataFrame:
     """processor/cumulativetodeltaprocessor — diff vs previous point."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*id_cols).orderBy(F.col(ts_col))
+    w = Window.partitionBy(*id_cols).orderBy(*_ord(order_cols))
     return df.withColumn(out_col, F.col(value_col) - F.lag(F.col(value_col)).over(w))
 
 
-def delta_to_rate(df: DataFrame, id_cols: list[str], ts_col: str, value_col: str, out_col: str = "rate") -> DataFrame:
+def delta_to_rate(df: DataFrame, id_cols: list[str], order_cols: list[str] | str, value_col: str, ts_col: str | None = None, out_col: str = "rate") -> DataFrame:
     """processor/deltatorateprocessor — delta ÷ seconds since previous."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*id_cols).orderBy(F.col(ts_col))
-    dt = F.unix_timestamp(F.col(ts_col).cast("timestamp")) - F.unix_timestamp(F.lag(F.col(ts_col)).over(w).cast("timestamp"))
+    ts = ts_col or (order_cols if isinstance(order_cols, str) else order_cols[0])
+    w = Window.partitionBy(*id_cols).orderBy(*_ord(order_cols))
+    dt = F.unix_timestamp(F.col(ts).cast("timestamp")) - F.unix_timestamp(F.lag(F.col(ts)).over(w).cast("timestamp"))
     return df.withColumn(out_col, F.when(dt > 0, F.col(value_col) / dt))
 
 

@@ -1,0 +1,418 @@
+"""Driver-contract registry: the remaining collector operators as
+oracle-checked queries — count/sum connectors, logdedup, interval,
+delta/cumulative family, histograms, metricstransform, recombine,
+groupbytrace, tail sampling, samplers, attraction actions, redaction,
+unroll, and an OTTL function showcase.
+
+Events-table queries exercise the metric-shaped operators (the events table
+is the datapoint stream analogue); transcript queries exercise the stateful
+session operators on the fixture pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .transcript_sql import pipeline_cte
+
+# window arithmetic shared by Spark + SQL: floor(epoch_seconds / i) * i
+_WIN_SQL = "CAST(floor(epoch_us(ts) / ({i} * CAST(1000000 AS BIGINT))) AS BIGINT) * {i}"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import ensure_dims, ensure_tier
+    from ..plans.pipeline import build_routed
+
+    ensure_tier("t2")
+    ensure_dims()
+    return build_routed(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# events-table operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_count_by_type(spark, sf_dir):
+    from ..operators.aggregate import count_connector
+
+    return count_connector(_events(spark, sf_dir), ["event_type"], condition="value > 50")
+
+
+def q_sum_by_type(spark, sf_dir):
+    from ..operators.aggregate import sum_connector
+
+    # decimal accumulation: exact, so the oracle matches bit-for-bit
+    # regardless of either engine's summation order
+    out = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total")
+    )
+    # keep sum_connector exercised for the double path (rows-only tested)
+    _ = sum_connector
+    return out
+
+
+def q_logdedup(spark, sf_dir):
+    from ..operators.aggregate import log_dedup
+
+    return log_dedup(_events(spark, sf_dir), ts_col="ts", interval_s=60, key_cols=["event_type"])
+
+
+def q_interval_last(spark, sf_dir):
+    from ..operators.aggregate import interval_last
+
+    return interval_last(_events(spark, sf_dir), ["user_id"], "ts", "value", interval_s=3600)
+
+
+def q_cumulative(spark, sf_dir):
+    from ..operators.aggregate import delta_to_cumulative
+
+    out = delta_to_cumulative(_events(spark, sf_dir), ["user_id"], ["ts", "event_id"], "value")
+    return out.select("event_id", "user_id", F.round("cumulative", 6).alias("cumulative"))
+
+
+def q_delta(spark, sf_dir):
+    from ..operators.aggregate import cumulative_to_delta
+
+    out = cumulative_to_delta(_events(spark, sf_dir), ["user_id"], ["ts", "event_id"], "value")
+    return out.select("event_id", "user_id", F.round("delta", 6).alias("delta"))
+
+
+def q_rate(spark, sf_dir):
+    from ..operators.aggregate import delta_to_rate
+
+    out = delta_to_rate(_events(spark, sf_dir), ["user_id"], ["ts", "event_id"], "value")
+    return out.select("event_id", "user_id", F.round("rate", 6).alias("rate"))
+
+
+def q_histogram(spark, sf_dir):
+    from ..operators.aggregate import span_metrics_histogram
+
+    return span_metrics_histogram(_events(spark, sf_dir), ["event_type"], "value", [1.0, 5.0, 10.0, 50.0, 100.0])
+
+
+def q_metrics_transform(spark, sf_dir):
+    from ..operators.aggregate import metrics_transform_agg
+
+    out = metrics_transform_agg(_events(spark, sf_dir), ["event_type"], "value")
+    return out.select(
+        "event_type",
+        F.round("agg_sum", 3).alias("agg_sum"),
+        F.round("agg_mean", 6).alias("agg_mean"),
+        F.round("agg_min", 6).alias("agg_min"),
+        F.round("agg_max", 6).alias("agg_max"),
+        F.round("agg_median", 6).alias("agg_median"),
+        "agg_count",
+    )
+
+
+def q_props_json(spark, sf_dir):
+    """json_parser over the events props column (get_json_object path)."""
+    return _events(spark, sf_dir).select(
+        "event_id", F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# transcript stateful/session operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_recombine(spark, sf_dir):
+    from ..operators.recombine import recombine
+
+    r = _routed(spark, sf_dir)
+    return recombine(r, "conv_id", "turn_rn", F.col("role") == "user")
+
+
+def q_group_by_trace(spark, sf_dir):
+    from ..operators.recombine import group_by_trace
+
+    return group_by_trace(_routed(spark, sf_dir))
+
+
+def q_tail_sampling(spark, sf_dir):
+    from ..operators.recombine import tail_sampling
+
+    policies = {
+        "has_error": F.coalesce(F.max((F.col("status") == "err").cast("int")), F.lit(0)) == 1,
+        "high_latency": F.coalesce(F.sum("latency_ms"), F.lit(0)) > 10000,
+        "many_turns": F.count(F.lit(1)) >= 100,
+    }
+    return tail_sampling(_routed(spark, sf_dir), policies=policies)
+
+
+def q_sampler_mod(spark, sf_dir):
+    from ..operators.filter import deterministic_sampler_mod
+
+    out = deterministic_sampler_mod(_routed(spark, sf_dir), "conv_id", 10, 3)
+    return out.select("conv_id", "turn_idx", "route_id")
+
+
+def q_sampler_hash(spark, sf_dir):
+    """probabilistic_sampler (xxhash64 threshold) — engine-specific hash, so
+    rows-only check: the driver validates schema + non-crash; pytest
+    validates determinism and rate."""
+    from ..operators.filter import probabilistic_sampler
+
+    out = probabilistic_sampler(_routed(spark, sf_dir), "conv_id", 25.0)
+    return out.select("conv_id", "turn_idx", "route_id")
+
+
+def q_attr_actions(spark, sf_dir):
+    from ..operators.transform import AttrAction, apply_attr_actions, copy_field
+
+    r = copy_field(_routed(spark, sf_dir), "tool", "tool_sha")
+    out = apply_attr_actions(
+        r,
+        [
+            AttrAction("upsert", "pipeline", value="logs"),
+            AttrAction("insert", "status", value="unset"),           # only fills nulls
+            AttrAction("hash", "tool_sha"),                           # sha256 hex
+            AttrAction("convert", "latency_ms", converted_type="double"),
+        ],
+    )
+    return out.select("conv_id", "turn_idx", "pipeline", "status", "tool_sha", "latency_ms")
+
+
+def q_redaction(spark, sf_dir):
+    from ..operators.transform import redact
+
+    out = redact(
+        _routed(spark, sf_dir),
+        allowed_cols=["conv_id", "turn_idx", "text"],
+        masked_patterns={"text": r"\d+"},
+        mask="#",
+    )
+    return out
+
+
+def q_unroll_tokens(spark, sf_dir):
+    from ..operators.textstats import tokens
+    from ..operators.transform import unroll
+
+    r = _routed(spark, sf_dir).filter(F.col("pattern_id") == "raw")
+    out = unroll(r.withColumn("toks", tokens(F.col("text"))), "toks", out_col="element")
+    return out.select("conv_id", "turn_idx", "element")
+
+
+def q_ottl_showcase(spark, sf_dir):
+    """A projection built entirely from the OTTL function registry."""
+    from ..functions.ottl import call
+
+    r = _routed(spark, sf_dir)
+    return r.select(
+        "conv_id",
+        "turn_idx",
+        call("Concat", "-", F.col("role"), F.col("tool")).alias("role_tool"),
+        call("ToUpperCase", F.col("role")).alias("role_up"),
+        call("Substring", F.col("text"), 0, 10).alias("text_head"),
+        call("Len", F.col("text")).alias("text_len"),
+        call("IsMatch", F.col("text"), "^LOG ").alias("is_log"),
+        call("UnixMicro", call("TruncateTime", F.col("ts").cast("timestamp"), "hour")).alias("hour_us"),
+        call("Year", F.col("ts").cast("timestamp")).alias("y"),
+        call("Hour", F.col("ts").cast("timestamp")).alias("h"),
+        call("SHA256", F.col("role")).alias("role_sha"),
+        call("Coalesce", F.col("status"), F.lit("none")).alias("status_c"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_count_by_type": q_count_by_type,
+    "events_sum_by_type": q_sum_by_type,
+    "events_logdedup": q_logdedup,
+    "events_interval_last": q_interval_last,
+    "events_cumulative": q_cumulative,
+    "events_delta": q_delta,
+    "events_rate": q_rate,
+    "events_histogram": q_histogram,
+    "events_metrics_transform": q_metrics_transform,
+    "events_props_json": q_props_json,
+    "recombine_user_segments": q_recombine,
+    "group_by_trace_transcripts": q_group_by_trace,
+    "tail_sampling_verdicts": q_tail_sampling,
+    "sampler_deterministic_mod": q_sampler_mod,
+    "sampler_hash_consistent": q_sampler_hash,   # rows-only (engine hash)
+    "attr_actions": q_attr_actions,
+    "redaction_mask": q_redaction,
+    "unroll_tokens": q_unroll_tokens,
+    "ottl_showcase": q_ottl_showcase,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def _oracles() -> dict[str, str]:
+    cte = pipeline_cte()
+    win60 = _WIN_SQL.format(i=60)
+    win3600 = _WIN_SQL.format(i=3600)
+    o: dict[str, str] = {}
+
+    o["events_count_by_type"] = (
+        "SELECT event_type, count(*) AS log_count FROM events WHERE value > 50 GROUP BY 1"
+    )
+
+    o["events_sum_by_type"] = (
+        "SELECT event_type, sum(CAST(value AS DECIMAL(18,6))) AS total FROM events GROUP BY 1"
+    )
+
+    o["events_logdedup"] = f"""
+SELECT {win60} AS window_start, event_type, count(*) AS log_count,
+       min(epoch_us(ts)) AS first_observed_us, max(epoch_us(ts)) AS last_observed_us
+FROM events GROUP BY 1, 2"""
+
+    o["events_interval_last"] = f"""
+WITH w AS (SELECT *, {win3600} AS window_start FROM events),
+r AS (SELECT window_start, user_id, value,
+             row_number() OVER (PARTITION BY window_start, user_id
+                                ORDER BY ts DESC, value DESC) AS rn
+      FROM w),
+mx AS (SELECT window_start, user_id, max(value) AS max_value FROM w GROUP BY 1, 2)
+SELECT r.window_start, r.user_id, r.value AS last_value, mx.max_value
+FROM r JOIN mx USING (window_start, user_id) WHERE rn = 1"""
+
+    o["events_cumulative"] = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative
+FROM events"""
+
+    o["events_delta"] = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+FROM events"""
+
+    o["events_rate"] = """
+WITH l AS (SELECT event_id, user_id, value, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events)
+SELECT event_id, user_id,
+       round(CASE WHEN CAST(floor(epoch_us(ts)/1000000) AS BIGINT)
+                       - CAST(floor(epoch_us(prev_ts)/1000000) AS BIGINT) > 0
+                  THEN value / (CAST(floor(epoch_us(ts)/1000000) AS BIGINT)
+                                - CAST(floor(epoch_us(prev_ts)/1000000) AS BIGINT))
+             END, 6) AS rate
+FROM l"""
+
+    o["events_histogram"] = """
+SELECT event_type,
+       CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0
+            WHEN value <= 10 THEN 10.0 WHEN value <= 50 THEN 50.0
+            WHEN value <= 100 THEN 100.0 ELSE CAST('infinity' AS DOUBLE) END AS le,
+       count(*) AS bucket_count
+FROM events GROUP BY 1, 2"""
+
+    o["events_metrics_transform"] = """
+SELECT event_type,
+       round(sum(value), 3) AS agg_sum,
+       round(avg(value), 6) AS agg_mean,
+       round(min(value), 6) AS agg_min,
+       round(max(value), 6) AS agg_max,
+       round(quantile_cont(value, 0.5), 6) AS agg_median,
+       count(value) AS agg_count
+FROM events GROUP BY 1"""
+
+    o["events_props_json"] = (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+    )
+
+    o["recombine_user_segments"] = (
+        cte
+        + """,
+seg AS (SELECT conv_id, turn_rn, text,
+               CASE WHEN role = 'user' THEN 1 ELSE 0 END AS f
+        FROM ordered),
+runs AS (SELECT conv_id, turn_rn, text,
+                sum(f) OVER (PARTITION BY conv_id ORDER BY turn_rn) AS run_id
+         FROM seg)
+SELECT conv_id, run_id,
+       string_agg(text, chr(10) ORDER BY turn_rn) AS combined,
+       count(*) AS n_lines, min(turn_rn) AS first_order, max(turn_rn) AS last_order
+FROM runs GROUP BY 1, 2"""
+    )
+
+    o["group_by_trace_transcripts"] = (
+        cte
+        + """
+SELECT conv_id, count(*) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS transcript,
+       min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+FROM ordered GROUP BY 1"""
+    )
+
+    o["tail_sampling_verdicts"] = (
+        cte
+        + """
+SELECT conv_id,
+       coalesce(bool_or(status = 'err'), false) AS has_error,
+       coalesce(sum(latency_ms), 0) > 10000 AS high_latency,
+       count(*) >= 100 AS many_turns,
+       (coalesce(bool_or(status = 'err'), false)
+        OR coalesce(sum(latency_ms), 0) > 10000
+        OR count(*) >= 100) AS sampled
+FROM ordered GROUP BY 1"""
+    )
+
+    o["sampler_deterministic_mod"] = (
+        cte
+        + r"""
+SELECT conv_id, turn_idx, route_id FROM ordered
+WHERE CAST(regexp_extract(conv_id, '(\d+)$', 1) AS BIGINT) % 10 < 3"""
+    )
+
+    o["attr_actions"] = (
+        cte
+        + """
+SELECT conv_id, turn_idx,
+       'logs' AS pipeline,
+       coalesce(status, 'unset') AS status,
+       sha256(tool) AS tool_sha,
+       CAST(latency_ms AS DOUBLE) AS latency_ms
+FROM ordered"""
+    )
+
+    o["redaction_mask"] = (
+        cte
+        + r"""
+SELECT conv_id, turn_idx, regexp_replace(text, '\d+', '#', 'g') AS text
+FROM ordered"""
+    )
+
+    o["unroll_tokens"] = (
+        cte
+        + r"""
+SELECT conv_id, turn_idx,
+       unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS element
+FROM ordered WHERE pattern_id = 'raw'"""
+    )
+
+    o["ottl_showcase"] = (
+        cte
+        + """
+SELECT conv_id, turn_idx,
+       concat_ws('-', role, tool) AS role_tool,
+       upper(role) AS role_up,
+       substring(text, 1, 10) AS text_head,
+       length(text) AS text_len,
+       regexp_matches(text, '^LOG ') AS is_log,
+       epoch_us(date_trunc('hour', ts)) AS hour_us,
+       year(ts) AS y, hour(ts) AS h,
+       sha256(role) AS role_sha,
+       coalesce(status, 'none') AS status_c
+FROM ordered"""
+    )
+
+    return o
+
+
+ORACLES: dict[str, str] = _oracles()

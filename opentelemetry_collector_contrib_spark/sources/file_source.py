@@ -1,0 +1,112 @@
+"""Sources: the receiver layer re-expressed as Spark scans.
+
+filelog receiver analogue (pkg/stanza/fileconsumer/file.go:134 poll, :174
+consume; receiver shim receiver/filelogreceiver/filelog.go:18-47):
+
+  - glob include/exclude        -> path list + pathGlobFilter
+  - fingerprint file identity   -> _metadata.file_path (+ Iceberg snapshot
+                                   ids in production; see plans/lineage.py)
+  - include_file_name/path attr -> `log_file_name` / `log_file_path` columns
+  - multiline split/recombine   -> operators/recombine.recombine over
+                                   (file, line_number)
+  - offset checkpointing        -> plans/lineage.LineageManifest (batch) or
+                                   Structured Streaming checkpointLocation
+                                   (streaming/, exactly-once file progress)
+
+The scan is the parallelism story: one task per file split, predicate
+pushdown + column pruning into the reader — the reference's per-file reader
+goroutines (internal/reader/reader.go:86-178) become executor tasks for
+free, and a 100 TB directory tree fans out to as many splits as there are
+row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def file_source(
+    spark: SparkSession,
+    paths: str | list[str],
+    glob: str | None = None,
+    include_file_name: bool = True,
+    include_file_path: bool = False,
+    line_numbers: bool = True,
+) -> DataFrame:
+    """Text-line source: one row per line with provenance columns.
+
+    include_file_name/path mirror the filelog receiver's attributes of the
+    same names; line numbering gives the stable intra-file order the
+    reference gets from read offsets (reader.go:30-40 Offset)."""
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.text(paths)
+    cols = [F.col("value").alias("line")]
+    if include_file_name:
+        cols.append(F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("log_file_name"))
+    if include_file_path:
+        cols.append(F.col("_metadata.file_path").alias("log_file_path"))
+    out = df.select(*cols, "_metadata.file_path")
+    if line_numbers:
+        from pyspark.sql import Window
+
+        # monotonically_increasing_id is read-order within a split; exact
+        # global line numbers require one split per file (fine for log-sized
+        # files; a multi-GB single file should be split upstream anyway)
+        w = Window.partitionBy("file_path").orderBy(F.monotonically_increasing_id())
+        out = out.withColumn("line_number", F.row_number().over(w))
+    return out.drop("file_path")
+
+
+def json_file_source(spark: SparkSession, paths: str | list[str], schema: T.StructType | str | None = None) -> DataFrame:
+    """JSON-lines source (the fileexporter's default output format —
+    exporter/fileexporter/marshaller.go — read back)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
+def csv_file_source(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(paths)
+
+
+def transcripts_source(spark: SparkSession, table_or_path: str) -> DataFrame:
+    """The judged ingress: the Iceberg transcript table. In-sandbox, parquet
+    path; on a cluster, `spark.read.table(...)` — same scan contract
+    (partition pruning on days(ts)/bucket(conv_id), column pruning)."""
+    if "/" in table_or_path:
+        return spark.read.parquet(table_or_path)
+    return spark.read.table(table_or_path)
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Option dict for the built-in Kafka source (receiver/kafkareceiver
+    analogue): spark.readStream.format('kafka').options(**these). Kept as a
+    config builder — no broker exists in-sandbox; the returned options are
+    the complete contract."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts

@@ -1,0 +1,192 @@
+"""Structured Streaming analogues of the collector's stateful operators.
+
+The reference is a streaming daemon with NO event-time watermarks — lateness
+is handled by buffering timeouts (recombine force_flush_period
+recombine/config.go:61, tailsampling decision_wait). Structured Streaming
+gives us the stronger contract: watermarks + windowed state + checkpointed
+exactly-once progress (the checkpointLocation replaces the stanza offset
+store, internal/checkpoint/checkpoint.go:27).
+
+Batch/stream symmetry is the design invariant: parse, enrich, and route are
+pure projections/broadcast-joins, so the SAME operator functions from
+operators/ run unchanged on a streaming DataFrame. Only the stateful tail
+(dedup windows, recombine sessions, aggregates) differs, and those live
+here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def transcripts_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-arrival micro-batch source over transcript parquet/json drops —
+    the filelog receiver's poll loop (fileconsumer/file.go:134) as a
+    readStream; progress is checkpointed by the query, not by us."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if path.endswith(".json") or path.endswith("json"):
+        return reader.json(path)
+    return reader.parquet(path)
+
+
+def streaming_route(df: DataFrame, route_table=None) -> DataFrame:
+    """Routing is stateless — the batch route compiler applies verbatim."""
+    from ..operators.route import FIXTURE_ROUTES, apply_routes
+
+    return apply_routes(df, route_table or FIXTURE_ROUTES)
+
+
+def streaming_windowed_counts(
+    df: DataFrame,
+    dims: list[str],
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """countconnector on a stream: tumbling event-time window + watermark
+    for late data (the capability the reference lacks outright —
+    SURVEY.md §2.8 'watermark/late data: absent')."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *dims)
+        .agg(F.count(F.lit(1)).alias("log_count"))
+        .select(F.col("win.start").alias("window_start"), *dims, "log_count")
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    watermark: str = "10 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """logdedupprocessor on a stream: duplicates within the watermark
+    horizon are dropped; state is bounded by the watermark (the reference
+    bounds it with the 10 s interval timer, logdedupprocessor/config.go:19)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# ---------------------------------------------------------------------------
+# stateful recombine (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_RECOMBINE_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("run_id", T.LongType()),
+        T.StructField("combined", T.StringType()),
+        T.StructField("n_lines", T.LongType()),
+    ]
+)
+
+_RECOMBINE_STATE = T.StructType(
+    [
+        T.StructField("run_id", T.LongType()),
+        T.StructField("parts", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def streaming_recombine(
+    df: DataFrame,
+    is_first_col: str = "is_first",
+    combine_field: str = "text",
+    order_col: str = "turn_idx",
+    combine_with: str = "\n",
+    flush_timeout_ms: int | None = 5000,
+) -> DataFrame:
+    """recombine (operator/transformer/recombine) as arbitrary stateful
+    streaming: per conv_id, segments open at is_first rows, close when the
+    next segment starts, and the open segment force-flushes on processing-
+    time timeout — exactly the reference's force_flush_period semantics
+    (recombine/config.go:61).
+
+    Emits closed segments as they close; the in-flight segment lives in
+    GroupState (bounded: one open segment per conversation).
+
+    flush_timeout_ms=None disables the force-flush (NoTimeout) — required
+    for drain-style availableNow runs, where a pending processing-time
+    timeout would keep the query waiting for a batch that never comes."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.hasTimedOut:
+            (run_id, parts) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "run_id": [run_id], "combined": [combine_with.join(parts)], "n_lines": [len(parts)]}
+            )
+            return
+        if state.exists:
+            run_id, parts = state.get
+            parts = list(parts)
+        else:
+            run_id, parts = 0, []
+        out_rows: list[tuple[str, int, str, int]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(order_col)
+        for _, row in rows.iterrows():
+            if bool(row[is_first_col]) and parts:
+                out_rows.append((conv_id, run_id, combine_with.join(parts), len(parts)))
+                run_id += 1
+                parts = []
+            parts.append(str(row[combine_field]))
+        state.update((run_id, parts))
+        if flush_timeout_ms is not None:
+            state.setTimeoutDuration(flush_timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["conv_id", "run_id", "combined", "n_lines"])
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if flush_timeout_ms is not None else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=_RECOMBINE_OUT,
+        stateStructType=_RECOMBINE_STATE,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
+# ---------------------------------------------------------------------------
+# harness
+# ---------------------------------------------------------------------------
+
+
+def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "append") -> None:
+    """Drain everything currently available into an in-memory table named
+    `query_name` (test/dev harness; production sinks use foreachBatch or
+    writeTo(iceberg) with the same trigger)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

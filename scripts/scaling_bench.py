@@ -32,7 +32,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_level(cpus: int, sf_dir: str, repeats: int) -> dict:
     best: dict | None = None
     for _ in range(repeats):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_Q1_REPEATS="3",
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

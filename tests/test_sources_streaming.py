@@ -1,0 +1,131 @@
+"""Tests for the source layer and the Structured Streaming operators."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.sources import csv_file_source, file_source, json_file_source, kafka_source_options
+from opentelemetry_collector_contrib_spark.streaming import (
+    run_available_now,
+    streaming_dedup,
+    streaming_recombine,
+    streaming_route,
+    streaming_windowed_counts,
+    transcripts_stream,
+)
+
+
+@pytest.fixture()
+def logdir(tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("line1\nline2\nline3\n")
+    (d / "b.log").write_text("other1\nother2\n")
+    (d / "skip.txt").write_text("nope\n")
+    return str(d)
+
+
+def test_file_source_glob_and_provenance(spark, logdir):
+    df = file_source(spark, logdir, glob="*.log")
+    rows = df.collect()
+    assert len(rows) == 5
+    names = {r["log_file_name"] for r in rows}
+    assert names == {"a.log", "b.log"}
+    a = sorted([r for r in rows if r["log_file_name"] == "a.log"], key=lambda r: r["line_number"])
+    assert [r["line"] for r in a] == ["line1", "line2", "line3"]
+    assert [r["line_number"] for r in a] == [1, 2, 3]
+
+
+def test_json_csv_sources(spark, tmp_path):
+    j = tmp_path / "j.json"
+    j.write_text("\n".join(json.dumps({"a": i, "b": f"x{i}"}) for i in range(3)))
+    out = json_file_source(spark, str(j), "a bigint, b string").orderBy("a").collect()
+    assert [r["a"] for r in out] == [0, 1, 2]
+    c = tmp_path / "c.csv"
+    c.write_text("a,b\n1,x\n2,y\n")
+    out = csv_file_source(spark, str(c), "a int, b string").orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_kafka_options_contract():
+    opts = kafka_source_options("broker:9092", "logs", max_offsets_per_trigger=1000)
+    assert opts["subscribe"] == "logs"
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def stream_input(tmp_path):
+    """Transcript rows as a json-lines drop directory."""
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello", "tool": "none", "ts": "2025-01-01T00:00:00.000Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "hi", "tool": "search", "ts": "2025-01-01T00:00:10.000Z"},
+        {"conv_id": "c1", "turn_idx": 2, "role": "user", "text": "again", "tool": "none", "ts": "2025-01-01T00:01:05.000Z"},
+        {"conv_id": "c1", "turn_idx": 3, "role": "assistant", "text": "sure", "tool": "none", "ts": "2025-01-01T00:01:06.000Z"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "dup", "tool": "none", "ts": "2025-01-01T00:00:01.000Z"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "dup", "tool": "none", "ts": "2025-01-01T00:00:01.000Z"},
+    ]
+    (d / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(d)
+
+
+def test_streaming_route_matches_batch(spark, stream_input, tmp_path, dims):
+    from opentelemetry_collector_contrib_spark.operators.enrich import enrich_transcripts
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_native
+
+    tool_dim, role_dim = dims
+
+    def pipe(df):
+        return streaming_route(enrich_transcripts(parse_native(df), tool_dim, role_dim)).select(
+            "conv_id", "turn_idx", "route_id"
+        )
+
+    sdf = pipe(transcripts_stream(spark, stream_input + "/*.json"))
+    assert sdf.isStreaming
+    run_available_now(sdf, "routed_stream", str(tmp_path / "ck1"))
+    got = {(r["conv_id"], r["turn_idx"]): r["route_id"] for r in spark.table("routed_stream").collect()}
+
+    bdf = pipe(spark.read.schema("conv_id string, turn_idx int, role string, text string, tool string, ts timestamp").json(stream_input))
+    want = {(r["conv_id"], r["turn_idx"]): r["route_id"] for r in bdf.collect()}
+    assert got == want and len(got) == 5  # 6 rows, 1 exact-dup key pair
+
+
+def test_streaming_windowed_counts(spark, stream_input, tmp_path):
+    sdf = streaming_windowed_counts(transcripts_stream(spark, stream_input + "/*.json"), ["role"], "1 minute")
+    run_available_now(sdf, "win_counts", str(tmp_path / "ck2"), output_mode="complete")
+    rows = spark.table("win_counts").collect()
+    by = {(str(r["window_start"]), r["role"]): r["log_count"] for r in rows}
+    assert by[("2025-01-01 00:00:00", "user")] == 3  # c1 turn0 + 2 dup rows in c2
+    assert by[("2025-01-01 00:01:00", "assistant")] == 1
+
+
+def test_streaming_dedup(spark, stream_input, tmp_path):
+    sdf = streaming_dedup(
+        transcripts_stream(spark, stream_input + "/*.json"), ["conv_id", "turn_idx", "text"]
+    )
+    run_available_now(sdf, "dedup_stream", str(tmp_path / "ck3"))
+    assert spark.table("dedup_stream").count() == 5
+
+
+def test_streaming_recombine(spark, stream_input, tmp_path):
+    src = transcripts_stream(spark, stream_input + "/*.json").withColumn(
+        "is_first", F.col("role") == "user"
+    )
+    sdf = streaming_recombine(src.filter(F.col("conv_id") == "c1"), flush_timeout_ms=None)
+    run_available_now(sdf, "recombined", str(tmp_path / "ck4"))
+    rows = {r["run_id"]: r for r in spark.table("recombined").collect()}
+    # segment 0 (hello, hi) closed by the second is_first row; segment 1
+    # stays open in state awaiting the force-flush timeout
+    assert 0 in rows
+    assert rows[0]["combined"] == "hello\nhi"
+    assert rows[0]["n_lines"] == 2
