@@ -65,16 +65,21 @@ def main() -> None:
         best_q1 = dt if best_q1 is None else min(best_q1, dt)
     timings["q1_pipeline_routed"] = round(best_q1, 3)
 
-    # q2: fan-out — persist routed once, count every sink (move partition + copy)
+    # q2: fan-out — single-pass partitionBy(route_id) write (the at-scale
+    # sink path: one job, no persist, every move-sink lands in its own
+    # directory) + per-sink row counts off the written files
     def sinks():
-        from opentelemetry_collector_contrib_spark.operators.route import FIXTURE_ROUTES, sink_frames
+        import shutil
+        import tempfile
 
-        routed = build_routed(spark, sf_dir).persist()
+        from opentelemetry_collector_contrib_spark.operators.route import write_sinks_partitioned
+
+        out = tempfile.mkdtemp(prefix="bench_sinks_")
         try:
-            for _name, sdf in sink_frames(routed, FIXTURE_ROUTES).items():
-                sdf.count()
+            path = write_sinks_partitioned(build_routed(spark, sf_dir), out)
+            spark.read.parquet(path).groupBy("route_id").count().collect()
         finally:
-            routed.unpersist()
+            shutil.rmtree(out, ignore_errors=True)
 
     timed("q2_sink_fanout", sinks)
 
@@ -102,6 +107,27 @@ def main() -> None:
         force(parse_vectorized(df).select("conv_id", "pattern_id", "sev", "latency_ms", "status"))
 
     timed("q5_vectorized_parse", vec)
+
+    # q6: MinHash+LSH near-dup detection over the documents corpus
+    def dedup_docs():
+        from opentelemetry_collector_contrib_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.4).count()
+
+    timed("q6_minhash_lsh_dedup", dedup_docs)
+
+    # q7: IVF similarity search over the embeddings corpus
+    def topk():
+        from pyspark.sql import functions as FF
+
+        from opentelemetry_collector_contrib_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(FF.col("vec_id") % 50 == 0).select(FF.col("vec_id").alias("query_id"), "embedding")
+        ivf_topk(emb, q, k=5, n_cells=8).count()
+
+    timed("q7_ivf_topk", topk)
 
     total = round(sum(timings.values()), 3)
     result = {

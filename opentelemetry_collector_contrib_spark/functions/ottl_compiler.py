@@ -1,0 +1,315 @@
+"""OTTL statement compiler: `editor(args) where condition` strings →
+executable Spark transformations.
+
+Reference lifecycle (SURVEY.md §3.3): participle lexer (pkg/ottl/grammar.go:569)
+→ AST (parsedStatement grammar.go:16) → path/function resolution →
+per-record interpretation (parser.go:29-66). Here the same pipeline ends in
+a Catalyst Column tree instead of an interpreter: parsing happens ONCE at
+plan-build (mirroring 'all OTTL compilation happens at startup',
+transformprocessor/internal/logs/processor.go:26-45), then whole-stage
+codegen executes it vectorized.
+
+Supported surface (the log-pipeline core):
+  statements  set(path, value) | delete_key(path) | keep_keys(p1, p2, ...)
+              ... each with optional `where <boolean expression>`
+  values      path refs, string/int/float/bool/nil literals,
+              Converter(args) calls from functions/ottl.OTTL_FUNCTIONS,
+              math + - * /, parentheses
+  conditions  == != >= <= > <, and/or/not, parentheses
+  paths       attributes["k"] / resource["k"] → column k; body → text;
+              bare identifiers → same-named column (override via path_map)
+
+Comparison semantics note: the reference returns false for incomparable
+types except != (pkg/ottl/compare.go:44-70); Spark yields NULL, which
+filters/when-chains treat as false — same observable behavior for
+conditions, so no shim is needed.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ottl import OTTL_FUNCTIONS
+
+# ---------------------------------------------------------------------------
+# lexer (token shapes follow grammar.go:569-600)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<float>-?\d+\.\d+)
+  | (?P<int>-?\d+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<op>==|!=|>=|<=|>|<|\+|-|\*|/|\(|\)|\[|\]|,)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"where", "and", "or", "not", "true", "false", "nil"}
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise ValueError(f"OTTL lex error at {pos}: {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text in _KEYWORDS:
+            kind = text
+        out.append((kind, text))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser (recursive descent over the statement grammar)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Statement:
+    editor: str
+    target: str | None              # column the editor writes/removes
+    keys: list[str] = field(default_factory=list)   # keep_keys list
+    value: Column | None = None
+    condition: Column | None = None
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], path_map: dict[str, str]):
+        self.toks = tokens
+        self.i = 0
+        self.path_map = path_map
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> str:
+        k, t = self.next()
+        if k != kind or (text is not None and t != text):
+            raise ValueError(f"OTTL parse error: expected {text or kind}, got {t!r}")
+        return t
+
+    # --- paths ---------------------------------------------------------
+
+    def _resolve_path(self, base: str) -> str:
+        if self.peek() == ("op", "["):
+            self.next()
+            key = self.expect("string")[1:-1]
+            self.expect("op", "]")
+            return self.path_map.get(f'{base}["{key}"]', key)
+        return self.path_map.get(base, base)
+
+    # --- expressions ---------------------------------------------------
+
+    def value(self) -> Column:
+        return self._additive()
+
+    def _additive(self) -> Column:
+        left = self._multiplicative()
+        while self.peek() in (("op", "+"), ("op", "-")):
+            _, op = self.next()
+            right = self._multiplicative()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def _multiplicative(self) -> Column:
+        left = self._primary()
+        while self.peek() in (("op", "*"), ("op", "/")):
+            _, op = self.next()
+            right = self._primary()
+            left = left * right if op == "*" else left / right
+        return left
+
+    def _primary(self) -> Column:
+        kind, text = self.next()
+        if kind == "float":
+            return F.lit(float(text))
+        if kind == "int":
+            return F.lit(int(text))
+        if kind == "string":
+            return F.lit(text[1:-1].replace('\\"', '"'))
+        if kind == "true":
+            return F.lit(True)
+        if kind == "false":
+            return F.lit(False)
+        if kind == "nil":
+            return F.lit(None)
+        if kind == "op" and text == "(":
+            inner = self.value()
+            self.expect("op", ")")
+            return inner
+        if kind == "ident":
+            if self.peek() == ("op", "("):  # Converter call
+                if text not in OTTL_FUNCTIONS:
+                    raise ValueError(f"unknown OTTL function {text}")
+                self.next()
+                args: list = []
+                while self.peek() != ("op", ")"):
+                    args.append(self._arg())
+                    if self.peek() == ("op", ","):
+                        self.next()
+                self.expect("op", ")")
+                return OTTL_FUNCTIONS[text](*args)
+            return F.col(self._resolve_path(text))
+        raise ValueError(f"OTTL parse error: unexpected {text!r}")
+
+    def _arg(self):
+        """Converter args: string literals pass as raw Python strings (most
+        registry functions take format/separator strings), everything else
+        parses as a value expression."""
+        kind, text = self.peek()
+        if kind == "string":
+            nxt = self.toks[self.i + 1]
+            # a string followed by an operator is an expression operand
+            if nxt not in (("op", ","), ("op", ")")):
+                return self.value()
+            self.next()
+            return text[1:-1].replace('\\"', '"')
+        if kind == "int" and self.toks[self.i + 1] in (("op", ","), ("op", ")")):
+            self.next()
+            return int(text)
+        return self.value()
+
+    # --- boolean expressions ------------------------------------------
+
+    def bool_expr(self) -> Column:
+        left = self._bool_term()
+        while self.peek()[0] == "or":
+            self.next()
+            left = left | self._bool_term()
+        return left
+
+    def _bool_term(self) -> Column:
+        left = self._bool_factor()
+        while self.peek()[0] == "and":
+            self.next()
+            left = left & self._bool_factor()
+        return left
+
+    def _bool_factor(self) -> Column:
+        if self.peek()[0] == "not":
+            self.next()
+            return ~self._bool_factor()
+        if self.peek() == ("op", "("):
+            save = self.i
+            self.next()
+            try:
+                inner = self.bool_expr()
+                self.expect("op", ")")
+                if self.peek()[0] in ("and", "or", "eof", "op"):
+                    return inner
+            except ValueError:
+                self.i = save
+        return self._comparison()
+
+    def _comparison(self) -> Column:
+        left = self.value()
+        kind, op = self.peek()
+        if kind == "op" and op in ("==", "!=", ">=", "<=", ">", "<"):
+            self.next()
+            right = self.value()
+            return {
+                "==": left == right,
+                "!=": left != right,
+                ">=": left >= right,
+                "<=": left <= right,
+                ">": left > right,
+                "<": left < right,
+            }[op]
+        return left.cast("boolean")
+
+    # --- statements ----------------------------------------------------
+
+    def statement(self) -> Statement:
+        editor = self.expect("ident")
+        self.expect("op", "(")
+        st: Statement
+        if editor == "set":
+            target_tok = self.expect("ident")
+            target = self._resolve_path(target_tok)
+            self.expect("op", ",")
+            value = self.value()
+            st = Statement("set", target, value=value)
+        elif editor == "delete_key":
+            target_tok = self.expect("ident")
+            target = self._resolve_path(target_tok)
+            st = Statement("delete_key", target)
+        elif editor == "keep_keys":
+            keys: list[str] = []
+            while self.peek() != ("op", ")"):
+                k, t = self.next()
+                if k == "string":
+                    keys.append(t[1:-1])
+                elif k == "ident":
+                    keys.append(self._resolve_path(t))
+                if self.peek() == ("op", ","):
+                    self.next()
+            st = Statement("keep_keys", None, keys=keys)
+        else:
+            raise ValueError(f"unsupported editor {editor}")
+        self.expect("op", ")")
+        if self.peek()[0] == "where":
+            self.next()
+            st.condition = self.bool_expr()
+        self.expect("eof")
+        return st
+
+
+DEFAULT_PATH_MAP = {"body": "text"}
+
+
+def parse_statement(src: str, path_map: dict[str, str] | None = None) -> Statement:
+    """Compile one OTTL statement string (done once at plan build)."""
+    return _Parser(_lex(src), {**DEFAULT_PATH_MAP, **(path_map or {})}).statement()
+
+
+def parse_condition(src: str, path_map: dict[str, str] | None = None) -> Column:
+    """Compile a standalone OTTL condition (routingconnector's route
+    conditions, filterprocessor's drop conditions)."""
+    p = _Parser(_lex(src), {**DEFAULT_PATH_MAP, **(path_map or {})})
+    col = p.bool_expr()
+    p.expect("eof")
+    return col
+
+
+def apply_statements(df: DataFrame, statements: list[str], path_map: dict[str, str] | None = None) -> DataFrame:
+    """transformprocessor analogue: ordered statement application. Each
+    `set ... where cond` becomes when(cond, value).otherwise(current) — the
+    whole statement list fuses into one projection."""
+    out = df
+    for src in statements:
+        st = parse_statement(src, path_map)
+        if st.editor == "set":
+            assert st.target is not None and st.value is not None
+            if st.condition is not None:
+                current = (
+                    F.col(st.target) if st.target in out.columns else F.lit(None)
+                )
+                out = out.withColumn(st.target, F.when(st.condition, st.value).otherwise(current))
+            else:
+                out = out.withColumn(st.target, st.value)
+        elif st.editor == "delete_key":
+            if st.condition is not None:
+                raise ValueError("delete_key where <cond> is not column-expressible; use set(col, nil) where cond")
+            out = out.drop(st.target)
+        elif st.editor == "keep_keys":
+            out = out.select(*[k for k in st.keys if k in out.columns])
+    return out

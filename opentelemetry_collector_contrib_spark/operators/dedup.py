@@ -63,8 +63,14 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) inverted index, distinct shingles per doc."""
-    return df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    """(id, shingle) inverted index, distinct shingles per doc. Tokenizes
+    into a bound column first (see textstats.shingles_of: inlining the
+    tokenizer into the shingle lambda is quadratic per doc)."""
+    from .textstats import with_shingles
+
+    return with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n).select(
+        "doc", F.explode(F.col("shingles")).alias("shingle")
+    )
 
 
 def jaccard_pairs(

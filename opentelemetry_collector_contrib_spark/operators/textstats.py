@@ -35,18 +35,32 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """n-word shingles (distinct), the MinHash/Jaccard unit. Built from the
-    token array with a sequence+transform — no UDF, no shuffle."""
-    toks = tokens(col)
-    shingle = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def shingles_of(tok_col: Column, n: int = 3) -> Column:
+    """n-word shingles (distinct) from a token-array expression.
+
+    Index-free formulation: zip_with over n shifted slices of the array.
+    The naive `transform(sequence(...), i -> element_at(toks, i+j))` is a
+    performance trap — Catalyst inlines the tokenizer expression into the
+    lambda (projection collapse) and re-splits the text once per element
+    per offset, O(tokens^2) per doc (measured 10x on the 5k-doc corpus).
+    slice/zip_with evaluate the array expression a constant number of
+    times regardless of length."""
+    m = F.size(tok_col) - (n - 1)
+    acc = F.slice(tok_col, F.lit(1), m)
+    for j in range(1, n):
+        nxt = F.slice(tok_col, F.lit(j + 1), m)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    shingle = F.when(F.size(tok_col) >= n, acc).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(shingle)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column."""
+    return shingles_of(tokens(col), n)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles") -> DataFrame:
+    return df.withColumn(out, word_shingles(F.col(text_col), n))
 
 
 # ---------------------------------------------------------------------------
@@ -153,11 +167,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
                  first-pass near-dup key)
     """
     t = F.col(text_col)
-    norm = F.lower(F.concat_ws(" ", tokens(t)))
-    sh = word_shingles(t, 3)
-    min_md5 = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return df.select(
-        "*",
+    staged = df.withColumn("_toks", tokens(t)).withColumn("_sh", shingles_of(F.col("_toks"), 3))
+    norm = F.lower(F.concat_ws(" ", F.col("_toks")))
+    min_md5 = F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(s)))
+    return staged.select(
+        *df.columns,
         h60(norm).alias("fp_exact"),
         min_md5.alias("fp_shingle"),
     )

@@ -1,0 +1,121 @@
+"""Config-driven pipeline compiler: the collector's YAML → pipeline-DAG
+lifecycle (SURVEY.md §3.1) as a declarative spec → DataFrame plan.
+
+The reference builds receivers → processors → exporters from confmap-parsed
+YAML, validating each component config eagerly and compiling every OTTL
+statement at startup (transformprocessor/internal/logs/processor.go:26-45,
+routing table validation connector/routingconnector/config.go:76-110). This
+module does the same: a plain-dict spec is validated and compiled ONCE into
+a DataFrame-building closure; Catalyst is the planner the reference lacks.
+
+Spec shape (all sections optional except source):
+
+    {
+      "source":  {"path": "/data/transcripts"},        # or {"table": ...}
+      "parse":   {"bank": "native" | "vectorized"},
+      "transform": ["set(pipeline, \\"logs\\")",        # OTTL statements
+                    "set(sev, \\"unknown\\") where sev == nil"],
+      "filter":  ["status == \\"drop_me\\""],           # OTTL drop conditions
+      "enrich":  [{"dim_path": ".../tool_dim.parquet", "key": "tool",
+                   "defaults": {"tool_category": "Unknown"}}],
+      "routes":  {"default": "general",
+                  "table": [{"name": "errors", "condition": "status == \\"err\\"",
+                             "mode": "move"}]},
+      "order":   {"enabled": True},
+      "aggregates": {"per_conv": {"keys": ["route_id", "conv_id"]}},
+    }
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+VALID_SECTIONS = {"source", "parse", "transform", "filter", "enrich", "routes", "order", "aggregates"}
+
+
+def validate_spec(spec: dict[str, Any]) -> None:
+    """Eager validation, mirroring confmap unmarshal-time checks: unknown
+    sections, empty route tables, condition-less routes, and bad OTTL all
+    fail at build time, never mid-job."""
+    unknown = set(spec) - VALID_SECTIONS
+    if unknown:
+        raise ValueError(f"unknown pipeline sections: {sorted(unknown)}")
+    if "source" not in spec or not ("path" in spec["source"] or "table" in spec["source"]):
+        raise ValueError("source.path or source.table is required")
+    routes = spec.get("routes", {})
+    if routes:
+        table = routes.get("table", [])
+        if not table:
+            raise ValueError("routes.table must be non-empty when routes is present")
+        for r in table:
+            if not r.get("name"):
+                raise ValueError("every route needs a name")
+            if not r.get("condition"):
+                raise ValueError(f"route {r.get('name')}: condition is required")
+            if r.get("mode", "move") not in ("move", "copy"):
+                raise ValueError(f"route {r['name']}: mode must be move|copy")
+    # compile-at-startup: surface OTTL syntax errors here
+    from ..functions.ottl_compiler import parse_condition, parse_statement
+
+    for stmt in spec.get("transform", []):
+        parse_statement(stmt)
+    for cond in spec.get("filter", []):
+        parse_condition(cond)
+    for r in spec.get("routes", {}).get("table", []):
+        parse_condition(r["condition"])
+
+
+def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    """Compile the spec into the routed DataFrame (pre-sink). One
+    projection per stage; Catalyst fuses them."""
+    from ..functions.ottl_compiler import apply_statements, parse_condition
+    from ..operators.enrich import lookup
+    from ..operators.order import stable_order
+    from ..operators.parse import parse_native, parse_vectorized
+    from ..operators.route import Route, RouteTable, apply_routes
+
+    validate_spec(spec)
+
+    src = spec["source"]
+    df = spark.read.parquet(src["path"]) if "path" in src else spark.read.table(src["table"])
+
+    bank = spec.get("parse", {}).get("bank", "native")
+    df = parse_vectorized(df) if bank == "vectorized" else parse_native(df)
+
+    if spec.get("transform"):
+        df = apply_statements(df, spec["transform"])
+
+    for cond in spec.get("filter", []):
+        from pyspark.sql import functions as F
+
+        df = df.filter(~F.coalesce(parse_condition(cond), F.lit(False)))
+
+    for e in spec.get("enrich", []):
+        dim = spark.read.parquet(e["dim_path"])
+        df = lookup(df, dim, e["key"], e.get("defaults"))
+
+    routes = spec.get("routes")
+    if routes:
+        table = RouteTable(
+            routes=[
+                Route(r["name"], parse_condition(r["condition"]), r.get("mode", "move"))
+                for r in routes["table"]
+            ],
+            default=routes.get("default", "general"),
+        )
+        df = apply_routes(df, table)
+
+    if spec.get("order", {}).get("enabled", True):
+        df = stable_order(df)
+    return df
+
+
+def build_aggregates(df: DataFrame, spec: dict[str, Any]) -> dict[str, DataFrame]:
+    from ..operators.aggregate import group_by_attrs
+
+    out: dict[str, DataFrame] = {}
+    for name, a in spec.get("aggregates", {}).items():
+        out[name] = group_by_attrs(df, a["keys"])
+    return out

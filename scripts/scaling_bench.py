@@ -29,41 +29,53 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str, repeats: int) -> dict:
-    best: dict | None = None
-    for _ in range(repeats):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_SF_DIR=sf_dir,
-            SPARK_GRAFT_Q1_REPEATS="3",
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=REPO,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        res = json.loads(line)
-        if best is None or res["turns_per_sec"] > best["turns_per_sec"]:
-            best = res
-    assert best is not None
-    return best
+def run_once(cpus: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_Q1_REPEATS="3",
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _better(a: dict | None, b: dict) -> dict:
+    return b if a is None or b["turns_per_sec"] > a["turns_per_sec"] else a
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8, help="small parallelism level (big = 4N)")
+    ap.add_argument(
+        "--n",
+        type=int,
+        default=4,
+        help="small parallelism level (big = 4N). Default 4 -> 4 vs 16 of the "
+        "32 hw cores, leaving headroom for JVM GC/shuffle daemons so the "
+        "measurement reflects the plan, not scheduler oversubscription.",
+    )
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
+    # interleave levels (N, 4N, N, 4N, ...) so slow host phases (shared-vm
+    # noise) hit both levels equally; best-of per level = uncontended capacity
     n, n4 = args.n, 4 * args.n
-    small = run_level(n, args.sf_dir, args.repeats)
-    big = run_level(n4, args.sf_dir, args.repeats)
+    small: dict | None = None
+    big: dict | None = None
+    for _ in range(args.repeats):
+        small = _better(small, run_once(n, args.sf_dir))
+        big = _better(big, run_once(n4, args.sf_dir))
+    assert small is not None and big is not None
 
     tp_n = small["turns_per_sec"]
     tp_4n = big["turns_per_sec"]
