@@ -58,14 +58,31 @@ PARSED_FIELDS: list[tuple[str, str]] = [
 
 
 def parse_native(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """First-match pattern bank as a single Catalyst projection."""
+    """First-match pattern bank as a single Catalyst projection, one regex
+    execution per (row, pattern).
+
+    Per-group `regexp_extract` re-runs the whole regex once per group (the
+    kv+syslog+json bank would cost up to 13 executions/row). Instead each
+    pattern runs ONCE as `regexp_replace(text, pat, '$1\\x01$2...')` — a
+    full-line anchored pattern rewrites the line to its groups joined by an
+    \\x01 separator (a byte that cannot appear in the text) — and a single
+    split recovers the fields. rlike gates per pattern, so a row costs
+    3 rlike + 1 replace + 1 split. Values are byte-identical to per-group
+    extraction (same regex, same groups) — the oracle contract is unchanged."""
     t = F.col(text_col)
     is_kv = t.rlike(KV_RE)
     is_syslog = t.rlike(SYSLOG_RE)
     is_json = t.rlike(JSON_RE)
 
-    def ex(regex: str, group: int) -> Column:
-        return F.regexp_extract(t, regex, group)
+    SEP = "\x01"
+
+    def grp_split(regex: str, n_groups: int) -> Column:
+        tpl = SEP.join(f"${i}" for i in range(1, n_groups + 1))
+        return F.split(F.regexp_replace(t, regex, tpl), SEP)
+
+    kv = grp_split(KV_RE, 4)        # sev, tool, latency_ms, status
+    sl = grp_split(SYSLOG_RE, 4)    # log_ts, sev, component, message
+    js = grp_split(JSON_RE, 3)      # event_name, tokens, model
 
     pattern_id = (
         F.when(is_kv, F.lit("kv"))
@@ -76,15 +93,15 @@ def parse_native(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         pattern_id.alias("pattern_id"),
-        F.when(is_kv, ex(KV_RE, 1)).when(is_syslog, ex(SYSLOG_RE, 2)).alias("sev"),
-        F.when(is_kv, ex(KV_RE, 3).cast("bigint")).alias("latency_ms"),
-        F.when(is_kv, ex(KV_RE, 4)).alias("status"),
-        F.when(is_json, ex(JSON_RE, 1)).alias("event_name"),
-        F.when(is_json, ex(JSON_RE, 2).cast("bigint")).alias("tokens"),
-        F.when(is_json, ex(JSON_RE, 3)).alias("model"),
-        F.when(is_syslog, ex(SYSLOG_RE, 3)).alias("component"),
-        F.when(is_syslog, ex(SYSLOG_RE, 4)).alias("message"),
-        F.when(is_syslog, ex(SYSLOG_RE, 1)).alias("log_ts"),
+        F.when(is_kv, kv[0]).when(is_syslog, sl[1]).alias("sev"),
+        F.when(is_kv, kv[2].cast("bigint")).alias("latency_ms"),
+        F.when(is_kv, kv[3]).alias("status"),
+        F.when(is_json, js[0]).alias("event_name"),
+        F.when(is_json, js[1].cast("bigint")).alias("tokens"),
+        F.when(is_json, js[2]).alias("model"),
+        F.when(is_syslog, sl[2]).alias("component"),
+        F.when(is_syslog, sl[3]).alias("message"),
+        F.when(is_syslog, sl[0]).alias("log_ts"),
     )
 
 

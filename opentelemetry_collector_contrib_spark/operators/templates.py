@@ -1,0 +1,142 @@
+"""Log-template clustering and stream-hygiene guards.
+
+drainprocessor analogue (processor/drainprocessor/processor.go + README
+"How it works"): Drain builds a parse tree over tokens and converges each
+cluster to a template like "user <*> logged in", attaching it as a
+log.record.template attribute. The fixed-depth tree exists to make
+clustering cheap on a row-at-a-time stream; in a columnar engine the same
+converged template is reachable in one vectorized pass: mask the variable
+token classes (numbers, hex ids, quoted strings), then hash-aggregate on
+the masked text. For corpora where variability IS those token classes
+(the overwhelming log case, and exactly what the drain README's examples
+mask), the two algorithms produce the same clusters — without per-record
+tree state, which would be a driver-side bottleneck at 10^12 rows.
+
+cardinalityguardianprocessor analogue: bound the distinct-key explosion of
+a label before it reaches an aggregate. Exact count for the oracle gate;
+approx_count_distinct (HLL, constant memory) is the 100 TB path.
+
+metricsgenerationprocessor analogue: derive metric = binary op of two
+metrics after pivoting them side-by-side.
+
+servicegraphconnector analogue: caller -> callee edges. Spans carry parent
+ids; transcripts don't, so the conversation's edge set is consecutive-turn
+role transitions — same plan shape (self-join / lag window + count), same
+output contract (edge dims + call count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ordered mask rules: (regex, replacement). Applied left to right, all
+# global — mirrors drain's masking config (README masking section).
+DEFAULT_MASKS: list[tuple[str, str]] = [
+    (r"0x[0-9a-fA-F]+", "<*>"),          # hex ids
+    (r"\b\d+\.\d+\.\d+\.\d+\b", "<*>"),  # ipv4
+    (r"\b[0-9a-f]{8,}\b", "<*>"),        # long hex hashes
+    (r"\d+", "<*>"),                     # numbers
+    (r'"[^"]*"', "<*>"),                 # quoted strings
+]
+
+
+def mask_template(col: Column, masks: list[tuple[str, str]] | None = None) -> Column:
+    out = col
+    for pat, rep in masks or DEFAULT_MASKS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def drain_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    masks: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """One row per converged template: (template, match_count, example).
+    Example = lexicographic-min raw text for determinism."""
+    masked = df.select(mask_template(F.col(text_col), masks).alias("template"), F.col(text_col))
+    return masked.groupBy("template").agg(
+        F.count(F.lit(1)).alias("match_count"),
+        F.min(text_col).alias("example"),
+    )
+
+
+def annotate_templates(df: DataFrame, text_col: str = "text", out_col: str = "log_template") -> DataFrame:
+    """The processor's annotate-only mode: attach the template column
+    (drainprocessor sets log.record.template, emitting rows unchanged)."""
+    return df.withColumn(out_col, mask_template(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+
+
+def cardinality_guard(
+    df: DataFrame,
+    key_cols: list[str],
+    limit: int,
+    exact: bool = True,
+) -> DataFrame:
+    """Per key-column: distinct count + over-limit flag. exact=False uses
+    approx_count_distinct (HLL sketch — the only memory-bounded option at
+    10^12 rows; rsd ~2.3% counts cardinality explosions just fine)."""
+    cnt = (lambda c: F.count_distinct(F.col(c))) if exact else (lambda c: F.approx_count_distinct(F.col(c)))
+    rows = [
+        df.select(
+            F.lit(c).alias("key"),
+            cnt(c).alias("distinct_count"),
+        )
+        for c in key_cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("over_limit", F.col("distinct_count") > limit)
+
+
+# ---------------------------------------------------------------------------
+
+
+def metrics_generation_ratio(
+    df: DataFrame,
+    dims: list[str],
+    name_col: str,
+    value_col: str,
+    numerator: str,
+    denominator: str,
+    out_col: str = "ratio",
+) -> DataFrame:
+    """Derived metric = sum(value | name==numerator) / sum(value | name==
+    denominator) per dim group — the pivot+divide shape of
+    metricsgenerationprocessor (calculate mode). Decimal accumulation keeps
+    the division's inputs engine-exact."""
+    num = F.sum(F.when(F.col(name_col) == numerator, F.col(value_col).cast("decimal(18,6)")))
+    den = F.sum(F.when(F.col(name_col) == denominator, F.col(value_col).cast("decimal(18,6)")))
+    return df.groupBy(*dims).agg(
+        num.alias("num_total"),
+        den.alias("den_total"),
+    ).withColumn(
+        out_col,
+        F.when(F.col("den_total") != 0, F.round(F.col("num_total").cast("double") / F.col("den_total").cast("double"), 6)),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def service_graph_edges(
+    df: DataFrame,
+    trace_col: str = "conv_id",
+    node_col: str = "role",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Caller->callee edge counts from consecutive rows within a trace
+    (servicegraphconnector's parent->child edge aggregation; here the
+    parent of turn N is turn N-1). One window + one hash aggregation, both
+    partitioned by the trace key — reuses the pipeline's conv_id shuffle."""
+    order_cols = order_cols or ["turn_idx"]
+    w = Window.partitionBy(trace_col).orderBy(*[F.col(c) for c in order_cols])
+    edges = df.withColumn("_caller", F.lag(F.col(node_col)).over(w)).filter(F.col("_caller").isNotNull())
+    return edges.groupBy(F.col("_caller").alias("caller"), F.col(node_col).alias("callee")).agg(
+        F.count(F.lit(1)).alias("call_count")
+    )

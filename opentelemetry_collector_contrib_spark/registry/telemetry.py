@@ -224,7 +224,39 @@ def q_ottl_showcase(spark, sf_dir):
     )
 
 
+def q_drain_templates(spark, sf_dir):
+    from ..operators.templates import drain_templates
+
+    return drain_templates(_routed(spark, sf_dir))
+
+
+def q_cardinality_guard(spark, sf_dir):
+    from ..operators.templates import cardinality_guard
+
+    return cardinality_guard(_routed(spark, sf_dir), ["conv_id", "role", "tool"], limit=100)
+
+
+def q_metrics_generation(spark, sf_dir):
+    from ..operators.templates import metrics_generation_ratio
+
+    ev = _events(spark, sf_dir).withColumn(
+        "hour_start",
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600).cast("bigint"),
+    )
+    return metrics_generation_ratio(ev, ["hour_start"], "event_type", "value", "purchase", "view")
+
+
+def q_service_graph(spark, sf_dir):
+    from ..operators.templates import service_graph_edges
+
+    return service_graph_edges(_routed(spark, sf_dir), order_cols=["turn_rn"])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "drain_templates": q_drain_templates,
+    "cardinality_guard": q_cardinality_guard,
+    "metrics_generation_ratio": q_metrics_generation,
+    "service_graph_edges": q_service_graph,
     "events_count_by_type": q_count_by_type,
     "events_sum_by_type": q_sum_by_type,
     "events_logdedup": q_logdedup,
@@ -324,6 +356,58 @@ FROM events GROUP BY 1"""
 
     o["events_props_json"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+    )
+
+    # drain mask chain — must mirror operators/templates.DEFAULT_MASKS order
+    masked = "text"
+    for pat, rep in [
+        (r"0x[0-9a-fA-F]+", "<*>"),
+        (r"\b\d+\.\d+\.\d+\.\d+\b", "<*>"),
+        (r"\b[0-9a-f]{8,}\b", "<*>"),
+        (r"\d+", "<*>"),
+        (r'"[^"]*"', "<*>"),
+    ]:
+        masked = f"regexp_replace({masked}, '{pat}', '{rep}', 'g')"
+    o["drain_templates"] = (
+        cte
+        + f"""
+SELECT {masked} AS template, count(*) AS match_count, min(text) AS example
+FROM ordered GROUP BY 1"""
+    )
+
+    o["cardinality_guard"] = (
+        cte
+        + """,
+g AS (
+  SELECT 'conv_id' AS key, count(DISTINCT conv_id) AS distinct_count FROM ordered
+  UNION ALL
+  SELECT 'role', count(DISTINCT role) FROM ordered
+  UNION ALL
+  SELECT 'tool', count(DISTINCT tool) FROM ordered)
+SELECT key, distinct_count, distinct_count > 100 AS over_limit FROM g"""
+    )
+
+    o["metrics_generation_ratio"] = """
+WITH e AS (SELECT *,
+  CAST(floor(epoch_us(ts) / (3600 * CAST(1000000 AS BIGINT))) AS BIGINT) * 3600 AS hour_start
+  FROM events),
+g AS (SELECT hour_start,
+  sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS num_total,
+  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS den_total
+  FROM e GROUP BY 1)
+SELECT hour_start, num_total, den_total,
+  CASE WHEN den_total <> 0
+       THEN round(CAST(num_total AS DOUBLE) / CAST(den_total AS DOUBLE), 6) END AS ratio
+FROM g"""
+
+    o["service_graph_edges"] = (
+        cte
+        + """,
+lagged AS (SELECT conv_id, role,
+                  lag(role) OVER (PARTITION BY conv_id ORDER BY turn_rn) AS caller
+           FROM ordered)
+SELECT caller, role AS callee, count(*) AS call_count
+FROM lagged WHERE caller IS NOT NULL GROUP BY 1, 2"""
     )
 
     o["recombine_user_segments"] = (
