@@ -60,8 +60,8 @@ def main() -> None:
     # throughput = best of SPARK_GRAFT_Q1_REPEATS passes after
     # SPARK_GRAFT_Q1_WARMUP untimed passes (scenarios.go:190 measures steady
     # state; whole-stage-codegen C2 JIT needs ~3 passes to fully compile).
-    q1_repeats = int(os.environ.get("SPARK_GRAFT_Q1_REPEATS", "1"))
-    q1_warmup = int(os.environ.get("SPARK_GRAFT_Q1_WARMUP", "0"))
+    q1_repeats = int(os.environ.get("SPARK_GRAFT_Q1_REPEATS", "2"))
+    q1_warmup = int(os.environ.get("SPARK_GRAFT_Q1_WARMUP", "1"))
     if selected is None or "q1_pipeline_routed" in selected:
         q1_df = build_routed(spark, sf_dir)  # plan built once; each pass re-executes the job
         for _ in range(q1_warmup):

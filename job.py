@@ -1,0 +1,56 @@
+"""Cluster entry point: spark-submit --py-files dist/pipeline.zip job.py ...
+
+The production launch shape the north rule names. Local example:
+
+    scripts/make_dist.sh
+    spark-submit --master local[16] --py-files dist/pipeline.zip job.py \\
+        --input /root/testdata/sf0.01 --output /tmp/pipeline_out
+
+On a real cluster, swap --master, point --input at the Iceberg transcript
+table (or its parquet location) and --output at the sink warehouse; the
+lineage manifest makes reruns resume idempotently (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="sf dir / transcript table location")
+    ap.add_argument("--output", required=True, help="sink base path")
+    ap.add_argument("--vectorized", action="store_true", help="use the pandas-UDF parse bank")
+    ap.add_argument("--repartition-conv", type=int, default=None, help="explicit conv_id hash partitions pre-agg")
+    args = ap.parse_args()
+
+    # spark-submit provides the session; builder.getOrCreate attaches to it
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("otel-contrib-spark-pipeline").getOrCreate()
+
+    from opentelemetry_collector_contrib_spark.operators.route import FIXTURE_ROUTES, sink_frames
+    from opentelemetry_collector_contrib_spark.plans.lineage import write_sinks_resumable
+    from opentelemetry_collector_contrib_spark.plans.pipeline import (
+        PipelineConfig,
+        build_routed,
+        pipeline_aggregates,
+    )
+
+    cfg = PipelineConfig(vectorized_parse=args.vectorized, repartition_conv=args.repartition_conv)
+    routed = build_routed(spark, args.input, cfg).persist()
+    try:
+        sinks = sink_frames(routed, cfg.routes)
+        paths = write_sinks_resumable(routed, sinks, args.output)
+        counts = {name: spark.read.parquet(p).count() for name, p in paths.items()}
+        for name, adf in pipeline_aggregates(routed).items():
+            adf.write.mode("overwrite").parquet(f"{args.output}/{name}")
+            counts[name] = adf.count()
+        print(json.dumps({"sinks": counts}))
+    finally:
+        routed.unpersist()
+
+
+if __name__ == "__main__":
+    main()
