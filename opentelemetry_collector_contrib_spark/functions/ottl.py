@@ -161,11 +161,113 @@ OTTL_FUNCTIONS.update(
     }
 )
 
+# --- map editors (ottlfuncs editors over MapType columns) -------------------
+# The engine promotes hot keys to typed columns (SURVEY §1.4), but parsed
+# open maps (key_value_parser, ParseJSON to map) keep the editor surface.
+
+
+def _glob_to_like(pattern: str) -> str:
+    """OTTL's replace_*_matches take filepath.Match globs; SQL LIKE covers
+    the * and ? forms used in practice."""
+    return pattern.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
+
+
+OTTL_FUNCTIONS.update(
+    {
+        # func_delete_matching_keys.go / func_keep_matching_keys.go
+        "DeleteMatchingKeys": lambda col, pattern: F.map_filter(_c(col), lambda k, _v: ~k.rlike(pattern)),
+        "KeepMatchingKeys": lambda col, pattern: F.map_filter(_c(col), lambda k, _v: k.rlike(pattern)),
+        # func_delete_index (slices)
+        "DeleteIndex": lambda col, i: F.filter(_c(col), lambda _x, j: j != i),
+        # func_limit.go — cap map size, keeping iteration-order-first entries
+        "Limit": lambda col, n: F.map_from_entries(F.slice(F.map_entries(_c(col)), 1, n)),
+        # func_merge_maps.go — strategy 'upsert' (right wins), the default
+        "MergeMaps": lambda a, b: F.map_concat(
+            F.map_filter(_c(a), lambda k, _v: ~F.array_contains(F.map_keys(_c(b)), k)), _c(b)
+        ),
+        # func_replace_all_matches.go / func_replace_all_patterns.go
+        "ReplaceAllMatches": lambda col, glob, rep: F.transform_values(
+            _c(col), lambda _k, v: F.when(v.like(_glob_to_like(glob)), F.lit(rep)).otherwise(v)
+        ),
+        "ReplaceAllPatterns": lambda col, pattern, rep: F.transform_values(
+            _c(col), lambda _k, v: F.regexp_replace(v, pattern, rep)
+        ),
+        # func_replace_match.go / func_replace_pattern.go (scalar forms)
+        "ReplaceMatch": lambda col, glob, rep: F.when(
+            _c(col).like(_glob_to_like(glob)), F.lit(rep)
+        ).otherwise(_c(col)),
+        "ReplacePattern": lambda col, pattern, rep: F.regexp_replace(_c(col), pattern, rep),
+        # func_stringify_all.go / func_truncate_all.go
+        "StringifyAll": lambda col: F.transform_values(_c(col), lambda _k, v: v.cast("string")),
+        "TruncateAll": lambda col, n: F.transform_values(_c(col), lambda _k, v: F.substring(v, 1, n)),
+        # func_to_key_value_string.go
+        "ToKeyValueString": lambda col, pair_sep=" ", kv_sep="=": F.array_join(
+            F.transform(F.map_entries(_c(col)), lambda e: F.concat(e["key"], F.lit(kv_sep), e["value"])),
+            pair_sep,
+        ),
+    }
+)
+
+# --- duration converters (math.go time arithmetic; durations as seconds) ----
+OTTL_FUNCTIONS.update(
+    {
+        "Hours": lambda col: _c(col) / 3600.0,
+        "Minutes": lambda col: _c(col) / 60.0,
+        "Seconds": lambda col: _c(col).cast("double"),
+        "Milliseconds": lambda col: _c(col) * 1000.0,
+        "Microseconds": lambda col: _c(col) * 1000000.0,
+        "Nanoseconds": lambda col: (_c(col) * 1000000000).cast("long"),
+        "Nanosecond": lambda col: (F.unix_micros(_c(col)) % 1000000) * 1000,  # of a timestamp
+    }
+)
+
 # --- telemetry-specific ------------------------------------------------------
+
+
+def _ipv4_to_long(ip) -> Column:
+    octs = F.split(_c(ip), r"\.")
+    out = F.lit(0).cast("long")
+    for i in range(4):
+        out = out * 256 + F.element_at(octs, i + 1).cast("long")
+    return out
+
+
+def _is_in_cidr(ip, cidr: str) -> Column:
+    """func_is_in_cidr (IPv4): prefix compare via integer shift — stays in
+    codegen, and the arithmetic is engine-portable for the oracle."""
+    base, bits_s = cidr.split("/")
+    bits = int(bits_s)
+    shift = 32 - bits
+    base_long = 0
+    for part in base.split("."):
+        base_long = base_long * 256 + int(part)
+    return F.shiftright(_ipv4_to_long(ip), shift) == F.lit(base_long >> shift)
+
+
+def _luhn_valid(col) -> Column:
+    """func_is_valid_luhn: checksum over the digit string, vectorized —
+    reverse the digits, double every second one, subtract 9 when >9, sum
+    % 10 == 0. Pure array expressions, no UDF."""
+    chars = F.filter(F.split(F.regexp_replace(_c(col).cast("string"), r"\D", ""), ""), lambda d: d != "")
+    digits = F.reverse(F.transform(chars, lambda d: d.cast("int")))
+    summed = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.greatest(F.size(digits) - 1, F.lit(0))),
+            lambda d, i: F.when(i % 2 == 1, F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0)),
+    )
+    return (F.size(digits) > 1) & (summed % 10 == 0)
+
+
 OTTL_FUNCTIONS.update(
     {
         # func_is_root_span.go: parent span id is all-zero
         "IsRootSpan": lambda parent: _c(parent).isNull() | (_c(parent) == ""),
+        "IsInCIDR": _is_in_cidr,
+        "IsValidLuhn": _luhn_valid,
     }
 )
 

@@ -173,6 +173,42 @@ def streaming_recombine(
 
 
 # ---------------------------------------------------------------------------
+# sink fan-out (streaming exporter layer)
+# ---------------------------------------------------------------------------
+
+
+def write_stream_sinks(
+    routed: DataFrame,
+    base_path: str,
+    checkpoint_dir: str,
+    route_table=None,
+    trigger_available_now: bool = True,
+):
+    """Streaming fan-out: ONE query, foreachBatch writes every sink from the
+    same micro-batch (the routed frame is computed once per batch; each sink
+    appends its slice partitioned by route_id dirs). The query checkpoint
+    gives exactly-once file progress — the streaming analogue of the batch
+    lineage manifest. Returns the started StreamingQuery."""
+    from ..operators.route import FIXTURE_ROUTES, sink_frames
+
+    table = route_table or FIXTURE_ROUTES
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, sdf in sink_frames(batch_df, table).items():
+                out = sdf.drop(*[c for c in sdf.columns if c.startswith("copy_")])
+                out.write.mode("append").parquet(f"{base_path}/{name}")
+        finally:
+            batch_df.unpersist()
+
+    writer = routed.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
 # harness
 # ---------------------------------------------------------------------------
 
