@@ -97,20 +97,25 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF search with nprobe=1: score only vectors in the query's cell.
+    """IVF search: score only vectors in the query's top-`nprobe` cells.
     The candidate join becomes an equi-join on `cell` — at 10^12 vectors
     this is the difference between scanning the world per query and
-    scanning 1/n_cells of it."""
+    scanning nprobe/n_cells of it. Raising nprobe trades candidate volume
+    for recall (tests/test_datapipe.py::test_ivf_nprobe_recall)."""
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    q_scored = q.join(F.broadcast(cents)).withColumn("qc", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+    wq = Window.partitionBy("qid").orderBy(F.col("qc").desc(), F.col("cell").asc())
     q_assigned = (
-        ivf_assign(q.withColumnRenamed("qid", id_col).withColumnRenamed("qv", vec_col), cents, id_col, vec_col)
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), F.col("cell").alias("qcell"))
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("qid", "qv", F.col("cell").alias("qcell"))
     )
     cand = assigned.join(
         q_assigned,

@@ -62,6 +62,11 @@ def build_routed(spark: SparkSession, sf_dir: str, cfg: PipelineConfig | None = 
     tool_dim, role_dim = load_dims(spark)
     enriched = enrich_transcripts(parsed, tool_dim, role_dim)
     routed = apply_routes(enriched, cfg.routes)
+    if cfg.repartition_conv:
+        # explicit conv_id hash partitioning (north-rule requirement): the
+        # window and every downstream per-conv operator then reuse this
+        # partitioning instead of inserting their own exchanges
+        routed = routed.repartition(cfg.repartition_conv, F.col("conv_id"))
     if cfg.with_stable_order:
         routed = stable_order(routed)
     return routed

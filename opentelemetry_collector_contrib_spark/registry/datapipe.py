@@ -166,7 +166,23 @@ def q_multimodal_frames(spark, sf_dir):
     return frames.select("doc_id", "frame_ms")
 
 
+def q_curation_e2e(spark, sf_dir):
+    """The composed training-data curation pipeline: quality gate → language
+    gate → exact dedup → fingerprint + token stats of survivors. One
+    declarative plan; Catalyst fuses the gates into the scan filter."""
+    from ..operators.dedup import drop_exact_dups
+    from ..operators.textstats import fingerprint, lang_id, quality_score, token_stats
+
+    docs = _docs(spark, sf_dir)
+    scored = lang_id(quality_score(docs))
+    gated = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+    deduped = drop_exact_dups(gated, "doc_id")
+    out = fingerprint(token_stats(deduped))
+    return out.select("doc_id", "lang_pred", "quality", "n_ws_tokens", "fp_exact")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curation_e2e": q_curation_e2e,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -215,6 +231,41 @@ def _lsh_bucket_sql(bands: int = 4, rows: int = 2) -> str:
 
 def _oracles() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    lang_scores = ",\n  ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}" for lang, pat in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    lang_best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    lang_case = (
+        "CASE WHEN " + lang_best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{la} = {lang_best} THEN '{la}'" for la in langs)
+        + " END"
+    )
+    o["curation_e2e"] = (
+        _DOC_TOKS_CTE
+        + f""",
+m AS (SELECT doc_id, text, toks,
+  len(toks) AS n_tok,
+  greatest(length(text), 1) AS n_char,
+  len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stop,
+  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+  {lang_scores}
+FROM tokd),
+scored AS (SELECT doc_id, text, toks, n_tok,
+  round(0.4 * least(n_tok / 20.0, 1.0)
+      + 0.3 * least((n_stop / greatest(n_tok, 1)) * 4, 1.0)
+      + 0.15 * (1.0 - least((n_punct / n_char) * 5, 1.0))
+      + 0.15 * (1.0 - least((n_digit / n_char) * 5, 1.0)), 6) AS quality,
+  {lang_case} AS lang_pred
+FROM m),
+gated AS (SELECT *, {sql_h60("lower(array_to_string(toks, ' '))")} AS text_key
+          FROM scored WHERE quality >= 0.5 AND lang_pred <> 'und'),
+keep AS (SELECT text_key, min(doc_id) AS keep_id FROM gated GROUP BY 1)
+SELECT g.doc_id, g.lang_pred, g.quality, g.n_tok AS n_ws_tokens, g.text_key AS fp_exact
+FROM gated g JOIN keep k ON g.doc_id = k.keep_id"""
+    )
 
     o["text_token_stats"] = (
         _DOC_TOKS_CTE

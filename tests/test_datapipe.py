@@ -156,3 +156,16 @@ def test_resize_and_frames(docs):
     frames = multimodal.sample_frames(env, every_ms=40).collect()
     # 'tiny' = 4 chars -> 160ms duration -> frames at 0,40,80,120
     assert [f["frame_ms"] for f in frames] == [0, 40, 80, 120]
+
+
+def test_ivf_nprobe_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["neighbor_id"]) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    r1 = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_topk(emb, q, k=5, n_cells=8, nprobe=1).collect()}
+    r3 = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_topk(emb, q, k=5, n_cells=8, nprobe=3).collect()}
+    rec1 = len(brute & r1) / len(brute)
+    rec3 = len(brute & r3) / len(brute)
+    # probing more cells can only widen the candidate set
+    assert rec3 >= rec1
+    assert rec3 >= 0.4

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) — the reference's fuzz-test mirror
+(SURVEY.md §5.4: groupbyattrsprocessor/fuzz_test.go, logdedup fuzz_test.go).
+
+Strategies generate small random transcript batches; properties assert the
+structural invariants the pipeline must hold for EVERY input, not just the
+fixtures: route partitioning, parse-bank totality, recombine reassembly,
+sampler determinism.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["search", "code", "calc", "none"]
+
+texts = st.one_of(
+    st.text(alphabet="abcdefghij XYZ=:{}0123456789", min_size=0, max_size=40),
+    st.builds(lambda s, t, n, ok: f"LOG lvl={s} tool={t} latency_ms={n} status={'ok' if ok else 'err'}",
+              st.sampled_from(["info", "err", "debug"]), st.sampled_from(TOOLS),
+              st.integers(0, 9999), st.booleans()),
+    st.builds(lambda e, n: f'{{"event":"{e}","tokens":{n},"model":"alpha-1"}}',
+              st.sampled_from(["tool_call", "retry"]), st.integers(0, 999)),
+)
+
+rows = st.lists(
+    st.tuples(
+        st.sampled_from(["c1", "c2", "c3"]),            # conv_id
+        st.integers(0, 30),                              # turn_idx
+        st.sampled_from(ROLES),
+        texts,
+        st.sampled_from(TOOLS),
+        st.integers(0, 10**6),                           # ts offset seconds
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _df(spark, data):
+    base = dt.datetime(2025, 1, 1)
+    rws = [(c, t, r, x, tl, base + dt.timedelta(seconds=s)) for (c, t, r, x, tl, s) in data]
+    return spark.createDataFrame(rws, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_route_partition_property(spark, dims, data):
+    """Every row lands in EXACTLY one move sink; copy sinks are subsets."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import enrich_transcripts
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_native
+    from opentelemetry_collector_contrib_spark.operators.route import FIXTURE_ROUTES, apply_routes, sink_frames
+
+    tool_dim, role_dim = dims
+    routed = apply_routes(enrich_transcripts(parse_native(_df(spark, data)), tool_dim, role_dim), FIXTURE_ROUTES)
+    total = routed.count()
+    sinks = sink_frames(routed, FIXTURE_ROUTES)
+    move_total = sum(sinks[name].count() for name in ("errors", "tool_events", "general"))
+    assert move_total == total
+    assert sinks["human_turns"].count() <= total
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_parse_bank_total_and_exclusive(spark, data):
+    """Every row gets exactly one pattern_id; 'raw' rows carry no parsed
+    fields; kv rows always carry sev+status."""
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_native
+
+    out = parse_native(_df(spark, data))
+    assert out.filter(F.col("pattern_id").isNull()).count() == 0
+    raw = out.filter(F.col("pattern_id") == "raw")
+    assert raw.filter(F.col("sev").isNotNull() | F.col("status").isNotNull() | F.col("tokens").isNotNull()).count() == 0
+    kv = out.filter(F.col("pattern_id") == "kv")
+    assert kv.filter(F.col("sev").isNull() | F.col("status").isNull()).count() == 0
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_native_vectorized_parse_agree(spark, data):
+    """The Catalyst bank and the pandas-UDF bank are interchangeable."""
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_native, parse_vectorized
+
+    df = _df(spark, data)
+    cols = ["conv_id", "turn_idx", "text", "pattern_id", "sev", "latency_ms", "status", "tokens"]
+    a = sorted([tuple(r) for r in parse_native(df).select(cols).collect()])
+    b = sorted([tuple(r) for r in parse_vectorized(df).select(cols).collect()])
+    assert a == b
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_sampler_consistency(spark, data):
+    """probabilistic_sampler gives the same verdict to every row of a conv."""
+    from opentelemetry_collector_contrib_spark.operators.filter import probabilistic_sampler
+
+    df = _df(spark, data)
+    kept = probabilistic_sampler(df, "conv_id", 50.0)
+    kept_convs = {r["conv_id"] for r in kept.select("conv_id").distinct().collect()}
+    for conv, n_in in [(r["conv_id"], r["n"]) for r in df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()]:
+        n_kept = kept.filter(F.col("conv_id") == conv).count()
+        assert n_kept in (0, n_in)
+        assert (n_kept > 0) == (conv in kept_convs)
+
+
+def test_recombine_reassembles_exactly(spark):
+    """Segment-sum recombine loses nothing: concatenating all segments in
+    order reproduces the per-conv ordered text sequence."""
+    import random
+
+    from opentelemetry_collector_contrib_spark.operators.recombine import recombine
+
+    rng = random.Random(7)
+    data = []
+    for conv in ("a", "b"):
+        for i in range(25):
+            data.append((conv, i, f"line-{conv}-{i}", rng.random() < 0.3 or i == 0))
+    df = spark.createDataFrame(data, "conv_id string, seq int, text string, first boolean")
+    out = recombine(df, "conv_id", "seq", F.col("first"))
+    for conv in ("a", "b"):
+        segs = sorted(
+            [(r["first_order"], r["combined"]) for r in out.filter(F.col("conv_id") == conv).collect()]
+        )
+        rebuilt = "\n".join(c for _o, c in segs).split("\n")
+        assert rebuilt == [f"line-{conv}-{i}" for i in range(25)]
