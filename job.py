@@ -38,16 +38,25 @@ def main() -> None:
         pipeline_aggregates,
     )
 
+    import uuid
+
+    from opentelemetry_collector_contrib_spark.plans.metrics import PipelineMetrics
+
+    metrics = PipelineMetrics(run_id=uuid.uuid4().hex)
     cfg = PipelineConfig(vectorized_parse=args.vectorized, repartition_conv=args.repartition_conv)
-    routed = build_routed(spark, args.input, cfg).persist()
+    with metrics.time_stage("build_and_persist"):
+        routed = build_routed(spark, args.input, cfg).persist()
+        metrics.input_rows = routed.count()
     try:
         sinks = sink_frames(routed, cfg.routes)
-        paths = write_sinks_resumable(routed, sinks, args.output)
+        paths = write_sinks_resumable(routed, sinks, args.output, metrics=metrics)
         counts = {name: spark.read.parquet(p).count() for name, p in paths.items()}
-        for name, adf in pipeline_aggregates(routed).items():
-            adf.write.mode("overwrite").parquet(f"{args.output}/{name}")
-            counts[name] = adf.count()
-        print(json.dumps({"sinks": counts}))
+        with metrics.time_stage("aggregates"):
+            for name, adf in pipeline_aggregates(routed).items():
+                adf.write.mode("overwrite").parquet(f"{args.output}/{name}")
+                counts[name] = adf.count()
+        metrics.write(f"{args.output}/_metrics.json")
+        print(json.dumps({"sinks": counts, "metrics": metrics.to_dict()}))
     finally:
         routed.unpersist()
 

@@ -136,3 +136,46 @@ def rename_attributes(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
         if old in out.columns:
             out = out.withColumnRenamed(old, new)
     return out
+
+
+# genainormalizerprocessor (processor/genainormalizerprocessor/README.md):
+# ordered attribute-name mapping tables (OpenInference/OpenLLMetry -> OTel
+# GenAI semconv) + value_mappings. Our parsed-field names stand in for the
+# vendor attr names; the plan shape (rename chain + value when-chain in one
+# projection) is the operator.
+GENAI_ATTR_MAP: dict[str, str] = {
+    "model": "gen_ai.request.model",
+    "tokens": "gen_ai.usage.output_tokens",
+    "event_name": "gen_ai.operation.name",
+    "tool": "gen_ai.tool.name",
+}
+
+GENAI_VALUE_MAPS: dict[str, dict[str, str]] = {
+    # operation-name normalization (value_mappings table)
+    "gen_ai.operation.name": {
+        "tool_call": "execute_tool",
+        "completion": "chat",
+        "handoff": "invoke_agent",
+        "retry": "chat",
+    },
+}
+
+
+def genai_normalize(
+    df: DataFrame,
+    attr_map: dict[str, str] | None = None,
+    value_maps: dict[str, dict[str, str]] | None = None,
+) -> DataFrame:
+    """Rename vendor attributes onto the GenAI semconv, then normalize
+    values per the mapping tables. Unmapped values pass through."""
+    out = rename_attributes(df, attr_map or GENAI_ATTR_MAP)
+    for col_name, vmap in (value_maps or GENAI_VALUE_MAPS).items():
+        if col_name not in out.columns:
+            continue
+        c = F.col(f"`{col_name}`")  # semconv names contain dots
+        chain = None
+        for old, new in vmap.items():
+            cond = c == old
+            chain = F.when(cond, F.lit(new)) if chain is None else chain.when(cond, F.lit(new))
+        out = out.withColumn(col_name, chain.otherwise(c))
+    return out

@@ -57,6 +57,9 @@ class LineageManifest:
     def is_committed(self, sink: str) -> bool:
         return any(s == sink for (s, _pid) in self._cells)
 
+    def cells_for(self, sink: str) -> list[LineageCell]:
+        return [c for (s, _pid), c in sorted(self._cells.items()) if s == sink]
+
     def record_sink(self, run_id: str, sink: str, partition_rows: list[int]) -> None:
         commit = uuid.uuid4().hex
         now = time.time()
@@ -77,24 +80,30 @@ def write_sinks_resumable(
     sinks: dict[str, "object"],
     base_path: str,
     manifest_path: str | None = None,
+    metrics=None,
 ) -> dict[str, str]:
     """Fan-out write with idempotent resume.
 
     Skips any sink already fully committed in the manifest; records
     per-partition row counts (via a partition-id rollup — one cheap agg per
     sink, no collect of data rows) after each successful atomic write.
+    When a PipelineMetrics is passed (plans/metrics.py), per-sink rows,
+    wall times, and resume decisions are recorded on it.
     """
     from pyspark.sql import functions as F
 
     manifest = LineageManifest(manifest_path or os.path.join(base_path, "_lineage.json"))
-    run_id = uuid.uuid4().hex
+    run_id = metrics.run_id if metrics is not None else uuid.uuid4().hex
     written: dict[str, str] = {}
     for name, df in sinks.items():
         path = os.path.join(base_path, name)
         if manifest.is_committed(name) and os.path.exists(path):
             written[name] = path  # resume: skip committed sink
+            if metrics is not None:
+                metrics.record_sink(name, sum(c.row_count for c in manifest.cells_for(name)), resumed=True)
             continue
         out = df.drop(*[c for c in df.columns if c.startswith("copy_")])
+        t0 = time.time()
         out.write.mode("overwrite").parquet(path)
         rows_per_part = (
             out.withColumn("_pid", F.spark_partition_id())
@@ -102,6 +111,10 @@ def write_sinks_resumable(
             .count()
             .collect()
         )
-        manifest.record_sink(run_id, name, [r["count"] for r in sorted(rows_per_part, key=lambda r: r["_pid"])])
+        part_rows = [r["count"] for r in sorted(rows_per_part, key=lambda r: r["_pid"])]
+        manifest.record_sink(run_id, name, part_rows)
+        if metrics is not None:
+            metrics.stages[f"sink:{name}"] = round(time.time() - t0, 3)
+            metrics.record_sink(name, sum(part_rows))
         written[name] = path
     return written

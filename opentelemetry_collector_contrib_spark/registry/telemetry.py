@@ -252,7 +252,23 @@ def q_service_graph(spark, sf_dir):
     return service_graph_edges(_routed(spark, sf_dir), order_cols=["turn_rn"])
 
 
+def q_genai_normalize(spark, sf_dir):
+    from ..operators.transform import genai_normalize
+
+    r = _routed(spark, sf_dir).filter(F.col("pattern_id") == "json")
+    out = genai_normalize(r)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("`gen_ai.request.model`").alias("gen_ai_request_model"),
+        F.col("`gen_ai.usage.output_tokens`").alias("gen_ai_usage_output_tokens"),
+        F.col("`gen_ai.operation.name`").alias("gen_ai_operation_name"),
+        F.col("`gen_ai.tool.name`").alias("gen_ai_tool_name"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "genai_normalize": q_genai_normalize,
     "drain_templates": q_drain_templates,
     "cardinality_guard": q_cardinality_guard,
     "metrics_generation_ratio": q_metrics_generation,
@@ -356,6 +372,21 @@ FROM events GROUP BY 1"""
 
     o["events_props_json"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+    )
+
+    o["genai_normalize"] = (
+        cte
+        + """
+SELECT conv_id, turn_idx,
+       model AS gen_ai_request_model,
+       tokens AS gen_ai_usage_output_tokens,
+       CASE event_name WHEN 'tool_call' THEN 'execute_tool'
+                       WHEN 'completion' THEN 'chat'
+                       WHEN 'handoff' THEN 'invoke_agent'
+                       WHEN 'retry' THEN 'chat'
+                       ELSE event_name END AS gen_ai_operation_name,
+       tool AS gen_ai_tool_name
+FROM ordered WHERE pattern_id = 'json'"""
     )
 
     # drain mask chain — must mirror operators/templates.DEFAULT_MASKS order

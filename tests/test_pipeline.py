@@ -68,3 +68,41 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
+
+
+def test_metrics_recording(spark, routed_t1, tmp_path):
+    """North-rule 'lineage + metrics': per-sink rows/timings recorded, resume
+    decisions visible, JSON artifact written atomically."""
+    import json
+    import uuid
+
+    from opentelemetry_collector_contrib_spark.plans.metrics import PipelineMetrics
+
+    base = str(tmp_path / "m_sinks")
+    m1 = PipelineMetrics(run_id=uuid.uuid4().hex)
+    m1.input_rows = routed_t1.count()
+    sinks = sink_frames(routed_t1, FIXTURE_ROUTES)
+    write_sinks_resumable(routed_t1, sinks, base, metrics=m1)
+    d = m1.to_dict()
+    assert d["sink_rows"]["errors"] + d["sink_rows"]["tool_events"] + d["sink_rows"]["general"] == m1.input_rows
+    assert all(v > 0 for k, v in m1.stages.items() if k.startswith("sink:"))
+    assert d["resumed_sinks"] == []
+
+    # rerun: everything resumes, counts reported from the manifest
+    m2 = PipelineMetrics(run_id=uuid.uuid4().hex)
+    write_sinks_resumable(routed_t1, sinks, base, metrics=m2)
+    assert set(m2.to_dict()["resumed_sinks"]) == set(sinks)
+    assert m2.sink_rows == m1.sink_rows
+
+    path = m1.write(str(tmp_path / "out" / "_metrics.json"))
+    assert json.load(open(path))["run_id"] == m1.run_id
+
+
+def test_genai_normalize(spark, routed_t1):
+    from opentelemetry_collector_contrib_spark.operators.transform import genai_normalize
+
+    r = routed_t1.filter(F.col("pattern_id") == "json")
+    out = genai_normalize(r)
+    assert "gen_ai.request.model" in out.columns
+    ops = {x["gen_ai.operation.name"] for x in out.select("`gen_ai.operation.name`").distinct().collect()}
+    assert ops <= {"execute_tool", "chat", "invoke_agent"}
