@@ -117,11 +117,14 @@ def main() -> None:
 
     timed("q5_vectorized_parse", vec)
 
-    # q6: MinHash+LSH near-dup detection over the documents corpus
+    # q6: MinHash+LSH near-dup detection over the documents corpus.
+    # The sf documents table is one small file = one scan split; repartition
+    # first so the shingle/signature compute parallelizes (at real scale the
+    # table is thousands of splits and this is a no-op).
     def dedup_docs():
         from opentelemetry_collector_contrib_spark.operators.dedup import minhash_lsh_dedup_pairs
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(2 * int(cpus))
         minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.4).count()
 
     timed("q6_minhash_lsh_dedup", dedup_docs)
@@ -132,7 +135,7 @@ def main() -> None:
 
         from opentelemetry_collector_contrib_spark.operators.similarity import ivf_topk
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(2 * int(cpus))
         q = emb.filter(FF.col("vec_id") % 50 == 0).select(FF.col("vec_id").alias("query_id"), "embedding")
         ivf_topk(emb, q, k=5, n_cells=8).count()
 

@@ -134,15 +134,24 @@ def minhash_signatures(
 
 def lsh_buckets(sigs: DataFrame, bands: int = 4, rows: int = 2) -> DataFrame:
     """(doc, band, bucket): bucket = the band's row-signature concatenation.
-    Docs sharing any band bucket are candidate near-dups."""
-    frames = []
-    for b in range(bands):
-        bucket = F.concat_ws("-", *[F.col(f"mh_{b}_{r}").cast("string") for r in range(rows)])
-        frames.append(sigs.select(F.col("doc"), F.lit(b).alias("band"), bucket.alias("bucket")))
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
-    return out
+    Docs sharing any band bucket are candidate near-dups.
+
+    Built as ONE explode of a per-doc (band, bucket) array — a union of
+    per-band selects would make Catalyst recompute the whole signature
+    aggregation once per band (verified via explain: 4 duplicate
+    explode+groupBy subtrees)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("-", *[F.col(f"mh_{b}_{r}").cast("string") for r in range(rows)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc", F.explode(entries).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def minhash_lsh_candidates(

@@ -252,6 +252,54 @@ def q_service_graph(spark, sf_dir):
     return service_graph_edges(_routed(spark, sf_dir), order_cols=["turn_rn"])
 
 
+def q_uri_parse(spark, sf_dir):
+    """uri_parser over a synthesized URI column (documents table)."""
+    from ..operators.parse import uri_parser
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        ).alias("uri"),
+    )
+    return uri_parser(docs, "uri").select("doc_id", "uri_scheme", "uri_host", "uri_path", "uri_query")
+
+
+def q_csv_parse(spark, sf_dir):
+    """csv_parser over a synthesized delimited column."""
+    from ..operators.parse import csv_parser
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat_ws(",", F.col("doc_id").cast("string"), F.col("lang"), F.col("n_chars").cast("string")).alias("line"),
+    )
+    out = csv_parser(docs, "line", "id BIGINT, lang STRING, n BIGINT")
+    return out.select(
+        "doc_id",
+        F.col("parsed_csv.id").alias("id"),
+        F.col("parsed_csv.lang").alias("lang"),
+        F.col("parsed_csv.n").alias("n"),
+    )
+
+
+def q_kv_parse_map(spark, sf_dir):
+    """key_value_parser (str_to_map) over the kv-pattern transcript rows;
+    output = sorted 'k=v' join so map ordering is engine-neutral."""
+    from ..operators.parse import key_value_parser
+
+    r = _routed(spark, sf_dir).filter(F.col("pattern_id") == "kv")
+    body = r.withColumn("kv_body", F.expr("substring(text, 5)"))
+    parsed = key_value_parser(body, "kv_body", dest="kv")
+    joined = F.array_join(
+        F.sort_array(
+            F.transform(F.map_entries(F.col("kv")), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ",",
+    )
+    return parsed.select("conv_id", "turn_idx", joined.alias("kv_sorted"))
+
+
 def q_genai_normalize(spark, sf_dir):
     from ..operators.transform import genai_normalize
 
@@ -268,6 +316,9 @@ def q_genai_normalize(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "uri_parse_fields": q_uri_parse,
+    "csv_parse_fields": q_csv_parse,
+    "kv_parse_map": q_kv_parse_map,
     "genai_normalize": q_genai_normalize,
     "drain_templates": q_drain_templates,
     "cardinality_guard": q_cardinality_guard,
@@ -372,6 +423,35 @@ FROM events GROUP BY 1"""
 
     o["events_props_json"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+    )
+
+    o["uri_parse_fields"] = r"""
+WITH u AS (SELECT doc_id,
+  concat('https://', source, '.example.com/docs/', CAST(doc_id AS VARCHAR), '?lang=', lang) AS uri
+FROM documents)
+SELECT doc_id,
+  regexp_extract(uri, '^([a-z]+)://', 1) AS uri_scheme,
+  regexp_extract(uri, '://([^/]+)', 1) AS uri_host,
+  regexp_extract(uri, '://[^/]+(/[^?]*)', 1) AS uri_path,
+  regexp_extract(uri, '\?(.*)$', 1) AS uri_query
+FROM u"""
+
+    o["csv_parse_fields"] = """
+WITH c AS (SELECT doc_id,
+  concat(CAST(doc_id AS VARCHAR), ',', lang, ',', CAST(n_chars AS VARCHAR)) AS line
+FROM documents)
+SELECT doc_id,
+  CAST(string_split(line, ',')[1] AS BIGINT) AS id,
+  string_split(line, ',')[2] AS lang,
+  CAST(string_split(line, ',')[3] AS BIGINT) AS n
+FROM c"""
+
+    o["kv_parse_map"] = (
+        cte
+        + r"""
+SELECT conv_id, turn_idx,
+  array_to_string(list_sort(regexp_split_to_array(substring(text, 5), ' ')), ',') AS kv_sorted
+FROM ordered WHERE pattern_id = 'kv'"""
     )
 
     o["genai_normalize"] = (
