@@ -275,6 +275,72 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over (doc_a, doc_b) near-dup pairs → one row per
+    doc with its cluster representative (the component's min id). This is
+    the step that turns pairwise similarity into an actionable keep/drop
+    set: keep rows where doc == cluster_rep.
+
+    Algorithm: iterative min-label propagation — each round every node
+    adopts the smallest label among itself and its neighbors; converges in
+    component-diameter rounds, with early stop on fixpoint (real near-dup
+    clusters are shallow: diameter ≤ a handful). Each round is two shuffles
+    on doc id — the standard large-graph CC shape (GraphX/GraphFrames run
+    the same loop); the driver only orchestrates, never holds data. Labels
+    are localCheckpoint'ed per round so the plan doesn't accrete the whole
+    iteration history."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc")).distinct().withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc"] == neighbor_min["src"], "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc"), F.col("label").alias("cluster_rep"))
+
+
+def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Keep one representative per near-dup cluster (min id); rows not in
+    any pair pass through untouched (left anti join against non-reps)."""
+    clusters = dup_clusters(pairs)
+    losers = clusters.filter(F.col("doc") != F.col("cluster_rep")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

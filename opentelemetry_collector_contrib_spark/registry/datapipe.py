@@ -181,8 +181,37 @@ def q_curation_e2e(spark, sf_dir):
     return out.select("doc_id", "lang_pred", "quality", "n_ws_tokens", "fp_exact")
 
 
+def q_container_parse(spark, sf_dir):
+    """container parser over synthesized docker-json / CRI lines (per-doc
+    alternating format); invariant: recovered log == original text."""
+    from ..operators.container import container_parser
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('{"log":"'), F.col("text"), F.lit('\\n","stream":"stdout","time":"2024-01-01T00:00:00Z"}')),
+        )
+        .otherwise(F.concat(F.lit("2024-01-01T00:00:00.000000000Z stderr F "), F.col("text")))
+        .alias("line"),
+    )
+    out = container_parser(docs, "line")
+    return out.select("doc_id", "container_format", "log_time", "stream", "partial_flag", "log")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash+LSH pairs → connected components →
+    (doc, cluster_rep). The actionable form of dedup: keep doc==rep."""
+    from ..operators.dedup import dup_clusters, minhash_lsh_dedup_pairs
+
+    pairs = minhash_lsh_dedup_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.4)
+    return dup_clusters(pairs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_e2e": q_curation_e2e,
+    "container_parse": q_container_parse,
+    "dedup_near_clusters": q_dedup_clusters,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -390,6 +419,55 @@ SELECT a.doc AS doc_a, b.doc AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    )
+
+    o["container_parse"] = r"""
+WITH l AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0
+    THEN '{"log":"' || text || '\n","stream":"stdout","time":"2024-01-01T00:00:00Z"}'
+    ELSE '2024-01-01T00:00:00.000000000Z stderr F ' || text END AS line
+FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'docker' ELSE 'cri' END AS container_format,
+  CASE WHEN doc_id % 2 = 0 THEN json_extract_string(line, '$.time')
+       ELSE regexp_extract(line, '^(\S+Z?) (stdout|stderr) ([PF]) (.*)$', 1) END AS log_time,
+  CASE WHEN doc_id % 2 = 0 THEN json_extract_string(line, '$.stream')
+       ELSE regexp_extract(line, '^(\S+Z?) (stdout|stderr) ([PF]) (.*)$', 2) END AS stream,
+  CASE WHEN doc_id % 2 = 0 THEN 'F'
+       ELSE regexp_extract(line, '^(\S+Z?) (stdout|stderr) ([PF]) (.*)$', 3) END AS partial_flag,
+  CASE WHEN doc_id % 2 = 0 THEN regexp_replace(json_extract_string(line, '$.log'), '\n$', '')
+       ELSE regexp_extract(line, '^(\S+Z?) (stdout|stderr) ([PF]) (.*)$', 4) END AS log
+FROM l"""
+
+    o["dedup_near_clusters"] = (
+        _SHINGLE_CTE.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+        + ",\n"
+        + _minhash_sig_sql()
+        + ",\n"
+        + _lsh_bucket_sql()
+        + """,
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.doc < b.doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shing a ON a.doc = c.doc_a
+  JOIN shing b ON b.doc = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+pairsv AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairsv
+          UNION SELECT doc_b, doc_a FROM pairsv),
+reach AS (
+  SELECT src AS doc, src AS label FROM edges
+  UNION
+  SELECT e.src AS doc, r.label AS label FROM edges e JOIN reach r ON r.doc = e.dst)
+SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc"""
     )
 
     cos_ab = sql_cosine("a.embedding", "b.embedding")
