@@ -109,12 +109,13 @@ def metrics_generation_ratio(
     """Derived metric = sum(value | name==numerator) / sum(value | name==
     denominator) per dim group — the pivot+divide shape of
     metricsgenerationprocessor (calculate mode). Decimal accumulation keeps
-    the division's inputs engine-exact."""
+    the sums engine-exact regardless of row order; the final DOUBLE cast
+    pins one output type (engines widen sum(decimal) differently)."""
     num = F.sum(F.when(F.col(name_col) == numerator, F.col(value_col).cast("decimal(18,6)")))
     den = F.sum(F.when(F.col(name_col) == denominator, F.col(value_col).cast("decimal(18,6)")))
     return df.groupBy(*dims).agg(
-        num.alias("num_total"),
-        den.alias("den_total"),
+        num.cast("double").alias("num_total"),
+        den.cast("double").alias("den_total"),
     ).withColumn(
         out_col,
         F.when(F.col("den_total") != 0, F.round(F.col("num_total").cast("double") / F.col("den_total").cast("double"), 6)),

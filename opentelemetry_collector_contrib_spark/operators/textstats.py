@@ -76,11 +76,13 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_chars_c, n_ws_tokens, n_bpe_tokens, avg_token_len."""
     t = F.col(text_col)
     toks = tokens(t)
+    # counts as BIGINT: DuckDB's length()/len() are BIGINT, and the driver
+    # hash is type-sensitive — match the wider type
     return df.select(
         "*",
-        F.length(t).alias("n_chars_c"),
-        F.size(toks).alias("n_ws_tokens"),
-        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars_c"),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe_tokens"),
         F.round(
             F.when(
                 F.size(toks) > 0,

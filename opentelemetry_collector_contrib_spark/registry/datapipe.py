@@ -416,7 +416,7 @@ votes AS (SELECT doc, j, sum(vote) AS v FROM bits GROUP BY 1, 2),
 sig AS (SELECT doc, sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
         FROM votes GROUP BY doc)
 SELECT a.doc AS doc_a, b.doc AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     )

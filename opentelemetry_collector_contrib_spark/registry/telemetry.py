@@ -50,9 +50,12 @@ def q_sum_by_type(spark, sf_dir):
     from ..operators.aggregate import sum_connector
 
     # decimal accumulation: exact, so the oracle matches bit-for-bit
-    # regardless of either engine's summation order
+    # regardless of either engine's summation order. Final cast to DOUBLE:
+    # Spark's sum(decimal(18,6)) widens to decimal(28,6) while DuckDB widens
+    # to DECIMAL(38,6) — the VALUES agree but the driver's hash is
+    # type-sensitive, so both engines cast the exact result to one type.
     out = _events(spark, sf_dir).groupBy("event_type").agg(
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("total")
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total")
     )
     # keep sum_connector exercised for the double path (rows-only tested)
     _ = sum_connector
@@ -214,11 +217,12 @@ def q_ottl_showcase(spark, sf_dir):
         call("Concat", "-", F.col("role"), F.col("tool")).alias("role_tool"),
         call("ToUpperCase", F.col("role")).alias("role_up"),
         call("Substring", F.col("text"), 0, 10).alias("text_head"),
-        call("Len", F.col("text")).alias("text_len"),
+        # long casts: DuckDB length()/year()/hour() are BIGINT
+        call("Len", F.col("text")).cast("long").alias("text_len"),
         call("IsMatch", F.col("text"), "^LOG ").alias("is_log"),
         call("UnixMicro", call("TruncateTime", F.col("ts").cast("timestamp"), "hour")).alias("hour_us"),
-        call("Year", F.col("ts").cast("timestamp")).alias("y"),
-        call("Hour", F.col("ts").cast("timestamp")).alias("h"),
+        call("Year", F.col("ts").cast("timestamp")).cast("long").alias("y"),
+        call("Hour", F.col("ts").cast("timestamp")).cast("long").alias("h"),
         call("SHA256", F.col("role")).alias("role_sha"),
         call("Coalesce", F.col("status"), F.lit("none")).alias("status_c"),
     )
@@ -362,7 +366,8 @@ def _oracles() -> dict[str, str]:
     )
 
     o["events_sum_by_type"] = (
-        "SELECT event_type, sum(CAST(value AS DECIMAL(18,6))) AS total FROM events GROUP BY 1"
+        "SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total"
+        " FROM events GROUP BY 1"
     )
 
     o["events_logdedup"] = f"""
@@ -503,8 +508,8 @@ WITH e AS (SELECT *,
   CAST(floor(epoch_us(ts) / (3600 * CAST(1000000 AS BIGINT))) AS BIGINT) * 3600 AS hour_start
   FROM events),
 g AS (SELECT hour_start,
-  sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS num_total,
-  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS den_total
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS num_total,
+  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS den_total
   FROM e GROUP BY 1)
 SELECT hour_start, num_total, den_total,
   CASE WHEN den_total <> 0
@@ -528,7 +533,9 @@ seg AS (SELECT conv_id, turn_rn, text,
                CASE WHEN role = 'user' THEN 1 ELSE 0 END AS f
         FROM ordered),
 runs AS (SELECT conv_id, turn_rn, text,
-                sum(f) OVER (PARTITION BY conv_id ORDER BY turn_rn) AS run_id
+                -- DuckDB's sum(int) OVER yields HUGEINT; Spark yields BIGINT.
+                -- Values identical, type matters to the driver hash.
+                CAST(sum(f) OVER (PARTITION BY conv_id ORDER BY turn_rn) AS BIGINT) AS run_id
          FROM seg)
 SELECT conv_id, run_id,
        string_agg(text, chr(10) ORDER BY turn_rn) AS combined,

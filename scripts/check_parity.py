@@ -1,16 +1,50 @@
 """Local stand-in for the driver's correctness gate: run each queries()[name]
 on Spark at sf0.01 and the matching oracle_sql()[name] on DuckDB; compare
-row count, column names, and an order-insensitive value hash."""
+row count, column names, output TYPES, and an order-insensitive value hash.
+
+Type strictness: the round-1 driver hash proved sensitive to the declared
+output type (DuckDB HUGEINT vs Spark BIGINT, sum(decimal) width divergence)
+even when every value matched. Both engines' types are canonicalized and
+compared per column; floats hash at full precision (repr), not %.6g."""
 
 from __future__ import annotations
 
 import hashlib
 import os
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+
+_DUCK_TYPE_MAP = {
+    "VARCHAR": "string",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "BIGINT": "bigint",
+    "HUGEINT": "hugeint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "DATE": "date",
+    "BLOB": "binary",
+    "UBIGINT": "ubigint",
+}
+
+
+def canon_type(t: str) -> str:
+    """Canonicalize a DuckDB or Spark type string to one lattice."""
+    t = str(t).strip()
+    m = re.fullmatch(r"(?:DECIMAL|decimal)\((\d+),(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t.endswith("[]"):  # DuckDB array
+        return f"array<{canon_type(t[:-2])}>"
+    return _DUCK_TYPE_MAP.get(t, t.lower())
 
 
 def norm_cell(v) -> str:
@@ -24,7 +58,7 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     return str(v)
@@ -61,6 +95,7 @@ def main(names: list[str] | None = None) -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {f.name: canon_type(f.dataType.simpleString()) for f in sdf.schema.fields}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
@@ -70,22 +105,32 @@ def main(names: list[str] | None = None) -> int:
             print(f"SKIP {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = {c: canon_type(str(t)) for c, t in zip(rel.columns, rel.types)}
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {e}")
             failures += 1
             continue
         ok_count = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
+        type_diffs = {
+            c: f"{stypes[c]}!={otypes[c]}" for c in stypes if c in otypes and stypes[c] != otypes[c]
+        }
+        ok_types = not type_diffs
         sh = table_hash(srows, scols)
         oh = table_hash(orows, ocols)
         ok_hash = sh == oh
-        status = "OK  " if (ok_count and ok_cols and ok_hash) else "FAIL"
+        status = "OK  " if (ok_count and ok_cols and ok_types and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
-        print(f"{status} {name}: rows {len(srows)}/{len(orows)} cols={'=' if ok_cols else sorted(set(scols)^set(ocols))} hash {'=' if ok_hash else f'{sh} vs {oh}'}")
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(orows)}"
+            f" cols={'=' if ok_cols else sorted(set(scols)^set(ocols))}"
+            f" types={'=' if ok_types else type_diffs}"
+            f" hash {'=' if ok_hash else f'{sh} vs {oh}'}"
+        )
     spark.stop()
     return failures
 
