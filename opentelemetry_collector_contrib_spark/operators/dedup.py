@@ -212,21 +212,27 @@ SIMHASH_BITS = 60  # fits the portable 60-bit hash
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """60-bit SimHash per doc, fully relational (no UDF):
     token occurrences → per-bit +1/-1 votes → majority bit → packed long.
-    Two hash aggregations on (doc, bit) then (doc); both partial-combine."""
+
+    ONE hash aggregation on doc with 60 vote-sum expressions over the
+    (doc, h) token rows — zero row explosion (the earlier explode of
+    sequence(0,59) multiplied shuffle rows 60×, a scale-killer at 100 TB),
+    map-side partial combine, one shuffle on doc. Bit packing is a plain
+    projection over the 60 vote columns."""
     tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = h60(F.col("tok"))
-    # shiftright by a column isn't in the functions API; use expr
-    bits = tok.select("doc", h.alias("h")).select(
-        "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    hashed = tok.select("doc", h60(F.col("tok")).alias("h"))
+    votes = hashed.groupBy("doc").agg(
+        *[
+            F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    votes = bits.groupBy("doc", "j").agg(F.sum("vote").alias("v"))
-    packed = votes.groupBy("doc").agg(
-        F.sum(F.when(F.col("v") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(F.lit(0))).alias("simhash")
-    )
-    return packed
+    packed_bits = [
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(SIMHASH_BITS)
+    ]
+    packed = packed_bits[0]
+    for b in packed_bits[1:]:
+        packed = packed + b
+    return votes.select("doc", packed.cast("long").alias("simhash"))
 
 
 def simhash_pairs(

@@ -404,17 +404,19 @@ JOIN sizes sb ON sb.doc = doc_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4"""
     )
 
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(60)
+    )
+    pack_expr = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(60))
+    # mirrors operators/dedup.simhash: one groupBy(doc) with 60 vote sums,
+    # bit packing as a projection — no per-bit row explosion
     o["dedup_simhash_pairs"] = (
         _DOC_TOKS_CTE
         + f""",
 tok AS (SELECT doc_id AS doc, unnest(toks) AS tok FROM tokd),
 h AS (SELECT doc, {sql_h60('tok')} AS h FROM tok),
-bits AS (
-  SELECT doc, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS vote
-  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js),
-votes AS (SELECT doc, j, sum(vote) AS v FROM bits GROUP BY 1, 2),
-sig AS (SELECT doc, sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
-        FROM votes GROUP BY doc)
+votes AS (SELECT doc, {vote_cols} FROM h GROUP BY doc),
+sig AS (SELECT doc, CAST({pack_expr} AS BIGINT) AS simhash FROM votes)
 SELECT a.doc AS doc_a, b.doc AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc < b.doc
