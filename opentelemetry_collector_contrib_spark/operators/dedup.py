@@ -379,3 +379,39 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def embedding_dup_pairs_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    probes: int = 2,
+) -> DataFrame:
+    """Cosine >= threshold pairs via IVF-cell blocking — the 100 TB path.
+
+    Every vector is assigned to its top-`probes` centroid cells
+    (similarity.ivf_assign_topp, multi-probe for boundary recall); candidate
+    pairs are vectors sharing ANY cell — an equi-join on cell, never a cross
+    product. Candidates are deduplicated BEFORE vectors are joined back and
+    the cosine is scored, so each surviving pair is scored exactly once.
+    Cost ~ sum over cells of |cell|^2 instead of n^2; recall vs the brute
+    baseline is measured in tests/test_datapipe.py (raise probes/n_cells to
+    trade cost for recall)."""
+    from .similarity import ivf_assign_topp, ivf_centroids
+
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cells = ivf_assign_topp(emb, cents, probes, id_col, vec_col).select(id_col, "cell")
+    a = cells.select(F.col(id_col).alias("id_a"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"), "cell")
+    cands = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

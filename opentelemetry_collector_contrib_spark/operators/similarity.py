@@ -72,6 +72,18 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_
     )
 
 
+def _cell_scores(emb: DataFrame, centroids: DataFrame, vec_col: str) -> DataFrame:
+    return emb.join(F.broadcast(centroids)).withColumn(
+        "cell_cos", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    )
+
+
+# argmax ordering: best cosine first, lowest cell id on ties. max_by compares
+# structs lexicographically, so negate the cell id for the tiebreak.
+def _best_ord() -> Column:
+    return F.struct(F.col("cell_cos").alias("s"), (-F.col("cell")).alias("t"))
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -79,17 +91,52 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; tie → lowest
-    cell id). Broadcast join against the tiny centroid table, then a window
-    keeps the argmax — one scan, one narrow shuffle on vec_id."""
-    scored = emb.join(F.broadcast(centroids)).withColumn(
-        "cell_cos", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    cell id). Broadcast join against the tiny centroid table, then a
+    max_by aggregation keeps the argmax — map-side partial combine reduces
+    the n_cells× candidate rows to one per vector per task BEFORE the
+    shuffle (the earlier row_number window shuffled all n_cells× rows)."""
+    scored = _cell_scores(emb, centroids, vec_col)
+    picked = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(vec_col).alias("vec"), F.col("cell").alias("cell"), F.col("cell_cos").alias("cc")),
+            _best_ord(),
+        ).alias("best")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cell_cos").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(id_col, vec_col, "cell", "cell_cos")
+    return picked.select(
+        id_col,
+        F.col("best.vec").alias(vec_col),
+        F.col("best.cell").alias("cell"),
+        F.col("best.cc").alias("cell_cos"),
     )
+
+
+def ivf_assign_topp(
+    emb: DataFrame,
+    centroids: DataFrame,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-`probes` cells per vector (multi-probe assignment for recall):
+    (id, cell, cell_cos), `probes` rows per vector. Implemented as `probes`
+    successive max_by aggregations, each excluding the cells already chosen
+    — every pass is map-side combinable; no n_cells× window shuffle. probes
+    is small (2-4) so the pass count is a constant."""
+    scored = _cell_scores(emb, centroids, vec_col).select(id_col, "cell", "cell_cos")
+    picks: list[DataFrame] = []
+    current = scored
+    for i in range(probes):
+        pick = current.groupBy(id_col).agg(
+            F.max_by(F.struct(F.col("cell").alias("cell"), F.col("cell_cos").alias("cc")), _best_ord()).alias("b")
+        )
+        picks.append(pick.select(id_col, F.col("b.cell").alias("cell"), F.col("b.cc").alias("cell_cos")))
+        if i < probes - 1:
+            exc = pick.select(id_col, F.col("b.cell").alias("_exc"))
+            current = current.join(exc, id_col).filter(F.col("cell") != F.col("_exc")).drop("_exc")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ivf_topk(
@@ -110,13 +157,9 @@ def ivf_topk(
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    q_scored = q.join(F.broadcast(cents)).withColumn("qc", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
-    wq = Window.partitionBy("qid").orderBy(F.col("qc").desc(), F.col("cell").asc())
-    q_assigned = (
-        q_scored.withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= nprobe)
-        .select("qid", "qv", F.col("cell").alias("qcell"))
-    )
+    # query-side top-nprobe cells via the same max_by passes (no window)
+    q_cells = ivf_assign_topp(q, cents, probes=nprobe, id_col="qid", vec_col="qv")
+    q_assigned = q.join(q_cells.select("qid", F.col("cell").alias("qcell")), "qid")
     cand = assigned.join(
         q_assigned,
         (F.col("cell") == F.col("qcell")) & (F.col(id_col) != F.col("qid")),

@@ -131,6 +131,12 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.35)
 
 
+def q_embedding_dup_pairs_bucketed(spark, sf_dir):
+    from ..operators.dedup import embedding_dup_pairs_bucketed
+
+    return embedding_dup_pairs_bucketed(_embs(spark, sf_dir), threshold=0.35, n_cells=8, probes=2)
+
+
 def _query_vectors(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
@@ -221,6 +227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_embedding_pairs": q_embedding_dup_pairs,
+    "dedup_embedding_pairs_bucketed": q_embedding_dup_pairs_bucketed,
     "sim_topk_brute": q_topk_brute,
     "sim_topk_ivf": q_topk_ivf,
     "multimodal_features": q_multimodal_features,
@@ -476,6 +483,26 @@ SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc"""
     o["dedup_embedding_pairs"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos_ab} >= 0.35"""
+
+    # IVF-cell-blocked near-dup pairs: top-2 cells per vector (multi-probe),
+    # candidates share any cell, scored once after dedup — mirrors
+    # operators/dedup.embedding_dup_pairs_bucketed
+    cos_vc2 = sql_cosine("v.embedding", "c.centroid")
+    o["dedup_embedding_pairs_bucketed"] = f"""
+WITH cents AS (SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc2} DESC, c.cell ASC) AS r
+  FROM embeddings v CROSS JOIN cents c),
+cells AS (SELECT vec_id, cell FROM scored WHERE r <= 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b USING (cell) WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, {cos_ab} AS cos
+FROM cand
+JOIN embeddings a ON a.vec_id = id_a
+JOIN embeddings b ON b.vec_id = id_b
 WHERE {cos_ab} >= 0.35"""
 
     cos_qn = sql_cosine("q.embedding", "n.embedding")

@@ -158,6 +158,26 @@ def test_resize_and_frames(docs):
     assert [f["frame_ms"] for f in frames] == [0, 40, 80, 120]
 
 
+def test_bucketed_embedding_pairs_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs(emb, threshold=0.35).collect()}
+    b2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs_bucketed(emb, threshold=0.35, n_cells=8, probes=2).collect()
+    }
+    # every bucketed pair must be a true pair (precision 1.0: same exact
+    # cosine filter, just a narrower candidate set)
+    assert b2 <= brute
+    # multi-probe blocking keeps a meaningful share of the true pairs
+    assert len(b2) / max(len(brute), 1) >= 0.5, f"bucketed recall collapsed: {len(b2)}/{len(brute)}"
+    # more probes can only widen the candidate set
+    b3 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs_bucketed(emb, threshold=0.35, n_cells=8, probes=3).collect()
+    }
+    assert b2 <= b3
+
+
 def test_ivf_nprobe_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
