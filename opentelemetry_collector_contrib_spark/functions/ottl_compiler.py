@@ -28,6 +28,7 @@ conditions, so no shim is needed.
 from __future__ import annotations
 
 import re
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -84,6 +85,7 @@ class Statement:
     target: str | None              # column the editor writes/removes
     keys: list[str] = field(default_factory=list)   # keep_keys list
     value: Column | None = None
+    args: list = field(default_factory=list)        # extra editor args
     condition: Column | None = None
 
 
@@ -263,6 +265,16 @@ class _Parser:
                 if self.peek() == ("op", ","):
                     self.next()
             st = Statement("keep_keys", None, keys=keys)
+        elif editor in EDITOR_BUILDERS:
+            # generic column-rewriting editor: first arg is the target path,
+            # the rest parse like Converter args
+            target_tok = self.expect("ident")
+            target = self._resolve_path(target_tok)
+            args: list = []
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self._arg())
+            st = Statement(editor, target, args=args)
         else:
             raise ValueError(f"unsupported editor {editor}")
         self.expect("op", ")")
@@ -271,6 +283,69 @@ class _Parser:
             st.condition = self.bool_expr()
         self.expect("eof")
         return st
+
+
+def _merge_maps(target: Column, source: Column, strategy: str = "upsert") -> Column:
+    """func_merge_maps.go strategies: insert (only keys absent from target),
+    update (only keys already in target), upsert (source wins)."""
+    if strategy == "upsert":
+        return F.map_concat(
+            F.map_filter(target, lambda k, _v: ~F.array_contains(F.map_keys(source), k)), source
+        )
+    if strategy == "insert":
+        return F.map_concat(
+            target, F.map_filter(source, lambda k, _v: ~F.array_contains(F.map_keys(target), k))
+        )
+    if strategy == "update":
+        return F.map_concat(
+            F.map_filter(target, lambda k, _v: ~F.array_contains(F.map_keys(source), k)),
+            F.map_filter(source, lambda k, _v: F.array_contains(F.map_keys(target), k)),
+        )
+    raise ValueError(f"merge_maps strategy {strategy!r} not in (insert, update, upsert)")
+
+
+def _replace_all_patterns(target: Column, mode: str, pattern: str, rep: str) -> Column:
+    """func_replace_all_patterns.go over a map column: mode 'value' rewrites
+    every value, mode 'key' rewrites keys (last write wins on collisions,
+    matching pdata Map.Upsert semantics)."""
+    if mode == "value":
+        return OTTL_FUNCTIONS["ReplaceAllPatterns"](target, pattern, rep)
+    if mode == "key":
+        # rebuild from entries so colliding rewritten keys collapse; keep the
+        # LAST entry per key (pdata Map.Upsert semantics): drop entry i when
+        # any later entry carries the same key
+        entries = F.transform(
+            F.map_entries(target),
+            lambda e: F.struct(F.regexp_replace(e["key"], pattern, rep).alias("key"), e["value"].alias("value")),
+        )
+        deduped = F.filter(
+            entries,
+            lambda e, i: ~F.exists(
+                F.slice(entries, i + F.lit(2), F.size(entries)), lambda e2: e2["key"] == e["key"]
+            ),
+        )
+        return F.map_from_entries(deduped)
+    raise ValueError(f"replace_all_patterns mode {mode!r} not in (key, value)")
+
+
+# Column-rewriting editors: each builds the edited value for the target
+# column from (current_column, *extra_args). Because they all express the
+# edit as a value, `where <cond>` composes uniformly as
+# when(cond, edited).otherwise(current) — per-record editor semantics with
+# zero branching in the plan (one fused projection).
+# Reference set: pkg/ottl/ottlfuncs/functions.go:11-39 editor factories.
+EDITOR_BUILDERS: dict[str, Callable[..., Column]] = {
+    "replace_pattern": lambda c, pat, rep: OTTL_FUNCTIONS["ReplacePattern"](c, pat, rep),
+    "replace_match": lambda c, glob, rep: OTTL_FUNCTIONS["ReplaceMatch"](c, glob, rep),
+    "replace_all_patterns": _replace_all_patterns,
+    "replace_all_matches": lambda c, glob, rep: OTTL_FUNCTIONS["ReplaceAllMatches"](c, glob, rep),
+    "merge_maps": _merge_maps,
+    "limit": lambda c, n: OTTL_FUNCTIONS["Limit"](c, n),
+    "truncate_all": lambda c, n: OTTL_FUNCTIONS["TruncateAll"](c, n),
+    "append": lambda c, v: F.array_append(c, v if isinstance(v, Column) else F.lit(v)),
+    "delete_matching_keys": lambda c, pat: OTTL_FUNCTIONS["DeleteMatchingKeys"](c, pat),
+    "keep_matching_keys": lambda c, pat: OTTL_FUNCTIONS["KeepMatchingKeys"](c, pat),
+}
 
 
 DEFAULT_PATH_MAP = {"body": "text"}
@@ -311,5 +386,16 @@ def apply_statements(df: DataFrame, statements: list[str], path_map: dict[str, s
                 raise ValueError("delete_key where <cond> is not column-expressible; use set(col, nil) where cond")
             out = out.drop(st.target)
         elif st.editor == "keep_keys":
+            if st.condition is not None:
+                # eager validation (validate_spec contract): a silent
+                # unconditional projection would deviate from the reference's
+                # per-record editor semantics
+                raise ValueError("keep_keys where <cond> is not column-expressible; route conditionally instead")
             out = out.select(*[k for k in st.keys if k in out.columns])
+        else:
+            builder = EDITOR_BUILDERS[st.editor]
+            edited = builder(F.col(st.target), *st.args)
+            if st.condition is not None:
+                edited = F.when(st.condition, edited).otherwise(F.col(st.target))
+            out = out.withColumn(st.target, edited)
     return out

@@ -228,6 +228,37 @@ def q_ottl_showcase(spark, sf_dir):
     )
 
 
+def q_ottl_editors(spark, sf_dir):
+    """Compiled OTTL statement sequence exercising the editor surface
+    (set / conditional replace_pattern / truncate_all / limit /
+    delete_matching_keys), mirroring pkg/ottl/e2e/e2e_test.go statement
+    chains. Output is engine-neutral: edited map emitted as a sorted k=v
+    join."""
+    from ..functions.ottl_compiler import apply_statements
+    from ..operators.transform import copy_field
+
+    r = _routed(spark, sf_dir).filter(F.col("pattern_id") == "kv")
+    r = copy_field(r, "text", "masked")
+    r = r.withColumn("kv", F.str_to_map(F.expr("substring(text, 5)"), F.lit(" "), F.lit("=")))
+    out = apply_statements(
+        r,
+        [
+            'set(pipeline, "logs")',
+            'replace_pattern(masked, "[0-9]+", "#") where status == "err"',
+            "truncate_all(kv, 6)",
+            "limit(kv, 3)",
+            'delete_matching_keys(kv, "^lat")',
+        ],
+    )
+    joined = F.array_join(
+        F.sort_array(
+            F.transform(F.map_entries(F.col("kv")), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ",",
+    )
+    return out.select("conv_id", "turn_idx", "pipeline", "masked", joined.alias("kv_edited"))
+
+
 def q_drain_templates(spark, sf_dir):
     from ..operators.templates import drain_templates
 
@@ -347,6 +378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redaction_mask": q_redaction,
     "unroll_tokens": q_unroll_tokens,
     "ottl_showcase": q_ottl_showcase,
+    "ottl_editors": q_ottl_editors,
 }
 
 
@@ -484,6 +516,28 @@ FROM ordered WHERE pattern_id = 'json'"""
         (r'"[^"]*"', "<*>"),
     ]:
         masked = f"regexp_replace({masked}, '{pat}', '{rep}', 'g')"
+    # mirrors q_ottl_editors: limit-3 slice first (truncate commutes with
+    # limit), then per-entry value truncation, then key-pattern delete
+    o["ottl_editors"] = (
+        cte
+        + r""",
+kvr AS (SELECT conv_id, turn_idx, text, status,
+               regexp_split_to_array(substring(text, 5), ' ') AS toks
+        FROM ordered WHERE pattern_id = 'kv'),
+ed AS (SELECT conv_id, turn_idx,
+              'logs' AS pipeline,
+              CASE WHEN status = 'err' THEN regexp_replace(text, '[0-9]+', '#', 'g')
+                   ELSE text END AS masked,
+              list_filter(
+                list_transform(toks[1:3],
+                  t -> split_part(t, '=', 1) || '=' || substr(split_part(t, '=', 2), 1, 6)),
+                t -> NOT regexp_matches(split_part(t, '=', 1), '^lat')) AS kvt
+       FROM kvr)
+SELECT conv_id, turn_idx, pipeline, masked,
+       array_to_string(list_sort(kvt), ',') AS kv_edited
+FROM ed"""
+    )
+
     o["drain_templates"] = (
         cte
         + f"""

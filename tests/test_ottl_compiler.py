@@ -74,6 +74,87 @@ def test_parse_errors():
         parse_condition('NoSuchFn(x) == 1')
 
 
+@pytest.fixture(scope="module")
+def mapped(spark):
+    """Rows with map + array columns for the editor surface (mirrors the
+    attribute-map shape of pkg/ottl/e2e/e2e_test.go statement cases)."""
+    rows = [
+        ("a", "lvl=info tool=search latency_ms=1234 status=ok", ["x"], "ok"),
+        ("b", "lvl=error tool=calc latency_ms=99999 status=err", ["y"], "err"),
+    ]
+    df = spark.createDataFrame(rows, "id string, kvs string, arr array<string>, status string")
+    return df.withColumn("kv", F.str_to_map(F.col("kvs"), F.lit(" "), F.lit("=")))
+
+
+def _kv(row) -> dict:
+    return dict(row["kv"])
+
+
+def test_editor_replace_pattern_where(mapped):
+    out = apply_statements(mapped, ['replace_pattern(kvs, "[0-9]+", "#") where status == "err"'])
+    got = {r["id"]: r["kvs"] for r in out.collect()}
+    assert got["b"] == "lvl=error tool=calc latency_ms=# status=err"
+    assert got["a"] == "lvl=info tool=search latency_ms=1234 status=ok"  # untouched
+
+
+def test_editor_truncate_limit_delete(mapped):
+    out = apply_statements(
+        mapped,
+        ['truncate_all(kv, 4)', 'limit(kv, 3)', 'delete_matching_keys(kv, "^lat")'],
+    )
+    got = {r["id"]: _kv(r) for r in out.collect()}
+    # truncate to 4 chars, first-3 entries kept, latency_ms dropped
+    assert got["a"] == {"lvl": "info", "tool": "sear"}
+    assert got["b"] == {"lvl": "erro", "tool": "calc"}
+
+
+def test_editor_keep_matching_and_replace_all(mapped):
+    out = apply_statements(
+        mapped,
+        ['replace_all_patterns(kv, "value", "[0-9]+", "N")', 'keep_matching_keys(kv, "^(lvl|latency)")'],
+    )
+    got = {r["id"]: _kv(r) for r in out.collect()}
+    assert got["a"] == {"lvl": "info", "latency_ms": "N"}
+
+
+def test_editor_replace_all_patterns_keys(mapped):
+    out = apply_statements(mapped, ['replace_all_patterns(kv, "key", "^lvl$", "level")'])
+    assert "level" in _kv(out.filter(F.col("id") == "a").collect()[0])
+    # colliding rewrite: every key -> 'k', LAST entry (status) wins
+    out2 = apply_statements(mapped, ['replace_all_patterns(kv, "key", "^.*$", "k")'])
+    got = _kv(out2.filter(F.col("id") == "a").collect()[0])
+    assert got == {"k": "ok"}
+
+
+def test_editor_merge_maps(mapped):
+    withb = mapped.withColumn("kv2", F.create_map(F.lit("lvl"), F.lit("OVR"), F.lit("new"), F.lit("1")))
+    ups = apply_statements(withb, ['merge_maps(kv, kv2, "upsert")'])
+    ins = apply_statements(withb, ['merge_maps(kv, kv2, "insert")'])
+    upd = apply_statements(withb, ['merge_maps(kv, kv2, "update")'])
+    a_ups = _kv(ups.filter(F.col("id") == "a").collect()[0])
+    a_ins = _kv(ins.filter(F.col("id") == "a").collect()[0])
+    a_upd = _kv(upd.filter(F.col("id") == "a").collect()[0])
+    assert a_ups["lvl"] == "OVR" and a_ups["new"] == "1"
+    assert a_ins["lvl"] == "info" and a_ins["new"] == "1"
+    assert a_upd["lvl"] == "OVR" and "new" not in a_upd
+
+
+def test_editor_append_array(mapped):
+    out = apply_statements(mapped, ['append(arr, "z")'])
+    assert out.filter(F.col("id") == "a").collect()[0]["arr"] == ["x", "z"]
+
+
+def test_keep_keys_where_raises(mapped):
+    with pytest.raises(ValueError):
+        apply_statements(mapped, ['keep_keys(id, status) where status == "err"'])
+
+
+def test_merge_maps_bad_strategy(mapped):
+    withb = mapped.withColumn("kv2", F.create_map(F.lit("a"), F.lit("b")))
+    with pytest.raises(ValueError):
+        apply_statements(withb, ['merge_maps(kv, kv2, "bogus")'])
+
+
 def test_config_pipeline(spark, tmp_path):
     from opentelemetry_collector_contrib_spark.fixtures import dims_dir, ensure_dims, ensure_tier
 
