@@ -33,9 +33,24 @@ def stanza_filter(df: DataFrame, drop_condition: Column | str, drop_ratio: float
 def probabilistic_sampler(df: DataFrame, key_col: str, percent: float) -> DataFrame:
     """Consistent hash-based sampling: same key always gets the same verdict
     (logsprocessor.go threshold-from-traceid semantics). xxhash64 is JVM-side
-    and uniform; stays in codegen."""
+    and uniform; stays in codegen. Production path — verdicts are
+    Spark-specific (engine hash), so cross-engine checks use
+    probabilistic_sampler_portable."""
     threshold = int((percent / 100.0) * (1 << 62))
     return df.filter(F.abs(F.xxhash64(F.col(key_col))) % (1 << 62) < threshold)
+
+
+def probabilistic_sampler_portable(df: DataFrame, key_col: str, percent: float) -> DataFrame:
+    """Same consistent-sampling contract over the portable 60-bit md5 hash
+    (textstats.h60), so any engine — including the DuckDB oracle — computes
+    identical verdicts. Marginally slower than xxhash64 (md5 + string conv)
+    but still codegen'd JVM-side; use it when reruns must be reproducible
+    across engines, the sampled-dataset-equality analogue of the reference's
+    hash_seed contract (probabilisticsamplerprocessor/config.go)."""
+    from .textstats import h60
+
+    threshold = int((percent / 100.0) * (1 << 60))
+    return df.filter(h60(F.col(key_col)) < threshold)
 
 
 def deterministic_sampler_mod(df: DataFrame, key_col: str, modulus: int, keep_under: int) -> DataFrame:

@@ -102,3 +102,128 @@ def tail_sampling(
     else:  # AND composite
         keep = F.least(*[F.col(n).cast("int") for n in names]) == 1 if len(names) > 1 else F.col(names[0])
     return agg.withColumn("sampled", keep)
+
+
+# ---------------------------------------------------------------------------
+# tail-sampling policy tree
+# ---------------------------------------------------------------------------
+
+# Policy specs mirror processor/tailsamplingprocessor/internal/sampling/*.go:
+#   {"name": n, "type": "latency", "threshold_ms": T}
+#   {"name": n, "type": "numeric_attribute", "key": k, "min": a, "max": b}
+#   {"name": n, "type": "string_attribute", "key": k, "values": [...]}
+#   {"name": n, "type": "boolean_attribute", "key": k, "value": True}
+#   {"name": n, "type": "status_code", "values": [...]}        (status_code_filter.go)
+#   {"name": n, "type": "span_count", "min": a, "max": b|None} (span_count_filter.go)
+#   {"name": n, "type": "probabilistic", "percent": p}         (probabilistic_filter.go;
+#       portable h60(trace_id) threshold so the oracle reproduces verdicts)
+#   {"name": n, "type": "ottl_condition", "condition": "<OTTL bool expr>"}
+#   {"name": n, "type": "and"|"or", "of": [names]}             (and_filter / composite OR)
+#   {"name": n, "type": "not", "of": name}
+#   {"name": n, "type": "drop", "of": [names]}                 (drop.go: match => never sample)
+# Non-combinator policies aggregate over the trace's rows (any-match, the
+# reference's per-span evaluation folded into bool_or). `vote=False` marks a
+# helper policy excluded from the final OR.
+
+
+def _bool_any(cond: Column) -> Column:
+    # coalesce: a trace whose rows are all NULL for the attribute must
+    # produce false (no match), matching the reference's any-span evaluation
+    return F.coalesce(F.max(cond.cast("int")) == 1, F.lit(False))
+
+
+def _compile_base_policy(spec: dict, trace_col: str, ts_col: str) -> Column:
+    kind = spec["type"]
+    if kind == "latency":
+        # integer microseconds: exact and engine-portable (no float division)
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        return (F.max(us) - F.min(us)) >= int(spec["threshold_ms"]) * 1000
+    if kind == "numeric_attribute":
+        c = F.col(spec["key"])
+        cond = c >= spec["min"]
+        if spec.get("max") is not None:
+            cond = cond & (c <= spec["max"])
+        return _bool_any(cond)
+    if kind == "string_attribute":
+        return _bool_any(F.col(spec["key"]).isin(list(spec["values"])))
+    if kind == "boolean_attribute":
+        return _bool_any(F.col(spec["key"]) == spec["value"])
+    if kind == "status_code":
+        return _bool_any(F.col(spec.get("key", "status")).isin(list(spec["values"])))
+    if kind == "span_count":
+        n = F.count(F.lit(1))
+        cond = n >= spec.get("min", 0)
+        if spec.get("max") is not None:
+            cond = cond & (n <= spec["max"])
+        return cond
+    if kind == "probabilistic":
+        from .textstats import h60
+
+        threshold = int(spec["percent"] / 100.0 * (1 << 60))
+        return F.min(h60(F.col(trace_col))) < threshold
+    if kind == "ottl_condition":
+        from ..functions.ottl_compiler import parse_condition
+
+        return _bool_any(F.coalesce(parse_condition(spec["condition"]), F.lit(False)))
+    raise ValueError(f"unknown tail-sampling policy type {kind!r}")
+
+
+def tail_sampling_policies(
+    df: DataFrame,
+    policies: list[dict],
+    trace_col: str = "conv_id",
+    ts_col: str = "ts",
+    rate_limit_per_minute: int | None = None,
+) -> DataFrame:
+    """Full tail-sampling policy-tree evaluation, batch-expressed.
+
+    One hash aggregation computes every base policy verdict per trace;
+    combinators (and/or/not/drop) are column algebra on the verdict frame —
+    the reference's per-trace policy loop (tailsamplingprocessor
+    processor.go makeDecision) folded into a single groupBy + projection.
+    `sampled` = OR of voting policies AND NOT any drop policy.
+
+    rate_limiting (rate_limiting.go) batch analogue: at most N sampled
+    traces per minute of trace start time, deterministic preference order
+    (trace id) — `final_sampled` carries the capped verdict. One window over
+    (minute-bucket, sampled), cheap because it runs on the per-trace frame,
+    not the row stream."""
+    base = [p for p in policies if p["type"] not in ("and", "or", "not", "drop")]
+    combos = [p for p in policies if p["type"] in ("and", "or", "not", "drop")]
+    aggs = [_compile_base_policy(p, trace_col, ts_col).alias(p["name"]) for p in base]
+    aggs.append(
+        (F.floor(F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))) / 60_000_000)).cast("long").alias("_minute")
+    )
+    agg = df.groupBy(trace_col).agg(*aggs)
+    def _any_of(names: list[str]) -> Column:
+        cols = [F.col(n).cast("int") for n in names]
+        return (F.greatest(*cols) if len(cols) > 1 else cols[0]) == 1
+
+    def _all_of(names: list[str]) -> Column:
+        cols = [F.col(n).cast("int") for n in names]
+        return (F.least(*cols) if len(cols) > 1 else cols[0]) == 1
+
+    for p in combos:
+        if p["type"] == "and":
+            c = _all_of(p["of"])
+        elif p["type"] == "or":
+            c = _any_of(p["of"])
+        elif p["type"] == "not":
+            c = ~F.col(p["of"])
+        else:  # drop
+            c = _any_of(p["of"])
+        agg = agg.withColumn(p["name"], c)
+    voters = [p["name"] for p in policies if p.get("vote", True) and p["type"] != "drop"]
+    drops = [p["name"] for p in policies if p["type"] == "drop"]
+    sampled = _any_of(voters)
+    for d in drops:
+        sampled = sampled & ~F.col(d)
+    agg = agg.withColumn("sampled", sampled)
+    if rate_limit_per_minute is None:
+        return agg.drop("_minute")
+    w = Window.partitionBy("_minute", "sampled").orderBy(F.col(trace_col))
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .withColumn("final_sampled", F.col("sampled") & (F.col("_rn") <= rate_limit_per_minute))
+        .drop("_minute", "_rn")
+    )

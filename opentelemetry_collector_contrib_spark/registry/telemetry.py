@@ -152,6 +152,31 @@ def q_tail_sampling(spark, sf_dir):
     return tail_sampling(_routed(spark, sf_dir), policies=policies)
 
 
+def _p60(percent: float) -> int:
+    """Probabilistic-policy threshold over the portable 60-bit hash space —
+    computed identically for the Spark spec and the SQL literal."""
+    return int(percent / 100.0 * (1 << 60))
+
+
+TAIL_POLICIES: list[dict] = [
+    {"name": "slow", "type": "latency", "threshold_ms": 600_000},
+    {"name": "errs", "type": "status_code", "values": ["err"]},
+    {"name": "big", "type": "span_count", "min": 100},
+    {"name": "lucky", "type": "probabilistic", "percent": 10.0},
+    {"name": "slow_turn", "type": "numeric_attribute", "key": "latency_ms", "min": 9000, "vote": False},
+    {"name": "searchy", "type": "string_attribute", "key": "tool", "values": ["search", "web"], "vote": False},
+    {"name": "err_search", "type": "and", "of": ["errs", "searchy"]},
+    {"name": "dropper", "type": "probabilistic", "percent": 3.0, "vote": False},
+    {"name": "drop_unlucky", "type": "drop", "of": ["dropper"]},
+]
+
+
+def q_tail_sampling_policies(spark, sf_dir):
+    from ..operators.recombine import tail_sampling_policies
+
+    return tail_sampling_policies(_routed(spark, sf_dir), TAIL_POLICIES, rate_limit_per_minute=5)
+
+
 def q_sampler_mod(spark, sf_dir):
     from ..operators.filter import deterministic_sampler_mod
 
@@ -160,12 +185,12 @@ def q_sampler_mod(spark, sf_dir):
 
 
 def q_sampler_hash(spark, sf_dir):
-    """probabilistic_sampler (xxhash64 threshold) — engine-specific hash, so
-    rows-only check: the driver validates schema + non-crash; pytest
-    validates determinism and rate."""
-    from ..operators.filter import probabilistic_sampler
+    """Consistent hash sampler on the portable h60 hash — full oracle
+    parity (the xxhash64 production variant keeps its pytest determinism/
+    rate coverage; its verdicts are engine-specific by nature)."""
+    from ..operators.filter import probabilistic_sampler_portable
 
-    out = probabilistic_sampler(_routed(spark, sf_dir), "conv_id", 25.0)
+    out = probabilistic_sampler_portable(_routed(spark, sf_dir), "conv_id", 25.0)
     return out.select("conv_id", "turn_idx", "route_id")
 
 
@@ -372,8 +397,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recombine_user_segments": q_recombine,
     "group_by_trace_transcripts": q_group_by_trace,
     "tail_sampling_verdicts": q_tail_sampling,
+    "tail_sampling_policies": q_tail_sampling_policies,
     "sampler_deterministic_mod": q_sampler_mod,
-    "sampler_hash_consistent": q_sampler_hash,   # rows-only (engine hash)
+    "sampler_hash_consistent": q_sampler_hash,
     "attr_actions": q_attr_actions,
     "redaction_mask": q_redaction,
     "unroll_tokens": q_unroll_tokens,
@@ -617,6 +643,42 @@ SELECT conv_id,
         OR coalesce(sum(latency_ms), 0) > 10000
         OR count(*) >= 100) AS sampled
 FROM ordered GROUP BY 1"""
+    )
+
+    # mirrors q_tail_sampling_policies / operators.recombine.tail_sampling_policies
+    o["tail_sampling_policies"] = (
+        cte
+        + f""",
+agg AS (
+  SELECT conv_id,
+    (max(epoch_us(ts)) - min(epoch_us(ts))) >= {600_000 * 1000} AS slow,
+    coalesce(bool_or(status IN ('err')), false) AS errs,
+    count(*) >= 100 AS big,
+    min(CAST('0x' || substr(md5(conv_id), 1, 15) AS BIGINT)) < {_p60(10.0)} AS lucky,
+    coalesce(bool_or(latency_ms >= 9000), false) AS slow_turn,
+    coalesce(bool_or(tool IN ('search', 'web')), false) AS searchy,
+    min(CAST('0x' || substr(md5(conv_id), 1, 15) AS BIGINT)) < {_p60(3.0)} AS dropper,
+    CAST(floor(min(epoch_us(ts)) / 60000000) AS BIGINT) AS _minute
+  FROM ordered GROUP BY conv_id),
+combo AS (
+  SELECT *, (errs AND searchy) AS err_search, dropper AS drop_unlucky FROM agg),
+verdict AS (
+  SELECT *, ((slow OR errs OR big OR lucky OR err_search) AND NOT drop_unlucky) AS sampled
+  FROM combo),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY _minute, sampled ORDER BY conv_id) AS _rn
+  FROM verdict)
+SELECT conv_id, slow, errs, big, lucky, slow_turn, searchy, dropper,
+       err_search, drop_unlucky, sampled,
+       (sampled AND _rn <= 5) AS final_sampled
+FROM ranked"""
+    )
+
+    o["sampler_hash_consistent"] = (
+        cte
+        + f"""
+SELECT conv_id, turn_idx, route_id FROM ordered
+WHERE CAST('0x' || substr(md5(conv_id), 1, 15) AS BIGINT) < {_p60(25.0)}"""
     )
 
     o["sampler_deterministic_mod"] = (

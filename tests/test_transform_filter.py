@@ -105,3 +105,56 @@ def test_tail_sampling_policies(spark):
     df = spark.createDataFrame(rows, "conv_id string, status string, latency_ms long")
     out = {r["conv_id"]: r["sampled"] for r in tail_sampling(df).collect()}
     assert out == {"c1": True, "c2": True, "c3": False}
+
+
+def test_tail_sampling_policy_tree(spark):
+    import datetime
+
+    from opentelemetry_collector_contrib_spark.operators.recombine import tail_sampling_policies
+
+    t0 = datetime.datetime(2025, 1, 1)
+
+    def turns(conv, n, status="ok", tool="none", lat=10, spread_s=0):
+        return [
+            (conv, i, status, tool, lat, t0 + datetime.timedelta(seconds=(spread_s if i == n - 1 else 0)))
+            for i in range(n)
+        ]
+
+    rows = (
+        turns("a", 3, status="err")                      # errs
+        + turns("b", 3, spread_s=700)                    # slow (latency >= 600s)
+        + turns("c", 3, tool="search", status="err")     # errs + err_search
+        + turns("d", 3)                                  # nothing
+        + turns("e", 3, lat=9500)                        # slow_turn only (vote=False -> not sampled)
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, status string, tool string, latency_ms long, ts timestamp"
+    )
+    policies = [
+        {"name": "errs", "type": "status_code", "values": ["err"]},
+        {"name": "slow", "type": "latency", "threshold_ms": 600_000},
+        {"name": "slow_turn", "type": "numeric_attribute", "key": "latency_ms", "min": 9000, "vote": False},
+        {"name": "searchy", "type": "string_attribute", "key": "tool", "values": ["search"], "vote": False},
+        {"name": "err_search", "type": "and", "of": ["errs", "searchy"]},
+        {"name": "is_c", "type": "ottl_condition", "condition": 'conv_id == "c"', "vote": False},
+        {"name": "drop_c", "type": "drop", "of": ["is_c"]},
+    ]
+    got = {r["conv_id"]: r for r in tail_sampling_policies(df, policies).collect()}
+    assert got["a"]["sampled"] is True and got["a"]["errs"] is True
+    assert got["b"]["sampled"] is True and got["b"]["slow"] is True
+    # c matches errs AND err_search but the drop policy overrides
+    assert got["c"]["err_search"] is True and got["c"]["sampled"] is False
+    assert got["d"]["sampled"] is False
+    # vote=False policies report but do not sample
+    assert got["e"]["slow_turn"] is True and got["e"]["sampled"] is False
+    # rate limiting: 5 one-turn convs in the same minute, cap at 2
+    many = [(f"r{i}", 0, "err", "none", 1, t0) for i in range(5)]
+    df2 = spark.createDataFrame(
+        many, "conv_id string, turn_idx int, status string, tool string, latency_ms long, ts timestamp"
+    )
+    lim = tail_sampling_policies(
+        df2, [{"name": "errs", "type": "status_code", "values": ["err"]}], rate_limit_per_minute=2
+    )
+    final = {r["conv_id"]: r["final_sampled"] for r in lim.collect()}
+    assert sum(final.values()) == 2
+    assert final["r0"] and final["r1"]  # deterministic preference by trace id
