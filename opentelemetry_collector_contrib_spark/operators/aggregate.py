@@ -187,6 +187,85 @@ def metrics_transform_agg(df: DataFrame, kept_labels: list[str], value_col: str)
     )
 
 
+# --- metricstransformprocessor row-level modes -------------------------------
+def metrics_transform_rows(
+    df: DataFrame,
+    transforms: list[dict],
+    name_col: str = "metric_name",
+    value_col: str = "value",
+    labels_col: str = "labels",
+) -> DataFrame:
+    """metricstransformprocessor actions beyond aggregate_labels
+    (processor/metricstransformprocessor/config.go:83-137): update (in-place
+    rename + datapoint ops), insert (transformed copy appended), combine
+    (regexp-matched metrics merged under one name). Datapoint operations:
+    scale_value (experimental_scale_value), add_label, update_label (label
+    rename), delete_label_value (drops matching datapoints).
+
+    Metric model: one row per datapoint — (name, labels MAP<string,string>,
+    value). Transforms apply SEQUENTIALLY over the whole metric set, so an
+    inserted copy is visible to later transforms (the reference iterates
+    transforms over the accumulated pmetric set the same way). Everything is
+    a when-guarded projection or a union — no shuffle at all; at 100 TB the
+    whole transform chain fuses into the scan projection.
+    aggregate_labels stays in metrics_transform_agg (it IS an aggregation)."""
+
+    def _match(t) -> Column:
+        if t.get("match_type") == "regexp":
+            return F.col(name_col).rlike(t["include"])
+        return F.col(name_col) == t["include"]
+
+    def _apply_ops(frame: DataFrame, match_expr: Column, t: dict) -> DataFrame:
+        # materialize the match BEFORE any op: new_name rewrites name_col,
+        # and a match expression re-evaluated against the renamed column
+        # would stop matching mid-chain
+        out = frame.withColumn("_mt_match", match_expr)
+        match = F.col("_mt_match")
+        if t.get("new_name"):
+            out = out.withColumn(
+                name_col, F.when(match, F.lit(t["new_name"])).otherwise(F.col(name_col))
+            )
+        for op in t.get("operations", []):
+            act = op["action"]
+            if act == "scale_value":
+                out = out.withColumn(
+                    value_col,
+                    F.when(match, F.col(value_col) * F.lit(op["factor"])).otherwise(F.col(value_col)),
+                )
+            elif act == "add_label":
+                added = F.map_concat(
+                    F.col(labels_col), F.create_map(F.lit(op["label"]), F.lit(op["value"]))
+                )
+                out = out.withColumn(labels_col, F.when(match, added).otherwise(F.col(labels_col)))
+            elif act == "update_label":
+                renamed = F.transform_keys(
+                    F.col(labels_col),
+                    lambda k, _v: F.when(k == op["label"], F.lit(op["new_label"])).otherwise(k),
+                )
+                out = out.withColumn(labels_col, F.when(match, renamed).otherwise(F.col(labels_col)))
+            elif act == "delete_label_value":
+                drop = match & (F.element_at(F.col(labels_col), op["label"]) == op["value"])
+                out = out.filter(~F.coalesce(drop, F.lit(False)))
+            else:
+                raise ValueError(f"unknown metricstransform operation {act!r}")
+        return out.drop("_mt_match")
+
+    out = df
+    for t in transforms:
+        action = t.get("action", "update")
+        match = _match(t)
+        if action in ("update", "combine"):
+            # combine = regexp-matched metrics renamed under one roof; the
+            # datapoint union IS the merge in a row-per-datapoint model
+            out = _apply_ops(out, match, t)
+        elif action == "insert":
+            copy = _apply_ops(out.filter(match), F.lit(True), t)
+            out = out.unionByName(copy)
+        else:
+            raise ValueError(f"unknown metricstransform action {action!r}")
+    return out
+
+
 # --- spanmetricsconnector (explicit-bucket histogram) -------------------------
 def span_metrics_histogram(df: DataFrame, dims: list[str], value_col: str, buckets: list[float]) -> DataFrame:
     """RED-style duration histogram with explicit bounds

@@ -116,6 +116,56 @@ def q_metrics_transform(spark, sf_dir):
     )
 
 
+def q_metrics_rename_scale(spark, sf_dir):
+    """metricstransform row-level modes over the events metric stream:
+    update+rename+scale+add_label, insert (transformed copy), label rename,
+    regexp combine, delete_label_value — applied sequentially."""
+    from ..operators.aggregate import metrics_transform_rows
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("event_type").alias("metric_name"),
+        F.create_map(F.lit("user"), (F.col("user_id") % 10).cast("string")).alias("labels"),
+        "value",
+    )
+    transforms = [
+        {
+            "include": "view",
+            "action": "update",
+            "new_name": "page_views",
+            "operations": [
+                {"action": "scale_value", "factor": 0.001},
+                {"action": "add_label", "label": "unit", "value": "k"},
+            ],
+        },
+        {
+            "include": "purchase",
+            "action": "insert",
+            "new_name": "purchase_x2",
+            "operations": [{"action": "scale_value", "factor": 2.0}],
+        },
+        {
+            "include": "click",
+            "action": "update",
+            "operations": [{"action": "update_label", "label": "user", "new_label": "uid"}],
+        },
+        {"include": "^(error|signup)$", "match_type": "regexp", "action": "combine", "new_name": "ops_events"},
+        {
+            "include": "ops_events",
+            "action": "update",
+            "operations": [{"action": "delete_label_value", "label": "user", "value": "7"}],
+        },
+    ]
+    out = metrics_transform_rows(ev, transforms)
+    labels_s = F.array_join(
+        F.sort_array(
+            F.transform(F.map_entries(F.col("labels")), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ",",
+    )
+    return out.select("event_id", "metric_name", labels_s.alias("labels_s"), "value")
+
+
 def q_props_json(spark, sf_dir):
     """json_parser over the events props column (get_json_object path)."""
     return _events(spark, sf_dir).select(
@@ -393,6 +443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rate": q_rate,
     "events_histogram": q_histogram,
     "events_metrics_transform": q_metrics_transform,
+    "events_metrics_rename_scale": q_metrics_rename_scale,
     "events_props_json": q_props_json,
     "recombine_user_segments": q_recombine,
     "group_by_trace_transcripts": q_group_by_trace,
@@ -483,6 +534,35 @@ SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS agg_median,
        count(value) AS agg_count
 FROM events GROUP BY 1"""
+
+    # mirrors q_metrics_rename_scale: staged CTEs, one per sequential
+    # transform; label set tracked as flags (one base label + optional unit)
+    o["events_metrics_rename_scale"] = """
+WITH m0 AS (SELECT event_id, event_type AS name, CAST(user_id % 10 AS VARCHAR) AS user_v, value
+            FROM events),
+m1 AS (SELECT event_id,
+         CASE WHEN name = 'view' THEN 'page_views' ELSE name END AS name,
+         user_v,
+         CASE WHEN name = 'view' THEN value * 0.001 ELSE value END AS value,
+         (name = 'view') AS has_unit
+       FROM m0),
+m2 AS (SELECT * FROM m1
+       UNION ALL
+       SELECT event_id, 'purchase_x2' AS name, user_v, value * 2.0 AS value, has_unit
+       FROM m1 WHERE name = 'purchase'),
+m4 AS (SELECT event_id,
+         CASE WHEN regexp_matches(name, '^(error|signup)$') THEN 'ops_events' ELSE name END AS name,
+         user_v, value, has_unit,
+         (name = 'click') AS uid_key
+       FROM m2),
+m5 AS (SELECT * FROM m4 WHERE NOT (name = 'ops_events' AND user_v = '7'))
+SELECT event_id, name AS metric_name,
+  array_to_string(list_sort(
+    CASE WHEN has_unit
+         THEN [(CASE WHEN uid_key THEN 'uid=' ELSE 'user=' END) || user_v, 'unit=k']
+         ELSE [(CASE WHEN uid_key THEN 'uid=' ELSE 'user=' END) || user_v] END), ',') AS labels_s,
+  value
+FROM m5"""
 
     o["events_props_json"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"

@@ -86,3 +86,34 @@ def test_metrics_transform_agg(spark):
     df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("a", 2.0)], "k string, v double")
     r = agg.metrics_transform_agg(df, ["k"], "v").collect()[0]
     assert (r["agg_sum"], r["agg_mean"], r["agg_min"], r["agg_max"], r["agg_median"], r["agg_count"]) == (6.0, 2.0, 1.0, 3.0, 2.0, 3)
+
+
+def test_metrics_transform_rows(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(1, "view", 10.0, "3"), (2, "purchase", 4.0, "7"), (3, "click", 1.0, "7")]
+    df = spark.createDataFrame(rows, "event_id long, metric_name string, value double, u string").withColumn(
+        "labels", F.create_map(F.lit("user"), F.col("u"))
+    ).drop("u")
+    out = agg.metrics_transform_rows(
+        df,
+        [
+            {"include": "view", "action": "update", "new_name": "pv",
+             "operations": [{"action": "scale_value", "factor": 2.0},
+                            {"action": "add_label", "label": "unit", "value": "x"}]},
+            {"include": "purchase", "action": "insert", "new_name": "p2",
+             "operations": [{"action": "scale_value", "factor": 3.0}]},
+            {"include": "click", "action": "update",
+             "operations": [{"action": "update_label", "label": "user", "new_label": "uid"}]},
+            {"include": "p2", "action": "update",
+             "operations": [{"action": "delete_label_value", "label": "user", "value": "7"}]},
+        ],
+    )
+    got = {(r["event_id"], r["metric_name"]): (r["value"], dict(r["labels"])) for r in out.collect()}
+    # update renamed + scaled + labeled, applied together to the matched rows
+    assert got[(1, "pv")] == (20.0, {"user": "3", "unit": "x"})
+    # original purchase kept; inserted copy later deleted by label value
+    assert got[(2, "purchase")] == (4.0, {"user": "7"})
+    assert (2, "p2") not in got  # sequential: later transform saw the insert
+    assert got[(3, "click")][1] == {"uid": "7"}
+    assert len(got) == 3
