@@ -244,3 +244,110 @@ def severity_parser(df: DataFrame, source: str, text_dest: str = "severity_text"
 def time_parser(df: DataFrame, source: str, fmt: str = "yyyy-MM-dd'T'HH:mm:ss", dest: str = "event_ts") -> DataFrame:
     """operator/helper/time.go:24-47 — strptime/epoch layouts → to_timestamp."""
     return df.withColumn(dest, F.to_timestamp(F.col(source), fmt))
+
+
+def jsonarray_parser(df: DataFrame, source: str, element_type: str = "string", dest: str = "parsed_array") -> DataFrame:
+    """operator/parser/jsonarray/parser.go — a JSON array string → typed
+    array column (from_json with ArrayType); pair with transform.unroll to
+    get the reference's one-entry-per-element shape."""
+    return df.withColumn(dest, F.from_json(F.col(source), f"array<{element_type}>"))
+
+
+def sanitize_utf8(df: DataFrame, source: str, dest: str | None = None, flag_col: str = "utf8_valid") -> DataFrame:
+    """operator/transformer/sanitizeutf8/transformer.go — replace every
+    invalid UTF-8 byte with U+FFFD so downstream string ops never throw.
+    Spark 4's make_valid_utf8/is_valid_utf8 do this inside codegen (a
+    binary→string cast is a raw byte wrap, no validation — exactly why the
+    repair step exists). Accepts binary or string source columns."""
+    dest = dest or f"{source}_sanitized"
+    src = f"cast(`{source}` as string)"
+    return df.withColumn(flag_col, F.expr(f"is_valid_utf8({src})")).withColumn(
+        dest, F.expr(f"make_valid_utf8({src})")
+    )
+
+
+# --- syslog RFC fidelity (operator/parser/syslog/parser.go) ------------------
+
+RFC5424_RE = r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*\])(?: (.*))?$"
+RFC3164_RE = r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) ([^:\[ ]+)(?:\[(\d+)\])?: (.*)$"
+_SD_PARAM_RE = r'(\w+)="([^"]*)"'
+
+
+def syslog_rfc5424_parser(df: DataFrame, source: str) -> DataFrame:
+    """RFC5424 branch: <PRI>VERSION TS HOSTNAME APP PROCID MSGID SD MSG.
+    facility = PRI >> 3, severity = PRI & 7 (syslog/parser.go priority
+    split). Structured data keeps the raw element plus its id and a sorted
+    k=v join of params (engine-neutral map view)."""
+    s = F.col(source)
+    pri = F.regexp_extract(s, RFC5424_RE, 1).cast("int")
+    sd = F.regexp_extract(s, RFC5424_RE, 8)
+    params = F.regexp_extract_all(sd, F.lit(_SD_PARAM_RE), 0)
+    return df.select(
+        "*",
+        (pri.bitwiseAND(F.lit(7))).alias("syslog_severity"),
+        F.shiftright(pri, 3).alias("syslog_facility"),
+        F.regexp_extract(s, RFC5424_RE, 2).cast("int").alias("syslog_version"),
+        F.regexp_extract(s, RFC5424_RE, 3).alias("syslog_ts"),
+        F.regexp_extract(s, RFC5424_RE, 4).alias("syslog_hostname"),
+        F.regexp_extract(s, RFC5424_RE, 5).alias("syslog_appname"),
+        F.regexp_extract(s, RFC5424_RE, 6).alias("syslog_procid"),
+        F.regexp_extract(s, RFC5424_RE, 7).alias("syslog_msgid"),
+        F.regexp_extract(sd, r"^\[([\w@.-]+)", 1).alias("syslog_sd_id"),
+        F.array_join(F.sort_array(params), ",").alias("syslog_sd_params"),
+        F.regexp_extract(s, RFC5424_RE, 9).alias("syslog_message"),
+    )
+
+
+def syslog_rfc3164_parser(df: DataFrame, source: str) -> DataFrame:
+    """RFC3164 (BSD) branch: <PRI>Mmm dd hh:mm:ss HOST TAG[PID]: MSG."""
+    s = F.col(source)
+    pri = F.regexp_extract(s, RFC3164_RE, 1).cast("int")
+    return df.select(
+        "*",
+        (pri.bitwiseAND(F.lit(7))).alias("syslog_severity"),
+        F.shiftright(pri, 3).alias("syslog_facility"),
+        F.regexp_extract(s, RFC3164_RE, 2).alias("syslog_ts"),
+        F.regexp_extract(s, RFC3164_RE, 3).alias("syslog_hostname"),
+        F.regexp_extract(s, RFC3164_RE, 4).alias("syslog_tag"),
+        F.nullif(F.regexp_extract(s, RFC3164_RE, 5), F.lit("")).cast("int").alias("syslog_pid"),
+        F.regexp_extract(s, RFC3164_RE, 6).alias("syslog_message"),
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _octet_frames_udf(lines: pd.Series) -> pd.Series:
+    """Octet-counting framing (RFC6587 / syslog enable_octet_counting):
+    'N <frame-bytes>N2 <frame2-bytes>...'. Framing is inherently sequential
+    (counts decide the boundaries, so no regex split exists) — the one
+    honest pandas-UDF case in the parse family. Arrow-batched; counts are
+    BYTE counts, so slicing happens on the encoded bytes."""
+
+    def split(x: str) -> list[str]:
+        if x is None:
+            return []
+        data = x.encode("utf-8")
+        out: list[str] = []
+        i = 0
+        while i < len(data):
+            j = data.find(b" ", i)
+            if j <= i:
+                break
+            try:
+                n = int(data[i:j])
+            except ValueError:
+                break
+            out.append(data[j + 1 : j + 1 + n].decode("utf-8", errors="replace"))
+            i = j + 1 + n
+        return out
+
+    return lines.map(split)
+
+
+def split_octet_frames(df: DataFrame, source: str, out_col: str = "frame", idx_col: str = "frame_idx") -> DataFrame:
+    """One row per octet-counted frame: (input columns..., frame_idx, frame)."""
+    framed = df.withColumn("_frames", _octet_frames_udf(F.col(source)))
+    return (
+        framed.select("*", F.posexplode(F.col("_frames")).alias(idx_col, out_col))
+        .drop("_frames")
+        .withColumn(idx_col, F.col(idx_col).cast("int"))
+    )

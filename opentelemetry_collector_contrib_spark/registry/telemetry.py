@@ -393,6 +393,111 @@ def q_csv_parse(spark, sf_dir):
     )
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_jsonarray_parse(spark, sf_dir):
+    """jsonarray_parser over a synthesized JSON-array column."""
+    from ..operators.parse import jsonarray_parser
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('["'), F.col("lang"), F.lit('", "'), F.col("source"),
+            F.lit('", "'), F.col("n_chars").cast("string"), F.lit('"]'),
+        ).alias("line"),
+    )
+    out = jsonarray_parser(docs, "line")
+    return out.select(
+        "doc_id",
+        F.element_at(F.col("parsed_array"), 1).alias("a0"),
+        F.element_at(F.col("parsed_array"), 2).alias("a1"),
+        F.element_at(F.col("parsed_array"), 3).cast("bigint").alias("a2"),
+        F.size(F.col("parsed_array")).cast("bigint").alias("n_elems"),
+    )
+
+
+def q_sanitize_utf8(spark, sf_dir):
+    """sanitize_utf8 over binary payloads with injected invalid bytes; the
+    oracle constructs the EXPECTED repaired text independently (ground
+    truth), not a reimplementation."""
+    from ..operators.parse import sanitize_utf8
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(F.col("text"), 1, 20).alias("head")
+    )
+    blob = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.encode(F.col("head"), "UTF-8"), F.lit(b"\xff\xfe"), F.encode(F.lit(" tail"), "UTF-8")),
+    ).otherwise(F.encode(F.col("head"), "UTF-8"))
+    out = sanitize_utf8(docs.withColumn("payload", blob), "payload", dest="sanitized")
+    return out.select("doc_id", "utf8_valid", "sanitized")
+
+
+def q_syslog_rfc5424(spark, sf_dir):
+    from ..operators.parse import syslog_rfc5424_parser
+
+    docs = _docs(spark, sf_dir)
+    msg = F.substring(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""), 1, 40)
+    sd = F.when(F.col("doc_id") % 3 == 0, F.lit("-")).otherwise(
+        F.concat(
+            F.lit('[ex@32473 lang="'), F.col("lang"), F.lit('" n="'),
+            F.col("n_chars").cast("string"), F.lit('"]'),
+        )
+    )
+    line = F.concat(
+        F.lit("<"), (F.col("doc_id") % 192).cast("string"), F.lit(">1 2024-01-02T03:04:05.000Z host"),
+        (F.col("doc_id") % 5).cast("string"), F.lit(" app-"), F.col("source"), F.lit(" "),
+        (F.lit(1000) + F.col("doc_id") % 100).cast("string"), F.lit(" ID"),
+        (F.col("doc_id") % 10).cast("string"), F.lit(" "), sd, F.lit(" "), msg,
+    )
+    out = syslog_rfc5424_parser(docs.select("doc_id", line.alias("line")), "line")
+    return out.select(
+        "doc_id", "syslog_severity", "syslog_facility", "syslog_version", "syslog_ts",
+        "syslog_hostname", "syslog_appname", "syslog_procid", "syslog_msgid",
+        "syslog_sd_id", "syslog_sd_params", "syslog_message",
+    )
+
+
+def q_syslog_rfc3164(spark, sf_dir):
+    from ..operators.parse import syslog_rfc3164_parser
+
+    docs = _docs(spark, sf_dir)
+    msg = F.substring(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""), 1, 40)
+    day = (F.lit(10) + F.col("doc_id") % 20).cast("string")
+    base = F.concat(
+        F.lit("<"), (F.col("doc_id") % 192).cast("string"), F.lit(">Jan "), day,
+        F.lit(" 03:04:05 host"), (F.col("doc_id") % 5).cast("string"), F.lit(" proc"),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    line = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(base, F.lit("["), (F.col("doc_id") % 1000).cast("string"), F.lit("]: "), msg),
+    ).otherwise(F.concat(base, F.lit(": "), msg))
+    out = syslog_rfc3164_parser(docs.select("doc_id", line.alias("line")), "line")
+    return out.select(
+        "doc_id", "syslog_severity", "syslog_facility", "syslog_ts", "syslog_hostname",
+        "syslog_tag", "syslog_pid", "syslog_message",
+    )
+
+
+def q_syslog_octet_frames(spark, sf_dir):
+    """Octet-counting framing: two frames per synthesized payload; the
+    oracle emits the known frames directly (ground truth for the splitter)."""
+    from ..operators.parse import split_octet_frames
+
+    docs = _docs(spark, sf_dir)
+    f1 = F.concat(F.lit("<34>1 2024-01-02T03:04:05Z h a p m - hello "), F.col("doc_id").cast("string"))
+    f2 = F.concat(F.lit("second "), F.col("lang"))
+    line = F.concat(
+        F.length(f1).cast("string"), F.lit(" "), f1,
+        F.length(f2).cast("string"), F.lit(" "), f2,
+    )
+    out = split_octet_frames(docs.select("doc_id", line.alias("payload")), "payload")
+    return out.select("doc_id", "frame_idx", "frame")
+
+
 def q_kv_parse_map(spark, sf_dir):
     """key_value_parser (str_to_map) over the kv-pattern transcript rows;
     output = sorted 'k=v' join so map ordering is engine-neutral."""
@@ -429,6 +534,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uri_parse_fields": q_uri_parse,
     "csv_parse_fields": q_csv_parse,
     "kv_parse_map": q_kv_parse_map,
+    "jsonarray_parse_fields": q_jsonarray_parse,
+    "sanitize_utf8_docs": q_sanitize_utf8,
+    "syslog_rfc5424_parse": q_syslog_rfc5424,
+    "syslog_rfc3164_parse": q_syslog_rfc3164,
+    "syslog_octet_frames": q_syslog_octet_frames,
     "genai_normalize": q_genai_normalize,
     "drain_templates": q_drain_templates,
     "cardinality_guard": q_cardinality_guard,
@@ -588,6 +698,86 @@ SELECT doc_id,
   string_split(line, ',')[2] AS lang,
   CAST(string_split(line, ',')[3] AS BIGINT) AS n
 FROM c"""
+
+    from ..operators.parse import RFC3164_RE, RFC5424_RE
+
+    o["jsonarray_parse_fields"] = """
+WITH j AS (SELECT doc_id,
+  '["' || lang || '", "' || source || '", "' || CAST(n_chars AS VARCHAR) || '"]' AS line
+FROM documents)
+SELECT doc_id,
+  json_extract_string(line, '$[0]') AS a0,
+  json_extract_string(line, '$[1]') AS a1,
+  CAST(json_extract_string(line, '$[2]') AS BIGINT) AS a2,
+  CAST(json_array_length(line) AS BIGINT) AS n_elems
+FROM j"""
+
+    # ground truth constructed from the synthesis recipe, independent of any
+    # UTF-8 repair implementation: each invalid byte becomes one U+FFFD
+    o["sanitize_utf8_docs"] = """
+WITH h AS (SELECT doc_id, substring(text, 1, 20) AS head FROM documents)
+SELECT doc_id,
+  (doc_id % 2 = 0) AS utf8_valid,
+  CASE WHEN doc_id % 2 = 1 THEN head || chr(65533) || chr(65533) || ' tail'
+       ELSE head END AS sanitized
+FROM h"""
+
+    sd_param = r'(\w+)="([^"]*)"'
+    o["syslog_rfc5424_parse"] = f"""
+WITH s AS (SELECT doc_id, source,
+  substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 40) AS msg,
+  CASE WHEN doc_id % 3 = 0 THEN '-'
+       ELSE '[ex@32473 lang="' || lang || '" n="' || CAST(n_chars AS VARCHAR) || '"]' END AS sd
+FROM documents),
+l AS (SELECT doc_id, sd,
+  '<' || CAST(doc_id % 192 AS VARCHAR) || '>1 2024-01-02T03:04:05.000Z host'
+      || CAST(doc_id % 5 AS VARCHAR) || ' app-' || source || ' '
+      || CAST(1000 + doc_id % 100 AS VARCHAR) || ' ID' || CAST(doc_id % 10 AS VARCHAR)
+      || ' ' || sd || ' ' || msg AS line
+FROM s)
+SELECT doc_id,
+  CAST(regexp_extract(line, '{RFC5424_RE}', 1) AS INT) & 7 AS syslog_severity,
+  CAST(regexp_extract(line, '{RFC5424_RE}', 1) AS INT) >> 3 AS syslog_facility,
+  CAST(regexp_extract(line, '{RFC5424_RE}', 2) AS INT) AS syslog_version,
+  regexp_extract(line, '{RFC5424_RE}', 3) AS syslog_ts,
+  regexp_extract(line, '{RFC5424_RE}', 4) AS syslog_hostname,
+  regexp_extract(line, '{RFC5424_RE}', 5) AS syslog_appname,
+  regexp_extract(line, '{RFC5424_RE}', 6) AS syslog_procid,
+  regexp_extract(line, '{RFC5424_RE}', 7) AS syslog_msgid,
+  regexp_extract(sd, '^\\[([\\w@.-]+)', 1) AS syslog_sd_id,
+  coalesce(array_to_string(list_sort(regexp_extract_all(sd, '{sd_param}')), ','), '') AS syslog_sd_params,
+  regexp_extract(line, '{RFC5424_RE}', 9) AS syslog_message
+FROM l"""
+
+    o["syslog_rfc3164_parse"] = f"""
+WITH s AS (SELECT doc_id,
+  substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 40) AS msg,
+  '<' || CAST(doc_id % 192 AS VARCHAR) || '>Jan ' || CAST(10 + doc_id % 20 AS VARCHAR)
+      || ' 03:04:05 host' || CAST(doc_id % 5 AS VARCHAR) || ' proc' || CAST(doc_id % 4 AS VARCHAR) AS base
+FROM documents),
+l AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN base || '[' || CAST(doc_id % 1000 AS VARCHAR) || ']: ' || msg
+       ELSE base || ': ' || msg END AS line
+FROM s)
+SELECT doc_id,
+  CAST(regexp_extract(line, '{RFC3164_RE}', 1) AS INT) & 7 AS syslog_severity,
+  CAST(regexp_extract(line, '{RFC3164_RE}', 1) AS INT) >> 3 AS syslog_facility,
+  regexp_extract(line, '{RFC3164_RE}', 2) AS syslog_ts,
+  regexp_extract(line, '{RFC3164_RE}', 3) AS syslog_hostname,
+  regexp_extract(line, '{RFC3164_RE}', 4) AS syslog_tag,
+  CAST(nullif(regexp_extract(line, '{RFC3164_RE}', 5), '') AS INT) AS syslog_pid,
+  regexp_extract(line, '{RFC3164_RE}', 6) AS syslog_message
+FROM l"""
+
+    # ground truth: the two frames are known from the synthesis recipe
+    o["syslog_octet_frames"] = """
+WITH f AS (SELECT doc_id,
+  '<34>1 2024-01-02T03:04:05Z h a p m - hello ' || CAST(doc_id AS VARCHAR) AS f1,
+  'second ' || lang AS f2
+FROM documents)
+SELECT doc_id, 0 AS frame_idx, f1 AS frame FROM f
+UNION ALL
+SELECT doc_id, 1 AS frame_idx, f2 AS frame FROM f"""
 
     o["kv_parse_map"] = (
         cte

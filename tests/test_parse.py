@@ -77,3 +77,58 @@ def test_key_value_and_time_parser(spark):
     assert row["kv"]["k1"] == "a" and row["kv"]["k2"] == "b"
     t = time_parser(df, "iso").collect()[0]["event_ts"]
     assert t.year == 2025 and t.second == 30
+
+
+def test_jsonarray_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import jsonarray_parser
+
+    df = spark.createDataFrame([(1, '["a", "b", "c"]'), (2, "not json")], "id int, line string")
+    out = {r["id"]: r["parsed_array"] for r in jsonarray_parser(df, "line").collect()}
+    assert out[1] == ["a", "b", "c"]
+    assert out[2] is None  # malformed -> null, the on_error=send analogue
+
+
+def test_sanitize_utf8(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import sanitize_utf8
+
+    df = spark.createDataFrame([(1, b"ok \xff end"), (2, b"plain")], "id int, payload binary")
+    out = {r["id"]: r for r in sanitize_utf8(df, "payload", dest="s").collect()}
+    assert out[1]["s"] == "ok � end" and out[1]["utf8_valid"] is False
+    assert out[2]["s"] == "plain" and out[2]["utf8_valid"] is True
+
+
+def test_syslog_rfc5424_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import syslog_rfc5424_parser
+
+    line = '<165>1 2024-01-02T03:04:05.000Z web01 app 1234 ID47 [ex@32473 iut="3" eventSource="app"] hello world'
+    out = syslog_rfc5424_parser(spark.createDataFrame([(line,)], "line string"), "line").collect()[0]
+    assert out["syslog_facility"] == 20 and out["syslog_severity"] == 5  # 165 = 20*8+5
+    assert out["syslog_hostname"] == "web01" and out["syslog_procid"] == "1234"
+    assert out["syslog_sd_id"] == "ex@32473"
+    assert out["syslog_sd_params"] == 'eventSource="app",iut="3"'
+    assert out["syslog_message"] == "hello world"
+
+
+def test_syslog_rfc3164_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import syslog_rfc3164_parser
+
+    rows = [("<34>Jan 12 06:30:00 host1 sshd[815]: Failed password",),
+            ("<13>Jan 12 06:30:01 host2 cron: job done",)]
+    out = syslog_rfc3164_parser(spark.createDataFrame(rows, "line string"), "line").collect()
+    a, b = sorted(out, key=lambda r: r["syslog_hostname"])
+    assert (a["syslog_facility"], a["syslog_severity"]) == (4, 2)
+    assert a["syslog_tag"] == "sshd" and a["syslog_pid"] == 815
+    assert b["syslog_pid"] is None and b["syslog_message"] == "job done"
+
+
+def test_split_octet_frames(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import split_octet_frames
+
+    # second frame contains digits+spaces that would defeat any regex split
+    payload = "5 hello9 a 1 b 2 c4 tail"
+    out = split_octet_frames(spark.createDataFrame([(1, payload)], "id int, p string"), "p").collect()
+    assert [(r["frame_idx"], r["frame"]) for r in out] == [(0, "hello"), (1, "a 1 b 2 c"), (2, "tail")]
+    # byte counts, not chars: 2-byte UTF-8 char counts as 2
+    p2 = "3 éx1 y"
+    out2 = split_octet_frames(spark.createDataFrame([(1, p2)], "id int, p string"), "p").collect()
+    assert [(r["frame_idx"], r["frame"]) for r in out2] == [(0, "éx"), (1, "y")]
