@@ -85,14 +85,19 @@ def jaccard_pairs(
     |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
 
     `max_doc_freq` drops shingles appearing in more than that many docs
-    before the join (stop-shingle skew cap); with it set this becomes an
-    approximation that only misses pairs whose overlap is entirely
-    stop-shingles. Default None = exact (used by the oracle gate)."""
-    sh = shingle_table(df, id_col, text_col, n)
+    before the join (stop-shingle skew cap). With it set, only the
+    INTERSECTION is approximated — doc sizes still count every shingle, so
+    the reported jaccard is a strict lower bound and the cap can only MISS
+    pairs, never promote a below-threshold pair above threshold. Default
+    None = exact (used by the oracle gate)."""
+    sh_all = shingle_table(df, id_col, text_col, n)
+    sh = sh_all
     if max_doc_freq is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= max_doc_freq)
         sh = sh.join(rare.select("shingle"), "shingle")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes from the UNFILTERED table: shrinking the denominator along with
+    # the intersection would inflate jaccard and create false positives
+    sizes = sh_all.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -333,6 +338,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a component with diameter > max_iters would otherwise return
+        # silently-wrong partial labels (and fail oracle parity with no
+        # diagnostic) — fail loudly instead
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds; "
+            "a near-dup chain is longer than expected — raise max_iters"
+        )
     return labels.select(F.col("doc"), F.col("label").alias("cluster_rep"))
 
 

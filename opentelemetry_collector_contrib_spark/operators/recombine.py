@@ -32,14 +32,30 @@ def recombine(
     is_first: Column | str,
     combine_field: str = "text",
     combine_with: str = "\n",
+    max_batch: int | None = None,
 ) -> DataFrame:
     """Segment-sum sessionization. Returns one row per assembled segment:
-    (source, run_id, combined, n_lines, first_order, last_order)."""
+    (source, run_id, combined, n_lines, first_order, last_order).
+
+    `max_batch` bounds the aggregation buffer per output row (the
+    reference's max_batch_size flush, recombine/config.go:51-63): a run
+    longer than max_batch entries is emitted as multiple chunk rows
+    (chunk_id column added). Without it, one monster conversation's entire
+    run must fit a single collect_list buffer — fine for the fixture's 8k
+    turns, not something to rely on at 10^12; set max_batch in production."""
     first = F.expr(is_first) if isinstance(is_first, str) else is_first
     w = Window.partitionBy(source_col).orderBy(F.col(order_col))
     runs = df.withColumn("_first", first.cast("int")).withColumn("run_id", F.sum("_first").over(w))
+    group_cols = [source_col, "run_id"]
+    if max_batch is not None:
+        # same partitioning key as the run window: no extra shuffle
+        wr = Window.partitionBy(source_col, "run_id").orderBy(F.col(order_col))
+        runs = runs.withColumn(
+            "chunk_id", ((F.row_number().over(wr) - 1) / max_batch).cast("int")
+        )
+        group_cols.append("chunk_id")
     assembled = (
-        runs.groupBy(source_col, "run_id")
+        runs.groupBy(*group_cols)
         .agg(
             # order-stable assembly: sort (order, value) structs, then join —
             # collect_list alone has no order guarantee across tasks
@@ -58,11 +74,20 @@ def recombine(
     return assembled
 
 
-def group_by_trace(df: DataFrame, trace_col: str = "conv_id", order_col: str = "turn_idx") -> DataFrame:
+def group_by_trace(
+    df: DataFrame, trace_col: str = "conv_id", order_col: str = "turn_idx", max_batch: int | None = None
+) -> DataFrame:
     """Whole-conversation assembly: one row per conv with ordered turn texts.
     (groupbytraceprocessor's release-whole-trace, minus the wait_duration —
-    batch sees the complete table.)"""
-    return df.groupBy(trace_col).agg(
+    batch sees the complete table.) `max_batch` caps the per-row buffer the
+    same way as recombine (chunk_id rows), mirroring the reference's
+    num_traces eviction bound (groupbytraceprocessor/processor.go:33-34)."""
+    group_cols: list = [trace_col]
+    if max_batch is not None:
+        wr = Window.partitionBy(trace_col).orderBy(F.col(order_col))
+        df = df.withColumn("chunk_id", ((F.row_number().over(wr) - 1) / max_batch).cast("int"))
+        group_cols.append("chunk_id")
+    return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.array_join(
             F.transform(

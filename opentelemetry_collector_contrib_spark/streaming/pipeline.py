@@ -136,10 +136,16 @@ def streaming_recombine(
         conv_id = key[0]
         if state.hasTimedOut:
             (run_id, parts) = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {"conv_id": [conv_id], "run_id": [run_id], "combined": [combine_with.join(parts)], "n_lines": [len(parts)]}
-            )
+            # keep the incremented counter in state: removing it would
+            # restart run_id at 0 for this conv and collide with segments
+            # already emitted before the force-flush. The dormant state is
+            # just (counter, []) — tiny — and no new timeout is armed, so an
+            # idle conv costs nothing until data arrives again.
+            state.update((run_id + 1 if parts else run_id, []))
+            if parts:
+                yield pd.DataFrame(
+                    {"conv_id": [conv_id], "run_id": [run_id], "combined": [combine_with.join(parts)], "n_lines": [len(parts)]}
+                )
             return
         if state.exists:
             run_id, parts = state.get
@@ -185,10 +191,14 @@ def write_stream_sinks(
     trigger_available_now: bool = True,
 ):
     """Streaming fan-out: ONE query, foreachBatch writes every sink from the
-    same micro-batch (the routed frame is computed once per batch; each sink
-    appends its slice partitioned by route_id dirs). The query checkpoint
-    gives exactly-once file progress — the streaming analogue of the batch
-    lineage manifest. Returns the started StreamingQuery."""
+    same micro-batch (the routed frame is computed once per batch). Writes
+    are IDEMPOTENT under micro-batch retry: each sink batch lands in its own
+    `_batch=<id>` partition directory with overwrite mode, so a batch that
+    failed mid-fan-out and is replayed from the checkpoint overwrites its
+    own partial output instead of appending duplicates — foreachBatch alone
+    is only at-least-once. Readers scan `{base}/{sink}` as partitioned
+    parquet (`_batch` surfaces as a partition column). Returns the started
+    StreamingQuery."""
     from ..operators.route import FIXTURE_ROUTES, sink_frames
 
     table = route_table or FIXTURE_ROUTES
@@ -198,7 +208,7 @@ def write_stream_sinks(
         try:
             for name, sdf in sink_frames(batch_df, table).items():
                 out = sdf.drop(*[c for c in sdf.columns if c.startswith("copy_")])
-                out.write.mode("append").parquet(f"{base_path}/{name}")
+                out.write.mode("overwrite").parquet(f"{base_path}/{name}/_batch={batch_id}")
         finally:
             batch_df.unpersist()
 

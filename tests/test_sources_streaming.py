@@ -162,3 +162,28 @@ def test_iceberg_gated_sink(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 5
     assert set(back.columns) == {"v", "p"}
+
+
+def test_streaming_sink_fanout_idempotent_replay(spark, stream_input, tmp_path, dims):
+    """A replayed micro-batch (same batch_id) must overwrite its own output,
+    not append duplicates — simulate replay by re-running the same
+    availableNow input against a fresh checkpoint (batch 0 again)."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import enrich_transcripts
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_native
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import write_stream_sinks
+
+    tool_dim, role_dim = dims
+    base = str(tmp_path / "replay_sinks")
+
+    def run(ck):
+        routed = streaming_route(
+            enrich_transcripts(parse_native(transcripts_stream(spark, stream_input + "/*.json")), tool_dim, role_dim)
+        )
+        q = write_stream_sinks(routed, base, str(tmp_path / ck))
+        q.awaitTermination()
+
+    run("ck_a")
+    first = {n: spark.read.parquet(f"{base}/{n}").count() for n in ("errors", "tool_events", "general")}
+    run("ck_b")  # replay of batch 0
+    second = {n: spark.read.parquet(f"{base}/{n}").count() for n in ("errors", "tool_events", "general")}
+    assert first == second

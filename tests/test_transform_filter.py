@@ -158,3 +158,25 @@ def test_tail_sampling_policy_tree(spark):
     final = {r["conv_id"]: r["final_sampled"] for r in lim.collect()}
     assert sum(final.values()) == 2
     assert final["r0"] and final["r1"]  # deterministic preference by trace id
+
+
+def test_recombine_max_batch_monster_conv(spark):
+    from opentelemetry_collector_contrib_spark.operators.recombine import group_by_trace, recombine
+    import datetime
+
+    t0 = datetime.datetime(2025, 1, 1)
+    # one pathological 2500-turn conversation, single run (is_first only at 0)
+    rows = [("m", i, f"t{i}", i == 0, t0) for i in range(2500)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, is_first boolean, ts timestamp")
+    out = recombine(df, "conv_id", "turn_idx", F.col("is_first"), max_batch=1000).orderBy("chunk_id").collect()
+    assert [(r["chunk_id"], r["n_lines"]) for r in out] == [(0, 1000), (1, 1000), (2, 500)]
+    # chunk boundaries respect turn order
+    assert out[0]["combined"].split("\n")[0] == "t0"
+    assert out[1]["combined"].split("\n")[0] == "t1000"
+    assert out[2]["first_order"] == 2000 and out[2]["last_order"] == 2499
+    # group_by_trace with the same bound
+    gt = group_by_trace(df, max_batch=1000).orderBy("chunk_id").collect()
+    assert [r["n_turns"] for r in gt] == [1000, 1000, 500]
+    # unbounded path unchanged: one row, no chunk column
+    whole = recombine(df, "conv_id", "turn_idx", F.col("is_first"))
+    assert "chunk_id" not in whole.columns and whole.count() == 1
