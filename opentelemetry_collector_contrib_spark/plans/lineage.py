@@ -6,12 +6,14 @@ RecordNum, FileAttributes} per reader every poll cycle
 internal/checkpoint/checkpoint.go:27,63) so a restart resumes at the last
 committed offset.
 
-Our unit of work is not a file offset but a (sink, input-partition) cell:
-each sink write records one manifest row per input split —
-(run_id, sink, partition_id, row_count, status, commit). A rerun loads the
-manifest and SKIPS sinks whose cells are all committed — idempotent resume
-with no duplicate rows (the exporter sending-queue retry semantics, made
-transactional the way the reference can't be).
+Our unit of work is not a file offset but a (sink, output-file) cell:
+each sink write records one manifest row per written file —
+(run_id, sink, partition_id=file index, row_count, status, commit), counted
+from the written parquet itself (footer-level scan; never re-runs the
+upstream plan). A rerun loads the manifest and SKIPS sinks whose cells are
+all committed — idempotent resume with no duplicate rows (the exporter
+sending-queue retry semantics, made transactional the way the reference
+can't be).
 
 In production the manifest is an Iceberg table and the commit id is the
 Iceberg snapshot id (atomic rename gives all-or-nothing per sink); in-sandbox
@@ -105,13 +107,14 @@ def write_sinks_resumable(
         out = df.drop(*[c for c in df.columns if c.startswith("copy_")])
         t0 = time.time()
         out.write.mode("overwrite").parquet(path)
-        rows_per_part = (
-            out.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid")
-            .count()
-            .collect()
-        )
-        part_rows = [r["count"] for r in sorted(rows_per_part, key=lambda r: r["_pid"])]
+        # count from the WRITTEN files (footer-level scan of the output),
+        # not by re-running the upstream plan — a non-persisted caller would
+        # otherwise pay parse+enrich+route a second time per sink. The
+        # lineage cell unit becomes the output file, which is what resume
+        # actually protects.
+        back = out.sparkSession.read.parquet(path)
+        rows_per_file = back.groupBy(F.col("_metadata.file_path").alias("_f")).count().collect()
+        part_rows = [r["count"] for r in sorted(rows_per_file, key=lambda r: r["_f"])]
         manifest.record_sink(run_id, name, part_rows)
         if metrics is not None:
             metrics.stages[f"sink:{name}"] = round(time.time() - t0, 3)

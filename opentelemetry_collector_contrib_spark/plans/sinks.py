@@ -36,6 +36,8 @@ def write_sink(
     target: str,
     mode: str = "append",
     partition_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
 ) -> str:
     """Write one sink. `target` = Iceberg table name (catalog.db.table) when
     Iceberg is available and the name has no '/', else a filesystem path.
@@ -44,7 +46,13 @@ def write_sink(
     comes from the table's partition spec (days(ts), bucket(conv_id)) set at
     table creation, so writers need no layout knowledge.
     Parquet path: Hive layout via partitionBy, directory-atomic per task
-    commit + lineage manifest for resume."""
+    commit + lineage manifest for resume.
+
+    Rotation/compression (fileexporter/config.go:55-96 equivalence):
+    `rotation.max_megabytes` caps output file size — columnar analogue is
+    `max_records_per_file` (spark maxRecordsPerFile: a task rolls to a new
+    file at N records); `compression: zstd` maps to the parquet codec, which
+    compresses inside the format instead of wrapping the file."""
     spark = df.sparkSession
     if "/" not in target and iceberg_available(spark):
         writer = df.writeTo(target)
@@ -56,5 +64,61 @@ def write_sink(
     w = df.write.mode("overwrite" if mode == "overwrite" else "append")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if compression is not None:
+        w = w.option("compression", compression)
     w.parquet(target)
     return target
+
+
+# --- kafka exporter (exporter/kafkaexporter) ---------------------------------
+
+
+def kafka_sink_frame(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+):
+    """Shape a DataFrame into the Kafka sink contract: `key` (bytes) +
+    `value` (JSON bytes). The key drives the broker-side partitioner —
+    keying on conv_id reproduces kafkaexporter/partitioner.go's
+    partition-by-trace-id co-location (all of a conversation's records land
+    in one Kafka partition, preserving intra-conv order)."""
+    from pyspark.sql import functions as F
+
+    value_src = df.select(*value_cols) if value_cols else df
+    value = F.to_json(F.struct(*[F.col(c) for c in value_src.columns]))
+    out = df.select(
+        (
+            F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).cast("binary")
+            if key_cols
+            else F.lit(None).cast("binary")
+        ).alias("key"),
+        value.cast("binary").alias("value"),
+    )
+    return out
+
+
+def write_kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+) -> None:
+    """Kafka exporter write path: format('kafka') batch write of the
+    key/value frame. Gated the same way as the Kafka source — no broker
+    exists in-sandbox, so tests cover the frame contract and option
+    validation; on a cluster this call is the complete writer."""
+    if not bootstrap_servers:
+        raise ValueError("kafka sink requires bootstrap_servers")
+    if not topic:
+        raise ValueError("kafka sink requires a topic")
+    frame = kafka_sink_frame(df, key_cols, value_cols)
+    (
+        frame.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )

@@ -244,6 +244,37 @@ def q_sampler_hash(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "route_id")
 
 
+# Composite-key enrichment dim (geoipprocessor shape: a second-stage lookup
+# whose key is built FROM enriched attributes, with a miss→default path —
+# the "unknown location" case). Literal rows so the oracle reproduces them.
+SESSION_TIER_DIM: list[tuple[str, str, str, float]] = [
+    ("model", "retrieval", "tier-a", 1.5),
+    ("model", "execution", "tier-b", 3.0),
+    ("model", "io", "tier-b", 2.0),
+    ("human", "n/a", "tier-h", 0.1),
+    ("infra", "n/a", "tier-i", 0.0),
+]
+
+
+def q_enrich_composite(spark, sf_dir):
+    """Second enrichment stage keyed on the COMPOSITE (role_group,
+    tool_category) — both values are themselves outputs of the first-stage
+    lookups, mirroring geoip's derive-key-then-lookup chain. Broadcast join,
+    default fill on miss."""
+    from ..operators.enrich import lookup
+
+    dim = spark.createDataFrame(
+        SESSION_TIER_DIM, "role_group string, tool_category string, session_tier string, tier_weight double"
+    )
+    out = lookup(
+        _routed(spark, sf_dir),
+        dim,
+        ["role_group", "tool_category"],
+        {"session_tier": "tier-z", "tier_weight": 0.0},
+    )
+    return out.select("conv_id", "turn_idx", "role_group", "tool_category", "session_tier", "tier_weight")
+
+
 def q_attr_actions(spark, sf_dir):
     from ..operators.transform import AttrAction, apply_attr_actions, copy_field
 
@@ -561,6 +592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tail_sampling_policies": q_tail_sampling_policies,
     "sampler_deterministic_mod": q_sampler_mod,
     "sampler_hash_consistent": q_sampler_hash,
+    "enrich_composite_dim": q_enrich_composite,
     "attr_actions": q_attr_actions,
     "redaction_mask": q_redaction,
     "unroll_tokens": q_unroll_tokens,
@@ -956,6 +988,20 @@ WHERE CAST('0x' || substr(md5(conv_id), 1, 15) AS BIGINT) < {_p60(25.0)}"""
         + r"""
 SELECT conv_id, turn_idx, route_id FROM ordered
 WHERE CAST(regexp_extract(conv_id, '(\d+)$', 1) AS BIGINT) % 10 < 3"""
+    )
+
+    dim_values = ", ".join(
+        f"('{rg}', '{tc}', '{tier}', {w})" for rg, tc, tier, w in SESSION_TIER_DIM
+    )
+    o["enrich_composite_dim"] = (
+        cte
+        + f""",
+d(role_group, tool_category, session_tier, tier_weight) AS (VALUES {dim_values})
+SELECT o.conv_id, o.turn_idx, o.role_group, o.tool_category,
+       coalesce(d.session_tier, 'tier-z') AS session_tier,
+       coalesce(CAST(d.tier_weight AS DOUBLE), 0.0) AS tier_weight
+FROM ordered o
+LEFT JOIN d ON d.role_group = o.role_group AND d.tool_category = o.tool_category"""
     )
 
     o["attr_actions"] = (

@@ -59,3 +59,44 @@ def test_errors_route_condition(routed_t1):
     assert errs.filter(F.col("status") != "err").count() == 0
     # and no err row leaked elsewhere
     assert routed_t1.filter((F.col("status") == "err") & (F.col("route_id") != "errors")).count() == 0
+
+
+def test_write_sink_rotation_and_compression(spark, tmp_path):
+    import glob as g
+
+    from opentelemetry_collector_contrib_spark.plans.sinks import write_sink
+
+    df = spark.range(500).withColumnRenamed("id", "v").coalesce(1)
+    path = str(tmp_path / "rotated")
+    write_sink(df, path, mode="overwrite", max_records_per_file=100, compression="zstd")
+    files = g.glob(path + "/*.parquet")
+    # one task, 500 rows, 100/file -> 5 rotated files, zstd codec in the name
+    assert len(files) == 5
+    assert all(".zstd." in f for f in files)
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    per_file = back.groupBy("_metadata.file_path").count().collect()
+    assert all(r["count"] <= 100 for r in per_file)
+
+
+def test_kafka_sink_contract(spark):
+    import pytest
+
+    from opentelemetry_collector_contrib_spark.plans.sinks import kafka_sink_frame, write_kafka_sink
+
+    df = spark.createDataFrame([("c1", 0, "hi"), ("c1", 1, "yo")], "conv_id string, turn_idx int, text string")
+    frame = kafka_sink_frame(df, key_cols=["conv_id"], value_cols=["turn_idx", "text"])
+    assert frame.columns == ["key", "value"]
+    assert dict(frame.dtypes) == {"key": "binary", "value": "binary"}
+    rows = frame.collect()
+    # key = conv id bytes (broker partitioner co-locates the conversation)
+    assert all(bytes(r["key"]) == b"c1" for r in rows)
+    import json
+
+    vals = sorted((json.loads(bytes(r["value"])) for r in rows), key=lambda v: v["turn_idx"])
+    assert vals[0] == {"turn_idx": 0, "text": "hi"}
+    # option validation is eager
+    with pytest.raises(ValueError):
+        write_kafka_sink(df, "", "topic")
+    with pytest.raises(ValueError):
+        write_kafka_sink(df, "broker:9092", "")
