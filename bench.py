@@ -141,6 +141,24 @@ def main() -> None:
 
     timed("q7_ivf_topk", topk)
 
+    # q8: SimHash near-dup pairs (the explode-free vote aggregation)
+    def simhash_docs():
+        from opentelemetry_collector_contrib_spark.operators.dedup import simhash_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(2 * int(cpus))
+        simhash_pairs(docs, "doc_id", max_hamming=3).count()
+
+    timed("q8_simhash_pairs", simhash_docs)
+
+    # q9: IVF-cell-blocked embedding near-dup pairs (the O(n^2)-free path)
+    def emb_bucketed():
+        from opentelemetry_collector_contrib_spark.operators.dedup import embedding_dup_pairs_bucketed
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(2 * int(cpus))
+        embedding_dup_pairs_bucketed(emb, threshold=0.35, n_cells=8, probes=2).count()
+
+    timed("q9_embedding_dup_bucketed", emb_bucketed)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

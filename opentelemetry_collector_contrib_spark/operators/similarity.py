@@ -72,16 +72,29 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_
     )
 
 
-def _cell_scores(emb: DataFrame, centroids: DataFrame, vec_col: str) -> DataFrame:
-    return emb.join(F.broadcast(centroids)).withColumn(
-        "cell_cos", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+def _centroid_entries(centroids: DataFrame, vec_col: Column) -> Column:
+    """Per-row array of (cell_cos, -cell, cell) structs, one per centroid.
+
+    The centroid table is collected to the driver and inlined as literals —
+    the same bytes a broadcast join would ship to every executor, but as
+    part of the plan itself: cell scoring becomes a pure whole-stage-codegen
+    projection with NO join node, NO n_cells× row inflation, and NO
+    aggregation to undo it (the broadcast-join + max_by formulation rescans
+    the fact side once per pass; this scans it once, total). Sound because a
+    coarse quantizer is small by construction (n_cells ≤ a few thousand);
+    the float64 cosine is the same zip_with/aggregate fold, so values are
+    bit-identical to the join formulation and the DuckDB oracle."""
+    rows = sorted((r[0], list(r[1])) for r in centroids.select("cell", "centroid").collect())
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec_col, F.array(*[F.lit(float(x)) for x in vec])), 6).alias("cc"),
+                F.lit(-cell).alias("nc"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, vec in rows
+        ]
     )
-
-
-# argmax ordering: best cosine first, lowest cell id on ties. max_by compares
-# structs lexicographically, so negate the cell id for the tiebreak.
-def _best_ord() -> Column:
-    return F.struct(F.col("cell_cos").alias("s"), (-F.col("cell")).alias("t"))
 
 
 def ivf_assign(
@@ -91,22 +104,14 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; tie → lowest
-    cell id). Broadcast join against the tiny centroid table, then a
-    max_by aggregation keeps the argmax — map-side partial combine reduces
-    the n_cells× candidate rows to one per vector per task BEFORE the
-    shuffle (the earlier row_number window shuffled all n_cells× rows)."""
-    scored = _cell_scores(emb, centroids, vec_col)
-    picked = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(F.col(vec_col).alias("vec"), F.col("cell").alias("cell"), F.col("cell_cos").alias("cc")),
-            _best_ord(),
-        ).alias("best")
-    )
-    return picked.select(
+    cell id — array_max over (cc, -cell) structs). One projection over the
+    scan; zero shuffle, zero joins."""
+    best = F.array_max(_centroid_entries(centroids, F.col(vec_col)))
+    return emb.select(
         id_col,
-        F.col("best.vec").alias(vec_col),
-        F.col("best.cell").alias("cell"),
-        F.col("best.cc").alias("cell_cos"),
+        vec_col,
+        best["cell"].alias("cell"),
+        best["cc"].alias("cell_cos"),
     )
 
 
@@ -118,25 +123,14 @@ def ivf_assign_topp(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-`probes` cells per vector (multi-probe assignment for recall):
-    (id, cell, cell_cos), `probes` rows per vector. Implemented as `probes`
-    successive max_by aggregations, each excluding the cells already chosen
-    — every pass is map-side combinable; no n_cells× window shuffle. probes
-    is small (2-4) so the pass count is a constant."""
-    scored = _cell_scores(emb, centroids, vec_col).select(id_col, "cell", "cell_cos")
-    picks: list[DataFrame] = []
-    current = scored
-    for i in range(probes):
-        pick = current.groupBy(id_col).agg(
-            F.max_by(F.struct(F.col("cell").alias("cell"), F.col("cell_cos").alias("cc")), _best_ord()).alias("b")
-        )
-        picks.append(pick.select(id_col, F.col("b.cell").alias("cell"), F.col("b.cc").alias("cell_cos")))
-        if i < probes - 1:
-            exc = pick.select(id_col, F.col("b.cell").alias("_exc"))
-            current = current.join(exc, id_col).filter(F.col("cell") != F.col("_exc")).drop("_exc")
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+    (id, cell, cell_cos), `probes` rows per vector. sort+slice of the
+    per-row centroid-score array, then a `probes`-wide explode — still a
+    single scan-side projection, no shuffle."""
+    top = F.slice(F.sort_array(_centroid_entries(centroids, F.col(vec_col)), asc=False), 1, probes)
+    return (
+        emb.select(id_col, F.explode(top).alias("t"))
+        .select(id_col, F.col("t.cell").alias("cell"), F.col("t.cc").alias("cell_cos"))
+    )
 
 
 def ivf_topk(
