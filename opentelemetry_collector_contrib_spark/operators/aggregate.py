@@ -282,3 +282,64 @@ def span_metrics_histogram(df: DataFrame, dims: list[str], value_col: str, bucke
         .groupBy(*dims, "le")
         .agg(F.count(F.lit(1)).alias("bucket_count"))
     )
+
+
+# --- signaltometricsconnector (connector/signaltomericsconnector) ------------
+def signal_to_metrics(df: DataFrame, specs: list[dict]) -> DataFrame:
+    """Generate metric datapoints from any signal stream via compiled OTTL
+    conditions/values (the connector's sum/count metric definitions):
+    spec = {"name": metric name, "type": "count"|"sum", "dims": [cols],
+            "condition": OTTL bool expr (optional), "value": OTTL value expr
+            (sum only)}. Output rows: (metric_name, dim k=v join, value) —
+    one hash aggregation per spec, unioned; every expression compiles once
+    to a Column tree, so each spec is a filter+agg inside codegen."""
+    from ..functions.ottl_compiler import _Parser, _lex, parse_condition
+
+    parts: list[DataFrame] = []
+    for spec in specs:
+        cur = df
+        if spec.get("condition"):
+            cur = cur.filter(F.coalesce(parse_condition(spec["condition"]), F.lit(False)))
+        dims = spec.get("dims", [])
+        dim_str = F.concat_ws(
+            ",", *[F.concat(F.lit(f"{d}="), F.coalesce(F.col(d).cast("string"), F.lit("null"))) for d in dims]
+        )
+        if spec["type"] == "count":
+            agg = F.count(F.lit(1)).cast("double")
+        elif spec["type"] == "sum":
+            p = _Parser(_lex(spec["value"]), {"body": "text"})
+            val = p.value()
+            p.expect("eof")
+            # exact decimal accumulation -> one pinned output type
+            agg = F.sum(val.cast("decimal(18,6)")).cast("double")
+        else:
+            raise ValueError(f"unknown signal_to_metrics type {spec['type']!r}")
+        parts.append(
+            cur.withColumn("_dims", dim_str)
+            .groupBy("_dims")
+            .agg(agg.alias("value"))
+            .select(F.lit(spec["name"]).alias("metric_name"), F.col("_dims").alias("dims"), "value")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- exceptionsconnector (connector/exceptionsconnector) ---------------------
+def exceptions_connector(
+    df: DataFrame,
+    dims: list[str],
+    condition: Column | str = "status = 'err'",
+    message_col: str = "text",
+) -> DataFrame:
+    """Error-event extraction → exceptions.count metric per dim set plus the
+    lexicographically-first exemplar message (the connector's
+    exception-span-event → metric + exemplar shape). One filter + one hash
+    aggregation."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    errs = df.filter(F.coalesce(cond, F.lit(False)))
+    return errs.groupBy(*dims).agg(
+        F.count(F.lit(1)).alias("exception_count"),
+        F.min(message_col).alias("exemplar"),
+    )

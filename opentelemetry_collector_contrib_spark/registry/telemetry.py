@@ -116,6 +116,26 @@ def q_metrics_transform(spark, sf_dir):
     )
 
 
+def q_signal_to_metrics(spark, sf_dir):
+    """signaltometricsconnector: metric datapoints generated from the log
+    stream via compiled OTTL conditions/values."""
+    from ..operators.aggregate import signal_to_metrics
+
+    specs = [
+        {"name": "turn.count", "type": "count", "dims": ["route_id"]},
+        {"name": "err.count", "type": "count", "dims": ["role"], "condition": 'status == "err"'},
+        {"name": "latency.sum", "type": "sum", "dims": ["tool"], "condition": "latency_ms >= 0", "value": "latency_ms"},
+    ]
+    return signal_to_metrics(_routed(spark, sf_dir), specs)
+
+
+def q_exceptions(spark, sf_dir):
+    """exceptionsconnector: error rows → exceptions.count + exemplar."""
+    from ..operators.aggregate import exceptions_connector
+
+    return exceptions_connector(_routed(spark, sf_dir), ["route_id", "role", "tool"])
+
+
 def q_metrics_rename_scale(spark, sf_dir):
     """metricstransform row-level modes over the events metric stream:
     update+rename+scale+add_label, insert (transformed copy), label rename,
@@ -585,6 +605,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_histogram": q_histogram,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
+    "signal_to_metrics": q_signal_to_metrics,
+    "exceptions_by_dim": q_exceptions,
     "events_props_json": q_props_json,
     "recombine_user_segments": q_recombine,
     "group_by_trace_transcripts": q_group_by_trace,
@@ -676,6 +698,28 @@ SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS agg_median,
        count(value) AS agg_count
 FROM events GROUP BY 1"""
+
+    o["signal_to_metrics"] = (
+        cte
+        + """
+SELECT 'turn.count' AS metric_name, 'route_id=' || route_id AS dims,
+       CAST(count(*) AS DOUBLE) AS value
+FROM ordered GROUP BY route_id
+UNION ALL
+SELECT 'err.count', 'role=' || role, CAST(count(*) AS DOUBLE)
+FROM ordered WHERE status = 'err' GROUP BY role
+UNION ALL
+SELECT 'latency.sum', 'tool=' || tool,
+       CAST(sum(CAST(latency_ms AS DECIMAL(18,6))) AS DOUBLE)
+FROM ordered WHERE latency_ms >= 0 GROUP BY tool"""
+    )
+
+    o["exceptions_by_dim"] = (
+        cte
+        + """
+SELECT route_id, role, tool, count(*) AS exception_count, min(text) AS exemplar
+FROM ordered WHERE status = 'err' GROUP BY 1, 2, 3"""
+    )
 
     # mirrors q_metrics_rename_scale: staged CTEs, one per sequential
     # transform; label set tracked as flags (one base label + optional unit)

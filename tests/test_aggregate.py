@@ -117,3 +117,34 @@ def test_metrics_transform_rows(spark):
     assert (2, "p2") not in got  # sequential: later transform saw the insert
     assert got[(3, "click")][1] == {"uid": "7"}
     assert len(got) == 3
+
+
+def test_signal_to_metrics(spark):
+    rows = [
+        ("errors", "assistant", "search", 100, "err"),
+        ("general", "user", "none", None, None),
+        ("general", "user", "none", None, None),
+    ]
+    df = spark.createDataFrame(rows, "route_id string, role string, tool string, latency_ms long, status string")
+    out = agg.signal_to_metrics(
+        df,
+        [
+            {"name": "turn.count", "type": "count", "dims": ["route_id"]},
+            {"name": "err.count", "type": "count", "dims": ["role"], "condition": 'status == "err"'},
+            {"name": "lat.sum", "type": "sum", "dims": ["tool"], "condition": "latency_ms >= 0", "value": "latency_ms"},
+        ],
+    )
+    got = {(r["metric_name"], r["dims"]): r["value"] for r in out.collect()}
+    assert got[("turn.count", "route_id=general")] == 2.0
+    assert got[("turn.count", "route_id=errors")] == 1.0
+    assert got[("err.count", "role=assistant")] == 1.0
+    assert got[("lat.sum", "tool=search")] == 100.0
+    assert ("lat.sum", "tool=none") not in got  # null latency filtered
+
+
+def test_exceptions_connector(spark):
+    rows = [("r1", "a", "t", "boom 1", "err"), ("r1", "a", "t", "boom 0", "err"), ("r1", "a", "t", "fine", "ok")]
+    df = spark.createDataFrame(rows, "route_id string, role string, tool string, text string, status string")
+    out = agg.exceptions_connector(df, ["route_id", "role", "tool"]).collect()
+    assert len(out) == 1
+    assert out[0]["exception_count"] == 2 and out[0]["exemplar"] == "boom 0"
