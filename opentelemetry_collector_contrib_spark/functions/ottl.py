@@ -262,12 +262,89 @@ def _luhn_valid(col) -> Column:
     return (F.size(digits) > 1) & (summed % 10 == 0)
 
 
+def _duration_seconds(col) -> Column:
+    """func_duration.go — Go duration string ('1h2m3.5s', '250ms') →
+    seconds as double. Per-unit regexp extraction; (?!s) guards keep 'm'
+    from eating 'ms'. Vectorized, no UDF."""
+    s = _c(col)
+
+    def unit(pat: str) -> Column:
+        v = F.regexp_extract(s, pat, 1)
+        return F.when(v == "", F.lit(0.0)).otherwise(v.cast("double"))
+
+    # plain-seconds needs digits ADJACENT to 's', so 'ms'/'us'/'ns' can
+    # never match it; only m-vs-ms needs the explicit (?!s) guard
+    return (
+        unit(r"(\d+(?:\.\d+)?)h") * 3600
+        + unit(r"(\d+(?:\.\d+)?)m(?!s)") * 60
+        + unit(r"(\d+(?:\.\d+)?)s")
+        + unit(r"(\d+(?:\.\d+)?)ms") / 1e3
+        + unit(r"(\d+(?:\.\d+)?)us") / 1e6
+        + unit(r"(\d+(?:\.\d+)?)ns") / 1e9
+    )
+
+
+def _hex_id(col, n_chars: int) -> Column:
+    """func_trace_id/span_id/profile_id — canonical lowercase hex id of the
+    exact width, else NULL (the reference errors on malformed ids; columnar
+    on_error=send maps to null)."""
+    low = F.lower(F.trim(_c(col).cast("string")))
+    return F.when(low.rlike(f"^[0-9a-f]{{{n_chars}}}$"), low)
+
+
+def _be_bytes(val: Column, n_hex: int) -> Column:
+    """Big-endian fixed-width bytes of an integer via hex round-trip."""
+    return F.unhex(F.lpad(F.hex(val), n_hex, "0"))
+
+
+def _community_id(src_ip, dst_ip, src_port, dst_port, proto: int = 6, seed: int = 0) -> Column:
+    """func_community_id.go (v1, IPv4): canonical flow hash —
+    '1:' || base64(sha1(seed·ip1·ip2·proto·0·port1·port2)) with the
+    (ip, port) pairs ordered so both flow directions hash identically.
+    All byte assembly is hex/unhex inside codegen; no UDF."""
+    s_ip, d_ip = _ipv4_to_long(src_ip), _ipv4_to_long(dst_ip)
+    s_pt, d_pt = _c(src_port).cast("long"), _c(dst_port).cast("long")
+    flip = (s_ip > d_ip) | ((s_ip == d_ip) & (s_pt > d_pt))
+    ip1, ip2 = F.when(flip, d_ip).otherwise(s_ip), F.when(flip, s_ip).otherwise(d_ip)
+    pt1, pt2 = F.when(flip, d_pt).otherwise(s_pt), F.when(flip, s_pt).otherwise(d_pt)
+    payload = F.concat(
+        _be_bytes(F.lit(seed).cast("long"), 4),
+        _be_bytes(ip1, 8),
+        _be_bytes(ip2, 8),
+        _be_bytes(F.lit(proto).cast("long"), 2),
+        F.unhex(F.lit("00")),
+        _be_bytes(pt1, 4),
+        _be_bytes(pt2, 4),
+    )
+    return F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload))))
+
+
+def _parse_severity(col) -> Column:
+    """func_parse_severity.go — alias → canonical level text (same chain as
+    operators/parse.severity_parser)."""
+    from ..operators.parse import SEVERITY_ALIASES
+
+    src = F.lower(_c(col).cast("string"))
+    chain = F.when(F.lit(False), F.lit(None).cast("string"))
+    for alias, canon in SEVERITY_ALIASES.items():
+        chain = chain.when(src == alias, F.lit(canon))
+    return chain.otherwise(F.lit(None).cast("string"))
+
+
 OTTL_FUNCTIONS.update(
     {
         # func_is_root_span.go: parent span id is all-zero
         "IsRootSpan": lambda parent: _c(parent).isNull() | (_c(parent) == ""),
         "IsInCIDR": _is_in_cidr,
         "IsValidLuhn": _luhn_valid,
+        # func_when.go — inline conditional value
+        "When": lambda cond, a, b=None: F.when(_c(cond), _c(a)).otherwise(_c(b)),
+        "Duration": _duration_seconds,
+        "ParseSeverity": _parse_severity,
+        "TraceID": lambda col: _hex_id(col, 32),
+        "SpanID": lambda col: _hex_id(col, 16),
+        "ProfileID": lambda col: _hex_id(col, 32),
+        "CommunityID": _community_id,
     }
 )
 

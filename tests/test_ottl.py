@@ -71,3 +71,44 @@ def test_map_array_fns(spark):
     assert ev(O["Reduce"]("arr", F.lit(0), lambda acc, x: acc + x)) == 6
     assert ev(O["Any"]("arr", lambda x: x > 2)) is True
     assert ev(O["All"]("arr", lambda x: x > 0)) is True
+
+
+def test_when_duration_severity(row):
+    assert row(O["When"](F.lit(True), F.lit("a"), F.lit("b"))) == "a"
+    assert row(O["When"](F.lit(False), F.lit("a"), F.lit("b"))) == "b"
+    assert row(O["Duration"](F.lit("1h2m3.5s"))) == pytest.approx(3723.5)
+    assert row(O["Duration"](F.lit("250ms"))) == pytest.approx(0.25)
+    assert row(O["Duration"](F.lit("2m30s"))) == pytest.approx(150.0)
+    assert row(O["Duration"](F.lit("10us"))) == pytest.approx(1e-5)
+    assert row(O["ParseSeverity"](F.lit("WARNING"))) == "WARN"
+    assert row(O["ParseSeverity"](F.lit("emerg"))) == "FATAL"
+    assert row(O["ParseSeverity"](F.lit("nope"))) is None
+
+
+def test_hex_ids(row):
+    t = "0123456789abcdef0123456789ABCDEF"
+    assert row(O["TraceID"](F.lit(t))) == t.lower()
+    assert row(O["TraceID"](F.lit("xyz"))) is None
+    assert row(O["SpanID"](F.lit("00f067aa0ba902b7"))) == "00f067aa0ba902b7"
+    assert row(O["SpanID"](F.lit("short"))) is None
+
+
+def test_community_id_matches_reference_algorithm(row):
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    def ref_cid(sip, dip, sp, dp, proto=6, seed=0):
+        a = (socket.inet_aton(sip), sp)
+        b = (socket.inet_aton(dip), dp)
+        if a > b:
+            a, b = b, a
+        payload = struct.pack("!H", seed) + a[0] + b[0] + struct.pack("!BBHH", proto, 0, a[1], b[1])
+        return "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
+
+    got = row(O["CommunityID"](F.lit("1.2.3.4"), F.lit("5.6.7.8"), F.lit(1122), F.lit(3344)))
+    assert got == ref_cid("1.2.3.4", "5.6.7.8", 1122, 3344)
+    # direction symmetry: both flow directions hash identically
+    rev = row(O["CommunityID"](F.lit("5.6.7.8"), F.lit("1.2.3.4"), F.lit(3344), F.lit(1122)))
+    assert rev == got
