@@ -246,6 +246,25 @@ def metrics_transform_rows(
             elif act == "delete_label_value":
                 drop = match & (F.element_at(F.col(labels_col), op["label"]) == op["value"])
                 out = out.filter(~F.coalesce(drop, F.lit(False)))
+            elif act == "aggregate_label_values":
+                # collapse a set of label values into one (config.go
+                # aggregate_label_values); in the row-per-datapoint model the
+                # value rewrite IS the merge key change — the next hash
+                # aggregation merges the datapoints
+                merged = F.transform_values(
+                    F.col(labels_col),
+                    lambda k, v: F.when(
+                        (k == op["label"]) & v.isin(list(op["values"])), F.lit(op["new_value"])
+                    ).otherwise(v),
+                )
+                out = out.withColumn(labels_col, F.when(match, merged).otherwise(F.col(labels_col)))
+            elif act == "toggle_scalar_data_type":
+                # double -> int truncation (the datapoint-visible effect of
+                # the reference's type toggle; the column stays double-typed)
+                out = out.withColumn(
+                    value_col,
+                    F.when(match, F.col(value_col).cast("long").cast("double")).otherwise(F.col(value_col)),
+                )
             else:
                 raise ValueError(f"unknown metricstransform operation {act!r}")
         return out.drop("_mt_match")

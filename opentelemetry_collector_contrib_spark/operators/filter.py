@@ -59,3 +59,30 @@ def deterministic_sampler_mod(df: DataFrame, key_col: str, modulus: int, keep_un
     (cross-engine hash functions differ; digit arithmetic does not)."""
     suffix = F.regexp_extract(F.col(key_col), r"(\d+)$", 1).cast("long")
     return df.filter(F.pmod(suffix, F.lit(modulus)) < keep_under)
+
+
+def adaptive_head_sampler(
+    df: DataFrame,
+    key_cols: list[str],
+    target_per_key: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Volume-adaptive per-key sampling (the dynamicsampling-processor
+    shape): every key keeps AT MOST target_per_key rows, so high-volume keys
+    are sampled at rate target/volume while rare keys pass untouched — the
+    standard per-template rate cap for 10^12-row log streams. Selection is
+    deterministic and engine-portable: rows rank by the 60-bit md5 hash of
+    the tiebreak columns (an unbiased, reproducible shuffle within the key),
+    one window on the key partitioning."""
+    from pyspark.sql import Window
+
+    from .textstats import h60
+
+    ties = tiebreak_cols or key_cols
+    rank_key = h60(F.concat_ws("\x01", *[F.col(c).cast("string") for c in ties]))
+    w = Window.partitionBy(*key_cols).orderBy(rank_key.asc(), *[F.col(c) for c in ties])
+    return (
+        df.withColumn("_ahs_rn", F.row_number().over(w))
+        .filter(F.col("_ahs_rn") <= target_per_key)
+        .drop("_ahs_rn")
+    )

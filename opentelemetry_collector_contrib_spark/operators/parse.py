@@ -351,3 +351,23 @@ def split_octet_frames(df: DataFrame, source: str, out_col: str = "frame", idx_c
         .drop("_frames")
         .withColumn(idx_col, F.col(idx_col).cast("int"))
     )
+
+
+TRACEPARENT_RE = r"^(\d{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$"
+
+
+def trace_parser(df: DataFrame, source: str) -> DataFrame:
+    """operator/parser/trace (stanza trace_parser) over a W3C traceparent
+    header: version-trace_id-span_id-flags, lowercase hex widths enforced
+    (malformed -> nulls, the on_error=send analogue). sampled = flags bit 0."""
+    s = F.lower(F.trim(F.col(source)))
+    tid = F.nullif(F.regexp_extract(s, TRACEPARENT_RE, 2), F.lit(""))
+    sid = F.nullif(F.regexp_extract(s, TRACEPARENT_RE, 3), F.lit(""))
+    flags = F.nullif(F.regexp_extract(s, TRACEPARENT_RE, 4), F.lit(""))
+    return df.select(
+        "*",
+        tid.alias("trace_id"),
+        sid.alias("span_id"),
+        F.conv(flags, 16, 10).cast("int").alias("trace_flags"),
+        (F.conv(flags, 16, 10).cast("int").bitwiseAND(F.lit(1)) == 1).alias("trace_sampled"),
+    )

@@ -549,6 +549,64 @@ def q_syslog_octet_frames(spark, sf_dir):
     return out.select("doc_id", "frame_idx", "frame")
 
 
+def q_traceparent_parse(spark, sf_dir):
+    """stanza trace_parser over synthesized W3C traceparent headers (1-in-7
+    malformed to exercise the on_error -> null path)."""
+    from ..operators.parse import trace_parser
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("garbage")).otherwise(
+            F.concat(
+                F.lit("00-"), F.md5(F.col("text")), F.lit("-"),
+                F.substring(F.md5(F.col("text")), 1, 16), F.lit("-0"),
+                (F.col("doc_id") % 2).cast("string"),
+            )
+        ).alias("tp"),
+    )
+    out = trace_parser(docs, "tp")
+    return out.select("doc_id", "trace_id", "span_id", "trace_flags", "trace_sampled")
+
+
+def q_adaptive_head_sample(spark, sf_dir):
+    """Volume-adaptive per-key cap: at most 500 rows per pattern_id,
+    deterministic portable selection (dynamic-sampling shape)."""
+    from ..operators.filter import adaptive_head_sampler
+
+    out = adaptive_head_sampler(
+        _routed(spark, sf_dir), ["pattern_id"], 500, tiebreak_cols=["conv_id", "turn_idx"]
+    )
+    return out.select("conv_id", "turn_idx", "pattern_id")
+
+
+def q_metrics_label_merge(spark, sf_dir):
+    """aggregate_label_values + toggle_scalar_data_type, then the downstream
+    hash aggregation that realizes the label merge."""
+    from ..operators.aggregate import metrics_transform_rows
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("metric_name"),
+        F.create_map(F.lit("user"), (F.col("user_id") % 10).cast("string")).alias("labels"),
+        "value",
+    )
+    transforms = [
+        {
+            "include": "click",
+            "action": "update",
+            "operations": [
+                {"action": "aggregate_label_values", "label": "user", "values": ["1", "2", "3"], "new_value": "low"}
+            ],
+        },
+        {"include": "view", "action": "update", "operations": [{"action": "toggle_scalar_data_type"}]},
+    ]
+    out = metrics_transform_rows(ev, transforms)
+    return (
+        out.withColumn("user_v", F.element_at(F.col("labels"), "user"))
+        .groupBy("metric_name", "user_v")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"))
+    )
+
+
 def q_kv_parse_map(spark, sf_dir):
     """key_value_parser (str_to_map) over the kv-pattern transcript rows;
     output = sorted 'k=v' join so map ordering is engine-neutral."""
@@ -590,6 +648,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syslog_rfc5424_parse": q_syslog_rfc5424,
     "syslog_rfc3164_parse": q_syslog_rfc3164,
     "syslog_octet_frames": q_syslog_octet_frames,
+    "traceparent_parse": q_traceparent_parse,
+    "adaptive_head_sample": q_adaptive_head_sample,
+    "events_metrics_label_merge": q_metrics_label_merge,
     "genai_normalize": q_genai_normalize,
     "drain_templates": q_drain_templates,
     "cardinality_guard": q_cardinality_guard,
@@ -844,6 +905,48 @@ SELECT doc_id,
   CAST(nullif(regexp_extract(line, '{RFC3164_RE}', 5), '') AS INT) AS syslog_pid,
   regexp_extract(line, '{RFC3164_RE}', 6) AS syslog_message
 FROM l"""
+
+    from ..operators.parse import TRACEPARENT_RE
+
+    o["traceparent_parse"] = f"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN 'garbage'
+       ELSE '00-' || md5(text) || '-' || substr(md5(text), 1, 16) || '-0' || CAST(doc_id % 2 AS VARCHAR)
+  END AS tp
+FROM documents),
+x AS (SELECT doc_id,
+  nullif(regexp_extract(lower(trim(tp)), '{TRACEPARENT_RE}', 2), '') AS trace_id,
+  nullif(regexp_extract(lower(trim(tp)), '{TRACEPARENT_RE}', 3), '') AS span_id,
+  nullif(regexp_extract(lower(trim(tp)), '{TRACEPARENT_RE}', 4), '') AS flags
+FROM t)
+SELECT doc_id, trace_id, span_id,
+  CAST(('0x' || flags)::BIGINT AS INT) AS trace_flags,
+  (CAST(('0x' || flags)::BIGINT AS INT) & 1) = 1 AS trace_sampled
+FROM x"""
+
+    o["adaptive_head_sample"] = (
+        cte
+        + """,
+ranked AS (
+  SELECT conv_id, turn_idx, pattern_id,
+    row_number() OVER (PARTITION BY pattern_id
+      ORDER BY CAST('0x' || substr(md5(conv_id || chr(1) || CAST(turn_idx AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+               conv_id, turn_idx) AS rn
+  FROM ordered)
+SELECT conv_id, turn_idx, pattern_id FROM ranked WHERE rn <= 500"""
+    )
+
+    # label-value merge realized by the downstream aggregation; toggle =
+    # truncate-toward-zero (DuckDB CAST(double AS BIGINT) rounds, so trunc())
+    o["events_metrics_label_merge"] = """
+WITH m AS (SELECT event_type AS name, CAST(user_id % 10 AS VARCHAR) AS user_v, value FROM events),
+r AS (SELECT name,
+        CASE WHEN name = 'click' AND user_v IN ('1','2','3') THEN 'low' ELSE user_v END AS user_v,
+        CASE WHEN name = 'view' THEN CAST(CAST(trunc(value) AS BIGINT) AS DOUBLE) ELSE value END AS value
+      FROM m)
+SELECT name AS metric_name, user_v,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM r GROUP BY 1, 2"""
 
     # ground truth: the two frames are known from the synthesis recipe
     o["syslog_octet_frames"] = """

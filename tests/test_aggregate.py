@@ -148,3 +148,26 @@ def test_exceptions_connector(spark):
     out = agg.exceptions_connector(df, ["route_id", "role", "tool"]).collect()
     assert len(out) == 1
     assert out[0]["exception_count"] == 2 and out[0]["exemplar"] == "boom 0"
+
+
+def test_metrics_transform_label_merge_and_toggle(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("click", "1", 1.9), ("click", "2", 2.0), ("click", "9", 5.0), ("view", "1", 3.7)]
+    df = spark.createDataFrame(rows, "metric_name string, u string, value double").withColumn(
+        "labels", F.create_map(F.lit("user"), F.col("u"))
+    ).drop("u")
+    out = agg.metrics_transform_rows(
+        df,
+        [
+            {"include": "click", "action": "update",
+             "operations": [{"action": "aggregate_label_values", "label": "user",
+                             "values": ["1", "2"], "new_value": "low"}]},
+            {"include": "view", "action": "update",
+             "operations": [{"action": "toggle_scalar_data_type"}]},
+        ],
+    )
+    got = [(r["metric_name"], dict(r["labels"]), r["value"]) for r in out.collect()]
+    assert ("click", {"user": "low"}, 1.9) in got and ("click", {"user": "low"}, 2.0) in got
+    assert ("click", {"user": "9"}, 5.0) in got
+    assert ("view", {"user": "1"}, 3.0) in got  # double -> int truncation

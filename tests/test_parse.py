@@ -132,3 +132,16 @@ def test_split_octet_frames(spark):
     p2 = "3 éx1 y"
     out2 = split_octet_frames(spark.createDataFrame([(1, p2)], "id int, p string"), "p").collect()
     assert [(r["frame_idx"], r["frame"]) for r in out2] == [(0, "éx"), (1, "y")]
+
+
+def test_trace_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import trace_parser
+
+    good = "00-0af7651916cd43dd8448eb211c80319c-b7ad6b7169203331-01"
+    rows = [(1, good), (2, "00-SHORT-bad-xx"), (3, good.upper())]
+    out = {r["id"]: r for r in trace_parser(spark.createDataFrame(rows, "id int, tp string"), "tp").collect()}
+    assert out[1]["trace_id"] == "0af7651916cd43dd8448eb211c80319c"
+    assert out[1]["span_id"] == "b7ad6b7169203331"
+    assert out[1]["trace_flags"] == 1 and out[1]["trace_sampled"] is True
+    assert out[2]["trace_id"] is None and out[2]["trace_sampled"] is None
+    assert out[3]["trace_id"] == out[1]["trace_id"]  # case-normalized

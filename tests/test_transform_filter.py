@@ -180,3 +180,16 @@ def test_recombine_max_batch_monster_conv(spark):
     # unbounded path unchanged: one row, no chunk column
     whole = recombine(df, "conv_id", "turn_idx", F.col("is_first"))
     assert "chunk_id" not in whole.columns and whole.count() == 1
+
+
+def test_adaptive_head_sampler(spark):
+    rows = [("hot", i) for i in range(100)] + [("rare", 0), ("rare", 1)]
+    df = spark.createDataFrame(rows, "k string, i int")
+    out = flt.adaptive_head_sampler(df, ["k"], 10, tiebreak_cols=["k", "i"])
+    counts = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # hot key capped at target; rare key passes untouched
+    assert counts == {"hot": 10, "rare": 2}
+    # deterministic: same input -> same kept set
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in flt.adaptive_head_sampler(df, ["k"], 10, tiebreak_cols=["k", "i"]).collect()}
+    assert a == b
