@@ -130,3 +130,41 @@ def test_recombine_reassembles_exactly(spark):
         )
         rebuilt = "\n".join(c for _o, c in segs).split("\n")
         assert rebuilt == [f"line-{conv}-{i}" for i in range(25)]
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    h=st.integers(0, 99),
+    m=st.integers(0, 59),
+    s=st.integers(0, 59),
+    ms=st.integers(0, 999),
+)
+def test_duration_parser_roundtrip(spark, h, m, s, ms):
+    """Duration('XhYmZsWms') == X*3600 + Y*60 + Z + W/1000 for every
+    combination (the Go-duration grammar the converter must honor)."""
+    from opentelemetry_collector_contrib_spark.functions.ottl import OTTL_FUNCTIONS as O
+
+    text = f"{h}h{m}m{s}s{ms}ms"
+    got = spark.range(1).select(O["Duration"](F.lit(text)).alias("d")).collect()[0]["d"]
+    assert got == pytest.approx(h * 3600 + m * 60 + s + ms / 1000)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=rows, target=st.integers(1, 5))
+def test_adaptive_sampler_cap_property(spark, data, target):
+    """Every key keeps min(volume, target) rows, and the kept set is a
+    subset of the input — for every input."""
+    from opentelemetry_collector_contrib_spark.operators.filter import adaptive_head_sampler
+
+    df = spark.createDataFrame(
+        [(c, i, r, t, tool, off) for (c, i, r, t, tool, off) in data],
+        "conv_id string, turn_idx int, role string, text string, tool string, off long",
+    ).dropDuplicates(["conv_id", "turn_idx"])
+    out = adaptive_head_sampler(df, ["role"], target, tiebreak_cols=["conv_id", "turn_idx"])
+    in_counts = {r["role"]: r["n"] for r in df.groupBy("role").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out_counts = {r["role"]: r["n"] for r in out.groupBy("role").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for role, n in in_counts.items():
+        assert out_counts.get(role, 0) == min(n, target)
+    kept = {(r["conv_id"], r["turn_idx"]) for r in out.select("conv_id", "turn_idx").collect()}
+    allr = {(r["conv_id"], r["turn_idx"]) for r in df.select("conv_id", "turn_idx").collect()}
+    assert kept <= allr
