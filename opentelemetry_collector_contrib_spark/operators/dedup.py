@@ -296,14 +296,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     the step that turns pairwise similarity into an actionable keep/drop
     set: keep rows where doc == cluster_rep.
 
-    Algorithm: iterative min-label propagation — each round every node
-    adopts the smallest label among itself and its neighbors; converges in
-    component-diameter rounds, with early stop on fixpoint (real near-dup
-    clusters are shallow: diameter ≤ a handful). Each round is two shuffles
-    on doc id — the standard large-graph CC shape (GraphX/GraphFrames run
-    the same loop); the driver only orchestrates, never holds data. Labels
-    are localCheckpoint'ed per round so the plan doesn't accrete the whole
-    iteration history."""
+    Algorithm: iterative min-label propagation with POINTER-DOUBLING
+    shortcutting — each round every node adopts the smallest label among
+    itself and its neighbors, then labels chase their own label's label
+    (label = label[label]), halving chain depth. Convergence is
+    O(log diameter) rounds instead of O(diameter), which is what makes a
+    pathological million-doc spam chain terminate in ~20 rounds at 100 TB.
+    Each round is a bounded number of shuffles on doc id — the standard
+    large-graph CC shape (GraphX/GraphFrames run the same loop); the driver
+    only orchestrates, never holds data. Labels are localCheckpoint'ed per
+    round so the plan doesn't accrete the whole iteration history."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -320,11 +322,18 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(neighbor_min, labels["doc"] == neighbor_min["src"], "left").select(
+            "doc",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        )
+        # pointer doubling: label <- label[label] (labels are doc ids, so a
+        # self-join resolves one hop; chains halve every round)
+        lbl_of_lbl = propagated.select(F.col("doc").alias("_l"), F.col("label").alias("_ll"))
         new_labels = (
-            labels.join(neighbor_min, labels["doc"] == neighbor_min["src"], "left")
+            propagated.join(lbl_of_lbl, propagated["label"] == lbl_of_lbl["_l"], "left")
             .select(
                 "doc",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

@@ -141,3 +141,37 @@ def service_graph_edges(
     return edges.groupBy(F.col("_caller").alias("caller"), F.col(node_col).alias("callee")).agg(
         F.count(F.lit(1)).alias("call_count")
     )
+
+
+# ---------------------------------------------------------------------------
+
+
+def robust_anomaly_score(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-dim robust outlier scoring — the relational analogue of the
+    isolationforestprocessor's anomaly flagging (that processor trains
+    per-stream isolation trees; the deterministic, oracle-checkable
+    equivalent for a value column is the modified z-score over median/MAD,
+    the standard robust detector). score = 0.6745*(x - median)/MAD;
+    |score| > z_threshold flags the row. Exact percentiles so any engine
+    reproduces the verdicts; two hash aggregations + two broadcast-size
+    joins on the (low-cardinality) dim key."""
+    med = df.groupBy(*dims).agg(F.expr(f"percentile({value_col}, 0.5)").alias("_med"))
+    with_med = df.join(med, dims)
+    mad = with_med.groupBy(*dims).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    scored = with_med.join(mad, dims).withColumn(
+        "anomaly_score",
+        F.when(
+            F.col("_mad") > 0,
+            F.round(F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"), 6),
+        ),
+    )
+    return scored.withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("anomaly_score")) > z_threshold, F.lit(False))
+    ).drop("_med", "_mad")

@@ -407,6 +407,15 @@ def q_metrics_generation(spark, sf_dir):
     return metrics_generation_ratio(ev, ["hour_start"], "event_type", "value", "purchase", "view")
 
 
+def q_anomaly_scores(spark, sf_dir):
+    """Robust per-type outlier scoring over the events value stream (the
+    isolationforest-processor-shaped hygiene stage, deterministic form)."""
+    from ..operators.templates import robust_anomaly_score
+
+    out = robust_anomaly_score(_events(spark, sf_dir), ["event_type"], "value")
+    return out.select("event_id", "event_type", "anomaly_score", "is_anomaly")
+
+
 def q_service_graph(spark, sf_dir):
     from ..operators.templates import service_graph_edges
 
@@ -656,6 +665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cardinality_guard": q_cardinality_guard,
     "metrics_generation_ratio": q_metrics_generation,
     "service_graph_edges": q_service_graph,
+    "events_anomaly_scores": q_anomaly_scores,
     "events_count_by_type": q_count_by_type,
     "events_sum_by_type": q_sum_by_type,
     "events_logdedup": q_logdedup,
@@ -1044,6 +1054,17 @@ SELECT hour_start, num_total, den_total,
   CASE WHEN den_total <> 0
        THEN round(CAST(num_total AS DOUBLE) / CAST(den_total AS DOUBLE), 6) END AS ratio
 FROM g"""
+
+    o["events_anomaly_scores"] = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1),
+wm AS (SELECT e.*, med.m FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d FROM wm GROUP BY 1),
+s AS (SELECT wm.event_id, wm.event_type,
+        CASE WHEN mad.d > 0 THEN round(0.6745 * (wm.value - wm.m) / mad.d, 6) END AS anomaly_score
+      FROM wm JOIN mad USING (event_type))
+SELECT event_id, event_type, anomaly_score,
+       coalesce(abs(anomaly_score) > 3.5, false) AS is_anomaly
+FROM s"""
 
     o["service_graph_edges"] = (
         cte

@@ -189,3 +189,21 @@ def test_ivf_nprobe_recall(spark):
     # probing more cells can only widen the candidate set
     assert rec3 >= rec1
     assert rec3 >= 0.4
+
+
+def test_dup_clusters_long_chain_pointer_doubling(spark):
+    """A 60-node path graph (worst-case diameter) must converge well inside
+    max_iters thanks to pointer doubling — plain min-propagation would need
+    59 rounds."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(59)], "doc_a long, doc_b long")
+    out = dedup.dup_clusters(pairs, max_iters=12).collect()
+    assert len(out) == 60
+    assert all(r["cluster_rep"] == 0 for r in out)
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    import pytest as pt
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(59)], "doc_a long, doc_b long")
+    with pt.raises(RuntimeError):
+        dedup.dup_clusters(pairs, max_iters=1)

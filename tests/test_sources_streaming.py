@@ -187,3 +187,46 @@ def test_streaming_sink_fanout_idempotent_replay(spark, stream_input, tmp_path, 
     run("ck_b")  # replay of batch 0
     second = {n: spark.read.parquet(f"{base}/{n}").count() for n in ("errors", "tool_events", "general")}
     assert first == second
+
+
+def test_streaming_recombine_state_continuity(spark, tmp_path):
+    """run_id numbering must CONTINUE across restarts from the same
+    checkpoint: segments closed in a later run must not collide with keys
+    emitted earlier (the force-flush counter-preservation contract)."""
+    d = tmp_path / "cont_in"
+    d.mkdir()
+    ck = str(tmp_path / "cont_ck")
+
+    def write(name, rows):
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def row(i, role, text):
+        return {"conv_id": "c1", "turn_idx": i, "role": role, "text": text,
+                "tool": "none", "ts": f"2025-01-01T00:00:{i:02d}.000Z"}
+
+    out_dir = str(tmp_path / "cont_out")
+
+    def drain():
+        src = transcripts_stream(spark, str(d) + "/*.json").withColumn(
+            "is_first", F.col("role") == "user"
+        )
+        sdf = streaming_recombine(src, flush_timeout_ms=None)
+        # file sink: supports checkpoint recovery (memory sink does not)
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["run_id"]: r["combined"] for r in spark.read.parquet(out_dir).collect()}
+
+    # run 1: run 0 closes at the second user turn; run 1 stays in state
+    write("b1.json", [row(0, "user", "a"), row(1, "assistant", "b"), row(2, "user", "c")])
+    got1 = drain()
+    assert got1 == {0: "a\nb"}
+    # run 2 (same checkpoint): new user turn closes the in-flight run 1
+    write("b2.json", [row(3, "assistant", "d"), row(4, "user", "e")])
+    got2 = drain()
+    assert got2 == {0: "a\nb", 1: "c\nd"}  # continues at 1 — no collision
