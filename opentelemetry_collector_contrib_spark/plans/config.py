@@ -22,6 +22,11 @@ Spec shape (all sections optional except source):
                   "table": [{"name": "errors", "condition": "status == \\"err\\"",
                              "mode": "move"}]},
       "order":   {"enabled": True},
+      "sample":  {"kind": "adaptive", "keys": ["pattern_id"],
+                  "target_per_key": 500},                # or probabilistic[_portable]/mod
+      "tail_sampling": {"policies": [{"name": "errs", "type": "status_code",
+                                      "values": ["err"]}],
+                        "rate_limit_per_minute": 100},
       "aggregates": {"per_conv": {"keys": ["route_id", "conv_id"]}},
     }
 """
@@ -32,7 +37,17 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-VALID_SECTIONS = {"source", "parse", "transform", "filter", "enrich", "routes", "order", "aggregates"}
+VALID_SECTIONS = {
+    "source", "parse", "transform", "filter", "enrich", "routes", "order",
+    "aggregates", "sample", "tail_sampling",
+}
+
+_SAMPLE_KINDS = {"probabilistic", "probabilistic_portable", "mod", "adaptive"}
+_TAIL_POLICY_TYPES = {
+    "latency", "numeric_attribute", "string_attribute", "boolean_attribute",
+    "status_code", "span_count", "probabilistic", "ottl_condition",
+    "and", "or", "not", "drop",
+}
 
 
 def validate_spec(spec: dict[str, Any]) -> None:
@@ -56,6 +71,17 @@ def validate_spec(spec: dict[str, Any]) -> None:
                 raise ValueError(f"route {r.get('name')}: condition is required")
             if r.get("mode", "move") not in ("move", "copy"):
                 raise ValueError(f"route {r['name']}: mode must be move|copy")
+    sample = spec.get("sample")
+    if sample is not None:
+        if sample.get("kind") not in _SAMPLE_KINDS:
+            raise ValueError(f"sample.kind must be one of {sorted(_SAMPLE_KINDS)}")
+        if sample["kind"] == "adaptive" and not sample.get("keys"):
+            raise ValueError("sample.keys is required for adaptive sampling")
+    for p in spec.get("tail_sampling", {}).get("policies", []):
+        if not p.get("name"):
+            raise ValueError("every tail-sampling policy needs a name")
+        if p.get("type") not in _TAIL_POLICY_TYPES:
+            raise ValueError(f"tail-sampling policy {p['name']}: unknown type {p.get('type')!r}")
     # compile-at-startup: surface OTTL syntax errors here
     from ..functions.ottl_compiler import parse_condition, parse_statement
 
@@ -65,6 +91,9 @@ def validate_spec(spec: dict[str, Any]) -> None:
         parse_condition(cond)
     for r in spec.get("routes", {}).get("table", []):
         parse_condition(r["condition"])
+    for p in spec.get("tail_sampling", {}).get("policies", []):
+        if p["type"] == "ottl_condition":
+            parse_condition(p["condition"])
 
 
 def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
@@ -107,9 +136,41 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         )
         df = apply_routes(df, table)
 
+    sample = spec.get("sample")
+    if sample:
+        from ..operators import filter as flt
+
+        kind = sample["kind"]
+        if kind == "probabilistic":
+            df = flt.probabilistic_sampler(df, sample["key"], sample["percent"])
+        elif kind == "probabilistic_portable":
+            df = flt.probabilistic_sampler_portable(df, sample["key"], sample["percent"])
+        elif kind == "mod":
+            df = flt.deterministic_sampler_mod(df, sample["key"], sample["modulus"], sample["keep_under"])
+        else:  # adaptive
+            df = flt.adaptive_head_sampler(
+                df, sample["keys"], sample["target_per_key"], sample.get("tiebreak_cols")
+            )
+
     if spec.get("order", {}).get("enabled", True):
         df = stable_order(df)
     return df
+
+
+def build_tail_sampling(df: DataFrame, spec: dict[str, Any]) -> DataFrame | None:
+    """Compile the tail_sampling section into the per-trace verdict frame
+    (None when the section is absent)."""
+    ts = spec.get("tail_sampling")
+    if not ts:
+        return None
+    from ..operators.recombine import tail_sampling_policies
+
+    return tail_sampling_policies(
+        df,
+        ts["policies"],
+        trace_col=ts.get("trace_col", "conv_id"),
+        rate_limit_per_minute=ts.get("rate_limit_per_minute"),
+    )
 
 
 def build_aggregates(df: DataFrame, spec: dict[str, Any]) -> dict[str, DataFrame]:

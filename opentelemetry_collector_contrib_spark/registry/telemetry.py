@@ -407,6 +407,18 @@ def q_metrics_generation(spark, sf_dir):
     return metrics_generation_ratio(ev, ["hour_start"], "event_type", "value", "purchase", "view")
 
 
+def q_active_users_hourly(spark, sf_dir):
+    """grafanacloudconnector host-metrics shape: distinct active entities
+    per time window. Exact count for the oracle gate;
+    approx_count_distinct (HLL) is the constant-memory 100 TB path (same
+    swap as cardinality_guard)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "hour_start",
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600).cast("bigint"),
+    )
+    return ev.groupBy("hour_start").agg(F.count_distinct("user_id").alias("active_users"))
+
+
 def q_anomaly_scores(spark, sf_dir):
     """Robust per-type outlier scoring over the events value stream (the
     isolationforest-processor-shaped hygiene stage, deterministic form)."""
@@ -666,6 +678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_generation_ratio": q_metrics_generation,
     "service_graph_edges": q_service_graph,
     "events_anomaly_scores": q_anomaly_scores,
+    "events_active_users_hourly": q_active_users_hourly,
     "events_count_by_type": q_count_by_type,
     "events_sum_by_type": q_sum_by_type,
     "events_logdedup": q_logdedup,
@@ -1054,6 +1067,10 @@ SELECT hour_start, num_total, den_total,
   CASE WHEN den_total <> 0
        THEN round(CAST(num_total AS DOUBLE) / CAST(den_total AS DOUBLE), 6) END AS ratio
 FROM g"""
+
+    o["events_active_users_hourly"] = f"""
+SELECT {win3600} AS hour_start, count(DISTINCT user_id) AS active_users
+FROM events GROUP BY 1"""
 
     o["events_anomaly_scores"] = """
 WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1),

@@ -193,3 +193,41 @@ def test_config_validation():
         validate_spec({"source": {"path": "x"}, "transform": ["set(x"]})
     with pytest.raises(ValueError):
         validate_spec({"source": {"path": "x"}, "bogus_section": {}})
+
+def test_config_sample_and_tail_sampling(spark):
+    from opentelemetry_collector_contrib_spark.fixtures import dims_dir, ensure_dims, ensure_tier
+    from opentelemetry_collector_contrib_spark.plans.config import build_pipeline, build_tail_sampling
+
+    ensure_dims()
+    spec = {
+        "source": {"path": ensure_tier("t1")},
+        "parse": {"bank": "native"},
+        "enrich": [{"dim_path": dims_dir() + "/role_dim.parquet", "key": "role",
+                    "defaults": {"role_group": "unknown"}}],
+        "routes": {"default": "general",
+                   "table": [{"name": "errors", "condition": 'status == "err"', "mode": "move"}]},
+        "sample": {"kind": "adaptive", "keys": ["pattern_id"], "target_per_key": 50,
+                   "tiebreak_cols": ["conv_id", "turn_idx"]},
+        "tail_sampling": {"policies": [{"name": "errs", "type": "status_code", "values": ["err"]}]},
+    }
+    routed = build_pipeline(spark, spec)
+    counts = {r["pattern_id"]: r["n"] for r in
+              routed.groupBy("pattern_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 50 for n in counts.values())
+    verdicts = build_tail_sampling(routed, spec)
+    assert set(verdicts.columns) >= {"conv_id", "errs", "sampled"}
+    assert verdicts.count() > 0
+
+
+def test_config_sample_validation():
+    with pytest.raises(ValueError):
+        validate_spec({"source": {"path": "x"}, "sample": {"kind": "bogus"}})
+    with pytest.raises(ValueError):
+        validate_spec({"source": {"path": "x"}, "sample": {"kind": "adaptive"}})
+    with pytest.raises(ValueError):
+        validate_spec({"source": {"path": "x"},
+                       "tail_sampling": {"policies": [{"name": "x", "type": "nope"}]}})
+    with pytest.raises(ValueError):
+        validate_spec({"source": {"path": "x"},
+                       "tail_sampling": {"policies": [{"name": "x", "type": "ottl_condition",
+                                                       "condition": "BadFn(y)"}]}})
