@@ -437,3 +437,47 @@ def embedding_dup_pairs_bucketed(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram span detection (exact-substring dedup, positional form)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Positional n-gram spans that repeat across >= min_docs documents —
+    the relational form of exact-substring training-data dedup (suffix-array
+    pipelines flag long verbatim repeats; the positional n-gram inverted
+    index finds every such span of length >= n, since any longer repeat is
+    covered by its n-token windows).
+
+    Plan: tokenize once, explode (doc, position, ngram) — NOT distinct, so
+    every occurrence keeps its position — then one aggregation per ngram
+    counting distinct docs, joined back to positions. The join is an
+    equi-join on the 60-bit ngram hash; at corpus scale a doc-frequency cap
+    on the hot ngrams (boilerplate) bounds the skew exactly like
+    jaccard_pairs' max_doc_freq. Output: (doc, start_pos, ngram_hash,
+    n_docs) — the spans a curation pass would mask or drop."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+    grams = toks.select(
+        "doc",
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start_pos", "_gram"),
+    ).select("doc", "start_pos", h60(F.col("_gram")).alias("ngram_hash"))
+    df_counts = grams.groupBy("ngram_hash").agg(F.count_distinct("doc").alias("n_docs")).filter(
+        F.col("n_docs") >= min_docs
+    )
+    return grams.join(df_counts, "ngram_hash").select("doc", "start_pos", "ngram_hash", "n_docs")

@@ -177,3 +177,42 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         h60(norm).alias("fp_exact"),
         min_md5.alias("fp_shingle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-data windowing)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunks per document — the standard
+    pretraining/RAG windowing step: windows of `chunk_tokens` tokens with
+    `overlap` tokens of context carried between consecutive chunks.
+    Pure array expressions (tokenize once, slice per window, posexplode);
+    the chunk count per doc is ceil((n_tok - overlap) / stride), always
+    >= 1 so short documents still emit one (possibly short) chunk."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n_tok = F.greatest(F.size("_toks"), F.lit(1))
+    n_chunks = F.ceil((n_tok - F.lit(overlap)) / F.lit(stride)).cast("int")
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+    chunks = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(starts, lambda c: F.slice(F.col("_toks"), c * stride + 1, chunk_tokens))
+        ).alias("chunk_idx", "_chunk"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
+        F.size(F.col("_chunk")).cast("long").alias("chunk_tokens"),
+    )

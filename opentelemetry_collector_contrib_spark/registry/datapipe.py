@@ -214,7 +214,21 @@ def q_dedup_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def q_ngram_spans(spark, sf_dir):
+    from ..operators.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(_docs(spark, sf_dir), "doc_id", n=5, min_docs=2)
+
+
+def q_text_chunks(spark, sf_dir):
+    from ..operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_ngram_spans": q_ngram_spans,
+    "text_chunks": q_text_chunks,
     "curation_e2e": q_curation_e2e,
     "container_parse": q_container_parse,
     "dedup_near_clusters": q_dedup_clusters,
@@ -428,6 +442,34 @@ SELECT a.doc AS doc_a, b.doc AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    )
+
+    o["dedup_ngram_spans"] = (
+        _DOC_TOKS_CTE
+        + f""",
+spans AS (
+  SELECT doc_id AS doc, CAST(i - 1 AS INT) AS start_pos,
+         {sql_h60("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS ngram_hash
+  FROM tokd, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+  WHERE len(toks) >= 5),
+cnt AS (SELECT ngram_hash, count(DISTINCT doc) AS n_docs
+        FROM spans GROUP BY 1 HAVING count(DISTINCT doc) >= 2)
+SELECT s.doc, s.start_pos, s.ngram_hash, c.n_docs
+FROM spans s JOIN cnt c USING (ngram_hash)"""
+    )
+
+    o["text_chunks"] = (
+        _DOC_TOKS_CTE
+        + """,
+p AS (SELECT doc_id, toks, greatest(len(toks), 1) AS n_tok FROM tokd),
+c AS (SELECT doc_id, toks, CAST(ceil((n_tok - 4) / 12.0) AS INT) AS n_chunks FROM p),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              list_slice(toks, i * 12 + 1, i * 12 + 16) AS chunk
+       FROM c, unnest(generate_series(0, greatest(n_chunks, 1) - 1)) AS t(i))
+SELECT doc_id, chunk_idx,
+       array_to_string(chunk, ' ') AS chunk_text,
+       CAST(len(chunk) AS BIGINT) AS chunk_tokens
+FROM ch"""
     )
 
     o["container_parse"] = r"""

@@ -207,3 +207,42 @@ def test_dup_clusters_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(59)], "doc_a long, doc_b long")
     with pt.raises(RuntimeError):
         dedup.dup_clusters(pairs, max_iters=1)
+
+
+def test_duplicated_ngram_spans(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "prefix alpha beta gamma delta epsilon suffix"),   # shares a 5-gram span
+        (2, "nothing in common here at all friends"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.duplicated_ngram_spans(df, "doc_id", n=5, min_docs=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], []).append(r["start_pos"])
+    # "alpha beta gamma delta epsilon" at pos 0 in doc0, pos 1 in doc1
+    assert by_doc[0] == [0] and by_doc[1] == [1]
+    assert 2 not in by_doc
+    assert all(r["n_docs"] == 2 for r in out)
+
+
+def test_chunk_documents(spark):
+    from opentelemetry_collector_contrib_spark.operators.textstats import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(0, words), (1, "short doc"), (2, "")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=16, overlap=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_tokens"], r["chunk_text"]))
+    # 30 tokens, stride 12: chunks at 0 (16 toks), 12 (16 toks), 24 (6 toks)
+    c0 = sorted(got[0])
+    assert [(i, n) for i, n, _ in c0] == [(0, 16), (1, 16), (2, 6)]
+    assert c0[1][2].split(" ")[0] == "w12"          # overlap carried
+    assert c0[0][2].split(" ")[-4:] == ["w12", "w13", "w14", "w15"]
+    assert got[1] == [(0, 2, "short doc")]
+    assert got[2] == [(0, 0, "")]                   # empty doc -> one empty chunk
+
+    import pytest as pt
+    with pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
