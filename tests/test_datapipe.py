@@ -246,3 +246,18 @@ def test_chunk_documents(spark):
     import pytest as pt
     with pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    from opentelemetry_collector_contrib_spark.operators.dedup import cosine
+    from opentelemetry_collector_contrib_spark.operators.similarity import dequantize, quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id").withColumn(
+        "recon_cos", cosine(F.col("embedding"), dequantize(F.col("q_vec"), F.col("q_scale")))
+    )
+    rows = joined.select("recon_cos", "q_vec").collect()
+    # int8 quantization preserves direction: cosine(x, x_hat) ~ 1
+    assert all(r["recon_cos"] > 0.999 for r in rows)
+    assert all(-127 <= v <= 127 for r in rows for v in r["q_vec"])
