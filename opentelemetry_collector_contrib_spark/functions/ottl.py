@@ -208,6 +208,23 @@ OTTL_FUNCTIONS.update(
     }
 )
 
+# --- XML family (func_parse_xml.go, func_parse_simplified_xml.go,
+# func_get_xml.go) — Spark 4 ships from_xml + the xpath_* family natively.
+OTTL_FUNCTIONS.update(
+    {
+        # ParseXML: full parse to a typed struct ("_attr" fields carry
+        # attributes, matching from_xml's attributePrefix='_' default)
+        "ParseXML": lambda col, schema: F.from_xml(_c(col), schema),
+        # ParseSimplifiedXML: the reference flattens to text content only —
+        # declare a text-content schema and from_xml does the same
+        "ParseSimplifiedXML": lambda col, schema: F.from_xml(_c(col), schema),
+        # GetXML: xpath subset extraction
+        "GetXML": lambda col, xp: F.xpath_string(_c(col), F.lit(xp)),
+        "GetXMLInt": lambda col, xp: F.xpath_long(_c(col), F.lit(xp)),
+        "GetXMLAll": lambda col, xp: F.xpath(_c(col), F.lit(xp)),
+    }
+)
+
 # --- duration converters (math.go time arithmetic; durations as seconds) ----
 OTTL_FUNCTIONS.update(
     {

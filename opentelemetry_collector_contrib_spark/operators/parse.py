@@ -371,3 +371,10 @@ def trace_parser(df: DataFrame, source: str) -> DataFrame:
         F.conv(flags, 16, 10).cast("int").alias("trace_flags"),
         (F.conv(flags, 16, 10).cast("int").bitwiseAND(F.lit(1)) == 1).alias("trace_sampled"),
     )
+
+
+def xml_parser(df: DataFrame, source: str, schema: str, dest: str = "parsed_xml") -> DataFrame:
+    """operator/parser/xml — XML string → typed struct via Spark 4's native
+    from_xml (attributes surface as '_name' fields); malformed input yields
+    null (on_error=send). Pair with GetXML/xpath for subset extraction."""
+    return df.withColumn(dest, F.expr(f"from_xml({source}, '{schema}')"))

@@ -570,6 +570,34 @@ def q_syslog_octet_frames(spark, sf_dir):
     return out.select("doc_id", "frame_idx", "frame")
 
 
+def q_xml_parse(spark, sf_dir):
+    """xml_parser + GetXML over synthesized XML (Spark 4 native from_xml /
+    xpath). The oracle reconstructs the expected fields from the synthesis
+    inputs — ground truth, since DuckDB has no XML engine."""
+    from ..operators.parse import xml_parser
+
+    docs = _docs(spark, sf_dir)
+    body = F.trim(F.substring(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""), 1, 20))
+    xml = F.concat(
+        F.lit('<doc lang="'), F.col("lang"), F.lit('"><src>'), F.col("source"),
+        F.lit("</src><n>"), F.col("n_chars").cast("string"), F.lit("</n><body>"),
+        body, F.lit("</body></doc>"),
+    )
+    parsed = xml_parser(
+        docs.select("doc_id", xml.alias("xml")),
+        "xml",
+        "struct<_lang:string, src:string, n:bigint, body:string>",
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("parsed_xml._lang").alias("xml_lang"),
+        F.col("parsed_xml.src").alias("xml_src"),
+        F.col("parsed_xml.n").alias("xml_n"),
+        F.col("parsed_xml.body").alias("xml_body"),
+        F.xpath_long(F.col("xml"), F.lit("/doc/n")).alias("xpath_n"),
+    )
+
+
 def q_traceparent_parse(spark, sf_dir):
     """stanza trace_parser over synthesized W3C traceparent headers (1-in-7
     malformed to exercise the on_error -> null path)."""
@@ -669,6 +697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syslog_rfc5424_parse": q_syslog_rfc5424,
     "syslog_rfc3164_parse": q_syslog_rfc3164,
     "syslog_octet_frames": q_syslog_octet_frames,
+    "xml_parse_fields": q_xml_parse,
     "traceparent_parse": q_traceparent_parse,
     "adaptive_head_sample": q_adaptive_head_sample,
     "events_metrics_label_merge": q_metrics_label_merge,
@@ -928,6 +957,16 @@ SELECT doc_id,
   CAST(nullif(regexp_extract(line, '{RFC3164_RE}', 5), '') AS INT) AS syslog_pid,
   regexp_extract(line, '{RFC3164_RE}', 6) AS syslog_message
 FROM l"""
+
+    # ground truth from the synthesis recipe (DuckDB has no XML engine)
+    o["xml_parse_fields"] = """
+SELECT doc_id,
+  lang AS xml_lang,
+  source AS xml_src,
+  CAST(n_chars AS BIGINT) AS xml_n,
+  nullif(trim(substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 20)), '') AS xml_body,
+  CAST(n_chars AS BIGINT) AS xpath_n
+FROM documents"""
 
     from ..operators.parse import TRACEPARENT_RE
 

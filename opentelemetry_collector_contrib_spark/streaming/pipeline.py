@@ -236,3 +236,38 @@ def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str, outpu
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_session_counts(
+    df: DataFrame,
+    dims: list[str],
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time SESSION windows: rows within `gap` of each other merge
+    into one session per dim key (Spark's session_window). This is the
+    watermarked generalization of the reference's recombine
+    force_flush_period — the session closes `gap` after the last event
+    instead of on a processing-time timer, so late data within the
+    watermark still lands in its session. Works identically on batch
+    DataFrames (same function, no watermark needed)."""
+    grouped = (
+        df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    )
+    return (
+        grouped.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *dims,
+            "n_rows",
+            "first_ts",
+            "last_ts",
+        )
+    )

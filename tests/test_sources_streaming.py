@@ -230,3 +230,30 @@ def test_streaming_recombine_state_continuity(spark, tmp_path):
     write("b2.json", [row(3, "assistant", "d"), row(4, "user", "e")])
     got2 = drain()
     assert got2 == {0: "a\nb", 1: "c\nd"}  # continues at 1 — no collision
+
+
+def test_session_windows_batch_and_stream(spark, stream_input, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import streaming_session_counts
+
+    # batch semantics: c1 turns at 00:00:00, 00:00:10 then 00:01:05, 00:01:06
+    # with a 30s gap -> two sessions of 2 turns each
+    batch = spark.read.json(stream_input + "/*.json").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = streaming_session_counts(batch.filter(F.col("conv_id") == "c1"), ["conv_id"], gap="30 seconds")
+    rows = sorted(out.collect(), key=lambda r: r["session_start"])
+    assert [r["n_rows"] for r in rows] == [2, 2]
+    assert rows[0]["session_end"] > rows[0]["last_ts"]  # gap extends past last event
+    # streaming drain produces the same closed sessions
+    sdf = streaming_session_counts(
+        transcripts_stream(spark, stream_input + "/*.json").filter(F.col("conv_id") == "c1"),
+        ["conv_id"],
+        gap="30 seconds",
+    )
+    # complete mode: append would hold sessions open until the watermark
+    # passes their end, which a single availableNow drain never reaches
+    run_available_now(sdf, "sessions", str(tmp_path / "ck_sess"), output_mode="complete")
+    srows = sorted(spark.table("sessions").collect(), key=lambda r: r["session_start"])
+    assert [(r["session_start"], r["n_rows"]) for r in srows] == [
+        (r["session_start"], r["n_rows"]) for r in rows
+    ]
