@@ -570,6 +570,18 @@ def q_syslog_octet_frames(spark, sf_dir):
     return out.select("doc_id", "frame_idx", "frame")
 
 
+def q_time_parse(spark, sf_dir):
+    """time_parser over the syslog rows' extracted ISO timestamps — string
+    layout → typed timestamp → epoch micros (engine-neutral output)."""
+    from ..operators.parse import time_parser
+
+    r = _routed(spark, sf_dir).filter(F.col("pattern_id") == "syslog")
+    out = time_parser(r, "log_ts")
+    return out.select(
+        "conv_id", "turn_idx", F.unix_micros(F.col("event_ts")).alias("event_ts_us")
+    )
+
+
 def q_xml_parse(spark, sf_dir):
     """xml_parser + GetXML over synthesized XML (Spark 4 native from_xml /
     xpath). The oracle reconstructs the expected fields from the synthesis
@@ -698,6 +710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syslog_rfc3164_parse": q_syslog_rfc3164,
     "syslog_octet_frames": q_syslog_octet_frames,
     "xml_parse_fields": q_xml_parse,
+    "time_parse_fields": q_time_parse,
     "traceparent_parse": q_traceparent_parse,
     "adaptive_head_sample": q_adaptive_head_sample,
     "events_metrics_label_merge": q_metrics_label_merge,
@@ -957,6 +970,14 @@ SELECT doc_id,
   CAST(nullif(regexp_extract(line, '{RFC3164_RE}', 5), '') AS INT) AS syslog_pid,
   regexp_extract(line, '{RFC3164_RE}', 6) AS syslog_message
 FROM l"""
+
+    o["time_parse_fields"] = (
+        cte
+        + """
+SELECT conv_id, turn_idx,
+       epoch_us(strptime(log_ts, '%Y-%m-%dT%H:%M:%S')) AS event_ts_us
+FROM ordered WHERE pattern_id = 'syslog'"""
+    )
 
     # ground truth from the synthesis recipe (DuckDB has no XML engine)
     o["xml_parse_fields"] = """
