@@ -23,6 +23,13 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="sink base path")
     ap.add_argument("--vectorized", action="store_true", help="use the pandas-UDF parse bank")
     ap.add_argument("--repartition-conv", type=int, default=None, help="explicit conv_id hash partitions pre-agg")
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="JSON pipeline spec (plans/config.py schema) — the YAML-config "
+        "lifecycle; overrides the built-in fixture pipeline (still uses "
+        "--output for sinks)",
+    )
     args = ap.parse_args()
 
     # spark-submit provides the session; builder.getOrCreate attaches to it
@@ -45,14 +52,40 @@ def main() -> None:
     metrics = PipelineMetrics(run_id=uuid.uuid4().hex)
     cfg = PipelineConfig(vectorized_parse=args.vectorized, repartition_conv=args.repartition_conv)
     with metrics.time_stage("build_and_persist"):
-        routed = build_routed(spark, args.input, cfg).persist()
+        if args.config:
+            from opentelemetry_collector_contrib_spark.plans.config import build_pipeline
+
+            with open(args.config) as f:
+                spec = json.load(f)
+            routed = build_pipeline(spark, spec).persist()
+        else:
+            routed = build_routed(spark, args.input, cfg).persist()
         metrics.input_rows = routed.count()
     try:
-        sinks = sink_frames(routed, cfg.routes)
+        if args.config and spec.get("routes"):
+            from opentelemetry_collector_contrib_spark.functions.ottl_compiler import parse_condition
+            from opentelemetry_collector_contrib_spark.operators.route import Route, RouteTable
+
+            table = RouteTable(
+                routes=[
+                    Route(r["name"], parse_condition(r["condition"]), r.get("mode", "move"))
+                    for r in spec["routes"]["table"]
+                ],
+                default=spec["routes"].get("default", "general"),
+            )
+        else:
+            table = cfg.routes
+        sinks = sink_frames(routed, table)
         paths = write_sinks_resumable(routed, sinks, args.output, metrics=metrics)
         counts = {name: spark.read.parquet(p).count() for name, p in paths.items()}
         with metrics.time_stage("aggregates"):
-            for name, adf in pipeline_aggregates(routed).items():
+            if args.config:
+                from opentelemetry_collector_contrib_spark.plans.config import build_aggregates
+
+                aggs = build_aggregates(routed, spec)
+            else:
+                aggs = pipeline_aggregates(routed)
+            for name, adf in aggs.items():
                 adf.write.mode("overwrite").parquet(f"{args.output}/{name}")
                 counts[name] = adf.count()
         metrics.write(f"{args.output}/_metrics.json")
