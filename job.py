@@ -62,27 +62,28 @@ def main() -> None:
             routed = build_routed(spark, args.input, cfg).persist()
         metrics.input_rows = routed.count()
     try:
-        if args.config and spec.get("routes"):
-            from opentelemetry_collector_contrib_spark.functions.ottl_compiler import parse_condition
-            from opentelemetry_collector_contrib_spark.operators.route import Route, RouteTable
+        if args.config:
+            from opentelemetry_collector_contrib_spark.plans.config import route_table_from_spec
 
-            table = RouteTable(
-                routes=[
-                    Route(r["name"], parse_condition(r["condition"]), r.get("mode", "move"))
-                    for r in spec["routes"]["table"]
-                ],
-                default=spec["routes"].get("default", "general"),
-            )
+            table = route_table_from_spec(spec)
         else:
             table = cfg.routes
-        sinks = sink_frames(routed, table)
+        # a config with no routes section has no route_id column — the whole
+        # stream is one sink, the single-exporter topology
+        sinks = sink_frames(routed, table) if table is not None else {"all": routed}
         paths = write_sinks_resumable(routed, sinks, args.output, metrics=metrics)
         counts = {name: spark.read.parquet(p).count() for name, p in paths.items()}
         with metrics.time_stage("aggregates"):
             if args.config:
-                from opentelemetry_collector_contrib_spark.plans.config import build_aggregates
+                from opentelemetry_collector_contrib_spark.plans.config import (
+                    build_aggregates,
+                    build_tail_sampling,
+                )
 
                 aggs = build_aggregates(routed, spec)
+                verdicts = build_tail_sampling(routed, spec)
+                if verdicts is not None:
+                    aggs["tail_sampling_verdicts"] = verdicts
             else:
                 aggs = pipeline_aggregates(routed)
             for name, adf in aggs.items():

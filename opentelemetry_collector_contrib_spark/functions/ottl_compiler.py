@@ -287,21 +287,27 @@ class _Parser:
 
 def _merge_maps(target: Column, source: Column, strategy: str = "upsert") -> Column:
     """func_merge_maps.go strategies: insert (only keys absent from target),
-    update (only keys already in target), upsert (source wins)."""
+    update (only keys already in target), upsert (source wins). A NULL
+    source is a no-op and a NULL target adopts the source (insert/upsert) —
+    without the guards, NULL map_keys would poison the map_filter predicate
+    and silently wipe the target."""
     if strategy == "upsert":
-        return F.map_concat(
+        merged = F.map_concat(
             F.map_filter(target, lambda k, _v: ~F.array_contains(F.map_keys(source), k)), source
         )
-    if strategy == "insert":
-        return F.map_concat(
+    elif strategy == "insert":
+        merged = F.map_concat(
             target, F.map_filter(source, lambda k, _v: ~F.array_contains(F.map_keys(target), k))
         )
-    if strategy == "update":
-        return F.map_concat(
+    elif strategy == "update":
+        merged = F.map_concat(
             F.map_filter(target, lambda k, _v: ~F.array_contains(F.map_keys(source), k)),
             F.map_filter(source, lambda k, _v: F.array_contains(F.map_keys(target), k)),
         )
-    raise ValueError(f"merge_maps strategy {strategy!r} not in (insert, update, upsert)")
+    else:
+        raise ValueError(f"merge_maps strategy {strategy!r} not in (insert, update, upsert)")
+    fallback = target if strategy == "update" else F.coalesce(target, source)
+    return F.when(source.isNull() | target.isNull(), fallback).otherwise(merged)
 
 
 def _replace_all_patterns(target: Column, mode: str, pattern: str, rep: str) -> Column:

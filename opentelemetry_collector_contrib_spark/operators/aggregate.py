@@ -233,8 +233,11 @@ def metrics_transform_rows(
                     F.when(match, F.col(value_col) * F.lit(op["factor"])).otherwise(F.col(value_col)),
                 )
             elif act == "add_label":
+                # upsert: drop an existing key first — map_concat with a
+                # duplicate key throws under mapKeyDedupPolicy=EXCEPTION
                 added = F.map_concat(
-                    F.col(labels_col), F.create_map(F.lit(op["label"]), F.lit(op["value"]))
+                    F.map_filter(F.col(labels_col), lambda k, _v: k != op["label"]),
+                    F.create_map(F.lit(op["label"]), F.lit(op["value"])),
                 )
                 out = out.withColumn(labels_col, F.when(match, added).otherwise(F.col(labels_col)))
             elif act == "update_label":

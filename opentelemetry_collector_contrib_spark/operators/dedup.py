@@ -463,20 +463,27 @@ def duplicated_ngram_spans(
     equi-join on the 60-bit ngram hash; at corpus scale a doc-frequency cap
     on the hot ngrams (boilerplate) bounds the skew exactly like
     jaccard_pairs' max_doc_freq. Output: (doc, start_pos, ngram_hash,
-    n_docs) — the spans a curation pass would mask or drop."""
+    n_docs) — the spans a curation pass would mask or drop.
+
+    Positions explode FIRST and the window slice happens above the Generate
+    node, where the token array is a bound attribute — slicing inside a
+    transform() lambda would let projection collapse inline the tokenizer
+    per element (the O(tokens²) trap textstats.shingles_of documents)."""
     toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
-    grams = toks.select(
+    rows = toks.select(
         "doc",
-        F.posexplode(
-            F.when(
-                F.size("_toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("start_pos", "_gram"),
-    ).select("doc", "start_pos", h60(F.col("_gram")).alias("ngram_hash"))
+        "_toks",
+        F.explode(
+            F.when(F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    grams = rows.select(
+        "doc",
+        (F.col("i") - 1).alias("start_pos"),
+        h60(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("i"), F.lit(n)))).alias("ngram_hash"),
+    )
     df_counts = grams.groupBy("ngram_hash").agg(F.count_distinct("doc").alias("n_docs")).filter(
         F.col("n_docs") >= min_docs
     )

@@ -268,7 +268,10 @@ def sanitize_utf8(df: DataFrame, source: str, dest: str | None = None, flag_col:
 
 # --- syslog RFC fidelity (operator/parser/syslog/parser.go) ------------------
 
-RFC5424_RE = r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*\])(?: (.*))?$"
+# SD = '-' or one-or-more [...] elements; ']' inside an element is escaped
+# per RFC5424, so [^\]]* per element keeps a ']' in the MESSAGE out of the
+# SD capture (a greedy \[.*\] would swallow 'map[foo]'-style message text)
+RFC5424_RE = r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[[^\]]*\])+)(?: (.*))?$"
 RFC3164_RE = r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) ([^:\[ ]+)(?:\[(\d+)\])?: (.*)$"
 _SD_PARAM_RE = r'(\w+)="([^"]*)"'
 
@@ -377,4 +380,4 @@ def xml_parser(df: DataFrame, source: str, schema: str, dest: str = "parsed_xml"
     """operator/parser/xml — XML string → typed struct via Spark 4's native
     from_xml (attributes surface as '_name' fields); malformed input yields
     null (on_error=send). Pair with GetXML/xpath for subset extraction."""
-    return df.withColumn(dest, F.expr(f"from_xml({source}, '{schema}')"))
+    return df.withColumn(dest, F.from_xml(F.col(source), schema))

@@ -203,16 +203,19 @@ def chunk_documents(
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     n_tok = F.greatest(F.size("_toks"), F.lit(1))
     n_chunks = F.ceil((n_tok - F.lit(overlap)) / F.lit(stride)).cast("int")
-    starts = F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
-    chunks = toks.select(
+    # chunk indexes explode FIRST; the window slice runs above the Generate
+    # node where _toks is a bound attribute (tokenized once per doc) —
+    # slicing inside a transform() lambda would re-tokenize per chunk
+    # (the projection-collapse trap shingles_of documents)
+    rows = toks.select(
         id_col,
-        F.posexplode(
-            F.transform(starts, lambda c: F.slice(F.col("_toks"), c * stride + 1, chunk_tokens))
-        ).alias("chunk_idx", "_chunk"),
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)).alias("chunk_idx"),
     )
-    return chunks.select(
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens))
+    return rows.select(
         id_col,
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
-        F.size(F.col("_chunk")).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
     )

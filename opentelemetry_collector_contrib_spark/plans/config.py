@@ -73,15 +73,37 @@ def validate_spec(spec: dict[str, Any]) -> None:
                 raise ValueError(f"route {r['name']}: mode must be move|copy")
     sample = spec.get("sample")
     if sample is not None:
-        if sample.get("kind") not in _SAMPLE_KINDS:
+        kind = sample.get("kind")
+        if kind not in _SAMPLE_KINDS:
             raise ValueError(f"sample.kind must be one of {sorted(_SAMPLE_KINDS)}")
-        if sample["kind"] == "adaptive" and not sample.get("keys"):
-            raise ValueError("sample.keys is required for adaptive sampling")
+        required = {
+            "probabilistic": ["key", "percent"],
+            "probabilistic_portable": ["key", "percent"],
+            "mod": ["key", "modulus", "keep_under"],
+            "adaptive": ["keys", "target_per_key"],
+        }[kind]
+        missing = [f for f in required if not sample.get(f) and sample.get(f) != 0]
+        if missing:
+            raise ValueError(f"sample({kind}): missing fields {missing}")
+    _POLICY_REQUIRED = {
+        "latency": ["threshold_ms"],
+        "numeric_attribute": ["key", "min"],
+        "string_attribute": ["key", "values"],
+        "boolean_attribute": ["key", "value"],
+        "status_code": ["values"],
+        "span_count": ["min"],
+        "probabilistic": ["percent"],
+        "ottl_condition": ["condition"],
+        "and": ["of"], "or": ["of"], "not": ["of"], "drop": ["of"],
+    }
     for p in spec.get("tail_sampling", {}).get("policies", []):
         if not p.get("name"):
             raise ValueError("every tail-sampling policy needs a name")
         if p.get("type") not in _TAIL_POLICY_TYPES:
             raise ValueError(f"tail-sampling policy {p['name']}: unknown type {p.get('type')!r}")
+        missing = [f for f in _POLICY_REQUIRED[p["type"]] if p.get(f) is None]
+        if missing:
+            raise ValueError(f"tail-sampling policy {p['name']} ({p['type']}): missing fields {missing}")
     # compile-at-startup: surface OTTL syntax errors here
     from ..functions.ottl_compiler import parse_condition, parse_statement
 
@@ -103,7 +125,7 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     from ..operators.enrich import lookup
     from ..operators.order import stable_order
     from ..operators.parse import parse_native, parse_vectorized
-    from ..operators.route import Route, RouteTable, apply_routes
+    from ..operators.route import apply_routes
 
     validate_spec(spec)
 
@@ -125,16 +147,8 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         dim = spark.read.parquet(e["dim_path"])
         df = lookup(df, dim, e["key"], e.get("defaults"))
 
-    routes = spec.get("routes")
-    if routes:
-        table = RouteTable(
-            routes=[
-                Route(r["name"], parse_condition(r["condition"]), r.get("mode", "move"))
-                for r in routes["table"]
-            ],
-            default=routes.get("default", "general"),
-        )
-        df = apply_routes(df, table)
+    if spec.get("routes"):
+        df = apply_routes(df, route_table_from_spec(spec))
 
     sample = spec.get("sample")
     if sample:
@@ -155,6 +169,25 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     if spec.get("order", {}).get("enabled", True):
         df = stable_order(df)
     return df
+
+
+def route_table_from_spec(spec: dict[str, Any]):
+    """The spec's routes section as a RouteTable — shared by build_pipeline
+    (route_id assignment) and the sink fan-out (job.py), so the two can
+    never diverge. None when the section is absent."""
+    from ..functions.ottl_compiler import parse_condition
+    from ..operators.route import Route, RouteTable
+
+    routes = spec.get("routes")
+    if not routes:
+        return None
+    return RouteTable(
+        routes=[
+            Route(r["name"], parse_condition(r["condition"]), r.get("mode", "move"))
+            for r in routes["table"]
+        ],
+        default=routes.get("default", "general"),
+    )
 
 
 def build_tail_sampling(df: DataFrame, spec: dict[str, Any]) -> DataFrame | None:

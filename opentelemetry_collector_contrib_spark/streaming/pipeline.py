@@ -101,7 +101,7 @@ _RECOMBINE_OUT = T.StructType(
 
 _RECOMBINE_STATE = T.StructType(
     [
-        T.StructField("run_id", T.LongType()),
+        T.StructField("seg_first", T.LongType()),
         T.StructField("parts", T.ArrayType(T.StringType())),
     ]
 )
@@ -121,6 +121,14 @@ def streaming_recombine(
     time timeout — exactly the reference's force_flush_period semantics
     (recombine/config.go:61).
 
+    `run_id` is the ORDER VALUE of the segment's first row (the batch
+    recombine's `first_order`), not an ordinal counter: segment keys are
+    unique and monotonic per conversation WITHOUT any persistent counter,
+    so a force-flush can evict the conversation's state entirely — the
+    state store stays bounded by the set of conversations with an open
+    segment, never by every conversation ever seen — and a later revival
+    cannot collide with previously emitted keys (orders only grow).
+
     Emits closed segments as they close; the in-flight segment lives in
     GroupState (bounded: one open segment per conversation).
 
@@ -135,32 +143,28 @@ def streaming_recombine(
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.hasTimedOut:
-            (run_id, parts) = state.get
-            # keep the incremented counter in state: removing it would
-            # restart run_id at 0 for this conv and collide with segments
-            # already emitted before the force-flush. The dormant state is
-            # just (counter, []) — tiny — and no new timeout is armed, so an
-            # idle conv costs nothing until data arrives again.
-            state.update((run_id + 1 if parts else run_id, []))
+            (seg_first, parts) = state.get
+            state.remove()  # safe: future segment keys (orders) are larger
             if parts:
                 yield pd.DataFrame(
-                    {"conv_id": [conv_id], "run_id": [run_id], "combined": [combine_with.join(parts)], "n_lines": [len(parts)]}
+                    {"conv_id": [conv_id], "run_id": [seg_first], "combined": [combine_with.join(parts)], "n_lines": [len(parts)]}
                 )
             return
         if state.exists:
-            run_id, parts = state.get
+            seg_first, parts = state.get
             parts = list(parts)
         else:
-            run_id, parts = 0, []
+            seg_first, parts = None, []
         out_rows: list[tuple[str, int, str, int]] = []
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(order_col)
         for _, row in rows.iterrows():
             if bool(row[is_first_col]) and parts:
-                out_rows.append((conv_id, run_id, combine_with.join(parts), len(parts)))
-                run_id += 1
+                out_rows.append((conv_id, seg_first, combine_with.join(parts), len(parts)))
                 parts = []
+            if not parts:
+                seg_first = int(row[order_col])
             parts.append(str(row[combine_field]))
-        state.update((run_id, parts))
+        state.update((seg_first, parts))
         if flush_timeout_ms is not None:
             state.setTimeoutDuration(flush_timeout_ms)
         if out_rows:

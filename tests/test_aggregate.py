@@ -171,3 +171,17 @@ def test_metrics_transform_label_merge_and_toggle(spark):
     assert ("click", {"user": "low"}, 1.9) in got and ("click", {"user": "low"}, 2.0) in got
     assert ("click", {"user": "9"}, 5.0) in got
     assert ("view", {"user": "1"}, 3.0) in got  # double -> int truncation
+
+
+def test_metrics_transform_add_label_upserts(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "view", 1.0)], "event_id long, metric_name string, value double").withColumn(
+        "labels", F.create_map(F.lit("unit"), F.lit("old"))
+    )
+    out = agg.metrics_transform_rows(
+        df,
+        [{"include": "view", "action": "update",
+          "operations": [{"action": "add_label", "label": "unit", "value": "k"}]}],
+    ).collect()
+    assert dict(out[0]["labels"]) == {"unit": "k"}  # overwrite, not duplicate-key crash

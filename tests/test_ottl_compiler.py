@@ -231,3 +231,14 @@ def test_config_sample_validation():
         validate_spec({"source": {"path": "x"},
                        "tail_sampling": {"policies": [{"name": "x", "type": "ottl_condition",
                                                        "condition": "BadFn(y)"}]}})
+
+
+def test_merge_maps_null_source_is_noop(mapped):
+    withb = mapped.withColumn(
+        "kv2",
+        F.when(F.col("id") == "a", F.create_map(F.lit("new"), F.lit("1"))),  # null for 'b'
+    )
+    out = apply_statements(withb, ['merge_maps(kv, kv2, "upsert")'])
+    got = {r["id"]: _kv(r) for r in out.collect()}
+    assert got["a"]["new"] == "1"
+    assert got["b"]["lvl"] == "error"  # null source leaves target untouched

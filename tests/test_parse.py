@@ -145,3 +145,18 @@ def test_trace_parser(spark):
     assert out[1]["trace_flags"] == 1 and out[1]["trace_sampled"] is True
     assert out[2]["trace_id"] is None and out[2]["trace_sampled"] is None
     assert out[3]["trace_id"] == out[1]["trace_id"]  # case-normalized
+
+
+def test_syslog_rfc5424_bracket_in_message(spark):
+    """']' in the message must not be swallowed into the SD capture."""
+    from opentelemetry_collector_contrib_spark.operators.parse import syslog_rfc5424_parser
+
+    line = '<34>1 2024-01-02T03:04:05Z host app 1 ID [ex@1 k="v"] error in map[foo] retry'
+    out = syslog_rfc5424_parser(spark.createDataFrame([(line,)], "line string"), "line").collect()[0]
+    assert out["syslog_sd_id"] == "ex@1"
+    assert out["syslog_sd_params"] == 'k="v"'
+    assert out["syslog_message"] == "error in map[foo] retry"
+    # multi-element SD still parses
+    line2 = '<34>1 2024-01-02T03:04:05Z h a p m [a@1 x="1"][b@2 y="2"] msg'
+    out2 = syslog_rfc5424_parser(spark.createDataFrame([(line2,)], "line string"), "line").collect()[0]
+    assert out2["syslog_sd_params"] == 'x="1",y="2"' and out2["syslog_message"] == "msg"

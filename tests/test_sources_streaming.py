@@ -226,10 +226,11 @@ def test_streaming_recombine_state_continuity(spark, tmp_path):
     write("b1.json", [row(0, "user", "a"), row(1, "assistant", "b"), row(2, "user", "c")])
     got1 = drain()
     assert got1 == {0: "a\nb"}
-    # run 2 (same checkpoint): new user turn closes the in-flight run 1
+    # run 2 (same checkpoint): the new user turn closes the in-flight
+    # segment; its key is its first row's order (turn 2) — no collision
     write("b2.json", [row(3, "assistant", "d"), row(4, "user", "e")])
     got2 = drain()
-    assert got2 == {0: "a\nb", 1: "c\nd"}  # continues at 1 — no collision
+    assert got2 == {0: "a\nb", 2: "c\nd"}
 
 
 def test_session_windows_batch_and_stream(spark, stream_input, tmp_path):
