@@ -275,3 +275,62 @@ def streaming_session_counts(
             "last_ts",
         )
     )
+
+
+def streaming_tail_sampling(
+    df: DataFrame,
+    policies: list[dict],
+    trace_col: str = "conv_id",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tail sampling on a stream — the reference's decision_wait buffer
+    (tailsamplingprocessor) expressed as an event-time SESSION per trace:
+    the verdict is decided `gap` after the trace's last event (late data
+    within the watermark still counts), not on a wall-clock timer. Base
+    policy specs are the same dicts operators.recombine.tail_sampling_policies
+    compiles (latency/attribute/status_code/span_count/probabilistic/
+    ottl_condition); combinators apply as column algebra on the verdict
+    rows. One watermarked session aggregation."""
+    from pyspark.sql import functions as FF
+
+    from ..operators.recombine import _compile_base_policy
+
+    base = [p for p in policies if p["type"] not in ("and", "or", "not", "drop")]
+    combos = [p for p in policies if p["type"] in ("and", "or", "not", "drop")]
+    grouped = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    agg = grouped.groupBy(
+        FF.session_window(FF.col(ts_col), gap).alias("session"), trace_col
+    ).agg(*[_compile_base_policy(p, trace_col, ts_col).alias(p["name"]) for p in base])
+
+    def _any_of(names):
+        cols = [FF.col(n).cast("int") for n in names]
+        return (FF.greatest(*cols) if len(cols) > 1 else cols[0]) == 1
+
+    def _all_of(names):
+        cols = [FF.col(n).cast("int") for n in names]
+        return (FF.least(*cols) if len(cols) > 1 else cols[0]) == 1
+
+    for p in combos:
+        if p["type"] == "and":
+            c = _all_of(p["of"])
+        elif p["type"] == "or":
+            c = _any_of(p["of"])
+        elif p["type"] == "not":
+            c = ~FF.col(p["of"])
+        else:
+            c = _any_of(p["of"])
+        agg = agg.withColumn(p["name"], c)
+    voters = [p["name"] for p in policies if p.get("vote", True) and p["type"] != "drop"]
+    drops = [p["name"] for p in policies if p["type"] == "drop"]
+    sampled = _any_of(voters)
+    for d in drops:
+        sampled = sampled & ~FF.col(d)
+    return agg.withColumn("sampled", sampled).select(
+        FF.col("session.start").alias("session_start"),
+        FF.col("session.end").alias("session_end"),
+        trace_col,
+        *[p["name"] for p in policies],
+        "sampled",
+    )

@@ -168,3 +168,17 @@ def test_adaptive_sampler_cap_property(spark, data, target):
     kept = {(r["conv_id"], r["turn_idx"]) for r in out.select("conv_id", "turn_idx").collect()}
     allr = {(r["conv_id"], r["turn_idx"]) for r in df.select("conv_id", "turn_idx").collect()}
     assert kept <= allr
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=40))
+def test_h60_matches_python_hashlib(spark, s):
+    """The portable 60-bit hash every dedup/sampling oracle rests on must
+    equal int(md5(utf8)[:15], 16) for arbitrary strings."""
+    import hashlib
+
+    from opentelemetry_collector_contrib_spark.operators.textstats import h60
+
+    got = spark.createDataFrame([(s,)], "x string").select(h60(F.col("x")).alias("h")).collect()[0]["h"]
+    want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    assert got == want

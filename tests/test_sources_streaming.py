@@ -258,3 +258,26 @@ def test_session_windows_batch_and_stream(spark, stream_input, tmp_path):
     assert [(r["session_start"], r["n_rows"]) for r in srows] == [
         (r["session_start"], r["n_rows"]) for r in rows
     ]
+
+
+def test_streaming_tail_sampling(spark, stream_input, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import streaming_tail_sampling
+
+    policies = [
+        {"name": "many", "type": "span_count", "min": 2},
+        {"name": "usery", "type": "string_attribute", "key": "role", "values": ["user"], "vote": False},
+        {"name": "busy_user", "type": "and", "of": ["many", "usery"]},
+    ]
+    # batch semantics first: c1 splits into two 30s-gap sessions of 2 turns
+    batch = spark.read.json(stream_input + "/*.json").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_tail_sampling(batch, policies, gap="30 seconds")
+    rows = sorted(out.filter(F.col("conv_id") == "c1").collect(), key=lambda r: r["session_start"])
+    assert [r["many"] for r in rows] == [True, True]
+    assert all(r["sampled"] for r in rows)
+    # stream drain agrees
+    sdf = streaming_tail_sampling(
+        transcripts_stream(spark, stream_input + "/*.json"), policies, gap="30 seconds"
+    )
+    run_available_now(sdf, "ts_verdicts", str(tmp_path / "ck_tsv"), output_mode="complete")
+    srows = spark.table("ts_verdicts").filter(F.col("conv_id") == "c1").collect()
+    assert len(srows) == 2 and all(r["sampled"] for r in srows)
