@@ -234,9 +234,14 @@ def metrics_transform_rows(
                 )
             elif act == "add_label":
                 # upsert: drop an existing key first — map_concat with a
-                # duplicate key throws under mapKeyDedupPolicy=EXCEPTION
+                # duplicate key throws under mapKeyDedupPolicy=EXCEPTION.
+                # NULL labels coalesce to an empty map (the reference adds
+                # the label regardless of prior attributes).
+                base_map = F.coalesce(
+                    F.col(labels_col), F.create_map().cast("map<string,string>")
+                )
                 added = F.map_concat(
-                    F.map_filter(F.col(labels_col), lambda k, _v: k != op["label"]),
+                    F.map_filter(base_map, lambda k, _v: k != op["label"]),
                     F.create_map(F.lit(op["label"]), F.lit(op["value"])),
                 )
                 out = out.withColumn(labels_col, F.when(match, added).otherwise(F.col(labels_col)))

@@ -268,10 +268,12 @@ def sanitize_utf8(df: DataFrame, source: str, dest: str | None = None, flag_col:
 
 # --- syslog RFC fidelity (operator/parser/syslog/parser.go) ------------------
 
-# SD = '-' or one-or-more [...] elements; ']' inside an element is escaped
-# per RFC5424, so [^\]]* per element keeps a ']' in the MESSAGE out of the
-# SD capture (a greedy \[.*\] would swallow 'map[foo]'-style message text)
-RFC5424_RE = r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[[^\]]*\])+)(?: (.*))?$"
+# SD = '-' or one-or-more [...] elements. Inside an element, ']' must be
+# escaped as '\]' (RFC5424 §6.3.3), so each element matches escaped pairs
+# (\\.) or any non-']'/non-backslash char — an escaped '\]' stays inside
+# the SD capture while a bare ']' in the MESSAGE stays out of it (a greedy
+# \[.*\] would swallow 'map[foo]'-style message text).
+RFC5424_RE = r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[(?:[^\]\\]|\\.)*\])+)(?: (.*))?$"
 RFC3164_RE = r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) ([^:\[ ]+)(?:\[(\d+)\])?: (.*)$"
 _SD_PARAM_RE = r'(\w+)="([^"]*)"'
 

@@ -193,6 +193,41 @@ def _compile_base_policy(spec: dict, trace_col: str, ts_col: str) -> Column:
     raise ValueError(f"unknown tail-sampling policy type {kind!r}")
 
 
+def apply_policy_combinators(agg: DataFrame, policies: list[dict]) -> DataFrame:
+    """Shared verdict algebra over a frame of base-policy boolean columns:
+    and/or/not combinators, then `sampled` = OR of voting policies AND NOT
+    any drop policy. Used by the batch and the session-window streaming
+    tail samplers so their semantics cannot diverge. Raises when no policy
+    votes — an all-drop/all-helper tree can never sample anything."""
+
+    def _any_of(names: list[str]) -> Column:
+        cols = [F.col(n).cast("int") for n in names]
+        return (F.greatest(*cols) if len(cols) > 1 else cols[0]) == 1
+
+    def _all_of(names: list[str]) -> Column:
+        cols = [F.col(n).cast("int") for n in names]
+        return (F.least(*cols) if len(cols) > 1 else cols[0]) == 1
+
+    for p in [p for p in policies if p["type"] in ("and", "or", "not", "drop")]:
+        if p["type"] == "and":
+            c = _all_of(p["of"])
+        elif p["type"] == "or":
+            c = _any_of(p["of"])
+        elif p["type"] == "not":
+            c = ~F.col(p["of"])
+        else:  # drop
+            c = _any_of(p["of"])
+        agg = agg.withColumn(p["name"], c)
+    voters = [p["name"] for p in policies if p.get("vote", True) and p["type"] != "drop"]
+    if not voters:
+        raise ValueError("tail sampling needs at least one voting (non-drop) policy")
+    drops = [p["name"] for p in policies if p["type"] == "drop"]
+    sampled = _any_of(voters)
+    for d in drops:
+        sampled = sampled & ~F.col(d)
+    return agg.withColumn("sampled", sampled)
+
+
 def tail_sampling_policies(
     df: DataFrame,
     policies: list[dict],
@@ -214,36 +249,12 @@ def tail_sampling_policies(
     (minute-bucket, sampled), cheap because it runs on the per-trace frame,
     not the row stream."""
     base = [p for p in policies if p["type"] not in ("and", "or", "not", "drop")]
-    combos = [p for p in policies if p["type"] in ("and", "or", "not", "drop")]
     aggs = [_compile_base_policy(p, trace_col, ts_col).alias(p["name"]) for p in base]
     aggs.append(
         (F.floor(F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))) / 60_000_000)).cast("long").alias("_minute")
     )
     agg = df.groupBy(trace_col).agg(*aggs)
-    def _any_of(names: list[str]) -> Column:
-        cols = [F.col(n).cast("int") for n in names]
-        return (F.greatest(*cols) if len(cols) > 1 else cols[0]) == 1
-
-    def _all_of(names: list[str]) -> Column:
-        cols = [F.col(n).cast("int") for n in names]
-        return (F.least(*cols) if len(cols) > 1 else cols[0]) == 1
-
-    for p in combos:
-        if p["type"] == "and":
-            c = _all_of(p["of"])
-        elif p["type"] == "or":
-            c = _any_of(p["of"])
-        elif p["type"] == "not":
-            c = ~F.col(p["of"])
-        else:  # drop
-            c = _any_of(p["of"])
-        agg = agg.withColumn(p["name"], c)
-    voters = [p["name"] for p in policies if p.get("vote", True) and p["type"] != "drop"]
-    drops = [p["name"] for p in policies if p["type"] == "drop"]
-    sampled = _any_of(voters)
-    for d in drops:
-        sampled = sampled & ~F.col(d)
-    agg = agg.withColumn("sampled", sampled)
+    agg = apply_policy_combinators(agg, policies)
     if rate_limit_per_minute is None:
         return agg.drop("_minute")
     w = Window.partitionBy("_minute", "sampled").orderBy(F.col(trace_col))

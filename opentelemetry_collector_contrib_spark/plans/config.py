@@ -91,12 +91,14 @@ def validate_spec(spec: dict[str, Any]) -> None:
         "string_attribute": ["key", "values"],
         "boolean_attribute": ["key", "value"],
         "status_code": ["values"],
-        "span_count": ["min"],
+        "span_count": [],  # min OR max, checked below
+
         "probabilistic": ["percent"],
         "ottl_condition": ["condition"],
         "and": ["of"], "or": ["of"], "not": ["of"], "drop": ["of"],
     }
-    for p in spec.get("tail_sampling", {}).get("policies", []):
+    ts_policies = spec.get("tail_sampling", {}).get("policies", [])
+    for p in ts_policies:
         if not p.get("name"):
             raise ValueError("every tail-sampling policy needs a name")
         if p.get("type") not in _TAIL_POLICY_TYPES:
@@ -104,6 +106,10 @@ def validate_spec(spec: dict[str, Any]) -> None:
         missing = [f for f in _POLICY_REQUIRED[p["type"]] if p.get(f) is None]
         if missing:
             raise ValueError(f"tail-sampling policy {p['name']} ({p['type']}): missing fields {missing}")
+        if p["type"] == "span_count" and p.get("min") is None and p.get("max") is None:
+            raise ValueError(f"tail-sampling policy {p['name']}: span_count needs min and/or max")
+    if ts_policies and not any(p.get("vote", True) and p["type"] != "drop" for p in ts_policies):
+        raise ValueError("tail_sampling needs at least one voting (non-drop) policy")
     # compile-at-startup: surface OTTL syntax errors here
     from ..functions.ottl_compiler import parse_condition, parse_statement
 

@@ -293,43 +293,18 @@ def streaming_tail_sampling(
     compiles (latency/attribute/status_code/span_count/probabilistic/
     ottl_condition); combinators apply as column algebra on the verdict
     rows. One watermarked session aggregation."""
-    from pyspark.sql import functions as FF
-
-    from ..operators.recombine import _compile_base_policy
+    from ..operators.recombine import _compile_base_policy, apply_policy_combinators
 
     base = [p for p in policies if p["type"] not in ("and", "or", "not", "drop")]
-    combos = [p for p in policies if p["type"] in ("and", "or", "not", "drop")]
     grouped = df.withWatermark(ts_col, watermark) if df.isStreaming else df
     agg = grouped.groupBy(
-        FF.session_window(FF.col(ts_col), gap).alias("session"), trace_col
+        F.session_window(F.col(ts_col), gap).alias("session"), trace_col
     ).agg(*[_compile_base_policy(p, trace_col, ts_col).alias(p["name"]) for p in base])
-
-    def _any_of(names):
-        cols = [FF.col(n).cast("int") for n in names]
-        return (FF.greatest(*cols) if len(cols) > 1 else cols[0]) == 1
-
-    def _all_of(names):
-        cols = [FF.col(n).cast("int") for n in names]
-        return (FF.least(*cols) if len(cols) > 1 else cols[0]) == 1
-
-    for p in combos:
-        if p["type"] == "and":
-            c = _all_of(p["of"])
-        elif p["type"] == "or":
-            c = _any_of(p["of"])
-        elif p["type"] == "not":
-            c = ~FF.col(p["of"])
-        else:
-            c = _any_of(p["of"])
-        agg = agg.withColumn(p["name"], c)
-    voters = [p["name"] for p in policies if p.get("vote", True) and p["type"] != "drop"]
-    drops = [p["name"] for p in policies if p["type"] == "drop"]
-    sampled = _any_of(voters)
-    for d in drops:
-        sampled = sampled & ~FF.col(d)
-    return agg.withColumn("sampled", sampled).select(
-        FF.col("session.start").alias("session_start"),
-        FF.col("session.end").alias("session_end"),
+    # shared verdict algebra — batch and streaming tail sampling cannot diverge
+    agg = apply_policy_combinators(agg, policies)
+    return agg.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
         trace_col,
         *[p["name"] for p in policies],
         "sampled",

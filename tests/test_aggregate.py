@@ -185,3 +185,17 @@ def test_metrics_transform_add_label_upserts(spark):
           "operations": [{"action": "add_label", "label": "unit", "value": "k"}]}],
     ).collect()
     assert dict(out[0]["labels"]) == {"unit": "k"}  # overwrite, not duplicate-key crash
+
+
+def test_metrics_transform_add_label_null_labels(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "view", 1.0)], "event_id long, metric_name string, value double").withColumn(
+        "labels", F.lit(None).cast("map<string,string>")
+    )
+    out = agg.metrics_transform_rows(
+        df,
+        [{"include": "view", "action": "update",
+          "operations": [{"action": "add_label", "label": "unit", "value": "k"}]}],
+    ).collect()
+    assert dict(out[0]["labels"]) == {"unit": "k"}  # null map -> single entry

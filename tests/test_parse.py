@@ -160,3 +160,15 @@ def test_syslog_rfc5424_bracket_in_message(spark):
     line2 = '<34>1 2024-01-02T03:04:05Z h a p m [a@1 x="1"][b@2 y="2"] msg'
     out2 = syslog_rfc5424_parser(spark.createDataFrame([(line2,)], "line string"), "line").collect()[0]
     assert out2["syslog_sd_params"] == 'x="1",y="2"' and out2["syslog_message"] == "msg"
+
+
+def test_syslog_rfc5424_escaped_bracket_in_sd(spark):
+    """RFC5424 §6.3.3: ']' inside PARAM-VALUE is escaped as '\\]' and must
+    stay inside the SD capture."""
+    from opentelemetry_collector_contrib_spark.operators.parse import syslog_rfc5424_parser
+
+    line = '<34>1 2024-01-02T03:04:05Z host app 1 ID [x@1 k="a\\]b"] hello world'
+    out = syslog_rfc5424_parser(spark.createDataFrame([(line,)], "line string"), "line").collect()[0]
+    assert out["syslog_sd_id"] == "x@1"
+    assert out["syslog_message"] == "hello world"
+    assert 'k="a\\]b"' in out["syslog_sd_params"]

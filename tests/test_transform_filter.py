@@ -193,3 +193,23 @@ def test_adaptive_head_sampler(spark):
     a = {tuple(r) for r in out.collect()}
     b = {tuple(r) for r in flt.adaptive_head_sampler(df, ["k"], 10, tiebreak_cols=["k", "i"]).collect()}
     assert a == b
+
+
+def test_tail_sampling_requires_voting_policy(spark):
+    import pytest as pt
+
+    from opentelemetry_collector_contrib_spark.operators.recombine import tail_sampling_policies
+
+    import datetime
+
+    df = spark.createDataFrame(
+        [("c", "ok", datetime.datetime(2025, 1, 1))], "conv_id string, status string, ts timestamp"
+    )
+    with pt.raises(ValueError):
+        tail_sampling_policies(
+            df,
+            [
+                {"name": "h", "type": "status_code", "values": ["err"], "vote": False},
+                {"name": "d", "type": "drop", "of": ["h"]},
+            ],
+        )
