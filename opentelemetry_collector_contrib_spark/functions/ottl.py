@@ -153,6 +153,7 @@ OTTL_FUNCTIONS.update(
         "Append": lambda col, v: F.array_append(_c(col), v),
         "Coalesce": lambda *cols: F.coalesce(*[_c(c) for c in cols]),
         "MapEach": lambda col, fn: F.transform(_c(col), fn),
+        "MapKeys": lambda col, fn: F.transform_keys(_c(col), lambda k, _v: fn(k)),
         "Filter": lambda col, fn: F.filter(_c(col), fn),
         "Reduce": lambda col, init, merge: F.aggregate(_c(col), _c(init), merge),
         "All": lambda col, fn: F.forall(_c(col), fn),
@@ -364,6 +365,51 @@ OTTL_FUNCTIONS.update(
         "CommunityID": _community_id,
     }
 )
+
+
+def _user_agent(col) -> Column:
+    """func_user_agent.go, REDUCED: the reference embeds the ua-parser
+    definition database; this is a deterministic major-family extractor
+    (browser, version, os) covering the common agents — enough for the
+    log-pipeline dimensioning use, NOT a full ua-parser replacement."""
+    s = _c(col).cast("string")
+
+    def first_match(pairs: list[tuple[str, str]], default: str) -> Column:
+        chain = F.when(F.lit(False), F.lit(None).cast("string"))
+        for pat, name in pairs:
+            chain = chain.when(s.rlike(pat), F.lit(name))
+        return chain.otherwise(F.lit(default))
+
+    browser = first_match(
+        [
+            (r"Edg[e/]", "Edge"),
+            (r"OPR/|Opera", "Opera"),
+            (r"Chrome/", "Chrome"),
+            (r"Firefox/", "Firefox"),
+            (r"Safari/", "Safari"),
+            (r"curl/", "curl"),
+            (r"(?i)bot|crawler|spider", "Bot"),
+        ],
+        "Other",
+    )
+    version = F.coalesce(
+        F.nullif(F.regexp_extract(s, r"(?:Edg[e/]{1,2}|OPR/|Chrome/|Firefox/|Version/|curl/)(\d+[\w.]*)", 1), F.lit("")),
+        F.lit(None).cast("string"),
+    )
+    os_name = first_match(
+        [
+            (r"Windows NT", "Windows"),
+            (r"Android", "Android"),
+            (r"iPhone|iPad|iOS", "iOS"),
+            (r"Mac OS X|Macintosh", "macOS"),
+            (r"Linux", "Linux"),
+        ],
+        "Other",
+    )
+    return F.struct(browser.alias("browser"), version.alias("version"), os_name.alias("os"))
+
+
+OTTL_FUNCTIONS["UserAgent"] = _user_agent
 
 
 def call(name: str, *args) -> Column:

@@ -383,3 +383,76 @@ def xml_parser(df: DataFrame, source: str, schema: str, dest: str = "parsed_xml"
     from_xml (attributes surface as '_name' fields); malformed input yields
     null (on_error=send). Pair with GetXML/xpath for subset extraction."""
     return df.withColumn(dest, F.from_xml(F.col(source), schema))
+
+
+# strptime (C-style) directive → Spark/Java datetime pattern. The reference
+# accepts strptime layouts (operator/helper/time.go:24-47 'strptime'); users
+# switching keep their configs and we translate once at plan build.
+_STRPTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    "%L": "SSS", "%j": "DDD", "%p": "a", "%z": "XX", "%Z": "zz",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE", "%%": "%",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    """Translate a strptime layout ('%Y-%m-%dT%H:%M:%S') to the Java
+    DateTimeFormatter pattern Spark's to_timestamp expects. Unknown
+    directives raise at plan build (eager validation)."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d not in _STRPTIME_MAP:
+                raise ValueError(f"unsupported strptime directive {d!r}")
+            out.append(_STRPTIME_MAP[d])
+            i += 2
+        elif fmt[i].isalpha():
+            out.append(f"'{fmt[i]}'")  # literal letters must be quoted in Java patterns
+            i += 1
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def time_parser_layout(
+    df: DataFrame,
+    source: str,
+    layout: str,
+    layout_type: str = "strptime",
+    dest: str = "event_ts",
+) -> DataFrame:
+    """operator/helper/time.go layout types: 'strptime' (translated),
+    'gotime'/'spark' (native pattern), 'epoch' with layout s|ms|us|ns."""
+    if layout_type == "strptime":
+        return df.withColumn(dest, F.to_timestamp(F.col(source), strptime_to_spark(layout)))
+    if layout_type == "epoch":
+        c = F.col(source).cast("long")
+        conv = {
+            "s": F.timestamp_seconds(c),
+            "ms": F.timestamp_millis(c),
+            "us": F.timestamp_micros(c),
+            "ns": F.timestamp_micros((c / 1000).cast("long")),
+        }
+        if layout not in conv:
+            raise ValueError("epoch layout must be one of s|ms|us|ns")
+        return df.withColumn(dest, conv[layout])
+    return df.withColumn(dest, F.to_timestamp(F.col(source), layout))
+
+
+def csv_parser_dynamic(
+    df: DataFrame, source: str, header_col: str, sep: str = ",", dest: str = "parsed_csv"
+) -> DataFrame:
+    """csv_parser with a per-entry dynamic header (operator/parser/csv/
+    parser.go:94): the column list comes from another FIELD, so no static
+    schema exists — the parse result is a map built with map_from_arrays
+    (zip of split header and split row)."""
+    return df.withColumn(
+        dest,
+        F.map_from_arrays(
+            F.split(F.col(header_col), F.lit(sep), -1), F.split(F.col(source), F.lit(sep), -1)
+        ),
+    )

@@ -469,6 +469,34 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def q_csv_parse_dynamic(spark, sf_dir):
+    """csv_parser with a PER-ENTRY dynamic header (column order varies by
+    row); output is the sorted k=v view so the parse is header-order
+    independent. Oracle = ground-truth reconstruction from the synthesis."""
+    from ..operators.parse import csv_parser_dynamic
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("id,lang,n")).otherwise(F.lit("lang,id,n")).alias("hdr"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(",", F.col("doc_id").cast("string"), F.col("lang"), F.col("n_chars").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("lang"), F.col("doc_id").cast("string"), F.col("n_chars").cast("string"))
+        )
+        .alias("line"),
+    )
+    parsed = csv_parser_dynamic(docs, "line", "hdr")
+    joined = F.array_join(
+        F.sort_array(
+            F.transform(F.map_entries(F.col("parsed_csv")), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ",",
+    )
+    return parsed.select("doc_id", joined.alias("kv_sorted"))
+
+
 def q_jsonarray_parse(spark, sf_dir):
     """jsonarray_parser over a synthesized JSON-array column."""
     from ..operators.parse import jsonarray_parser
@@ -705,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_parse_fields": q_csv_parse,
     "kv_parse_map": q_kv_parse_map,
     "jsonarray_parse_fields": q_jsonarray_parse,
+    "csv_parse_dynamic_header": q_csv_parse_dynamic,
     "sanitize_utf8_docs": q_sanitize_utf8,
     "syslog_rfc5424_parse": q_syslog_rfc5424,
     "syslog_rfc3164_parse": q_syslog_rfc3164,
@@ -902,6 +931,12 @@ SELECT doc_id,
 FROM c"""
 
     from ..operators.parse import RFC3164_RE, RFC5424_RE
+
+    # ground truth: sorted k=v is header-order independent by construction
+    o["csv_parse_dynamic_header"] = """
+SELECT doc_id,
+  'id=' || CAST(doc_id AS VARCHAR) || ',lang=' || lang || ',n=' || CAST(n_chars AS VARCHAR) AS kv_sorted
+FROM documents"""
 
     o["jsonarray_parse_fields"] = """
 WITH j AS (SELECT doc_id,

@@ -112,3 +112,21 @@ def test_community_id_matches_reference_algorithm(row):
     # direction symmetry: both flow directions hash identically
     rev = row(O["CommunityID"](F.lit("5.6.7.8"), F.lit("1.2.3.4"), F.lit(3344), F.lit(1122)))
     assert rev == got
+
+
+def test_user_agent_reduced(row):
+    ua_chrome = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+    ua_ff = "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0"
+    ua_curl = "curl/8.4.0"
+    got = row(O["UserAgent"](F.lit(ua_chrome)))
+    assert (got["browser"], got["os"]) == ("Chrome", "Windows") and got["version"].startswith("120")
+    got2 = row(O["UserAgent"](F.lit(ua_ff)))
+    assert (got2["browser"], got2["os"]) == ("Firefox", "Linux")
+    got3 = row(O["UserAgent"](F.lit(ua_curl)))
+    assert got3["browser"] == "curl" and got3["version"] == "8.4.0"
+
+
+def test_map_keys_lambda(row):
+    m = F.create_map(F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2"))
+    got = row(O["MapKeys"](m, lambda k: F.upper(k)))
+    assert dict(got) == {"A": "1", "B": "2"}

@@ -172,3 +172,38 @@ def test_syslog_rfc5424_escaped_bracket_in_sd(spark):
     assert out["syslog_sd_id"] == "x@1"
     assert out["syslog_message"] == "hello world"
     assert 'k="a\\]b"' in out["syslog_sd_params"]
+
+
+def test_strptime_translation_and_epoch_layouts(spark):
+    import datetime
+
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        strptime_to_spark,
+        time_parser_layout,
+    )
+
+    assert strptime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert strptime_to_spark("%b %e %H:%M:%S") == "MMM d HH:mm:ss"
+    import pytest as pt
+    with pt.raises(ValueError):
+        strptime_to_spark("%Q")
+
+    df = spark.createDataFrame([("2025-03-01T10:20:30", 1740824430, 1740824430123)],
+                               "iso string, es long, ems long")
+    t = time_parser_layout(df, "iso", "%Y-%m-%dT%H:%M:%S").collect()[0]["event_ts"]
+    assert t == datetime.datetime(2025, 3, 1, 10, 20, 30)
+    s = time_parser_layout(df, "es", "s", layout_type="epoch").collect()[0]["event_ts"]
+    ms = time_parser_layout(df, "ems", "ms", layout_type="epoch").collect()[0]["event_ts"]
+    assert s.year == 2025 and ms.microsecond == 123000
+
+
+def test_csv_parser_dynamic_header(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import csv_parser_dynamic
+
+    rows = [(1, "a,b,c", "1,2,3"), (2, "c,a,b", "30,10,20")]
+    out = csv_parser_dynamic(
+        spark.createDataFrame(rows, "id int, hdr string, line string"), "line", "hdr"
+    )
+    got = {r["id"]: dict(r["parsed_csv"]) for r in out.collect()}
+    assert got[1] == {"a": "1", "b": "2", "c": "3"}
+    assert got[2] == {"a": "10", "b": "20", "c": "30"}  # header order honored
