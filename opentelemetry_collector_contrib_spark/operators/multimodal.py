@@ -136,3 +136,83 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: WAV needs only the stdlib (wave + struct), so the audio
+# modality runs the genuine decode path end-to-end — synthesize valid WAV
+# bytes, ship them as a binary column, and extract features by actually
+# parsing the RIFF container. The image/video codecs stay stubbed (no
+# PIL/libav in-sandbox), but this proves the decode plumbing on real bytes.
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def _wav_bytes(n_samples: int, amplitude: int) -> bytes:
+    import io
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        # constant-amplitude square wave: RMS == amplitude exactly, so the
+        # oracle can reconstruct the feature from the synthesis parameters
+        frames = b"".join(
+            _struct.pack("<h", amplitude if i % 2 == 0 else -amplitude) for i in range(n_samples)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def synthesize_wav(df: DataFrame, id_col: str = "doc_id", out_col: str = "wav") -> DataFrame:
+    """Deterministic per-row WAV payloads: n_samples = 100 + (id%50)*10,
+    amplitude = 1000 + (id%7)*100. Arrow-batched."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: _wav_bytes(100 + (int(i) % 50) * 10, 1000 + (int(i) % 7) * 100))
+
+    return df.withColumn(out_col, gen(F.col(id_col)))
+
+
+def decode_wav_features(df: DataFrame, payload_col: str = "wav") -> DataFrame:
+    """REAL decode: parse the RIFF/WAV container per row (stdlib wave),
+    emit (sample_rate, n_channels, n_samples, duration_ms, rms). Malformed
+    payloads yield nulls (on_error=send). Arrow-batched pandas UDF —
+    exactly the shape an image/EXIF or video/probe decode takes once its
+    codec library exists."""
+    out_type = T.StructType(
+        [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def decode(payloads: pd.Series) -> pd.DataFrame:
+        import io
+        import math
+        import struct as _struct
+        import wave
+
+        rows = []
+        for p in payloads:
+            try:
+                with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                    rate, nch, n = w.getframerate(), w.getnchannels(), w.getnframes()
+                    data = w.readframes(n)
+                samples = _struct.unpack(f"<{n * nch}h", data)
+                rms = math.sqrt(sum(s * s for s in samples) / max(len(samples), 1))
+                rows.append((rate, nch, n, n * 1000 // rate, round(rms, 6)))
+            except Exception:  # noqa: BLE001 — malformed payload -> nulls
+                rows.append((None, None, None, None, None))
+        return pd.DataFrame(rows, columns=["sample_rate", "n_channels", "n_samples", "duration_ms", "rms"])
+
+    return df.withColumn("wav_meta", decode(F.col(payload_col)))

@@ -172,6 +172,25 @@ def q_multimodal_frames(spark, sf_dir):
     return frames.select("doc_id", "frame_ms")
 
 
+def q_multimodal_wav(spark, sf_dir):
+    """REAL audio decode through the multimodal plumbing: synthesize valid
+    WAV containers per doc, parse them back with the stdlib codec inside an
+    Arrow UDF. Oracle = ground truth from the synthesis parameters
+    (constant-amplitude square wave → RMS == amplitude exactly)."""
+    from ..operators.multimodal import decode_wav_features, synthesize_wav
+
+    docs = synthesize_wav(_docs(spark, sf_dir).select("doc_id"))
+    out = decode_wav_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("wav_meta.sample_rate").alias("sample_rate"),
+        F.col("wav_meta.n_channels").alias("n_channels"),
+        F.col("wav_meta.n_samples").alias("n_samples"),
+        F.col("wav_meta.duration_ms").alias("duration_ms"),
+        F.col("wav_meta.rms").alias("rms"),
+    )
+
+
 def q_curation_e2e(spark, sf_dir):
     """The composed training-data curation pipeline: quality gate → language
     gate → exact dedup → fingerprint + token stats of survivors. One
@@ -284,6 +303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": q_topk_ivf,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_wav_decode": q_multimodal_wav,
 }
 
 # ---------------------------------------------------------------------------
@@ -646,6 +666,17 @@ FROM ranked WHERE rank <= 5"""
 SELECT doc_id, 'image/png' AS media_type,
   CAST(strlen(text) AS BIGINT) AS payload_bytes,
   {feats}
+FROM documents"""
+
+    # ground truth from the synthesis parameters: n = 100 + (id%50)*10,
+    # square-wave amplitude = RMS = 1000 + (id%7)*100, rate 8000 mono
+    o["multimodal_wav_decode"] = """
+SELECT doc_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  CAST(100 + (doc_id % 50) * 10 AS BIGINT) AS n_samples,
+  CAST((100 + (doc_id % 50) * 10) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(1000 + (doc_id % 7) * 100 AS DOUBLE) AS rms
 FROM documents"""
 
     o["multimodal_frames"] = """

@@ -261,3 +261,20 @@ def test_quantize_dequantize_roundtrip(spark):
     # int8 quantization preserves direction: cosine(x, x_hat) ~ 1
     assert all(r["recon_cos"] > 0.999 for r in rows)
     assert all(-127 <= v <= 127 for r in rows for v in r["q_vec"])
+
+
+def test_wav_real_decode_and_malformed(spark):
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        decode_wav_features,
+        synthesize_wav,
+    )
+
+    docs = spark.createDataFrame([(0,), (8,)], ["doc_id"])
+    out = {r["doc_id"]: r["wav_meta"] for r in decode_wav_features(synthesize_wav(docs)).collect()}
+    assert out[0]["n_samples"] == 100 and out[0]["rms"] == 1000.0
+    assert out[8]["n_samples"] == 180 and out[8]["rms"] == 1100.0  # 8%7=1
+    assert out[0]["sample_rate"] == 8000 and out[0]["n_channels"] == 1
+    # malformed payload -> nulls, never an error (on_error=send)
+    bad = spark.createDataFrame([(1, b"not a riff container")], "doc_id long, wav binary")
+    r = decode_wav_features(bad).collect()[0]["wav_meta"]
+    assert r["sample_rate"] is None and r["rms"] is None
