@@ -3,10 +3,16 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched pandas transforms over mapInPandas.
 
 The Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
-is real and tested; the codec step is STUBBED — the sandbox has no
-image/audio libraries, so `decode_*` raise NotImplementedError unless
-`deterministic_fake=True`, which substitutes a seeded, content-derived fake
-(hash-driven) so downstream plumbing and oracles stay exactly reproducible.
+is real and tested. Codec status:
+  - WAV audio and PNG image decode are REAL — the stdlib covers both
+    containers (wave; struct+zlib+crc32), so synthesize_wav/png +
+    decode_wav/png_features run genuine encode→bytes→decode end-to-end,
+    pixels and samples included (oracle-gated).
+  - Generic image featurize/resize and video frame decode stay STUBBED
+    (no PIL/libav in-sandbox): `decode_and_featurize` raises
+    NotImplementedError unless `deterministic_fake=True`, which substitutes
+    a seeded, content-derived fake so downstream plumbing and oracles stay
+    exactly reproducible.
 
 Schema convention (mirrors how the collector treats payloads it does not
 introspect — bytes + attributes):
@@ -216,3 +222,86 @@ def decode_wav_features(df: DataFrame, payload_col: str = "wav") -> DataFrame:
         return pd.DataFrame(rows, columns=["sample_rate", "n_channels", "n_samples", "duration_ms", "rms"])
 
     return df.withColumn("wav_meta", decode(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: PNG needs only the stdlib too (struct + zlib + crc32).
+# Synthesize genuine grayscale PNGs (signature, IHDR, zlib IDAT with
+# per-scanline filter bytes, CRCs, IEND) and decode them back — header
+# parse AND pixel decompression — inside an Arrow UDF.
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(width: int, height: int, gray: int) -> bytes:
+    import struct as _struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + _struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes([gray]) * width for _ in range(height))  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(df: DataFrame, id_col: str = "doc_id", out_col: str = "png") -> DataFrame:
+    """Deterministic per-row PNGs: width = 1 + id%16, height = 1 + id%8,
+    constant gray value = id%256."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: _png_bytes(1 + int(i) % 16, 1 + int(i) % 8, int(i) % 256))
+
+    return df.withColumn(out_col, gen(F.col(id_col)))
+
+
+def decode_png_features(df: DataFrame, payload_col: str = "png") -> DataFrame:
+    """REAL decode: walk the PNG chunk stream, parse IHDR
+    (width/height/bit depth), decompress every IDAT, strip scanline filter
+    bytes (filter 0), and compute the mean pixel — full container + pixel
+    path on genuine bytes. Malformed payloads yield nulls."""
+    out_type = T.StructType(
+        [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bit_depth", T.IntegerType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def decode(payloads: pd.Series) -> pd.DataFrame:
+        import struct as _struct
+        import zlib
+
+        rows = []
+        for p in payloads:
+            try:
+                data = bytes(p)
+                assert data[:8] == b"\x89PNG\r\n\x1a\n"
+                pos, width, height, depth, idat = 8, None, None, None, b""
+                while pos < len(data):
+                    (ln,) = _struct.unpack(">I", data[pos : pos + 4])
+                    tag = data[pos + 4 : pos + 8]
+                    payload = data[pos + 8 : pos + 8 + ln]
+                    if tag == b"IHDR":
+                        width, height, depth = _struct.unpack(">IIB", payload[:9])
+                    elif tag == b"IDAT":
+                        idat += payload
+                    pos += 12 + ln
+                raw = zlib.decompress(idat)
+                pixels = [b for r in range(height) for b in raw[r * (width + 1) + 1 : (r + 1) * (width + 1)]]
+                mean = round(sum(pixels) / max(len(pixels), 1), 6)
+                rows.append((width, height, depth, mean))
+            except Exception:  # noqa: BLE001 — malformed payload -> nulls
+                rows.append((None, None, None, None))
+        return pd.DataFrame(rows, columns=["width", "height", "bit_depth", "mean_pixel"])
+
+    return df.withColumn("png_meta", decode(F.col(payload_col)))

@@ -191,6 +191,24 @@ def q_multimodal_wav(spark, sf_dir):
     )
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL image decode: genuine PNG containers (IHDR + zlib IDAT + CRCs)
+    synthesized per doc and decoded back — header AND pixel path. Oracle =
+    ground truth from the synthesis parameters (constant gray → mean pixel
+    equals the gray value exactly)."""
+    from ..operators.multimodal import decode_png_features, synthesize_png
+
+    docs = synthesize_png(_docs(spark, sf_dir).select("doc_id"))
+    out = decode_png_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("png_meta.width").alias("width"),
+        F.col("png_meta.height").alias("height"),
+        F.col("png_meta.bit_depth").alias("bit_depth"),
+        F.col("png_meta.mean_pixel").alias("mean_pixel"),
+    )
+
+
 def q_curation_e2e(spark, sf_dir):
     """The composed training-data curation pipeline: quality gate → language
     gate → exact dedup → fingerprint + token stats of survivors. One
@@ -304,6 +322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_wav_decode": q_multimodal_wav,
+    "multimodal_png_decode": q_multimodal_png,
 }
 
 # ---------------------------------------------------------------------------
@@ -677,6 +696,15 @@ SELECT doc_id,
   CAST(100 + (doc_id % 50) * 10 AS BIGINT) AS n_samples,
   CAST((100 + (doc_id % 50) * 10) * 1000 // 8000 AS BIGINT) AS duration_ms,
   CAST(1000 + (doc_id % 7) * 100 AS DOUBLE) AS rms
+FROM documents"""
+
+    # ground truth: width = 1 + id%16, height = 1 + id%8, gray = mean = id%256
+    o["multimodal_png_decode"] = """
+SELECT doc_id,
+  CAST(1 + doc_id % 16 AS INT) AS width,
+  CAST(1 + doc_id % 8 AS INT) AS height,
+  CAST(8 AS INT) AS bit_depth,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
 FROM documents"""
 
     o["multimodal_frames"] = """

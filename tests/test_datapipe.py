@@ -278,3 +278,19 @@ def test_wav_real_decode_and_malformed(spark):
     bad = spark.createDataFrame([(1, b"not a riff container")], "doc_id long, wav binary")
     r = decode_wav_features(bad).collect()[0]["wav_meta"]
     assert r["sample_rate"] is None and r["rms"] is None
+
+
+def test_png_real_decode_and_malformed(spark):
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame([(0,), (21,)], ["doc_id"])
+    out = {r["doc_id"]: r["png_meta"] for r in decode_png_features(synthesize_png(docs)).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["mean_pixel"]) == (1, 1, 0.0)
+    assert (out[21]["width"], out[21]["height"]) == (6, 6)  # 21%16=5+1, 21%8=5+1
+    assert out[21]["mean_pixel"] == 21.0 and out[21]["bit_depth"] == 8
+    bad = spark.createDataFrame([(1, b"GIF89a not png")], "doc_id long, png binary")
+    r = decode_png_features(bad).collect()[0]["png_meta"]
+    assert r["width"] is None and r["mean_pixel"] is None
