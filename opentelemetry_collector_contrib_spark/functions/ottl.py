@@ -380,22 +380,25 @@ def _user_agent(col) -> Column:
             chain = chain.when(s.rlike(pat), F.lit(name))
         return chain.otherwise(F.lit(default))
 
-    browser = first_match(
-        [
-            (r"Edg[e/]", "Edge"),
-            (r"OPR/|Opera", "Opera"),
-            (r"Chrome/", "Chrome"),
-            (r"Firefox/", "Firefox"),
-            (r"Safari/", "Safari"),
-            (r"curl/", "curl"),
-            (r"(?i)bot|crawler|spider", "Bot"),
-        ],
-        "Other",
-    )
-    version = F.coalesce(
-        F.nullif(F.regexp_extract(s, r"(?:Edg[e/]{1,2}|OPR/|Chrome/|Firefox/|Version/|curl/)(\d+[\w.]*)", 1), F.lit("")),
-        F.lit(None).cast("string"),
-    )
+    # detection order matters (Edge/Opera UAs also contain 'Chrome/'); the
+    # VERSION must come from the DETECTED family's own token, not the
+    # leftmost version-looking substring
+    families = [
+        (r"Edg[e/]", "Edge", r"Edge?/(\d+[\w.]*)"),
+        (r"OPR/|Opera", "Opera", r"OPR/(\d+[\w.]*)"),
+        (r"Chrome/", "Chrome", r"Chrome/(\d+[\w.]*)"),
+        (r"Firefox/", "Firefox", r"Firefox/(\d+[\w.]*)"),
+        (r"Safari/", "Safari", r"Version/(\d+[\w.]*)"),
+        (r"curl/", "curl", r"curl/(\d+[\w.]*)"),
+        (r"(?i)bot|crawler|spider", "Bot", None),
+    ]
+    browser = first_match([(pat, name) for pat, name, _v in families], "Other")
+    version = F.lit(None).cast("string")
+    chain = F.when(F.lit(False), version)
+    for pat, _name, vpat in families:
+        v = F.nullif(F.regexp_extract(s, vpat, 1), F.lit("")) if vpat else F.lit(None).cast("string")
+        chain = chain.when(s.rlike(pat), v)
+    version = chain.otherwise(F.lit(None).cast("string"))
     os_name = first_match(
         [
             (r"Windows NT", "Windows"),

@@ -208,15 +208,24 @@ def decode_wav_features(df: DataFrame, payload_col: str = "wav") -> DataFrame:
         import struct as _struct
         import wave
 
+        fmt_by_width = {1: "B", 2: "h", 4: "i"}
         rows = []
         for p in payloads:
             try:
                 with wave.open(io.BytesIO(bytes(p)), "rb") as w:
                     rate, nch, n = w.getframerate(), w.getnchannels(), w.getnframes()
+                    width = w.getsampwidth()
                     data = w.readframes(n)
-                samples = _struct.unpack(f"<{n * nch}h", data)
-                rms = math.sqrt(sum(s * s for s in samples) / max(len(samples), 1))
-                rows.append((rate, nch, n, n * 1000 // rate, round(rms, 6)))
+                rms = None
+                if width in fmt_by_width:
+                    samples = _struct.unpack(f"<{n * nch}{fmt_by_width[width]}", data)
+                    if width == 1:  # 8-bit WAV is unsigned, centered at 128
+                        samples = tuple(sv - 128 for sv in samples)
+                    rms = round(math.sqrt(sum(sv * sv for sv in samples) / max(len(samples), 1)), 6)
+                # 24-bit (width 3) and exotic widths: header fields still
+                # emitted, rms null — a valid payload is never reported as
+                # malformed just because sample decode is unsupported
+                rows.append((rate, nch, n, n * 1000 // rate, rms))
             except Exception:  # noqa: BLE001 — malformed payload -> nulls
                 rows.append((None, None, None, None, None))
         return pd.DataFrame(rows, columns=["sample_rate", "n_channels", "n_samples", "duration_ms", "rms"])
@@ -287,16 +296,25 @@ def decode_png_features(df: DataFrame, payload_col: str = "png") -> DataFrame:
                 data = bytes(p)
                 assert data[:8] == b"\x89PNG\r\n\x1a\n"
                 pos, width, height, depth, idat = 8, None, None, None, b""
+                color_type = interlace = None
                 while pos < len(data):
                     (ln,) = _struct.unpack(">I", data[pos : pos + 4])
                     tag = data[pos + 4 : pos + 8]
                     payload = data[pos + 8 : pos + 8 + ln]
                     if tag == b"IHDR":
-                        width, height, depth = _struct.unpack(">IIB", payload[:9])
+                        width, height, depth, color_type, _c, _f, interlace = _struct.unpack(
+                            ">IIBBBBB", payload[:13]
+                        )
                     elif tag == b"IDAT":
                         idat += payload
                     pos += 12 + ln
+                # the pixel path below assumes 8-bit grayscale, no interlace,
+                # filter 0 scanlines — anything else (RGB, palette, Adam7,
+                # filters 1-4) must NOT silently produce a garbage mean
+                assert color_type == 0 and depth == 8 and interlace == 0
                 raw = zlib.decompress(idat)
+                assert len(raw) == height * (width + 1)
+                assert all(raw[r * (width + 1)] == 0 for r in range(height))  # filter 0 only
                 pixels = [b for r in range(height) for b in raw[r * (width + 1) + 1 : (r + 1) * (width + 1)]]
                 mean = round(sum(pixels) / max(len(pixels), 1), 6)
                 rows.append((width, height, depth, mean))

@@ -242,7 +242,8 @@ def severity_parser(df: DataFrame, source: str, text_dest: str = "severity_text"
 
 
 def time_parser(df: DataFrame, source: str, fmt: str = "yyyy-MM-dd'T'HH:mm:ss", dest: str = "event_ts") -> DataFrame:
-    """operator/helper/time.go:24-47 — strptime/epoch layouts → to_timestamp."""
+    """Native-pattern timestamp parse; strptime/epoch layout types live in
+    time_parser_layout (operator/helper/time.go:24-47)."""
     return df.withColumn(dest, F.to_timestamp(F.col(source), fmt))
 
 
@@ -426,21 +427,33 @@ def time_parser_layout(
     dest: str = "event_ts",
 ) -> DataFrame:
     """operator/helper/time.go layout types: 'strptime' (translated),
-    'gotime'/'spark' (native pattern), 'epoch' with layout s|ms|us|ns."""
+    'gotime'/'spark' (native pattern), 'epoch' with layout s|ms|us|ns.
+    Unknown layout_type raises eagerly; unparsable VALUES yield null
+    (try_cast — a bad row must not abort the job under ANSI mode)."""
     if layout_type == "strptime":
-        return df.withColumn(dest, F.to_timestamp(F.col(source), strptime_to_spark(layout)))
+        src = F.col(source)
+        if "%e" in layout:
+            # strptime %e is a SPACE-padded day ('Mar  1'); Java 'd' wants
+            # one space — collapse runs of spaces before parsing
+            src = F.regexp_replace(src, "  +", " ")
+        return df.withColumn(dest, F.to_timestamp(src, strptime_to_spark(layout)))
     if layout_type == "epoch":
-        c = F.col(source).cast("long")
+        n = f"try_cast(`{source}` as bigint)"
         conv = {
-            "s": F.timestamp_seconds(c),
-            "ms": F.timestamp_millis(c),
-            "us": F.timestamp_micros(c),
-            "ns": F.timestamp_micros((c / 1000).cast("long")),
+            "s": f"timestamp_seconds({n})",
+            "ms": f"timestamp_millis({n})",
+            "us": f"timestamp_micros({n})",
+            # exact integer floor-division: ns epochs exceed 2^53, so any
+            # double round-trip corrupts the low bits; `div` truncates
+            # toward zero, the CASE corrects negatives to a true floor
+            "ns": f"timestamp_micros(({n} div 1000) + (CASE WHEN {n} % 1000 < 0 THEN -1 ELSE 0 END))",
         }
         if layout not in conv:
             raise ValueError("epoch layout must be one of s|ms|us|ns")
-        return df.withColumn(dest, conv[layout])
-    return df.withColumn(dest, F.to_timestamp(F.col(source), layout))
+        return df.withColumn(dest, F.expr(conv[layout]))
+    if layout_type in ("gotime", "spark"):
+        return df.withColumn(dest, F.to_timestamp(F.col(source), layout))
+    raise ValueError(f"unknown layout_type {layout_type!r} (strptime|epoch|gotime|spark)")
 
 
 def csv_parser_dynamic(
@@ -449,10 +462,13 @@ def csv_parser_dynamic(
     """csv_parser with a per-entry dynamic header (operator/parser/csv/
     parser.go:94): the column list comes from another FIELD, so no static
     schema exists — the parse result is a map built with map_from_arrays
-    (zip of split header and split row)."""
-    return df.withColumn(
-        dest,
-        F.map_from_arrays(
-            F.split(F.col(header_col), F.lit(sep), -1), F.split(F.col(source), F.lit(sep), -1)
-        ),
-    )
+    (zip of split header and split row). The header is row DATA, so
+    malformed rows (field-count mismatch, duplicate header keys) yield a
+    NULL map instead of aborting the job (on_error=send); the separator is
+    a literal string, matching csv_parser's from_csv semantics."""
+    import re as _re2
+
+    keys = F.split(F.col(header_col), F.lit(_re2.escape(sep)), -1)
+    vals = F.split(F.col(source), F.lit(_re2.escape(sep)), -1)
+    ok = (F.size(keys) == F.size(vals)) & (F.size(F.array_distinct(keys)) == F.size(keys))
+    return df.withColumn(dest, F.when(ok, F.map_from_arrays(keys, vals)))

@@ -294,3 +294,36 @@ def test_png_real_decode_and_malformed(spark):
     bad = spark.createDataFrame([(1, b"GIF89a not png")], "doc_id long, png binary")
     r = decode_png_features(bad).collect()[0]["png_meta"]
     assert r["width"] is None and r["mean_pixel"] is None
+
+
+def test_wav_8bit_and_png_rgb_guards(spark):
+    """Valid-but-unsupported codec variants must degrade safely: 8-bit WAV
+    decodes fully (unsigned samples recentered); an RGB/filtered PNG yields
+    nulls instead of a silently-garbage mean."""
+    import io
+    import struct as st
+    import wave
+    import zlib
+
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        decode_png_features,
+        decode_wav_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes([128 + 50, 128 - 50] * 50))  # 8-bit, amp 50
+    wdf = spark.createDataFrame([(1, buf.getvalue())], "id long, wav binary")
+    r = decode_wav_features(wdf).collect()[0]["wav_meta"]
+    assert r["sample_rate"] == 8000 and r["n_samples"] == 100 and r["rms"] == 50.0
+
+    def chunk(tag, payload):
+        return st.pack(">I", len(payload)) + tag + payload + st.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    ihdr = st.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)  # color type 2 = RGB
+    raw = b"\x00" + bytes([10, 20, 30, 40, 50, 60])
+    rgb = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    pdf = spark.createDataFrame([(1, rgb)], "id long, png binary")
+    p = decode_png_features(pdf).collect()[0]["png_meta"]
+    assert p["mean_pixel"] is None and p["width"] is None  # refused, not garbage

@@ -130,3 +130,12 @@ def test_map_keys_lambda(row):
     m = F.create_map(F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2"))
     got = row(O["MapKeys"](m, lambda k: F.upper(k)))
     assert dict(got) == {"A": "1", "B": "2"}
+
+
+def test_user_agent_edge_opera_versions(row):
+    edge = "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36 Edg/121.0.2277.83"
+    got = row(O["UserAgent"](F.lit(edge)))
+    assert got["browser"] == "Edge" and got["version"].startswith("121")
+    opera = "Mozilla/5.0 (X11; Linux) AppleWebKit/537.36 Chrome/119.0.0.0 Safari/537.36 OPR/105.0.4970.34"
+    got2 = row(O["UserAgent"](F.lit(opera)))
+    assert got2["browser"] == "Opera" and got2["version"].startswith("105")

@@ -207,3 +207,40 @@ def test_csv_parser_dynamic_header(spark):
     got = {r["id"]: dict(r["parsed_csv"]) for r in out.collect()}
     assert got[1] == {"a": "1", "b": "2", "c": "3"}
     assert got[2] == {"a": "10", "b": "20", "c": "30"}  # header order honored
+
+
+def test_dynamic_csv_malformed_rows_yield_null(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import csv_parser_dynamic
+
+    rows = [(1, "a,b,c", "1,2,3,4"),   # field-count mismatch
+            (2, "a,a", "1,2"),          # duplicate header keys
+            (3, "a,b", "1,2")]
+    out = {r["id"]: r["parsed_csv"] for r in csv_parser_dynamic(
+        spark.createDataFrame(rows, "id int, hdr string, line string"), "line", "hdr").collect()}
+    assert out[1] is None and out[2] is None
+    assert dict(out[3]) == {"a": "1", "b": "2"}
+    # regex-metacharacter separator treated literally
+    out2 = csv_parser_dynamic(
+        spark.createDataFrame([(1, "a|b", "1|2")], "id int, hdr string, line string"),
+        "line", "hdr", sep="|").collect()[0]["parsed_csv"]
+    assert dict(out2) == {"a": "1", "b": "2"}
+
+
+def test_epoch_parse_robustness(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import time_parser_layout
+    import pytest as pt
+
+    # non-numeric value -> null, not an ANSI cast crash
+    df = spark.createDataFrame([("abc",), ("1740824430",)], "es string")
+    got = [r["event_ts"] for r in time_parser_layout(df, "es", "s", layout_type="epoch").collect()]
+    assert got[0] is None and got[1] is not None
+    # ns epochs keep exact microseconds (no double round-trip)
+    ns = spark.createDataFrame([(1740824430123456999,)], "ns long")
+    t = time_parser_layout(ns, "ns", "ns", layout_type="epoch").collect()[0]["event_ts"]
+    assert t.microsecond == 123456
+    # %e space-padded day parses
+    sy = spark.createDataFrame([("Mar  1 10:20:30",)], "s string")
+    t2 = time_parser_layout(sy, "s", "%b %e %H:%M:%S").collect()[0]["event_ts"]
+    assert (t2.month, t2.day) == (3, 1)
+    with pt.raises(ValueError):
+        time_parser_layout(sy, "s", "%Y", layout_type="strptme")
