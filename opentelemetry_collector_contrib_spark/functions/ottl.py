@@ -385,7 +385,8 @@ def _user_agent(col) -> Column:
     # leftmost version-looking substring
     families = [
         (r"Edg[e/]", "Edge", r"Edge?/(\d+[\w.]*)"),
-        (r"OPR/|Opera", "Opera", r"OPR/(\d+[\w.]*)"),
+        # Version/ fallback covers pre-Blink Opera ('Opera/9.80 ... Version/12.16')
+        (r"OPR/|Opera", "Opera", r"(?:OPR/|Version/)(\d+[\w.]*)"),
         (r"Chrome/", "Chrome", r"Chrome/(\d+[\w.]*)"),
         (r"Firefox/", "Firefox", r"Firefox/(\d+[\w.]*)"),
         (r"Safari/", "Safari", r"Version/(\d+[\w.]*)"),

@@ -308,13 +308,26 @@ def decode_png_features(df: DataFrame, payload_col: str = "png") -> DataFrame:
                     elif tag == b"IDAT":
                         idat += payload
                     pos += 12 + ln
-                # the pixel path below assumes 8-bit grayscale, no interlace,
-                # filter 0 scanlines — anything else (RGB, palette, Adam7,
-                # filters 1-4) must NOT silently produce a garbage mean
-                assert color_type == 0 and depth == 8 and interlace == 0
-                raw = zlib.decompress(idat)
-                assert len(raw) == height * (width + 1)
-                assert all(raw[r * (width + 1)] == 0 for r in range(height))  # filter 0 only
+                if width is None:
+                    raise ValueError("no IHDR")
+                # the pixel path assumes 8-bit grayscale, no interlace,
+                # filter-0 scanlines — anything else (RGB, palette, Adam7,
+                # filters 1-4) keeps its HEADER fields but must NOT produce
+                # a garbage mean. Explicit checks, not asserts: -O strips
+                # asserts and would silently re-enable the garbage path.
+                if not (color_type == 0 and depth == 8 and interlace == 0):
+                    rows.append((width, height, depth, None))
+                    continue
+                expected = height * (width + 1)
+                # bounded inflate: a decompression-bomb IDAT must read as
+                # malformed, not OOM the worker
+                d = zlib.decompressobj()
+                raw = d.decompress(idat, expected + 1)
+                if len(raw) != expected or d.unconsumed_tail:
+                    raise ValueError("IDAT size mismatch")
+                if any(raw[r * (width + 1)] != 0 for r in range(height)):
+                    rows.append((width, height, depth, None))  # filters 1-4
+                    continue
                 pixels = [b for r in range(height) for b in raw[r * (width + 1) + 1 : (r + 1) * (width + 1)]]
                 mean = round(sum(pixels) / max(len(pixels), 1), 6)
                 rows.append((width, height, depth, mean))

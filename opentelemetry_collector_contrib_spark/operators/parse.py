@@ -243,8 +243,10 @@ def severity_parser(df: DataFrame, source: str, text_dest: str = "severity_text"
 
 def time_parser(df: DataFrame, source: str, fmt: str = "yyyy-MM-dd'T'HH:mm:ss", dest: str = "event_ts") -> DataFrame:
     """Native-pattern timestamp parse; strptime/epoch layout types live in
-    time_parser_layout (operator/helper/time.go:24-47)."""
-    return df.withColumn(dest, F.to_timestamp(F.col(source), fmt))
+    time_parser_layout (operator/helper/time.go:24-47). try_to_timestamp:
+    an unparsable value nulls the row instead of aborting the job under
+    ANSI mode (on_error=send)."""
+    return df.withColumn(dest, F.try_to_timestamp(F.col(source), F.lit(fmt)))
 
 
 def jsonarray_parser(df: DataFrame, source: str, element_type: str = "string", dest: str = "parsed_array") -> DataFrame:
@@ -400,22 +402,34 @@ _STRPTIME_MAP = {
 def strptime_to_spark(fmt: str) -> str:
     """Translate a strptime layout ('%Y-%m-%dT%H:%M:%S') to the Java
     DateTimeFormatter pattern Spark's to_timestamp expects. Unknown
-    directives raise at plan build (eager validation)."""
+    directives raise at plan build (eager validation). Consecutive literal
+    letters are quoted as ONE section — adjacent single-quoted sections
+    ('U''T''C') read as embedded quotes to the Java parser."""
     out: list[str] = []
+    lit: list[str] = []
+
+    def flush_lit() -> None:
+        if lit:
+            out.append("'" + "".join(lit) + "'")
+            lit.clear()
+
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             d = fmt[i : i + 2]
             if d not in _STRPTIME_MAP:
                 raise ValueError(f"unsupported strptime directive {d!r}")
+            flush_lit()
             out.append(_STRPTIME_MAP[d])
             i += 2
         elif fmt[i].isalpha():
-            out.append(f"'{fmt[i]}'")  # literal letters must be quoted in Java patterns
+            lit.append(fmt[i])  # literal letters must be quoted in Java patterns
             i += 1
         else:
+            flush_lit()
             out.append(fmt[i])
             i += 1
+    flush_lit()
     return "".join(out)
 
 
@@ -433,15 +447,21 @@ def time_parser_layout(
     if layout_type == "strptime":
         src = F.col(source)
         if "%e" in layout:
-            # strptime %e is a SPACE-padded day ('Mar  1'); Java 'd' wants
-            # one space — collapse runs of spaces before parsing
-            src = F.regexp_replace(src, "  +", " ")
-        return df.withColumn(dest, F.to_timestamp(src, strptime_to_spark(layout)))
+            # strptime %e is a SPACE-padded day (' 1', 'Mar  1'); Java 'd'
+            # wants exactly one space between tokens and none leading —
+            # collapse runs and trim the edge pad before parsing
+            src = F.ltrim(F.regexp_replace(src, " +", " "))
+        return df.withColumn(dest, F.try_to_timestamp(src, F.lit(strptime_to_spark(layout))))
     if layout_type == "epoch":
         n = f"try_cast(`{source}` as bigint)"
+        # range guards: timestamp_seconds/millis multiply internally with
+        # Math.multiplyExact — an out-of-range value (e.g. a ns epoch fed to
+        # the s layout) must null the row, not ArithmeticException the job
+        s_ok = f"(CASE WHEN {n} BETWEEN -9223372036854 AND 9223372036854 THEN {n} END)"
+        ms_ok = f"(CASE WHEN {n} BETWEEN -9223372036854775 AND 9223372036854775 THEN {n} END)"
         conv = {
-            "s": f"timestamp_seconds({n})",
-            "ms": f"timestamp_millis({n})",
+            "s": f"timestamp_seconds({s_ok})",
+            "ms": f"timestamp_millis({ms_ok})",
             "us": f"timestamp_micros({n})",
             # exact integer floor-division: ns epochs exceed 2^53, so any
             # double round-trip corrupts the low bits; `div` truncates
@@ -452,7 +472,7 @@ def time_parser_layout(
             raise ValueError("epoch layout must be one of s|ms|us|ns")
         return df.withColumn(dest, F.expr(conv[layout]))
     if layout_type in ("gotime", "spark"):
-        return df.withColumn(dest, F.to_timestamp(F.col(source), layout))
+        return df.withColumn(dest, F.try_to_timestamp(F.col(source), F.lit(layout)))
     raise ValueError(f"unknown layout_type {layout_type!r} (strptime|epoch|gotime|spark)")
 
 
@@ -466,9 +486,7 @@ def csv_parser_dynamic(
     malformed rows (field-count mismatch, duplicate header keys) yield a
     NULL map instead of aborting the job (on_error=send); the separator is
     a literal string, matching csv_parser's from_csv semantics."""
-    import re as _re2
-
-    keys = F.split(F.col(header_col), F.lit(_re2.escape(sep)), -1)
-    vals = F.split(F.col(source), F.lit(_re2.escape(sep)), -1)
+    keys = F.split(F.col(header_col), F.lit(_re.escape(sep)), -1)
+    vals = F.split(F.col(source), F.lit(_re.escape(sep)), -1)
     ok = (F.size(keys) == F.size(vals)) & (F.size(F.array_distinct(keys)) == F.size(keys))
     return df.withColumn(dest, F.when(ok, F.map_from_arrays(keys, vals)))

@@ -326,4 +326,5 @@ def test_wav_8bit_and_png_rgb_guards(spark):
     rgb = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     pdf = spark.createDataFrame([(1, rgb)], "id long, png binary")
     p = decode_png_features(pdf).collect()[0]["png_meta"]
-    assert p["mean_pixel"] is None and p["width"] is None  # refused, not garbage
+    # header fields preserved, pixel path refused (no garbage mean)
+    assert p["mean_pixel"] is None and p["width"] == 2 and p["bit_depth"] == 8

@@ -139,3 +139,9 @@ def test_user_agent_edge_opera_versions(row):
     opera = "Mozilla/5.0 (X11; Linux) AppleWebKit/537.36 Chrome/119.0.0.0 Safari/537.36 OPR/105.0.4970.34"
     got2 = row(O["UserAgent"](F.lit(opera)))
     assert got2["browser"] == "Opera" and got2["version"].startswith("105")
+
+
+def test_user_agent_legacy_opera(row):
+    legacy = "Opera/9.80 (Windows NT 6.1) Presto/2.12.388 Version/12.16"
+    got = row(O["UserAgent"](F.lit(legacy)))
+    assert got["browser"] == "Opera" and got["version"] == "12.16"

@@ -244,3 +244,24 @@ def test_epoch_parse_robustness(spark):
     assert (t2.month, t2.day) == (3, 1)
     with pt.raises(ValueError):
         time_parser_layout(sy, "s", "%Y", layout_type="strptme")
+
+
+def test_time_parse_hardening(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        strptime_to_spark,
+        time_parser_layout,
+    )
+
+    # literal letter RUNS quote as one section
+    assert strptime_to_spark("%H:%M:%S UTC") == "HH:mm:ss 'UTC'"
+    df = spark.createDataFrame([("10:20:30 UTC",), ("garbage",)], "s string")
+    got = [r["event_ts"] for r in time_parser_layout(df, "s", "%H:%M:%S UTC").collect()]
+    assert got[0] is not None and got[1] is None  # bad row -> null, no ANSI abort
+    # %e with a LEADING pad space (single-digit day at layout start)
+    lead = spark.createDataFrame([(" 1 Mar 2026 10:20:30",)], "s string")
+    t = time_parser_layout(lead, "s", "%e %b %Y %H:%M:%S").collect()[0]["event_ts"]
+    assert (t.day, t.month) == (1, 3)
+    # out-of-range epoch -> null, not ArithmeticException
+    big = spark.createDataFrame([(9223372036854775807,), (1740824430,)], "es long")
+    got2 = [r["event_ts"] for r in time_parser_layout(big, "es", "s", layout_type="epoch").collect()]
+    assert got2[0] is None and got2[1] is not None
