@@ -416,6 +416,30 @@ def _user_agent(col) -> Column:
 OTTL_FUNCTIONS["UserAgent"] = _user_agent
 
 
+def _extract_grok_patterns(col, pattern, named_captures_only=True, pattern_definitions=None):
+    """ExtractGrokPatterns(target, pattern, namedCapturesOnly, definitions)
+    → struct of typed captures (func_extract_grok_patterns.go:39-130).
+    The grok text compiles once at plan build (the pattern is a literal —
+    the same compile-once contract as the reference); unmatched rows and
+    non-participating groups are NULL. The bank-scale path is
+    operators/grok.grok_parser; this is the per-statement Column form."""
+    from ..operators.grok import compile_grok
+
+    cg = compile_grok(pattern, pattern_definitions, named_captures_only)
+    s = _c(col)
+    matched = s.rlike(cg.regex)
+    out = []
+    for fname, idx, typ in cg.fields:
+        v = F.when(matched, F.nullif(F.regexp_extract(s, cg.regex, idx), F.lit("")))
+        if typ != "string":
+            v = v.cast(typ)
+        out.append(v.alias(fname))
+    return F.struct(*out)
+
+
+OTTL_FUNCTIONS["ExtractGrokPatterns"] = _extract_grok_patterns
+
+
 def call(name: str, *args) -> Column:
     """Invoke a registered OTTL function by its reference name."""
     return OTTL_FUNCTIONS[name](*args)

@@ -65,20 +65,32 @@ def parse_native(df: DataFrame, text_col: str = "text") -> DataFrame:
     kv+syslog+json bank would cost up to 13 executions/row). Instead each
     pattern runs ONCE as `regexp_replace(text, pat, '$1\\x01$2...')` — a
     full-line anchored pattern rewrites the line to its groups joined by an
-    \\x01 separator (a byte that cannot appear in the text) — and a single
-    split recovers the fields. rlike gates per pattern, so a row costs
-    3 rlike + 1 replace + 1 split. Values are byte-identical to per-group
-    extraction (same regex, same groups) — the oracle contract is unchanged."""
+    \\x01 separator — and a single split recovers the fields. rlike gates
+    per pattern, so a row costs 3 rlike + 1 replace + 1 split. Values are
+    byte-identical to per-group extraction (same regex, same groups) — the
+    oracle contract is unchanged.
+
+    Separator-collision guard: `SYSLOG_RE`'s message group is `(.*)`, so a
+    payload containing a literal \\x01 byte would shift every field after
+    the split. Rows containing the separator take a per-group
+    `regexp_extract` branch in the same projection instead — the fast path
+    stays one-regex-per-pattern for the (overwhelming) \\x01-free case,
+    and adversarial bytes can never corrupt fields."""
     t = F.col(text_col)
     is_kv = t.rlike(KV_RE)
     is_syslog = t.rlike(SYSLOG_RE)
     is_json = t.rlike(JSON_RE)
 
     SEP = "\x01"
+    sep_free = ~t.contains(SEP)
 
-    def grp_split(regex: str, n_groups: int) -> Column:
+    def grp_split(regex: str, n_groups: int) -> list[Column]:
         tpl = SEP.join(f"${i}" for i in range(1, n_groups + 1))
-        return F.split(F.regexp_replace(t, regex, tpl), SEP)
+        arr = F.split(F.regexp_replace(t, regex, tpl), SEP)
+        return [
+            F.when(sep_free, arr[i - 1]).otherwise(F.regexp_extract(t, regex, i))
+            for i in range(1, n_groups + 1)
+        ]
 
     kv = grp_split(KV_RE, 4)        # sev, tool, latency_ms, status
     sl = grp_split(SYSLOG_RE, 4)    # log_ts, sev, component, message

@@ -728,7 +728,45 @@ def q_genai_normalize(spark, sf_dir):
     )
 
 
+_GROK_LINE_PAT = (
+    r"%{TIMESTAMP_ISO8601:ts} \[%{LOGLEVEL:lvl}\] %{IPORHOST:host} "
+    r"%{WORD:verb} %{APIPATH:path} latency=%{INT:latency_ms:int} %{GREEDYDATA:msg}"
+)
+_GROK_LINE_DEFS = ["APIPATH=/api/v[0-9]+/[a-z0-9]+"]
+
+
+def q_grok_parse(spark, sf_dir):
+    """ExtractGrokPatterns dialect over synthesized access-log lines:
+    library patterns (TIMESTAMP_ISO8601, LOGLEVEL, IPORHOST, WORD, INT,
+    GREEDYDATA), a custom NAME=regex definition, a typed :int capture and a
+    deliberate no-match stratum (doc_id%7==0). Oracle = the same compiled
+    portable regex under DuckDB RE2 (func_extract_grok_patterns.go:39-130)."""
+    from ..operators.grok import grok_parser
+
+    docs = _docs(spark, sf_dir)
+    msg = F.substring(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""), 1, 30)
+    lvl = F.element_at(
+        F.array(F.lit("info"), F.lit("WARN"), F.lit("error"), F.lit("DEBUG")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    line = F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("garbage "), msg)).otherwise(
+        F.concat(
+            F.lit("2024-03-04T05:06:0"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(" ["), lvl, F.lit("] h"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com GET /api/v"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("/"), F.col("source"), F.lit(" latency="),
+            F.col("n_chars").cast("string"), F.lit(" "), msg,
+        )
+    )
+    out = grok_parser(
+        docs.select("doc_id", line.alias("line")), "line",
+        _GROK_LINE_PAT, definitions=_GROK_LINE_DEFS,
+    )
+    return out.select("doc_id", "ts", "lvl", "host", "verb", "path", "latency_ms", "msg")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "grok_parse_fields": q_grok_parse,
     "uri_parse_fields": q_uri_parse,
     "csv_parse_fields": q_csv_parse,
     "kv_parse_map": q_kv_parse_map,
@@ -1325,6 +1363,35 @@ SELECT conv_id, turn_idx,
        coalesce(status, 'none') AS status_c
 FROM ordered"""
     )
+
+    # grok: the SAME compiled portable regex runs under DuckDB RE2 —
+    # extraction per group index, '' → NULL, typed casts mirrored.
+    from ..operators.grok import compile_grok
+
+    _cg = compile_grok(_GROK_LINE_PAT, _GROK_LINE_DEFS)
+    _rx = _cg.regex.replace("'", "''")
+    _duck_t = {"bigint": "BIGINT", "double": "DOUBLE", "boolean": "BOOLEAN", "string": "VARCHAR"}
+    _grok_cols = ",\n  ".join(
+        f"CAST(CASE WHEN regexp_matches(line, '{_rx}') THEN nullif(regexp_extract(line, '{_rx}', {i}), '') END"
+        f" AS {_duck_t[t]}) AS {f}"
+        for f, i, t in _cg.fields
+    )
+    o["grok_parse_fields"] = f"""
+WITH s AS (SELECT doc_id, source, lang, n_chars,
+  substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 30) AS msg,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'info' WHEN 1 THEN 'WARN' WHEN 2 THEN 'error' ELSE 'DEBUG' END AS lvl
+FROM documents),
+l AS (SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN 'garbage ' || msg
+       ELSE '2024-03-04T05:06:0' || CAST(doc_id % 10 AS VARCHAR)
+         || ' [' || lvl || '] h' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com GET /api/v' || CAST(doc_id % 3 AS VARCHAR)
+         || '/' || source || ' latency=' || CAST(n_chars AS VARCHAR) || ' ' || msg
+  END AS line
+FROM s)
+SELECT doc_id,
+  {_grok_cols}
+FROM l"""
 
     return o
 

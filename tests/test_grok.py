@@ -1,0 +1,176 @@
+"""Grok dialect tests mirroring the reference's table
+(pkg/ottl/ottlfuncs/func_extract_grok_patterns_test.go) plus portability
+and adversarial-input checks for the bank operator."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.grok import (
+    GROK_PATTERNS,
+    GrokError,
+    compile_grok,
+    grok_parser,
+    grok_parser_vectorized,
+)
+
+
+# --- pure compiler tests (no Spark) ----------------------------------------
+
+def _match(pattern, text, **kw):
+    cg = compile_grok(pattern, **kw)
+    m = re.search(cg.regex, text)
+    if m is None:
+        return None
+    return {f: m.group(i) for f, i, _ in cg.fields}
+
+
+def test_raw_regex_named_captures():
+    # func_extract_grok_patterns_test.go:27 "regex - extract patterns"
+    assert _match(r"^a=(?P<a>\w+)\s+c=(?P<c>\w+)$", "a=b c=d") == {"a": "b", "c": "d"}
+
+
+def test_no_pattern_found_yields_none():
+    # test.go:38 "regex - no pattern found"
+    assert _match(r"^a=(?P<a>\w+)$", "b=c") is None
+
+
+def test_uri_default_pattern_needs_flag():
+    # test.go:45 — %{URI} with namedCapturesOnly has no captures → error
+    with pytest.raises(GrokError):
+        compile_grok("%{URI}")
+    got = _match("%{URI}", "see http://user:pw@host.example.com:8080/p?q=1 ok",
+                 named_captures_only=False)
+    assert got["URI"] == "http://user:pw@host.example.com:8080/p?q=1"
+
+
+def test_custom_pattern_definitions():
+    # test.go:90 "grok - custom patterns"
+    got = _match(
+        "%{MYPATTERN:m}",
+        "input foo-123 rest",
+        definitions=["MYPATTERN=foo-%{NONNEGINT}"],
+    )
+    assert got == {"m": "foo-123"}
+
+
+def test_definition_format_errors():
+    # test.go:150-178 error table
+    with pytest.raises(GrokError, match="incorrect format"):
+        compile_grok("%{X:a}", definitions=["NOEQUALSSIGN"])
+    with pytest.raises(GrokError, match="should not contain"):
+        compile_grok("%{X:a}", definitions=["A:B=x"])
+    with pytest.raises(GrokError, match="named capture"):
+        compile_grok("(.*)")  # test.go:161 "no named capture group"
+    with pytest.raises(GrokError, match="unknown grok pattern"):
+        compile_grok("%{NOT_A_REAL_PATTERN:x}")
+
+
+def test_typed_captures():
+    cg = compile_grok("%{NUMBER:f:float} %{INT:i:int} %{WORD:b:bool}")
+    assert [(f, t) for f, _, t in cg.fields] == [
+        ("f", "double"), ("i", "bigint"), ("b", "boolean")]
+    with pytest.raises(GrokError, match="unsupported grok capture type"):
+        compile_grok("%{INT:x:complex}")
+
+
+def test_combined_apache_log():
+    line = (
+        '203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://www.example.com/start.html" "Mozilla/4.08"'
+    )
+    got = _match("%{COMBINEDAPACHELOG}", line)
+    assert got["clientip"] == "203.0.113.9"
+    assert got["auth"] == "frank"
+    assert got["verb"] == "GET"
+    assert got["request"] == "/apache_pb.gif"
+    assert got["response"] == "200"
+    assert got["bytes"] == "2326"
+    assert got["agent"] == '"Mozilla/4.08"'
+
+
+def test_character_class_parens_not_counted():
+    cg = compile_grok(r"[(%][)]%{INT:i:int}")
+    m = re.search(cg.regex, "()42")
+    assert m.group(cg.fields[0][1]) == "42"
+
+
+def test_anonymous_group_keeps_index_but_no_field():
+    cg = compile_grok(r"(x+) %{WORD:w}")
+    assert cg.fields == (("w", 2, "string"),)
+
+
+def test_duplicate_capture_name_rejected():
+    with pytest.raises(GrokError, match="duplicate"):
+        compile_grok(r"%{WORD:a} %{INT:a}")
+
+
+def test_recursion_cycle_detected():
+    with pytest.raises(GrokError, match="recursion"):
+        compile_grok("%{A:x}", definitions=["A=%{B}", "B=%{A}"])
+
+
+def test_library_patterns_all_compile_portably():
+    """Every library pattern must compile under Python re when expanded —
+    the same string is fed verbatim to Java regex and RE2."""
+    for name in GROK_PATTERNS:
+        cg = compile_grok("%{" + name + ":x}")
+        re.compile(cg.regex)
+
+
+# --- Spark paths -----------------------------------------------------------
+
+PAT = (
+    r"%{TIMESTAMP_ISO8601:ts} \[%{LOGLEVEL:lvl}\] %{IPORHOST:host} "
+    r"%{WORD:verb} latency=%{INT:latency:int}"
+)
+
+ROWS = [
+    ("r1", "2024-01-02T03:04:05Z [warn] web-1.example.com GET latency=42"),
+    ("r2", "no match here"),
+    ("r3", "prefix 2024-02-03 11:22:33 [ERROR] 10.0.0.255 POST latency=7 suffix"),
+    ("r4", "sep\x01byte 2024-06-07T08:09:10Z [debug] h.example.org PUT latency=123"),
+    ("r5", None),
+]
+
+
+@pytest.fixture(scope="module")
+def grok_df(spark):
+    return spark.createDataFrame(ROWS, "id string, line string")
+
+
+def test_native_path(spark, grok_df):
+    got = {
+        r["id"]: (r["ts"], r["lvl"], r["host"], r["verb"], r["latency"])
+        for r in grok_parser(grok_df, "line", PAT).collect()
+    }
+    assert got["r1"] == ("2024-01-02T03:04:05Z", "warn", "web-1.example.com", "GET", 42)
+    assert got["r2"] == (None,) * 5
+    assert got["r3"] == ("2024-02-03 11:22:33", "ERROR", "10.0.0.255", "POST", 7)
+    # adversarial \x01 payload takes the per-group fallback, fields unshifted
+    assert got["r4"] == ("2024-06-07T08:09:10Z", "debug", "h.example.org", "PUT", 123)
+    assert got["r5"] == (None,) * 5
+
+
+def test_vectorized_matches_native(spark, grok_df):
+    cols = ["id", "ts", "lvl", "host", "verb", "latency"]
+    n = sorted(tuple(r) for r in grok_parser(grok_df, "line", PAT).select(cols).collect())
+    v = sorted(
+        tuple(r) for r in grok_parser_vectorized(grok_df, "line", PAT).select(cols).collect()
+    )
+    assert n == v
+
+
+def test_ottl_function_form(spark, grok_df):
+    from opentelemetry_collector_contrib_spark.functions.ottl import call
+
+    out = grok_df.select(
+        "id", call("ExtractGrokPatterns", F.col("line"), PAT).alias("g")
+    ).collect()
+    by_id = {r["id"]: r["g"] for r in out}
+    assert by_id["r1"]["lvl"] == "warn" and by_id["r1"]["latency"] == 42
+    assert by_id["r2"]["host"] is None

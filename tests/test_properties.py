@@ -21,6 +21,16 @@ TOOLS = ["search", "code", "calc", "none"]
 
 texts = st.one_of(
     st.text(alphabet="abcdefghij XYZ=:{}0123456789", min_size=0, max_size=40),
+    # adversarial payloads: embedded \x01 separator bytes, regex
+    # metacharacters, newlines — the parse bank must never shift fields
+    # (separator-collision guard in parse_native) or throw
+    st.text(alphabet="ab\x01\\()[]{}.*+?|^$\n", min_size=0, max_size=24),
+    # syslog-shaped line whose greedy message group captures the hostile
+    # bytes — the exact collision the \x01 guard exists for
+    st.builds(
+        lambda m: f"2025-01-01T00:00:00 [INFO] comp: {m}",
+        st.text(alphabet="ab\x01\\()[].*+?", min_size=0, max_size=16),
+    ),
     st.builds(lambda s, t, n, ok: f"LOG lvl={s} tool={t} latency_ms={n} status={'ok' if ok else 'err'}",
               st.sampled_from(["info", "err", "debug"]), st.sampled_from(TOOLS),
               st.integers(0, 9999), st.booleans()),
