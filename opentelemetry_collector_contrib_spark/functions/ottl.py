@@ -41,8 +41,14 @@ def _c(x) -> Column:
 # --- string (func_concat.go, func_format.go, func_split.go, ...) -----------
 OTTL_FUNCTIONS.update(
     {
-        "Concat": lambda sep, *cols: F.concat_ws(sep, *[_c(c) for c in cols]),
-        "Format": lambda fmt, *cols: F.format_string(fmt, *[_c(c) for c in cols]),
+        # value varargs: a plain str is a LITERAL (OTTL string literals are
+        # values, func_concat.go) — pass F.col(...) explicitly for columns
+        "Concat": lambda sep, *cols: F.concat_ws(
+            sep, *[(c if isinstance(c, Column) else F.lit(c)) for c in cols]
+        ),
+        "Format": lambda fmt, *cols: F.format_string(
+            fmt, *[(c if isinstance(c, Column) else F.lit(c)) for c in cols]
+        ),
         "Split": lambda col, sep: F.split(_c(col), sep),
         "Substring": lambda col, start, length: F.substring(_c(col), start + 1, length),
         "Trim": lambda col, cut=" ": F.trim(_c(col)) if cut == " " else F.btrim(_c(col), F.lit(cut)),

@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
   | (?P<float>-?\d+\.\d+)
   | (?P<int>-?\d+)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op>==|!=|>=|<=|>|<|\+|-|\*|/|\(|\)|\[|\]|,)
+  | (?P<op>==|!=|>=|<=|=>|>|<|\+|-|\*|/|\(|\)|\[|\]|,)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
     """,
     re.VERBOSE,
@@ -79,6 +79,66 @@ def _lex(src: str) -> list[tuple[str, str]]:
 # ---------------------------------------------------------------------------
 
 
+_UNBOUND = object()  # a declared formal Spark's HOF cannot supply (e.g. index in forall)
+
+
+@dataclass
+class OttlLambda:
+    """A parsed-but-unevaluated lambda argument `(p1, p2) => body`
+    (grammar.go:232,277,580 LambdaArrow; lambda.go:15-60 activation model).
+    The body token slice re-parses once per HOF wiring with the formals
+    bound to the HOF's Column variables — the Catalyst analogue of
+    LambdaActivation.SetArg + Eval, resolved entirely at plan build."""
+
+    formals: list[str]
+    body: list[tuple[str, str]]
+    path_map: dict[str, str]
+
+    def eval(self, bindings: dict[str, object], pred: bool) -> Column:
+        p = _Parser(self.body + [("eof", "")], self.path_map)
+        p.locals = {k: v for k, v in bindings.items() if k != "_"}
+        col = p.bool_expr() if pred else p.value()
+        p.expect("eof")
+        return col
+
+
+# Which converters take a lambda, the collection kind that decides formal
+# binding, and whether the body is a predicate (boolExpr) or a value
+# (Getter) — mirroring the factories' LambdaExpression signatures.
+#   slice  — OTTL formals (index, value); Spark filter/transform pass
+#            (element, index), so the binding swaps the order
+#   slice1 — forall/exists only supply the element; the index formal is
+#            declared but unbindable (use `_`, lambda.go blank formals)
+#   one    — single-formal (MapKeys key rewrite)
+#   acc    — (accumulator, element) for Reduce/aggregate
+_LAMBDA_SPECS: dict[str, tuple[str, bool]] = {
+    "Filter": ("slice", True),
+    "MapEach": ("slice", False),
+    "All": ("slice1", True),
+    "Any": ("slice1", True),
+    "MapKeys": ("one", False),
+    "Reduce": ("acc", False),
+}
+
+
+def _bind_lambda(lam: OttlLambda, fn_name: str):
+    kind, pred = _LAMBDA_SPECS[fn_name]
+    n_want = 1 if kind == "one" else 2
+    if len(lam.formals) != n_want:
+        # ValidateArity contract (lambda.go:60-75): formal count must match
+        # what the function will bind
+        raise ValueError(
+            f"{fn_name} lambda declares {len(lam.formals)} parameters, expects {n_want}"
+        )
+    if kind == "slice":
+        return lambda x, i: lam.eval({lam.formals[0]: i, lam.formals[1]: x}, pred)
+    if kind == "slice1":
+        return lambda x: lam.eval({lam.formals[0]: _UNBOUND, lam.formals[1]: x}, pred)
+    if kind == "one":
+        return lambda k: lam.eval({lam.formals[0]: k}, pred)
+    return lambda acc, x: lam.eval({lam.formals[0]: acc, lam.formals[1]: x}, pred)
+
+
 @dataclass
 class Statement:
     editor: str
@@ -94,6 +154,7 @@ class _Parser:
         self.toks = tokens
         self.i = 0
         self.path_map = path_map
+        self.locals: dict[str, object] = {}  # lambda formals in scope
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i]
@@ -169,14 +230,89 @@ class _Parser:
                     if self.peek() == ("op", ","):
                         self.next()
                 self.expect("op", ")")
+                if any(isinstance(a, OttlLambda) for a in args):
+                    if text not in _LAMBDA_SPECS:
+                        raise ValueError(f"OTTL function {text} does not accept a lambda")
+                    args = [
+                        _bind_lambda(a, text) if isinstance(a, OttlLambda) else a
+                        for a in args
+                    ]
                 return OTTL_FUNCTIONS[text](*args)
+            if text in self.locals:
+                v = self.locals[text]
+                if v is _UNBOUND:
+                    raise ValueError(
+                        f"lambda parameter {text!r} is not bindable in this context"
+                        " (use `_` for unavailable formals)"
+                    )
+                return v
             return F.col(self._resolve_path(text))
         raise ValueError(f"OTTL parse error: unexpected {text!r}")
+
+    def _try_lambda(self) -> OttlLambda | None:
+        """At an argument position: `(` ident-list `)` `=>` body — capture
+        the body token slice (balanced, up to the enclosing `,` or `)`)
+        without evaluating it. Returns None if the lookahead is not a
+        lambda (an ordinary parenthesized expression)."""
+        if self.peek() != ("op", "("):
+            return None
+        j = self.i + 1
+        formals: list[str] = []
+        while self.toks[j][0] == "ident":
+            formals.append(self.toks[j][1])
+            j += 1
+            if self.toks[j] == ("op", ","):
+                j += 1
+            else:
+                break
+        if not formals or self.toks[j] != ("op", ")") or self.toks[j + 1] != ("op", "=>"):
+            return None
+        k = j + 2
+        if self.toks[k] == ("op", "(") and self._looks_like_lambda_at(k):
+            # grammar.go:677-684 rejects a lambda whose body is a lambda
+            raise ValueError("OTTL lambda body must not be another lambda")
+        depth = 0
+        body: list[tuple[str, str]] = []
+        while True:
+            tkind, ttext = self.toks[k]
+            if tkind == "eof":
+                break
+            if tkind == "op" and ttext in ("(", "["):
+                depth += 1
+            elif tkind == "op" and ttext in (")", "]"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif tkind == "op" and ttext == "," and depth == 0:
+                break
+            body.append(self.toks[k])
+            k += 1
+        if not body:
+            raise ValueError("OTTL lambda has an empty body")
+        self.i = k
+        return OttlLambda(formals, body, self.path_map)
+
+    def _looks_like_lambda_at(self, j: int) -> bool:
+        if self.toks[j] != ("op", "("):
+            return False
+        j += 1
+        seen = False
+        while self.toks[j][0] == "ident":
+            seen = True
+            j += 1
+            if self.toks[j] == ("op", ","):
+                j += 1
+            else:
+                break
+        return seen and self.toks[j] == ("op", ")") and self.toks[j + 1] == ("op", "=>")
 
     def _arg(self):
         """Converter args: string literals pass as raw Python strings (most
         registry functions take format/separator strings), everything else
         parses as a value expression."""
+        lam = self._try_lambda()
+        if lam is not None:
+            return lam
         kind, text = self.peek()
         if kind == "string":
             nxt = self.toks[self.i + 1]

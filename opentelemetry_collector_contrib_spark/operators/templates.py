@@ -52,11 +52,62 @@ def drain_templates(
     df: DataFrame,
     text_col: str = "text",
     masks: list[tuple[str, str]] | None = None,
+    merge_threshold: int | None = 3,
 ) -> DataFrame:
     """One row per converged template: (template, match_count, example).
-    Example = lexicographic-min raw text for determinism."""
-    masked = df.select(mask_template(F.col(text_col), masks).alias("template"), F.col(text_col))
-    return masked.groupBy("template").agg(
+    Example = lexicographic-min raw text for determinism.
+
+    Two convergence passes, mirroring what Drain's parse tree does
+    (processor/drainprocessor README "How it works"):
+
+    1. class masking (numbers/hex/quotes → ``<*>``) — the masking config;
+    2. positional word merge — Drain also converges *word*-token
+       variability ("user alice logged in" / "user bob logged in" → one
+       "user <*> logged in" cluster). Columnar equivalent: cluster rows by
+       Drain's tree prefix (token count + first token — the tree's length
+       and first-token internal nodes, so differing first tokens stay
+       separate clusters exactly as in the tree), count distinct tokens
+       per position inside each cluster, and rewrite positions whose
+       distinct count exceeds ``merge_threshold`` to ``<*>``. This is the
+       similarity-threshold convergence without per-record tree state — a
+       driver-side bottleneck at 10^12 rows.
+
+    merge_threshold=None keeps the mask-only single-pass behavior.
+
+    Scale: one token-level posexplode feeding a map-side-combinable
+    distinct-count agg (keys = clusters × positions, tiny vs rows); the
+    variable-position table is broadcast back (no row shuffle for the
+    join); the final template agg is one ordinary hash aggregation."""
+    masked = df.select(mask_template(F.col(text_col), masks).alias("masked"), F.col(text_col))
+    if merge_threshold is None:
+        return masked.groupBy(F.col("masked").alias("template")).agg(
+            F.count(F.lit(1)).alias("match_count"),
+            F.min(text_col).alias("example"),
+        )
+    toks = F.filter(F.split(F.trim(F.col("masked")), r"\s+"), lambda x: x != "")
+    base = masked.select(F.col(text_col), toks.alias("toks")).select(
+        text_col,
+        "toks",
+        F.size("toks").alias("n"),
+        F.coalesce(F.element_at("toks", 1), F.lit("")).alias("head"),
+    )
+    exploded = base.select("n", "head", F.posexplode("toks").alias("pos", "tok"))
+    stats = exploded.groupBy("n", "head", "pos").agg(F.count_distinct("tok").alias("nd"))
+    varpos = (
+        stats.filter(F.col("nd") > merge_threshold)
+        .groupBy("n", "head")
+        .agg(F.collect_set("pos").alias("vp"))
+    )
+    joined = base.join(F.broadcast(varpos), ["n", "head"], "left")
+    vp = F.coalesce(F.col("vp"), F.array().cast("array<int>"))
+    merged = F.array_join(
+        F.transform(
+            F.col("toks"),
+            lambda t, i: F.when(F.array_contains(vp, i), F.lit("<*>")).otherwise(t),
+        ),
+        " ",
+    )
+    return joined.groupBy(merged.alias("template")).agg(
         F.count(F.lit(1)).alias("match_count"),
         F.min(text_col).alias("example"),
     )

@@ -728,6 +728,35 @@ def q_genai_normalize(spark, sf_dir):
     )
 
 
+def q_ottl_lambdas(spark, sf_dir):
+    """OTTL lambda-expression statements (`(i, v) => body`) compiled to
+    Spark HOFs — Filter/MapEach/Any/All/Reduce over the token array of each
+    document (pkg/ottl/lambda.go:15-60, grammar.go:232,580, e2e cases
+    e2e_test.go:1629-1699). Index formals are 0-based on both sides."""
+    from ..functions.ottl_compiler import apply_statements
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    stmts = [
+        'set(long_toks, Filter(toks, (_, v) => Len(v) > 4))',
+        'set(idx_toks, MapEach(toks, (i, v) => Concat("", String(i), ":", v)))',
+        'set(has_long, Any(toks, (_, v) => Len(v) > 5))',
+        'set(all_short, All(toks, (_, v) => Len(v) < 6))',
+        'set(len_sum, Reduce(toks, 0, (acc, v) => acc + Len(v)))',
+    ]
+    out = apply_statements(docs, stmts)
+    return out.select(
+        "doc_id",
+        F.array_join("long_toks", " ").alias("long_toks_s"),
+        F.array_join(F.slice("idx_toks", 1, 8), " ").alias("idx_toks_s"),
+        "has_long",
+        "all_short",
+        F.col("len_sum").cast("bigint").alias("len_sum"),
+    )
+
+
 _GROK_LINE_PAT = (
     r"%{TIMESTAMP_ISO8601:ts} \[%{LOGLEVEL:lvl}\] %{IPORHOST:host} "
     r"%{WORD:verb} %{APIPATH:path} latency=%{INT:latency_ms:int} %{GREEDYDATA:msg}"
@@ -767,6 +796,7 @@ def q_grok_parse(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grok_parse_fields": q_grok_parse,
+    "ottl_lambdas": q_ottl_lambdas,
     "uri_parse_fields": q_uri_parse,
     "csv_parse_fields": q_csv_parse,
     "kv_parse_map": q_kv_parse_map,
@@ -1169,11 +1199,30 @@ SELECT conv_id, turn_idx, pipeline, masked,
 FROM ed"""
     )
 
+    # two-pass Drain convergence mirrored in SQL: mask classes, then merge
+    # word positions whose distinct-count within the (token-count, first-
+    # token) cluster exceeds the threshold (operators/templates.py
+    # drain_templates; threshold 3). Positions are 0-based on both sides.
     o["drain_templates"] = (
         cte
-        + f"""
-SELECT {masked} AS template, count(*) AS match_count, min(text) AS example
-FROM ordered GROUP BY 1"""
+        + f""",
+m AS (SELECT text, {masked} AS masked FROM ordered),
+tk AS (SELECT text, masked,
+         list_filter(regexp_split_to_array(trim(masked), '\\s+'), x -> x <> '') AS toks
+       FROM m),
+b AS (SELECT text, toks, len(toks) AS n, coalesce(toks[1], '') AS head FROM tk),
+e AS (SELECT n, head, i - 1 AS pos, toks[i] AS tok
+      FROM (SELECT n, head, toks, unnest(generate_series(1, len(toks))) AS i FROM b)),
+s AS (SELECT n, head, pos, count(DISTINCT tok) AS nd FROM e GROUP BY 1, 2, 3),
+v AS (SELECT n, head, list(pos) FILTER (WHERE nd > 3) AS vp FROM s GROUP BY 1, 2),
+j AS (SELECT b.text, b.toks, b.n, coalesce(v.vp, []) AS vp
+      FROM b LEFT JOIN v ON b.n = v.n AND b.head = v.head),
+r AS (SELECT text,
+        array_to_string(list_transform(generate_series(1, n),
+          i -> CASE WHEN list_contains(vp, i - 1) THEN '<*>' ELSE toks[i] END), ' ') AS template
+      FROM j)
+SELECT template, count(*) AS match_count, min(text) AS example
+FROM r GROUP BY 1"""
     )
 
     o["cardinality_guard"] = (
@@ -1363,6 +1412,19 @@ SELECT conv_id, turn_idx,
        coalesce(status, 'none') AS status_c
 FROM ordered"""
     )
+
+    o["ottl_lambdas"] = r"""
+WITH tk AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+FROM documents)
+SELECT doc_id,
+  array_to_string(list_filter(toks, x -> length(x) > 4), ' ') AS long_toks_s,
+  array_to_string(list_transform(generate_series(1, least(len(toks), 8)),
+    i -> CAST(i - 1 AS VARCHAR) || ':' || toks[i]), ' ') AS idx_toks_s,
+  len(list_filter(toks, x -> length(x) > 5)) > 0 AS has_long,
+  len(list_filter(toks, x -> length(x) >= 6)) = 0 AS all_short,
+  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS len_sum
+FROM tk"""
 
     # grok: the SAME compiled portable regex runs under DuckDB RE2 —
     # extraction per group index, '' → NULL, typed casts mirrored.

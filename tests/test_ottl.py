@@ -25,7 +25,10 @@ def test_string_fns(row):
     assert row(O["ToLowerCase"]("s")) == "hello world"
     assert row(O["Substring"]("s", 0, 5)) == "Hello"
     assert row(O["Len"]("s")) == 11
-    assert row(O["Concat"]("-", "s", "s")) == "Hello World-Hello World"
+    # value varargs: plain str is a LITERAL (OTTL string semantics);
+    # columns must be passed as Columns
+    assert row(O["Concat"]("-", F.col("s"), F.col("s"))) == "Hello World-Hello World"
+    assert row(O["Concat"](":", F.col("s"), "lit")) == "Hello World:lit"
     assert row(O["Split"]("csv", ",")) == ["a", "b", "c"]
     assert row(O["HasPrefix"]("s", "Hello")) is True
     assert row(O["HasSuffix"]("s", "xx")) is False

@@ -242,3 +242,54 @@ def test_merge_maps_null_source_is_noop(mapped):
     got = {r["id"]: _kv(r) for r in out.collect()}
     assert got["a"]["new"] == "1"
     assert got["b"]["lvl"] == "error"  # null source leaves target untouched
+
+
+# --- lambda expressions (grammar.go:232,580; lambda.go; e2e_test.go:1629-1699)
+
+
+@pytest.fixture(scope="module")
+def lam_df(spark):
+    return spark.createDataFrame(
+        [(1, ["value1", "value2", "value1"], {"bar": "x", "baz": "y"}, [1, 2, 3]),
+         (2, [], {}, [])],
+        "id int, arr array<string>, m map<string,string>, nums array<int>",
+    )
+
+
+def test_lambda_filter_map_all_any_reduce(lam_df):
+    out = apply_statements(lam_df, [
+        'set(filtered, Filter(arr, (_, v) => v == "value1"))',        # e2e:1629
+        'set(mapped, MapEach(arr, (i, v) => Concat("", String(i), ":", v)))',  # e2e:1643
+        'set(all_ok, All(arr, (_, v) => v == "value1"))',             # e2e:1679
+        'set(any_ok, Any(arr, (_, v) => v == "value1"))',             # e2e:1691
+        'set(keys_up, MapKeys(m, (k) => Concat("", k, "_k")))',
+        'set(total, Reduce(nums, 0, (acc, v) => acc + v))',
+    ])
+    r = {row["id"]: row for row in out.collect()}
+    assert r[1]["filtered"] == ["value1", "value1"]
+    assert r[1]["mapped"] == ["0:value1", "1:value2", "2:value1"]
+    assert r[1]["all_ok"] is False and r[1]["any_ok"] is True
+    assert r[1]["keys_up"] == {"bar_k": "x", "baz_k": "y"}
+    assert r[1]["total"] == 6
+    # empty-collection semantics: exists->false, forall->true, aggregate->init
+    assert r[2]["any_ok"] is False and r[2]["all_ok"] is True and r[2]["total"] == 0
+
+
+def test_lambda_body_sees_outer_columns(lam_df):
+    out = apply_statements(lam_df, [
+        'set(tagged, MapEach(arr, (_, v) => Concat("-", v, String(id))))',
+    ])
+    r = {row["id"]: row["tagged"] for row in out.collect()}
+    assert r[1] == ["value1-1", "value2-1", "value1-1"]
+
+
+def test_lambda_arity_and_binding_errors(lam_df):
+    with pytest.raises(ValueError, match="declares 1 parameters"):
+        parse_statement('set(x, Filter(arr, (v) => v == "a"))')
+    with pytest.raises(ValueError, match="not bindable"):
+        # forall cannot supply the index formal (use `_`)
+        apply_statements(lam_df, ['set(x, All(arr, (i, v) => i > 0))'])
+    with pytest.raises(ValueError, match="does not accept a lambda"):
+        parse_statement('set(x, Len(arr, (i, v) => v))')
+    with pytest.raises(ValueError, match="must not be another lambda"):
+        parse_statement('set(x, Filter(arr, (i, v) => (a) => a))')

@@ -31,6 +31,23 @@ def test_drain_templates_converge(logs):
     assert out["user <*> logged in from <*>"]["example"] == "user 123 logged in from 10.0.0.1"
 
 
+def test_drain_word_position_merge(spark):
+    """Drain README convergence across WORD tokens: 'user alice logged in'
+    ≡ 'user bob logged in' → one 'user <*> logged in' template once the
+    position's distinct-count exceeds the merge threshold."""
+    rows = [(i, f"user {name} logged in") for i, name in enumerate(
+        ["alice", "bob", "carol", "dave", "erin"])]
+    rows += [(90, "session opened fine"), (91, "session closed fine")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["template"]: r["match_count"] for r in templates.drain_templates(df).collect()}
+    assert out["user <*> logged in"] == 5
+    # below-threshold variability (2 distinct) keeps separate clusters
+    assert out["session opened fine"] == 1 and out["session closed fine"] == 1
+    # mask-only mode still available
+    raw = {r["template"] for r in templates.drain_templates(df, merge_threshold=None).collect()}
+    assert "user alice logged in" in raw and len(raw) == 7
+
+
 def test_annotate_templates(logs):
     out = templates.annotate_templates(logs)
     assert out.count() == logs.count()          # annotate-only: rows unchanged
