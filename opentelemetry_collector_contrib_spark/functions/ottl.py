@@ -446,6 +446,95 @@ def _extract_grok_patterns(col, pattern, named_captures_only=True, pattern_defin
 OTTL_FUNCTIONS["ExtractGrokPatterns"] = _extract_grok_patterns
 
 
+# --- hash converters (pure-Python, reference-vector-validated) --------------
+# func_fnv.go, func_murmur3_hash128.go, func_xxh3.go, func_xxh128.go. These
+# run as Arrow-batched pandas UDFs (no JVM equivalent exists for these exact
+# algorithms); the engine's hot-path hashing stays on xxhash64/sha2/h60.
+
+def _fnv(col) -> Column:
+    from .hashes import fnv1a_64, hash_batch_udf
+
+    return hash_batch_udf(fnv1a_64, "bigint")(_c(col))
+
+
+def _murmur3_hash128(col) -> Column:
+    from .hashes import hash_batch_udf, murmur3_128_hex
+
+    return hash_batch_udf(murmur3_128_hex, "string")(_c(col))
+
+
+def _xxh3(col) -> Column:
+    from .hashes import hash_batch_udf, xxh3_64_hex
+
+    return hash_batch_udf(xxh3_64_hex, "string")(_c(col))
+
+
+def _xxh128(col) -> Column:
+    from .hashes import hash_batch_udf, xxh3_128_hex
+
+    return hash_batch_udf(xxh3_128_hex, "string")(_c(col))
+
+
+def _uuid_v7() -> Column:
+    """UUIDv7 (func_uuidv7.go; RFC 9562 §5.7): 48-bit unix-epoch
+    milliseconds, version nibble 7, variant '10', 74 random bits. The
+    timestamp is the query-start clock (current_timestamp is fixed per
+    query — the same freeze the reference applies per batch); randomness
+    is per-row."""
+    ms = F.unix_millis(F.current_timestamp())
+    h = F.lpad(F.lower(F.hex(ms)), 12, "0")
+    r3a = F.lpad(F.lower(F.hex((F.rand() * 4096).cast("int"))), 3, "0")
+    r3b = F.lpad(F.lower(F.hex((F.rand() * 4096).cast("int"))), 3, "0")
+    r12 = F.lpad(F.lower(F.hex((F.rand() * F.lit(float(2**48))).cast("bigint"))), 12, "0")
+    variant = F.element_at(
+        F.array(F.lit("8"), F.lit("9"), F.lit("a"), F.lit("b")),
+        (F.rand() * 4).cast("int") + 1,
+    )
+    return F.concat(
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-7"),
+        r3a, F.lit("-"), variant, r3b, F.lit("-"), r12,
+    )
+
+
+def _insert_xml(col, xpath, subdoc) -> Column:
+    from .xmledit import insert_xml
+
+    return insert_xml(_c(col), xpath, _c(subdoc))
+
+
+def _remove_xml(col, xpath) -> Column:
+    from .xmledit import remove_xml
+
+    return remove_xml(_c(col), xpath)
+
+
+def _convert_attributes_to_elements_xml(col, xpath="//@*") -> Column:
+    from .xmledit import convert_attributes_to_elements_xml
+
+    return convert_attributes_to_elements_xml(_c(col), xpath)
+
+
+def _convert_text_to_elements_xml(col, xpath="/", element_name="value") -> Column:
+    from .xmledit import convert_text_to_elements_xml
+
+    return convert_text_to_elements_xml(_c(col), xpath, element_name)
+
+
+OTTL_FUNCTIONS.update(
+    {
+        "FNV": _fnv,
+        "Murmur3Hash128": _murmur3_hash128,
+        "XXH3": _xxh3,
+        "XXH128": _xxh128,
+        "UUIDv7": _uuid_v7,
+        "InsertXML": _insert_xml,
+        "RemoveXML": _remove_xml,
+        "ConvertAttributesToElementsXML": _convert_attributes_to_elements_xml,
+        "ConvertTextToElementsXML": _convert_text_to_elements_xml,
+    }
+)
+
+
 def call(name: str, *args) -> Column:
     """Invoke a registered OTTL function by its reference name."""
     return OTTL_FUNCTIONS[name](*args)
