@@ -289,8 +289,14 @@ def _luhn_valid(col) -> Column:
 def _duration_seconds(col) -> Column:
     """func_duration.go — Go duration string ('1h2m3.5s', '250ms') →
     seconds as double. Per-unit regexp extraction; (?!s) guards keep 'm'
-    from eating 'ms'. Vectorized, no UDF."""
+    from eating 'ms'. Vectorized, no UDF.
+
+    A string that is not a valid duration yields NULL (the reference's
+    Duration converter errors on malformed input; on_error=send maps to
+    null here) — without the whole-string gate, every unit regexp simply
+    misses and a malformed value would alias a genuine 0s duration."""
     s = _c(col)
+    valid = s.rlike(r"^(\d+(\.\d+)?(ms|us|ns|h|m|s))+$")
 
     def unit(pat: str) -> Column:
         v = F.regexp_extract(s, pat, 1)
@@ -298,7 +304,7 @@ def _duration_seconds(col) -> Column:
 
     # plain-seconds needs digits ADJACENT to 's', so 'ms'/'us'/'ns' can
     # never match it; only m-vs-ms needs the explicit (?!s) guard
-    return (
+    total = (
         unit(r"(\d+(?:\.\d+)?)h") * 3600
         + unit(r"(\d+(?:\.\d+)?)m(?!s)") * 60
         + unit(r"(\d+(?:\.\d+)?)s")
@@ -306,6 +312,7 @@ def _duration_seconds(col) -> Column:
         + unit(r"(\d+(?:\.\d+)?)us") / 1e6
         + unit(r"(\d+(?:\.\d+)?)ns") / 1e9
     )
+    return F.when(valid, total)
 
 
 def _hex_id(col, n_chars: int) -> Column:

@@ -86,3 +86,55 @@ def adaptive_head_sampler(
         .filter(F.col("_ahs_rn") <= target_per_key)
         .drop("_ahs_rn")
     )
+
+
+def match_properties(props: dict) -> Column:
+    """filterconfig.MatchProperties → one boolean Column
+    (internal/filter/filtermatcher/filtermatcher.go:21-77,
+    attributematcher.go). match_type 'strict' compares values exactly;
+    'regexp' treats each value as an uncompiled pattern (filterset
+    semantics). All listed properties must match (AND across attributes —
+    PropertiesMatcher.Match); a key with no value only requires presence.
+    Supported property groups: attributes (column = value) and record
+    (severity_texts / bodies as column-name → allowed-values lists)."""
+    mt = props.get("match_type", "strict")
+    if mt not in ("strict", "regexp"):
+        raise ValueError(f"match_type must be strict|regexp, got {mt!r}")
+    conds: list[Column] = []
+    for a in props.get("attributes", []):
+        c = F.col(a["key"])
+        v = a.get("value")
+        if v is None:
+            conds.append(c.isNotNull())
+        elif mt == "strict":
+            conds.append(c == F.lit(v))
+        else:
+            conds.append(c.cast("string").rlike(str(v)))
+    for key, values in (props.get("record") or {}).items():
+        c = F.col(key).cast("string")
+        alts = [(c == F.lit(v)) if mt == "strict" else c.rlike(str(v)) for v in values]
+        one = alts[0]
+        for x in alts[1:]:
+            one = one | x
+        conds.append(one)
+    if not conds:
+        raise ValueError("match properties need at least one attribute or record matcher")
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def filter_match(df: DataFrame, include: dict | None = None, exclude: dict | None = None) -> DataFrame:
+    """The processor-level include/exclude pair (filterconfig.MatchConfig:
+    config.go:23-41): a row is processed iff it matches `include` (when
+    present) AND does not match `exclude` (when present). NULL comparisons
+    count as non-matches on both gates."""
+    if include is None and exclude is None:
+        raise ValueError("filter_match needs include and/or exclude")
+    keep = F.lit(True)
+    if include is not None:
+        keep = keep & F.coalesce(match_properties(include), F.lit(False))
+    if exclude is not None:
+        keep = keep & ~F.coalesce(match_properties(exclude), F.lit(False))
+    return df.filter(keep)

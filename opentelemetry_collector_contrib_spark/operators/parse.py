@@ -237,13 +237,49 @@ SEVERITY_NUMBERS: dict[str, int] = {
 }
 
 
-def severity_parser(df: DataFrame, source: str, text_dest: str = "severity_text", num_dest: str = "severity_number") -> DataFrame:
+def _severity_value_cond(src: Column, value) -> Column:
+    """One parseable mapping value → predicate (severity_builder.go:200-226
+    parseableValues): '2xx'..'5xx' HTTP presets are 100-wide numeric
+    ranges, ints match their decimal string, {'min','max'} dicts are
+    ranges, anything else is a lowercase literal. Ranges compare
+    numerically on all-digit strings — the columnar equivalent of the
+    reference expanding the range into literal strings."""
+    http = {"2xx": (200, 299), "3xx": (300, 399), "4xx": (400, 499), "5xx": (500, 599)}
+    if isinstance(value, str) and value in http:
+        lo, hi = http[value]
+    elif isinstance(value, dict) and "min" in value and "max" in value:
+        lo, hi = int(value["min"]), int(value["max"])
+    elif isinstance(value, int):
+        return src == F.lit(str(value))
+    else:
+        return src == F.lit(str(value).lower())
+    as_num = F.when(src.rlike(r"^\d+$"), src.cast("int"))
+    return as_num.between(lo, hi)
+
+
+def severity_parser(
+    df: DataFrame,
+    source: str,
+    text_dest: str = "severity_text",
+    num_dest: str = "severity_number",
+    mapping: dict[str, list] | None = None,
+) -> DataFrame:
     """operator/parser/severity/parser.go — alias → enum via a CASE chain
-    (a literal map lookup stays inside codegen; no join, no UDF)."""
+    (a literal map lookup stays inside codegen; no join, no UDF).
+
+    `mapping` extends/overrides the builtin aliases exactly like the
+    stanza severity config block: {"error": ["4xx"], "info": ["2xx", 250]}
+    maps HTTP status classes / ints / custom strings to severities, with
+    custom entries winning over the builtin aliases
+    (severity_builder.go:95-105 HTTP presets, :170-186 default mapping)."""
     src = F.lower(F.col(source))
-    expr: Column = F.lit(None).cast("string")
-    # build reversed so the first alias wins in the when-chain
+    # build so custom mapping wins first, then builtin aliases
     chain = F.when(F.lit(False), F.lit(None).cast("string"))
+    for canon, values in (mapping or {}).items():
+        cond = F.lit(False)
+        for v in values:
+            cond = cond | _severity_value_cond(src, v)
+        chain = chain.when(cond, F.lit(canon.upper()))
     for alias, canon in SEVERITY_ALIASES.items():
         chain = chain.when(src == alias, F.lit(canon))
     chain = chain.otherwise(F.lit(None).cast("string"))
@@ -355,6 +391,11 @@ def _octet_frames_udf(lines: pd.Series) -> pd.Series:
             try:
                 n = int(data[i:j])
             except ValueError:
+                break
+            if j + 1 + n > len(data):
+                # declared count exceeds the remaining payload: corrupt
+                # framing — drop the fragment rather than emit a silently
+                # truncated frame indistinguishable from a valid short one
                 break
             out.append(data[j + 1 : j + 1 + n].decode("utf-8", errors="replace"))
             i = j + 1 + n

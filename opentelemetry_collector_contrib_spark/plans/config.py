@@ -38,8 +38,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 VALID_SECTIONS = {
-    "source", "parse", "transform", "filter", "enrich", "routes", "order",
-    "aggregates", "sample", "tail_sampling",
+    "source", "parse", "transform", "filter", "filter_match", "enrich",
+    "routes", "order", "aggregates", "sample", "tail_sampling",
 }
 
 _SAMPLE_KINDS = {"probabilistic", "probabilistic_portable", "mod", "adaptive"}
@@ -71,6 +71,20 @@ def validate_spec(spec: dict[str, Any]) -> None:
                 raise ValueError(f"route {r.get('name')}: condition is required")
             if r.get("mode", "move") not in ("move", "copy"):
                 raise ValueError(f"route {r['name']}: mode must be move|copy")
+    fm = spec.get("filter_match")
+    if fm is not None:
+        # filterconfig.MatchConfig (config.go:23-41): include/exclude pair,
+        # each a MatchProperties block — validated eagerly like the rest
+        if not ("include" in fm or "exclude" in fm):
+            raise ValueError("filter_match needs include and/or exclude")
+        for side in ("include", "exclude"):
+            props = fm.get(side)
+            if props is None:
+                continue
+            if props.get("match_type", "strict") not in ("strict", "regexp"):
+                raise ValueError(f"filter_match.{side}.match_type must be strict|regexp")
+            if not (props.get("attributes") or props.get("record")):
+                raise ValueError(f"filter_match.{side} needs attributes or record matchers")
     sample = spec.get("sample")
     if sample is not None:
         kind = sample.get("kind")
@@ -148,6 +162,12 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.filter(~F.coalesce(parse_condition(cond), F.lit(False)))
+
+    fm = spec.get("filter_match")
+    if fm:
+        from ..operators.filter import filter_match
+
+        df = filter_match(df, fm.get("include"), fm.get("exclude"))
 
     for e in spec.get("enrich", []):
         dim = spark.read.parquet(e["dim_path"])

@@ -728,6 +728,40 @@ def q_genai_normalize(spark, sf_dir):
     )
 
 
+def q_severity_http(spark, sf_dir):
+    """severity_parser with the HTTP-class presets (2xx..5xx expand to
+    numeric ranges, severity_builder.go:95-105,200-226) plus a custom
+    alias, over synthesized status codes."""
+    from ..operators.parse import severity_parser
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("oops"))
+        .otherwise((200 + F.col("doc_id") % 400).cast("string"))
+        .alias("code"),
+    )
+    out = severity_parser(
+        docs, "code",
+        mapping={"info": ["2xx"], "warn": ["3xx"], "error": ["4xx", "oops"], "fatal": ["5xx"]},
+    )
+    return out.select("doc_id", "severity_text", "severity_number")
+
+
+def q_filter_match(spark, sf_dir):
+    """filtermatcher include/exclude pair as a config-driven gate
+    (internal/filter/filterconfig config.go:23-41, filtermatcher.go):
+    include = regexp role match, exclude = strict err status."""
+    from ..operators.filter import filter_match
+
+    r = _routed(spark, sf_dir)
+    out = filter_match(
+        r,
+        include={"match_type": "regexp", "attributes": [{"key": "role", "value": "^(user|assistant)$"}]},
+        exclude={"match_type": "strict", "attributes": [{"key": "status", "value": "err"}]},
+    )
+    return out.select("conv_id", "turn_idx", "role", "route_id")
+
+
 def q_ottl_lambdas(spark, sf_dir):
     """OTTL lambda-expression statements (`(i, v) => body`) compiled to
     Spark HOFs — Filter/MapEach/Any/All/Reduce over the token array of each
@@ -797,6 +831,8 @@ def q_grok_parse(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grok_parse_fields": q_grok_parse,
     "ottl_lambdas": q_ottl_lambdas,
+    "severity_http_parse": q_severity_http,
+    "filter_match_gate": q_filter_match,
     "uri_parse_fields": q_uri_parse,
     "csv_parse_fields": q_csv_parse,
     "kv_parse_map": q_kv_parse_map,
@@ -925,11 +961,13 @@ FROM events GROUP BY 1"""
     o["signal_to_metrics"] = (
         cte
         + """
-SELECT 'turn.count' AS metric_name, 'route_id=' || route_id AS dims,
+SELECT 'turn.count' AS metric_name,
+       'route_id=' || coalesce(CAST(route_id AS VARCHAR), 'null') AS dims,
        CAST(count(*) AS DOUBLE) AS value
 FROM ordered GROUP BY route_id
 UNION ALL
-SELECT 'err.count', 'role=' || role, CAST(count(*) AS DOUBLE)
+SELECT 'err.count', 'role=' || coalesce(CAST(role AS VARCHAR), 'null'),
+       CAST(count(*) AS DOUBLE)
 FROM ordered WHERE status = 'err' GROUP BY role
 UNION ALL
 SELECT 'latency.sum', 'tool=' || tool,
@@ -1411,6 +1449,32 @@ SELECT conv_id, turn_idx,
        sha256(role) AS role_sha,
        coalesce(status, 'none') AS status_c
 FROM ordered"""
+    )
+
+    o["severity_http_parse"] = """
+WITH c AS (SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN 'oops'
+       ELSE CAST(200 + doc_id % 400 AS VARCHAR) END AS code
+FROM documents),
+m AS (SELECT doc_id,
+  CASE WHEN regexp_matches(code, '^\\d+$') AND CAST(code AS INT) BETWEEN 200 AND 299 THEN 'INFO'
+       WHEN regexp_matches(code, '^\\d+$') AND CAST(code AS INT) BETWEEN 300 AND 399 THEN 'WARN'
+       WHEN (regexp_matches(code, '^\\d+$') AND CAST(code AS INT) BETWEEN 400 AND 499) OR lower(code) = 'oops' THEN 'ERROR'
+       WHEN regexp_matches(code, '^\\d+$') AND CAST(code AS INT) BETWEEN 500 AND 599 THEN 'FATAL'
+  END AS severity_text
+FROM c)
+SELECT doc_id, severity_text,
+  CASE severity_text WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
+       WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 ELSE 0 END AS severity_number
+FROM m"""
+
+    o["filter_match_gate"] = (
+        cte
+        + """
+SELECT conv_id, turn_idx, role, route_id
+FROM ordered
+WHERE regexp_matches(role, '^(user|assistant)$')
+  AND NOT coalesce(status = 'err', FALSE)"""
     )
 
     o["ottl_lambdas"] = r"""

@@ -18,3 +18,4 @@ with zipfile.ZipFile("dist/pipeline.zip", "w", zipfile.ZIP_DEFLATED) as z:
                 z.write(p, p)
 print("wrote dist/pipeline.zip")
 EOF
+python scripts/check_dist.py

@@ -83,6 +83,12 @@ def test_when_duration_severity(row):
     assert row(O["Duration"](F.lit("250ms"))) == pytest.approx(0.25)
     assert row(O["Duration"](F.lit("2m30s"))) == pytest.approx(150.0)
     assert row(O["Duration"](F.lit("10us"))) == pytest.approx(1e-5)
+    # malformed durations are NULL (reference errors; on_error=send -> null),
+    # distinguishable from a genuine 0s duration
+    assert row(O["Duration"](F.lit("not a duration"))) is None
+    assert row(O["Duration"](F.lit("12"))) is None
+    assert row(O["Duration"](F.lit("3x"))) is None
+    assert row(O["Duration"](F.lit("0s"))) == 0.0
     assert row(O["ParseSeverity"](F.lit("WARNING"))) == "WARN"
     assert row(O["ParseSeverity"](F.lit("emerg"))) == "FATAL"
     assert row(O["ParseSeverity"](F.lit("nope"))) is None

@@ -132,6 +132,11 @@ def test_split_octet_frames(spark):
     p2 = "3 éx1 y"
     out2 = split_octet_frames(spark.createDataFrame([(1, p2)], "id int, p string"), "p").collect()
     assert [(r["frame_idx"], r["frame"]) for r in out2] == [(0, "éx"), (1, "y")]
+    # corrupt framing: declared count exceeds remaining payload — the
+    # fragment is dropped, never emitted silently truncated
+    p3 = "5 hello99 short"
+    out3 = split_octet_frames(spark.createDataFrame([(1, p3)], "id int, p string"), "p").collect()
+    assert [(r["frame_idx"], r["frame"]) for r in out3] == [(0, "hello")]
 
 
 def test_trace_parser(spark):

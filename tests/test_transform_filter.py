@@ -213,3 +213,72 @@ def test_tail_sampling_requires_voting_policy(spark):
                 {"name": "d", "type": "drop", "of": ["h"]},
             ],
         )
+
+
+def test_match_properties_and_filter_match(spark):
+    from opentelemetry_collector_contrib_spark.operators.filter import filter_match
+
+    rows = [
+        (1, "user", "ok"), (2, "assistant", "err"), (3, "system", "ok"),
+        (4, "user", None), (5, None, "ok"),
+    ]
+    df = spark.createDataFrame(rows, "id int, role string, status string")
+    out = filter_match(
+        df,
+        include={"match_type": "regexp", "attributes": [{"key": "role", "value": "^(user|assistant)$"}]},
+        exclude={"match_type": "strict", "attributes": [{"key": "status", "value": "err"}]},
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 4]  # NULL role/status never match
+    # record matcher: severity_texts-style value lists
+    out2 = filter_match(df, include={"record": {"status": ["ok"]}})
+    assert sorted(r["id"] for r in out2.collect()) == [1, 3, 5]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        filter_match(df)
+    with _pt.raises(ValueError):
+        filter_match(df, include={"match_type": "glob", "attributes": [{"key": "role"}]})
+
+
+def test_severity_http_presets(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import severity_parser
+
+    rows = [(1, "204"), (2, "301"), (3, "404"), (4, "503"), (5, "teapot"), (6, "warn"), (7, "1000")]
+    df = spark.createDataFrame(rows, "id int, code string")
+    out = {
+        r["id"]: (r["severity_text"], r["severity_number"])
+        for r in severity_parser(
+            df, "code",
+            mapping={"info": ["2xx"], "warn": ["3xx"], "error": ["4xx", "teapot"], "fatal": ["5xx"]},
+        ).collect()
+    }
+    assert out[1] == ("INFO", 9) and out[2] == ("WARN", 13)
+    assert out[3] == ("ERROR", 17) and out[4] == ("FATAL", 21)
+    assert out[5] == ("ERROR", 17)          # custom literal alias
+    assert out[6] == ("WARN", 13)           # builtin aliases still apply
+    assert out[7] == (None, 0)              # out of every range
+
+
+def test_filter_match_config_section(spark, dims):
+    from opentelemetry_collector_contrib_spark.plans.config import build_pipeline, validate_spec
+
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+
+    spec = {
+        "source": {"path": ensure_tier("t1")},
+        "filter_match": {
+            "include": {"match_type": "regexp", "attributes": [{"key": "role", "value": "^(user|assistant)$"}]},
+        },
+    }
+    validate_spec(spec)
+    out = build_pipeline(spark, spec)
+    roles = {r["role"] for r in out.select("role").distinct().collect()}
+    assert roles <= {"user", "assistant"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        validate_spec({"source": {"path": "x"}, "filter_match": {}})
+    with _pt.raises(ValueError):
+        validate_spec({"source": {"path": "x"},
+                       "filter_match": {"include": {"match_type": "nope",
+                                                    "attributes": [{"key": "a"}]}}})
