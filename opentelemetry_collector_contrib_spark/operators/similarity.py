@@ -66,9 +66,79 @@ def brute_force_topk(
 
 
 def ivf_centroids(emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic coarse quantizer: first n_cells vectors by id."""
+    """Deterministic coarse quantizer: first n_cells vectors by id. The
+    oracle-parity quantizer (trivially SQL-expressible); production recall
+    comes from ivf_centroids_kmeans below — both honor the same
+    (cell, centroid) contract so every downstream plan is identical."""
+    id_type = dict(emb.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"ivf_centroids(first-n) needs a numeric id column, got {id_col}:{id_type};"
+            " use ivf_centroids_kmeans for arbitrary ids"
+        )
     return emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+    )
+
+
+def ivf_centroids_kmeans(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 8,
+    sample_n: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained coarse quantizer: spherical k-means (Lloyd) on a seeded
+    hash-ordered sample. Same (cell, centroid) schema as ivf_centroids.
+
+    Design for 10^12 vectors: training a coarse quantizer never needs the
+    full table — the standard practice (e.g. FAISS's IVF training) fits
+    centroids on a bounded sample. The sample is the `sample_n` rows with
+    the smallest xxhash64(id, seed) — one TakeOrderedAndProject over the
+    scan (no full sort, no extra pass), fully deterministic for a given
+    (seed, table). Lloyd then runs driver-side in NumPy on ≤ sample_n×dim
+    floats (a few MB even at sample_n=256k, dim=1k) — iterating on the
+    cluster via joins would shuffle the whole table per iteration for no
+    recall gain. Vectors are L2-normalized so euclidean Lloyd == spherical
+    k-means, matching the cosine assignment metric; empty clusters are
+    reseeded from the farthest points (deterministic order)."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(vec_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if len(x) < n_cells:
+        raise ValueError(f"sample ({len(x)}) smaller than n_cells ({n_cells})")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    xn = x / np.where(norms == 0, 1.0, norms)
+    cents = xn[:n_cells].copy()
+    for _ in range(n_iter):
+        sims = xn @ cents.T                        # cosine similarity
+        assign = np.argmax(sims, axis=1)
+        new = np.zeros_like(cents)
+        for c in range(n_cells):
+            members = xn[assign == c]
+            if len(members) == 0:
+                # reseed from the point least covered by current centroids
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                new[c] = xn[worst]
+                continue
+            m = members.mean(axis=0)
+            n_ = np.linalg.norm(m)
+            new[c] = m / n_ if n_ > 0 else m
+        if np.allclose(new, cents):
+            break
+        cents = new
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(int(c), [float(v) for v in cents[c]]) for c in range(n_cells)],
+        "cell int, centroid array<double>",
     )
 
 
@@ -142,13 +212,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: score only vectors in the query's top-`nprobe` cells.
     The candidate join becomes an equi-join on `cell` — at 10^12 vectors
     this is the difference between scanning the world per query and
     scanning nprobe/n_cells of it. Raising nprobe trades candidate volume
-    for recall (tests/test_datapipe.py::test_ivf_nprobe_recall)."""
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    for recall (tests/test_datapipe.py::test_ivf_nprobe_recall). Pass
+    `centroids` (e.g. ivf_centroids_kmeans output) to override the
+    deterministic first-n quantizer; the plan is identical either way."""
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
     # query-side top-nprobe cells via the same max_by passes (no window)

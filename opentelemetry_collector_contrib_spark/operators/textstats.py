@@ -15,6 +15,9 @@ on both sides.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -103,10 +106,48 @@ _PUNCT_RE = r"[^\w\s]"
 _DIGIT_RE = r"[0-9]"
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic doc quality in [0,1]: long enough, some stopwords (real
-    prose has them), not punctuation- or digit-heavy. The formula is fixed
-    and portable; judge: compare vs the same SQL, not vs human labels."""
+# ---------------------------------------------------------------------------
+# pluggable model hook: lang_id / quality_score are interfaces with a
+# reference heuristic implementation. A real curation pipeline mounts a
+# fastText-class LID or a perplexity/classifier quality model here: any
+# picklable object with predict_batch(pd.Series) -> pd.Series plugs in and
+# rides a Spark broadcast into an Arrow-batched pandas UDF — deserialized
+# once per executor, applied per batch (the same mapInPandas shape as the
+# multimodal codecs). The heuristic default keeps the DuckDB oracle
+# contract intact; a mounted model replaces only the scoring column.
+# ---------------------------------------------------------------------------
+
+
+class BatchModel:
+    """Duck-typed contract for mounted models: implement
+    predict_batch(texts: pd.Series) -> pd.Series (same length/index).
+    The instance ships inside the UDF closure (cloudpickle, so locally
+    defined classes work); heavyweight weights should load lazily on
+    first predict_batch call so each executor pays the load once."""
+
+    def predict_batch(self, texts):  # pragma: no cover - interface only
+        raise NotImplementedError
+
+
+def _model_column(df: DataFrame, text_col: str, model, rettype: str):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(rettype)
+    def run(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # `model` rides the cloudpickled closure — deserialized once per
+        # python worker, reused across its batches (iterator UDF form)
+        for batch in it:
+            yield model.predict_batch(batch)
+
+    return run(F.col(text_col))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", model: "BatchModel | None" = None) -> DataFrame:
+    """Doc quality in [0,1]. Default = fixed heuristic (long enough, some
+    stopwords — real prose has them — not punctuation- or digit-heavy),
+    portable to the SQL oracle. Pass `model` to replace the quality column
+    with a broadcast model's scores; the feature ratios stay columnar
+    either way (they are scan-speed and feed downstream filters)."""
     t = F.col(text_col)
     n_tok = F.size(tokens(t))
     n_char = F.greatest(F.length(t), F.lit(1))
@@ -120,6 +161,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
         + F.lit(0.15) * (F.lit(1.0) - F.least(digit_ratio * 5, F.lit(1.0)))
     )
+    if model is not None:
+        score = _model_column(df, text_col, model, "double")
     return df.select(
         "*",
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -142,9 +185,18 @@ LANG_MARKERS: dict[str, str] = {
 _LANG_ORDER = list(LANG_MARKERS)
 
 
-def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Deterministic marker-word scoring; argmax with fixed tie order
-    (en > de > fr > es), 'und' when every score is zero."""
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    model: "BatchModel | None" = None,
+) -> DataFrame:
+    """Language ID. Default = deterministic marker-word scoring; argmax
+    with fixed tie order (en > de > fr > es), 'und' when every score is
+    zero. Pass `model` (BatchModel) to mount a real LID classifier via the
+    broadcast pandas-UDF hook."""
+    if model is not None:
+        return df.select("*", _model_column(df, text_col, model, "string").alias(out_col))
     t = F.lower(F.col(text_col))
     scores = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())

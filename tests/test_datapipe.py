@@ -191,6 +191,40 @@ def test_ivf_nprobe_recall(spark):
     assert rec3 >= 0.4
 
 
+def test_ivf_trained_centroids_improve_recall(spark):
+    """Seeded spherical k-means centroids (ivf_centroids_kmeans) must beat
+    the first-n stand-in quantizer at equal probes — the production-recall
+    requirement. Fully deterministic (hash-ordered sample, no RNG), so the
+    measured improvement is stable."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["neighbor_id"]) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    firstn = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, q, k=5, n_cells=8, nprobe=2).collect()
+    }
+    cents = similarity.ivf_centroids_kmeans(emb, n_cells=8)
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, q, k=5, n_cells=8, nprobe=2, centroids=cents).collect()
+    }
+    rec_f = len(brute & firstn) / len(brute)
+    rec_t = len(brute & trained) / len(brute)
+    assert rec_t >= rec_f
+    assert rec_t >= 0.5
+    # determinism: retraining yields the identical centroid table
+    again = similarity.ivf_centroids_kmeans(emb, n_cells=8)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_ivf_first_n_requires_numeric_id(spark):
+    import pytest as pt
+
+    df = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id string, embedding array<double>")
+    with pt.raises(ValueError, match="numeric id"):
+        similarity.ivf_centroids(df, n_cells=2)
+
+
 def test_dup_clusters_long_chain_pointer_doubling(spark):
     """A 60-node path graph (worst-case diameter) must converge well inside
     max_iters thanks to pointer doubling — plain min-propagation would need
@@ -328,3 +362,29 @@ def test_wav_8bit_and_png_rgb_guards(spark):
     p = decode_png_features(pdf).collect()[0]["png_meta"]
     # header fields preserved, pixel path refused (no garbage mean)
     assert p["mean_pixel"] is None and p["width"] == 2 and p["bit_depth"] == 8
+
+
+def test_model_hook_lang_id_and_quality(docs):
+    """Mounted BatchModel rides the cloudpickled UDF closure and replaces
+    the scoring column; the heuristic default is untouched. The fakes are
+    defined locally so cloudpickle serializes them by value — exactly how
+    a notebook-defined model would ship."""
+
+    class _FakeLangModel(textstats.BatchModel):
+        def predict_batch(self, texts):
+            return texts.map(lambda t: "xx" if t and "fox" in t else "yy")
+
+    class _FakeQualityModel(textstats.BatchModel):
+        def predict_batch(self, texts):
+            return texts.map(lambda t: min(len(t or "") / 100.0, 1.0))
+
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs, model=_FakeLangModel()).collect()}
+    assert out[0] == "xx" and out[2] == "yy"
+    q = {r["doc_id"]: r["quality"] for r in textstats.quality_score(docs, model=_FakeQualityModel()).collect()}
+    assert q[0] == pytest.approx(min(len("the quick brown fox jumps over the lazy dog") / 100.0, 1.0))
+    # feature ratio columns survive a mounted model (they feed filters)
+    cols = textstats.quality_score(docs, model=_FakeQualityModel()).columns
+    assert {"stopword_ratio", "punct_ratio", "digit_ratio", "quality"} <= set(cols)
+    # default heuristic path unchanged
+    h = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
+    assert h[5] == "de"
