@@ -490,6 +490,14 @@ EDITOR_BUILDERS: dict[str, Callable[..., Column]] = {
 }
 
 
+# Context inference (pkg/ottl/context_inferrer.go:18-29): the reference
+# ranks candidate contexts (log > datapoint > spanevent > metric > span >
+# scope > resource) and rewrites un-prefixed paths against the winner. In
+# a relational model every context is a column namespace of the SAME row,
+# so inference reduces to a name map: the defaults below mirror the log
+# context's highest-priority fields, and callers override per pipeline
+# (`attributes["k"]` / `resource["k"]` index forms resolve through the
+# same map — see _resolve_path).
 DEFAULT_PATH_MAP = {"body": "text"}
 
 

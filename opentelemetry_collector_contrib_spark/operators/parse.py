@@ -84,17 +84,23 @@ def parse_native(df: DataFrame, text_col: str = "text") -> DataFrame:
     SEP = "\x01"
     sep_free = ~t.contains(SEP)
 
-    def grp_split(regex: str, n_groups: int) -> list[Column]:
+    def grp_split(regex: str, n_groups: int, guard: bool = False) -> list[Column]:
         tpl = SEP.join(f"${i}" for i in range(1, n_groups + 1))
         arr = F.split(F.regexp_replace(t, regex, tpl), SEP)
+        if not guard:
+            return [arr[i - 1] for i in range(1, n_groups + 1)]
         return [
             F.when(sep_free, arr[i - 1]).otherwise(F.regexp_extract(t, regex, i))
             for i in range(1, n_groups + 1)
         ]
 
-    kv = grp_split(KV_RE, 4)        # sev, tool, latency_ms, status
-    sl = grp_split(SYSLOG_RE, 4)    # log_ts, sev, component, message
-    js = grp_split(JSON_RE, 3)      # event_name, tokens, model
+    # only SYSLOG_RE needs the guard: its message group is (.*), the one
+    # capture class that can contain \x01; every KV/JSON group is a
+    # \w/\d/[\w-] class that cannot, and a \x01 anywhere in the line makes
+    # those full-line-anchored patterns unmatched entirely
+    kv = grp_split(KV_RE, 4)                    # sev, tool, latency_ms, status
+    sl = grp_split(SYSLOG_RE, 4, guard=True)    # log_ts, sev, component, message
+    js = grp_split(JSON_RE, 3)                  # event_name, tokens, model
 
     pattern_id = (
         F.when(is_kv, F.lit("kv"))
