@@ -1,0 +1,217 @@
+"""Pretraining-corpus curation operators: repetition/quality gates
+(Gopher-rule family), PII scrubbing, sequence packing, and mixture
+sampling. These extend the engine beyond the reference's telemetry
+operators into the large-scale training-data-pipeline territory the
+repo is built for — every operator is a pure columnar plan (no UDFs),
+oracle-checkable, and designed around one bounded pass per row.
+
+Scale notes (10^12 docs):
+  - repetition stats are per-row array folds over a token prefix cap —
+    scan-speed projections, zero shuffle;
+  - PII scrub is a fixed chain of regexp_replace in whole-stage codegen;
+  - packing shuffles once on the partition key (the same shard key the
+    writer needs anyway) and uses a single running-sum window;
+  - mixture sampling is a hash-gate projection (no shuffle, no state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import h60, tokens
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality signals
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 500,
+) -> DataFrame:
+    """Per-doc repetition signals from the Gopher rule family (Rae et al.
+    2021, §A1.1 quality filtering): duplicate-line fraction, top-bigram
+    character-ish fraction, symbol-to-word ratio, alpha-word fraction.
+    Dedup is row-local: every stat is an array fold over the first
+    `max_tokens` tokens (a bounded O(distinct×n) per row, independent of
+    table size — the cap keeps pathological megadocs from quadratic
+    blowup; Gopher's own rules saturate far below it).
+
+    Output columns:
+      dup_line_frac    1 − distinct(lines)/lines   (0 for ≤1 line)
+      top_bigram_frac  count(most frequent word bigram) / total bigrams
+      symbol_word_ratio  symbols (#, …, |, ~, \\) per word
+      alpha_word_frac  fraction of words containing a letter
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 1,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    toks = F.slice(tokens(t), 1, max_tokens)
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.slice(toks, 1, n_tok - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bigrams)
+    top_bg = F.when(
+        n_bg > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+            )
+        )
+        / n_bg.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    n_words = F.greatest(n_tok, F.lit(1)).cast("double")
+    symbol_ratio = F.regexp_count(t, F.lit(r"[#|~\\]|\.\.\.")) / n_words
+    alpha_frac = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    return df.select(
+        "*",
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(top_bg, 6).alias("top_bigram_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    max_symbol_word_ratio: float = 0.10,
+    min_alpha_word_frac: float = 0.80,
+    flag_col: str = "gopher_pass",
+) -> DataFrame:
+    """The composed go/no-go gate over repetition_stats with the published
+    Gopher thresholds as defaults; emits the boolean instead of dropping
+    so downstream mixture sampling can re-weight rejects if desired."""
+    scored = repetition_stats(df, text_col)
+    return scored.withColumn(
+        flag_col,
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# ordered (category, pattern, token): applied top to bottom, all-global.
+# Order matters — emails are masked before phone shapes can eat their
+# digits; SSN-shape before generic phone. RE2/Java/Python-portable.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- .]\d{3}[- .]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Mask the PII_RULES categories and count hits per category (counts
+    measured on the pre-scrub text, masking applied sequentially in rule
+    order so earlier masks can't create later false positives). One fused
+    projection — redactionprocessor's blocked-value semantics
+    (processor/redactionprocessor) applied to document text."""
+    t = F.col(text_col)
+    out = out_col or f"{text_col}_scrubbed"
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"pii_{cat}_count") for cat, pat, _ in PII_RULES
+    ]
+    scrubbed = t
+    for _cat, pat, token in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select("*", *counts, scrubbed.alias(out))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: documents are laid out in
+    deterministic id order (within each partition group), and each doc is
+    assigned the pack where its first token lands —
+    pack_id = floor(prefix_token_sum / budget). This is the standard
+    GPT-style pretraining layout (concatenate the stream, cut every
+    `budget` tokens); a doc may straddle packs, and `pack_offset` gives
+    its start position inside the pack so the tokenizer can split
+    deterministically.
+
+    Scale: one window (running sum) partitioned by `partition_cols` —
+    pack within natural shards (source/domain/date) so no global ordering
+    is ever required; the shuffle key doubles as the writer's layout key.
+    """
+    parts = partition_cols or []
+    w = (
+        Window.partitionBy(*[F.col(c) for c in parts]).orderBy(F.col(id_col))
+        if parts
+        else Window.partitionBy(F.lit(1)).orderBy(F.col(id_col))
+    )
+    before = F.coalesce(
+        F.sum(F.col(token_count_col)).over(w) - F.col(token_count_col), F.lit(0)
+    )
+    return df.select(
+        *df.columns,
+        F.floor(before / F.lit(budget)).cast("bigint").alias("pack_id"),
+        (before % F.lit(budget)).cast("bigint").alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (domain re-weighting)
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-domain rate sampling — the data-mixture step of a
+    pretraining pipeline (keep p_d of domain d). The keep decision is a
+    pure hash gate on (salt, key): h60(salt||key) % 1e6 < rate·1e6 — the
+    same verdict on every engine and every rerun (resumable pipelines
+    must not resample), no shuffle, no RNG state. Rates are validated to
+    [0, 1]; unknown domains fall back to default_rate."""
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"mixture rate for {d!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    rate = F.lit(float(default_rate))
+    for d, r in rates.items():
+        rate = F.when(F.col(domain_col) == d, F.lit(float(r))).otherwise(rate)
+    gate = h60(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))) % 1000000
+    return df.filter(gate < (rate * 1000000).cast("long"))

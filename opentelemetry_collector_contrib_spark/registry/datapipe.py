@@ -299,7 +299,84 @@ def q_text_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, overlap=4)
 
 
+def _lined_docs(spark, sf_dir):
+    """Line-structured view of documents: 4 lines per doc, two of them
+    identical when doc_id%3==0, so duplicate-line stats have signal. Both
+    engines synthesize the same bytes (chr(10) joins)."""
+    d = _docs(spark, sf_dir)
+    head = F.substring(F.col("text"), 1, 60)
+    mid = F.substring(F.col("text"), 30, 40)
+    dup = F.when(F.col("doc_id") % 3 == 0, head).otherwise(F.concat(mid, F.lit(" tail")))
+    lined = F.concat_ws("\n", head, mid, dup, F.lit("footer line"))
+    return d.select("doc_id", "source", lined.alias("text"))
+
+
+def q_curation_repetition(spark, sf_dir):
+    from ..operators.curation import repetition_stats
+
+    out = repetition_stats(_lined_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "dup_line_frac", "top_bigram_frac", "symbol_word_ratio", "alpha_word_frac"
+    )
+
+
+def q_curation_gopher(spark, sf_dir):
+    from ..operators.curation import gopher_filter
+
+    out = gopher_filter(_lined_docs(spark, sf_dir))
+    return out.select("doc_id", "gopher_pass")
+
+
+def q_curation_pii(spark, sf_dir):
+    """PII scrub over text with deterministically injected email/IP/phone/
+    SSN shapes (doc_id-derived, so every engine synthesizes identical
+    bytes and the masks/counts must agree exactly)."""
+    from ..operators.curation import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" user"), did.cast("string"), F.lit("@example.com "),
+        F.lit("10.0."), (did % 256).cast("string"), F.lit("."), ((did * 7) % 256).cast("string"),
+        F.when(did % 2 == 0, F.concat(F.lit(" 555-01"), F.lpad((did % 10).cast("string"), 1, "0"), F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(F.lit(" 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+    )
+    out = pii_scrub(d.select("doc_id", injected.alias("text")), "text")
+    return out.select(
+        "doc_id", "pii_email_count", "pii_ssn_count", "pii_ipv4_count", "pii_phone_count",
+        F.col("text_scrubbed"),
+    )
+
+
+def q_curation_pack(spark, sf_dir):
+    """Concat-and-chunk packing within source shards, budget 512 tokens."""
+    from ..operators.curation import pack_sequences
+    from ..operators.textstats import tokens as _tok
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(_tok(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    out = pack_sequences(d, budget=512, partition_cols=["source"])
+    return out.select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+
+
+def q_curation_mixture(spark, sf_dir):
+    from ..operators.curation import mixture_sample
+
+    d = _docs(spark, sf_dir)
+    out = mixture_sample(
+        d, rates={"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    )
+    return out.select("doc_id", "source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curation_repetition": q_curation_repetition,
+    "curation_gopher": q_curation_gopher,
+    "curation_pii_scrub": q_curation_pii,
+    "curation_pack": q_curation_pack,
+    "curation_mixture": q_curation_mixture,
     "dedup_ngram_spans": q_ngram_spans,
     "text_chunks": q_text_chunks,
     "emb_quantized": q_emb_quantized,
@@ -358,6 +435,98 @@ def _lsh_bucket_sql(bands: int = 4, rows: int = 2) -> str:
 
 def _oracles() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    # shared synthesis CTEs for the curation family
+    _lined = """
+WITH base AS (SELECT doc_id, source,
+  substring(text, 1, 60) AS head, substring(text, 30, 40) AS mid FROM documents),
+l AS (SELECT doc_id, source,
+  head || chr(10) || mid || chr(10)
+       || (CASE WHEN doc_id % 3 = 0 THEN head ELSE mid || ' tail' END)
+       || chr(10) || 'footer line' AS text
+FROM base),
+s AS (SELECT doc_id, text,
+  list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+  (list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))[1:500] AS tk
+FROM l),
+g AS (SELECT doc_id, text, lines, tk,
+  list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1]) AS bg
+FROM s),
+stats AS (SELECT doc_id,
+  round(CASE WHEN len(lines) > 1
+        THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+        ELSE 0.0 END, 6) AS dup_line_frac,
+  round(CASE WHEN len(bg) > 0
+        THEN CAST(list_max(list_transform(list_distinct(bg),
+               b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg)
+        ELSE 0.0 END, 6) AS top_bigram_frac,
+  round(CAST(len(regexp_extract_all(text, '[#|~\\\\]|\\.\\.\\.')) AS DOUBLE)
+        / greatest(len(tk), 1), 6) AS symbol_word_ratio,
+  round(CASE WHEN len(tk) > 0
+        THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk)
+        ELSE 0.0 END, 6) AS alpha_word_frac
+FROM g)
+"""
+    o["curation_repetition"] = (
+        _lined
+        + "SELECT doc_id, dup_line_frac, top_bigram_frac, symbol_word_ratio, alpha_word_frac FROM stats"
+    )
+    o["curation_gopher"] = (
+        _lined
+        + """
+SELECT doc_id,
+  (dup_line_frac <= 0.30 AND top_bigram_frac <= 0.20
+   AND symbol_word_ratio <= 0.10 AND alpha_word_frac >= 0.80) AS gopher_pass
+FROM stats"""
+    )
+
+    _pii_pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+",
+        "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+        "ipv4": r"\b\d{1,3}(?:\.\d{1,3}){3}\b",
+        "phone": r"\b\d{3}[- .]\d{3}[- .]\d{4}\b",
+    }
+    _scrub = "txt"
+    for _cat, _tok_ in (("email", "<EMAIL>"), ("ssn", "<ID>"), ("ipv4", "<IP>"), ("phone", "<PHONE>")):
+        _scrub = f"regexp_replace({_scrub}, '{_pii_pats[_cat]}', '{_tok_}', 'g')"
+    _pii_counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(txt, '{pat}')) AS INT) AS pii_{cat}_count"
+        for cat, pat in _pii_pats.items()
+    )
+    o["curation_pii_scrub"] = f"""
+WITH inj AS (SELECT doc_id,
+  substring(text, 1, 40) || ' user' || CAST(doc_id AS VARCHAR) || '@example.com '
+    || '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0
+        THEN ' 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN ' 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END) AS txt
+FROM documents)
+SELECT doc_id,
+  {_pii_counts},
+  {_scrub} AS text_scrubbed
+FROM inj"""
+
+    o["curation_pack"] = r"""
+WITH d AS (SELECT doc_id, source,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents),
+w AS (SELECT doc_id, source, n_tokens,
+  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+    ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS before
+FROM d)
+SELECT doc_id, source, n_tokens,
+  CAST(floor(CAST(before AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+  CAST(before % 512 AS BIGINT) AS pack_offset
+FROM w"""
+
+    o["curation_mixture"] = """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+  < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+          WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 1000000 AS BIGINT)"""
 
     lang_scores = ",\n  ".join(
         f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}" for lang, pat in _LANG_MARKERS.items()

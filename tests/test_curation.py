@@ -1,0 +1,94 @@
+"""Curation-operator tests: Gopher-rule repetition gates, PII scrubbing,
+concat-and-chunk sequence packing, deterministic mixture sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import curation
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "unique one\nunique two\nunique three"),
+        (2, "same line\nsame line\nsame line\nother"),
+        (3, "buy now buy now buy now buy now"),        # one dominant bigram
+        (4, "### ### ~~~ |||"),                         # symbol soup, no letters
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in curation.repetition_stats(df).collect()}
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == pytest.approx(0.5)      # 4 lines, 2 distinct... 1-2/4
+    assert out[3]["top_bigram_frac"] > 0.5                     # "now buy"/"buy now" dominate
+    assert out[1]["top_bigram_frac"] <= 0.5
+    assert out[4]["symbol_word_ratio"] > 0.5
+    assert out[4]["alpha_word_frac"] == 0.0
+    assert out[1]["alpha_word_frac"] == 1.0
+    assert out[5]["dup_line_frac"] == 0.0 and out[5]["top_bigram_frac"] == 0.0
+
+
+def test_gopher_filter_gates(spark):
+    rows = [
+        (1, "this is a perfectly ordinary prose line about spark plans and data"),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+        (3, "#### #### #### ####"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r["gopher_pass"] for r in curation.gopher_filter(df).collect()}
+    assert out[1] is True
+    assert out[2] is False     # top bigram "spam spam" = 100%
+    assert out[3] is False     # symbols + no alpha words
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    rows = [
+        (1, "contact alice@example.com or 10.1.2.3 at 555-123-4567 ssn 123-45-6789"),
+        (2, "no pii here at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in curation.pii_scrub(df).collect()}
+    r1 = out[1]
+    assert r1["pii_email_count"] == 1 and r1["pii_ipv4_count"] == 1
+    assert r1["pii_phone_count"] == 1 and r1["pii_ssn_count"] == 1
+    assert r1["text_scrubbed"] == "contact <EMAIL> or <IP> at <PHONE> ssn <ID>"
+    assert out[2]["text_scrubbed"] == "no pii here at all"
+    assert all(out[2][f"pii_{c}_count"] == 0 for c in ("email", "ssn", "ipv4", "phone"))
+    assert out[3]["text_scrubbed"] is None
+
+
+def test_pack_sequences_layout(spark):
+    rows = [(i, "a", 300) for i in range(5)] + [(10, "b", 100), (11, "b", 2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in curation.pack_sequences(df, budget=512, partition_cols=["source"]).collect()}
+    # source 'a': prefix sums 0,300,600,900,1200 -> packs 0,0,1,1,2
+    assert [out[i][0] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert out[1] == (0, 300)
+    assert out[2] == (1, 600 % 512)
+    # source 'b' packs independently; doc 11 starts at offset 100 of pack 0
+    assert out[10] == (0, 0) and out[11] == (0, 100)
+    # deterministic across runs
+    again = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+             for r in curation.pack_sequences(df, budget=512, partition_cols=["source"]).collect()}
+    assert out == again
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "half") for i in range(2000)], ["doc_id", "source"]
+    )
+    out = curation.mixture_sample(df, rates={"keep": 1.0, "half": 0.5})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["keep"] == 1000                    # rate 1.0 keeps everything
+    assert abs(counts["half"] - 500) < 100           # hash-uniform within tolerance
+    # same verdicts on rerun (resumable pipelines must not resample)
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in curation.mixture_sample(df, rates={"keep": 1.0, "half": 0.5}).collect())
+    assert ids1 == ids2
+    with pytest.raises(ValueError):
+        curation.mixture_sample(df, rates={"keep": 1.5})
+    with pytest.raises(ValueError):
+        curation.mixture_sample(df, rates={}, default_rate=-0.1)
