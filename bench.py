@@ -161,6 +161,19 @@ def main() -> None:
 
     timed("q9_embedding_dup_bucketed", emb_bucketed)
 
+    # q10: curation gate over the full transcript text — Gopher repetition
+    # stats + PII scrub in one fused scan-speed projection (the
+    # training-data-filter headline; zero shuffle, pure codegen)
+    def curation_gate():
+        from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
+        from opentelemetry_collector_contrib_spark.operators.curation import gopher_filter, pii_scrub
+
+        df = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
+        out = pii_scrub(gopher_filter(df, "text"), "text")
+        force(out.select("conv_id", "gopher_pass", "pii_email_count", "text_scrubbed"))
+
+    timed("q10_curation_gate", curation_gate)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

@@ -47,34 +47,47 @@ def repetition_stats(
       alpha_word_frac  fraction of words containing a letter
     """
     t = F.col(text_col)
-    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
-    n_lines = F.size(lines)
+    # stage the arrays as real columns: a lambda that references an outer
+    # expression TREE re-inlines (and re-evaluates) it once per element,
+    # turning the bigram count into O(n²) re-tokenizations — staged
+    # attributes are cheap references, and CollapseProject keeps stages
+    # with multiply-referenced expensive expressions separate
+    staged = df.select(
+        "*",
+        F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "").alias("_lines"),
+        F.slice(tokens(t), 1, max_tokens).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    staged = staged.select(
+        "*",
+        F.when(
+            n_tok >= 2,
+            F.transform(
+                F.slice(toks, 1, n_tok - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bg"),
+    )
+    lines_c, bg = F.col("_lines"), F.col("_bg")
+    n_lines = F.size(lines_c)
     dup_line_frac = F.when(
         n_lines > 1,
-        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+        1.0 - F.size(F.array_distinct(lines_c)) / n_lines.cast("double"),
     ).otherwise(F.lit(0.0))
-
-    toks = F.slice(tokens(t), 1, max_tokens)
-    n_tok = F.size(toks)
-    bigrams = F.when(
-        n_tok >= 2,
-        F.transform(
-            F.slice(toks, 1, n_tok - 1),
-            lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_bg = F.size(bigrams)
+    n_bg = F.size(bg)
     top_bg = F.when(
         n_bg > 0,
         F.array_max(
             F.transform(
-                F.array_distinct(bigrams),
-                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+                F.array_distinct(bg),
+                lambda b: F.size(F.filter(bg, lambda x: x == b)),
             )
         )
         / n_bg.cast("double"),
     ).otherwise(F.lit(0.0))
-
     n_words = F.greatest(n_tok, F.lit(1)).cast("double")
     symbol_ratio = F.regexp_count(t, F.lit(r"[#|~\\]|\.\.\.")) / n_words
     alpha_frac = F.when(
@@ -82,8 +95,8 @@ def repetition_stats(
         F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_tok.cast("double"),
     ).otherwise(F.lit(0.0))
 
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
         F.round(top_bg, 6).alias("top_bigram_frac"),
         F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
