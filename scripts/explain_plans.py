@@ -21,7 +21,7 @@ from opentelemetry_collector_contrib_spark.session import get_spark
 
 
 def main() -> None:
-    which = set(sys.argv[1:]) or {"q1", "agg", "dedup"}
+    which = set(sys.argv[1:]) or {"q1", "agg", "dedup", "grok", "drain", "curation", "pack"}
     spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -40,6 +40,37 @@ def main() -> None:
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         minhash_lsh_dedup_pairs(docs, "doc_id").explain("formatted")
+    if "grok" in which:
+        print("=" * 30, "grok parse (native)", "=" * 30)
+        from opentelemetry_collector_contrib_spark.operators.grok import grok_parser
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        grok_parser(
+            docs, "text", r"%{WORD:w1} %{WORD:w2} %{GREEDYDATA:rest}"
+        ).explain("formatted")
+    if "drain" in which:
+        print("=" * 30, "drain templates (merged)", "=" * 30)
+        from opentelemetry_collector_contrib_spark.operators.templates import drain_templates
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        drain_templates(docs).explain("formatted")
+    if "curation" in which:
+        print("=" * 30, "curation gate (gopher + pii)", "=" * 30)
+        from opentelemetry_collector_contrib_spark.operators.curation import gopher_filter, pii_scrub
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pii_scrub(gopher_filter(docs, "text"), "text").explain("formatted")
+    if "pack" in which:
+        print("=" * 30, "sequence packing", "=" * 30)
+        from pyspark.sql import functions as F
+
+        from opentelemetry_collector_contrib_spark.operators.curation import pack_sequences
+        from opentelemetry_collector_contrib_spark.operators.textstats import tokens
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "source", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+        )
+        pack_sequences(docs, budget=512, partition_cols=["source"]).explain("formatted")
     spark.stop()
 
 
