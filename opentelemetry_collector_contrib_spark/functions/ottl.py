@@ -70,6 +70,11 @@ OTTL_FUNCTIONS.update(
         "IsMatch": lambda col, pattern: _c(col).rlike(pattern),
         "IsString": lambda col: _c(col).cast("string").isNotNull(),
         "IsEmpty": lambda col: (F.length(_c(col)) == 0) | _c(col).isNull(),
+        # func_is_list.go / func_is_map.go — runtime type checks; Spark
+        # types are static per column, so typeof() is constant per input
+        # and the checks stay inside codegen
+        "IsList": lambda col: F.startswith(F.typeof(_c(col)), F.lit("array")),
+        "IsMap": lambda col: F.startswith(F.typeof(_c(col)), F.lit("map")),
     }
 )
 
