@@ -281,3 +281,44 @@ def test_streaming_tail_sampling(spark, stream_input, tmp_path):
     run_available_now(sdf, "ts_verdicts", str(tmp_path / "ck_tsv"), output_mode="complete")
     srows = spark.table("ts_verdicts").filter(F.col("conv_id") == "c1").collect()
     assert len(srows) == 2 and all(r["sampled"] for r in srows)
+
+
+def test_streaming_grok_and_curation_match_batch(spark, tmp_path):
+    """Round-3 operators are stateless projections, so they compose with
+    readStream unchanged: grok parse + gopher gate + PII scrub over an
+    availableNow drain must equal the batch run on the same files."""
+    import json as _json
+
+    from opentelemetry_collector_contrib_spark.operators.curation import gopher_filter, pii_scrub
+    from opentelemetry_collector_contrib_spark.operators.grok import grok_parser
+
+    d = tmp_path / "gin"
+    d.mkdir()
+    rows = [
+        {"id": 1, "line": "2024-01-02T03:04:05Z [warn] host1 mail bob@example.com ok"},
+        {"id": 2, "line": "no match at all"},
+        {"id": 3, "line": "2024-02-03 11:22:33 [ERROR] 10.0.0.9 call 555-123-4567 now"},
+    ]
+    (d / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "id int, line string"
+    PAT = r"%{TIMESTAMP_ISO8601:ts} \[%{LOGLEVEL:lvl}\] %{IPORHOST:host} %{GREEDYDATA:msg}"
+
+    def pipe(df):
+        out = pii_scrub(gopher_filter(grok_parser(df, "line", PAT), "line"), "line")
+        return out.select("id", "ts", "lvl", "host", "gopher_pass",
+                          "pii_email_count", "pii_phone_count", "line_scrubbed")
+
+    sdf = pipe(spark.readStream.schema(schema).json(str(d)))
+    assert sdf.isStreaming
+    (
+        sdf.writeStream.format("memory").queryName("grok_stream")
+        .option("checkpointLocation", str(tmp_path / "gck"))
+        .trigger(availableNow=True).start().awaitTermination(60)
+    )
+    got = sorted(tuple(r) for r in spark.table("grok_stream").collect())
+    want = sorted(tuple(r) for r in pipe(spark.read.schema(schema).json(str(d))).collect())
+    assert got == want and len(got) == 3
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][5] == 1 and "<EMAIL>" in by_id[1][7]
+    assert by_id[3][6] == 1 and "<PHONE>" in by_id[3][7]
+    assert by_id[2][1] is None  # unmatched grok row -> null fields
