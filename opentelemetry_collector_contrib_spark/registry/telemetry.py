@@ -762,6 +762,49 @@ def q_filter_match(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role", "route_id")
 
 
+def q_otlpjson_parse(spark, sf_dir):
+    """otlpjsonconnector: OTLP/JSON payloads → one row per logRecord
+    (connector/otlpjsonconnector/logs.go:41-80). Payloads are synthesized
+    from documents (with a malformed stratum that must drop, mirroring the
+    connector's error path); the oracle reconstructs the expected rows
+    from the same synthesis inputs — ground truth for the unfold."""
+    from ..operators.parse import otlp_json_logs
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    msg = F.substring(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""), 1, 30)
+    lvl = F.element_at(
+        F.array(F.lit("DEBUG"), F.lit("INFO"), F.lit("WARN"), F.lit("ERROR")),
+        (did % 4 + 1).cast("int"),
+    )
+    payload = F.when(did % 13 == 0, F.lit("not otlp")).otherwise(
+        F.concat(
+            F.lit('{"resourceLogs":[{"resource":{"attributes":[{"key":"source","value":{"stringValue":"'),
+            F.col("source"),
+            F.lit('"}}]},"scopeLogs":[{"scope":{"name":"scope'),
+            (did % 3).cast("string"),
+            F.lit('"},"logRecords":[{"timeUnixNano":"'),
+            (did * 1000).cast("string"),
+            F.lit('","severityText":"'), lvl,
+            F.lit('","severityNumber":9,"body":{"stringValue":"'), msg,
+            F.lit('"},"attributes":[{"key":"n","value":{"intValue":"'),
+            F.col("n_chars").cast("string"),
+            F.lit('"}}]}]}]}]}'),
+        )
+    )
+    out = otlp_json_logs(docs.select("doc_id", payload.alias("payload")), "payload")
+    return out.select(
+        "doc_id",
+        F.element_at(F.col("resource_attrs"), "source").alias("resource_source"),
+        "scope_name",
+        "time_unix_nano",
+        "severity_text",
+        "severity_number",
+        "body",
+        F.element_at(F.col("log_attrs"), "n").alias("attr_n"),
+    )
+
+
 def q_ottl_lambdas(spark, sf_dir):
     """OTTL lambda-expression statements (`(i, v) => body`) compiled to
     Spark HOFs — Filter/MapEach/Any/All/Reduce over the token array of each
@@ -833,6 +876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ottl_lambdas": q_ottl_lambdas,
     "severity_http_parse": q_severity_http,
     "filter_match_gate": q_filter_match,
+    "otlpjson_parse": q_otlpjson_parse,
     "uri_parse_fields": q_uri_parse,
     "csv_parse_fields": q_csv_parse,
     "kv_parse_map": q_kv_parse_map,
@@ -1476,6 +1520,19 @@ FROM ordered
 WHERE regexp_matches(role, '^(user|assistant)$')
   AND NOT coalesce(status = 'err', FALSE)"""
     )
+
+    o["otlpjson_parse"] = """
+SELECT doc_id,
+  source AS resource_source,
+  'scope' || CAST(doc_id % 3 AS VARCHAR) AS scope_name,
+  doc_id * 1000 AS time_unix_nano,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'DEBUG' WHEN 1 THEN 'INFO'
+       WHEN 2 THEN 'WARN' ELSE 'ERROR' END AS severity_text,
+  9 AS severity_number,
+  substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 30) AS body,
+  CAST(n_chars AS VARCHAR) AS attr_n
+FROM documents
+WHERE doc_id % 13 <> 0"""
 
     o["ottl_lambdas"] = r"""
 WITH tk AS (SELECT doc_id,

@@ -270,3 +270,29 @@ def test_time_parse_hardening(spark):
     big = spark.createDataFrame([(9223372036854775807,), (1740824430,)], "es long")
     got2 = [r["event_ts"] for r in time_parser_layout(big, "es", "s", layout_type="epoch").collect()]
     assert got2[0] is None and got2[1] is not None
+
+
+def test_otlp_json_logs(spark):
+    """otlpjsonconnector unfold: one row per logRecord, resource/scope
+    context attached, malformed and non-OTLP payloads dropped
+    (connector/otlpjsonconnector logs_test.go:48,128)."""
+    from opentelemetry_collector_contrib_spark.operators.parse import otlp_json_logs
+
+    payload = (
+        '{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name",'
+        '"value":{"stringValue":"svc"}}]},"scopeLogs":[{"scope":{"name":"sc"},'
+        '"logRecords":[{"timeUnixNano":"123","severityText":"INFO","severityNumber":9,'
+        '"body":{"stringValue":"test log"},"attributes":[{"key":"n","value":{"intValue":"7"}}]},'
+        '{"body":{"stringValue":"second"}}]}]}]}'
+    )
+    rows = [(1, payload), (2, '{"resourceLogs": [invalid json'), (3, "not otlp")]
+    out = otlp_json_logs(
+        spark.createDataFrame(rows, "id int, payload string"), "payload"
+    ).collect()
+    assert len(out) == 2  # rows 2 and 3 drop (error path)
+    first = next(r for r in out if r["body"] == "test log")
+    assert first["resource_attrs"] == {"service.name": "svc"}
+    assert first["scope_name"] == "sc" and first["time_unix_nano"] == 123
+    assert first["severity_text"] == "INFO" and first["log_attrs"] == {"n": "7"}
+    second = next(r for r in out if r["body"] == "second")
+    assert second["severity_text"] is None and second["log_attrs"] == {}
