@@ -228,3 +228,72 @@ def mixture_sample(
         rate = F.when(F.col(domain_col) == d, F.lit(float(r))).otherwise(rate)
     gate = h60(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))) % 1000000
     return df.filter(gate < (rate * 1000000).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines_across_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style boilerplate removal (Raffel et al. 2020 §2.2: "we discarded
+    all but one of any three-sentence span occurring more than once", here
+    at line granularity): a line occurring >= min_df times across the
+    corpus keeps only its globally-first occurrence (lowest (doc, position))
+    and is stripped everywhere else. Lines shorter than `min_words` words
+    (headings, blanks, separators) are exempt — never counted, never
+    stripped.
+
+    Output: (id, text_deduped, n_lines_removed) — documents reassembled in
+    original line order.
+
+    Scale: posexplode to line grain, ONE window partitioned by the line
+    hash (count + first-occurrence key in the same pass — no join back to
+    the corpus), then one re-assembly aggregation on the doc key. Shuffle
+    volume is line-grain but each stage is a single exchange; the h60 line
+    key keeps the window partitioner dense."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    )
+    n_words = F.size(F.filter(F.split(F.trim(F.col("_line")), r"\s+"), lambda x: x != ""))
+    lines = lines.withColumn("_eligible", n_words >= min_words)
+    occ_key = F.col("_id") * 1000000 + F.col("_pos")
+    # exempt lines get their own (unique) partition key — grouping them all
+    # under one NULL key would be a catastrophic skew partition at scale
+    # (negated key keeps the exempt range disjoint from h60's non-negatives)
+    w = Window.partitionBy(F.when(F.col("_eligible"), h60(F.col("_line"))).otherwise(-occ_key - 1))
+    marked = lines.withColumn(
+        "_df", F.when(F.col("_eligible"), F.count(F.lit(1)).over(w)).otherwise(F.lit(1))
+    ).withColumn("_first", F.min(occ_key).over(w))
+    kept = marked.filter(
+        ~F.col("_eligible") | (F.col("_df") < min_df) | (occ_key == F.col("_first"))
+    )
+    assembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_line")))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), r"\n")).alias("_total"),
+    )
+    return (
+        totals.join(assembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0))).cast("int").alias("n_lines_removed"),
+        )
+    )

@@ -361,6 +361,18 @@ def q_curation_pack(spark, sf_dir):
     return out.select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
 
 
+def q_curation_line_dedup(spark, sf_dir):
+    """C4-style cross-document line dedup over the lined view: with
+    min_df=2 every non-first occurrence of an eligible (≥3-word) repeated
+    line is stripped — the within-doc duplicated head (doc_id%3==0
+    stratum) and any cross-doc head/mid collisions; the 2-word 'footer
+    line' is exempt and survives everywhere."""
+    from ..operators.curation import dedup_lines_across_docs
+
+    out = dedup_lines_across_docs(_lined_docs(spark, sf_dir))
+    return out.select("doc_id", "text_deduped", "n_lines_removed")
+
+
 def q_curation_mixture(spark, sf_dir):
     from ..operators.curation import mixture_sample
 
@@ -377,6 +389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pii_scrub": q_curation_pii,
     "curation_pack": q_curation_pack,
     "curation_mixture": q_curation_mixture,
+    "curation_line_dedup": q_curation_line_dedup,
     "dedup_ngram_spans": q_ngram_spans,
     "text_chunks": q_text_chunks,
     "emb_quantized": q_emb_quantized,
@@ -521,6 +534,30 @@ SELECT doc_id, source, n_tokens,
   CAST(floor(CAST(before AS DOUBLE) / 512) AS BIGINT) AS pack_id,
   CAST(before % 512 AS BIGINT) AS pack_offset
 FROM w"""
+
+    o["curation_line_dedup"] = (
+        _lined.split("s AS (SELECT")[0]  # reuse base+l CTEs of the lined view
+        + """sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM l),
+e AS (SELECT doc_id, i - 1 AS pos, ls[i] AS ln
+      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM sp)),
+m AS (SELECT doc_id, pos, ln,
+        len(list_filter(regexp_split_to_array(trim(ln), '\\s+'), x -> x <> '')) >= 3 AS eligible,
+        doc_id * 1000000 + pos AS okey
+      FROM e),
+wn AS (SELECT *,
+        CASE WHEN eligible THEN count(*) OVER (PARTITION BY CASE WHEN eligible THEN ln ELSE 'u' || CAST(okey AS VARCHAR) END)
+             ELSE 1 END AS dfc,
+        min(okey) OVER (PARTITION BY CASE WHEN eligible THEN ln ELSE 'u' || CAST(okey AS VARCHAR) END) AS first_key
+       FROM m),
+kept AS (SELECT * FROM wn WHERE NOT eligible OR dfc < 2 OR okey = first_key),
+asm AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_deduped, count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(ls) AS n_total FROM sp)
+SELECT tot.doc_id,
+  coalesce(asm.text_deduped, '') AS text_deduped,
+  CAST(tot.n_total - coalesce(asm.n_kept, 0) AS INT) AS n_lines_removed
+FROM tot LEFT JOIN asm ON tot.doc_id = asm.doc_id"""
+    )
 
     o["curation_mixture"] = """
 SELECT doc_id, source FROM documents

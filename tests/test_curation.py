@@ -92,3 +92,26 @@ def test_mixture_sample_rates_and_determinism(spark):
         curation.mixture_sample(df, rates={"keep": 1.5})
     with pytest.raises(ValueError):
         curation.mixture_sample(df, rates={}, default_rate=-0.1)
+
+
+def test_dedup_lines_across_docs(spark):
+    rows = [
+        (1, "shared boilerplate line here\nunique alpha content one\nfooter"),
+        (2, "shared boilerplate line here\nunique beta content two\nfooter"),
+        (3, "shared boilerplate line here\nshared boilerplate line here\ngamma unique line three"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curation.dedup_lines_across_docs(df).collect()}
+    # first occurrence (doc 1, pos 0) survives; all later copies stripped
+    assert out[1]["text_deduped"].startswith("shared boilerplate line here")
+    assert "shared" not in out[2]["text_deduped"]
+    assert "shared" not in out[3]["text_deduped"]
+    assert out[1]["n_lines_removed"] == 0
+    assert out[2]["n_lines_removed"] == 1
+    assert out[3]["n_lines_removed"] == 2  # both later copies go
+    # exempt short lines ('footer', 1 word) are never counted or stripped
+    assert out[1]["text_deduped"].endswith("footer")
+    assert out[2]["text_deduped"].endswith("footer")
+    # line order inside each doc is preserved
+    assert out[2]["text_deduped"] == "unique beta content two\nfooter"
+    assert out[3]["text_deduped"] == "gamma unique line three"
