@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import h60, tokens
+from .textstats import h60, shingles_of, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +228,103 @@ def mixture_sample(
         rate = F.when(F.col(domain_col) == d, F.lit(float(r))).otherwise(rate)
     gate = h60(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))) % 1000000
     return df.filter(gate < (rate * 1000000).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an evaluation/benchmark corpus (the GPT-3 appendix-C /
+    Gopher §A.2 protocol — production uses 13-grams; the fixture docs are
+    short so tests use n=3, the operator takes any n).
+
+    Output per train doc: n_grams (distinct n-grams), n_overlap (of those,
+    how many appear anywhere in the eval set), overlap_frac (rounded 6),
+    contaminated (n_overlap >= min_overlap). Docs with < n tokens have
+    0 grams and are never contaminated. Emits the flag rather than
+    dropping so the caller can audit / quarantine.
+
+    Scale (100 TB train, benchmark eval): the eval gram set is DISTINCT
+    n-gram hashes of the *benchmark* corpus — MBs even for large suites —
+    so it broadcasts; the train side is one explode + broadcast LEFT join +
+    one hash agg on the doc key. No shuffle touches the eval side; the
+    train shuffle is the doc-key agg only. `array_distinct` dedups grams
+    row-locally before the explode so join input is bounded by distinct
+    grams, not token count.
+    """
+    g_tr = shingles_of(tokens(F.col(text_col)), n)
+    ev = (
+        eval_df.select(F.explode(shingles_of(tokens(F.col(text_col)), n)).alias("_g"))
+        .select(h60(F.col("_g")).alias("_egh"))
+        .distinct()
+    )
+    tr = train_df.select(
+        F.col(id_col), F.explode_outer(g_tr).alias("_g")
+    ).select(F.col(id_col), h60(F.col("_g")).alias("_gh"))
+    joined = tr.join(F.broadcast(ev), tr["_gh"] == ev["_egh"], "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("_gh").alias("n_grams"),
+        F.count("_egh").alias("n_overlap"),
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("n_overlap") / F.col("n_grams").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle (seeded shard assignment)
+# ---------------------------------------------------------------------------
+
+
+def train_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "seed0",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every row
+    gets (shard_id, shard_pos) from a seeded hash of its key —
+    key = h60(seed || ':' || id), shard = key % n_shards, pos = rank of
+    key within the shard. Reading shards 0..n-1 each in pos order yields
+    a uniform random permutation of the corpus that is identical on every
+    engine and every rerun (resumable training must not reshuffle), with
+    a new permutation per seed — no RNG state, no `rand()`.
+
+    Scale: one shuffle (the shard-key exchange) + a per-shard sort. Choose
+    n_shards >= cluster parallelism (production: thousands — shards are
+    also the writer's file grain), so each shard's sort is bounded by
+    rows/n_shards and every core sorts its own shard; the window below
+    IS that per-shard sort, there is no global ordering anywhere.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = h60(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    staged = df.select("*", key.alias("_skey"))
+    shard = (F.col("_skey") % n_shards).cast("int")
+    w = Window.partitionBy(shard).orderBy(F.col("_skey"), F.col(id_col))
+    return staged.select(
+        *df.columns,
+        shard.alias("shard_id"),
+        F.row_number().over(w).alias("shard_pos"),
+    )
 
 
 # ---------------------------------------------------------------------------

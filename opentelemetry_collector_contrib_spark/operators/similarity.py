@@ -273,3 +273,46 @@ def dequantize(q_vec: Column, q_scale: Column) -> Column:
     """Reconstruct approximate float vector: x̂_i = q_i * scale (max abs
     reconstruction error = scale/2)."""
     return F.transform(q_vec, lambda q: q.cast("double") * q_scale)
+
+
+def cluster_balance(
+    emb: DataFrame,
+    cap: int,
+    centroids: DataFrame | None = None,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "bal",
+) -> DataFrame:
+    """Cluster-balanced sampling for training-data mixture control: assign
+    every embedding to its nearest coarse centroid (semantic cluster), then
+    keep at most `cap` rows per cluster, chosen by a seeded hash rank —
+    the semantic-dedup/balancing step of a pretraining pipeline (cap the
+    over-represented clusters, keep the tail intact). Deterministic on
+    every engine and rerun: rank = row_number over (h60(salt||id), id)
+    within the cell, no RNG.
+
+    Output: (id, cell int, bal_rank int) for the kept rows.
+
+    Scale: cell assignment is the zero-join inlined-centroid projection
+    (see _centroid_entries). The per-cell ranking is a window partitioned
+    by cell — with a production coarse quantizer (thousands of cells from
+    ivf_centroids_kmeans) each cell is a bounded partition; for the
+    rate-based alternative that avoids per-cell ordering entirely (keep
+    p_c of cell c by hash gate), compose ivf_assign with
+    curation.mixture_sample(domain_col='cell').
+    """
+    from .textstats import h60
+
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    key = h60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("cell").orderBy(key, F.col(id_col))
+    return (
+        assigned.select(
+            id_col,
+            F.col("cell").cast("int").alias("cell"),
+            F.row_number().over(w).alias("bal_rank"),
+        )
+        .filter(F.col("bal_rank") <= cap)
+    )

@@ -383,7 +383,40 @@ def q_curation_mixture(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 37 == 0 play the eval
+    suite; every other doc is train. 3-gram overlap (short fixture docs;
+    production n=13 per the GPT-3/Gopher protocol)."""
+    from ..operators.curation import decontaminate
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 37 == 0)
+    tr = d.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(tr, ev, n=3)
+
+
+def q_train_shuffle(spark, sf_dir):
+    """Deterministic seeded training-order shuffle: 16 shards, seed 'r3'."""
+    from ..operators.curation import train_shuffle
+
+    d = _docs(spark, sf_dir)
+    return train_shuffle(d, n_shards=16, seed="r3").select(
+        "doc_id", "shard_id", "shard_pos"
+    )
+
+
+def q_cluster_balance(spark, sf_dir):
+    """Cluster-balanced sampling: nearest-centroid cells (first-8 coarse
+    quantizer, same as sim_topk_ivf), cap 40 per cell by seeded hash rank."""
+    from ..operators.similarity import cluster_balance
+
+    return cluster_balance(_embs(spark, sf_dir), cap=40, n_cells=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curation_decontaminate": q_decontaminate,
+    "curation_train_shuffle": q_train_shuffle,
+    "cluster_balanced_sample": q_cluster_balance,
     "curation_repetition": q_curation_repetition,
     "curation_gopher": q_curation_gopher,
     "curation_pii_scrub": q_curation_pii,
@@ -564,6 +597,47 @@ SELECT doc_id, source FROM documents
 WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
   < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
           WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 1000000 AS BIGINT)"""
+
+    o["curation_decontaminate"] = (
+        _SHINGLE_CTE
+        + f""",
+ev AS (SELECT DISTINCT {sql_h60('shingle')} AS egh FROM shing WHERE doc % 37 = 0),
+tr AS (SELECT doc, {sql_h60('shingle')} AS gh FROM shing WHERE doc % 37 <> 0),
+agg AS (SELECT doc, count(*) AS n_grams, count(ev.egh) AS n_overlap
+        FROM tr LEFT JOIN ev ON ev.egh = tr.gh GROUP BY doc)
+SELECT dd.doc_id,
+  coalesce(agg.n_grams, 0) AS n_grams,
+  coalesce(agg.n_overlap, 0) AS n_overlap,
+  CASE WHEN coalesce(agg.n_grams, 0) > 0
+       THEN round(coalesce(agg.n_overlap, 0) / CAST(agg.n_grams AS DOUBLE), 6)
+       ELSE 0.0 END AS overlap_frac,
+  coalesce(agg.n_overlap, 0) >= 1 AS contaminated
+FROM documents dd LEFT JOIN agg ON agg.doc = dd.doc_id
+WHERE dd.doc_id % 37 <> 0"""
+    )
+
+    o["curation_train_shuffle"] = f"""
+WITH k AS (SELECT doc_id,
+  {sql_h60("'r3:' || CAST(doc_id AS VARCHAR)")} AS skey FROM documents)
+SELECT doc_id, CAST(skey % 16 AS INT) AS shard_id,
+  CAST(row_number() OVER (PARTITION BY skey % 16 ORDER BY skey, doc_id) AS INT) AS shard_pos
+FROM k"""
+
+    cos_bal = sql_cosine("v.embedding", "c.centroid")
+    o["cluster_balanced_sample"] = f"""
+WITH cents AS (SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell, {cos_bal} AS cc,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_bal} DESC, c.cell ASC) AS r
+    FROM embeddings v CROSS JOIN cents c) t WHERE r = 1),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+            ORDER BY {sql_h60("'bal:' || CAST(vec_id AS VARCHAR)")}, vec_id) AS bal_rank
+  FROM assign)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(bal_rank AS INT) AS bal_rank
+FROM ranked WHERE bal_rank <= 40"""
 
     lang_scores = ",\n  ".join(
         f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}" for lang, pat in _LANG_MARKERS.items()

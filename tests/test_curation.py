@@ -115,3 +115,62 @@ def test_dedup_lines_across_docs(spark):
     # line order inside each doc is preserved
     assert out[2]["text_deduped"] == "unique beta content two\nfooter"
     assert out[3]["text_deduped"] == "gamma unique line three"
+
+
+def test_decontaminate_flags_overlap(spark):
+    # eval doc shares the trigram "alpha beta gamma" with train doc 1 only
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma suffix words"),   # contaminated
+            (2, "totally different content here indeed"),  # clean
+            (3, "too short"),                              # zero grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation.decontaminate(tr, ev, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] == 1
+    assert out[1]["n_grams"] == 4
+    assert out[1]["overlap_frac"] == pytest.approx(0.25)
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    assert out[3]["overlap_frac"] == 0.0
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    ev = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    tr = spark.createDataFrame([(1, "a b c d x")], ["doc_id", "text"])  # 2 shared grams
+    strict = curation.decontaminate(tr, ev, n=3, min_overlap=3).collect()[0]
+    loose = curation.decontaminate(tr, ev, n=3, min_overlap=2).collect()[0]
+    assert strict["n_overlap"] == 2 and not strict["contaminated"]
+    assert loose["contaminated"]
+
+
+def test_train_shuffle_deterministic_permutation(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = curation.train_shuffle(df, n_shards=8, seed="s1")
+    rows = a.collect()
+    # every row exactly once, shards in range, positions contiguous from 1
+    assert len(rows) == 200 and len({r["doc_id"] for r in rows}) == 200
+    assert all(0 <= r["shard_id"] < 8 for r in rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic across reruns; different seed -> different permutation
+    b = {(r["doc_id"], r["shard_id"], r["shard_pos"])
+         for r in curation.train_shuffle(df, n_shards=8, seed="s1").collect()}
+    assert b == {(r["doc_id"], r["shard_id"], r["shard_pos"]) for r in rows}
+    c = {(r["doc_id"], r["shard_id"], r["shard_pos"])
+         for r in curation.train_shuffle(df, n_shards=8, seed="s2").collect()}
+    assert c != b
+
+
+def test_train_shuffle_rejects_bad_shards(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        curation.train_shuffle(df, n_shards=0)

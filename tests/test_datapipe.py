@@ -388,3 +388,22 @@ def test_model_hook_lang_id_and_quality(docs):
     # default heuristic path unchanged
     h = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
     assert h[5] == "de"
+
+
+def test_cluster_balance_caps_and_determinism(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.cluster_balance(emb, cap=10, n_cells=4).collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r["bal_rank"])
+    for cell, ranks in by_cell.items():
+        assert len(ranks) <= 10
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # deterministic across reruns
+    again = similarity.cluster_balance(emb, cap=10, n_cells=4).collect()
+    assert {(r["vec_id"], r["cell"], r["bal_rank"]) for r in again} == {
+        (r["vec_id"], r["cell"], r["bal_rank"]) for r in out
+    }
+    # a full-size cap keeps everything (the gate only truncates)
+    total = emb.count()
+    assert similarity.cluster_balance(emb, cap=10**9, n_cells=4).count() == total
