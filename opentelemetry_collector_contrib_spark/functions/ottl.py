@@ -92,7 +92,7 @@ OTTL_FUNCTIONS.update(
         "ParseJSON": lambda col, schema: F.from_json(_c(col), schema),
         "ParseKeyValue": lambda col, pair_delim=" ", kv_delim="=": F.str_to_map(_c(col), F.lit(pair_delim), F.lit(kv_delim)),
         "ParseCSV": lambda col, schema, sep=",": F.from_csv(_c(col), schema, {"sep": sep}),
-        "ParseInt": lambda col, base=10: F.conv(_c(col), base, 10).cast("long") if base != 10 else _c(col).cast("long"),
+        "ParseInt": lambda col, base=10: F.conv(_c(col), base, 10).try_cast("long") if base != 10 else _c(col).try_cast("long"),
         "URL": lambda col, part="HOST": F.parse_url(_c(col), F.lit(part)),
         "Decode": lambda col, enc="base64": F.unbase64(_c(col)) if enc == "base64" else F.decode(_c(col), enc),
         "Base64Decode": lambda col: F.unbase64(_c(col)).cast("string"),
@@ -126,15 +126,15 @@ OTTL_FUNCTIONS.update(
 # --- math / type ------------------------------------------------------------
 OTTL_FUNCTIONS.update(
     {
-        "Int": lambda col: _c(col).cast("long"),
-        "Double": lambda col: _c(col).cast("double"),
+        "Int": lambda col: _c(col).try_cast("long"),
+        "Double": lambda col: _c(col).try_cast("double"),
         "String": lambda col: _c(col).cast("string"),
-        "Bool": lambda col: _c(col).cast("boolean"),
+        "Bool": lambda col: _c(col).try_cast("boolean"),
         "Hex": lambda col: F.hex(_c(col)),
         "Log": lambda col: F.log(_c(col)),
-        "IsInt": lambda col: _c(col).cast("long").isNotNull(),
-        "IsDouble": lambda col: _c(col).cast("double").isNotNull(),
-        "IsBool": lambda col: _c(col).cast("boolean").isNotNull(),
+        "IsInt": lambda col: _c(col).try_cast("long").isNotNull(),
+        "IsDouble": lambda col: _c(col).try_cast("double").isNotNull(),
+        "IsBool": lambda col: _c(col).try_cast("boolean").isNotNull(),
     }
 )
 
@@ -301,23 +301,30 @@ def _duration_seconds(col) -> Column:
     null here) — without the whole-string gate, every unit regexp simply
     misses and a malformed value would alias a genuine 0s duration."""
     s = _c(col)
-    valid = s.rlike(r"^(\d+(\.\d+)?(ms|us|ns|h|m|s))+$")
+    # Go grammar: optional whole-duration sign, terms with int/frac/.frac
+    # magnitudes, units h m s ms us µs ns; bare '0' is the one unitless
+    # legal duration (time.ParseDuration)
+    num = r"(\d+(\.\d*)?|\.\d+)"
+    valid = s.rlike(r"^[+-]?(0|(" + num + r"(ms|us|µs|ns|h|m|s))+)$")
+    sign = F.when(s.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
 
-    def unit(pat: str) -> Column:
-        v = F.regexp_extract(s, pat, 1)
-        return F.when(v == "", F.lit(0.0)).otherwise(v.cast("double"))
+    def unit(u: str) -> Column:
+        # extract_all + fold: Go permits a unit to repeat ('1h2h' == 3h)
+        vs = F.regexp_extract_all(s, F.lit(r"(\d+(?:\.\d*)?|\.\d+)" + u), 1)
+        return F.aggregate(vs, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
 
     # plain-seconds needs digits ADJACENT to 's', so 'ms'/'us'/'ns' can
     # never match it; only m-vs-ms needs the explicit (?!s) guard
     total = (
-        unit(r"(\d+(?:\.\d+)?)h") * 3600
-        + unit(r"(\d+(?:\.\d+)?)m(?!s)") * 60
-        + unit(r"(\d+(?:\.\d+)?)s")
-        + unit(r"(\d+(?:\.\d+)?)ms") / 1e3
-        + unit(r"(\d+(?:\.\d+)?)us") / 1e6
-        + unit(r"(\d+(?:\.\d+)?)ns") / 1e9
+        unit(r"h") * 3600
+        + unit(r"m(?!s)") * 60
+        + unit(r"s")
+        + unit(r"ms") / 1e3
+        + unit(r"us") / 1e6
+        + unit(r"µs") / 1e6
+        + unit(r"ns") / 1e9
     )
-    return F.when(valid, total)
+    return F.when(valid, sign * total)
 
 
 def _hex_id(col, n_chars: int) -> Column:
@@ -450,7 +457,7 @@ def _extract_grok_patterns(col, pattern, named_captures_only=True, pattern_defin
     for fname, idx, typ in cg.fields:
         v = F.when(matched, F.nullif(F.regexp_extract(s, cg.regex, idx), F.lit("")))
         if typ != "string":
-            v = v.cast(typ)
+            v = v.try_cast(typ)  # per-record NULL, never an ANSI job abort
         out.append(v.alias(fname))
     return F.struct(*out)
 

@@ -89,7 +89,10 @@ def repetition_stats(
         / n_bg.cast("double"),
     ).otherwise(F.lit(0.0))
     n_words = F.greatest(n_tok, F.lit(1)).cast("double")
-    symbol_ratio = F.regexp_count(t, F.lit(r"[#|~\\]|\.\.\.")) / n_words
+    # numerator over the SAME capped token prefix as the denominator —
+    # counting symbols in the full text against a capped word count would
+    # inflate the ratio for every long document
+    symbol_ratio = F.regexp_count(F.array_join(toks, " "), F.lit(r"[#|~\\]|\.\.\.")) / n_words
     alpha_frac = F.when(
         n_tok > 0,
         F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_tok.cast("double"),
@@ -189,6 +192,10 @@ def pack_sequences(
         if parts
         else Window.partitionBy(F.lit(1)).orderBy(F.col(id_col))
     )
+    # ROWS frame, not the default RANGE: with a duplicated id the RANGE
+    # frame gives both rows the same running sum and they double-book the
+    # same pack offsets, corrupting the stream layout
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     before = F.coalesce(
         F.sum(F.col(token_count_col)).over(w) - F.col(token_count_col), F.lit(0)
     )
@@ -223,11 +230,15 @@ def mixture_sample(
             raise ValueError(f"mixture rate for {d!r} must be in [0,1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
-    rate = F.lit(float(default_rate))
+    # thresholds become exact driver-side ints: (rate * 1e6) computed in
+    # engine float arithmetic truncates 0.3*1e6 to 299999 in one engine
+    # and rounds to 300000 in another — int(round()) once, here, keeps the
+    # verdict engine-independent for every rate, not just dyadic ones
+    thr = F.lit(int(round(default_rate * 1000000)))
     for d, r in rates.items():
-        rate = F.when(F.col(domain_col) == d, F.lit(float(r))).otherwise(rate)
+        thr = F.when(F.col(domain_col) == d, F.lit(int(round(r * 1000000)))).otherwise(thr)
     gate = h60(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))) % 1000000
-    return df.filter(gate < (rate * 1000000).cast("long"))
+    return df.filter(gate < thr)
 
 
 # ---------------------------------------------------------------------------
@@ -361,16 +372,23 @@ def dedup_lines_across_docs(
     )
     n_words = F.size(F.filter(F.split(F.trim(F.col("_line")), r"\s+"), lambda x: x != ""))
     lines = lines.withColumn("_eligible", n_words >= min_words)
-    occ_key = F.col("_id") * 1000000 + F.col("_pos")
-    # exempt lines get their own (unique) partition key — grouping them all
-    # under one NULL key would be a catastrophic skew partition at scale
-    # (negated key keeps the exempt range disjoint from h60's non-negatives)
-    w = Window.partitionBy(F.when(F.col("_eligible"), h60(F.col("_line"))).otherwise(-occ_key - 1))
+    # partition key: eligible lines group on their content hash; exempt
+    # lines each get their own (id, pos) partition — one shared key for
+    # all exempt rows would be a catastrophic skew partition at scale.
+    # Pure column tuple, no id arithmetic: works for string ids and can
+    # neither overflow nor collide (the old _id*1e6+_pos key did both).
+    pks = [
+        F.when(F.col("_eligible"), h60(F.col("_line"))),
+        F.when(~F.col("_eligible"), F.col("_id")),
+        F.when(~F.col("_eligible"), F.col("_pos")),
+    ]
+    w = Window.partitionBy(*pks)
+    wo = w.orderBy(F.col("_id"), F.col("_pos"))
     marked = lines.withColumn(
         "_df", F.when(F.col("_eligible"), F.count(F.lit(1)).over(w)).otherwise(F.lit(1))
-    ).withColumn("_first", F.min(occ_key).over(w))
+    ).withColumn("_rn", F.row_number().over(wo))
     kept = marked.filter(
-        ~F.col("_eligible") | (F.col("_df") < min_df) | (occ_key == F.col("_first"))
+        ~F.col("_eligible") | (F.col("_df") < min_df) | (F.col("_rn") == 1)
     )
     assembled = kept.groupBy("_id").agg(
         F.array_join(

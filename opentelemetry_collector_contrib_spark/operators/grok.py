@@ -282,7 +282,10 @@ def grok_parser(
         v = F.when(matched & sep_free, fast).when(matched, slow)
         v = F.nullif(v, F.lit(""))
         if typ != "string":
-            v = v.cast(typ)
+            # try_cast, not cast: a capture that doesn't parse as its
+            # declared type is a per-record NULL (the reference errors
+            # per-record), never an ANSI-mode job abort
+            v = v.try_cast(typ)
         cols.append(v.alias(fname))
     return df.select("*", *cols)
 
@@ -326,16 +329,44 @@ def grok_parser_vectorized(
                 return (None,) * len(idxs)
             return tuple((m.group(i) or None) for i in idxs)
 
+        # typed-capture coercions mirror Spark try_cast so both paths stay
+        # value-identical: bigint accepts only [+-]?digits (no '42.5'),
+        # boolean accepts the t/true/y/yes/1 / f/false/n/no/0 families,
+        # double accepts anything Python float() does; failures are NULL
+        int_re = re.compile(r"[+-]?\d+")
+        true_s = {"t", "true", "y", "yes", "1"}
+        false_s = {"f", "false", "n", "no", "0"}
+
+        def to_int(v):
+            if v is None or not int_re.fullmatch(v.strip()):
+                return None
+            x = int(v)
+            return x if -(1 << 63) <= x < (1 << 63) else None  # try_cast overflow → NULL
+
+        def to_double(v):
+            if v is None:
+                return None
+            try:
+                return float(v)
+            except ValueError:
+                return None
+
+        def to_bool(v):
+            if v is None:
+                return None
+            lv = v.strip().lower()
+            return True if lv in true_s else (False if lv in false_s else None)
+
         for pdf in batches:
             tup = pdf[source].map(extract)
             for k, (fname, _, typ) in enumerate(fields):
                 col = tup.map(lambda t, _k=k: t[_k])
                 if typ == "bigint":
-                    col = pd.to_numeric(col, errors="coerce").astype("Int64")
+                    col = col.map(to_int).astype("Int64")
                 elif typ == "double":
-                    col = pd.to_numeric(col, errors="coerce").astype("float64")
+                    col = col.map(to_double).astype("float64")
                 elif typ == "boolean":
-                    col = col.map(lambda v: None if v is None else v.lower() == "true")
+                    col = col.map(to_bool)
                 pdf[fname] = col
             yield pdf
 

@@ -259,7 +259,9 @@ def _severity_value_cond(src: Column, value) -> Column:
         return src == F.lit(str(value))
     else:
         return src == F.lit(str(value).lower())
-    as_num = F.when(src.rlike(r"^\d+$"), src.cast("int"))
+    # try_cast: an all-digit run longer than int range (trace ids, epoch
+    # nanos) is NULL here, not an ANSI-mode job abort
+    as_num = F.when(src.rlike(r"^\d+$"), src.try_cast("int"))
     return as_num.between(lo, hi)
 
 
@@ -573,10 +575,17 @@ OTLP_LOGS_SCHEMA = (
 
 def _otlp_attr_map(attrs: Column) -> Column:
     """OTLP attribute list -> map<string,string> (first non-null variant,
-    rendered as string — the engine-neutral view of AnyValue)."""
+    rendered as string — the engine-neutral view of AnyValue). Duplicate
+    keys in the payload keep the FIRST entry: external input must not be
+    able to kill the job via DUPLICATED_MAP_KEY (mapKeyDedupPolicy is
+    EXCEPTION by default), so entries are de-duplicated before
+    map_from_entries. The O(k²) array_position scan is per-row over an
+    attribute list — k is small by construction."""
+    keys = F.transform(attrs, lambda a: a["key"])
+    first_only = F.filter(attrs, lambda a, i: F.array_position(keys, a["key"]) == i + 1)
     return F.map_from_entries(
         F.transform(
-            attrs,
+            first_only,
             lambda a: F.struct(
                 a["key"].alias("key"),
                 F.coalesce(
@@ -614,7 +623,7 @@ def otlp_json_logs(df: DataFrame, source: str) -> DataFrame:
                            " intValue: string, doubleValue: double, boolValue: boolean>>>"),
         )).alias("resource_attrs"),
         F.col("_sl")["scope"]["name"].alias("scope_name"),
-        F.col("_lr")["timeUnixNano"].cast("long").alias("time_unix_nano"),
+        F.col("_lr")["timeUnixNano"].try_cast("long").alias("time_unix_nano"),
         F.col("_lr")["severityText"].alias("severity_text"),
         F.col("_lr")["severityNumber"].alias("severity_number"),
         F.col("_lr")["body"]["stringValue"].alias("body"),

@@ -506,7 +506,7 @@ stats AS (SELECT doc_id,
         THEN CAST(list_max(list_transform(list_distinct(bg),
                b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg)
         ELSE 0.0 END, 6) AS top_bigram_frac,
-  round(CAST(len(regexp_extract_all(text, '[#|~\\\\]|\\.\\.\\.')) AS DOUBLE)
+  round(CAST(len(regexp_extract_all(array_to_string(tk, ' '), '[#|~\\\\]|\\.\\.\\.')) AS DOUBLE)
         / greatest(len(tk), 1), 6) AS symbol_word_ratio,
   round(CASE WHEN len(tk) > 0
         THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk)
@@ -574,15 +574,16 @@ FROM w"""
 e AS (SELECT doc_id, i - 1 AS pos, ls[i] AS ln
       FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM sp)),
 m AS (SELECT doc_id, pos, ln,
-        len(list_filter(regexp_split_to_array(trim(ln), '\\s+'), x -> x <> '')) >= 3 AS eligible,
-        doc_id * 1000000 + pos AS okey
+        len(list_filter(regexp_split_to_array(trim(ln), '\\s+'), x -> x <> '')) >= 3 AS eligible
       FROM e),
 wn AS (SELECT *,
-        CASE WHEN eligible THEN count(*) OVER (PARTITION BY CASE WHEN eligible THEN ln ELSE 'u' || CAST(okey AS VARCHAR) END)
-             ELSE 1 END AS dfc,
-        min(okey) OVER (PARTITION BY CASE WHEN eligible THEN ln ELSE 'u' || CAST(okey AS VARCHAR) END) AS first_key
-       FROM m),
-kept AS (SELECT * FROM wn WHERE NOT eligible OR dfc < 2 OR okey = first_key),
+        CASE WHEN eligible THEN count(*) OVER part ELSE 1 END AS dfc,
+        row_number() OVER (part ORDER BY doc_id, pos) AS rn
+       FROM m
+       WINDOW part AS (PARTITION BY eligible,
+         CASE WHEN eligible THEN ln
+              ELSE CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) END)),
+kept AS (SELECT * FROM wn WHERE NOT eligible OR dfc < 2 OR rn = 1),
 asm AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_deduped, count(*) AS n_kept
         FROM kept GROUP BY doc_id),
 tot AS (SELECT doc_id, len(ls) AS n_total FROM sp)

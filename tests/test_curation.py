@@ -174,3 +174,54 @@ def test_train_shuffle_rejects_bad_shards(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         curation.train_shuffle(df, n_shards=0)
+
+
+def test_symbol_ratio_counts_only_capped_prefix(spark):
+    # 600 words; all '#' symbols sit AFTER the 500-token cap -> both the
+    # numerator and denominator must see only the prefix, so ratio == 0
+    text = " ".join(["word"] * 600 + ["#", "#", "#"])
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    r = curation.repetition_stats(df).collect()[0]
+    assert r["symbol_word_ratio"] == 0.0
+    # and a long doc whose true symbol density is low must not be inflated
+    # by a full-text numerator over a capped denominator
+    text2 = " ".join((["word"] * 49 + ["#"]) * 20)  # 1000 tokens, 2% symbols
+    r2 = curation.repetition_stats(spark.createDataFrame([(1, text2)], ["id", "text"])).collect()[0]
+    assert r2["symbol_word_ratio"] <= 0.03
+
+
+def test_dedup_lines_string_doc_ids(spark):
+    rows = [
+        ("docA", "shared boilerplate line here\nunique alpha content line"),
+        ("docB", "shared boilerplate line here\nunique beta content line"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curation.dedup_lines_across_docs(df).collect()}
+    # first occurrence (docA) keeps the shared line, docB loses it
+    assert "shared boilerplate" in out["docA"]["text_deduped"]
+    assert "shared boilerplate" not in out["docB"]["text_deduped"]
+    assert out["docB"]["n_lines_removed"] == 1
+
+
+def test_pack_sequences_duplicate_ids_rows_frame(spark):
+    rows = [(5, "a", 300), (5, "a", 300), (7, "a", 300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = sorted(
+        curation.pack_sequences(df, budget=512, partition_cols=["source"]).collect(),
+        key=lambda r: (r["pack_id"], r["pack_offset"]),
+    )
+    # running sum must advance per ROW: offsets 0, 300, 600 -> no two docs
+    # may double-book the same (pack_id, pack_offset) slot
+    slots = [(r["pack_id"], r["pack_offset"]) for r in out]
+    assert len(set(slots)) == 3
+    assert slots == [(0, 0), (0, 300), (1, 88)]
+
+
+def test_mixture_sample_non_dyadic_rate(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id").withColumn(
+        "source", F.lit("srcX")
+    )
+    kept = curation.mixture_sample(df, rates={"srcX": 0.3}).count()
+    # hash gate keeps ~30%; exact threshold is int(round(0.3*1e6)) == 300000
+    assert 230 <= kept <= 370
+    assert curation.mixture_sample(df, rates={"srcX": 0.3}).count() == kept

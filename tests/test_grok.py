@@ -174,3 +174,35 @@ def test_ottl_function_form(spark, grok_df):
     by_id = {r["id"]: r["g"] for r in out}
     assert by_id["r1"]["lvl"] == "warn" and by_id["r1"]["latency"] == 42
     assert by_id["r2"]["host"] is None
+
+
+def test_typed_capture_bad_values_null_not_abort(spark):
+    """A capture that doesn't parse as its declared type is a per-record
+    NULL (reference errors per-record) — never an ANSI-mode job abort —
+    and the native and vectorized paths agree on the coercion matrix."""
+    rows = [
+        (1, "v=42"), (2, "v=42.5"), (3, "v=hello"),
+        (4, "v=99999999999999999999"), (5, "v=-7"),
+    ]
+    df = spark.createDataFrame(rows, "id int, line string")
+    pat = "v=%{NOTSPACE:x:int}"
+    nat = {r["id"]: r["x"] for r in grok_parser(df, "line", pat).collect()}
+    vec = {r["id"]: r["x"] for r in grok_parser_vectorized(df, "line", pat).collect()}
+    expect = {1: 42, 2: None, 3: None, 4: None, 5: -7}
+    assert nat == expect and vec == expect
+
+    bpat = "v=%{NOTSPACE:b:bool}"
+    brows = [(1, "v=true"), (2, "v=yes"), (3, "v=0"), (4, "v=maybe"), (5, "v=T")]
+    bdf = spark.createDataFrame(brows, "id int, line string")
+    bn = {r["id"]: r["b"] for r in grok_parser(bdf, "line", bpat).collect()}
+    bv = {r["id"]: r["b"] for r in grok_parser_vectorized(bdf, "line", bpat).collect()}
+    bexpect = {1: True, 2: True, 3: False, 4: None, 5: True}
+    assert bn == bexpect and bv == bexpect
+
+    fpat = "v=%{NOTSPACE:f:float}"
+    frows = [(1, "v=1.5"), (2, "v=1e3"), (3, "v=zzz")]
+    fdf = spark.createDataFrame(frows, "id int, line string")
+    fn = {r["id"]: r["f"] for r in grok_parser(fdf, "line", fpat).collect()}
+    fv = {r["id"]: r["f"] for r in grok_parser_vectorized(fdf, "line", fpat).collect()}
+    fexpect = {1: 1.5, 2: 1000.0, 3: None}
+    assert fn == fexpect and fv == fexpect

@@ -154,3 +154,29 @@ def test_user_agent_legacy_opera(row):
     legacy = "Opera/9.80 (Windows NT 6.1) Presto/2.12.388 Version/12.16"
     got = row(O["UserAgent"](F.lit(legacy)))
     assert got["browser"] == "Opera" and got["version"] == "12.16"
+
+
+def test_duration_signs_repeats_and_micro(row):
+    # Go time.ParseDuration accepts a whole-duration sign, repeated units,
+    # bare '0', and the µs spelling
+    assert row(O["Duration"](F.lit("-1h30m"))) == pytest.approx(-5400.0)
+    assert row(O["Duration"](F.lit("+2m"))) == pytest.approx(120.0)
+    assert row(O["Duration"](F.lit("1h2h"))) == pytest.approx(10800.0)
+    assert row(O["Duration"](F.lit("0"))) == 0.0
+    assert row(O["Duration"](F.lit("300µs"))) == pytest.approx(3e-4)
+    assert row(O["Duration"](F.lit(".5s"))) == pytest.approx(0.5)
+    assert row(O["Duration"](F.lit("-"))) is None
+
+
+def test_numeric_converters_ansi_safe(row):
+    # Int/Double/Bool and their Is* predicates take the per-record-NULL
+    # path on garbage input instead of aborting under ANSI mode
+    assert row(O["Int"](F.lit("42"))) == 42
+    assert row(O["Int"](F.lit("42.5"))) is None
+    assert row(O["Int"](F.lit("abc"))) is None
+    assert row(O["Double"](F.lit("abc"))) is None
+    assert row(O["Bool"](F.lit("maybe"))) is None
+    assert row(O["IsInt"](F.lit("abc"))) is False
+    assert row(O["IsDouble"](F.lit("1.5"))) is True
+    assert row(O["IsBool"](F.lit("zzz"))) is False
+    assert row(O["ParseInt"](F.lit("xyz"))) is None

@@ -296,3 +296,40 @@ def test_otlp_json_logs(spark):
     assert first["severity_text"] == "INFO" and first["log_attrs"] == {"n": "7"}
     second = next(r for r in out if r["body"] == "second")
     assert second["severity_text"] is None and second["log_attrs"] == {}
+
+
+def test_otlp_json_malformed_time_and_dup_keys(spark):
+    """Adversarial payloads must not kill the job: a non-numeric
+    timeUnixNano is a per-record NULL, and duplicate attribute keys keep
+    the first entry instead of raising DUPLICATED_MAP_KEY."""
+    from opentelemetry_collector_contrib_spark.operators.parse import otlp_json_logs
+
+    payload = (
+        '{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":[{"scope":{"name":"s"},'
+        '"logRecords":[{"timeUnixNano":"abc","body":{"stringValue":"bad time"},'
+        '"attributes":[{"key":"k","value":{"stringValue":"first"}},'
+        '{"key":"k","value":{"stringValue":"second"}}]}]}]}]}'
+    )
+    out = otlp_json_logs(
+        spark.createDataFrame([(1, payload)], "id int, payload string"), "payload"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["time_unix_nano"] is None
+    assert out[0]["log_attrs"] == {"k": "first"}
+
+
+def test_severity_http_preset_overlong_digit_run(spark):
+    """An all-digit field longer than int range (trace id, epoch nanos)
+    must not abort the parser under ANSI — it simply matches no range."""
+    from opentelemetry_collector_contrib_spark.operators.parse import severity_parser
+
+    df = spark.createDataFrame(
+        [(1, "201"), (2, "99999999999999999999")], "id int, code string"
+    )
+    out = {
+        r["id"]: r["severity_text"]
+        for r in severity_parser(
+            df, "code", mapping={"info": ["2xx"]}
+        ).collect()
+    }
+    assert out[1] == "INFO" and out[2] is None
