@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -270,4 +270,78 @@ def chunk_documents(
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus analytics: TF-IDF keyword extraction, per-source corpus summary
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, the scikit-learn smooth_idf formula —
+    a published constant-safe variant that never divides by zero).
+    Output: (id, term, tf, df, score, rank) for the k highest-scoring
+    terms per doc; ties broken by term text so results are deterministic.
+
+    Scale: tokenize-once + posexplode to term grain, ONE (doc, term)
+    hash agg (map-side combined), a term-grain agg for document
+    frequency, an equi-join back on the term key, then a top-k window
+    per doc — which Spark compiles with WindowGroupLimit, so each map
+    task ships at most k rows per doc into the final exchange. The term
+    dictionary is joined, not broadcast: at 100 TB it does not fit in a
+    broadcast, and the join key (term) is the same key the df-aggregation
+    already partitioned on, so AQE reuses the exchange. N (corpus size)
+    is one count job, inlined as a literal."""
+    n_docs = df.select(id_col).count()
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def corpus_summary(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus report — the observability surface of a curation
+    pipeline: document count, total whitespace tokens, mean document
+    chars, distinct text count (h60 exact-dedup key) and the implied
+    duplicate fraction. One aggregation, map-side combined; the exact
+    distinct is a second pass Spark plans as expand+agg — still one
+    logical groupBy, no join."""
+    n = F.count(F.lit(1))
+    return df.groupBy(group_col).agg(
+        n.alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+        F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_chars"),
+        F.countDistinct(h60(F.col(text_col))).alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(h60(F.col(text_col))) / n.cast("double"), 6
+        ).alias("dup_frac"),
     )

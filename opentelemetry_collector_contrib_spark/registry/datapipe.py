@@ -383,6 +383,23 @@ def q_curation_mixture(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (smoothed idf, term-text tiebreak)."""
+    from ..operators.textstats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3).select(
+        "doc_id", "term", "tf", "df", "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_corpus_summary(spark, sf_dir):
+    """Per-source corpus report: counts, tokens, mean chars, dup fraction."""
+    from ..operators.textstats import corpus_summary
+
+    return corpus_summary(_docs(spark, sf_dir))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 37 == 0 play the eval
     suite; every other doc is train. 3-gram overlap (short fixture docs;
@@ -414,6 +431,8 @@ def q_cluster_balance(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_tfidf_topk": q_tfidf_topk,
+    "corpus_summary": q_corpus_summary,
     "curation_decontaminate": q_decontaminate,
     "curation_train_shuffle": q_train_shuffle,
     "cluster_balanced_sample": q_cluster_balance,
@@ -598,6 +617,32 @@ SELECT doc_id, source FROM documents
 WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
   < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
           WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 1000000 AS BIGINT)"""
+
+    o["text_tfidf_topk"] = (
+        _DOC_TOKS_CTE
+        + """,
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tokd),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+  round(tf.tf * (ln(CAST(1.0 + n.n_docs AS DOUBLE) / CAST(1.0 + dfq.df AS DOUBLE)) + 1.0), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+       FROM scored)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 3"""
+    )
+
+    o["corpus_summary"] = f"""
+WITH t AS (SELECT source, text,
+  len({SQL_TOKS}) AS n_tok, {sql_h60('text')} AS th FROM documents)
+SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  round(avg(length(text)), 6) AS avg_chars,
+  count(DISTINCT th) AS n_distinct_texts,
+  round(1.0 - count(DISTINCT th) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM t GROUP BY source"""
 
     o["curation_decontaminate"] = (
         _SHINGLE_CTE

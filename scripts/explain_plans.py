@@ -21,7 +21,10 @@ from opentelemetry_collector_contrib_spark.session import get_spark
 
 
 def main() -> None:
-    which = set(sys.argv[1:]) or {"q1", "agg", "dedup", "grok", "drain", "curation", "pack"}
+    which = set(sys.argv[1:]) or {
+        "q1", "agg", "dedup", "grok", "drain", "curation", "pack",
+        "decontam", "shuffle", "balance",
+    }
     spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -71,6 +74,28 @@ def main() -> None:
             "doc_id", "source", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
         )
         pack_sequences(docs, budget=512, partition_cols=["source"]).explain("formatted")
+    if "decontam" in which:
+        print("=" * 30, "benchmark decontamination", "=" * 30)
+        from pyspark.sql import functions as F
+
+        from opentelemetry_collector_contrib_spark.operators.curation import decontaminate
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        decontaminate(
+            docs.filter(F.col("doc_id") % 37 != 0), docs.filter(F.col("doc_id") % 37 == 0)
+        ).explain("formatted")
+    if "shuffle" in which:
+        print("=" * 30, "seeded training shuffle", "=" * 30)
+        from opentelemetry_collector_contrib_spark.operators.curation import train_shuffle
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        train_shuffle(docs, n_shards=16, seed="r3").explain("formatted")
+    if "balance" in which:
+        print("=" * 30, "cluster-balanced sampling", "=" * 30)
+        from opentelemetry_collector_contrib_spark.operators.similarity import cluster_balance
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        cluster_balance(emb, cap=40, n_cells=8).explain("formatted")
     spark.stop()
 
 

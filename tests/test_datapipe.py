@@ -407,3 +407,39 @@ def test_cluster_balance_caps_and_determinism(spark):
     # a full-size cap keeps everything (the gate only truncates)
     total = emb.count()
     assert similarity.cluster_balance(emb, cap=10**9, n_cells=4).count() == total
+
+
+def test_tfidf_topk_rare_term_wins(spark):
+    rows = [
+        (1, "apple banana banana"),
+        (2, "apple cherry"),
+        (3, "apple durian"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.tfidf_topk(df, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["rank"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'apple' appears in every doc (df=3, lowest idf); doc 1's top term is
+    # the doubled rare 'banana', and 'apple' still outranks nothing else
+    assert by_doc[1][0]["term"] == "banana" and by_doc[1][0]["tf"] == 2
+    assert by_doc[1][1]["term"] == "apple"
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # df bookkeeping: apple in 3 docs, banana in 1
+    apple = next(r for r in out if r["term"] == "apple")
+    banana = next(r for r in out if r["term"] == "banana")
+    assert apple["df"] == 3 and banana["df"] == 1
+    assert banana["score"] > apple["score"]
+
+
+def test_corpus_summary_dup_fraction(spark):
+    rows = [
+        (1, "same text", "a"), (2, "same text", "a"), (3, "other words here", "a"),
+        (4, "unique", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in textstats.corpus_summary(df).collect()}
+    assert out["a"]["n_docs"] == 3 and out["a"]["n_distinct_texts"] == 2
+    assert out["a"]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["a"]["n_tokens"] == 2 + 2 + 3
+    assert out["b"]["dup_frac"] == 0.0
