@@ -428,6 +428,43 @@ def q_anomaly_scores(spark, sf_dir):
     return out.select("event_id", "event_type", "anomaly_score", "is_anomaly")
 
 
+_IFOREST_SAMPLE = "/root/testdata/sf0.001/events.parquet"
+_IFOREST_EXPRS = ["CAST(value AS DOUBLE)", "CAST(hour(ts) AS DOUBLE)"]
+_iforest_model = None
+
+
+def _iforest() -> "object":
+    """The shared (query-side AND oracle-side) isolation-forest model:
+    trained once per process from a deterministic sample of the fixed
+    reference window (sf0.001 events — the batch analogue of the
+    processor's sliding window), so both engines score with the
+    bit-identical compiled tree."""
+    global _iforest_model
+    if _iforest_model is None:
+        from ..operators.iforest import sample_features_from_parquet, train_isolation_forest
+
+        samples = sample_features_from_parquet(
+            _IFOREST_SAMPLE, _IFOREST_EXPRS, limit=2048, order_by="event_id"
+        )
+        _iforest_model = train_isolation_forest(
+            samples, num_trees=15, sample_size=64, seed=7
+        )
+    return _iforest_model
+
+
+def q_isolation_forest(spark, sf_dir):
+    """Real isolation-forest scoring (Liu et al., the reference's
+    isolationforestprocessor algorithm) over (value, hour) features —
+    driver-trained trees compiled to one codegen projection."""
+    from ..operators.iforest import isolation_forest_score
+
+    ev = _events(spark, sf_dir).withColumn(
+        "_f0", F.col("value").cast("double")
+    ).withColumn("_f1", F.hour(F.col("ts")).cast("double"))
+    out = isolation_forest_score(ev, ["_f0", "_f1"], _iforest(), threshold=0.6)
+    return out.select("event_id", "if_score", "is_anomaly")
+
+
 def q_service_graph(spark, sf_dir):
     from ..operators.templates import service_graph_edges
 
@@ -897,6 +934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_generation_ratio": q_metrics_generation,
     "service_graph_edges": q_service_graph,
     "events_anomaly_scores": q_anomaly_scores,
+    "events_isolation_forest": q_isolation_forest,
     "events_active_users_hourly": q_active_users_hourly,
     "events_count_by_type": q_count_by_type,
     "events_sum_by_type": q_sum_by_type,
@@ -1346,6 +1384,15 @@ s AS (SELECT wm.event_id, wm.event_type,
 SELECT event_id, event_type, anomaly_score,
        coalesce(abs(anomaly_score) > 3.5, false) AS is_anomaly
 FROM s"""
+
+    from ..operators.iforest import score_sql
+
+    _ifs = score_sql(_iforest(), ["f0", "f1"])
+    o["events_isolation_forest"] = f"""
+WITH feats AS (SELECT event_id, CAST(value AS DOUBLE) AS f0, CAST(hour(ts) AS DOUBLE) AS f1
+               FROM events),
+scored AS (SELECT event_id, {_ifs} AS if_score FROM feats)
+SELECT event_id, if_score, if_score > 0.6 AS is_anomaly FROM scored"""
 
     o["service_graph_edges"] = (
         cte
