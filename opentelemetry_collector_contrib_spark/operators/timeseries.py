@@ -1,0 +1,252 @@
+"""Time-series operators the collector leaves to its backends but a
+log-analytics engine needs first-class: as-of join, gap-based
+sessionization, gap-filled rollups with LOCF, exact group quantiles, and
+a banded (bucketed) range join.
+
+These close the "custom operators Spark lacks" list: each is expressed as
+a composition of built-in DataFrame ops (windows, sequence/explode,
+equi-joins) chosen so the physical plan stays shuffle-minimal at 100 TB:
+
+- `asof_join` is the union+window formulation: ONE shuffle on the join
+  keys, no join operator at all — versus the naive inequality join that
+  Catalyst can only run as BroadcastNestedLoop. This is the standard
+  at-scale as-of pattern (same shape Flink's temporal join and
+  kdb-style aj use).
+- `range_join_buckets` turns the inequality predicate |l.ts - r.ts| <= w
+  into an equi-join on floor(ts/w) with 3 probe buckets per left row —
+  O(matches), not O(n^2); Catalyst runs it as a plain SortMergeJoin.
+- `rollup_gapfill` generates the missing-bucket spine with
+  sequence()+explode on the *aggregated* per-key bounds (post-agg
+  cardinality = distinct keys, tiny next to the input) and fills with a
+  single LOCF window.
+
+Reference anchors: interval/rollup semantics mirror
+processor/intervalprocessor (aggregate per tumbling interval) and the
+spanmetrics histogram family; sessionization mirrors what
+groupbytraceprocessor does for traces, applied to time gaps
+(`processor/groupbytraceprocessor`); quantiles are the explicit-percentile
+sibling of spanmetrics' bucketed histogram
+(connector/spanmetricsconnector/internal/metrics/metrics.go).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def _us(col: str) -> F.Column:
+    # parquet TIMESTAMP_NTZ → cast through session-tz timestamp (sessions run
+    # UTC, matching DuckDB's epoch_us on naive timestamps)
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# --- as-of join (temporal join; no reference analogue — backend op) --------
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    right_ts_alias: str = "asof_ts",
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the
+    greatest right.ts <= left.ts within the same key group (DuckDB
+    `ASOF LEFT JOIN` semantics; ties on right.ts must be pre-deduped by
+    the caller or the carried row is engine-dependent).
+
+    Plan: tag and union both sides, then ONE window over (keys ORDER BY
+    ts, side) carrying `last(struct(payloads), ignorenulls)` forward.
+    The struct keeps multi-column payloads atomic (all columns from the
+    same right row even when some are NULL). Single Exchange on `keys`,
+    zero join operators — survives any scale the window's key groups do.
+    """
+    payload_cols = payload_cols or [c for c in right.columns if c not in keys and c != ts_col]
+    lcols = [c for c in left.columns if c not in keys and c != ts_col]
+
+    packed_l = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in [ts_col, *payload_cols]) + ">"
+        ).alias("__rrow"),
+    )
+    packed_r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in lcols) + ">"
+        ).alias("__lrow"),
+        F.struct(F.col(ts_col), *[F.col(c) for c in payload_cols]).alias("__rrow"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = packed_l.unionByName(packed_r).withColumn("__asof", F.last("__rrow", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).select(
+        *keys,
+        F.col(ts_col),
+        *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
+        F.col(f"__asof.{ts_col}").alias(right_ts_alias),
+        *[F.col(f"__asof.{c}").alias(c) for c in payload_cols],
+    )
+    return out
+
+
+# --- gap-based sessionization ----------------------------------------------
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign a per-key session index: a new session starts when the gap
+    from the previous event exceeds `gap_s`. Batch analogue of the
+    streaming session window (streaming/pipeline.py session windows);
+    single Exchange on keys, two stacked windows (lag + running sum) that
+    share the same sort — Catalyst plans one Sort, one Exchange."""
+    order = [F.col(ts_col), *[F.col(c) for c in (order_cols or [])]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = _us(ts_col)
+    new_sess = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_s * _US), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_idx", F.sum(new_sess).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sessionize then collapse to one row per session: start/end (epoch
+    seconds), duration, event count."""
+    us = _us(ts_col)
+    sess = sessionize(df, keys, ts_col, gap_s, order_cols).withColumn("__us", us)
+    return sess.groupBy(*keys, "session_idx").agg(
+        (F.min("__us") / _US).cast("double").alias("session_start_s"),
+        (F.max("__us") / _US).cast("double").alias("session_end_s"),
+        ((F.max("__us") - F.min("__us")) / _US).cast("double").alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- gap-filled rollup with LOCF -------------------------------------------
+def rollup_gapfill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key tumbling-bucket rollup (count + sum) where missing buckets
+    between each key's first and last observation are emitted with count 0,
+    plus a `locf` column carrying the last observed sum forward (the
+    hypertable/time_bucket_gapfill shape).
+
+    The spine is generated from the AGGREGATED per-key bounds — its size is
+    (distinct keys x buckets-in-range), independent of input row count, so
+    sequence()+explode here is post-shuffle small even at 100 TB of input.
+    """
+    b = (F.floor(_us(ts_col) / F.lit(bucket_s * _US)) * bucket_s).cast("bigint").alias("bucket_s")
+    agg = df.select(*keys, b, F.col(value_col)).groupBy(*keys, "bucket_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 6).alias("total"),
+    )
+    bounds = agg.groupBy(*keys).agg(F.min("bucket_s").alias("__lo"), F.max("bucket_s").alias("__hi"))
+    spine = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(int(bucket_s)).cast("bigint"))).alias("bucket_s"),
+    )
+    filled = spine.join(agg, [*keys, "bucket_s"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        *keys,
+        "bucket_s",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+        F.round(F.last("total", ignorenulls=True).over(w), 6).alias("locf_total"),
+    )
+
+
+# --- exact group quantiles --------------------------------------------------
+def group_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probs: list[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact continuous-interpolation percentiles per group (the explicit
+    sibling of spanmetrics' bucketed histogram). Uses Spark's exact
+    `percentile` aggregate — linear interpolation, same definition as
+    ANSI/DuckDB `quantile_cont` — NOT approx_percentile, so the oracle
+    matches to float precision. Exact percentile holds each group's values
+    in the aggregation buffer: fine for bounded per-group cardinality
+    (dims x time buckets); at unbounded group sizes swap in
+    approx_percentile(accuracy) and drop the oracle to rows-only."""
+    arr = "array(" + ",".join(repr(float(p)) for p in probs) + ")"
+    q = F.expr(f"percentile({value_col}, {arr})")
+    sel = [
+        F.round(q.getItem(i), 6).alias(("p%g" % (p * 100)).replace(".", "_"))
+        for i, p in enumerate(probs)
+    ]
+    return df.groupBy(*keys).agg(*sel, F.count(F.lit(1)).alias("n"))
+
+
+# --- banded range join ------------------------------------------------------
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window_s: int = 300,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> DataFrame:
+    """Count right rows within ±window_s of each left row (same keys,
+    excluding identity matches). The inequality |l.ts - r.ts| <= w becomes
+    an equi-join on floor(ts/w) with 3 probe buckets per left row — a
+    candidate row can land in at most one probe bucket, so no dedup pass
+    is needed and each left row costs exactly 3 join rows. Catalyst plans
+    a plain shuffled equi-join; no BroadcastNestedLoopJoin at any scale.
+    """
+    w_us = window_s * _US
+    lb = F.floor(_us(ts_col) / F.lit(w_us)).cast("bigint")
+    l = left.select(
+        *keys,
+        F.col(left_id).alias("__lid"),
+        _us(ts_col).alias("__lus"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("__bucket"),
+    )
+    r = right.select(
+        *keys,
+        F.col(right_id).alias("__rid"),
+        _us(ts_col).alias("__rus"),
+        F.floor(_us(ts_col) / F.lit(w_us)).cast("bigint").alias("__bucket"),
+    )
+    joined = l.join(r, [*keys, "__bucket"], "left")
+    near = (
+        F.col("__rid").isNotNull()
+        & (F.col("__rid") != F.col("__lid"))
+        & (F.abs(F.col("__lus") - F.col("__rus")) <= w_us)
+    )
+    return (
+        joined.groupBy(*keys, "__lid")
+        .agg(F.count(F.when(near, F.lit(1))).alias("n_nearby"))
+        .withColumnRenamed("__lid", left_id)
+    )

@@ -908,7 +908,68 @@ def q_grok_parse(spark, sf_dir):
     return out.select("doc_id", "ts", "lvl", "host", "verb", "path", "latency_ms", "msg")
 
 
+# ---------------------------------------------------------------------------
+# time-series operators (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_enrich(spark, sf_dir):
+    """As-of join: each error event picks up the value of the user's most
+    recent purchase at-or-before it (union+window plan, zero join ops;
+    oracle = DuckDB ASOF LEFT JOIN)."""
+    from ..operators.timeseries import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, ["user_id"], "ts", ["purchase_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    from ..operators.timeseries import session_stats
+
+    return session_stats(_events(spark, sf_dir), ["user_id"], "ts", gap_s=1800, order_cols=["event_id"])
+
+
+def q_rollup_gapfill(spark, sf_dir):
+    from ..operators.timeseries import rollup_gapfill
+
+    return rollup_gapfill(_events(spark, sf_dir), ["event_type"], "ts", bucket_s=3600, value_col="value")
+
+
+def q_group_quantiles(spark, sf_dir):
+    from ..operators.timeseries import group_quantiles
+
+    return group_quantiles(_events(spark, sf_dir), ["event_type"], "value", [0.5, 0.9, 0.99])
+
+
+def q_range_burst(spark, sf_dir):
+    """Events within ±300 s of each error event for the same user, counted
+    via the banded equi-join (3 probe buckets; oracle = inequality join)."""
+    from ..operators.timeseries import range_join_buckets
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "error")
+    return range_join_buckets(left, ev, ["user_id"], "ts", window_s=300)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_asof_enrich": q_asof_enrich,
+    "events_session_stats": q_session_stats,
+    "events_rollup_gapfill": q_rollup_gapfill,
+    "events_quantiles": q_group_quantiles,
+    "events_range_burst": q_range_burst,
     "grok_parse_fields": q_grok_parse,
     "ottl_lambdas": q_ottl_lambdas,
     "severity_http_parse": q_severity_http,
@@ -974,6 +1035,63 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    o["events_asof_enrich"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+r AS (SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS asof_ts_us, round(r.purchase_value, 6) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+    o["events_session_stats"] = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > CAST(1800 AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+t AS (SELECT user_id, us,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM s)
+SELECT user_id, session_idx,
+       CAST(min(us) / 1000000 AS DOUBLE) AS session_start_s,
+       CAST(max(us) / 1000000 AS DOUBLE) AS session_end_s,
+       CAST((max(us) - min(us)) / 1000000 AS DOUBLE) AS duration_s,
+       count(*) AS n_events
+FROM t GROUP BY 1, 2"""
+
+    o["events_rollup_gapfill"] = f"""
+WITH agg AS (
+  SELECT event_type, {win3600} AS bucket_s, count(*) AS n, round(sum(value), 6) AS total
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(bucket_s) AS lo, max(bucket_s) AS hi FROM agg GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket_s FROM bounds),
+f AS (SELECT spine.event_type, spine.bucket_s, agg.n, agg.total
+      FROM spine LEFT JOIN agg USING (event_type, bucket_s))
+SELECT event_type, bucket_s, coalesce(n, 0) AS n, coalesce(total, 0.0) AS total,
+       round(last_value(total IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf_total
+FROM f"""
+
+    o["events_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY 1"""
+
+    o["events_range_burst"] = """
+WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error')
+SELECT l.user_id, l.event_id, count(r.event_id) AS n_nearby
+FROM l LEFT JOIN events r
+  ON l.user_id = r.user_id AND r.event_id <> l.event_id
+ AND abs(epoch_us(r.ts) - l.us) <= CAST(300 AS BIGINT) * 1000000
+GROUP BY 1, 2"""
 
     o["events_count_by_type"] = (
         "SELECT event_type, count(*) AS log_count FROM events WHERE value > 50 GROUP BY 1"

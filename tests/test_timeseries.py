@@ -1,0 +1,120 @@
+"""Unit semantics for operators/timeseries.py: as-of join picks the latest
+at-or-before row, sessionization splits exactly at the gap boundary, gapfill
+emits zero-count buckets with LOCF carry, the banded range join equals the
+naive inequality join, and quantiles interpolate linearly."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        # (event_id, user_id, seconds, value)
+        (1, 1, 0, 1.0),
+        (2, 1, 100, 2.0),
+        (3, 1, 2000, 3.0),   # > 1800s gap from event 2 → new session
+        (4, 1, 3800, 4.0),
+        (5, 2, 50, 5.0),
+    ]
+    return spark.createDataFrame(
+        [(e, u, _ts(s), v) for e, u, s, v in rows],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+
+
+def test_asof_join_latest_at_or_before(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(20)), (3, 1, _ts(5)), (4, 2, _ts(10))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 10.0), (1, _ts(15), 15.0)],
+        "user_id bigint, ts timestamp, px double",
+    )
+    out = {
+        r["event_id"]: (r["px"], r["asof_ts"])
+        for r in asof_join(left, right, ["user_id"], "ts", ["px"]).collect()
+    }
+    assert out[1] == (10.0, _ts(10))      # equal ts matches (>=)
+    assert out[2] == (15.0, _ts(15))      # latest of the two priors
+    assert out[3] == (None, None)         # nothing at-or-before
+    assert out[4] == (None, None)         # other key never matches
+
+
+def test_asof_multicolumn_payload_atomic(spark):
+    """Payload columns must come from the SAME right row even when one of
+    them is NULL (struct packing, not per-column last)."""
+    from opentelemetry_collector_contrib_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 1, _ts(30))], "event_id bigint, user_id bigint, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 10.0, "a"), (1, _ts(20), None, "b")],
+        "user_id bigint, ts timestamp, px double, tag string",
+    )
+    row = asof_join(left, right, ["user_id"], "ts", ["px", "tag"]).collect()[0]
+    assert (row["px"], row["tag"]) == (None, "b")  # both from the ts=20 row
+
+
+def test_sessionize_gap_boundary(tdf):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import session_stats
+
+    out = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"])
+        for r in session_stats(tdf, ["user_id"], "ts", gap_s=1800, order_cols=["event_id"]).collect()
+    }
+    assert out[(1, 1)] == (2, 100.0)       # events 1,2
+    assert out[(1, 2)] == (2, 1800.0)      # events 3,4 (gap 1800 == limit stays)
+    assert out[(2, 1)] == (1, 0.0)
+
+
+def test_rollup_gapfill_zero_buckets_and_locf(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import rollup_gapfill
+
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(2 * 3600 + 5), 2.0)],
+        "k string, ts timestamp, value double",
+    )
+    rows = sorted(
+        rollup_gapfill(df, ["k"], "ts", bucket_s=3600, value_col="value").collect(),
+        key=lambda r: r["bucket_s"],
+    )
+    assert [r["n"] for r in rows] == [1, 0, 1]
+    assert [r["total"] for r in rows] == [1.0, 0.0, 2.0]
+    assert [r["locf_total"] for r in rows] == [1.0, 1.0, 2.0]  # gap carries forward
+
+
+def test_range_join_matches_naive(tdf, spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import range_join_buckets
+
+    out = range_join_buckets(tdf, tdf, ["user_id"], "ts", window_s=300, left_id="event_id", right_id="event_id")
+    got = {r["event_id"]: r["n_nearby"] for r in out.collect()}
+    # naive cross-check
+    rows = tdf.collect()
+    for l in rows:
+        n = sum(
+            1
+            for r in rows
+            if r["user_id"] == l["user_id"]
+            and r["event_id"] != l["event_id"]
+            and abs((r["ts"] - l["ts"]).total_seconds()) <= 300
+        )
+        assert got[l["event_id"]] == n
+
+
+def test_group_quantiles_interpolation(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import group_quantiles
+
+    df = spark.createDataFrame([("a", float(v)) for v in [1, 2, 3, 4]], "k string, value double")
+    row = group_quantiles(df, ["k"], "value", [0.5, 0.9]).collect()[0]
+    assert row["p50"] == 2.5               # (n-1)*p = 1.5 → linear midpoint
+    assert row["p90"] == pytest.approx(3.7)
+    assert row["n"] == 4
