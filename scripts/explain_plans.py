@@ -23,7 +23,7 @@ from opentelemetry_collector_contrib_spark.session import get_spark
 def main() -> None:
     which = set(sys.argv[1:]) or {
         "q1", "agg", "dedup", "grok", "drain", "curation", "pack",
-        "decontam", "shuffle", "balance",
+        "decontam", "shuffle", "balance", "timeseries",
     }
     spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -96,6 +96,22 @@ def main() -> None:
 
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         cluster_balance(emb, cap=40, n_cells=8).explain("formatted")
+    if "timeseries" in which:
+        from opentelemetry_collector_contrib_spark.registry.telemetry import (
+            q_asof_enrich,
+            q_range_burst,
+            q_rollup_gapfill,
+            q_session_stats,
+        )
+
+        for name, q in [
+            ("asof join (union+window)", q_asof_enrich),
+            ("banded range join", q_range_burst),
+            ("sessionization", q_session_stats),
+            ("gapfill rollup", q_rollup_gapfill),
+        ]:
+            print("=" * 30, name, "=" * 30)
+            q(spark, sf).explain("formatted")
     spark.stop()
 
 
