@@ -174,6 +174,27 @@ def main() -> None:
 
     timed("q10_curation_gate", curation_gate)
 
+    # q11: gap sessionization + as-of enrich over the full transcript table
+    # — the big-window path (ONE exchange on conv_id, stacked lag/sum
+    # windows) plus the union+window as-of join (zero join operators)
+    def session_asof():
+        from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
+        from opentelemetry_collector_contrib_spark.operators.timeseries import asof_join, session_stats
+
+        df = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
+        sess = session_stats(df, ["conv_id"], "ts", gap_s=600, order_cols=["turn_idx"])
+        force(sess)
+        # as-of: each turn joined to the conv's most recent prior tool turn
+        left = df.select("conv_id", "turn_idx", "ts")
+        right = (
+            df.filter(F.col("tool").isNotNull())
+            .groupBy("conv_id", "ts")
+            .agg(F.max("tool").alias("last_tool"))
+        )
+        force(asof_join(left, right, ["conv_id"], "ts", ["last_tool"]))
+
+    timed("q11_session_asof", session_asof)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

@@ -177,8 +177,19 @@ class _Parser:
             self.next()
             key = self.expect("string")[1:-1]
             self.expect("op", "]")
-            return self.path_map.get(f'{base}["{key}"]', key)
-        return self.path_map.get(base, base)
+            mapped = self.path_map.get(f'{base}["{key}"]')
+            if mapped is None and "." in base:
+                head, rest = base.split(".", 1)
+                if head in CONTEXT_INFER_PRIORITY:  # log.attributes["k"] ≡ attributes["k"]
+                    mapped = self.path_map.get(f'{rest}["{key}"]')
+            return mapped if mapped is not None else key
+        if base in self.path_map:
+            return self.path_map[base]
+        if "." in base:
+            head, rest = base.split(".", 1)
+            if head in CONTEXT_INFER_PRIORITY:  # log.body ≡ body in the row model
+                return self.path_map.get(rest, rest)
+        return base
 
     # --- expressions ---------------------------------------------------
 
@@ -490,14 +501,48 @@ EDITOR_BUILDERS: dict[str, Callable[..., Column]] = {
 }
 
 
-# Context inference (pkg/ottl/context_inferrer.go:18-29): the reference
-# ranks candidate contexts (log > datapoint > spanevent > metric > span >
-# scope > resource) and rewrites un-prefixed paths against the winner. In
-# a relational model every context is a column namespace of the SAME row,
-# so inference reduces to a name map: the defaults below mirror the log
-# context's highest-priority fields, and callers override per pipeline
-# (`attributes["k"]` / `resource["k"]` index forms resolve through the
-# same map — see _resolve_path).
+# Context inference (pkg/ottl/context_inferrer.go:18-29,
+# defaultContextInferPriority): the reference ranks candidate contexts and
+# binds the statement set to the highest-priority context referenced by any
+# path prefix; non-prioritized (unknown) contexts get the lowest possible
+# priority and win only when nothing ranked appears. In a relational model
+# every context is a column namespace of the SAME row, so after inference
+# a `ctx.`-prefixed path resolves through the same path_map as its bare
+# form (see _resolve_path).
+CONTEXT_INFER_PRIORITY = [
+    "log",
+    "exemplar",
+    "datapoint",
+    "metric",
+    "spanevent",
+    "span",
+    "profile",
+    "scope",
+    "instrumentation_scope",
+    "resource",
+]
+
+_STRING_LIT_RE = re.compile(r'"(?:[^"\\]|\\.)*"')
+_CTX_PREFIX_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\.[A-Za-z_]")
+
+
+def infer_context(statements: list[str], priority: list[str] | None = None) -> str | None:
+    """priorityContextInferrer.infer: scan the statements' path prefixes and
+    return the highest-priority context referenced (context_inferrer.go:
+    inferFromStatements). Returns None when no path carries a context prefix
+    (the caller keeps its configured default). Unknown prefixes rank below
+    every prioritized context (newPriorityContextInferrer doc contract)."""
+    prio = priority or CONTEXT_INFER_PRIORITY
+    rank = {c: i for i, c in enumerate(prio)}
+    seen: set[str] = set()
+    for src in statements:
+        for m in _CTX_PREFIX_RE.finditer(_STRING_LIT_RE.sub('""', src)):
+            seen.add(m.group(1))
+    if not seen:
+        return None
+    return min(seen, key=lambda c: (rank.get(c, len(prio)), c))
+
+
 DEFAULT_PATH_MAP = {"body": "text"}
 
 

@@ -293,3 +293,43 @@ def test_lambda_arity_and_binding_errors(lam_df):
         parse_statement('set(x, Len(arr, (i, v) => v))')
     with pytest.raises(ValueError, match="must not be another lambda"):
         parse_statement('set(x, Filter(arr, (i, v) => (a) => a))')
+
+
+# --- context inference (context_inferrer.go:18-29) --------------------------
+
+
+def test_infer_context_priority_order():
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import infer_context
+
+    assert infer_context(['set(log.attributes["x"], 1)', 'set(resource.attributes["y"], 2)']) == "log"
+    assert infer_context(['set(datapoint.value, 1)', 'set(metric.name, "m")']) == "datapoint"
+    assert infer_context(['set(span.name, "s")', 'set(resource.svc, "a")']) == "span"
+
+
+def test_infer_context_unknown_ranks_last():
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import infer_context
+
+    # unknown contexts are only selected when nothing prioritized appears
+    assert infer_context(["set(foo.bar, 1)"]) == "foo"
+    assert infer_context(["set(foo.bar, 1)", 'set(span.name, "x")']) == "span"
+
+
+def test_infer_context_no_prefix_and_string_literals():
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import infer_context
+
+    assert infer_context(['set(attributes["x"], 1)']) is None
+    # prefixes inside string literals are not path hints
+    assert infer_context(['set(attributes["x"], "log.fake")']) is None
+
+
+def test_context_prefixed_paths_resolve_like_bare(spark):
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import apply_statements
+
+    df = spark.createDataFrame([("hello", 3)], "text string, sev int")
+    a = apply_statements(df, ['set(out, log.body) where log.sev == 3'])
+    b = apply_statements(df, ['set(out, body) where sev == 3'])
+    assert a.collect() == b.collect()
+    # indexed form: log.attributes["k"] ≡ attributes["k"] ≡ column k
+    df2 = spark.createDataFrame([("v",)], "k string")
+    c = apply_statements(df2, ['set(copied, log.attributes["k"])'])
+    assert c.collect()[0]["copied"] == "v"
