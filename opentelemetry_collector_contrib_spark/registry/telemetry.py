@@ -908,6 +908,57 @@ def q_grok_parse(spark, sf_dir):
     return out.select("doc_id", "ts", "lvl", "host", "verb", "path", "latency_ms", "msg")
 
 
+def q_grok_apache(spark, sf_dir):
+    """COMBINEDAPACHELOG round-trip: build a combined access-log line from
+    doc_id-derived fields, grok-parse it, and the parsed fields must equal
+    the constructors (the oracle recomputes them directly — no regex needed
+    on the DuckDB side). Exercises the full composite pattern chain
+    (IPORHOST/USER/HTTPDATE/QS) through the native single-projection path."""
+    from ..operators.grok import grok_parser
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    ip = F.concat(
+        F.lit("10."), s(d % 256), F.lit("."), s(F.expr("(doc_id div 7) % 256")), F.lit("."), s(d % 254 + 1)
+    )
+    auth = F.concat(F.lit("u"), s(d % 50))
+    ts = F.concat(F.lit("01/Jan/2024:00:00:0"), s(d % 10), F.lit(" +0000"))
+    verb = F.when(d % 3 == 0, F.lit("GET")).when(d % 3 == 1, F.lit("POST")).otherwise(F.lit("PUT"))
+    request = F.concat(F.lit("/api/"), F.col("source"), F.lit("/"), s(d))
+    response = (d % 4) * 100 + 200
+    nbytes = (d * 37) % 100000
+    referrer = F.concat(F.lit('"http://ref.example/'), s(d % 20), F.lit('"'))
+    agent = F.concat(F.lit('"UA/'), s(d % 10), F.lit('.0"'))
+    line = F.concat_ws(
+        " ",
+        ip,
+        F.lit("-"),
+        auth,
+        F.concat(F.lit("["), ts, F.lit("]")),
+        F.concat(F.lit('"'), verb, F.lit(" "), request, F.lit(" HTTP/1.1"), F.lit('"')),
+        s(response),
+        s(nbytes),
+        referrer,
+        agent,
+    )
+    out = grok_parser(docs.select("doc_id", line.alias("line")), "line", "%{COMBINEDAPACHELOG}")
+    return out.select(
+        "doc_id",
+        "clientip",
+        "auth",
+        "verb",
+        "request",
+        F.expr("try_cast(response AS bigint)").alias("response"),
+        F.expr("try_cast(bytes AS bigint)").alias("bytes"),
+        "referrer",
+        "agent",
+    )
+
+
 # ---------------------------------------------------------------------------
 # time-series operators (operators/timeseries.py)
 # ---------------------------------------------------------------------------
@@ -965,6 +1016,7 @@ def q_range_burst(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "grok_apache_combined": q_grok_apache,
     "events_asof_enrich": q_asof_enrich,
     "events_session_stats": q_session_stats,
     "events_rollup_gapfill": q_rollup_gapfill,
@@ -1035,6 +1087,19 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    o["grok_apache_combined"] = """
+SELECT doc_id,
+       '10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+             || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) AS clientip,
+       'u' || CAST(doc_id % 50 AS VARCHAR) AS auth,
+       CASE doc_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'PUT' END AS verb,
+       '/api/' || source || '/' || CAST(doc_id AS VARCHAR) AS request,
+       (doc_id % 4) * 100 + 200 AS response,
+       (doc_id * 37) % 100000 AS bytes,
+       '"http://ref.example/' || CAST(doc_id % 20 AS VARCHAR) || '"' AS referrer,
+       '"UA/' || CAST(doc_id % 10 AS VARCHAR) || '.0"' AS agent
+FROM documents"""
 
     o["events_asof_enrich"] = """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),

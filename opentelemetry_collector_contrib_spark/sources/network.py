@@ -64,6 +64,67 @@ def tcp_syslog_stream(spark: SparkSession, host: str, port: int, rfc: str = "rfc
     return parser(lines, "line")
 
 
+class TcpSpoolListener:
+    """Octet-counted TCP framing (RFC 6587, `syslog/input.go` octet_counting
+    mode) cannot ride the socket source — it splits on newlines and a frame
+    may contain them. This listener accepts connections and spools each
+    connection's raw byte stream to one atomically-published file; read the
+    spool with ``spark.read.text(dir, wholetext=True)`` (one row per
+    connection) and split with ``operators.parse.split_octet_frames`` —
+    the same parser the batch path uses, corrupt-frame guards included."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, spool_dir: str = "/tmp/tcp_spool") -> None:
+        os.makedirs(spool_dir, exist_ok=True)
+        self.spool_dir = spool_dir
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(16)
+        self._srv.settimeout(0.2)
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        self._conns: list[threading.Thread] = []
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _addr = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(target=self._drain, args=(conn,), daemon=True)
+            t.start()
+            self._conns.append(t)
+
+    def _drain(self, conn: socket.socket) -> None:
+        chunks: list[bytes] = []
+        try:
+            while True:
+                data = conn.recv(65536)
+                if not data:
+                    break
+                chunks.append(data)
+        finally:
+            conn.close()
+        if not chunks:
+            return
+        name = f"conn-{uuid.uuid4().hex}.log"
+        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(b"".join(chunks))
+        os.rename(tmp, os.path.join(self.spool_dir, name))
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        for t in self._conns:
+            t.join(timeout=2)
+        self._srv.close()
+
+
 # --- UDP / stdin: spool-file bridge ----------------------------------------
 class UdpSpoolListener:
     """Bind a UDP socket and append one line per datagram to rotating

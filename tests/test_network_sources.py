@@ -117,3 +117,29 @@ def test_stdin_spool_drain(spark, tmp_path):
     df = spark.read.text(spool)
     assert df.count() == 10
     assert df.filter(F.col("value") == "line 7").count() == 1
+
+
+def test_tcp_octet_spool_bridge(spark, tmp_path):
+    """RFC 6587 octet-counted TCP: frames (including embedded newlines)
+    survive the spool bridge intact and split with the batch frame parser."""
+    from opentelemetry_collector_contrib_spark.operators.parse import split_octet_frames
+    from opentelemetry_collector_contrib_spark.sources.network import TcpSpoolListener
+
+    spool = str(tmp_path / "tcp_octet")
+    listener = TcpSpoolListener(spool_dir=spool)
+    frames = ["<34>1 first frame", "second\nwith newline", "third"]
+    payload = "".join(f"{len(f.encode())} {f}" for f in frames)
+    client = socket.create_connection(("127.0.0.1", listener.port))
+    client.sendall(payload.encode())
+    client.close()
+    deadline = time.time() + 10
+    import glob as _glob
+
+    while time.time() < deadline and not _glob.glob(spool + "/conn-*.log"):
+        time.sleep(0.2)
+    listener.stop()
+
+    df = spark.read.text(spool, wholetext=True).withColumnRenamed("value", "payload")
+    out = split_octet_frames(df, "payload")
+    got = [r["frame"] for r in out.orderBy("frame_idx").collect()]
+    assert got == frames
