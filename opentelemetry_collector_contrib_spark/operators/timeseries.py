@@ -190,17 +190,22 @@ def group_quantiles(
     keys: list[str],
     value_col: str,
     probs: list[float] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Exact continuous-interpolation percentiles per group (the explicit
-    sibling of spanmetrics' bucketed histogram). Uses Spark's exact
-    `percentile` aggregate — linear interpolation, same definition as
-    ANSI/DuckDB `quantile_cont` — NOT approx_percentile, so the oracle
-    matches to float precision. Exact percentile holds each group's values
-    in the aggregation buffer: fine for bounded per-group cardinality
-    (dims x time buckets); at unbounded group sizes swap in
-    approx_percentile(accuracy) and drop the oracle to rows-only."""
+    """Percentiles per group (the explicit sibling of spanmetrics' bucketed
+    histogram). `exact=True` uses Spark's exact `percentile` aggregate —
+    linear interpolation, same definition as ANSI/DuckDB `quantile_cont`,
+    so the oracle matches to float precision; it holds each group's values
+    in the aggregation buffer, fine for bounded per-group cardinality
+    (dims x time buckets). `exact=False` is the unbounded-group scale path:
+    `approx_percentile` (Greenwald-Khanna sketch, O(accuracy) memory per
+    group, mergeable map-side) with 1/accuracy relative rank error — not
+    engine-reproducible, so no value oracle applies to it."""
     arr = "array(" + ",".join(repr(float(p)) for p in probs) + ")"
-    q = F.expr(f"percentile({value_col}, {arr})")
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    q = F.expr(f"{fn}({value_col}, {arr}{acc})")
     sel = [
         F.round(q.getItem(i), 6).alias(("p%g" % (p * 100)).replace(".", "_"))
         for i, p in enumerate(probs)

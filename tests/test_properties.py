@@ -192,3 +192,83 @@ def test_h60_matches_python_hashlib(spark, s):
     got = spark.createDataFrame([(s,)], "x string").select(h60(F.col("x")).alias("h")).collect()[0]["h"]
     want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
     assert got == want
+
+
+# --- time-series operator properties (operators/timeseries.py) --------------
+
+ts_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),                  # key
+        st.integers(0, 5000),                            # left ts offset s
+    ),
+    min_size=1,
+    max_size=20,
+)
+ts_right = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 5000), st.integers(0, 99)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(left=ts_rows, right=ts_right)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive(spark, left, right):
+    """asof_join == per-row argmax(right.ts <= left.ts) for every input,
+    including empty right sides, duplicate left timestamps, and exact ties."""
+    from opentelemetry_collector_contrib_spark.operators.timeseries import asof_join
+
+    base = dt.datetime(2025, 1, 1)
+    # dedupe right on (key, ts): the operator contract requires unique right
+    # keys per timestamp (ties are engine-dependent otherwise)
+    rmap = {}
+    for k, s, v in right:
+        rmap[(k, s)] = max(v, rmap.get((k, s), -1))
+    ldf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "event_id bigint, k string, ts timestamp",
+    )
+    rdf_rows = [(k, base + dt.timedelta(seconds=s), float(v)) for (k, s), v in sorted(rmap.items())]
+    if not rdf_rows:
+        rdf_rows = [("__none__", base, 0.0)]  # createDataFrame needs >=1 row; key never matches
+    rdf = spark.createDataFrame(rdf_rows, "k string, ts timestamp, v double")
+
+    got = {
+        r["event_id"]: (r["v"], r["asof_ts"])
+        for r in asof_join(ldf, rdf, ["k"], "ts", ["v"]).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cands = [(rs, v) for (rk, rs), v in rmap.items() if rk == k and rs <= s]
+        if cands:
+            rs, v = max(cands)
+            assert got[i] == (float(v), base + dt.timedelta(seconds=rs))
+        else:
+            assert got[i] == (None, None)
+
+
+@given(data=st.lists(st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 40000)), min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_rollup_gapfill_invariants(spark, data):
+    """Gapfill spine is dense per key; zero-filled buckets sum to nothing;
+    locf equals the most recent non-empty bucket's total."""
+    from opentelemetry_collector_contrib_spark.operators.timeseries import rollup_gapfill
+
+    base = dt.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), 1.0) for k, s in data],
+        "k string, ts timestamp, value double",
+    )
+    out = rollup_gapfill(df, ["k"], "ts", bucket_s=3600, value_col="value").collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r)
+    for k, rs in per_key.items():
+        rs.sort(key=lambda r: r["bucket_s"])
+        buckets = [r["bucket_s"] for r in rs]
+        assert buckets == list(range(buckets[0], buckets[-1] + 1, 3600))  # dense spine
+        assert sum(r["n"] for r in rs) == sum(1 for kk, _ in data if kk == k)  # counts conserved
+        last = None
+        for r in rs:
+            if r["n"] > 0:
+                last = r["total"]
+            assert r["locf_total"] == last  # LOCF carries the last observed total

@@ -118,3 +118,16 @@ def test_group_quantiles_interpolation(spark):
     assert row["p50"] == 2.5               # (n-1)*p = 1.5 → linear midpoint
     assert row["p90"] == pytest.approx(3.7)
     assert row["n"] == 4
+
+
+def test_group_quantiles_approx_scale_path(spark):
+    """The approx (sketch) path stays within the documented rank-error
+    bound of the exact path."""
+    from opentelemetry_collector_contrib_spark.operators.timeseries import group_quantiles
+
+    df = spark.createDataFrame([("a", float(v)) for v in range(1000)], "k string, value double")
+    exact = group_quantiles(df, ["k"], "value", [0.5, 0.99]).collect()[0]
+    approx = group_quantiles(df, ["k"], "value", [0.5, 0.99], exact=False, accuracy=10000).collect()[0]
+    assert abs(approx["p50"] - exact["p50"]) <= 1.0    # 1/accuracy rank error on 1000 values
+    assert abs(approx["p99"] - exact["p99"]) <= 1.0
+    assert approx["n"] == 1000
