@@ -1,0 +1,173 @@
+"""Collector-YAML compatibility shim: parse a collector-shaped YAML config
+(receivers / processors / connectors / service.pipelines — the confmap
+surface, SURVEY.md §3.1) into the plans/config.py spec dict, so a user can
+bring the config they run the reference with.
+
+Translated components (the log-pipeline core this engine implements):
+  receivers.filelog.include                 → source.path
+  processors.transform.log_statements       → transform (OTTL statements,
+                                              contexts resolve via the
+                                              priority inferrer)
+  processors.filter.logs.log_record         → filter (OTTL drop conditions)
+  processors.probabilistic_sampler          → sample (portable hash policy,
+                                              sampling_percentage semantics)
+  processors.tail_sampling.policies         → tail_sampling (policy configs
+                                              use the reference's nested
+                                              shape: latency.threshold_ms,
+                                              string_attribute.{key,values},
+                                              status_code.status_codes,
+                                              probabilistic.sampling_percentage,
+                                              and/or/drop.{and,or,drop}_sub_policy)
+  connectors.routing.{table,default_pipelines} → routes (sink name = the
+                                              pipeline id after '/')
+
+Unknown top-level components raise, mirroring confmap's strict unmarshal;
+component configs we cannot express raise with the reason rather than
+silently dropping semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover - baked into this environment
+    yaml = None
+
+_SUPPORTED_PROCESSORS = {"transform", "filter", "probabilistic_sampler", "tail_sampling"}
+
+
+def _pipeline_sink(pipeline_id: str) -> str:
+    return pipeline_id.split("/", 1)[1] if "/" in pipeline_id else pipeline_id
+
+
+def _translate_tail_policy(p: dict[str, Any]) -> dict[str, Any]:
+    """Reference policy config (tailsamplingprocessor README shapes) → our
+    flat policy dict (operators/recombine.py policy tree)."""
+    name, ptype = p.get("name"), p.get("type")
+    out: dict[str, Any] = {"name": name, "type": ptype}
+    body = p.get(ptype, {}) or {}
+    if ptype == "latency":
+        out["threshold_ms"] = body["threshold_ms"]
+    elif ptype == "numeric_attribute":
+        out.update({"key": body["key"], "min": body.get("min_value"), "max": body.get("max_value")})
+    elif ptype == "string_attribute":
+        out.update({"key": body["key"], "values": body["values"]})
+    elif ptype == "boolean_attribute":
+        out.update({"key": body["key"], "value": body["value"]})
+    elif ptype == "status_code":
+        out["values"] = body["status_codes"]
+    elif ptype == "probabilistic":
+        out["percent"] = body["sampling_percentage"]
+    elif ptype == "span_count":
+        out.update({"min": body.get("min_spans"), "max": body.get("max_spans")})
+    elif ptype == "ottl_condition":
+        conds = body.get("span", []) + body.get("spanevent", []) + body.get("log", [])
+        if len(conds) != 1:
+            raise ValueError(f"policy {name}: exactly one ottl condition supported, got {len(conds)}")
+        out["condition"] = conds[0]
+    elif ptype in ("and", "or", "drop"):
+        subs = body.get(f"{ptype}_sub_policy") or body.get("sub_policy") or []
+        out["of"] = [_translate_tail_policy(s) for s in subs]
+    else:
+        raise ValueError(f"policy {name}: unsupported type {ptype!r}")
+    return out
+
+
+def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[str, Any]:
+    """Translate collector YAML into a plans/config.py spec. `source_path`
+    overrides the filelog include (the usual case in-sandbox: point the
+    same config at a parquet fixture instead of /var/log)."""
+    if yaml is None:
+        raise RuntimeError("pyyaml is required for collector-config translation")
+    cfg = yaml.safe_load(text) or {}
+    unknown = set(cfg) - {"receivers", "processors", "exporters", "connectors", "service", "extensions"}
+    if unknown:
+        raise ValueError(f"unknown collector sections: {sorted(unknown)}")
+
+    spec: dict[str, Any] = {}
+
+    receivers = cfg.get("receivers", {}) or {}
+    if source_path is not None:
+        spec["source"] = {"path": source_path}
+    elif "filelog" in receivers:
+        include = receivers["filelog"].get("include") or []
+        if not include:
+            raise ValueError("filelog receiver needs include[]")
+        spec["source"] = {"path": include[0] if len(include) == 1 else include}
+    else:
+        raise ValueError("no supported receiver (filelog) and no source_path override")
+
+    processors = cfg.get("processors", {}) or {}
+    for pname in processors:
+        base = pname.split("/", 1)[0]
+        if base not in _SUPPORTED_PROCESSORS:
+            raise ValueError(f"unsupported processor {pname!r} (supported: {sorted(_SUPPORTED_PROCESSORS)})")
+
+    for pname, pcfg in processors.items():
+        base = pname.split("/", 1)[0]
+        pcfg = pcfg or {}
+        if base == "transform":
+            stmts: list[str] = []
+            for block in pcfg.get("log_statements", []) or []:
+                if isinstance(block, str):
+                    stmts.append(block)
+                else:
+                    stmts.extend(block.get("statements", []) or [])
+            if stmts:
+                spec.setdefault("transform", []).extend(stmts)
+        elif base == "filter":
+            conds = ((pcfg.get("logs") or {}).get("log_record")) or []
+            if conds:
+                spec.setdefault("filter", []).extend(conds)
+        elif base == "probabilistic_sampler":
+            spec["sample"] = {
+                "kind": "probabilistic_portable",
+                "key": pcfg.get("attribute_source", "conv_id") if pcfg.get("attribute_source") else "conv_id",
+                "percent": pcfg["sampling_percentage"],
+            }
+        elif base == "tail_sampling":
+            policies = [_translate_tail_policy(p) for p in pcfg.get("policies", []) or []]
+            ts: dict[str, Any] = {"policies": policies}
+            if pcfg.get("rate_limit_per_minute") is not None:
+                ts["rate_limit_per_minute"] = pcfg["rate_limit_per_minute"]
+            spec["tail_sampling"] = ts
+
+    connectors = cfg.get("connectors", {}) or {}
+    for cname, ccfg in connectors.items():
+        if cname.split("/", 1)[0] != "routing":
+            raise ValueError(f"unsupported connector {cname!r}")
+        ccfg = ccfg or {}
+        table = []
+        for entry in ccfg.get("table", []) or []:
+            cond = entry.get("condition") or entry.get("statement")
+            if not cond:
+                raise ValueError("routing table entry needs condition")
+            pipelines = entry.get("pipelines") or []
+            if not pipelines:
+                raise ValueError("routing table entry needs pipelines")
+            table.append(
+                {
+                    "name": _pipeline_sink(pipelines[0]),
+                    "condition": cond,
+                    # reference semantics: a record matches the FIRST table
+                    # entry unless match_once is disabled; copy when the
+                    # entry fans to >1 pipeline
+                    "mode": "copy" if len(pipelines) > 1 else "move",
+                }
+            )
+        routes: dict[str, Any] = {"table": table}
+        defaults = ccfg.get("default_pipelines") or []
+        if defaults:
+            routes["default"] = _pipeline_sink(defaults[0])
+        spec["routes"] = routes
+
+    return spec
+
+
+def build_from_collector_yaml(spark, text: str, source_path: str | None = None):
+    """One-call path: YAML → validated spec → routed DataFrame."""
+    from .config import build_pipeline
+
+    return build_pipeline(spark, spec_from_collector_yaml(text, source_path))

@@ -131,3 +131,37 @@ def test_group_quantiles_approx_scale_path(spark):
     assert abs(approx["p50"] - exact["p50"]) <= 1.0    # 1/accuracy rank error on 1000 values
     assert abs(approx["p99"] - exact["p99"]) <= 1.0
     assert approx["n"] == 1000
+
+
+def test_sessionize_agrees_with_spark_session_window(spark):
+    """Cross-implementation check: the window-based sessionize (lag+cumsum)
+    must produce the same per-session event counts as Spark's native
+    session_window on the same input. Boundary note: sessionize keeps
+    delta == gap in-session while session_window is end-exclusive (a new
+    event at exactly start+gap opens a new session), so the generated gaps
+    avoid the exact boundary."""
+    import random
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import session_stats
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import streaming_session_counts
+
+    rng = random.Random(7)
+    rows, t = [], 0
+    for key in ("u1", "u2", "u3"):
+        t = 0
+        for _ in range(40):
+            t += rng.choice([1, 5, 30, 99, 101, 250, 400])  # never exactly 100
+            rows.append((key, _ts(t)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    ours = session_stats(df, ["user_id"], "ts", gap_s=100)
+    native = streaming_session_counts(df, ["user_id"], gap="100 seconds")
+    ours_counts = sorted((r["user_id"], r["n_events"]) for r in ours.collect())
+    native_counts = sorted((r["user_id"], r["n_rows"]) for r in native.collect())
+    assert ours_counts == native_counts
+    # session starts agree too (native end is start+gap-padded, so compare starts)
+    ours_starts = sorted((r["user_id"], r["session_start_s"]) for r in ours.collect())
+    native_starts = sorted(
+        (r["user_id"], r["session_start"].timestamp()) for r in native.collect()
+    )
+    assert ours_starts == native_starts
