@@ -1,0 +1,182 @@
+"""Span-shaped operators: slow-SQL extraction, SQL digesting, span name
+ops, and counter-reset adjustment.
+
+References:
+  - slow_sql connector (connector/slowsqlconnector/connector_logs.go:50-96):
+    client spans whose duration >= threshold and whose `db.system` is in
+    the configured allowlist become log records carrying the span dims.
+  - spanprocessor (processor/spanprocessor/README.md `from_attributes` /
+    `to_attributes`): build the span name from attribute values joined by
+    a separator; extract attributes out of the name via regex named
+    captures (replacing the matched part with the capture key).
+  - metricstarttimeprocessor (processor/metricstarttimeprocessor/): the
+    true-reset-point strategy re-anchors cumulative series at counter
+    resets. The batch analogue below rebases a sawtooth counter into a
+    monotone cumulative: at each reset (value < previous), the previous
+    value is added to a running carry (the Prometheus rate()-style reset
+    correction), all in one window pass.
+
+All pure-columnar; the only shuffle in any of these is the per-series
+window sort in `counter_reset_adjust` and the digest group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_DB_SYSTEMS = ["h2", "mongodb", "mssql", "mysql", "oracle", "postgresql", "mariadb"]
+
+
+# --- slow_sql connector -----------------------------------------------------
+def slow_sql_logs(
+    df: DataFrame,
+    duration_col: str = "duration_ms",
+    threshold_ms: float = 500.0,
+    db_systems: list[str] | None = None,
+    dims: list[str] | None = None,
+    statement_col: str = "db_statement",
+    system_col: str = "db_system",
+    kind_col: str | None = "span_kind",
+) -> DataFrame:
+    """connector_logs.go:70-79: keep client spans with `db.statement`
+    whose duration >= threshold and db.system in the allowlist; emit one
+    log row per match carrying the default dims + configured extras."""
+    systems = db_systems if db_systems is not None else DEFAULT_DB_SYSTEMS
+    cond = (
+        F.col(statement_col).isNotNull()
+        & F.col(system_col).isin(systems)
+        & (F.col(duration_col) >= F.lit(float(threshold_ms)))
+    )
+    if kind_col is not None and kind_col in df.columns:
+        cond = cond & (F.col(kind_col) == "client")
+    out = df.filter(cond)
+    base = [system_col, statement_col, duration_col]
+    keep = [c for c in (dims or []) if c not in base] + base
+    return out.select(*keep)
+
+
+# --- SQL digest (engine-portable normalization; analytics extension) --------
+# literal-stripping chain: quoted strings first, then standalone numbers
+# (\b guards keep digits inside identifiers like `t42` intact), then
+# IN-list collapse. Only \b, \d-free POSIX classes, and 'g'-global
+# replacement are used so Java (Spark) and RE2 (DuckDB) agree byte-for-byte.
+_SQL_NORM_STEPS: list[tuple[str, str]] = [
+    (r"'[^']*'", "?"),                      # string literals
+    (r"\b[0-9]+(\.[0-9]+)?\b", "?"),        # numeric literals
+    (r"\(\s*\?(\s*,\s*\?)*\s*\)", "(?)"),   # IN (?, ?, ?) → (?)
+]
+
+
+def sql_normalize(col: Column) -> Column:
+    out = col
+    for pat, repl in _SQL_NORM_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)
+
+
+def sql_normalize_sql(expr: str) -> str:
+    """Render the identical chain as DuckDB SQL (oracle side)."""
+    out = expr
+    for pat, repl in _SQL_NORM_STEPS:
+        # DuckDB string literals are raw (no backslash escapes) — only
+        # quotes need doubling; the regex text passes through verbatim
+        pat_sql = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat_sql}', '{repl}', 'g')"
+    return f"trim({out})"
+
+
+def sql_digest(
+    df: DataFrame,
+    statement_col: str = "db_statement",
+    duration_col: str = "duration_ms",
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """Group slow statements by their normalized form (literals stripped):
+    per digest — call count, total/max duration, exact p95. The rollup the
+    reference leaves to the log backend, done at scan speed here."""
+    dims = dims or []
+    norm = sql_normalize(F.col(statement_col)).alias("digest")
+    return (
+        df.select(*dims, norm, F.col(duration_col).cast("double").alias("__d"))
+        .groupBy(*dims, "digest")
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.round(F.sum("__d"), 6).alias("total_ms"),
+            F.round(F.max("__d"), 6).alias("max_ms"),
+            F.round(F.expr("percentile(__d, 0.95)"), 6).alias("p95_ms"),
+        )
+    )
+
+
+# --- spanprocessor name ops -------------------------------------------------
+def span_name_from_attributes(
+    df: DataFrame,
+    from_attributes: list[str],
+    separator: str = "::",
+    name_col: str = "span_name",
+) -> DataFrame:
+    """README `from_attributes`: the new name is the attribute values
+    joined by `separator`; if ANY key is missing (NULL) the name is left
+    unchanged (the reference skips the rename)."""
+    all_present = None
+    for k in from_attributes:
+        c = F.col(k).isNotNull()
+        all_present = c if all_present is None else (all_present & c)
+    joined = F.concat_ws(separator, *[F.col(k).cast("string") for k in from_attributes])
+    current = F.col(name_col) if name_col in df.columns else F.lit(None).cast("string")
+    return df.withColumn(name_col, F.when(all_present, joined).otherwise(current))
+
+
+def span_name_to_attributes(
+    df: DataFrame,
+    rules: list[str],
+    name_col: str = "span_name",
+    keep_original_name: bool = False,
+) -> DataFrame:
+    """README `to_attributes`: each rule is a regex with named captures;
+    the first matching rule extracts each capture into a same-named column
+    and (unless keep_original_name) replaces the matched span-name part
+    with `{capture_key}` placeholders."""
+    import re as _re
+
+    out = df
+    name = F.col(name_col)
+    for rule in rules:
+        keys = _re.findall(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>", rule)
+        java_rule = rule.replace("(?P<", "(?<")
+        matched = name.rlike(java_rule)
+        for k in keys:
+            out = out.withColumn(
+                k, F.when(matched, F.regexp_extract(name, java_rule, keys.index(k) + 1))
+            )
+        if not keep_original_name:
+            # rebuild the name: the matched part collapses to the rule with
+            # each named capture replaced by its {key} placeholder
+            # (README example: /api/v1/document/{documentId}/update)
+            template = _re.sub(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>[^)]*\)", r"{\1}", rule)
+            template = _re.sub(r"\\(.)", r"\1", template).lstrip("^").rstrip("$")
+            out = out.withColumn(
+                name_col, F.when(matched, F.lit(template)).otherwise(name)
+            )
+        name = F.col(name_col)
+    return out
+
+
+# --- counter reset adjustment (metricstarttime true-reset analogue) ---------
+def counter_reset_adjust(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    out_col: str = "adjusted",
+) -> DataFrame:
+    """Rebase a resetting counter into a monotone cumulative: wherever the
+    value drops below its predecessor (a reset), the predecessor's value
+    joins a running carry added to every later point — the Prometheus
+    reset-correction rule, one sort + two stacked windows per series."""
+    w = Window.partitionBy(*series_cols).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(value_col)).over(w)
+    reset_carry = F.when(prev.isNotNull() & (F.col(value_col) < prev), prev).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(F.col(value_col) + F.sum(reset_carry).over(run), 6))

@@ -1015,7 +1015,87 @@ def q_range_burst(spark, sf_dir):
     return range_join_buckets(left, ev, ["user_id"], "ts", window_s=300)
 
 
+# ---------------------------------------------------------------------------
+# span-shaped operators (operators/spans.py)
+# ---------------------------------------------------------------------------
+
+
+def _span_frame(spark, sf_dir):
+    """Deterministic span-shaped view over events: db spans with literals
+    varying per event so digesting has something to collapse."""
+    ev = _events(spark, sf_dir)
+    d = F.col("event_id")
+    sys_col = (
+        F.when(d % 4 == 0, F.lit("mysql"))
+        .when(d % 4 == 1, F.lit("postgresql"))
+        .when(d % 4 == 2, F.lit("mongodb"))
+        .otherwise(F.lit("redis"))  # not in the default allowlist → filtered
+    )
+    stmt = F.concat(
+        F.lit("SELECT c FROM orders WHERE user_id = "),
+        F.col("user_id").cast("string"),
+        F.lit(" AND tag = 'tag"),
+        (d % 7).cast("string"),
+        F.lit("' AND id IN ("),
+        d.cast("string"),
+        F.lit(", "),
+        (d + 1).cast("string"),
+        F.lit(")"),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        sys_col.alias("db_system"),
+        stmt.alias("db_statement"),
+        (F.col("value") * 10).alias("duration_ms"),
+        F.lit("client").alias("span_kind"),
+    )
+
+
+_SPAN_FRAME_SQL = """
+SELECT event_id, user_id,
+       CASE event_id % 4 WHEN 0 THEN 'mysql' WHEN 1 THEN 'postgresql'
+                         WHEN 2 THEN 'mongodb' ELSE 'redis' END AS db_system,
+       'SELECT c FROM orders WHERE user_id = ' || CAST(user_id AS VARCHAR)
+         || ' AND tag = ''tag' || CAST(event_id % 7 AS VARCHAR)
+         || ''' AND id IN (' || CAST(event_id AS VARCHAR) || ', '
+         || CAST(event_id + 1 AS VARCHAR) || ')' AS db_statement,
+       value * 10 AS duration_ms
+FROM events"""
+
+
+def q_slow_sql(spark, sf_dir):
+    from ..operators.spans import slow_sql_logs
+
+    out = slow_sql_logs(_span_frame(spark, sf_dir), threshold_ms=500.0, dims=["event_id", "user_id"])
+    return out.select(
+        "event_id", "user_id", "db_system", "db_statement", F.round("duration_ms", 6).alias("duration_ms")
+    )
+
+
+def q_sql_digest(spark, sf_dir):
+    from ..operators.spans import slow_sql_logs, sql_digest
+
+    slow = slow_sql_logs(_span_frame(spark, sf_dir), threshold_ms=100.0)
+    return sql_digest(slow, dims=["db_system"])
+
+
+def q_counter_reset(spark, sf_dir):
+    """Sawtooth → monotone cumulative: per user the raw `value` stream
+    resets whenever it drops; the adjusted series adds the pre-reset
+    value to every later point (true-reset rebase)."""
+    from ..operators.spans import counter_reset_adjust
+
+    out = counter_reset_adjust(
+        _events(spark, sf_dir), ["user_id"], ["ts", "event_id"], "value", "adjusted"
+    )
+    return out.select("event_id", "user_id", "adjusted")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "slow_sql_logs": q_slow_sql,
+    "sql_digest_rollup": q_sql_digest,
+    "events_counter_reset": q_counter_reset,
     "grok_apache_combined": q_grok_apache,
     "events_asof_enrich": q_asof_enrich,
     "events_session_stats": q_session_stats,
@@ -1087,6 +1167,38 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    from ..operators.spans import sql_normalize_sql
+
+    o["slow_sql_logs"] = f"""
+WITH spans AS ({_SPAN_FRAME_SQL})
+SELECT event_id, user_id, db_system, db_statement, round(duration_ms, 6) AS duration_ms
+FROM spans
+WHERE db_system IN ('h2','mongodb','mssql','mysql','oracle','postgresql','mariadb')
+  AND db_statement IS NOT NULL AND duration_ms >= 500.0"""
+
+    o["sql_digest_rollup"] = f"""
+WITH spans AS ({_SPAN_FRAME_SQL}),
+slow AS (SELECT * FROM spans
+         WHERE db_system IN ('h2','mongodb','mssql','mysql','oracle','postgresql','mariadb')
+           AND db_statement IS NOT NULL AND duration_ms >= 100.0)
+SELECT db_system, {sql_normalize_sql('db_statement')} AS digest,
+       count(*) AS calls,
+       round(sum(duration_ms), 6) AS total_ms,
+       round(max(duration_ms), 6) AS max_ms,
+       round(quantile_cont(duration_ms, 0.95), 6) AS p95_ms
+FROM slow GROUP BY 1, 2"""
+
+    o["events_counter_reset"] = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id,
+       round(value + sum(CASE WHEN prev IS NOT NULL AND value < prev THEN prev ELSE 0.0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 6) AS adjusted
+FROM w"""
 
     o["grok_apache_combined"] = """
 SELECT doc_id,
