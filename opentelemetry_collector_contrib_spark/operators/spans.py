@@ -163,6 +163,74 @@ def span_name_to_attributes(
     return out
 
 
+# --- span pruning (processor/spanpruningprocessor) --------------------------
+def span_pruning(
+    df: DataFrame,
+    group_cols: list[str],
+    duration_col: str = "duration_ms",
+    id_col: str = "event_id",
+    min_spans: int = 2,
+    outlier: str | None = "iqr",
+    k: float = 1.5,
+) -> DataFrame:
+    """spanpruningprocessor: collapse groups of >= min_spans similar spans
+    into one summary row while PRESERVING duration outliers as individual
+    rows (README: IQR detection 'so a slow interior span is caught and its
+    subtree kept intact'). Batch shape: one stats aggregation per group
+    (exact q1/q3), broadcast back onto the rows (group-count side is tiny
+    next to the fact side), then one summary aggregation over the pruned
+    members — two shuffles on the group key total, no window over raw rows.
+
+    Output: kept rows (is_summary=false, span_count=1, own duration) +
+    one summary per pruned group (is_summary=true, span_count = members
+    aggregated, min/max/sum over them). Groups under min_spans pass
+    through unchanged."""
+    d = F.col(duration_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.expr(f"percentile({duration_col}, 0.25)").alias("__q1"),
+        F.expr(f"percentile({duration_col}, 0.75)").alias("__q3"),
+    )
+    flagged = df.join(F.broadcast(stats), group_cols)
+    if outlier == "iqr":
+        hi = F.col("__q3") + F.lit(float(k)) * (F.col("__q3") - F.col("__q1"))
+        is_outlier = d > hi
+    elif outlier is None:
+        is_outlier = F.lit(False)
+    else:
+        raise ValueError(f"outlier must be 'iqr' or None, got {outlier!r}")
+    prunable = F.col("__n") >= F.lit(int(min_spans))
+    kept = flagged.filter(~prunable | is_outlier).select(
+        *group_cols,
+        F.col(id_col),
+        F.lit(False).alias("is_summary"),
+        F.lit(1).cast("bigint").alias("span_count"),
+        F.round(d, 6).alias("min_ms"),
+        F.round(d, 6).alias("max_ms"),
+        F.round(d, 6).alias("sum_ms"),
+    )
+    summaries = (
+        flagged.filter(prunable & ~is_outlier)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("span_count"),
+            F.round(F.min(d), 6).alias("min_ms"),
+            F.round(F.max(d), 6).alias("max_ms"),
+            F.round(F.sum(d), 6).alias("sum_ms"),
+        )
+        .select(
+            *group_cols,
+            F.lit(None).cast(dict(df.dtypes)[id_col]).alias(id_col),
+            F.lit(True).alias("is_summary"),
+            "span_count",
+            "min_ms",
+            "max_ms",
+            "sum_ms",
+        )
+    )
+    return kept.unionByName(summaries)
+
+
 # --- counter reset adjustment (metricstarttime true-reset analogue) ---------
 def counter_reset_adjust(
     df: DataFrame,

@@ -1092,7 +1092,15 @@ def q_counter_reset(spark, sf_dir):
     return out.select("event_id", "user_id", "adjusted")
 
 
+def q_span_pruning(spark, sf_dir):
+    from ..operators.spans import span_pruning
+
+    spans = _span_frame(spark, sf_dir)
+    return span_pruning(spans, ["user_id", "db_system"], "duration_ms", "event_id", min_spans=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_span_pruning": q_span_pruning,
     "slow_sql_logs": q_slow_sql,
     "sql_digest_rollup": q_sql_digest,
     "events_counter_reset": q_counter_reset,
@@ -1169,6 +1177,29 @@ def _oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
     from ..operators.spans import sql_normalize_sql
+
+    o["events_span_pruning"] = f"""
+WITH spans AS ({_SPAN_FRAME_SQL}),
+stats AS (
+  SELECT user_id, db_system, count(*) AS n,
+         quantile_cont(duration_ms, 0.25) AS q1,
+         quantile_cont(duration_ms, 0.75) AS q3
+  FROM spans GROUP BY 1, 2),
+flagged AS (
+  SELECT s.*, st.n, (s.duration_ms > st.q3 + 1.5 * (st.q3 - st.q1)) AS is_outlier
+  FROM spans s JOIN stats st USING (user_id, db_system))
+SELECT user_id, db_system, event_id, FALSE AS is_summary,
+       CAST(1 AS BIGINT) AS span_count,
+       round(duration_ms, 6) AS min_ms, round(duration_ms, 6) AS max_ms,
+       round(duration_ms, 6) AS sum_ms
+FROM flagged WHERE n < 5 OR is_outlier
+UNION ALL
+SELECT user_id, db_system, NULL AS event_id, TRUE AS is_summary,
+       count(*) AS span_count,
+       round(min(duration_ms), 6) AS min_ms, round(max(duration_ms), 6) AS max_ms,
+       round(sum(duration_ms), 6) AS sum_ms
+FROM flagged WHERE n >= 5 AND NOT is_outlier
+GROUP BY 1, 2"""
 
     o["slow_sql_logs"] = f"""
 WITH spans AS ({_SPAN_FRAME_SQL})

@@ -82,3 +82,25 @@ def test_counter_reset_adjust(spark):
     assert got == [5.0, 8.0, 10.0, 12.0, 13.0, 21.0]
     # monotone after rebase
     assert all(b >= a for a, b in zip(got, got[1:]))
+
+
+def test_span_pruning_preserves_outliers(spark):
+    from opentelemetry_collector_contrib_spark.operators.spans import span_pruning
+
+    df = spark.createDataFrame(
+        # group g1: 5 similar fast spans + 1 slow outlier; g2: only 1 span
+        [("g1", i, 10.0 + i) for i in range(5)]
+        + [("g1", 99, 500.0), ("g2", 7, 42.0)],
+        "g string, event_id bigint, duration_ms double",
+    )
+    out = span_pruning(df, ["g"], "duration_ms", "event_id", min_spans=2).collect()
+    summaries = [r for r in out if r["is_summary"]]
+    kept = [r for r in out if not r["is_summary"]]
+    assert len(summaries) == 1                       # g1 collapsed
+    s = summaries[0]
+    assert s["g"] == "g1" and s["span_count"] == 5   # outlier excluded from the summary
+    assert s["min_ms"] == 10.0 and s["max_ms"] == 14.0 and s["sum_ms"] == 60.0
+    kept_ids = {(r["g"], r["event_id"]) for r in kept}
+    assert ("g1", 99) in kept_ids                    # outlier preserved individually
+    assert ("g2", 7) in kept_ids                     # under min_spans → untouched
+    assert len(kept) == 2
