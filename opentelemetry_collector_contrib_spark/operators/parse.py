@@ -633,3 +633,38 @@ def otlp_json_logs(df: DataFrame, source: str) -> DataFrame:
                            " intValue: string, doubleValue: double, boolValue: boolean>>>"),
         )).alias("log_attrs"),
     )
+
+
+# --- journald input (pkg/stanza/operator/input/journald) ---------------------
+# journalctl -o json export priority -> canonical severity, as the stanza
+# journald input's severity mapping does (input/journald/input.go parses the
+# PRIORITY field; syslog(3) levels 0..7).
+JOURNALD_SEVERITY: dict[int, str] = {
+    0: "FATAL", 1: "FATAL", 2: "FATAL", 3: "ERROR",
+    4: "WARN", 5: "INFO", 6: "INFO", 7: "DEBUG",
+}
+
+
+def parse_journald(df: DataFrame, source: str = "body") -> DataFrame:
+    """journald input analogue over a column of `journalctl -o json` lines
+    (the stanza journald receiver shells out to journalctl and parses exactly
+    this shape — pkg/stanza/operator/input/journald/input.go). One schema'd
+    from_json into map<string,string> (journald export values are strings),
+    then pure projections: MESSAGE -> body, PRIORITY -> severity text+number,
+    __REALTIME_TIMESTAMP (epoch µs string) -> timestamp, _HOSTNAME /
+    _SYSTEMD_UNIT kept as resource fields. No UDF, single codegen stage.
+    Malformed JSON or missing fields yield NULLs (on_error=send)."""
+    m = F.from_json(F.col(source), "map<string,string>")
+    prio = m["PRIORITY"].cast("int")
+    sev = F.when(F.lit(False), F.lit(None).cast("string"))
+    for n, canon in JOURNALD_SEVERITY.items():
+        sev = sev.when(prio == n, F.lit(canon))
+    return df.select(
+        *df.columns,
+        m["MESSAGE"].alias("jd_body"),
+        prio.alias("jd_priority"),
+        sev.otherwise(F.lit(None).cast("string")).alias("jd_severity"),
+        F.timestamp_micros(m["__REALTIME_TIMESTAMP"].cast("bigint")).alias("jd_ts"),
+        m["_HOSTNAME"].alias("jd_hostname"),
+        m["_SYSTEMD_UNIT"].alias("jd_unit"),
+    )

@@ -1099,7 +1099,50 @@ def q_span_pruning(spark, sf_dir):
     return span_pruning(spans, ["user_id", "db_system"], "duration_ms", "event_id", min_spans=5)
 
 
+def q_journald_parse(spark, sf_dir):
+    """journald input: synthesize `journalctl -o json` lines from events
+    (deterministic, mirrored in the oracle), then one from_json projection."""
+    from ..operators.parse import parse_journald
+
+    e = _events(spark, sf_dir)
+    line = F.concat(
+        F.lit('{"MESSAGE":"'), F.col("event_type"), F.lit(" uid="), F.col("user_id").cast("string"),
+        F.lit('","PRIORITY":"'), (F.col("event_id") % 8).cast("string"),
+        F.lit('","__REALTIME_TIMESTAMP":"'),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        F.lit('","_HOSTNAME":"host-'), (F.col("user_id") % 4).cast("string"),
+        F.lit('","_SYSTEMD_UNIT":"svc-'), (F.col("user_id") % 3).cast("string"),
+        F.lit('.service"}'),
+    )
+    out = parse_journald(e.select("event_id", line.alias("body")), "body")
+    return out.select(
+        "event_id", "jd_body", "jd_priority", "jd_severity", "jd_ts", "jd_hostname", "jd_unit"
+    )
+
+
+def q_resource_detect(spark, sf_dir):
+    """resourcedetection env+system detectors with an injected environment
+    (driver-side detection -> literal-column stamp; deterministic)."""
+    from ..operators.enrich import resource_detection
+
+    e = _events(spark, sf_dir)
+    out = resource_detection(
+        e,
+        detectors=("env", "system"),
+        env={
+            "OTEL_RESOURCE_ATTRIBUTES": "service.name=transcripts,deployment.environment=bench",
+            "HOSTNAME": "spark-host-0",
+        },
+        extra={"service.version": "1.0.0"},
+    )
+    return out.select(
+        "event_id", "service_name", "deployment_environment", "host_name", "os_type", "service_version"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "journald_parse": q_journald_parse,
+    "resource_detect_attrs": q_resource_detect,
     "events_span_pruning": q_span_pruning,
     "slow_sql_logs": q_slow_sql,
     "sql_digest_rollup": q_sql_digest,
@@ -1177,6 +1220,25 @@ def _oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
     from ..operators.spans import sql_normalize_sql
+
+    o["journald_parse"] = """
+WITH j AS (SELECT event_id,
+  event_type || ' uid=' || CAST(user_id AS VARCHAR) AS msg,
+  CAST(event_id % 8 AS INT) AS prio, ts,
+  'host-' || CAST(user_id % 4 AS VARCHAR) AS hostname,
+  'svc-' || CAST(user_id % 3 AS VARCHAR) || '.service' AS unit
+FROM events)
+SELECT event_id, msg AS jd_body, prio AS jd_priority,
+  CASE WHEN prio <= 2 THEN 'FATAL' WHEN prio = 3 THEN 'ERROR'
+       WHEN prio = 4 THEN 'WARN' WHEN prio <= 6 THEN 'INFO'
+       ELSE 'DEBUG' END AS jd_severity,
+  ts AS jd_ts, hostname AS jd_hostname, unit AS jd_unit
+FROM j"""
+
+    o["resource_detect_attrs"] = """
+SELECT event_id, 'transcripts' AS service_name, 'bench' AS deployment_environment,
+  'spark-host-0' AS host_name, 'linux' AS os_type, '1.0.0' AS service_version
+FROM events"""
 
     o["events_span_pruning"] = f"""
 WITH spans AS ({_SPAN_FRAME_SQL}),

@@ -333,3 +333,48 @@ def test_severity_http_preset_overlong_digit_run(spark):
         ).collect()
     }
     assert out[1] == "INFO" and out[2] is None
+
+
+def test_parse_journald_fields_and_malformed(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_journald
+
+    df = spark.createDataFrame(
+        [
+            ('{"MESSAGE":"oom killed","PRIORITY":"2","__REALTIME_TIMESTAMP":"1704067200000000",'
+             '"_HOSTNAME":"n1","_SYSTEMD_UNIT":"app.service"}',),
+            ('{"MESSAGE":"hello","PRIORITY":"6"}',),
+            ("not json at all",),
+        ],
+        "body string",
+    )
+    rows = parse_journald(df, "body").collect()
+    assert rows[0]["jd_body"] == "oom killed"
+    assert rows[0]["jd_severity"] == "FATAL" and rows[0]["jd_priority"] == 2
+    assert rows[0]["jd_ts"].year == 2024 and rows[0]["jd_hostname"] == "n1"
+    assert rows[0]["jd_unit"] == "app.service"
+    # partial entry: missing fields are NULL, present ones parse
+    assert rows[1]["jd_severity"] == "INFO" and rows[1]["jd_ts"] is None
+    # malformed json -> all NULL (on_error=send), row survives
+    assert rows[2]["jd_body"] is None and rows[2]["jd_severity"] is None
+
+
+def test_resource_detection_env_system_override(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import resource_detection
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "keep-me")], "event string, host_name string"
+    )
+    env = {
+        "OTEL_RESOURCE_ATTRIBUTES": "service.name=svc, deployment.environment=prod",
+        "HOSTNAME": "detected-host",
+    }
+    # override=True (reference default): detected wins everywhere
+    over = resource_detection(df, ("env", "system"), env=env).collect()
+    assert {r["host_name"] for r in over} == {"detected-host"}
+    assert {r["service_name"] for r in over} == {"svc"}
+    assert {r["deployment_environment"] for r in over} == {"prod"}
+    assert {r["os_type"] for r in over} == {"linux"}
+    # override=False: existing non-null values survive, gaps fill
+    fill = {r["event"]: r["host_name"]
+            for r in resource_detection(df, ("system",), env=env, override=False).collect()}
+    assert fill == {"a": "detected-host", "b": "keep-me"}
