@@ -1140,7 +1140,18 @@ def q_resource_detect(spark, sf_dir):
     )
 
 
+def q_generate_source(spark, sf_dir):
+    """stanza generate input: deterministic sequenced static entries."""
+    from ..sources.file_source import generate_source
+
+    out = generate_source(
+        spark, 100, {"body": "benchmark line", "severity": "INFO"}, static=False
+    )
+    return out.select("seq", "body", "severity")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "generate_static_entries": q_generate_source,
     "journald_parse": q_journald_parse,
     "resource_detect_attrs": q_resource_detect,
     "events_span_pruning": q_span_pruning,
@@ -1220,6 +1231,10 @@ def _oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
     from ..operators.spans import sql_normalize_sql
+
+    o["generate_static_entries"] = """
+SELECT CAST(range AS BIGINT) AS seq, 'benchmark line' AS body, 'INFO' AS severity
+FROM range(100)"""
 
     o["journald_parse"] = """
 WITH j AS (SELECT event_id,

@@ -110,3 +110,23 @@ def kafka_source_options(
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
     return opts
+
+
+def generate_source(
+    spark: SparkSession,
+    count: int,
+    entry: dict[str, object],
+    static: bool = True,
+) -> DataFrame:
+    """stanza generate input analogue (pkg/stanza/operator/input/generate):
+    emit `count` copies of a static entry — the reference uses it to feed
+    benchmark/e2e pipelines without a real receiver. spark.range gives a
+    parallel, deterministic id column (the reference's sequence counter when
+    static=False); the entry body/attrs become literal projections, so the
+    whole source is a zero-shuffle codegen stage at any count."""
+    df = spark.range(int(count)).withColumnRenamed("id", "seq")
+    for k, v in entry.items():
+        df = df.withColumn(k, F.lit(v))
+    if static:
+        df = df.drop("seq")
+    return df

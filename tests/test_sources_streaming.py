@@ -322,3 +322,13 @@ def test_streaming_grok_and_curation_match_batch(spark, tmp_path):
     assert by_id[1][5] == 1 and "<EMAIL>" in by_id[1][7]
     assert by_id[3][6] == 1 and "<PHONE>" in by_id[3][7]
     assert by_id[2][1] is None  # unmatched grok row -> null fields
+
+
+def test_generate_source_static_and_sequenced(spark):
+    from opentelemetry_collector_contrib_spark.sources.file_source import generate_source
+
+    rows = generate_source(spark, 3, {"body": "x", "sev": "INFO"}).collect()
+    assert len(rows) == 3 and all(r["body"] == "x" and r["sev"] == "INFO" for r in rows)
+    assert "seq" not in rows[0].asDict()
+    seq = sorted(r["seq"] for r in generate_source(spark, 4, {"body": "x"}, static=False).collect())
+    assert seq == [0, 1, 2, 3]
