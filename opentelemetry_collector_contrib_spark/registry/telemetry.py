@@ -1140,6 +1140,53 @@ def q_resource_detect(spark, sf_dir):
     )
 
 
+def _trace_tree_frame(spark, sf_dir):
+    """Deterministic nested-span view over events for the coralogix-analogue
+    tree operators: per user one root span whose events become sequential
+    non-overlapping children (800 ns spans, 200 ns gaps, the root extends
+    100 ns past the last child), every 5th child a server-kind span so the
+    transactions walk opens sub-roots."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    return _events(spark, sf_dir).select(
+        F.concat(F.lit("tr-"), F.col("user_id").cast("string")).alias("trace_id"),
+        F.concat(F.lit("s"), F.lpad(rn.cast("string"), 6, "0")).alias("span_id"),
+        F.when(rn == 1, F.lit(None).cast("string")).otherwise(F.lit("s000001")).alias("parent_span_id"),
+        F.col("event_type").alias("name"),
+        F.when(rn % 5 == 0, F.lit("server")).otherwise(F.lit("client")).alias("kind"),
+        F.when(rn == 1, F.lit(0)).otherwise(1000 * (rn - 1)).cast("long").alias("start_ns"),
+        F.when(rn == 1, 1000 * (n - 1) + 900).otherwise(1000 * (rn - 1) + 800).cast("long").alias("end_ns"),
+    )
+
+
+def q_trace_transactions(spark, sf_dir):
+    """coralogix transactions: stamp the transaction-root name down the tree,
+    server-kind spans open a new transaction (trasactions.go:46)."""
+    from ..operators.trace_tree import transaction_attributes
+
+    out = transaction_attributes(_trace_tree_frame(spark, sf_dir))
+    return out.select(
+        "trace_id",
+        "span_id",
+        F.col("transaction").alias("tx_name"),
+        F.col("transaction_root").alias("tx_root"),
+    )
+
+
+def q_trace_critical_path(spark, sf_dir):
+    """CRISP critical-path walk (critical_path.go:90): exclusive/inclusive
+    critical-path nanoseconds per span. The fixture tree is closed-form:
+    children own their 800 ns; the root owns the leading 1000 ns, the
+    (n-2) 200 ns gaps and the trailing 100 ns."""
+    from ..operators.trace_tree import critical_path
+
+    out = critical_path(_trace_tree_frame(spark, sf_dir))
+    return out.select("trace_id", "span_id", "on_path", "exclusive_ns", "inclusive_ns")
+
+
 def q_generate_source(spark, sf_dir):
     """stanza generate input: deterministic sequenced static entries."""
     from ..sources.file_source import generate_source
@@ -1152,6 +1199,8 @@ def q_generate_source(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "generate_static_entries": q_generate_source,
+    "trace_transactions": q_trace_transactions,
+    "trace_critical_path": q_trace_critical_path,
     "journald_parse": q_journald_parse,
     "resource_detect_attrs": q_resource_detect,
     "events_span_pruning": q_span_pruning,
@@ -1231,6 +1280,32 @@ def _oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
     from ..operators.spans import sql_normalize_sql
+
+    trace_frame_sql = """
+SELECT 'tr-' || CAST(user_id AS VARCHAR) AS trace_id,
+       's' || lpad(CAST(rn AS VARCHAR), 6, '0') AS span_id,
+       rn, n, event_type AS name
+FROM (SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)"""
+
+    o["trace_transactions"] = f"""
+WITH f AS ({trace_frame_sql})
+SELECT trace_id, span_id,
+  CASE WHEN rn = 1 OR rn % 5 = 0 THEN name
+       ELSE first_value(name) OVER (PARTITION BY trace_id ORDER BY rn) END AS tx_name,
+  CASE WHEN rn = 1 OR rn % 5 = 0 THEN true ELSE CAST(NULL AS BOOLEAN) END AS tx_root
+FROM f"""
+
+    o["trace_critical_path"] = f"""
+WITH f AS ({trace_frame_sql})
+SELECT trace_id, span_id, true AS on_path,
+  CAST(CASE WHEN rn > 1 THEN 800 WHEN n = 1 THEN 900
+            ELSE 1100 + 200*(n-2) END AS BIGINT) AS exclusive_ns,
+  CAST(CASE WHEN rn > 1 THEN 800 WHEN n = 1 THEN 900
+            ELSE 1100 + 200*(n-2) + 800*(n-1) END AS BIGINT) AS inclusive_ns
+FROM f"""
 
     o["generate_static_entries"] = """
 SELECT CAST(range AS BIGINT) AS seq, 'benchmark line' AS body, 'INFO' AS severity
