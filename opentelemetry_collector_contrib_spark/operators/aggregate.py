@@ -353,6 +353,105 @@ def signal_to_metrics(df: DataFrame, specs: list[dict]) -> DataFrame:
     return out
 
 
+# --- metricsaslogsconnector (connector/metricsaslogsconnector) ---------------
+def metrics_as_logs(
+    df: DataFrame,
+    metric_type: str,
+    name: str,
+    value_col: str | None = None,
+    ts_col: str | None = None,
+    unit: str = "",
+    description: str = "",
+    is_monotonic: bool | None = None,
+    temporality: str | None = None,
+    histogram: dict | None = None,
+    summary: dict | None = None,
+) -> DataFrame:
+    """metric datapoints → one structured log record each
+    (connector/metricsaslogsconnector/connector.go:259-288).
+
+    The reference copies the datapoint attrs, then stamps metric.name/.type/
+    .description/.unit, body = 'metric converted to log', and per-type value
+    attrs (gauge.value / sum.value + is_monotonic + temporality /
+    histogram.count|sum|bucket_counts|explicit_bounds / summary.*). Here
+    every attribute becomes a typed column (null = attribute absent); a
+    gauge/sum value keeps the datapoint's int-vs-double type the same way
+    PutInt/PutDouble do (connector.go:216-222). Pure projection — no shuffle,
+    scan-speed at any size.
+
+    `metric_type` ∈ Gauge|Sum|Histogram|Summary; `histogram` maps
+    count/sum/bucket_counts/explicit_bounds (+ optional min/max) to input
+    columns; `summary` maps count/sum (+ optional quantile struct-array col).
+    """
+    mt = metric_type.capitalize()
+    cols = list(df.columns)
+    out = df.select(
+        *cols,
+        F.lit("metric converted to log").alias("body"),
+        F.lit(name).alias("metric_name"),
+        F.lit(mt).alias("metric_type"),
+        F.lit(description).alias("metric_description"),
+        F.lit(unit).alias("metric_unit"),
+    )
+    if mt == "Sum":
+        out = out.withColumn(
+            "metric_is_monotonic", F.lit(True if is_monotonic is None else bool(is_monotonic))
+        )
+    else:
+        out = out.withColumn("metric_is_monotonic", F.lit(None).cast("boolean"))
+    if mt in ("Sum", "Histogram") or temporality is not None:
+        out = out.withColumn(
+            "metric_aggregation_temporality", F.lit(temporality or "Cumulative")
+        )
+    else:
+        out = out.withColumn("metric_aggregation_temporality", F.lit(None).cast("string"))
+
+    def _num(col_name):
+        # PutInt for integral datapoints, PutDouble otherwise
+        dtype = dict(df.dtypes)[col_name]
+        return F.col(col_name).cast("bigint" if dtype in ("tinyint", "smallint", "int", "bigint") else "double")
+
+    for vattr, active in (("gauge_value", mt == "Gauge"), ("sum_value", mt == "Sum")):
+        if active and value_col is not None:
+            out = out.withColumn(vattr, _num(value_col))
+        else:
+            out = out.withColumn(vattr, F.lit(None).cast("double"))
+    h = histogram or {}
+    out = (
+        out.withColumn(
+            "histogram_count",
+            F.col(h["count"]).cast("bigint") if "count" in h else F.lit(None).cast("bigint"),
+        )
+        .withColumn(
+            "histogram_sum",
+            F.col(h["sum"]).cast("double") if "sum" in h else F.lit(None).cast("double"),
+        )
+        .withColumn(
+            "histogram_bucket_counts",
+            F.col(h["bucket_counts"]).cast("array<bigint>")
+            if "bucket_counts" in h
+            else F.lit(None).cast("array<bigint>"),
+        )
+        .withColumn(
+            "histogram_explicit_bounds",
+            F.col(h["explicit_bounds"]).cast("array<double>")
+            if "explicit_bounds" in h
+            else F.lit(None).cast("array<double>"),
+        )
+    )
+    s = summary or {}
+    out = out.withColumn(
+        "summary_count",
+        F.col(s["count"]).cast("bigint") if "count" in s else F.lit(None).cast("bigint"),
+    ).withColumn(
+        "summary_sum",
+        F.col(s["sum"]).cast("double") if "sum" in s else F.lit(None).cast("double"),
+    )
+    if ts_col is not None and ts_col != "ts":
+        out = out.withColumnRenamed(ts_col, "ts")
+    return out
+
+
 # --- exceptionsconnector (connector/exceptionsconnector) ---------------------
 def exceptions_connector(
     df: DataFrame,

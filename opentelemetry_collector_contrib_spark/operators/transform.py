@@ -179,3 +179,95 @@ def genai_normalize(
             chain = F.when(cond, F.lit(new)) if chain is None else chain.when(cond, F.lit(new))
         out = out.withColumn(col_name, chain.otherwise(c))
     return out
+
+
+# --- sumologicprocessor (processor/sumologicprocessor/README.md) -------------
+# OTel-convention -> Sumo-convention attribute key translation table
+# (translate_attributes_processor.go; README "Attribute translation").
+# Order matters: two sources map to `host` / `service`; the first rename wins
+# and later sources keep their key ("if attribute with target name already
+# exists, translation is not being done").
+SUMO_ATTR_TRANSLATIONS: dict[str, str] = {
+    "cloud.account.id": "AccountId",
+    "cloud.availability_zone": "AvailabilityZone",
+    "cloud.platform": "aws_service",
+    "cloud.region": "Region",
+    "host.id": "InstanceId",
+    "host.name": "host",
+    "host.type": "InstanceType",
+    "k8s.cluster.name": "Cluster",
+    "k8s.container.name": "container",
+    "k8s.daemonset.name": "daemonset",
+    "k8s.deployment.name": "deployment",
+    "k8s.namespace.name": "namespace",
+    "k8s.node.name": "node",
+    "k8s.service.name": "service",
+    "k8s.pod.hostname": "host",
+    "k8s.pod.name": "pod",
+    "k8s.pod.uid": "pod_id",
+    "k8s.replicaset.name": "replicaset",
+    "k8s.statefulset.name": "statefulset",
+    "service.name": "service",
+    "log.file.path_resolved": "_sourceName",
+}
+
+# cloud.platform -> cloud.namespace (README "Adding cloud.namespace");
+# unmapped platforms add nothing (null).
+SUMO_CLOUD_NAMESPACE: dict[str, str] = {
+    "aws_ec2": "aws/ec2",
+    "aws_ecs": "ecs",
+    "aws_elastic_beanstalk": "ElasticBeanstalk",
+}
+
+
+def sumologic_process(
+    df: DataFrame,
+    add_cloud_namespace: bool = True,
+    translate_attributes: bool = True,
+    aggregate_attributes: dict[str, str] | None = None,
+    field_attributes: dict[str, str] | None = None,
+) -> DataFrame:
+    """sumologicprocessor sub-features over relational attribute columns.
+
+    * cloud.namespace stamped from cloud.platform per SUMO_CLOUD_NAMESPACE
+      (null when unmapped — attribute absent);
+    * attribute key translation per SUMO_ATTR_TRANSLATIONS, skipping a rename
+      when the target column already exists;
+    * aggregate_attributes {out_key: prefix}: every column starting with
+      `prefix` moves into one map column `out_key` keyed by the trimmed name
+      (README "Aggregating attributes"); null values are dropped from the map
+      (an absent attribute can't be a map entry);
+    * field_attributes {attr: field}: copy an attribute up as a named field
+      (README "Severity Attribute").
+
+    All four are pure projections/renames — scan-speed, no shuffle.
+    The "nesting attributes" feature needs variant-typed nested maps and is
+    intentionally out of scope for the relational model (README "Nesting").
+    """
+    out = df
+    if add_cloud_namespace and "cloud.platform" in out.columns:
+        plat = F.col("`cloud.platform`")
+        chain = None
+        for k, v in SUMO_CLOUD_NAMESPACE.items():
+            chain = (F.when(plat == k, F.lit(v)) if chain is None else chain.when(plat == k, F.lit(v)))
+        out = out.withColumn("cloud.namespace", chain.otherwise(F.lit(None).cast("string")))
+    if translate_attributes:
+        for src, dst in SUMO_ATTR_TRANSLATIONS.items():
+            if src in out.columns and dst not in out.columns:
+                out = out.withColumnRenamed(src, dst)
+    for out_key, prefix in (aggregate_attributes or {}).items():
+        matched = [c for c in out.columns if c.startswith(prefix) and c != out_key]
+        if not matched:
+            continue
+        entries = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(c[len(prefix):]) for c in matched]),
+                F.array(*[F.col(f"`{c}`").cast("string") for c in matched]),
+            ),
+            lambda _, v: v.isNotNull(),
+        )
+        out = out.withColumn(out_key, entries).drop(*matched)
+    for attr, field in (field_attributes or {}).items():
+        if attr in out.columns:
+            out = out.withColumn(field, F.col(f"`{attr}`"))
+    return out

@@ -1187,6 +1187,72 @@ def q_trace_critical_path(spark, sf_dir):
     return out.select("trace_id", "span_id", "on_path", "exclusive_ns", "inclusive_ns")
 
 
+def q_metrics_as_logs(spark, sf_dir):
+    """metricsaslogs connector: sum-metric datapoints (per event_type,
+    decimal-exact accumulation) rendered as structured log records."""
+    from ..operators.aggregate import metrics_as_logs
+
+    m = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+    out = metrics_as_logs(m, "Sum", "events.value.total", value_col="total", unit="1")
+    return out.select(
+        "event_type",
+        "body",
+        "metric_name",
+        "metric_type",
+        "metric_unit",
+        "metric_is_monotonic",
+        "metric_aggregation_temporality",
+        "sum_value",
+        "histogram_count",
+    )
+
+
+def q_sumologic(spark, sf_dir):
+    """sumologicprocessor: cloud.namespace stamp, OTel→Sumo key translation
+    (with target-exists skip), prefix aggregation into a map, severity field."""
+    from ..operators.transform import sumologic_process
+
+    ev = _events(spark, sf_dir)
+    d = F.col("event_id")
+    frame = ev.select(
+        "event_id",
+        F.when(d % 4 == 0, F.lit("aws_ec2"))
+        .when(d % 4 == 1, F.lit("aws_ecs"))
+        .when(d % 4 == 2, F.lit("aws_elastic_beanstalk"))
+        .otherwise(F.lit("gcp_compute"))
+        .alias("cloud.platform"),
+        F.concat(F.lit("h-"), F.col("user_id").cast("string")).alias("host.name"),
+        F.concat(F.lit("pod-"), (d % 10).cast("string")).alias("k8s.pod.name"),
+        F.concat(F.lit("hp-"), F.col("user_id").cast("string")).alias("k8s.pod.hostname"),
+        F.col("event_type").alias("pod_app"),
+        F.when(d % 3 == 0, F.col("event_type")).alias("pod_phase"),
+        (d % 5).cast("int").alias("severity_number"),
+    )
+    out = sumologic_process(
+        frame,
+        aggregate_attributes={"pods": "pod_"},
+        field_attributes={"severity_number": "loglevel"},
+    )
+    return out.select(
+        "event_id",
+        F.col("`cloud.namespace`").alias("cloud_namespace"),
+        "host",
+        "pod",
+        "aws_service",
+        # host.name won the `host` rename, so k8s.pod.hostname keeps its key
+        F.col("`k8s.pod.hostname`").alias("pod_hostname_kept"),
+        F.array_join(
+            F.array_sort(
+                F.transform(F.map_entries("pods"), lambda e: F.concat(e.key, F.lit("="), e.value))
+            ),
+            ",",
+        ).alias("pods_sorted"),
+        "loglevel",
+    )
+
+
 def q_generate_source(spark, sf_dir):
     """stanza generate input: deterministic sequenced static entries."""
     from ..sources.file_source import generate_source
@@ -1199,6 +1265,8 @@ def q_generate_source(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "generate_static_entries": q_generate_source,
+    "metrics_as_logs_sum": q_metrics_as_logs,
+    "sumologic_attrs": q_sumologic,
     "trace_transactions": q_trace_transactions,
     "trace_critical_path": q_trace_critical_path,
     "journald_parse": q_journald_parse,
@@ -1306,6 +1374,29 @@ SELECT trace_id, span_id, true AS on_path,
   CAST(CASE WHEN rn > 1 THEN 800 WHEN n = 1 THEN 900
             ELSE 1100 + 200*(n-2) + 800*(n-1) END AS BIGINT) AS inclusive_ns
 FROM f"""
+
+    o["sumologic_attrs"] = """
+SELECT event_id,
+  CASE WHEN event_id % 4 = 0 THEN 'aws/ec2' WHEN event_id % 4 = 1 THEN 'ecs'
+       WHEN event_id % 4 = 2 THEN 'ElasticBeanstalk' ELSE NULL END AS cloud_namespace,
+  'h-' || CAST(user_id AS VARCHAR) AS host,
+  'pod-' || CAST(event_id % 10 AS VARCHAR) AS pod,
+  CASE event_id % 4 WHEN 0 THEN 'aws_ec2' WHEN 1 THEN 'aws_ecs'
+       WHEN 2 THEN 'aws_elastic_beanstalk' ELSE 'gcp_compute' END AS aws_service,
+  'hp-' || CAST(user_id AS VARCHAR) AS pod_hostname_kept,
+  CASE WHEN event_id % 3 = 0 THEN 'app=' || event_type || ',phase=' || event_type
+       ELSE 'app=' || event_type END AS pods_sorted,
+  CAST(event_id % 5 AS INT) AS loglevel
+FROM events"""
+
+    o["metrics_as_logs_sum"] = """
+SELECT event_type, 'metric converted to log' AS body,
+  'events.value.total' AS metric_name, 'Sum' AS metric_type,
+  '1' AS metric_unit, true AS metric_is_monotonic,
+  'Cumulative' AS metric_aggregation_temporality,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  CAST(NULL AS BIGINT) AS histogram_count
+FROM events GROUP BY event_type"""
 
     o["generate_static_entries"] = """
 SELECT CAST(range AS BIGINT) AS seq, 'benchmark line' AS body, 'INFO' AS severity

@@ -199,3 +199,47 @@ def test_metrics_transform_add_label_null_labels(spark):
           "operations": [{"action": "add_label", "label": "unit", "value": "k"}]}],
     ).collect()
     assert dict(out[0]["labels"]) == {"unit": "k"}  # null map -> single entry
+
+
+# --- metricsaslogsconnector (connector/metricsaslogsconnector/connector.go) ---
+
+
+def test_metrics_as_logs_gauge_keeps_int_type(spark):
+    df = spark.createDataFrame([("cpu", 7)], "host string, v long")
+    out = agg.metrics_as_logs(df, "Gauge", "sys.cpu", value_col="v", unit="%").collect()[0]
+    assert out["body"] == "metric converted to log"
+    assert out["metric_type"] == "Gauge" and out["metric_unit"] == "%"
+    assert out["gauge_value"] == 7 and isinstance(out["gauge_value"], int)  # PutInt path
+    assert out["sum_value"] is None
+    assert out["metric_is_monotonic"] is None  # sum-only attr absent on gauges
+    assert out["metric_aggregation_temporality"] is None
+
+
+def test_metrics_as_logs_sum_attrs(spark):
+    df = spark.createDataFrame([("a", 1.5)], "dim string, total double")
+    out = agg.metrics_as_logs(
+        df, "Sum", "events.total", value_col="total", temporality="Delta", is_monotonic=False
+    ).collect()[0]
+    assert out["sum_value"] == 1.5 and out["gauge_value"] is None
+    assert out["metric_is_monotonic"] is False
+    assert out["metric_aggregation_temporality"] == "Delta"
+
+
+def test_metrics_as_logs_histogram_arrays(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("svc", 10, 42.5)], "service string, cnt long, total double"
+    ).withColumn("bc", F.array(F.lit(3), F.lit(7))).withColumn(
+        "eb", F.array(F.lit(0.5), F.lit(1.0))
+    )
+    out = agg.metrics_as_logs(
+        df,
+        "Histogram",
+        "latency",
+        histogram={"count": "cnt", "sum": "total", "bucket_counts": "bc", "explicit_bounds": "eb"},
+    ).collect()[0]
+    assert out["histogram_count"] == 10 and out["histogram_sum"] == 42.5
+    assert out["histogram_bucket_counts"] == [3, 7]
+    assert out["histogram_explicit_bounds"] == [0.5, 1.0]
+    assert out["gauge_value"] is None and out["summary_count"] is None

@@ -282,3 +282,39 @@ def test_filter_match_config_section(spark, dims):
         validate_spec({"source": {"path": "x"},
                        "filter_match": {"include": {"match_type": "nope",
                                                     "attributes": [{"key": "a"}]}}})
+
+
+# --- sumologicprocessor ------------------------------------------------------
+
+
+def test_sumologic_translation_skips_existing_target(spark):
+    from opentelemetry_collector_contrib_spark.operators.transform import sumologic_process
+
+    df = spark.createDataFrame(
+        [("otel-host", "pod-host", "svc-k8s", "svc-otel")],
+        "`host.name` string, `k8s.pod.hostname` string, `k8s.service.name` string, `service.name` string",
+    )
+    out = sumologic_process(df)
+    # host.name claimed `host` first; k8s.pod.hostname keeps its key.
+    # k8s.service.name claimed `service` first; service.name keeps its key.
+    assert set(out.columns) == {"host", "k8s.pod.hostname", "service", "service.name"}
+    row = out.collect()[0]
+    assert row["host"] == "otel-host" and row["service"] == "svc-k8s"
+
+
+def test_sumologic_cloud_namespace_unmapped_is_null(spark):
+    from opentelemetry_collector_contrib_spark.operators.transform import sumologic_process
+
+    df = spark.createDataFrame([("aws_ec2",), ("gcp_compute",)], "`cloud.platform` string")
+    rows = sumologic_process(df, translate_attributes=False).collect()
+    got = {r["cloud.platform"]: r["cloud.namespace"] for r in rows}
+    assert got == {"aws_ec2": "aws/ec2", "gcp_compute": None}
+
+
+def test_sumologic_aggregate_drops_null_entries(spark):
+    from opentelemetry_collector_contrib_spark.operators.transform import sumologic_process
+
+    df = spark.createDataFrame([("x", None, "z")], "pod_a string, pod_b string, other string")
+    out = sumologic_process(df, aggregate_attributes={"pods": "pod_"}).collect()[0]
+    assert dict(out["pods"]) == {"a": "x"}
+    assert "pod_a" not in out.asDict() and out["other"] == "z"
