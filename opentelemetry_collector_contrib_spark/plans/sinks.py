@@ -122,3 +122,33 @@ def write_kafka_sink(
         .option("topic", topic)
         .save()
     )
+
+
+# --- failover connector (connector/failoverconnector/failover.go) ------------
+
+
+def failover_write(
+    df: DataFrame,
+    targets: list[str],
+    write=write_sink,
+    **write_kwargs,
+) -> dict:
+    """Priority failover between sinks (failoverconnector README
+    `priority_levels`; failover.go:60 builds one consumer per level and the
+    pipeline selector moves to the next level on consume error).
+
+    Batch analogue: attempt the write at each priority level in order; the
+    first level that commits wins and the result records which level served
+    the batch plus the per-level errors. The reference's `retry_interval`
+    re-probing of higher levels maps to batch cadence — every new batch
+    starts again at priority 0, so a recovered primary is retried on the
+    next run without extra machinery.
+    """
+    errors: dict[str, str] = {}
+    for level, target in enumerate(targets):
+        try:
+            path = write(df, target, **write_kwargs)
+            return {"level": level, "target": target, "path": path, "errors": errors}
+        except Exception as e:  # noqa: BLE001 — any sink failure falls through
+            errors[target] = f"{type(e).__name__}: {e}"
+    raise RuntimeError(f"all {len(targets)} failover levels failed: {errors}")

@@ -106,3 +106,32 @@ def test_genai_normalize(spark, routed_t1):
     assert "gen_ai.request.model" in out.columns
     ops = {x["gen_ai.operation.name"] for x in out.select("`gen_ai.operation.name`").distinct().collect()}
     assert ops <= {"execute_tool", "chat", "invoke_agent"}
+
+
+def test_failover_write_uses_first_healthy_level(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.sinks import failover_write, write_sink
+
+    df = spark.range(5).withColumnRenamed("id", "v")
+
+    # level 0 target is an existing plain FILE -> the parquet commit fails;
+    # level 1 succeeds and the result records the failover.
+    bad = tmp_path / "primary"
+    bad.write_text("not a directory")
+    good = tmp_path / "secondary"
+    res = failover_write(df, [str(bad), str(good)])
+    assert res["level"] == 1 and res["target"] == str(good)
+    assert str(bad) in res["errors"]
+    assert spark.read.parquet(str(good)).count() == 5
+
+    # healthy primary: next batch goes straight back to level 0
+    ok = tmp_path / "primary2"
+    res2 = failover_write(df, [str(ok), str(good)], )
+    assert res2["level"] == 0 and res2["errors"] == {}
+
+    # all levels down -> loud failure listing every level's error
+    bad2 = tmp_path / "also_bad"
+    bad2.write_text("x")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="failover levels failed"):
+        failover_write(df, [str(bad), str(bad2)])
