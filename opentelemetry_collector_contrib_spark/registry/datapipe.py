@@ -327,6 +327,16 @@ def q_curation_gopher(spark, sf_dir):
     return out.select("doc_id", "gopher_pass")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance log-weights; target domain = src0 docs.
+    Decimal-exact per-doc sums keep both engines bit-equal (the 64 bucket
+    log-ratios round to 9 decimals before accumulation)."""
+    from ..operators.curation import dsir_weights
+
+    out = dsir_weights(_docs(spark, sf_dir), F.col("source") == "src0", n_buckets=64)
+    return out.select("doc_id", "source", "dsir_logweight")
+
+
 def q_curation_pii(spark, sf_dir):
     """PII scrub over text with deterministically injected email/IP/phone/
     SSN shapes (doc_id-derived, so every engine synthesizes identical
@@ -438,6 +448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_balanced_sample": q_cluster_balance,
     "curation_repetition": q_curation_repetition,
     "curation_gopher": q_curation_gopher,
+    "curation_dsir_weights": q_dsir_weights,
     "curation_pii_scrub": q_curation_pii,
     "curation_pack": q_curation_pack,
     "curation_mixture": q_curation_mixture,
@@ -544,6 +555,26 @@ SELECT doc_id,
    AND symbol_word_ratio <= 0.10 AND alpha_word_frac >= 0.80) AS gopher_pass
 FROM stats"""
     )
+
+    o["curation_dsir_weights"] = r"""
+WITH d AS (
+  SELECT doc_id, (source = 'src0') AS t,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, t,
+         unnest(toks || list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM d),
+bk AS (SELECT doc_id, t, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 64 AS b FROM g),
+dist AS (SELECT b, count(*) AS q, sum(CASE WHEN t THEN 1 ELSE 0 END) AS p FROM bk GROUP BY b),
+tot AS (SELECT sum(q) AS tq, sum(p) AS tp FROM dist),
+lr AS (SELECT b, CAST(round(ln((p + 1.0) / (tp + 64.0)) - ln((q + 1.0) / (tq + 64.0)), 9)
+                 AS DECIMAL(18,9)) AS lr
+       FROM dist, tot),
+w AS (SELECT doc_id, CAST(sum(lr) AS DOUBLE) AS dsir_logweight
+      FROM bk JOIN lr USING (b) GROUP BY doc_id)
+SELECT doc_id, source, dsir_logweight
+FROM documents LEFT JOIN w USING (doc_id)"""
 
     _pii_pats = {
         "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+",

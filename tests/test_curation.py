@@ -225,3 +225,28 @@ def test_mixture_sample_non_dyadic_rate(spark):
     # hash gate keeps ~30%; exact threshold is int(round(0.3*1e6)) == 300000
     assert 230 <= kept <= 370
     assert curation.mixture_sample(df, rates={"srcX": 0.3}).count() == kept
+
+
+# --- DSIR importance weighting ------------------------------------------------
+
+
+def test_dsir_target_like_docs_weigh_higher(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import dsir_weights
+    from pyspark.sql import functions as F
+
+    rows = (
+        # target domain: spark/sql chatter
+        [(i, "spark sql query plan shuffle join spark sql", "tgt") for i in range(6)]
+        # source mix: some spark-like, some cooking
+        + [(10, "spark sql join plan", "src"), (11, "flour sugar butter oven bake", "src"),
+           (12, "spark shuffle query", "src"), (13, "", "src")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_weights(df, F.col("source") == "tgt", n_buckets=32)
+    got = {r["doc_id"]: r["dsir_logweight"] for r in out.collect()}
+    assert got[10] > got[11] and got[12] > got[11]  # target-like beats off-domain
+    assert got[13] is None  # no tokens -> no evidence -> null
+    # deterministic: identical on recompute
+    again = {r["doc_id"]: r["dsir_logweight"] for r in
+             dsir_weights(df, F.col("source") == "tgt", n_buckets=32).collect()}
+    assert got == again
