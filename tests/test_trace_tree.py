@@ -274,3 +274,37 @@ def test_cp_flat_trace_scales_linearly(spark):
     assert got["0"] == (True, 1000 + 200 * (n - 1) + 100, 1000 + 200 * (n - 1) + 100 + 800 * n)
     assert got["7"] == (True, 800, 800)
     assert got[str(n)] == (True, 800, 800)
+
+
+def test_cp_vertical_chain_with_side_branches(spark):
+    # e2e_test.go "vertical_chain": deep chain wins; earlier siblings off-path
+    got = _cp(
+        spark,
+        [
+            _span("root", 0, 150, 1, None),
+            _span("branch-a", 10, 150, 2, 1),
+            _span("branch-a-db", 30, 150, 3, 2),
+            _span("branch-a-io", 70, 150, 4, 3),
+            _span("branch-b", 20, 80, 5, 1),
+            _span("branch-c", 90, 120, 6, 1),
+        ],
+    )
+    assert got["1"] == (True, 10, 150)
+    assert got["2"] == (True, 20, 140)
+    assert got["3"] == (True, 40, 120)
+    assert got["4"] == (True, 80, 80)
+    assert got["5"] == (None, None, None)
+    assert got["6"] == (None, None, None)
+
+
+def test_cp_very_deep_chain_no_recursion_limit(spark):
+    # e2e_test.go TestCriticalPathE2E_VeryDeepChain: 4096-deep chain, every
+    # span [i, depth]. The walk and the inclusive sum are iterative, so this
+    # must not hit Python's recursion limit.
+    depth = 4096
+    rows = [_span("span-0", 0, depth, 0, None)]
+    rows += [_span(f"span-{i}", i, depth, i, i - 1) for i in range(1, depth)]
+    got = _cp(spark, rows)
+    assert got["0"] == (True, 1, depth)
+    assert got["2048"] == (True, 1, depth - 2048)
+    assert got[str(depth - 1)] == (True, 1, 1)
