@@ -195,6 +195,34 @@ def main() -> None:
 
     timed("q11_session_asof", session_asof)
 
+    # q12: per-trace span-tree kernel (coralogix-analogue transactions +
+    # CRISP critical path) over every conversation — the partition-amortized
+    # mapInPandas path (one Python call per partition, traces contiguous)
+    def trace_tree():
+        from pyspark.sql import Window
+
+        from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
+        from opentelemetry_collector_contrib_spark.operators.trace_tree import (
+            transactions_and_critical_path,
+        )
+
+        df = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        rn = F.row_number().over(w)
+        nconv = F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+        frame = df.select(
+            F.col("conv_id").alias("trace_id"),
+            F.concat(F.lit("s"), F.lpad(rn.cast("string"), 6, "0")).alias("span_id"),
+            F.when(rn == 1, F.lit(None).cast("string")).otherwise(F.lit("s000001")).alias("parent_span_id"),
+            F.coalesce(F.col("role"), F.lit("turn")).alias("name"),
+            F.when(rn % 5 == 0, F.lit("server")).otherwise(F.lit("client")).alias("kind"),
+            F.when(rn == 1, F.lit(0)).otherwise(1000 * (rn - 1)).cast("long").alias("start_ns"),
+            F.when(rn == 1, 1000 * (nconv - 1) + 900).otherwise(1000 * (rn - 1) + 800).cast("long").alias("end_ns"),
+        )
+        force(transactions_and_critical_path(frame))
+
+    timed("q12_trace_tree", trace_tree)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

@@ -5,20 +5,22 @@ groups spans by trace id, builds a parent/child tree
 (internal/traceutil/tree.go:24) and applies two features:
 
 * transactions (internal/transactions/trasactions.go:23) — pick the
-  transaction root span, stamp `cgx.transaction` = root name on every span
-  reachable from it, opening a NEW transaction at server/consumer-kind spans;
+  transaction root span, stamp the root's name on every span reachable from
+  it, opening a NEW transaction at server/consumer-kind spans;
 * critical path (internal/criticalpath/critical_path.go:38) — the CRISP-style
   end-to-end latency walk: sanitize child intervals to their parent, descend
   through the last-finishing child, and attribute exclusive/inclusive
   critical-path nanoseconds to each span.
 
-Both are path-dependent tree walks, so the Spark shape is the same as
-groupbytrace/tail-sampling: ONE shuffle on the trace key, then an
-Arrow-batched `applyInPandas` kernel per trace group. Trace sizes are bounded
-(the reference holds whole traces in memory too — groupbytrace's num_traces
-bound), so per-group Python is O(trace), never O(table). At 100 TB the plan
-is a single hash partitioning on trace_id; no driver collect, no cross-trace
-state.
+Both are path-dependent tree walks, so they need per-trace imperative logic.
+Spark shape: ONE hash repartition on the trace key + sortWithinPartitions
+(traces contiguous), then `mapInPandas` — one Arrow-batched Python call per
+PARTITION, not per trace. A per-group applyInPandas pays ~0.5 ms of
+call/Arrow overhead per trace, which at 10⁶ small traces per executor is the
+bottleneck; the partition kernel amortizes that to ~zero while streaming
+batches, buffering only the one trace that may straddle an Arrow batch
+boundary. Per-trace work is index-based (integer arrays, no per-span dicts)
+and O(spans·log spans). Trace sizes bound memory exactly like groupbytrace.
 """
 
 from __future__ import annotations
@@ -26,283 +28,296 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TRANSACTION_ATTR = "transaction"
-TRANSACTION_ROOT_ATTR = "transaction_root"
+
+# ---------------------------------------------------------------------------
+# per-trace tree construction (tree.go:24 BuildTraceTree), index-based
+# ---------------------------------------------------------------------------
 
 
-def _build_nodes(pdf):
-    """tree.go:24 BuildTraceTree over one trace's pandas frame.
-
-    Returns (nodes, roots) where nodes maps span_id -> dict with
-    start/end/parent/children/name/kind/row-index. Roots are spans whose
-    parent id is empty/None or absent from the trace.
-    """
-    nodes: dict = {}
-    for i in range(len(pdf)):
-        sid = pdf["span_id"].iat[i]
-        nodes[sid] = {
-            "id": sid,
-            "start": int(pdf["start_ns"].iat[i]),
-            "end": int(pdf["end_ns"].iat[i]),
-            "parent": None,
-            "children": [],
-            "name": pdf["name"].iat[i],
-            "kind": pdf["kind"].iat[i],
-            "row": i,
-        }
+def _build_tree(ids, parents):
+    """Returns (parent_idx, children, roots, has_parent_id) over row indices.
+    A span whose parent id is empty/None, absent from the trace, or itself
+    becomes a root (tree.go:37-44)."""
+    idx = {}
+    for i, sid in enumerate(ids):
+        idx[sid] = i
+    n = len(ids)
+    parent_idx = [-1] * n
+    children = [[] for _ in range(n)]
     roots = []
-    for i in range(len(pdf)):
-        sid = pdf["span_id"].iat[i]
-        pid = pdf["parent_span_id"].iat[i]
-        node = nodes[sid]
-        if pid is None or pid == "" or pid not in nodes or pid == sid:
-            roots.append(node)
+    has_parent_id = [False] * n
+    for i in range(n):
+        p = parents[i]
+        if p is None or p == "":
+            roots.append(i)
             continue
-        parent = nodes[pid]
-        node["parent"] = parent
-        parent["children"].append(node)
-    return nodes, roots
+        has_parent_id[i] = True
+        j = idx.get(p, -1)
+        if j < 0 or j == i:
+            roots.append(i)
+            continue
+        parent_idx[i] = j
+        children[j].append(i)
+    return parent_idx, children, roots, has_parent_id
 
 
-def _better_root(current, candidate) -> bool:
-    """span_tree.go:54 isBetterTransactionRoot: earlier start, then smaller id."""
-    if candidate["start"] != current["start"]:
-        return candidate["start"] < current["start"]
-    return candidate["id"] < current["id"]
+# ---------------------------------------------------------------------------
+# transactions (trasactions.go, span_tree.go)
+# ---------------------------------------------------------------------------
 
 
-def _select_transaction_root(pdf, roots):
-    """span_tree.go:35 selectTransactionRoot: prefer an explicit root (empty
-    parent id), else the best orphan; ties by start then span id."""
-    explicit = None
-    fallback = None
-    has_parent_id = {}
-    for i in range(len(pdf)):
-        pid = pdf["parent_span_id"].iat[i]
-        has_parent_id[pdf["span_id"].iat[i]] = pid is not None and pid != ""
-    for root in roots:
-        if fallback is None or _better_root(fallback, root):
-            fallback = root
-        if not has_parent_id[root["id"]] and (explicit is None or _better_root(explicit, root)):
-            explicit = root
-    return explicit if explicit is not None else fallback
+def _transactions_trace(ids, parents, names, kinds, starts, tx, is_root, base):
+    """Fill tx/is_root output slices for one trace (rows base..base+n)."""
+    n = len(ids)
+    if n == 0:
+        return
+    _, children, roots, has_parent_id = _build_tree(ids, parents)
+
+    # span_tree.go:35 selectTransactionRoot: prefer an explicit root (empty
+    # parent id); ties by earliest start then smallest span id string.
+    explicit = fallback = -1
+    for r in roots:
+        if fallback < 0 or (starts[r], ids[r]) < (starts[fallback], ids[fallback]):
+            fallback = r
+        if not has_parent_id[r] and (
+            explicit < 0 or (starts[r], ids[r]) < (starts[explicit], ids[explicit])
+        ):
+            explicit = r
+    root = explicit if explicit >= 0 else fallback
+    if root < 0:
+        return
+
+    # trasactions.go:46 applyTransactionToTrace, iterative DFS: server/
+    # consumer-kind children open a new transaction.
+    tx[base + root] = names[root]
+    is_root[base + root] = True
+    stack = [(root, names[root])]
+    while stack:
+        node, current = stack.pop()
+        for c in children[node]:
+            if kinds[c] in ("server", "consumer"):
+                tx[base + c] = names[c]
+                is_root[base + c] = True
+                stack.append((c, names[c]))
+            else:
+                tx[base + c] = current
+                stack.append((c, current))
 
 
-def _apply_transactions(pdf):
-    """trasactions.go:46 applyTransactionToTrace, iteratively: DFS from the
-    selected root; server/consumer-kind children open a new transaction."""
+# ---------------------------------------------------------------------------
+# critical path (critical_path.go)
+# ---------------------------------------------------------------------------
+
+
+def _critical_path_trace(ids, parents, starts, ends, on_path, excl_out, incl_out, base):
+    """Fill on_path/exclusive/inclusive output slices for one trace."""
+    n = len(ids)
+    if n == 0:
+        return
+    starts = list(starts)  # sanitize mutates intervals
+    ends = list(ends)
+    parent_idx, children, roots, _ = _build_tree(ids, parents)
+
+    # critical_path.go:200 sanitizeOverflowingChildren: drop children disjoint
+    # from their parent (subtree unreachable), clip overlapping children.
+    for r in roots:
+        stack = [r]
+        while stack:
+            p = stack.pop()
+            kept = []
+            for c in children[p]:
+                if starts[c] >= ends[p] or ends[c] <= starts[p]:
+                    parent_idx[c] = -1
+                    continue
+                if starts[c] < starts[p]:
+                    starts[c] = starts[p]
+                if ends[c] > ends[p]:
+                    ends[c] = ends[p]
+                kept.append(c)
+                stack.append(c)
+            children[p] = kept
+
+    # Valid children end-desc-sorted with an advancing cursor. The Go walk
+    # re-scans every child on each return to the parent — O(n²) on a flat
+    # trace; every return here carries a strictly smaller section end (the
+    # next descended child must finish before the previous one started), so
+    # the cursor never rewinds and the walk is O(n log n) per trace.
+    sorted_children = [None] * n
+    cursor = [0] * n
+
+    def last_finishing_child(node, rcs):
+        sc = sorted_children[node]
+        if sc is None:
+            sc = sorted(
+                (c for c in children[node] if ends[c] > starts[c]),
+                key=lambda c: (ends[c], starts[c], ids[c]),
+                reverse=True,
+            )
+            sorted_children[node] = sc
+        i = cursor[node]
+        if rcs is not None:
+            while i < len(sc) and ends[sc[i]] >= rcs:
+                i += 1
+            cursor[node] = i
+        return sc[i] if i < len(sc) else -1
+
+    exclusive = [0] * n
+    roots.sort(key=lambda r: (ends[r], starts[r], ids[r]), reverse=True)
+    for r in roots:
+        # critical_path.go:90 computeCriticalPathSections — the Go version is
+        # a linear recursion (one tail call per frame); unrolled to a loop so
+        # 4096-deep chains can't blow the Python stack.
+        if ends[r] <= starts[r]:
+            continue
+        current, rcs = r, None
+        while True:
+            lfc = last_finishing_child(current, rcs)
+            section_end = ends[current] if rcs is None else rcs
+            if lfc >= 0:
+                if ends[lfc] < section_end:
+                    exclusive[current] += section_end - ends[lfc]
+                current, rcs = lfc, None
+                continue
+            if starts[current] < section_end:
+                exclusive[current] += section_end - starts[current]
+            if parent_idx[current] >= 0:
+                rcs = starts[current]
+                current = parent_idx[current]
+                continue
+            break
+
+    # critical_path.go:156 inclusive = exclusive + Σ children inclusive,
+    # post-order over each reachable subtree (iterative).
+    inclusive = [0] * n
+    for r in roots:
+        order, stack = [], [r]
+        while stack:
+            v = stack.pop()
+            order.append(v)
+            stack.extend(children[v])
+        for v in reversed(order):
+            inc = exclusive[v]
+            for c in children[v]:
+                inc += inclusive[c]
+            inclusive[v] = inc
+        # critical_path.go:259 annotateSpans: only inclusive>0 gets attrs
+        for v in order:
+            if inclusive[v] > 0:
+                on_path[base + v] = True
+                excl_out[base + v] = exclusive[v]
+                incl_out[base + v] = inclusive[v]
+
+
+# ---------------------------------------------------------------------------
+# partition kernel: contiguous traces → per-trace slices
+# ---------------------------------------------------------------------------
+
+
+def _process_frame(pdf, trace_col, features):
     import numpy as np
 
-    tx = np.full(len(pdf), None, dtype=object)
-    is_root = np.full(len(pdf), None, dtype=object)
-    if len(pdf) == 0:
-        return tx, is_root
-    _, roots = _build_nodes(pdf)
-    if not roots:
-        return tx, is_root
-    root = _select_transaction_root(pdf, roots)
-    tx[root["row"]] = root["name"]
-    is_root[root["row"]] = True
-    stack = [(root, root["name"])]
-    while stack:
-        node, current_tx = stack.pop()
-        for child in node["children"]:
-            if child["kind"] in ("server", "consumer"):
-                tx[child["row"]] = child["name"]
-                is_root[child["row"]] = True
-                stack.append((child, child["name"]))
-            else:
-                tx[child["row"]] = current_tx
-                stack.append((child, current_tx))
-    return tx, is_root
+    n = len(pdf)
+    tids = pdf[trace_col].to_numpy()
+    ids = pdf["span_id"].tolist()
+    parents = pdf["parent_span_id"].tolist()
+    starts = pdf["start_ns"].tolist()
+    ends = pdf["end_ns"].tolist()
+    do_tx = "transactions" in features
+    do_cp = "critical_path" in features
+    if do_tx:
+        names = pdf["name"].tolist()
+        kinds = pdf["kind"].tolist()
+        tx = np.full(n, None, dtype=object)
+        is_root = np.full(n, None, dtype=object)
+    if do_cp:
+        on_path = np.full(n, None, dtype=object)
+        excl = np.full(n, None, dtype=object)
+        incl = np.full(n, None, dtype=object)
+
+    # contiguous run boundaries (input is sorted by trace within partition)
+    bounds = [0] + (np.flatnonzero(tids[1:] != tids[:-1]) + 1).tolist() + [n]
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        if do_tx:
+            _transactions_trace(
+                ids[lo:hi], parents[lo:hi], names[lo:hi], kinds[lo:hi],
+                starts[lo:hi], tx, is_root, lo,
+            )
+        if do_cp:
+            _critical_path_trace(
+                ids[lo:hi], parents[lo:hi], starts[lo:hi], ends[lo:hi],
+                on_path, excl, incl, lo,
+            )
+    out = pdf
+    if do_tx:
+        out = out.assign(transaction=tx, transaction_root=is_root)
+    if do_cp:
+        out = out.assign(on_path=on_path, exclusive_ns=excl, inclusive_ns=incl)
+    return out
 
 
-def transaction_attributes(
-    df: DataFrame,
-    trace_col: str = "trace_id",
-) -> DataFrame:
-    """coralogix transactions feature as a per-trace grouped kernel.
+def _partition_kernel(trace_col, features):
+    """mapInPandas generator: processes complete traces per Arrow batch,
+    buffering the (single) trace that may straddle a batch boundary."""
+
+    def gen(batches):
+        import pandas as pd
+
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if len(pdf) == 0:
+                continue
+            tids = pdf[trace_col].to_numpy()
+            last = tids[-1]
+            i = len(tids)
+            while i > 0 and tids[i - 1] == last:
+                i -= 1
+            if i == 0:
+                buf = pdf  # whole batch is one trace — keep buffering
+                continue
+            buf = pdf.iloc[i:].reset_index(drop=True)
+            yield _process_frame(pdf.iloc[:i].reset_index(drop=True), trace_col, features)
+        if buf is not None and len(buf):
+            yield _process_frame(buf, trace_col, features)
+
+    return gen
+
+
+_TX_COLS = ", transaction string, transaction_root boolean"
+_CP_COLS = ", on_path boolean, exclusive_ns bigint, inclusive_ns bigint"
+
+
+def _run(df: DataFrame, trace_col: str, features: tuple, extra_schema: str) -> DataFrame:
+    schema = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+    shaped = df.repartition(F.col(trace_col)).sortWithinPartitions(trace_col)
+    return shaped.mapInPandas(_partition_kernel(trace_col, features), schema + extra_schema)
+
+
+def transaction_attributes(df: DataFrame, trace_col: str = "trace_id") -> DataFrame:
+    """coralogix transactions feature.
 
     Input needs columns (trace_col, span_id, parent_span_id, name, kind,
-    start_ns, end_ns). Output = input + `transaction` (string, null for spans
-    not reachable from the selected root — orphan subtrees get no attribute,
-    matching the reference which only walks the selected root) and
-    `transaction_root` (true on transaction roots, null elsewhere —
-    the reference stamps the attribute only on roots).
-    """
-    import pandas as pd  # noqa: F401  (kernel runs on executors)
-
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", transaction string, transaction_root boolean"
-
-    def kernel(pdf):
-        tx, is_root = _apply_transactions(pdf)
-        pdf = pdf.copy()
-        pdf["transaction"] = tx
-        pdf["transaction_root"] = is_root
-        return pdf
-
-    return df.groupBy(trace_col).applyInPandas(kernel, schema=out_schema)
-
-
-# ---------------------------------------------------------------------------
-# critical path (CRISP walk) — critical_path.go
-# ---------------------------------------------------------------------------
-
-
-def _sanitize(nodes, roots):
-    """critical_path.go:200 sanitizeOverflowingChildren: drop children disjoint
-    from their parent (whole subtree becomes unreachable), clip overlapping
-    children to the parent's interval."""
-    for root in roots:
-        stack = [root]
-        while stack:
-            parent = stack.pop()
-            kept = []
-            for child in parent["children"]:
-                if child["start"] >= parent["end"] or child["end"] <= parent["start"]:
-                    child["parent"] = None  # dropped: subtree unreachable
-                    continue
-                if child["start"] < parent["start"]:
-                    child["start"] = parent["start"]
-                if child["end"] > parent["end"]:
-                    child["end"] = parent["end"]
-                kept.append(child)
-                stack.append(child)
-            parent["children"] = kept
-
-
-def _last_finishing_child(node, rcs):
-    """critical_path.go:132 findLastFinishingChild: max (end, start, span id)
-    among valid children, optionally only those ending before `rcs`.
-
-    The Go walk re-scans every child on each return to the parent — O(n²) on
-    a flat trace with n children. Here each node keeps its valid children
-    sorted by (end, start, id) desc with an advancing cursor: every return to
-    a node carries a strictly smaller `rcs` (the next descended child must
-    end before the previous one started), so the cursor never rewinds and the
-    whole walk is O(n log n) per trace. Same selection, scale-safe on
-    10⁵-span flat traces.
-    """
-    if "sc" not in node:
-        node["sc"] = sorted(
-            (c for c in node["children"] if c["end"] > c["start"]),
-            key=lambda c: (c["end"], c["start"], c["id"]),
-            reverse=True,
-        )
-        node["cur"] = 0
-    sc, i = node["sc"], node["cur"]
-    if rcs is not None:
-        while i < len(sc) and sc[i]["end"] >= rcs:
-            i += 1
-        node["cur"] = i
-    return sc[i] if i < len(sc) else None
-
-
-def _walk_critical_path(root, sections):
-    """critical_path.go:90 computeCriticalPathSections. The Go version is a
-    linear recursion (one tail call per frame); unrolled to a loop so deep
-    traces can't blow the Python stack."""
-    if root["end"] <= root["start"]:
-        return
-    current, rcs = root, None
-    while current is not None:
-        lfc = _last_finishing_child(current, rcs)
-        section_end = current["end"] if rcs is None else rcs
-        if lfc is not None:
-            if lfc["end"] < section_end:
-                sections.append((current["id"], lfc["end"], section_end))
-            current, rcs = lfc, None
-            continue
-        if current["start"] < section_end:
-            sections.append((current["id"], current["start"], section_end))
-        if current["parent"] is not None:
-            rcs = current["start"]
-            current = current["parent"]
-            continue
-        return
-
-
-def _critical_path_kernel(pdf):
-    """One trace: sanitize, walk every root (end-desc order), accumulate
-    exclusive sections, then post-order inclusive sums (critical_path.go:156)."""
-    import numpy as np
-
-    on_path = np.full(len(pdf), None, dtype=object)
-    excl_out = np.full(len(pdf), None, dtype=object)
-    incl_out = np.full(len(pdf), None, dtype=object)
-    pdf = pdf.copy()
-    if len(pdf) == 0:
-        pdf["on_path"], pdf["exclusive_ns"], pdf["inclusive_ns"] = on_path, excl_out, incl_out
-        return pdf
-
-    nodes, roots = _build_nodes(pdf)
-    _sanitize(nodes, roots)
-    roots.sort(key=lambda n: (n["end"], n["start"], n["id"]), reverse=True)
-    sections: list = []
-    for root in roots:
-        _walk_critical_path(root, sections)
-
-    exclusive: dict = {}
-    for sid, s, e in sections:
-        if e > s:
-            exclusive[sid] = exclusive.get(sid, 0) + (e - s)
-
-    inclusive: dict = {}
-    for root in roots:
-        # post-order: children before parent
-        order, stack = [], [root]
-        while stack:
-            n = stack.pop()
-            order.append(n)
-            stack.extend(n["children"])
-        for n in reversed(order):
-            inclusive[n["id"]] = exclusive.get(n["id"], 0) + sum(
-                inclusive[c["id"]] for c in n["children"]
-            )
-
-    for sid, node in nodes.items():
-        inc = inclusive.get(sid, 0)
-        if inc > 0:  # critical_path.go:259 annotateSpans: inclusive>0 only
-            on_path[node["row"]] = True
-            excl_out[node["row"]] = exclusive.get(sid, 0)
-            incl_out[node["row"]] = inc
-    pdf["on_path"], pdf["exclusive_ns"], pdf["inclusive_ns"] = on_path, excl_out, incl_out
-    return pdf
+    start_ns, end_ns). Output = input + `transaction` (string, null for
+    spans not reachable from the selected root — orphan subtrees get no
+    attribute, matching the reference which only walks the selected root)
+    and `transaction_root` (true on transaction roots, null elsewhere)."""
+    return _run(df, trace_col, ("transactions",), _TX_COLS)
 
 
 def critical_path(df: DataFrame, trace_col: str = "trace_id") -> DataFrame:
     """CRISP critical-path attribution per trace.
 
-    Input needs (trace_col, span_id, parent_span_id, name, kind, start_ns,
-    end_ns). Output = input + on_path (true / null), exclusive_ns,
-    inclusive_ns (nanoseconds on the critical path owned directly /
-    including descendants; null when the span never touches the path,
-    mirroring attribute absence in the reference).
-    """
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", on_path boolean, exclusive_ns bigint, inclusive_ns bigint"
-    return df.groupBy(trace_col).applyInPandas(_critical_path_kernel, schema=out_schema)
+    Output = input + on_path (true / null), exclusive_ns, inclusive_ns
+    (nanoseconds on the critical path owned directly / including
+    descendants; null when the span never touches the path, mirroring
+    attribute absence in the reference)."""
+    return _run(df, trace_col, ("critical_path",), _CP_COLS)
 
 
 def transactions_and_critical_path(df: DataFrame, trace_col: str = "trace_id") -> DataFrame:
-    """Both features in ONE grouped pass (span.go:51's combined branch):
-    a single shuffle on trace_id instead of two."""
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + (
-        ", transaction string, transaction_root boolean"
-        ", on_path boolean, exclusive_ns bigint, inclusive_ns bigint"
-    )
-
-    def kernel(pdf):
-        tx, is_root = _apply_transactions(pdf)
-        out = _critical_path_kernel(pdf)
-        out["transaction"], out["transaction_root"] = tx, is_root
-        # column order must match the declared schema
-        cols = [c for c in out.columns if c not in ("transaction", "transaction_root", "on_path", "exclusive_ns", "inclusive_ns")]
-        return out[cols + ["transaction", "transaction_root", "on_path", "exclusive_ns", "inclusive_ns"]]
-
-    return df.groupBy(trace_col).applyInPandas(kernel, schema=out_schema)
+    """Both features in ONE pass (span.go:51's combined branch):
+    a single repartition on trace_id instead of two."""
+    return _run(df, trace_col, ("transactions", "critical_path"), _TX_COLS + _CP_COLS)
