@@ -440,12 +440,20 @@ def metrics_as_logs(
         )
     )
     s = summary or {}
-    out = out.withColumn(
-        "summary_count",
-        F.col(s["count"]).cast("bigint") if "count" in s else F.lit(None).cast("bigint"),
-    ).withColumn(
-        "summary_sum",
-        F.col(s["sum"]).cast("double") if "sum" in s else F.lit(None).cast("double"),
+    qtype = "array<struct<quantile:double,value:double>>"
+    out = (
+        out.withColumn(
+            "summary_count",
+            F.col(s["count"]).cast("bigint") if "count" in s else F.lit(None).cast("bigint"),
+        )
+        .withColumn(
+            "summary_sum",
+            F.col(s["sum"]).cast("double") if "sum" in s else F.lit(None).cast("double"),
+        )
+        .withColumn(
+            "summary_quantile_values",
+            F.col(s["quantiles"]).cast(qtype) if "quantiles" in s else F.lit(None).cast(qtype),
+        )
     )
     if ts_col is not None and ts_col != "ts":
         out = out.withColumnRenamed(ts_col, "ts")

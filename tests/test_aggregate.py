@@ -243,3 +243,24 @@ def test_metrics_as_logs_histogram_arrays(spark):
     assert out["histogram_bucket_counts"] == [3, 7]
     assert out["histogram_explicit_bounds"] == [0.5, 1.0]
     assert out["gauge_value"] is None and out["summary_count"] is None
+
+
+def test_metrics_as_logs_summary_quantiles(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(100, 9.5)], "cnt long, total double").withColumn(
+        "qv",
+        F.array(
+            F.struct(F.lit(0.5).alias("quantile"), F.lit(1.0).alias("value")),
+            F.struct(F.lit(0.99).alias("quantile"), F.lit(4.0).alias("value")),
+        ),
+    )
+    out = agg.metrics_as_logs(
+        df, "Summary", "latency.summary",
+        summary={"count": "cnt", "sum": "total", "quantiles": "qv"},
+    ).collect()[0]
+    assert out["summary_count"] == 100 and out["summary_sum"] == 9.5
+    assert [(q["quantile"], q["value"]) for q in out["summary_quantile_values"]] == [
+        (0.5, 1.0), (0.99, 4.0),
+    ]
+    assert out["metric_type"] == "Summary" and out["gauge_value"] is None
