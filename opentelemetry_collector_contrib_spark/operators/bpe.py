@@ -1,0 +1,143 @@
+"""Distributed BPE merge training (byte-pair encoding vocabulary induction).
+
+A tokenizer-training pipeline need beyond the reference's telemetry
+operators (public method: Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units"). Classic BPE trains on the WORD-FREQUENCY
+dictionary, not the raw corpus: dedup words first (one hash aggregation —
+at 10^12 tokens the distinct-word dict is ~10^8 rows), then per merge round
+count adjacent symbol pairs weighted by word frequency, pick the most
+frequent pair (ties → lexicographically smallest), and rewrite every word.
+
+Engine-portable representation: a word's symbol sequence is a
+delimiter-joined string `\\x1f a \\x1f b \\x1f …` and applying merge (a,b)
+is `replace(s, d+a+d+b+d, d+ab+d)` applied TWICE — replace() in both Spark
+and DuckDB substitutes non-overlapping matches left-to-right and does not
+rescan replacement text, so boundary-sharing occurrences (runs like
+`abab…`) are skipped every other match on the first pass and are isolated
+(both delimiters intact) on the second; two passes reproduce the canonical
+greedy left-to-right sweep exactly (see tests cross-checking a pure-Python
+reference BPE). This makes every round — pair counting, argmax, rewrite —
+expressible identically in SQL, so even this iterative algorithm gets a
+full DuckDB oracle (k rounds unrolled).
+
+Scale design: the word dict persists across rounds; each round is one
+projection (the double replace) + one explode/aggregate shuffle of
+(pairs × distinct words) + a driver collect of exactly ONE row (the argmax).
+k merges = k tiny collects, never data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+DELIM = "\x1f"
+
+
+def _delimited(word_col):
+    """word → d + c1 + d + c2 + … + d (initial symbols = characters)."""
+    return F.concat(F.lit(DELIM), F.regexp_replace(word_col, "(.)", "$1" + DELIM))
+
+
+def _apply_merge(sym_col, a: str, b: str):
+    """Merge (a,b) → ab via the boundary-safe double replace."""
+    pat = F.lit(DELIM + a + DELIM + b + DELIM)
+    rep = F.lit(DELIM + a + b + DELIM)
+    return F.replace(F.replace(sym_col, pat, rep), pat, rep)
+
+
+def _pairs(sym_col):
+    """Adjacent symbol pairs (non-distinct) as 'a<d>b' strings."""
+    toks = F.filter(F.split(sym_col, DELIM), lambda t: t != "")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, F.lit(1), n1),
+        F.slice(toks, F.lit(2), n1),
+        lambda x, y: F.concat(x, F.lit(DELIM), y),
+    )
+
+
+def word_dict(df: DataFrame, text_col: str = "text", lowercase: bool = True) -> DataFrame:
+    """Distinct-word frequency dictionary with the delimited symbol column."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = df.select(F.explode(tokens(t)).alias("word"))
+    wd = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    return wd.withColumn("syms", _delimited(F.col("word")))
+
+
+def bpe_train(
+    df: DataFrame,
+    k_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> list[dict]:
+    """Learn `k_merges` BPE merges; returns [{rank, left, right, merged,
+    pair_count}, …] in learned order. Stops early if no pair remains."""
+    wd = word_dict(df, text_col, lowercase).persist()
+    try:
+        merges: list[dict] = []
+        for rank in range(k_merges):
+            pair_counts = (
+                wd.select(F.explode(_pairs(F.col("syms"))).alias("pair"), "freq")
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            top = pair_counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()
+            if not top:
+                break
+            a, b = top[0]["pair"].split(DELIM)
+            merges.append(
+                {
+                    "rank": rank,
+                    "left": a,
+                    "right": b,
+                    "merged": a + b,
+                    "pair_count": top[0]["cnt"],
+                }
+            )
+            wd2 = wd.withColumn("syms", _apply_merge(F.col("syms"), a, b)).persist()
+            wd.unpersist()
+            wd = wd2
+        return merges
+    finally:
+        wd.unpersist()
+
+
+def bpe_merges_df(df: DataFrame, k_merges: int, text_col: str = "text") -> DataFrame:
+    """bpe_train as a DataFrame (rank, left, right, merged, pair_count)."""
+    spark = df.sparkSession
+    merges = bpe_train(df, k_merges, text_col)
+    schema = "rank int, left string, right string, merged string, pair_count bigint"
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
+        schema,
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize text with a learned merge list: per word, apply every merge
+    in rank order (the double-replace chain compiles into ONE codegen
+    projection — no UDF, scan-speed), then emit the flattened subword
+    sequence."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+
+    def encode_word(w):
+        s = _delimited(w)
+        for m in merges:
+            s = _apply_merge(s, m["left"], m["right"])
+        return F.filter(F.split(s, DELIM), lambda x: x != "")
+
+    words = tokens(t)
+    return df.withColumn(out_col, F.flatten(F.transform(words, encode_word)))

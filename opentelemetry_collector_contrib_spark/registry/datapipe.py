@@ -337,6 +337,23 @@ def q_dsir_weights(spark, sf_dir):
     return out.select("doc_id", "source", "dsir_logweight")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction: 3 merge rounds over the
+    documents word dict. Fully oracle-checked — each round (pair count,
+    argmax with lexicographic tie-break, boundary-safe double-replace
+    rewrite) is expressed identically in DuckDB."""
+    from ..operators.bpe import bpe_merges_df
+
+    out = bpe_merges_df(_docs(spark, sf_dir), 3)
+    return out.select(
+        F.col("rank").alias("merge_rank"),
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+        "pair_count",
+    )
+
+
 def q_curation_pii(spark, sf_dir):
     """PII scrub over text with deterministically injected email/IP/phone/
     SSN shapes (doc_id-derived, so every engine synthesizes identical
@@ -449,6 +466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_repetition": q_curation_repetition,
     "curation_gopher": q_curation_gopher,
     "curation_dsir_weights": q_dsir_weights,
+    "bpe_train_merges": q_bpe_merges,
     "curation_pii_scrub": q_curation_pii,
     "curation_pack": q_curation_pack,
     "curation_mixture": q_curation_mixture,
@@ -554,6 +572,46 @@ SELECT doc_id,
   (dup_line_frac <= 0.30 AND top_bigram_frac <= 0.20
    AND symbol_word_ratio <= 0.10 AND alpha_word_frac >= 0.80) AS gopher_pass
 FROM stats"""
+    )
+
+    # BPE: k=3 merge rounds unrolled; chr(31) is the symbol delimiter and
+    # replace() is applied twice per merge (boundary-safe greedy, see
+    # operators/bpe.py docstring).
+    _d = "chr(31)"
+    bpe_rounds = []
+    for r in range(3):
+        bpe_rounds.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i] || {_d} || toks[i+1])) AS pair
+    FROM (SELECT freq, list_filter(string_split(syms, {_d}), x -> x <> '') AS toks FROM w{r})
+  ) GROUP BY pair),
+m{r} AS (SELECT string_split(pair, {_d})[1] AS a, string_split(pair, {_d})[2] AS b, cnt
+         FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+w{r + 1} AS (
+  SELECT word, freq,
+         replace(replace(syms, {_d}||a||{_d}||b||{_d}, {_d}||a||b||{_d}),
+                 {_d}||a||{_d}||b||{_d}, {_d}||a||b||{_d}) AS syms
+  FROM w{r} CROSS JOIN m{r})"""
+        )
+    o["bpe_train_merges"] = (
+        f"""
+WITH w0 AS (
+  SELECT word, count(*) AS freq,
+         {_d} || regexp_replace(word, '(.)', '\\1' || {_d}, 'g') AS syms
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word),
+"""
+        + ",\n".join(bpe_rounds)
+        + """
+SELECT CAST(0 AS INT) AS merge_rank, a AS lhs, b AS rhs, a||b AS merged, cnt AS pair_count FROM m0
+UNION ALL
+SELECT CAST(1 AS INT), a, b, a||b, cnt FROM m1
+UNION ALL
+SELECT CAST(2 AS INT), a, b, a||b, cnt FROM m2"""
     )
 
     o["curation_dsir_weights"] = r"""

@@ -1,0 +1,92 @@
+"""BPE merge training vs a pure-Python canonical reference.
+
+The reference implementation below is the textbook algorithm (Sennrich et
+al. 2016): word-frequency dict, count adjacent symbol pairs per occurrence,
+merge the most frequent pair (ties lexicographic) with a greedy
+left-to-right sweep, repeat. The distributed trainer must learn the same
+merge list and produce the same tokenization.
+"""
+
+from collections import Counter
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.bpe import (
+    bpe_apply,
+    bpe_merges_df,
+    bpe_train,
+)
+
+
+def _ref_sweep(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts, k):
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            words[w] += 1
+    dic = {w: list(w) for w in words}
+    merges = []
+    for _ in range(k):
+        pairs = Counter()
+        for w, syms in dic.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        dic = {w: _ref_sweep(s, a, b) for w, s in dic.items()}
+    return merges, dic
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "the lowest newest west nest",
+    "abababab aaa banana bandana",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = bpe_train(df, 8)
+    want, _ = _ref_train(CORPUS, 8)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in got] == want
+
+
+def test_bpe_apply_matches_reference_tokenization(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "i long, text string")
+    merges = bpe_train(df, 8)
+    rows = bpe_apply(df, merges).orderBy("i").collect()
+    _, dic = _ref_train(CORPUS, 8)
+    for r in rows:
+        want = [tok for w in CORPUS[r["i"]].lower().split() for tok in dic[w]]
+        assert r["bpe_tokens"] == want
+
+
+def test_bpe_repeat_runs_greedy(spark):
+    # 'aaaa' with merge (a,a) must tokenize [aa, aa]; 'aaa' -> [aa, a]
+    df = spark.createDataFrame([("aaaa aaaa aaa",)], "text string")
+    merges = bpe_train(df, 1)
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    out = bpe_apply(df, merges).collect()[0]["bpe_tokens"]
+    assert out == ["aa", "aa", "aa", "aa", "aa", "a"]
+
+
+def test_bpe_early_stop_single_chars(spark):
+    # corpus of 1-char words has no pairs: zero merges, not an error
+    df = spark.createDataFrame([("a b c a",)], "text string")
+    assert bpe_train(df, 4) == []
+    assert bpe_merges_df(df, 4).count() == 0
