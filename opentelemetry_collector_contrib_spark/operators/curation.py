@@ -483,3 +483,64 @@ def dsir_weights(
     return df.join(
         w.withColumnRenamed("_id", id_col), on=id_col, how="left"
     )
+
+
+def lm_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    score_col: str = "lm_logprob",
+) -> DataFrame:
+    """Corpus-trained bucketed-bigram LM score per document (the CCNet-style
+    perplexity quality signal, with the hashed-bucket LM standing in for a
+    KenLM model — the pluggable-model hook in textstats can mount a real one).
+
+    Train: bigram (prev,cur) token-bucket counts over the corpus with
+    add-one smoothing → conditional log-probs lp[prev][cur]. Score:
+    mean lp over the doc's bigrams (higher = more corpus-typical; perplexity
+    = exp(−score)). Docs with <2 tokens get null (no evidence).
+
+    Same scale shape as dsir_weights: one explode, a B²-row aggregation
+    collected and inlined as a literal decimal array (B=32 → 1024 entries),
+    then one groupBy(doc) — no model join, no UDF. Decimal(18,9)
+    accumulation and driver-side quantization keep both engines bit-equal.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n1),
+        F.slice(toks, F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+    )
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("g")).select(
+        "_id",
+        F.pmod(h60(F.col("g.p")), F.lit(n_buckets)).cast("int").alias("hb"),
+        F.pmod(h60(F.col("g.c")), F.lit(n_buckets)).cast("int").alias("cb"),
+    )
+    counts = {
+        (r["hb"], r["cb"]): r["n"]
+        for r in ex.groupBy("hb", "cb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    row_tot = [0] * n_buckets
+    for (hb, _), n in counts.items():
+        row_tot[hb] += n
+    quantum = Decimal("1e-9")
+    lp = [
+        Decimal(
+            math.log((counts.get((hb, cb), 0) + 1.0) / (row_tot[hb] + n_buckets))
+        ).quantize(quantum, rounding=ROUND_HALF_UP)
+        for hb in range(n_buckets)
+        for cb in range(n_buckets)
+    ]
+    arr = F.array(*[F.lit(v).cast("decimal(18,9)") for v in lp])
+    scores = ex.groupBy("_id").agg(
+        (
+            F.sum(F.element_at(arr, F.col("hb") * n_buckets + F.col("cb") + 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias(score_col)
+    )
+    return df.join(scores.withColumnRenamed("_id", id_col), on=id_col, how="left")

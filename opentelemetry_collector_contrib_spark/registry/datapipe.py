@@ -337,6 +337,14 @@ def q_dsir_weights(spark, sf_dir):
     return out.select("doc_id", "source", "dsir_logweight")
 
 
+def q_lm_quality(spark, sf_dir):
+    """Bucketed-bigram LM quality score (mean conditional logprob per doc)."""
+    from ..operators.curation import lm_quality_score
+
+    out = lm_quality_score(_docs(spark, sf_dir), n_buckets=32)
+    return out.select("doc_id", "lm_logprob")
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary induction: 3 merge rounds over the
     documents word dict. Fully oracle-checked — each round (pair count,
@@ -467,6 +475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_gopher": q_curation_gopher,
     "curation_dsir_weights": q_dsir_weights,
     "bpe_train_merges": q_bpe_merges,
+    "curation_lm_quality": q_lm_quality,
     "curation_pii_scrub": q_curation_pii,
     "curation_pack": q_curation_pack,
     "curation_mixture": q_curation_mixture,
@@ -573,6 +582,26 @@ SELECT doc_id,
    AND symbol_word_ratio <= 0.10 AND alpha_word_frac >= 0.80) AS gopher_pass
 FROM stats"""
     )
+
+    o["curation_lm_quality"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> [CAST('0x' || substr(md5(toks[i]), 1, 15) AS BIGINT) % 32,
+                      CAST('0x' || substr(md5(toks[i+1]), 1, 15) AS BIGINT) % 32])) AS bg
+  FROM d),
+b AS (SELECT doc_id, bg[1] AS hb, bg[2] AS cb FROM g),
+cnts AS (SELECT hb, cb, count(*) AS n FROM b GROUP BY hb, cb),
+tots AS (SELECT hb, sum(n) AS tot FROM cnts GROUP BY hb),
+lp AS (SELECT hb, cb, CAST(round(ln((n + 1.0) / (tot + 32.0)), 9) AS DECIMAL(18,9)) AS lp
+       FROM cnts JOIN tots USING (hb)),
+s AS (SELECT doc_id, CAST(sum(lp) AS DOUBLE) / count(*) AS lm_logprob
+      FROM b JOIN lp USING (hb, cb) GROUP BY doc_id)
+SELECT doc_id, lm_logprob FROM documents LEFT JOIN s USING (doc_id)"""
 
     # BPE: k=3 merge rounds unrolled; chr(31) is the symbol delimiter and
     # replace() is applied twice per merge (boundary-safe greedy, see

@@ -250,3 +250,14 @@ def test_dsir_target_like_docs_weigh_higher(spark):
     again = {r["doc_id"]: r["dsir_logweight"] for r in
              dsir_weights(df, F.col("source") == "tgt", n_buckets=32).collect()}
     assert got == again
+
+
+def test_lm_quality_prefers_corpus_typical_docs(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import lm_quality_score
+
+    rows = [(i, "the spark job reads the table and writes the table") for i in range(8)]
+    rows += [(100, "the spark job reads the table"), (101, "zq xv qqj zzk vvx bbq"), (102, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_logprob"] for r in lm_quality_score(df, n_buckets=16).collect()}
+    assert got[100] > got[101]  # corpus-typical beats gibberish
+    assert got[102] is None  # <2 tokens -> no bigram evidence
