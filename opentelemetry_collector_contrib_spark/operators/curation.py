@@ -544,3 +544,35 @@ def lm_quality_score(
         ).alias(score_col)
     )
     return df.join(scores.withColumnRenamed("_id", id_col), on=id_col, how="left")
+
+
+def train_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split step of a
+    pretraining pipeline. Each row lands in exactly one named split by the
+    same no-RNG hash gate as mixture_sample: h60(salt||key) % 1e6 falls into
+    consecutive integer bands sized by the fractions (insertion order), so
+    the assignment is reproducible across engines, reruns, and appends (a
+    new row never moves an old row's split). Fractions must sum to ≤ 1;
+    any remainder gets null (excluded rows). Pure projection, no shuffle.
+    """
+    total = 0
+    bands: list[tuple[str, int, int]] = []
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+        lo = total
+        total += int(round(frac * 1000000))
+        bands.append((name, lo, total))
+    if total > 1000000:
+        raise ValueError(f"fractions sum to {total / 1e6}, must be <= 1")
+    gate = h60(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))) % 1000000
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(bands):
+        expr = F.when((gate >= lo) & (gate < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

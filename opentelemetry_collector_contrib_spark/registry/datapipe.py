@@ -337,6 +337,14 @@ def q_dsir_weights(spark, sf_dir):
     return out.select("doc_id", "source", "dsir_logweight")
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by hash band."""
+    from ..operators.curation import train_split
+
+    out = train_split(_docs(spark, sf_dir), {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.select("doc_id", "split")
+
+
 def q_lm_quality(spark, sf_dir):
     """Bucketed-bigram LM quality score (mean conditional logprob per doc)."""
     from ..operators.curation import lm_quality_score
@@ -476,6 +484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_dsir_weights": q_dsir_weights,
     "bpe_train_merges": q_bpe_merges,
     "curation_lm_quality": q_lm_quality,
+    "curation_train_split": q_train_split,
     "curation_pii_scrub": q_curation_pii,
     "curation_pack": q_curation_pack,
     "curation_mixture": q_curation_mixture,
@@ -582,6 +591,16 @@ SELECT doc_id,
    AND symbol_word_ratio <= 0.10 AND alpha_word_frac >= 0.80) AS gopher_pass
 FROM stats"""
     )
+
+    o["curation_train_split"] = """
+SELECT doc_id,
+  CASE WHEN g < 900000 THEN 'train'
+       WHEN g < 950000 THEN 'val'
+       WHEN g < 1000000 THEN 'test' END AS split
+FROM (SELECT doc_id,
+        CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 1000000 AS g
+      FROM documents)"""
 
     o["curation_lm_quality"] = r"""
 WITH d AS (

@@ -261,3 +261,34 @@ def test_lm_quality_prefers_corpus_typical_docs(spark):
     got = {r["doc_id"]: r["lm_logprob"] for r in lm_quality_score(df, n_buckets=16).collect()}
     assert got[100] > got[101]  # corpus-typical beats gibberish
     assert got[102] is None  # <2 tokens -> no bigram evidence
+
+
+def test_train_split_partitions_and_is_stable(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import train_split
+
+    df = spark.createDataFrame([(i, "t") for i in range(2000)], "doc_id long, text string")
+    out = train_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}  # fractions cover 100%: no nulls
+    assert sum(len(v) for v in by.values()) == 2000
+    assert 1500 < len(by["train"]) < 1900  # ~80%
+    # appends never move old rows: same assignment on a superset
+    df2 = spark.createDataFrame([(i, "t") for i in range(3000)], "doc_id long, text string")
+    out2 = {r["doc_id"]: r["split"] for r in
+            train_split(df2, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    for name, members in by.items():
+        assert all(out2[d] == name for d in members)
+
+
+def test_train_split_remainder_is_null_and_validates(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.operators.curation import train_split
+
+    df = spark.createDataFrame([(i, "t") for i in range(500)], "doc_id long, text string")
+    out = train_split(df, {"train": 0.5}).collect()
+    assert any(r["split"] is None for r in out)  # 50% remainder excluded
+    with _pytest.raises(ValueError, match="sum"):
+        train_split(df, {"a": 0.7, "b": 0.6})
