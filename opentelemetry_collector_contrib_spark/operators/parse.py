@@ -635,6 +635,130 @@ def otlp_json_logs(df: DataFrame, source: str) -> DataFrame:
     )
 
 
+_OTLP_ATTRS = (
+    "array<struct<key: string, value: struct<stringValue: string,"
+    " intValue: string, doubleValue: double, boolValue: boolean>>>"
+)
+
+OTLP_TRACES_SCHEMA = (
+    "struct<resourceSpans: array<struct<"
+    "resource: struct<attributes: " + _OTLP_ATTRS + ">,"
+    "scopeSpans: array<struct<scope: struct<name: string, version: string>,"
+    "spans: array<struct<traceId: string, spanId: string, parentSpanId: string,"
+    " name: string, kind: int, startTimeUnixNano: string, endTimeUnixNano: string,"
+    " attributes: " + _OTLP_ATTRS + ","
+    " status: struct<code: int, message: string>>>>>>>>"
+)
+
+OTLP_METRICS_SCHEMA = (
+    "struct<resourceMetrics: array<struct<"
+    "resource: struct<attributes: " + _OTLP_ATTRS + ">,"
+    "scopeMetrics: array<struct<scope: struct<name: string, version: string>,"
+    "metrics: array<struct<name: string, unit: string, description: string,"
+    " gauge: struct<dataPoints: array<struct<timeUnixNano: string,"
+    "   asDouble: double, asInt: string, attributes: " + _OTLP_ATTRS + ">>>,"
+    " sum: struct<isMonotonic: boolean, aggregationTemporality: int,"
+    "   dataPoints: array<struct<timeUnixNano: string,"
+    "   asDouble: double, asInt: string, attributes: " + _OTLP_ATTRS + ">>>,"
+    " histogram: struct<aggregationTemporality: int,"
+    "   dataPoints: array<struct<timeUnixNano: string, count: string,"
+    "   sum: double, bucketCounts: array<string>, explicitBounds: array<double>,"
+    "   attributes: " + _OTLP_ATTRS + ">>>>>>>>>>"
+)
+
+
+def _otlp_attrs_or_empty(col: Column) -> Column:
+    return _otlp_attr_map(F.coalesce(col, F.array().cast(_OTLP_ATTRS)))
+
+
+def otlp_json_traces(df: DataFrame, source: str) -> DataFrame:
+    """otlpjsonconnector for traces: OTLP/JSON payload column
+    (`{"resourceSpans":[...]}`) unfolds into one row per span
+    (connector/otlpjsonconnector/traces.go:43-80; envelope gate =
+    factory.go:21's traceRegex — non-matching payloads drop, the
+    connector's error path). Same plan shape as the logs variant:
+    schema'd from_json + three explodes, all columnar."""
+    gated = df.filter(F.col(source).rlike(r'^\{\s*"resourceSpans"\s*:\s*\[')).withColumn(
+        "_otlp", F.from_json(F.col(source), OTLP_TRACES_SCHEMA)
+    )
+    rs = gated.select("*", F.explode(F.col("_otlp")["resourceSpans"]).alias("_rs")).drop("_otlp")
+    ss = rs.select("*", F.explode(F.col("_rs")["scopeSpans"]).alias("_ss"))
+    sp = ss.select("*", F.explode(F.col("_ss")["spans"]).alias("_sp"))
+    return sp.select(
+        *[c for c in df.columns],
+        _otlp_attrs_or_empty(F.col("_rs")["resource"]["attributes"]).alias("resource_attrs"),
+        F.col("_ss")["scope"]["name"].alias("scope_name"),
+        F.col("_sp")["traceId"].alias("trace_id"),
+        F.col("_sp")["spanId"].alias("span_id"),
+        F.col("_sp")["parentSpanId"].alias("parent_span_id"),
+        F.col("_sp")["name"].alias("span_name"),
+        F.col("_sp")["kind"].alias("span_kind"),
+        F.col("_sp")["startTimeUnixNano"].try_cast("long").alias("start_unix_nano"),
+        F.col("_sp")["endTimeUnixNano"].try_cast("long").alias("end_unix_nano"),
+        _otlp_attrs_or_empty(F.col("_sp")["attributes"]).alias("span_attrs"),
+        F.col("_sp")["status"]["code"].alias("status_code"),
+    )
+
+
+def otlp_json_metrics(df: DataFrame, source: str) -> DataFrame:
+    """otlpjsonconnector for metrics: OTLP/JSON payload column
+    (`{"resourceMetrics":[...]}`) unfolds into one row per NumberDataPoint
+    (gauge/sum; int-vs-double preserved via value_int/value_double) and one
+    row per histogram datapoint (count/sum/buckets), `metric_type`
+    discriminating (connector/otlpjsonconnector/metrics.go:43-80)."""
+    gated = df.filter(F.col(source).rlike(r'^\{\s*"resourceMetrics"\s*:\s*\[')).withColumn(
+        "_otlp", F.from_json(F.col(source), OTLP_METRICS_SCHEMA)
+    )
+    rm = gated.select("*", F.explode(F.col("_otlp")["resourceMetrics"]).alias("_rm")).drop("_otlp")
+    sm = rm.select("*", F.explode(F.col("_rm")["scopeMetrics"]).alias("_sm"))
+    mt = sm.select("*", F.explode(F.col("_sm")["metrics"]).alias("_m"))
+    base = [
+        *[c for c in df.columns],
+        _otlp_attrs_or_empty(F.col("_rm")["resource"]["attributes"]).alias("resource_attrs"),
+        F.col("_sm")["scope"]["name"].alias("scope_name"),
+        F.col("_m")["name"].alias("metric_name"),
+        F.col("_m")["unit"].alias("metric_unit"),
+    ]
+    parts = []
+    for mtype in ("gauge", "sum"):
+        dp = mt.filter(F.col("_m")[mtype].isNotNull()).select(
+            "*", F.explode(F.col("_m")[mtype]["dataPoints"]).alias("_dp")
+        )
+        parts.append(
+            dp.select(
+                *base,
+                F.lit(mtype).alias("metric_type"),
+                F.col("_dp")["timeUnixNano"].try_cast("long").alias("time_unix_nano"),
+                F.col("_dp")["asInt"].try_cast("long").alias("value_int"),
+                F.col("_dp")["asDouble"].alias("value_double"),
+                F.lit(None).cast("long").alias("histogram_count"),
+                F.lit(None).cast("double").alias("histogram_sum"),
+                F.lit(None).cast("array<long>").alias("bucket_counts"),
+                F.lit(None).cast("array<double>").alias("explicit_bounds"),
+            )
+        )
+    hdp = mt.filter(F.col("_m")["histogram"].isNotNull()).select(
+        "*", F.explode(F.col("_m")["histogram"]["dataPoints"]).alias("_dp")
+    )
+    parts.append(
+        hdp.select(
+            *base,
+            F.lit("histogram").alias("metric_type"),
+            F.col("_dp")["timeUnixNano"].try_cast("long").alias("time_unix_nano"),
+            F.lit(None).cast("long").alias("value_int"),
+            F.lit(None).cast("double").alias("value_double"),
+            F.col("_dp")["count"].try_cast("long").alias("histogram_count"),
+            F.col("_dp")["sum"].alias("histogram_sum"),
+            F.transform(F.col("_dp")["bucketCounts"], lambda x: x.try_cast("long")).alias("bucket_counts"),
+            F.col("_dp")["explicitBounds"].alias("explicit_bounds"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --- journald input (pkg/stanza/operator/input/journald) ---------------------
 # journalctl -o json export priority -> canonical severity, as the stanza
 # journald input's severity mapping does (input/journald/input.go parses the

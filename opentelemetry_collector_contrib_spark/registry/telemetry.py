@@ -842,6 +842,109 @@ def q_otlpjson_parse(spark, sf_dir):
     )
 
 
+def q_otlpjson_traces(spark, sf_dir):
+    """otlpjsonconnector traces path: OTLP/JSON span payloads → one row per
+    span (traces.go:43-80; envelope gate factory.go:21). Same synthesized-
+    payload + reconstructing-oracle pattern as the logs variant."""
+    from ..operators.parse import otlp_json_traces
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    h = F.md5(did.cast("string"))
+    payload = F.when(did % 13 == 0, F.lit("not otlp")).otherwise(
+        F.concat(
+            F.lit('{"resourceSpans":[{"resource":{"attributes":[{"key":"source","value":{"stringValue":"'),
+            F.col("source"),
+            F.lit('"}}]},"scopeSpans":[{"scope":{"name":"scope'),
+            (did % 3).cast("string"),
+            F.lit('"},"spans":[{"traceId":"'), h,
+            F.lit('","spanId":"'), F.substring(h, 1, 16),
+            F.lit('","parentSpanId":"","name":"op-'),
+            (did % 7).cast("string"),
+            F.lit('","kind":2,"startTimeUnixNano":"'),
+            (did * 1000).cast("string"),
+            F.lit('","endTimeUnixNano":"'),
+            (did * 1000 + 500).cast("string"),
+            F.lit('","attributes":[{"key":"n","value":{"intValue":"'),
+            F.col("n_chars").cast("string"),
+            F.lit('"}}],"status":{"code":'),
+            (did % 3).cast("string"),
+            F.lit("}}]}]}]}"),
+        )
+    )
+    out = otlp_json_traces(docs.select("doc_id", payload.alias("payload")), "payload")
+    return out.select(
+        "doc_id",
+        F.element_at(F.col("resource_attrs"), "source").alias("resource_source"),
+        "scope_name",
+        "trace_id",
+        "span_id",
+        "span_name",
+        "span_kind",
+        "start_unix_nano",
+        "end_unix_nano",
+        F.element_at(F.col("span_attrs"), "n").alias("attr_n"),
+        "status_code",
+    )
+
+
+def q_otlpjson_metrics(spark, sf_dir):
+    """otlpjsonconnector metrics path: one row per datapoint; doc_id%3 picks
+    gauge(asInt) / sum(asDouble) / histogram so every branch of the unfold
+    and the int-vs-double value split is exercised (metrics.go:43-80)."""
+    from ..operators.parse import otlp_json_metrics
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    nstr = F.col("n_chars").cast("string")
+    gauge = F.concat(
+        F.lit('"gauge":{"dataPoints":[{"timeUnixNano":"'),
+        (did * 1000).cast("string"),
+        F.lit('","asInt":"'), nstr, F.lit('"}]}'),
+    )
+    sum_ = F.concat(
+        F.lit('"sum":{"isMonotonic":true,"aggregationTemporality":2,"dataPoints":[{"timeUnixNano":"'),
+        (did * 1000).cast("string"),
+        F.lit('","asDouble":'), nstr, F.lit(".5}]}"),
+    )
+    hist = F.concat(
+        F.lit('"histogram":{"aggregationTemporality":2,"dataPoints":[{"timeUnixNano":"'),
+        (did * 1000).cast("string"),
+        F.lit('","count":"5","sum":'), nstr,
+        F.lit('.5,"bucketCounts":["1","4"],"explicitBounds":[0.5]}]}'),
+    )
+    body = F.when(did % 3 == 0, gauge).when(did % 3 == 1, sum_).otherwise(hist)
+    payload = F.when(did % 13 == 0, F.lit("not otlp")).otherwise(
+        F.concat(
+            F.lit('{"resourceMetrics":[{"resource":{"attributes":[{"key":"source","value":{"stringValue":"'),
+            F.col("source"),
+            F.lit('"}}]},"scopeMetrics":[{"scope":{"name":"scope'),
+            (did % 3).cast("string"),
+            F.lit('"},"metrics":[{"name":"m'),
+            (did % 4).cast("string"),
+            F.lit('","unit":"1",'),
+            body,
+            F.lit("}]}]}]}"),
+        )
+    )
+    out = otlp_json_metrics(docs.select("doc_id", payload.alias("payload")), "payload")
+    return out.select(
+        "doc_id",
+        F.element_at(F.col("resource_attrs"), "source").alias("resource_source"),
+        "scope_name",
+        "metric_name",
+        "metric_unit",
+        "metric_type",
+        "time_unix_nano",
+        "value_int",
+        "value_double",
+        "histogram_count",
+        "histogram_sum",
+        "bucket_counts",
+        "explicit_bounds",
+    )
+
+
 def q_ottl_lambdas(spark, sf_dir):
     """OTTL lambda-expression statements (`(i, v) => body`) compiled to
     Spark HOFs — Filter/MapEach/Any/All/Reduce over the token array of each
@@ -1286,6 +1389,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "severity_http_parse": q_severity_http,
     "filter_match_gate": q_filter_match,
     "otlpjson_parse": q_otlpjson_parse,
+    "otlpjson_traces": q_otlpjson_traces,
+    "otlpjson_metrics": q_otlpjson_metrics,
     "uri_parse_fields": q_uri_parse,
     "csv_parse_fields": q_csv_parse,
     "kv_parse_map": q_kv_parse_map,
@@ -2147,6 +2252,39 @@ SELECT doc_id,
   9 AS severity_number,
   substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 30) AS body,
   CAST(n_chars AS VARCHAR) AS attr_n
+FROM documents
+WHERE doc_id % 13 <> 0"""
+
+    o["otlpjson_traces"] = """
+SELECT doc_id,
+  source AS resource_source,
+  'scope' || CAST(doc_id % 3 AS VARCHAR) AS scope_name,
+  md5(CAST(doc_id AS VARCHAR)) AS trace_id,
+  substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS span_id,
+  'op-' || CAST(doc_id % 7 AS VARCHAR) AS span_name,
+  CAST(2 AS INT) AS span_kind,
+  doc_id * 1000 AS start_unix_nano,
+  doc_id * 1000 + 500 AS end_unix_nano,
+  CAST(n_chars AS VARCHAR) AS attr_n,
+  CAST(doc_id % 3 AS INT) AS status_code
+FROM documents
+WHERE doc_id % 13 <> 0"""
+
+    o["otlpjson_metrics"] = """
+SELECT doc_id,
+  source AS resource_source,
+  'scope' || CAST(doc_id % 3 AS VARCHAR) AS scope_name,
+  'm' || CAST(doc_id % 4 AS VARCHAR) AS metric_name,
+  '1' AS metric_unit,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+       ELSE 'histogram' END AS metric_type,
+  doc_id * 1000 AS time_unix_nano,
+  CASE WHEN doc_id % 3 = 0 THEN n_chars END AS value_int,
+  CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars + 0.5 AS DOUBLE) END AS value_double,
+  CASE WHEN doc_id % 3 = 2 THEN CAST(5 AS BIGINT) END AS histogram_count,
+  CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars + 0.5 AS DOUBLE) END AS histogram_sum,
+  CASE WHEN doc_id % 3 = 2 THEN [CAST(1 AS BIGINT), CAST(4 AS BIGINT)] END AS bucket_counts,
+  CASE WHEN doc_id % 3 = 2 THEN [CAST(0.5 AS DOUBLE)] END AS explicit_bounds
 FROM documents
 WHERE doc_id % 13 <> 0"""
 
