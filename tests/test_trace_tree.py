@@ -308,3 +308,39 @@ def test_cp_very_deep_chain_no_recursion_limit(spark):
     assert got["0"] == (True, 1, depth)
     assert got["2048"] == (True, 1, depth - 2048)
     assert got[str(depth - 1)] == (True, 1, 1)
+
+
+def test_otlp_json_traces_feed_critical_path(spark):
+    # end-to-end: OTLP/JSON payloads -> span rows -> CRISP attribution
+    from opentelemetry_collector_contrib_spark.operators.parse import otlp_json_traces
+    from pyspark.sql import functions as F
+
+    def payload(spans):
+        inner = ",".join(
+            '{"traceId":"t1","spanId":"%s","parentSpanId":"%s","name":"%s",'
+            '"kind":2,"startTimeUnixNano":"%d","endTimeUnixNano":"%d"}'
+            % (sid, parent or "", name, s, e)
+            for sid, parent, name, s, e in spans
+        )
+        return (
+            '{"resourceSpans":[{"resource":{"attributes":[]},'
+            '"scopeSpans":[{"scope":{"name":"sc"},"spans":[' + inner + "]}]}]}"
+        )
+
+    p = payload([("1", None, "root", 1, 101), ("2", "1", "left", 10, 50), ("3", "1", "right", 20, 60)])
+    df = spark.createDataFrame([(p,), ("not otlp",)], "payload string")
+    spans = otlp_json_traces(df, "payload").select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        F.col("span_name").alias("name"),
+        F.lit("client").alias("kind"),
+        F.col("start_unix_nano").alias("start_ns"),
+        F.col("end_unix_nano").alias("end_ns"),
+    )
+    # empty parentSpanId string must read as "no parent" in the tree builder
+    got = {r["span_id"]: (r["on_path"], r["exclusive_ns"], r["inclusive_ns"])
+           for r in critical_path(spans).collect()}
+    assert got["1"] == (True, 60, 100)
+    assert got["2"] == (None, None, None)
+    assert got["3"] == (True, 40, 40)
