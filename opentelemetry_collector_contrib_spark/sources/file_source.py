@@ -130,3 +130,16 @@ def generate_source(
     if static:
         df = df.drop("seq")
     return df
+
+
+def decode_text(df: DataFrame, source: str, charset: str = "UTF-8", out_col: str | None = None) -> DataFrame:
+    """filelog receiver `encoding` option analogue
+    (pkg/stanza/split/splitter + decode.go: the reader decodes each line
+    from the configured charset before parsing). A binary column decodes
+    JVM-side via F.decode — US-ASCII, ISO-8859-1, UTF-8, UTF-16 (BE/LE
+    and BOM'd) are the charsets Spark guarantees, the same core set the
+    stanza lookup table exposes. Pure projection; malformed sequences
+    follow Spark's charset-decoder replacement behavior."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out_col or source, F.decode(F.col(source), charset))

@@ -332,3 +332,17 @@ def test_generate_source_static_and_sequenced(spark):
     assert "seq" not in rows[0].asDict()
     seq = sorted(r["seq"] for r in generate_source(spark, 4, {"body": "x"}, static=False).collect())
     assert seq == [0, 1, 2, 3]
+
+
+def test_decode_text_charsets(spark):
+    from opentelemetry_collector_contrib_spark.sources.file_source import decode_text
+
+    rows = [
+        ("héllo wörld".encode("utf-16-le"), "UTF-16LE"),
+        ("héllo wörld".encode("iso-8859-1"), "ISO-8859-1"),
+        ("héllo wörld".encode("utf-8"), "UTF-8"),
+    ]
+    for raw, charset in rows:
+        df = spark.createDataFrame([(raw,)], "payload binary")
+        out = decode_text(df, "payload", charset, out_col="line").collect()[0]
+        assert out["line"] == "héllo wörld", charset
