@@ -272,13 +272,17 @@ def q_lineitem_pricing(spark, sf_dir):
     log pipeline."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    # money/qty outputs stay DECIMAL(28,6): the input data has <=2 decimal
+    # digits so the rescale is lossless, and the final exact-decimal ->
+    # DOUBLE cast the old version used can differ by 1 ulp between engines
+    # on large sums (observed at sf0.001)
     return (
         li.filter(F.col("l_shipdate").cast("timestamp") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - d("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.sum(d("l_quantity")).cast("decimal(28,6)").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("decimal(28,6)").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - d("l_discount"))).cast("decimal(28,6)").alias("sum_disc_price"),
             # avg as explicit exact-sum / count: engines' avg(decimal)
             # implementations differ (DuckDB goes through doubles)
             F.round(F.sum(d("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
@@ -997,10 +1001,10 @@ FROM s"""
 
     o["lineitem_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_base_price,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(28,6)) AS sum_disc_price,
   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
   count(*) AS count_order
 FROM lineitem
