@@ -8,17 +8,18 @@ at 10^12 tokens the distinct-word dict is ~10^8 rows), then per merge round
 count adjacent symbol pairs weighted by word frequency, pick the most
 frequent pair (ties → lexicographically smallest), and rewrite every word.
 
-Engine-portable representation: a word's symbol sequence is a
-delimiter-joined string `\\x1f a \\x1f b \\x1f …` and applying merge (a,b)
-is `replace(s, d+a+d+b+d, d+ab+d)` applied TWICE — replace() in both Spark
-and DuckDB substitutes non-overlapping matches left-to-right and does not
-rescan replacement text, so boundary-sharing occurrences (runs like
-`abab…`) are skipped every other match on the first pass and are isolated
-(both delimiters intact) on the second; two passes reproduce the canonical
-greedy left-to-right sweep exactly (see tests cross-checking a pure-Python
-reference BPE). This makes every round — pair counting, argmax, rewrite —
-expressible identically in SQL, so even this iterative algorithm gets a
-full DuckDB oracle (k rounds unrolled).
+Engine-portable representation: a word's symbols are joined with DOUBLE
+delimiters and single-delimiter ends (`.a..b..c.` for d = \\x1f), and
+applying merge (a,b) is ONE `replace(s, d+a+dd+b+d, d+ab+d)`. replace() in
+Spark, DuckDB, and Python substitutes non-overlapping matches left-to-right;
+with the doubled separators two adjacent pair-occurrences share no
+characters (each match consumes only the FIRST of the two dots that follow
+its second token), so replace-all IS the canonical greedy left-to-right
+sweep — a hypothesis property test cross-checks it against a reference
+sweep, including odd repeat runs like `aaaaa` where the naive
+single-delimiter encoding mispairs. This makes every round — pair counting,
+argmax, rewrite — expressible identically in SQL, so even this iterative
+algorithm gets a full DuckDB oracle (k rounds unrolled).
 
 Scale design: the word dict persists across rounds; each round is one
 projection (the double replace) + one explode/aggregate shuffle of
@@ -37,15 +38,16 @@ DELIM = "\x1f"
 
 
 def _delimited(word_col):
-    """word → d + c1 + d + c2 + … + d (initial symbols = characters)."""
-    return F.concat(F.lit(DELIM), F.regexp_replace(word_col, "(.)", "$1" + DELIM))
+    """word → d + c1 + dd + c2 + dd + … (initial symbols = characters;
+    doubled separators, so pair matches can never share characters)."""
+    return F.concat(F.lit(DELIM), F.regexp_replace(word_col, "(.)", "$1" + DELIM + DELIM))
 
 
 def _apply_merge(sym_col, a: str, b: str):
-    """Merge (a,b) → ab via the boundary-safe double replace."""
-    pat = F.lit(DELIM + a + DELIM + b + DELIM)
+    """Merge (a,b) → ab: one replace == the greedy left-to-right sweep."""
+    pat = F.lit(DELIM + a + DELIM + DELIM + b + DELIM)
     rep = F.lit(DELIM + a + b + DELIM)
-    return F.replace(F.replace(sym_col, pat, rep), pat, rep)
+    return F.replace(sym_col, pat, rep)
 
 
 def _pairs(sym_col):
@@ -64,8 +66,10 @@ def word_dict(df: DataFrame, text_col: str = "text", lowercase: bool = True) -> 
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
-    words = df.select(F.explode(tokens(t)).alias("word"))
-    wd = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    words = df.select(F.explode(tokens(t)).alias("raw"))
+    # the delimiter byte must never appear inside a token
+    words = words.select(F.replace(F.col("raw"), F.lit(DELIM), F.lit("")).alias("word"))
+    wd = words.filter(F.col("word") != "").groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     return wd.withColumn("syms", _delimited(F.col("word")))
 
 
@@ -134,7 +138,7 @@ def bpe_apply(
         t = F.lower(t)
 
     def encode_word(w):
-        s = _delimited(w)
+        s = _delimited(F.replace(w, F.lit(DELIM), F.lit("")))
         for m in merges:
             s = _apply_merge(s, m["left"], m["right"])
         return F.filter(F.split(s, DELIM), lambda x: x != "")

@@ -626,9 +626,10 @@ s AS (SELECT doc_id, CAST(sum(lp) AS DOUBLE) / count(*) AS lm_logprob
       FROM b JOIN lp USING (hb, cb) GROUP BY doc_id)
 SELECT doc_id, lm_logprob FROM documents LEFT JOIN s USING (doc_id)"""
 
-    # BPE: k=3 merge rounds unrolled; chr(31) is the symbol delimiter and
-    # replace() is applied twice per merge (boundary-safe greedy, see
-    # operators/bpe.py docstring).
+    # BPE: k=3 merge rounds unrolled; chr(31) is the symbol delimiter.
+    # Symbols are joined with DOUBLE delimiters (single at the ends), so
+    # one replace() per merge IS the greedy left-to-right sweep (adjacent
+    # pair matches share no characters — operators/bpe.py docstring).
     _d = "chr(31)"
     bpe_rounds = []
     for r in range(3):
@@ -643,18 +644,18 @@ m{r} AS (SELECT string_split(pair, {_d})[1] AS a, string_split(pair, {_d})[2] AS
          FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
 w{r + 1} AS (
   SELECT word, freq,
-         replace(replace(syms, {_d}||a||{_d}||b||{_d}, {_d}||a||b||{_d}),
-                 {_d}||a||{_d}||b||{_d}, {_d}||a||b||{_d}) AS syms
+         replace(syms, {_d}||a||{_d}||{_d}||b||{_d}, {_d}||a||b||{_d}) AS syms
   FROM w{r} CROSS JOIN m{r})"""
         )
     o["bpe_train_merges"] = (
         f"""
 WITH w0 AS (
   SELECT word, count(*) AS freq,
-         {_d} || regexp_replace(word, '(.)', '\\1' || {_d}, 'g') AS syms
-  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                                  x -> x <> '')) AS word
+         {_d} || regexp_replace(word, '(.)', '\\1' || {_d} || {_d}, 'g') AS syms
+  FROM (SELECT replace(unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  x -> x <> '')), {_d}, '') AS word
         FROM documents)
+  WHERE word <> ''
   GROUP BY word),
 """
         + ",\n".join(bpe_rounds)

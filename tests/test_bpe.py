@@ -90,3 +90,55 @@ def test_bpe_early_stop_single_chars(spark):
     df = spark.createDataFrame([("a b c a",)], "text string")
     assert bpe_train(df, 4) == []
     assert bpe_merges_df(df, 4).count() == 0
+
+
+# --- property: one replace over the double-delimiter encoding == greedy ------
+# Python str.replace, Spark replace(), and DuckDB replace() all substitute
+# non-overlapping matches left-to-right without rescanning replacement text,
+# so proving the equivalence over Python's replace proves it for the engine
+# expressions that bpe_apply and the SQL oracle compile to. (This test found
+# the original single-delimiter double-replace encoding mispairing odd repeat
+# runs — 'aaaaa' merged (0,1),(3,4) instead of greedy (0,1),(2,3).)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+DELIM = "\x1f"
+
+
+def _replace_apply(syms, a, b):
+    s = DELIM + (DELIM + DELIM).join(syms) + DELIM
+    pat = DELIM + a + DELIM + DELIM + b + DELIM
+    rep = DELIM + a + b + DELIM
+    s = s.replace(pat, rep)
+    return [t for t in s.split(DELIM) if t]
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=12),
+    st.integers(min_value=0, max_value=5),
+)
+def test_double_replace_equals_greedy_sweep(chars, n_merges):
+    # apply a deterministic sequence of merges, each defined over the
+    # CURRENT symbol inventory, both ways
+    syms_ref = list(chars)
+    syms_dr = list(chars)
+    for k in range(n_merges):
+        inventory = sorted(set(syms_ref))
+        if not inventory:
+            break
+        a = inventory[k % len(inventory)]
+        b = inventory[(k + 1) % len(inventory)]
+        syms_ref = _ref_sweep(syms_ref, a, b)
+        syms_dr = _replace_apply(syms_dr, a, b)
+        assert syms_dr == syms_ref, (chars, k, a, b)
+
+
+def test_bpe_apply_odd_repeat_run(spark):
+    # 'aaaaa' must pair greedily: [aa, aa, a] — the case the naive
+    # single-delimiter encoding got wrong
+    df = spark.createDataFrame([("aaaaa aaaa",)], "text string")
+    merges = bpe_train(df, 1)
+    out = bpe_apply(df, merges).collect()[0]["bpe_tokens"]
+    assert out == ["aa", "aa", "a", "aa", "aa"]
