@@ -153,3 +153,87 @@ def test_kernel_matches_reference_recursion(trace):
         for r in out.itertuples()
     }
     assert got == expected
+
+
+# --- transactions: optimized kernel vs literal reference port ---------------
+
+
+def _naive_transactions(ids, parents, names, kinds, starts):
+    nodes = {sid: {"id": sid, "children": [], "start": starts[i], "name": names[i], "kind": kinds[i]}
+             for i, sid in enumerate(ids)}
+    roots, has_pid = [], {}
+    for i, sid in enumerate(ids):
+        p = parents[i]
+        has_pid[sid] = p is not None and p != ""
+        if p is None or p == "" or p not in nodes or p == sid:
+            roots.append(nodes[sid])
+        else:
+            nodes[p]["children"].append(nodes[sid])
+    if not roots:
+        return {}
+    explicit = fallback = None
+
+    def better(cur, cand):
+        return (cand["start"], cand["id"]) < (cur["start"], cur["id"])
+
+    for r in roots:
+        if fallback is None or better(fallback, r):
+            fallback = r
+        if not has_pid[r["id"]] and (explicit is None or better(explicit, r)):
+            explicit = r
+    root = explicit if explicit is not None else fallback
+    out = {sid: (None, None) for sid in ids}
+    out[root["id"]] = (root["name"], True)
+
+    def walk(node, tx):  # trasactions.go:46, recursive as in Go
+        for c in node["children"]:
+            if c["kind"] in ("server", "consumer"):
+                out[c["id"]] = (c["name"], True)
+                walk(c, c["name"])
+            else:
+                out[c["id"]] = (tx, None)
+                walk(c, tx)
+
+    walk(root, root["name"])
+    return out
+
+
+@st.composite
+def tx_traces(draw):
+    n = draw(st.integers(min_value=1, max_value=16))
+    ids = [f"s{i}" for i in range(n)]
+    parents, kinds, starts = [], [], []
+    for i in range(n):
+        choice = draw(st.integers(min_value=-2, max_value=max(i - 1, 0)))
+        if choice == -2:
+            parents.append("missing")
+        elif choice == -1 or i == 0:
+            parents.append(None)
+        else:
+            parents.append(f"s{choice}")
+        kinds.append(draw(st.sampled_from(["client", "server", "consumer", "internal"])))
+        starts.append(draw(st.integers(min_value=0, max_value=20)))
+    return ids, parents, kinds, starts
+
+
+@settings(max_examples=300, deadline=None)
+@given(tx_traces())
+def test_transactions_kernel_matches_reference(trace):
+    ids, parents, kinds, starts = trace
+    names = [f"op-{i}" for i in range(len(ids))]
+    expected = _naive_transactions(ids, parents, names, kinds, starts)
+
+    pdf = pd.DataFrame(
+        {
+            "trace_id": ["t"] * len(ids),
+            "span_id": ids,
+            "parent_span_id": parents,
+            "name": names,
+            "kind": kinds,
+            "start_ns": starts,
+            "end_ns": [s + 1 for s in starts],
+        }
+    )
+    out = _process_frame(pdf, "trace_id", ("transactions",))
+    got = {r.span_id: (r.transaction, r.transaction_root) for r in out.itertuples()}
+    assert got == expected
