@@ -141,3 +141,76 @@ def read_snapshot(spark: SparkSession, table_path: str, as_of: str | None = None
     if snap is None or not snap["files"]:
         raise ValueError(f"snapshot table {table_path!r} is empty")
     return spark.read.parquet(*snap["files"])
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_records_per_file: int = 1_000_000,
+) -> str:
+    """Small-files compaction — the Iceberg `rewrite_data_files` maintenance
+    action. Streaming/micro-batch sinks accumulate many small parquet files;
+    at 100 TB that inflates scan planning and footer I/O. This resolves the
+    CURRENT snapshot, rewrites its rows into ceil(rows/target) right-sized
+    files, and commits a `replace` snapshot referencing only the new files.
+
+    Concurrency: the commit is published with compare-and-swap against the
+    RESOLVED snapshot's sequence, so an append that lands mid-compaction
+    makes the compaction lose with CommitConflict (retry) instead of
+    silently dropping the appended files — Iceberg's validation rule.
+    History is untouched: pre-compaction snapshots still time-travel until
+    `expire_snapshots` removes them."""
+    store = SnapshotStore(table_path)
+    snaps = store._load()  # noqa: SLF001 — same-module maintenance op
+    if not snaps or not snaps[-1]["files"]:
+        raise ValueError(f"snapshot table {table_path!r} is empty")
+    resolved = snaps[-1]
+    df = spark.read.parquet(*resolved["files"])
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // int(target_records_per_file)))
+    commit_dir = os.path.join(table_path, "data", f"commit-{uuid.uuid4().hex}")
+    df.repartition(n_files).write.mode("error").parquet(commit_dir)
+    files = sorted(
+        os.path.join(commit_dir, f) for f in os.listdir(commit_dir) if f.endswith(".parquet")
+    )
+    snap = {
+        "snapshot_id": uuid.uuid4().hex,
+        "parent_id": resolved["snapshot_id"],
+        "sequence": resolved["sequence"] + 1,
+        "operation": "replace",
+        "files": files,
+        "ts": time.time(),
+        "summary": {
+            "compacted_from": len(resolved["files"]),
+            "compacted_to": len(files),
+            "rows": n_rows,
+        },
+    }
+    store._publish(snaps + [snap], expected_seq=resolved["sequence"])  # noqa: SLF001
+    return snap["snapshot_id"]
+
+
+def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
+    """Iceberg `expire_snapshots` + orphan-file cleanup: keep the most
+    recent `keep_last` snapshots, delete data files referenced ONLY by
+    expired ones, and rewrite the metadata to the kept history. Time travel
+    to expired snapshots is gone by design; the current snapshot and its
+    files are never touched."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    store = SnapshotStore(table_path)
+    snaps = store._load()  # noqa: SLF001
+    if len(snaps) <= keep_last:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    live = {f for s in kept for f in s["files"]}
+    doomed = {f for s in expired for f in s["files"]} - live
+    deleted = 0
+    for f in sorted(doomed):
+        try:
+            os.remove(f)
+            deleted += 1
+        except FileNotFoundError:
+            pass
+    store._publish(kept, expected_seq=snaps[-1]["sequence"])  # noqa: SLF001
+    return {"expired_snapshots": len(expired), "deleted_files": deleted}

@@ -67,3 +67,68 @@ def test_reader_isolated_from_later_commits(spark, tmp_path):
     df = read_snapshot(spark, tbl)          # resolves the file list NOW
     write_snapshot(_df(spark, 0, 100), tbl, mode="overwrite")
     assert df.count() == 4                  # unaffected by the overwrite
+
+
+def test_compact_merges_small_files_preserving_data_and_history(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import compact_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):  # 4 append commits -> many small files
+        write_snapshot(_df(spark, 10 * i, 10 * i + 10).repartition(3), tbl)
+    store = SnapshotStore(tbl)
+    pre = store.current()
+    assert len(pre["files"]) >= 8
+    sid = compact_snapshot(spark, tbl, target_records_per_file=20)
+    cur = store.current()
+    assert cur["snapshot_id"] == sid and cur["operation"] == "replace"
+    assert len(cur["files"]) == 2  # 40 rows / 20 per file
+    assert sorted(r["id"] for r in read_snapshot(spark, tbl).collect()) == list(range(40))
+    # pre-compaction snapshot still time-travels (files not deleted yet)
+    assert read_snapshot(spark, tbl, as_of=pre["snapshot_id"]).count() == 40
+
+
+def test_compact_loses_to_racing_append(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import compact_snapshot
+    from opentelemetry_collector_contrib_spark.plans import snapshots as snapmod
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 6).repartition(3), tbl)
+
+    # an append lands between snapshot resolution and publish
+    orig = SnapshotStore._publish
+    def racing_publish(self, snaps, expected_seq):
+        if snaps[-1]["operation"] == "replace" and not getattr(self, "_raced", False):
+            self._raced = True
+            write_snapshot(_df(spark, 100, 103), self.table_path)
+        return orig(self, snaps, expected_seq)
+
+    snapmod.SnapshotStore._publish = racing_publish
+    try:
+        with pytest.raises(CommitConflict):
+            compact_snapshot(spark, tbl, target_records_per_file=100)
+    finally:
+        snapmod.SnapshotStore._publish = orig
+    # the racing append's rows survived
+    assert read_snapshot(spark, tbl).count() == 9
+
+
+def test_expire_snapshots_deletes_only_orphaned_files(spark, tmp_path):
+    import os as _os
+
+    from opentelemetry_collector_contrib_spark.plans.snapshots import (
+        compact_snapshot,
+        expire_snapshots,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10).repartition(4), tbl)
+    store = SnapshotStore(tbl)
+    old = store.current()
+    compact_snapshot(spark, tbl, target_records_per_file=10)
+    res = expire_snapshots(tbl, keep_last=1)
+    assert res["expired_snapshots"] == 1 and res["deleted_files"] >= 4
+    assert all(not _os.path.exists(f) for f in old["files"])
+    # current snapshot untouched and readable
+    assert read_snapshot(spark, tbl).count() == 10
+    with pytest.raises(KeyError):
+        store.snapshot(old["snapshot_id"])
