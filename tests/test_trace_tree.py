@@ -344,3 +344,22 @@ def test_otlp_json_traces_feed_critical_path(spark):
     assert got["1"] == (True, 60, 100)
     assert got["2"] == (None, None, None)
     assert got["3"] == (True, 40, 40)
+
+
+def test_kernel_buffers_batch_straddling_traces(spark):
+    # force tiny Arrow batches so one trace spans several mapInPandas
+    # batches; the generator must buffer and reassemble it exactly
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        n = 23
+        rows = [_span("root", 0, 1000 * n + 900, 0, None, trace="big")]
+        rows += [_span(f"c{i}", 1000 * i, 1000 * i + 800, i, 0, trace="big") for i in range(1, n + 1)]
+        rows += [_span("solo", 0, 50, 1, None, trace="tiny")]
+        out = critical_path(_df(spark, rows)).collect()
+        got = {(r["trace_id"], r["span_id"]): r["exclusive_ns"] for r in out}
+        assert got[("big", "0")] == 1000 + 200 * (n - 1) + 100
+        assert got[("big", str(n))] == 800 and got[("big", "1")] == 800
+        assert got[("tiny", "1")] == 50
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
