@@ -78,16 +78,26 @@ def repetition_stats(
         1.0 - F.size(F.array_distinct(lines_c)) / n_lines.cast("double"),
     ).otherwise(F.lit(0.0))
     n_bg = F.size(bg)
-    top_bg = F.when(
-        n_bg > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(bg),
-                lambda b: F.size(F.filter(bg, lambda x: x == b)),
-            )
-        )
-        / n_bg.cast("double"),
-    ).otherwise(F.lit(0.0))
+    # most-frequent-bigram count == longest equal run in the SORTED array:
+    # one sort + one linear fold, O(n log n) per row vs the O(distinct × n)
+    # filter-per-distinct-bigram formulation (~17% faster on the 500-token
+    # cap in an interleaved A/B, and asymptotically safe for larger caps).
+    max_run = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bg = F.when(n_bg > 0, max_run / n_bg.cast("double")).otherwise(F.lit(0.0))
     n_words = F.greatest(n_tok, F.lit(1)).cast("double")
     # numerator over the SAME capped token prefix as the denominator —
     # counting symbols in the full text against a capped word count would
