@@ -8,8 +8,8 @@ at 10^12 tokens the distinct-word dict is ~10^8 rows), then per merge round
 count adjacent symbol pairs weighted by word frequency, pick the most
 frequent pair (ties → lexicographically smallest), and rewrite every word.
 
-Engine-portable representation: a word's symbols are joined with DOUBLE
-delimiters and single-delimiter ends (`.a..b..c.` for d = \\x1f), and
+Engine-portable representation: a word is a leading delimiter plus each
+symbol followed by a DOUBLE delimiter (`.a..b..c..` for d = \\x1f), and
 applying merge (a,b) is ONE `replace(s, d+a+dd+b+d, d+ab+d)`. replace() in
 Spark, DuckDB, and Python substitutes non-overlapping matches left-to-right;
 with the doubled separators two adjacent pair-occurrences share no

@@ -571,16 +571,22 @@ def train_split(
     new row never moves an old row's split). Fractions must sum to ≤ 1;
     any remainder gets null (excluded rows). Pure projection, no shuffle.
     """
-    total = 0
+    # Boundaries are rounded CUMULATIVELY (not per-increment) so float sums
+    # like six 1/6ths — whose rounded increments would total 1,000,002 —
+    # can't be falsely rejected; each band still gets within 1 ppm of its
+    # asked-for fraction.
+    fsum = 0.0
+    prev = 0
     bands: list[tuple[str, int, int]] = []
     for name, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
-        lo = total
-        total += int(round(frac * 1000000))
-        bands.append((name, lo, total))
-    if total > 1000000:
-        raise ValueError(f"fractions sum to {total / 1e6}, must be <= 1")
+        fsum += frac
+        hi = min(int(round(fsum * 1000000)), 1000000)
+        bands.append((name, prev, hi))
+        prev = hi
+    if fsum > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {fsum}, must be <= 1")
     gate = h60(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))) % 1000000
     expr = F.lit(None).cast("string")
     for name, lo, hi in reversed(bands):

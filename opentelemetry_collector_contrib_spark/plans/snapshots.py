@@ -114,6 +114,16 @@ class SnapshotStore:
         return snap["snapshot_id"]
 
 
+def _drop_commit_dir(commit_dir: str) -> None:
+    """Remove a commit directory whose publish lost the CAS race. The files
+    are referenced by no snapshot (the commit never happened), so deleting
+    them here is what keeps retried commits from stranding a table copy on
+    disk — Iceberg's writers do the same cleanup when a commit fails."""
+    import shutil
+
+    shutil.rmtree(commit_dir, ignore_errors=True)
+
+
 def write_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> str:
     """Commit `df` to the snapshot table. Data lands in a fresh immutable
     commit directory (never overwritten); `mode='append'` unions with the
@@ -129,7 +139,11 @@ def write_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> str:
         for f in os.listdir(commit_dir)
         if f.endswith(".parquet")
     )
-    return store.commit_files(files, operation=mode, summary={"added_files": len(files)})
+    try:
+        return store.commit_files(files, operation=mode, summary={"added_files": len(files)})
+    except CommitConflict:
+        _drop_commit_dir(commit_dir)
+        raise
 
 
 def read_snapshot(spark: SparkSession, table_path: str, as_of: str | None = None) -> DataFrame:
@@ -186,14 +200,19 @@ def compact_snapshot(
             "rows": n_rows,
         },
     }
-    store._publish(snaps + [snap], expected_seq=resolved["sequence"])  # noqa: SLF001
+    try:
+        store._publish(snaps + [snap], expected_seq=resolved["sequence"])  # noqa: SLF001
+    except CommitConflict:
+        _drop_commit_dir(commit_dir)
+        raise
     return snap["snapshot_id"]
 
 
 def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
-    """Iceberg `expire_snapshots` + orphan-file cleanup: keep the most
-    recent `keep_last` snapshots, delete data files referenced ONLY by
-    expired ones, and rewrite the metadata to the kept history. Time travel
+    """Iceberg `expire_snapshots`: keep the most recent `keep_last`
+    snapshots, rewrite the metadata to the kept history, then delete data
+    files referenced ONLY by expired ones (failed-commit orphans never
+    reach a snapshot — their writers reclaim them on conflict). Time travel
     to expired snapshots is gone by design; the current snapshot and its
     files are never touched."""
     if keep_last < 1:
@@ -205,6 +224,11 @@ def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
     kept, expired = snaps[-keep_last:], snaps[:-keep_last]
     live = {f for s in kept for f in s["files"]}
     doomed = {f for s in expired for f in s["files"]} - live
+    # Commit the trimmed metadata FIRST (Iceberg's ordering): if a concurrent
+    # writer advanced the table, the CAS raises before anything is deleted,
+    # and no published snapshot can ever reference a removed file. Only after
+    # the kept history is durable do the now-unreferenced files go.
+    store._publish(kept, expected_seq=snaps[-1]["sequence"])  # noqa: SLF001
     deleted = 0
     for f in sorted(doomed):
         try:
@@ -212,5 +236,4 @@ def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
             deleted += 1
         except FileNotFoundError:
             pass
-    store._publish(kept, expected_seq=snaps[-1]["sequence"])  # noqa: SLF001
     return {"expired_snapshots": len(expired), "deleted_files": deleted}

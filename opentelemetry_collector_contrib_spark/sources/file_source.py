@@ -140,6 +140,4 @@ def decode_text(df: DataFrame, source: str, charset: str = "UTF-8", out_col: str
     and BOM'd) are the charsets Spark guarantees, the same core set the
     stanza lookup table exposes. Pure projection; malformed sequences
     follow Spark's charset-decoder replacement behavior."""
-    from pyspark.sql import functions as F
-
     return df.withColumn(out_col or source, F.decode(F.col(source), charset))

@@ -107,7 +107,10 @@ DELIM = "\x1f"
 
 
 def _replace_apply(syms, a, b):
-    s = DELIM + (DELIM + DELIM).join(syms) + DELIM
+    # EXACTLY the production encoding (_delimited): leading DELIM, every
+    # symbol followed by a DOUBLE delimiter — '.a..b..c..' — so this
+    # cross-check runs against the string shape bpe_apply actually builds.
+    s = DELIM + "".join(sym + DELIM + DELIM for sym in syms)
     pat = DELIM + a + DELIM + DELIM + b + DELIM
     rep = DELIM + a + b + DELIM
     s = s.replace(pat, rep)

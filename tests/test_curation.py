@@ -292,3 +292,15 @@ def test_train_split_remainder_is_null_and_validates(spark):
     assert any(r["split"] is None for r in out)  # 50% remainder excluded
     with _pytest.raises(ValueError, match="sum"):
         train_split(df, {"a": 0.7, "b": 0.6})
+
+
+def test_train_split_accepts_fractions_that_sum_to_one_in_floats(spark):
+    """Six 1/6ths sum to 0.999... in floats but their per-increment roundings
+    total 1,000,002 — cumulative boundary rounding must accept this and
+    cover the whole hash space with no null remainder."""
+    from opentelemetry_collector_contrib_spark.operators.curation import train_split
+
+    df = spark.createDataFrame([(i, "t") for i in range(600)], "doc_id long, text string")
+    out = train_split(df, {f"s{i}": 1 / 6 for i in range(6)}).collect()
+    assert all(r["split"] is not None for r in out)
+    assert {r["split"] for r in out} <= {f"s{i}" for i in range(6)}

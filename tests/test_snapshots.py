@@ -132,3 +132,78 @@ def test_expire_snapshots_deletes_only_orphaned_files(spark, tmp_path):
     assert read_snapshot(spark, tbl).count() == 10
     with pytest.raises(KeyError):
         store.snapshot(old["snapshot_id"])
+
+
+def test_losing_compaction_reclaims_its_commit_dir(spark, tmp_path):
+    """A compaction that loses the CAS race must not strand its rewritten
+    files: they are referenced by no snapshot, so the writer deletes them."""
+    import os as _os
+
+    from opentelemetry_collector_contrib_spark.plans import snapshots as snapmod
+    from opentelemetry_collector_contrib_spark.plans.snapshots import compact_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 6).repartition(3), tbl)
+
+    orig = SnapshotStore._publish
+    def racing_publish(self, snaps, expected_seq):
+        if snaps[-1]["operation"] == "replace" and not getattr(self, "_raced", False):
+            self._raced = True
+            write_snapshot(_df(spark, 100, 103), self.table_path)
+        return orig(self, snaps, expected_seq)
+
+    snapmod.SnapshotStore._publish = racing_publish
+    try:
+        with pytest.raises(CommitConflict):
+            compact_snapshot(spark, tbl, target_records_per_file=100)
+    finally:
+        snapmod.SnapshotStore._publish = orig
+
+    # every on-disk data file is referenced by some snapshot — no orphans
+    store = SnapshotStore(tbl)
+    referenced = {f for s in store.snapshots() for f in s["files"]}
+    data_root = _os.path.join(tbl, "data")
+    on_disk = {
+        _os.path.join(root, f)
+        for root, _, fs in _os.walk(data_root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == referenced
+
+
+def test_expire_publishes_before_deleting(spark, tmp_path):
+    """If the trimmed-metadata publish loses a CAS race, expire must delete
+    NOTHING — published metadata may never reference deleted files."""
+    import os as _os
+
+    from opentelemetry_collector_contrib_spark.plans import snapshots as snapmod
+    from opentelemetry_collector_contrib_spark.plans.snapshots import (
+        compact_snapshot,
+        expire_snapshots,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10).repartition(4), tbl)
+    store = SnapshotStore(tbl)
+    old = store.current()
+    compact_snapshot(spark, tbl, target_records_per_file=10)
+
+    orig = SnapshotStore._publish
+    raced = []
+    def racing_publish(self, snaps, expected_seq):
+        if not raced:
+            raced.append(True)
+            write_snapshot(_df(spark, 100, 103), self.table_path)
+        return orig(self, snaps, expected_seq)
+
+    snapmod.SnapshotStore._publish = racing_publish
+    try:
+        with pytest.raises(CommitConflict):
+            expire_snapshots(tbl, keep_last=1)
+    finally:
+        snapmod.SnapshotStore._publish = orig
+
+    # nothing was deleted: the expired-candidate snapshot still time-travels
+    assert all(_os.path.exists(f) for f in old["files"])
+    assert read_snapshot(spark, tbl, as_of=old["snapshot_id"]).count() == 10
