@@ -1,0 +1,141 @@
+"""Plan-regression guards: the physical plans of the headline queries must
+keep the shapes the PLANS.md audits signed off on. A correctness-preserving
+edit that re-introduces a scale anti-pattern (nested-loop join, cartesian
+product, an extra shuffle, losing the broadcast on a dim join, losing
+parquet filter pushdown) passes every value-based oracle at sf0.01 but
+melts at 100 TB — these tests fail it in CI instead.
+
+Plans are inspected at sf0.001 (plan shape is scale-invariant; only the
+statistics-driven broadcast choices matter, and the dims are tiny at every
+scale)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def tree_of(plan: str) -> str:
+    """The node-tree section of a formatted explain (before the per-node
+    details), so node-name counts aren't inflated by detail references."""
+    return plan.split("\n\n", 1)[0]
+
+
+def n_exchanges(plan: str) -> int:
+    # AQE reuse shows as ShuffleQueryStage/AQEShuffleRead; count the
+    # Exchange operators themselves in the tree section.
+    return len(re.findall(r"\bExchange\b", tree_of(plan)))
+
+
+def _query(name):
+    import __spark_entry__ as entry
+
+    return entry.queries()[name]
+
+
+# every headline query must be free of the two at-scale killers
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+HEADLINERS = [
+    "pipeline_routed",
+    "agg_per_conv_salted",
+    "agg_per_tool",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs_bucketed",
+    "sim_topk_ivf",
+    "events_asof_enrich",
+    "curation_e2e",
+    "service_graph_edges",
+    "drain_templates",
+    "text_chunks",
+]
+
+
+@pytest.mark.parametrize("name", HEADLINERS)
+def test_no_nested_loop_or_cartesian(spark, name):
+    plan = plan_of(_query(name)(spark, SF))
+    for node in FORBIDDEN:
+        assert node not in plan, f"{name}: {node} in physical plan"
+
+
+def test_pipeline_dims_are_broadcast(spark):
+    """The enrich stage joins two small dims; both must be broadcast hash
+    joins (dims ship once per executor) with NO shuffle on the fact side —
+    the single exchange in the plan feeds the stable-order window."""
+    plan = plan_of(_query("pipeline_routed")(spark, SF))
+    assert len(re.findall(r"BroadcastHashJoin", tree_of(plan))) >= 2
+    assert "SortMergeJoin" not in plan
+    assert n_exchanges(plan) <= 1, plan[:2000]
+
+
+def test_salted_agg_shuffles_at_most_twice(spark):
+    """Two-phase salted aggregation: partial agg on (key, salt) then final
+    on key — two exchanges max, nothing quadratic."""
+    plan = plan_of(_query("agg_per_conv_salted")(spark, SF))
+    assert n_exchanges(plan) <= 2, plan[:2000]
+
+
+def test_minhash_lsh_is_equi_join(spark):
+    """LSH candidate generation must be a shuffled EQUI-join on the band
+    bucket (SortMergeJoin/ShuffledHashJoin are both fine shapes), never a
+    nested loop over all pairs."""
+    plan = plan_of(_query("dedup_minhash_lsh_pairs")(spark, SF))
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", tree_of(plan))
+
+
+def test_ivf_assignment_has_no_join(spark):
+    """IVF cell assignment is an inlined-centroid projection: the only joins
+    in sim_topk_ivf are the candidate equi-join on cell (+ the query-side
+    cell attach) — no join per centroid, no nested loop."""
+    plan = plan_of(_query("sim_topk_ivf")(spark, SF))
+    tree = tree_of(plan)
+    joins = len(re.findall(r"Join", tree))
+    assert joins <= 3, f"expected <=3 join nodes, got {joins}:\n{tree}"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """A filtered scan must push predicates into the parquet reader
+    (PushedFilters non-empty) and prune columns (ReadSchema ⊂ full table)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "event_type")
+    )
+    plan = plan_of(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no pushed filters:\n{plan}"
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and len(rs.group(1).split(",")) <= 3, "column pruning lost"
+
+
+def test_pipeline_parse_stays_in_wholestage_codegen(spark):
+    """The parse/enrich/route projections must sit inside WholeStageCodegen
+    spans — a per-row Python UDF sneaking into the hot path would appear as
+    BatchEvalPython / ArrowEvalPython nodes."""
+    plan = plan_of(_query("pipeline_routed")(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # AQE wraps the plan in AdaptiveSparkPlan, which hides codegen spans
+    # until execution — toggle it off to inspect the static codegen plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cg = plan_of(_query("pipeline_routed")(spark, SF), mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+    assert m and int(m.group(1)) >= 1, cg[:500]
