@@ -176,6 +176,32 @@ def minhash_lsh_candidates(
     )
 
 
+def _verify_candidates(
+    cands: DataFrame, sh_left: DataFrame, sh_right: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (doc_a, doc_b):
+    intersection from an equi-join of the two shingle tables restricted to
+    the candidates, sizes from each side's own table. `sh_left` must cover
+    every doc_a, `sh_right` every doc_b (they may be the same table)."""
+    a = sh_left.withColumnRenamed("doc", "doc_a")
+    b = sh_right.withColumnRenamed("doc", "doc_b")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes_a = sh_left.groupBy("doc").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_b = sh_right.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        inter.join(sizes_a.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .join(sizes_b.withColumnRenamed("doc", "doc_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -189,22 +215,110 @@ def minhash_lsh_dedup_pairs(
     cheap recall stage, exact precision stage)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, n, bands, rows)
     sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.withColumnRenamed("doc", "doc_a")
-    b = sh.withColumnRenamed("doc", "doc_b")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    return _verify_candidates(cands, sh, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# incremental keep-first near-dedup (batched corpus growth)
+# ---------------------------------------------------------------------------
+
+
+def minhash_dedup_state(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, bands: int = 4, rows: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """The at-rest index an incremental dedup maintains for a batch:
+    (buckets, shingles). `buckets` = (doc, band, bucket) LSH rows for the
+    candidate equi-join; `shingles` = (doc, shingle) for the exact-Jaccard
+    verify. Both are per-doc (MinHash signatures don't depend on the rest
+    of the corpus), so state for a new batch never touches old rows —
+    append-only, snapshot-committable (plans/snapshots.py)."""
+    bk = lsh_buckets(minhash_signatures(df, id_col, text_col, n, bands, rows), bands, rows)
+    sh = shingle_table(df, id_col, text_col, n)
+    return bk, sh
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep-first near-dedup: a doc survives iff NO earlier doc (smaller id)
+    is an LSH candidate with verified Jaccard >= threshold.
+
+    This is the semantic that stays computable when the corpus grows in
+    batches: a later arrival can never revoke an earlier keep decision.
+    (The connected-components keep set — dup_clusters — can't do that: a
+    late doc bridging two clusters retroactively merges them.) Keep-first
+    is what production crawl pipelines run; CC is the offline compaction."""
+    pairs = minhash_lsh_dedup_pairs(df, id_col, text_col, n, bands, rows, threshold)
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
+def dedup_keep_first_incremental(
+    batch: DataFrame,
+    state: tuple[DataFrame, DataFrame] | None,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
+    """One arrival batch of documents deduped against the accumulated corpus
+    WITHOUT rescanning it — the operation a 100 TB crawl pipeline runs when
+    a new dump lands. Returns (novel_rows, new_state).
+
+    `state` is (buckets, shingles) over ALL previously seen docs — kept AND
+    dropped. Dropped docs stay in the index as tombstones: a newcomer that
+    matches only a dropped doc still drops, which is exactly what makes
+    batched processing equal the one-shot keep-first rule. Given batches
+    that arrive in ascending `id_col` order, the union of novel rows across
+    batches is IDENTICAL to dedup_keep_first over the whole corpus (oracle
+    query `dedup_keep_first_incremental`; agreement + chain-tombstone tests
+    in tests/test_datapipe.py).
+
+    Scale: per batch, work is O(batch) index build + equi-joins against the
+    state on (band, bucket) and (doc, shingle) — never a rescan of corpus
+    text. State grows append-only; both joins are shuffle equi-joins whose
+    state side is partitioned once and reused (bucketing/partitionBy on the
+    stored parquet at production scale)."""
+    bk_new, sh_new = minhash_dedup_state(batch, id_col, text_col, n, bands, rows)
+
+    # within-batch: earlier id drops later id (same rule as the one-shot)
+    a, b = bk_new.alias("a"), bk_new.alias("b")
+    within = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    dropped = _verify_candidates(within, sh_new, sh_new, threshold).select("doc_b")
+
+    if state is not None:
+        bk_hist, sh_hist = state
+        # vs history: every previously seen doc precedes every batch doc
+        cross = (
+            bk_hist.alias("h")
+            .join(bk_new.alias("n"), on=["band", "bucket"])
+            .select(F.col("h.doc").alias("doc_a"), F.col("n.doc").alias("doc_b"))
+            .distinct()
+        )
+        dropped = dropped.unionByName(
+            _verify_candidates(cross, sh_hist, sh_new, threshold).select("doc_b")
+        )
+        new_state = (bk_hist.unionByName(bk_new), sh_hist.unionByName(sh_new))
+    else:
+        new_state = (bk_new, sh_new)
+
+    novel = batch.join(
+        dropped.distinct().withColumnRenamed("doc_b", id_col), on=id_col, how="left_anti"
     )
+    return novel, new_state
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,44 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_dedup_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.4)
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """Keep-first near-dedup: doc survives iff no smaller-id doc is an LSH
+    candidate with verified Jaccard >= 0.4 (operators/dedup.py
+    dedup_keep_first)."""
+    from ..operators.dedup import dedup_keep_first
+
+    return dedup_keep_first(_docs(spark, sf_dir), "doc_id", threshold=0.4).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_dedup_keep_first_incremental(spark, sf_dir):
+    """The same keep-first rule computed INCREMENTALLY: the corpus arrives
+    as three id-ordered batches, each deduped against the accumulated
+    (buckets, shingles) state — never rescanning earlier batches' text.
+    The oracle is the one-shot full-corpus rule; equality IS the
+    incremental-equals-batch claim."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import dedup_keep_first_incremental
+
+    docs = _docs(spark, sf_dir)
+    batches = [
+        docs.filter(F.col("doc_id") < 150),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 350)),
+        docs.filter(F.col("doc_id") >= 350),
+    ]
+    state = None
+    novel = []
+    for b in batches:
+        nv, state = dedup_keep_first_incremental(b, state, "doc_id", threshold=0.4)
+        novel.append(nv.select("doc_id", "source", "n_chars"))
+    out = novel[0]
+    for nv in novel[1:]:
+        out = out.unionByName(nv)
+    return out
+
+
 def q_simhash_pairs(spark, sf_dir):
     from ..operators.dedup import simhash_pairs
 
@@ -507,6 +545,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_keep_first": q_dedup_keep_first,
+    "dedup_keep_first_incremental": q_dedup_keep_first_incremental,
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_embedding_pairs": q_embedding_dup_pairs,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_pairs_bucketed,
@@ -969,6 +1009,38 @@ JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4"""
     )
+
+    # keep-first rule: doc survives iff no smaller-id doc is a band-collision
+    # candidate with verified Jaccard >= 0.4. Both the one-shot operator and
+    # the 3-batch incremental path must produce exactly this set — the shared
+    # oracle is what certifies incremental == batch.
+    _keep_first_sql = (
+        _SHINGLE_CTE
+        + ",\n"
+        + _minhash_sig_sql()
+        + ",\n"
+        + _lsh_bucket_sql()
+        + """,
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.doc < b.doc),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shing a ON a.doc = c.doc_a
+  JOIN shing b ON b.doc = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+dropped AS (
+  SELECT DISTINCT doc_b FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4)
+SELECT d.doc_id, d.source, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped)"""
+    )
+    o["dedup_keep_first"] = _keep_first_sql
+    o["dedup_keep_first_incremental"] = _keep_first_sql
 
     vote_cols = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(60)

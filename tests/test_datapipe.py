@@ -443,3 +443,93 @@ def test_corpus_summary_dup_fraction(spark):
     assert out["a"]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert out["a"]["n_tokens"] == 2 + 2 + 3
     assert out["b"]["dup_frac"] == 0.0
+
+
+# --- incremental keep-first dedup -------------------------------------------
+
+
+def _chain_docs(spark):
+    """A ~ B (J=.565), B ~ C (J=.565), A !~ C (J=.286) at threshold 0.4:
+    the chain that distinguishes keep-first-with-tombstones from naive
+    keep-vs-kept-only. Tests use bands=8/rows=1 so a J≥0.4 pair collides
+    in some band with near-certainty (per-band p = J, 8 independent
+    bands); the fixture is deterministic either way (h60 is a fixed
+    hash — these exact collisions were verified once and never change)."""
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+             "oscar", "papa", "quebec", "romeo", "sierra", "tango"]
+    tailw = ["uniform", "victor", "whiskey", "xray", "yankee"]
+    headw = ["zebra", "apple", "berry", "cedar", "dune"]
+    a = " ".join(words)
+    b = " ".join(words[:-5] + tailw)           # last 5 words differ from A
+    c = " ".join(headw + words[5:-5] + tailw)  # first 5 also differ
+    return spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, "totally different content words here")],
+        "doc_id long, text string",
+    )
+
+
+_KF = dict(bands=8, rows=1, threshold=0.4)
+
+
+def test_keep_first_tombstone_chain(spark):
+    """B drops against A; C matches only B (itself dropped) — C must STILL
+    drop, because dropped docs stay in the index as tombstones. Incremental
+    (one batch per doc) == one-shot."""
+    docs = _chain_docs(spark)
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, "doc_id", **_KF)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (2, 3)}, got
+
+    one_shot = {r["doc_id"] for r in dedup.dedup_keep_first(docs, "doc_id", **_KF).collect()}
+    assert one_shot == {1, 4}
+
+    state = None
+    kept = set()
+    for i in (1, 2, 3, 4):
+        nv, state = dedup.dedup_keep_first_incremental(
+            docs.filter(F.col("doc_id") == i), state, "doc_id", **_KF
+        )
+        kept |= {r["doc_id"] for r in nv.collect()}
+    assert kept == one_shot
+
+
+def test_keep_first_incremental_agrees_on_corpus(spark):
+    """3 id-ordered batches over the sf0.001 documents == one-shot."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    one_shot = {r["doc_id"] for r in dedup.dedup_keep_first(docs, "doc_id", threshold=0.4).collect()}
+
+    state = None
+    kept = set()
+    for lo, hi in ((0, 15), (15, 30), (30, 10**9)):
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        nv, state = dedup.dedup_keep_first_incremental(b, state, "doc_id", threshold=0.4)
+        kept |= {r["doc_id"] for r in nv.collect()}
+    assert kept == one_shot
+
+
+def test_keep_first_state_persists_via_snapshots(spark, tmp_path):
+    """The dedup state survives a restart: buckets/shingles committed to the
+    snapshot store between batches, read back cold, same result — the
+    resumable-from-checkpoint contract for incremental dedup."""
+    from opentelemetry_collector_contrib_spark.plans.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _chain_docs(spark)
+    bk_tbl, sh_tbl = str(tmp_path / "bk"), str(tmp_path / "sh")
+
+    kept = set()
+    for i in (1, 2, 3, 4):
+        if i == 1:
+            state = None
+        else:
+            state = (read_snapshot(spark, bk_tbl), read_snapshot(spark, sh_tbl))
+        nv, (bk, sh) = dedup.dedup_keep_first_incremental(
+            docs.filter(F.col("doc_id") == i), state, "doc_id", **_KF
+        )
+        kept |= {r["doc_id"] for r in nv.collect()}
+        write_snapshot(bk, bk_tbl, mode="overwrite")
+        write_snapshot(sh, sh_tbl, mode="overwrite")
+    assert kept == {1, 4}
