@@ -223,6 +223,25 @@ def main() -> None:
 
     timed("q12_trace_tree", trace_tree)
 
+    # q13: incremental keep-first dedup — the last 10% of the corpus deduped
+    # against the LSH state of the first 90% (the new-crawl-batch path:
+    # index build O(batch) + equi-joins vs state, no corpus rescan)
+    def incremental_dedup():
+        from opentelemetry_collector_contrib_spark.operators.dedup import (
+            dedup_keep_first_incremental,
+            minhash_dedup_state,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(2 * int(cpus))
+        hi = docs.agg(F.max("doc_id")).collect()[0][0]
+        cut = int(hi * 0.9)
+        state = minhash_dedup_state(docs.filter(F.col("doc_id") < cut), "doc_id")
+        batch = docs.filter(F.col("doc_id") >= cut)
+        novel, _ = dedup_keep_first_incremental(batch, state, "doc_id", threshold=0.4)
+        novel.count()
+
+    timed("q13_incremental_dedup", incremental_dedup)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

@@ -53,6 +53,7 @@ HEADLINERS = [
     "agg_per_conv_salted",
     "agg_per_tool",
     "dedup_minhash_lsh_pairs",
+    "dedup_keep_first_incremental",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs_bucketed",
     "sim_topk_ivf",
