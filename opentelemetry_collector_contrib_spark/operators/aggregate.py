@@ -311,6 +311,122 @@ def span_metrics_histogram(df: DataFrame, dims: list[str], value_col: str, bucke
     )
 
 
+def histogram_datapoints(
+    df: DataFrame, dims: list[str], value_col: str, bounds: list[float]
+) -> DataFrame:
+    """OTLP-shaped explicit-bucket histogram datapoints: one row per dims
+    group with (h_count, h_sum, bucket_counts array<long>, explicit_bounds
+    array<double>) — the columnar mirror of pmetric HistogramDataPoint.
+    ONE hash aggregation: each bucket count is a sum(when(..)) expression,
+    assembled into the array as a post-agg projection. h_sum accumulates as
+    decimal(18,6) and casts to double once (engine-order-independent, the
+    repo's float-sum parity recipe)."""
+    v = F.col(value_col)
+    conds = []
+    lo = None
+    for b in bounds:
+        c = (v <= F.lit(float(b))) if lo is None else ((v > F.lit(float(lo))) & (v <= F.lit(float(b))))
+        conds.append(c)
+        lo = b
+    conds.append(v > F.lit(float(bounds[-1])))  # overflow bucket
+    aggs = [
+        F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(f"_b{i}")
+        for i, c in enumerate(conds)
+    ]
+    out = df.groupBy(*dims).agg(
+        F.count(F.lit(1)).alias("h_count"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("h_sum"),
+        *aggs,
+    )
+    return out.select(
+        *dims,
+        "h_count",
+        "h_sum",
+        F.array(*[F.col(f"_b{i}") for i in range(len(conds))]).alias("bucket_counts"),
+        F.array(*[F.lit(float(b)) for b in bounds]).alias("explicit_bounds"),
+    )
+
+
+def histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
+    """metricstransformprocessor aggregate_labels over histogram datapoints
+    (metrics_transform_processor.go histogram branch): datapoints that agree
+    on `dims` (and on explicit_bounds — bounds are part of the group key, as
+    in the reference) merge by element-wise bucket_counts sum + count/sum
+    sums.
+
+    Plan: posexplode the bucket arrays → hash-aggregate per (dims, bounds,
+    pos) → reassemble per group. Rows are datapoints × n_buckets (linear);
+    the alternative — collect_list of whole arrays per group — buffers an
+    unbounded datapoint set per reducer, which is exactly what breaks on a
+    skewed group at 100 TB."""
+    ex = df.select(
+        *dims,
+        F.col("explicit_bounds"),
+        F.col("h_count"),
+        F.col("h_sum"),
+        F.posexplode(F.col("bucket_counts")).alias("pos", "cnt"),
+    ).select(
+        *dims,
+        "explicit_bounds",
+        "pos",
+        "cnt",
+        # count/sum ride along on the pos-0 row only, so the second
+        # aggregation can sum them without double counting
+        F.when(F.col("pos") == 0, F.col("h_count")).alias("hc"),
+        F.when(F.col("pos") == 0, F.col("h_sum").cast("decimal(18,6)")).alias("hs"),
+    )
+    per_pos = ex.groupBy(*dims, "explicit_bounds", "pos").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("hc").alias("hc"),
+        F.sum("hs").alias("hs"),
+    )
+    return (
+        per_pos.groupBy(*dims, "explicit_bounds")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cnt")))),
+                lambda s: s["cnt"],
+            ).alias("bucket_counts"),
+            F.sum("hc").alias("h_count"),
+            F.sum("hs").cast("double").alias("h_sum"),
+        )
+        .select(*dims, "h_count", "h_sum", "bucket_counts", "explicit_bounds")
+    )
+
+
+def histogram_rebucket(df: DataFrame, new_bounds: list[float]) -> DataFrame:
+    """Coarsen a histogram datapoint to `new_bounds` — the batch analogue of
+    OTTL merge_histogram_buckets(method=remove_explicit_bound)
+    (transformprocessor/internal/metrics/func_merge_histogram_buckets.go:84:
+    removing a bound folds its bucket into the next one; keeping a SUBSET of
+    bounds is removing all the others). Valid only when every new bound
+    exists in the row's explicit_bounds; rows where it doesn't yield NULL
+    arrays (on_error=send). Pure projection over the arrays — zero shuffle;
+    the per-row cumulative sums are k_new slice-folds over a ≤ few-dozen
+    element array."""
+    b, c = F.col("explicit_bounds"), F.col("bucket_counts")
+
+    def cum_at(bound: float) -> Column:
+        idx = F.array_position(b, F.lit(float(bound))).cast("int")
+        return F.aggregate(F.slice(c, 1, idx), F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+    total = F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    cums = [cum_at(nb) for nb in new_bounds]
+    pieces = [cums[0]] + [cums[i] - cums[i - 1] for i in range(1, len(cums))] + [total - cums[-1]]
+    valid = F.forall(
+        F.array(*[F.lit(float(nb)) for nb in new_bounds]), lambda x: F.array_contains(b, x)
+    )
+    return df.withColumn(
+        "bucket_counts",
+        F.when(valid, F.array(*pieces)).otherwise(F.lit(None).cast("array<bigint>")),
+    ).withColumn(
+        "explicit_bounds",
+        F.when(valid, F.array(*[F.lit(float(nb)) for nb in new_bounds])).otherwise(
+            F.lit(None).cast("array<double>")
+        ),
+    )
+
+
 # --- signaltometricsconnector (connector/signaltomericsconnector) ------------
 def signal_to_metrics(df: DataFrame, specs: list[dict]) -> DataFrame:
     """Generate metric datapoints from any signal stream via compiled OTTL

@@ -101,6 +101,29 @@ def q_histogram(spark, sf_dir):
     return span_metrics_histogram(_events(spark, sf_dir), ["event_type"], "value", [1.0, 5.0, 10.0, 50.0, 100.0])
 
 
+def q_histogram_rebucket(spark, sf_dir):
+    """OTLP histogram datapoint lifecycle: build fine-grained per-(type,
+    user-cell) datapoints, aggregate_labels-merge the cells away
+    (metricstransformprocessor histogram branch), then coarsen bounds
+    (OTTL merge_histogram_buckets / remove_explicit_bound). The oracle
+    computes each event_type's histogram DIRECTLY at the coarse bounds —
+    merge∘rebucket must equal recomputation, which is the semantic claim."""
+    from ..operators.aggregate import histogram_datapoints, histogram_merge, histogram_rebucket
+
+    ev = _events(spark, sf_dir).withColumn("cell", F.pmod(F.col("user_id"), F.lit(4)))
+    fine = histogram_datapoints(ev, ["event_type", "cell"], "value", [1.0, 5.0, 10.0, 50.0, 100.0])
+    merged = histogram_merge(fine, ["event_type"])
+    coarse = histogram_rebucket(merged, [5.0, 50.0])
+    return coarse.select(
+        "event_type",
+        "h_count",
+        "h_sum",
+        F.array_join(F.transform(F.col("bucket_counts"), lambda x: x.cast("string")), ",").alias(
+            "buckets_csv"
+        ),
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1421,6 +1444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_delta": q_delta,
     "events_rate": q_rate,
     "events_histogram": q_histogram,
+    "events_histogram_rebucket": q_histogram_rebucket,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
     "signal_to_metrics": q_signal_to_metrics,
@@ -1703,6 +1727,16 @@ SELECT event_type,
             WHEN value <= 100 THEN 100.0 ELSE CAST('infinity' AS DOUBLE) END AS le,
        count(*) AS bucket_count
 FROM events GROUP BY 1, 2"""
+
+    # direct recomputation at the coarse bounds — merge∘rebucket must equal it
+    o["events_histogram_rebucket"] = """
+SELECT event_type, count(*) AS h_count,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS h_sum,
+       concat_ws(',',
+         CAST(sum(CASE WHEN value <= 5 THEN 1 ELSE 0 END) AS VARCHAR),
+         CAST(sum(CASE WHEN value > 5 AND value <= 50 THEN 1 ELSE 0 END) AS VARCHAR),
+         CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS VARCHAR)) AS buckets_csv
+FROM events GROUP BY 1"""
 
     o["events_metrics_transform"] = """
 SELECT event_type,

@@ -264,3 +264,50 @@ def test_metrics_as_logs_summary_quantiles(spark):
         (0.5, 1.0), (0.99, 4.0),
     ]
     assert out["metric_type"] == "Summary" and out["gauge_value"] is None
+
+
+# --- histogram datapoint merge / rebucket ------------------------------------
+
+
+def test_histogram_merge_and_rebucket(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        histogram_merge,
+        histogram_rebucket,
+    )
+
+    rows = [
+        ("a", 3, 6.0, [1, 2, 0], [10.0, 20.0]),
+        ("a", 2, 4.0, [0, 1, 1], [10.0, 20.0]),
+        ("b", 1, 9.0, [0, 0, 1], [10.0, 20.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k string, h_count long, h_sum double, bucket_counts array<bigint>, explicit_bounds array<double>",
+    )
+    merged = {r["k"]: r for r in histogram_merge(df, ["k"]).collect()}
+    assert merged["a"]["bucket_counts"] == [1, 3, 1]
+    assert merged["a"]["h_count"] == 5 and merged["a"]["h_sum"] == 10.0
+    assert merged["b"]["bucket_counts"] == [0, 0, 1]
+
+    # removing bound 10 folds its bucket into the next (func_merge_histogram
+    # _buckets.go remove_explicit_bound semantics)
+    coarse = {r["k"]: r for r in histogram_rebucket(histogram_merge(df, ["k"]), [20.0]).collect()}
+    assert coarse["a"]["bucket_counts"] == [4, 1]
+    assert coarse["a"]["explicit_bounds"] == [20.0]
+
+    # a bound that doesn't exist in the row -> NULL arrays (on_error=send)
+    bad = histogram_rebucket(df, [15.0]).collect()
+    assert all(r["bucket_counts"] is None and r["explicit_bounds"] is None for r in bad)
+
+
+def test_histogram_datapoints_builds_otlp_shape(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import histogram_datapoints
+
+    df = spark.createDataFrame(
+        [("x", 1.0), ("x", 7.0), ("x", 100.0), ("y", 3.0)], "k string, v double"
+    )
+    out = {r["k"]: r for r in histogram_datapoints(df, ["k"], "v", [5.0, 10.0]).collect()}
+    assert out["x"]["bucket_counts"] == [1, 1, 1]  # <=5, (5,10], >10
+    assert out["x"]["h_count"] == 3 and out["x"]["h_sum"] == 108.0
+    assert out["x"]["explicit_bounds"] == [5.0, 10.0]
+    assert out["y"]["bucket_counts"] == [1, 0, 0]
