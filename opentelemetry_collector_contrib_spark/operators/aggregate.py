@@ -427,6 +427,152 @@ def histogram_rebucket(df: DataFrame, new_bounds: list[float]) -> DataFrame:
     )
 
 
+def exp_histogram_downscale(df: DataFrame, target_scale: int) -> DataFrame:
+    """OTLP exponential-histogram downscaling — the columnar mirror of
+    deltatocumulativeprocessor/internal/data/expo/scale.go `Downscale`/
+    `Collapse`: lowering the scale by d maps absolute bucket index i to
+    floor(i / 2^d) (perfect subsetting), so adjacent buckets fold together
+    and the offset floors. Rows whose scale is BELOW the target yield NULL
+    buckets — upscaling would have to split counts and is impossible
+    without error (scale.go:52 panics there; columnar on_error=send).
+
+    Input/output datapoint shape: (scale int, zero_count long, offset int,
+    bucket_counts array<long>). Pure projection — zero shuffle; the
+    per-row regrouping is O(len_new × len_old) array folds with len ≤ 160
+    (the reference's own maxBuckets)."""
+    d = F.col("scale") - F.lit(int(target_scale))
+    # floor division toward -inf (SQL int division truncates toward zero);
+    # exact in doubles for any realistic index magnitude
+    two_d = F.pow(F.lit(2.0), d.cast("double"))
+
+    def down(idx: Column) -> Column:
+        return F.floor(idx.cast("double") / two_d).cast("int")
+
+    c = F.col("bucket_counts")
+    new_off = down(F.col("offset"))
+    new_hi = down(F.col("offset") + F.size(c) - 1)
+    new_counts = F.transform(
+        F.sequence(new_off, new_hi),
+        lambda k: F.aggregate(
+            F.filter(
+                F.sequence(F.lit(0), F.size(c) - 1),
+                lambda p: down(F.col("offset") + p) == k,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + F.element_at(c, p + 1),
+        ),
+    )
+    ok = d >= 0
+    return (
+        df.withColumn("bucket_counts", F.when(ok, new_counts).otherwise(F.lit(None).cast("array<bigint>")))
+        .withColumn("offset", F.when(ok, new_off).otherwise(F.lit(None).cast("int")))
+        .withColumn("scale", F.when(ok, F.lit(int(target_scale))).otherwise(F.lit(None).cast("int")))
+    )
+
+
+def exp_histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
+    """Merge exponential-histogram datapoints per `dims` — the Adder
+    semantics of deltatocumulativeprocessor/internal/data/add.go
+    `Exponential` (via expo.Downscale to the pair's minimum scale, then
+    index-aligned bucket adds): every row downscales to its group's MIN
+    scale, then bucket counts add at matching absolute indexes; the result
+    spans [min offset, max high] with zero-fill; zero_count/h_count/h_sum
+    sum (h_sum via the decimal accumulate recipe).
+
+    Plan: one window (min scale per group — no join), the same zero-shuffle
+    downscale projection as exp_histogram_downscale (dynamic d), then
+    posexplode → hash-aggregate per (dims, abs index) → per-group assembly
+    from a map literal. Linear rows, two exchanges, no collect_list of
+    whole arrays per reducer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*dims)
+    pre = df.withColumn("_target", F.min("scale").over(w))
+    d = F.col("scale") - F.col("_target")
+    two_d = F.pow(F.lit(2.0), d.cast("double"))
+
+    def down(idx: Column) -> Column:
+        return F.floor(idx.cast("double") / two_d).cast("int")
+
+    c = F.col("bucket_counts")
+    new_off = down(F.col("offset"))
+    new_hi = down(F.col("offset") + F.size(c) - 1)
+    new_counts = F.transform(
+        F.sequence(new_off, new_hi),
+        lambda k: F.aggregate(
+            F.filter(
+                F.sequence(F.lit(0), F.size(c) - 1),
+                lambda p: down(F.col("offset") + p) == k,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + F.element_at(c, p + 1),
+        ),
+    )
+    # two projections: aliasing `_target AS scale` / `_noff AS offset` in the
+    # same select would make the downscale expressions resolve the LATERAL
+    # aliases (Spark 3.4+ lateral column alias rules) instead of the inputs
+    aligned = pre.select(
+        *dims,
+        "_target",
+        "zero_count",
+        "h_count",
+        "h_sum",
+        new_off.alias("_noff"),
+        new_counts.alias("_ncnt"),
+    ).select(
+        *dims,
+        F.col("_target").alias("scale"),
+        F.col("zero_count"),
+        F.col("h_count"),
+        F.col("h_sum"),
+        F.col("_noff").alias("offset"),
+        F.col("_ncnt").alias("bucket_counts"),
+    )
+    ex = aligned.select(
+        *dims,
+        "scale",
+        "zero_count",
+        "h_count",
+        "h_sum",
+        "offset",
+        F.posexplode(F.col("bucket_counts")).alias("pos", "cnt"),
+    ).select(
+        *dims,
+        "scale",
+        (F.col("offset") + F.col("pos")).alias("idx"),
+        "cnt",
+        F.when(F.col("pos") == 0, F.col("zero_count")).alias("zc"),
+        F.when(F.col("pos") == 0, F.col("h_count")).alias("hc"),
+        F.when(F.col("pos") == 0, F.col("h_sum").cast("decimal(18,6)")).alias("hs"),
+    )
+    per_idx = ex.groupBy(*dims, "scale", "idx").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("zc").alias("zc"),
+        F.sum("hc").alias("hc"),
+        F.sum("hs").alias("hs"),
+    )
+    assembled = per_idx.groupBy(*dims, "scale").agg(
+        F.min("idx").alias("offset"),
+        F.max("idx").alias("_hi"),
+        F.map_from_entries(F.collect_list(F.struct(F.col("idx"), F.col("cnt")))).alias("_m"),
+        F.sum("zc").alias("zero_count"),
+        F.sum("hc").alias("h_count"),
+        F.sum("hs").cast("double").alias("h_sum"),
+    )
+    return assembled.select(
+        *dims,
+        "scale",
+        "zero_count",
+        "h_count",
+        "h_sum",
+        "offset",
+        F.transform(
+            F.sequence(F.col("offset"), F.col("_hi")),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("bigint")),
+        ).alias("bucket_counts"),
+    )
+
+
 # --- signaltometricsconnector (connector/signaltomericsconnector) ------------
 def signal_to_metrics(df: DataFrame, specs: list[dict]) -> DataFrame:
     """Generate metric datapoints from any signal stream via compiled OTTL

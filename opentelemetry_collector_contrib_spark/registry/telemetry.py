@@ -124,6 +124,55 @@ def q_histogram_rebucket(spark, sf_dir):
     )
 
 
+def q_exp_histogram_merge(spark, sf_dir):
+    """Exponential-histogram datapoint merge with scale alignment
+    (deltatocumulative expo.Downscale + Adder.Exponential): synthesize
+    per-(type, user-cell) datapoints at MIXED scales (2 or 3) and offsets
+    (-2/1/4) with pure integer bucket synthesis, then merge per event_type —
+    the scale-3 cells must collapse (perfect subsetting) before the
+    index-aligned adds. The oracle recomputes the same integer math in SQL."""
+    from ..operators.aggregate import exp_histogram_merge
+
+    ev = _events(spark, sf_dir).withColumn("cell", F.pmod(F.col("user_id"), F.lit(3)))
+    cells = (
+        ev.groupBy("event_type", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("h_count"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("h_sum"),
+            F.sum(F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("zero_count"),
+            *[
+                F.sum(F.when(F.pmod(F.col("event_id"), F.lit(6)) == j, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_c{j}")
+                for j in range(6)
+            ],
+        )
+        .select(
+            "event_type",
+            (F.lit(2) + F.pmod(F.col("cell"), F.lit(2))).cast("int").alias("scale"),
+            "zero_count",
+            "h_count",
+            "h_sum",
+            (F.col("cell") * 3 - 2).cast("int").alias("offset"),
+            F.array(*[F.col(f"_c{j}") for j in range(6)]).alias("bucket_counts"),
+        )
+    )
+    merged = exp_histogram_merge(cells, ["event_type"])
+    return merged.select(
+        "event_type",
+        "scale",
+        "zero_count",
+        "h_count",
+        "h_sum",
+        "offset",
+        F.array_join(F.transform(F.col("bucket_counts"), lambda x: x.cast("string")), ",").alias(
+            "buckets_csv"
+        ),
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1445,6 +1494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rate": q_rate,
     "events_histogram": q_histogram,
     "events_histogram_rebucket": q_histogram_rebucket,
+    "events_exp_histogram_merge": q_exp_histogram_merge,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
     "signal_to_metrics": q_signal_to_metrics,
@@ -1737,6 +1787,50 @@ SELECT event_type, count(*) AS h_count,
          CAST(sum(CASE WHEN value > 5 AND value <= 50 THEN 1 ELSE 0 END) AS VARCHAR),
          CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS VARCHAR)) AS buckets_csv
 FROM events GROUP BY 1"""
+
+    # same integer synthesis + downscale/align/add math as the Spark path
+    o["events_exp_histogram_merge"] = """
+WITH cell AS (
+  SELECT event_type,
+         CAST(2 + (user_id % 3) % 2 AS INTEGER) AS scale,
+         sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS zero_count,
+         count(*) AS h_count,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS h_sum,
+         CAST((user_id % 3) * 3 - 2 AS INTEGER) AS off,
+         [sum(CASE WHEN event_id % 6 = 0 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 1 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 2 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 3 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 4 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 5 THEN 1 ELSE 0 END)] AS counts
+  FROM events GROUP BY event_type, user_id % 3),
+tgt AS (SELECT event_type, min(scale) AS tscale FROM cell GROUP BY 1),
+expl AS (
+  SELECT c.event_type, t.tscale,
+         CAST(floor((c.off + g.pos) / pow(2, c.scale - t.tscale)) AS INTEGER) AS idx,
+         c.counts[g.pos + 1] AS cnt
+  FROM cell c
+  JOIN tgt t USING (event_type)
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS pos) g),
+peridx AS (SELECT event_type, idx, sum(cnt) AS cnt FROM expl GROUP BY 1, 2),
+span AS (SELECT event_type, min(idx) AS lo, max(idx) AS hi FROM peridx GROUP BY 1),
+grid AS (SELECT event_type, lo, unnest(range(lo, hi + 1)) AS i FROM span),
+filled AS (
+  SELECT g.event_type, g.lo, g.i, coalesce(p.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN peridx p ON p.event_type = g.event_type AND p.idx = g.i),
+tot AS (
+  SELECT event_type,
+         CAST(sum(zero_count) AS BIGINT) AS zero_count,
+         CAST(sum(h_count) AS BIGINT) AS h_count,
+         CAST(sum(CAST(h_sum AS DECIMAL(18,6))) AS DOUBLE) AS h_sum
+  FROM cell GROUP BY 1)
+SELECT f.event_type, t.tscale AS scale, z.zero_count, z.h_count, z.h_sum,
+       CAST(f.lo AS INTEGER) AS offset,
+       string_agg(CAST(f.cnt AS VARCHAR), ',' ORDER BY f.i) AS buckets_csv
+FROM filled f
+JOIN tgt t USING (event_type)
+JOIN tot z USING (event_type)
+GROUP BY 1, 2, 3, 4, 5, 6"""
 
     o["events_metrics_transform"] = """
 SELECT event_type,

@@ -311,3 +311,57 @@ def test_histogram_datapoints_builds_otlp_shape(spark):
     assert out["x"]["h_count"] == 3 and out["x"]["h_sum"] == 108.0
     assert out["x"]["explicit_bounds"] == [5.0, 10.0]
     assert out["y"]["bucket_counts"] == [1, 0, 0]
+
+
+def test_exp_histogram_downscale_matches_collapse(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        exp_histogram_downscale,
+    )
+
+    rows = [
+        # scale.go Collapse doc example: 12 ones at offset 0 -> six 2s
+        ("even", 2, 0, 0, [1] * 12),
+        # odd offset: abs 1,2,3 -> floor/2 = 0,1,1
+        ("odd", 2, 0, 1, [1, 1, 1]),
+        # negative offset: abs -3,-2,-1 -> floor/2 = -2,-1,-1
+        ("neg", 2, 0, -3, [1, 1, 1]),
+        # already at target: identity
+        ("id", 1, 0, 2, [5, 6]),
+        # below target: upscale impossible -> NULL
+        ("up", 0, 0, 0, [7]),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, scale int, zero_count long, offset int, bucket_counts array<bigint>"
+    )
+    out = {r["k"]: r for r in exp_histogram_downscale(df, 1).collect()}
+    assert out["even"]["offset"] == 0 and out["even"]["bucket_counts"] == [2] * 6
+    assert out["odd"]["offset"] == 0 and out["odd"]["bucket_counts"] == [1, 2]
+    assert out["neg"]["offset"] == -2 and out["neg"]["bucket_counts"] == [1, 2]
+    assert out["id"]["offset"] == 2 and out["id"]["bucket_counts"] == [5, 6]
+    assert out["up"]["bucket_counts"] is None and out["up"]["scale"] is None
+
+
+def test_exp_histogram_merge_aligns_scales(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import exp_histogram_merge
+
+    rows = [
+        # scale 2, abs 0..2
+        ("a", 2, 1, 10, 5.0, 0, [1, 2, 3]),
+        # scale 3, abs 4..7 -> at scale 2: floor/2 = 2,2,3,3 -> [3, 2+1=..]
+        ("a", 3, 2, 20, 7.0, 4, [1, 1, 1, 1]),
+        ("b", 1, 0, 3, 1.5, -1, [3]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k string, scale int, zero_count long, h_count long, h_sum double,"
+        " offset int, bucket_counts array<bigint>",
+    )
+    out = {r["k"]: r for r in exp_histogram_merge(df, ["k"]).collect()}
+    a = out["a"]
+    # common scale = 2; second dp downscales to offset 2, counts [2, 2];
+    # merged span 0..3 -> [1, 2, 3+2, 2]
+    assert a["scale"] == 2 and a["offset"] == 0
+    assert a["bucket_counts"] == [1, 2, 5, 2]
+    assert a["zero_count"] == 3 and a["h_count"] == 30 and a["h_sum"] == 12.0
+    b = out["b"]
+    assert b["scale"] == 1 and b["offset"] == -1 and b["bucket_counts"] == [3]

@@ -76,6 +76,9 @@ def test_pipeline_dims_are_broadcast(spark):
     """The enrich stage joins two small dims; both must be broadcast hash
     joins (dims ship once per executor) with NO shuffle on the fact side —
     the single exchange in the plan feeds the stable-order window."""
+    # another test file's fixture may have persisted this exact subtree;
+    # a cache hit would wrap the plan in InMemoryTableScan and hide its shape
+    spark.catalog.clearCache()
     plan = plan_of(_query("pipeline_routed")(spark, SF))
     assert len(re.findall(r"BroadcastHashJoin", tree_of(plan))) >= 2
     assert "SortMergeJoin" not in plan
@@ -128,6 +131,7 @@ def test_pipeline_parse_stays_in_wholestage_codegen(spark):
     """The parse/enrich/route projections must sit inside WholeStageCodegen
     spans — a per-row Python UDF sneaking into the hot path would appear as
     BatchEvalPython / ArrowEvalPython nodes."""
+    spark.catalog.clearCache()
     plan = plan_of(_query("pipeline_routed")(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
