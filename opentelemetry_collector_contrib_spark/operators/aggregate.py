@@ -573,6 +573,94 @@ def exp_histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
     )
 
 
+def exp_histogram_delta_to_cumulative(
+    df: DataFrame, dims: list[str], order_col: str
+) -> DataFrame:
+    """deltatocumulativeprocessor for exponential histograms (its actual
+    job — processor.go accumulates via data/add.go Adder.Exponential): each
+    series' datapoints become running merges of all earlier deltas. Series
+    = `dims`, time = `order_col` (one datapoint per order value per series,
+    as the processor's state map assumes; ties all land in the same
+    cumulative via RANGE frames).
+
+    Relational shape: (1) window — per-series target scale (min) and bucket
+    span at that scale; (2) zero-shuffle projection — rebase every row's
+    buckets onto the series-wide span (downscale by floor(i/2^d) + zero
+    pad), so every row carries the same positions; (3) posexplode + one
+    cumulative window per (series, pos); scalars (zero_count/count/sum)
+    cumulate on the un-exploded rows, riding the pos-0 row; (4) reassemble
+    per (series, order). Rows = datapoints × span — linear, the honest
+    cost of materialized cumulative buckets."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*dims)
+    c = F.col("bucket_counts")
+    pre = df.withColumn("_target", F.min("scale").over(w))
+    d = F.col("scale") - F.col("_target")
+    two_d = F.pow(F.lit(2.0), d.cast("double"))
+
+    def down(idx: Column) -> Column:
+        return F.floor(idx.cast("double") / two_d).cast("int")
+
+    pre = pre.withColumn("_rlo", down(F.col("offset"))).withColumn(
+        "_rhi", down(F.col("offset") + F.size(c) - 1)
+    )
+    pre = pre.withColumn("_lo", F.min("_rlo").over(w)).withColumn("_hi", F.max("_rhi").over(w))
+    rebased = F.transform(
+        F.sequence(F.col("_lo"), F.col("_hi")),
+        lambda i: F.aggregate(
+            F.filter(F.sequence(F.lit(0), F.size(c) - 1), lambda p: down(F.col("offset") + p) == i),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + F.element_at(c, p + 1),
+        ),
+    )
+    # materialize the rebase BEFORE aliasing `_target AS scale` / `_lo AS
+    # offset`: in one select those lateral aliases would shadow the input
+    # columns the rebase expressions reference
+    pre = pre.withColumn("_reb", rebased)
+    wcum = (
+        Window.partitionBy(*dims)
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = pre.select(
+        *dims,
+        F.col(order_col),
+        F.col("_target").alias("scale"),
+        F.col("_lo").alias("offset"),
+        F.sum("zero_count").over(wcum).alias("zero_count"),
+        F.sum("h_count").over(wcum).alias("h_count"),
+        F.sum(F.col("h_sum").cast("decimal(18,6)")).over(wcum).cast("double").alias("h_sum"),
+        F.col("_reb").alias("_reb"),
+    )
+    ex = base.select(
+        *dims,
+        order_col,
+        "scale",
+        "offset",
+        "zero_count",
+        "h_count",
+        "h_sum",
+        F.posexplode(F.col("_reb")).alias("pos", "cnt"),
+    )
+    wpos = (
+        Window.partitionBy(*dims, "pos")
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ex.withColumn("cum", F.sum("cnt").over(wpos))
+    return (
+        cum.groupBy(*dims, order_col, "scale", "offset", "zero_count", "h_count", "h_sum")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cum")))),
+                lambda s: s["cum"],
+            ).alias("bucket_counts")
+        )
+        .select(*dims, order_col, "scale", "zero_count", "h_count", "h_sum", "offset", "bucket_counts")
+    )
+
+
 # --- signaltometricsconnector (connector/signaltomericsconnector) ------------
 def signal_to_metrics(df: DataFrame, specs: list[dict]) -> DataFrame:
     """Generate metric datapoints from any signal stream via compiled OTTL

@@ -173,6 +173,58 @@ def q_exp_histogram_merge(spark, sf_dir):
     )
 
 
+def q_exp_histogram_cumulative(spark, sf_dir):
+    """deltatocumulativeprocessor over exponential histograms: hourly delta
+    datapoints per event_type (synthesized with integer math, scales
+    alternating by hour so the running merge must downscale mid-series)
+    become running cumulative merges. Oracle recomputes the same windowed
+    integer math in SQL."""
+    from ..operators.aggregate import exp_histogram_delta_to_cumulative
+
+    ev = _events(spark, sf_dir).withColumn(
+        "h", F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600).cast("bigint")
+    )
+    dp = (
+        ev.groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("h_count"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("h_sum"),
+            F.sum(F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("zero_count"),
+            *[
+                F.sum(F.when(F.pmod(F.col("event_id"), F.lit(4)) == j, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_c{j}")
+                for j in range(4)
+            ],
+        )
+        .select(
+            "event_type",
+            "h",
+            (F.lit(2) + F.pmod(F.col("h"), F.lit(2))).cast("int").alias("scale"),
+            "zero_count",
+            "h_count",
+            "h_sum",
+            (F.pmod(F.col("h"), F.lit(3)) * 2 - 1).cast("int").alias("offset"),
+            F.array(*[F.col(f"_c{j}") for j in range(4)]).alias("bucket_counts"),
+        )
+    )
+    out = exp_histogram_delta_to_cumulative(dp, ["event_type"], "h")
+    return out.select(
+        "event_type",
+        "h",
+        "scale",
+        "zero_count",
+        "h_count",
+        "h_sum",
+        "offset",
+        F.array_join(F.transform(F.col("bucket_counts"), lambda x: x.cast("string")), ",").alias(
+            "buckets_csv"
+        ),
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1495,6 +1547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_histogram": q_histogram,
     "events_histogram_rebucket": q_histogram_rebucket,
     "events_exp_histogram_merge": q_exp_histogram_merge,
+    "events_exp_histogram_cumulative": q_exp_histogram_cumulative,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
     "signal_to_metrics": q_signal_to_metrics,
@@ -1831,6 +1884,62 @@ FROM filled f
 JOIN tgt t USING (event_type)
 JOIN tot z USING (event_type)
 GROUP BY 1, 2, 3, 4, 5, 6"""
+
+    # same integer synthesis; cumulative = windowed sums over the
+    # series-rebased buckets (mirrors exp_histogram_delta_to_cumulative)
+    o["events_exp_histogram_cumulative"] = """
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch_us(ts) / (3600 * CAST(1000000 AS BIGINT))) AS BIGINT) AS h,
+         event_id, value
+  FROM events),
+dp AS (
+  SELECT event_type, h,
+         CAST(2 + h % 2 AS INTEGER) AS scale,
+         CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+         count(*) AS h_count,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS h_sum,
+         CAST((h % 3) * 2 - 1 AS INTEGER) AS off,
+         [sum(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 4 = 2 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END)] AS counts
+  FROM base GROUP BY event_type, h),
+scaled AS (
+  SELECT d.*, t.tscale, pow(2, d.scale - t.tscale) AS twod
+  FROM dp d JOIN (SELECT event_type, min(scale) AS tscale FROM dp GROUP BY 1) t USING (event_type)),
+span AS (
+  SELECT event_type,
+         min(CAST(floor(off / twod) AS INTEGER)) AS lo,
+         max(CAST(floor((off + 3) / twod) AS INTEGER)) AS hi
+  FROM scaled GROUP BY 1),
+expl AS (
+  SELECT s.event_type, s.h, CAST(floor((s.off + g.pos) / s.twod) AS INTEGER) AS idx,
+         s.counts[g.pos + 1] AS cnt
+  FROM scaled s CROSS JOIN (SELECT unnest(range(0, 4)) AS pos) g),
+delta AS (SELECT event_type, h, idx, sum(cnt) AS cnt FROM expl GROUP BY 1, 2, 3),
+grid AS (
+  SELECT s.event_type, d.h, sp.i
+  FROM span s
+  JOIN (SELECT DISTINCT event_type, h FROM dp) d USING (event_type)
+  CROSS JOIN LATERAL (SELECT unnest(range(s.lo, s.hi + 1)) AS i) sp),
+cumbkt AS (
+  SELECT g.event_type, g.h, g.i,
+         sum(coalesce(d.cnt, 0)) OVER (PARTITION BY g.event_type, g.i ORDER BY g.h) AS cum
+  FROM grid g LEFT JOIN delta d ON d.event_type = g.event_type AND d.h = g.h AND d.idx = g.i),
+scalars AS (
+  SELECT event_type, h,
+         CAST(sum(zero_count) OVER w AS BIGINT) AS zero_count,
+         CAST(sum(h_count) OVER w AS BIGINT) AS h_count,
+         CAST(sum(CAST(h_sum AS DECIMAL(18,6))) OVER w AS DOUBLE) AS h_sum
+  FROM dp WINDOW w AS (PARTITION BY event_type ORDER BY h))
+SELECT c.event_type, c.h, t.tscale AS scale, s.zero_count, s.h_count, s.h_sum,
+       CAST(sp.lo AS INTEGER) AS offset,
+       string_agg(CAST(c.cum AS VARCHAR), ',' ORDER BY c.i) AS buckets_csv
+FROM cumbkt c
+JOIN (SELECT event_type, min(scale) AS tscale FROM dp GROUP BY 1) t USING (event_type)
+JOIN span sp USING (event_type)
+JOIN scalars s ON s.event_type = c.event_type AND s.h = c.h
+GROUP BY 1, 2, 3, 4, 5, 6, 7"""
 
     o["events_metrics_transform"] = """
 SELECT event_type,

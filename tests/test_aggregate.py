@@ -365,3 +365,29 @@ def test_exp_histogram_merge_aligns_scales(spark):
     assert a["zero_count"] == 3 and a["h_count"] == 30 and a["h_sum"] == 12.0
     b = out["b"]
     assert b["scale"] == 1 and b["offset"] == -1 and b["bucket_counts"] == [3]
+
+
+def test_exp_histogram_delta_to_cumulative(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        exp_histogram_delta_to_cumulative,
+    )
+
+    rows = [
+        # series s: t1 at scale 2 (abs 0..1), t2 at scale 3 (abs 2..3 ->
+        # scale 2: both fold to abs 1), t3 at scale 2 (abs 2)
+        ("s", 1, 2, 1, 2, 3.0, 0, [1, 1]),
+        ("s", 2, 3, 0, 1, 1.0, 2, [2, 3]),
+        ("s", 3, 2, 2, 1, 4.0, 2, [7]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k string, t int, scale int, zero_count long, h_count long, h_sum double,"
+        " offset int, bucket_counts array<bigint>",
+    )
+    out = {r["t"]: r for r in exp_histogram_delta_to_cumulative(df, ["k"], "t").collect()}
+    # span at scale 2 = abs 0..2
+    assert out[1]["bucket_counts"] == [1, 1, 0] and out[1]["offset"] == 0
+    assert out[2]["bucket_counts"] == [1, 6, 0]   # t2's [2,3] folds into abs 1
+    assert out[3]["bucket_counts"] == [1, 6, 7]
+    assert out[3]["zero_count"] == 3 and out[3]["h_count"] == 4 and out[3]["h_sum"] == 8.0
+    assert all(r["scale"] == 2 for r in out.values())
