@@ -661,6 +661,47 @@ def exp_histogram_delta_to_cumulative(
     )
 
 
+def histogram_cumulative_to_delta(
+    df: DataFrame, dims: list[str], order_col: str
+) -> DataFrame:
+    """cumulativetodeltaprocessor for explicit-bound histograms
+    (cumulativetodeltaprocessor/processor.go histogram branch + its
+    MetricTracker reset rule): delta = current − previous datapoint per
+    series, element-wise on bucket_counts and on count/sum. The FIRST
+    datapoint, a bounds change, or a count decrease (a restarted producer)
+    is a RESET — the row passes through unchanged, exactly as the tracker
+    re-primes its state. One lag window per series, bucket subtraction via
+    zip_with — no explode, no driver state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*dims).orderBy(order_col)
+    pc = F.lag("bucket_counts").over(w)
+    pb = F.lag("explicit_bounds").over(w)
+    pn = F.lag("h_count").over(w)
+    ps = F.lag("h_sum").over(w)
+    reset = (
+        pc.isNull()
+        | (F.col("explicit_bounds") != pb)
+        | (F.col("h_count") < pn)
+    )
+    out = df.select(
+        *dims,
+        order_col,
+        F.col("explicit_bounds"),
+        reset.alias("is_reset"),
+        F.when(reset, F.col("h_count")).otherwise(F.col("h_count") - pn).alias("h_count"),
+        F.when(reset, F.col("h_sum"))
+        .otherwise(
+            (F.col("h_sum").cast("decimal(18,6)") - ps.cast("decimal(18,6)")).cast("double")
+        )
+        .alias("h_sum"),
+        F.when(reset, F.col("bucket_counts"))
+        .otherwise(F.zip_with(F.col("bucket_counts"), pc, lambda a, b: a - b))
+        .alias("bucket_counts"),
+    )
+    return out
+
+
 # --- signaltometricsconnector (connector/signaltomericsconnector) ------------
 def signal_to_metrics(df: DataFrame, specs: list[dict]) -> DataFrame:
     """Generate metric datapoints from any signal stream via compiled OTTL

@@ -225,6 +225,55 @@ def q_exp_histogram_cumulative(spark, sf_dir):
     )
 
 
+def q_histogram_cum_to_delta(spark, sf_dir):
+    """cumulativetodelta over explicit-bound histogram series: hourly delta
+    histograms are synthesized from events, turned into cumulative series
+    with window sums, then the operator recovers the deltas — the oracle is
+    the direct delta synthesis (round-trip identity), with is_reset true
+    exactly on each series' first datapoint."""
+    from pyspark.sql import Window
+
+    from ..operators.aggregate import histogram_cumulative_to_delta
+
+    ev = _events(spark, sf_dir).withColumn(
+        "h", F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600).cast("bigint")
+    )
+    deltas = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("dc"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("ds"),
+        *[
+            F.sum(F.when(F.pmod(F.col("event_id"), F.lit(4)) == j, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{j}")
+            for j in range(4)
+        ],
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = deltas.select(
+        "event_type",
+        "h",
+        F.sum("dc").over(wcum).alias("h_count"),
+        F.sum("ds").over(wcum).cast("double").alias("h_sum"),
+        F.array(*[F.sum(f"_c{j}").over(wcum) for j in range(4)]).alias("bucket_counts"),
+        F.array(F.lit(10.0), F.lit(50.0), F.lit(100.0)).alias("explicit_bounds"),
+    )
+    out = histogram_cumulative_to_delta(cum, ["event_type"], "h")
+    return out.select(
+        "event_type",
+        "h",
+        "is_reset",
+        "h_count",
+        "h_sum",
+        F.array_join(F.transform(F.col("bucket_counts"), lambda x: x.cast("string")), ",").alias(
+            "buckets_csv"
+        ),
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1548,6 +1597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_histogram_rebucket": q_histogram_rebucket,
     "events_exp_histogram_merge": q_exp_histogram_merge,
     "events_exp_histogram_cumulative": q_exp_histogram_cumulative,
+    "events_histogram_cum_to_delta": q_histogram_cum_to_delta,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
     "signal_to_metrics": q_signal_to_metrics,
@@ -1940,6 +1990,26 @@ JOIN (SELECT event_type, min(scale) AS tscale FROM dp GROUP BY 1) t USING (event
 JOIN span sp USING (event_type)
 JOIN scalars s ON s.event_type = c.event_type AND s.h = c.h
 GROUP BY 1, 2, 3, 4, 5, 6, 7"""
+
+    # round-trip identity: cumulative-then-delta must equal the raw deltas
+    o["events_histogram_cum_to_delta"] = """
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch_us(ts) / (3600 * CAST(1000000 AS BIGINT))) AS BIGINT) AS h,
+         event_id, value
+  FROM events),
+d AS (
+  SELECT event_type, h, count(*) AS h_count,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS h_sum,
+         concat_ws(',',
+           CAST(sum(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN event_id % 4 = 2 THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(sum(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END) AS VARCHAR)) AS buckets_csv
+  FROM base GROUP BY 1, 2)
+SELECT event_type, h,
+       h = min(h) OVER (PARTITION BY event_type) AS is_reset,
+       h_count, h_sum, buckets_csv
+FROM d"""
 
     o["events_metrics_transform"] = """
 SELECT event_type,

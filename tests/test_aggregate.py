@@ -391,3 +391,30 @@ def test_exp_histogram_delta_to_cumulative(spark):
     assert out[3]["bucket_counts"] == [1, 6, 7]
     assert out[3]["zero_count"] == 3 and out[3]["h_count"] == 4 and out[3]["h_sum"] == 8.0
     assert all(r["scale"] == 2 for r in out.values())
+
+
+def test_histogram_cumulative_to_delta_with_resets(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        histogram_cumulative_to_delta,
+    )
+
+    rows = [
+        ("s", 1, 3, 3.0, [1, 2], [10.0]),
+        ("s", 2, 7, 8.0, [3, 4], [10.0]),     # delta: count 4, sum 5, [2, 2]
+        ("s", 3, 2, 1.0, [1, 1], [10.0]),     # count DECREASED -> reset, pass through
+        ("s", 4, 5, 4.0, [2, 3], [20.0]),     # bounds changed -> reset
+        ("s", 5, 6, 6.0, [3, 3], [20.0]),     # delta: count 1, sum 2, [1, 0]
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k string, t int, h_count long, h_sum double, bucket_counts array<bigint>,"
+        " explicit_bounds array<double>",
+    )
+    out = {r["t"]: r for r in histogram_cumulative_to_delta(df, ["k"], "t").collect()}
+    assert out[1]["is_reset"] and out[1]["bucket_counts"] == [1, 2]
+    assert not out[2]["is_reset"]
+    assert out[2]["h_count"] == 4 and out[2]["h_sum"] == 5.0 and out[2]["bucket_counts"] == [2, 2]
+    assert out[3]["is_reset"] and out[3]["bucket_counts"] == [1, 1]
+    assert out[4]["is_reset"] and out[4]["bucket_counts"] == [2, 3]
+    assert not out[5]["is_reset"] and out[5]["bucket_counts"] == [1, 0]
+    assert out[5]["h_count"] == 1 and out[5]["h_sum"] == 2.0
