@@ -364,22 +364,36 @@ def simhash_pairs(
     flips shares at least one chunk, so an equi-join on (chunk_idx,
     chunk_val) has guaranteed recall for max_hamming <= chunks-1. Verify
     with bit_count(xor). No cross join anywhere."""
+    sig = simhash(df, id_col, text_col).withColumnRenamed("simhash", "sig")
+    return hamming_blocked_pairs(sig, bits=SIMHASH_BITS, max_hamming=max_hamming, chunks=chunks)
+
+
+def hamming_blocked_pairs(
+    sig: DataFrame, bits: int, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by hamming distance over ANY packed bit signature
+    (`sig` = (doc, sig long)): pigeonhole chunk blocking — split the
+    `bits`-bit signature into `chunks` equal chunks; any pair within
+    `chunks-1` bit flips shares at least one chunk, so an equi-join on
+    (chunk_idx, chunk_val) has guaranteed recall for max_hamming <=
+    chunks-1. Verify with bit_count(xor). No cross join anywhere. Shared
+    by SimHash text near-dup and dHash image near-dup."""
     assert max_hamming <= chunks - 1, "pigeonhole guarantee needs max_hamming <= chunks-1"
-    sig = simhash(df, id_col, text_col)
-    width = SIMHASH_BITS // chunks
+    assert bits % chunks == 0, "bits must split evenly into chunks"
+    width = bits // chunks
     chunked = sig.select(
         "doc",
-        "simhash",
+        "sig",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("ci"),
-                    F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}").alias("cv"),
+                    F.expr(f"(sig >> {i * width}) & {(1 << width) - 1}").alias("cv"),
                 )
                 for i in range(chunks)
             ])
         ).alias("c"),
-    ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    ).select("doc", "sig", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a = chunked.alias("a")
     b = chunked.alias("b")
     cands = (
@@ -387,8 +401,8 @@ def simhash_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
     )

@@ -336,3 +336,115 @@ def decode_png_features(df: DataFrame, payload_col: str = "png") -> DataFrame:
         return pd.DataFrame(rows, columns=["width", "height", "bit_depth", "mean_pixel"])
 
     return df.withColumn("png_meta", decode(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) over the REAL PNG path: decode -> 8x8
+# sample grid -> 56-bit row-gradient hash -> hamming near-dup pairs via the
+# shared pigeonhole blocking (dedup.hamming_blocked_pairs). The standard
+# image near-dup primitive of a multimodal curation pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _png_pattern_bytes(doc_id: int) -> bytes:
+    """A 16x8 grayscale PNG whose row y ASCENDS left-to-right when bit y of
+    doc_id is set and DESCENDS otherwise (pixel = 16x or 240-16x, no
+    clipping, no wraparound) — so the dHash below is closed-form in doc_id
+    and the DuckDB oracle can reproduce it without decoding pixels."""
+    import struct as _struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + _struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    rows = []
+    for y in range(8):
+        up = (int(doc_id) >> y) & 1
+        px = bytes(16 * x if up else 240 - 16 * x for x in range(16))
+        rows.append(b"\x00" + px)
+    ihdr = _struct.pack(">IIBBBBB", 16, 8, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_pattern(df: DataFrame, id_col: str = "doc_id", out_col: str = "png") -> DataFrame:
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: _png_pattern_bytes(int(i)))
+
+    return df.withColumn(out_col, gen(F.col(id_col)))
+
+
+def png_dhash(df: DataFrame, payload_col: str = "png", out_col: str = "dhash") -> DataFrame:
+    """56-bit dHash from a REAL PNG decode: parse the container (same
+    guards as decode_png_features — explicit checks, bounded inflate),
+    nearest-neighbor sample an 8x8 grid, then bit (7y + x) = 1 iff
+    grid[y][x+1] > grid[y][x] (7 comparisons per row x 8 rows = 56 bits,
+    kept under the sign bit so the packed value is a plain positive
+    BIGINT on every engine). Malformed or non-8-bit-gray payloads -> NULL
+    (on_error=send). Arrow-batched; at 100 TB this is the same
+    scan-parallel mapInPandas shape as every other decode here."""
+
+    @F.pandas_udf(T.LongType())
+    def dh(payloads: pd.Series) -> pd.Series:
+        import struct as _struct
+        import zlib
+
+        out = []
+        for p in payloads:
+            try:
+                data = bytes(p)
+                if data[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError("bad signature")
+                pos, width, height, depth, idat = 8, None, None, None, b""
+                color_type = interlace = None
+                while pos < len(data):
+                    (ln,) = _struct.unpack(">I", data[pos : pos + 4])
+                    tag = data[pos + 4 : pos + 8]
+                    payload = data[pos + 8 : pos + 8 + ln]
+                    if tag == b"IHDR":
+                        width, height, depth, color_type, _, _, interlace = _struct.unpack(
+                            ">IIBBBBB", payload
+                        )
+                    elif tag == b"IDAT":
+                        idat += payload
+                    pos += 12 + ln
+                if not (color_type == 0 and depth == 8 and interlace == 0):
+                    out.append(None)
+                    continue
+                expected = height * (width + 1)
+                d = zlib.decompressobj()
+                raw = d.decompress(idat, expected + 1)
+                if len(raw) != expected or d.unconsumed_tail:
+                    raise ValueError("IDAT size mismatch")
+                if any(raw[r * (width + 1)] != 0 for r in range(height)):
+                    out.append(None)
+                    continue
+                # nearest-neighbor 8x8 sample of the (width x height) image
+                grid = [
+                    [
+                        raw[(y * height // 8) * (width + 1) + 1 + (x * width // 8)]
+                        for x in range(8)
+                    ]
+                    for y in range(8)
+                ]
+                h = 0
+                for y in range(8):
+                    for x in range(7):
+                        if grid[y][x + 1] > grid[y][x]:
+                            h |= 1 << (7 * y + x)
+                out.append(h)
+            except Exception:  # noqa: BLE001 — malformed payload -> NULL
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, dh(F.col(payload_col)))

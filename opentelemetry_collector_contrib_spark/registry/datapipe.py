@@ -157,6 +157,31 @@ def q_dedup_keep_first_incremental(spark, sf_dir):
     return out
 
 
+def q_multimodal_dhash(spark, sf_dir):
+    """Perceptual image hash over the REAL PNG path: synthesized gradient
+    PNGs decode to an 8x8 grid whose 56-bit row-gradient dHash is
+    closed-form in doc_id (row y ascends iff bit y set), so the oracle
+    reproduces it without touching pixels."""
+    from ..operators.multimodal import png_dhash, synthesize_png_pattern
+
+    docs = synthesize_png_pattern(_docs(spark, sf_dir).select("doc_id"))
+    return png_dhash(docs).select("doc_id", "dhash")
+
+
+def q_multimodal_dhash_pairs(spark, sf_dir):
+    """Image near-dup pairs: dHash signatures -> the shared pigeonhole
+    chunk blocking (8 chunks of 7 bits, hamming <= 7 guaranteed recall) ->
+    bit_count verify. Same candidate shape as SimHash text near-dup."""
+    from ..operators.dedup import hamming_blocked_pairs
+    from ..operators.multimodal import png_dhash, synthesize_png_pattern
+
+    sig = (
+        png_dhash(synthesize_png_pattern(_docs(spark, sf_dir).select("doc_id")))
+        .select(F.col("doc_id").alias("doc"), F.col("dhash").alias("sig"))
+    )
+    return hamming_blocked_pairs(sig, bits=56, max_hamming=7, chunks=8)
+
+
 def q_simhash_pairs(spark, sf_dir):
     from ..operators.dedup import simhash_pairs
 
@@ -548,6 +573,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_first": q_dedup_keep_first,
     "dedup_keep_first_incremental": q_dedup_keep_first_incremental,
     "dedup_simhash_pairs": q_simhash_pairs,
+    "multimodal_png_dhash": q_multimodal_dhash,
+    "multimodal_dhash_pairs": q_multimodal_dhash_pairs,
     "dedup_embedding_pairs": q_embedding_dup_pairs,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_pairs_bucketed,
     "sim_topk_brute": q_topk_brute,
@@ -961,6 +988,21 @@ SELECT doc_id,
        ELSE NULL END AS fp_shingle
 FROM shing_list"""
     )
+
+    # closed-form dHash: row y of the synthesized PNG ascends iff bit y of
+    # doc_id is set, so its 7 gradient bits (positions 7y..7y+6) are all 1
+    _dhash_expr = " + ".join(
+        f"(CASE WHEN (doc_id >> {y}) & 1 = 1 THEN CAST({127 << (7 * y)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for y in range(8)
+    )
+    o["multimodal_png_dhash"] = f"SELECT doc_id, CAST({_dhash_expr} AS BIGINT) AS dhash FROM documents"
+
+    o["multimodal_dhash_pairs"] = f"""
+WITH sig AS (SELECT doc_id AS doc, CAST({_dhash_expr} AS BIGINT) AS sig FROM documents)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.sig, b.sig)) <= 7"""
 
     o["dedup_exact_docs"] = (
         _DOC_TOKS_CTE

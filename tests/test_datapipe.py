@@ -533,3 +533,48 @@ def test_keep_first_state_persists_via_snapshots(spark, tmp_path):
         write_snapshot(bk, bk_tbl, mode="overwrite")
         write_snapshot(sh, sh_tbl, mode="overwrite")
     assert kept == {1, 4}
+
+
+def test_png_dhash_closed_form_and_malformed(spark):
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        png_dhash,
+        synthesize_png_pattern,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 5, 255)], "doc_id long")
+    out = {r["doc_id"]: r["dhash"] for r in png_dhash(synthesize_png_pattern(docs)).collect()}
+    expect = {
+        i: sum(127 << (7 * y) for y in range(8) if (i >> y) & 1) for i in (0, 1, 5, 255)
+    }
+    assert out == expect
+
+    bad = spark.createDataFrame([(bytearray(b"not a png"),)], "png binary")
+    assert png_dhash(bad).collect()[0]["dhash"] is None
+
+
+def test_dhash_pairs_hamming_relation(spark):
+    """dHash hamming = 7 x popcount(xor of the low-8 id bits) on the
+    synthetic gradient images — blocking must recover exactly those pairs."""
+    from pyspark.sql import functions as FF
+
+    from opentelemetry_collector_contrib_spark.operators.dedup import hamming_blocked_pairs
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        png_dhash,
+        synthesize_png_pattern,
+    )
+
+    ids = [0, 1, 2, 3, 256, 257]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    sig = png_dhash(synthesize_png_pattern(docs)).select(
+        FF.col("doc_id").alias("doc"), FF.col("dhash").alias("sig")
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in hamming_blocked_pairs(sig, bits=56, max_hamming=7, chunks=8).collect()}
+    expect = {}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                hp = bin((i & 255) ^ (j & 255)).count("1")
+                if hp <= 1:
+                    expect[(i, j)] = 7 * hp
+    assert got == expect
