@@ -301,10 +301,15 @@ def dedup_keep_first_incremental(
 
     if state is not None:
         bk_hist, sh_hist = state
-        # vs history: every previously seen doc precedes every batch doc
+        # vs history: previously seen docs precede the batch, and the id
+        # filter makes that explicit — so a micro-batch REPLAYED against a
+        # state that already absorbed it (crash between state commit and
+        # checkpoint commit) reaches the identical verdicts instead of every
+        # doc matching its own state entry
         cross = (
             bk_hist.alias("h")
             .join(bk_new.alias("n"), on=["band", "bucket"])
+            .filter(F.col("h.doc") < F.col("n.doc"))
             .select(F.col("h.doc").alias("doc_a"), F.col("n.doc").alias("doc_b"))
             .distinct()
         )

@@ -309,3 +309,71 @@ def streaming_tail_sampling(
         *[p["name"] for p in policies],
         "sampled",
     )
+
+
+def streaming_keep_first_dedup(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Streaming corpus dedup: documents arrive as parquet files; every
+    micro-batch dedups against the accumulated (buckets, shingles) LSH
+    state — dedup.dedup_keep_first_incremental inside foreachBatch — and
+    only NOVEL docs reach the sink. State lives in two snapshot-store
+    tables (plans/snapshots.py) under `{out_dir}/state`, so a restart
+    resumes from the last committed state + checkpoint, and the novel
+    output is idempotent under micro-batch retry (per-batch overwrite
+    partitions, the write_stream_sinks pattern). Matching a previously
+    DROPPED doc still drops the newcomer (tombstones), so the streamed
+    result equals the one-shot keep-first rule over everything seen.
+
+    This is the shape a 100 TB crawl-ingest runs: per batch, index build is
+    O(batch) and the joins against state are shuffle equi-joins — never a
+    rescan of corpus text."""
+    import os
+
+    from ..operators.dedup import dedup_keep_first_incremental
+    from ..plans.snapshots import SnapshotStore, read_snapshot, write_snapshot
+
+    bk_tbl = os.path.join(out_dir, "state", "buckets")
+    sh_tbl = os.path.join(out_dir, "state", "shingles")
+    novel_dir = os.path.join(out_dir, "novel")
+
+    stream = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        has_state = SnapshotStore(bk_tbl).current() is not None
+        state = (
+            (read_snapshot(spark, bk_tbl), read_snapshot(spark, sh_tbl))
+            if has_state
+            else None
+        )
+        novel, (bk, sh) = dedup_keep_first_incremental(
+            batch_df, state, id_col, text_col, threshold=threshold, bands=bands, rows=rows
+        )
+        novel.persist()
+        try:
+            novel.write.mode("overwrite").parquet(f"{novel_dir}/_batch={batch_id}")
+            # state commits AFTER the sink write: a crash between the two
+            # replays the batch against the old state and overwrites the
+            # same _batch partition — idempotent either way
+            write_snapshot(bk, bk_tbl, mode="overwrite")
+            write_snapshot(sh, sh_tbl, mode="overwrite")
+        finally:
+            novel.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

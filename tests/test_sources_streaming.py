@@ -346,3 +346,60 @@ def test_decode_text_charsets(spark):
         df = spark.createDataFrame([(raw,)], "payload binary")
         out = decode_text(df, "payload", charset, out_col="line").collect()[0]
         assert out["line"] == "héllo wörld", charset
+
+
+def test_streaming_keep_first_dedup_matches_batch(spark, tmp_path):
+    """Documents stream in file-sized micro-batches; only novel docs reach
+    the sink, state persists in the snapshot store, and the union of novel
+    outputs equals the one-shot keep-first rule — including a REPLAYED
+    batch (crash between state commit and checkpoint) staying idempotent."""
+    from pyspark.sql import functions as FF
+
+    from opentelemetry_collector_contrib_spark.operators.dedup import dedup_keep_first
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_keep_first_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    indir = str(tmp_path / "in")
+    # three id-ordered file drops = three micro-batches (maxFilesPerTrigger=1)
+    for i, (lo, hi) in enumerate(((0, 15), (15, 30), (30, 10**9))):
+        docs.filter((FF.col("doc_id") >= lo) & (FF.col("doc_id") < hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{indir}/drop{i}")
+    # register files under one glob-able dir
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(f"{indir}/all", exist_ok=True)
+    for i in range(3):
+        for j, f in enumerate(sorted(glob.glob(f"{indir}/drop{i}/*.parquet"))):
+            shutil.copy(f, f"{indir}/all/{i:02d}_{j}.parquet")
+
+    out = str(tmp_path / "out")
+    q = streaming_keep_first_dedup(
+        spark, f"{indir}/all", out, str(tmp_path / "ckpt"), threshold=0.4
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(f"{out}/novel").collect()}
+    want = {r["doc_id"] for r in dedup_keep_first(docs, "doc_id", threshold=0.4).collect()}
+    assert got == want
+
+    # replay the LAST batch against the already-committed state (the crash-
+    # between-state-commit-and-checkpoint case): its novel output must be
+    # IDENTICAL to the original batch's, not empty — the id-ordered cross
+    # match keeps a doc from matching its own state entry
+    last = sorted(glob.glob(f"{indir}/all/*.parquet"))[-1]
+    rdir = str(tmp_path / "replay_in")
+    os.makedirs(rdir, exist_ok=True)
+    shutil.copy(last, f"{rdir}/00.parquet")
+    out2 = str(tmp_path / "out2")
+    shutil.copytree(f"{out}/state", f"{out2}/state")
+    q2 = streaming_keep_first_dedup(
+        spark, rdir, out2, str(tmp_path / "ckpt2"), threshold=0.4
+    )
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(f"{out2}/novel").collect()}
+    assert got2 == {d for d in want if d >= 30}
