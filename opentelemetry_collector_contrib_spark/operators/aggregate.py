@@ -661,6 +661,48 @@ def exp_histogram_delta_to_cumulative(
     )
 
 
+def histogram_limit_buckets(df: DataFrame, max_buckets: int) -> DataFrame:
+    """OTTL merge_histogram_buckets(method=limit_buckets)
+    (func_merge_histogram_buckets.go): halve the bucket count by collapsing
+    adjacent pairs — counts[2i]+counts[2i+1], keeping every second bound —
+    until the datapoint has at most `max_buckets` buckets. Each halving is
+    a pure array projection; the number of rounds is fixed driver-side from
+    the worst case (log2 of the column's max length can't exceed 64), and
+    rows already within the limit pass through untouched each round."""
+    if max_buckets < 1:
+        raise ValueError("max_buckets must be >= 1")
+    out = df
+    # fixed-depth loop: 8 halvings shrink 256x, comfortably past the
+    # reference's own 160-bucket ceiling (data/add.go maxBuckets). Each
+    # round is a cheap projection and a no-op for rows already within the
+    # limit; a deeper chain would bloat the Catalyst expression tree for
+    # inputs that can't legitimately exist.
+    for _ in range(8):
+        c, b = F.col("bucket_counts"), F.col("explicit_bounds")
+        n = F.size(c)
+        need = n > F.lit(int(max_buckets))
+        half_counts = F.transform(
+            F.sequence(F.lit(0), F.ceil(n / 2).cast("int") - 1),
+            # try_element_at: ANSI mode makes plain element_at THROW on the
+            # odd trailing bucket's missing pair
+            lambda i: F.element_at(c, 2 * i + 1)
+            + F.coalesce(F.try_element_at(c, 2 * i + 2), F.lit(0).cast("bigint")),
+        )
+        # bounds at odd 0-based positions separate the kept pairs; an odd
+        # trailing bucket keeps no extra bound (element_at coalesces to 0)
+        half_bounds = F.filter(b, lambda x, i: i % 2 == 1)
+        # withColumns (plural): both expressions must see the SAME input —
+        # chained withColumn would size `need` against the already-halved
+        # counts when rewriting the bounds
+        out = out.withColumns(
+            {
+                "bucket_counts": F.when(need, half_counts).otherwise(c),
+                "explicit_bounds": F.when(need, half_bounds).otherwise(b),
+            }
+        )
+    return out
+
+
 def histogram_cumulative_to_delta(
     df: DataFrame, dims: list[str], order_col: str
 ) -> DataFrame:

@@ -274,6 +274,28 @@ def q_histogram_cum_to_delta(spark, sf_dir):
     )
 
 
+def q_histogram_limit(spark, sf_dir):
+    """merge_histogram_buckets(method=limit_buckets): six fine buckets
+    collapse pairwise twice down to the 2-bucket cap; the result must equal
+    direct recomputation at the surviving boundary (<=50 / >50)."""
+    from ..operators.aggregate import histogram_datapoints, histogram_limit_buckets
+
+    fine = histogram_datapoints(
+        _events(spark, sf_dir), ["event_type"], "value", [1.0, 5.0, 10.0, 50.0, 100.0]
+    )
+    out = histogram_limit_buckets(fine, 2)
+    return out.select(
+        "event_type",
+        "h_count",
+        F.array_join(F.transform(F.col("bucket_counts"), lambda x: x.cast("string")), ",").alias(
+            "buckets_csv"
+        ),
+        F.array_join(F.transform(F.col("explicit_bounds"), lambda x: x.cast("string")), ",").alias(
+            "bounds_csv"
+        ),
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1598,6 +1620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_exp_histogram_merge": q_exp_histogram_merge,
     "events_exp_histogram_cumulative": q_exp_histogram_cumulative,
     "events_histogram_cum_to_delta": q_histogram_cum_to_delta,
+    "events_histogram_limit": q_histogram_limit,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
     "signal_to_metrics": q_signal_to_metrics,
@@ -1990,6 +2013,15 @@ JOIN (SELECT event_type, min(scale) AS tscale FROM dp GROUP BY 1) t USING (event
 JOIN span sp USING (event_type)
 JOIN scalars s ON s.event_type = c.event_type AND s.h = c.h
 GROUP BY 1, 2, 3, 4, 5, 6, 7"""
+
+    # pairwise collapse of [1,5,10,50,100]+overflow twice leaves <=50 / >50
+    o["events_histogram_limit"] = """
+SELECT event_type, count(*) AS h_count,
+       concat_ws(',',
+         CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS VARCHAR),
+         CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS VARCHAR)) AS buckets_csv,
+       '50.0' AS bounds_csv
+FROM events GROUP BY 1"""
 
     # round-trip identity: cumulative-then-delta must equal the raw deltas
     o["events_histogram_cum_to_delta"] = """

@@ -418,3 +418,25 @@ def test_histogram_cumulative_to_delta_with_resets(spark):
     assert out[4]["is_reset"] and out[4]["bucket_counts"] == [2, 3]
     assert not out[5]["is_reset"] and out[5]["bucket_counts"] == [1, 0]
     assert out[5]["h_count"] == 1 and out[5]["h_sum"] == 2.0
+
+
+def test_histogram_limit_buckets(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import histogram_limit_buckets
+
+    rows = [
+        ("even", [1, 2, 3, 4], [10.0, 20.0, 30.0]),
+        ("odd", [1, 2, 3, 4, 5], [1.0, 2.0, 3.0, 4.0]),
+        ("small", [7], []),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, bucket_counts array<bigint>, explicit_bounds array<double>"
+    )
+    out = {r["k"]: r for r in histogram_limit_buckets(df, 2).collect()}
+    assert out["even"]["bucket_counts"] == [3, 7]
+    assert out["even"]["explicit_bounds"] == [20.0]
+    # odd: [1+2, 3+4, 5] (3 > 2) -> [3+7, 5] -> 2 buckets
+    assert out["odd"]["bucket_counts"] == [10, 5]
+    assert out["odd"]["explicit_bounds"] == [4.0]
+    assert out["small"]["bucket_counts"] == [7] and out["small"]["explicit_bounds"] == []
+    total = lambda r: sum(r)  # noqa: E731
+    assert total(out["odd"]["bucket_counts"]) == 15  # counts conserved
