@@ -809,3 +809,107 @@ def parse_journald(df: DataFrame, source: str = "body") -> DataFrame:
         m["_HOSTNAME"].alias("jd_hostname"),
         m["_SYSTEMD_UNIT"].alias("jd_unit"),
     )
+
+
+# --- wire-format line parsers (receiver payload formats) ----------------------
+# The network receivers themselves are out of scope (SURVEY §2.1: ingress is
+# the table), but their LINE FORMATS are ordinary text parsers. All three are
+# single-pass regexp projections (no UDF), malformed lines -> NULLs.
+
+
+def parse_statsd(df: DataFrame, source: str = "body") -> DataFrame:
+    """statsd line parser — receiver/statsdreceiver/internal/parser/
+    statsd_parser.go:37-41 metric types (c|g|h|ms|d), `|@rate` sampling,
+    DogStatsD `|#k:v,...` tags. Emits (st_name, st_value double, st_type,
+    st_rate double defaulting 1.0, st_tags_csv sorted). Non-matching lines
+    yield NULL fields (on_error=send)."""
+    line = F.col(source)
+    m = r"^([^:|#]+):([-+]?[0-9.eE+-]+)\|(c|g|h|ms|d)(?:\|@([0-9.]+))?(?:\|#([^|]*))?$"
+    name = F.regexp_extract(line, m, 1)
+    ok = name != ""
+    tags_raw = F.regexp_extract(line, m, 5)
+    tags_csv = F.when(
+        tags_raw != "", F.array_join(F.array_sort(F.split(tags_raw, ",")), ",")
+    ).otherwise(F.lit(None).cast("string"))
+    return df.select(
+        *df.columns,
+        F.when(ok, name).alias("st_name"),
+        F.when(ok, F.regexp_extract(line, m, 2).try_cast("double")).alias("st_value"),
+        F.when(ok, F.regexp_extract(line, m, 3)).alias("st_type"),
+        F.when(
+            ok,
+            F.coalesce(
+                F.nullif(F.regexp_extract(line, m, 4), F.lit("")).try_cast("double"),
+                F.lit(1.0),
+            ),
+        ).alias("st_rate"),
+        F.when(ok, tags_csv).alias("st_tags_csv"),
+    )
+
+
+def parse_influx_line(df: DataFrame, source: str = "body") -> DataFrame:
+    """InfluxDB line protocol (receiver/influxdbreceiver — the wire format
+    its HTTP endpoint accepts): `measurement[,tag=v...] field=v[,f2=v2] [ts]`.
+    Covers the unescaped subset (no `\\,`/`\\ ` escapes — those payloads
+    yield NULLs rather than wrong splits). Emits (il_measurement,
+    il_tags_csv sorted, il_fields_csv sorted, il_ts timestamp from the ns
+    epoch when present)."""
+    line = F.col(source)
+    m = r"^([A-Za-z_][A-Za-z0-9_.]*)((?:,[A-Za-z0-9_.]+=[^,= ]+)*) ([^ ]+)(?: (\d+))?$"
+    meas = F.nullif(F.regexp_extract(line, m, 1), F.lit(""))
+    tags_raw = F.regexp_extract(line, m, 2)
+    tags_csv = F.when(
+        tags_raw != "",
+        F.array_join(F.array_sort(F.split(F.substring(tags_raw, 2, 1 << 20), ",")), ","),
+    ).otherwise(F.lit(None).cast("string"))
+    fields_csv = F.array_join(
+        F.array_sort(F.split(F.regexp_extract(line, m, 3), ",")), ","
+    )
+    ns_str = F.nullif(F.regexp_extract(line, m, 4), F.lit(""))
+    # exact ns -> µs: these epochs exceed 2^53, so ANY double round-trip
+    # (plain or try_divide) can corrupt the low microseconds. The capture is
+    # a digit string — dropping its last 3 characters IS exact integer
+    # division by 1000 for the non-negative line-protocol timestamps.
+    us = (
+        F.when(F.length(ns_str) > 3, ns_str.substr(F.lit(1), F.length(ns_str) - 3))
+        .when(ns_str.isNotNull(), F.lit("0"))  # sub-µs ts -> epoch 0; absent ts stays NULL
+        .try_cast("long")
+    )
+    return df.select(
+        *df.columns,
+        meas.alias("il_measurement"),
+        F.when(meas.isNotNull(), tags_csv).alias("il_tags_csv"),
+        F.when(meas.isNotNull(), fields_csv).alias("il_fields_csv"),
+        F.timestamp_micros(us).alias("il_ts"),
+    )
+
+
+def parse_prometheus_text(df: DataFrame, source: str = "body") -> DataFrame:
+    """Prometheus text exposition sample line (receiver/prometheusreceiver's
+    scrape payload format): `name{l1="v1",...} value [ts_ms]`. Emits
+    (pm_name, pm_labels_csv sorted `k=v` pairs, pm_value double, pm_ts from
+    epoch ms when present). Comment/HELP/TYPE and malformed lines -> NULLs."""
+    line = F.col(source)
+    m = (
+        r'^([A-Za-z_:][A-Za-z0-9_:]*)(?:\{((?:[A-Za-z_][A-Za-z0-9_]*="[^"]*",?)*)\})?'
+        r" ([-+]?[0-9.eE+-]+|NaN)(?: (\d+))?$"
+    )
+    name = F.nullif(F.regexp_extract(line, m, 1), F.lit(""))
+    labels_raw = F.regexp_extract(line, m, 2)
+    labels_csv = F.when(
+        labels_raw != "",
+        F.array_join(
+            F.array_sort(
+                F.filter(F.split(F.regexp_replace(labels_raw, '"', ""), ","), lambda x: x != "")
+            ),
+            ",",
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+    ms = F.nullif(F.regexp_extract(line, m, 4), F.lit("")).try_cast("long")
+    return df.select(
+        *df.columns,
+        name.alias("pm_name"),
+        F.when(name.isNotNull(), labels_csv).alias("pm_labels_csv"),
+        F.when(name.isNotNull(), F.regexp_extract(line, m, 3).try_cast("double")).alias("pm_value"),
+        F.timestamp_millis(ms).alias("pm_ts"),
+    )

@@ -296,6 +296,73 @@ def q_histogram_limit(spark, sf_dir):
     )
 
 
+def q_parse_statsd(spark, sf_dir):
+    """statsd wire-format lines (statsdreceiver parser semantics: metric
+    types, |@rate, DogStatsD #tags) synthesized from events with integer
+    value rendering (engine-identical strings); every 10th line malformed
+    -> NULLs."""
+    from ..operators.parse import parse_statsd
+
+    ev = _events(spark, sf_dir)
+    iv = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    body = F.when(
+        F.pmod(F.col("event_id"), F.lit(10)) == 0, F.lit("not a statsd line")
+    ).otherwise(
+        F.concat(
+            F.col("event_type"), F.lit(":"), iv, F.lit("|ms|@0.5|#user:"),
+            F.pmod(F.col("user_id"), F.lit(10)).cast("string"), F.lit(",env:prod"),
+        )
+    )
+    out = parse_statsd(ev.withColumn("body", body), "body")
+    return out.select("event_id", "st_name", "st_value", "st_type", "st_rate", "st_tags_csv")
+
+
+def q_parse_influx_line(spark, sf_dir):
+    """InfluxDB line protocol (influxdbreceiver wire format): measurement,
+    sorted tag set, field set, nanosecond timestamp round-tripped back to
+    the original event time."""
+    from ..operators.parse import parse_influx_line
+
+    ev = _events(spark, sf_dir)
+    iv = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
+    body = F.concat(
+        F.col("event_type"), F.lit(",host=h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string"),
+        F.lit(",dc=west value="), iv, F.lit("i "), ns,
+    )
+    out = parse_influx_line(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id",
+        "il_measurement",
+        "il_tags_csv",
+        "il_fields_csv",
+        F.unix_micros(F.col("il_ts")).alias("il_ts_us"),
+    )
+
+
+def q_parse_prometheus_text(spark, sf_dir):
+    """Prometheus text exposition samples (prometheusreceiver scrape
+    payload): metric name, sorted label pairs, value, optional epoch-ms
+    timestamp."""
+    from ..operators.parse import parse_prometheus_text
+
+    ev = _events(spark, sf_dir)
+    iv = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("bigint")
+    body = F.concat(
+        F.col("event_type"), F.lit('_total{code="'), F.pmod(F.col("event_id"), F.lit(3)).cast("string"),
+        F.lit('",method="get"} '), iv, F.lit(" "), ms.cast("string"),
+    )
+    out = parse_prometheus_text(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id",
+        "pm_name",
+        "pm_labels_csv",
+        "pm_value",
+        F.unix_millis(F.col("pm_ts")).alias("pm_ts_ms"),
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1621,6 +1688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_exp_histogram_cumulative": q_exp_histogram_cumulative,
     "events_histogram_cum_to_delta": q_histogram_cum_to_delta,
     "events_histogram_limit": q_histogram_limit,
+    "parse_statsd_lines": q_parse_statsd,
+    "parse_influx_lines": q_parse_influx_line,
+    "parse_prometheus_lines": q_parse_prometheus_text,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
     "signal_to_metrics": q_signal_to_metrics,
@@ -2013,6 +2083,32 @@ JOIN (SELECT event_type, min(scale) AS tscale FROM dp GROUP BY 1) t USING (event
 JOIN span sp USING (event_type)
 JOIN scalars s ON s.event_type = c.event_type AND s.h = c.h
 GROUP BY 1, 2, 3, 4, 5, 6, 7"""
+
+    # wire-format line parsers: closed-form from the same synthesis
+    o["parse_statsd_lines"] = """
+SELECT event_id,
+  CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS st_name,
+  CASE WHEN event_id % 10 = 0 THEN NULL
+       ELSE CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) END AS st_value,
+  CASE WHEN event_id % 10 = 0 THEN NULL ELSE 'ms' END AS st_type,
+  CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(0.5 AS DOUBLE) END AS st_rate,
+  CASE WHEN event_id % 10 = 0 THEN NULL
+       ELSE 'env:prod,user:' || CAST(user_id % 10 AS VARCHAR) END AS st_tags_csv
+FROM events"""
+
+    o["parse_influx_lines"] = """
+SELECT event_id, event_type AS il_measurement,
+  'dc=west,host=h' || CAST(user_id % 5 AS VARCHAR) AS il_tags_csv,
+  'value=' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || 'i' AS il_fields_csv,
+  epoch_us(ts) AS il_ts_us
+FROM events"""
+
+    o["parse_prometheus_lines"] = """
+SELECT event_id, event_type || '_total' AS pm_name,
+  'code=' || CAST(event_id % 3 AS VARCHAR) || ',method=get' AS pm_labels_csv,
+  CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS pm_value,
+  CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS pm_ts_ms
+FROM events"""
 
     # pairwise collapse of [1,5,10,50,100]+overflow twice leaves <=50 / >50
     o["events_histogram_limit"] = """

@@ -378,3 +378,59 @@ def test_resource_detection_env_system_override(spark):
     fill = {r["event"]: r["host_name"]
             for r in resource_detection(df, ("system",), env=env, override=False).collect()}
     assert fill == {"a": "detected-host", "b": "keep-me"}
+
+
+def test_wire_format_line_parsers(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        parse_influx_line,
+        parse_prometheus_text,
+        parse_statsd,
+    )
+
+    st = spark.createDataFrame(
+        [
+            (1, "api.latency:123|ms|@0.5|#env:prod,user:3"),
+            (2, "hits:42|c"),                      # no rate, no tags -> rate defaults 1.0
+            (3, "gauge.x:-7.5|g|#b:2,a:1"),        # tags sort
+            (4, "malformed junk"),
+        ],
+        "i long, body string",
+    )
+    out = {r["i"]: r for r in parse_statsd(st).collect()}
+    assert out[1]["st_name"] == "api.latency" and out[1]["st_rate"] == 0.5
+    assert out[1]["st_tags_csv"] == "env:prod,user:3"
+    assert out[2]["st_type"] == "c" and out[2]["st_rate"] == 1.0 and out[2]["st_tags_csv"] is None
+    assert out[3]["st_value"] == -7.5 and out[3]["st_tags_csv"] == "a:1,b:2"
+    assert out[4]["st_name"] is None and out[4]["st_rate"] is None
+
+    il = spark.createDataFrame(
+        [
+            (1, "cpu,host=a,dc=west usage=0.5,idle=99 1717171717123456789"),
+            (2, "mem free=12i"),                   # no tags, no ts
+            (3, "bad line protocol,,"),
+        ],
+        "i long, body string",
+    )
+    out = {r["i"]: r for r in parse_influx_line(il).collect()}
+    assert out[1]["il_measurement"] == "cpu" and out[1]["il_tags_csv"] == "dc=west,host=a"
+    assert out[1]["il_fields_csv"] == "idle=99,usage=0.5"
+    # exact ns->us truncation, no double round-trip
+    assert out[1]["il_ts"].microsecond == 123456
+    assert out[2]["il_measurement"] == "mem" and out[2]["il_tags_csv"] is None
+    assert out[2]["il_ts"] is None
+    assert out[3]["il_measurement"] is None
+
+    pm = spark.createDataFrame(
+        [
+            (1, 'http_requests_total{method="post",code="200"} 1027 1395066363000'),
+            (2, "process_start_time_seconds 1.71e9"),
+            (3, "# HELP not a sample"),
+        ],
+        "i long, body string",
+    )
+    out = {r["i"]: r for r in parse_prometheus_text(pm).collect()}
+    assert out[1]["pm_name"] == "http_requests_total"
+    assert out[1]["pm_labels_csv"] == "code=200,method=post" and out[1]["pm_value"] == 1027.0
+    assert out[1]["pm_ts"] is not None
+    assert out[2]["pm_value"] == 1.71e9 and out[2]["pm_labels_csv"] is None and out[2]["pm_ts"] is None
+    assert out[3]["pm_name"] is None
