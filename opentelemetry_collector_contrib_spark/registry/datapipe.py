@@ -420,6 +420,23 @@ def q_lm_quality(spark, sf_dir):
     return out.select("doc_id", "lm_logprob")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize every document with the 3 merges trained on the corpus
+    itself (bpe_train drives 3 tiny argmax actions; bpe_apply compiles the
+    merge chain into one codegen projection). The oracle re-derives the
+    SAME merges with the per-round training CTEs and re-encodes every doc
+    via the word dictionary — end-to-end train+apply parity."""
+    from ..operators.bpe import bpe_apply, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, 3)
+    out = bpe_apply(docs, merges)
+    return out.select(
+        "doc_id",
+        F.nullif(F.array_join(F.col("bpe_tokens"), "\x1f"), F.lit("")).alias("tokens_sep"),
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary induction: 3 merge rounds over the
     documents word dict. Fully oracle-checked — each round (pair count,
@@ -550,6 +567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_gopher": q_curation_gopher,
     "curation_dsir_weights": q_dsir_weights,
     "bpe_train_merges": q_bpe_merges,
+    "bpe_encode_docs": q_bpe_encode,
     "curation_lm_quality": q_lm_quality,
     "curation_train_split": q_train_split,
     "curation_pii_scrub": q_curation_pii,
@@ -714,6 +732,35 @@ w{r + 1} AS (
          replace(syms, {_d}||a||{_d}||{_d}||b||{_d}, {_d}||a||b||{_d}) AS syms
   FROM w{r} CROSS JOIN m{r})"""
         )
+    _bpe_w0 = f"""
+WITH w0 AS (
+  SELECT word, count(*) AS freq,
+         {_d} || regexp_replace(word, '(.)', '\\1' || {_d} || {_d}, 'g') AS syms
+  FROM (SELECT replace(unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  x -> x <> '')), {_d}, '') AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY word),
+"""
+    # re-derive the merges, then re-encode every doc through the final word
+    # dictionary (w3.syms IS each word's encoding after all 3 merges)
+    o["bpe_encode_docs"] = (
+        _bpe_w0
+        + ",\n".join(bpe_rounds)
+        + f""",
+enc AS (SELECT word, list_filter(string_split(syms, {_d}), x -> x <> '') AS subs FROM w3),
+dt AS (SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                    x -> replace(x, {_d}, '')), x -> x <> '') AS toks
+       FROM documents),
+dw AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS word FROM dt),
+j AS (SELECT dw.doc_id, dw.pos, enc.subs FROM dw JOIN enc USING (word)),
+t AS (SELECT doc_id, pos, generate_subscripts(subs, 1) AS sp, unnest(subs) AS tok FROM j),
+agg AS (SELECT doc_id, string_agg(tok, chr(31) ORDER BY pos, sp) AS tokens_sep
+        FROM t GROUP BY doc_id)
+SELECT d.doc_id, agg.tokens_sep FROM documents d LEFT JOIN agg USING (doc_id)"""
+    )
+
     o["bpe_train_merges"] = (
         f"""
 WITH w0 AS (
