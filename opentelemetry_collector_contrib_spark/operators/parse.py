@@ -913,3 +913,44 @@ def parse_prometheus_text(df: DataFrame, source: str = "body") -> DataFrame:
         F.when(name.isNotNull(), F.regexp_extract(line, m, 3).try_cast("double")).alias("pm_value"),
         F.timestamp_millis(ms).alias("pm_ts"),
     )
+
+
+ZIPKIN_SCHEMA = (
+    "array<struct<traceId: string, id: string, parentId: string, name: string,"
+    " kind: string, timestamp: bigint, duration: bigint,"
+    " localEndpoint: struct<serviceName: string>, tags: map<string,string>>>"
+)
+
+
+def zipkin_json_spans(df: DataFrame, source: str = "body") -> DataFrame:
+    """Zipkin v2 JSON span arrays (receiver/zipkinreceiver's wire format —
+    a flat `[{traceId, id, parentId, name, kind, timestamp µs, duration µs,
+    localEndpoint.serviceName, tags}]` list): schema'd from_json + one
+    explode, one row per span. Non-array or malformed payloads drop (the
+    receiver's error path); tags surface as a sorted `k=v` CSV so results
+    are deterministic on every engine."""
+    gated = df.filter(F.col(source).rlike(r"^\s*\[")).withColumn(
+        "_z", F.from_json(F.col(source), ZIPKIN_SCHEMA)
+    )
+    sp = gated.select("*", F.explode(F.col("_z")).alias("_s")).drop("_z")
+    tags_csv = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("_s")["tags"]),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return sp.select(
+        *[c for c in df.columns],
+        F.col("_s")["traceId"].alias("trace_id"),
+        F.col("_s")["id"].alias("span_id"),
+        F.col("_s")["parentId"].alias("parent_span_id"),
+        F.col("_s")["name"].alias("span_name"),
+        F.col("_s")["kind"].alias("span_kind"),
+        F.col("_s")["timestamp"].alias("ts_us"),
+        F.col("_s")["duration"].alias("duration_us"),
+        F.col("_s")["localEndpoint"]["serviceName"].alias("service_name"),
+        F.when(F.col("_s")["tags"].isNotNull(), tags_csv).alias("tags_csv"),
+    )

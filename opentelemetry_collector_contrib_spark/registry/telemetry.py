@@ -363,6 +363,31 @@ def q_parse_prometheus_text(spark, sf_dir):
     )
 
 
+def q_zipkin_spans(spark, sf_dir):
+    """Zipkin v2 JSON payloads (two spans per payload: a server parent and
+    its client child) unfold to one row per span through the schema'd
+    from_json + explode path; tags as sorted k=v CSV."""
+    from ..operators.parse import zipkin_json_spans
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp")).cast("string")
+    eid = F.col("event_id").cast("string")
+    body = F.concat(
+        F.lit('[{"traceId":"t'), eid, F.lit('","id":"s1","name":"'), F.col("event_type"),
+        F.lit('","kind":"SERVER","timestamp":'), us,
+        F.lit(',"duration":1000,"localEndpoint":{"serviceName":"api"},"tags":{"user":"u'),
+        F.pmod(F.col("user_id"), F.lit(7)).cast("string"),
+        F.lit('","env":"prod"}},{"traceId":"t'), eid,
+        F.lit('","id":"s2","parentId":"s1","name":"'), F.col("event_type"),
+        F.lit('_call","kind":"CLIENT","timestamp":'), us, F.lit(',"duration":500}]'),
+    )
+    out = zipkin_json_spans(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", "trace_id", "span_id", "parent_span_id", "span_name",
+        "span_kind", "ts_us", "duration_us", "service_name", "tags_csv",
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1691,6 +1716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_statsd_lines": q_parse_statsd,
     "parse_influx_lines": q_parse_influx_line,
     "parse_prometheus_lines": q_parse_prometheus_text,
+    "zipkin_json_spans": q_zipkin_spans,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
     "signal_to_metrics": q_signal_to_metrics,
@@ -2083,6 +2109,20 @@ JOIN (SELECT event_type, min(scale) AS tscale FROM dp GROUP BY 1) t USING (event
 JOIN span sp USING (event_type)
 JOIN scalars s ON s.event_type = c.event_type AND s.h = c.h
 GROUP BY 1, 2, 3, 4, 5, 6, 7"""
+
+    # two closed-form rows per event: the server parent and client child
+    o["zipkin_json_spans"] = """
+SELECT event_id,
+  't' || CAST(event_id AS VARCHAR) AS trace_id,
+  CASE WHEN s = 0 THEN 's1' ELSE 's2' END AS span_id,
+  CASE WHEN s = 0 THEN NULL ELSE 's1' END AS parent_span_id,
+  CASE WHEN s = 0 THEN event_type ELSE event_type || '_call' END AS span_name,
+  CASE WHEN s = 0 THEN 'SERVER' ELSE 'CLIENT' END AS span_kind,
+  epoch_us(ts) AS ts_us,
+  CAST(CASE WHEN s = 0 THEN 1000 ELSE 500 END AS BIGINT) AS duration_us,
+  CASE WHEN s = 0 THEN 'api' ELSE NULL END AS service_name,
+  CASE WHEN s = 0 THEN 'env=prod,user=u' || CAST(user_id % 7 AS VARCHAR) ELSE NULL END AS tags_csv
+FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS s) g"""
 
     # wire-format line parsers: closed-form from the same synthesis
     o["parse_statsd_lines"] = """
