@@ -954,3 +954,44 @@ def zipkin_json_spans(df: DataFrame, source: str = "body") -> DataFrame:
         F.col("_s")["localEndpoint"]["serviceName"].alias("service_name"),
         F.when(F.col("_s")["tags"].isNotNull(), tags_csv).alias("tags_csv"),
     )
+
+
+LOKI_SCHEMA = (
+    "struct<streams: array<struct<stream: map<string,string>,"
+    " values: array<array<string>>>>>"
+)
+
+
+def loki_json_push(df: DataFrame, source: str = "body") -> DataFrame:
+    """Loki push-API JSON (receiver/lokireceiver's wire format —
+    `{"streams":[{"stream":{labels},"values":[["<ns>","<line>"],...]}]}`):
+    one row per log line with its stream's label set (sorted k=v CSV) and
+    the nanosecond timestamp string converted exactly (digit-string
+    truncation, no double round-trip). Two explodes, all columnar;
+    malformed payloads drop."""
+    gated = df.filter(F.col(source).rlike(r'^\s*\{\s*"streams"')).withColumn(
+        "_l", F.from_json(F.col(source), LOKI_SCHEMA)
+    )
+    st = gated.select("*", F.explode(F.col("_l")["streams"]).alias("_st")).drop("_l")
+    v = st.select("*", F.explode(F.col("_st")["values"]).alias("_v"))
+    labels_csv = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("_st")["stream"]),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    ns_str = F.col("_v")[0]
+    us = (
+        F.when(F.length(ns_str) > 3, ns_str.substr(F.lit(1), F.length(ns_str) - 3))
+        .when(ns_str.isNotNull(), F.lit("0"))
+        .try_cast("long")
+    )
+    return v.select(
+        *[c for c in df.columns],
+        labels_csv.alias("labels_csv"),
+        F.timestamp_micros(us).alias("line_ts"),
+        F.col("_v")[1].alias("line"),
+    )

@@ -388,6 +388,28 @@ def q_zipkin_spans(spark, sf_dir):
     )
 
 
+def q_loki_push(spark, sf_dir):
+    """Loki push payloads: one stream per event with two [ns, line] values;
+    rows = 2x events with sorted label CSVs and exact ns->us times."""
+    from ..operators.parse import loki_json_push
+
+    ev = _events(spark, sf_dir)
+    ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
+    body = F.concat(
+        F.lit('{"streams":[{"stream":{"job":"'), F.col("event_type"),
+        F.lit('","host":"h'), F.pmod(F.col("user_id"), F.lit(4)).cast("string"),
+        F.lit('"},"values":[["'), ns, F.lit('","line one for '), F.col("event_type"),
+        F.lit('"],["'), ns, F.lit('","line two"]]}]}'),
+    )
+    out = loki_json_push(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id",
+        "labels_csv",
+        F.unix_micros(F.col("line_ts")).alias("line_ts_us"),
+        "line",
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1717,6 +1739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_influx_lines": q_parse_influx_line,
     "parse_prometheus_lines": q_parse_prometheus_text,
     "zipkin_json_spans": q_zipkin_spans,
+    "loki_json_push": q_loki_push,
     "events_metrics_transform": q_metrics_transform,
     "events_metrics_rename_scale": q_metrics_rename_scale,
     "signal_to_metrics": q_signal_to_metrics,
@@ -2122,6 +2145,13 @@ SELECT event_id,
   CAST(CASE WHEN s = 0 THEN 1000 ELSE 500 END AS BIGINT) AS duration_us,
   CASE WHEN s = 0 THEN 'api' ELSE NULL END AS service_name,
   CASE WHEN s = 0 THEN 'env=prod,user=u' || CAST(user_id % 7 AS VARCHAR) ELSE NULL END AS tags_csv
+FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS s) g"""
+
+    o["loki_json_push"] = """
+SELECT event_id,
+  'host=h' || CAST(user_id % 4 AS VARCHAR) || ',job=' || event_type AS labels_csv,
+  epoch_us(ts) AS line_ts_us,
+  CASE WHEN s = 0 THEN 'line one for ' || event_type ELSE 'line two' END AS line
 FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS s) g"""
 
     # wire-format line parsers: closed-form from the same synthesis
