@@ -272,3 +272,41 @@ def test_rollup_gapfill_invariants(spark, data):
             if r["n"] > 0:
                 last = r["total"]
             assert r["locf_total"] == last  # LOCF carries the last observed total
+
+
+# --- incremental keep-first dedup == one-shot, for ANY id-ordered split ------
+# Random small corpora over a tiny vocabulary (to force near-dups), random
+# batch boundaries: the union of per-batch novel sets must equal the
+# one-shot keep-first result. Exercises tombstones, within-batch chains,
+# and empty batches in one invariant.
+
+_vocab = ["alpha", "bravo", "charlie", "delta", "echo"]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from(_vocab), min_size=3, max_size=6), min_size=2, max_size=10
+    ),
+    cut1=st.integers(0, 10),
+    cut2=st.integers(0, 10),
+)
+def test_incremental_keep_first_equals_one_shot(spark, data, cut1, cut2):
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        dedup_keep_first,
+        dedup_keep_first_incremental,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(bands=8, rows=1, threshold=0.5)
+
+    one_shot = {r["doc_id"] for r in dedup_keep_first(df, "doc_id", **kw).collect()}
+
+    lo, hi = sorted((cut1 % (len(data) + 1), cut2 % (len(data) + 1)))
+    state, kept = None, set()
+    for a, b in ((0, lo), (lo, hi), (hi, len(data))):
+        batch = df.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b))
+        novel, state = dedup_keep_first_incremental(batch, state, "doc_id", **kw)
+        kept |= {r["doc_id"] for r in novel.collect()}
+    assert kept == one_shot
