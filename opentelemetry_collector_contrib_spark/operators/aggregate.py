@@ -321,6 +321,8 @@ def histogram_datapoints(
     assembled into the array as a post-agg projection. h_sum accumulates as
     decimal(18,6) and casts to double once (engine-order-independent, the
     repo's float-sum parity recipe)."""
+    if not bounds:
+        raise ValueError("bounds must be non-empty")
     v = F.col(value_col)
     conds = []
     lo = None
@@ -334,7 +336,9 @@ def histogram_datapoints(
         for i, c in enumerate(conds)
     ]
     out = df.groupBy(*dims).agg(
-        F.count(F.lit(1)).alias("h_count"),
+        # count NON-NULL values: a NULL lands in no bucket, and OTLP
+        # consumers rely on h_count == sum(bucket_counts)
+        F.count(v).alias("h_count"),
         F.sum(v.cast("decimal(18,6)")).cast("double").alias("h_sum"),
         *aggs,
     )
@@ -359,33 +363,47 @@ def histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
     the alternative — collect_list of whole arrays per group — buffers an
     unbounded datapoint set per reducer, which is exactly what breaks on a
     skewed group at 100 TB."""
+    ride = (F.col("pos") == 0) | F.col("pos").isNull()
     ex = df.select(
         *dims,
         F.col("explicit_bounds"),
         F.col("h_count"),
         F.col("h_sum"),
-        F.posexplode(F.col("bucket_counts")).alias("pos", "cnt"),
+        # a NULL bucket list (e.g. an on_error=send row from
+        # histogram_rebucket) must POISON the group's buckets, not vanish
+        F.col("bucket_counts").isNull().alias("_nullb"),
+        # OUTER: NULL/empty-bucket rows still contribute count/sum
+        F.posexplode_outer(F.col("bucket_counts")).alias("pos", "cnt"),
     ).select(
         *dims,
         "explicit_bounds",
         "pos",
         "cnt",
-        # count/sum ride along on the pos-0 row only, so the second
+        "_nullb",
+        # count/sum ride along on one row per datapoint, so the second
         # aggregation can sum them without double counting
-        F.when(F.col("pos") == 0, F.col("h_count")).alias("hc"),
-        F.when(F.col("pos") == 0, F.col("h_sum").cast("decimal(18,6)")).alias("hs"),
+        F.when(ride, F.col("h_count")).alias("hc"),
+        F.when(ride, F.col("h_sum").cast("decimal(18,6)")).alias("hs"),
     )
     per_pos = ex.groupBy(*dims, "explicit_bounds", "pos").agg(
         F.sum("cnt").alias("cnt"),
         F.sum("hc").alias("hc"),
         F.sum("hs").alias("hs"),
+        F.max("_nullb").alias("_nullb"),
     )
     return (
         per_pos.groupBy(*dims, "explicit_bounds")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cnt")))),
-                lambda s: s["cnt"],
+            F.when(
+                ~F.max("_nullb"),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("pos").isNotNull(), F.struct(F.col("pos"), F.col("cnt")))
+                        )
+                    ),
+                    lambda s: s["cnt"],
+                ),
             ).alias("bucket_counts"),
             F.sum("hc").alias("h_count"),
             F.sum("hs").cast("double").alias("h_sum"),
@@ -463,8 +481,12 @@ def exp_histogram_downscale(df: DataFrame, target_scale: int) -> DataFrame:
         ),
     )
     ok = d >= 0
+    # empty bucket list (a series whose every observation was zero carries
+    # only zero_count): keep it empty — the unguarded sequence(new_off,
+    # new_hi) would run DESCENDING and crash element_at
+    counts_out = F.when(F.size(c) == 0, F.array().cast("array<bigint>")).otherwise(new_counts)
     return (
-        df.withColumn("bucket_counts", F.when(ok, new_counts).otherwise(F.lit(None).cast("array<bigint>")))
+        df.withColumn("bucket_counts", F.when(ok, counts_out).otherwise(F.lit(None).cast("array<bigint>")))
         .withColumn("offset", F.when(ok, new_off).otherwise(F.lit(None).cast("int")))
         .withColumn("scale", F.when(ok, F.lit(int(target_scale))).otherwise(F.lit(None).cast("int")))
     )
@@ -518,7 +540,11 @@ def exp_histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
         "h_count",
         "h_sum",
         new_off.alias("_noff"),
-        new_counts.alias("_ncnt"),
+        # empty bucket list stays empty (unguarded descending sequence
+        # would crash); posexplode_outer below keeps the row's scalars
+        F.when(F.size(c) == 0, F.array().cast("array<bigint>"))
+        .otherwise(new_counts)
+        .alias("_ncnt"),
     ).select(
         *dims,
         F.col("_target").alias("scale"),
@@ -528,6 +554,9 @@ def exp_histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
         F.col("_noff").alias("offset"),
         F.col("_ncnt").alias("bucket_counts"),
     )
+    # posexplode_OUTER: a zero-bucket datapoint still has zero_count/count/
+    # sum to contribute — plain posexplode would silently drop them
+    ride = (F.col("pos") == 0) | F.col("pos").isNull()
     ex = aligned.select(
         *dims,
         "scale",
@@ -535,15 +564,15 @@ def exp_histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
         "h_count",
         "h_sum",
         "offset",
-        F.posexplode(F.col("bucket_counts")).alias("pos", "cnt"),
+        F.posexplode_outer(F.col("bucket_counts")).alias("pos", "cnt"),
     ).select(
         *dims,
         "scale",
         (F.col("offset") + F.col("pos")).alias("idx"),
         "cnt",
-        F.when(F.col("pos") == 0, F.col("zero_count")).alias("zc"),
-        F.when(F.col("pos") == 0, F.col("h_count")).alias("hc"),
-        F.when(F.col("pos") == 0, F.col("h_sum").cast("decimal(18,6)")).alias("hs"),
+        F.when(ride, F.col("zero_count")).alias("zc"),
+        F.when(ride, F.col("h_count")).alias("hc"),
+        F.when(ride, F.col("h_sum").cast("decimal(18,6)")).alias("hs"),
     )
     per_idx = ex.groupBy(*dims, "scale", "idx").agg(
         F.sum("cnt").alias("cnt"),
@@ -554,7 +583,13 @@ def exp_histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
     assembled = per_idx.groupBy(*dims, "scale").agg(
         F.min("idx").alias("offset"),
         F.max("idx").alias("_hi"),
-        F.map_from_entries(F.collect_list(F.struct(F.col("idx"), F.col("cnt")))).alias("_m"),
+        # the outer-explode rows carry idx NULL — they must not reach the
+        # map (null keys are invalid); min/max already ignore them
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("idx").isNotNull(), F.struct(F.col("idx"), F.col("cnt")))
+            )
+        ).alias("_m"),
         F.sum("zc").alias("zero_count"),
         F.sum("hc").alias("h_count"),
         F.sum("hs").cast("double").alias("h_sum"),
@@ -566,10 +601,15 @@ def exp_histogram_merge(df: DataFrame, dims: list[str]) -> DataFrame:
         "h_count",
         "h_sum",
         "offset",
-        F.transform(
-            F.sequence(F.col("offset"), F.col("_hi")),
-            lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("bigint")),
-        ).alias("bucket_counts"),
+        # a group made ENTIRELY of zero-bucket datapoints has no indexes
+        F.when(F.col("offset").isNull(), F.array().cast("array<bigint>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.col("offset"), F.col("_hi")),
+                lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("bigint")),
+            )
+        )
+        .alias("bucket_counts"),
     )
 
 
@@ -602,17 +642,29 @@ def exp_histogram_delta_to_cumulative(
     def down(idx: Column) -> Column:
         return F.floor(idx.cast("double") / two_d).cast("int")
 
-    pre = pre.withColumn("_rlo", down(F.col("offset"))).withColumn(
-        "_rhi", down(F.col("offset") + F.size(c) - 1)
+    # zero-bucket datapoints (only zero_count observed) contribute no span:
+    # NULL _rlo/_rhi keeps them out of the series window min/max, and the
+    # rebase below never indexes their empty array (which would crash)
+    nonempty = F.size(c) > 0
+    pre = pre.withColumn("_rlo", F.when(nonempty, down(F.col("offset")))).withColumn(
+        "_rhi", F.when(nonempty, down(F.col("offset") + F.size(c) - 1))
     )
     pre = pre.withColumn("_lo", F.min("_rlo").over(w)).withColumn("_hi", F.max("_rhi").over(w))
-    rebased = F.transform(
-        F.sequence(F.col("_lo"), F.col("_hi")),
-        lambda i: F.aggregate(
-            F.filter(F.sequence(F.lit(0), F.size(c) - 1), lambda p: down(F.col("offset") + p) == i),
-            F.lit(0).cast("bigint"),
-            lambda acc, p: acc + F.element_at(c, p + 1),
-        ),
+    rebased = F.when(F.col("_lo").isNull(), F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.col("_lo"), F.col("_hi")),
+            lambda i: F.when(
+                nonempty,
+                F.aggregate(
+                    F.filter(
+                        F.sequence(F.lit(0), F.size(c) - 1),
+                        lambda p: down(F.col("offset") + p) == i,
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, p: acc + F.element_at(c, p + 1),
+                ),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
     )
     # materialize the rebase BEFORE aliasing `_target AS scale` / `_lo AS
     # offset`: in one select those lateral aliases would shadow the input
@@ -641,7 +693,8 @@ def exp_histogram_delta_to_cumulative(
         "zero_count",
         "h_count",
         "h_sum",
-        F.posexplode(F.col("_reb")).alias("pos", "cnt"),
+        # OUTER: an all-empty series still emits its cumulative scalars
+        F.posexplode_outer(F.col("_reb")).alias("pos", "cnt"),
     )
     wpos = (
         Window.partitionBy(*dims, "pos")
@@ -653,7 +706,11 @@ def exp_histogram_delta_to_cumulative(
         cum.groupBy(*dims, order_col, "scale", "offset", "zero_count", "h_count", "h_sum")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cum")))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("pos").isNotNull(), F.struct(F.col("pos"), F.col("cum")))
+                    )
+                ),
                 lambda s: s["cum"],
             ).alias("bucket_counts")
         )

@@ -237,6 +237,23 @@ def minhash_dedup_state(
     return bk, sh
 
 
+def pack_dedup_state(bk: DataFrame, sh: DataFrame) -> DataFrame:
+    """(buckets, shingles) -> ONE frame (doc, band, bucket) with shingle
+    rows carried as band = -1, so the whole dedup index commits as a
+    single atomic snapshot (a two-table commit can crash half-done and
+    leave an inconsistent index pair)."""
+    return bk.select("doc", "band", "bucket").unionByName(
+        sh.select("doc", F.lit(-1).alias("band"), F.col("shingle").alias("bucket"))
+    )
+
+
+def unpack_dedup_state(packed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Inverse of pack_dedup_state."""
+    bk = packed.filter(F.col("band") >= 0).select("doc", "band", "bucket")
+    sh = packed.filter(F.col("band") < 0).select("doc", F.col("bucket").alias("shingle"))
+    return bk, sh
+
+
 def dedup_keep_first(
     df: DataFrame,
     id_col: str,
@@ -316,7 +333,15 @@ def dedup_keep_first_incremental(
         dropped = dropped.unionByName(
             _verify_candidates(cross, sh_hist, sh_new, threshold).select("doc_b")
         )
-        new_state = (bk_hist.unionByName(bk_new), sh_hist.unionByName(sh_new))
+        # state additions are anti-joined against docs already indexed: a
+        # REPLAYED batch (crash between state commit and checkpoint commit)
+        # must not double-insert its rows — duplicated shingle rows would
+        # inflate every later exact-Jaccard intersection and silently
+        # corrupt verdicts
+        seen = bk_hist.select("doc").distinct()
+        bk_add = bk_new.join(seen, "doc", "left_anti")
+        sh_add = sh_new.join(seen, "doc", "left_anti")
+        new_state = (bk_hist.unionByName(bk_add), sh_hist.unionByName(sh_add))
     else:
         new_state = (bk_new, sh_new)
 

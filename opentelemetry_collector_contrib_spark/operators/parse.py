@@ -816,6 +816,28 @@ def parse_journald(df: DataFrame, source: str = "body") -> DataFrame:
 # the table), but their LINE FORMATS are ordinary text parsers. All three are
 # single-pass regexp projections (no UDF), malformed lines -> NULLs.
 
+# strict number token: rejects half-numeric garbage like "1.2.3" so a bad
+# value fails the WHOLE line (the reference parsers reject such lines, not
+# individual fields)
+_NUM = r"(?:[-+]?(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][-+]?\d+)?)"
+
+
+def _guarded_groups(line: Column, regex: str, n: int) -> list[Column]:
+    """ONE regex execution per row for the common case: the matched line is
+    rewritten to its capture groups joined by \x01 and split (the same
+    trick as parse_native — per-group regexp_extract would re-run the whole
+    pattern once per output column). Rows containing a literal \x01 take
+    the per-group fallback so adversarial bytes can never shift fields.
+    Caller gates on rlike(regex); unmatched optional groups arrive as ''."""
+    sep = "\x01"
+    tpl = sep.join(f"${i}" for i in range(1, n + 1))
+    arr = F.split(F.regexp_replace(line, regex, tpl), sep)
+    sep_free = ~line.contains(sep)
+    return [
+        F.when(sep_free, arr[i - 1]).otherwise(F.regexp_extract(line, regex, i))
+        for i in range(1, n + 1)
+    ]
+
 
 def parse_statsd(df: DataFrame, source: str = "body") -> DataFrame:
     """statsd line parser — receiver/statsdreceiver/internal/parser/
@@ -824,24 +846,20 @@ def parse_statsd(df: DataFrame, source: str = "body") -> DataFrame:
     st_rate double defaulting 1.0, st_tags_csv sorted). Non-matching lines
     yield NULL fields (on_error=send)."""
     line = F.col(source)
-    m = r"^([^:|#]+):([-+]?[0-9.eE+-]+)\|(c|g|h|ms|d)(?:\|@([0-9.]+))?(?:\|#([^|]*))?$"
-    name = F.regexp_extract(line, m, 1)
-    ok = name != ""
-    tags_raw = F.regexp_extract(line, m, 5)
+    m = rf"^([^:|#]+):({_NUM})\|(c|g|h|ms|d)(?:\|@([0-9.]+))?(?:\|#([^|]*))?$"
+    ok = line.rlike(m)
+    name, value, mtype, rate, tags_raw = _guarded_groups(line, m, 5)
     tags_csv = F.when(
         tags_raw != "", F.array_join(F.array_sort(F.split(tags_raw, ",")), ",")
     ).otherwise(F.lit(None).cast("string"))
     return df.select(
         *df.columns,
         F.when(ok, name).alias("st_name"),
-        F.when(ok, F.regexp_extract(line, m, 2).try_cast("double")).alias("st_value"),
-        F.when(ok, F.regexp_extract(line, m, 3)).alias("st_type"),
+        F.when(ok, value.try_cast("double")).alias("st_value"),
+        F.when(ok, mtype).alias("st_type"),
         F.when(
             ok,
-            F.coalesce(
-                F.nullif(F.regexp_extract(line, m, 4), F.lit("")).try_cast("double"),
-                F.lit(1.0),
-            ),
+            F.coalesce(F.nullif(rate, F.lit("")).try_cast("double"), F.lit(1.0)),
         ).alias("st_rate"),
         F.when(ok, tags_csv).alias("st_tags_csv"),
     )
@@ -856,16 +874,15 @@ def parse_influx_line(df: DataFrame, source: str = "body") -> DataFrame:
     epoch when present)."""
     line = F.col(source)
     m = r"^([A-Za-z_][A-Za-z0-9_.]*)((?:,[A-Za-z0-9_.]+=[^,= ]+)*) ([^ ]+)(?: (\d+))?$"
-    meas = F.nullif(F.regexp_extract(line, m, 1), F.lit(""))
-    tags_raw = F.regexp_extract(line, m, 2)
+    ok = line.rlike(m)
+    meas_g, tags_g, fields_g, ns_g = _guarded_groups(line, m, 4)
+    meas = F.when(ok, meas_g)
     tags_csv = F.when(
-        tags_raw != "",
-        F.array_join(F.array_sort(F.split(F.substring(tags_raw, 2, 1 << 20), ",")), ","),
+        tags_g != "",
+        F.array_join(F.array_sort(F.split(F.substring(tags_g, 2, 1 << 20), ",")), ","),
     ).otherwise(F.lit(None).cast("string"))
-    fields_csv = F.array_join(
-        F.array_sort(F.split(F.regexp_extract(line, m, 3), ",")), ","
-    )
-    ns_str = F.nullif(F.regexp_extract(line, m, 4), F.lit(""))
+    fields_csv = F.array_join(F.array_sort(F.split(fields_g, ",")), ",")
+    ns_str = F.when(ok, F.nullif(ns_g, F.lit("")))
     # exact ns -> µs: these epochs exceed 2^53, so ANY double round-trip
     # (plain or try_divide) can corrupt the low microseconds. The capture is
     # a digit string — dropping its last 3 characters IS exact integer
@@ -892,25 +909,27 @@ def parse_prometheus_text(df: DataFrame, source: str = "body") -> DataFrame:
     line = F.col(source)
     m = (
         r'^([A-Za-z_:][A-Za-z0-9_:]*)(?:\{((?:[A-Za-z_][A-Za-z0-9_]*="[^"]*",?)*)\})?'
-        r" ([-+]?[0-9.eE+-]+|NaN)(?: (\d+))?$"
+        rf" ({_NUM}|NaN)(?: (\d+))?$"
     )
-    name = F.nullif(F.regexp_extract(line, m, 1), F.lit(""))
-    labels_raw = F.regexp_extract(line, m, 2)
+    ok = line.rlike(m)
+    name_g, labels_g, value_g, ms_g = _guarded_groups(line, m, 4)
+    name = F.when(ok, name_g)
+    # each `k="v"` pair is extracted as a unit BEFORE quote stripping —
+    # splitting a quote-stripped blob on ',' would split inside label
+    # values that legitimately contain commas
+    pairs = F.regexp_extract_all(labels_g, F.lit(r'[A-Za-z_][A-Za-z0-9_]*="[^"]*"'), 0)
     labels_csv = F.when(
-        labels_raw != "",
+        labels_g != "",
         F.array_join(
-            F.array_sort(
-                F.filter(F.split(F.regexp_replace(labels_raw, '"', ""), ","), lambda x: x != "")
-            ),
-            ",",
+            F.array_sort(F.transform(pairs, lambda x: F.regexp_replace(x, '"', ""))), ","
         ),
     ).otherwise(F.lit(None).cast("string"))
-    ms = F.nullif(F.regexp_extract(line, m, 4), F.lit("")).try_cast("long")
+    ms = F.when(ok, F.nullif(ms_g, F.lit(""))).try_cast("long")
     return df.select(
         *df.columns,
         name.alias("pm_name"),
         F.when(name.isNotNull(), labels_csv).alias("pm_labels_csv"),
-        F.when(name.isNotNull(), F.regexp_extract(line, m, 3).try_cast("double")).alias("pm_value"),
+        F.when(name.isNotNull(), value_g.try_cast("double")).alias("pm_value"),
         F.timestamp_millis(ms).alias("pm_ts"),
     )
 

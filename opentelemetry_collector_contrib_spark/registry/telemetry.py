@@ -2025,7 +2025,7 @@ FROM events GROUP BY 1, 2"""
 
     # direct recomputation at the coarse bounds — merge∘rebucket must equal it
     o["events_histogram_rebucket"] = """
-SELECT event_type, count(*) AS h_count,
+SELECT event_type, count(value) AS h_count,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS h_sum,
        concat_ws(',',
          CAST(sum(CASE WHEN value <= 5 THEN 1 ELSE 0 END) AS VARCHAR),
@@ -2182,7 +2182,7 @@ FROM events"""
 
     # pairwise collapse of [1,5,10,50,100]+overflow twice leaves <=50 / >50
     o["events_histogram_limit"] = """
-SELECT event_type, count(*) AS h_count,
+SELECT event_type, count(value) AS h_count,
        concat_ws(',',
          CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS VARCHAR),
          CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS VARCHAR)) AS buckets_csv,

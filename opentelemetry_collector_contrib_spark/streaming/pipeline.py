@@ -339,11 +339,15 @@ def streaming_keep_first_dedup(
     rescan of corpus text."""
     import os
 
-    from ..operators.dedup import dedup_keep_first_incremental
+    from ..operators.dedup import (
+        dedup_keep_first_incremental,
+        minhash_dedup_state,
+        pack_dedup_state,
+        unpack_dedup_state,
+    )
     from ..plans.snapshots import SnapshotStore, read_snapshot, write_snapshot
 
-    bk_tbl = os.path.join(out_dir, "state", "buckets")
-    sh_tbl = os.path.join(out_dir, "state", "shingles")
+    state_tbl = os.path.join(out_dir, "state")
     novel_dir = os.path.join(out_dir, "novel")
 
     stream = (
@@ -353,23 +357,30 @@ def streaming_keep_first_dedup(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        has_state = SnapshotStore(bk_tbl).current() is not None
-        state = (
-            (read_snapshot(spark, bk_tbl), read_snapshot(spark, sh_tbl))
-            if has_state
-            else None
-        )
-        novel, (bk, sh) = dedup_keep_first_incremental(
+        cur = SnapshotStore(state_tbl).current()
+        # `files` can be empty if the first committed batch was itself empty
+        state = unpack_dedup_state(read_snapshot(spark, state_tbl)) if cur and cur["files"] else None
+        novel, _ = dedup_keep_first_incremental(
             batch_df, state, id_col, text_col, threshold=threshold, bands=bands, rows=rows
         )
         novel.persist()
         try:
             novel.write.mode("overwrite").parquet(f"{novel_dir}/_batch={batch_id}")
-            # state commits AFTER the sink write: a crash between the two
-            # replays the batch against the old state and overwrites the
-            # same _batch partition — idempotent either way
-            write_snapshot(bk, bk_tbl, mode="overwrite")
-            write_snapshot(sh, sh_tbl, mode="overwrite")
+            # commit ONLY this batch's index rows, APPENDED, as ONE atomic
+            # snapshot: a full-state overwrite would rewrite O(corpus) per
+            # batch (quadratic total I/O), and a two-table commit could
+            # crash half-done. The anti-join skips docs already indexed so
+            # a replayed batch appends nothing. State commits AFTER the
+            # sink write: a crash in between replays the batch against the
+            # old state and overwrites the same _batch partition.
+            bk_new, sh_new = minhash_dedup_state(
+                batch_df, id_col, text_col, bands=bands, rows=rows
+            )
+            adds = pack_dedup_state(bk_new, sh_new)
+            if state is not None:
+                seen = state[0].select("doc").distinct()
+                adds = adds.join(seen, "doc", "left_anti")
+            write_snapshot(adds, state_tbl, mode="append")
         finally:
             novel.unpersist()
 

@@ -440,3 +440,63 @@ def test_histogram_limit_buckets(spark):
     assert out["small"]["bucket_counts"] == [7] and out["small"]["explicit_bounds"] == []
     total = lambda r: sum(r)  # noqa: E731
     assert total(out["odd"]["bucket_counts"]) == 15  # counts conserved
+
+
+def test_exp_histogram_empty_buckets_survive(spark):
+    """Zero-bucket exponential datapoints (only zero_count observed) must
+    neither crash the array math nor silently drop their scalars."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        exp_histogram_delta_to_cumulative,
+        exp_histogram_downscale,
+        exp_histogram_merge,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 3, 2, 5, 2.0, 0, []),
+            ("a", 2, 2, 1, 4, 3.0, 0, [1, 2]),
+        ],
+        "k string, t int, scale int, zero_count long, h_count long, h_sum double,"
+        " offset int, bucket_counts array<bigint>",
+    )
+    down = {r["t"]: r for r in exp_histogram_downscale(df, 2).collect()}
+    assert down[1]["bucket_counts"] == [] and down[1]["scale"] == 2
+
+    merged = exp_histogram_merge(df, ["k"]).collect()[0]
+    assert merged["zero_count"] == 3 and merged["h_count"] == 9 and merged["h_sum"] == 5.0
+    assert merged["bucket_counts"] == [1, 2]
+
+    cum = {r["t"]: r for r in exp_histogram_delta_to_cumulative(df, ["k"], "t").collect()}
+    assert cum[1]["zero_count"] == 2 and cum[1]["bucket_counts"] == [0, 0]
+    assert cum[2]["zero_count"] == 3 and cum[2]["bucket_counts"] == [1, 2]
+
+    # an ALL-empty series merges to empty buckets with summed scalars
+    df2 = spark.createDataFrame(
+        [("b", 1, 2, 2, 2, 1.0, 0, []), ("b", 2, 2, 1, 1, 1.0, 0, [])],
+        "k string, t int, scale int, zero_count long, h_count long, h_sum double,"
+        " offset int, bucket_counts array<bigint>",
+    )
+    m2 = exp_histogram_merge(df2, ["k"]).collect()[0]
+    assert m2["zero_count"] == 3 and m2["h_count"] == 3 and m2["bucket_counts"] == []
+
+
+def test_histogram_merge_null_buckets_poison_not_vanish(spark):
+    """A NULL bucket list (an on_error=send row) poisons the merged group's
+    buckets to NULL but its count/sum still aggregate — silent undercount
+    is the failure mode this guards."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import histogram_merge
+
+    rows = [
+        ("a", 3, 6.0, [1, 2], [10.0]),
+        ("a", 2, 4.0, None, [10.0]),
+        ("b", 1, 9.0, [], [10.0]),   # EMPTY (not null): scalars survive too
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k string, h_count long, h_sum double, bucket_counts array<bigint>,"
+        " explicit_bounds array<double>",
+    )
+    out = {r["k"]: r for r in histogram_merge(df, ["k"]).collect()}
+    assert out["a"]["bucket_counts"] is None
+    assert out["a"]["h_count"] == 5 and out["a"]["h_sum"] == 10.0
+    assert out["b"]["bucket_counts"] == [] and out["b"]["h_count"] == 1

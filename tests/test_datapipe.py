@@ -578,3 +578,22 @@ def test_dhash_pairs_hamming_relation(spark):
                 if hp <= 1:
                     expect[(i, j)] = 7 * hp
     assert got == expect
+
+
+def test_incremental_state_never_double_inserts_on_replay(spark):
+    """Replaying a batch against a state that already absorbed it must add
+    NOTHING: duplicated shingle rows would inflate every later
+    exact-Jaccard intersection (2i/(2|A|+|B|-2i) > i/(|A|+|B|-i)) and
+    silently flip keep verdicts."""
+    docs = _chain_docs(spark).filter(F.col("doc_id") == 1)
+    _, state = dedup.dedup_keep_first_incremental(docs, None, "doc_id", **_KF)
+    # replay: same batch against the state that already contains it
+    _, state2 = dedup.dedup_keep_first_incremental(docs, state, "doc_id", **_KF)
+    bk1, sh1 = state
+    bk2, sh2 = state2
+    assert sh2.count() == sh1.count()
+    assert bk2.count() == bk1.count()
+    # and a packed state round-trips losslessly
+    packed = dedup.pack_dedup_state(bk2, sh2)
+    bk3, sh3 = dedup.unpack_dedup_state(packed)
+    assert bk3.count() == bk2.count() and sh3.count() == sh2.count()

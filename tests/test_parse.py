@@ -434,3 +434,28 @@ def test_wire_format_line_parsers(spark):
     assert out[1]["pm_ts"] is not None
     assert out[2]["pm_value"] == 1.71e9 and out[2]["pm_labels_csv"] is None and out[2]["pm_ts"] is None
     assert out[3]["pm_name"] is None
+
+
+def test_wire_format_adversarial_values_and_commas(spark):
+    """Review regressions: half-numeric statsd values reject the WHOLE
+    line; Prometheus label values containing commas/equals stay intact."""
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        parse_prometheus_text,
+        parse_statsd,
+    )
+
+    st = spark.createDataFrame(
+        [(1, "x:1.2.3|c"), (2, "y:--5|g"), (3, "z:1e3|ms")], "i long, body string"
+    )
+    out = {r["i"]: r for r in parse_statsd(st).collect()}
+    assert out[1]["st_name"] is None and out[1]["st_type"] is None
+    assert out[2]["st_name"] is None
+    assert out[3]["st_value"] == 1000.0
+
+    pm = spark.createDataFrame(
+        [(1, 'm{a="2,z",b="x=1"} 5'), (2, 'm{q="0.99"} NaN')], "i long, body string"
+    )
+    out = {r["i"]: r for r in parse_prometheus_text(pm).collect()}
+    assert out[1]["pm_labels_csv"] == "a=2,z,b=x=1"
+    assert out[1]["pm_value"] == 5.0
+    assert out[2]["pm_labels_csv"] == "q=0.99"
