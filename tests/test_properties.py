@@ -310,3 +310,35 @@ def test_incremental_keep_first_equals_one_shot(spark, data, cut1, cut2):
         novel, state = dedup_keep_first_incremental(batch, state, "doc_id", **kw)
         kept |= {r["doc_id"] for r in novel.collect()}
     assert kept == one_shot
+
+
+# --- OTTL compiler fuzz: malformed statements fail CLEANLY -------------------
+# Arbitrary 100 TB config/input must produce ValueError (the compiler's
+# documented contract), never an IndexError/KeyError/RecursionError leaking
+# from the lexer or recursive-descent parser.
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    src=st.text(
+        alphabet='abcXYZ_0123456789()[]{},."\'=><!+-*/ \t\\%$#@;:`~|&^\n\x01é€',
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_ottl_compiler_rejects_garbage_cleanly(spark, src):
+    from opentelemetry_collector_contrib_spark.functions.ottl_compiler import (
+        parse_condition,
+        parse_statement,
+    )
+
+    for fn in (parse_statement, parse_condition):
+        try:
+            fn(src)
+        except ValueError:
+            pass  # the documented malformed-input contract
+        # any other exception type propagates and fails the test
