@@ -57,6 +57,38 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     return df.join(keep, on=id_col, how="inner")
 
 
+def exact_dedup_incremental(
+    batch: DataFrame,
+    state_keys: DataFrame | None,
+    id_col: str,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup over a growing corpus: the state is just the set of seen
+    60-bit text keys (one row per distinct text ever observed — the minimal
+    index, far smaller than the corpus). A batch row survives iff its key is
+    new to the state AND it is the min-id holder of that key within the
+    batch — which makes id-ordered batched processing equal one-shot
+    drop_exact_dups exactly. Returns (novel_rows, new_state_keys); the
+    anti-joined additions keep a replayed batch from bloating the state."""
+    t = F.col(text_col)
+    key = h60(F.lower(F.concat_ws(" ", tokens(t)))) if normalize else h60(t)
+    keyed = batch.withColumn("_tk", key)
+    firsts = keyed.groupBy("_tk").agg(F.min(id_col).alias(id_col))
+    novel = keyed.join(firsts, on=[id_col, "_tk"], how="inner")
+    if state_keys is not None:
+        novel = novel.join(state_keys.withColumnRenamed("text_key", "_tk"), "_tk", "left_anti")
+        adds = (
+            keyed.select(F.col("_tk").alias("text_key"))
+            .distinct()
+            .join(state_keys, "text_key", "left_anti")
+        )
+        new_state = state_keys.unionByName(adds)
+    else:
+        new_state = keyed.select(F.col("_tk").alias("text_key")).distinct()
+    return novel.drop("_tk"), new_state
+
+
 # ---------------------------------------------------------------------------
 # shingle inverted index + exact Jaccard join
 # ---------------------------------------------------------------------------

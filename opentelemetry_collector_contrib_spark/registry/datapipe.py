@@ -119,6 +119,21 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_dedup_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.4)
 
 
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Exact dedup computed incrementally (two id-ordered batches over a
+    seen-text-key state) must equal the one-shot min-id-per-key keep set."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import exact_dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    state, parts = None, []
+    for cond in (F.col("doc_id") < 250, F.col("doc_id") >= 250):
+        novel, state = exact_dedup_incremental(docs.filter(cond), state, "doc_id")
+        parts.append(novel.select("doc_id", "source", "n_chars"))
+    return parts[0].unionByName(parts[1])
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """Keep-first near-dedup: doc survives iff no smaller-id doc is an LSH
     candidate with verified Jaccard >= 0.4 (operators/dedup.py
@@ -588,6 +603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_keep_first": q_dedup_keep_first,
     "dedup_keep_first_incremental": q_dedup_keep_first_incremental,
     "dedup_simhash_pairs": q_simhash_pairs,
@@ -1050,6 +1066,16 @@ SELECT a.doc AS doc_a, b.doc AS doc_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.sig, b.sig)) <= 7"""
+
+    o["dedup_exact_incremental"] = (
+        _DOC_TOKS_CTE
+        + f""",
+k AS (SELECT doc_id, {sql_h60("lower(array_to_string(toks, ' '))")} AS tk FROM tokd)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN (
+  SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY tk) AS m FROM k)
+  WHERE doc_id = m) keep USING (doc_id)"""
+    )
 
     o["dedup_exact_docs"] = (
         _DOC_TOKS_CTE

@@ -597,3 +597,43 @@ def test_incremental_state_never_double_inserts_on_replay(spark):
     packed = dedup.pack_dedup_state(bk2, sh2)
     bk3, sh3 = dedup.unpack_dedup_state(packed)
     assert bk3.count() == bk2.count() and sh3.count() == sh2.count()
+
+
+def test_exact_dedup_incremental_equals_one_shot(spark):
+    """id-ordered batched exact dedup == drop_exact_dups, including a dup
+    whose twin arrived in an EARLIER batch and a replayed batch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    one_shot = {r["doc_id"] for r in dedup.drop_exact_dups(docs, "doc_id").collect()}
+
+    state, kept = None, set()
+    batches = [
+        docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b))
+        for a, b in ((0, 20), (20, 35), (35, 10**9))
+    ]
+    for b in batches:
+        novel, state = dedup.exact_dedup_incremental(b, state, "doc_id")
+        kept |= {r["doc_id"] for r in novel.collect()}
+    assert kept == one_shot
+
+    # replay the last batch: nothing new, state size unchanged
+    n_before = state.count()
+    novel2, state2 = dedup.exact_dedup_incremental(batches[-1], state, "doc_id")
+    assert novel2.count() == 0
+    assert state2.count() == n_before
+
+
+def test_exact_dedup_incremental_cross_batch_twin(spark):
+    """A text whose exact twin (modulo whitespace/case normalization)
+    arrived in an EARLIER batch must drop; within-batch twins keep min id."""
+    b1 = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "unique one")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "hello world"), (4, "fresh text"), (5, "fresh  TEXT")],
+        "doc_id long, text string",
+    )
+    novel1, state = dedup.exact_dedup_incremental(b1, None, "doc_id")
+    novel2, state = dedup.exact_dedup_incremental(b2, state, "doc_id")
+    assert {r["doc_id"] for r in novel1.collect()} == {1, 2}
+    assert {r["doc_id"] for r in novel2.collect()} == {4}  # 3 dups 1; 5 dups 4 in-batch
+    assert state.count() == 3  # three distinct normalized texts ever seen
