@@ -760,6 +760,16 @@ def histogram_limit_buckets(df: DataFrame, max_buckets: int) -> DataFrame:
     return out
 
 
+def histogram_scale_values(df: DataFrame, factor: float) -> DataFrame:
+    """metricstransformprocessor experimental_scale_value for histograms
+    (operation_scale_value.go:13: scales the sum AND the explicit bounds —
+    bucket counts are invariant under a unit change). Pure projection."""
+    f = F.lit(float(factor))
+    return df.withColumn("h_sum", F.col("h_sum") * f).withColumn(
+        "explicit_bounds", F.transform(F.col("explicit_bounds"), lambda b: b * f)
+    )
+
+
 def histogram_cumulative_to_delta(
     df: DataFrame, dims: list[str], order_col: str
 ) -> DataFrame:

@@ -410,6 +410,34 @@ def q_loki_push(spark, sf_dir):
     )
 
 
+def q_histogram_scaled(spark, sf_dir):
+    """experimental_scale_value on histogram datapoints (ms -> s): sum and
+    bounds scale, bucket counts are invariant. Bounds surface as
+    micro-unit integers so float->string rendering differences between
+    engines can't perturb the hash."""
+    from ..operators.aggregate import histogram_datapoints, histogram_scale_values
+
+    fine = histogram_datapoints(
+        _events(spark, sf_dir), ["event_type"], "value", [1.0, 5.0, 10.0, 50.0, 100.0]
+    )
+    out = histogram_scale_values(fine, 0.001)
+    return out.select(
+        "event_type",
+        "h_count",
+        "h_sum",
+        F.array_join(F.transform(F.col("bucket_counts"), lambda x: x.cast("string")), ",").alias(
+            "buckets_csv"
+        ),
+        F.array_join(
+            F.transform(
+                F.col("explicit_bounds"),
+                lambda b: F.round(b * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("bounds_micro_csv"),
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1735,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_exp_histogram_cumulative": q_exp_histogram_cumulative,
     "events_histogram_cum_to_delta": q_histogram_cum_to_delta,
     "events_histogram_limit": q_histogram_limit,
+    "events_histogram_scaled": q_histogram_scaled,
     "parse_statsd_lines": q_parse_statsd,
     "parse_influx_lines": q_parse_influx_line,
     "parse_prometheus_lines": q_parse_prometheus_text,
@@ -2187,6 +2216,24 @@ SELECT event_type, count(value) AS h_count,
          CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS VARCHAR),
          CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS VARCHAR)) AS buckets_csv,
        '50.0' AS bounds_csv
+FROM events GROUP BY 1"""
+
+    o["events_histogram_scaled"] = """
+SELECT event_type, count(value) AS h_count,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 0.001 AS h_sum,
+       concat_ws(',',
+         CAST(sum(CASE WHEN value <= 1 THEN 1 ELSE 0 END) AS VARCHAR),
+         CAST(sum(CASE WHEN value > 1 AND value <= 5 THEN 1 ELSE 0 END) AS VARCHAR),
+         CAST(sum(CASE WHEN value > 5 AND value <= 10 THEN 1 ELSE 0 END) AS VARCHAR),
+         CAST(sum(CASE WHEN value > 10 AND value <= 50 THEN 1 ELSE 0 END) AS VARCHAR),
+         CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS VARCHAR),
+         CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS VARCHAR)) AS buckets_csv,
+       concat_ws(',',
+         CAST(CAST(round(1.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(5.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(10.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(50.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(100.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR)) AS bounds_micro_csv
 FROM events GROUP BY 1"""
 
     # round-trip identity: cumulative-then-delta must equal the raw deltas

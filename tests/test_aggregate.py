@@ -500,3 +500,15 @@ def test_histogram_merge_null_buckets_poison_not_vanish(spark):
     assert out["a"]["bucket_counts"] is None
     assert out["a"]["h_count"] == 5 and out["a"]["h_sum"] == 10.0
     assert out["b"]["bucket_counts"] == [] and out["b"]["h_count"] == 1
+
+
+def test_histogram_scale_values(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import histogram_scale_values
+
+    df = spark.createDataFrame(
+        [("a", 4, 2000.0, [1, 3], [100.0])],
+        "k string, h_count long, h_sum double, bucket_counts array<bigint>, explicit_bounds array<double>",
+    )
+    r = histogram_scale_values(df, 0.001).collect()[0]
+    assert r["h_sum"] == 2.0 and r["explicit_bounds"] == [0.1]
+    assert r["bucket_counts"] == [1, 3] and r["h_count"] == 4
