@@ -977,3 +977,44 @@ def exceptions_connector(
         F.count(F.lit(1)).alias("exception_count"),
         F.min(message_col).alias("exemplar"),
     )
+
+
+# --- grafanacloudconnector (connector/grafanacloudconnector) ------------------
+def host_info_datapoints(
+    df: DataFrame,
+    host_identifiers: list[str],
+    ts_col: str = "ts",
+    interval_s: int = 3600,
+    metric_name: str = "traces_host_info",
+) -> DataFrame:
+    """grafanacloudconnector: ConsumeTraces picks the FIRST configured
+    identifier present on each resource (connector.go:79-88 breaks on the
+    first HostIdentifiers hit), collects the distinct host ids, and flush()
+    emits one `traces_host_info` gauge datapoint per host — attribute
+    grafana.host.id, int value 1 (host_metrics.go:43-70) — plus an
+    observable host count. Batch analogue: the flush interval is a tumbling
+    window on the event time; the distinct (window, host) rows ARE the
+    datapoints and the count metric is a groupBy over them
+    (events_active_users_hourly).
+
+    Scale: priority pick = one coalesce projection; the distinct is a
+    map-side-combining hash aggregation on (window, host) — no other
+    shuffle, no state. 100 TB-safe."""
+    if not host_identifiers:
+        raise ValueError("at least one host identifier is required")  # config.go:29
+    hid = F.coalesce(*[F.col(c).cast("string") for c in host_identifiers])
+    win = (
+        F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / F.lit(int(interval_s)))
+        * int(interval_s)
+    ).cast("bigint")
+    return (
+        df.select(win.alias("window_start"), hid.alias("grafana_host_id"))
+        .where(F.col("grafana_host_id").isNotNull())
+        .distinct()
+        .select(
+            "window_start",
+            F.lit(metric_name).alias("metric_name"),
+            "grafana_host_id",
+            F.lit(1).cast("long").alias("value"),
+        )
+    )

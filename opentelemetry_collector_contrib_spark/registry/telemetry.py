@@ -438,6 +438,25 @@ def q_histogram_scaled(spark, sf_dir):
     )
 
 
+def q_host_info(spark, sf_dir):
+    """grafanacloudconnector per-host datapoints: the first PRESENT
+    identifier wins (here a synthetic error-host id that only error events
+    carry, else user_id — exercising connector.go:79-88's break-on-first),
+    one value-1 gauge row per distinct (flush window, host)."""
+    from ..operators.aggregate import host_info_datapoints
+
+    ev = _events(spark, sf_dir).withColumn(
+        "error_host",
+        F.when(
+            F.col("event_type") == F.lit("error"),
+            F.concat(F.lit("err:"), F.col("user_id").cast("string")),
+        ),
+    )
+    return host_info_datapoints(
+        ev, ["error_host", "user_id"], interval_s=86400
+    )
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1764,6 +1783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_histogram_cum_to_delta": q_histogram_cum_to_delta,
     "events_histogram_limit": q_histogram_limit,
     "events_histogram_scaled": q_histogram_scaled,
+    "events_host_info": q_host_info,
     "parse_statsd_lines": q_parse_statsd,
     "parse_influx_lines": q_parse_influx_line,
     "parse_prometheus_lines": q_parse_prometheus_text,
@@ -2235,6 +2255,17 @@ SELECT event_type, count(value) AS h_count,
          CAST(CAST(round(50.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR),
          CAST(CAST(round(100.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR)) AS bounds_micro_csv
 FROM events GROUP BY 1"""
+
+    win86400 = _WIN_SQL.format(i=86400)
+    o["events_host_info"] = f"""
+SELECT DISTINCT {win86400} AS window_start,
+       'traces_host_info' AS metric_name,
+       coalesce(CASE WHEN event_type = 'error' THEN 'err:' || CAST(user_id AS VARCHAR) END,
+                CAST(user_id AS VARCHAR)) AS grafana_host_id,
+       CAST(1 AS BIGINT) AS value
+FROM events
+WHERE coalesce(CASE WHEN event_type = 'error' THEN 'err:' || CAST(user_id AS VARCHAR) END,
+               CAST(user_id AS VARCHAR)) IS NOT NULL"""
 
     # round-trip identity: cumulative-then-delta must equal the raw deltas
     o["events_histogram_cum_to_delta"] = """

@@ -512,3 +512,28 @@ def test_histogram_scale_values(spark):
     r = histogram_scale_values(df, 0.001).collect()[0]
     assert r["h_sum"] == 2.0 and r["explicit_bounds"] == [0.1]
     assert r["bucket_counts"] == [1, 3] and r["h_count"] == 4
+
+
+def test_host_info_datapoints_break_on_first(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import host_info_datapoints
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "h1", "fallback-a"),  # first identifier wins
+            ("2024-01-01 00:20:00", None, "fallback-b"),  # break falls through
+            ("2024-01-01 00:25:00", "h1", "fallback-c"),  # same host+window dedups
+            ("2024-01-01 01:05:00", "h1", None),          # new window re-emits
+            ("2024-01-01 01:06:00", None, None),          # no identifier -> dropped
+        ],
+        "ts string, host_id string, user string",
+    )
+    rows = {
+        (r["window_start"], r["grafana_host_id"]): r
+        for r in host_info_datapoints(df, ["host_id", "user"], interval_s=3600).collect()
+    }
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    assert set(rows) == {(base, "h1"), (base, "fallback-b"), (base + 3600, "h1")}
+    assert all(r["value"] == 1 and r["metric_name"] == "traces_host_info" for r in rows.values())
+    with _pt.raises(ValueError):
+        host_info_datapoints(df, [])
