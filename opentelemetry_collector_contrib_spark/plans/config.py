@@ -54,11 +54,17 @@ def validate_spec(spec: dict[str, Any]) -> None:
     """Eager validation, mirroring confmap unmarshal-time checks: unknown
     sections, empty route tables, condition-less routes, and bad OTTL all
     fail at build time, never mid-job."""
+    if "source" not in spec or not ("path" in spec["source"] or "table" in spec["source"]):
+        raise ValueError("source.path or source.table is required")
+    _validate_sections(spec)
+
+
+def _validate_sections(spec: dict[str, Any]) -> None:
+    """Everything except the source requirement — shared with service-graph
+    pipelines, whose input may be a connector edge instead of a source."""
     unknown = set(spec) - VALID_SECTIONS
     if unknown:
         raise ValueError(f"unknown pipeline sections: {sorted(unknown)}")
-    if "source" not in spec or not ("path" in spec["source"] or "table" in spec["source"]):
-        raise ValueError("source.path or source.table is required")
     routes = spec.get("routes", {})
     if routes:
         table = routes.get("table", [])
@@ -141,11 +147,7 @@ def validate_spec(spec: dict[str, Any]) -> None:
 def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     """Compile the spec into the routed DataFrame (pre-sink). One
     projection per stage; Catalyst fuses them."""
-    from ..functions.ottl_compiler import apply_statements, parse_condition
-    from ..operators.enrich import lookup
-    from ..operators.order import stable_order
     from ..operators.parse import parse_native, parse_vectorized
-    from ..operators.route import apply_routes
 
     validate_spec(spec)
 
@@ -154,6 +156,16 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
 
     bank = spec.get("parse", {}).get("bank", "native")
     df = parse_vectorized(df) if bank == "vectorized" else parse_native(df)
+    return _apply_sections(spark, df, spec)
+
+
+def _apply_sections(spark: SparkSession, df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """The processor chain (everything after source+parse), shared by
+    build_pipeline and service-graph pipelines fed by connector edges."""
+    from ..functions.ottl_compiler import apply_statements, parse_condition
+    from ..operators.enrich import lookup
+    from ..operators.order import stable_order
+    from ..operators.route import apply_routes
 
     if spec.get("transform"):
         df = apply_statements(df, spec["transform"])
@@ -239,3 +251,154 @@ def build_aggregates(df: DataFrame, spec: dict[str, Any]) -> dict[str, DataFrame
     for name, a in spec.get("aggregates", {}).items():
         out[name] = group_by_attrs(df, a["keys"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# service::pipelines graph — connectors as pipeline edges
+# ---------------------------------------------------------------------------
+#
+# The collector's service section wires N pipelines into a DAG where a
+# connector is "used as an exporter in one pipeline and as a receiver in
+# another" (connector/countconnector/README.md:51-63 shows count bridging
+# traces/in -> metrics/out). The core graph builder rejects connectors that
+# are exported-to but never received-from (and vice versa) and cyclic
+# topologies. Here each connector edge IS a DataFrame: the union of its
+# producer pipelines' terminal frames with the connector op applied.
+# Frames are memoized per pipeline/connector so the graph builds once, but
+# Spark actions on different sinks re-evaluate shared ancestry — when
+# several heavy sinks hang off one pipeline, persist that frame first
+# (job.py's sink fan-out does exactly this) or write once partitioned by
+# route (operators/route.py write_sinks_single_job).
+
+_CONNECTOR_TYPES = {"forward", "count", "sum"}
+
+
+def validate_service(service: dict[str, Any]) -> None:
+    unknown = set(service) - {"pipelines", "connectors"}
+    if unknown:
+        raise ValueError(f"unknown service sections: {sorted(unknown)}")
+    pipelines = service.get("pipelines")
+    if not pipelines:
+        raise ValueError("service.pipelines must be non-empty")
+    connectors = service.get("connectors", {})
+    for cname, c in connectors.items():
+        if c.get("type") not in _CONNECTOR_TYPES:
+            raise ValueError(
+                f"connector {cname}: type must be one of {sorted(_CONNECTOR_TYPES)}"
+            )
+        if c["type"] in ("count", "sum") and not c.get("dims"):
+            raise ValueError(f"connector {cname}: dims is required")
+        if c["type"] == "sum" and not c.get("source"):
+            raise ValueError(f"connector {cname}: source is required")
+
+    exported, received = set(), set()
+    for pname, p in pipelines.items():
+        if not p.get("receivers"):
+            raise ValueError(f"pipeline {pname}: receivers must be non-empty")
+        if not p.get("exporters"):
+            raise ValueError(f"pipeline {pname}: exporters must be non-empty")
+        for r in p["receivers"]:
+            if isinstance(r, str):
+                if r not in connectors:
+                    raise ValueError(f"pipeline {pname}: unknown connector receiver {r!r}")
+                received.add(r)
+            elif not ("path" in r or "table" in r):
+                raise ValueError(f"pipeline {pname}: source receiver needs path or table")
+        for e in p["exporters"]:
+            if e.startswith("sink:"):
+                continue
+            if e not in connectors:
+                raise ValueError(f"pipeline {pname}: unknown exporter {e!r} (connectors or sink:NAME)")
+            exported.add(e)
+        spec = p.get("spec", {})
+        if any(isinstance(r, str) for r in p["receivers"]) and "parse" in spec:
+            raise ValueError(f"pipeline {pname}: connector-fed pipelines are already structured; drop 'parse'")
+        _validate_sections({k: v for k, v in spec.items() if k != "parse"})
+    # the core graph builder's connectivity errors
+    for cname in connectors:
+        if cname not in exported:
+            raise ValueError(f"connector {cname!r} is not used as an exporter in any pipeline")
+        if cname not in received:
+            raise ValueError(f"connector {cname!r} is not used as a receiver in any pipeline")
+
+
+def build_service(spark: SparkSession, service: dict[str, Any]) -> dict[str, Any]:
+    """Compile the whole service graph. Returns
+    {"pipelines": {name: terminal DataFrame}, "sinks": {sink_name: DataFrame}}.
+    Cycles fail loudly (the collector also rejects cyclic service graphs)."""
+    from ..operators.aggregate import count_connector, sum_connector
+    from ..operators.parse import parse_native, parse_vectorized
+
+    validate_service(service)
+    pipelines = service["pipelines"]
+    connectors = service.get("connectors", {})
+    producers: dict[str, list[str]] = {c: [] for c in connectors}
+    for pname, p in pipelines.items():
+        for e in p["exporters"]:
+            if not e.startswith("sink:"):
+                producers[e].append(pname)
+
+    pipe_memo: dict[str, DataFrame] = {}
+    conn_memo: dict[str, DataFrame] = {}
+
+    def pipeline_frame(pname: str, stack: tuple[str, ...]) -> DataFrame:
+        if pname in pipe_memo:
+            return pipe_memo[pname]
+        if pname in stack:
+            raise ValueError(f"cyclic service graph: {' -> '.join(stack)} -> {pname}")
+        p = pipelines[pname]
+        spec = dict(p.get("spec", {}))
+        parts = []
+        connector_fed = False
+        for r in p["receivers"]:
+            if isinstance(r, str):
+                parts.append(connector_frame(r, stack + (pname,)))
+                connector_fed = True
+            else:
+                raw = spark.read.parquet(r["path"]) if "path" in r else spark.read.table(r["table"])
+                bank = spec.get("parse", {}).get("bank", "native")
+                parts.append(parse_vectorized(raw) if bank == "vectorized" else parse_native(raw))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra, allowMissingColumns=True)
+        if connector_fed:
+            # connector outputs are aggregates; the transcript ordering
+            # window does not apply unless the spec asks for it
+            spec.setdefault("order", {"enabled": False})
+        spec.pop("parse", None)
+        out = _apply_sections(spark, df, spec)
+        pipe_memo[pname] = out
+        return out
+
+    def connector_frame(cname: str, stack: tuple[str, ...]) -> DataFrame:
+        if cname in conn_memo:
+            return conn_memo[cname]
+        c = connectors[cname]
+        ins = [pipeline_frame(pn, stack) for pn in producers[cname]]
+        df = ins[0]
+        for extra in ins[1:]:
+            df = df.unionByName(extra, allowMissingColumns=True)
+        kind = c["type"]
+        if kind == "count":
+            out = count_connector(
+                df, c["dims"], condition=c.get("condition"),
+                default_value=c.get("default_value", "null"),
+                out_col=c.get("out_col", "log_count"),
+            )
+        elif kind == "sum":
+            out = sum_connector(
+                df, c["dims"], c["source"], condition=c.get("condition"),
+                out_col=c.get("out_col", "total"),
+            )
+        else:  # forward: pass-through bridge (core forwardconnector)
+            out = df
+        conn_memo[cname] = out
+        return out
+
+    sinks: dict[str, DataFrame] = {}
+    for pname, p in pipelines.items():
+        frame = pipeline_frame(pname, ())
+        for e in p["exporters"]:
+            if e.startswith("sink:"):
+                sinks[e[len("sink:"):]] = frame
+    return {"pipelines": pipe_memo, "sinks": sinks}

@@ -457,6 +457,52 @@ def q_host_info(spark, sf_dir):
     )
 
 
+def q_collector_service(spark, sf_dir):
+    """service::pipelines DAG end-to-end: a logs pipeline routes parsed
+    transcripts and exports to TWO connectors (count + sum), each feeding
+    its own metrics pipeline (countconnector README:51-63 topology). The
+    joined sinks prove both edges carried the same routed frame."""
+    from ..fixtures import ensure_tier
+    from ..plans.config import build_service
+
+    src = ensure_tier("t2")
+    service = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": [{"path": src}],
+                "spec": {
+                    "routes": {
+                        "default": "general",
+                        "table": [
+                            {"name": "errors", "condition": 'status == "err"'},
+                            {
+                                "name": "tool_events",
+                                "condition": 'tool != "none" and role == "assistant"',
+                            },
+                        ],
+                    },
+                    "order": {"enabled": False},
+                },
+                "exporters": ["count/routes", "sum/latency"],
+            },
+            "metrics/counts": {
+                "receivers": ["count/routes"],
+                "exporters": ["sink:route_counts"],
+            },
+            "metrics/latency": {
+                "receivers": ["sum/latency"],
+                "exporters": ["sink:latency_totals"],
+            },
+        },
+        "connectors": {
+            "count/routes": {"type": "count", "dims": ["route_id"]},
+            "sum/latency": {"type": "sum", "dims": ["route_id"], "source": "latency_ms"},
+        },
+    }
+    sinks = build_service(spark, service)["sinks"]
+    return sinks["route_counts"].join(sinks["latency_totals"], "route_id")
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1784,6 +1830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_histogram_limit": q_histogram_limit,
     "events_histogram_scaled": q_histogram_scaled,
     "events_host_info": q_host_info,
+    "collector_service_counts": q_collector_service,
     "parse_statsd_lines": q_parse_statsd,
     "parse_influx_lines": q_parse_influx_line,
     "parse_prometheus_lines": q_parse_prometheus_text,
@@ -2255,6 +2302,12 @@ SELECT event_type, count(value) AS h_count,
          CAST(CAST(round(50.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR),
          CAST(CAST(round(100.0 * 0.001 * 1000000) AS BIGINT) AS VARCHAR)) AS bounds_micro_csv
 FROM events GROUP BY 1"""
+
+    # the canonical routed CTE uses the exact route table the service spec
+    # declares, so both connector edges reduce to one grouped scan of it
+    o["collector_service_counts"] = pipeline_cte() + """
+SELECT route_id, count(*) AS log_count, CAST(sum(latency_ms) AS DOUBLE) AS total
+FROM routed GROUP BY 1"""
 
     win86400 = _WIN_SQL.format(i=86400)
     o["events_host_info"] = f"""

@@ -102,3 +102,104 @@ def test_unsupported_components_fail_loud():
         spec_from_collector_yaml("bogus_section: {}\n")
     with pytest.raises(ValueError, match="needs include"):
         spec_from_collector_yaml("receivers: {filelog: {}}\n")
+
+
+# ---------------------------------------------------------------------------
+# service::pipelines graph — connectors as edges
+# ---------------------------------------------------------------------------
+
+def _svc(src):
+    return {
+        "pipelines": {
+            "logs/in": {
+                "receivers": [{"path": src}],
+                "spec": {"order": {"enabled": False}},
+                "exporters": ["count/all"],
+            },
+            "metrics/out": {"receivers": ["count/all"], "exporters": ["sink:counts"]},
+        },
+        "connectors": {"count/all": {"type": "count", "dims": ["role"]}},
+    }
+
+
+def test_service_graph_count_edge(spark):
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+    from opentelemetry_collector_contrib_spark.plans.config import build_service
+
+    src = ensure_tier("t1")
+    out = build_service(spark, _svc(src))
+    counts = {r["role"]: r["log_count"] for r in out["sinks"]["counts"].collect()}
+    raw = spark.read.parquet(src)
+    from pyspark.sql import functions as F
+
+    expected = {r["role"]: r["n"] for r in raw.groupBy("role").agg(F.count("*").alias("n")).collect()}
+    assert counts == expected
+
+
+def test_service_graph_forward_and_shared_edge(spark):
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+    from opentelemetry_collector_contrib_spark.plans.config import build_service
+
+    src = ensure_tier("t1")
+    svc = _svc(src)
+    # forward bridge: identity edge feeding a second pipeline with a filter
+    svc["connectors"]["fwd"] = {"type": "forward"}
+    svc["pipelines"]["logs/in"]["exporters"].append("fwd")
+    svc["pipelines"]["logs/tap"] = {
+        "receivers": ["fwd"],
+        "spec": {"filter": ['role != "user"'], "order": {"enabled": False}},
+        "exporters": ["sink:users"],
+    }
+    out = build_service(spark, svc)
+    users = out["sinks"]["users"]
+    assert users.filter(users.role != "user").count() == 0
+    assert users.count() > 0
+
+
+def test_service_graph_validation_errors(spark):
+    import pytest
+    from opentelemetry_collector_contrib_spark.plans.config import validate_service
+
+    with pytest.raises(ValueError, match="not used as a receiver"):
+        validate_service({
+            "pipelines": {"a": {"receivers": [{"path": "/x"}], "exporters": ["c"]}},
+            "connectors": {"c": {"type": "forward"}},
+        })
+    with pytest.raises(ValueError, match="not used as an exporter"):
+        validate_service({
+            "pipelines": {"a": {"receivers": ["c"], "exporters": ["sink:x"]}},
+            "connectors": {"c": {"type": "forward"}},
+        })
+    with pytest.raises(ValueError, match="unknown connector receiver"):
+        validate_service({"pipelines": {"a": {"receivers": ["nope"], "exporters": ["sink:x"]}}})
+    with pytest.raises(ValueError, match="drop 'parse'"):
+        validate_service({
+            "pipelines": {
+                "a": {"receivers": [{"path": "/x"}], "exporters": ["c"]},
+                "b": {"receivers": ["c"], "spec": {"parse": {"bank": "native"}}, "exporters": ["sink:x"]},
+            },
+            "connectors": {"c": {"type": "forward"}},
+        })
+    with pytest.raises(ValueError, match="dims is required"):
+        validate_service({
+            "pipelines": {
+                "a": {"receivers": [{"path": "/x"}], "exporters": ["c"]},
+                "b": {"receivers": ["c"], "exporters": ["sink:x"]},
+            },
+            "connectors": {"c": {"type": "count"}},
+        })
+
+
+def test_service_graph_cycle_fails(spark):
+    import pytest
+    from opentelemetry_collector_contrib_spark.plans.config import build_service
+
+    svc = {
+        "pipelines": {
+            "a": {"receivers": ["c2"], "exporters": ["c1"]},
+            "b": {"receivers": ["c1"], "exporters": ["c2", "sink:x"]},
+        },
+        "connectors": {"c1": {"type": "forward"}, "c2": {"type": "forward"}},
+    }
+    with pytest.raises(ValueError, match="cyclic service graph"):
+        build_service(spark, svc)
