@@ -99,6 +99,12 @@ def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[
     else:
         raise ValueError("no supported receiver (filelog) and no source_path override")
 
+    stanza_ops = (receivers.get("filelog") or {}).get("operators")
+    if stanza_ops:
+        # the receiver's operator chain rides along; build_pipeline runs it
+        # as the parse stage (plans/stanza_chain.py)
+        spec["stanza_operators"] = stanza_ops
+
     processors = cfg.get("processors", {}) or {}
     for pname in processors:
         base = pname.split("/", 1)[0]

@@ -38,8 +38,9 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 VALID_SECTIONS = {
-    "source", "parse", "transform", "filter", "filter_match", "enrich",
-    "routes", "order", "aggregates", "sample", "tail_sampling",
+    "source", "parse", "stanza_operators", "transform", "filter",
+    "filter_match", "enrich", "routes", "order", "aggregates", "sample",
+    "tail_sampling",
 }
 
 _SAMPLE_KINDS = {"probabilistic", "probabilistic_portable", "mod", "adaptive"}
@@ -65,6 +66,10 @@ def _validate_sections(spec: dict[str, Any]) -> None:
     unknown = set(spec) - VALID_SECTIONS
     if unknown:
         raise ValueError(f"unknown pipeline sections: {sorted(unknown)}")
+    if spec.get("stanza_operators"):
+        from .stanza_chain import validate_stanza_ops
+
+        validate_stanza_ops(spec["stanza_operators"])
     routes = spec.get("routes", {})
     if routes:
         table = routes.get("table", [])
@@ -154,8 +159,15 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     src = spec["source"]
     df = spark.read.parquet(src["path"]) if "path" in src else spark.read.table(src["table"])
 
-    bank = spec.get("parse", {}).get("bank", "native")
-    df = parse_vectorized(df) if bank == "vectorized" else parse_native(df)
+    if spec.get("stanza_operators"):
+        # a filelog `operators:` list IS the parse stage (the receiver runs
+        # it on raw entries before any processor)
+        from .stanza_chain import apply_stanza_operators
+
+        df = apply_stanza_operators(df, spec["stanza_operators"])
+    else:
+        bank = spec.get("parse", {}).get("bank", "native")
+        df = parse_vectorized(df) if bank == "vectorized" else parse_native(df)
     return _apply_sections(spark, df, spec)
 
 

@@ -1,0 +1,183 @@
+"""Stanza operator-chain compiler: the filelog receiver's `operators:` list
+(SURVEY.md §3.2) as a config → DataFrame transformation.
+
+The reference's filelog receiver (and logstransformprocessor) nests an
+ordered list of stanza operator configs — regex_parser, json_parser,
+severity/time parsers, field editors, filter, router — and wires them into
+an entry-at-a-time chain (pkg/stanza/operator/config.go unmarshals by
+`type`, pipeline/directed.go topologically wires outputs). Here the same
+list compiles into chained DataFrame transformations: each op is one
+projection/filter, so Catalyst fuses the whole chain into a single
+scan-time stage — there is no per-entry interpreter loop.
+
+Config fidelity notes:
+- `parse_from`/field names accept stanza-style `body` and `attributes.x`
+  / `resource.x` dotted forms; in the relational model both map to plain
+  columns (`body` → the chain's body column).
+- regex_parser takes the stanza `regex` with named capture groups
+  `(?P<name>...)` (regex_parser README/config) and emits one column per
+  group. `on_error: drop` removes non-matching entries
+  (transformer.go:100-113 drop-on-error path); the default `send` keeps
+  them with NULL fields.
+- router `routes: [{expr, output}]` tags rows with first-match `output`
+  (routingconnector-style route_id column) instead of forking the chain —
+  the relational fan-out happens at the sink (operators/route.py). Route
+  expressions are Spark SQL boolean expressions, not the stanza expr
+  language (documented deviation; `body matches '...'` → `body rlike
+  '...'`).
+
+Cited: pkg/stanza/operator/parser/regex/config.go (regex, parse_from,
+on_error), parser/severity + helper/severity_builder.go, helper/time.go
+layout types, transformer/{add,remove,copy,move,retain,flatten}/config.go
+(field/value/from/to), transformer/filter (expr, drops matches),
+transformer/router/config.go (routes, default).
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUPPORTED = {
+    "regex_parser", "json_parser", "csv_parser", "key_value_parser",
+    "severity_parser", "time_parser", "add", "remove", "copy", "move",
+    "retain", "flatten", "filter", "router",
+}
+
+_NAMED_GROUP = _re.compile(r"\(\?P<([A-Za-z][A-Za-z0-9_]*)>")
+
+
+def _field(name: str, body_col: str) -> str:
+    """stanza field syntax → column name: `body` is the chain's body
+    column; `attributes.x` / `resource.x` flatten to `x`."""
+    if name == "body":
+        return body_col
+    for prefix in ("attributes.", "resource."):
+        if name.startswith(prefix):
+            return name[len(prefix):]
+    return name
+
+
+def validate_stanza_ops(ops: list[dict[str, Any]]) -> None:
+    """Eager config validation, like stanza's unmarshal-by-type: unknown
+    types, missing required fields, and malformed regexes fail at build."""
+    for i, op in enumerate(ops):
+        t = op.get("type")
+        where = f"operators[{i}]"
+        if t not in _SUPPORTED:
+            raise ValueError(f"{where}: unknown operator type {t!r} (supported: {sorted(_SUPPORTED)})")
+        if t == "regex_parser":
+            rx = op.get("regex")
+            if not rx:
+                raise ValueError(f"{where}: regex_parser needs `regex`")
+            if not _NAMED_GROUP.search(rx):
+                raise ValueError(f"{where}: regex needs at least one named capture group (?P<name>...)")
+            _re.compile(rx)  # malformed regex fails eagerly
+            if op.get("on_error", "send") not in ("send", "drop"):
+                raise ValueError(f"{where}: on_error must be send|drop")
+        elif t == "csv_parser" and not op.get("header"):
+            raise ValueError(f"{where}: csv_parser needs `header`")
+        elif t == "time_parser" and not op.get("layout"):
+            raise ValueError(f"{where}: time_parser needs `layout`")
+        elif t == "add" and not op.get("field"):
+            raise ValueError(f"{where}: add needs `field`")
+        elif t == "remove" and not op.get("field"):
+            raise ValueError(f"{where}: remove needs `field`")
+        elif t in ("copy", "move") and not (op.get("from") and op.get("to")):
+            raise ValueError(f"{where}: {t} needs `from` and `to`")
+        elif t == "retain" and not op.get("fields"):
+            raise ValueError(f"{where}: retain needs `fields`")
+        elif t == "flatten" and not op.get("field"):
+            raise ValueError(f"{where}: flatten needs `field`")
+        elif t == "filter" and not op.get("expr"):
+            raise ValueError(f"{where}: filter needs `expr`")
+        elif t == "router":
+            routes = op.get("routes") or []
+            if not routes:
+                raise ValueError(f"{where}: router needs non-empty `routes`")
+            for r in routes:
+                if not (r.get("expr") and r.get("output")):
+                    raise ValueError(f"{where}: every route needs `expr` and `output`")
+
+
+def _apply_regex_parser(df: DataFrame, op: dict, body_col: str) -> DataFrame:
+    rx = op["regex"]
+    names = _NAMED_GROUP.findall(rx)
+    # group extraction is by index, so the P-form names only drive the
+    # output column list; strip them for the Java engine
+    java_rx = _NAMED_GROUP.sub("(", rx)
+    src = F.col(_field(op.get("parse_from", "body"), body_col))
+    matched = src.rlike(java_rx)
+    if op.get("on_error", "send") == "drop":
+        df = df.filter(matched)
+        for gi, name in enumerate(names, start=1):
+            df = df.withColumn(name, F.regexp_extract(src, java_rx, gi))
+        return df
+    # send: non-matching rows keep NULL fields (regexp_extract returns ''
+    # on miss, so gate each group on the match)
+    for gi, name in enumerate(names, start=1):
+        df = df.withColumn(name, F.when(matched, F.regexp_extract(src, java_rx, gi)))
+    return df
+
+
+def apply_stanza_operators(
+    df: DataFrame, ops: list[dict[str, Any]], body_col: str = "text"
+) -> DataFrame:
+    """Compile and apply the operator list in order. One Column expression
+    per op; the chain stays inside whole-stage codegen."""
+    from ..operators import transform as tr
+    from ..operators.parse import (
+        csv_parser, json_parser, key_value_parser, severity_parser,
+        time_parser_layout,
+    )
+    from ..operators.route import Route, RouteTable, apply_routes
+
+    validate_stanza_ops(ops)
+    for op in ops:
+        t = op["type"]
+        pf = _field(op.get("parse_from", "body"), body_col)
+        if t == "regex_parser":
+            df = _apply_regex_parser(df, op, body_col)
+        elif t == "json_parser":
+            df = json_parser(df, pf, op["schema"], dest=op.get("parse_to", "parsed_json"))
+        elif t == "csv_parser":
+            header = op["header"]
+            schema = ", ".join(f"{h} string" for h in header) if isinstance(header, list) else header
+            df = csv_parser(df, pf, schema, sep=op.get("delimiter", ","), dest=op.get("parse_to", "parsed_csv"))
+        elif t == "key_value_parser":
+            df = key_value_parser(
+                df, pf, dest=op.get("parse_to", "kv"),
+                pair_delim=op.get("pair_delimiter", " "), kv_delim=op.get("delimiter", "="),
+            )
+        elif t == "severity_parser":
+            df = severity_parser(df, pf, mapping=op.get("mapping"))
+        elif t == "time_parser":
+            df = time_parser_layout(
+                df, pf, op["layout"], layout_type=op.get("layout_type", "strptime"),
+                dest=op.get("parse_to", "event_ts"),
+            )
+        elif t == "add":
+            df = tr.add(df, _field(op["field"], body_col), op.get("value"))
+        elif t == "remove":
+            df = tr.remove(df, _field(op["field"], body_col))
+        elif t == "copy":
+            df = tr.copy_field(df, _field(op["from"], body_col), _field(op["to"], body_col))
+        elif t == "move":
+            df = tr.move(df, _field(op["from"], body_col), _field(op["to"], body_col))
+        elif t == "retain":
+            df = tr.retain(df, [_field(f, body_col) for f in op["fields"]])
+        elif t == "flatten":
+            df = tr.flatten(df, _field(op["field"], body_col))
+        elif t == "filter":
+            # stanza filter DROPS entries matching expr (transformer/filter)
+            df = df.filter(~F.coalesce(F.expr(op["expr"]), F.lit(False)))
+        elif t == "router":
+            table = RouteTable(
+                routes=[Route(r["output"], F.expr(r["expr"]), r.get("mode", "move")) for r in op["routes"]],
+                default=op.get("default", "general"),
+            )
+            df = apply_routes(df, table)
+    return df

@@ -457,6 +457,35 @@ def q_host_info(spark, sf_dir):
     )
 
 
+def q_stanza_chain(spark, sf_dir):
+    """filelog-receiver `operators:` list end-to-end: regex_parser (named
+    groups, on_error=send) → time_parser (strptime) → severity_parser →
+    add → router, compiled by plans/stanza_chain.py into one fused
+    projection chain."""
+    from ..fixtures import ensure_tier
+    from ..plans.stanza_chain import apply_stanza_operators
+
+    df = spark.read.parquet(ensure_tier("t2"))
+    ops = [
+        {
+            "type": "regex_parser",
+            "regex": r"^(?P<log_ts>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) \[(?P<lvl>\w+)\] (?P<comp>\w+): (?P<msg>.*)$",
+            "parse_from": "body",
+            "on_error": "send",
+        },
+        {"type": "time_parser", "parse_from": "log_ts", "layout_type": "strptime", "layout": "%Y-%m-%dT%H:%M:%S"},
+        {"type": "severity_parser", "parse_from": "lvl"},
+        {"type": "add", "field": "attributes.chain", "value": "stanza"},
+        {"type": "router", "routes": [{"expr": "severity_number >= 17", "output": "errors"}], "default": "general"},
+    ]
+    out = apply_stanza_operators(df, ops, body_col="text")
+    return out.select(
+        "conv_id", "turn_idx", "comp", "msg", "severity_text", "severity_number",
+        F.unix_micros(F.col("event_ts")).alias("event_ts_us"),
+        "chain", "route_id",
+    )
+
+
 def q_collector_service(spark, sf_dir):
     """service::pipelines DAG end-to-end: a logs pipeline routes parsed
     transcripts and exports to TWO connectors (count + sum), each feeding
@@ -1831,6 +1860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_histogram_scaled": q_histogram_scaled,
     "events_host_info": q_host_info,
     "collector_service_counts": q_collector_service,
+    "stanza_chain_parse": q_stanza_chain,
     "parse_statsd_lines": q_parse_statsd,
     "parse_influx_lines": q_parse_influx_line,
     "parse_prometheus_lines": q_parse_prometheus_text,
@@ -2308,6 +2338,38 @@ FROM events GROUP BY 1"""
     o["collector_service_counts"] = pipeline_cte() + """
 SELECT route_id, count(*) AS log_count, CAST(sum(latency_ms) AS DOUBLE) AS total
 FROM routed GROUP BY 1"""
+
+    from .transcript_sql import SYSLOG_RE, T2_TRANSCRIPTS
+
+    _sev_case = """CASE lower(lvl)
+        WHEN 'trace' THEN 'TRACE' WHEN 'debug' THEN 'DEBUG'
+        WHEN 'info' THEN 'INFO' WHEN 'information' THEN 'INFO' WHEN 'notice' THEN 'INFO'
+        WHEN 'warn' THEN 'WARN' WHEN 'warning' THEN 'WARN'
+        WHEN 'err' THEN 'ERROR' WHEN 'error' THEN 'ERROR'
+        WHEN 'fatal' THEN 'FATAL' WHEN 'critical' THEN 'FATAL'
+        WHEN 'emerg' THEN 'FATAL' WHEN 'panic' THEN 'FATAL' END"""
+    o["stanza_chain_parse"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{T2_TRANSCRIPTS}')),
+p AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN regexp_matches(text, '{SYSLOG_RE}') THEN regexp_extract(text, '{SYSLOG_RE}', 1) END AS log_ts,
+    CASE WHEN regexp_matches(text, '{SYSLOG_RE}') THEN regexp_extract(text, '{SYSLOG_RE}', 2) END AS lvl,
+    CASE WHEN regexp_matches(text, '{SYSLOG_RE}') THEN regexp_extract(text, '{SYSLOG_RE}', 3) END AS comp,
+    CASE WHEN regexp_matches(text, '{SYSLOG_RE}') THEN regexp_extract(text, '{SYSLOG_RE}', 4) END AS msg
+  FROM t
+),
+s AS (
+  SELECT p.*, {_sev_case} AS severity_text,
+    coalesce(CASE {_sev_case}
+      WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
+      WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END, 0) AS severity_number
+  FROM p
+)
+SELECT conv_id, turn_idx, comp, msg, severity_text, CAST(severity_number AS INT) AS severity_number,
+       epoch_us(strptime(log_ts, '%Y-%m-%dT%H:%M:%S')) AS event_ts_us,
+       'stanza' AS chain,
+       CASE WHEN severity_number >= 17 THEN 'errors' ELSE 'general' END AS route_id
+FROM s"""
 
     win86400 = _WIN_SQL.format(i=86400)
     o["events_host_info"] = f"""

@@ -1,0 +1,126 @@
+"""plans/stanza_chain.py — the filelog receiver's `operators:` list as a
+config-compiled DataFrame chain (validation table mirrors the stanza
+unmarshal-by-type errors)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.plans.stanza_chain import (
+    apply_stanza_operators,
+    validate_stanza_ops,
+)
+
+
+@pytest.fixture()
+def logs(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "2024-03-01T10:00:00 [ERROR] auth: denied key=1"),
+            ("b", "2024-03-01T10:00:01 [info] web: ok"),
+            ("c", "not a log line"),
+        ],
+        "id string, text string",
+    )
+
+
+_RX = r"^(?P<log_ts>\S+) \[(?P<lvl>\w+)\] (?P<comp>\w+): (?P<msg>.*)$"
+
+
+def test_chain_parse_send_keeps_nonmatching(logs):
+    out = apply_stanza_operators(
+        logs,
+        [
+            {"type": "regex_parser", "regex": _RX},
+            {"type": "severity_parser", "parse_from": "lvl"},
+            {"type": "time_parser", "parse_from": "log_ts", "layout": "%Y-%m-%dT%H:%M:%S"},
+            {"type": "router", "routes": [{"expr": "severity_number >= 17", "output": "errors"}]},
+        ],
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert len(rows) == 3  # send: the garbage row survives with NULLs
+    assert rows["a"]["comp"] == "auth" and rows["a"]["severity_text"] == "ERROR"
+    assert rows["a"]["route_id"] == "errors" and rows["b"]["route_id"] == "general"
+    assert rows["b"]["severity_text"] == "INFO"  # case-insensitive alias
+    assert rows["c"]["comp"] is None and rows["c"]["severity_number"] == 0
+    assert rows["a"]["event_ts"] is not None and rows["c"]["event_ts"] is None
+
+
+def test_chain_on_error_drop(logs):
+    out = apply_stanza_operators(
+        logs, [{"type": "regex_parser", "regex": _RX, "on_error": "drop"}]
+    )
+    assert out.count() == 2 and out.filter(F.col("comp").isNull()).count() == 0
+
+
+def test_chain_field_ops_and_filter(logs):
+    out = apply_stanza_operators(
+        logs,
+        [
+            {"type": "regex_parser", "regex": _RX},
+            {"type": "add", "field": "attributes.env", "value": "prod"},
+            {"type": "copy", "from": "comp", "to": "component"},
+            {"type": "move", "from": "msg", "to": "message"},
+            {"type": "filter", "expr": "component = 'web'"},  # filter DROPS matches
+            {"type": "retain", "fields": ["id", "env", "component", "message"]},
+        ],
+    )
+    assert out.columns == ["id", "env", "component", "message"]
+    got = {r["id"]: r for r in out.collect()}
+    assert set(got) == {"a", "c"} and got["a"]["env"] == "prod"
+    assert got["a"]["component"] == "auth" and got["a"]["message"] == "denied key=1"
+
+
+def test_chain_kv_parser(spark):
+    df = spark.createDataFrame([("k1=v1 k2=v2",)], "text string")
+    out = apply_stanza_operators(df, [{"type": "key_value_parser"}]).collect()[0]
+    assert out["kv"]["k1"] == "v1" and out["kv"]["k2"] == "v2"
+
+
+@pytest.mark.parametrize(
+    "ops,msg",
+    [
+        ([{"type": "nope"}], "unknown operator type"),
+        ([{"type": "regex_parser"}], "needs `regex`"),
+        ([{"type": "regex_parser", "regex": "^no groups$"}], "named capture group"),
+        ([{"type": "regex_parser", "regex": "(?P<a>x", }], None),  # malformed -> re.error
+        ([{"type": "regex_parser", "regex": "(?P<a>x)", "on_error": "boom"}], "send|drop"),
+        ([{"type": "csv_parser"}], "needs `header`"),
+        ([{"type": "time_parser"}], "needs `layout`"),
+        ([{"type": "move", "from": "a"}], "needs `from` and `to`"),
+        ([{"type": "router", "routes": []}], "non-empty"),
+        ([{"type": "router", "routes": [{"expr": "x"}]}], "`expr` and `output`"),
+    ],
+)
+def test_chain_validation_errors(ops, msg):
+    with pytest.raises(Exception) as ei:
+        validate_stanza_ops(ops)
+    if msg:
+        assert msg.replace("`", "") in str(ei.value).replace("`", "")
+
+
+def test_yaml_filelog_operators_end_to_end(spark):
+    """A collector YAML whose filelog receiver carries an operators: list
+    builds a running pipeline with the chain as the parse stage."""
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+    from opentelemetry_collector_contrib_spark.plans.collector_config import (
+        build_from_collector_yaml,
+    )
+
+    doc = """
+receivers:
+  filelog:
+    include: [/var/log/app/*.log]
+    operators:
+      - type: regex_parser
+        regex: '^(?P<log_ts>\\S+) \\[(?P<lvl>\\w+)\\] (?P<comp>\\w+): (?P<msg>.*)$'
+        parse_from: body
+      - type: severity_parser
+        parse_from: lvl
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+"""
+    df = build_from_collector_yaml(spark, doc, source_path=ensure_tier("t1"))
+    assert {"comp", "msg", "severity_text", "severity_number"} <= set(df.columns)
+    assert df.filter(df.severity_number >= 17).count() > 0
