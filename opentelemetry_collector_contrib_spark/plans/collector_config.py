@@ -35,7 +35,7 @@ try:
 except ImportError:  # pragma: no cover - baked into this environment
     yaml = None
 
-_SUPPORTED_PROCESSORS = {"transform", "filter", "probabilistic_sampler", "tail_sampling"}
+_SUPPORTED_PROCESSORS = {"transform", "filter", "probabilistic_sampler", "tail_sampling", "logstransform"}
 
 
 def _pipeline_sink(pipeline_id: str) -> str:
@@ -127,6 +127,13 @@ def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[
             conds = ((pcfg.get("logs") or {}).get("log_record")) or []
             if conds:
                 spec.setdefault("filter", []).extend(conds)
+        elif base == "logstransform":
+            # logstransformprocessor embeds the same stanza operators list
+            # as the filelog receiver (processor/logstransformprocessor);
+            # receiver ops (if any) run first, then these, in config order
+            ops = pcfg.get("operators") or []
+            if ops:
+                spec.setdefault("stanza_operators", []).extend(ops)
         elif base == "probabilistic_sampler":
             spec["sample"] = {
                 "kind": "probabilistic_portable",

@@ -124,3 +124,37 @@ service:
     df = build_from_collector_yaml(spark, doc, source_path=ensure_tier("t1"))
     assert {"comp", "msg", "severity_text", "severity_number"} <= set(df.columns)
     assert df.filter(df.severity_number >= 17).count() > 0
+
+
+def test_yaml_logstransform_processor_ops(spark):
+    """processor/logstransformprocessor: the same operators list as a
+    processor; receiver ops run first, then these, in config order."""
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+    from opentelemetry_collector_contrib_spark.plans.collector_config import (
+        build_from_collector_yaml,
+        spec_from_collector_yaml,
+    )
+
+    doc = """
+receivers:
+  filelog:
+    include: [/x]
+    operators:
+      - type: regex_parser
+        regex: '^(?P<log_ts>\\S+) \\[(?P<lvl>\\w+)\\] (?P<comp>\\w+): (?P<msg>.*)$'
+processors:
+  logstransform:
+    operators:
+      - type: severity_parser
+        parse_from: lvl
+      - type: add
+        field: attributes.stage
+        value: post
+"""
+    spec = spec_from_collector_yaml(doc, source_path="/tmp/ignored")
+    assert [o["type"] for o in spec["stanza_operators"]] == [
+        "regex_parser", "severity_parser", "add",
+    ]
+    df = build_from_collector_yaml(spark, doc, source_path=ensure_tier("t1"))
+    assert df.filter(df.stage != "post").count() == 0
+    assert df.filter(df.severity_number >= 17).count() > 0
