@@ -1018,3 +1018,66 @@ def host_info_datapoints(
             F.lit(1).cast("long").alias("value"),
         )
     )
+
+
+# --- metricstarttimeprocessor (processor/metricstarttimeprocessor) -----------
+def start_time_adjust(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    strategy: str = "true_reset_point",
+) -> DataFrame:
+    """Start-time strategies for cumulative points that arrive without one
+    (processor/metricstarttimeprocessor README + internal/{truereset,
+    subtractinitial}/adjuster.go):
+
+    - true_reset_point: the first point of a series keeps its own timestamp
+      as start; later points reuse it; a reset (value < previous) opens a
+      new epoch whose start = reset-point ts minus 1ms (adjuster.go:124-127).
+      Values are never modified; every point is kept.
+    - subtract_initial_point: the first point is DROPPED and becomes the
+      reference; later points report value - reference with the initial
+      point's ts as start; a reset point reports its raw value, start =
+      own ts - 1ms, and re-references the epoch at 0
+      (subtractinitial/adjuster.go:230-257).
+
+    Batch shape: epochs are segment ids (running sum of first-or-reset
+    flags) — two stacked windows on the series partitioning, zero joins.
+    The reference's caches exist only because it streams; over a table the
+    same rule is a window. Emits start_ts_us (µs) + adjusted."""
+    from pyspark.sql import Window
+
+    if strategy not in ("true_reset_point", "subtract_initial_point"):
+        raise ValueError("strategy must be true_reset_point|subtract_initial_point")
+    w = Window.partitionBy(*series_cols).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(value_col)).over(w)
+    first_or_reset = prev.isNull() | (F.col(value_col) < prev)
+    staged = df.withColumn(
+        "_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_epoch", F.sum(first_or_reset.cast("int")).over(run)
+    )
+    we = Window.partitionBy(*series_cols, "_epoch").orderBy(*order_cols)
+    werun = we.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch_first_ts = F.first("_ts_us").over(werun)
+    epoch_ref = F.first(value_col).over(werun)
+    # epoch 1 starts at the series' first point ts; reset epochs start 1ms
+    # before their first point
+    start_us = F.when(F.col("_epoch") == 1, epoch_first_ts).otherwise(epoch_first_ts - 1000)
+    if strategy == "true_reset_point":
+        out = staged.withColumn("start_ts_us", start_us).withColumn(
+            "adjusted", F.col(value_col).cast("double")
+        )
+    else:
+        adjusted = F.when(
+            F.col("_epoch") == 1, F.col(value_col) - epoch_ref
+        ).otherwise(F.col(value_col))
+        out = (
+            staged.withColumn("start_ts_us", start_us)
+            .withColumn("adjusted", adjusted.cast("double"))
+            .filter(F.col("_rn") > 1)
+        )
+    return out.drop("_ts_us", "_rn", "_epoch")

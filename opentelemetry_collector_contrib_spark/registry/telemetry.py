@@ -457,6 +457,27 @@ def q_host_info(spark, sf_dir):
     )
 
 
+def _start_time(spark, sf_dir, strategy):
+    from ..operators.aggregate import start_time_adjust
+
+    out = start_time_adjust(
+        _events(spark, sf_dir), ["user_id"], ["event_id"], strategy=strategy
+    )
+    return out.select("user_id", "event_id", "value", "start_ts_us", "adjusted")
+
+
+def q_start_true_reset(spark, sf_dir):
+    """metricstarttime true_reset_point: first point's ts becomes the epoch
+    start; resets open a new epoch at ts-1ms; values untouched."""
+    return _start_time(spark, sf_dir, "true_reset_point")
+
+
+def q_start_subtract_initial(spark, sf_dir):
+    """metricstarttime subtract_initial_point: drop the reference point,
+    report deltas against it; resets re-reference at zero."""
+    return _start_time(spark, sf_dir, "subtract_initial_point")
+
+
 def q_stanza_chain(spark, sf_dir):
     """filelog-receiver `operators:` list end-to-end: regex_parser (named
     groups, on_error=send) → time_parser (strptime) → severity_parser →
@@ -1861,6 +1882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_host_info": q_host_info,
     "collector_service_counts": q_collector_service,
     "stanza_chain_parse": q_stanza_chain,
+    "events_start_true_reset": q_start_true_reset,
+    "events_start_subtract_initial": q_start_subtract_initial,
     "parse_statsd_lines": q_parse_statsd,
     "parse_influx_lines": q_parse_influx_line,
     "parse_prometheus_lines": q_parse_prometheus_text,
@@ -2370,6 +2393,35 @@ SELECT conv_id, turn_idx, comp, msg, severity_text, CAST(severity_number AS INT)
        'stanza' AS chain,
        CASE WHEN severity_number >= 17 THEN 'errors' ELSE 'general' END AS route_id
 FROM s"""
+
+    _start_time_cte = """
+WITH base AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         row_number() OVER w AS rn, lag(value) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+e AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR value < prev THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY event_id) AS epoch
+  FROM base
+),
+f AS (
+  SELECT *, first_value(ts_us) OVER we AS efts, first_value(value) OVER we AS eref
+  FROM e
+  WINDOW we AS (PARTITION BY user_id, epoch ORDER BY event_id)
+)
+"""
+    o["events_start_true_reset"] = _start_time_cte + """
+SELECT user_id, event_id, value,
+       CASE WHEN epoch = 1 THEN efts ELSE efts - 1000 END AS start_ts_us,
+       CAST(value AS DOUBLE) AS adjusted
+FROM f"""
+    o["events_start_subtract_initial"] = _start_time_cte + """
+SELECT user_id, event_id, value,
+       CASE WHEN epoch = 1 THEN efts ELSE efts - 1000 END AS start_ts_us,
+       CAST(CASE WHEN epoch = 1 THEN value - eref ELSE value END AS DOUBLE) AS adjusted
+FROM f WHERE rn > 1"""
 
     win86400 = _WIN_SQL.format(i=86400)
     o["events_host_info"] = f"""

@@ -537,3 +537,37 @@ def test_host_info_datapoints_break_on_first(spark):
     assert all(r["value"] == 1 and r["metric_name"] == "traces_host_info" for r in rows.values())
     with _pt.raises(ValueError):
         host_info_datapoints(df, [])
+
+
+def test_start_time_strategies(spark):
+    """Mirrors metricstarttimeprocessor internal/{truereset,subtractinitial}
+    adjuster semantics on a hand-built series with one reset."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import start_time_adjust
+
+    df = spark.createDataFrame(
+        [
+            ("s", 1, "2024-01-01 00:00:10", 5.0),
+            ("s", 2, "2024-01-01 00:00:20", 8.0),
+            ("s", 3, "2024-01-01 00:00:30", 2.0),  # reset (2 < 8)
+            ("s", 4, "2024-01-01 00:00:40", 6.0),
+        ],
+        "k string, i int, ts string, value double",
+    )
+    t = {r["i"]: r for r in start_time_adjust(df, ["k"], ["i"], strategy="true_reset_point").collect()}
+    base = 1704067200_000000
+    assert len(t) == 4 and t[1]["adjusted"] == 5.0  # nothing dropped, values as-is
+    assert t[1]["start_ts_us"] == base + 10_000000  # first point: own ts
+    assert t[2]["start_ts_us"] == base + 10_000000  # reuses epoch start
+    assert t[3]["start_ts_us"] == base + 30_000000 - 1000  # reset: own ts - 1ms
+    assert t[4]["start_ts_us"] == t[3]["start_ts_us"]
+
+    s = {r["i"]: r for r in start_time_adjust(df, ["k"], ["i"], strategy="subtract_initial_point").collect()}
+    assert set(s) == {2, 3, 4}  # reference point dropped
+    assert s[2]["adjusted"] == 3.0 and s[2]["start_ts_us"] == base + 10_000000  # 8 - ref 5
+    assert s[3]["adjusted"] == 2.0 and s[3]["start_ts_us"] == base + 30_000000 - 1000  # raw, re-ref 0
+    assert s[4]["adjusted"] == 6.0  # reset epoch subtracts 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        start_time_adjust(df, ["k"], ["i"], strategy="nope")
