@@ -28,9 +28,13 @@ Config fidelity notes:
 
 Cited: pkg/stanza/operator/parser/regex/config.go (regex, parse_from,
 on_error), parser/severity + helper/severity_builder.go, helper/time.go
-layout types, transformer/{add,remove,copy,move,retain,flatten}/config.go
-(field/value/from/to), transformer/filter (expr, drops matches),
-transformer/router/config.go (routes, default).
+layout types, parser/{syslog,uri,trace,container,jsonarray,scope},
+transformer/{add,remove,copy,move,retain,flatten,unquote,assignkeys,
+regexreplace,sanitizeutf8,noop}/config.go (field/value/from/to),
+transformer/filter (expr, drops matches), transformer/router/config.go
+(routes, default), transformer/recombine/config.go (is_first_entry,
+combine_field, source_identifier, max_batch_size — plus an explicit
+`order_field`, the batch analogue of arrival order).
 """
 
 from __future__ import annotations
@@ -45,6 +49,10 @@ _SUPPORTED = {
     "regex_parser", "json_parser", "csv_parser", "key_value_parser",
     "severity_parser", "time_parser", "add", "remove", "copy", "move",
     "retain", "flatten", "filter", "router",
+    # full parser/transformer coverage (pkg/stanza/operator/{parser,transformer})
+    "syslog_parser", "uri_parser", "trace_parser", "container",
+    "jsonarray_parser", "scope_name_parser", "sanitize_utf8",
+    "unquote", "assign_keys", "regex_replace", "noop", "recombine",
 }
 
 _NAMED_GROUP = _re.compile(r"\(\?P<([A-Za-z][A-Za-z0-9_]*)>")
@@ -94,6 +102,22 @@ def validate_stanza_ops(ops: list[dict[str, Any]]) -> None:
             raise ValueError(f"{where}: flatten needs `field`")
         elif t == "filter" and not op.get("expr"):
             raise ValueError(f"{where}: filter needs `expr`")
+        elif t == "syslog_parser" and op.get("protocol", "rfc5424") not in ("rfc5424", "rfc3164"):
+            raise ValueError(f"{where}: syslog protocol must be rfc5424|rfc3164")
+        elif t == "assign_keys" and not (op.get("keys") and op.get("field")):
+            raise ValueError(f"{where}: assign_keys needs `field` and `keys`")
+        elif t == "unquote" and not op.get("field"):
+            raise ValueError(f"{where}: unquote needs `field`")
+        elif t == "regex_replace" and not (op.get("regex") is not None and op.get("replace_with") is not None):
+            raise ValueError(f"{where}: regex_replace needs `regex` and `replace_with`")
+        elif t == "recombine":
+            if not op.get("is_first_entry"):
+                raise ValueError(f"{where}: recombine needs `is_first_entry`")
+            if not (op.get("source_identifier") and op.get("order_field")):
+                raise ValueError(
+                    f"{where}: recombine needs `source_identifier` and `order_field` "
+                    "(batch analogue of arrival order)"
+                )
         elif t == "router":
             routes = op.get("routes") or []
             if not routes:
@@ -129,10 +153,13 @@ def apply_stanza_operators(
     """Compile and apply the operator list in order. One Column expression
     per op; the chain stays inside whole-stage codegen."""
     from ..operators import transform as tr
+    from ..operators.container import container_parser
     from ..operators.parse import (
-        csv_parser, json_parser, key_value_parser, severity_parser,
-        time_parser_layout,
+        csv_parser, json_parser, jsonarray_parser, key_value_parser,
+        sanitize_utf8, severity_parser, syslog_rfc3164_parser,
+        syslog_rfc5424_parser, time_parser_layout, trace_parser, uri_parser,
     )
+    from ..operators.recombine import recombine
     from ..operators.route import Route, RouteTable, apply_routes
 
     validate_stanza_ops(ops)
@@ -171,6 +198,40 @@ def apply_stanza_operators(
             df = tr.retain(df, [_field(f, body_col) for f in op["fields"]])
         elif t == "flatten":
             df = tr.flatten(df, _field(op["field"], body_col))
+        elif t == "syslog_parser":
+            parse = syslog_rfc5424_parser if op.get("protocol", "rfc5424") == "rfc5424" else syslog_rfc3164_parser
+            df = parse(df, pf)
+        elif t == "uri_parser":
+            df = uri_parser(df, pf)
+        elif t == "trace_parser":
+            df = trace_parser(df, pf)
+        elif t == "container":
+            df = container_parser(df, pf)
+        elif t == "jsonarray_parser":
+            df = jsonarray_parser(df, pf, element_type=op.get("element_type", "string"), dest=op.get("parse_to", "parsed_array"))
+        elif t == "scope_name_parser":
+            # parser/scope: promote a field to the instrumentation scope name
+            df = tr.copy_field(df, pf, "scope_name")
+        elif t == "sanitize_utf8":
+            df = sanitize_utf8(df, pf)
+        elif t == "unquote":
+            df = tr.unquote(df, _field(op["field"], body_col))
+        elif t == "assign_keys":
+            df = tr.assign_keys(df, _field(op["field"], body_col), op["keys"], dest=op.get("parse_to", "kv"))
+        elif t == "regex_replace":
+            df = tr.regex_replace(df, _field(op["field"], body_col), op["regex"], op["replace_with"])
+        elif t == "noop":
+            pass
+        elif t == "recombine":
+            df = recombine(
+                df,
+                _field(op["source_identifier"], body_col),
+                _field(op["order_field"], body_col),
+                op["is_first_entry"],
+                combine_field=_field(op.get("combine_field", "body"), body_col),
+                combine_with=op.get("combine_with", "\n"),
+                max_batch=op.get("max_batch_size"),
+            )
         elif t == "filter":
             # stanza filter DROPS entries matching expr (transformer/filter)
             df = df.filter(~F.coalesce(F.expr(op["expr"]), F.lit(False)))

@@ -158,3 +158,70 @@ processors:
     df = build_from_collector_yaml(spark, doc, source_path=ensure_tier("t1"))
     assert df.filter(df.stage != "post").count() == 0
     assert df.filter(df.severity_number >= 17).count() > 0
+
+
+def test_chain_full_parser_transformer_coverage(spark):
+    """Every remaining stanza parser/transformer type dispatches: syslog,
+    uri, trace, jsonarray, scope, sanitize_utf8, unquote, assign_keys,
+    regex_replace, noop, recombine."""
+    df = spark.createDataFrame(
+        [
+            ("c1", 1, '<34>1 2024-01-01T00:00:00Z h app 1 mid - hello', '"q"', '["a","b"]', "https://x.io/p?k=v", "00-000102030405060708090a0b0c0d0e0f-0102030405060708-01"),
+            ("c1", 2, '<34>1 2024-01-01T00:00:01Z h app 1 mid - world', '"r"', '["c","d"]', "http://y.io/", "00-000102030405060708090a0b0c0d0e0f-0102030405060709-00"),
+        ],
+        "conv string, i int, text string, quoted string, csvish string, url string, tp string",
+    )
+    out = apply_stanza_operators(
+        df,
+        [
+            {"type": "noop"},
+            {"type": "syslog_parser", "protocol": "rfc5424"},
+            {"type": "uri_parser", "parse_from": "url"},
+            {"type": "trace_parser", "parse_from": "tp"},
+            {"type": "scope_name_parser", "parse_from": "syslog_appname"},
+            {"type": "sanitize_utf8", "parse_from": "text"},
+            {"type": "unquote", "field": "quoted"},
+            {"type": "jsonarray_parser", "parse_from": "csvish"},
+            {"type": "assign_keys", "field": "parsed_array", "keys": ["k1", "k2"]},
+            {"type": "regex_replace", "field": "quoted", "regex": "q", "replace_with": "Q"},
+        ],
+    )
+    r = {x["i"]: x for x in out.collect()}
+    assert r[1]["syslog_severity"] == 2 and r[1]["syslog_appname"] == "app"
+    assert r[1]["scope_name"] == "app" and r[1]["quoted"] == "Q"
+    assert r[2]["quoted"] == "r"  # unquoted, no 'q' to replace
+    assert r[1]["uri_host"] == "x.io" and r[1]["uri_scheme"] == "https"
+    assert r[1]["trace_id"] == "000102030405060708090a0b0c0d0e0f"
+    assert r[1]["trace_sampled"] is True and r[2]["trace_sampled"] is False
+    assert r[1]["kv"]["k1"] == "a" and r[2]["kv"]["k2"] == "d"
+
+    rec = apply_stanza_operators(
+        df.selectExpr("conv", "i", "text"),
+        [
+            {
+                "type": "recombine",
+                "source_identifier": "conv",
+                "order_field": "i",
+                "is_first_entry": "i = 1",
+                "combine_field": "text",
+                "combine_with": " | ",
+            }
+        ],
+    ).collect()
+    assert len(rec) == 1 and rec[0]["n_lines"] == 2 and " | " in rec[0]["combined"]
+
+
+def test_chain_new_validation_errors():
+    import pytest
+
+    for ops, msg in [
+        ([{"type": "syslog_parser", "protocol": "rfc9999"}], "rfc5424|rfc3164"),
+        ([{"type": "assign_keys", "keys": ["a"]}], "field"),
+        ([{"type": "unquote"}], "unquote needs"),
+        ([{"type": "regex_replace", "regex": "x"}], "replace_with"),
+        ([{"type": "recombine", "is_first_entry": "x"}], "source_identifier"),
+        ([{"type": "recombine", "source_identifier": "c", "order_field": "i"}], "is_first_entry"),
+    ]:
+        with pytest.raises(ValueError) as ei:
+            validate_stanza_ops(ops)
+        assert msg.replace("`", "") in str(ei.value).replace("`", "")
