@@ -144,3 +144,34 @@ def test_pipeline_parse_stays_in_wholestage_codegen(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
     assert m and int(m.group(1)) >= 1, cg[:500]
+
+
+def test_start_time_adjust_single_exchange(spark):
+    """Stacked epoch windows must share ONE shuffle: hashpartitioning on
+    the series satisfies the refined (series, epoch) clustering, so the
+    epoch-stats window adds a re-Sort, never a second Exchange."""
+    plan = plan_of(_query("events_start_subtract_initial")(spark, SF))
+    assert n_exchanges(plan) == 1, plan[:2000]
+    for node in FORBIDDEN:
+        assert node not in plan
+
+
+def test_stanza_chain_fuses_into_codegen(spark):
+    """The whole operators: list (regex + severity + time + add + router)
+    must compile to projections inside whole-stage codegen over the scan —
+    one stage, zero exchanges, zero UDF nodes."""
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+
+    plan = plan_of(_query("stanza_chain_parse")(spark, SF))
+    tree = tree_of(plan)
+    assert n_exchanges(plan) == 0, tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted mode stars codegen'd nodes; every projection must carry it
+    assert "* Project" in tree
+
+
+def test_host_info_single_aggregate_exchange(spark):
+    """Window-distinct host datapoints: one hash-aggregate shuffle on the
+    already-reduced (window, host) pairs, nothing else."""
+    plan = plan_of(_query("events_host_info")(spark, SF))
+    assert n_exchanges(plan) <= 1, plan[:2000]
