@@ -225,3 +225,45 @@ def test_chain_new_validation_errors():
         with pytest.raises(ValueError) as ei:
             validate_stanza_ops(ops)
         assert msg.replace("`", "") in str(ei.value).replace("`", "")
+
+
+def test_stanza_chain_streaming_matches_batch(spark, tmp_path):
+    """The chain is stateless projections, so it composes with readStream
+    unchanged: an availableNow drain through the same operators: list must
+    equal the batch run on the same files (the receiver's streaming vs a
+    backfill reading identical bytes)."""
+    import json as _json
+
+    d = tmp_path / "chain_in"
+    d.mkdir()
+    rows = [
+        {"id": 1, "text": "2024-01-01T00:00:01 [ERROR] auth: denied"},
+        {"id": 2, "text": "2024-01-01T00:00:02 [info] web: ok"},
+        {"id": 3, "text": "garbage"},
+    ]
+    (d / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "id int, text string"
+    ops = [
+        {"type": "regex_parser", "regex": _RX},
+        {"type": "severity_parser", "parse_from": "lvl"},
+        {"type": "time_parser", "parse_from": "log_ts", "layout": "%Y-%m-%dT%H:%M:%S"},
+        {"type": "router", "routes": [{"expr": "severity_number >= 17", "output": "errors"}]},
+    ]
+
+    def pipe(df):
+        out = apply_stanza_operators(df, ops)
+        return out.select("id", "comp", "severity_text", "severity_number", "event_ts", "route_id")
+
+    sdf = pipe(spark.readStream.schema(schema).json(str(d)))
+    assert sdf.isStreaming
+    (
+        sdf.writeStream.format("memory").queryName("chain_stream")
+        .option("checkpointLocation", str(tmp_path / "chain_ck"))
+        .trigger(availableNow=True).start().awaitTermination(60)
+    )
+    got = sorted(tuple(r) for r in spark.table("chain_stream").collect())
+    want = sorted(tuple(r) for r in pipe(spark.read.schema(schema).json(str(d))).collect())
+    assert got == want and len(got) == 3
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][5] == "errors" and by_id[2][5] == "general"
+    assert by_id[3][1] is None and by_id[3][4] is None
