@@ -1053,11 +1053,20 @@ def start_time_adjust(
         raise ValueError("strategy must be true_reset_point|subtract_initial_point")
     w = Window.partitionBy(*series_cols).orderBy(*order_cols)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag(F.col(value_col)).over(w)
-    first_or_reset = prev.isNull() | (F.col(value_col) < prev)
+    # reset detection compares against the last RECORDED value: a NULL
+    # (NoRecordedValue) point passes through without opening an epoch and
+    # without becoming the comparison reference (adjuster.go keeps such
+    # points as-is and skips the previous-value update)
+    prev = F.last(F.col(value_col), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rn = F.row_number().over(w)
+    first_or_reset = (rn == 1) | (
+        F.col(value_col).isNotNull() & prev.isNotNull() & (F.col(value_col) < prev)
+    )
     staged = df.withColumn(
         "_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
-    ).withColumn("_rn", F.row_number().over(w)).withColumn(
+    ).withColumn("_rn", rn).withColumn(
         "_epoch", F.sum(first_or_reset.cast("int")).over(run)
     )
     we = Window.partitionBy(*series_cols, "_epoch").orderBy(*order_cols)

@@ -129,11 +129,14 @@ def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[
                 spec.setdefault("filter", []).extend(conds)
         elif base == "logstransform":
             # logstransformprocessor embeds the same stanza operators list
-            # as the filelog receiver (processor/logstransformprocessor);
-            # receiver ops (if any) run first, then these, in config order
+            # as the filelog receiver (processor/logstransformprocessor).
+            # With receiver ops present they extend that parse chain; with
+            # none, they run AFTER the default parse stage (replacing it
+            # would drop the parsed columns the ops reference)
             ops = pcfg.get("operators") or []
             if ops:
-                spec.setdefault("stanza_operators", []).extend(ops)
+                key = "stanza_operators" if spec.get("stanza_operators") else "stanza_operators_post"
+                spec.setdefault(key, []).extend(ops)
         elif base == "probabilistic_sampler":
             spec["sample"] = {
                 "kind": "probabilistic_portable",

@@ -38,9 +38,9 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 VALID_SECTIONS = {
-    "source", "parse", "stanza_operators", "transform", "filter",
-    "filter_match", "enrich", "routes", "order", "aggregates", "sample",
-    "tail_sampling",
+    "source", "parse", "stanza_operators", "stanza_operators_post",
+    "transform", "filter", "filter_match", "enrich", "routes", "order",
+    "aggregates", "sample", "tail_sampling",
 }
 
 _SAMPLE_KINDS = {"probabilistic", "probabilistic_portable", "mod", "adaptive"}
@@ -66,10 +66,12 @@ def _validate_sections(spec: dict[str, Any]) -> None:
     unknown = set(spec) - VALID_SECTIONS
     if unknown:
         raise ValueError(f"unknown pipeline sections: {sorted(unknown)}")
-    if spec.get("stanza_operators"):
+    if spec.get("stanza_operators") or spec.get("stanza_operators_post"):
         from .stanza_chain import validate_stanza_ops
 
-        validate_stanza_ops(spec["stanza_operators"])
+        validate_stanza_ops(
+            list(spec.get("stanza_operators") or []) + list(spec.get("stanza_operators_post") or [])
+        )
     routes = spec.get("routes", {})
     if routes:
         table = routes.get("table", [])
@@ -168,6 +170,11 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     else:
         bank = spec.get("parse", {}).get("bank", "native")
         df = parse_vectorized(df) if bank == "vectorized" else parse_native(df)
+    if spec.get("stanza_operators_post"):
+        # logstransformprocessor-style ops: run AFTER the parse stage
+        from .stanza_chain import apply_stanza_operators
+
+        df = apply_stanza_operators(df, spec["stanza_operators_post"])
     return _apply_sections(spark, df, spec)
 
 
@@ -323,8 +330,12 @@ def validate_service(service: dict[str, Any]) -> None:
                 raise ValueError(f"pipeline {pname}: unknown exporter {e!r} (connectors or sink:NAME)")
             exported.add(e)
         spec = p.get("spec", {})
-        if any(isinstance(r, str) for r in p["receivers"]) and "parse" in spec:
-            raise ValueError(f"pipeline {pname}: connector-fed pipelines are already structured; drop 'parse'")
+        if any(isinstance(r, str) for r in p["receivers"]):
+            for key in ("parse", "stanza_operators"):
+                if key in spec:
+                    raise ValueError(
+                        f"pipeline {pname}: connector-fed pipelines are already structured; drop '{key}'"
+                    )
         _validate_sections({k: v for k, v in spec.items() if k != "parse"})
     # the core graph builder's connectivity errors
     for cname in connectors:
@@ -368,16 +379,29 @@ def build_service(spark: SparkSession, service: dict[str, Any]) -> dict[str, Any
                 connector_fed = True
             else:
                 raw = spark.read.parquet(r["path"]) if "path" in r else spark.read.table(r["table"])
-                bank = spec.get("parse", {}).get("bank", "native")
-                parts.append(parse_vectorized(raw) if bank == "vectorized" else parse_native(raw))
+                if spec.get("stanza_operators"):
+                    # same contract as build_pipeline: the operators list
+                    # IS the parse stage for source receivers
+                    from .stanza_chain import apply_stanza_operators
+
+                    parts.append(apply_stanza_operators(raw, spec["stanza_operators"]))
+                else:
+                    bank = spec.get("parse", {}).get("bank", "native")
+                    parts.append(parse_vectorized(raw) if bank == "vectorized" else parse_native(raw))
         df = parts[0]
         for extra in parts[1:]:
             df = df.unionByName(extra, allowMissingColumns=True)
+        if spec.get("stanza_operators_post"):
+            from .stanza_chain import apply_stanza_operators
+
+            df = apply_stanza_operators(df, spec["stanza_operators_post"])
         if connector_fed:
             # connector outputs are aggregates; the transcript ordering
             # window does not apply unless the spec asks for it
             spec.setdefault("order", {"enabled": False})
         spec.pop("parse", None)
+        spec.pop("stanza_operators", None)
+        spec.pop("stanza_operators_post", None)
         out = _apply_sections(spark, df, spec)
         pipe_memo[pname] = out
         return out

@@ -83,7 +83,10 @@ def validate_stanza_ops(ops: list[dict[str, Any]]) -> None:
                 raise ValueError(f"{where}: regex_parser needs `regex`")
             if not _NAMED_GROUP.search(rx):
                 raise ValueError(f"{where}: regex needs at least one named capture group (?P<name>...)")
-            _re.compile(rx)  # malformed regex fails eagerly
+            try:
+                _re.compile(rx)  # malformed regex fails eagerly, as ValueError
+            except _re.error as e:
+                raise ValueError(f"{where}: malformed regex: {e}") from e
             if op.get("on_error", "send") not in ("send", "drop"):
                 raise ValueError(f"{where}: on_error must be send|drop")
         elif t == "csv_parser" and not op.get("header"):
@@ -129,22 +132,25 @@ def validate_stanza_ops(ops: list[dict[str, Any]]) -> None:
 
 def _apply_regex_parser(df: DataFrame, op: dict, body_col: str) -> DataFrame:
     rx = op["regex"]
-    names = _NAMED_GROUP.findall(rx)
-    # group extraction is by index, so the P-form names only drive the
-    # output column list; strip them for the Java engine
+    # groupindex maps each NAME to its overall capture-group number — this
+    # stays correct when the pattern mixes unnamed groups with named ones
+    # (stripping ?P<name> does not renumber groups in the Java engine)
+    group_index = _re.compile(rx).groupindex
     java_rx = _NAMED_GROUP.sub("(", rx)
     src = F.col(_field(op.get("parse_from", "body"), body_col))
     matched = src.rlike(java_rx)
     if op.get("on_error", "send") == "drop":
-        df = df.filter(matched)
-        for gi, name in enumerate(names, start=1):
-            df = df.withColumn(name, F.regexp_extract(src, java_rx, gi))
-        return df
+        # withColumns evaluates every expression against the pre-projection
+        # frame, so a group named after the source column cannot shadow the
+        # source for its sibling extracts
+        return df.filter(matched).withColumns(
+            {name: F.regexp_extract(src, java_rx, gi) for name, gi in group_index.items()}
+        )
     # send: non-matching rows keep NULL fields (regexp_extract returns ''
     # on miss, so gate each group on the match)
-    for gi, name in enumerate(names, start=1):
-        df = df.withColumn(name, F.when(matched, F.regexp_extract(src, java_rx, gi)))
-    return df
+    return df.withColumns(
+        {name: F.when(matched, F.regexp_extract(src, java_rx, gi)) for name, gi in group_index.items()}
+    )
 
 
 def apply_stanza_operators(
@@ -169,10 +175,18 @@ def apply_stanza_operators(
         if t == "regex_parser":
             df = _apply_regex_parser(df, op, body_col)
         elif t == "json_parser":
-            df = json_parser(df, pf, op["schema"], dest=op.get("parse_to", "parsed_json"))
+            # stanza's json_parser is schema-less (parses into the attr
+            # map); `schema` is our optional typed extension
+            schema = op.get("schema", "map<string,string>")
+            df = json_parser(df, pf, schema, dest=op.get("parse_to", "parsed_json"))
         elif t == "csv_parser":
             header = op["header"]
-            schema = ", ".join(f"{h} string" for h in header) if isinstance(header, list) else header
+            if isinstance(header, str):
+                # stanza header is a delimiter-joined NAME string
+                # (parser/csv/config.go header + header_delimiter)
+                hd = op.get("header_delimiter", op.get("delimiter", ","))
+                header = [h.strip() for h in header.split(hd)]
+            schema = ", ".join(f"{h} string" for h in header)
             df = csv_parser(df, pf, schema, sep=op.get("delimiter", ","), dest=op.get("parse_to", "parsed_csv"))
         elif t == "key_value_parser":
             df = key_value_parser(

@@ -2397,12 +2397,16 @@ FROM s"""
     _start_time_cte = """
 WITH base AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
-         row_number() OVER w AS rn, lag(value) OVER w AS prev
+         row_number() OVER w AS rn,
+         last_value(value IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 ),
 e AS (
-  SELECT *, sum(CASE WHEN prev IS NULL OR value < prev THEN 1 ELSE 0 END)
+  SELECT *, sum(CASE WHEN rn = 1 OR (value IS NOT NULL AND prev IS NOT NULL AND value < prev)
+                     THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY event_id) AS epoch
   FROM base
 ),

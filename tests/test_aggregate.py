@@ -553,6 +553,14 @@ def test_start_time_strategies(spark):
         ],
         "k string, i int, ts string, value double",
     )
+    nulled = spark.createDataFrame(
+        [
+            ("s", 1, "2024-01-01 00:00:10", 5.0),
+            ("s", 2, "2024-01-01 00:00:20", None),  # NoRecordedValue analogue
+            ("s", 3, "2024-01-01 00:00:30", 8.0),   # NOT a reset: prev recorded = 5
+        ],
+        "k string, i int, ts string, value double",
+    )
     t = {r["i"]: r for r in start_time_adjust(df, ["k"], ["i"], strategy="true_reset_point").collect()}
     base = 1704067200_000000
     assert len(t) == 4 and t[1]["adjusted"] == 5.0  # nothing dropped, values as-is
@@ -566,6 +574,13 @@ def test_start_time_strategies(spark):
     assert s[2]["adjusted"] == 3.0 and s[2]["start_ts_us"] == base + 10_000000  # 8 - ref 5
     assert s[3]["adjusted"] == 2.0 and s[3]["start_ts_us"] == base + 30_000000 - 1000  # raw, re-ref 0
     assert s[4]["adjusted"] == 6.0  # reset epoch subtracts 0
+
+    # NULL values pass through without opening an epoch and without
+    # becoming the reset-comparison reference
+    n = {r["i"]: r for r in start_time_adjust(nulled, ["k"], ["i"], strategy="subtract_initial_point").collect()}
+    assert set(n) == {2, 3}
+    assert n[2]["adjusted"] is None and n[2]["start_ts_us"] == base + 10_000000
+    assert n[3]["adjusted"] == 3.0 and n[3]["start_ts_us"] == base + 10_000000  # 8 - ref 5, same epoch
 
     import pytest as _pt
 

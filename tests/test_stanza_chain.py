@@ -267,3 +267,116 @@ def test_stanza_chain_streaming_matches_batch(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert by_id[1][5] == "errors" and by_id[2][5] == "general"
     assert by_id[3][1] is None and by_id[3][4] is None
+
+
+def test_regex_parser_mixed_named_unnamed_groups(spark):
+    """Named groups keep their true capture indices when unnamed groups
+    precede them in the pattern."""
+    df = spark.createDataFrame([("abc ERROR",)], "text string")
+    out = apply_stanza_operators(
+        df, [{"type": "regex_parser", "regex": r"^(\w+) (?P<lvl>\w+)$"}]
+    ).collect()[0]
+    assert out["lvl"] == "ERROR"
+
+
+def test_regex_parser_group_shadowing_source(spark):
+    """A group named after the source column must not corrupt its sibling
+    extracts (all groups evaluate against the pre-projection frame)."""
+    df = spark.createDataFrame([("E hello",)], "text string")
+    out = apply_stanza_operators(
+        df, [{"type": "regex_parser", "regex": r"^(?P<text>\w+) (?P<msg>\w+)$"}]
+    ).collect()[0]
+    assert out["text"] == "E" and out["msg"] == "hello"
+
+
+def test_json_parser_schemaless_and_csv_string_header(spark):
+    df = spark.createDataFrame([('{"a":"1","b":"x"}', "1,ERROR,boot")], "j string, c string")
+    out = apply_stanza_operators(
+        df,
+        [
+            {"type": "json_parser", "parse_from": "j"},  # stanza: schema-less -> map
+            {"type": "csv_parser", "parse_from": "c", "header": "id,severity,message"},
+        ],
+    ).collect()[0]
+    assert out["parsed_json"]["a"] == "1" and out["parsed_json"]["b"] == "x"
+    assert out["parsed_csv"]["severity"] == "ERROR" and out["parsed_csv"]["message"] == "boot"
+
+
+def test_malformed_regex_raises_value_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="malformed regex"):
+        validate_stanza_ops([{"type": "regex_parser", "regex": "(?P<a>x"}])
+
+
+def test_yaml_logstransform_without_receiver_ops_keeps_parse(spark):
+    """logstransform ops with NO receiver operators must run AFTER the
+    default parse stage, not replace it — the ops reference parsed columns."""
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+    from opentelemetry_collector_contrib_spark.plans.collector_config import (
+        build_from_collector_yaml,
+        spec_from_collector_yaml,
+    )
+
+    doc = """
+receivers:
+  filelog:
+    include: [/x]
+processors:
+  logstransform:
+    operators:
+      - type: severity_parser
+        parse_from: sev
+"""
+    spec = spec_from_collector_yaml(doc, source_path="/tmp/ignored")
+    assert "stanza_operators" not in spec
+    assert [o["type"] for o in spec["stanza_operators_post"]] == ["severity_parser"]
+    df = build_from_collector_yaml(spark, doc, source_path=ensure_tier("t1"))
+    # 'sev' only exists because the default parse bank still ran
+    assert {"sev", "severity_text", "severity_number"} <= set(df.columns)
+    assert df.filter(df.severity_number >= 17).count() > 0
+
+
+def test_service_pipeline_applies_stanza_operators(spark):
+    """A service pipeline spec carrying stanza_operators must run them as
+    the parse stage (build_service mirrors build_pipeline)."""
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+    from opentelemetry_collector_contrib_spark.plans.config import build_service
+
+    svc = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": [{"path": ensure_tier("t1")}],
+                "spec": {
+                    "stanza_operators": [
+                        {"type": "regex_parser", "regex": _RX},
+                        {"type": "severity_parser", "parse_from": "lvl"},
+                    ],
+                    "order": {"enabled": False},
+                },
+                "exporters": ["sink:parsed"],
+            },
+        },
+    }
+    out = build_service(spark, svc)["sinks"]["parsed"]
+    assert {"comp", "severity_number"} <= set(out.columns)
+    assert out.filter(out.severity_number >= 17).count() > 0
+
+
+def test_service_connector_fed_rejects_stanza_operators():
+    import pytest
+
+    from opentelemetry_collector_contrib_spark.plans.config import validate_service
+
+    with pytest.raises(ValueError, match="drop 'stanza_operators'"):
+        validate_service({
+            "pipelines": {
+                "a": {"receivers": [{"path": "/x"}], "exporters": ["c"]},
+                "b": {
+                    "receivers": ["c"],
+                    "spec": {"stanza_operators": [{"type": "noop"}]},
+                    "exporters": ["sink:x"],
+                },
+            },
+            "connectors": {"c": {"type": "forward"}},
+        })
