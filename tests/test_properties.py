@@ -342,3 +342,62 @@ def test_ottl_compiler_rejects_garbage_cleanly(spark, src):
         except ValueError:
             pass  # the documented malformed-input contract
         # any other exception type propagates and fails the test
+
+
+# --- metricstarttime adjuster vs a literal Python port -----------------------
+
+_series_values = st.lists(
+    st.one_of(st.none(), st.floats(min_value=0, max_value=100, allow_nan=False)),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _adjust_reference(values):
+    """Literal port of subtractinitial/adjuster.go adjustMetricSum for one
+    series: (kept_index, adjusted_value, start_index_or_reset_marker).
+    Timestamps are indices; a reset start is (i, 'reset')."""
+    out = []
+    ref = None  # (ref_value, start_marker)
+    prev_recorded = None
+    for i, v in enumerate(values):
+        if ref is None:
+            ref = (v, ("init", i))
+            prev_recorded = v if v is not None else prev_recorded
+            continue  # first point dropped
+        if v is None:
+            out.append((i, None, ref[1]))  # NoRecordedValue: as-is, no updates
+            continue
+        if prev_recorded is not None and v < prev_recorded:
+            ref = (0.0, ("reset", i))
+            out.append((i, v, ref[1]))
+        else:
+            rv = ref[0]
+            out.append((i, v - rv if rv is not None else None, ref[1]))
+        prev_recorded = v
+    return out
+
+
+@given(values=_series_values)
+@settings(**_SETTINGS)
+def test_start_time_subtract_matches_literal_adjuster(spark, values):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import start_time_adjust
+
+    base = dt.datetime(2025, 1, 1)
+    rws = [("s", i, base + dt.timedelta(seconds=10 * i), v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rws, "k string, i int, ts timestamp, value double")
+    got = {
+        r["i"]: r
+        for r in start_time_adjust(df, ["k"], ["i"], strategy="subtract_initial_point").collect()
+    }
+    want = _adjust_reference(values)
+    assert set(got) == {i for i, _, _ in want}
+    base_us = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    for i, adj, (kind, j) in want:
+        g = got[i]
+        if adj is None:
+            assert g["adjusted"] is None
+        else:
+            assert g["adjusted"] == pytest.approx(adj)
+        expected_start = base_us + 10_000_000 * j - (1000 if kind == "reset" else 0)
+        assert g["start_ts_us"] == expected_start, (i, kind, j)
