@@ -553,6 +553,44 @@ def q_collector_service(spark, sf_dir):
     return sinks["route_counts"].join(sinks["latency_totals"], "route_id")
 
 
+def q_collector_service_forward(spark, sf_dir):
+    """service DAG with a forward (pass-through) connector edge: the logs
+    pipeline routes, a forward connector bridges to a tap pipeline whose
+    filter keeps only error-routed rows (core forwardconnector shape)."""
+    from ..fixtures import ensure_tier
+    from ..plans.config import build_service
+
+    service = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": [{"path": ensure_tier("t2")}],
+                "spec": {
+                    "routes": {
+                        "default": "general",
+                        "table": [
+                            {"name": "errors", "condition": 'status == "err"'},
+                            {
+                                "name": "tool_events",
+                                "condition": 'tool != "none" and role == "assistant"',
+                            },
+                        ],
+                    },
+                    "order": {"enabled": False},
+                },
+                "exporters": ["fwd"],
+            },
+            "logs/errors_tap": {
+                "receivers": ["fwd"],
+                "spec": {"filter": ['route_id != "errors"']},
+                "exporters": ["sink:errors"],
+            },
+        },
+        "connectors": {"fwd": {"type": "forward"}},
+    }
+    sinks = build_service(spark, service)["sinks"]
+    return sinks["errors"].select("conv_id", "turn_idx", "text", "route_id")
+
+
 def q_metrics_transform(spark, sf_dir):
     from ..operators.aggregate import metrics_transform_agg
 
@@ -1881,6 +1919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_histogram_scaled": q_histogram_scaled,
     "events_host_info": q_host_info,
     "collector_service_counts": q_collector_service,
+    "collector_service_forward": q_collector_service_forward,
     "stanza_chain_parse": q_stanza_chain,
     "events_start_true_reset": q_start_true_reset,
     "events_start_subtract_initial": q_start_subtract_initial,
@@ -2361,6 +2400,10 @@ FROM events GROUP BY 1"""
     o["collector_service_counts"] = pipeline_cte() + """
 SELECT route_id, count(*) AS log_count, CAST(sum(latency_ms) AS DOUBLE) AS total
 FROM routed GROUP BY 1"""
+
+    o["collector_service_forward"] = pipeline_cte() + """
+SELECT conv_id, turn_idx, text, route_id
+FROM routed WHERE route_id = 'errors'"""
 
     from .transcript_sql import SYSLOG_RE, T2_TRANSCRIPTS
 
