@@ -500,11 +500,20 @@ def time_parser_layout(
     layout: str,
     layout_type: str = "strptime",
     dest: str = "event_ts",
+    location: str | None = None,
 ) -> DataFrame:
     """operator/helper/time.go layout types: 'strptime' (translated),
     'gotime'/'spark' (native pattern), 'epoch' with layout s|ms|us|ns.
     Unknown layout_type raises eagerly; unparsable VALUES yield null
-    (try_cast — a bad row must not abort the job under ANSI mode)."""
+    (try_cast — a bad row must not abort the job under ANSI mode).
+
+    `location` mirrors the stanza time block's location option
+    (timeparser config / time.go:49): a zone-less layout is interpreted
+    as wall-clock time IN that IANA zone and converted to UTC. Epoch
+    layouts are absolute, so location does not apply to them."""
+    def _localize(col):
+        return F.to_utc_timestamp(col, location) if location else col
+
     if layout_type == "strptime":
         src = F.col(source)
         if "%e" in layout:
@@ -512,7 +521,7 @@ def time_parser_layout(
             # wants exactly one space between tokens and none leading —
             # collapse runs and trim the edge pad before parsing
             src = F.ltrim(F.regexp_replace(src, " +", " "))
-        return df.withColumn(dest, F.try_to_timestamp(src, F.lit(strptime_to_spark(layout))))
+        return df.withColumn(dest, _localize(F.try_to_timestamp(src, F.lit(strptime_to_spark(layout)))))
     if layout_type == "epoch":
         n = f"try_cast(`{source}` as bigint)"
         # range guards: timestamp_seconds/millis multiply internally with
@@ -533,7 +542,7 @@ def time_parser_layout(
             raise ValueError("epoch layout must be one of s|ms|us|ns")
         return df.withColumn(dest, F.expr(conv[layout]))
     if layout_type in ("gotime", "spark"):
-        return df.withColumn(dest, F.try_to_timestamp(F.col(source), F.lit(layout)))
+        return df.withColumn(dest, _localize(F.try_to_timestamp(F.col(source), F.lit(layout))))
     raise ValueError(f"unknown layout_type {layout_type!r} (strptime|epoch|gotime|spark)")
 
 

@@ -198,7 +198,7 @@ def apply_stanza_operators(
         elif t == "time_parser":
             df = time_parser_layout(
                 df, pf, op["layout"], layout_type=op.get("layout_type", "strptime"),
-                dest=op.get("parse_to", "event_ts"),
+                dest=op.get("parse_to", "event_ts"), location=op.get("location"),
             )
         elif t == "add":
             df = tr.add(df, _field(op["field"], body_col), op.get("value"))

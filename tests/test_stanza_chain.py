@@ -380,3 +380,15 @@ def test_service_connector_fed_rejects_stanza_operators():
             },
             "connectors": {"c": {"type": "forward"}},
         })
+
+
+def test_time_parser_location(spark):
+    """stanza time block `location`: zone-less strings are wall-clock time
+    IN that IANA zone; the parsed instant converts to UTC (EST = UTC-5)."""
+    df = spark.createDataFrame([("2024-01-15 00:00:00",)], "t string")
+    out = apply_stanza_operators(
+        df,
+        [{"type": "time_parser", "parse_from": "t",
+          "layout": "%Y-%m-%d %H:%M:%S", "location": "America/New_York"}],
+    ).select(F.unix_micros("event_ts").alias("us")).collect()[0]
+    assert out["us"] == 1705294800_000000  # 2024-01-15T05:00:00Z
