@@ -137,6 +137,15 @@ def _apply_regex_parser(df: DataFrame, op: dict, body_col: str) -> DataFrame:
     # (stripping ?P<name> does not renumber groups in the Java engine)
     group_index = _re.compile(rx).groupindex
     java_rx = _NAMED_GROUP.sub("(", rx)
+    # validate_stanza_ops compiles with PYTHON semantics (no session there);
+    # execution uses the JVM engine — compile Java-side too so a
+    # Python-valid/Java-invalid pattern fails at build, not mid-job
+    try:
+        df.sparkSession._jvm.java.util.regex.Pattern.compile(java_rx)  # type: ignore[union-attr]
+    except AttributeError:
+        pass  # Spark Connect: no _jvm; the pattern fails at analysis instead
+    except Exception as e:
+        raise ValueError(f"regex_parser: pattern rejected by the Java regex engine: {e}") from e
     src = F.col(_field(op.get("parse_from", "body"), body_col))
     matched = src.rlike(java_rx)
     if op.get("on_error", "send") == "drop":

@@ -392,3 +392,14 @@ def test_time_parser_location(spark):
           "layout": "%Y-%m-%d %H:%M:%S", "location": "America/New_York"}],
     ).select(F.unix_micros("event_ts").alias("us")).collect()[0]
     assert out["us"] == 1705294800_000000  # 2024-01-15T05:00:00Z
+
+
+def test_java_invalid_regex_fails_at_build(spark):
+    """A pattern Python accepts but the Java engine rejects (conditional
+    group syntax, unsupported in java.util.regex) must raise ValueError at
+    build time, not mid-job."""
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="Java regex engine"):
+        apply_stanza_operators(
+            df, [{"type": "regex_parser", "regex": r"(?P<a>x)(?(a)y|z)"}]
+        )
