@@ -69,9 +69,9 @@ def _validate_sections(spec: dict[str, Any]) -> None:
     if spec.get("stanza_operators") or spec.get("stanza_operators_post"):
         from .stanza_chain import validate_stanza_ops
 
-        validate_stanza_ops(
-            list(spec.get("stanza_operators") or []) + list(spec.get("stanza_operators_post") or [])
-        )
+        # validated per-list so error indices point into the right section
+        validate_stanza_ops(list(spec.get("stanza_operators") or []))
+        validate_stanza_ops(list(spec.get("stanza_operators_post") or []))
     routes = spec.get("routes", {})
     if routes:
         table = routes.get("table", [])
