@@ -73,14 +73,16 @@ def validate_stanza_ops(ops: list[dict[str, Any]]) -> None:
     """Eager config validation, like stanza's unmarshal-by-type: unknown
     types, missing required fields, and malformed regexes fail at build."""
     for i, op in enumerate(ops):
-        t = op.get("type")
         where = f"operators[{i}]"
-        if t not in _SUPPORTED:
+        if not isinstance(op, dict):
+            raise ValueError(f"{where}: operator config must be a mapping, got {type(op).__name__}")
+        t = op.get("type")
+        if not isinstance(t, str) or t not in _SUPPORTED:
             raise ValueError(f"{where}: unknown operator type {t!r} (supported: {sorted(_SUPPORTED)})")
         if t == "regex_parser":
             rx = op.get("regex")
-            if not rx:
-                raise ValueError(f"{where}: regex_parser needs `regex`")
+            if not rx or not isinstance(rx, str):
+                raise ValueError(f"{where}: regex_parser needs `regex` (a string)")
             if not _NAMED_GROUP.search(rx):
                 raise ValueError(f"{where}: regex needs at least one named capture group (?P<name>...)")
             try:
@@ -123,10 +125,10 @@ def validate_stanza_ops(ops: list[dict[str, Any]]) -> None:
                 )
         elif t == "router":
             routes = op.get("routes") or []
-            if not routes:
-                raise ValueError(f"{where}: router needs non-empty `routes`")
+            if not routes or not isinstance(routes, list):
+                raise ValueError(f"{where}: router needs a non-empty `routes` list")
             for r in routes:
-                if not (r.get("expr") and r.get("output")):
+                if not isinstance(r, dict) or not (r.get("expr") and r.get("output")):
                     raise ValueError(f"{where}: every route needs `expr` and `output`")
 
 

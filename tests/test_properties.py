@@ -401,3 +401,52 @@ def test_start_time_subtract_matches_literal_adjuster(spark, values):
             assert g["adjusted"] == pytest.approx(adj)
         expected_start = base_us + 10_000_000 * j - (1000 if kind == "reset" else 0)
         assert g["start_ts_us"] == expected_start, (i, kind, j)
+
+
+# --- stanza chain config fuzz: malformed operator lists fail CLEANLY ----------
+
+_fuzz_keys = st.sampled_from([
+    "type", "regex", "parse_from", "parse_to", "field", "fields", "from",
+    "to", "expr", "routes", "header", "layout", "keys", "on_error",
+    "protocol", "is_first_entry", "source_identifier", "order_field",
+])
+_fuzz_vals = st.one_of(
+    st.text(alphabet='ab(?P<x>)[]{}.*+\\"= ', max_size=20),
+    st.integers(-5, 5),
+    st.none(),
+    st.booleans(),
+    st.lists(st.text(max_size=5), max_size=3),
+)
+
+
+_fuzz_op = st.one_of(
+    st.dictionaries(_fuzz_keys, _fuzz_vals, max_size=5),
+    # force a VALID type so every per-type validation branch gets fuzzed
+    # garbage for its other keys, not just the unknown-type early exit
+    st.builds(
+        lambda t, rest: {**rest, "type": t},
+        st.sampled_from([
+            "regex_parser", "json_parser", "csv_parser", "key_value_parser",
+            "severity_parser", "time_parser", "add", "remove", "copy",
+            "move", "retain", "flatten", "filter", "router",
+            "syslog_parser", "assign_keys", "unquote", "regex_replace",
+            "recombine", "noop",
+        ]),
+        st.dictionaries(_fuzz_keys, _fuzz_vals, max_size=4),
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ops=st.lists(_fuzz_op, max_size=3))
+def test_stanza_chain_validation_rejects_garbage_cleanly(ops):
+    """Arbitrary operator-list configs must produce ValueError (the
+    documented build-time contract), never a KeyError/TypeError/re.error
+    leaking from the validator."""
+    from opentelemetry_collector_contrib_spark.plans.stanza_chain import validate_stanza_ops
+
+    try:
+        validate_stanza_ops(ops)
+    except ValueError:
+        pass  # the documented malformed-config contract
+    # any other exception type propagates and fails the test
