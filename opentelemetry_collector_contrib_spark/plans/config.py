@@ -55,7 +55,8 @@ def validate_spec(spec: dict[str, Any]) -> None:
     """Eager validation, mirroring confmap unmarshal-time checks: unknown
     sections, empty route tables, condition-less routes, and bad OTTL all
     fail at build time, never mid-job."""
-    if "source" not in spec or not ("path" in spec["source"] or "table" in spec["source"]):
+    src = spec.get("source")
+    if not isinstance(src, dict) or not ("path" in src or "table" in src):
         raise ValueError("source.path or source.table is required")
     _validate_sections(spec)
 
@@ -70,14 +71,21 @@ def _validate_sections(spec: dict[str, Any]) -> None:
         from .stanza_chain import validate_stanza_ops
 
         # validated per-list so error indices point into the right section
-        validate_stanza_ops(list(spec.get("stanza_operators") or []))
-        validate_stanza_ops(list(spec.get("stanza_operators_post") or []))
+        for key in ("stanza_operators", "stanza_operators_post"):
+            ops = spec.get(key) or []
+            if not isinstance(ops, list):
+                raise ValueError(f"{key} must be a list of operator configs")
+            validate_stanza_ops(ops)
     routes = spec.get("routes", {})
     if routes:
+        if not isinstance(routes, dict):
+            raise ValueError("routes must be a mapping")
         table = routes.get("table", [])
-        if not table:
+        if not table or not isinstance(table, list):
             raise ValueError("routes.table must be non-empty when routes is present")
         for r in table:
+            if not isinstance(r, dict):
+                raise ValueError("every route must be a mapping")
             if not r.get("name"):
                 raise ValueError("every route needs a name")
             if not r.get("condition"):
@@ -88,18 +96,22 @@ def _validate_sections(spec: dict[str, Any]) -> None:
     if fm is not None:
         # filterconfig.MatchConfig (config.go:23-41): include/exclude pair,
         # each a MatchProperties block — validated eagerly like the rest
-        if not ("include" in fm or "exclude" in fm):
+        if not isinstance(fm, dict) or not ("include" in fm or "exclude" in fm):
             raise ValueError("filter_match needs include and/or exclude")
         for side in ("include", "exclude"):
             props = fm.get(side)
             if props is None:
                 continue
+            if not isinstance(props, dict):
+                raise ValueError(f"filter_match.{side} must be a mapping")
             if props.get("match_type", "strict") not in ("strict", "regexp"):
                 raise ValueError(f"filter_match.{side}.match_type must be strict|regexp")
             if not (props.get("attributes") or props.get("record")):
                 raise ValueError(f"filter_match.{side} needs attributes or record matchers")
     sample = spec.get("sample")
     if sample is not None:
+        if not isinstance(sample, dict):
+            raise ValueError("sample must be a mapping")
         kind = sample.get("kind")
         if kind not in _SAMPLE_KINDS:
             raise ValueError(f"sample.kind must be one of {sorted(_SAMPLE_KINDS)}")
@@ -124,8 +136,15 @@ def _validate_sections(spec: dict[str, Any]) -> None:
         "ottl_condition": ["condition"],
         "and": ["of"], "or": ["of"], "not": ["of"], "drop": ["of"],
     }
-    ts_policies = spec.get("tail_sampling", {}).get("policies", [])
+    ts_section = spec.get("tail_sampling", {})
+    if ts_section and not isinstance(ts_section, dict):
+        raise ValueError("tail_sampling must be a mapping")
+    ts_policies = (ts_section or {}).get("policies", [])
+    if ts_policies and not isinstance(ts_policies, list):
+        raise ValueError("tail_sampling.policies must be a list")
     for p in ts_policies:
+        if not isinstance(p, dict):
+            raise ValueError("every tail-sampling policy must be a mapping")
         if not p.get("name"):
             raise ValueError("every tail-sampling policy needs a name")
         if p.get("type") not in _TAIL_POLICY_TYPES:
@@ -140,14 +159,22 @@ def _validate_sections(spec: dict[str, Any]) -> None:
     # compile-at-startup: surface OTTL syntax errors here
     from ..functions.ottl_compiler import parse_condition, parse_statement
 
-    for stmt in spec.get("transform", []):
-        parse_statement(stmt)
-    for cond in spec.get("filter", []):
-        parse_condition(cond)
-    for r in spec.get("routes", {}).get("table", []):
+    for section, parse in (("transform", parse_statement), ("filter", parse_condition)):
+        items = spec.get(section) or []
+        if not isinstance(items, list):
+            raise ValueError(f"{section} must be a list of OTTL strings")
+        for s in items:
+            if not isinstance(s, str):
+                raise ValueError(f"{section} entries must be OTTL strings, got {type(s).__name__}")
+            parse(s)
+    for r in (spec.get("routes") or {}).get("table", []):
+        if not isinstance(r["condition"], str):
+            raise ValueError(f"route {r.get('name')}: condition must be an OTTL string")
         parse_condition(r["condition"])
-    for p in spec.get("tail_sampling", {}).get("policies", []):
+    for p in (spec.get("tail_sampling") or {}).get("policies", []):
         if p["type"] == "ottl_condition":
+            if not isinstance(p["condition"], str):
+                raise ValueError(f"tail-sampling policy {p.get('name')}: condition must be an OTTL string")
             parse_condition(p["condition"])
 
 
@@ -293,14 +320,20 @@ _CONNECTOR_TYPES = {"forward", "count", "sum"}
 
 
 def validate_service(service: dict[str, Any]) -> None:
-    unknown = set(service) - {"pipelines", "connectors"}
+    if not isinstance(service, dict):
+        raise ValueError(f"service must be a mapping, got {type(service).__name__}")
+    unknown = {k for k in service} - {"pipelines", "connectors"}
     if unknown:
-        raise ValueError(f"unknown service sections: {sorted(unknown)}")
+        raise ValueError(f"unknown service sections: {sorted(map(str, unknown))}")
     pipelines = service.get("pipelines")
-    if not pipelines:
-        raise ValueError("service.pipelines must be non-empty")
-    connectors = service.get("connectors", {})
+    if not pipelines or not isinstance(pipelines, dict):
+        raise ValueError("service.pipelines must be a non-empty mapping")
+    connectors = service.get("connectors") or {}
+    if not isinstance(connectors, dict):
+        raise ValueError("service.connectors must be a mapping")
     for cname, c in connectors.items():
+        if not isinstance(c, dict):
+            raise ValueError(f"connector {cname}: config must be a mapping")
         if c.get("type") not in _CONNECTOR_TYPES:
             raise ValueError(
                 f"connector {cname}: type must be one of {sorted(_CONNECTOR_TYPES)}"
@@ -312,24 +345,30 @@ def validate_service(service: dict[str, Any]) -> None:
 
     exported, received = set(), set()
     for pname, p in pipelines.items():
-        if not p.get("receivers"):
-            raise ValueError(f"pipeline {pname}: receivers must be non-empty")
-        if not p.get("exporters"):
-            raise ValueError(f"pipeline {pname}: exporters must be non-empty")
+        if not isinstance(p, dict):
+            raise ValueError(f"pipeline {pname}: config must be a mapping")
+        if not p.get("receivers") or not isinstance(p["receivers"], list):
+            raise ValueError(f"pipeline {pname}: receivers must be a non-empty list")
+        if not p.get("exporters") or not isinstance(p["exporters"], list):
+            raise ValueError(f"pipeline {pname}: exporters must be a non-empty list")
         for r in p["receivers"]:
             if isinstance(r, str):
                 if r not in connectors:
                     raise ValueError(f"pipeline {pname}: unknown connector receiver {r!r}")
                 received.add(r)
-            elif not ("path" in r or "table" in r):
+            elif not isinstance(r, dict) or not ("path" in r or "table" in r):
                 raise ValueError(f"pipeline {pname}: source receiver needs path or table")
         for e in p["exporters"]:
+            if not isinstance(e, str):
+                raise ValueError(f"pipeline {pname}: exporters must be connector names or sink:NAME strings")
             if e.startswith("sink:"):
                 continue
             if e not in connectors:
                 raise ValueError(f"pipeline {pname}: unknown exporter {e!r} (connectors or sink:NAME)")
             exported.add(e)
         spec = p.get("spec", {})
+        if not isinstance(spec, dict):
+            raise ValueError(f"pipeline {pname}: spec must be a mapping")
         if any(isinstance(r, str) for r in p["receivers"]):
             for key in ("parse", "stanza_operators"):
                 if key in spec:

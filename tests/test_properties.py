@@ -450,3 +450,49 @@ def test_stanza_chain_validation_rejects_garbage_cleanly(ops):
     except ValueError:
         pass  # the documented malformed-config contract
     # any other exception type propagates and fails the test
+
+
+# --- service/spec validator fuzz: same ValueError-only contract --------------
+
+_cfg_vals = st.recursive(
+    st.one_of(st.text(max_size=10), st.integers(-5, 5), st.none(), st.booleans()),
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=3),
+        st.dictionaries(st.sampled_from([
+            "type", "dims", "source", "receivers", "exporters", "spec",
+            "path", "table", "routes", "condition", "name", "mode",
+            "default", "kind", "key", "percent", "policies", "include",
+            "exclude", "match_type", "attributes", "record", "transform",
+            "filter", "sample", "tail_sampling", "filter_match", "order",
+            "stanza_operators", "stanza_operators_post", "parse", "enrich",
+            "aggregates",
+        ]), kids, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(service=st.dictionaries(st.sampled_from(["pipelines", "connectors"]), _cfg_vals, max_size=2))
+def test_validate_service_rejects_garbage_cleanly(service):
+    from opentelemetry_collector_contrib_spark.plans.config import validate_service
+
+    try:
+        validate_service(service)
+    except ValueError:
+        pass  # the documented malformed-config contract
+
+
+@settings(max_examples=300, deadline=None)
+@given(spec=st.dictionaries(st.sampled_from([
+    "source", "parse", "transform", "filter", "filter_match", "routes",
+    "order", "sample", "tail_sampling", "stanza_operators",
+    "stanza_operators_post", "enrich", "aggregates",
+]), _cfg_vals, max_size=4))
+def test_validate_spec_rejects_garbage_cleanly(spec):
+    from opentelemetry_collector_contrib_spark.plans.config import validate_spec
+
+    try:
+        validate_spec(spec)
+    except ValueError:
+        pass  # the documented malformed-config contract
