@@ -44,31 +44,44 @@ def _pipeline_sink(pipeline_id: str) -> str:
 
 def _translate_tail_policy(p: dict[str, Any]) -> dict[str, Any]:
     """Reference policy config (tailsamplingprocessor README shapes) → our
-    flat policy dict (operators/recombine.py policy tree)."""
+    flat policy dict (operators/recombine.py policy tree). Malformed
+    configs raise ValueError (the build-time contract), never KeyError."""
     name, ptype = p.get("name"), p.get("type")
+    if not isinstance(ptype, str):
+        raise ValueError(f"policy {name}: type must be a string, got {type(ptype).__name__}")
     out: dict[str, Any] = {"name": name, "type": ptype}
     body = p.get(ptype, {}) or {}
+    if not isinstance(body, dict):
+        raise ValueError(f"policy {name}: {ptype} block must be a mapping")
+
+    def _req(key: str):
+        if key not in body:
+            raise ValueError(f"policy {name} ({ptype}): missing {key}")
+        return body[key]
+
     if ptype == "latency":
-        out["threshold_ms"] = body["threshold_ms"]
+        out["threshold_ms"] = _req("threshold_ms")
     elif ptype == "numeric_attribute":
-        out.update({"key": body["key"], "min": body.get("min_value"), "max": body.get("max_value")})
+        out.update({"key": _req("key"), "min": body.get("min_value"), "max": body.get("max_value")})
     elif ptype == "string_attribute":
-        out.update({"key": body["key"], "values": body["values"]})
+        out.update({"key": _req("key"), "values": _req("values")})
     elif ptype == "boolean_attribute":
-        out.update({"key": body["key"], "value": body["value"]})
+        out.update({"key": _req("key"), "value": _req("value")})
     elif ptype == "status_code":
-        out["values"] = body["status_codes"]
+        out["values"] = _req("status_codes")
     elif ptype == "probabilistic":
-        out["percent"] = body["sampling_percentage"]
+        out["percent"] = _req("sampling_percentage")
     elif ptype == "span_count":
         out.update({"min": body.get("min_spans"), "max": body.get("max_spans")})
     elif ptype == "ottl_condition":
-        conds = body.get("span", []) + body.get("spanevent", []) + body.get("log", [])
+        conds = (body.get("span") or []) + (body.get("spanevent") or []) + (body.get("log") or [])
         if len(conds) != 1:
             raise ValueError(f"policy {name}: exactly one ottl condition supported, got {len(conds)}")
         out["condition"] = conds[0]
     elif ptype in ("and", "or", "drop"):
         subs = body.get(f"{ptype}_sub_policy") or body.get("sub_policy") or []
+        if not isinstance(subs, list) or not all(isinstance(s, dict) for s in subs):
+            raise ValueError(f"policy {name}: {ptype} sub-policies must be a list of mappings")
         out["of"] = [_translate_tail_policy(s) for s in subs]
     else:
         raise ValueError(f"policy {name}: unsupported type {ptype!r}")
@@ -82,49 +95,65 @@ def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[
     if yaml is None:
         raise RuntimeError("pyyaml is required for collector-config translation")
     cfg = yaml.safe_load(text) or {}
+    if not isinstance(cfg, dict):
+        raise ValueError(f"collector config must be a mapping, got {type(cfg).__name__}")
     unknown = set(cfg) - {"receivers", "processors", "exporters", "connectors", "service", "extensions"}
     if unknown:
-        raise ValueError(f"unknown collector sections: {sorted(unknown)}")
+        raise ValueError(f"unknown collector sections: {sorted(map(str, unknown))}")
 
     spec: dict[str, Any] = {}
 
     receivers = cfg.get("receivers", {}) or {}
+    if not isinstance(receivers, dict):
+        raise ValueError("receivers must be a mapping of name -> config")
+    filelog = receivers.get("filelog") or {}
+    if not isinstance(filelog, dict):
+        raise ValueError("receivers.filelog must be a mapping")
     if source_path is not None:
         spec["source"] = {"path": source_path}
     elif "filelog" in receivers:
-        include = receivers["filelog"].get("include") or []
-        if not include:
+        include = filelog.get("include") or []
+        if not include or not isinstance(include, list):
             raise ValueError("filelog receiver needs include[]")
         spec["source"] = {"path": include[0] if len(include) == 1 else include}
     else:
         raise ValueError("no supported receiver (filelog) and no source_path override")
 
-    stanza_ops = (receivers.get("filelog") or {}).get("operators")
+    stanza_ops = filelog.get("operators")
     if stanza_ops:
         # the receiver's operator chain rides along; build_pipeline runs it
         # as the parse stage (plans/stanza_chain.py)
         spec["stanza_operators"] = stanza_ops
 
     processors = cfg.get("processors", {}) or {}
+    if not isinstance(processors, dict):
+        raise ValueError("processors must be a mapping of name -> config")
     for pname in processors:
-        base = pname.split("/", 1)[0]
+        base = str(pname).split("/", 1)[0]
         if base not in _SUPPORTED_PROCESSORS:
             raise ValueError(f"unsupported processor {pname!r} (supported: {sorted(_SUPPORTED_PROCESSORS)})")
 
     for pname, pcfg in processors.items():
-        base = pname.split("/", 1)[0]
+        base = str(pname).split("/", 1)[0]
         pcfg = pcfg or {}
+        if not isinstance(pcfg, dict):
+            raise ValueError(f"processor {pname!r}: config must be a mapping")
         if base == "transform":
             stmts: list[str] = []
             for block in pcfg.get("log_statements", []) or []:
                 if isinstance(block, str):
                     stmts.append(block)
-                else:
+                elif isinstance(block, dict):
                     stmts.extend(block.get("statements", []) or [])
+                else:
+                    raise ValueError("transform.log_statements entries must be strings or mappings")
             if stmts:
                 spec.setdefault("transform", []).extend(stmts)
         elif base == "filter":
-            conds = ((pcfg.get("logs") or {}).get("log_record")) or []
+            logs = pcfg.get("logs") or {}
+            if not isinstance(logs, dict):
+                raise ValueError("filter.logs must be a mapping")
+            conds = logs.get("log_record") or []
             if conds:
                 spec.setdefault("filter", []).extend(conds)
         elif base == "logstransform":
@@ -134,38 +163,52 @@ def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[
             # none, they run AFTER the default parse stage (replacing it
             # would drop the parsed columns the ops reference)
             ops = pcfg.get("operators") or []
+            if not isinstance(ops, list):
+                raise ValueError("logstransform.operators must be a list")
             if ops:
                 key = "stanza_operators" if spec.get("stanza_operators") else "stanza_operators_post"
                 spec.setdefault(key, []).extend(ops)
         elif base == "probabilistic_sampler":
+            if pcfg.get("sampling_percentage") is None:
+                raise ValueError("probabilistic_sampler needs sampling_percentage")
             spec["sample"] = {
                 "kind": "probabilistic_portable",
                 "key": pcfg.get("attribute_source", "conv_id") if pcfg.get("attribute_source") else "conv_id",
                 "percent": pcfg["sampling_percentage"],
             }
         elif base == "tail_sampling":
-            policies = [_translate_tail_policy(p) for p in pcfg.get("policies", []) or []]
+            raw_policies = pcfg.get("policies", []) or []
+            if not isinstance(raw_policies, list) or not all(isinstance(p, dict) for p in raw_policies):
+                raise ValueError("tail_sampling.policies must be a list of mappings")
+            policies = [_translate_tail_policy(p) for p in raw_policies]
             ts: dict[str, Any] = {"policies": policies}
             if pcfg.get("rate_limit_per_minute") is not None:
                 ts["rate_limit_per_minute"] = pcfg["rate_limit_per_minute"]
             spec["tail_sampling"] = ts
 
     connectors = cfg.get("connectors", {}) or {}
+    if not isinstance(connectors, dict):
+        raise ValueError("connectors must be a mapping of name -> config")
     for cname, ccfg in connectors.items():
-        if cname.split("/", 1)[0] != "routing":
+        if str(cname).split("/", 1)[0] != "routing":
             raise ValueError(f"unsupported connector {cname!r}")
         ccfg = ccfg or {}
+        if not isinstance(ccfg, dict):
+            raise ValueError(f"connector {cname!r}: config must be a mapping")
         table = []
-        for entry in ccfg.get("table", []) or []:
+        entries = ccfg.get("table", []) or []
+        if not isinstance(entries, list) or not all(isinstance(e, dict) for e in entries):
+            raise ValueError("routing table must be a list of mappings")
+        for entry in entries:
             cond = entry.get("condition") or entry.get("statement")
             if not cond:
                 raise ValueError("routing table entry needs condition")
             pipelines = entry.get("pipelines") or []
-            if not pipelines:
+            if not isinstance(pipelines, list) or not pipelines:
                 raise ValueError("routing table entry needs pipelines")
             table.append(
                 {
-                    "name": _pipeline_sink(pipelines[0]),
+                    "name": _pipeline_sink(str(pipelines[0])),
                     "condition": cond,
                     # reference semantics: a record matches the FIRST table
                     # entry unless match_once is disabled; copy when the
@@ -176,7 +219,9 @@ def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[
         routes: dict[str, Any] = {"table": table}
         defaults = ccfg.get("default_pipelines") or []
         if defaults:
-            routes["default"] = _pipeline_sink(defaults[0])
+            if not isinstance(defaults, list):
+                raise ValueError("default_pipelines must be a list")
+            routes["default"] = _pipeline_sink(str(defaults[0]))
         spec["routes"] = routes
 
     return spec

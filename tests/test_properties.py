@@ -496,3 +496,24 @@ def test_validate_spec_rejects_garbage_cleanly(spec):
         validate_spec(spec)
     except ValueError:
         pass  # the documented malformed-config contract
+
+
+@settings(max_examples=300, deadline=None)
+@given(cfg=st.dictionaries(
+    st.sampled_from(["receivers", "processors", "connectors", "service", "exporters"]),
+    _cfg_vals,
+    max_size=3,
+))
+def test_collector_yaml_shim_rejects_garbage_cleanly(cfg):
+    """Arbitrary collector-shaped configs (the public YAML surface) must
+    raise ValueError, never KeyError/AttributeError/TypeError leaks."""
+    import yaml as _yaml
+
+    from opentelemetry_collector_contrib_spark.plans.collector_config import (
+        spec_from_collector_yaml,
+    )
+
+    try:
+        spec_from_collector_yaml(_yaml.safe_dump(cfg), source_path="/tmp/x")
+    except ValueError:
+        pass  # the documented malformed-config contract
