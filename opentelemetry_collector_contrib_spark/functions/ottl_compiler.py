@@ -173,6 +173,11 @@ class _Parser:
     # --- paths ---------------------------------------------------------
 
     def _resolve_path(self, base: str) -> str:
+        # the ident token class admits dots anywhere; empty segments ('X.',
+        # 'a..b') are not valid paths and would leak an AnalysisException
+        # out of Column construction instead of the parse-error contract
+        if base.endswith(".") or ".." in base:
+            raise ValueError(f"OTTL parse error: invalid path {base!r}")
         if self.peek() == ("op", "["):
             self.next()
             key = self.expect("string")[1:-1]
