@@ -223,8 +223,19 @@ def _verify_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes_a = sh_left.groupBy("doc").agg(F.count(F.lit(1)).alias("n_a"))
-    sizes_b = sh_right.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+    # sizes only matter for docs that appear in a candidate pair — the
+    # semi-join keeps the aggregation O(candidate docs' shingles) instead
+    # of a full pass over the (incremental path: whole-corpus) index
+    sizes_a = (
+        sh_left.join(cands.select(F.col("doc_a").alias("doc")).distinct(), "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    sizes_b = (
+        sh_right.join(cands.select(F.col("doc_b").alias("doc")).distinct(), "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
     return (
         inter.join(sizes_a.withColumnRenamed("doc", "doc_a"), "doc_a")
         .join(sizes_b.withColumnRenamed("doc", "doc_b"), "doc_b")
@@ -317,10 +328,15 @@ def dedup_keep_first_incremental(
     bands: int = 4,
     rows: int = 2,
     threshold: float = 0.5,
-) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
+    return_additions: bool = False,
+) -> tuple:
     """One arrival batch of documents deduped against the accumulated corpus
     WITHOUT rescanning it — the operation a 100 TB crawl pipeline runs when
-    a new dump lands. Returns (novel_rows, new_state).
+    a new dump lands. Returns (novel_rows, new_state); with
+    `return_additions=True`, (novel_rows, new_state, (bk_add, sh_add)) —
+    the batch-only index rows already replay-guarded against the state, so
+    an append-snapshot committer persists them directly instead of
+    rebuilding the batch index and re-deriving the anti-join itself.
 
     `state` is (buckets, shingles) over ALL previously seen docs — kept AND
     dropped. Dropped docs stay in the index as tombstones: a newcomer that
@@ -375,11 +391,14 @@ def dedup_keep_first_incremental(
         sh_add = sh_new.join(seen, "doc", "left_anti")
         new_state = (bk_hist.unionByName(bk_add), sh_hist.unionByName(sh_add))
     else:
+        bk_add, sh_add = bk_new, sh_new
         new_state = (bk_new, sh_new)
 
     novel = batch.join(
         dropped.distinct().withColumnRenamed("doc_b", id_col), on=id_col, how="left_anti"
     )
+    if return_additions:
+        return novel, new_state, (bk_add, sh_add)
     return novel, new_state
 
 

@@ -51,17 +51,56 @@ class SnapshotStore:
         with open(self.meta_path) as f:
             return json.load(f)
 
+    # a writer that died inside the commit critical section leaves the
+    # lock file behind; locks older than this are reclaimable orphans
+    _ORPHAN_LOCK_AGE_S = 60.0
+
     def _publish(self, snapshots: list[dict], expected_seq: int) -> None:
+        """True compare-and-swap: the sequence check runs INSIDE an
+        exclusive commit lock (O_CREAT|O_EXCL is the atomic primitive), so
+        two racing publishers — append vs append, or append vs
+        expire/compact maintenance — can never both pass the check and
+        silently clobber each other (the previous bare load/check/replace
+        was check-then-act). The writer that finds the lock held raises
+        CommitConflict immediately (optimistic model: the caller rebuilds
+        and retries). A lock whose holder died mid-commit is reclaimed
+        after a grace period so one crash can't wedge the table."""
         os.makedirs(self.table_path, exist_ok=True)
-        current = self._load()
-        if (current[-1]["sequence"] if current else 0) != expected_seq:
-            raise CommitConflict(
-                f"table advanced past sequence {expected_seq}; retry the commit"
-            )
-        tmp = self.meta_path + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(snapshots, f)
-        os.replace(tmp, self.meta_path)
+        lock = os.path.join(self.table_path, "_commit.lock")
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # lock vanished between open and stat: retry
+                if attempt == 0 and age > self._ORPHAN_LOCK_AGE_S:
+                    try:
+                        os.remove(lock)  # reclaim the orphan, then retry
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise CommitConflict(
+                    "another writer holds the commit lock; retry the commit"
+                ) from None
+        try:
+            current = self._load()
+            if (current[-1]["sequence"] if current else 0) != expected_seq:
+                raise CommitConflict(
+                    f"table advanced past sequence {expected_seq}; retry the commit"
+                )
+            tmp = self.meta_path + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(snapshots, f)
+            os.replace(tmp, self.meta_path)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
     # --- snapshot resolution ----------------------------------------------
     def snapshots(self) -> list[dict]:
@@ -124,11 +163,14 @@ def _drop_commit_dir(commit_dir: str) -> None:
     shutil.rmtree(commit_dir, ignore_errors=True)
 
 
-def write_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> str:
+def write_snapshot(
+    df: DataFrame, table_path: str, mode: str = "append", summary: dict | None = None
+) -> str:
     """Commit `df` to the snapshot table. Data lands in a fresh immutable
     commit directory (never overwritten); `mode='append'` unions with the
     current snapshot's files, `mode='overwrite'` replaces the referenced
-    set. Returns the new snapshot id."""
+    set. `summary` entries ride on the snapshot (Iceberg summary props).
+    Returns the new snapshot id."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     store = SnapshotStore(table_path)
@@ -140,7 +182,9 @@ def write_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> str:
         if f.endswith(".parquet")
     )
     try:
-        return store.commit_files(files, operation=mode, summary={"added_files": len(files)})
+        return store.commit_files(
+            files, operation=mode, summary={**(summary or {}), "added_files": len(files)}
+        )
     except CommitConflict:
         _drop_commit_dir(commit_dir)
         raise
@@ -236,4 +280,13 @@ def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
             deleted += 1
         except FileNotFoundError:
             pass
+    # drop commit directories no kept snapshot references at all — only
+    # Spark bookkeeping (_SUCCESS, .crc) remains in them after the data
+    # deletions, and a per-micro-batch committer would otherwise
+    # accumulate empty dirs forever
+    import shutil
+
+    live_dirs = {os.path.dirname(f) for f in live}
+    for d in {os.path.dirname(f) for f in doomed} - live_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     return {"expired_snapshots": len(expired), "deleted_files": deleted}

@@ -44,7 +44,7 @@ def transcripts_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if path.endswith(".json") or path.endswith("json"):
+    if path.endswith((".json", ".jsonl")):
         return reader.json(path)
     return reader.parquet(path)
 
@@ -230,7 +230,13 @@ def write_stream_sinks(
 def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "append") -> None:
     """Drain everything currently available into an in-memory table named
     `query_name` (test/dev harness; production sinks use foreachBatch or
-    writeTo(iceberg) with the same trigger)."""
+    writeTo(iceberg) with the same trigger).
+
+    Append-mode caveat: a watermarked aggregation only emits windows the
+    final watermark has passed — the trailing watermark-delay's worth of
+    windows stays in state and never reaches the table before the drain
+    terminates. Pass output_mode="complete" (as the batch/stream agreement
+    tests do) when the comparison needs every window."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -341,7 +347,6 @@ def streaming_keep_first_dedup(
 
     from ..operators.dedup import (
         dedup_keep_first_incremental,
-        minhash_dedup_state,
         pack_dedup_state,
         unpack_dedup_state,
     )
@@ -360,8 +365,29 @@ def streaming_keep_first_dedup(
         cur = SnapshotStore(state_tbl).current()
         # `files` can be empty if the first committed batch was itself empty
         state = unpack_dedup_state(read_snapshot(spark, state_tbl)) if cur and cur["files"] else None
-        novel, _ = dedup_keep_first_incremental(
-            batch_df, state, id_col, text_col, threshold=threshold, bands=bands, rows=rows
+        # the one-shot-equality contract REQUIRES batches in ascending id
+        # order (keep-first is an order-dependent rule): a genuinely NEW
+        # doc below the committed high-water mark means the file source
+        # delivered drops out of id order — fail loudly rather than emit
+        # verdicts that silently diverge from the one-shot rule. Replayed
+        # docs (crash between state commit and checkpoint commit) are
+        # already indexed, so the anti-join exempts them.
+        prev_max = (cur.get("summary") or {}).get("max_doc") if cur else None
+        if state is not None and prev_max is not None:
+            stale_new = (
+                batch_df.filter(F.col(id_col) < prev_max)
+                .select(F.col(id_col).alias("doc"))
+                .join(state[0].select("doc").distinct(), "doc", "left_anti")
+            )
+            if stale_new.limit(1).count():
+                raise ValueError(
+                    f"batch {batch_id} contains new ids below the committed "
+                    f"high-water mark {prev_max}: out-of-order arrival breaks "
+                    "the keep-first one-shot equality; re-ingest in id order"
+                )
+        novel, _, (bk_add, sh_add) = dedup_keep_first_incremental(
+            batch_df, state, id_col, text_col,
+            threshold=threshold, bands=bands, rows=rows, return_additions=True,
         )
         novel.persist()
         try:
@@ -369,18 +395,17 @@ def streaming_keep_first_dedup(
             # commit ONLY this batch's index rows, APPENDED, as ONE atomic
             # snapshot: a full-state overwrite would rewrite O(corpus) per
             # batch (quadratic total I/O), and a two-table commit could
-            # crash half-done. The anti-join skips docs already indexed so
-            # a replayed batch appends nothing. State commits AFTER the
+            # crash half-done. The additions come replay-guarded from the
+            # incremental op (anti-joined against indexed docs) so a
+            # replayed batch appends nothing. State commits AFTER the
             # sink write: a crash in between replays the batch against the
             # old state and overwrites the same _batch partition.
-            bk_new, sh_new = minhash_dedup_state(
-                batch_df, id_col, text_col, bands=bands, rows=rows
+            adds = pack_dedup_state(bk_add, sh_add)
+            batch_max = batch_df.agg(F.max(id_col)).first()[0]
+            new_max = max(
+                (x for x in (prev_max, batch_max) if x is not None), default=None
             )
-            adds = pack_dedup_state(bk_new, sh_new)
-            if state is not None:
-                seen = state[0].select("doc").distinct()
-                adds = adds.join(seen, "doc", "left_anti")
-            write_snapshot(adds, state_tbl, mode="append")
+            write_snapshot(adds, state_tbl, mode="append", summary={"max_doc": new_max})
         finally:
             novel.unpersist()
 

@@ -207,3 +207,46 @@ def test_expire_publishes_before_deleting(spark, tmp_path):
     # nothing was deleted: the expired-candidate snapshot still time-travels
     assert all(_os.path.exists(f) for f in old["files"])
     assert read_snapshot(spark, tbl, as_of=old["snapshot_id"]).count() == 10
+
+
+def test_publish_cas_lock_blocks_racing_writer(spark, tmp_path):
+    """The sequence check runs INSIDE the exclusive commit lock: a second
+    publisher conflicts even in the window before the lock holder's
+    os.replace lands (the pure check-then-act would let both through and
+    silently drop one commit). A lock whose holder died (older than the
+    grace period) is reclaimed and the commit proceeds; the lock is
+    released afterwards."""
+    import os
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 3), tbl)
+    store = SnapshotStore(tbl)
+    snaps = store._load()
+    # simulate a racing writer inside the critical section: fresh lock,
+    # metadata still at sequence 1
+    lock = os.path.join(tbl, "_commit.lock")
+    open(lock, "w").close()
+    with pytest.raises(CommitConflict, match="commit lock"):
+        store._publish(snaps + [{"sequence": 2}], expected_seq=1)
+    # an ORPHAN lock (mtime older than the grace period) is reclaimed
+    old = __import__("time").time() - 120
+    os.utime(lock, (old, old))
+    store._publish(snaps + [dict(snaps[-1], sequence=2, snapshot_id="x2")], expected_seq=1)
+    assert store.current()["sequence"] == 2
+    assert not os.path.exists(lock)  # released after publish
+
+
+def test_expire_removes_fully_orphaned_commit_dirs(spark, tmp_path):
+    import glob
+
+    from opentelemetry_collector_contrib_spark.plans.snapshots import expire_snapshots
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        write_snapshot(_df(spark, 10 * i, 10 * i + 10), tbl, mode="overwrite")
+    assert len(glob.glob(f"{tbl}/data/commit-*")) == 4
+    res = expire_snapshots(tbl, keep_last=1)
+    assert res["expired_snapshots"] == 3 and res["deleted_files"] >= 3
+    # overwrite commits: expired snapshots' dirs are fully orphaned -> gone
+    assert len(glob.glob(f"{tbl}/data/commit-*")) == 1
+    assert spark.read.parquet(*SnapshotStore(tbl).current()["files"]).count() == 10
