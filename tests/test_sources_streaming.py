@@ -403,3 +403,39 @@ def test_streaming_keep_first_dedup_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["doc_id"] for r in spark.read.parquet(f"{out2}/novel").collect()}
     assert got2 == {d for d in want if d >= 30}
+
+
+def test_streaming_keep_first_dedup_rejects_out_of_order_new_docs(spark, tmp_path):
+    """A genuinely NEW doc id below the committed high-water mark means the
+    source delivered drops out of id order — keep-first is order-dependent,
+    so the batch must fail loudly instead of emitting verdicts that silently
+    diverge from the one-shot rule. (Replayed already-indexed docs are the
+    legitimate below-mark case and are covered by the test above.)"""
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_keep_first_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    indir = str(tmp_path / "in1")
+    docs.filter((FF.col("doc_id") >= 15) & (FF.col("doc_id") < 30)).coalesce(1).write.parquet(indir)
+    out = str(tmp_path / "out")
+    q = streaming_keep_first_dedup(spark, indir, out, str(tmp_path / "ckpt1"), threshold=0.4)
+    q.awaitTermination(120)
+
+    # second run against the committed state: ids < 15 are new AND below
+    # the high-water mark (29) -> the foreachBatch guard must abort
+    indir2 = str(tmp_path / "in2")
+    docs.filter(FF.col("doc_id") < 15).coalesce(1).write.parquet(indir2)
+    out2 = str(tmp_path / "out2")
+    shutil.copytree(f"{out}/state", f"{out2}/state")
+    q2 = streaming_keep_first_dedup(
+        spark, indir2, out2, str(tmp_path / "ckpt2"), threshold=0.4
+    )
+    with pytest.raises(Exception, match="high-water mark"):
+        q2.awaitTermination(120)
