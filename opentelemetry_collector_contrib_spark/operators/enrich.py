@@ -9,7 +9,7 @@ shuffle on the fact side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -96,3 +96,148 @@ def resource_detection(
         else:
             df = df.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
     return df
+
+
+# ---------------------------------------------------------------------------
+# geoipprocessor: CIDR-range IP lookup
+# ---------------------------------------------------------------------------
+# The reference (processor/geoipprocessor/geoip_processor.go, providers/
+# maxmindprovider) resolves an IP attribute against a MaxMind mmdb — a
+# longest-prefix radix-tree lookup — and stamps geo.* attributes; its
+# `error_mode` (config.go: propagate|ignore|silent) governs unresolvable
+# input. Relationally that database is a table of CIDR blocks with geo
+# attributes, and the lookup is a range join: ip BETWEEN block_start AND
+# block_end. A naive range join is O(rows × blocks) (BroadcastNestedLoop);
+# at 10^12 rows that is the difference between a scan and never finishing.
+# GeoLite2-style block exports are DISJOINT networks, so the lookup
+# becomes an EQUI-join on a fixed /k prefix bucket: every block is
+# exploded onto the 2^(k - prefix) buckets it covers (≤1 row when
+# prefix >= k — the overwhelming case for real geo DBs, which are mostly
+# /16../24), facts compute their bucket with one integer division, and
+# the matcher is hash-join + a residual BETWEEN. Dim-side explosion is
+# bounded and broadcast; the fact side never shuffles.
+
+
+def ipv4_to_long(col: Column | str) -> Column:
+    """Dotted-quad IPv4 string → BIGINT, NULL when not a valid address.
+    Pure codegen: one regexp gate + split + polynomial fold (no UDF).
+    Validity = exactly 4 decimal octets, each 0..255 (leading zeros
+    accepted, as inet_aton does)."""
+    s = F.col(col) if isinstance(col, str) else col
+    p = F.split(s, r"\.")
+    o = [p.getItem(i).cast("bigint") for i in range(4)]
+    shape_ok = s.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    range_ok = (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
+    val = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+    return F.when(shape_ok & range_ok, val)
+
+
+def cidr_blocks(blocks: DataFrame, network_col: str = "network", bucket_bits: int = 16) -> DataFrame:
+    """Prepare a CIDR dimension for the bucketed lookup: parse
+    'a.b.c.d/p' → (_start, _end, _prefix), then explode each block onto
+    every /bucket_bits bucket its range covers. Blocks with prefix >=
+    bucket_bits land on exactly one bucket; a coarser /p block fans out
+    2^(bucket_bits - p) rows — dim-side only, bounded, and still tiny
+    for any real geo database (GeoLite2 has nothing coarser than /8 →
+    ≤256 rows per block at the default /16 bucketing).
+
+    Malformed network strings (bad quad, prefix outside 0..32) raise at
+    prepare time: a corrupt geo database is a deploy error, not per-row
+    data (the per-row error_mode governs the IP side only). Validation is
+    an EAGER driver-side check — one extra scan of the (small, broadcast-
+    bound) dim. A raise_error woven into the value chain is not reliable
+    here: Catalyst infers a not-null filter from the explode, decomposes
+    IsNotNull(a*b) per-operand, and the null-span check short-circuits the
+    malformed row away before the raising branch ever evaluates."""
+    base = ipv4_to_long(F.split(F.col(network_col), "/").getItem(0))
+    pstr = F.split(F.col(network_col), "/").getItem(1)
+    # regex-gate the cast (ANSI mode would throw its own error on '/x'
+    # before our message could)
+    prefix = F.when(pstr.rlike(r"^\d{1,2}$"), pstr.cast("int"))
+    ok = base.isNotNull() & prefix.isNotNull() & (prefix <= 32)
+    bad = blocks.filter(~ok).select(network_col).first()
+    if bad is not None:
+        raise ValueError(f"malformed CIDR network: {bad[network_col]!r}")
+    span = F.pow(F.lit(2.0), 32 - prefix).cast("bigint")  # exact ≤ 2^32 in double
+    out = (
+        blocks.withColumn("_base", base)
+        .withColumn("_span", span)
+        .withColumn("_prefix", prefix)
+        .withColumn("_start", F.expr("_base div _span") * F.col("_span"))
+        .withColumn("_end", F.col("_start") + F.col("_span") - 1)
+    )
+    return (
+        out.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(F.expr("_start div " + str(2 ** (32 - bucket_bits))),
+                           F.expr("_end div " + str(2 ** (32 - bucket_bits))))
+            ),
+        )
+        .drop("_base", "_ok", "_span")
+    )
+
+
+def assert_disjoint_blocks(blocks_prepared: DataFrame) -> None:
+    """Validate the disjointness assumption the equi-join correctness rests
+    on: sorted by _start, no block may begin before the previous one ends.
+    One window pass over the (small) dim; call at load time."""
+    from pyspark.sql import Window
+
+    b = blocks_prepared.select("_start", "_end").distinct()
+    w = Window.orderBy("_start")
+    bad = (
+        b.withColumn("_prev_end", F.lag("_end").over(w))
+        .filter(F.col("_prev_end").isNotNull() & (F.col("_start") <= F.col("_prev_end")))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError("CIDR blocks overlap: bucketed equi-join requires disjoint networks")
+
+
+def geoip_lookup(
+    df: DataFrame,
+    ip_col: str,
+    blocks: DataFrame,
+    network_col: str = "network",
+    bucket_bits: int = 16,
+    error_mode: str = "ignore",
+) -> DataFrame:
+    """geoipprocessor analogue: stamp the block's geo attribute columns
+    onto every row whose `ip_col` falls inside a block; rows with no
+    matching block keep NULL geo attributes (the reference's ignore-mode
+    'attributes are simply not added', README error_mode).
+
+    error_mode (config.go): in the reference, per-row parse failures are
+    skipped regardless of mode (geoip_processor.go:60-66, an acknowledged
+    TODO) and no-metadata-found just leaves attrs off (:80-82); error_mode
+    governs provider errors, which have no per-row analogue here. So:
+      ignore/silent — unparseable IPs resolve to NULL attrs, matching the
+                  reference's live behavior (no log-channel distinction in
+                  a batch engine; both map to the same plan).
+      propagate — STRICTER than the reference today: an unparseable
+                  non-null IP fails the job (raise_error fires
+                  executor-side inside the projection — no extra
+                  validation pass), the behavior their TODO points at.
+    """
+    if error_mode not in ("propagate", "ignore", "silent"):
+        raise ValueError(f"error_mode must be propagate|ignore|silent, got {error_mode!r}")
+    prepared = cidr_blocks(blocks, network_col, bucket_bits)
+    ip_long = ipv4_to_long(ip_col)
+    if error_mode == "propagate":
+        ip_long = F.when(F.col(ip_col).isNotNull() & ip_long.isNull(),
+                         F.raise_error(F.concat(F.lit("unresolvable IP: "), F.col(ip_col)))
+                         ).otherwise(ip_long)
+    fact = df.withColumn("_ip_long", ip_long).withColumn(
+        "_bucket", F.expr("_ip_long div " + str(2 ** (32 - bucket_bits)))
+    )
+    dim = broadcast(prepared.drop(network_col))
+    out = fact.join(
+        dim,
+        on=(fact["_bucket"] == dim["_bucket"])
+        & (fact["_ip_long"] >= dim["_start"])
+        & (fact["_ip_long"] <= dim["_end"]),
+        how="left",
+    )
+    return out.drop("_bucket", "_ip_long", "_start", "_end", "_prefix")

@@ -785,6 +785,45 @@ def q_enrich_composite(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role_group", "tool_category", "session_tier", "tier_weight")
 
 
+def q_geoip_enrich(spark, sf_dir):
+    """geoipprocessor analogue (processor/geoipprocessor/geoip_processor.go,
+    maxmindprovider): CIDR-block range lookup as a bucketed broadcast
+    equi-join. IPs are derived deterministically from event_id and include
+    in-block hits (/16 and /8 matches), a no-block miss, an out-of-range
+    octet, and a non-IP string — the latter three resolve to NULL geo
+    attrs (ignore-mode semantics, geoip_processor.go:60-66,80-82)."""
+    from ..operators.enrich import geoip_lookup
+
+    ev = _events(spark, sf_dir)
+    m = F.col("event_id") % 50
+    e = F.col("event_id")
+    ip = (
+        F.when(m == 49, F.lit("not-an-ip"))
+        .when(m == 48, F.lit("10.7.0.300"))
+        .when(m == 47, F.lit("240.1.2.3"))
+        .when(m % 5 == 3, F.concat(F.lit("11."), (e % 256).cast("string"), F.lit(".33.7")))
+        .otherwise(
+            F.concat(
+                F.lit("10."), (e % 200).cast("string"), F.lit("."),
+                (e % 256).cast("string"), F.lit("."), ((e * 7) % 256).cast("string"),
+            )
+        )
+    )
+    fact = ev.select("event_id", ip.alias("client_ip"))
+    blocks = spark.range(200).select(
+        F.concat(F.lit("10."), F.col("id").cast("string"), F.lit(".0.0/16")).alias("network"),
+        F.concat(F.lit("C"), (F.col("id") % 10).cast("string")).alias("geo_country_iso"),
+        F.concat(F.lit("city-"), F.col("id").cast("string")).alias("geo_city_name"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("11.0.0.0/8", "XX", "wide-net")],
+            "network string, geo_country_iso string, geo_city_name string",
+        )
+    )
+    out = geoip_lookup(fact, "client_ip", blocks)
+    return out.select("event_id", "client_ip", "geo_country_iso", "geo_city_name")
+
+
 def q_attr_actions(spark, sf_dir):
     from ..operators.transform import AttrAction, apply_attr_actions, copy_field
 
@@ -1940,6 +1979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampler_deterministic_mod": q_sampler_mod,
     "sampler_hash_consistent": q_sampler_hash,
     "enrich_composite_dim": q_enrich_composite,
+    "geoip_enrich": q_geoip_enrich,
     "attr_actions": q_attr_actions,
     "redaction_mask": q_redaction,
     "unroll_tokens": q_unroll_tokens,
@@ -2970,6 +3010,51 @@ SELECT o.conv_id, o.turn_idx, o.role_group, o.tool_category,
 FROM ordered o
 LEFT JOIN d ON d.role_group = o.role_group AND d.tool_category = o.tool_category"""
     )
+
+    # geoip: same ip derivation + block table built from range(); the
+    # oracle can afford the plain range join (DuckDB IEJoin) the Spark
+    # side avoids via prefix bucketing
+    _oct = "CAST(string_split({x}, '.')[{i}] AS BIGINT)"
+    _ip_long = " + ".join(
+        f"{_oct.format(x='client_ip', i=i)} * {mul}"
+        for i, mul in ((1, 16777216), (2, 65536), (3, 256), (4, 1))
+    )
+    _ip_valid = r"regexp_matches(client_ip, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$') AND " + " AND ".join(
+        f"{_oct.format(x='client_ip', i=i)} <= 255" for i in (1, 2, 3, 4)
+    )
+    _net_long = " + ".join(
+        f"{_oct.format(x='net', i=i)} * {mul}"
+        for i, mul in ((1, 16777216), (2, 65536), (3, 256), (4, 1))
+    )
+    o["geoip_enrich"] = f"""
+WITH ips AS (
+  SELECT event_id,
+    CASE WHEN event_id % 50 = 49 THEN 'not-an-ip'
+         WHEN event_id % 50 = 48 THEN '10.7.0.300'
+         WHEN event_id % 50 = 47 THEN '240.1.2.3'
+         WHEN (event_id % 50) % 5 = 3 THEN '11.' || CAST(event_id % 256 AS VARCHAR) || '.33.7'
+         ELSE '10.' || CAST(event_id % 200 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR)
+              || '.' || CAST((event_id * 7) % 256 AS VARCHAR)
+    END AS client_ip
+  FROM events),
+parsed AS (
+  SELECT event_id, client_ip,
+    CASE WHEN {_ip_valid} THEN {_ip_long} END AS ip_long
+  FROM ips),
+blocks AS (
+  SELECT '10.' || CAST(i AS VARCHAR) || '.0.0' AS net, 16 AS prefix,
+         'C' || CAST(i % 10 AS VARCHAR) AS geo_country_iso,
+         'city-' || CAST(i AS VARCHAR) AS geo_city_name
+  FROM range(200) t(i)
+  UNION ALL SELECT '11.0.0.0', 8, 'XX', 'wide-net'),
+branges AS (
+  SELECT geo_country_iso, geo_city_name,
+    ({_net_long}) // CAST(power(2, 32 - prefix) AS BIGINT) * CAST(power(2, 32 - prefix) AS BIGINT) AS s,
+    CAST(power(2, 32 - prefix) AS BIGINT) AS span
+  FROM blocks)
+SELECT p.event_id, p.client_ip, b.geo_country_iso, b.geo_city_name
+FROM parsed p
+LEFT JOIN branges b ON p.ip_long >= b.s AND p.ip_long <= b.s + b.span - 1"""
 
     o["attr_actions"] = (
         cte

@@ -3,6 +3,7 @@ recombine/sessionization, tail sampling."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.operators import transform as tr
@@ -318,3 +319,126 @@ def test_sumologic_aggregate_drops_null_entries(spark):
     out = sumologic_process(df, aggregate_attributes={"pods": "pod_"}).collect()[0]
     assert dict(out["pods"]) == {"a": "x"}
     assert "pod_a" not in out.asDict() and out["other"] == "z"
+
+
+# ---------------------------------------------------------------------------
+# geoipprocessor: CIDR-range lookup
+# ---------------------------------------------------------------------------
+
+
+def _geo_blocks(spark):
+    return spark.createDataFrame(
+        [
+            ("10.5.0.0/16", "US", "austin"),
+            ("11.0.0.0/8", "XX", "wide"),
+            ("1.2.3.0/24", "FR", "paris"),
+            ("9.9.9.9/32", "CH", "host"),
+        ],
+        "network string, country string, city string",
+    )
+
+
+def test_ipv4_to_long_edges(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import ipv4_to_long
+
+    df = spark.createDataFrame(
+        [("0.0.0.0",), ("255.255.255.255",), ("256.1.1.1",), ("1.2.3",),
+         ("1.2.3.4.5",), ("01.002.3.4",), ("a.b.c.d",), (None,)],
+        "ip string",
+    )
+    got = {r["ip"]: r["v"] for r in df.select("ip", ipv4_to_long("ip").alias("v")).collect()}
+    assert got["0.0.0.0"] == 0
+    assert got["255.255.255.255"] == 2**32 - 1
+    assert got["01.002.3.4"] == 1 * 16777216 + 2 * 65536 + 3 * 256 + 4  # inet_aton leading zeros
+    for bad in ("256.1.1.1", "1.2.3", "1.2.3.4.5", "a.b.c.d", None):
+        assert got[bad] is None
+
+
+def test_cidr_blocks_bucket_fanout(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import cidr_blocks
+
+    prepared = cidr_blocks(_geo_blocks(spark), bucket_bits=16)
+    counts = {r["network"]: r["n"] for r in prepared.groupBy("network").count().withColumnRenamed("count", "n").collect()}
+    # /16 -> 1 bucket, /8 -> 256 buckets, finer than /16 -> 1 bucket
+    assert counts == {"10.5.0.0/16": 1, "11.0.0.0/8": 256, "1.2.3.0/24": 1, "9.9.9.9/32": 1}
+    row = prepared.filter(F.col("network") == "9.9.9.9/32").first()
+    assert row["_start"] == row["_end"] == 9 * 16777216 + 9 * 65536 + 9 * 256 + 9
+    # non-aligned base: start snaps DOWN to the block boundary
+    snap = cidr_blocks(
+        spark.createDataFrame([("10.5.7.9/16", "x")], "network string, v string")
+    ).first()
+    assert snap["_start"] == 10 * 16777216 + 5 * 65536
+    assert snap["_end"] == snap["_start"] + 65536 - 1
+
+
+def test_cidr_blocks_malformed_raises(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import cidr_blocks
+
+    for bad in ("10.5.0.0/33", "299.0.0.0/8", "nope/8", "10.0.0.0/x"):
+        df = spark.createDataFrame([(bad, "v")], "network string, v string")
+        with pytest.raises(Exception, match="malformed CIDR"):
+            cidr_blocks(df).collect()
+
+
+def test_assert_disjoint_blocks(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        assert_disjoint_blocks,
+        cidr_blocks,
+    )
+
+    assert_disjoint_blocks(cidr_blocks(_geo_blocks(spark)))  # fine
+    overlap = spark.createDataFrame(
+        [("10.5.0.0/16", "a"), ("10.5.3.0/24", "b")], "network string, v string"
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        assert_disjoint_blocks(cidr_blocks(overlap))
+
+
+def test_geoip_lookup_matches_and_misses(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import geoip_lookup
+
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("1.2.4.4",), ("10.5.255.1",), ("11.200.1.1",),
+         ("9.9.9.9",), ("9.9.9.8",), ("240.0.0.9",), ("999.1.2.3",), (None,)],
+        "ip string",
+    )
+    got = {r["ip"]: (r["country"], r["city"]) for r in geoip_lookup(df, "ip", _geo_blocks(spark)).collect()}
+    assert got["1.2.3.4"] == ("FR", "paris")
+    assert got["1.2.4.4"] == (None, None)          # outside the /24
+    assert got["10.5.255.1"] == ("US", "austin")
+    assert got["11.200.1.1"] == ("XX", "wide")     # /8 spans many buckets
+    assert got["9.9.9.9"] == ("CH", "host")        # /32 exact host
+    assert got["9.9.9.8"] == (None, None)
+    for miss in ("240.0.0.9", "999.1.2.3", None):  # no block / invalid / null
+        assert got[miss] == (None, None)
+    # row count preserved (disjoint blocks -> at most one match each)
+    assert geoip_lookup(df, "ip", _geo_blocks(spark)).count() == df.count()
+
+
+def test_geoip_lookup_error_modes(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import geoip_lookup
+
+    ok = spark.createDataFrame([("1.2.3.4",), (None,)], "ip string")
+    bad = spark.createDataFrame([("999.1.2.3",)], "ip string")
+    blocks = _geo_blocks(spark)
+    # propagate: parseable + null pass, unparseable non-null fails the job
+    assert geoip_lookup(ok, "ip", blocks, error_mode="propagate").count() == 2
+    with pytest.raises(Exception, match="unresolvable IP"):
+        geoip_lookup(bad, "ip", blocks, error_mode="propagate").collect()
+    # ignore/silent: nulls through; bogus mode rejected
+    assert geoip_lookup(bad, "ip", blocks, error_mode="silent").first()["country"] is None
+    with pytest.raises(ValueError, match="error_mode"):
+        geoip_lookup(bad, "ip", blocks, error_mode="warn")
+
+
+def test_geoip_lookup_plan_is_broadcast_hash_join(spark):
+    """The scale contract: bucketed equi-join must plan as BroadcastHashJoin
+    (range residual as join condition), never BroadcastNestedLoopJoin."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import geoip_lookup
+
+    df = spark.range(100).select(
+        F.concat(F.lit("10.5."), (F.col("id") % 256).cast("string"), F.lit(".1")).alias("ip")
+    )
+    plan = geoip_lookup(df, "ip", _geo_blocks(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
