@@ -117,21 +117,36 @@ class SnapshotStore:
         raise KeyError(f"unknown snapshot {snapshot_id!r}")
 
     # --- commits -----------------------------------------------------------
-    def commit_files(self, files: list[str], operation: str, summary: dict | None = None) -> str:
+    def commit_files(
+        self,
+        files: list[str],
+        operation: str,
+        summary: dict | None = None,
+        stats: dict[str, dict] | None = None,
+    ) -> str:
         snaps = self._load()
         parent = snaps[-1] if snaps else None
         seq = (parent["sequence"] if parent else 0) + 1
         base = []
         if operation == "append" and parent is not None:
             base = parent["files"]
+        all_files = sorted(base + files)
+        # per-file column bounds ride on the snapshot like Iceberg manifest
+        # entries: parent stats carry forward for files still referenced,
+        # new-file stats merge in, dropped files' stats fall away
+        merged_stats = {
+            **(parent.get("stats", {}) if parent else {}),
+            **(stats or {}),
+        }
         snap = {
             "snapshot_id": uuid.uuid4().hex,
             "parent_id": parent["snapshot_id"] if parent else None,
             "sequence": seq,
             "operation": operation,
-            "files": sorted(base + files),
+            "files": all_files,
             "ts": time.time(),
             "summary": summary or {},
+            "stats": {f: s for f, s in merged_stats.items() if f in set(all_files)},
         }
         self._publish(snaps + [snap], expected_seq=seq - 1)
         return snap["snapshot_id"]
@@ -148,6 +163,7 @@ class SnapshotStore:
             "files": target["files"],
             "ts": time.time(),
             "summary": {"rolled_back_to": snapshot_id},
+            "stats": target.get("stats", {}),
         }
         self._publish(snaps + [snap], expected_seq=seq - 1)
         return snap["snapshot_id"]
@@ -163,14 +179,71 @@ def _drop_commit_dir(commit_dir: str) -> None:
     shutil.rmtree(commit_dir, ignore_errors=True)
 
 
+def collect_file_stats(files: list[str], cols: list[str]) -> dict[str, dict]:
+    """Per-file [min, max] bounds for `cols`, read from parquet FOOTERS only
+    (row-group statistics — no data pages touched). This is the Iceberg
+    manifest-entry `lower_bounds`/`upper_bounds` analogue that makes
+    file-level scan pruning possible. Columns without usable stats in a
+    file (missing, all-null, or a non-JSON-serializable type) are simply
+    absent for that file — pruning then keeps the file (safe default)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _plain(v):
+        if isinstance(v, bool | int | float | str):
+            return v
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, datetime.datetime | datetime.date):
+            return v.isoformat()
+        return None
+
+    out: dict[str, dict] = {}
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        fstats: dict[str, list] = {}
+        for col in cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _plain(st.min), _plain(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                fstats[col] = [lo, hi]
+        if fstats:
+            out[f] = fstats
+    return out
+
+
 def write_snapshot(
-    df: DataFrame, table_path: str, mode: str = "append", summary: dict | None = None
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    summary: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> str:
     """Commit `df` to the snapshot table. Data lands in a fresh immutable
     commit directory (never overwritten); `mode='append'` unions with the
     current snapshot's files, `mode='overwrite'` replaces the referenced
-    set. `summary` entries ride on the snapshot (Iceberg summary props).
-    Returns the new snapshot id."""
+    set. `summary` entries ride on the snapshot (Iceberg summary props);
+    `stats_cols` records per-file min/max bounds for those columns in the
+    snapshot (footer-only scan) so `read_snapshot(..., where=)` can prune
+    files. Returns the new snapshot id."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     store = SnapshotStore(table_path)
@@ -181,24 +254,70 @@ def write_snapshot(
         for f in os.listdir(commit_dir)
         if f.endswith(".parquet")
     )
+    stats = collect_file_stats(files, stats_cols) if stats_cols else None
     try:
         return store.commit_files(
-            files, operation=mode, summary={**(summary or {}), "added_files": len(files)}
+            files,
+            operation=mode,
+            summary={**(summary or {}), "added_files": len(files)},
+            stats=stats,
         )
     except CommitConflict:
         _drop_commit_dir(commit_dir)
         raise
 
 
-def read_snapshot(spark: SparkSession, table_path: str, as_of: str | None = None) -> DataFrame:
+def prune_files(snap: dict, where: list[tuple] | None) -> list[str]:
+    """Resolve a snapshot's file list under range predicates
+    `[(col, lo, hi), ...]` (inclusive bounds; None = unbounded on that
+    side). A file is pruned only when its recorded [min, max] for the
+    column PROVABLY misses the range; files without stats for the column
+    are kept — pruning is an optimization, never a correctness filter
+    (the caller still applies the real row filter)."""
+    files = snap["files"]
+    if not where:
+        return files
+    stats = snap.get("stats", {})
+    kept = []
+    for f in files:
+        fstats = stats.get(f, {})
+        drop = False
+        for col, lo, hi in where:
+            b = fstats.get(col)
+            if b is None:
+                continue
+            if (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo):
+                drop = True
+                break
+        if not drop:
+            kept.append(f)
+    return kept
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    as_of: str | None = None,
+    where: list[tuple] | None = None,
+) -> DataFrame:
     """Read the table at a snapshot (default: current). The file list is
     resolved BEFORE the scan, so the read is isolated from concurrent
-    commits (Iceberg's reader contract)."""
+    commits (Iceberg's reader contract). `where=[(col, lo, hi), ...]`
+    prunes files by the snapshot's recorded column bounds before Spark
+    ever opens them — the metadata-level pruning Iceberg does with
+    manifest bounds, which at 100 TB is the difference between planning
+    over the touched partitions and footer-scanning the whole table. The
+    rows of kept files are NOT filtered here (file granularity only);
+    apply the row predicate downstream as usual."""
     store = SnapshotStore(table_path)
     snap = store.snapshot(as_of) if as_of else store.current()
     if snap is None or not snap["files"]:
         raise ValueError(f"snapshot table {table_path!r} is empty")
-    return spark.read.parquet(*snap["files"])
+    kept = prune_files(snap, where)
+    if not kept:
+        # all files pruned: preserve the schema with an empty scan
+        return spark.read.parquet(*snap["files"]).limit(0)
+    return spark.read.parquet(*kept)
 
 
 def compact_snapshot(
@@ -231,6 +350,9 @@ def compact_snapshot(
     files = sorted(
         os.path.join(commit_dir, f) for f in os.listdir(commit_dir) if f.endswith(".parquet")
     )
+    # re-derive bounds for the rewritten files over whichever columns the
+    # table was tracking (union of stat'd cols across the resolved files)
+    stat_cols = sorted({c for s in resolved.get("stats", {}).values() for c in s})
     snap = {
         "snapshot_id": uuid.uuid4().hex,
         "parent_id": resolved["snapshot_id"],
@@ -243,6 +365,107 @@ def compact_snapshot(
             "compacted_to": len(files),
             "rows": n_rows,
         },
+        "stats": collect_file_stats(files, stat_cols) if stat_cols else {},
+    }
+    try:
+        store._publish(snaps + [snap], expected_seq=resolved["sequence"])  # noqa: SLF001
+    except CommitConflict:
+        _drop_commit_dir(commit_dir)
+        raise
+    return snap["snapshot_id"]
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: str | list[str],
+    stats_cols: list[str] | None = None,
+) -> str:
+    """Copy-on-write MERGE (upsert): rows of `updates` replace current rows
+    with equal keys; update rows matching nothing are inserts. This is the
+    Iceberg COW `MERGE INTO` shape, and the whole point is FILE-LEVEL
+    scoping — at 100 TB a merge that rewrites the table is a non-starter:
+
+      1. stats envelope: candidate files are pruned by the updates' key
+         min/max against the snapshot's recorded per-file bounds (when the
+         table tracks the key column) — most files never even open.
+      2. exact scoping: a key+file_path projection of the candidates
+         semi-joined against the update keys names the files that truly
+         contain matched keys; only THOSE are rewritten (matched rows
+         anti-joined away, updates unioned in). Untouched files carry over
+         by reference, their stats intact.
+
+    Concurrency follows compact: CAS against the resolved sequence; a
+    racing commit makes the merge lose with CommitConflict and reclaim its
+    commit dir. `updates` must be key-unique (dedupe upstream — two update
+    rows with one key would both land, same as Iceberg's cardinality
+    check failing)."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    store = SnapshotStore(table_path)
+    snaps = store._load()  # noqa: SLF001 — same-module maintenance op
+    if not snaps or not snaps[-1]["files"]:
+        raise ValueError(f"snapshot table {table_path!r} is empty; use write_snapshot")
+    resolved = snaps[-1]
+
+    # 1. stats envelope prune (plain-typed key bounds only; others skip)
+    env = []
+    row = updates.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys], *[F.max(k).alias(f"hi_{k}") for k in keys]
+    ).first()
+    for k in keys:
+        lo, hi = row[f"lo_{k}"], row[f"hi_{k}"]
+        if isinstance(lo, bool | int | float | str) and isinstance(hi, bool | int | float | str):
+            env.append((k, lo, hi))
+    candidates = prune_files(resolved, env or None)
+
+    # 2. exact file scoping via key projection + semi-join
+    upd_keys = updates.select(*keys).distinct()
+    touched: list[str] = []
+    if candidates:
+        hit = (
+            spark.read.parquet(*candidates)
+            .select(*keys, F.col("_metadata.file_path").alias("_fp"))
+            .join(upd_keys, keys, "left_semi")
+            .select("_fp")
+            .distinct()
+            .collect()
+        )
+        hit_paths = {os.path.abspath(urlparse(r["_fp"]).path) for r in hit}
+        touched = [f for f in candidates if os.path.abspath(f) in hit_paths]
+
+    if touched:
+        remaining = spark.read.parquet(*touched).join(upd_keys, keys, "left_anti")
+        new_rows = remaining.unionByName(updates.select(*remaining.columns))
+    else:
+        new_rows = updates
+    untouched = [f for f in resolved["files"] if f not in set(touched)]
+
+    commit_dir = os.path.join(table_path, "data", f"commit-{uuid.uuid4().hex}")
+    new_rows.write.mode("error").parquet(commit_dir)
+    files_new = sorted(
+        os.path.join(commit_dir, f) for f in os.listdir(commit_dir) if f.endswith(".parquet")
+    )
+    stat_cols = stats_cols or sorted({c for s in resolved.get("stats", {}).values() for c in s})
+    carried = {f: s for f, s in resolved.get("stats", {}).items() if f in set(untouched)}
+    snap = {
+        "snapshot_id": uuid.uuid4().hex,
+        "parent_id": resolved["snapshot_id"],
+        "sequence": resolved["sequence"] + 1,
+        "operation": "merge",
+        "files": sorted(untouched + files_new),
+        "ts": time.time(),
+        "summary": {
+            "rewritten_files": len(touched),
+            "kept_files": len(untouched),
+            "added_files": len(files_new),
+            "candidate_files": len(candidates),
+        },
+        "stats": {**carried, **(collect_file_stats(files_new, stat_cols) if stat_cols else {})},
     }
     try:
         store._publish(snaps + [snap], expected_seq=resolved["sequence"])  # noqa: SLF001

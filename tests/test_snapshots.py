@@ -250,3 +250,111 @@ def test_expire_removes_fully_orphaned_commit_dirs(spark, tmp_path):
     # overwrite commits: expired snapshots' dirs are fully orphaned -> gone
     assert len(glob.glob(f"{tbl}/data/commit-*")) == 1
     assert spark.read.parquet(*SnapshotStore(tbl).current()["files"]).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# file-level column stats + scan pruning + copy-on-write MERGE
+# ---------------------------------------------------------------------------
+
+
+def _df2(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id").cast("string")).alias("val")
+    )
+
+
+def test_stats_recorded_and_reads_prune_files(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import prune_files
+
+    tbl = str(tmp_path / "tbl")
+    # 4 commits with disjoint id ranges, one file each, id bounds tracked
+    for lo in (0, 100, 200, 300):
+        write_snapshot(
+            _df2(spark, lo, lo + 100).coalesce(1), tbl, stats_cols=["id"]
+        )
+    snap = SnapshotStore(tbl).current()
+    assert len(snap["files"]) == 4
+    # every file carries [min, max] for id, and bounds are correct
+    bounds = sorted(snap["stats"][f]["id"] for f in snap["files"])
+    assert bounds == [[0, 99], [100, 199], [200, 299], [300, 399]]
+    # range predicate prunes to exactly the overlapping files
+    assert len(prune_files(snap, [("id", 150, 250)])) == 2
+    assert len(prune_files(snap, [("id", None, 99)])) == 1
+    assert len(prune_files(snap, [("id", 400, None)])) == 0
+    # untracked column prunes nothing
+    assert len(prune_files(snap, [("val", "a", "b")])) == 4
+    # pruned read returns exactly the full-filter answer
+    got = read_snapshot(spark, tbl, where=[("id", 150, 250)])
+    assert got.filter((F.col("id") >= 150) & (F.col("id") <= 250)).count() == 101
+    assert got.count() == 200  # file granularity: two whole files
+    # all-pruned read keeps the schema
+    empty = read_snapshot(spark, tbl, where=[("id", 1000, 2000)])
+    assert empty.count() == 0 and empty.columns == ["id", "val"]
+
+
+def test_stats_survive_append_overwrite_and_compact(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import compact_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(_df2(spark, 0, 100).coalesce(1), tbl, stats_cols=["id"])
+    write_snapshot(_df2(spark, 100, 200).coalesce(1), tbl, stats_cols=["id"])
+    snap = SnapshotStore(tbl).current()
+    assert len(snap["stats"]) == 2  # parent file's stats carried forward
+    # compact rewrites files and re-derives bounds for the tracked column
+    compact_snapshot(spark, tbl, target_records_per_file=50)
+    snap = SnapshotStore(tbl).current()
+    assert snap["operation"] == "replace" and len(snap["files"]) >= 4
+    assert set(snap["stats"]) == set(snap["files"])
+    assert all("id" in s for s in snap["stats"].values())
+    # overwrite drops prior files' stats
+    write_snapshot(_df2(spark, 500, 600).coalesce(1), tbl, mode="overwrite", stats_cols=["id"])
+    snap = SnapshotStore(tbl).current()
+    assert set(snap["stats"]) == set(snap["files"]) and len(snap["files"]) == 1
+
+
+def test_merge_snapshot_rewrites_only_touched_files(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import merge_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        write_snapshot(_df2(spark, lo, lo + 100).coalesce(1), tbl, stats_cols=["id"])
+    pre = SnapshotStore(tbl).current()
+    # updates: rewrite two ids in the middle file, insert one brand-new id
+    updates = spark.createDataFrame(
+        [(150, "UPDATED-150"), (199, "UPDATED-199"), (999, "INSERTED-999")],
+        "id bigint, val string",
+    )
+    merge_snapshot(spark, tbl, updates, "id")
+    snap = SnapshotStore(tbl).current()
+    assert snap["operation"] == "merge"
+    s = snap["summary"]
+    # stats envelope kept the 0-99 file out of the candidate scan entirely
+    # (updates' key range is 150..999), and only the 100-199 file matched
+    assert s["candidate_files"] == 2
+    assert s["rewritten_files"] == 1 and s["kept_files"] == 2
+    # the two untouched original files are carried by reference
+    assert len(set(snap["files"]) & set(pre["files"])) == 2
+    got = read_snapshot(spark, tbl)
+    assert got.count() == 301  # 300 originals + 1 insert
+    vals = {r["id"]: r["val"] for r in got.filter(F.col("id").isin(150, 199, 999, 42, 250)).collect()}
+    assert vals[150] == "UPDATED-150" and vals[199] == "UPDATED-199"
+    assert vals[999] == "INSERTED-999"
+    assert vals[42] == "v42" and vals[250] == "v250"  # untouched rows intact
+    # merged files got fresh id bounds; time travel still sees pre-merge rows
+    assert set(snap["stats"]) == set(snap["files"])
+    assert read_snapshot(spark, tbl, as_of=pre["snapshot_id"]).count() == 300
+
+
+def test_merge_snapshot_insert_only_and_empty_table(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import merge_snapshot
+
+    tbl = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="empty"):
+        merge_snapshot(spark, SnapshotStore(tbl).table_path, _df2(spark, 0, 1), "id")
+    write_snapshot(_df2(spark, 0, 100).coalesce(1), tbl, stats_cols=["id"])
+    # keys all new -> pure insert, zero files rewritten
+    merge_snapshot(spark, tbl, _df2(spark, 500, 510), "id")
+    snap = SnapshotStore(tbl).current()
+    assert snap["summary"]["rewritten_files"] == 0
+    assert snap["summary"]["kept_files"] == 1
+    assert read_snapshot(spark, tbl).count() == 110
