@@ -1,0 +1,281 @@
+"""Exporter-side wire-format RENDERING — the outbound mirror of the
+wire-format parsers in ``operators/parse.py``.
+
+The reference ships dozens of exporters whose essence (once the HTTP/TCP
+client plumbing is stripped away) is "serialize each record into a
+vendor line/JSON shape":
+
+- syslogexporter: RFC5424 / RFC3164 lines with attribute-driven fields
+  and '-' defaults (``exporter/syslogexporter/rfc5424_formatter.go:26-44``,
+  ``rfc3164_formatter.go:19-31``, constants ``sender.go:19-41``)
+- prometheusexporter / prometheusremotewriteexporter: the text exposition
+  sample line ``name{labels} value ts_ms``
+- elasticsearchexporter: ``_bulk`` NDJSON — an action metadata line per
+  document (``bulkindexer.go:47,217-229``: index + docID + action)
+- splunkhecexporter: HEC event JSON objects
+  (``{"time","host","source","sourcetype","index","event","fields"}``)
+
+Network delivery is out of scope in this sandbox (same stance as the
+kafka exporter contract); rendering IS in scope, because at 100 TB the
+serialization is the compute-heavy half — it must be a pure codegen
+projection, one pass, no UDFs. Everything here is built from `concat`/
+`regexp_replace`/`date_format` so whole-stage codegen keeps the render
+inside the scan-project pipeline.
+
+Float policy: value columns are taken as ALREADY-RENDERED string columns.
+Engine-portable float→string is the caller's contract (this repo renders
+via decimal casts — see the registry queries); baking one float format in
+here would silently break cross-engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# sender.go:19-41 — attribute keys and defaults
+DEFAULT_PRIORITY = 165
+VERSION_RFC5424 = 1
+NIL_VALUE = "-"
+
+
+def _col(c: Column | str | None, default: str | None = None) -> Column:
+    if c is None:
+        return F.lit(default).cast("string")
+    col = F.col(c) if isinstance(c, str) else c
+    return F.coalesce(col.cast("string"), F.lit(default)) if default is not None else col
+
+
+def json_escape(col: Column) -> Column:
+    r"""Minimal JSON string escaping as a codegen-friendly replace chain:
+    backslash first, then quote, then the control trio \n \r \t. Identical
+    semantics are expressible in any SQL engine (the oracle mirrors the
+    same chain), unlike `to_json`, whose number/unicode formatting is
+    engine-specific."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+
+def _rfc3339_micro(ts: Column) -> Column:
+    """Go's RFC3339MICRO (`2006-01-02T15:04:05.999999Z07:00`, used by
+    rfc5424_formatter.go:55): microsecond fraction with trailing zeros
+    trimmed, the whole fraction dropped when zero, UTC rendered as 'Z'
+    (pdata timestamps are UTC nanos)."""
+    full = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    return F.regexp_replace(full, r"\.?0+Z$", "Z")
+
+
+def render_syslog_rfc5424(
+    df: DataFrame,
+    ts: Column | str = "ts",
+    priority: Column | str | None = None,
+    version: Column | str | None = None,
+    hostname: Column | str | None = None,
+    appname: Column | str | None = None,
+    proc_id: Column | str | None = None,
+    msg_id: Column | str | None = None,
+    structured_data: Column | str | None = None,
+    message: Column | str | None = None,
+    octet_counting: bool = False,
+    out: str = "syslog_line",
+) -> DataFrame:
+    """RFC5424 line per record, mirroring rfc5424_formatter.go:26-44:
+    `<pri>ver ts host app pid msgid sd[ msg]\\n` — every field falls back
+    to its sender.go default ('-' / 165 / 1), the message gets a leading
+    space only when non-empty (formatMessage, :102-108), and
+    `octet_counting` prepends the BYTE length RFC6587-style (:38-41).
+    `structured_data` is taken as a pre-rendered string column: the
+    reference renders its SD map by ranging over a Go map, which is
+    deliberately unordered — a deterministic engine cannot (and should
+    not) reproduce nondeterministic output, so ordering is the caller's
+    contract here."""
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    msg = _col(message, "")
+    line = F.concat(
+        F.lit("<"),
+        _col(priority, str(DEFAULT_PRIORITY)),
+        F.lit(">"),
+        _col(version, str(VERSION_RFC5424)),
+        F.lit(" "),
+        _rfc3339_micro(tcol),
+        F.lit(" "),
+        _col(hostname, NIL_VALUE),
+        F.lit(" "),
+        _col(appname, NIL_VALUE),
+        F.lit(" "),
+        _col(proc_id, NIL_VALUE),
+        F.lit(" "),
+        _col(msg_id, NIL_VALUE),
+        F.lit(" "),
+        _col(structured_data, NIL_VALUE),
+        F.when(msg != "", F.concat(F.lit(" "), msg)).otherwise(F.lit("")),
+        F.lit("\n"),
+    )
+    if octet_counting:
+        line = F.concat(F.octet_length(line).cast("string"), F.lit(" "), line)
+    return df.withColumn(out, line)
+
+
+def render_syslog_rfc3164(
+    df: DataFrame,
+    ts: Column | str = "ts",
+    priority: Column | str | None = None,
+    hostname: Column | str | None = None,
+    appname: Column | str | None = None,
+    message: Column | str | None = None,
+    out: str = "syslog_line",
+) -> DataFrame:
+    """BSD syslog line per rfc3164_formatter.go:19-31:
+    `<pri>Mmm _d HH:MM:SS host[ app:][ msg]\\n` — the `Jan _2` timestamp is
+    space-padded to width 2, the appname gets a ':' suffix only when
+    present (:45-50), and the app↔message delimiter space appears only
+    when both are non-empty (:25-28)."""
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    stamp = F.concat(
+        F.date_format(tcol, "MMM"),
+        F.lit(" "),
+        F.lpad(F.dayofmonth(tcol).cast("string"), 2, " "),
+        F.lit(" "),
+        F.date_format(tcol, "HH:mm:ss"),
+    )
+    app = _col(appname, "")
+    app_part = F.when(app != "", F.concat(app, F.lit(":"))).otherwise(F.lit(""))
+    msg = _col(message, "")
+    delim = F.when((app != "") & (msg != ""), F.lit(" ")).otherwise(F.lit(""))
+    line = F.concat(
+        F.lit("<"),
+        _col(priority, str(DEFAULT_PRIORITY)),
+        F.lit(">"),
+        stamp,
+        F.lit(" "),
+        _col(hostname, NIL_VALUE),
+        F.lit(" "),
+        app_part,
+        delim,
+        msg,
+        F.lit("\n"),
+    )
+    return df.withColumn(out, line)
+
+
+def render_prometheus_text(
+    df: DataFrame,
+    name: Column | str,
+    labels_csv: Column | str | None,
+    value_str: Column | str,
+    ts_ms: Column | str | None = None,
+    out: str = "prom_line",
+) -> DataFrame:
+    """Prometheus text exposition sample line (`name{k="v",...} value
+    [ts_ms]`) — the prometheusexporter's scrape-page payload, and the
+    exact inverse of ``parse.parse_prometheus_text``. `labels_csv` is the
+    repo's canonical sorted `k=v,...` CSV; each pair is rewritten to
+    `k="v"` in place (so label ordering matches the parser round-trip)."""
+    ncol = F.col(name) if isinstance(name, str) else name
+    vcol = F.col(value_str) if isinstance(value_str, str) else value_str
+    if labels_csv is not None:
+        lcol = F.col(labels_csv) if isinstance(labels_csv, str) else labels_csv
+        pairs = F.transform(
+            F.split(lcol, ","), lambda p: F.regexp_replace(p, r"^([^=]*)=(.*)$", '$1="$2"')
+        )
+        braces = F.when(
+            lcol.isNotNull() & (lcol != ""),
+            F.concat(F.lit("{"), F.array_join(pairs, ","), F.lit("}")),
+        ).otherwise(F.lit(""))
+    else:
+        braces = F.lit("")
+    line = F.concat(ncol, braces, F.lit(" "), vcol)
+    if ts_ms is not None:
+        mcol = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
+        line = F.concat(line, F.lit(" "), mcol.cast("string"))
+    return df.withColumn(out, line)
+
+
+def render_es_bulk(
+    df: DataFrame,
+    index: Column | str,
+    doc_id: Column | str,
+    doc_fields: dict[str, tuple[Column | str, bool]],
+    action: str = "create",
+    out_action: str = "es_action",
+    out_doc: str = "es_doc",
+) -> DataFrame:
+    """Elasticsearch `_bulk` NDJSON pair per record — the action metadata
+    line (`{"create":{"_index":...,"_id":...}}`) and the document line —
+    matching what elasticsearchexporter hands its bulk indexer per doc
+    (``bulkindexer.go:47`` Add(index, docID, document, action);
+    ``:217-229``). `doc_fields` maps JSON key -> (column, quoted?): quoted
+    values go through ``json_escape``; unquoted ones (numbers/booleans)
+    are emitted verbatim and must already be engine-portable strings.
+    NULL field values render as JSON null. Key order = dict order, so the
+    oracle can mirror it."""
+    icol = _col(index)
+    idcol = _col(doc_id)
+    act = F.concat(
+        F.lit('{"' + action + '":{"_index":"'),
+        json_escape(icol.cast("string")),
+        F.lit('","_id":"'),
+        json_escape(idcol.cast("string")),
+        F.lit('"}}'),
+    )
+    parts: list[Column] = []
+    for i, (key, (col, quoted)) in enumerate(doc_fields.items()):
+        c = (F.col(col) if isinstance(col, str) else col).cast("string")
+        rendered = (
+            F.concat(F.lit('"'), json_escape(c), F.lit('"')) if quoted else c
+        )
+        parts.append(
+            F.concat(
+                F.lit(("," if i else "") + '"' + key + '":'),
+                F.coalesce(rendered, F.lit("null")),
+            )
+        )
+    doc = F.concat(F.lit("{"), *parts, F.lit("}"))
+    return df.withColumn(out_action, act).withColumn(out_doc, doc)
+
+
+def render_splunk_hec(
+    df: DataFrame,
+    ts: Column | str = "ts",
+    host: Column | str | None = None,
+    source: Column | str | None = None,
+    sourcetype: Column | str | None = None,
+    index: Column | str | None = None,
+    event: Column | str | None = None,
+    out: str = "hec_event",
+) -> DataFrame:
+    """Splunk HEC event JSON per record (splunkhecexporter's wire shape:
+    `{"time":<epoch.millis>,"host":...,"source":...,"sourcetype":...,
+    "index":...,"event":...}`). `time` is epoch seconds with exactly 3
+    decimals (HEC's documented millisecond resolution) assembled from
+    integer division/modulo so every engine prints the same digits. Optional fields
+    are omitted when their column is NULL — same as the exporter leaving
+    unset config keys out of the payload."""
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    # integer-only epoch.millis assembly: floor(us/1e6) + zero-padded
+    # truncated milliseconds — no float or decimal division anywhere, so
+    # every engine prints identical digits
+    us = F.unix_micros(tcol.cast("timestamp"))
+    secs = F.floor(us / F.lit(1000000)).cast("bigint")
+    ms = F.floor(F.pmod(us, F.lit(1000000)) / F.lit(1000)).cast("bigint")
+    time_str = F.concat(secs.cast("string"), F.lit("."), F.lpad(ms.cast("string"), 3, "0"))
+    obj = F.concat(F.lit('{"time":'), time_str)
+    for key, col in (("host", host), ("source", source), ("sourcetype", sourcetype), ("index", index)):
+        if col is None:
+            continue
+        c = (F.col(col) if isinstance(col, str) else col).cast("string")
+        obj = F.concat(
+            obj,
+            F.when(
+                c.isNotNull(), F.concat(F.lit(',"' + key + '":"'), json_escape(c), F.lit('"'))
+            ).otherwise(F.lit("")),
+        )
+    if event is not None:
+        e = (F.col(event) if isinstance(event, str) else event).cast("string")
+        obj = F.concat(
+            obj, F.lit(',"event":"'), F.coalesce(json_escape(e), F.lit("")), F.lit('"')
+        )
+    return df.withColumn(out, F.concat(obj, F.lit("}")))

@@ -1895,7 +1895,152 @@ def q_generate_source(spark, sf_dir):
     return out.select("seq", "body", "severity")
 
 
+# ---------------------------------------------------------------------------
+# exporter wire-format renders (operators/render.py)
+# ---------------------------------------------------------------------------
+
+
+def _render_ts(offset_unit_us: int = 1000):
+    """Event time plus a per-row microsecond offset (event_id%1000 ×
+    `offset_unit_us`) so the RFC3339MICRO fraction exercises 0-6 digits
+    and the trailing-zero trim."""
+    base = F.unix_micros(F.col("ts").cast("timestamp"))
+    return F.timestamp_micros(base + F.pmod(F.col("event_id"), F.lit(1000)) * offset_unit_us)
+
+
+def q_render_rfc5424(spark, sf_dir):
+    """syslogexporter RFC5424 render (rfc5424_formatter.go:26-44): every
+    field slot exercised — priority defaults on every 7th row, appname on
+    every 3rd, empty message (no leading space) on every 11th, fractional
+    timestamps with Go's trailing-zero trim, plus the RFC6587
+    octet-counted framing variant."""
+    from ..operators.render import render_syslog_rfc5424
+
+    ev = _events(spark, sf_dir).withColumn("_ts", _render_ts())
+    eid = F.col("event_id")
+    msg = F.when(F.pmod(eid, F.lit(11)) == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("event "), F.col("event_type"), F.lit(" value="),
+            F.col("value").cast("decimal(18,2)").cast("string"),
+        )
+    )
+    out = render_syslog_rfc5424(
+        ev,
+        ts="_ts",
+        priority=F.when(F.pmod(eid, F.lit(7)) != 0, F.pmod(eid, F.lit(192)).cast("string")),
+        hostname=F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")),
+        appname=F.when(F.pmod(eid, F.lit(3)) != 0, F.col("event_type")),
+        proc_id=F.col("user_id").cast("string"),
+        message=msg,
+    )
+    framed = render_syslog_rfc5424(
+        out,
+        ts="_ts",
+        priority=F.when(F.pmod(eid, F.lit(7)) != 0, F.pmod(eid, F.lit(192)).cast("string")),
+        hostname=F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")),
+        appname=F.when(F.pmod(eid, F.lit(3)) != 0, F.col("event_type")),
+        proc_id=F.col("user_id").cast("string"),
+        message=msg,
+        octet_counting=True,
+        out="framed",
+    )
+    return framed.select("event_id", "syslog_line", "framed")
+
+
+def q_render_rfc3164(spark, sf_dir):
+    """syslogexporter RFC3164 render (rfc3164_formatter.go:19-31): space-
+    padded `Jan _2` day, appname ':' suffix only when present, app-message
+    delimiter only when both are non-empty."""
+    from ..operators.render import render_syslog_rfc3164
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    out = render_syslog_rfc3164(
+        ev.withColumn("_ts", F.col("ts").cast("timestamp")),
+        ts="_ts",
+        priority=F.lit(None).cast("string"),
+        hostname=F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")),
+        appname=F.when(F.pmod(eid, F.lit(3)) != 0, F.col("event_type")),
+        message=F.when(F.pmod(eid, F.lit(11)) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("value="), F.col("value").cast("decimal(18,2)").cast("string"))
+        ),
+    )
+    return out.select("event_id", "syslog_line")
+
+
+def q_render_prom_roundtrip(spark, sf_dir):
+    """prometheusexporter exposition render, then parsed straight back by
+    the prometheusreceiver-side parser — proving the render/parse pair is
+    a true inverse on every field."""
+    from ..operators.parse import parse_prometheus_text
+    from ..operators.render import render_prometheus_text
+
+    ev = _events(spark, sf_dir)
+    iv = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("bigint")
+    rendered = render_prometheus_text(
+        ev,
+        name=F.concat(F.col("event_type"), F.lit("_total")),
+        labels_csv=F.concat(
+            F.lit("code="), F.pmod(F.col("event_id"), F.lit(3)).cast("string"),
+            F.lit(",method=get"),
+        ),
+        value_str=iv,
+        ts_ms=ms,
+        out="body",
+    )
+    out = parse_prometheus_text(rendered, "body")
+    return out.select(
+        "event_id", "body", "pm_name", "pm_labels_csv", "pm_value",
+        F.unix_millis(F.col("pm_ts")).alias("pm_ts_ms"),
+    )
+
+
+def q_render_es_bulk(spark, sf_dir):
+    """elasticsearchexporter `_bulk` NDJSON pair per document
+    (bulkindexer.go:47,217-229): create-action metadata line + document
+    line with quoted (escaped) and raw-number fields."""
+    from ..operators.render import render_es_bulk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = render_es_bulk(
+        docs,
+        index=F.concat(F.lit("docs-"), F.col("lang")),
+        doc_id=F.col("doc_id").cast("string"),
+        doc_fields={
+            "source": (F.col("source"), True),
+            "n_chars": (F.col("n_chars").cast("string"), False),
+            "excerpt": (F.substring(F.col("text"), 1, 40), True),
+        },
+    )
+    return out.select("doc_id", "es_action", "es_doc")
+
+
+def q_render_splunk_hec(spark, sf_dir):
+    """splunkhecexporter HEC event JSON: integer-math epoch.millis time,
+    optional index omitted on every 4th row, and the JSON-escaped props
+    payload (embedded quotes) as the event body."""
+    from ..operators.render import render_splunk_hec
+
+    ev = _events(spark, sf_dir).withColumn("_ts", _render_ts())
+    out = render_splunk_hec(
+        ev,
+        ts="_ts",
+        host=F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")),
+        source=F.lit("events"),
+        sourcetype=F.col("event_type"),
+        index=F.when(F.pmod(F.col("event_id"), F.lit(4)) != 0, F.lit("main")),
+        event=F.col("props"),
+    )
+    return out.select("event_id", "hec_event")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "render_syslog_rfc5424": q_render_rfc5424,
+    "render_syslog_rfc3164": q_render_rfc3164,
+    "render_prom_roundtrip": q_render_prom_roundtrip,
+    "render_es_bulk_docs": q_render_es_bulk,
+    "render_splunk_hec_events": q_render_splunk_hec,
     "generate_static_entries": q_generate_source,
     "metrics_as_logs_sum": q_metrics_as_logs,
     "sumologic_attrs": q_sumologic,
@@ -2407,6 +2552,70 @@ SELECT event_id, event_type || '_total' AS pm_name,
   CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS pm_value,
   CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS pm_ts_ms
 FROM events"""
+
+    # --- exporter renders: the oracle rebuilds each wire line with the
+    # same concat/strftime arithmetic, so parity is byte-for-byte
+    _rfc5424_line = r"""
+    '<' || CASE WHEN event_id % 7 != 0 THEN CAST(event_id % 192 AS VARCHAR) ELSE '165' END
+    || '>1 '
+    || regexp_replace(strftime(ts2, '%Y-%m-%dT%H:%M:%S.%f') || 'Z', '\.?0+Z$', 'Z')
+    || ' h' || CAST(user_id % 5 AS VARCHAR)
+    || ' ' || CASE WHEN event_id % 3 != 0 THEN event_type ELSE '-' END
+    || ' ' || CAST(user_id AS VARCHAR) || ' - -'
+    || CASE WHEN event_id % 11 = 0 THEN ''
+       ELSE ' event ' || event_type || ' value=' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END
+    || chr(10)"""
+    o["render_syslog_rfc5424"] = f"""
+WITH e AS (SELECT *, ts + to_microseconds((event_id % 1000) * 1000) AS ts2 FROM events),
+f AS (SELECT event_id, {_rfc5424_line} AS syslog_line FROM e)
+SELECT event_id, syslog_line,
+       CAST(length(syslog_line) AS VARCHAR) || ' ' || syslog_line AS framed
+FROM f"""
+
+    o["render_syslog_rfc3164"] = """
+SELECT event_id,
+  '<165>' || strftime(ts, '%b') || ' ' || lpad(CAST(day(ts) AS VARCHAR), 2, ' ')
+  || ' ' || strftime(ts, '%H:%M:%S')
+  || ' h' || CAST(user_id % 5 AS VARCHAR) || ' '
+  || CASE WHEN event_id % 3 != 0 THEN event_type || ':' ELSE '' END
+  || CASE WHEN event_id % 3 != 0 AND event_id % 11 != 0 THEN ' ' ELSE '' END
+  || CASE WHEN event_id % 11 = 0 THEN ''
+     ELSE 'value=' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END
+  || chr(10) AS syslog_line
+FROM events"""
+
+    o["render_prom_roundtrip"] = """
+SELECT event_id,
+  event_type || '_total{code="' || CAST(event_id % 3 AS VARCHAR) || '",method="get"} '
+    || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || ' '
+    || CAST(CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS VARCHAR) AS body,
+  event_type || '_total' AS pm_name,
+  'code=' || CAST(event_id % 3 AS VARCHAR) || ',method=get' AS pm_labels_csv,
+  CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS pm_value,
+  CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS pm_ts_ms
+FROM events"""
+
+    o["render_es_bulk_docs"] = """
+SELECT doc_id,
+  '{"create":{"_index":"docs-' || lang || '","_id":"' || CAST(doc_id AS VARCHAR) || '"}}'
+    AS es_action,
+  '{"source":"' || source || '","n_chars":' || CAST(n_chars AS VARCHAR)
+    || ',"excerpt":"' || substr(text, 1, 40) || '"}' AS es_doc
+FROM documents"""
+
+    o["render_splunk_hec_events"] = r"""
+WITH e AS (SELECT *, epoch_us(ts) + (event_id % 1000) * 1000 AS us FROM events)
+SELECT event_id,
+  '{"time":' || CAST(us // 1000000 AS VARCHAR) || '.'
+    || lpad(CAST((us % 1000000) // 1000 AS VARCHAR), 3, '0')
+    || ',"host":"h' || CAST(user_id % 5 AS VARCHAR)
+    || '","source":"events","sourcetype":"' || event_type || '"'
+    || CASE WHEN event_id % 4 != 0 THEN ',"index":"main"' ELSE '' END
+    || ',"event":"'
+    || replace(replace(replace(replace(replace(props,
+         '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+    || '"}' AS hec_event
+FROM e"""
 
     # pairwise collapse of [1,5,10,50,100]+overflow twice leaves <=50 / >50
     o["events_histogram_limit"] = """

@@ -1,0 +1,161 @@
+"""Exporter wire-format renders (operators/render.py) against the
+reference's own golden strings: rfc5424_formatter_test.go:21-56 and
+rfc3164_formatter_test.go:17-53 expectations verbatim, plus escape-chain
+robustness for the JSON renders."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.render import (
+    render_es_bulk,
+    render_prometheus_text,
+    render_splunk_hec,
+    render_syslog_rfc3164,
+    render_syslog_rfc5424,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _one(df, col):
+    return df.select(col).first()[0]
+
+
+def test_rfc5424_golden_full_fields(spark):
+    # rfc5424_formatter_test.go:21-36
+    expected = (
+        "<165>1 2003-08-24T05:14:15.000003Z 192.0.2.1 myproc 8710 - -"
+        " It's time to make the do-nuts.\n"
+    )
+    df = spark.createDataFrame([(_ts("2003-08-24T05:14:15.000003"),)], "ts timestamp")
+    out = render_syslog_rfc5424(
+        df,
+        hostname=F.lit("192.0.2.1"),
+        appname=F.lit("myproc"),
+        proc_id=F.lit("8710"),
+        message=F.lit("It's time to make the do-nuts."),
+    )
+    assert _one(out, "syslog_line") == expected
+    framed = render_syslog_rfc5424(
+        df,
+        hostname=F.lit("192.0.2.1"),
+        appname=F.lit("myproc"),
+        proc_id=F.lit("8710"),
+        message=F.lit("It's time to make the do-nuts."),
+        octet_counting=True,
+    )
+    assert _one(framed, "syslog_line") == f"{len(expected)} {expected}"
+
+
+def test_rfc5424_golden_millis_trim_and_msgid(spark):
+    # rfc5424_formatter_test.go:38-52 — .003000 microseconds render as .003
+    expected = (
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 111 ID47 -"
+        " BOMAn application event log entry...\n"
+    )
+    df = spark.createDataFrame([(_ts("2003-10-11T22:14:15.003000"),)], "ts timestamp")
+    out = render_syslog_rfc5424(
+        df,
+        hostname=F.lit("mymachine.example.com"),
+        appname=F.lit("evntslog"),
+        proc_id=F.lit("111"),
+        msg_id=F.lit("ID47"),
+        message=F.lit("BOMAn application event log entry..."),
+    )
+    assert _one(out, "syslog_line") == expected
+
+
+def test_rfc5424_all_defaults_empty_message(spark):
+    # sender.go:19-41 defaults; formatMessage: empty message adds no space
+    df = spark.createDataFrame([(_ts("2003-08-24T05:14:15"),)], "ts timestamp")
+    out = render_syslog_rfc5424(df)
+    assert _one(out, "syslog_line") == "<165>1 2003-08-24T05:14:15Z - - - - -\n"
+
+
+def test_rfc3164_golden(spark):
+    # rfc3164_formatter_test.go:17-30
+    df = spark.createDataFrame([(_ts("2003-08-24T05:14:15.000003"),)], "ts timestamp")
+    out = render_syslog_rfc3164(
+        df,
+        priority=F.lit("34"),
+        hostname=F.lit("mymachine"),
+        appname=F.lit("su"),
+        message=F.lit("'su root' failed for lonvick on /dev/pts/8"),
+    )
+    assert (
+        _one(out, "syslog_line")
+        == "<34>Aug 24 05:14:15 mymachine su: 'su root' failed for lonvick on /dev/pts/8\n"
+    )
+
+
+def test_rfc3164_defaults_and_space_padded_day(spark):
+    # rfc3164_formatter_test.go:32-41 (defaults) and :43-53 (Sep  3 pad)
+    df = spark.createDataFrame([(_ts("2003-08-24T05:14:15.000003"),)], "ts timestamp")
+    out = render_syslog_rfc3164(df, message=F.lit("-"))
+    assert _one(out, "syslog_line") == "<165>Aug 24 05:14:15 - -\n"
+
+    df = spark.createDataFrame([(_ts("2024-09-03T23:12:35"),)], "ts timestamp")
+    out = render_syslog_rfc3164(
+        df,
+        priority=F.lit("34"),
+        hostname=F.lit("myhost"),
+        appname=F.lit("app"),
+        message=F.lit("test message"),
+    )
+    assert _one(out, "syslog_line") == "<34>Sep  3 23:12:35 myhost app: test message\n"
+
+
+def test_prometheus_render_shapes(spark):
+    df = spark.createDataFrame(
+        [("http_total", "code=200,method=get", "42"), ("up", None, "1")],
+        "name string, labels string, v string",
+    )
+    out = render_prometheus_text(df, "name", "labels", "v").collect()
+    lines = {r["name"]: r["prom_line"] for r in out}
+    assert lines["http_total"] == 'http_total{code="200",method="get"} 42'
+    assert lines["up"] == "up 1"  # no labels -> no braces
+
+
+def test_es_bulk_escapes_and_null_fields(spark):
+    df = spark.createDataFrame(
+        [(1, 'say "hi"\tnow\nback\\slash', None)], "doc_id bigint, txt string, missing string"
+    )
+    out = render_es_bulk(
+        df,
+        index=F.lit("idx"),
+        doc_id=F.col("doc_id").cast("string"),
+        doc_fields={"txt": (F.col("txt"), True), "m": (F.col("missing"), True),
+                    "n": (F.lit(7).cast("string"), False)},
+    )
+    row = out.first()
+    assert row["es_action"] == '{"create":{"_index":"idx","_id":"1"}}'
+    # both lines must be VALID json that round-trips the raw value
+    doc = json.loads(row["es_doc"])
+    assert doc == {"txt": 'say "hi"\tnow\nback\\slash', "m": None, "n": 7}
+
+
+def test_splunk_hec_time_and_optional_index(spark):
+    df = spark.createDataFrame(
+        [(_ts("2020-01-02T03:04:05.678901"), 'msg "q"', "main"),
+         (_ts("2020-01-02T03:04:05"), "plain", None)],
+        "ts timestamp, body string, idx string",
+    )
+    rows = render_splunk_hec(
+        df, ts="ts", host=F.lit("h1"), source=F.lit("src"),
+        sourcetype=F.lit("st"), index="idx", event="body",
+    ).collect()
+    ev = {json.loads(r["hec_event"])["event"]: json.loads(r["hec_event"]) for r in rows}
+    assert ev['msg "q"']["time"] == 1577934245.678  # truncated to millis
+    assert ev['msg "q"']["index"] == "main"
+    assert ev["plain"]["time"] == 1577934245.0
+    assert "index" not in ev["plain"]  # NULL index omitted entirely
+    assert ev["plain"]["host"] == "h1" and ev["plain"]["sourcetype"] == "st"
+    # the rendered time field is a fixed 3-decimal literal, not a float repr
+    raw = [r["hec_event"] for r in rows if '"event":"plain"' in r["hec_event"]][0]
+    assert raw.startswith('{"time":1577934245.000,')
