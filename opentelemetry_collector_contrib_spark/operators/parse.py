@@ -1023,3 +1023,116 @@ def loki_json_push(df: DataFrame, source: str = "body") -> DataFrame:
         F.timestamp_micros(us).alias("line_ts"),
         F.col("_v")[1].alias("line"),
     )
+
+
+def parse_carbon(df: DataFrame, source: str = "body") -> DataFrame:
+    """Carbon/Graphite plaintext line (receiver/carbonreceiver/protocol/
+    path_parser_helper.go:80-127 + plaintext_parser.go:40-70):
+    `<name>[;k=v;...] <value> <unix_ts>` with EXACTLY three single-space
+    separated parts (SplitN semantics: runs of spaces are malformed), the
+    value int-or-float (cb_is_int mirrors the ParseInt-first dispatch that
+    picks the datapoint's int vs double slot), the timestamp int seconds
+    or fractional seconds, and carbon tags where the key may not contain
+    `;!^=` and the value may not contain `;~` — ONE bad tag poisons the
+    whole line (the reference errors the line, on_error=send -> NULLs).
+    Emits (cb_name, cb_tags_csv sorted, cb_value double, cb_is_int,
+    cb_ts_us)."""
+    line = F.col(source)
+    # Go strconv.ParseFloat also accepts trailing-dot forms ("1582230020.",
+    # plaintext_parser_test.go:109) — wider than the shared _NUM
+    go_num = r"(?:[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)"
+    shape = rf"^([^ ;]+(?:;[^ ]*)?) ({go_num}) ({go_num})$"
+    ok_shape = line.rlike(shape)
+    path, value, ts = _guarded_groups(line, shape, 3)
+    name = F.substring_index(path, ";", 1)
+    rest = F.when(
+        F.length(path) > F.length(name), F.expr(f"substring({'_cbp'}, length(_cbn) + 2)")
+    )
+    tmp = df.withColumn("_cbp", F.when(ok_shape, path)).withColumn("_cbn", F.when(ok_shape, name))
+    tags_arr = F.split(rest, ";")
+    # empty tag section ("name;") is legal and empty (plaintext_parser.go:53-56)
+    has_tags = rest.isNotNull() & (rest != "")
+    bad_tag = F.exists(tags_arr, lambda t: ~t.rlike(r"^[^;!^=]+=[^;~]*$"))
+    ok = ok_shape & ~(has_tags & bad_tag)
+    tags_csv = F.when(has_tags, F.array_join(F.array_sort(tags_arr), ",")).otherwise(
+        F.lit(None).cast("string")
+    )
+    out = tmp.select(
+        *df.columns,
+        F.when(ok, F.col("_cbn")).alias("cb_name"),
+        F.when(ok, tags_csv).alias("cb_tags_csv"),
+        F.when(ok, value.try_cast("double")).alias("cb_value"),
+        F.when(ok, value.rlike(r"^[-+]?\d+$")).alias("cb_is_int"),
+        F.when(ok, F.floor(ts.try_cast("double") * 1000000).cast("bigint")).alias("cb_ts_us"),
+    )
+    return out
+
+
+COLLECTD_SCHEMA = (
+    "array<struct<time: double, interval: double, host: string, plugin: string,"
+    " plugin_instance: string, type: string, type_instance: string,"
+    " dstypes: array<string>, dsnames: array<string>, values: array<double>>>"
+)
+
+
+def parse_collectd_json(df: DataFrame, source: str = "body") -> DataFrame:
+    """collectd JSON payload (receiver/collectdreceiver/collectd.go:20-98):
+    an array of records, each fanning out one datapoint per
+    (dsname, dstype, value) triple. The metric name joins non-empty
+    `type`.`type_instance` and appends `.dsname` only when the record has
+    more than one dsname (getReasonableMetricName, collectd.go:156-182).
+    The reference's bracketed LabelsFromName extraction (`name[k=v]`) is
+    deliberately not applied — labels surface as plain columns. Emits one
+    row per datapoint: (cd_name, cd_host, cd_plugin, cd_plugin_instance,
+    cd_dsname, cd_dstype, cd_value, cd_interval, cd_ts_us)."""
+    gated = df.filter(F.col(source).rlike(r"^\s*\[")).withColumn(
+        "_recs", F.from_json(F.col(source), COLLECTD_SCHEMA)
+    )
+    rec = gated.select("*", F.explode("_recs").alias("_r")).drop("_recs")
+    r = F.col("_r")
+    trip = rec.select(
+        "*", F.posexplode(F.arrays_zip(r["dsnames"], r["dstypes"], r["values"])).alias("_i", "_t")
+    )
+    dsname = F.col("_t")["dsnames"]
+    base = F.concat_ws(".", F.nullif(r["type"], F.lit("")), F.nullif(r["type_instance"], F.lit("")))
+    name = F.when(
+        (F.size(r["dsnames"]) > 1) & dsname.isNotNull() & (dsname != ""),
+        F.concat(base, F.lit("."), dsname),
+    ).otherwise(base)
+    return trip.select(
+        *df.columns,
+        name.alias("cd_name"),
+        r["host"].alias("cd_host"),
+        r["plugin"].alias("cd_plugin"),
+        r["plugin_instance"].alias("cd_plugin_instance"),
+        dsname.alias("cd_dsname"),
+        F.col("_t")["dstypes"].alias("cd_dstype"),
+        F.col("_t")["values"].alias("cd_value"),
+        r["interval"].alias("cd_interval"),
+        F.floor(r["time"] * 1000000).cast("bigint").alias("cd_ts_us"),
+    )
+
+
+FIREHOSE_SCHEMA = (
+    "struct<requestId: string, timestamp: bigint, records: array<struct<data: string>>>"
+)
+
+
+def parse_firehose_envelope(df: DataFrame, source: str = "body") -> DataFrame:
+    """AWS Kinesis Firehose HTTP-endpoint envelope
+    (receiver/awsfirehosereceiver/receiver.go:75-89): `{"requestId",
+    "timestamp" (epoch ms), "records": [{"data": "<base64>"}]}` — one row
+    per record with the payload base64-decoded (empty data is legal and
+    yields ''); undecodable base64 yields NULL (try_to_binary, the
+    on_error=send analogue)."""
+    gated = df.filter(F.col(source).rlike(r"^\s*\{")).withColumn(
+        "_env", F.from_json(F.col(source), FIREHOSE_SCHEMA)
+    )
+    rec = gated.select("*", F.posexplode(F.col("_env")["records"]).alias("_i", "_r"))
+    return rec.select(
+        *df.columns,
+        F.col("_env")["requestId"].alias("fh_request_id"),
+        F.timestamp_millis(F.col("_env")["timestamp"]).alias("fh_ts"),
+        F.col("_i").cast("int").alias("fh_record_idx"),
+        F.try_to_binary(F.col("_r")["data"], F.lit("base64")).cast("string").alias("fh_data"),
+    )

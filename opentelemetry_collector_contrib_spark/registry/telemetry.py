@@ -2035,7 +2035,97 @@ def q_render_splunk_hec(spark, sf_dir):
     return out.select("event_id", "hec_event")
 
 
+def q_parse_carbon(spark, sf_dir):
+    """Carbon plaintext lines (carbonreceiver path_parser_helper.go):
+    int-vs-float value dispatch, sorted tag CSV, int and fractional unix
+    timestamps; every 10th line malformed (double space), every 13th has
+    a tag missing '=' -> the whole line NULLs."""
+    from ..operators.parse import parse_carbon
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    iv = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    dv = F.col("value").cast("decimal(18,2)").cast("string")
+    secs = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast("bigint")
+    ts_str = F.when(F.pmod(eid, F.lit(2)) == 0, secs.cast("string")).otherwise(
+        F.concat(secs.cast("string"), F.lit(".5"))
+    )
+    val_str = F.when(F.pmod(eid, F.lit(2)) == 0, iv).otherwise(dv)
+    tag_part = F.when(F.pmod(eid, F.lit(13)) == 0, F.lit(";badtag")).otherwise(
+        F.concat(F.lit(";env=prod;host=h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string"))
+    )
+    sep = F.when(F.pmod(eid, F.lit(10)) == 0, F.lit("  ")).otherwise(F.lit(" "))
+    body = F.concat(F.col("event_type"), tag_part, sep, val_str, F.lit(" "), ts_str)
+    out = parse_carbon(ev.withColumn("body", body), "body")
+    return out.select("event_id", "cb_name", "cb_tags_csv", "cb_value", "cb_is_int", "cb_ts_us")
+
+
+def q_parse_collectd(spark, sf_dir):
+    """collectd JSON records (collectdreceiver collectd.go): one datapoint
+    per (dsname, dstype, value) triple, `type.type_instance[.dsname]`
+    naming with the >1-dsname rule, fractional epoch time."""
+    from ..operators.parse import parse_collectd_json
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    iv = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    secs = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast("bigint")
+    single = F.pmod(eid, F.lit(5)) == 0
+    body = F.when(
+        single,
+        F.concat(
+            F.lit('[{"time": '), secs.cast("string"),
+            F.lit('.25, "interval": 10.0, "host": "h'),
+            F.pmod(F.col("user_id"), F.lit(5)).cast("string"),
+            F.lit('", "plugin": "load", "type": "load", "type_instance": "",'
+                  ' "dstypes": ["gauge"], "dsnames": ["value"], "values": ['),
+            iv, F.lit("]}]"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('[{"time": '), secs.cast("string"),
+            F.lit('.25, "interval": 10.0, "host": "h'),
+            F.pmod(F.col("user_id"), F.lit(5)).cast("string"),
+            F.lit('", "plugin": "if", "plugin_instance": "eth0", "type": "'),
+            F.col("event_type"),
+            F.lit('", "type_instance": "octets", "dstypes": ["derive", "derive"],'
+                  ' "dsnames": ["rx", "tx"], "values": ['),
+            iv, F.lit(", "), iv, F.lit("1]}]"),
+        )
+    )
+    out = parse_collectd_json(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", "cd_name", "cd_host", "cd_plugin", "cd_plugin_instance",
+        "cd_dsname", "cd_dstype", "cd_value", "cd_interval", "cd_ts_us",
+    )
+
+
+def q_parse_firehose(spark, sf_dir):
+    """AWS Firehose HTTP envelope (awsfirehosereceiver receiver.go:75-89):
+    base64 records decoded per row, empty data legal, epoch-ms envelope
+    timestamp shared by every record of a request."""
+    from ..operators.parse import parse_firehose_envelope
+
+    ev = _events(spark, sf_dir)
+    iv = F.floor(F.col("value") * 100).cast("bigint").cast("string")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("bigint")
+    payload = F.base64(F.concat(F.lit("evt "), F.col("event_type"), F.lit(" "), iv).cast("binary"))
+    body = F.concat(
+        F.lit('{"requestId": "req-'), F.col("event_id").cast("string"),
+        F.lit('", "timestamp": '), ms.cast("string"),
+        F.lit(', "records": [{"data": "'), payload, F.lit('"}, {"data": ""}]}'),
+    )
+    out = parse_firehose_envelope(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", "fh_request_id",
+        F.unix_millis(F.col("fh_ts")).alias("fh_ts_ms"), "fh_record_idx", "fh_data",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "parse_carbon_lines": q_parse_carbon,
+    "parse_collectd_json": q_parse_collectd,
+    "parse_firehose_records": q_parse_firehose,
     "render_syslog_rfc5424": q_render_rfc5424,
     "render_syslog_rfc3164": q_render_rfc3164,
     "render_prom_roundtrip": q_render_prom_roundtrip,
@@ -2552,6 +2642,51 @@ SELECT event_id, event_type || '_total' AS pm_name,
   CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS pm_value,
   CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS pm_ts_ms
 FROM events"""
+
+    o["parse_carbon_lines"] = """
+WITH e AS (SELECT *, epoch_us(ts) // 1000000 AS secs,
+                  (event_id % 10 != 0 AND event_id % 13 != 0) AS ok FROM events)
+SELECT event_id,
+  CASE WHEN ok THEN event_type END AS cb_name,
+  CASE WHEN ok THEN 'env=prod,host=h' || CAST(user_id % 5 AS VARCHAR) END AS cb_tags_csv,
+  CASE WHEN NOT ok THEN NULL
+       WHEN event_id % 2 = 0 THEN CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE)
+       ELSE CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS cb_value,
+  CASE WHEN ok THEN event_id % 2 = 0 END AS cb_is_int,
+  CASE WHEN NOT ok THEN NULL
+       WHEN event_id % 2 = 0 THEN secs * 1000000
+       ELSE secs * 1000000 + 500000 END AS cb_ts_us
+FROM e"""
+
+    o["parse_collectd_json"] = """
+WITH e AS (SELECT *, epoch_us(ts) // 1000000 AS secs,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+x AS (SELECT e.*, s.i FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i) s
+      WHERE event_id % 5 != 0 OR i = 0)
+SELECT event_id,
+  CASE WHEN event_id % 5 = 0 THEN 'load'
+       ELSE event_type || '.octets.' || (CASE WHEN i = 0 THEN 'rx' ELSE 'tx' END)
+       END AS cd_name,
+  'h' || CAST(user_id % 5 AS VARCHAR) AS cd_host,
+  CASE WHEN event_id % 5 = 0 THEN 'load' ELSE 'if' END AS cd_plugin,
+  CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'eth0' END AS cd_plugin_instance,
+  CASE WHEN event_id % 5 = 0 THEN 'value' WHEN i = 0 THEN 'rx' ELSE 'tx' END AS cd_dsname,
+  CASE WHEN event_id % 5 = 0 THEN 'gauge' ELSE 'derive' END AS cd_dstype,
+  CAST(CASE WHEN event_id % 5 != 0 AND i = 1 THEN iv * 10 + 1 ELSE iv END AS DOUBLE) AS cd_value,
+  CAST(10.0 AS DOUBLE) AS cd_interval,
+  secs * 1000000 + 250000 AS cd_ts_us
+FROM x"""
+
+    o["parse_firehose_records"] = """
+WITH x AS (SELECT e.*, s.i,
+                  CAST(floor(value * 100) AS BIGINT) AS iv
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+SELECT event_id,
+  'req-' || CAST(event_id AS VARCHAR) AS fh_request_id,
+  CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS fh_ts_ms,
+  CAST(i AS INTEGER) AS fh_record_idx,
+  CASE WHEN i = 0 THEN 'evt ' || event_type || ' ' || CAST(iv AS VARCHAR) ELSE '' END AS fh_data
+FROM x"""
 
     # --- exporter renders: the oracle rebuilds each wire line with the
     # same concat/strftime arithmetic, so parity is byte-for-byte

@@ -1,0 +1,112 @@
+"""carbon / collectd / firehose wire parsers against the reference's own
+test tables: plaintext_parser_test.go:20-123 (value + timestamp dispatch,
+4-part and bad-value errors) and :141-205 (parsePath tag cases),
+collectd.go naming rules, receiver.go:75-89 envelope."""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.parse import (
+    parse_carbon,
+    parse_collectd_json,
+    parse_firehose_envelope,
+)
+
+
+def _carbon(spark, *lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], "body string")
+    out = parse_carbon(df, "body").collect()
+    return {r["body"]: r.asDict() for r in out}
+
+
+def test_carbon_reference_value_and_timestamp_table(spark):
+    rows = _carbon(
+        spark,
+        "tst.int 1 1582230020",
+        "tst.dbl 3.14 1582230020",
+        "tst.int.3tags;k0=v_0;k1=v_1;k2=v_2 128 1582230020",
+        "tst.int.1tag;k0=v_0 1.23 1582230020",
+        "more.than.3.parts 1.23 1582230000 1582230020",
+        "nan.value xyz 1582230000",
+        ";invalid=path 1.23 1582230000",
+        "invalid.timestamp 1.23 xyz",
+        "tst.floattimestamp 3.14 1582230020.5",
+        "tst.floattimestampnofractionalpart 3.14 1582230020.",
+    )
+    r = rows["tst.int 1 1582230020"]
+    assert (r["cb_name"], r["cb_value"], r["cb_is_int"]) == ("tst.int", 1.0, True)
+    assert r["cb_ts_us"] == 1582230020_000000
+    r = rows["tst.dbl 3.14 1582230020"]
+    assert (r["cb_value"], r["cb_is_int"]) == (3.14, False)
+    r = rows["tst.int.3tags;k0=v_0;k1=v_1;k2=v_2 128 1582230020"]
+    assert r["cb_name"] == "tst.int.3tags"
+    assert r["cb_tags_csv"] == "k0=v_0,k1=v_1,k2=v_2"
+    assert rows["tst.int.1tag;k0=v_0 1.23 1582230020"]["cb_tags_csv"] == "k0=v_0"
+    # error rows -> all-NULL (on_error=send)
+    for bad in (
+        "more.than.3.parts 1.23 1582230000 1582230020",
+        "nan.value xyz 1582230000",
+        ";invalid=path 1.23 1582230000",
+        "invalid.timestamp 1.23 xyz",
+    ):
+        assert rows[bad]["cb_name"] is None and rows[bad]["cb_value"] is None
+    # ParseFloat timestamp forms, incl. Go's trailing-dot acceptance
+    assert rows["tst.floattimestamp 3.14 1582230020.5"]["cb_ts_us"] == 1582230020_500000
+    assert rows["tst.floattimestampnofractionalpart 3.14 1582230020."]["cb_ts_us"] == (
+        1582230020_000000
+    )
+
+
+def test_carbon_reference_parse_path_table(spark):
+    rows = _carbon(
+        spark,
+        "no.tags; 1 2",
+        "void.tags;;; 1 2",
+        "invalid.tag;k0=v0;k1_v1 1 2",
+        "empty.tag.value.middle;k0=;k1=v1 1 2",
+        "empty.tag.value.end;k0=v0;k1= 1 2",
+    )
+    assert rows["no.tags; 1 2"]["cb_name"] == "no.tags"
+    assert rows["no.tags; 1 2"]["cb_tags_csv"] is None
+    assert rows["void.tags;;; 1 2"]["cb_name"] is None  # empty tags error
+    assert rows["invalid.tag;k0=v0;k1_v1 1 2"]["cb_name"] is None  # one bad tag poisons
+    assert rows["empty.tag.value.middle;k0=;k1=v1 1 2"]["cb_tags_csv"] == "k0=,k1=v1"
+    assert rows["empty.tag.value.end;k0=v0;k1= 1 2"]["cb_tags_csv"] == "k0=v0,k1="
+
+
+def test_collectd_naming_rules(spark):
+    multi = (
+        '[{"time": 10.25, "interval": 5.0, "host": "web1", "plugin": "if",'
+        ' "plugin_instance": "eth0", "type": "if_octets", "type_instance": "",'
+        ' "dstypes": ["derive", "derive"], "dsnames": ["rx", "tx"], "values": [1, 2]}]'
+    )
+    single = (
+        '[{"time": 10.0, "type": "load", "type_instance": "shortterm",'
+        ' "dstypes": ["gauge"], "dsnames": ["value"], "values": [0.5]}]'
+    )
+    df = spark.createDataFrame([(multi,), (single,), ("not json",)], "body string")
+    rows = parse_collectd_json(df, "body").collect()
+    names = sorted((r["cd_name"], r["cd_value"]) for r in rows)
+    # >1 dsname appends .dsname; single dsname does not (collectd.go:156-182)
+    assert names == [("if_octets.rx", 1.0), ("if_octets.tx", 2.0), ("load.shortterm", 0.5)]
+    by_name = {r["cd_name"]: r for r in rows}
+    assert by_name["if_octets.rx"]["cd_ts_us"] == 10_250000
+    assert by_name["if_octets.rx"]["cd_host"] == "web1"
+    assert by_name["load.shortterm"]["cd_plugin_instance"] is None
+    assert len(rows) == 3  # non-JSON and non-array payloads drop
+
+
+def test_firehose_envelope_decode(spark):
+    data = base64.b64encode(b"hello world").decode()
+    body = (
+        '{"requestId": "ed4acda5", "timestamp": 1578090901599,'
+        f' "records": [{{"data": "{data}"}}, {{"data": ""}}, {{"data": "!!!"}}]}}'
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = parse_firehose_envelope(df, "body").orderBy("fh_record_idx").collect()
+    assert [r["fh_data"] for r in rows] == ["hello world", "", None]  # bad base64 -> NULL
+    assert all(r["fh_request_id"] == "ed4acda5" for r in rows)
+    assert rows[0]["fh_ts"].isoformat().startswith("2020-01-03T22:35:01.599")
