@@ -178,12 +178,13 @@ def render_prometheus_text(
     vcol = F.col(value_str) if isinstance(value_str, str) else value_str
     if labels_csv is not None:
         lcol = F.col(labels_csv) if isinstance(labels_csv, str) else labels_csv
-        pairs = F.transform(
-            F.split(lcol, ","), lambda p: F.regexp_replace(p, r"^([^=]*)=(.*)$", '$1="$2"')
-        )
+        # one global regexp_replace (keys cannot contain '=' or ',' in the
+        # canonical CSV, values cannot contain ','), NOT a transform() HOF —
+        # HOFs evict the projection from whole-stage codegen
+        pairs = F.regexp_replace(lcol, r"([^=,]+)=([^,]*)", '$1="$2"')
         braces = F.when(
             lcol.isNotNull() & (lcol != ""),
-            F.concat(F.lit("{"), F.array_join(pairs, ","), F.lit("}")),
+            F.concat(F.lit("{"), pairs, F.lit("}")),
         ).otherwise(F.lit(""))
     else:
         braces = F.lit("")

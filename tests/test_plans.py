@@ -175,3 +175,31 @@ def test_host_info_single_aggregate_exchange(spark):
     already-reduced (window, host) pairs, nothing else."""
     plan = plan_of(_query("events_host_info")(spark, SF))
     assert n_exchanges(plan) <= 1, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "render_syslog_rfc5424",
+        "render_syslog_rfc3164",
+        "render_splunk_hec_events",
+        "render_es_bulk_docs",
+        "render_prom_roundtrip",
+        "parse_carbon_lines",
+        "parse_collectd_json",
+        "parse_firehose_records",
+    ],
+)
+def test_wire_renders_and_parsers_are_shuffle_free_projections(spark, name):
+    """The exporter renders and wire parsers are the per-row hot path of a
+    100 TB pipeline: they must stay pure scan->project(->generate) chains —
+    zero Exchange, no join nodes, no Python UDF (BatchEvalPython /
+    ArrowEvalPython) anywhere in the plan."""
+    plan = plan_of(_query(name)(spark, SF))
+    assert n_exchanges(plan) == 0, f"{name} gained a shuffle:\n{tree_of(plan)}"
+    for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, f"{name} plan contains {node}"
+    # formatted mode marks whole-stage-codegen nodes with '*'; a HOF
+    # (exists/transform) can push the outermost Project out of codegen,
+    # but the chain must contain codegen'd projections
+    assert re.search(r"\* (Project|Filter)", tree_of(plan)), tree_of(plan)
