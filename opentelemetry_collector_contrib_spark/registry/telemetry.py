@@ -2122,7 +2122,24 @@ def q_parse_firehose(spark, sf_dir):
     )
 
 
+def q_fluent_forward(spark, sf_dir):
+    """Fluent Forward protocol (fluentforwardreceiver): all three event
+    modes — message (int time), forward (EventTime ext entries),
+    packedforward (+ gzip CompressedPackedForward every 6th) — decoded
+    from per-row msgpack payloads synthesized deterministically from
+    events."""
+    from ..operators.fluent import parse_fluent_forward, synthesize_fluent_payloads
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    payloads = synthesize_fluent_payloads(ev, cols={"etype": "event_type"})
+    out = parse_fluent_forward(payloads, "payload")
+    return out.select(
+        "event_id", "ff_mode", "ff_tag", "ff_ts_us", "ff_body", "ff_attrs_csv", "ff_chunk"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fluent_forward_parse": q_fluent_forward,
     "parse_carbon_lines": q_parse_carbon,
     "parse_collectd_json": q_parse_collectd,
     "parse_firehose_records": q_parse_firehose,
@@ -2642,6 +2659,25 @@ SELECT event_id, event_type || '_total' AS pm_name,
   CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS pm_value,
   CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS pm_ts_ms
 FROM events"""
+
+    o["fluent_forward_parse"] = """
+WITH x AS (SELECT e.*, s.i, 1700000000 + event_id % 86400 AS sec
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s
+           WHERE event_id % 3 != 0 OR i = 0)
+SELECT event_id,
+  CASE event_id % 3 WHEN 0 THEN 'message' WHEN 1 THEN 'forward'
+       ELSE 'packedforward' END AS ff_mode,
+  CASE event_id % 3 WHEN 0 THEN 'svc.msg' WHEN 1 THEN 'svc.fwd'
+       ELSE 'svc.packed' END AS ff_tag,
+  CASE WHEN event_id % 3 = 0 THEN sec * 1000000
+       WHEN event_id % 3 = 1 THEN sec * 1000000 + (event_id % 1000) * 1000
+       WHEN i = 0 THEN sec * 1000000
+       ELSE sec * 1000000 + 250000 END AS ff_ts_us,
+  'm' || CAST(event_id AS VARCHAR) AS ff_body,
+  CASE WHEN event_id % 3 = 1 AND i = 1 THEN 'etype=' || event_type || ',seq=2'
+       ELSE 'etype=' || event_type END AS ff_attrs_csv,
+  CASE WHEN event_id % 3 = 2 THEN 'c' || CAST(event_id AS VARCHAR) END AS ff_chunk
+FROM x"""
 
     o["parse_carbon_lines"] = """
 WITH e AS (SELECT *, epoch_us(ts) // 1000000 AS secs,

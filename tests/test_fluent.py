@@ -1,0 +1,81 @@
+"""Fluent Forward protocol decode (operators/fluent.py) — event-mode
+detection by second array element (server.go:186-250), the three carrier
+modes (conversion.go:203-420), EventTime ext (timeext.go), body-key rules
+and binary map keys (conversion.go:165-189)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.fluent import (
+    EventTime,
+    decode_event,
+    mp_decode,
+    mp_encode,
+    parse_fluent_forward,
+    synthesize_fluent_payloads,
+)
+
+
+def test_codec_roundtrip_types():
+    vals = [None, True, False, 0, 127, -32, 255, 65535, 1 << 40, -3, -(1 << 20),
+            3.5, "s", "x" * 40, b"\x00\x01", [1, "a"], {"k": [1, 2]}]
+    for v in vals:
+        got, pos = mp_decode(mp_encode(v))
+        assert got == v and pos == len(mp_encode(v))
+    t, _ = mp_decode(mp_encode(EventTime(7, 250_000_000)))
+    assert (t.sec, t.ns) == (7, 250_000_000)
+
+
+def test_message_mode_with_options_chunk():
+    # [tag, time, record, options] — 4-element message event: the record
+    # must NOT be mistaken for the options map
+    evt = ["t", 100, {"log": "b", "k": 1}, {"chunk": "abc=="}]
+    rows = decode_event(mp_encode(evt))
+    assert rows == [
+        {"ff_mode": "message", "ff_tag": "t", "ff_ts_us": 100_000_000,
+         "ff_body": "b", "ff_attrs_csv": "k=1", "ff_chunk": "abc=="}
+    ]
+    # without options, chunk is None
+    assert decode_event(mp_encode(["t", 100, {"log": "b"}]))[0]["ff_chunk"] is None
+
+
+def test_forward_mode_eventtime_and_binary_keys():
+    t = EventTime(1_600_000_000, 999_999_999)
+    entries = [[t, {b"message": b"bytes-body", "a": False}]]
+    rows = decode_event(mp_encode(["fw", entries]))
+    assert rows[0]["ff_ts_us"] == 1_600_000_000_999_999  # ns floor to us
+    assert rows[0]["ff_body"] == "bytes-body"  # binary key + value decode
+    assert rows[0]["ff_attrs_csv"] == "a=false"
+
+
+def test_packedforward_str_blob_and_gzip():
+    blob = mp_encode([1, {"message": "p1"}]) + mp_encode([2, {"message": "p2"}])
+    gz = gzip.compress(blob, mtime=0)
+    rows = decode_event(mp_encode(["t", gz, {"compressed": "gzip", "chunk": "c1"}]))
+    assert [r["ff_body"] for r in rows] == ["p1", "p2"]
+    assert all(r["ff_mode"] == "packedforward" and r["ff_chunk"] == "c1" for r in rows)
+
+
+def test_spark_parse_drops_malformed_and_explodes(spark):
+    good = mp_encode(["t", [[1, {"log": "a"}], [2, {"log": "b"}]]])
+    bad = b"\xc1\x00\x00"  # 0xc1 is the never-used msgpack byte
+    df = spark.createDataFrame([(1, bytearray(good)), (2, bytearray(bad)), (3, None)],
+                               "id int, payload binary")
+    rows = parse_fluent_forward(df, "payload").collect()
+    assert [(r["id"], r["ff_body"]) for r in sorted(rows, key=lambda r: r["ff_body"])] == [
+        (1, "a"), (1, "b")
+    ]
+
+
+def test_synthesize_matches_decode_modes(spark):
+    df = spark.range(9).select(F.col("id").alias("event_id"), F.lit("T").alias("event_type"))
+    out = parse_fluent_forward(
+        synthesize_fluent_payloads(df, cols={"etype": "event_type"}), "payload"
+    )
+    counts = {r["ff_mode"]: r["count"] for r in out.groupBy("ff_mode").count().collect()}
+    # ids 0,3,6 message (1 row), 1,4,7 forward (2), 2,5,8 packed (2)
+    assert counts == {"message": 3, "forward": 6, "packedforward": 6}
+    assert out.filter(F.col("ff_chunk").isNotNull()).count() == 6  # packed only
