@@ -79,3 +79,50 @@ def test_synthesize_matches_decode_modes(spark):
     # ids 0,3,6 message (1 row), 1,4,7 forward (2), 2,5,8 packed (2)
     assert counts == {"message": 3, "forward": 6, "packedforward": 6}
     assert out.filter(F.col("ff_chunk").isNotNull()).count() == 6  # packed only
+
+
+# --- property: codec round-trip over arbitrary msgpack-subset values --------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(1 << 62), max_value=(1 << 63) - 1),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+_value = st.recursive(
+    _scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=5), st.dictionaries(st.text(max_size=8), inner, max_size=5)
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_value)
+def test_codec_roundtrip_property(v):
+    enc = mp_encode(v)
+    got, pos = mp_decode(enc)
+    assert pos == len(enc)
+    assert got == v
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=1, max_size=64))
+def test_decode_event_never_hangs_or_crashes_unexpectedly(raw):
+    """Arbitrary bytes either decode to rows or raise ValueError/IndexError/
+    struct.error/Unicode errors — the exception families parse_fluent_forward
+    converts to a dropped event. Nothing else may escape, and decode must
+    terminate."""
+    import struct as _struct
+
+    try:
+        rows = decode_event(raw)
+        assert isinstance(rows, list)
+    except (ValueError, IndexError, KeyError, TypeError, EOFError, OSError, _struct.error):
+        pass
