@@ -2138,7 +2138,24 @@ def q_fluent_forward(spark, sf_dir):
     )
 
 
+def q_otlp_pb_logs(spark, sf_dir):
+    """OTLP protobuf logs (the collector's native wire format,
+    opentelemetry-proto logs.proto): proto-wire decode of LogsData
+    payloads — fixed64 nanos, varint severities, AnyValue bodies (string
+    and kvlist), typed attributes, trace/span ids, resource + scope
+    context flattened per record."""
+    from ..operators.otlp_pb import parse_otlp_pb_logs, synthesize_otlp_pb
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    out = parse_otlp_pb_logs(synthesize_otlp_pb(ev, cols={"etype": "event_type"}), "payload")
+    return out.select(
+        "event_id", "ol_ts_us", "ol_severity_number", "ol_severity_text", "ol_body",
+        "ol_attrs_csv", "ol_trace_id", "ol_span_id", "ol_scope", "ol_resource_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "otlp_pb_logs": q_otlp_pb_logs,
     "fluent_forward_parse": q_fluent_forward,
     "parse_carbon_lines": q_parse_carbon,
     "parse_collectd_json": q_parse_collectd,
@@ -2659,6 +2676,26 @@ SELECT event_id, event_type || '_total' AS pm_name,
   CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS pm_value,
   CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS pm_ts_ms
 FROM events"""
+
+    o["otlp_pb_logs"] = """
+WITH x AS (SELECT e.*, s.i,
+                  (1700000000 + event_id % 86400) * 1000000
+                    + (event_id % 1000) * 1000 AS base_us
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+SELECT event_id,
+  base_us + i * 1000 AS ol_ts_us,
+  CAST(CASE WHEN i = 0 THEN 9 ELSE 17 END AS INTEGER) AS ol_severity_number,
+  CASE WHEN i = 0 THEN 'INFO' ELSE 'ERROR' END AS ol_severity_text,
+  CASE WHEN i = 0 THEN 'started job ' || CAST(event_id AS VARCHAR)
+       ELSE '{code=' || CAST(event_id % 7 AS VARCHAR)
+            || ',fatal=' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END)
+            || ',msg=fail ' || CAST(event_id AS VARCHAR) || '}' END AS ol_body,
+  CASE WHEN i = 0 THEN 'etype=' || event_type ELSE 'ratio=0.5,retry=true' END AS ol_attrs_csv,
+  CASE WHEN i = 0 THEN printf('%032x', event_id) END AS ol_trace_id,
+  CASE WHEN i = 0 THEN printf('%016x', event_id % 65536) END AS ol_span_id,
+  'lib' AS ol_scope,
+  'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
+FROM x"""
 
     o["fluent_forward_parse"] = """
 WITH x AS (SELECT e.*, s.i, 1700000000 + event_id % 86400 AS sec

@@ -1,0 +1,88 @@
+"""OTLP protobuf logs decode (operators/otlp_pb.py) — proto wire subset
+against the public opentelemetry-proto logs.proto/common.proto field
+numbers: AnyValue oneof coverage, two's-complement int64 varints, unknown
+field skipping, malformed-payload rejection."""
+
+from __future__ import annotations
+
+import struct
+
+from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+    _enc_varint,
+    _ld,
+    _tag,
+    decode_logs_data,
+    enc_any,
+    enc_log_record,
+    enc_logs_data,
+    parse_otlp_pb_logs,
+    synthesize_otlp_pb,
+)
+
+
+def _payload(**kw):
+    rec = enc_log_record(1_000_000_000, kw.pop("body", "b"), **kw)
+    return enc_logs_data([rec], {"service.name": "s"}, "scope")
+
+
+def test_anyvalue_oneof_coverage():
+    rec = enc_log_record(
+        1_000_000_000,
+        "body",
+        attrs={
+            "s": "str", "b": True, "f": False, "i": 42, "neg": -7,
+            "d": 2.5, "raw": b"\xde\xad", "arr": [1, "two", False],
+            "kv": {"y": 1, "x": "z"},
+        },
+    )
+    row = decode_logs_data(enc_logs_data([rec]))[0]
+    assert row["ol_attrs_csv"] == (
+        "arr=[1,two,false],b=true,d=2.5,f=false,i=42,kv={x=z,y=1},neg=-7,raw=dead,s=str"
+    )
+    assert row["ol_ts_us"] == 1_000_000
+
+
+def test_negative_int64_varint_is_twos_complement():
+    # proto encodes int64 -1 as 10 bytes of two's complement, not zigzag
+    raw = enc_any(-1)
+    row = decode_logs_data(enc_logs_data([enc_log_record(0, "x", attrs={"n": -1})]))[0]
+    assert row["ol_attrs_csv"] == "n=-1"
+    assert len(raw) >= 11
+
+
+def test_unknown_fields_are_skipped():
+    # splice an unknown varint field (99) and an unknown fixed32 (98) into
+    # a LogRecord — decode must ignore both and keep everything else
+    rec = enc_log_record(2_000_000_000, "hello", 9, "INFO")
+    rec += _tag(99, 0) + _enc_varint(12345)
+    rec += _tag(98, 5) + struct.pack("<I", 7)
+    row = decode_logs_data(enc_logs_data([rec]))[0]
+    assert (row["ol_body"], row["ol_severity_text"]) == ("hello", "INFO")
+
+
+def test_trace_span_ids_hex_and_scope_resource():
+    rec = enc_log_record(0, "x", trace_id=bytes(range(16)), span_id=b"\xff" * 8)
+    row = decode_logs_data(enc_logs_data([rec], {"k": "v", "a": 1}, "lib"))[0]
+    assert row["ol_trace_id"] == "000102030405060708090a0b0c0d0e0f"
+    assert row["ol_span_id"] == "ffffffffffffffff"
+    assert row["ol_scope"] == "lib" and row["ol_resource_csv"] == "a=1,k=v"
+
+
+def test_multiple_records_and_truncation_rejection(spark):
+    r1, r2 = enc_log_record(0, "a"), enc_log_record(0, "b")
+    good = enc_logs_data([r1, r2])
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:-3])), (3, None)], "id int, payload binary"
+    )
+    rows = parse_otlp_pb_logs(df, "payload").collect()
+    assert sorted((r["id"], r["ol_body"]) for r in rows) == [(1, "a"), (1, "b")]
+
+
+def test_synthesize_shape(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(F.col("id").alias("event_id"), F.lit("T").alias("event_type"))
+    out = parse_otlp_pb_logs(synthesize_otlp_pb(df, cols={"etype": "event_type"}), "payload")
+    assert out.count() == 8  # two records per payload
+    sev = {r["ol_severity_text"] for r in out.collect()}
+    assert sev == {"INFO", "ERROR"}
