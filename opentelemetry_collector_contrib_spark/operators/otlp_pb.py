@@ -336,3 +336,289 @@ def synthesize_otlp_pb(df: DataFrame, id_col: str = "event_id", cols: dict | Non
         return pd.Series(out)
 
     return df.withColumn("payload", gen(*[F.col(c) for c in in_cols]))
+
+
+# --- traces (trace.proto) -----------------------------------------------------
+# ResourceSpans{ resource=1, scope_spans=2 }; ScopeSpans{ scope=1, spans=2 }
+# Span{ trace_id=1, span_id=2, parent_span_id=4, name=5, kind=6 (varint),
+#       start_time_unix_nano=7 (fixed64), end_time_unix_nano=8 (fixed64),
+#       attributes=9, status=15{ message=2, code=3 (varint) } }
+
+_SPAN_FIELDS = [
+    T.StructField("sp_trace_id", T.StringType()),
+    T.StructField("sp_span_id", T.StringType()),
+    T.StructField("sp_parent_span_id", T.StringType()),
+    T.StructField("sp_name", T.StringType()),
+    T.StructField("sp_kind", T.IntegerType()),
+    T.StructField("sp_start_us", T.LongType()),
+    T.StructField("sp_end_us", T.LongType()),
+    T.StructField("sp_status_code", T.IntegerType()),
+    T.StructField("sp_attrs_csv", T.StringType()),
+    T.StructField("sp_resource_csv", T.StringType()),
+]
+
+
+def decode_traces_data(payload: bytes) -> list[dict]:
+    rows = []
+    for f1, _, rs in _fields(payload):
+        if f1 != 1:
+            continue
+        res_attrs: list[tuple[str, object]] = []
+        scope_spans = []
+        for f2, _, v2 in _fields(rs):
+            if f2 == 1:
+                res_attrs = [_key_value(x) for f, _, x in _fields(v2) if f == 1]
+            elif f2 == 2:
+                scope_spans.append(v2)
+        for ss in scope_spans:
+            for f3, _, sp in _fields(ss):
+                if f3 != 2:
+                    continue
+                row = dict.fromkeys(
+                    ("sp_trace_id", "sp_span_id", "sp_parent_span_id", "sp_name",
+                     "sp_kind", "sp_start_us", "sp_end_us", "sp_status_code",
+                     "sp_attrs_csv"),
+                )
+                row["sp_resource_csv"] = _attrs_csv(res_attrs)
+                attrs: list[tuple[str, object]] = []
+                for f4, _, v4 in _fields(sp):
+                    if f4 == 1:
+                        row["sp_trace_id"] = bytes(v4).hex()
+                    elif f4 == 2:
+                        row["sp_span_id"] = bytes(v4).hex()
+                    elif f4 == 4:
+                        row["sp_parent_span_id"] = bytes(v4).hex()
+                    elif f4 == 5:
+                        row["sp_name"] = v4.decode("utf-8", errors="replace")
+                    elif f4 == 6:
+                        row["sp_kind"] = int(v4)
+                    elif f4 == 7:
+                        row["sp_start_us"] = struct.unpack("<Q", v4)[0] // 1000
+                    elif f4 == 8:
+                        row["sp_end_us"] = struct.unpack("<Q", v4)[0] // 1000
+                    elif f4 == 9:
+                        attrs.append(_key_value(v4))
+                    elif f4 == 15:
+                        for f5, _, v5 in _fields(v4):
+                            if f5 == 3:
+                                row["sp_status_code"] = int(v5)
+                row["sp_attrs_csv"] = _attrs_csv(attrs)
+                rows.append(row)
+    return rows
+
+
+def parse_otlp_pb_traces(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per Span in each OTLP-protobuf TracesData payload."""
+    return _pb_map(df, source, _SPAN_FIELDS, decode_traces_data)
+
+
+# --- metrics (metrics.proto, number datapoints) -------------------------------
+# ResourceMetrics{ resource=1, scope_metrics=2 }; ScopeMetrics{ metrics=2 }
+# Metric{ name=1, description=2, unit=3, gauge=5, sum=7 }
+# Gauge{ data_points=1 }; Sum{ data_points=1, aggregation_temporality=2,
+# is_monotonic=3 }; NumberDataPoint{ start_time_unix_nano=2 (fixed64),
+# time_unix_nano=3 (fixed64), as_double=4 (double), as_int=6 (sfixed64),
+# attributes=7 }
+
+_NUMDP_FIELDS = [
+    T.StructField("mt_name", T.StringType()),
+    T.StructField("mt_unit", T.StringType()),
+    T.StructField("mt_type", T.StringType()),
+    T.StructField("mt_temporality", T.IntegerType()),
+    T.StructField("mt_monotonic", T.BooleanType()),
+    T.StructField("mt_ts_us", T.LongType()),
+    T.StructField("mt_value", T.DoubleType()),
+    T.StructField("mt_is_int", T.BooleanType()),
+    T.StructField("mt_attrs_csv", T.StringType()),
+]
+
+
+def _number_dp(buf: bytes) -> dict:
+    dp = {"mt_ts_us": None, "mt_value": None, "mt_is_int": None, "mt_attrs_csv": None}
+    attrs: list[tuple[str, object]] = []
+    for f, _, v in _fields(buf):
+        if f == 3:
+            dp["mt_ts_us"] = struct.unpack("<Q", v)[0] // 1000
+        elif f == 4:
+            dp["mt_value"] = struct.unpack("<d", v)[0]
+            dp["mt_is_int"] = False
+        elif f == 6:
+            dp["mt_value"] = float(struct.unpack("<q", v)[0])
+            dp["mt_is_int"] = True
+        elif f == 7:
+            attrs.append(_key_value(v))
+    dp["mt_attrs_csv"] = _attrs_csv(attrs)
+    return dp
+
+
+def decode_metrics_data(payload: bytes) -> list[dict]:
+    rows = []
+    for f1, _, rm in _fields(payload):
+        if f1 != 1:
+            continue
+        for f2, _, sm in _fields(rm):
+            if f2 != 2:
+                continue
+            for f3, _, metric in _fields(sm):
+                if f3 != 2:
+                    continue
+                name = unit = None
+                dps = []
+                for f4, _, v4 in _fields(metric):
+                    if f4 == 1:
+                        name = v4.decode("utf-8", errors="replace")
+                    elif f4 == 3:
+                        unit = v4.decode("utf-8", errors="replace")
+                    elif f4 in (5, 7):  # gauge / sum
+                        mtype = "gauge" if f4 == 5 else "sum"
+                        temporality = monotonic = None
+                        points = []
+                        for f5, _, v5 in _fields(v4):
+                            if f5 == 1:
+                                points.append(_number_dp(v5))
+                            elif f5 == 2 and mtype == "sum":
+                                temporality = int(v5)
+                            elif f5 == 3 and mtype == "sum":
+                                monotonic = bool(v5)
+                        dps.extend(
+                            {**p, "mt_type": mtype, "mt_temporality": temporality,
+                             "mt_monotonic": monotonic}
+                            for p in points
+                        )
+                rows.extend({**p, "mt_name": name, "mt_unit": unit} for p in dps)
+    return rows
+
+
+def parse_otlp_pb_metrics(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per number datapoint (gauge/sum) in each OTLP-protobuf
+    MetricsData payload."""
+    return _pb_map(df, source, _NUMDP_FIELDS, decode_metrics_data)
+
+
+def _pb_map(df: DataFrame, source: str, fields: list, decode) -> DataFrame:
+    passthrough = [f for f in df.schema.fields if f.name != source]
+    names = [f.name for f in passthrough]
+    out_schema = T.StructType([*passthrough, *fields])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = rec[source]
+                if payload is None:
+                    continue
+                try:
+                    decoded = decode(bytes(payload))
+                except Exception:  # noqa: BLE001
+                    continue
+                base = {k: rec[k] for k in names}
+                rows.extend({**base, **d} for d in decoded)
+            yield pd.DataFrame(rows, columns=[*names, *[f.name for f in fields]])
+
+    return df.mapInPandas(gen, out_schema)
+
+
+# --- trace/metric encoders (fixtures/tests) -----------------------------------
+
+
+def enc_span(
+    trace_id: bytes, span_id: bytes, name: str, start_ns: int, end_ns: int,
+    kind: int = 1, parent_span_id: bytes | None = None,
+    attrs: dict | None = None, status_code: int | None = None,
+) -> bytes:
+    out = _ld(1, trace_id) + _ld(2, span_id)
+    if parent_span_id:
+        out += _ld(4, parent_span_id)
+    out += _ld(5, name.encode("utf-8")) + _tag(6, 0) + _enc_varint(kind)
+    out += _tag(7, 1) + struct.pack("<Q", start_ns) + _tag(8, 1) + struct.pack("<Q", end_ns)
+    for k, v in (attrs or {}).items():
+        out += _ld(9, enc_kv(k, v))
+    if status_code is not None:
+        out += _ld(15, _tag(3, 0) + _enc_varint(status_code))
+    return out
+
+
+def enc_traces_data(spans: list[bytes], resource_attrs: dict | None = None) -> bytes:
+    resource = b"".join(_ld(1, enc_kv(k, v)) for k, v in (resource_attrs or {}).items())
+    scope_spans = b"".join(_ld(2, s) for s in spans)
+    return _ld(1, _ld(1, resource) + _ld(2, scope_spans))
+
+
+def enc_number_dp(ts_ns: int, value, attrs: dict | None = None) -> bytes:
+    out = _tag(3, 1) + struct.pack("<Q", ts_ns)
+    if isinstance(value, int):
+        out += _tag(6, 1) + struct.pack("<q", value)
+    else:
+        out += _tag(4, 1) + struct.pack("<d", value)
+    for k, v in (attrs or {}).items():
+        out += _ld(7, enc_kv(k, v))
+    return out
+
+
+def enc_metric(
+    name: str, unit: str, dps: list[bytes], mtype: str = "gauge",
+    temporality: int | None = None, monotonic: bool | None = None,
+) -> bytes:
+    inner = b"".join(_ld(1, d) for d in dps)
+    if mtype == "sum":
+        if temporality is not None:
+            inner += _tag(2, 0) + _enc_varint(temporality)
+        if monotonic is not None:
+            inner += _tag(3, 0) + _enc_varint(1 if monotonic else 0)
+    out = _ld(1, name.encode("utf-8")) + _ld(3, unit.encode("utf-8"))
+    return out + _ld(5 if mtype == "gauge" else 7, inner)
+
+
+def enc_metrics_data(metrics: list[bytes]) -> bytes:
+    scope_metrics = b"".join(_ld(2, m) for m in metrics)
+    return _ld(1, _ld(2, scope_metrics))
+
+
+def synthesize_otlp_pb_spans(df: DataFrame) -> DataFrame:
+    """Deterministic per-row TracesData payloads from (event_id, user_id,
+    event_type): one span per payload, parent linkage on two of three."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, users: pd.Series, types: pd.Series) -> pd.Series:
+        out = []
+        for i, u, t in zip(ids, users, types):
+            i, u = int(i), int(u)
+            ns = (1_700_000_000 + i % 86400) * 1_000_000_000
+            span = enc_span(
+                trace_id=u.to_bytes(16, "big"),
+                span_id=i.to_bytes(8, "big"),
+                name=t,
+                start_ns=ns,
+                end_ns=ns + (i % 100) * 1_000_000,
+                kind=2 + i % 3,
+                parent_span_id=(i - 1).to_bytes(8, "big") if i % 3 != 0 and i > 0 else None,
+                attrs={"etype": t},
+                status_code=i % 3,
+            )
+            out.append(enc_traces_data([span], {"service.name": f"svc-{u % 4}"}))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "user_id", "event_type"))
+
+
+def synthesize_otlp_pb_metrics(df: DataFrame) -> DataFrame:
+    """Deterministic per-row MetricsData payloads from (event_id,
+    event_type, value): gauge as_double on even ids, monotonic cumulative
+    sum as_int on odd ids."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, types: pd.Series, values: pd.Series) -> pd.Series:
+        out = []
+        for i, t, v in zip(ids, types, values):
+            i = int(i)
+            ns = (1_700_000_000 + i % 86400) * 1_000_000_000
+            if i % 2 == 0:
+                dp = enc_number_dp(ns, float(v), {"etype": t})
+                m = enc_metric(f"{t}.value", "ms", [dp], "gauge")
+            else:
+                dp = enc_number_dp(ns, int(v * 100 // 1), {"etype": t})
+                m = enc_metric(f"{t}.count", "1", [dp], "sum", temporality=2, monotonic=True)
+            out.append(enc_metrics_data([m]))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "event_type", "value"))

@@ -2154,7 +2154,38 @@ def q_otlp_pb_logs(spark, sf_dir):
     )
 
 
+def q_otlp_pb_spans(spark, sf_dir):
+    """OTLP protobuf traces (trace.proto): span decode — ids as hex,
+    varint kind/status, fixed64 nanos, attributes, resource context,
+    parent linkage present on two of every three spans."""
+    from ..operators.otlp_pb import parse_otlp_pb_traces, synthesize_otlp_pb_spans
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    out = parse_otlp_pb_traces(synthesize_otlp_pb_spans(ev), "payload")
+    return out.select(
+        "event_id", "sp_trace_id", "sp_span_id", "sp_parent_span_id", "sp_name",
+        "sp_kind", "sp_start_us", "sp_end_us", "sp_status_code", "sp_attrs_csv",
+        "sp_resource_csv",
+    )
+
+
+def q_otlp_pb_metrics(spark, sf_dir):
+    """OTLP protobuf metrics (metrics.proto): number datapoints — gauge
+    as_double on even ids (exact float round trip through the fixed64
+    wire), monotonic cumulative sum as_int on odd ids."""
+    from ..operators.otlp_pb import parse_otlp_pb_metrics, synthesize_otlp_pb_metrics
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = parse_otlp_pb_metrics(synthesize_otlp_pb_metrics(ev), "payload")
+    return out.select(
+        "event_id", "mt_name", "mt_unit", "mt_type", "mt_temporality", "mt_monotonic",
+        "mt_ts_us", "mt_value", "mt_is_int", "mt_attrs_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "otlp_pb_spans": q_otlp_pb_spans,
+    "otlp_pb_metrics": q_otlp_pb_metrics,
     "otlp_pb_logs": q_otlp_pb_logs,
     "fluent_forward_parse": q_fluent_forward,
     "parse_carbon_lines": q_parse_carbon,
@@ -2696,6 +2727,35 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["otlp_pb_spans"] = """
+SELECT event_id,
+  printf('%032x', user_id) AS sp_trace_id,
+  printf('%016x', event_id) AS sp_span_id,
+  CASE WHEN event_id % 3 != 0 AND event_id > 0
+       THEN printf('%016x', event_id - 1) END AS sp_parent_span_id,
+  event_type AS sp_name,
+  CAST(2 + event_id % 3 AS INTEGER) AS sp_kind,
+  (1700000000 + event_id % 86400) * 1000000 AS sp_start_us,
+  (1700000000 + event_id % 86400) * 1000000 + (event_id % 100) * 1000 AS sp_end_us,
+  CAST(event_id % 3 AS INTEGER) AS sp_status_code,
+  'etype=' || event_type AS sp_attrs_csv,
+  'service.name=svc-' || CAST(user_id % 4 AS VARCHAR) AS sp_resource_csv
+FROM events"""
+
+    o["otlp_pb_metrics"] = """
+SELECT event_id,
+  event_type || CASE WHEN event_id % 2 = 0 THEN '.value' ELSE '.count' END AS mt_name,
+  CASE WHEN event_id % 2 = 0 THEN 'ms' ELSE '1' END AS mt_unit,
+  CASE WHEN event_id % 2 = 0 THEN 'gauge' ELSE 'sum' END AS mt_type,
+  CASE WHEN event_id % 2 = 0 THEN NULL ELSE CAST(2 AS INTEGER) END AS mt_temporality,
+  CASE WHEN event_id % 2 = 0 THEN NULL ELSE TRUE END AS mt_monotonic,
+  (1700000000 + event_id % 86400) * 1000000 AS mt_ts_us,
+  CASE WHEN event_id % 2 = 0 THEN value
+       ELSE CAST(floor(value * 100) AS DOUBLE) END AS mt_value,
+  event_id % 2 != 0 AS mt_is_int,
+  'etype=' || event_type AS mt_attrs_csv
+FROM events"""
 
     o["fluent_forward_parse"] = """
 WITH x AS (SELECT e.*, s.i, 1700000000 + event_id % 86400 AS sec

@@ -86,3 +86,55 @@ def test_synthesize_shape(spark):
     assert out.count() == 8  # two records per payload
     sev = {r["ol_severity_text"] for r in out.collect()}
     assert sev == {"INFO", "ERROR"}
+
+
+def test_traces_decode_span_fields(spark):
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        decode_traces_data,
+        enc_span,
+        enc_traces_data,
+        parse_otlp_pb_traces,
+    )
+
+    span = enc_span(
+        trace_id=bytes(range(16)), span_id=b"\x01" * 8, name="GET /x",
+        start_ns=5_000_000_000, end_ns=5_250_000_000, kind=3,
+        parent_span_id=b"\x02" * 8, attrs={"http.status": 200}, status_code=2,
+    )
+    row = decode_traces_data(enc_traces_data([span], {"service.name": "s1"}))[0]
+    assert row["sp_name"] == "GET /x" and row["sp_kind"] == 3
+    assert row["sp_parent_span_id"] == "02" * 8
+    assert (row["sp_start_us"], row["sp_end_us"]) == (5_000_000, 5_250_000)
+    assert row["sp_status_code"] == 2
+    assert row["sp_attrs_csv"] == "http.status=200"
+    assert row["sp_resource_csv"] == "service.name=s1"
+    # truncated payloads drop through the Spark path
+    df = spark.createDataFrame(
+        [(1, bytearray(enc_traces_data([span]))), (2, bytearray(b"\x0a\xff"))],
+        "id int, payload binary",
+    )
+    assert parse_otlp_pb_traces(df, "payload").count() == 1
+
+
+def test_metrics_decode_gauge_and_sum():
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        decode_metrics_data,
+        enc_metric,
+        enc_metrics_data,
+        enc_number_dp,
+    )
+
+    g = enc_metric("cpu.load", "1", [enc_number_dp(1_000, 0.75, {"core": 0})], "gauge")
+    s = enc_metric(
+        "req.count", "1",
+        [enc_number_dp(2_000, 42), enc_number_dp(3_000, 43)],
+        "sum", temporality=2, monotonic=True,
+    )
+    rows = decode_metrics_data(enc_metrics_data([g, s]))
+    assert len(rows) == 3
+    gauge = next(r for r in rows if r["mt_type"] == "gauge")
+    assert gauge["mt_value"] == 0.75 and gauge["mt_is_int"] is False
+    assert gauge["mt_temporality"] is None and gauge["mt_attrs_csv"] == "core=0"
+    sums = [r for r in rows if r["mt_type"] == "sum"]
+    assert {r["mt_value"] for r in sums} == {42.0, 43.0}
+    assert all(r["mt_monotonic"] and r["mt_temporality"] == 2 and r["mt_is_int"] for r in sums)
