@@ -135,3 +135,76 @@ FIXTURE_ROUTES = RouteTable(
     ],
     default="general",
 )
+
+
+# --- loadbalancingexporter: consistent-hash backend routing ------------------
+
+RING_MAX_POSITIONS = 131071  # consistent_hashing.go:14
+RING_DEFAULT_WEIGHT = 200  # :15
+RING_PROBE_LIMIT = 10  # :16
+
+
+def build_hash_ring(
+    endpoints: list[str],
+    weight: int = RING_DEFAULT_WEIGHT,
+    max_positions: int = RING_MAX_POSITIONS,
+    probe_limit: int = RING_PROBE_LIMIT,
+) -> list[tuple[int, str]]:
+    """Karger-style hash ring, mirroring positionsForEndpointsWithOptions
+    (exporter/loadbalancingexporter/consistent_hashing.go:110-170) exactly:
+    `weight` crc32(endpoint || LE32(i)) positions per endpoint, candidates
+    sorted by (pos, hash, endpoint), occupied positions linear-probed up to
+    `probe_limit` then skipped. Runs driver-side (the ring is a tiny static
+    structure, same as the reference building it on resolver updates);
+    returns sorted (position, endpoint) items."""
+    import struct as _struct
+    import zlib
+
+    candidates = []
+    for ep in endpoints:
+        for i in range(weight):
+            h = zlib.crc32(ep.encode("utf-8") + _struct.pack("<I", i))
+            candidates.append((h % max_positions, h, ep))
+    candidates.sort()
+    items: list[tuple[int, str]] = []
+    used: set[int] = set()
+    for pos, _, ep in candidates:
+        actual, probed = pos, 0
+        while actual in used and probed < probe_limit:
+            actual = (actual + 1) % max_positions
+            probed += 1
+        if probed >= probe_limit:
+            continue
+        used.add(actual)
+        items.append((actual, ep))
+    items.sort()
+    return items
+
+
+def ring_route(
+    df: DataFrame,
+    key: Column | str,
+    ring: list[tuple[int, str]],
+    max_positions: int = RING_MAX_POSITIONS,
+    out: str = "backend",
+) -> DataFrame:
+    """Assign each row's routing key (trace id / service name) to a backend
+    via the ring: pos = hash(key) % max_positions, backend = the closest
+    ring item at-or-after pos, wrapping to the first (endpointFor +
+    findEndpoint, consistent_hashing.go:48-71). The per-key hash is the
+    repo's engine-portable h60 (the reference's crc32 is a
+    non-cryptographic detail; the ring algebra is what carries the
+    rebalancing guarantee — when an endpoint leaves, only keys in its arcs
+    move). Pure projection over two inlined literal arrays: no join, no
+    shuffle, whole-stage codegen; rings are weight*endpoints items (~hundreds),
+    well inside expression-size limits."""
+    from .textstats import h60
+
+    kcol = F.col(key) if isinstance(key, str) else key
+    positions = F.lit([p for p, _ in ring])
+    endpoints = [e for _, e in ring]
+    pos = F.pmod(h60(kcol), F.lit(max_positions))
+    nxt = F.array_min(F.filter(positions, lambda p: p >= pos))
+    ring_pos = F.coalesce(nxt, F.lit(ring[0][0]))
+    idx = F.array_position(positions, ring_pos)
+    return df.withColumn(out, F.element_at(F.lit(endpoints), idx.cast("int")))

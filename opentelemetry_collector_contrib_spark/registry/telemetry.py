@@ -2183,7 +2183,30 @@ def q_otlp_pb_metrics(spark, sf_dir):
     )
 
 
+_RING_ENDPOINTS = ["backend-1", "backend-2", "backend-3"]
+
+
+def _ring():
+    from ..operators.route import build_hash_ring
+
+    return build_hash_ring(_RING_ENDPOINTS)
+
+
+def q_ring_route(spark, sf_dir):
+    """loadbalancingexporter consistent-hash routing: Karger ring built
+    with the reference's exact construction (crc32 positions, weight 200,
+    linear probe), per-key position via the portable h60, closest-next-
+    with-wrap lookup as a pure projection."""
+    from ..operators.route import ring_route
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.concat(F.lit("trace-"), F.col("user_id").cast("string")).alias("key")
+    )
+    return ring_route(ev, "key", _ring()).select("event_id", "key", "backend")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ring_route_backends": q_ring_route,
     "otlp_pb_spans": q_otlp_pb_spans,
     "otlp_pb_metrics": q_otlp_pb_metrics,
     "otlp_pb_logs": q_otlp_pb_logs,
@@ -2727,6 +2750,19 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    ring_values = ", ".join(f"({p}, '{e}')" for p, e in _ring())
+    o["ring_route_backends"] = f"""
+WITH ring(rpos, ep) AS (VALUES {ring_values}),
+k AS (SELECT event_id, 'trace-' || CAST(user_id AS VARCHAR) AS key FROM events),
+h AS (SELECT event_id, key,
+             CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) % 131071 AS pos FROM k)
+SELECT event_id, key,
+  coalesce(
+    (SELECT min_by(ep, rpos) FROM ring WHERE rpos >= h.pos),
+    (SELECT min_by(ep, rpos) FROM ring)
+  ) AS backend
+FROM h"""
 
     o["otlp_pb_spans"] = """
 SELECT event_id,
