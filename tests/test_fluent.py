@@ -126,3 +126,55 @@ def test_decode_event_never_hangs_or_crashes_unexpectedly(raw):
         assert isinstance(rows, list)
     except (ValueError, IndexError, KeyError, TypeError, EOFError, OSError, _struct.error):
         pass
+
+
+def test_fluent_and_otlp_pb_stream_equals_batch(spark, tmp_path):
+    """The binary-wire decoders apply to readStream unchanged: an
+    availableNow drain over a parquet spool of payloads must equal the
+    batch parse of the same files."""
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        parse_otlp_pb_logs,
+        synthesize_otlp_pb,
+    )
+
+    df = spark.range(30).select(F.col("id").alias("event_id"), F.lit("T").alias("event_type"))
+    spool = str(tmp_path / "spool")
+    synthesize_fluent_payloads(df, cols={"etype": "event_type"}).write.parquet(spool)
+    batch = parse_fluent_forward(spark.read.parquet(spool), "payload")
+    schema = spark.read.parquet(spool).schema
+    sdf = parse_fluent_forward(spark.readStream.schema(schema).parquet(spool), "payload")
+    out = str(tmp_path / "out")
+    (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+    cols = ["event_id", "ff_mode", "ff_ts_us", "ff_body", "ff_attrs_csv"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, batch.select(cols).collect())
+    )
+
+    # same drill for the OTLP protobuf decoder
+    spool2 = str(tmp_path / "spool2")
+    synthesize_otlp_pb(df, cols={"etype": "event_type"}).write.parquet(spool2)
+    batch2 = parse_otlp_pb_logs(spark.read.parquet(spool2), "payload")
+    schema2 = spark.read.parquet(spool2).schema
+    sdf2 = parse_otlp_pb_logs(spark.readStream.schema(schema2).parquet(spool2), "payload")
+    out2 = str(tmp_path / "out2")
+    (
+        sdf2.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got2 = spark.read.parquet(out2)
+    cols2 = ["event_id", "ol_ts_us", "ol_severity_text", "ol_body", "ol_attrs_csv"]
+    assert sorted(map(tuple, got2.select(cols2).collect())) == sorted(
+        map(tuple, batch2.select(cols2).collect())
+    )
