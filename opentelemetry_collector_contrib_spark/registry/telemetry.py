@@ -2205,7 +2205,24 @@ def q_ring_route(spark, sf_dir):
     return ring_route(ev, "key", _ring()).select("event_id", "key", "backend")
 
 
+def q_avro_logs(spark, sf_dir):
+    """Avro binary log decode (avrologencodingextension): static-schema
+    deserialization — zigzag varints, enum symbols, null unions, arrays,
+    maps, nested records — typed columns for primitives, rendered strings
+    for complex values."""
+    from ..operators.avro import AVRO_LOG_SCHEMA, parse_avro, synthesize_avro_logs
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    out = parse_avro(synthesize_avro_logs(ev), "payload", AVRO_LOG_SCHEMA)
+    return out.select(
+        "event_id", "av_timestamp", "av_message", "av_hostname", "av_count",
+        "av_levelEnum", "av_severity", "av_level", "av_properties",
+        "av_nestedRecord", "av_mapField",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "avro_log_decode": q_avro_logs,
     "ring_route_backends": q_ring_route,
     "otlp_pb_spans": q_otlp_pb_spans,
     "otlp_pb_metrics": q_otlp_pb_metrics,
@@ -2750,6 +2767,20 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["avro_log_decode"] = """
+SELECT event_id,
+  (1700000000 + event_id % 86400) * 1000000000 AS av_timestamp,
+  'm' || CAST(event_id AS VARCHAR) AS av_message,
+  'h' || CAST(user_id % 5 AS VARCHAR) AS av_hostname,
+  event_id % 100 AS av_count,
+  CASE event_id % 3 WHEN 0 THEN 'DEBUG' WHEN 1 THEN 'INFO' ELSE 'ERROR' END AS av_levelEnum,
+  event_id % 5 AS av_severity,
+  CASE WHEN event_id % 7 = 0 THEN NULL ELSE 'warn' END AS av_level,
+  CASE WHEN event_id % 4 = 0 THEN '[]' ELSE '[' || event_type || ',p2]' END AS av_properties,
+  '{field1=' || CAST(event_id % 9 AS VARCHAR) || ',field2=val2}' AS av_nestedRecord,
+  CASE WHEN event_id % 5 = 0 THEN '{}' ELSE '{k=' || event_type || '}' END AS av_mapField
+FROM events"""
 
     ring_values = ", ".join(f"({p}, '{e}')" for p, e in _ring())
     o["ring_route_backends"] = f"""
