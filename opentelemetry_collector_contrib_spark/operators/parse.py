@@ -1136,3 +1136,108 @@ def parse_firehose_envelope(df: DataFrame, source: str = "body") -> DataFrame:
         F.col("_i").cast("int").alias("fh_record_idx"),
         F.try_to_binary(F.col("_r")["data"], F.lit("base64")).cast("string").alias("fh_data"),
     )
+
+
+CLOUDWATCH_SUB_SCHEMA = (
+    "struct<owner: string, logGroup: string, logStream: string,"
+    " subscriptionFilters: array<string>, messageType: string,"
+    " logEvents: array<struct<id: string, timestamp: bigint, message: string>>>"
+)
+
+
+@F.pandas_udf(T.StringType())
+def _gunzip_utf8(payloads: pd.Series) -> pd.Series:
+    """gzip-decompress a binary column to UTF-8 text; undecodable -> NULL.
+    Bounded: refuses payloads inflating past 64 MiB (decompression-bomb
+    guard, same stance as the PNG decoder)."""
+    import gzip as _gzip
+
+    def one(b):
+        if b is None:
+            return None
+        try:
+            with _gzip.GzipFile(fileobj=__import__("io").BytesIO(bytes(b))) as f:
+                out = f.read(64 * 1024 * 1024 + 1)
+            if len(out) > 64 * 1024 * 1024:
+                return None
+            return out.decode("utf-8", errors="replace")
+        except Exception:  # noqa: BLE001
+            return None
+
+    return payloads.map(one)
+
+
+def parse_cloudwatch_subscription(df: DataFrame, source: str = "payload") -> DataFrame:
+    """CloudWatch Logs subscription-filter data (awslogsencodingextension
+    internal/unmarshaler/subscription-filter/types.go:19-35): gzip JSON
+    envelope -> one row per logEvent, CONTROL_MESSAGE records skipped
+    (unmarshaler.go:26). The gunzip is the only Python step; envelope
+    parse + explode stay native (schema'd from_json + posexplode)."""
+    txt = df.withColumn("_cw", F.from_json(_gunzip_utf8(F.col(source)), CLOUDWATCH_SUB_SCHEMA))
+    data = txt.filter(F.col("_cw")["messageType"] == "DATA_MESSAGE")
+    ev = data.select("*", F.posexplode(F.col("_cw")["logEvents"]).alias("_i", "_e"))
+    return ev.select(
+        *[c for c in df.columns if c != source],
+        F.col("_cw")["owner"].alias("cw_owner"),
+        F.col("_cw")["logGroup"].alias("cw_log_group"),
+        F.col("_cw")["logStream"].alias("cw_log_stream"),
+        F.array_join(F.col("_cw")["subscriptionFilters"], ",").alias("cw_filters_csv"),
+        F.col("_e")["id"].alias("cw_event_id"),
+        F.timestamp_millis(F.col("_e")["timestamp"]).alias("cw_ts"),
+        F.col("_e")["message"].alias("cw_message"),
+    )
+
+
+# awslogsencodingextension internal/unmarshaler/vpc-flow-log/unmarshaler.go:43-58
+VPC_FLOW_FIELDS = [
+    ("version", "int"), ("account_id", "string"), ("interface_id", "string"),
+    ("srcaddr", "string"), ("dstaddr", "string"), ("srcport", "int"),
+    ("dstport", "int"), ("protocol", "int"), ("packets", "bigint"),
+    ("bytes", "bigint"), ("start", "bigint"), ("end", "bigint"),
+    ("action", "string"), ("log_status", "string"),
+]
+
+
+def parse_vpc_flow_log(df: DataFrame, source: str = "body", prefix: str = "fl_") -> DataFrame:
+    """AWS VPC flow log line in the default 14-field format
+    (vpc-flow-log/unmarshaler.go:43-58): space-separated, '-' meaning
+    unset. Pure split projection — no UDF; a wrong field count NULLs the
+    whole row (the reference errors the record)."""
+    parts = F.split(F.col(source), " ")
+    ok = F.size(parts) == len(VPC_FLOW_FIELDS)
+    cols = []
+    for i, (name, typ) in enumerate(VPC_FLOW_FIELDS):
+        raw = F.element_at(parts, i + 1)
+        val = F.when(ok & (raw != "-"), raw).otherwise(F.lit(None))
+        cols.append(val.try_cast(typ).alias(prefix + name))
+    return df.select(*df.columns, *cols)
+
+
+def synthesize_cloudwatch_payloads(df: DataFrame) -> DataFrame:
+    """Deterministic gzip subscription envelopes from (event_id, user_id,
+    event_type): two logEvents each; every 9th is a CONTROL_MESSAGE (which
+    the parser must skip entirely)."""
+    import gzip as _gzip
+    import json as _json
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, users: pd.Series, types: pd.Series) -> pd.Series:
+        out = []
+        for i, u, t in zip(ids, users, types):
+            i, u = int(i), int(u)
+            ms = (1_700_000_000 + i % 86400) * 1000
+            env = {
+                "owner": f"{100000000000 + u % 100}",
+                "logGroup": f"/app/{t}",
+                "logStream": f"stream-{u % 5}",
+                "subscriptionFilters": ["f1", "f2"],
+                "messageType": "CONTROL_MESSAGE" if i % 9 == 0 else "DATA_MESSAGE",
+                "logEvents": [
+                    {"id": f"{i}-0", "timestamp": ms, "message": f"msg {t} {i}"},
+                    {"id": f"{i}-1", "timestamp": ms + 17, "message": f"msg2 {i}"},
+                ],
+            }
+            out.append(_gzip.compress(_json.dumps(env).encode("utf-8"), mtime=0))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "user_id", "event_type"))

@@ -2221,7 +2221,59 @@ def q_avro_logs(spark, sf_dir):
     )
 
 
+def q_cloudwatch_sub(spark, sf_dir):
+    """CloudWatch Logs subscription-filter envelopes (awslogsencoding-
+    extension): gzip JSON -> one row per logEvent, CONTROL_MESSAGE
+    envelopes skipped."""
+    from ..operators.parse import parse_cloudwatch_subscription, synthesize_cloudwatch_payloads
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    out = parse_cloudwatch_subscription(synthesize_cloudwatch_payloads(ev), "payload")
+    return out.select(
+        "event_id", "cw_owner", "cw_log_group", "cw_log_stream", "cw_filters_csv",
+        "cw_event_id", F.unix_millis(F.col("cw_ts")).alias("cw_ts_ms"), "cw_message",
+    )
+
+
+def q_vpc_flow(spark, sf_dir):
+    """AWS VPC flow log lines (default 14-field format): typed columns,
+    '-' unset markers, wrong-field-count rows NULLed."""
+    from ..operators.parse import parse_vpc_flow_log
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    sport = F.when(F.pmod(eid, F.lit(10)) == 0, F.lit("-")).otherwise(
+        (F.lit(1024) + F.pmod(eid, F.lit(50000))).cast("string")
+    )
+    start = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast("bigint")
+    body = F.concat_ws(
+        " ",
+        F.lit("2"), F.lit("123456789010"),
+        F.concat(F.lit("eni-"), F.pmod(F.col("user_id"), F.lit(100)).cast("string")),
+        F.concat(F.lit("10.0."), F.pmod(eid, F.lit(255)).cast("string"), F.lit(".1")),
+        F.concat(F.lit("10.0."), F.pmod(F.col("user_id"), F.lit(255)).cast("string"), F.lit(".2")),
+        sport, F.lit("443"), F.lit("6"),
+        F.pmod(eid, F.lit(1000)).cast("string"),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        start.cast("string"), (start + 60).cast("string"),
+        F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("ACCEPT")).otherwise(F.lit("REJECT")),
+        F.lit("OK"),
+    )
+    # every 11th line loses its trailing field -> whole row NULLs
+    body = F.when(
+        F.pmod(eid, F.lit(11)) == 0, F.regexp_replace(body, r" OK$", "")
+    ).otherwise(body)
+    out = parse_vpc_flow_log(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", "fl_version", "fl_account_id", "fl_interface_id", "fl_srcaddr",
+        "fl_dstaddr", "fl_srcport", "fl_dstport", "fl_protocol", "fl_packets",
+        "fl_bytes", "fl_start", "fl_end", "fl_action", "fl_log_status",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cloudwatch_sub_events": q_cloudwatch_sub,
+    "vpc_flow_parse": q_vpc_flow,
     "avro_log_decode": q_avro_logs,
     "ring_route_backends": q_ring_route,
     "otlp_pb_spans": q_otlp_pb_spans,
@@ -2767,6 +2819,45 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["cloudwatch_sub_events"] = """
+WITH x AS (SELECT e.*, s.i, (1700000000 + event_id % 86400) * 1000 AS ms
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s
+           WHERE event_id % 9 != 0)
+SELECT event_id,
+  CAST(100000000000 + user_id % 100 AS VARCHAR) AS cw_owner,
+  '/app/' || event_type AS cw_log_group,
+  'stream-' || CAST(user_id % 5 AS VARCHAR) AS cw_log_stream,
+  'f1,f2' AS cw_filters_csv,
+  CAST(event_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS cw_event_id,
+  ms + i * 17 AS cw_ts_ms,
+  CASE WHEN i = 0 THEN 'msg ' || event_type || ' ' || CAST(event_id AS VARCHAR)
+       ELSE 'msg2 ' || CAST(event_id AS VARCHAR) END AS cw_message
+FROM x"""
+
+    o["vpc_flow_parse"] = """
+WITH e AS (SELECT *, event_id % 11 = 0 AS bad,
+                  epoch_us(ts) // 1000000 AS st FROM events)
+SELECT event_id,
+  CASE WHEN bad THEN NULL ELSE 2 END AS fl_version,
+  CASE WHEN bad THEN NULL ELSE '123456789010' END AS fl_account_id,
+  CASE WHEN bad THEN NULL ELSE 'eni-' || CAST(user_id % 100 AS VARCHAR) END AS fl_interface_id,
+  CASE WHEN bad THEN NULL
+       ELSE '10.0.' || CAST(event_id % 255 AS VARCHAR) || '.1' END AS fl_srcaddr,
+  CASE WHEN bad THEN NULL
+       ELSE '10.0.' || CAST(user_id % 255 AS VARCHAR) || '.2' END AS fl_dstaddr,
+  CASE WHEN bad OR event_id % 10 = 0 THEN NULL
+       ELSE CAST(1024 + event_id % 50000 AS INTEGER) END AS fl_srcport,
+  CASE WHEN bad THEN NULL ELSE 443 END AS fl_dstport,
+  CASE WHEN bad THEN NULL ELSE 6 END AS fl_protocol,
+  CASE WHEN bad THEN NULL ELSE event_id % 1000 END AS fl_packets,
+  CASE WHEN bad THEN NULL ELSE CAST(floor(value * 100) AS BIGINT) END AS fl_bytes,
+  CASE WHEN bad THEN NULL ELSE st END AS fl_start,
+  CASE WHEN bad THEN NULL ELSE st + 60 END AS fl_end,
+  CASE WHEN bad THEN NULL
+       WHEN event_id % 2 = 0 THEN 'ACCEPT' ELSE 'REJECT' END AS fl_action,
+  CASE WHEN bad THEN NULL ELSE 'OK' END AS fl_log_status
+FROM e"""
 
     o["avro_log_decode"] = """
 SELECT event_id,

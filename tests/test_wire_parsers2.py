@@ -110,3 +110,54 @@ def test_firehose_envelope_decode(spark):
     assert [r["fh_data"] for r in rows] == ["hello world", "", None]  # bad base64 -> NULL
     assert all(r["fh_request_id"] == "ed4acda5" for r in rows)
     assert rows[0]["fh_ts"].isoformat().startswith("2020-01-03T22:35:01.599")
+
+
+def test_cloudwatch_subscription_skips_control_and_bad_gzip(spark):
+    import gzip
+    import json
+
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        parse_cloudwatch_subscription,
+    )
+
+    def env(mtype, n_events=2):
+        return gzip.compress(json.dumps({
+            "owner": "123", "logGroup": "/g", "logStream": "s",
+            "subscriptionFilters": ["f"], "messageType": mtype,
+            "logEvents": [
+                {"id": str(i), "timestamp": 1700000000000 + i, "message": f"m{i}"}
+                for i in range(n_events)
+            ],
+        }).encode(), mtime=0)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(env("DATA_MESSAGE"))),
+         (2, bytearray(env("CONTROL_MESSAGE"))),
+         (3, bytearray(b"not gzip"))],
+        "id int, payload binary",
+    )
+    rows = parse_cloudwatch_subscription(df, "payload").collect()
+    # control + malformed contribute nothing; data envelope fans out per event
+    assert sorted((r["id"], r["cw_event_id"], r["cw_message"]) for r in rows) == [
+        (1, "0", "m0"), (1, "1", "m1")
+    ]
+    assert rows[0]["cw_ts"].isoformat().startswith("2023-11-14")
+
+
+def test_vpc_flow_defaults_and_unset_markers(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_vpc_flow_log
+
+    good = "2 123456789010 eni-1a2b 10.0.0.1 10.0.0.2 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+    nodata = "2 123456789010 eni-1a2b - - - - - - - 1431280876 1431280934 - NODATA"
+    short = "2 123456789010 eni-1a2b 10.0.0.1"
+    df = spark.createDataFrame([(good,), (nodata,), (short,)], "body string")
+    rows = {r["body"]: r for r in parse_vpc_flow_log(df, "body").collect()}
+    g = rows[good]
+    assert (g["fl_srcaddr"], g["fl_srcport"], g["fl_bytes"], g["fl_action"]) == (
+        "10.0.0.1", 20641, 4249, "ACCEPT"
+    )
+    n = rows[nodata]
+    assert n["fl_srcaddr"] is None and n["fl_packets"] is None
+    assert n["fl_log_status"] == "NODATA" and n["fl_start"] == 1431280876
+    s = rows[short]
+    assert s["fl_version"] is None and s["fl_action"] is None
