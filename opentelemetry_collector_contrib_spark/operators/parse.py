@@ -842,8 +842,12 @@ def _guarded_groups(line: Column, regex: str, n: int) -> list[Column]:
     tpl = sep.join(f"${i}" for i in range(1, n + 1))
     arr = F.split(F.regexp_replace(line, regex, tpl), sep)
     sep_free = ~line.contains(sep)
+    # F.get (not arr[i]): out-of-bounds -> NULL. Under ANSI mode a plain
+    # index THROWS for non-matching lines (replace is a no-op, the split
+    # has 1 element) whenever codegen subexpression elimination hoists the
+    # access out of its guarding CASE branch.
     return [
-        F.when(sep_free, arr[i - 1]).otherwise(F.regexp_extract(line, regex, i))
+        F.when(sep_free, F.get(arr, i - 1)).otherwise(F.regexp_extract(line, regex, i))
         for i in range(1, n + 1)
     ]
 
@@ -1241,3 +1245,56 @@ def synthesize_cloudwatch_payloads(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", gen("event_id", "user_id", "event_type"))
+
+
+# ALB access-log field order (awslogsencodingextension elb-access-log/
+# elb.go handleALBAccessLogs; public ALB access-log spec). Quoted fields
+# may contain spaces; newer ALB versions APPEND fields, so the regex
+# anchors the stable 23-field prefix and tolerates any tail.
+_ALB_RE = (
+    r"^(\S+) (\S+) (\S+) (\S+) (\S+) ([0-9.-]+) ([0-9.-]+) ([0-9.-]+)"
+    r" (\S+) (\S+) (\d+) (\d+)"
+    r' "([^"]*)" "([^"]*)" (\S+) (\S+) (\S+) "([^"]*)" "([^"]*)" "([^"]*)"'
+    r' (\S+) (\S+) "([^"]*)"(?: .*)?$'
+)
+
+_ALB_FIELDS = [
+    ("type", "string"), ("time", "string"), ("elb", "string"),
+    ("client", "string"), ("target", "string"),
+    ("request_processing_time", "double"), ("target_processing_time", "double"),
+    ("response_processing_time", "double"),
+    ("elb_status_code", "int"), ("target_status_code", "int"),
+    ("received_bytes", "bigint"), ("sent_bytes", "bigint"),
+    ("request", "string"), ("user_agent", "string"),
+    ("ssl_cipher", "string"), ("ssl_protocol", "string"),
+    ("target_group_arn", "string"), ("trace_id", "string"),
+    ("domain_name", "string"), ("chosen_cert_arn", "string"),
+    ("matched_rule_priority", "string"), ("request_creation_time", "string"),
+    ("actions_executed", "string"),
+]
+
+
+def parse_alb_access_log(df: DataFrame, source: str = "body", prefix: str = "alb_") -> DataFrame:
+    """AWS ALB access-log line: the 23 stable leading fields typed per the
+    reference's attribute table (fields.go; '-' = unset), plus the request
+    field split into method/url/protocol (parseRequestField,
+    elb.go:490-520). One anchored regex, pure projection; malformed lines
+    yield all-NULL fields."""
+    line = F.col(source)
+    ok = line.rlike(_ALB_RE)
+    groups = _guarded_groups(line, _ALB_RE, len(_ALB_FIELDS))
+    cols = []
+    for (name, typ), g in zip(_ALB_FIELDS, groups):
+        val = F.when(ok & (g != "-") & (g != ""), g)
+        cols.append(val.try_cast(typ).alias(prefix + name))
+    req = F.when(ok, groups[12])
+    method = F.substring_index(req, " ", 1)
+    rest = F.substring(req, F.length(method) + 2, F.lit(1 << 20))
+    proto = F.substring_index(rest, " ", -1)
+    url = F.substring(rest, F.lit(1), F.length(rest) - F.length(proto) - 1)
+    cols += [
+        F.when(ok, method).alias(prefix + "method"),
+        F.when(ok, url).alias(prefix + "url"),
+        F.when(ok, proto).alias(prefix + "protocol"),
+    ]
+    return df.select(*df.columns, *cols)

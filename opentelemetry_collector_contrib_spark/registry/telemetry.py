@@ -2271,7 +2271,54 @@ def q_vpc_flow(spark, sf_dir):
     )
 
 
+def q_alb_access_log(spark, sf_dir):
+    """AWS ALB access-log lines (awslogsencodingextension elb-access-log):
+    23 typed leading fields, '-' unset markers, request split into
+    method/url/protocol; every 13th line malformed -> all NULLs."""
+    from ..operators.parse import parse_alb_access_log
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    proto_type = F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("https")).otherwise(F.lit("http"))
+    status = (F.lit(200) + F.pmod(eid, F.lit(3)) * 100).cast("string")
+    rpt = F.concat(F.lit("0.0"), F.pmod(eid, F.lit(10)).cast("string"))
+    body = F.concat_ws(
+        " ",
+        proto_type, F.lit("2018-07-02T22:23:00.186641Z"), F.lit("app/lb/50dc6c495c0c9188"),
+        F.concat(F.lit("192.168."), F.pmod(eid, F.lit(255)).cast("string"), F.lit(".1:2817")),
+        F.when(F.pmod(eid, F.lit(9)) == 0, F.lit("-")).otherwise(
+            F.concat(F.lit("10.0."), F.pmod(F.col("user_id"), F.lit(255)).cast("string"),
+                     F.lit(".2:80"))
+        ),
+        rpt, F.lit("0.048"), F.lit("0.037"), status,
+        F.when(F.pmod(eid, F.lit(9)) == 0, F.lit("-")).otherwise(status),
+        (F.lit(34) + F.pmod(eid, F.lit(100))).cast("string"),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.concat(F.lit('"GET https://www.example.com:443/p'), F.pmod(eid, F.lit(50)).cast("string"),
+                 F.lit(' HTTP/1.1"')),
+        F.lit('"curl/7.46.0"'), F.lit("ECDHE-RSA-AES128-GCM-SHA256"), F.lit("TLSv1.2"),
+        F.lit("arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/t/73e2"),
+        F.concat(F.lit('"Root=1-'), eid.cast("string"), F.lit('"')),
+        F.lit('"www.example.com"'), F.lit('"-"'),
+        F.pmod(eid, F.lit(5)).cast("string"), F.lit("2018-07-02T22:22:48.364000Z"),
+        F.when(F.pmod(eid, F.lit(4)) == 0, F.lit('"authenticate,forward"')).otherwise(
+            F.lit('"forward"')
+        ),
+    )
+    body = F.when(F.pmod(eid, F.lit(13)) == 0, F.lit("http incomplete line")).otherwise(body)
+    out = parse_alb_access_log(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", "alb_type", "alb_client", "alb_target",
+        "alb_request_processing_time", "alb_elb_status_code", "alb_target_status_code",
+        "alb_received_bytes", "alb_sent_bytes", "alb_user_agent", "alb_ssl_cipher",
+        "alb_trace_id", "alb_domain_name", "alb_chosen_cert_arn",
+        "alb_matched_rule_priority", "alb_actions_executed",
+        "alb_method", "alb_url", "alb_protocol",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
     "vpc_flow_parse": q_vpc_flow,
     "avro_log_decode": q_avro_logs,
@@ -2819,6 +2866,38 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["alb_access_log_parse"] = """
+WITH e AS (SELECT *, event_id % 13 = 0 AS bad, event_id % 9 = 0 AS unset FROM events)
+SELECT event_id,
+  CASE WHEN bad THEN NULL WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END AS alb_type,
+  CASE WHEN bad THEN NULL
+       ELSE '192.168.' || CAST(event_id % 255 AS VARCHAR) || '.1:2817' END AS alb_client,
+  CASE WHEN bad OR unset THEN NULL
+       ELSE '10.0.' || CAST(user_id % 255 AS VARCHAR) || '.2:80' END AS alb_target,
+  CASE WHEN bad THEN NULL
+       ELSE CAST('0.0' || CAST(event_id % 10 AS VARCHAR) AS DOUBLE)
+       END AS alb_request_processing_time,
+  CASE WHEN bad THEN NULL
+       ELSE CAST(200 + (event_id % 3) * 100 AS INTEGER) END AS alb_elb_status_code,
+  CASE WHEN bad OR unset THEN NULL
+       ELSE CAST(200 + (event_id % 3) * 100 AS INTEGER) END AS alb_target_status_code,
+  CASE WHEN bad THEN NULL ELSE 34 + event_id % 100 END AS alb_received_bytes,
+  CASE WHEN bad THEN NULL ELSE CAST(floor(value * 100) AS BIGINT) END AS alb_sent_bytes,
+  CASE WHEN bad THEN NULL ELSE 'curl/7.46.0' END AS alb_user_agent,
+  CASE WHEN bad THEN NULL ELSE 'ECDHE-RSA-AES128-GCM-SHA256' END AS alb_ssl_cipher,
+  CASE WHEN bad THEN NULL
+       ELSE 'Root=1-' || CAST(event_id AS VARCHAR) END AS alb_trace_id,
+  CASE WHEN bad THEN NULL ELSE 'www.example.com' END AS alb_domain_name,
+  CAST(NULL AS VARCHAR) AS alb_chosen_cert_arn,
+  CASE WHEN bad THEN NULL ELSE CAST(event_id % 5 AS VARCHAR) END AS alb_matched_rule_priority,
+  CASE WHEN bad THEN NULL WHEN event_id % 4 = 0 THEN 'authenticate,forward'
+       ELSE 'forward' END AS alb_actions_executed,
+  CASE WHEN bad THEN NULL ELSE 'GET' END AS alb_method,
+  CASE WHEN bad THEN NULL
+       ELSE 'https://www.example.com:443/p' || CAST(event_id % 50 AS VARCHAR) END AS alb_url,
+  CASE WHEN bad THEN NULL ELSE 'HTTP/1.1' END AS alb_protocol
+FROM e"""
 
     o["cloudwatch_sub_events"] = """
 WITH x AS (SELECT e.*, s.i, (1700000000 + event_id % 86400) * 1000 AS ms

@@ -161,3 +161,28 @@ def test_vpc_flow_defaults_and_unset_markers(spark):
     assert n["fl_log_status"] == "NODATA" and n["fl_start"] == 1431280876
     s = rows[short]
     assert s["fl_version"] is None and s["fl_action"] is None
+
+
+def test_alb_access_log_reference_fixture(spark):
+    """Parse the reference's own alb_al_valid_logs.log fixture lines
+    (elb-access-log/testdata) — including the IPv6 client and the
+    3-extra-trailing-fields variant newer ALB versions append."""
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_alb_access_log
+
+    path = ("/root/reference/extension/encoding/awslogsencodingextension/internal/"
+            "unmarshaler/elb-access-log/testdata/alb_al_valid_logs.log")
+    lines = [(ln,) for ln in open(path).read().splitlines()]
+    lines.append(("http 2023-04-01T12:00:00Z alb",))  # alb_al_insufficient_fields.log
+    df = spark.createDataFrame(lines, "body string")
+    rows = parse_alb_access_log(df, "body").collect()
+    good = [r for r in rows if r["alb_type"] is not None]
+    assert len(good) == 3 and len(rows) == 4
+    for r in good:
+        assert r["alb_elb_status_code"] == 200
+        assert r["alb_request_processing_time"] == 0.086
+        assert r["alb_method"] == "GET" and r["alb_protocol"] == "HTTP/1.1"
+        assert r["alb_url"] == "https://www.example.com:443/"
+        assert r["alb_actions_executed"] == "authenticate,forward"
+        assert r["alb_domain_name"] == "www.example.com"
+    ipv6 = [r for r in good if r["alb_client"].startswith("[fe80")]
+    assert len(ipv6) == 1 and ipv6[0]["alb_client"] == "[fe80::202:b3ff:fe1e:8329]:443"
