@@ -622,3 +622,125 @@ def synthesize_otlp_pb_metrics(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", gen("event_id", "event_type", "value"))
+
+
+# --- histogram datapoints (metrics.proto Histogram) ---------------------------
+# Metric{ histogram = 9 }; Histogram{ data_points = 1,
+# aggregation_temporality = 2 }; HistogramDataPoint{ start_time_unix_nano=2,
+# time_unix_nano=3 (fixed64), count=4 (fixed64), sum=5 (double),
+# bucket_counts=6 (repeated fixed64, PACKED), explicit_bounds=7 (repeated
+# double, PACKED), attributes=9 }
+
+_HIST_FIELDS = [
+    T.StructField("hh_name", T.StringType()),
+    T.StructField("hh_temporality", T.IntegerType()),
+    T.StructField("hh_ts_us", T.LongType()),
+    T.StructField("hh_count", T.LongType()),
+    T.StructField("hh_sum", T.DoubleType()),
+    T.StructField("hh_bucket_counts_csv", T.StringType()),
+    T.StructField("hh_bounds_csv", T.StringType()),
+    T.StructField("hh_attrs_csv", T.StringType()),
+]
+
+
+def _packed(buf: bytes, fmt: str) -> list:
+    size = struct.calcsize(fmt)
+    if len(buf) % size:
+        raise ValueError("ragged packed field")
+    return [struct.unpack_from(fmt, buf, i)[0] for i in range(0, len(buf), size)]
+
+
+def _hist_dp(buf: bytes) -> dict:
+    dp = {
+        "hh_ts_us": None, "hh_count": None, "hh_sum": None,
+        "hh_bucket_counts_csv": None, "hh_bounds_csv": None, "hh_attrs_csv": None,
+    }
+    attrs: list[tuple[str, object]] = []
+    for f, _, v in _fields(buf):
+        if f == 3:
+            dp["hh_ts_us"] = struct.unpack("<Q", v)[0] // 1000
+        elif f == 4:
+            dp["hh_count"] = struct.unpack("<Q", v)[0]
+        elif f == 5:
+            dp["hh_sum"] = struct.unpack("<d", v)[0]
+        elif f == 6:
+            dp["hh_bucket_counts_csv"] = ",".join(str(x) for x in _packed(v, "<Q"))
+        elif f == 7:
+            dp["hh_bounds_csv"] = ",".join(repr(x) for x in _packed(v, "<d"))
+        elif f == 9:
+            attrs.append(_key_value(v))
+    dp["hh_attrs_csv"] = _attrs_csv(attrs)
+    return dp
+
+
+def decode_histograms_data(payload: bytes) -> list[dict]:
+    rows = []
+    for f1, _, rm in _fields(payload):
+        if f1 != 1:
+            continue
+        for f2, _, sm in _fields(rm):
+            if f2 != 2:
+                continue
+            for f3, _, metric in _fields(sm):
+                if f3 != 2:
+                    continue
+                name = None
+                dps = []
+                for f4, _, v4 in _fields(metric):
+                    if f4 == 1:
+                        name = v4.decode("utf-8", errors="replace")
+                    elif f4 == 9:  # histogram
+                        temporality = None
+                        points = []
+                        for f5, _, v5 in _fields(v4):
+                            if f5 == 1:
+                                points.append(_hist_dp(v5))
+                            elif f5 == 2:
+                                temporality = int(v5)
+                        dps.extend({**p, "hh_temporality": temporality} for p in points)
+                rows.extend({**p, "hh_name": name} for p in dps)
+    return rows
+
+
+def parse_otlp_pb_histograms(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per histogram datapoint in each OTLP-protobuf MetricsData
+    payload — bucket counts and explicit bounds arrive as the proto PACKED
+    wire encodings and surface as the repo's canonical CSV columns, so the
+    output plugs straight into the histogram merge/rebucket operators."""
+    return _pb_map(df, source, _HIST_FIELDS, decode_histograms_data)
+
+
+def enc_hist_dp(ts_ns: int, count: int, total: float, bucket_counts: list[int],
+                bounds: list[float], attrs: dict | None = None) -> bytes:
+    out = _tag(3, 1) + struct.pack("<Q", ts_ns)
+    out += _tag(4, 1) + struct.pack("<Q", count)
+    out += _tag(5, 1) + struct.pack("<d", total)
+    out += _ld(6, b"".join(struct.pack("<Q", c) for c in bucket_counts))
+    out += _ld(7, b"".join(struct.pack("<d", b) for b in bounds))
+    for k, v in (attrs or {}).items():
+        out += _ld(9, enc_kv(k, v))
+    return out
+
+
+def enc_histogram_metric(name: str, dps: list[bytes], temporality: int = 2) -> bytes:
+    inner = b"".join(_ld(1, d) for d in dps) + _tag(2, 0) + _enc_varint(temporality)
+    return _ld(1, name.encode("utf-8")) + _ld(9, inner)
+
+
+def synthesize_otlp_pb_histograms(df: DataFrame) -> DataFrame:
+    """Deterministic histogram payloads from (event_id, event_type, value):
+    a 3-bucket cumulative histogram per event with the standard [1, 5]
+    bounds used by the events-table histogram fixtures."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, types: pd.Series, values: pd.Series) -> pd.Series:
+        out = []
+        for i, t, v in zip(ids, types, values):
+            i = int(i)
+            ns = (1_700_000_000 + i % 86400) * 1_000_000_000
+            counts = [i % 4, (i + 1) % 3, (i + 2) % 5]
+            dp = enc_hist_dp(ns, sum(counts), float(v), counts, [1.0, 5.0], {"etype": t})
+            out.append(enc_metrics_data([enc_histogram_metric(f"{t}.latency", [dp])]))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "event_type", "value"))

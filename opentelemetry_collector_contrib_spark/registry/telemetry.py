@@ -2317,7 +2317,22 @@ def q_alb_access_log(spark, sf_dir):
     )
 
 
+def q_otlp_pb_histograms(spark, sf_dir):
+    """OTLP protobuf histogram datapoints: proto PACKED repeated fields
+    (fixed64 bucket counts, double bounds) decoded into the repo's
+    canonical histogram CSV columns."""
+    from ..operators.otlp_pb import parse_otlp_pb_histograms, synthesize_otlp_pb_histograms
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = parse_otlp_pb_histograms(synthesize_otlp_pb_histograms(ev), "payload")
+    return out.select(
+        "event_id", "hh_name", "hh_temporality", "hh_ts_us", "hh_count", "hh_sum",
+        "hh_bucket_counts_csv", "hh_bounds_csv", "hh_attrs_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "otlp_pb_histograms": q_otlp_pb_histograms,
     "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
     "vpc_flow_parse": q_vpc_flow,
@@ -2866,6 +2881,19 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["otlp_pb_histograms"] = """
+SELECT event_id,
+  event_type || '.latency' AS hh_name,
+  CAST(2 AS INTEGER) AS hh_temporality,
+  (1700000000 + event_id % 86400) * 1000000 AS hh_ts_us,
+  (event_id % 4) + ((event_id + 1) % 3) + ((event_id + 2) % 5) AS hh_count,
+  value AS hh_sum,
+  CAST(event_id % 4 AS VARCHAR) || ',' || CAST((event_id + 1) % 3 AS VARCHAR)
+    || ',' || CAST((event_id + 2) % 5 AS VARCHAR) AS hh_bucket_counts_csv,
+  '1.0,5.0' AS hh_bounds_csv,
+  'etype=' || event_type AS hh_attrs_csv
+FROM events"""
 
     o["alb_access_log_parse"] = """
 WITH e AS (SELECT *, event_id % 13 = 0 AS bad, event_id % 9 = 0 AS unset FROM events)

@@ -138,3 +138,24 @@ def test_metrics_decode_gauge_and_sum():
     sums = [r for r in rows if r["mt_type"] == "sum"]
     assert {r["mt_value"] for r in sums} == {42.0, 43.0}
     assert all(r["mt_monotonic"] and r["mt_temporality"] == 2 and r["mt_is_int"] for r in sums)
+
+
+def test_histogram_packed_fields_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        parse_otlp_pb_histograms,
+        synthesize_otlp_pb_histograms,
+    )
+
+    df = spark.range(6).select(
+        F.col("id").alias("event_id"), F.lit("T").alias("event_type"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    rows = {r["event_id"]: r for r in
+            parse_otlp_pb_histograms(synthesize_otlp_pb_histograms(df), "payload").collect()}
+    assert len(rows) == 6
+    r = rows[3]
+    assert r["hh_bucket_counts_csv"] == "3,1,0" and r["hh_bounds_csv"] == "1.0,5.0"
+    assert r["hh_count"] == 4 and r["hh_sum"] == 4.5
+    assert r["hh_name"] == "T.latency" and r["hh_temporality"] == 2
