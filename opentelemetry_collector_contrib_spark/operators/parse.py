@@ -1298,3 +1298,86 @@ def parse_alb_access_log(df: DataFrame, source: str = "body", prefix: str = "alb
         F.when(ok, proto).alias(prefix + "protocol"),
     ]
     return df.select(*df.columns, *cols)
+
+
+CLOUDTRAIL_SCHEMA = (
+    "struct<Records: array<struct<"
+    "eventVersion: string, eventTime: string, eventSource: string, eventName: string,"
+    " awsRegion: string, sourceIPAddress: string, userAgent: string,"
+    " userIdentity: struct<type: string, principalId: string, arn: string,"
+    " accountId: string, userName: string>,"
+    " requestID: string, eventID: string, readOnly: boolean, eventType: string,"
+    " errorCode: string, managementEvent: boolean>>>"
+)
+
+
+def parse_cloudtrail(df: DataFrame, source: str = "payload") -> DataFrame:
+    """CloudTrail log-file payload (awslogsencodingextension
+    internal/unmarshaler/cloudtraillog/unmarshaler.go:28-100): a gzip JSON
+    envelope whose `Records` array fans out one row per management/data
+    event, identity context flattened. The gunzip is the only Python step;
+    envelope parse + explode stay native."""
+    txt = df.withColumn("_ct", F.from_json(_gunzip_utf8(F.col(source)), CLOUDTRAIL_SCHEMA))
+    rec = txt.select("*", F.posexplode(F.col("_ct")["Records"]).alias("_i", "_r"))
+    r = F.col("_r")
+    return rec.select(
+        *[c for c in df.columns if c != source],
+        r["eventVersion"].alias("ct_version"),
+        F.try_to_timestamp(r["eventTime"], F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("ct_ts"),
+        r["eventSource"].alias("ct_source"),
+        r["eventName"].alias("ct_name"),
+        r["awsRegion"].alias("ct_region"),
+        r["sourceIPAddress"].alias("ct_source_ip"),
+        r["userAgent"].alias("ct_user_agent"),
+        r["userIdentity"]["type"].alias("ct_identity_type"),
+        r["userIdentity"]["arn"].alias("ct_identity_arn"),
+        r["userIdentity"]["accountId"].alias("ct_account_id"),
+        r["requestID"].alias("ct_request_id"),
+        r["eventID"].alias("ct_event_id"),
+        r["readOnly"].alias("ct_read_only"),
+        r["errorCode"].alias("ct_error_code"),
+    )
+
+
+def synthesize_cloudtrail_payloads(df: DataFrame) -> DataFrame:
+    """Deterministic gzip CloudTrail envelopes from (event_id, user_id,
+    event_type): two Records each; errorCode set on every 6th."""
+    import gzip as _gzip
+    import json as _json
+    from datetime import datetime, timezone
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, users: pd.Series, types: pd.Series) -> pd.Series:
+        out = []
+        for i, u, t in zip(ids, users, types):
+            i, u = int(i), int(u)
+            ts = datetime.fromtimestamp(1_700_000_000 + i % 86400, tz=timezone.utc)
+            recs = []
+            for j in range(2):
+                rec = {
+                    "eventVersion": "1.08",
+                    "eventTime": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "eventSource": f"{t}.amazonaws.com",
+                    "eventName": "GetObject" if j else "PutObject",
+                    "awsRegion": "us-east-1",
+                    "sourceIPAddress": f"10.1.{u % 255}.9",
+                    "userAgent": "aws-cli/2.0",
+                    "userIdentity": {
+                        "type": "IAMUser",
+                        "principalId": f"P{u}",
+                        "arn": f"arn:aws:iam::123456789012:user/u{u % 50}",
+                        "accountId": "123456789012",
+                        "userName": f"u{u % 50}",
+                    },
+                    "requestID": f"req-{i}-{j}",
+                    "eventID": f"ev-{i}-{j}",
+                    "readOnly": j == 1,
+                    "eventType": "AwsApiCall",
+                }
+                if i % 6 == 0:
+                    rec["errorCode"] = "AccessDenied"
+                recs.append(rec)
+            out.append(_gzip.compress(_json.dumps({"Records": recs}).encode(), mtime=0))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "user_id", "event_type"))

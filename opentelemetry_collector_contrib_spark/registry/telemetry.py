@@ -2331,7 +2331,24 @@ def q_otlp_pb_histograms(spark, sf_dir):
     )
 
 
+def q_cloudtrail(spark, sf_dir):
+    """CloudTrail log-file envelopes (awslogsencodingextension
+    cloudtraillog): gzip JSON Records fan-out with identity context and
+    ISO event times."""
+    from ..operators.parse import parse_cloudtrail, synthesize_cloudtrail_payloads
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    out = parse_cloudtrail(synthesize_cloudtrail_payloads(ev), "payload")
+    return out.select(
+        "event_id", "ct_version", F.unix_micros(F.col("ct_ts")).alias("ct_ts_us"),
+        "ct_source", "ct_name", "ct_region", "ct_source_ip", "ct_identity_type",
+        "ct_identity_arn", "ct_account_id", "ct_request_id", "ct_event_id",
+        "ct_read_only", "ct_error_code",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cloudtrail_records": q_cloudtrail,
     "otlp_pb_histograms": q_otlp_pb_histograms,
     "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
@@ -2880,6 +2897,24 @@ SELECT event_id,
   CASE WHEN i = 0 THEN printf('%016x', event_id % 65536) END AS ol_span_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
+FROM x"""
+
+    o["cloudtrail_records"] = """
+WITH x AS (SELECT e.*, s.i FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+SELECT event_id,
+  '1.08' AS ct_version,
+  (1700000000 + event_id % 86400) * 1000000 AS ct_ts_us,
+  event_type || '.amazonaws.com' AS ct_source,
+  CASE WHEN i = 1 THEN 'GetObject' ELSE 'PutObject' END AS ct_name,
+  'us-east-1' AS ct_region,
+  '10.1.' || CAST(user_id % 255 AS VARCHAR) || '.9' AS ct_source_ip,
+  'IAMUser' AS ct_identity_type,
+  'arn:aws:iam::123456789012:user/u' || CAST(user_id % 50 AS VARCHAR) AS ct_identity_arn,
+  '123456789012' AS ct_account_id,
+  'req-' || CAST(event_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS ct_request_id,
+  'ev-' || CAST(event_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS ct_event_id,
+  i = 1 AS ct_read_only,
+  CASE WHEN event_id % 6 = 0 THEN 'AccessDenied' END AS ct_error_code
 FROM x"""
 
     o["otlp_pb_histograms"] = """

@@ -186,3 +186,29 @@ def test_alb_access_log_reference_fixture(spark):
         assert r["alb_domain_name"] == "www.example.com"
     ipv6 = [r for r in good if r["alb_client"].startswith("[fe80")]
     assert len(ipv6) == 1 and ipv6[0]["alb_client"] == "[fe80::202:b3ff:fe1e:8329]:443"
+
+
+def test_cloudtrail_records_parse(spark):
+    import gzip
+    import json
+
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_cloudtrail
+
+    env = {"Records": [{
+        "eventVersion": "1.08", "eventTime": "2023-11-14T22:13:20Z",
+        "eventSource": "s3.amazonaws.com", "eventName": "GetObject",
+        "awsRegion": "eu-west-1", "sourceIPAddress": "1.2.3.4",
+        "userAgent": "cli", "userIdentity": {"type": "Root", "arn": "a", "accountId": "42"},
+        "requestID": "r1", "eventID": "e1", "readOnly": True, "eventType": "AwsApiCall",
+    }]}
+    df = spark.createDataFrame(
+        [(1, bytearray(gzip.compress(json.dumps(env).encode(), mtime=0))),
+         (2, bytearray(b"junk"))],
+        "id int, payload binary",
+    )
+    rows = parse_cloudtrail(df, "payload").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["ct_source"], r["ct_name"], r["ct_read_only"]) == ("s3.amazonaws.com", "GetObject", True)
+    assert r["ct_identity_type"] == "Root" and r["ct_error_code"] is None
+    assert r["ct_ts"].isoformat().startswith("2023-11-14T22:13:20")
