@@ -744,3 +744,166 @@ def synthesize_otlp_pb_histograms(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", gen("event_id", "event_type", "value"))
+
+
+# --- exponential histogram datapoints (metrics.proto ExponentialHistogram) ----
+# Metric{ exponential_histogram = 10 }; ExponentialHistogram{ data_points=1,
+# aggregation_temporality=2 }; ExponentialHistogramDataPoint{
+# time_unix_nano=3 (fixed64), count=4 (fixed64), sum=5 (double),
+# scale=6 (SINT32 -> zigzag varint), zero_count=7 (fixed64),
+# positive=8, negative=9: Buckets{ offset=1 (sint32 zigzag),
+# bucket_counts=2 (repeated uint64, PACKED varints) }, attributes=1 }
+
+_EXPH_FIELDS = [
+    T.StructField("eh_name", T.StringType()),
+    T.StructField("eh_temporality", T.IntegerType()),
+    T.StructField("eh_ts_us", T.LongType()),
+    T.StructField("eh_count", T.LongType()),
+    T.StructField("eh_sum", T.DoubleType()),
+    T.StructField("eh_scale", T.IntegerType()),
+    T.StructField("eh_zero_count", T.LongType()),
+    T.StructField("eh_pos_offset", T.IntegerType()),
+    T.StructField("eh_pos_counts_csv", T.StringType()),
+    T.StructField("eh_neg_offset", T.IntegerType()),
+    T.StructField("eh_neg_counts_csv", T.StringType()),
+]
+
+
+def _unzigzag32(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _packed_varints(buf: bytes) -> list[int]:
+    out, pos = [], 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _exph_buckets(buf: bytes) -> tuple[int | None, str | None]:
+    offset, counts = None, None
+    for f, w, v in _fields(buf):
+        if f == 1:
+            offset = _unzigzag32(v)
+        elif f == 2:
+            # packed (wire 2) is canonical; tolerate unpacked varints too
+            if w == 2:
+                counts = ",".join(str(x) for x in _packed_varints(v))
+            else:
+                counts = (counts + "," if counts else "") + str(v)
+    return offset, counts
+
+
+def decode_exp_histograms_data(payload: bytes) -> list[dict]:
+    rows = []
+    for f1, _, rm in _fields(payload):
+        if f1 != 1:
+            continue
+        for f2, _, sm in _fields(rm):
+            if f2 != 2:
+                continue
+            for f3, _, metric in _fields(sm):
+                if f3 != 2:
+                    continue
+                name = None
+                dps = []
+                for f4, _, v4 in _fields(metric):
+                    if f4 == 1:
+                        name = v4.decode("utf-8", errors="replace")
+                    elif f4 == 10:
+                        temporality = None
+                        points = []
+                        for f5, _, v5 in _fields(v4):
+                            if f5 == 1:
+                                dp = {
+                                    "eh_ts_us": None, "eh_count": None, "eh_sum": None,
+                                    "eh_scale": None, "eh_zero_count": None,
+                                    "eh_pos_offset": None, "eh_pos_counts_csv": None,
+                                    "eh_neg_offset": None, "eh_neg_counts_csv": None,
+                                }
+                                for f6, _, v6 in _fields(v5):
+                                    if f6 == 3:
+                                        dp["eh_ts_us"] = struct.unpack("<Q", v6)[0] // 1000
+                                    elif f6 == 4:
+                                        dp["eh_count"] = struct.unpack("<Q", v6)[0]
+                                    elif f6 == 5:
+                                        dp["eh_sum"] = struct.unpack("<d", v6)[0]
+                                    elif f6 == 6:
+                                        dp["eh_scale"] = _unzigzag32(v6)
+                                    elif f6 == 7:
+                                        dp["eh_zero_count"] = struct.unpack("<Q", v6)[0]
+                                    elif f6 == 8:
+                                        dp["eh_pos_offset"], dp["eh_pos_counts_csv"] = (
+                                            _exph_buckets(v6)
+                                        )
+                                    elif f6 == 9:
+                                        dp["eh_neg_offset"], dp["eh_neg_counts_csv"] = (
+                                            _exph_buckets(v6)
+                                        )
+                                points.append(dp)
+                            elif f5 == 2:
+                                temporality = int(v5)
+                        dps.extend({**p, "eh_temporality": temporality} for p in points)
+                rows.extend({**p, "eh_name": name} for p in dps)
+    return rows
+
+
+def parse_otlp_pb_exp_histograms(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per exponential-histogram datapoint — zigzag sint32 scale
+    and bucket offsets, packed-varint bucket counts — emitting the same
+    (scale, offset, counts) shape the exponential-histogram operators
+    (downscale/merge/delta) consume."""
+    return _pb_map(df, source, _EXPH_FIELDS, decode_exp_histograms_data)
+
+
+def _zigzag32(v: int) -> bytes:
+    return _enc_varint(((v << 1) ^ (v >> 31)) & 0xFFFFFFFF)
+
+
+def enc_exp_hist_dp(ts_ns: int, count: int, total: float, scale: int, zero_count: int,
+                    pos_offset: int, pos_counts: list[int],
+                    neg_offset: int | None = None, neg_counts: list[int] | None = None) -> bytes:
+    out = _tag(3, 1) + struct.pack("<Q", ts_ns)
+    out += _tag(4, 1) + struct.pack("<Q", count)
+    out += _tag(5, 1) + struct.pack("<d", total)
+    out += _tag(6, 0) + _zigzag32(scale)
+    out += _tag(7, 1) + struct.pack("<Q", zero_count)
+    pos = _tag(1, 0) + _zigzag32(pos_offset) + _ld(2, b"".join(_enc_varint(c) for c in pos_counts))
+    out += _ld(8, pos)
+    if neg_counts is not None:
+        neg = _tag(1, 0) + _zigzag32(neg_offset or 0) + _ld(
+            2, b"".join(_enc_varint(c) for c in neg_counts)
+        )
+        out += _ld(9, neg)
+    return out
+
+
+def enc_exp_histogram_metric(name: str, dps: list[bytes], temporality: int = 2) -> bytes:
+    inner = b"".join(_ld(1, d) for d in dps) + _tag(2, 0) + _enc_varint(temporality)
+    return _ld(1, name.encode("utf-8")) + _ld(10, inner)
+
+
+def synthesize_otlp_pb_exp_histograms(df: DataFrame) -> DataFrame:
+    """Deterministic exponential-histogram payloads from (event_id,
+    event_type, value): negative scales on every 3rd row, negative bucket
+    section on every 4th."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, types: pd.Series, values: pd.Series) -> pd.Series:
+        out = []
+        for i, t, v in zip(ids, types, values):
+            i = int(i)
+            ns = (1_700_000_000 + i % 86400) * 1_000_000_000
+            counts = [i % 3 + 1, (i + 1) % 4, (i + 2) % 5]
+            neg = ([i % 2, 1], -2) if i % 4 == 0 else (None, None)
+            dp = enc_exp_hist_dp(
+                ns, sum(counts) + (sum(neg[0]) if neg[0] else 0), float(v),
+                scale=-(i % 3) if i % 3 else 2, zero_count=i % 7,
+                pos_offset=(i % 11) - 5, pos_counts=counts,
+                neg_offset=neg[1], neg_counts=neg[0],
+            )
+            out.append(enc_metrics_data([enc_exp_histogram_metric(f"{t}.exp", [dp])]))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "event_type", "value"))

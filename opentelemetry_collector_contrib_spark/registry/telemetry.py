@@ -2347,7 +2347,26 @@ def q_cloudtrail(spark, sf_dir):
     )
 
 
+def q_otlp_pb_exp_histograms(spark, sf_dir):
+    """OTLP protobuf exponential-histogram datapoints: zigzag sint32
+    scale/offsets (negative scales exercised), packed-varint bucket
+    counts, optional negative bucket section."""
+    from ..operators.otlp_pb import (
+        parse_otlp_pb_exp_histograms,
+        synthesize_otlp_pb_exp_histograms,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = parse_otlp_pb_exp_histograms(synthesize_otlp_pb_exp_histograms(ev), "payload")
+    return out.select(
+        "event_id", "eh_name", "eh_temporality", "eh_ts_us", "eh_count", "eh_sum",
+        "eh_scale", "eh_zero_count", "eh_pos_offset", "eh_pos_counts_csv",
+        "eh_neg_offset", "eh_neg_counts_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "otlp_pb_exp_histograms": q_otlp_pb_exp_histograms,
     "cloudtrail_records": q_cloudtrail,
     "otlp_pb_histograms": q_otlp_pb_histograms,
     "alb_access_log_parse": q_alb_access_log,
@@ -2898,6 +2917,24 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["otlp_pb_exp_histograms"] = """
+SELECT event_id,
+  event_type || '.exp' AS eh_name,
+  CAST(2 AS INTEGER) AS eh_temporality,
+  (1700000000 + event_id % 86400) * 1000000 AS eh_ts_us,
+  (event_id % 3 + 1) + ((event_id + 1) % 4) + ((event_id + 2) % 5)
+    + CASE WHEN event_id % 4 = 0 THEN (event_id % 2) + 1 ELSE 0 END AS eh_count,
+  value AS eh_sum,
+  CAST(CASE WHEN event_id % 3 = 0 THEN 2 ELSE -(event_id % 3) END AS INTEGER) AS eh_scale,
+  event_id % 7 AS eh_zero_count,
+  CAST((event_id % 11) - 5 AS INTEGER) AS eh_pos_offset,
+  CAST(event_id % 3 + 1 AS VARCHAR) || ',' || CAST((event_id + 1) % 4 AS VARCHAR)
+    || ',' || CAST((event_id + 2) % 5 AS VARCHAR) AS eh_pos_counts_csv,
+  CASE WHEN event_id % 4 = 0 THEN CAST(-2 AS INTEGER) END AS eh_neg_offset,
+  CASE WHEN event_id % 4 = 0
+       THEN CAST(event_id % 2 AS VARCHAR) || ',1' END AS eh_neg_counts_csv
+FROM events"""
 
     o["cloudtrail_records"] = """
 WITH x AS (SELECT e.*, s.i FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)

@@ -159,3 +159,25 @@ def test_histogram_packed_fields_roundtrip(spark):
     assert r["hh_bucket_counts_csv"] == "3,1,0" and r["hh_bounds_csv"] == "1.0,5.0"
     assert r["hh_count"] == 4 and r["hh_sum"] == 4.5
     assert r["hh_name"] == "T.latency" and r["hh_temporality"] == 2
+
+
+def test_exp_histogram_zigzag_and_negative_buckets():
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        decode_exp_histograms_data,
+        enc_exp_hist_dp,
+        enc_exp_histogram_metric,
+        enc_metrics_data,
+    )
+
+    dp = enc_exp_hist_dp(
+        1_000_000_000, 7, -1.5, scale=-4, zero_count=2,
+        pos_offset=-17, pos_counts=[1, 0, 300],  # 300 needs a 2-byte varint
+        neg_offset=3, neg_counts=[5],
+    )
+    row = decode_exp_histograms_data(
+        enc_metrics_data([enc_exp_histogram_metric("m", [dp], temporality=1)])
+    )[0]
+    assert row["eh_scale"] == -4 and row["eh_pos_offset"] == -17
+    assert row["eh_pos_counts_csv"] == "1,0,300"
+    assert row["eh_neg_offset"] == 3 and row["eh_neg_counts_csv"] == "5"
+    assert row["eh_temporality"] == 1 and row["eh_sum"] == -1.5
