@@ -2365,7 +2365,35 @@ def q_otlp_pb_exp_histograms(spark, sf_dir):
     )
 
 
+def q_otlp_pb_pipeline(spark, sf_dir):
+    """End-to-end composition over the native wire format: OTLP protobuf
+    decode -> routingconnector (severity_number >= ERROR moves to
+    'errors', attr-flagged retries copied to 'retry_feed') -> per-(route,
+    resource) countconnector aggregate. Proves the binary receivers feed
+    the same processor graph as the transcript pipeline."""
+    from ..operators.otlp_pb import parse_otlp_pb_logs, synthesize_otlp_pb
+    from ..operators.route import Route, RouteTable, apply_routes
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    logs = parse_otlp_pb_logs(synthesize_otlp_pb(ev, cols={"etype": "event_type"}), "payload")
+    table = RouteTable(
+        routes=[
+            Route("errors", F.col("ol_severity_number") >= 17, "move"),
+            Route("retry_feed", F.col("ol_attrs_csv").contains("retry=true"), "copy"),
+        ],
+        default="general",
+    )
+    routed = apply_routes(logs, table)
+    return routed.groupBy("route_id", "ol_resource_csv").agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.col("copy_retry_feed").cast("int")).alias("n_retry_copies"),
+        F.min("ol_ts_us").alias("first_ts_us"),
+        F.max("ol_ts_us").alias("last_ts_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "otlp_pb_pipeline": q_otlp_pb_pipeline,
     "otlp_pb_exp_histograms": q_otlp_pb_exp_histograms,
     "cloudtrail_records": q_cloudtrail,
     "otlp_pb_histograms": q_otlp_pb_histograms,
@@ -2917,6 +2945,19 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["otlp_pb_pipeline"] = """
+WITH x AS (SELECT e.*, s.i,
+                  (1700000000 + event_id % 86400) * 1000000
+                    + (event_id % 1000) * 1000 + i * 1000 AS ts_us
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+SELECT CASE WHEN i = 1 THEN 'errors' ELSE 'general' END AS route_id,
+  'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv,
+  count(*) AS n_records,
+  CAST(sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retry_copies,
+  min(ts_us) AS first_ts_us,
+  max(ts_us) AS last_ts_us
+FROM x GROUP BY 1, 2"""
 
     o["otlp_pb_exp_histograms"] = """
 SELECT event_id,
