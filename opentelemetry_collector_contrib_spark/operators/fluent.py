@@ -50,6 +50,8 @@ class EventTime:
 def mp_encode(obj) -> bytes:
     if obj is None:
         return b"\xc0"
+    if hasattr(obj, "item") and type(obj).__module__ == "numpy":
+        obj = obj.item()  # pandas hands numpy scalars to per-column codecs
     if isinstance(obj, bool):
         return b"\xc3" if obj else b"\xc2"
     if isinstance(obj, EventTime):

@@ -249,6 +249,8 @@ def _ld(fnum: int, payload: bytes) -> bytes:
 
 
 def enc_any(v) -> bytes:
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()  # pandas hands numpy scalars to per-column encoders
     if isinstance(v, bool):
         return _tag(2, 0) + _enc_varint(1 if v else 0)
     if isinstance(v, str):
