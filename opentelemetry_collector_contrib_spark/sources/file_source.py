@@ -141,3 +141,51 @@ def decode_text(df: DataFrame, source: str, charset: str = "UTF-8", out_col: str
     stanza lookup table exposes. Pure projection; malformed sequences
     follow Spark's charset-decoder replacement behavior."""
     return df.withColumn(out_col or source, F.decode(F.col(source), charset))
+
+
+WIRE_DECODERS = {
+    "fluent_forward": ("opentelemetry_collector_contrib_spark.operators.fluent", "parse_fluent_forward"),
+    "otlp_pb_logs": ("opentelemetry_collector_contrib_spark.operators.otlp_pb", "parse_otlp_pb_logs"),
+    "otlp_pb_traces": ("opentelemetry_collector_contrib_spark.operators.otlp_pb", "parse_otlp_pb_traces"),
+    "otlp_pb_metrics": ("opentelemetry_collector_contrib_spark.operators.otlp_pb", "parse_otlp_pb_metrics"),
+    "avro": ("opentelemetry_collector_contrib_spark.operators.avro", "parse_avro"),
+    "cloudwatch": (
+        "opentelemetry_collector_contrib_spark.operators.parse",
+        "parse_cloudwatch_subscription",
+    ),
+    "cloudtrail": ("opentelemetry_collector_contrib_spark.operators.parse", "parse_cloudtrail"),
+    "firehose": ("opentelemetry_collector_contrib_spark.operators.parse", "parse_firehose_envelope"),
+}
+
+
+def wire_spool_source(
+    spark: SparkSession,
+    path: str,
+    wire: str,
+    payload_col: str = "payload",
+    streaming: bool = False,
+    schema: T.StructType | str | None = None,
+    **decoder_kwargs,
+) -> DataFrame:
+    """Binary-wire receiver surface: a parquet spool of framed payloads
+    (one row per event/request — how the network bridges land data) read
+    as a batch OR stream and pushed through the named decoder. This is
+    the batch-table mirror of the reference's receiver lifecycle: the
+    transport half is the spool writer; the decode half is identical
+    between `spark.read` and `spark.readStream` (agreement pinned by
+    tests/test_fluent.py::test_fluent_and_otlp_pb_stream_equals_batch).
+    `wire` is one of WIRE_DECODERS; avro additionally needs
+    `schema_json=`."""
+    import importlib
+
+    if wire not in WIRE_DECODERS:
+        raise ValueError(f"unknown wire format {wire!r} (have {sorted(WIRE_DECODERS)})")
+    mod_name, fn_name = WIRE_DECODERS[wire]
+    decode = getattr(importlib.import_module(mod_name), fn_name)
+    if streaming:
+        if schema is None:
+            schema = spark.read.parquet(path).schema  # infer once from the spool
+        df = spark.readStream.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    return decode(df, payload_col, **decoder_kwargs)

@@ -439,3 +439,24 @@ def test_streaming_keep_first_dedup_rejects_out_of_order_new_docs(spark, tmp_pat
     )
     with pytest.raises(Exception, match="high-water mark"):
         q2.awaitTermination(120)
+
+
+def test_wire_spool_source_batch_stream_and_unknown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.fluent import (
+        synthesize_fluent_payloads,
+    )
+    from opentelemetry_collector_contrib_spark.sources.file_source import wire_spool_source
+
+    df = spark.range(6).select(F.col("id").alias("event_id"), F.lit("T").alias("event_type"))
+    spool = str(tmp_path / "ws")
+    synthesize_fluent_payloads(df, cols={"etype": "event_type"}).write.parquet(spool)
+    batch = wire_spool_source(spark, spool, "fluent_forward")
+    assert batch.count() == 10  # 2 message + 2x2 forward + 2x2 packed
+    stream = wire_spool_source(spark, spool, "fluent_forward", streaming=True)
+    assert stream.isStreaming and stream.schema == batch.schema
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown wire format"):
+        wire_spool_source(spark, spool, "nope")
