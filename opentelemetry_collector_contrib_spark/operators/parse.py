@@ -1381,3 +1381,41 @@ def synthesize_cloudtrail_payloads(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", gen("event_id", "user_id", "event_type"))
+
+
+# S3 server access log field order (awslogsencodingextension
+# internal/unmarshaler/s3-access-log/fields.go; public S3 access-log spec).
+# Newer S3 versions APPEND fields (signature through source-region), so the
+# regex anchors the stable 18-field prefix and tolerates any tail.
+_S3_RE = (
+    r"^(\S+) (\S+) \[([^\]]+)\] (\S+) (\S+) (\S+) (\S+) (\S+)"
+    r' "([^"]*)" (\d+|-) (\S+) (\d+|-) (\d+|-) (\d+|-) (\d+|-)'
+    r' "([^"]*)" "([^"]*)" (\S+)(?: .*)?$'
+)
+
+_S3_FIELDS = [
+    ("bucket_owner", "string"), ("bucket", "string"), ("time", "string"),
+    ("remote_ip", "string"), ("requester", "string"), ("request_id", "string"),
+    ("operation", "string"), ("key", "string"), ("request_uri", "string"),
+    ("http_status", "int"), ("error_code", "string"), ("bytes_sent", "bigint"),
+    ("object_size", "bigint"), ("total_time_ms", "bigint"),
+    ("turn_around_time_ms", "bigint"), ("referer", "string"),
+    ("user_agent", "string"), ("version_id", "string"),
+]
+
+
+def parse_s3_access_log(df: DataFrame, source: str = "body", prefix: str = "s3_") -> DataFrame:
+    """S3 server access-log line: the 18 stable leading fields typed per
+    the reference's unmarshaler ('-' = unset), the bracketed strftime time
+    parsed to a real timestamp, appended fields tolerated. One anchored
+    regex, pure projection; malformed lines yield all-NULL fields."""
+    line = F.col(source)
+    ok = line.rlike(_S3_RE)
+    groups = _guarded_groups(line, _S3_RE, len(_S3_FIELDS))
+    cols = []
+    for (name, typ), g in zip(_S3_FIELDS, groups):
+        val = F.when(ok & (g != "-") & (g != ""), g)
+        cols.append(val.try_cast(typ).alias(prefix + name))
+    # [06/Feb/2019:00:00:38 +0000] — the strftime layout the spec fixes
+    ts = F.when(ok, F.to_timestamp(groups[2], "dd/MMM/yyyy:HH:mm:ss Z"))
+    return df.select(*df.columns, *cols, ts.alias(prefix + "ts"))

@@ -2392,7 +2392,49 @@ def q_otlp_pb_pipeline(spark, sf_dir):
     )
 
 
+def q_s3_access_log(spark, sf_dir):
+    """S3 server access-log lines (awslogsencodingextension s3-access-log):
+    18 typed leading fields, bracketed strftime timestamp, '-' unset
+    markers, appended-field tolerance; every 13th line malformed."""
+    from ..operators.parse import parse_s3_access_log
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    tstr = F.concat(
+        F.date_format(F.col("ts").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000")
+    )
+    status = (F.lit(200) + F.pmod(eid, F.lit(3)) * 100).cast("string")
+    body = F.concat_ws(
+        " ",
+        F.lit("79a59df900b949e5"), F.concat(F.lit("bucket-"), F.pmod(eid, F.lit(7)).cast("string")),
+        F.concat(F.lit("["), tstr, F.lit("]")),
+        F.concat(F.lit("192.0.2."), F.pmod(eid, F.lit(255)).cast("string")),
+        F.lit("requester1"), F.concat(F.lit("REQ"), eid.cast("string")),
+        F.lit("REST.GET.OBJECT"),
+        F.when(F.pmod(eid, F.lit(5)) == 0, F.lit("-")).otherwise(
+            F.concat(F.lit("key/"), F.pmod(F.col("user_id"), F.lit(100)).cast("string"))
+        ),
+        F.concat(F.lit('"GET /b/k'), F.pmod(eid, F.lit(9)).cast("string"), F.lit(' HTTP/1.1"')),
+        status,
+        F.when(F.pmod(eid, F.lit(6)) == 0, F.lit("NoSuchKey")).otherwise(F.lit("-")),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit("2048"), F.pmod(eid, F.lit(500)).cast("string"), F.lit("-"),
+        F.lit('"-"'), F.lit('"S3Console/0.4"'), F.lit("-"),
+        F.lit("hostid= SigV4 ECDHE TLSV1.2"),
+    )
+    body = F.when(F.pmod(eid, F.lit(13)) == 0, F.lit("truncated s3 line")).otherwise(body)
+    out = parse_s3_access_log(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", "s3_bucket", "s3_time", F.unix_micros(F.col("s3_ts")).alias("s3_ts_us"),
+        "s3_remote_ip", "s3_request_id", "s3_operation", "s3_key", "s3_request_uri",
+        "s3_http_status", "s3_error_code", "s3_bytes_sent", "s3_object_size",
+        "s3_total_time_ms", "s3_turn_around_time_ms", "s3_referer", "s3_user_agent",
+        "s3_version_id",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s3_access_log_parse": q_s3_access_log,
     "otlp_pb_pipeline": q_otlp_pb_pipeline,
     "otlp_pb_exp_histograms": q_otlp_pb_exp_histograms,
     "cloudtrail_records": q_cloudtrail,
@@ -2945,6 +2987,35 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["s3_access_log_parse"] = """
+WITH e AS (SELECT *, event_id % 13 = 0 AS bad,
+                  strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS tstr,
+                  epoch_us(ts) // 1000000 * 1000000 AS ts_sec_us FROM events)
+SELECT event_id,
+  CASE WHEN bad THEN NULL
+       ELSE 'bucket-' || CAST(event_id % 7 AS VARCHAR) END AS s3_bucket,
+  CASE WHEN bad THEN NULL ELSE tstr END AS s3_time,
+  CASE WHEN bad THEN NULL ELSE ts_sec_us END AS s3_ts_us,
+  CASE WHEN bad THEN NULL
+       ELSE '192.0.2.' || CAST(event_id % 255 AS VARCHAR) END AS s3_remote_ip,
+  CASE WHEN bad THEN NULL ELSE 'REQ' || CAST(event_id AS VARCHAR) END AS s3_request_id,
+  CASE WHEN bad THEN NULL ELSE 'REST.GET.OBJECT' END AS s3_operation,
+  CASE WHEN bad OR event_id % 5 = 0 THEN NULL
+       ELSE 'key/' || CAST(user_id % 100 AS VARCHAR) END AS s3_key,
+  CASE WHEN bad THEN NULL
+       ELSE 'GET /b/k' || CAST(event_id % 9 AS VARCHAR) || ' HTTP/1.1' END AS s3_request_uri,
+  CASE WHEN bad THEN NULL
+       ELSE CAST(200 + (event_id % 3) * 100 AS INTEGER) END AS s3_http_status,
+  CASE WHEN bad OR event_id % 6 != 0 THEN NULL ELSE 'NoSuchKey' END AS s3_error_code,
+  CASE WHEN bad THEN NULL ELSE CAST(floor(value * 100) AS BIGINT) END AS s3_bytes_sent,
+  CASE WHEN bad THEN NULL ELSE CAST(2048 AS BIGINT) END AS s3_object_size,
+  CASE WHEN bad THEN NULL ELSE event_id % 500 END AS s3_total_time_ms,
+  CAST(NULL AS BIGINT) AS s3_turn_around_time_ms,
+  CAST(NULL AS VARCHAR) AS s3_referer,
+  CASE WHEN bad THEN NULL ELSE 'S3Console/0.4' END AS s3_user_agent,
+  CAST(NULL AS VARCHAR) AS s3_version_id
+FROM e"""
 
     o["otlp_pb_pipeline"] = """
 WITH x AS (SELECT e.*, s.i,

@@ -188,6 +188,9 @@ def test_host_info_single_aggregate_exchange(spark):
         "parse_carbon_lines",
         "parse_collectd_json",
         "parse_firehose_records",
+        "vpc_flow_parse",
+        "alb_access_log_parse",
+        "s3_access_log_parse",
     ],
 )
 def test_wire_renders_and_parsers_are_shuffle_free_projections(spark, name):

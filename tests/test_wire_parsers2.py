@@ -212,3 +212,26 @@ def test_cloudtrail_records_parse(spark):
     assert (r["ct_source"], r["ct_name"], r["ct_read_only"]) == ("s3.amazonaws.com", "GetObject", True)
     assert r["ct_identity_type"] == "Root" and r["ct_error_code"] is None
     assert r["ct_ts"].isoformat().startswith("2023-11-14T22:13:20")
+
+
+def test_s3_access_log_reference_fixture(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_s3_access_log
+
+    path = ("/root/reference/extension/encoding/awslogsencodingextension/internal/"
+            "unmarshaler/s3-access-log/testdata/valid_s3_access_log.log")
+    lines = [(ln,) for ln in open(path).read().splitlines() if ln.strip()]
+    lines.append(("too short line",))
+    df = spark.createDataFrame(lines, "body string")
+    rows = parse_s3_access_log(df, "body").collect()
+    good = [r for r in rows if r["s3_bucket"] is not None]
+    assert len(good) == len(lines) - 1
+    r = next(x for x in good if x["s3_operation"] == "REST.GET.VERSIONING")
+    assert r["s3_bucket"] == "amzn-s3-demo-bucket1"
+    assert r["s3_http_status"] == 200 and r["s3_error_code"] is None
+    assert r["s3_key"] is None  # '-' unset
+    assert r["s3_bytes_sent"] == 113 and r["s3_object_size"] is None
+    assert r["s3_total_time_ms"] == 7 and r["s3_turn_around_time_ms"] is None
+    assert r["s3_user_agent"] == "S3Console/0.4"
+    assert r["s3_ts"].isoformat().startswith("2019-02-06T00:00:38")
+    bad = [x for x in rows if x["s3_bucket"] is None]
+    assert len(bad) == 1 and bad[0]["s3_ts"] is None
