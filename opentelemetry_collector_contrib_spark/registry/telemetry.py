@@ -2433,7 +2433,23 @@ def q_s3_access_log(spark, sf_dir):
     )
 
 
+def q_jaeger_pb_spans(spark, sf_dir):
+    """Jaeger protobuf spans (jaegerencodingextension: one model.Span per
+    payload): Timestamp/Duration submessages, typed KeyValue tags across
+    all five variants, CHILD_OF reference -> parent."""
+    from ..operators.jaeger_pb import parse_jaeger_pb_spans, synthesize_jaeger_spans
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    out = parse_jaeger_pb_spans(synthesize_jaeger_spans(ev), "payload")
+    return out.select(
+        "event_id", "jg_trace_id", "jg_span_id", "jg_parent_span_id", "jg_op",
+        "jg_flags", "jg_start_us", "jg_duration_us", "jg_tags_csv", "jg_service",
+        "jg_process_tags_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "jaeger_pb_spans": q_jaeger_pb_spans,
     "s3_access_log_parse": q_s3_access_log,
     "otlp_pb_pipeline": q_otlp_pb_pipeline,
     "otlp_pb_exp_histograms": q_otlp_pb_exp_histograms,
@@ -2987,6 +3003,23 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["jaeger_pb_spans"] = """
+SELECT event_id,
+  printf('%032x', user_id) AS jg_trace_id,
+  printf('%016x', event_id) AS jg_span_id,
+  CASE WHEN event_id % 3 != 0 AND event_id > 0
+       THEN printf('%016x', event_id - 1) END AS jg_parent_span_id,
+  event_type AS jg_op,
+  1 + event_id % 2 AS jg_flags,
+  (1700000000 + event_id % 86400) * 1000000 + event_id % 1000 AS jg_start_us,
+  (event_id % 5000) * 100 AS jg_duration_us,
+  'code=' || CAST(event_id % 7 AS VARCHAR) || ',etype=' || event_type
+    || ',ok=' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END)
+    || ',ratio=0.25' AS jg_tags_csv,
+  'svc-' || CAST(user_id % 4 AS VARCHAR) AS jg_service,
+  'host=h' || CAST(user_id % 5 AS VARCHAR) AS jg_process_tags_csv
+FROM events"""
 
     o["s3_access_log_parse"] = """
 WITH e AS (SELECT *, event_id % 13 = 0 AS bad,

@@ -181,3 +181,27 @@ def test_exp_histogram_zigzag_and_negative_buckets():
     assert row["eh_pos_counts_csv"] == "1,0,300"
     assert row["eh_neg_offset"] == 3 and row["eh_neg_counts_csv"] == "5"
     assert row["eh_temporality"] == 1 and row["eh_sum"] == -1.5
+
+
+def test_jaeger_span_decode(spark):
+    from opentelemetry_collector_contrib_spark.operators.jaeger_pb import (
+        decode_jaeger_span,
+        enc_jaeger_span,
+        parse_jaeger_pb_spans,
+    )
+
+    s = enc_jaeger_span(
+        bytes(range(16)), b"\x01" * 8, "op", 1_000_000, 500,
+        parent_span_id=None, flags=2,
+        tags={"neg": -5, "d": 1.5}, service="s1",
+    )
+    row = decode_jaeger_span(s)[0]
+    assert row["jg_parent_span_id"] is None and row["jg_flags"] == 2
+    assert row["jg_tags_csv"] == "d=1.5,neg=-5"  # negative int64 varint
+    assert (row["jg_start_us"], row["jg_duration_us"]) == (1_000_000, 500)
+    # spark path drops malformed payloads
+    df = spark.createDataFrame(
+        [(1, bytearray(s)), (2, bytearray(b"\x99\x99"))], "id int, payload binary"
+    )
+    got = parse_jaeger_pb_spans(df, "payload").collect()
+    assert len(got) == 1 and got[0]["jg_service"] == "s1"
