@@ -121,6 +121,10 @@ def _reader(schema) -> tuple:
                         n = -n
                     for _ in range(n):
                         klen, pos = _zigzag_decode(buf, pos)
+                        if klen < 0 or pos + klen > len(buf):
+                            # a negative length would move pos BACKWARDS and
+                            # loop forever on the same block count
+                            raise ValueError("bad map key length")
                         k = buf[pos : pos + klen].decode("utf-8")
                         pos += klen
                         out[k], pos = val(buf, pos)

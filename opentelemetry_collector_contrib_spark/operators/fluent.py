@@ -204,7 +204,7 @@ def _ts_us(t) -> int | None:
     EventTime ext."""
     if isinstance(t, EventTime):
         return t.sec * 1_000_000 + t.ns // 1000
-    if isinstance(t, int):
+    if isinstance(t, int) and not isinstance(t, bool):
         return t * 1_000_000
     return None
 
@@ -244,6 +244,10 @@ def decode_event(payload: bytes) -> list[dict]:
     if not isinstance(evt, list) or not 2 <= len(evt) <= 4 or not isinstance(evt[0], str):
         raise ValueError("malformed event")
     tag, second = evt[0], evt[1]
+    if isinstance(second, bool):
+        # bool is an int subclass in Python, but the protocol's mode
+        # detection (server.go:244-249) has no bool branch: malformed
+        raise ValueError("could not determine event mode")
     # options live at index 3 for message mode, index 2 otherwise
     opt_idx = 3 if isinstance(second, (int, EventTime)) else 2
     options = evt[opt_idx] if len(evt) > opt_idx and isinstance(evt[opt_idx], dict) else {}

@@ -81,6 +81,18 @@ def _zigzag_signed(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _i32(v: int) -> int:
+    """Validate an int32-typed varint (enums, temporality, kind). A value
+    outside int32 range must fail INSIDE the per-payload try (-> payload
+    drops) rather than later in the pandas->Arrow conversion, which is
+    outside it and would fail the whole task."""
+    x = int(v)
+    x = x - (1 << 64) if x >= (1 << 63) else x
+    if not -(1 << 31) <= x < (1 << 31):
+        raise ValueError(f"int32 field out of range: {x}")
+    return x
+
+
 def _any_value(buf: bytes) -> object:
     for fnum, _, v in _fields(buf):
         if fnum == 1:
@@ -110,7 +122,9 @@ def _key_value(buf: bytes) -> tuple[str, object]:
     return key, val
 
 
-def _render(v) -> str:
+def _render(v) -> str | None:
+    if v is None:
+        return None
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
@@ -125,7 +139,11 @@ def _render(v) -> str:
 
 
 def _attrs_csv(pairs: list[tuple[str, object]]) -> str | None:
-    return ",".join(f"{k}={_render(v)}" for k, v in sorted(pairs)) if pairs else None
+    # render BEFORE sorting: duplicate keys with differently-typed values
+    # are legal protobuf, and sorting raw (key, value) tuples would compare
+    # int with str and TypeError the whole payload away
+    items = sorted((k, "" if (r := _render(v)) is None else r) for k, v in pairs)
+    return ",".join(f"{k}={v}" for k, v in items) if items else None
 
 
 def decode_logs_data(payload: bytes) -> list[dict]:
@@ -169,7 +187,7 @@ def decode_logs_data(payload: bytes) -> list[dict]:
                     if f4 == 1:
                         row["ol_ts_us"] = struct.unpack("<Q", v4)[0] // 1000
                     elif f4 == 2:
-                        row["ol_severity_number"] = int(v4)
+                        row["ol_severity_number"] = _i32(v4)
                     elif f4 == 3:
                         row["ol_severity_text"] = v4.decode("utf-8", errors="replace")
                     elif f4 == 5:
@@ -201,26 +219,7 @@ _OL_FIELDS = [
 def parse_otlp_pb_logs(df: DataFrame, source: str = "payload") -> DataFrame:
     """One row per LogRecord in each OTLP-protobuf payload. Malformed
     payloads drop (receiver rejects the request). Arrow-batched."""
-    passthrough = [f for f in df.schema.fields if f.name != source]
-    names = [f.name for f in passthrough]
-    out_schema = T.StructType([*passthrough, *_OL_FIELDS])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                payload = rec[source]
-                if payload is None:
-                    continue
-                try:
-                    decoded = decode_logs_data(bytes(payload))
-                except Exception:  # noqa: BLE001 — reject-the-request analogue
-                    continue
-                base = {k: rec[k] for k in names}
-                rows.extend({**base, **d} for d in decoded)
-            yield pd.DataFrame(rows, columns=[*names, *[f.name for f in _OL_FIELDS]])
-
-    return df.mapInPandas(gen, out_schema)
+    return _pb_map(df, source, _OL_FIELDS, decode_logs_data)
 
 
 # --- encode side (fixtures/tests only) ---------------------------------------
@@ -249,6 +248,8 @@ def _ld(fnum: int, payload: bytes) -> bytes:
 
 
 def enc_any(v) -> bytes:
+    if v is None:
+        return b""  # AnyValue with no oneof member set
     if hasattr(v, "item") and type(v).__module__ == "numpy":
         v = v.item()  # pandas hands numpy scalars to per-column encoders
     if isinstance(v, bool):
@@ -393,7 +394,7 @@ def decode_traces_data(payload: bytes) -> list[dict]:
                     elif f4 == 5:
                         row["sp_name"] = v4.decode("utf-8", errors="replace")
                     elif f4 == 6:
-                        row["sp_kind"] = int(v4)
+                        row["sp_kind"] = _i32(v4)
                     elif f4 == 7:
                         row["sp_start_us"] = struct.unpack("<Q", v4)[0] // 1000
                     elif f4 == 8:
@@ -403,7 +404,7 @@ def decode_traces_data(payload: bytes) -> list[dict]:
                     elif f4 == 15:
                         for f5, _, v5 in _fields(v4):
                             if f5 == 3:
-                                row["sp_status_code"] = int(v5)
+                                row["sp_status_code"] = _i32(v5)
                 row["sp_attrs_csv"] = _attrs_csv(attrs)
                 rows.append(row)
     return rows
@@ -479,7 +480,7 @@ def decode_metrics_data(payload: bytes) -> list[dict]:
                             if f5 == 1:
                                 points.append(_number_dp(v5))
                             elif f5 == 2 and mtype == "sum":
-                                temporality = int(v5)
+                                temporality = _i32(v5)
                             elif f5 == 3 and mtype == "sum":
                                 monotonic = bool(v5)
                         dps.extend(
@@ -698,7 +699,7 @@ def decode_histograms_data(payload: bytes) -> list[dict]:
                             if f5 == 1:
                                 points.append(_hist_dp(v5))
                             elif f5 == 2:
-                                temporality = int(v5)
+                                temporality = _i32(v5)
                         dps.extend({**p, "hh_temporality": temporality} for p in points)
                 rows.extend({**p, "hh_name": name} for p in dps)
     return rows
@@ -845,7 +846,7 @@ def decode_exp_histograms_data(payload: bytes) -> list[dict]:
                                         )
                                 points.append(dp)
                             elif f5 == 2:
-                                temporality = int(v5)
+                                temporality = _i32(v5)
                         dps.extend({**p, "eh_temporality": temporality} for p in points)
                 rows.extend({**p, "eh_name": name} for p in dps)
     return rows

@@ -1417,5 +1417,5 @@ def parse_s3_access_log(df: DataFrame, source: str = "body", prefix: str = "s3_"
         val = F.when(ok & (g != "-") & (g != ""), g)
         cols.append(val.try_cast(typ).alias(prefix + name))
     # [06/Feb/2019:00:00:38 +0000] — the strftime layout the spec fixes
-    ts = F.when(ok, F.to_timestamp(groups[2], "dd/MMM/yyyy:HH:mm:ss Z"))
+    ts = F.when(ok, F.try_to_timestamp(groups[2], F.lit("dd/MMM/yyyy:HH:mm:ss Z")))
     return df.select(*df.columns, *cols, ts.alias(prefix + "ts"))

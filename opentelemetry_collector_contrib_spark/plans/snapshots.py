@@ -131,6 +131,7 @@ class SnapshotStore:
         if operation == "append" and parent is not None:
             base = parent["files"]
         all_files = sorted(base + files)
+        all_files_set = set(all_files)
         # per-file column bounds ride on the snapshot like Iceberg manifest
         # entries: parent stats carry forward for files still referenced,
         # new-file stats merge in, dropped files' stats fall away
@@ -146,7 +147,7 @@ class SnapshotStore:
             "files": all_files,
             "ts": time.time(),
             "summary": summary or {},
-            "stats": {f: s for f, s in merged_stats.items() if f in set(all_files)},
+            "stats": {f: s for f, s in merged_stats.items() if f in all_files_set},
         }
         self._publish(snaps + [snap], expected_seq=seq - 1)
         return snap["snapshot_id"]
@@ -315,8 +316,10 @@ def read_snapshot(
         raise ValueError(f"snapshot table {table_path!r} is empty")
     kept = prune_files(snap, where)
     if not kept:
-        # all files pruned: preserve the schema with an empty scan
-        return spark.read.parquet(*snap["files"]).limit(0)
+        # all files pruned: preserve the schema with an empty scan of ONE
+        # file (uniform-schema table) — footer-scanning the whole file list
+        # here would cost exactly the planning work pruning exists to avoid
+        return spark.read.parquet(snap["files"][0]).limit(0)
     return spark.read.parquet(*kept)
 
 
@@ -401,7 +404,7 @@ def merge_snapshot(
     commit dir. `updates` must be key-unique (dedupe upstream — two update
     rows with one key would both land, same as Iceberg's cardinality
     check failing)."""
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
@@ -435,7 +438,10 @@ def merge_snapshot(
             .distinct()
             .collect()
         )
-        hit_paths = {os.path.abspath(urlparse(r["_fp"]).path) for r in hit}
+        # _metadata.file_path is a percent-encoded URI: unquote before
+        # comparing, or any table path with a space/% never matches and a
+        # merge silently duplicates keys instead of rewriting
+        hit_paths = {os.path.abspath(unquote(urlparse(r["_fp"]).path)) for r in hit}
         touched = [f for f in candidates if os.path.abspath(f) in hit_paths]
 
     if touched:
@@ -443,7 +449,8 @@ def merge_snapshot(
         new_rows = remaining.unionByName(updates.select(*remaining.columns))
     else:
         new_rows = updates
-    untouched = [f for f in resolved["files"] if f not in set(touched)]
+    touched_set = set(touched)
+    untouched = [f for f in resolved["files"] if f not in touched_set]
 
     commit_dir = os.path.join(table_path, "data", f"commit-{uuid.uuid4().hex}")
     new_rows.write.mode("error").parquet(commit_dir)

@@ -86,3 +86,13 @@ def test_spark_decode_types_nulls_and_malformed_isolation(spark):
     assert rows[7]["av_level"] is None  # null-union branch
     assert rows[4]["av_properties"] == "[]" and rows[5]["av_mapField"] == "{}"
     assert rows[6]["av_properties"] == "[T,p2]" and rows[6]["av_mapField"] == "{k=T}"
+
+
+def test_negative_map_key_length_raises_not_hangs():
+    schema = {"type": "map", "values": "int"}
+    dec, _ = _reader(schema)
+    import pytest as _pytest
+
+    # block count 1, then key length zigzag(-3): must raise, never loop
+    with _pytest.raises((ValueError, IndexError)):
+        dec(_zigzag_encode(1) + _zigzag_encode(-3) + b"\x05", 0)

@@ -205,3 +205,59 @@ def test_jaeger_span_decode(spark):
     )
     got = parse_jaeger_pb_spans(df, "payload").collect()
     assert len(got) == 1 and got[0]["jg_service"] == "s1"
+
+
+def test_review_fixes_duplicate_keys_bad_enums_and_none_values(spark):
+    """Review regressions: duplicate attribute keys with mixed types must
+    not TypeError the payload away; out-of-int32 enums must drop the
+    payload inside the guard (not fail the task in Arrow conversion)."""
+    import struct as _struct
+
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        _enc_varint,
+        _ld,
+        _tag,
+        decode_logs_data,
+        enc_kv,
+        enc_log_record,
+        enc_logs_data,
+        parse_otlp_pb_logs,
+    )
+
+    # duplicate key, int vs str values — must decode, sorted by key then value
+    rec = enc_log_record(0, "b")
+    rec += _ld(6, enc_kv("k", 1)) + _ld(6, enc_kv("k", "x")) + _ld(6, enc_kv("a", None))
+    row = decode_logs_data(enc_logs_data([rec]))[0]
+    assert row["ol_attrs_csv"] == "a=,k=1,k=x"
+
+    # negative enums arrive as 10-byte two's-complement varints: -1 must
+    # decode to -1 (valid int32), NOT drop the payload
+    neg = enc_log_record(0, "negsev") + _tag(2, 0) + _enc_varint(-1)
+    assert decode_logs_data(enc_logs_data([neg]))[0]["ol_severity_number"] == -1
+    # a varint beyond int32 range must drop the payload INSIDE the guard
+    # (reaching pandas->Arrow int32 conversion would fail the whole task)
+    bad = _tag(1, 1) + _struct.pack("<Q", 0) + _tag(2, 0) + _enc_varint(1 << 40)
+    bad += _ld(5, enc_kv("ignored", "x"))
+    good = enc_log_record(0, "fine", 9)
+    df = spark.createDataFrame(
+        [(1, bytearray(enc_logs_data([bad]))), (2, bytearray(enc_logs_data([good])))],
+        "id int, payload binary",
+    )
+    rows = parse_otlp_pb_logs(df, "payload").collect()
+    assert [(r["id"], r["ol_body"]) for r in rows] == [(2, "fine")]
+
+
+def test_fluent_bool_second_element_is_malformed(spark):
+    from opentelemetry_collector_contrib_spark.operators.fluent import (
+        decode_event,
+        mp_encode,
+        parse_fluent_forward,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_event(mp_encode(["tag", True, {"message": "m"}]))
+    df = spark.createDataFrame(
+        [(1, bytearray(mp_encode(["t", True, {"message": "m"}])))], "id int, payload binary"
+    )
+    assert parse_fluent_forward(df, "payload").count() == 0

@@ -358,3 +358,27 @@ def test_merge_snapshot_insert_only_and_empty_table(spark, tmp_path):
     assert snap["summary"]["rewritten_files"] == 0
     assert snap["summary"]["kept_files"] == 1
     assert read_snapshot(spark, tbl).count() == 110
+
+
+def test_merge_snapshot_handles_uri_encoded_table_paths(spark, tmp_path):
+    """_metadata.file_path is percent-encoded; a table path with a space
+    must still match its own files or a merge silently duplicates keys."""
+    from opentelemetry_collector_contrib_spark.plans.snapshots import merge_snapshot
+
+    tbl = str(tmp_path / "tbl with space")
+    write_snapshot(_df2(spark, 0, 10).coalesce(1), tbl, stats_cols=["id"])
+    updates = spark.createDataFrame([(5, "UPDATED")], "id bigint, val string")
+    merge_snapshot(spark, tbl, updates, "id")
+    got = read_snapshot(spark, tbl)
+    assert got.count() == 10
+    assert [r["val"] for r in got.filter(F.col("id") == 5).collect()] == ["UPDATED"]
+    assert SnapshotStore(tbl).current()["summary"]["rewritten_files"] == 1
+
+
+def test_all_pruned_read_scans_single_file(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        write_snapshot(_df2(spark, lo, lo + 100).coalesce(1), tbl, stats_cols=["id"])
+    empty = read_snapshot(spark, tbl, where=[("id", 1000, None)])
+    assert empty.count() == 0 and empty.columns == ["id", "val"]
+    assert len(empty.inputFiles()) <= 1  # one-file schema probe, not the table

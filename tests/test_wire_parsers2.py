@@ -235,3 +235,13 @@ def test_s3_access_log_reference_fixture(spark):
     assert r["s3_ts"].isoformat().startswith("2019-02-06T00:00:38")
     bad = [x for x in rows if x["s3_bucket"] is None]
     assert len(bad) == 1 and bad[0]["s3_ts"] is None
+
+
+def test_s3_garbage_bracket_time_yields_null_not_job_abort(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_s3_access_log
+
+    line = ('o b [not-a-date] 1.2.3.4 req RID OP key "GET / HTTP/1.1" 200 - 1 2 3 4'
+            ' "-" "ua" -')
+    df = spark.createDataFrame([(line,)], "body string")
+    r = parse_s3_access_log(df, "body").first()
+    assert r["s3_bucket"] == "b" and r["s3_ts"] is None  # ANSI-safe NULL
