@@ -96,3 +96,20 @@ def test_negative_map_key_length_raises_not_hangs():
     # block count 1, then key length zigzag(-3): must raise, never loop
     with _pytest.raises((ValueError, IndexError)):
         dec(_zigzag_encode(1) + _zigzag_encode(-3) + b"\x05", 0)
+
+
+@settings(max_examples=150, deadline=1000)
+@given(st.binary(min_size=0, max_size=64))
+def test_avro_decoder_never_hangs_on_arbitrary_bytes(raw):
+    """The reference schema exercises every composite type; arbitrary bytes
+    must either decode or raise — bounded time, no infinite block loops
+    (the dec_map regression class)."""
+    import struct as _struct
+
+    dec, _ = _reader(REF_SCHEMA)
+    try:
+        dec(raw, 0)
+    except (ValueError, IndexError, KeyError, _struct.error, UnicodeDecodeError, OverflowError):
+        pass
+    except MemoryError:
+        pass

@@ -261,3 +261,39 @@ def test_fluent_bool_second_element_is_malformed(spark):
         [(1, bytearray(mp_encode(["t", True, {"message": "m"}])))], "id int, payload binary"
     )
     assert parse_fluent_forward(df, "payload").count() == 0
+
+
+# --- property: the wire readers terminate and fail boundedly on any bytes ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=96))
+def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
+    import struct as _struct
+
+    from opentelemetry_collector_contrib_spark.operators import otlp_pb as m
+
+    for dec in (
+        m.decode_logs_data,
+        m.decode_traces_data,
+        m.decode_metrics_data,
+        m.decode_histograms_data,
+        m.decode_exp_histograms_data,
+    ):
+        try:
+            out = dec(raw)
+            assert isinstance(out, list)
+        except (ValueError, IndexError, KeyError, TypeError, _struct.error, UnicodeDecodeError):
+            # all of these are inside _pb_map's per-payload guard -> the
+            # payload drops; the property is that decode TERMINATES
+            pass
+
+    from opentelemetry_collector_contrib_spark.operators.jaeger_pb import decode_jaeger_span
+
+    try:
+        decode_jaeger_span(raw)
+    except (ValueError, IndexError, KeyError, TypeError, _struct.error, UnicodeDecodeError):
+        pass
