@@ -95,9 +95,9 @@ def decode_jaeger_span(payload: bytes) -> list[dict]:
             row["jg_trace_id"] = bytes(v).hex()
         elif f == 2 and w == 2:
             row["jg_span_id"] = bytes(v).hex()
-        elif f == 3:
+        elif f == 3 and w == 2:
             row["jg_op"] = v.decode("utf-8", errors="replace")
-        elif f == 4:
+        elif f == 4 and w == 2:
             ref_type, ref_span = 0, None
             for rf, _, rv in _fields(v):
                 if rf == 2:
@@ -109,13 +109,13 @@ def decode_jaeger_span(payload: bytes) -> list[dict]:
                 row["jg_parent_span_id"] = ref_span
         elif f == 5 and w == 5:
             row["jg_flags"] = struct.unpack("<I", v)[0]
-        elif f == 6:
+        elif f == 6 and w == 2:
             row["jg_start_us"] = _ts_us(v)
-        elif f == 7:
+        elif f == 7 and w == 2:
             row["jg_duration_us"] = _ts_us(v)
-        elif f == 8:
+        elif f == 8 and w == 2:
             tags.append(_kv(v))
-        elif f == 10:
+        elif f == 10 and w == 2:
             for pf, _, pv in _fields(v):
                 if pf == 1:
                     row["jg_service"] = pv.decode("utf-8", errors="replace")

@@ -286,7 +286,8 @@ def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
         try:
             out = dec(raw)
             assert isinstance(out, list)
-        except (ValueError, IndexError, KeyError, TypeError, _struct.error, UnicodeDecodeError):
+        except (ValueError, IndexError, KeyError, TypeError, AttributeError,
+                _struct.error, UnicodeDecodeError):
             # all of these are inside _pb_map's per-payload guard -> the
             # payload drops; the property is that decode TERMINATES
             pass
@@ -295,5 +296,6 @@ def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
 
     try:
         decode_jaeger_span(raw)
-    except (ValueError, IndexError, KeyError, TypeError, _struct.error, UnicodeDecodeError):
+    except (ValueError, IndexError, KeyError, TypeError, AttributeError,
+            _struct.error, UnicodeDecodeError):
         pass
