@@ -1419,3 +1419,46 @@ def parse_s3_access_log(df: DataFrame, source: str = "body", prefix: str = "s3_"
     # [06/Feb/2019:00:00:38 +0000] — the strftime layout the spec fixes
     ts = F.when(ok, F.try_to_timestamp(groups[2], F.lit("dd/MMM/yyyy:HH:mm:ss Z")))
     return df.select(*df.columns, *cols, ts.alias(prefix + "ts"))
+
+
+CW_METRIC_STREAM_SCHEMA = (
+    "struct<metric_stream_name: string, account_id: string, region: string,"
+    " namespace: string, metric_name: string, dimensions: map<string,string>,"
+    " timestamp: bigint, value: struct<max: double, min: double, sum: double,"
+    " count: double>, unit: string>"
+)
+
+
+def parse_cloudwatch_metric_stream(df: DataFrame, source: str = "body") -> DataFrame:
+    """CloudWatch Metric Streams JSON lines (awscloudwatchmetricstreams-
+    encodingextension json_unmarshaler.go:193-232): one statistics-set
+    record per line -> a summary datapoint (count/sum/min/max, the
+    unmarshaler's dp mapping at :147-161), dimensions as the canonical
+    sorted k=v CSV. Native schema'd from_json — no UDF; lines missing the
+    required metric_name/namespace yield NULLs."""
+    parsed = F.from_json(F.col(source), CW_METRIC_STREAM_SCHEMA)
+    ok = parsed["metric_name"].isNotNull() & parsed["namespace"].isNotNull()
+    dims = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(parsed["dimensions"]),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return df.select(
+        *df.columns,
+        F.when(ok, parsed["metric_stream_name"]).alias("cm_stream"),
+        F.when(ok, parsed["account_id"]).alias("cm_account_id"),
+        F.when(ok, parsed["region"]).alias("cm_region"),
+        F.when(ok, parsed["namespace"]).alias("cm_namespace"),
+        F.when(ok, parsed["metric_name"]).alias("cm_name"),
+        F.when(ok & parsed["dimensions"].isNotNull(), dims).alias("cm_dims_csv"),
+        F.when(ok, F.timestamp_millis(parsed["timestamp"])).alias("cm_ts"),
+        F.when(ok, parsed["value"]["count"].cast("bigint")).alias("cm_count"),
+        F.when(ok, parsed["value"]["sum"]).alias("cm_sum"),
+        F.when(ok, parsed["value"]["min"]).alias("cm_min"),
+        F.when(ok, parsed["value"]["max"]).alias("cm_max"),
+        F.when(ok, parsed["unit"]).alias("cm_unit"),
+    )

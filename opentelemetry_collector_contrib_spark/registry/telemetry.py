@@ -2448,7 +2448,38 @@ def q_jaeger_pb_spans(spark, sf_dir):
     )
 
 
+def q_cw_metric_stream(spark, sf_dir):
+    """CloudWatch Metric Streams JSON lines: statistics-set records ->
+    summary datapoints with sorted dimension CSVs; every 8th line is not
+    valid JSON -> NULLs."""
+    from ..operators.parse import parse_cloudwatch_metric_stream
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    iv = F.col("value").cast("decimal(18,2)").cast("string")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("bigint")
+    body = F.concat(
+        F.lit('{"metric_stream_name": "s1", "account_id": "123456789012",'
+              ' "region": "us-east-1", "namespace": "AWS/EC2", "metric_name": "'),
+        F.col("event_type"),
+        F.lit('", "dimensions": {"InstanceId": "i-'),
+        F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+        F.lit('", "az": "a"}, "timestamp": '), ms.cast("string"),
+        F.lit(', "value": {"max": '), iv, F.lit(', "min": 0.5, "sum": '), iv,
+        F.lit(', "count": '), (F.pmod(eid, F.lit(20)) + 1).cast("string"),
+        F.lit('}, "unit": "Seconds"}'),
+    )
+    body = F.when(F.pmod(eid, F.lit(8)) == 0, F.lit("{not json")).otherwise(body)
+    out = parse_cloudwatch_metric_stream(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", "cm_stream", "cm_account_id", "cm_region", "cm_namespace",
+        "cm_name", "cm_dims_csv", F.unix_millis(F.col("cm_ts")).alias("cm_ts_ms"),
+        "cm_count", "cm_sum", "cm_min", "cm_max", "cm_unit",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cw_metric_stream_parse": q_cw_metric_stream,
     "jaeger_pb_spans": q_jaeger_pb_spans,
     "s3_access_log_parse": q_s3_access_log,
     "otlp_pb_pipeline": q_otlp_pb_pipeline,
@@ -3003,6 +3034,25 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["cw_metric_stream_parse"] = """
+WITH e AS (SELECT *, event_id % 8 = 0 AS bad FROM events)
+SELECT event_id,
+  CASE WHEN bad THEN NULL ELSE 's1' END AS cm_stream,
+  CASE WHEN bad THEN NULL ELSE '123456789012' END AS cm_account_id,
+  CASE WHEN bad THEN NULL ELSE 'us-east-1' END AS cm_region,
+  CASE WHEN bad THEN NULL ELSE 'AWS/EC2' END AS cm_namespace,
+  CASE WHEN bad THEN NULL ELSE event_type END AS cm_name,
+  CASE WHEN bad THEN NULL
+       ELSE 'InstanceId=i-' || CAST(user_id % 50 AS VARCHAR) || ',az=a' END AS cm_dims_csv,
+  CASE WHEN bad THEN NULL
+       ELSE CAST(floor(epoch_us(ts) / 1000) AS BIGINT) END AS cm_ts_ms,
+  CASE WHEN bad THEN NULL ELSE event_id % 20 + 1 END AS cm_count,
+  CASE WHEN bad THEN NULL ELSE CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS cm_sum,
+  CASE WHEN bad THEN NULL ELSE CAST(0.5 AS DOUBLE) END AS cm_min,
+  CASE WHEN bad THEN NULL ELSE CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS cm_max,
+  CASE WHEN bad THEN NULL ELSE 'Seconds' END AS cm_unit
+FROM e"""
 
     o["jaeger_pb_spans"] = """
 SELECT event_id,
