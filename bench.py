@@ -242,6 +242,33 @@ def main() -> None:
 
     timed("q13_incremental_dedup", incremental_dedup)
 
+    # q14: OTLP-protobuf wire decode throughput — the apples-to-apples
+    # analogue of the reference testbed's raw ingest line rate
+    # (log_test.go's 200k-330k lines/s): every transcript turn pre-encoded
+    # as a LogsData payload (cached spool, generated untimed), then decoded
+    # and fully materialized. records/s = n_rows / q14 seconds.
+    def wire_decode():
+        from opentelemetry_collector_contrib_spark.operators.otlp_pb import parse_otlp_pb_logs
+
+        force(parse_otlp_pb_logs(spark.read.parquet(wire_spool), "payload"))
+
+    if selected is None or "q14_otlp_pb_decode" in selected:
+        from opentelemetry_collector_contrib_spark.fixtures import tier_for_sf_dir
+        from opentelemetry_collector_contrib_spark.fixtures.transcripts import tier_dir
+        from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+            synthesize_otlp_pb_turns,
+        )
+
+        tier = tier_for_sf_dir(sf_dir)
+        wire_spool = os.path.join(tier_dir(tier), "wire_otlp")
+        if not os.path.exists(os.path.join(wire_spool, "_SUCCESS")):
+            from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+
+            src = spark.read.parquet(ensure_tier(tier))
+            synthesize_otlp_pb_turns(src).write.mode("overwrite").parquet(wire_spool)
+        spark.read.parquet(wire_spool).count()  # warm the scan
+        timed("q14_otlp_pb_decode", wire_decode)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

@@ -910,3 +910,28 @@ def synthesize_otlp_pb_exp_histograms(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", gen("event_id", "event_type", "value"))
+
+
+def synthesize_otlp_pb_turns(df: DataFrame) -> DataFrame:
+    """Encode each transcript turn as one OTLP-protobuf LogsData payload
+    (body = the turn text, role/tool attributes, event time from ts) —
+    the bench fixture generator for wire-decode throughput runs."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(convs: pd.Series, idxs: pd.Series, roles: pd.Series,
+            texts: pd.Series, tools: pd.Series, ts_us: pd.Series) -> pd.Series:
+        out = []
+        for c, i, r, x, tl, t in zip(convs, idxs, roles, texts, tools, ts_us):
+            rec = enc_log_record(
+                int(t) * 1000, x if x is not None else "", 9, "INFO",
+                {"conv_id": str(c), "turn_idx": int(i), "role": str(r), "tool": str(tl)},
+            )
+            out.append(enc_logs_data([rec], {"service.name": "transcripts"}, "bench"))
+        return pd.Series(out)
+
+    return df.select(
+        gen(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        ).alias("payload")
+    )
