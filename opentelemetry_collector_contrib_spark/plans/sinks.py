@@ -12,6 +12,7 @@ resume contract.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -152,3 +153,81 @@ def failover_write(
         except Exception as e:  # noqa: BLE001 — any sink failure falls through
             errors[target] = f"{type(e).__name__}: {e}"
     raise RuntimeError(f"all {len(targets)} failover levels failed: {errors}")
+
+
+# --- kafka partitioner algebra (exporter/kafkaexporter/partitioner.go) -------
+# The broker is out of reach in-sandbox; the partition ASSIGNMENT — the part
+# that decides co-location and ordering — is pure algebra and implemented
+# exactly: sticky_key with the sarama-compat hasher (FNV-1a 32,
+# internal/kafka/franz_client.go:463-473, abs-value sign convention) or
+# Kafka's Java-default murmur2 (& 0x7fffffff mask), plus round_robin.
+
+
+def fnv1a32(data: bytes) -> int:
+    h = 0x811C9DC5
+    for b in data:
+        h ^= b
+        h = (h * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
+def murmur2_kafka(data: bytes) -> int:
+    """Kafka's Utils.murmur2 (seed 0x9747b28c, m=0x5bd1e995, r=24) — the
+    Java client's default sticky-key hash."""
+    m = 0x5BD1E995
+    length = len(data)
+    h = (0x9747B28C ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rest = length - i
+    if rest >= 3:
+        h ^= data[i + 2] << 16
+    if rest >= 2:
+        h ^= data[i + 1] << 8
+    if rest >= 1:
+        h ^= data[i]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def kafka_partition_for(key: bytes, n_partitions: int, hasher: str = "murmur2") -> int:
+    if hasher == "murmur2":
+        return (murmur2_kafka(key) & 0x7FFFFFFF) % n_partitions
+    if hasher == "sarama_compat":
+        # sarama's sign convention: interpret FNV-1a as int32, negate if < 0
+        h = fnv1a32(key)
+        signed = h - (1 << 32) if h >= (1 << 31) else h
+        p = signed % n_partitions if signed >= 0 else -((-signed) % n_partitions)
+        return -p if p < 0 else p
+    raise ValueError(f"unknown sticky key hasher type {hasher!r}")
+
+
+def kafka_partitions(df, key_col: str, n_partitions: int, hasher: str = "murmur2"):
+    """Add the `kafka_partition` each row's key lands on — the exporter's
+    sticky_key routing as a column, so a write can `repartition` on it and
+    produce exactly the broker-side co-location the reference's producer
+    would. Arrow-batched (the hashes are byte-loop algorithms with no
+    native Spark expression)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("int")
+    def part(keys: pd.Series) -> pd.Series:
+        return keys.map(
+            lambda k: kafka_partition_for(
+                k if isinstance(k, bytes) else str(k).encode("utf-8"), n_partitions, hasher
+            )
+            if k is not None
+            else None
+        )
+
+    return df.withColumn("kafka_partition", part(F.col(key_col)))

@@ -135,3 +135,46 @@ def test_failover_write_uses_first_healthy_level(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="failover levels failed"):
         failover_write(df, [str(bad), str(bad2)])
+
+
+def test_kafka_partitioner_algebra(spark):
+    """kafkaexporter sticky_key partitioning (partitioner.go:24-33): the
+    murmur2 hasher against Apache Kafka's own UtilsTest.testMurmur2
+    vectors, the sarama-compat FNV-1a against the public FNV test vectors,
+    and the Spark column operator over both."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.plans.sinks import (
+        fnv1a32,
+        kafka_partition_for,
+        kafka_partitions,
+        murmur2_kafka,
+    )
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    # Apache Kafka UtilsTest.testMurmur2 vectors (the Java client's hash)
+    assert signed(murmur2_kafka(b"21")) == -973932308
+    assert signed(murmur2_kafka(b"foobar")) == -790332482
+    assert signed(murmur2_kafka(b"a-little-bit-long-string")) == -985981536
+    assert signed(murmur2_kafka(b"a-little-bit-longer-string")) == -1486304829
+    assert (
+        signed(murmur2_kafka(b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8")) == -58897971
+    )
+    # FNV-1a 32 public vectors (sarama-compat hasher, franz_client.go:468)
+    assert fnv1a32(b"") == 2166136261
+    assert fnv1a32(b"a") == 0xE40C292C
+    assert fnv1a32(b"foobar") == 0xBF9CF968
+    # Java default masks to positive before the modulo
+    assert kafka_partition_for(b"foobar", 7) == ((-790332482) & 0x7FFFFFFF) % 7
+    # operator: every partition in range, same key -> same partition
+    df = spark.range(500).select(F.concat(F.lit("conv-"), F.col("id") % 40).alias("key"))
+    for hasher in ("murmur2", "sarama_compat"):
+        out = kafka_partitions(df, "key", 12, hasher)
+        rows = out.collect()
+        assert all(0 <= r["kafka_partition"] < 12 for r in rows)
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["key"], set()).add(r["kafka_partition"])
+        assert all(len(v) == 1 for v in by_key.values())  # sticky
