@@ -382,3 +382,49 @@ def test_all_pruned_read_scans_single_file(spark, tmp_path):
     empty = read_snapshot(spark, tbl, where=[("id", 1000, None)])
     assert empty.count() == 0 and empty.columns == ["id", "val"]
     assert len(empty.inputFiles()) <= 1  # one-file schema probe, not the table
+
+
+def test_wire_to_snapshot_lakehouse_e2e(spark, tmp_path):
+    """Capstone: OTLP-protobuf payload spool -> decode -> snapshot-table
+    commits with per-file ts bounds -> stats-pruned read -> aggregate; a
+    COW merge then corrects one record in place. The full receiver ->
+    lakehouse -> query lifecycle over the session's machinery."""
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        parse_otlp_pb_logs,
+        synthesize_otlp_pb,
+    )
+    from opentelemetry_collector_contrib_spark.plans.snapshots import merge_snapshot
+
+    tbl = str(tmp_path / "lake")
+    # two ingest batches with disjoint event_id ranges -> disjoint ts bounds
+    for lo in (0, 40):
+        src = spark.range(lo, lo + 40).select(
+            F.col("id").alias("event_id"), F.lit("T").alias("event_type")
+        )
+        decoded = parse_otlp_pb_logs(synthesize_otlp_pb(src, cols={}), "payload")
+        write_snapshot(decoded.coalesce(1), tbl, stats_cols=["ol_ts_us", "event_id"])
+    snap = SnapshotStore(tbl).current()
+    assert len(snap["files"]) == 2 and set(snap["stats"]) == set(snap["files"])
+
+    # stats-pruned read: an event_id range inside batch 2 opens ONE file
+    got = read_snapshot(spark, tbl, where=[("event_id", 50, 60)])
+    assert len(got.inputFiles()) == 1
+    assert got.filter((F.col("event_id") >= 50) & (F.col("event_id") <= 60)).count() == 22
+
+    # aggregate over the snapshot (2 records per event: INFO + ERROR)
+    agg = read_snapshot(spark, tbl).groupBy("ol_severity_text").count().collect()
+    assert {r["ol_severity_text"]: r["count"] for r in agg} == {"INFO": 80, "ERROR": 80}
+
+    # COW merge corrects one decoded record; only the covering file rewrites
+    upd = read_snapshot(spark, tbl).filter(
+        (F.col("event_id") == 55) & (F.col("ol_severity_text") == "ERROR")
+    ).withColumn("ol_body", F.lit("CORRECTED"))
+    merge_snapshot(spark, tbl, upd, ["event_id", "ol_severity_text"])
+    snap2 = SnapshotStore(tbl).current()
+    assert snap2["summary"]["rewritten_files"] == 1
+    fixed = read_snapshot(spark, tbl).filter(F.col("ol_body") == "CORRECTED")
+    assert fixed.count() == 1
+    assert read_snapshot(spark, tbl).count() == 160  # no duplicates
+    # time travel still sees the pre-merge body
+    pre = read_snapshot(spark, tbl, as_of=snap["snapshot_id"])
+    assert pre.filter(F.col("ol_body") == "CORRECTED").count() == 0
