@@ -113,7 +113,7 @@ def _validate_sections(spec: dict[str, Any]) -> None:
         if not isinstance(sample, dict):
             raise ValueError("sample must be a mapping")
         kind = sample.get("kind")
-        if kind not in _SAMPLE_KINDS:
+        if not isinstance(kind, str) or kind not in _SAMPLE_KINDS:
             raise ValueError(f"sample.kind must be one of {sorted(_SAMPLE_KINDS)}")
         required = {
             "probabilistic": ["key", "percent"],
@@ -147,7 +147,7 @@ def _validate_sections(spec: dict[str, Any]) -> None:
             raise ValueError("every tail-sampling policy must be a mapping")
         if not p.get("name"):
             raise ValueError("every tail-sampling policy needs a name")
-        if p.get("type") not in _TAIL_POLICY_TYPES:
+        if not isinstance(p.get("type"), str) or p.get("type") not in _TAIL_POLICY_TYPES:
             raise ValueError(f"tail-sampling policy {p['name']}: unknown type {p.get('type')!r}")
         missing = [f for f in _POLICY_REQUIRED[p["type"]] if p.get(f) is None]
         if missing:
@@ -334,7 +334,10 @@ def validate_service(service: dict[str, Any]) -> None:
     for cname, c in connectors.items():
         if not isinstance(c, dict):
             raise ValueError(f"connector {cname}: config must be a mapping")
-        if c.get("type") not in _CONNECTOR_TYPES:
+        ctype = c.get("type")
+        # unhashable garbage (a list/dict 'type') must be a clean
+        # ValueError, not a TypeError from the set membership test
+        if not isinstance(ctype, str) or ctype not in _CONNECTOR_TYPES:
             raise ValueError(
                 f"connector {cname}: type must be one of {sorted(_CONNECTOR_TYPES)}"
             )
