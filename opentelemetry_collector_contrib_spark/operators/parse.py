@@ -1462,3 +1462,89 @@ def parse_cloudwatch_metric_stream(df: DataFrame, source: str = "body") -> DataF
         F.when(ok, parsed["value"]["max"]).alias("cm_max"),
         F.when(ok, parsed["unit"]).alias("cm_unit"),
     )
+
+
+WAF_SCHEMA = (
+    "struct<timestamp: bigint, webaclId: string, terminatingRuleId: string,"
+    " terminatingRuleType: string, action: string, httpSourceName: string,"
+    " httpSourceId: string,"
+    " httpRequest: struct<clientIp: string, country: string,"
+    "   headers: array<struct<name: string, value: string>>, uri: string,"
+    "   args: string, httpVersion: string, httpMethod: string,"
+    "   requestID: string, host: string>,"
+    " responseCodeSent: bigint, ja3Fingerprint: string>"
+)
+
+
+def parse_waf_log(df: DataFrame, source: str = "body") -> DataFrame:
+    """AWS WAF JSON log lines (awslogsencodingextension waf/
+    unmarshaler.go:27-52): one row per request with the httpRequest
+    context flattened and headers as the canonical sorted k=v CSV.
+    Native from_json; rows missing webaclId/timestamp yield NULLs."""
+    parsed = F.from_json(F.col(source), WAF_SCHEMA)
+    ok = parsed["webaclId"].isNotNull() & parsed["timestamp"].isNotNull()
+    req = parsed["httpRequest"]
+    headers = F.array_join(
+        F.array_sort(
+            F.transform(req["headers"], lambda h: F.concat(h["name"], F.lit("="), h["value"]))
+        ),
+        ",",
+    )
+    return df.select(
+        *df.columns,
+        F.when(ok, F.timestamp_millis(parsed["timestamp"])).alias("waf_ts"),
+        F.when(ok, parsed["webaclId"]).alias("waf_acl_id"),
+        F.when(ok, parsed["terminatingRuleId"]).alias("waf_rule_id"),
+        F.when(ok, parsed["terminatingRuleType"]).alias("waf_rule_type"),
+        F.when(ok, parsed["action"]).alias("waf_action"),
+        F.when(ok, req["clientIp"]).alias("waf_client_ip"),
+        F.when(ok, req["country"]).alias("waf_country"),
+        F.when(ok, req["httpMethod"]).alias("waf_method"),
+        F.when(ok, req["uri"]).alias("waf_uri"),
+        F.when(ok, req["args"]).alias("waf_args"),
+        F.when(ok & req["headers"].isNotNull(), headers).alias("waf_headers_csv"),
+        F.when(ok, parsed["responseCodeSent"]).alias("waf_response_code"),
+        F.when(ok, parsed["ja3Fingerprint"]).alias("waf_ja3"),
+    )
+
+
+NFW_SCHEMA = (
+    "struct<firewall_name: string, availability_zone: string,"
+    " event_timestamp: string,"
+    " event: struct<event_type: string, flow_id: bigint, src_ip: string,"
+    "   src_port: bigint, dest_ip: string, dest_port: bigint, proto: string,"
+    "   sni: string,"
+    "   netflow: struct<pkts: bigint, bytes: bigint, age: bigint>,"
+    "   alert: struct<action: string, signature: string, signature_id: bigint,"
+    "     severity: bigint>>>"
+)
+
+
+def parse_network_firewall_log(df: DataFrame, source: str = "body") -> DataFrame:
+    """AWS Network Firewall (Suricata-shaped) JSON events
+    (awslogsencodingextension network-firewall-log/unmarshaler.go:39-70):
+    netflow and alert sections flattened; the epoch-seconds-as-string
+    event_timestamp parsed to a real timestamp."""
+    parsed = F.from_json(F.col(source), NFW_SCHEMA)
+    ev = parsed["event"]
+    ok = parsed["firewall_name"].isNotNull() & ev["event_type"].isNotNull()
+    return df.select(
+        *df.columns,
+        F.when(ok, parsed["firewall_name"]).alias("nf_firewall"),
+        F.when(ok, parsed["availability_zone"]).alias("nf_az"),
+        F.when(ok, F.timestamp_seconds(parsed["event_timestamp"].try_cast("bigint"))).alias(
+            "nf_ts"
+        ),
+        F.when(ok, ev["event_type"]).alias("nf_event_type"),
+        F.when(ok, ev["flow_id"]).alias("nf_flow_id"),
+        F.when(ok, ev["src_ip"]).alias("nf_src_ip"),
+        F.when(ok, ev["src_port"]).alias("nf_src_port"),
+        F.when(ok, ev["dest_ip"]).alias("nf_dest_ip"),
+        F.when(ok, ev["dest_port"]).alias("nf_dest_port"),
+        F.when(ok, ev["proto"]).alias("nf_proto"),
+        F.when(ok, ev["netflow"]["pkts"]).alias("nf_pkts"),
+        F.when(ok, ev["netflow"]["bytes"]).alias("nf_bytes"),
+        F.when(ok, ev["alert"]["action"]).alias("nf_alert_action"),
+        F.when(ok, ev["alert"]["signature"]).alias("nf_alert_signature"),
+        F.when(ok, ev["alert"]["severity"]).alias("nf_alert_severity"),
+    )

@@ -2478,7 +2478,87 @@ def q_cw_metric_stream(spark, sf_dir):
     )
 
 
+def q_waf_log(spark, sf_dir):
+    """AWS WAF JSON log lines: request context flattened, sorted header
+    CSV, nullable response code; every 9th line malformed."""
+    from ..operators.parse import parse_waf_log
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("bigint")
+    body = F.concat(
+        F.lit('{"timestamp": '), ms.cast("string"),
+        F.lit(', "webaclId": "acl-'), F.pmod(eid, F.lit(4)).cast("string"),
+        F.lit('", "terminatingRuleId": "rule-'), F.pmod(eid, F.lit(6)).cast("string"),
+        F.lit('", "terminatingRuleType": "REGULAR", "action": "'),
+        F.when(F.pmod(eid, F.lit(5)) == 0, F.lit("BLOCK")).otherwise(F.lit("ALLOW")),
+        F.lit('", "httpSourceName": "ALB", "httpSourceId": "lb1",'
+              ' "httpRequest": {"clientIp": "1.2.3.'),
+        F.pmod(eid, F.lit(255)).cast("string"),
+        F.lit('", "country": "US", "headers": [{"name": "Host", "value": "h'),
+        F.pmod(F.col("user_id"), F.lit(5)).cast("string"),
+        F.lit('"}, {"name": "Agent", "value": "curl"}], "uri": "/p'),
+        F.pmod(eid, F.lit(9)).cast("string"),
+        F.lit('", "args": "q=1", "httpVersion": "HTTP/1.1", "httpMethod": "GET"}'),
+        F.when(F.pmod(eid, F.lit(5)) == 0, F.lit(', "responseCodeSent": 403')).otherwise(
+            F.lit("")
+        ),
+        F.lit("}"),
+    )
+    body = F.when(F.pmod(eid, F.lit(9)) == 0, F.lit("corrupt")).otherwise(body)
+    out = parse_waf_log(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", F.unix_millis(F.col("waf_ts")).alias("waf_ts_ms"), "waf_acl_id",
+        "waf_rule_id", "waf_rule_type", "waf_action", "waf_client_ip", "waf_country",
+        "waf_method", "waf_uri", "waf_args", "waf_headers_csv", "waf_response_code",
+        "waf_ja3",
+    )
+
+
+def q_network_firewall(spark, sf_dir):
+    """AWS Network Firewall Suricata-shaped events: netflow rows on even
+    ids, alert rows on odd ids, epoch-string timestamps."""
+    from ..operators.parse import parse_network_firewall_log
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    secs = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast("bigint")
+    netflow = F.concat(
+        F.lit('"netflow": {"pkts": '), F.pmod(eid, F.lit(1000)).cast("string"),
+        F.lit(', "bytes": '), F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit(', "age": 60}'),
+    )
+    alert = F.concat(
+        F.lit('"alert": {"action": "blocked", "signature": "SURICATA '),
+        F.col("event_type"),
+        F.lit('", "signature_id": '), F.pmod(eid, F.lit(90000)).cast("string"),
+        F.lit(', "severity": '), (F.pmod(eid, F.lit(3)) + 1).cast("string"), F.lit("}"),
+    )
+    body = F.concat(
+        F.lit('{"firewall_name": "fw-'), F.pmod(F.col("user_id"), F.lit(3)).cast("string"),
+        F.lit('", "availability_zone": "us-east-1a", "event_timestamp": "'),
+        secs.cast("string"),
+        F.lit('", "event": {"event_type": "'),
+        F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("netflow")).otherwise(F.lit("alert")),
+        F.lit('", "flow_id": '), eid.cast("string"),
+        F.lit(', "src_ip": "10.0.0.'), F.pmod(eid, F.lit(255)).cast("string"),
+        F.lit('", "src_port": 443, "dest_ip": "10.0.1.1", "dest_port": 80,'
+              ' "proto": "TCP", '),
+        F.when(F.pmod(eid, F.lit(2)) == 0, netflow).otherwise(alert),
+        F.lit("}}"),
+    )
+    out = parse_network_firewall_log(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", "nf_firewall", "nf_az", F.unix_micros(F.col("nf_ts")).alias("nf_ts_us"),
+        "nf_event_type", "nf_flow_id", "nf_src_ip", "nf_src_port", "nf_dest_ip",
+        "nf_dest_port", "nf_proto", "nf_pkts", "nf_bytes", "nf_alert_action",
+        "nf_alert_signature", "nf_alert_severity",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "waf_log_parse": q_waf_log,
+    "network_firewall_parse": q_network_firewall,
     "cw_metric_stream_parse": q_cw_metric_stream,
     "jaeger_pb_spans": q_jaeger_pb_spans,
     "s3_access_log_parse": q_s3_access_log,
@@ -3034,6 +3114,49 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["waf_log_parse"] = """
+WITH e AS (SELECT *, event_id % 9 = 0 AS bad FROM events)
+SELECT event_id,
+  CASE WHEN bad THEN NULL
+       ELSE CAST(floor(epoch_us(ts) / 1000) AS BIGINT) END AS waf_ts_ms,
+  CASE WHEN bad THEN NULL ELSE 'acl-' || CAST(event_id % 4 AS VARCHAR) END AS waf_acl_id,
+  CASE WHEN bad THEN NULL ELSE 'rule-' || CAST(event_id % 6 AS VARCHAR) END AS waf_rule_id,
+  CASE WHEN bad THEN NULL ELSE 'REGULAR' END AS waf_rule_type,
+  CASE WHEN bad THEN NULL
+       WHEN event_id % 5 = 0 THEN 'BLOCK' ELSE 'ALLOW' END AS waf_action,
+  CASE WHEN bad THEN NULL
+       ELSE '1.2.3.' || CAST(event_id % 255 AS VARCHAR) END AS waf_client_ip,
+  CASE WHEN bad THEN NULL ELSE 'US' END AS waf_country,
+  CASE WHEN bad THEN NULL ELSE 'GET' END AS waf_method,
+  CASE WHEN bad THEN NULL ELSE '/p' || CAST(event_id % 9 AS VARCHAR) END AS waf_uri,
+  CASE WHEN bad THEN NULL ELSE 'q=1' END AS waf_args,
+  CASE WHEN bad THEN NULL
+       ELSE 'Agent=curl,Host=h' || CAST(user_id % 5 AS VARCHAR) END AS waf_headers_csv,
+  CASE WHEN bad OR event_id % 5 != 0 THEN NULL
+       ELSE CAST(403 AS BIGINT) END AS waf_response_code,
+  CAST(NULL AS VARCHAR) AS waf_ja3
+FROM e"""
+
+    o["network_firewall_parse"] = """
+WITH e AS (SELECT *, epoch_us(ts) // 1000000 AS secs FROM events)
+SELECT event_id,
+  'fw-' || CAST(user_id % 3 AS VARCHAR) AS nf_firewall,
+  'us-east-1a' AS nf_az,
+  secs * 1000000 AS nf_ts_us,
+  CASE WHEN event_id % 2 = 0 THEN 'netflow' ELSE 'alert' END AS nf_event_type,
+  event_id AS nf_flow_id,
+  '10.0.0.' || CAST(event_id % 255 AS VARCHAR) AS nf_src_ip,
+  CAST(443 AS BIGINT) AS nf_src_port,
+  '10.0.1.1' AS nf_dest_ip,
+  CAST(80 AS BIGINT) AS nf_dest_port,
+  'TCP' AS nf_proto,
+  CASE WHEN event_id % 2 = 0 THEN event_id % 1000 END AS nf_pkts,
+  CASE WHEN event_id % 2 = 0 THEN CAST(floor(value * 100) AS BIGINT) END AS nf_bytes,
+  CASE WHEN event_id % 2 = 1 THEN 'blocked' END AS nf_alert_action,
+  CASE WHEN event_id % 2 = 1 THEN 'SURICATA ' || event_type END AS nf_alert_signature,
+  CASE WHEN event_id % 2 = 1 THEN event_id % 3 + 1 END AS nf_alert_severity
+FROM e"""
 
     o["cw_metric_stream_parse"] = """
 WITH e AS (SELECT *, event_id % 8 = 0 AS bad FROM events)
