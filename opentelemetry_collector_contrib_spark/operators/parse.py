@@ -1548,3 +1548,59 @@ def parse_network_firewall_log(df: DataFrame, source: str = "body") -> DataFrame
         F.when(ok, ev["alert"]["signature"]).alias("nf_alert_signature"),
         F.when(ok, ev["alert"]["severity"]).alias("nf_alert_severity"),
     )
+
+
+GCP_LOG_ENTRY_SCHEMA = (
+    "struct<textPayload: string, timestamp: string,"
+    " receiveTimestamp: string, insertId: string, logName: string,"
+    " severity: string, trace: string, spanId: string, traceSampled: boolean,"
+    " labels: map<string,string>,"
+    " resource: struct<type: string, labels: map<string,string>>>"
+)
+
+
+def parse_gcp_log_entry(df: DataFrame, source: str = "body") -> DataFrame:
+    """Google Cloud LogEntry JSON (googlecloudlogentryencodingextension
+    log_entry.go:97-121): text-or-json payload (json kept as its raw
+    string, the RawMessage analogue), RFC3339 timestamps, label maps as
+    sorted k=v CSVs, resource type+labels flattened. Native from_json;
+    entries missing logName yield NULLs."""
+    parsed = F.from_json(F.col(source), GCP_LOG_ENTRY_SCHEMA)
+    ok = parsed["logName"].isNotNull()
+
+    def _csv(m):
+        return F.array_join(
+            F.array_sort(
+                F.transform(F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+            ),
+            ",",
+        )
+
+    ts = F.try_to_timestamp(parsed["timestamp"], F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'"))
+    ts = F.coalesce(
+        ts, F.try_to_timestamp(parsed["timestamp"], F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    )
+    return df.select(
+        *df.columns,
+        F.when(ok, ts).alias("gl_ts"),
+        F.when(ok, parsed["insertId"]).alias("gl_insert_id"),
+        F.when(ok, parsed["logName"]).alias("gl_log_name"),
+        F.when(ok, F.upper(parsed["severity"])).alias("gl_severity"),
+        # jsonPayload is an arbitrary OBJECT (gojson.RawMessage): from_json
+        # would null a string-typed field, so the raw text comes from
+        # get_json_object, which returns the original JSON snippet
+        F.when(
+            ok,
+            F.coalesce(
+                parsed["textPayload"], F.get_json_object(F.col(source), "$.jsonPayload")
+            ),
+        ).alias("gl_body"),
+        F.when(ok, parsed["textPayload"].isNotNull()).alias("gl_is_text"),
+        F.when(ok, parsed["trace"]).alias("gl_trace"),
+        F.when(ok, parsed["spanId"]).alias("gl_span_id"),
+        F.when(ok, parsed["traceSampled"]).alias("gl_trace_sampled"),
+        F.when(ok & parsed["labels"].isNotNull(), _csv(parsed["labels"])).alias("gl_labels_csv"),
+        F.when(ok, parsed["resource"]["type"]).alias("gl_resource_type"),
+        F.when(ok & parsed["resource"]["labels"].isNotNull(), _csv(parsed["resource"]["labels"]))
+        .alias("gl_resource_labels_csv"),
+    )

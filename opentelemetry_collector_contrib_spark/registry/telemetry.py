@@ -2556,7 +2556,49 @@ def q_network_firewall(spark, sf_dir):
     )
 
 
+def q_gcp_log_entry(spark, sf_dir):
+    """Google Cloud LogEntry JSON: text vs raw-json payloads (every 3rd is
+    a jsonPayload object surfaced as its compact raw text), RFC3339
+    timestamps, label maps, monitored-resource flatten."""
+    from ..operators.parse import parse_gcp_log_entry
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    tstr = F.concat(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
+    )
+    payload = F.when(
+        F.pmod(eid, F.lit(3)) == 0,
+        F.concat(
+            F.lit('"jsonPayload": {"k":'), F.pmod(eid, F.lit(50)).cast("string"),
+            F.lit(',"type":"'), F.col("event_type"), F.lit('"}'),
+        ),
+    ).otherwise(
+        F.concat(F.lit('"textPayload": "msg '), F.col("event_type"), F.lit('"'))
+    )
+    body = F.concat(
+        F.lit('{"logName": "projects/p/logs/app", "timestamp": "'), tstr,
+        F.lit('", "severity": "'),
+        F.when(F.pmod(eid, F.lit(4)) == 0, F.lit("error")).otherwise(F.lit("info")),
+        F.lit('", "insertId": "i'), eid.cast("string"),
+        F.lit('", "trace": "projects/p/traces/t'), F.pmod(F.col("user_id"), F.lit(30)).cast("string"),
+        F.lit('", "spanId": "s'), eid.cast("string"),
+        F.lit('", "traceSampled": '),
+        F.when(F.pmod(eid, F.lit(2)) == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(', "labels": {"env": "prod", "app": "a'), F.pmod(eid, F.lit(5)).cast("string"),
+        F.lit('"}, "resource": {"type": "gce_instance", "labels": {"zone": "us-east1-b"}}, '),
+        payload, F.lit("}"),
+    )
+    out = parse_gcp_log_entry(ev.withColumn("body", body), "body")
+    return out.select(
+        "event_id", F.unix_micros(F.col("gl_ts")).alias("gl_ts_us"), "gl_insert_id",
+        "gl_log_name", "gl_severity", "gl_body", "gl_is_text", "gl_trace", "gl_span_id",
+        "gl_trace_sampled", "gl_labels_csv", "gl_resource_type", "gl_resource_labels_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "gcp_log_entry_parse": q_gcp_log_entry,
     "waf_log_parse": q_waf_log,
     "network_firewall_parse": q_network_firewall,
     "cw_metric_stream_parse": q_cw_metric_stream,
@@ -3114,6 +3156,25 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["gcp_log_entry_parse"] = """
+WITH e AS (SELECT *, epoch_us(ts) // 1000000 * 1000000 AS sec_us FROM events)
+SELECT event_id,
+  sec_us AS gl_ts_us,
+  'i' || CAST(event_id AS VARCHAR) AS gl_insert_id,
+  'projects/p/logs/app' AS gl_log_name,
+  CASE WHEN event_id % 4 = 0 THEN 'ERROR' ELSE 'INFO' END AS gl_severity,
+  CASE WHEN event_id % 3 = 0
+       THEN '{"k":' || CAST(event_id % 50 AS VARCHAR) || ',"type":"' || event_type || '"}'
+       ELSE 'msg ' || event_type END AS gl_body,
+  event_id % 3 != 0 AS gl_is_text,
+  'projects/p/traces/t' || CAST(user_id % 30 AS VARCHAR) AS gl_trace,
+  's' || CAST(event_id AS VARCHAR) AS gl_span_id,
+  event_id % 2 = 0 AS gl_trace_sampled,
+  'app=a' || CAST(event_id % 5 AS VARCHAR) || ',env=prod' AS gl_labels_csv,
+  'gce_instance' AS gl_resource_type,
+  'zone=us-east1-b' AS gl_resource_labels_csv
+FROM e"""
 
     o["waf_log_parse"] = """
 WITH e AS (SELECT *, event_id % 9 = 0 AS bad FROM events)
