@@ -245,3 +245,40 @@ def test_s3_garbage_bracket_time_yields_null_not_job_abort(spark):
     df = spark.createDataFrame([(line,)], "body string")
     r = parse_s3_access_log(df, "body").first()
     assert r["s3_bucket"] == "b" and r["s3_ts"] is None  # ANSI-safe NULL
+
+
+def test_waf_nfw_gcp_parsers_shapes(spark):
+    """Compact shape checks for the WAF / Network Firewall / GCP LogEntry
+    JSON parsers (the full field matrix is oracle-gated in the registry)."""
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        parse_gcp_log_entry,
+        parse_network_firewall_log,
+        parse_waf_log,
+    )
+
+    waf = ('{"timestamp": 1700000000000, "webaclId": "acl", "action": "BLOCK",'
+           ' "terminatingRuleId": "r1", "terminatingRuleType": "REGULAR",'
+           ' "httpRequest": {"clientIp": "9.9.9.9", "country": "DE",'
+           ' "headers": [{"name": "B", "value": "2"}, {"name": "A", "value": "1"}],'
+           ' "uri": "/x", "httpMethod": "POST"}, "responseCodeSent": 403}')
+    r = parse_waf_log(spark.createDataFrame([(waf,), ("junk",)], "body string"), "body").collect()
+    good = next(x for x in r if x["waf_acl_id"] is not None)
+    assert good["waf_headers_csv"] == "A=1,B=2" and good["waf_response_code"] == 403
+    assert sum(1 for x in r if x["waf_acl_id"] is None) == 1
+
+    nfw = ('{"firewall_name": "fw", "availability_zone": "az",'
+           ' "event_timestamp": "1700000000", "event": {"event_type": "alert",'
+           ' "flow_id": 7, "src_ip": "1.1.1.1", "src_port": 1, "dest_ip": "2.2.2.2",'
+           ' "dest_port": 2, "proto": "TCP",'
+           ' "alert": {"action": "blocked", "signature": "SIG", "severity": 2}}}')
+    n = parse_network_firewall_log(
+        spark.createDataFrame([(nfw,)], "body string"), "body"
+    ).first()
+    assert n["nf_alert_signature"] == "SIG" and n["nf_pkts"] is None
+    assert n["nf_ts"].isoformat().startswith("2023-11-14")
+
+    gcp = ('{"logName": "l", "timestamp": "2024-01-02T03:04:05Z",'
+           ' "jsonPayload": {"deep": {"x": 1}}, "severity": "debug"}')
+    g = parse_gcp_log_entry(spark.createDataFrame([(gcp,)], "body string"), "body").first()
+    assert g["gl_body"] == '{"deep":{"x":1}}' and g["gl_is_text"] is False
+    assert g["gl_severity"] == "DEBUG"
