@@ -191,6 +191,10 @@ def test_host_info_single_aggregate_exchange(spark):
         "vpc_flow_parse",
         "alb_access_log_parse",
         "s3_access_log_parse",
+        "waf_log_parse",
+        "network_firewall_parse",
+        "gcp_log_entry_parse",
+        "cw_metric_stream_parse",
     ],
 )
 def test_wire_renders_and_parsers_are_shuffle_free_projections(spark, name):
