@@ -1604,3 +1604,41 @@ def parse_gcp_log_entry(df: DataFrame, source: str = "body") -> DataFrame:
         F.when(ok & parsed["resource"]["labels"].isNotNull(), _csv(parsed["resource"]["labels"]))
         .alias("gl_resource_labels_csv"),
     )
+
+
+HEC_SCHEMA = (
+    "struct<time: double, host: string, source: string, sourcetype: string,"
+    " index: string, event: string, fields: map<string,string>>"
+)
+
+
+def parse_splunk_hec(df: DataFrame, source: str = "body") -> DataFrame:
+    """Splunk HEC event JSON (receiver/splunkhecreceiver's wire shape —
+    the exact inverse of render.render_splunk_hec): epoch-seconds time
+    with fractional millis, optional host/source/sourcetype/index, string
+    event body, fields map as the canonical sorted k=v CSV. Native
+    from_json; entries without an event yield NULLs."""
+    parsed = F.from_json(F.col(source), HEC_SCHEMA)
+    ok = parsed["event"].isNotNull()
+    # seconds double -> exact micros: multiply in decimal space (18,3 covers
+    # HEC's documented millisecond resolution) to dodge float drift
+    us = (parsed["time"].cast("decimal(18,3)") * 1000000).cast("long")
+    fields = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(parsed["fields"]),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return df.select(
+        *df.columns,
+        F.when(ok, F.timestamp_micros(us)).alias("hec_ts"),
+        F.when(ok, parsed["host"]).alias("hec_host"),
+        F.when(ok, parsed["source"]).alias("hec_source"),
+        F.when(ok, parsed["sourcetype"]).alias("hec_sourcetype"),
+        F.when(ok, parsed["index"]).alias("hec_index"),
+        F.when(ok, parsed["event"]).alias("hec_event_body"),
+        F.when(ok & parsed["fields"].isNotNull(), fields).alias("hec_fields_csv"),
+    )

@@ -2597,7 +2597,33 @@ def q_gcp_log_entry(spark, sf_dir):
     )
 
 
+def q_hec_roundtrip(spark, sf_dir):
+    """Splunk HEC render -> parse round trip: the exporter's JSON
+    (escaped event body, decimal-exact epoch.millis time, optional index)
+    re-ingested by the receiver-side parser recovers every field."""
+    from ..operators.parse import parse_splunk_hec
+    from ..operators.render import render_splunk_hec
+
+    ev = _events(spark, sf_dir).withColumn("_ts", _render_ts())
+    rendered = render_splunk_hec(
+        ev,
+        ts="_ts",
+        host=F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")),
+        source=F.lit("events"),
+        sourcetype=F.col("event_type"),
+        index=F.when(F.pmod(F.col("event_id"), F.lit(4)) != 0, F.lit("main")),
+        event=F.col("props"),
+        out="body",
+    )
+    out = parse_splunk_hec(rendered, "body")
+    return out.select(
+        "event_id", F.unix_micros(F.col("hec_ts")).alias("hec_ts_us"), "hec_host",
+        "hec_source", "hec_sourcetype", "hec_index", "hec_event_body", "hec_fields_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "splunk_hec_roundtrip": q_hec_roundtrip,
     "gcp_log_entry_parse": q_gcp_log_entry,
     "waf_log_parse": q_waf_log,
     "network_firewall_parse": q_network_firewall,
@@ -3156,6 +3182,18 @@ SELECT event_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
 FROM x"""
+
+    o["splunk_hec_roundtrip"] = """
+WITH e AS (SELECT *, epoch_us(ts) + (event_id % 1000) * 1000 AS us FROM events)
+SELECT event_id,
+  (us // 1000) * 1000 AS hec_ts_us,
+  'h' || CAST(user_id % 5 AS VARCHAR) AS hec_host,
+  'events' AS hec_source,
+  event_type AS hec_sourcetype,
+  CASE WHEN event_id % 4 != 0 THEN 'main' END AS hec_index,
+  props AS hec_event_body,
+  CAST(NULL AS VARCHAR) AS hec_fields_csv
+FROM e"""
 
     o["gcp_log_entry_parse"] = """
 WITH e AS (SELECT *, epoch_us(ts) // 1000000 * 1000000 AS sec_us FROM events)
