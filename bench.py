@@ -266,7 +266,10 @@ def main() -> None:
 
             src = spark.read.parquet(ensure_tier(tier))
             synthesize_otlp_pb_turns(src).write.mode("overwrite").parquet(wire_spool)
-        spark.read.parquet(wire_spool).count()  # warm the scan
+        # warm the PAYLOAD pages, not just footers (count() projects nothing)
+        spark.read.parquet(wire_spool).select(
+            F.sum(F.octet_length("payload"))
+        ).collect()
         timed("q14_otlp_pb_decode", wire_decode)
 
     total = round(sum(timings.values()), 3)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .otlp_pb import _enc_varint, _fields, _ld, _pb_map, _tag
+from .otlp_pb import _b, _enc_varint, _fields, _ld, _pb_map, _tag
 
 
 def _ts_us(buf: bytes) -> int:
@@ -47,10 +47,12 @@ def _kv(buf: bytes) -> tuple[str, str]:
     vals: dict[int, object] = {}
     for f, _, v in _fields(buf):
         if f == 1:
-            key = v.decode("utf-8", errors="replace")
+            key = _b(v).decode("utf-8", errors="replace")
         elif f == 2:
             vtype = int(v)
-        elif f in (3, 4, 5, 6, 7):
+        elif f in (3, 6, 7):
+            vals[f] = _b(v)  # length-delimited / fixed64 slots
+        elif f in (4, 5):
             vals[f] = v
     if vtype == 0:
         out = vals.get(3, b"").decode("utf-8", errors="replace") if vals.get(3) is not None else ""
@@ -99,8 +101,8 @@ def decode_jaeger_span(payload: bytes) -> list[dict]:
             row["jg_op"] = v.decode("utf-8", errors="replace")
         elif f == 4 and w == 2:
             ref_type, ref_span = 0, None
-            for rf, _, rv in _fields(v):
-                if rf == 2:
+            for rf, rw, rv in _fields(v):
+                if rf == 2 and rw == 2:
                     ref_span = bytes(rv).hex()
                 elif rf == 3:
                     ref_type = int(rv)

@@ -76,6 +76,15 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
         yield fnum, wtype, v
 
 
+def _b(v) -> bytes:
+    """Assert a length-delimited value: varint-typed fields reaching a
+    bytes/string/submessage slot are wire-type mismatches and must fail
+    the payload (never bytes(int) — that ALLOCATES v zero bytes)."""
+    if isinstance(v, int):
+        raise ValueError("wire type mismatch: varint where bytes expected")
+    return v
+
+
 def _zigzag_signed(v: int) -> int:
     """proto int64 varints are two's-complement in 64 bits (NOT zigzag)."""
     return v - (1 << 64) if v >= (1 << 63) else v
@@ -96,7 +105,7 @@ def _i32(v: int) -> int:
 def _any_value(buf: bytes) -> object:
     for fnum, _, v in _fields(buf):
         if fnum == 1:
-            return v.decode("utf-8", errors="replace")
+            return _b(v).decode("utf-8", errors="replace")
         if fnum == 2:
             return bool(v)
         if fnum == 3:
@@ -104,11 +113,11 @@ def _any_value(buf: bytes) -> object:
         if fnum == 4:
             return struct.unpack("<d", v)[0]
         if fnum == 5:  # ArrayValue{ values = 1 }
-            return [_any_value(x) for f, _, x in _fields(v) if f == 1]
+            return [_any_value(x) for f, _, x in _fields(_b(v)) if f == 1]
         if fnum == 6:  # KeyValueList{ values = 1 }
-            return dict(_key_value(x) for f, _, x in _fields(v) if f == 1)
+            return dict(_key_value(x) for f, _, x in _fields(_b(v)) if f == 1)
         if fnum == 7:
-            return bytes(v)
+            return bytes(_b(v))
     return None
 
 
@@ -116,9 +125,9 @@ def _key_value(buf: bytes) -> tuple[str, object]:
     key, val = "", None
     for fnum, _, v in _fields(buf):
         if fnum == 1:
-            key = v.decode("utf-8", errors="replace")
+            key = _b(v).decode("utf-8", errors="replace")
         elif fnum == 2:
-            val = _any_value(v)
+            val = _any_value(_b(v))
     return key, val
 
 
@@ -189,15 +198,15 @@ def decode_logs_data(payload: bytes) -> list[dict]:
                     elif f4 == 2:
                         row["ol_severity_number"] = _i32(v4)
                     elif f4 == 3:
-                        row["ol_severity_text"] = v4.decode("utf-8", errors="replace")
+                        row["ol_severity_text"] = _b(v4).decode("utf-8", errors="replace")
                     elif f4 == 5:
                         row["ol_body"] = _render(_any_value(v4))
                     elif f4 == 6:
                         attrs.append(_key_value(v4))
                     elif f4 == 9:
-                        row["ol_trace_id"] = bytes(v4).hex()
+                        row["ol_trace_id"] = bytes(_b(v4)).hex()
                     elif f4 == 10:
-                        row["ol_span_id"] = bytes(v4).hex()
+                        row["ol_span_id"] = bytes(_b(v4)).hex()
                 row["ol_attrs_csv"] = _attrs_csv(attrs)
                 rows.append(row)
     return rows
@@ -386,11 +395,11 @@ def decode_traces_data(payload: bytes) -> list[dict]:
                 attrs: list[tuple[str, object]] = []
                 for f4, _, v4 in _fields(sp):
                     if f4 == 1:
-                        row["sp_trace_id"] = bytes(v4).hex()
+                        row["sp_trace_id"] = bytes(_b(v4)).hex()
                     elif f4 == 2:
-                        row["sp_span_id"] = bytes(v4).hex()
+                        row["sp_span_id"] = bytes(_b(v4)).hex()
                     elif f4 == 4:
-                        row["sp_parent_span_id"] = bytes(v4).hex()
+                        row["sp_parent_span_id"] = bytes(_b(v4)).hex()
                     elif f4 == 5:
                         row["sp_name"] = v4.decode("utf-8", errors="replace")
                     elif f4 == 6:
@@ -922,9 +931,13 @@ def synthesize_otlp_pb_turns(df: DataFrame) -> DataFrame:
             texts: pd.Series, tools: pd.Series, ts_us: pd.Series) -> pd.Series:
         out = []
         for c, i, r, x, tl, t in zip(convs, idxs, roles, texts, tools, ts_us):
+            attrs = {"conv_id": str(c), "turn_idx": int(i) if i is not None else -1,
+                     "role": str(r)}
+            if tl is not None:
+                attrs["tool"] = str(tl)
             rec = enc_log_record(
-                int(t) * 1000, x if x is not None else "", 9, "INFO",
-                {"conv_id": str(c), "turn_idx": int(i), "role": str(r), "tool": str(tl)},
+                (int(t) if t is not None else 0) * 1000,
+                x if x is not None else "", 9, "INFO", attrs,
             )
             out.append(enc_logs_data([rec], {"service.name": "transcripts"}, "bench"))
         return pd.Series(out)

@@ -831,6 +831,18 @@ def parse_journald(df: DataFrame, source: str = "body") -> DataFrame:
 _NUM = r"(?:[-+]?(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][-+]?\d+)?)"
 
 
+def sorted_kv_csv(m: Column) -> Column:
+    """The repo's canonical deterministic rendering of a map column:
+    sorted `k=v` pairs joined by ','. Shared by every wire parser that
+    surfaces a label/dimension/field map."""
+    return F.array_join(
+        F.array_sort(
+            F.transform(F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ",",
+    )
+
+
 def _guarded_groups(line: Column, regex: str, n: int) -> list[Column]:
     """ONE regex execution per row for the common case: the matched line is
     rewritten to its capture groups joined by \x01 and split (the same
@@ -965,15 +977,7 @@ def zipkin_json_spans(df: DataFrame, source: str = "body") -> DataFrame:
         "_z", F.from_json(F.col(source), ZIPKIN_SCHEMA)
     )
     sp = gated.select("*", F.explode(F.col("_z")).alias("_s")).drop("_z")
-    tags_csv = F.array_join(
-        F.array_sort(
-            F.transform(
-                F.map_entries(F.col("_s")["tags"]),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-            )
-        ),
-        ",",
-    )
+    tags_csv = sorted_kv_csv(F.col("_s")["tags"])
     return sp.select(
         *[c for c in df.columns],
         F.col("_s")["traceId"].alias("trace_id"),
@@ -1006,15 +1010,7 @@ def loki_json_push(df: DataFrame, source: str = "body") -> DataFrame:
     )
     st = gated.select("*", F.explode(F.col("_l")["streams"]).alias("_st")).drop("_l")
     v = st.select("*", F.explode(F.col("_st")["values"]).alias("_v"))
-    labels_csv = F.array_join(
-        F.array_sort(
-            F.transform(
-                F.map_entries(F.col("_st")["stream"]),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-            )
-        ),
-        ",",
-    )
+    labels_csv = sorted_kv_csv(F.col("_st")["stream"])
     ns_str = F.col("_v")[0]
     us = (
         F.when(F.length(ns_str) > 3, ns_str.substr(F.lit(1), F.length(ns_str) - 3))
@@ -1438,15 +1434,7 @@ def parse_cloudwatch_metric_stream(df: DataFrame, source: str = "body") -> DataF
     required metric_name/namespace yield NULLs."""
     parsed = F.from_json(F.col(source), CW_METRIC_STREAM_SCHEMA)
     ok = parsed["metric_name"].isNotNull() & parsed["namespace"].isNotNull()
-    dims = F.array_join(
-        F.array_sort(
-            F.transform(
-                F.map_entries(parsed["dimensions"]),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-            )
-        ),
-        ",",
-    )
+    dims = sorted_kv_csv(parsed["dimensions"])
     return df.select(
         *df.columns,
         F.when(ok, parsed["metric_stream_name"]).alias("cm_stream"),
@@ -1568,14 +1556,6 @@ def parse_gcp_log_entry(df: DataFrame, source: str = "body") -> DataFrame:
     parsed = F.from_json(F.col(source), GCP_LOG_ENTRY_SCHEMA)
     ok = parsed["logName"].isNotNull()
 
-    def _csv(m):
-        return F.array_join(
-            F.array_sort(
-                F.transform(F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
-            ),
-            ",",
-        )
-
     ts = F.try_to_timestamp(parsed["timestamp"], F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'"))
     ts = F.coalesce(
         ts, F.try_to_timestamp(parsed["timestamp"], F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
@@ -1599,9 +1579,9 @@ def parse_gcp_log_entry(df: DataFrame, source: str = "body") -> DataFrame:
         F.when(ok, parsed["trace"]).alias("gl_trace"),
         F.when(ok, parsed["spanId"]).alias("gl_span_id"),
         F.when(ok, parsed["traceSampled"]).alias("gl_trace_sampled"),
-        F.when(ok & parsed["labels"].isNotNull(), _csv(parsed["labels"])).alias("gl_labels_csv"),
+        F.when(ok & parsed["labels"].isNotNull(), sorted_kv_csv(parsed["labels"])).alias("gl_labels_csv"),
         F.when(ok, parsed["resource"]["type"]).alias("gl_resource_type"),
-        F.when(ok & parsed["resource"]["labels"].isNotNull(), _csv(parsed["resource"]["labels"]))
+        F.when(ok & parsed["resource"]["labels"].isNotNull(), sorted_kv_csv(parsed["resource"]["labels"]))
         .alias("gl_resource_labels_csv"),
     )
 
@@ -1623,15 +1603,7 @@ def parse_splunk_hec(df: DataFrame, source: str = "body") -> DataFrame:
     # seconds double -> exact micros: multiply in decimal space (18,3 covers
     # HEC's documented millisecond resolution) to dodge float drift
     us = (parsed["time"].cast("decimal(18,3)") * 1000000).cast("long")
-    fields = F.array_join(
-        F.array_sort(
-            F.transform(
-                F.map_entries(parsed["fields"]),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-            )
-        ),
-        ",",
-    )
+    fields = sorted_kv_csv(parsed["fields"])
     return df.select(
         *df.columns,
         F.when(ok, F.timestamp_micros(us)).alias("hec_ts"),

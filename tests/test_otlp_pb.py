@@ -287,7 +287,7 @@ def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
             out = dec(raw)
             assert isinstance(out, list)
         except (ValueError, IndexError, KeyError, TypeError, AttributeError,
-                _struct.error, UnicodeDecodeError):
+                MemoryError, OverflowError, _struct.error, UnicodeDecodeError):
             # all of these are inside _pb_map's per-payload guard -> the
             # payload drops; the property is that decode TERMINATES
             pass
@@ -297,5 +297,5 @@ def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
     try:
         decode_jaeger_span(raw)
     except (ValueError, IndexError, KeyError, TypeError, AttributeError,
-            _struct.error, UnicodeDecodeError):
+            MemoryError, OverflowError, _struct.error, UnicodeDecodeError):
         pass
