@@ -948,3 +948,87 @@ def synthesize_otlp_pb_turns(df: DataFrame) -> DataFrame:
             F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
         ).alias("payload")
     )
+
+
+# --- Prometheus remote-write (prometheusremotewriteexporter's wire format) ----
+# prompb WriteRequest{ timeseries = 1 }; TimeSeries{ labels = 1, samples = 2 }
+# Label{ name = 1, value = 2 }; Sample{ value = 1 (double), timestamp = 2
+# (varint ms, two's complement for negatives) }
+
+_RW_FIELDS = [
+    T.StructField("rw_name", T.StringType()),
+    T.StructField("rw_labels_csv", T.StringType()),
+    T.StructField("rw_ts_ms", T.LongType()),
+    T.StructField("rw_value", T.DoubleType()),
+]
+
+
+def decode_remote_write(payload: bytes) -> list[dict]:
+    rows = []
+    for f1, _, ts_msg in _fields(payload):
+        if f1 != 1:
+            continue
+        labels: list[tuple[str, str]] = []
+        samples = []
+        for f2, _, v2 in _fields(_b(ts_msg)):
+            if f2 == 1:
+                name = value = ""
+                for f3, _, v3 in _fields(_b(v2)):
+                    if f3 == 1:
+                        name = _b(v3).decode("utf-8", errors="replace")
+                    elif f3 == 2:
+                        value = _b(v3).decode("utf-8", errors="replace")
+                labels.append((name, value))
+            elif f2 == 2:
+                val = ts = None
+                for f3, _, v3 in _fields(_b(v2)):
+                    if f3 == 1:
+                        val = struct.unpack("<d", _b(v3))[0]
+                    elif f3 == 2:
+                        ts = _zigzag_signed(int(v3))
+                samples.append((ts, val))
+        mname = next((v for n, v in labels if n == "__name__"), None)
+        rest = sorted((n, v) for n, v in labels if n != "__name__")
+        labels_csv = ",".join(f"{n}={v}" for n, v in rest) or None
+        rows.extend(
+            {"rw_name": mname, "rw_labels_csv": labels_csv, "rw_ts_ms": ts, "rw_value": val}
+            for ts, val in samples
+        )
+    return rows
+
+
+def parse_remote_write(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per sample in each prompb WriteRequest — `__name__` split
+    from the label set (Prometheus convention), remaining labels as the
+    canonical sorted CSV."""
+    return _pb_map(df, source, _RW_FIELDS, decode_remote_write)
+
+
+def enc_remote_write(series: list[tuple[dict, list[tuple[int, float]]]]) -> bytes:
+    """series = [(labels dict incl __name__, [(ts_ms, value), ...]), ...]"""
+    out = b""
+    for labels, samples in series:
+        ts_msg = b""
+        for n, v in labels.items():
+            ts_msg += _ld(1, _ld(1, n.encode("utf-8")) + _ld(2, str(v).encode("utf-8")))
+        for ts, val in samples:
+            ts_msg += _ld(2, _tag(1, 1) + struct.pack("<d", val) + _tag(2, 0) + _enc_varint(ts))
+        out += _ld(1, ts_msg)
+    return out
+
+
+def synthesize_remote_write(df: DataFrame) -> DataFrame:
+    """Deterministic WriteRequests from (event_id, event_type, value): one
+    series with two samples per event."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, types: pd.Series, values: pd.Series) -> pd.Series:
+        out = []
+        for i, t, v in zip(ids, types, values):
+            i = int(i)
+            ms = (1_700_000_000 + i % 86400) * 1000
+            labels = {"__name__": f"{t}_total", "job": f"j{i % 3}", "instance": f"i{i % 5}"}
+            out.append(enc_remote_write([(labels, [(ms, float(v)), (ms + 15000, float(v) + 1.0)])]))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "event_type", "value"))

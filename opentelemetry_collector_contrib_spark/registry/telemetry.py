@@ -2622,7 +2622,19 @@ def q_hec_roundtrip(spark, sf_dir):
     )
 
 
+def q_remote_write(spark, sf_dir):
+    """Prometheus remote-write protobuf (prometheusremotewriteexporter's
+    prompb WriteRequest): one row per sample, `__name__` split from the
+    sorted label CSV, exact double round trip."""
+    from ..operators.otlp_pb import parse_remote_write, synthesize_remote_write
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = parse_remote_write(synthesize_remote_write(ev), "payload")
+    return out.select("event_id", "rw_name", "rw_labels_csv", "rw_ts_ms", "rw_value")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "prom_remote_write_parse": q_remote_write,
     "splunk_hec_roundtrip": q_hec_roundtrip,
     "gcp_log_entry_parse": q_gcp_log_entry,
     "waf_log_parse": q_waf_log,
@@ -3181,6 +3193,17 @@ SELECT event_id,
   CASE WHEN i = 0 THEN printf('%016x', event_id % 65536) END AS ol_span_id,
   'lib' AS ol_scope,
   'service.name=svc-' || CAST(event_id % 4 AS VARCHAR) AS ol_resource_csv
+FROM x"""
+
+    o["prom_remote_write_parse"] = """
+WITH x AS (SELECT e.*, s.i, (1700000000 + event_id % 86400) * 1000 AS ms
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+SELECT event_id,
+  event_type || '_total' AS rw_name,
+  'instance=i' || CAST(event_id % 5 AS VARCHAR)
+    || ',job=j' || CAST(event_id % 3 AS VARCHAR) AS rw_labels_csv,
+  ms + i * 15000 AS rw_ts_ms,
+  CASE WHEN i = 0 THEN value ELSE value + 1.0 END AS rw_value
 FROM x"""
 
     o["splunk_hec_roundtrip"] = """

@@ -282,6 +282,7 @@ def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
         m.decode_metrics_data,
         m.decode_histograms_data,
         m.decode_exp_histograms_data,
+        m.decode_remote_write,
     ):
         try:
             out = dec(raw)
