@@ -2633,7 +2633,242 @@ def q_remote_write(spark, sf_dir):
     return out.select("event_id", "rw_name", "rw_labels_csv", "rw_ts_ms", "rw_value")
 
 
+# ---------------------------------------------------------------------------
+# transformprocessor metric-context editors (operators/metric_editors.py)
+# ---------------------------------------------------------------------------
+
+_HIST_BOUNDS = [1.0, 5.0, 10.0, 50.0, 100.0]
+
+
+def _hist_dp_with_minmax(spark, sf_dir):
+    """Explicit-bucket histogram datapoints per event_type WITH min/max —
+    the shape extract_percentile_metric interpolates over."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    bucket_sums = []
+    prev = None
+    for b in _HIST_BOUNDS:
+        cond = v <= F.lit(b) if prev is None else (v > F.lit(prev)) & (v <= F.lit(b))
+        bucket_sums.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint"))
+        prev = b
+    bucket_sums.append(F.sum(F.when(v > F.lit(_HIST_BOUNDS[-1]), 1).otherwise(0)).cast("bigint"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("h_count"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("h_sum"),
+        F.min(v).alias("h_min"),
+        F.max(v).alias("h_max"),
+        F.array(*bucket_sums).alias("bucket_counts"),
+    )
+
+
+def q_metric_editor_chain(spark, sf_dir):
+    """Numeric editor chain: convert_gauge_to_sum (cumulative, monotonic) ->
+    scale_metric(0.5, unit swap) -> copy_metric rename — one row per
+    datapoint per metric (original + copy), double AND int value families
+    (the int family exercises the reference's int64(float64(v)*m)
+    truncation, func_scale.go scaleMetric). 0.5 is binary-exact so no
+    rounding is needed for cross-engine parity. Pure projections + one
+    union: scan-speed at any size."""
+    from ..operators.metric_editors import convert_gauge_to_sum, copy_metric, scale_metric
+
+    ev = _events(spark, sf_dir)
+    dbl = ev.select(
+        "event_id",
+        F.lit("events.value").alias("metric_name"),
+        F.lit("Gauge").alias("metric_type"),
+        F.lit("ms").alias("metric_unit"),
+        F.col("value").cast("double").alias("value"),
+    )
+    dbl = convert_gauge_to_sum(dbl, "cumulative", monotonic=True)
+    dbl = scale_metric(dbl, 0.5, unit="s")
+    dbl = copy_metric(dbl, name="events.value.copy", unit="1")
+    ints = ev.select(
+        "event_id",
+        F.lit("events.points").alias("metric_name"),
+        F.lit("Gauge").alias("metric_type"),
+        F.lit("1").alias("metric_unit"),
+        F.pmod(F.col("event_id") * 7 - 3, F.lit(1000)).cast("bigint").alias("value"),
+    )
+    ints = convert_gauge_to_sum(ints, "delta", monotonic=False)
+    ints = scale_metric(ints, 0.5)
+    out = dbl.withColumn("value", F.col("value")).unionByName(
+        ints.withColumn("value", F.col("value").cast("double"))
+    )
+    return out.select(
+        "event_id", "metric_name", "metric_type", "metric_unit",
+        "metric_aggregation_temporality", "metric_is_monotonic", "value",
+    )
+
+
+def q_metric_extract_hist(spark, sf_dir):
+    """extract_count_metric + extract_sum_metric + extract_percentile_metric
+    over per-event_type histogram datapoints. The p90 value is the
+    reference's linear interpolation (calculateHistogramPercentile) — the
+    oracle mirrors the bucket walk + interpolation arithmetic exactly."""
+    from ..operators.metric_editors import (
+        extract_count_metric,
+        extract_percentile_metric,
+        extract_sum_metric,
+    )
+
+    dp = _hist_dp_with_minmax(spark, sf_dir).withColumn(
+        "metric_name", F.lit("events.latency")
+    ).withColumn("metric_unit", F.lit("ms"))
+    cnt = extract_count_metric(dp, monotonic=True).select(
+        "event_type", "metric_name", "metric_unit", F.col("value").cast("double").alias("value")
+    )
+    sm = extract_sum_metric(dp).select(
+        "event_type", "metric_name", "metric_unit", F.col("value").alias("value")
+    )
+    p90 = extract_percentile_metric(dp, 90.0, _HIST_BOUNDS).select(
+        "event_type", "metric_name", "metric_unit", F.col("value").alias("value")
+    )
+    return cnt.unionByName(sm).unionByName(p90)
+
+
+def q_metric_summary_editors(spark, sf_dir):
+    """convert_summary_{count,sum,quantile}_val_to_{sum,gauge} over synthetic
+    per-event_type summary datapoints (quantile values are deterministic
+    min+q*(max-min) arithmetic so both engines compute identical doubles)."""
+    from ..operators.metric_editors import (
+        convert_summary_count_val_to_sum,
+        convert_summary_quantile_val_to_gauge,
+        convert_summary_sum_val_to_sum,
+    )
+
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    spread = F.col("s_max") - F.col("s_min")
+    dp = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("s_count"),
+            F.sum(v.cast("decimal(18,6)")).cast("double").alias("s_sum"),
+            F.min(v).alias("s_min"),
+            F.max(v).alias("s_max"),
+        )
+        .withColumn(
+            "quantiles",
+            F.array(
+                F.struct(
+                    F.lit(0.5).alias("quantile"),
+                    (F.col("s_min") + F.lit(0.5) * spread).alias("value"),
+                ),
+                F.struct(
+                    F.lit(0.9).alias("quantile"),
+                    (F.col("s_min") + F.lit(0.9) * spread).alias("value"),
+                ),
+            ),
+        )
+        .withColumn("metric_name", F.lit("events.rt"))
+        .withColumn("metric_unit", F.lit("s"))
+        .drop("s_min", "s_max")
+    )
+    c = convert_summary_count_val_to_sum(dp, "delta", monotonic=False).select(
+        "event_type", "metric_name", "metric_type", "metric_aggregation_temporality",
+        F.lit(None).cast("double").alias("quantile"), F.col("value").cast("double").alias("value"),
+    )
+    s = convert_summary_sum_val_to_sum(dp).select(
+        "event_type", "metric_name", "metric_type", "metric_aggregation_temporality",
+        F.lit(None).cast("double").alias("quantile"), F.col("value").alias("value"),
+    )
+    g = convert_summary_quantile_val_to_gauge(dp).select(
+        "event_type", "metric_name", "metric_type",
+        F.lit(None).cast("string").alias("metric_aggregation_temporality"),
+        "quantile", F.col("value").alias("value"),
+    )
+    return c.unionByName(s).unionByName(g)
+
+
+_EXP_BOUNDS = [0.0, 3.0, 12.0, 50.0, 200.0]
+
+
+def q_metric_exp_to_explicit(spark, sf_dir):
+    """convert_exponential_histogram_to_histogram at all three deterministic
+    distributions (upper / midpoint / uniform) over integer-synthesized
+    exponential datapoints (mixed scale 0/1, offsets -1..1). bounds[0]==0 so
+    the zero-count lands in bucket 0 (:115-117). Explicit bounds sit >=5%
+    away from every 2^(k/2) exp-bucket bound, so the exp()-based comparisons
+    can't flip on cross-engine 1-ulp noise."""
+    from ..operators.metric_editors import convert_exponential_histogram_to_histogram
+
+    ev = _events(spark, sf_dir)
+    cells = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("h_count"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("h_sum"),
+            F.sum(F.when(F.pmod(F.col("event_id"), F.lit(9)) == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zero_count"),
+            *[
+                F.sum(F.when(F.pmod(F.col("event_id"), F.lit(6)) == j, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_c{j}")
+                for j in range(6)
+            ],
+        )
+        .select(
+            "event_type",
+            F.pmod(F.length("event_type"), F.lit(2)).cast("int").alias("scale"),
+            "zero_count",
+            (F.pmod(F.length("event_type"), F.lit(3)) - 1).cast("int").alias("offset"),
+            F.array(*[F.col(f"_c{j}") for j in range(6)]).alias("bucket_counts"),
+            "h_count",
+            "h_sum",
+        )
+    )
+    outs = []
+    for algo in ("upper", "midpoint", "uniform"):
+        conv = convert_exponential_histogram_to_histogram(cells, algo, _EXP_BOUNDS)
+        outs.append(
+            conv.select(
+                "event_type",
+                F.lit(algo).alias("algo"),
+                "h_count",
+                "h_sum",
+                F.array_join(
+                    F.transform(F.col("bucket_counts"), lambda x: x.cast("string")), ","
+                ).alias("buckets_csv"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_metric_agg_attr_value(spark, sf_dir):
+    """aggregate_on_attribute_value: host cells '0'/'1' merge under 'low',
+    then datapoints group-merge per (env, host, ts-window) with the `sum`
+    aggregation (func_agregate_on_attribute_value_metrics.go:45-71 +
+    aggregateutil merge). Decimal value keeps the cross-engine sum exact."""
+    from ..operators.metric_editors import aggregate_on_attribute_value
+
+    ev = _events(spark, sf_dir)
+    dp = ev.select(
+        F.col("event_type").alias("env"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("string").alias("host"),
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600)
+        .cast("bigint")
+        .alias("ts_h"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    out = aggregate_on_attribute_value(
+        dp, "sum", attribute="host", values=["0", "1"], new_value="low",
+        value_col="value", ts_col="ts_h",
+    )
+    return out.select(
+        "env", "host", "ts_h", F.col("value").cast("double").alias("value")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "metrics_editor_chain": q_metric_editor_chain,
+    "metrics_extract_hist": q_metric_extract_hist,
+    "metrics_summary_editors": q_metric_summary_editors,
+    "metrics_exp_to_explicit": q_metric_exp_to_explicit,
+    "metrics_agg_attr_value": q_metric_agg_attr_value,
     "prom_remote_write_parse": q_remote_write,
     "splunk_hec_roundtrip": q_hec_roundtrip,
     "gcp_log_entry_parse": q_gcp_log_entry,
@@ -2765,6 +3000,183 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    # --- transformprocessor metric-context editors ---------------------------
+
+    o["metrics_editor_chain"] = """
+WITH dbl AS (
+  SELECT event_id, 'events.value' AS metric_name, 'Sum' AS metric_type,
+         's' AS metric_unit, 'Cumulative' AS metric_aggregation_temporality,
+         TRUE AS metric_is_monotonic, value * 0.5 AS value
+  FROM events),
+ints AS (
+  SELECT event_id, 'events.points' AS metric_name, 'Sum' AS metric_type,
+         '1' AS metric_unit, 'Delta' AS metric_aggregation_temporality,
+         FALSE AS metric_is_monotonic,
+         CAST(CAST(trunc(CAST(((event_id * 7 - 3) % 1000 + 1000) % 1000 AS BIGINT) * 0.5)
+              AS BIGINT) AS DOUBLE) AS value
+  FROM events)
+SELECT * FROM dbl
+UNION ALL
+SELECT event_id, 'events.value.copy', metric_type, '1',
+       metric_aggregation_temporality, metric_is_monotonic, value FROM dbl
+UNION ALL
+SELECT * FROM ints"""
+
+    # extract_count/sum keep h_count/h_sum verbatim; the p90 mirrors the
+    # reference bucket walk + linear interpolation arithmetic op-for-op
+    o["metrics_extract_hist"] = """
+WITH dp AS (
+  SELECT event_type, count(*) AS h_count,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS h_sum,
+         min(value) AS h_min, max(value) AS h_max,
+         CAST(sum(CASE WHEN value <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN value > 1 AND value <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN value > 5 AND value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN value > 10 AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+         CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+         CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS b5
+  FROM events GROUP BY 1),
+pct AS (
+  SELECT *, CAST(ceil(h_count * 0.9) AS BIGINT) AS t FROM dp),
+walk AS (
+  SELECT *,
+    CASE WHEN b0 >= t THEN 0 WHEN b0+b1 >= t THEN 1 WHEN b0+b1+b2 >= t THEN 2
+         WHEN b0+b1+b2+b3 >= t THEN 3 WHEN b0+b1+b2+b3+b4 >= t THEN 4 ELSE 5 END AS idx
+  FROM pct),
+interp AS (
+  SELECT event_type,
+    CASE WHEN idx = 5 AND (h_max IS NULL OR h_max <= 100.0)
+         THEN 100.0
+         ELSE (CASE idx WHEN 0 THEN (CASE WHEN h_min < 1.0 THEN h_min ELSE 0.0 END)
+                        WHEN 1 THEN 1.0 WHEN 2 THEN 5.0 WHEN 3 THEN 10.0
+                        WHEN 4 THEN 50.0 ELSE 100.0 END)
+              + (CAST(t - (CASE idx WHEN 0 THEN 0 WHEN 1 THEN b0 WHEN 2 THEN b0+b1
+                                    WHEN 3 THEN b0+b1+b2 WHEN 4 THEN b0+b1+b2+b3
+                                    ELSE b0+b1+b2+b3+b4 END) AS DOUBLE)
+                 / CAST((CASE idx WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                                  WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END) AS DOUBLE))
+              * ((CASE idx WHEN 0 THEN 1.0 WHEN 1 THEN 5.0 WHEN 2 THEN 10.0
+                           WHEN 3 THEN 50.0 WHEN 4 THEN 100.0 ELSE h_max END)
+                 - (CASE idx WHEN 0 THEN (CASE WHEN h_min < 1.0 THEN h_min ELSE 0.0 END)
+                             WHEN 1 THEN 1.0 WHEN 2 THEN 5.0 WHEN 3 THEN 10.0
+                             WHEN 4 THEN 50.0 ELSE 100.0 END))
+    END AS value
+  FROM walk)
+SELECT event_type, 'events.latency_count' AS metric_name, '1' AS metric_unit,
+       CAST(h_count AS DOUBLE) AS value FROM dp
+UNION ALL
+SELECT event_type, 'events.latency_sum', 'ms', h_sum FROM dp
+UNION ALL
+SELECT event_type, 'events.latency_p90', 'ms', value FROM interp"""
+
+    o["metrics_summary_editors"] = """
+WITH dp AS (
+  SELECT event_type, count(*) AS s_count,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s_sum,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1)
+SELECT event_type, 'events.rt_count' AS metric_name, 'Sum' AS metric_type,
+       'Delta' AS metric_aggregation_temporality, CAST(NULL AS DOUBLE) AS quantile,
+       CAST(s_count AS DOUBLE) AS value FROM dp
+UNION ALL
+SELECT event_type, 'events.rt_sum', 'Sum', 'Cumulative', NULL, s_sum FROM dp
+UNION ALL
+SELECT event_type, 'events.rt.quantiles', 'Gauge', NULL, 0.5, mn + 0.5 * (mx - mn) FROM dp
+UNION ALL
+SELECT event_type, 'events.rt.quantiles', 'Gauge', NULL, 0.9, mn + 0.9 * (mx - mn) FROM dp"""
+
+    # same integer synthesis + the same exp-bucket bound arithmetic
+    # (exp(index * (ln(2) * pow(2, -scale)))) as the Spark operator; bounds
+    # [0,3,12,50,200] with bounds[0]=0 so zero_count lands in bucket 0
+    o["metrics_exp_to_explicit"] = """
+WITH cell AS (
+  SELECT event_type,
+         CAST(length(event_type) % 2 AS INTEGER) AS scale,
+         CAST(sum(CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+         CAST(length(event_type) % 3 - 1 AS INTEGER) AS off,
+         count(*) AS h_count,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS h_sum,
+         [sum(CASE WHEN event_id % 6 = 0 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 1 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 2 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 3 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 4 THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_id % 6 = 5 THEN 1 ELSE 0 END)] AS counts
+  FROM events GROUP BY event_type),
+expb AS (
+  SELECT c.event_type, c.zc, c.h_count, c.h_sum, a.algo, g.pos,
+         CAST(c.counts[g.pos + 1] AS BIGINT) AS cnt,
+         exp((c.off + g.pos) * (ln(2) * pow(2, -c.scale))) AS lo,
+         exp((c.off + g.pos + 1) * (ln(2) * pow(2, -c.scale))) AS hi
+  FROM cell c
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS pos) g
+  CROSS JOIN (SELECT unnest(['upper', 'midpoint', 'uniform']) AS algo) a),
+res AS (
+  SELECT *,
+    CASE WHEN lo > 200.0 THEN 4
+         WHEN lo > 0.0  AND hi <= 3.0   THEN 0
+         WHEN lo > 3.0  AND hi <= 12.0  THEN 1
+         WHEN lo > 12.0 AND hi <= 50.0  THEN 2
+         WHEN lo > 50.0 AND hi <= 200.0 THEN 3
+         ELSE CASE algo
+           WHEN 'upper' THEN
+             CASE WHEN hi <= 0.0 THEN 0 WHEN hi <= 3.0 THEN 1 WHEN hi <= 12.0 THEN 2
+                  WHEN hi <= 50.0 THEN 3 ELSE 4 END
+           WHEN 'midpoint' THEN
+             CASE WHEN (hi + lo) / 2 <= 0.0 THEN 0 WHEN (hi + lo) / 2 <= 3.0 THEN 0
+                  WHEN (hi + lo) / 2 <= 12.0 THEN 1 WHEN (hi + lo) / 2 <= 50.0 THEN 2
+                  WHEN (hi + lo) / 2 <= 200.0 THEN 3 ELSE 4 END
+           ELSE -1 END
+    END AS tgt,
+    CASE WHEN lo <= 0.0 THEN 0 WHEN lo <= 3.0 THEN 1 WHEN lo <= 12.0 THEN 2
+         WHEN lo <= 50.0 THEN 3 ELSE 4 END AS start_,
+    greatest(least(CASE WHEN hi <= 0.0 THEN 0 WHEN hi <= 3.0 THEN 1 WHEN hi <= 12.0 THEN 2
+                        WHEN hi <= 50.0 THEN 3 ELSE 4 END, 4),
+             CASE WHEN lo <= 0.0 THEN 0 WHEN lo <= 3.0 THEN 1 WHEN lo <= 12.0 THEN 2
+                  WHEN lo <= 50.0 THEN 3 ELSE 4 END) AS end_
+  FROM expb),
+sh AS (
+  SELECT event_type, algo, zc, h_count, h_sum,
+    CASE WHEN tgt >= 0 THEN CASE WHEN tgt = 0 THEN cnt ELSE 0 END
+         WHEN end_ <= start_ THEN CASE WHEN start_ = 0 THEN cnt ELSE 0 END
+         WHEN 0 BETWEEN start_ AND end_ THEN CAST(floor(cnt / (end_ - start_ + 1)) AS BIGINT)
+              + CASE WHEN 0 - start_ < cnt % (end_ - start_ + 1) THEN 1 ELSE 0 END
+         ELSE 0 END AS s0,
+    CASE WHEN tgt >= 0 THEN CASE WHEN tgt = 1 THEN cnt ELSE 0 END
+         WHEN end_ <= start_ THEN CASE WHEN start_ = 1 THEN cnt ELSE 0 END
+         WHEN 1 BETWEEN start_ AND end_ THEN CAST(floor(cnt / (end_ - start_ + 1)) AS BIGINT)
+              + CASE WHEN 1 - start_ < cnt % (end_ - start_ + 1) THEN 1 ELSE 0 END
+         ELSE 0 END AS s1,
+    CASE WHEN tgt >= 0 THEN CASE WHEN tgt = 2 THEN cnt ELSE 0 END
+         WHEN end_ <= start_ THEN CASE WHEN start_ = 2 THEN cnt ELSE 0 END
+         WHEN 2 BETWEEN start_ AND end_ THEN CAST(floor(cnt / (end_ - start_ + 1)) AS BIGINT)
+              + CASE WHEN 2 - start_ < cnt % (end_ - start_ + 1) THEN 1 ELSE 0 END
+         ELSE 0 END AS s2,
+    CASE WHEN tgt >= 0 THEN CASE WHEN tgt = 3 THEN cnt ELSE 0 END
+         WHEN end_ <= start_ THEN CASE WHEN start_ = 3 THEN cnt ELSE 0 END
+         WHEN 3 BETWEEN start_ AND end_ THEN CAST(floor(cnt / (end_ - start_ + 1)) AS BIGINT)
+              + CASE WHEN 3 - start_ < cnt % (end_ - start_ + 1) THEN 1 ELSE 0 END
+         ELSE 0 END AS s3,
+    CASE WHEN tgt >= 0 THEN CASE WHEN tgt = 4 THEN cnt ELSE 0 END
+         WHEN end_ <= start_ THEN CASE WHEN start_ = 4 THEN cnt ELSE 0 END
+         WHEN 4 BETWEEN start_ AND end_ THEN CAST(floor(cnt / (end_ - start_ + 1)) AS BIGINT)
+              + CASE WHEN 4 - start_ < cnt % (end_ - start_ + 1) THEN 1 ELSE 0 END
+         ELSE 0 END AS s4
+  FROM res)
+SELECT event_type, algo, h_count, h_sum,
+       concat_ws(',', CAST(sum(s0) + zc AS VARCHAR), CAST(sum(s1) AS VARCHAR),
+                 CAST(sum(s2) AS VARCHAR), CAST(sum(s3) AS VARCHAR),
+                 CAST(sum(s4) AS VARCHAR)) AS buckets_csv
+FROM sh GROUP BY event_type, algo, h_count, h_sum, zc"""
+
+    o["metrics_agg_attr_value"] = """
+SELECT event_type AS env,
+       CASE WHEN CAST(user_id % 4 AS VARCHAR) IN ('0', '1') THEN 'low'
+            ELSE CAST(user_id % 4 AS VARCHAR) END AS host,
+       {win3600} AS ts_h,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+FROM events GROUP BY 1, 2, 3""".replace("{win3600}", win3600)
 
     from ..operators.spans import sql_normalize_sql
 
