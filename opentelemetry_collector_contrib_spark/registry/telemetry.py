@@ -2863,7 +2863,135 @@ def q_metric_agg_attr_value(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# spanpruningprocessor (operators/span_pruning.py)
+# ---------------------------------------------------------------------------
+
+
+def _pruning_flat_spans(spark, sf_dir):
+    """Flat synthetic traces from events: one root per trace + one leaf per
+    event. Leaf groups = (trace, name, status) since kind/parent/depth are
+    constant."""
+    ev = _events(spark, sf_dir)
+    t = F.concat(F.lit("tr"), F.pmod(F.col("user_id"), F.lit(200)).cast("string"))
+    start = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    dur = F.expr("CAST(value * 1000 AS BIGINT)")
+    leaves = ev.select(
+        t.alias("trace_id"),
+        F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("span_id"),
+        F.concat(F.lit("root-"), t).alias("parent_span_id"),
+        F.col("event_type").alias("name"),
+        F.lit("Client").alias("kind"),
+        F.when(F.col("value") > 100, F.lit("Error")).otherwise(F.lit("Ok")).alias("status"),
+        start.alias("start_ns"),
+        (start + dur).alias("end_ns"),
+    )
+    roots = leaves.select("trace_id").distinct().select(
+        "trace_id",
+        F.concat(F.lit("root-"), F.col("trace_id")).alias("span_id"),
+        F.lit("").alias("parent_span_id"),
+        F.lit("svc").alias("name"),
+        F.lit("Server").alias("kind"),
+        F.lit("Unset").alias("status"),
+        F.lit(0).cast("bigint").alias("start_ns"),
+        F.lit(0).cast("bigint").alias("end_ns"),
+    )
+    return leaves.unionByName(roots)
+
+
+_PRUNE_COLS = [
+    "trace_id", "span_id", "parent_span_id", "name", "status", "is_summary",
+    "agg_span_count", "agg_duration_min_ns", "agg_duration_max_ns",
+    "agg_duration_total_ns", "agg_duration_avg_ns", "start_ns", "end_ns",
+]
+
+
+def q_span_pruning_flat(spark, sf_dir):
+    """spanpruning leaf aggregation over flat traces: every (trace, name,
+    status) leaf group of >=5 spans collapses into one summary with
+    count/min/max/total/avg duration stats and deterministic
+    md5(trace|group_key) summary ids; smaller groups pass through."""
+    from ..operators.span_pruning import span_pruning
+
+    out = span_pruning(
+        _pruning_flat_spans(spark, sf_dir), min_spans_to_aggregate=5, max_parent_depth=0
+    )
+    return out.select(*_PRUNE_COLS)
+
+
+def q_span_pruning_tree(spark, sf_dir):
+    """spanpruning parent aggregation: root -> 3 'handler' parents -> leaves.
+    A handler is eligible only when ALL its children aggregated
+    (processor.go isEligibleForParentAggregation); eligible handlers group
+    per trace (>=2) into a parent summary, and the leaf summary reparents
+    onto the parent summary when the group's FIRST leaf's handler was
+    replaced (aggregation.go:95-101)."""
+    from ..operators.span_pruning import span_pruning
+
+    ev = _events(spark, sf_dir)
+    t = F.concat(F.lit("tr"), F.pmod(F.col("user_id"), F.lit(200)).cast("string"))
+    hidx = F.pmod(F.col("event_id"), F.lit(3))
+    hid = F.concat(F.lit("h"), hidx.cast("string"), F.lit("-"), t)
+    start = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    dur = F.expr("CAST(value * 1000 AS BIGINT)")
+    leaves = ev.select(
+        t.alias("trace_id"),
+        F.concat(F.lit("s"), F.col("event_id").cast("string")).alias("span_id"),
+        hid.alias("parent_span_id"),
+        F.col("event_type").alias("name"),
+        F.lit("Client").alias("kind"),
+        F.lit("Ok").alias("status"),
+        start.alias("start_ns"),
+        (start + dur).alias("end_ns"),
+    )
+    handlers = ev.select(t.alias("trace_id"), hidx.alias("hidx")).distinct().select(
+        "trace_id",
+        F.concat(F.lit("h"), F.col("hidx").cast("string"), F.lit("-"), F.col("trace_id")).alias("span_id"),
+        F.concat(F.lit("root-"), F.col("trace_id")).alias("parent_span_id"),
+        F.lit("handler").alias("name"),
+        F.lit("Client").alias("kind"),
+        F.lit("Unset").alias("status"),
+        F.col("hidx").cast("bigint").alias("start_ns"),
+        (F.col("hidx") + F.lit(10_000_000)).cast("bigint").alias("end_ns"),
+    )
+    roots = ev.select(t.alias("trace_id")).distinct().select(
+        "trace_id",
+        F.concat(F.lit("root-"), F.col("trace_id")).alias("span_id"),
+        F.lit("").alias("parent_span_id"),
+        F.lit("svc").alias("name"),
+        F.lit("Server").alias("kind"),
+        F.lit("Unset").alias("status"),
+        F.lit(0).cast("bigint").alias("start_ns"),
+        F.lit(0).cast("bigint").alias("end_ns"),
+    )
+    spans = leaves.unionByName(handlers).unionByName(roots)
+    out = span_pruning(spans, min_spans_to_aggregate=5, max_parent_depth=1)
+    return out.select(*_PRUNE_COLS)
+
+
+def q_span_pruning_outliers(spark, sf_dir):
+    """spanpruning with IQR outlier preservation (outlier.go:120-162):
+    per leaf group of >=7 spans, outliers (duration > max(q3+1.5*IQR,
+    median*1.1)) are preserved as siblings of the summary with back-links;
+    the group still aggregates only when >=5 non-outliers remain."""
+    from ..operators.span_pruning import span_pruning
+
+    out = span_pruning(
+        _pruning_flat_spans(spark, sf_dir),
+        min_spans_to_aggregate=5,
+        max_parent_depth=0,
+        outlier={"method": "iqr", "preserve_outliers": True, "max_preserved_outliers": 0},
+    )
+    return out.select(
+        *_PRUNE_COLS, "agg_duration_median_ns", "agg_preserved_outlier_count",
+        "agg_preserved_outlier_span_ids", "agg_is_preserved_outlier", "agg_summary_span_id",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "span_pruning_flat": q_span_pruning_flat,
+    "span_pruning_tree": q_span_pruning_tree,
+    "span_pruning_outliers": q_span_pruning_outliers,
     "metrics_editor_chain": q_metric_editor_chain,
     "metrics_extract_hist": q_metric_extract_hist,
     "metrics_summary_editors": q_metric_summary_editors,
@@ -3000,6 +3128,187 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    # --- spanpruningprocessor -------------------------------------------------
+
+    _prune_leaves = """
+  SELECT 'tr' || CAST(user_id % 200 AS VARCHAR) AS trace_id,
+         's' || CAST(event_id AS VARCHAR) AS span_id,
+         'root-tr' || CAST(user_id % 200 AS VARCHAR) AS parent_span_id,
+         event_type AS name,
+         CASE WHEN value > 100 THEN 'Error' ELSE 'Ok' END AS status,
+         CAST(epoch_us(ts) * 1000 AS BIGINT) AS start_ns,
+         CAST(epoch_us(ts) * 1000 AS BIGINT) + CAST(trunc(value * 1000) AS BIGINT) AS end_ns
+  FROM events"""
+
+    _null_stats = """CAST(NULL AS BIGINT) AS agg_span_count,
+       CAST(NULL AS BIGINT) AS agg_duration_min_ns, CAST(NULL AS BIGINT) AS agg_duration_max_ns,
+       CAST(NULL AS BIGINT) AS agg_duration_total_ns, CAST(NULL AS BIGINT) AS agg_duration_avg_ns"""
+
+    o["span_pruning_flat"] = f"""
+WITH leaves AS ({_prune_leaves}),
+grp AS (
+  SELECT trace_id, name, status, count(*) AS cnt,
+         min(end_ns - start_ns) AS dmin, max(end_ns - start_ns) AS dmax,
+         CAST(sum(end_ns - start_ns) AS BIGINT) AS dtot,
+         min(start_ns) AS smin, max(end_ns) AS emax
+  FROM leaves GROUP BY 1, 2, 3),
+agg AS (SELECT * FROM grp WHERE cnt >= 5)
+SELECT l.trace_id, l.span_id, l.parent_span_id, l.name, l.status,
+       FALSE AS is_summary, {_null_stats}, l.start_ns, l.end_ns
+FROM leaves l LEFT JOIN agg a
+  ON l.trace_id = a.trace_id AND l.name = a.name AND l.status = a.status
+WHERE a.cnt IS NULL
+UNION ALL
+SELECT trace_id, 'root-' || trace_id, '', 'svc', 'Unset', FALSE, {_null_stats},
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM (SELECT DISTINCT trace_id FROM leaves)
+UNION ALL
+SELECT trace_id,
+       substr(md5(trace_id || '|parent=svc|depth=1|' || name || '|kind=Client|status='
+                  || status || '|ts='), 1, 16),
+       'root-' || trace_id, name, status, TRUE,
+       cnt, dmin, dmax, dtot, CAST(dtot // cnt AS BIGINT), smin, emax
+FROM agg"""
+
+    o["span_pruning_tree"] = f"""
+WITH leaves AS (
+  SELECT 'tr' || CAST(user_id % 200 AS VARCHAR) AS trace_id,
+         's' || CAST(event_id AS VARCHAR) AS span_id,
+         'h' || CAST(event_id % 3 AS VARCHAR) || '-tr' || CAST(user_id % 200 AS VARCHAR)
+           AS parent_span_id,
+         CAST(event_id % 3 AS BIGINT) AS hidx,
+         event_type AS name,
+         CAST(epoch_us(ts) * 1000 AS BIGINT) AS start_ns,
+         CAST(epoch_us(ts) * 1000 AS BIGINT) + CAST(trunc(value * 1000) AS BIGINT) AS end_ns
+  FROM events),
+lgrp AS (
+  SELECT trace_id, name, count(*) AS cnt,
+         min(end_ns - start_ns) AS dmin, max(end_ns - start_ns) AS dmax,
+         CAST(sum(end_ns - start_ns) AS BIGINT) AS dtot,
+         min(start_ns) AS smin, max(end_ns) AS emax
+  FROM leaves GROUP BY 1, 2),
+lagg AS (SELECT * FROM lgrp WHERE cnt >= 5),
+helig AS (
+  SELECT l.trace_id, l.hidx, bool_and(g.cnt >= 5) AS eligible
+  FROM leaves l JOIN lgrp g ON g.trace_id = l.trace_id AND g.name = l.name
+  GROUP BY 1, 2),
+pgrp AS (
+  SELECT trace_id, count(*) AS pcnt, min(hidx) AS minidx, max(hidx) AS maxidx
+  FROM helig WHERE eligible GROUP BY trace_id HAVING count(*) >= 2),
+firstleaf AS (
+  SELECT trace_id, name, hidx FROM (
+    SELECT trace_id, name, hidx,
+           row_number() OVER (PARTITION BY trace_id, name ORDER BY start_ns, span_id) AS rn
+    FROM leaves) WHERE rn = 1),
+lsum AS (
+  SELECT a.*,
+         CASE WHEN h.eligible AND p.trace_id IS NOT NULL
+              THEN substr(md5(a.trace_id || '|1|handler|kind=Client|status=Unset|ts='), 1, 16)
+              ELSE 'h' || CAST(f.hidx AS VARCHAR) || '-' || a.trace_id END AS sparent
+  FROM lagg a
+  JOIN firstleaf f ON f.trace_id = a.trace_id AND f.name = a.name
+  JOIN helig h ON h.trace_id = a.trace_id AND h.hidx = f.hidx
+  LEFT JOIN pgrp p ON p.trace_id = a.trace_id)
+SELECT l.trace_id, l.span_id, l.parent_span_id, l.name, 'Ok' AS status,
+       FALSE AS is_summary, {_null_stats}, l.start_ns, l.end_ns
+FROM leaves l
+LEFT JOIN lagg a ON l.trace_id = a.trace_id AND l.name = a.name
+WHERE a.cnt IS NULL
+UNION ALL
+SELECT h.trace_id, 'h' || CAST(h.hidx AS VARCHAR) || '-' || h.trace_id,
+       'root-' || h.trace_id, 'handler', 'Unset', FALSE, {_null_stats},
+       h.hidx, h.hidx + 10000000
+FROM helig h
+LEFT JOIN pgrp p ON p.trace_id = h.trace_id
+WHERE NOT h.eligible OR p.trace_id IS NULL
+UNION ALL
+SELECT trace_id, 'root-' || trace_id, '', 'svc', 'Unset', FALSE, {_null_stats},
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM (SELECT DISTINCT trace_id FROM leaves)
+UNION ALL
+SELECT trace_id,
+       substr(md5(trace_id || '|1|handler|kind=Client|status=Unset|ts='), 1, 16),
+       'root-' || trace_id, 'handler', 'Unset', TRUE,
+       pcnt, CAST(10000000 AS BIGINT), CAST(10000000 AS BIGINT),
+       CAST(10000000 * pcnt AS BIGINT), CAST(10000000 AS BIGINT), minidx, maxidx + 10000000
+FROM pgrp
+UNION ALL
+SELECT trace_id,
+       substr(md5(trace_id || '|parent=handler|depth=2|' || name
+                  || '|kind=Client|status=Ok|ts='), 1, 16),
+       sparent, name, 'Ok', TRUE, cnt, dmin, dmax, dtot, CAST(dtot // cnt AS BIGINT), smin, emax
+FROM lsum"""
+
+    o["span_pruning_outliers"] = f"""
+WITH leaves AS ({_prune_leaves}),
+base AS (SELECT *, end_ns - start_ns AS d FROM leaves),
+arrs AS (
+  SELECT trace_id, name, status, count(*) AS n, list(d ORDER BY d) AS arr
+  FROM base GROUP BY 1, 2, 3),
+med AS (
+  SELECT *,
+    CASE WHEN n % 2 = 1 THEN arr[n // 2 + 1]
+         ELSE (arr[n // 2] + arr[n // 2 + 1]) // 2 END AS median,
+    arr[n // 4 + 1] AS q1, arr[3 * n // 4 + 1] AS q3
+  FROM arrs),
+thr AS (
+  SELECT trace_id, name, status, n, median,
+    greatest(q3 + CAST(trunc(CAST(q3 - q1 AS DOUBLE) * CAST('1.5' AS DOUBLE)) AS BIGINT),
+             CAST(trunc(CAST(median AS DOUBLE) * CAST('1.1' AS DOUBLE)) AS BIGINT)) AS upper_,
+    (n >= 7) AS analyzed
+  FROM med),
+outs AS (
+  SELECT b.*, f.analyzed, f.median, f.n,
+         (f.analyzed AND b.d > f.upper_) AS is_out
+  FROM base b JOIN thr f USING (trace_id, name, status)),
+gstat AS (
+  SELECT trace_id, name, status,
+         any_value(n) AS n, any_value(analyzed) AS analyzed, any_value(median) AS median,
+         count(*) FILTER (WHERE is_out) AS n_out,
+         count(*) FILTER (WHERE NOT is_out) AS n_norm,
+         min(d) FILTER (WHERE NOT is_out) AS dmin,
+         max(d) FILTER (WHERE NOT is_out) AS dmax,
+         CAST(sum(d) FILTER (WHERE NOT is_out) AS BIGINT) AS dtot,
+         min(start_ns) FILTER (WHERE NOT is_out) AS smin,
+         max(end_ns) FILTER (WHERE NOT is_out) AS emax,
+         string_agg(span_id, ',' ORDER BY d DESC, start_ns, span_id)
+           FILTER (WHERE is_out) AS out_ids
+  FROM outs GROUP BY 1, 2, 3),
+agg AS (
+  SELECT *, substr(md5(trace_id || '|parent=svc|depth=1|' || name
+                   || '|kind=Client|status=' || status || '|ts='), 1, 16) AS sid
+  FROM gstat WHERE n_norm >= 5 AND n >= 5)
+SELECT b.trace_id, b.span_id, b.parent_span_id, b.name, b.status,
+       FALSE AS is_summary, {_null_stats}, b.start_ns, b.end_ns,
+       CAST(NULL AS BIGINT) AS agg_duration_median_ns,
+       CAST(NULL AS BIGINT) AS agg_preserved_outlier_count,
+       CAST(NULL AS VARCHAR) AS agg_preserved_outlier_span_ids,
+       FALSE AS agg_is_preserved_outlier, CAST(NULL AS VARCHAR) AS agg_summary_span_id
+FROM outs b LEFT JOIN agg a
+  ON b.trace_id = a.trace_id AND b.name = a.name AND b.status = a.status
+WHERE a.sid IS NULL
+UNION ALL
+SELECT b.trace_id, b.span_id, b.parent_span_id, b.name, b.status,
+       FALSE, {_null_stats}, b.start_ns, b.end_ns,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       TRUE, a.sid
+FROM outs b JOIN agg a
+  ON b.trace_id = a.trace_id AND b.name = a.name AND b.status = a.status
+WHERE b.is_out
+UNION ALL
+SELECT trace_id, 'root-' || trace_id, '', 'svc', 'Unset', FALSE, {_null_stats},
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       FALSE, CAST(NULL AS VARCHAR)
+FROM (SELECT DISTINCT trace_id FROM leaves)
+UNION ALL
+SELECT trace_id, sid, 'root-' || trace_id, name, status, TRUE,
+       n_norm, dmin, dmax, dtot, CAST(dtot // n_norm AS BIGINT), smin, emax,
+       CASE WHEN analyzed THEN median END,
+       CASE WHEN n_out > 0 THEN n_out END,
+       out_ids, FALSE, CAST(NULL AS VARCHAR)
+FROM agg"""
 
     # --- transformprocessor metric-context editors ---------------------------
 
