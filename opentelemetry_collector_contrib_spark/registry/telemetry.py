@@ -2988,7 +2988,112 @@ def q_span_pruning_outliers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# CEF / LEEF / CLF parsers (operators/logformats.py) — render->parse round
+# trips; the oracle reconstructs the expected fields from the source columns
+# ---------------------------------------------------------------------------
+
+
+def _map_csv(col: str) -> F.Column:
+    return F.array_join(
+        F.array_sort(
+            F.transform(F.map_entries(F.col(col)), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        "\x1e",
+    )
+
+
+def q_cef_roundtrip(spark, sf_dir):
+    """ParseCEF round trip: header fields carry pipes and backslashes,
+    extension values carry '=' and newlines — every escape class of
+    func_parse_cef.go exercised and recovered."""
+    from ..operators.logformats import parse_cef, render_cef
+
+    ev = _events(spark, sf_dir)
+    rendered = render_cef(
+        ev,
+        vendor=F.concat(F.lit("Acme|"), F.col("event_type")),
+        product=F.lit("threat\\manager"),
+        device_version=F.lit("1.0"),
+        event_class_id=F.pmod(F.col("event_id"), F.lit(100)).cast("string"),
+        name=F.concat(F.lit("ev "), F.col("event_type")),
+        severity=F.pmod(F.col("event_id"), F.lit(10)).cast("string"),
+        extensions=[
+            ("msg", F.concat(F.col("props"), F.lit("=\n"), F.lit("tail"))),
+            ("src", F.col("user_id").cast("string")),
+        ],
+        syslog_prefix=F.lit("<134>Sep 19 08:26:10 host "),
+    )
+    out = parse_cef(rendered, "body")
+    return out.select(
+        "event_id", "cef_version", "cef_device_vendor", "cef_device_product",
+        "cef_device_event_class_id", "cef_name", "cef_severity",
+        _map_csv("cef_extensions").alias("ext_csv"),
+    )
+
+
+def q_leef_roundtrip(spark, sf_dir):
+    """ParseLEEF round trip across BOTH header versions (even event_id ->
+    LEEF:1.0 tab-delimited, odd -> LEEF:2.0 with a 0x5e hex delimiter) with
+    spaces and '=' inside attribute values."""
+    from ..operators.logformats import parse_leef, render_leef
+
+    ev = _events(spark, sf_dir)
+    rendered = render_leef(
+        ev,
+        vendor=F.lit("IBM"),
+        product=F.col("event_type"),
+        product_version=F.lit("7.3"),
+        event_id=F.concat(F.lit("E"), F.pmod(F.col("event_id"), F.lit(50)).cast("string")),
+        attributes=[
+            ("usrName", F.concat(F.lit("u"), F.col("user_id").cast("string"))),
+            ("url", F.concat(F.lit("http://x?k="), F.col("event_id").cast("string"))),
+            ("msg", F.col("props")),
+        ],
+        version=F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("1.0")).otherwise(F.lit("2.0")),
+        delimiter_spec="0x5e",
+    )
+    out = parse_leef(rendered, "body")
+    return out.select(
+        "event_id", "leef_version", "leef_vendor", "leef_product_name",
+        "leef_product_version", "leef_event_id",
+        _map_csv("leef_attributes").alias("attrs_csv"),
+    )
+
+
+def q_clf_roundtrip(spark, sf_dir):
+    """ParseCLF (combined) round trip: quoted fields carry quotes and
+    backslashes (mod_log_config escapes), '-' bytes maps to NULL, request
+    splits into method/uri/protocol."""
+    from ..operators.logformats import parse_clf, render_clf
+
+    ev = _events(spark, sf_dir)
+    rendered = render_clf(
+        ev,
+        remote_host=F.concat(F.lit("10.0."), F.pmod(F.col("user_id"), F.lit(256)).cast("string"), F.lit(".1")),
+        auth_user=F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        timestamp=F.lit("10/Oct/2000:13:55:36 -0700"),
+        request=F.concat(
+            F.lit('GET /p/'), F.col("event_id").cast("string"),
+            F.lit('?q="'), F.col("event_type"), F.lit('" HTTP/1.1'),
+        ),
+        status=(F.lit(200) + F.pmod(F.col("event_id"), F.lit(4)) * 100).cast("bigint"),
+        nbytes=F.when(F.pmod(F.col("event_id"), F.lit(5)) != 0, F.col("event_id")),
+        referer=F.concat(F.lit("http://r.example/"), F.col("event_type"), F.lit('/"q"')),
+        user_agent=F.lit("agent\\v1"),
+    )
+    out = parse_clf(rendered, "body", format="combined")
+    return out.select(
+        "event_id", "clf_remote_host", "clf_auth_user", "clf_timestamp",
+        "clf_request", "clf_method", "clf_request_uri", "clf_protocol",
+        "clf_status", "clf_bytes", "clf_referer", "clf_user_agent",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cef_parse_roundtrip": q_cef_roundtrip,
+    "leef_parse_roundtrip": q_leef_roundtrip,
+    "clf_parse_roundtrip": q_clf_roundtrip,
     "span_pruning_flat": q_span_pruning_flat,
     "span_pruning_tree": q_span_pruning_tree,
     "span_pruning_outliers": q_span_pruning_outliers,
@@ -3128,6 +3233,49 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    # --- CEF / LEEF / CLF round trips (expected fields rebuilt from source) ---
+
+    o["cef_parse_roundtrip"] = """
+SELECT event_id,
+       '0' AS cef_version,
+       'Acme|' || event_type AS cef_device_vendor,
+       'threat\\manager' AS cef_device_product,
+       CAST(event_id % 100 AS VARCHAR) AS cef_device_event_class_id,
+       'ev ' || event_type AS cef_name,
+       CAST(event_id % 10 AS VARCHAR) AS cef_severity,
+       'msg=' || props || '=' || chr(10) || 'tail' || chr(30)
+           || 'src=' || CAST(user_id AS VARCHAR) AS ext_csv
+FROM events"""
+
+    o["leef_parse_roundtrip"] = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN '1.0' ELSE '2.0' END AS leef_version,
+       'IBM' AS leef_vendor,
+       event_type AS leef_product_name,
+       '7.3' AS leef_product_version,
+       'E' || CAST(event_id % 50 AS VARCHAR) AS leef_event_id,
+       'msg=' || props || chr(30)
+           || 'url=http://x?k=' || CAST(event_id AS VARCHAR) || chr(30)
+           || 'usrName=u' || CAST(user_id AS VARCHAR) AS attrs_csv
+FROM events"""
+
+    o["clf_parse_roundtrip"] = """
+SELECT event_id,
+       '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS clf_remote_host,
+       'u' || CAST(user_id AS VARCHAR) AS clf_auth_user,
+       '10/Oct/2000:13:55:36 -0700' AS clf_timestamp,
+       'GET /p/' || CAST(event_id AS VARCHAR) || '?q="' || event_type
+           || '" HTTP/1.1' AS clf_request,
+       'GET' AS clf_method,
+       '/p/' || CAST(event_id AS VARCHAR) || '?q="' || event_type || '"'
+           AS clf_request_uri,
+       'HTTP/1.1' AS clf_protocol,
+       CAST(200 + (event_id % 4) * 100 AS BIGINT) AS clf_status,
+       CASE WHEN event_id % 5 <> 0 THEN event_id END AS clf_bytes,
+       'http://r.example/' || event_type || '/"q"' AS clf_referer,
+       'agent\\v1' AS clf_user_agent
+FROM events"""
 
     # --- spanpruningprocessor -------------------------------------------------
 
