@@ -1090,3 +1090,133 @@ def start_time_adjust(
             .filter(F.col("_rn") > 1)
         )
     return out.drop("_ts_us", "_rn", "_epoch")
+
+
+# --- statsdreceiver flush aggregation -----------------------------------------
+def statsd_aggregate(
+    df: DataFrame,
+    line_col: str = "body",
+    order_col: str | None = None,
+    percentiles: tuple = (50.0, 95.0),
+    counter_type: str = "double",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """statsdreceiver per-flush aggregation (internal/parser/statsd_parser.go
+    Aggregate :346-466 + metric_translator.go):
+
+    * counters — value scaled by 1/sample_rate when 0<rate<1
+      (counterValue :225-234), summed per (name, tags); counter_type='int'
+      truncates each scaled increment to int64 BEFORE summing, mirroring
+      aggregateCounterValue's per-sample SetIntValue adds;
+    * gauges — a value written with a +/- sign is a RELATIVE move
+      (statsd_parser.go:489-491 sets `addition`); an unsigned value resets
+      the gauge (:376-385). Per flush the result is the last reset value
+      plus every signed move after it — computed as one window max over the
+      reset positions + a filtered sum, no per-row state;
+    * timers/histograms/distributions (SummaryObserver) — weighted
+      observations (weight = 1/rate, sampleValue :241-250): summary count =
+      uint64(Σ weights), sum = Σ value·weight, and gonum
+      stat.Quantile(Empirical) percentiles: sort by value, first value whose
+      cumulative weight >= p/100 · W (verified against
+      metric_translator_test.go:255-286 vectors). The quantile scan is one
+      `aggregate` HOF over the group's sorted (value, weight) array.
+
+    Input: raw statsd lines. `order_col` orders gauge resets (arrival order
+    in the reference; required if any gauges are present). NaN/Inf values
+    are discarded (:352-358). Output: one row per (group_cols..., st_name,
+    st_tags_csv, kind) with kind-specific columns nulled elsewhere.
+    """
+    from .parse import parse_statsd
+
+    if counter_type not in ("double", "int"):
+        raise ValueError(f"counter_type must be 'double' or 'int', got {counter_type!r}")
+    gcols = list(group_cols or [])
+    parsed = parse_statsd(df, line_col)
+    v = F.col("st_value")
+    parsed = parsed.filter(
+        F.col("st_name").isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
+    ).withColumn(
+        "_add", F.regexp_extract(F.col(line_col), r"^[^:|#]+:([+-])", 1) != ""
+    )
+    keys = gcols + ["st_name", "st_tags_csv"]
+    rate = F.col("st_rate")
+    scaled = F.when((rate > 0) & (rate < 1), v / rate).otherwise(v)
+
+    qcols = [f"q{p:g}".replace(".", "_") for p in percentiles]
+
+    def pad(frame, kind):
+        out = frame.withColumn("kind", F.lit(kind))
+        for c, t in (("value", "double"), ("s_count", "bigint"), ("s_sum", "double"),
+                     *[(q, "double") for q in qcols]):
+            if c not in frame.columns:
+                out = out.withColumn(c, F.lit(None).cast(t))
+        return out.select(*keys, "kind", "value", "s_count", "s_sum", *qcols)
+
+    # counters
+    cval = scaled.cast("bigint") if counter_type == "int" else scaled
+    counters = (
+        parsed.filter(F.col("st_type") == "c")
+        .groupBy(*keys)
+        .agg(F.sum(cval).cast("double").alias("value"))
+    )
+
+    # gauges
+    gauges_src = parsed.filter(F.col("st_type") == "g")
+    if order_col is None:
+        order = F.monotonically_increasing_id()
+    else:
+        order = F.col(order_col)
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*keys)
+    reset_pos = F.max(F.when(~F.col("_add"), order)).over(wg)
+    gauges = (
+        gauges_src.withColumn("_keep", reset_pos.isNull() | (order >= reset_pos))
+        .filter(F.col("_keep"))
+        .groupBy(*keys)
+        .agg(F.sum(v).alias("value"))
+    )
+
+    # timers / histograms / distributions -> summary
+    weight = F.when((rate > 0) & (rate < 1), F.lit(1.0) / rate).otherwise(F.lit(1.0))
+    timers = (
+        parsed.filter(F.col("st_type").isin("ms", "h", "d"))
+        .withColumn("_w", weight)
+        .groupBy(*keys)
+        .agg(
+            F.floor(F.sum("_w")).cast("bigint").alias("s_count"),
+            F.sum(v * F.col("_w")).alias("s_sum"),
+            F.sum("_w").alias("_W"),
+            F.array_sort(F.collect_list(F.struct(v.alias("v"), F.col("_w").alias("w")))).alias("_arr"),
+        )
+    )
+    def quantile_fold(target):
+        # pyspark HOF merge lambdas must take exactly (acc, x) — close over
+        # the target instead of a default arg
+        def fold(acc, x):
+            return F.struct(
+                (acc["cum"] + x["w"]).alias("cum"),
+                F.coalesce(
+                    acc["found"],
+                    F.when(acc["cum"] + x["w"] >= target, x["v"]),
+                ).alias("found"),
+            )
+
+        return fold
+
+    for p, qc in zip(percentiles, qcols):
+        target = F.lit(float(p) / 100.0) * F.col("_W")
+        timers = timers.withColumn(
+            qc,
+            F.aggregate(
+                F.col("_arr"),
+                F.struct(F.lit(0.0).alias("cum"), F.lit(None).cast("double").alias("found")),
+                quantile_fold(target),
+                lambda acc: acc["found"],
+            ),
+        )
+    timers = timers.drop("_W", "_arr")
+
+    return pad(counters, "counter").unionByName(pad(gauges, "gauge")).unionByName(
+        pad(timers, "summary")
+    )

@@ -3090,7 +3090,48 @@ def q_clf_roundtrip(spark, sf_dir):
     )
 
 
+def q_statsd_flush(spark, sf_dir):
+    """statsdreceiver flush aggregation over synthesized statsd lines:
+    counters with and without sample rates (1/0.5 scaling), gauges with
+    reset/+/- relative-move semantics ordered by event_id, and timers as
+    weighted summaries (weight 4 via @0.25) with gonum-empirical q50/q95.
+    Values are integers and weights binary fractions so every double sum
+    is exact and order-independent (cross-engine hash-safe)."""
+    from ..operators.aggregate import statsd_aggregate
+
+    ev = _events(spark, sf_dir)
+    k = F.pmod(F.col("event_id"), F.lit(4))
+    v = (F.pmod(F.col("event_id"), F.lit(97)) + 1).cast("string")
+    sign = F.pmod(F.col("event_id"), F.lit(3))
+    tags = F.concat(
+        F.lit("|#host:h"), F.pmod(F.col("user_id"), F.lit(3)).cast("string"), F.lit(",env:prod")
+    )
+    name = F.concat(F.lit("m."), F.col("event_type"))
+    gauge_val = (
+        F.when(sign == 0, v)
+        .when(sign == 1, F.concat(F.lit("+"), v))
+        .otherwise(F.concat(F.lit("-"), v))
+    )
+    line = (
+        F.when(k == 0, F.concat(name, F.lit(":"), v, F.lit("|c"), tags))
+        .when(k == 1, F.concat(name, F.lit(":"), v, F.lit("|c|@0.5"), tags))
+        .when(k == 2, F.concat(name, F.lit(":"), gauge_val, F.lit("|g"), tags))
+        .otherwise(
+            F.concat(
+                name, F.lit(":"), v, F.lit("|ms"),
+                F.when(F.pmod(F.col("event_id"), F.lit(8)) != 3, F.lit("|@0.25")).otherwise(F.lit("")),
+                tags,
+            )
+        )
+    )
+    out = statsd_aggregate(
+        ev.withColumn("body", line), "body", order_col="event_id", percentiles=(50.0, 95.0)
+    )
+    return out.select("st_name", "st_tags_csv", "kind", "value", "s_count", "s_sum", "q50", "q95")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "statsd_flush_aggregate": q_statsd_flush,
     "cef_parse_roundtrip": q_cef_roundtrip,
     "leef_parse_roundtrip": q_leef_roundtrip,
     "clf_parse_roundtrip": q_clf_roundtrip,
@@ -3233,6 +3274,66 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    # --- statsdreceiver flush aggregation -------------------------------------
+
+    o["statsd_flush_aggregate"] = """
+WITH base AS (
+  SELECT 'm.' || event_type AS st_name,
+         'env:prod,host:h' || CAST(user_id % 3 AS VARCHAR) AS st_tags_csv,
+         event_id % 4 AS k,
+         CAST(event_id % 97 + 1 AS DOUBLE) AS v,
+         event_id % 3 AS sign,
+         event_id AS pos
+  FROM events),
+counters AS (
+  SELECT st_name, st_tags_csv, 'counter' AS kind,
+         sum(CASE WHEN k = 1 THEN v / CAST('0.5' AS DOUBLE) ELSE v END) AS value
+  FROM base WHERE k IN (0, 1) GROUP BY 1, 2),
+gsrc AS (
+  SELECT st_name, st_tags_csv, pos,
+         CASE WHEN sign = 2 THEN -v ELSE v END AS gv,
+         (sign <> 0) AS addition
+  FROM base WHERE k = 2),
+greset AS (
+  SELECT st_name, st_tags_csv, max(CASE WHEN NOT addition THEN pos END) AS rpos
+  FROM gsrc GROUP BY 1, 2),
+gauges AS (
+  SELECT g.st_name, g.st_tags_csv, 'gauge' AS kind, sum(g.gv) AS value
+  FROM gsrc g JOIN greset r USING (st_name, st_tags_csv)
+  WHERE r.rpos IS NULL OR g.pos >= r.rpos
+  GROUP BY 1, 2),
+tsrc AS (
+  SELECT st_name, st_tags_csv, v,
+         CASE WHEN pos % 8 <> 3 THEN 4.0 ELSE 1.0 END AS w
+  FROM base WHERE k = 3),
+tstat AS (
+  SELECT st_name, st_tags_csv,
+         CAST(floor(sum(w)) AS BIGINT) AS s_count,
+         sum(v * w) AS s_sum, sum(w) AS bigw
+  FROM tsrc GROUP BY 1, 2),
+tcum AS (
+  SELECT st_name, st_tags_csv, v,
+         sum(w) OVER (PARTITION BY st_name, st_tags_csv ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM tsrc),
+q AS (
+  SELECT t.st_name, t.st_tags_csv, any_value(t.s_count) AS s_count,
+         any_value(t.s_sum) AS s_sum,
+         min(CASE WHEN c.cumw >= CAST('0.5' AS DOUBLE) * t.bigw THEN c.v END) AS q50,
+         min(CASE WHEN c.cumw >= CAST('0.95' AS DOUBLE) * t.bigw THEN c.v END) AS q95
+  FROM tstat t JOIN tcum c USING (st_name, st_tags_csv)
+  GROUP BY 1, 2)
+SELECT st_name, st_tags_csv, kind, value,
+       CAST(NULL AS BIGINT) AS s_count, CAST(NULL AS DOUBLE) AS s_sum,
+       CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q95
+FROM counters
+UNION ALL
+SELECT st_name, st_tags_csv, kind, value, NULL, NULL, NULL, NULL FROM gauges
+UNION ALL
+SELECT st_name, st_tags_csv, 'summary', CAST(NULL AS DOUBLE),
+       s_count, s_sum, q50, q95
+FROM q"""
 
     # --- CEF / LEEF / CLF round trips (expected fields rebuilt from source) ---
 
