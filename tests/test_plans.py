@@ -210,3 +210,70 @@ def test_wire_renders_and_parsers_are_shuffle_free_projections(spark, name):
     # (exists/transform) can push the outermost Project out of codegen,
     # but the chain must contain codegen'd projections
     assert re.search(r"\* (Project|Filter)", tree_of(plan)), tree_of(plan)
+
+
+# --- session-3 additions: metric editors / span pruning / SIEM parsers / statsd
+
+
+def test_metric_editors_are_shuffle_free_projections(spark):
+    """The transformprocessor metric-context editors are per-datapoint
+    rewrites — the whole chain (type toggles, scale, copy-union) must
+    compile to scan->project unions with zero Exchange and zero Python."""
+    plan = plan_of(_query("metrics_editor_chain")(spark, SF))
+    assert n_exchanges(plan) == 0, tree_of(plan)
+    for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, f"plan contains {node}"
+
+
+def test_exp_to_explicit_is_projection_over_fixture_agg(spark):
+    """convert_exponential_histogram_to_histogram itself is a pure
+    projection; the Exchanges in this query belong to the FIXTURE's
+    per-event_type datapoint aggregation (once per algo branch). No joins,
+    no Python anywhere."""
+    plan = plan_of(_query("metrics_exp_to_explicit")(spark, SF))
+    assert n_exchanges(plan) <= 3, tree_of(plan)
+    for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, f"plan contains {node}"
+
+
+def test_metric_agg_attr_value_single_exchange(spark):
+    """aggregate_on_attribute_value = ONE hash aggregation: partial agg
+    before the single Exchange, final after (map-side combine at 100 TB)."""
+    plan = plan_of(_query("metrics_agg_attr_value")(spark, SF))
+    assert n_exchanges(plan) == 1, tree_of(plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert re.search(r"partial", plan, re.IGNORECASE), "no map-side partial aggregation"
+
+
+def test_span_pruning_single_trace_shuffle(spark):
+    """span_pruning is one hash repartition on trace_id feeding the
+    mapInPandas tree kernel — no joins, no second Exchange."""
+    plan = plan_of(_query("span_pruning_flat")(spark, SF))
+    # the fixture build itself aggregates roots (distinct trace ids): allow
+    # its exchanges but the operator itself must add exactly one
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+    for node in (*FORBIDDEN, "SortMergeJoin"):
+        assert node not in plan, f"span_pruning plan contains {node}"
+
+
+@pytest.mark.parametrize("name", ["cef_parse_roundtrip", "leef_parse_roundtrip", "clf_parse_roundtrip"])
+def test_siem_roundtrips_no_shuffle(spark, name):
+    """CEF/LEEF/CLF render->parse round trips are scan-speed row pipelines:
+    zero Exchange, no joins. (The stateful CEF/LEEF scans and the CLF
+    unescape are Arrow-batched — ArrowEvalPython is the designed shape.)"""
+    plan = plan_of(_query(name)(spark, SF))
+    assert n_exchanges(plan) == 0, tree_of(plan)
+    for node in (*FORBIDDEN, "SortMergeJoin"):
+        assert node not in plan, f"{name} plan contains {node}"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF crept in"
+
+
+def test_statsd_aggregate_bounded_exchanges(spark):
+    """statsd_aggregate = native parse projection + one hash agg per metric
+    kind (+ the gauge reset window sharing its partitioning) — bounded
+    Exchange count, no Python, no joins."""
+    plan = plan_of(_query("statsd_flush_aggregate")(spark, SF))
+    assert n_exchanges(plan) <= 4, tree_of(plan)
+    for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, f"statsd plan contains {node}"
+    assert re.search(r"partial", plan, re.IGNORECASE)
