@@ -280,3 +280,106 @@ def render_splunk_hec(
             obj, F.lit(',"event":"'), F.coalesce(json_escape(e), F.lit("")), F.lit('"')
         )
     return df.withColumn(out, F.concat(obj, F.lit("}")))
+
+
+def render_carbon(
+    df: DataFrame,
+    name: Column | str,
+    value: Column,
+    ts_s: Column,
+    tags: list[tuple[str, Column]] | None = None,
+    out: str = "body",
+) -> DataFrame:
+    """carbonexporter plaintext serialization (exporter/carbonexporter —
+    the inverse of receiver/carbonreceiver's plaintext parser):
+    `<name>[;k=v...] <value> <unix_seconds>`, one line per datapoint.
+    Caller guarantees tag keys avoid `;!^=` and values avoid `;~`
+    (the receiver rejects them). Pure projection."""
+    path = _col(name)
+    for k, v in tags or []:
+        path = F.concat(path, F.lit(f";{k}="), v.cast("string"))
+    line = F.concat_ws(" ", path, value.cast("string"), ts_s.cast("string"))
+    return df.withColumn(out, line)
+
+
+def render_loki_push(
+    df: DataFrame,
+    labels: list[tuple[str, Column]],
+    ts_ns: Column,
+    line: Column,
+    out: str = "body",
+) -> DataFrame:
+    """lokiexporter push-API JSON body (the receiver's wire format:
+    `{"streams":[{"stream":{..labels..},"values":[["<ns>","<line>"]]}]}`),
+    one single-value stream per row — a valid push payload per record, the
+    shape a per-row exporter queue emits. Built with to_json over typed
+    structs so label values and log lines are JSON-escaped exactly. The
+    nanosecond timestamp rides as a DIGIT STRING (the API's format — no
+    double round-trip). Pure projection."""
+    stream = F.struct(*[v.cast("string").alias(k) for k, v in labels])
+    payload = F.struct(
+        F.array(
+            F.struct(
+                stream.alias("stream"),
+                F.array(F.array(ts_ns.cast("string"), line.cast("string"))).alias("values"),
+            )
+        ).alias("streams")
+    )
+    return df.withColumn(out, F.to_json(payload))
+
+
+def render_otlp_json_logs(
+    df: DataFrame,
+    body: Column,
+    time_unix_nano: Column,
+    severity_text: Column,
+    severity_number: Column,
+    resource_attrs: list[tuple[str, Column]] | None = None,
+    log_attrs: list[tuple[str, Column]] | None = None,
+    scope_name: Column | None = None,
+    out: str = "payload",
+) -> DataFrame:
+    """OTLP/JSON LogsData marshaling (the fileexporter's otlp_json encoding
+    / otlpjsonconnector's input format): one `{"resourceLogs":[...]}`
+    envelope per record with the attribute list-of-{key,value:{stringValue}}
+    shape. to_json guarantees escaping, so render∘parse is the identity on
+    every field. Pure projection."""
+
+    def kvlist(pairs):
+        if not pairs:
+            return F.array().cast(
+                "array<struct<key:string,value:struct<stringValue:string>>>"
+            )
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("key"),
+                    F.struct(v.cast("string").alias("stringValue")).alias("value"),
+                )
+                for k, v in pairs
+            ]
+        )
+
+    record = F.struct(
+        time_unix_nano.cast("string").alias("timeUnixNano"),
+        severity_text.cast("string").alias("severityText"),
+        severity_number.cast("int").alias("severityNumber"),
+        F.struct(body.cast("string").alias("stringValue")).alias("body"),
+        kvlist(log_attrs).alias("attributes"),
+    )
+    payload = F.struct(
+        F.array(
+            F.struct(
+                F.struct(kvlist(resource_attrs).alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(
+                            (scope_name if scope_name is not None else F.lit("render")).alias("name")
+                        ).alias("scope"),
+                        F.array(record).alias("logRecords"),
+                    )
+                ).alias("scopeLogs"),
+            )
+        ).alias("resourceLogs")
+    )
+    return df.withColumn(out, F.to_json(payload))

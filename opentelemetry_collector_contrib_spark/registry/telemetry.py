@@ -3130,7 +3130,78 @@ def q_statsd_flush(spark, sf_dir):
     return out.select("st_name", "st_tags_csv", "kind", "value", "s_count", "s_sum", "q50", "q95")
 
 
+def q_carbon_render_roundtrip(spark, sf_dir):
+    """carbonexporter plaintext render -> carbonreceiver parse: tagged
+    metric path, int-vs-double dispatch, exact unix-seconds timestamps."""
+    from ..operators.parse import parse_carbon
+    from ..operators.render import render_carbon
+
+    ev = _events(spark, sf_dir)
+    rendered = render_carbon(
+        ev,
+        name=F.concat(F.lit("sys."), F.col("event_type")),
+        value=F.pmod(F.col("event_id"), F.lit(1000)),
+        ts_s=F.unix_timestamp(F.col("ts").cast("timestamp")),
+        tags=[
+            ("host", F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(5)).cast("string"))),
+            ("dc", F.concat(F.lit("dc"), F.pmod(F.col("user_id"), F.lit(3)).cast("string"))),
+        ],
+    )
+    out = parse_carbon(rendered, "body")
+    return out.select("event_id", "cb_name", "cb_tags_csv", "cb_value", "cb_is_int", "cb_ts_us")
+
+
+def q_loki_render_roundtrip(spark, sf_dir):
+    """lokiexporter push-JSON render -> lokireceiver parse: JSON-escaped
+    log lines (props carries quotes), sorted label CSV, exact ns->us
+    timestamp truncation."""
+    from ..operators.parse import loki_json_push
+    from ..operators.render import render_loki_push
+
+    ev = _events(spark, sf_dir)
+    rendered = render_loki_push(
+        ev,
+        labels=[("app", F.col("event_type")), ("env", F.lit("prod"))],
+        ts_ns=F.unix_micros(F.col("ts").cast("timestamp")) * 1000,
+        line=F.col("props"),
+    )
+    out = loki_json_push(rendered, "body")
+    return out.select(
+        "event_id", "labels_csv", F.unix_micros(F.col("line_ts")).alias("line_ts_us"), "line"
+    )
+
+
+def q_otlpjson_render_roundtrip(spark, sf_dir):
+    """OTLP/JSON LogsData marshal (fileexporter otlp_json encoding) ->
+    otlpjsonconnector parse: render∘parse must be the identity on body,
+    timestamps, severities, and resource/log attributes."""
+    from ..operators.parse import otlp_json_logs
+    from ..operators.render import render_otlp_json_logs
+
+    ev = _events(spark, sf_dir)
+    rendered = render_otlp_json_logs(
+        ev,
+        body=F.col("props"),
+        time_unix_nano=F.unix_micros(F.col("ts").cast("timestamp")) * 1000,
+        severity_text=F.upper(F.col("event_type")),
+        severity_number=(F.pmod(F.col("event_id"), F.lit(24)) + 1).cast("int"),
+        resource_attrs=[("service.name", F.concat(F.lit("svc-"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")))],
+        log_attrs=[("etype", F.col("event_type"))],
+        scope_name=F.lit("render"),
+    )
+    out = otlp_json_logs(rendered.select("event_id", "payload"), "payload")
+    return out.select(
+        "event_id",
+        F.element_at(F.col("resource_attrs"), "service.name").alias("service_name"),
+        "scope_name", "time_unix_nano", "severity_text", "severity_number", "body",
+        F.element_at(F.col("log_attrs"), "etype").alias("attr_etype"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "carbon_render_roundtrip": q_carbon_render_roundtrip,
+    "loki_render_roundtrip": q_loki_render_roundtrip,
+    "otlpjson_render_roundtrip": q_otlpjson_render_roundtrip,
     "statsd_flush_aggregate": q_statsd_flush,
     "cef_parse_roundtrip": q_cef_roundtrip,
     "leef_parse_roundtrip": q_leef_roundtrip,
@@ -3274,6 +3345,36 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    # --- exporter render round trips (carbon / loki push / otlp json) ---------
+
+    o["carbon_render_roundtrip"] = """
+SELECT event_id,
+       'sys.' || event_type AS cb_name,
+       'dc=dc' || CAST(user_id % 3 AS VARCHAR) || ',host=h' || CAST(user_id % 5 AS VARCHAR)
+         AS cb_tags_csv,
+       CAST(event_id % 1000 AS DOUBLE) AS cb_value,
+       TRUE AS cb_is_int,
+       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) * 1000000 AS cb_ts_us
+FROM events"""
+
+    o["loki_render_roundtrip"] = """
+SELECT event_id,
+       'app=' || event_type || ',env=prod' AS labels_csv,
+       epoch_us(ts) AS line_ts_us,
+       props AS line
+FROM events"""
+
+    o["otlpjson_render_roundtrip"] = """
+SELECT event_id,
+       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+       'render' AS scope_name,
+       epoch_us(ts) * 1000 AS time_unix_nano,
+       upper(event_type) AS severity_text,
+       CAST(event_id % 24 + 1 AS INTEGER) AS severity_number,
+       props AS body,
+       event_type AS attr_etype
+FROM events"""
 
     # --- statsdreceiver flush aggregation -------------------------------------
 

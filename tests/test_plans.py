@@ -185,6 +185,9 @@ def test_host_info_single_aggregate_exchange(spark):
         "render_splunk_hec_events",
         "render_es_bulk_docs",
         "render_prom_roundtrip",
+        "carbon_render_roundtrip",
+        "loki_render_roundtrip",
+        "otlpjson_render_roundtrip",
         "parse_carbon_lines",
         "parse_collectd_json",
         "parse_firehose_records",
