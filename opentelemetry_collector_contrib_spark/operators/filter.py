@@ -138,3 +138,38 @@ def filter_match(df: DataFrame, include: dict | None = None, exclude: dict | Non
     if exclude is not None:
         keep = keep & ~F.coalesce(match_properties(exclude), F.lit(False))
     return df.filter(keep)
+
+
+def remote_tap(
+    df: DataFrame,
+    limit_per_s: int,
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """remotetapprocessor as a batch tap: the processor passes ALL data
+    through untouched and mirrors at most `limit` messages per second to the
+    attached websocket (processor/remotetapprocessor/config.go:18-20 —
+    `rate.Limit`, default 1/s; processor.go:46 `rate.NewLimiter(limit,
+    burst=limit)`). The wall-clock limiter is inherently non-deterministic;
+    the batch analogue keys the budget on the RECORD's second so replays
+    are reproducible: the first `limit` rows per epoch-second (stable
+    order) are tapped.
+
+    Returns the tapped subset — callers keep using the input frame as the
+    passthrough. One window over (second, order) — hash-partitioned by
+    second, no skew beyond per-second volume, which the cap itself bounds.
+    """
+    from pyspark.sql import Window
+
+    if limit_per_s < 1:
+        raise ValueError("limit_per_s must be >= 1")
+    sec = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    order = [F.col(c) for c in order_cols] or [F.col(ts_col)]
+    w = Window.partitionBy(sec).orderBy(*order)
+    return (
+        df.withColumn("_tap_rn", F.row_number().over(w))
+        .where(F.col("_tap_rn") <= limit_per_s)
+        .drop("_tap_rn")
+    )

@@ -3198,7 +3198,140 @@ def q_otlpjson_render_roundtrip(spark, sf_dir):
     )
 
 
+def _apm_span_frame(spark, sf_dir):
+    """Deterministic span view for the datadogconnector analogue: per user
+    one root whose children parent to it, service mapped from event_type so
+    children on a different service than the root are top-level, kinds cycle
+    through eligible/ineligible values, durations are integer-exact."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    svc = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("frontend"))
+        .when(F.col("event_type") == "error", F.lit("backend"))
+        .otherwise(F.lit("payments"))
+    )
+    k = F.col("event_id") % 5
+    kind = (
+        F.when(k == 0, F.lit("server"))
+        .when(k == 2, F.lit("client"))
+        .when(k == 3, F.lit("producer"))
+        .otherwise(F.lit("internal"))
+    )
+    return ev.select(
+        F.concat(F.lit("tr-"), F.col("user_id").cast("string")).alias("trace_id"),
+        F.concat(F.lit("s"), F.lpad(rn.cast("string"), 6, "0")).alias("span_id"),
+        F.when(rn == 1, F.lit(None).cast("string"))
+        .otherwise(F.lit("s000001"))
+        .alias("parent_span_id"),
+        svc.alias("service"),
+        F.col("event_type").alias("resource"),
+        kind.alias("kind"),
+        F.when(F.col("event_type") == "error", F.lit(500)).otherwise(F.lit(200)).alias("status_code"),
+        (F.col("event_type") == "error").alias("is_error"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("prod")).otherwise(F.lit("staging")).alias("env"),
+        F.col("ts").alias("end_ts"),
+        ((F.col("event_id") % 9973) * ((F.col("event_id") % 31) + 1) + 1)
+        .cast("long")
+        .alias("duration_ns"),
+    )
+
+
+def q_apm_stats(spark, sf_dir):
+    """datadogconnector APM stats: top-level detection by real parent join,
+    kind-widened eligibility, hourly buckets, hit/error/duration rollup and
+    integer-exact sketch rank-quantiles of the ok distribution."""
+    from ..operators.apm_stats import apm_stats, mark_top_level
+
+    spans = mark_top_level(_apm_span_frame(spark, sf_dir))
+    out = apm_stats(spans, bucket_s=3600, compute_stats_by_span_kind=True)
+    return out.select(
+        "bucket_start", "env", "service", "resource", "kind", "status_code",
+        "hits", "errors", "top_level_hits", "duration_ns",
+        "ok_p50_ns", "ok_p95_ns", "ok_p99_ns",
+    )
+
+
+def q_haproxy_stats(spark, sf_dir):
+    """haproxyreceiver round trip: render `show stat` record lines (frontend
+    rows leave server-only slots empty and vice versa, exactly like the real
+    CSV), parse them back through the header-positioned projection, and
+    surface the scraper.go field set — empty slots must come back NULL."""
+    from ..operators.haproxy import parse_haproxy_stats, render_haproxy_stat
+
+    ev = _events(spark, sf_dir)
+    e = F.col("event_id")
+    u = F.col("user_id")
+    is_fe = u % 3 == 0
+    fields = {
+        "pxname": F.concat(F.lit("px-"), F.col("event_type")),
+        "svname": F.when(is_fe, F.lit("FRONTEND"))
+        .when(u % 3 == 1, F.lit("BACKEND"))
+        .otherwise(F.concat(F.lit("srv"), (u % 4).cast("string"))),
+        "status": F.when(is_fe, F.lit("OPEN"))
+        .when(e % 7 == 0, F.lit("DOWN"))
+        .otherwise(F.lit("UP")),
+        "scur": e % 100,
+        "slim": F.when(is_fe, F.lit(524268)),
+        "stot": e % 100000,
+        "bin": (e * 3) % 1000000,
+        "bout": (e * 7) % 1000000,
+        "dreq": F.when(is_fe, e % 5),
+        "ereq": F.when(is_fe, e % 3),
+        "econ": F.when(~is_fe, e % 4),
+        "eresp": F.when(~is_fe, e % 6),
+        "wretr": F.when(~is_fe, e % 2),
+        "weight": F.when(~is_fe, F.lit(100)),
+        "act": F.when(~is_fe, F.lit(1)),
+        "bck": F.when(~is_fe, F.lit(0)),
+        "lbtot": F.when(~is_fe, e % 50000),
+        "cli_abrt": e % 9,
+        "srv_abrt": F.when(~is_fe, e % 8),
+        "rtime": F.when(~is_fe, e % 750),
+        "ttime": F.when(~is_fe, e % 2000),
+        "conn_rate": F.when(is_fe, e % 40),
+        "conn_tot": F.when(is_fe, e % 90000),
+        "req_tot": F.when(is_fe, e % 80000),
+        "hrsp_2xx": e % 70000,
+        "hrsp_5xx": e % 11,
+    }
+    rendered = render_haproxy_stat(ev, fields)
+    out = parse_haproxy_stats(rendered, "body")
+    return out.where(F.col("hap_pxname").isNotNull()).select(
+        "event_id", "hap_pxname", "hap_svname", "hap_status", "hap_scur",
+        "hap_slim", "hap_stot", "hap_bin", "hap_bout", "hap_econ", "hap_weight",
+        "hap_act", "hap_bck", "hap_lbtot", "hap_conn_rate", "hap_conn_tot",
+        "hap_req_tot", "hap_hrsp_2xx", "hap_hrsp_5xx", "hap_rtime", "hap_ttime",
+    )
+
+
+def q_remote_tap(spark, sf_dir):
+    """remotetapprocessor: deterministic per-second tap budget. The fixture
+    compresses each hour to one limiter 'second' so the 1-row-per-2-min
+    events table actually exercises the cap (5 per bucket)."""
+    from ..operators.filter import remote_tap
+
+    ev = _events(spark, sf_dir).withColumn(
+        "tap_ts",
+        F.timestamp_seconds(
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)).cast("long")
+        ),
+    )
+    out = remote_tap(ev, 5, ts_col="tap_ts", order_cols=("event_id",))
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("tap_ts").cast("timestamp")).alias("tap_sec_us"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "apm_stats_buckets": q_apm_stats,
+    "haproxy_stats_roundtrip": q_haproxy_stats,
+    "remote_tap_limit": q_remote_tap,
     "carbon_render_roundtrip": q_carbon_render_roundtrip,
     "loki_render_roundtrip": q_loki_render_roundtrip,
     "otlpjson_render_roundtrip": q_otlpjson_render_roundtrip,
@@ -3345,6 +3478,104 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    # --- datadogconnector APM stats -------------------------------------------
+
+    from ..operators.apm_stats import sketch_bucket_sql, sketch_rep_sql
+
+    _idx = sketch_bucket_sql("dur")
+    _rep = sketch_rep_sql("idx")
+    o["apm_stats_buckets"] = f"""
+WITH sp AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN event_type IN ('click','view') THEN 'frontend'
+              WHEN event_type = 'error' THEN 'backend'
+              ELSE 'payments' END AS service,
+         event_type AS resource,
+         CASE event_id % 5 WHEN 0 THEN 'server' WHEN 2 THEN 'client'
+              WHEN 3 THEN 'producer' ELSE 'internal' END AS kind,
+         CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status_code,
+         (event_type = 'error') AS is_error,
+         CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'staging' END AS env,
+         (event_id % 9973) * ((event_id % 31) + 1) + 1 AS dur
+  FROM events),
+rootsvc AS (
+  SELECT user_id, service AS root_service FROM sp WHERE rn = 1),
+el AS (
+  SELECT sp.*,
+         (sp.rn = 1 OR sp.service <> r.root_service) AS is_top_level,
+         CAST(floor(epoch_us(ts) / (3600 * CAST(1000000 AS BIGINT))) AS BIGINT) * 3600
+           AS bucket_start
+  FROM sp JOIN rootsvc r USING (user_id)
+  WHERE (sp.rn = 1 OR sp.service <> r.root_service)
+     OR sp.kind IN ('server','consumer','client','producer')),
+cells AS (
+  SELECT bucket_start, env, service, resource, kind, status_code, is_error,
+         {_idx} AS idx,
+         count(*) AS cnt,
+         sum(dur) AS dursum,
+         sum(CASE WHEN is_top_level THEN 1 ELSE 0 END) AS tlcnt
+  FROM el
+  GROUP BY ALL),
+ranked AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY bucket_start, env, service, resource, kind,
+                        status_code, is_error ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY bucket_start, env, service, resource, kind,
+                        status_code, is_error) AS tot
+  FROM cells)
+SELECT bucket_start, env, service, resource, kind, status_code,
+       CAST(sum(cnt) AS BIGINT) AS hits,
+       CAST(sum(CASE WHEN is_error THEN cnt ELSE 0 END) AS BIGINT) AS errors,
+       CAST(sum(tlcnt) AS BIGINT) AS top_level_hits,
+       CAST(sum(dursum) AS BIGINT) AS duration_ns,
+       min(CASE WHEN NOT is_error AND cum * 100 >= tot * 50 THEN {_rep} END) AS ok_p50_ns,
+       min(CASE WHEN NOT is_error AND cum * 100 >= tot * 95 THEN {_rep} END) AS ok_p95_ns,
+       min(CASE WHEN NOT is_error AND cum * 100 >= tot * 99 THEN {_rep} END) AS ok_p99_ns
+FROM ranked
+GROUP BY bucket_start, env, service, resource, kind, status_code"""
+
+    # --- haproxyreceiver show-stat round trip ----------------------------------
+
+    o["haproxy_stats_roundtrip"] = """
+SELECT event_id,
+  'px-' || event_type AS hap_pxname,
+  CASE WHEN user_id % 3 = 0 THEN 'FRONTEND'
+       WHEN user_id % 3 = 1 THEN 'BACKEND'
+       ELSE 'srv' || CAST(user_id % 4 AS VARCHAR) END AS hap_svname,
+  CASE WHEN user_id % 3 = 0 THEN 'OPEN'
+       WHEN event_id % 7 = 0 THEN 'DOWN' ELSE 'UP' END AS hap_status,
+  CAST(event_id % 100 AS BIGINT) AS hap_scur,
+  CASE WHEN user_id % 3 = 0 THEN CAST(524268 AS BIGINT) END AS hap_slim,
+  CAST(event_id % 100000 AS BIGINT) AS hap_stot,
+  CAST((event_id * 3) % 1000000 AS BIGINT) AS hap_bin,
+  CAST((event_id * 7) % 1000000 AS BIGINT) AS hap_bout,
+  CASE WHEN user_id % 3 <> 0 THEN CAST(event_id % 4 AS BIGINT) END AS hap_econ,
+  CASE WHEN user_id % 3 <> 0 THEN CAST(100 AS BIGINT) END AS hap_weight,
+  CASE WHEN user_id % 3 <> 0 THEN CAST(1 AS BIGINT) END AS hap_act,
+  CASE WHEN user_id % 3 <> 0 THEN CAST(0 AS BIGINT) END AS hap_bck,
+  CASE WHEN user_id % 3 <> 0 THEN CAST(event_id % 50000 AS BIGINT) END AS hap_lbtot,
+  CASE WHEN user_id % 3 = 0 THEN CAST(event_id % 40 AS BIGINT) END AS hap_conn_rate,
+  CASE WHEN user_id % 3 = 0 THEN CAST(event_id % 90000 AS BIGINT) END AS hap_conn_tot,
+  CASE WHEN user_id % 3 = 0 THEN CAST(event_id % 80000 AS BIGINT) END AS hap_req_tot,
+  CAST(event_id % 70000 AS BIGINT) AS hap_hrsp_2xx,
+  CAST(event_id % 11 AS BIGINT) AS hap_hrsp_5xx,
+  CASE WHEN user_id % 3 <> 0 THEN CAST(event_id % 750 AS BIGINT) END AS hap_rtime,
+  CASE WHEN user_id % 3 <> 0 THEN CAST(event_id % 2000 AS BIGINT) END AS hap_ttime
+FROM events"""
+
+    # --- remotetapprocessor per-second budget ----------------------------------
+
+    o["remote_tap_limit"] = """
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch_us(ts) / (3600 * CAST(1000000 AS BIGINT))) AS BIGINT) AS hr
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
+SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
+FROM r WHERE rn <= 5"""
 
     # --- exporter render round trips (carbon / loki push / otlp json) ---------
 
