@@ -1614,3 +1614,58 @@ def parse_splunk_hec(df: DataFrame, source: str = "body") -> DataFrame:
         F.when(ok, parsed["event"]).alias("hec_event_body"),
         F.when(ok & parsed["fields"].isNotNull(), fields).alias("hec_fields_csv"),
     )
+
+
+_EMF_AWS_SCHEMA = (
+    "struct<CloudWatchMetrics: array<struct<Namespace: string,"
+    " Dimensions: array<array<string>>,"
+    " Metrics: array<struct<Name: string, Unit: string>>>>,"
+    " Timestamp: bigint>"
+)
+
+
+def parse_emf(df: DataFrame, source: str = "body") -> DataFrame:
+    """CloudWatch Embedded Metric Format V1 (the awsemfexporter output —
+    metric_translator.go:415-434; also what the awscloudwatchlogsexporter's
+    `emf` log path forwards): the `_aws.CloudWatchMetrics` directive names
+    the namespace, the dimension-key sets and the metric names/units, and
+    the VALUES live as sibling top-level JSON fields. One from_json of the
+    directive + one from_json of the envelope as map<string,string> (Spark
+    preserves raw token text for number/object values) + one explode over
+    the declared metrics; dimension values resolve through the same map.
+    Emits one row per (record, metric): emf_namespace, emf_ts_ms,
+    emf_dims_csv (sorted k=v over the first dimension set), emf_metric,
+    emf_unit, emf_value. Records without a directive drop (the exporter
+    only emits EMF when measurements exist)."""
+    body = F.col(source)
+    aws = F.from_json(F.get_json_object(body, "$._aws"), _EMF_AWS_SCHEMA)
+    env = F.from_json(body, "map<string,string>")
+    cw = F.get(aws["CloudWatchMetrics"], 0)
+    step = df.select(
+        *df.columns,
+        cw.alias("_cw"),
+        aws["Timestamp"].alias("emf_ts_ms"),
+        env.alias("_env"),
+    ).where(F.col("_cw").isNotNull())
+    step = step.select(
+        *step.columns,
+        F.explode(F.col("_cw")["Metrics"]).alias("_m"),
+    )
+    dims_csv = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.get(F.col("_cw")["Dimensions"], 0),
+                lambda k: F.concat(k, F.lit("="), F.element_at(F.col("_env"), k)),
+            )
+        ),
+        ",",
+    )
+    return step.select(
+        *[c for c in df.columns if c != source],
+        F.col("_cw")["Namespace"].alias("emf_namespace"),
+        F.col("emf_ts_ms"),
+        dims_csv.alias("emf_dims_csv"),
+        F.col("_m")["Name"].alias("emf_metric"),
+        F.col("_m")["Unit"].alias("emf_unit"),
+        F.element_at(F.col("_env"), F.col("_m")["Name"]).try_cast("double").alias("emf_value"),
+    )

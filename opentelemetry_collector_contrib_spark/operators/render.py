@@ -383,3 +383,109 @@ def render_otlp_json_logs(
         ).alias("resourceLogs")
     )
     return df.withColumn(out, F.to_json(payload))
+
+
+def render_influx_line(
+    df: DataFrame,
+    measurement: Column | str,
+    tags: list[tuple[str, Column]],
+    fields: list[tuple[str, Column]],
+    ts_ns: Column | None = None,
+    out: str = "body",
+) -> DataFrame:
+    """influxdbexporter line-protocol serialization (exporter/
+    influxdbexporter writes the same wire format receiver/influxdbreceiver
+    accepts): `measurement[,tag=v...] field=v[,f2=v2] [ns]`. Tags render in
+    the given order (the parser sorts on read, so round trips are
+    order-insensitive); the ns timestamp rides as a digit string — never
+    through a double. Caller guarantees token-safe tag values (no ',', '=',
+    ' ' — the parse side's unescaped subset). Pure projection."""
+    line = _col(measurement)
+    for k, v in tags:
+        line = F.concat(line, F.lit(f",{k}="), v.cast("string"))
+    field_parts = [
+        F.concat(F.lit(f"{k}=" if i == 0 else f",{k}="), v.cast("string"))
+        for i, (k, v) in enumerate(fields)
+    ]
+    line = F.concat(line, F.lit(" "), *field_parts)
+    if ts_ns is not None:
+        line = F.concat(line, F.lit(" "), ts_ns.cast("long").cast("string"))
+    return df.withColumn(out, line)
+
+
+def render_zipkin_json(
+    df: DataFrame,
+    trace_id: Column,
+    span_id: Column,
+    parent_id: Column | None,
+    name: Column,
+    kind: Column,
+    ts_us: Column,
+    duration_us: Column,
+    service_name: Column,
+    tags: list[tuple[str, Column]] | None = None,
+    out: str = "body",
+) -> DataFrame:
+    """zipkinexporter v2 JSON serialization (the zipkinreceiver wire format
+    zipkin_json_spans parses): a one-span array per record. to_json handles
+    all escaping; µs timestamps stay integral. Pure projection."""
+    tag_map = (
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in tags]),
+            F.array(*[v.cast("string") for _, v in tags]),
+        )
+        if tags
+        else F.lit(None).cast("map<string,string>")
+    )
+    span = F.struct(
+        trace_id.cast("string").alias("traceId"),
+        span_id.cast("string").alias("id"),
+        (parent_id.cast("string") if parent_id is not None else F.lit(None).cast("string")).alias(
+            "parentId"
+        ),
+        name.cast("string").alias("name"),
+        kind.cast("string").alias("kind"),
+        ts_us.cast("long").alias("timestamp"),
+        duration_us.cast("long").alias("duration"),
+        F.struct(service_name.cast("string").alias("serviceName")).alias("localEndpoint"),
+        tag_map.alias("tags"),
+    )
+    return df.withColumn(out, F.to_json(F.array(span)))
+
+
+def render_emf(
+    df: DataFrame,
+    namespace: str,
+    dimensions: list[tuple[str, Column]],
+    metrics: list[tuple[str, str, Column]],
+    ts_ms: Column,
+    out: str = "body",
+) -> DataFrame:
+    """awsemfexporter EMF V1 structured-log serialization
+    (exporter/awsemfexporter/metric_translator.go:415-434: `"Version":"1"`
+    with the `_aws.CloudWatchMetrics` directive + `_aws.Timestamp` ms, the
+    dimension values and metric values as top-level fields). `metrics` is
+    [(name, unit, value_col)]; one dimension set containing every dimension
+    key, matching the exporter's rolled-up default. Pure projection."""
+    directive = F.struct(
+        F.array(
+            F.struct(
+                F.lit(namespace).alias("Namespace"),
+                F.array(F.array(*[F.lit(k) for k, _ in dimensions])).alias("Dimensions"),
+                F.array(
+                    *[
+                        F.struct(F.lit(n).alias("Name"), F.lit(u).alias("Unit"))
+                        for n, u, _ in metrics
+                    ]
+                ).alias("Metrics"),
+            )
+        ).alias("CloudWatchMetrics"),
+        ts_ms.cast("long").alias("Timestamp"),
+    )
+    payload = F.struct(
+        F.lit("1").alias("Version"),
+        directive.alias("_aws"),
+        *[v.cast("string").alias(k) for k, v in dimensions],
+        *[v.cast("double").alias(n) for n, _, v in metrics],
+    )
+    return df.withColumn(out, F.to_json(payload))

@@ -3328,10 +3328,98 @@ def q_remote_tap(spark, sf_dir):
     )
 
 
+def q_influx_render_roundtrip(spark, sf_dir):
+    """influxdbexporter line-protocol render -> influxdbreceiver parse:
+    tags render unsorted and come back sorted, integer fields, exact ns
+    timestamp via digit-string truncation."""
+    from ..operators.parse import parse_influx_line
+    from ..operators.render import render_influx_line
+
+    ev = _events(spark, sf_dir)
+    rendered = render_influx_line(
+        ev,
+        measurement=F.concat(F.lit("app_"), F.col("event_type")),
+        tags=[
+            ("host", F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"))),
+            ("dc", F.concat(F.lit("dc"), (F.col("user_id") % 3).cast("string"))),
+        ],
+        fields=[
+            ("v1", F.col("event_id") % 1000),
+            ("v2", F.col("user_id") % 7),
+        ],
+        ts_ns=F.unix_micros(F.col("ts").cast("timestamp")) * 1000,
+    )
+    out = parse_influx_line(rendered, "body")
+    return out.select(
+        "event_id",
+        "il_measurement",
+        "il_tags_csv",
+        "il_fields_csv",
+        F.unix_micros(F.col("il_ts").cast("timestamp")).alias("il_ts_us"),
+    )
+
+
+def q_zipkin_render_roundtrip(spark, sf_dir):
+    """zipkinexporter v2 JSON render -> zipkinreceiver parse: span-array
+    envelope, µs integrity, tag map back as sorted CSV."""
+    from ..operators.parse import zipkin_json_spans
+    from ..operators.render import render_zipkin_json
+
+    ev = _events(spark, sf_dir)
+    rendered = render_zipkin_json(
+        ev,
+        trace_id=F.lpad(F.conv(F.col("user_id").cast("string"), 10, 16), 32, "0"),
+        span_id=F.lpad(F.conv(F.col("event_id").cast("string"), 10, 16), 16, "0"),
+        parent_id=F.when(F.col("event_id") % 3 == 0, F.lit("00000000deadbeef")),
+        name=F.col("event_type"),
+        kind=F.when(F.col("event_id") % 2 == 0, F.lit("SERVER")).otherwise(F.lit("CLIENT")),
+        ts_us=F.unix_micros(F.col("ts").cast("timestamp")),
+        duration_us=F.col("event_id") % 1000000 + 1,
+        service_name=F.concat(F.lit("svc-"), (F.col("user_id") % 4).cast("string")),
+        tags=[("peer", F.concat(F.lit("p"), (F.col("user_id") % 7).cast("string")))],
+    )
+    out = zipkin_json_spans(rendered.select("event_id", "body"), "body")
+    return out.select(
+        "event_id", "trace_id", "span_id", "parent_span_id", "span_name",
+        "span_kind", "ts_us", "duration_us", "service_name", "tags_csv",
+    )
+
+
+def q_emf_render_roundtrip(spark, sf_dir):
+    """awsemfexporter EMF V1 render -> parse: the _aws directive declares
+    namespace/dimensions/metrics, values resolve from sibling top-level
+    fields, one output row per declared metric."""
+    from ..operators.parse import parse_emf
+    from ..operators.render import render_emf
+
+    ev = _events(spark, sf_dir)
+    rendered = render_emf(
+        ev,
+        namespace="App/Events",
+        dimensions=[
+            ("EventType", F.col("event_type")),
+            ("Env", F.when(F.col("user_id") % 2 == 0, F.lit("prod")).otherwise(F.lit("staging"))),
+        ],
+        metrics=[
+            ("Latency", "Milliseconds", F.col("value")),
+            ("Count", "Count", (F.col("event_id") % 50).cast("double")),
+        ],
+        ts_ms=F.unix_millis(F.col("ts").cast("timestamp")),
+    )
+    out = parse_emf(rendered.select("event_id", "body"), "body")
+    return out.select(
+        "event_id", "emf_namespace", "emf_ts_ms", "emf_dims_csv",
+        "emf_metric", "emf_unit", "emf_value",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
     "haproxy_stats_roundtrip": q_haproxy_stats,
     "remote_tap_limit": q_remote_tap,
+    "influx_render_roundtrip": q_influx_render_roundtrip,
+    "zipkin_render_roundtrip": q_zipkin_render_roundtrip,
+    "emf_render_roundtrip": q_emf_render_roundtrip,
     "carbon_render_roundtrip": q_carbon_render_roundtrip,
     "loki_render_roundtrip": q_loki_render_roundtrip,
     "otlpjson_render_roundtrip": q_otlpjson_render_roundtrip,
@@ -3576,6 +3664,42 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    # --- influx line-protocol / zipkin v2 / EMF render round trips -------------
+
+    o["influx_render_roundtrip"] = """
+SELECT event_id,
+       'app_' || event_type AS il_measurement,
+       'dc=dc' || CAST(user_id % 3 AS VARCHAR) || ',host=h' || CAST(user_id % 5 AS VARCHAR)
+         AS il_tags_csv,
+       'v1=' || CAST(event_id % 1000 AS VARCHAR) || ',v2=' || CAST(user_id % 7 AS VARCHAR)
+         AS il_fields_csv,
+       epoch_us(ts) AS il_ts_us
+FROM events"""
+
+    o["zipkin_render_roundtrip"] = """
+SELECT event_id,
+       printf('%032X', user_id) AS trace_id,
+       printf('%016X', event_id) AS span_id,
+       CASE WHEN event_id % 3 = 0 THEN '00000000deadbeef' END AS parent_span_id,
+       event_type AS span_name,
+       CASE WHEN event_id % 2 = 0 THEN 'SERVER' ELSE 'CLIENT' END AS span_kind,
+       epoch_us(ts) AS ts_us,
+       event_id % 1000000 + 1 AS duration_us,
+       'svc-' || CAST(user_id % 4 AS VARCHAR) AS service_name,
+       'peer=p' || CAST(user_id % 7 AS VARCHAR) AS tags_csv
+FROM events"""
+
+    o["emf_render_roundtrip"] = """
+SELECT event_id,
+       'App/Events' AS emf_namespace,
+       epoch_ms(ts) AS emf_ts_ms,
+       'Env=' || CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'staging' END
+         || ',EventType=' || event_type AS emf_dims_csv,
+       CASE WHEN s.i = 0 THEN 'Latency' ELSE 'Count' END AS emf_metric,
+       CASE WHEN s.i = 0 THEN 'Milliseconds' ELSE 'Count' END AS emf_unit,
+       CASE WHEN s.i = 0 THEN value ELSE CAST(event_id % 50 AS DOUBLE) END AS emf_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s"""
 
     # --- exporter render round trips (carbon / loki push / otlp json) ---------
 

@@ -159,3 +159,60 @@ def test_splunk_hec_time_and_optional_index(spark):
     # the rendered time field is a fixed 3-decimal literal, not a float repr
     raw = [r["hec_event"] for r in rows if '"event":"plain"' in r["hec_event"]][0]
     assert raw.startswith('{"time":1577934245.000,')
+
+
+def test_influx_render_no_ts_and_parse(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_influx_line
+    from opentelemetry_collector_contrib_spark.operators.render import render_influx_line
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rendered = render_influx_line(
+        df, F.lit("m1"), tags=[("b", F.lit("x")), ("a", F.lit("y"))],
+        fields=[("f", F.lit(42))],
+    )
+    row = rendered.collect()[0]
+    assert row["body"] == "m1,b=x,a=y f=42"  # tags render in caller order
+    out = parse_influx_line(rendered, "body").collect()[0]
+    assert out["il_measurement"] == "m1"
+    assert out["il_tags_csv"] == "a=y,b=x"  # parser sorts
+    assert out["il_ts"] is None  # no timestamp slot
+
+
+def test_zipkin_render_escapes(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import zipkin_json_spans
+    from opentelemetry_collector_contrib_spark.operators.render import render_zipkin_json
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rendered = render_zipkin_json(
+        df,
+        trace_id=F.lit("a" * 32), span_id=F.lit("b" * 16), parent_id=None,
+        name=F.lit('GET "/x"\nnext'), kind=F.lit("SERVER"),
+        ts_us=F.lit(1577934245678901), duration_us=F.lit(12),
+        service_name=F.lit("svc"), tags=[("k", F.lit("v,=1"))],
+    )
+    out = zipkin_json_spans(rendered, "body").collect()[0]
+    assert out["span_name"] == 'GET "/x"\nnext'  # JSON escape survives
+    assert out["parent_span_id"] is None
+    assert out["ts_us"] == 1577934245678901
+    assert out["tags_csv"] == "k=v,=1"
+
+
+def test_emf_parse_drops_directiveless_and_resolves_dims(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_emf
+    from opentelemetry_collector_contrib_spark.operators.render import render_emf
+
+    df = spark.createDataFrame([(7,)], "id long")
+    rendered = render_emf(
+        df, namespace="NS",
+        dimensions=[("Service", F.lit("api"))],
+        metrics=[("Lat", "Milliseconds", F.lit(1.5)), ("N", "Count", F.lit(3.0))],
+        ts_ms=F.lit(1668387032641),
+    )
+    rows = parse_emf(rendered, "body").orderBy("emf_metric").collect()
+    assert [r["emf_metric"] for r in rows] == ["Lat", "N"]
+    assert rows[0]["emf_value"] == 1.5 and rows[1]["emf_value"] == 3.0
+    assert rows[0]["emf_dims_csv"] == "Service=api"
+    assert rows[0]["emf_ts_ms"] == 1668387032641
+    # a plain structured log without the _aws directive emits nothing
+    plain = spark.createDataFrame([('{"Version":"1","x":2}',)], "body string")
+    assert parse_emf(plain, "body").count() == 0
