@@ -1032,3 +1032,137 @@ def synthesize_remote_write(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", gen("event_id", "event_type", "value"))
+
+
+# --- SignalFx v2 datapoint protobuf -------------------------------------------
+
+_SFX_TYPES = {0: "GAUGE", 1: "COUNTER", 2: "ENUM", 3: "CUMULATIVE_COUNTER"}
+
+_SFX_FIELDS = [
+    T.StructField("sfx_metric", T.StringType()),
+    T.StructField("sfx_type", T.StringType()),
+    T.StructField("sfx_source", T.StringType()),
+    T.StructField("sfx_ts_ms", T.LongType()),
+    T.StructField("sfx_value", T.DoubleType()),
+    T.StructField("sfx_is_int", T.BooleanType()),
+    T.StructField("sfx_dims_csv", T.StringType()),
+]
+
+
+def decode_signalfx(payload: bytes) -> list[dict]:
+    """sfxpb DataPointUploadMessage (the body receiver/signalfxreceiver/
+    receiver.go:249 unmarshals on POST /v2/datapoint; message layout from
+    the public github.com/signalfx/com_signalfx_metrics_protobuf model:
+    datapoints=1; DataPoint source=1 metric=2 timestamp=3(ms) value=4
+    metricType=5 dimensions=6; Datum strValue=1 doubleValue=2 intValue=3;
+    Dimension key=1 value=2). One output row per datapoint, dimensions as
+    the canonical sorted k=v CSV."""
+    rows = []
+    for f1, _, dp_msg in _fields(payload):
+        if f1 != 1:
+            continue
+        source = metric = None
+        ts_ms = 0
+        mtype = 0
+        val = None
+        is_int = False
+        dims: list[tuple[str, str]] = []
+        for f2, _, v2 in _fields(_b(dp_msg)):
+            if f2 == 1:
+                source = _b(v2).decode("utf-8", errors="replace")
+            elif f2 == 2:
+                metric = _b(v2).decode("utf-8", errors="replace")
+            elif f2 == 3:
+                ts_ms = _i64_signed(int(v2))
+            elif f2 == 4:
+                for f3, _, v3 in _fields(_b(v2)):
+                    if f3 == 2:
+                        val, is_int = struct.unpack("<d", _b(v3))[0], False
+                    elif f3 == 3:
+                        val, is_int = float(_i64_signed(int(v3))), True
+            elif f2 == 5:
+                mtype = int(v2)
+            elif f2 == 6:
+                k = v = ""
+                for f3, _, v3 in _fields(_b(v2)):
+                    if f3 == 1:
+                        k = _b(v3).decode("utf-8", errors="replace")
+                    elif f3 == 2:
+                        v = _b(v3).decode("utf-8", errors="replace")
+                dims.append((k, v))
+        rows.append(
+            {
+                "sfx_metric": metric,
+                "sfx_type": _SFX_TYPES.get(mtype, str(mtype)),
+                "sfx_source": source,
+                "sfx_ts_ms": ts_ms,
+                "sfx_value": val,
+                "sfx_is_int": is_int,
+                "sfx_dims_csv": ",".join(f"{k}={v}" for k, v in sorted(dims)) or None,
+            }
+        )
+    return rows
+
+
+def _i64_signed(v: int) -> int:
+    """Plain (non-zigzag) int64 varint: wrap the two's-complement range."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def parse_signalfx(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per SignalFx datapoint in each DataPointUploadMessage."""
+    return _pb_map(df, source, _SFX_FIELDS, decode_signalfx)
+
+
+def enc_sfx_datapoint(
+    metric: str,
+    value,
+    ts_ms: int,
+    metric_type: int = 0,
+    dims: dict | None = None,
+    source: str | None = None,
+) -> bytes:
+    dp = b""
+    if source is not None:
+        dp += _ld(1, source.encode("utf-8"))
+    dp += _ld(2, metric.encode("utf-8"))
+    dp += _tag(3, 0) + _enc_varint(ts_ms & ((1 << 64) - 1))
+    if isinstance(value, int):
+        datum = _tag(3, 0) + _enc_varint(value & ((1 << 64) - 1))
+    else:
+        datum = _tag(2, 1) + struct.pack("<d", float(value))
+    dp += _ld(4, datum)
+    if metric_type:
+        dp += _tag(5, 0) + _enc_varint(metric_type)
+    for k, v in (dims or {}).items():
+        dp += _ld(6, _ld(1, k.encode("utf-8")) + _ld(2, str(v).encode("utf-8")))
+    return dp
+
+
+def enc_sfx_upload(datapoints: list[bytes]) -> bytes:
+    return b"".join(_ld(1, dp) for dp in datapoints)
+
+
+def synthesize_signalfx(df: DataFrame) -> DataFrame:
+    """Deterministic DataPointUploadMessages from (event_id, event_type,
+    user_id, value): one double gauge + one int cumulative counter per
+    event, shared dimension set."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, types: pd.Series, users: pd.Series, values: pd.Series) -> pd.Series:
+        out = []
+        for i, t, u, v in zip(ids, types, users, values):
+            i, u = int(i), int(u)
+            ms = (1_700_000_000 + i % 86400) * 1000
+            dims = {"host": f"h{u % 5}", "dc": f"dc{u % 3}"}
+            out.append(
+                enc_sfx_upload(
+                    [
+                        enc_sfx_datapoint(f"{t}.gauge", float(v), ms, 0, dims, source=f"s{u % 4}"),
+                        enc_sfx_datapoint(f"{t}.calls", i % 1000, ms, 3, dims),
+                    ]
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "event_type", "user_id", "value"))

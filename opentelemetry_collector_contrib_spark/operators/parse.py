@@ -1669,3 +1669,65 @@ def parse_emf(df: DataFrame, source: str = "body") -> DataFrame:
         F.col("_m")["Unit"].alias("emf_unit"),
         F.element_at(F.col("_env"), F.col("_m")["Name"]).try_cast("double").alias("emf_value"),
     )
+
+
+def parse_wavefront(df: DataFrame, source: str = "body") -> DataFrame:
+    """Wavefront plaintext metric line (receiver/wavefrontreceiver/
+    wavefront_parser.go:56-117): `<name> <value> [<ts>] source=<src>
+    [pointTags]`. The name is optionally double-quoted (unDoubleQuote,
+    :204-214); the value dispatches ParseInt-first (int datapoint slot)
+    then ParseFloat; the timestamp is optional — when the third token is
+    not an integer it must contain '=' (tags start there) or the line is
+    malformed (:75-87). Tags are space-separated k=v where the value may
+    be double-quoted with only `\\"` and `\\n` escaped (the wavefront SDK
+    replacer set, :183-188); one malformed tag poisons the whole line
+    (buildLabels errors, on_error=send -> NULLs). Emits wf_name, wf_value
+    double, wf_is_int, wf_ts_s bigint (NULL when omitted — the reference
+    stamps the non-deterministic time.Now()), wf_tags_csv sorted over the
+    unescaped pairs. Pure projection, compile-once regexes."""
+    line = F.col(source)
+    go_num = r"(?:[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)"
+    qstr = r'"(?:[^"\\]|\\.)*"'
+    shape = rf"^({qstr}|\S+) ({go_num}) (.+)$"
+    ok_shape = line.rlike(shape)
+    name_raw, value, rest = _guarded_groups(line, shape, 3)
+    tok = F.substring_index(rest, " ", 1)
+    has_ts = tok.rlike(r"^[-+]?\d+$")
+    ts_s = F.when(has_ts, tok.try_cast("bigint"))
+    tags = F.when(
+        has_ts & (F.length(rest) > F.length(tok)),
+        rest.substr(F.length(tok) + 2, F.length(rest)),
+    ).when(~has_ts & tok.contains("="), rest)
+    pair_re = r'([^= ]+)=("(?:[^"\\]|\\.)*"|[^ ]*)'
+    pairs = F.regexp_extract_all(tags, F.lit(pair_re), 0)
+    residue_ok = F.trim(F.regexp_replace(tags, pair_re, "")) == ""
+    tags_ok = tags.isNull() | (residue_ok & (F.size(pairs) > 0))
+    # a rest that is neither a timestamp nor tag-bearing is malformed (:80-84)
+    ok = ok_shape & (has_ts | tok.contains("=")) & tags_ok
+
+    def unesc(p: Column) -> Column:
+        k = F.substring_index(p, "=", 1)
+        v = p.substr(F.length(k) + 2, F.length(p))
+        quoted = v.rlike(r'^".*"$') & (F.length(v) > 1)
+        inner = F.substring(v, 2, F.length(v) - 2)
+        unescaped = F.replace(
+            F.replace(inner, F.lit('\\"'), F.lit('"')), F.lit("\\n"), F.lit("\n")
+        )
+        return F.concat(k, F.lit("="), F.when(quoted, unescaped).otherwise(v))
+
+    tags_csv = F.when(
+        tags.isNotNull(), F.array_join(F.array_sort(F.transform(pairs, unesc)), ",")
+    )
+    name = F.when(
+        name_raw.rlike(r'^".*"$') & (F.length(name_raw) > 1),
+        F.substring(name_raw, 2, F.length(name_raw) - 2),
+    ).otherwise(name_raw)
+    ok = ok & (F.length(name) > 0)
+    return df.select(
+        *df.columns,
+        F.when(ok, name).alias("wf_name"),
+        F.when(ok, value.try_cast("double")).alias("wf_value"),
+        F.when(ok, value.rlike(r"^[-+]?\d+$")).alias("wf_is_int"),
+        F.when(ok, ts_s).alias("wf_ts_s"),
+        F.when(ok, tags_csv).alias("wf_tags_csv"),
+    )

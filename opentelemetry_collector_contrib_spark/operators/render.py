@@ -489,3 +489,29 @@ def render_emf(
         *[v.cast("double").alias(n) for n, _, v in metrics],
     )
     return df.withColumn(out, F.to_json(payload))
+
+
+def render_wavefront(
+    df: DataFrame,
+    name: Column | str,
+    value: Column,
+    ts_s: Column | None = None,
+    tags: list[tuple[str, Column]] | None = None,
+    out: str = "body",
+) -> DataFrame:
+    """Wavefront plaintext metric line serialization — the wire format
+    receiver/wavefrontreceiver/wavefront_parser.go:56 accepts:
+    `<name> <value> [<ts>] source=<src> [pointTags]`. The value column
+    renders via cast-to-string (Java shortest-round-trip doubles, digit
+    strings for longs — both inside the parser's go_num). Tags render in
+    caller order with unquoted values (the parser's token-safe subset:
+    no ' ', '"', leading-quote); ts is integer seconds. Pure projection."""
+    line = _col(name)
+    line = F.concat(line, F.lit(" "), value.cast("string"))
+    if ts_s is not None:
+        # NULL ts -> the optional slot is omitted for that row, not a NULL line
+        with_ts = F.concat(line, F.lit(" "), ts_s.cast("long").cast("string"))
+        line = F.when(ts_s.isNotNull(), with_ts).otherwise(line)
+    for k, v in tags or []:
+        line = F.concat(line, F.lit(f" {k}="), v.cast("string"))
+    return df.withColumn(out, line)

@@ -2633,6 +2633,20 @@ def q_remote_write(spark, sf_dir):
     return out.select("event_id", "rw_name", "rw_labels_csv", "rw_ts_ms", "rw_value")
 
 
+def q_signalfx_pb(spark, sf_dir):
+    """SignalFx v2 datapoint protobuf (the sfxpb DataPointUploadMessage the
+    signalfxreceiver unmarshals on /v2/datapoint): one row per datapoint,
+    int-vs-double Datum dispatch, metricType enum names, sorted dims."""
+    from ..operators.otlp_pb import parse_signalfx, synthesize_signalfx
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
+    out = parse_signalfx(synthesize_signalfx(ev), "payload")
+    return out.select(
+        "event_id", "sfx_metric", "sfx_type", "sfx_source", "sfx_ts_ms",
+        "sfx_value", "sfx_is_int", "sfx_dims_csv",
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformprocessor metric-context editors (operators/metric_editors.py)
 # ---------------------------------------------------------------------------
@@ -3413,8 +3427,38 @@ def q_emf_render_roundtrip(spark, sf_dir):
     )
 
 
+def q_wavefront_render_roundtrip(spark, sf_dir):
+    """Wavefront plaintext render -> wavefrontreceiver parse: optional
+    timestamp slot (omitted rows come back NULL), ParseInt-first value
+    dispatch, tags rendered unsorted and parsed back sorted."""
+    from ..operators.parse import parse_wavefront
+    from ..operators.render import render_wavefront
+
+    ev = _events(spark, sf_dir)
+    rendered = render_wavefront(
+        ev,
+        name=F.concat(F.lit("app."), F.col("event_type")),
+        value=F.when(
+            F.col("event_id") % 4 == 0, (F.col("event_id") % 100).cast("long").cast("string")
+        ).otherwise(F.col("value").cast("string")),
+        ts_s=F.when(
+            F.col("event_id") % 5 != 0,
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000000).cast("long"),
+        ),
+        tags=[
+            ("source", F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"))),
+            ("env", F.concat(F.lit("e"), (F.col("user_id") % 3).cast("string"))),
+        ],
+    )
+    out = parse_wavefront(rendered, "body")
+    return out.select(
+        "event_id", "wf_name", "wf_value", "wf_is_int", "wf_ts_s", "wf_tags_csv"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "wavefront_render_roundtrip": q_wavefront_render_roundtrip,
     "haproxy_stats_roundtrip": q_haproxy_stats,
     "remote_tap_limit": q_remote_tap,
     "influx_render_roundtrip": q_influx_render_roundtrip,
@@ -3436,6 +3480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_exp_to_explicit": q_metric_exp_to_explicit,
     "metrics_agg_attr_value": q_metric_agg_attr_value,
     "prom_remote_write_parse": q_remote_write,
+    "signalfx_pb_parse": q_signalfx_pb,
     "splunk_hec_roundtrip": q_hec_roundtrip,
     "gcp_log_entry_parse": q_gcp_log_entry,
     "waf_log_parse": q_waf_log,
@@ -3664,6 +3709,17 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    o["wavefront_render_roundtrip"] = """
+SELECT event_id,
+       'app.' || event_type AS wf_name,
+       CASE WHEN event_id % 4 = 0 THEN CAST(event_id % 100 AS DOUBLE) ELSE value END
+         AS wf_value,
+       event_id % 4 = 0 AS wf_is_int,
+       CASE WHEN event_id % 5 <> 0 THEN epoch_us(ts) // 1000000 END AS wf_ts_s,
+       'env=e' || CAST(user_id % 3 AS VARCHAR) || ',source=h' || CAST(user_id % 5 AS VARCHAR)
+         AS wf_tags_csv
+FROM events"""
 
     # --- influx line-protocol / zipkin v2 / EMF render round trips -------------
 
@@ -4630,6 +4686,20 @@ SELECT event_id,
     || ',job=j' || CAST(event_id % 3 AS VARCHAR) AS rw_labels_csv,
   ms + i * 15000 AS rw_ts_ms,
   CASE WHEN i = 0 THEN value ELSE value + 1.0 END AS rw_value
+FROM x"""
+
+    o["signalfx_pb_parse"] = """
+WITH x AS (SELECT e.*, s.i, (1700000000 + event_id % 86400) * 1000 AS ms
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+SELECT event_id,
+  event_type || CASE WHEN i = 0 THEN '.gauge' ELSE '.calls' END AS sfx_metric,
+  CASE WHEN i = 0 THEN 'GAUGE' ELSE 'CUMULATIVE_COUNTER' END AS sfx_type,
+  CASE WHEN i = 0 THEN 's' || CAST(user_id % 4 AS VARCHAR) END AS sfx_source,
+  ms AS sfx_ts_ms,
+  CASE WHEN i = 0 THEN value ELSE CAST(event_id % 1000 AS DOUBLE) END AS sfx_value,
+  i = 1 AS sfx_is_int,
+  'dc=dc' || CAST(user_id % 3 AS VARCHAR) || ',host=h' || CAST(user_id % 5 AS VARCHAR)
+    AS sfx_dims_csv
 FROM x"""
 
     o["splunk_hec_roundtrip"] = """

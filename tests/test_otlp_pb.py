@@ -283,6 +283,7 @@ def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
         m.decode_histograms_data,
         m.decode_exp_histograms_data,
         m.decode_remote_write,
+        m.decode_signalfx,
     ):
         try:
             out = dec(raw)
@@ -300,3 +301,26 @@ def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
     except (ValueError, IndexError, KeyError, TypeError, AttributeError,
             MemoryError, OverflowError, _struct.error, UnicodeDecodeError):
         pass
+
+
+def test_signalfx_datapoint_roundtrip_and_negatives():
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        decode_signalfx,
+        enc_sfx_datapoint,
+        enc_sfx_upload,
+    )
+
+    payload = enc_sfx_upload(
+        [
+            enc_sfx_datapoint("lat", 1.25, 1700000000000, 0, {"b": "2", "a": "1"}, source="web"),
+            enc_sfx_datapoint("hits", -7, -1000, 3),
+        ]
+    )
+    rows = decode_signalfx(payload)
+    assert [r["sfx_metric"] for r in rows] == ["lat", "hits"]
+    g, c = rows
+    assert g["sfx_value"] == 1.25 and not g["sfx_is_int"] and g["sfx_source"] == "web"
+    assert g["sfx_dims_csv"] == "a=1,b=2" and g["sfx_type"] == "GAUGE"
+    # negative int64 varints (two's complement, NOT zigzag) round-trip
+    assert c["sfx_value"] == -7.0 and c["sfx_is_int"] and c["sfx_ts_ms"] == -1000
+    assert c["sfx_type"] == "CUMULATIVE_COUNTER" and c["sfx_dims_csv"] is None

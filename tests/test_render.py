@@ -216,3 +216,47 @@ def test_emf_parse_drops_directiveless_and_resolves_dims(spark):
     # a plain structured log without the _aws directive emits nothing
     plain = spark.createDataFrame([('{"Version":"1","x":2}',)], "body string")
     assert parse_emf(plain, "body").count() == 0
+
+
+def test_wavefront_parse_edges(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_wavefront
+
+    rows = [
+        ('"cpu load" 1.5 source=h1 env="us west"',),      # quoted name + quoted tag value
+        ("mem 42 1577836800 source=h2",),                  # int value + ts, single tag
+        ('disk 1 source=h3 note="a\\"b"',),                # escaped quote in tag value
+        ("net 1 1577836800",),                             # ts, no tags (legal)
+        ("bad 1 noequalsign",),                            # 3rd token neither ts nor tag
+        ("short 1",),                                      # only two parts
+        ("poison 1 source=h4 brokentag",),                 # one malformed tag poisons all
+        ('nl 2 k="line1\\nline2"',),                       # \n escape decodes to newline
+    ]
+    df = spark.createDataFrame(rows, "body string")
+    out = {r["body"]: r for r in parse_wavefront(df).collect()}
+    r = out['"cpu load" 1.5 source=h1 env="us west"']
+    assert r["wf_name"] == "cpu load" and r["wf_value"] == 1.5 and not r["wf_is_int"]
+    assert r["wf_ts_s"] is None and r["wf_tags_csv"] == "env=us west,source=h1"
+    r = out["mem 42 1577836800 source=h2"]
+    assert r["wf_is_int"] and r["wf_ts_s"] == 1577836800 and r["wf_tags_csv"] == "source=h2"
+    assert out['disk 1 source=h3 note="a\\"b"']["wf_tags_csv"] == 'note=a"b,source=h3'
+    r = out["net 1 1577836800"]
+    assert r["wf_name"] == "net" and r["wf_tags_csv"] is None
+    for bad in ("bad 1 noequalsign", "short 1", "poison 1 source=h4 brokentag"):
+        assert out[bad]["wf_name"] is None, bad
+    assert out['nl 2 k="line1\\nline2"']["wf_tags_csv"] == "k=line1\nline2"
+
+
+def test_wavefront_render_roundtrip_mixed_ts(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_wavefront
+    from opentelemetry_collector_contrib_spark.operators.render import render_wavefront
+
+    df = spark.createDataFrame([(1, 10), (2, None)], "id long, t int")
+    rendered = render_wavefront(
+        df, F.lit("m"), value=F.lit(7), ts_s=F.col("t"),
+        tags=[("source", F.lit("s"))],
+    )
+    got = {r["id"]: r["body"] for r in rendered.collect()}
+    assert got[1] == "m 7 10 source=s" and got[2] == "m 7 source=s"
+    parsed = {r["id"]: r for r in parse_wavefront(rendered).collect()}
+    assert parsed[1]["wf_ts_s"] == 10 and parsed[2]["wf_ts_s"] is None
+    assert parsed[2]["wf_tags_csv"] == "source=s"
