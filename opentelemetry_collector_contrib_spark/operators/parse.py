@@ -1731,3 +1731,177 @@ def parse_wavefront(df: DataFrame, source: str = "body") -> DataFrame:
         F.when(ok, ts_s).alias("wf_ts_s"),
         F.when(ok, tags_csv).alias("wf_tags_csv"),
     )
+
+
+_LIBHONEY_SCHEMA = "array<struct<time: string, samplerate: int, data: map<string,string>>>"
+
+
+def _libhoney_event_time_us(s: Column) -> Column:
+    """receiver/libhoneyreceiver/internal/eventtime/eventtime.go:16-50:
+    RFC3339(Nano) first, then all-digit epochs by length (10 digits =
+    seconds, 13 = milliseconds, 16 = microseconds), then float seconds.
+    The reference routes >10-digit epochs and float strings through a
+    float64 — this columnar form uses the exact integer path for the
+    digit-length cases (the reference's float can sit 1ns under the
+    integer; at microsecond resolution the exact value is the right
+    answer) and floor(float * 1e6) for fractional-second strings."""
+    digits = s.rlike(r"^\d+$")
+    return (
+        F.when(s.rlike(r"^\d{10}$"), s.try_cast("bigint") * 1_000_000)
+        .when(s.rlike(r"^\d{13}$"), s.try_cast("bigint") * 1_000)
+        .when(s.rlike(r"^\d{16}$"), s.try_cast("bigint"))
+        .when(
+            digits & (F.length(s) > 10),
+            F.floor(
+                F.concat(F.substring(s, 1, 10), F.lit("."), F.substring(s, 11, 99)).try_cast(
+                    "double"
+                )
+                * 1_000_000
+            ).cast("bigint"),
+        )
+        .when(~digits & s.rlike(r"^\d+\.\d+$"), F.floor(s.try_cast("double") * 1_000_000).cast("bigint"))
+        .otherwise(F.unix_micros(F.try_to_timestamp(s)))
+    )
+
+
+def parse_libhoney(df: DataFrame, source: str = "body", dataset: str = "unknown") -> DataFrame:
+    """Libhoney batch-events JSON (receiver/libhoneyreceiver — the POST
+    /1/batch/{dataset} body): an array of `{"time": ..., "samplerate": n,
+    "data": {...}}` events (internal/libhoneyevent/libhoneyevent.go:59-90;
+    samplerate defaults 1). One output row per event: lh_ts_us via the
+    eventtime ladder, lh_samplerate, lh_signal (`meta.signal_type` field),
+    lh_service (`service.name` else the dataset — GetService,
+    libhoneyevent.go:173), trace fields from the default FieldMapConfig
+    names (trace.trace_id / trace.span_id / trace.parent_id / name /
+    duration_ms), and lh_data_csv, the sorted k=v view of the remaining
+    data keys. Two from_json + explode — pure projection."""
+    ev = F.explode(F.from_json(F.col(source), _LIBHONEY_SCHEMA)).alias("_lh")
+    step = df.select(*df.columns, ev)
+    d = F.col("_lh")["data"]
+    used = ["meta.signal_type", "service.name", "trace.trace_id", "trace.span_id",
+            "trace.parent_id", "name", "duration_ms"]
+    rest = F.map_filter(d, lambda k, _v: ~k.isin(*[F.lit(u) for u in used]))
+    data_csv = F.array_join(
+        F.array_sort(
+            F.transform(F.map_entries(rest), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ",",
+    )
+    return step.select(
+        *df.columns,
+        _libhoney_event_time_us(F.col("_lh")["time"]).alias("lh_ts_us"),
+        F.coalesce(F.col("_lh")["samplerate"], F.lit(1)).alias("lh_samplerate"),
+        F.element_at(d, "meta.signal_type").alias("lh_signal"),
+        F.coalesce(F.element_at(d, "service.name"), F.lit(dataset)).alias("lh_service"),
+        F.element_at(d, "trace.trace_id").alias("lh_trace_id"),
+        F.element_at(d, "trace.span_id").alias("lh_span_id"),
+        F.element_at(d, "trace.parent_id").alias("lh_parent_id"),
+        F.element_at(d, "name").alias("lh_name"),
+        F.element_at(d, "duration_ms").try_cast("double").alias("lh_duration_ms"),
+        F.when(data_csv != "", data_csv).alias("lh_data_csv"),
+    )
+
+
+_XRAY_SUB_SCHEMA = (
+    "struct<id: string, name: string, start_time: double, end_time: double,"
+    " namespace: string, http: struct<response: struct<status: bigint>>,"
+    " error: boolean, fault: boolean, throttle: boolean,"
+    " annotations: map<string,string>>"
+)
+_XRAY_SCHEMA = _XRAY_SUB_SCHEMA.replace(
+    " annotations: map<string,string>>",
+    " annotations: map<string,string>, trace_id: string, parent_id: string,"
+    f" origin: string, subsegments: array<{_XRAY_SUB_SCHEMA}>>",
+)
+
+
+def _xray_otel_trace_id(tid: Column) -> Column:
+    """decodeXRayTraceID (receiver/awsxrayreceiver/internal/translator/
+    translator.go:218-235): '1-5f84c7a1-e7d1852db8c4fd35d88bf49a' ->
+    epoch-hex[2:10] ++ random-hex[11:]; <35 chars or non-hex -> error
+    (NULL here)."""
+    decoded = F.concat(F.substring(tid, 3, 8), F.substring(tid, 12, 999))
+    return F.when(
+        tid.rlike(r"^\d-[0-9a-fA-F]{8}-[0-9a-fA-F]{24}$"), decoded
+    )
+
+
+def parse_xray_segment(df: DataFrame, source: str = "body") -> DataFrame:
+    """AWS X-Ray segment document (internal/aws/xray/tracesegment.go:27-60
+    — the JSON the awsxrayreceiver's UDP poller hands the translator, and
+    what the awsxrayexporter emits): root segment plus one level of
+    subsegments, one output row each. xr_trace_id is the decoded 32-hex
+    OTel id (decodeXRayTraceID semantics — subsegments inherit the root's);
+    xr_parent_id defaults a subsegment to its containing segment's id;
+    start/end float-seconds floor to micros; error/fault/throttle coalesce
+    false (absent flag == not set in the status mapping); annotations as
+    the sorted k=v CSV; xr_http_status from http.response.status. Two
+    from_json + one explode_outer — pure projection."""
+    seg = F.from_json(F.col(source), _XRAY_SCHEMA)
+    # from_json yields an all-NULL struct for non-object JSON; `id` is a
+    # required segment field (tracesegment.go Validate), so gate on it
+    step = df.select(*df.columns, seg.alias("_xr")).where(F.col("_xr")["id"].isNotNull())
+    root = F.col("_xr")
+    sub = F.col("_sub")
+    step = step.select(
+        *step.columns,
+        F.posexplode_outer(root["subsegments"]).alias("_pos", "_sub"),
+    )
+    # one row for the root (position 0 of the exploded copies, or the
+    # NULL-position row when there are no subsegments), plus one per sub
+    is_first = F.coalesce(F.col("_pos") == 0, F.lit(True))
+    # project the root down to the common subsegment shape so the union's
+    # _seg column has ONE struct type
+    common = F.struct(
+        *[
+            root[f].alias(f)
+            for f in (
+                "id", "name", "start_time", "end_time", "namespace", "http",
+                "error", "fault", "throttle", "annotations",
+            )
+        ]
+    )
+    root_rows = step.where(is_first).select(
+        *df.columns,
+        common.alias("_seg"),
+        F.lit(False).alias("xr_is_subsegment"),
+        root["parent_id"].alias("_parent"),
+        root["trace_id"].alias("_tid"),
+        root["origin"].alias("_origin"),
+    )
+    sub_rows = step.where(sub.isNotNull()).select(
+        *df.columns,
+        sub.alias("_seg"),
+        F.lit(True).alias("xr_is_subsegment"),
+        root["id"].alias("_parent"),
+        root["trace_id"].alias("_tid"),
+        F.lit(None).cast("string").alias("_origin"),
+    )
+    both = root_rows.unionByName(sub_rows)
+    s = F.col("_seg")
+    ann = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(s["annotations"]),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return both.select(
+        *df.columns,
+        _xray_otel_trace_id(F.col("_tid")).alias("xr_trace_id"),
+        s["id"].alias("xr_id"),
+        F.col("_parent").alias("xr_parent_id"),
+        s["name"].alias("xr_name"),
+        F.floor(s["start_time"] * 1_000_000).cast("bigint").alias("xr_start_us"),
+        F.floor(s["end_time"] * 1_000_000).cast("bigint").alias("xr_end_us"),
+        F.coalesce(s["error"], F.lit(False)).alias("xr_error"),
+        F.coalesce(s["fault"], F.lit(False)).alias("xr_fault"),
+        F.coalesce(s["throttle"], F.lit(False)).alias("xr_throttle"),
+        s["http"]["response"]["status"].alias("xr_http_status"),
+        s["namespace"].alias("xr_namespace"),
+        F.col("_origin").alias("xr_origin"),
+        F.when(F.size(F.map_entries(s["annotations"])) > 0, ann).alias("xr_annotations_csv"),
+        F.col("xr_is_subsegment"),
+    )

@@ -515,3 +515,115 @@ def render_wavefront(
     for k, v in tags or []:
         line = F.concat(line, F.lit(f" {k}="), v.cast("string"))
     return df.withColumn(out, line)
+
+
+def render_libhoney(
+    df: DataFrame,
+    time: Column,
+    data: list[tuple[str, Column]],
+    samplerate: Column | None = None,
+    out: str = "body",
+) -> DataFrame:
+    """Libhoney batch-events JSON serialization (the body a honeycomb SDK
+    POSTs to /1/batch/{dataset}, which receiver/libhoneyreceiver accepts):
+    a one-event array per record. `time` is a pre-rendered string (RFC3339
+    or epoch digits — the parse side's eventtime ladder accepts both);
+    data values stringify (the parser reads raw-token maps, so numeric
+    strings round-trip through try_cast). NULL data values drop from the
+    map, mirroring a sender that omits absent fields."""
+    entries = [
+        (F.lit(k), v.cast("string")) for k, v in data
+    ]
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[k for k, _ in entries]), F.array(*[v for _, v in entries])
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    event = F.struct(
+        time.cast("string").alias("time"),
+        (samplerate if samplerate is not None else F.lit(1)).cast("int").alias("samplerate"),
+        m.alias("data"),
+    )
+    return df.withColumn(out, F.to_json(F.array(event)))
+
+
+def render_xray_segment(
+    df: DataFrame,
+    trace_id: Column,
+    seg_id: Column,
+    name: Column,
+    start_s: Column,
+    end_s: Column,
+    parent_id: Column | None = None,
+    origin: Column | None = None,
+    error: Column | None = None,
+    fault: Column | None = None,
+    http_status: Column | None = None,
+    annotations: list[tuple[str, Column]] | None = None,
+    subsegment: Column | None = None,
+    out: str = "body",
+) -> DataFrame:
+    """AWS X-Ray segment-document serialization (the JSON shape
+    internal/aws/xray/tracesegment.go:27-60 unmarshals; what the
+    awsxrayexporter's segment marshaller emits): trace_id in the
+    `1-epochhex8-hex24` wire form, float-second timestamps, optional flag
+    and http blocks, one optional pre-rendered subsegment struct column
+    (built with xray_subsegment_struct). to_json drops NULL struct slots,
+    matching the reference's omitempty tags."""
+    ann = (
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _ in annotations]),
+                F.array(*[v.cast("string") for _, v in annotations]),
+            ),
+            lambda _k, v: v.isNotNull(),
+        )
+        if annotations
+        else None
+    )
+    fields = [
+        trace_id.cast("string").alias("trace_id"),
+        seg_id.cast("string").alias("id"),
+        name.cast("string").alias("name"),
+        start_s.cast("double").alias("start_time"),
+        end_s.cast("double").alias("end_time"),
+    ]
+    if parent_id is not None:
+        fields.append(parent_id.cast("string").alias("parent_id"))
+    if origin is not None:
+        fields.append(origin.cast("string").alias("origin"))
+    if error is not None:
+        fields.append(error.cast("boolean").alias("error"))
+    if fault is not None:
+        fields.append(fault.cast("boolean").alias("fault"))
+    if http_status is not None:
+        fields.append(
+            F.struct(F.struct(http_status.cast("long").alias("status")).alias("response")).alias(
+                "http"
+            )
+        )
+    if ann is not None:
+        fields.append(ann.alias("annotations"))
+    if subsegment is not None:
+        fields.append(F.when(subsegment.isNotNull(), F.array(subsegment)).alias("subsegments"))
+    return df.withColumn(out, F.to_json(F.struct(*fields)))
+
+
+def xray_subsegment_struct(
+    seg_id: Column,
+    name: Column,
+    start_s: Column,
+    end_s: Column,
+    namespace: Column | None = None,
+) -> Column:
+    """A subsegment struct for render_xray_segment's `subsegment` slot."""
+    fields = [
+        seg_id.cast("string").alias("id"),
+        name.cast("string").alias("name"),
+        start_s.cast("double").alias("start_time"),
+        end_s.cast("double").alias("end_time"),
+    ]
+    if namespace is not None:
+        fields.append(namespace.cast("string").alias("namespace"))
+    return F.struct(*fields)

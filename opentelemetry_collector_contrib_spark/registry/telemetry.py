@@ -3456,9 +3456,94 @@ def q_wavefront_render_roundtrip(spark, sf_dir):
     )
 
 
+def q_libhoney_render_roundtrip(spark, sf_dir):
+    """Libhoney batch JSON render -> libhoneyreceiver parse: the eventtime
+    ladder (16-digit epoch us, 10-digit epoch s, RFC3339), samplerate
+    passthrough, service.name-else-dataset, residual data keys as the
+    sorted CSV."""
+    from ..operators.parse import parse_libhoney
+    from ..operators.render import render_libhoney
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    time_str = (
+        F.when(F.col("event_id") % 3 == 0, us.cast("string"))
+        .when(F.col("event_id") % 3 == 1, (us / 1_000_000).cast("long").cast("string"))
+        .otherwise(F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+    )
+    rendered = render_libhoney(
+        ev,
+        time=time_str,
+        samplerate=(F.col("event_id") % 7 + 1).cast("int"),
+        data=[
+            ("meta.signal_type", F.when(F.col("event_id") % 2 == 0, F.lit("trace")).otherwise(F.lit("log"))),
+            ("service.name", F.when(F.col("user_id") % 3 != 0, F.concat(F.lit("svc-"), (F.col("user_id") % 4).cast("string")))),
+            ("trace.trace_id", F.lpad(F.conv(F.col("user_id").cast("string"), 10, 16), 32, "0")),
+            ("name", F.col("event_type")),
+            ("duration_ms", F.col("value")),
+            ("region", F.concat(F.lit("r"), (F.col("user_id") % 4).cast("string"))),
+            ("team", F.concat(F.lit("t"), (F.col("user_id") % 5).cast("string"))),
+        ],
+    )
+    out = parse_libhoney(rendered.select("event_id", "body"), "body", dataset="events-ds")
+    return out.select(
+        "event_id", "lh_ts_us", "lh_samplerate", "lh_signal", "lh_service",
+        "lh_trace_id", "lh_name", "lh_duration_ms", "lh_data_csv",
+    )
+
+
+def q_xray_render_roundtrip(spark, sf_dir):
+    """X-Ray segment render -> awsxrayreceiver-translator parse: wire
+    trace-id decode, float-second µs floor, subsegment flattening with
+    inherited trace/parent ids, omitempty flag blocks."""
+    from ..operators.parse import parse_xray_segment
+    from ..operators.render import render_xray_segment, xray_subsegment_struct
+
+    ev = _events(spark, sf_dir)
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("bigint")
+    start = sec.cast("double") + (F.col("event_id") % 4).cast("double") * 0.25
+    end = start + 1.0 + (F.col("event_id") % 2).cast("double") * 0.5
+    hex8 = F.lpad(F.conv(sec.cast("string"), 10, 16), 8, "0")
+    rendered = render_xray_segment(
+        ev,
+        trace_id=F.concat(F.lit("1-"), hex8, F.lit("-"), F.lpad(F.conv(F.col("user_id").cast("string"), 10, 16), 24, "0")),
+        seg_id=F.lpad(F.conv(F.col("event_id").cast("string"), 10, 16), 16, "0"),
+        name=F.col("event_type"),
+        start_s=start,
+        end_s=end,
+        origin=F.when(F.col("user_id") % 2 == 0, F.lit("AWS::EC2::Instance")),
+        error=F.col("event_id") % 10 == 0,
+        fault=F.col("event_id") % 20 == 0,
+        http_status=F.when(F.col("event_id") % 10 == 0, F.lit(404)).otherwise(F.lit(200)),
+        annotations=[
+            ("client", F.concat(F.lit("c"), (F.col("user_id") % 6).cast("string"))),
+            ("tier", F.when(F.col("user_id") % 2 == 0, F.lit("gold"))),
+        ],
+        subsegment=F.when(
+            F.col("event_id") % 3 == 0,
+            xray_subsegment_struct(
+                seg_id=F.lpad(F.conv((F.col("event_id") + 1).cast("string"), 10, 16), 16, "0"),
+                name=F.lit("sql"),
+                start_s=start + 0.25,
+                end_s=end - 0.25,
+                namespace=F.lit("remote"),
+            ),
+        ),
+    )
+    out = parse_xray_segment(rendered.select("event_id", "body"), "body")
+    return out.select(
+        "event_id", "xr_trace_id", "xr_id", "xr_parent_id", "xr_name",
+        "xr_start_us", "xr_end_us", "xr_error", "xr_fault", "xr_throttle",
+        "xr_http_status", "xr_namespace", "xr_origin", "xr_annotations_csv",
+        "xr_is_subsegment",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "xray_render_roundtrip": q_xray_render_roundtrip,
     "wavefront_render_roundtrip": q_wavefront_render_roundtrip,
+    "libhoney_render_roundtrip": q_libhoney_render_roundtrip,
     "haproxy_stats_roundtrip": q_haproxy_stats,
     "remote_tap_limit": q_remote_tap,
     "influx_render_roundtrip": q_influx_render_roundtrip,
@@ -3709,6 +3794,61 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    o["xray_render_roundtrip"] = """
+WITH e AS (
+  SELECT *,
+         epoch_us(ts) // 1000000 AS sec,
+         CAST(epoch_us(ts) // 1000000 AS DOUBLE) + (event_id % 4) * 0.25 AS start_s
+  FROM events
+), b AS (SELECT *, start_s + 1.0 + (event_id % 2) * 0.5 AS end_s FROM e)
+SELECT event_id,
+       printf('%08X', sec) || printf('%024X', user_id) AS xr_trace_id,
+       printf('%016X', event_id) AS xr_id,
+       CAST(NULL AS VARCHAR) AS xr_parent_id,
+       event_type AS xr_name,
+       CAST(floor(start_s * 1000000) AS BIGINT) AS xr_start_us,
+       CAST(floor(end_s * 1000000) AS BIGINT) AS xr_end_us,
+       event_id % 10 = 0 AS xr_error,
+       event_id % 20 = 0 AS xr_fault,
+       FALSE AS xr_throttle,
+       CASE WHEN event_id % 10 = 0 THEN 404 ELSE 200 END AS xr_http_status,
+       CAST(NULL AS VARCHAR) AS xr_namespace,
+       CASE WHEN user_id % 2 = 0 THEN 'AWS::EC2::Instance' END AS xr_origin,
+       'client=c' || CAST(user_id % 6 AS VARCHAR)
+         || CASE WHEN user_id % 2 = 0 THEN ',tier=gold' ELSE '' END AS xr_annotations_csv,
+       FALSE AS xr_is_subsegment
+FROM b
+UNION ALL
+SELECT event_id,
+       printf('%08X', sec) || printf('%024X', user_id),
+       printf('%016X', event_id + 1),
+       printf('%016X', event_id),
+       'sql',
+       CAST(floor((start_s + 0.25) * 1000000) AS BIGINT),
+       CAST(floor((end_s - 0.25) * 1000000) AS BIGINT),
+       FALSE, FALSE, FALSE,
+       CAST(NULL AS BIGINT),
+       'remote',
+       CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR),
+       TRUE
+FROM b WHERE event_id % 3 = 0"""
+
+    o["libhoney_render_roundtrip"] = """
+SELECT event_id,
+       CASE WHEN event_id % 3 = 1 THEN (epoch_us(ts) // 1000000) * 1000000
+            ELSE epoch_us(ts) END AS lh_ts_us,
+       CAST(event_id % 7 + 1 AS INT) AS lh_samplerate,
+       CASE WHEN event_id % 2 = 0 THEN 'trace' ELSE 'log' END AS lh_signal,
+       CASE WHEN user_id % 3 <> 0 THEN 'svc-' || CAST(user_id % 4 AS VARCHAR)
+            ELSE 'events-ds' END AS lh_service,
+       printf('%032X', user_id) AS lh_trace_id,
+       event_type AS lh_name,
+       value AS lh_duration_ms,
+       'region=r' || CAST(user_id % 4 AS VARCHAR) || ',team=t' || CAST(user_id % 5 AS VARCHAR)
+         AS lh_data_csv
+FROM events"""
 
     o["wavefront_render_roundtrip"] = """
 SELECT event_id,

@@ -260,3 +260,49 @@ def test_wavefront_render_roundtrip_mixed_ts(spark):
     parsed = {r["id"]: r for r in parse_wavefront(rendered).collect()}
     assert parsed[1]["wf_ts_s"] == 10 and parsed[2]["wf_ts_s"] is None
     assert parsed[2]["wf_tags_csv"] == "source=s"
+
+
+def test_libhoney_eventtime_ladder_and_defaults(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_libhoney
+
+    batches = [
+        ('[{"time":"1700000000123","data":{"k":"v"}},'
+         '{"time":"1700000000.25","samplerate":4,"data":{"service.name":"api"}}]',),
+        ('[{"time":"2023-11-14T22:13:20.123456Z","samplerate":2,"data":{}}]',),
+    ]
+    df = spark.createDataFrame(batches, "body string")
+    rows = parse_libhoney(df, dataset="ds").orderBy("lh_ts_us").collect()
+    # 13-digit epoch = milliseconds (exact integer path)
+    assert rows[0]["lh_ts_us"] == 1700000000123000
+    assert rows[0]["lh_samplerate"] == 1           # default when absent
+    assert rows[0]["lh_service"] == "ds"           # dataset fallback
+    assert rows[0]["lh_data_csv"] == "k=v"
+    # RFC3339 with micros
+    assert rows[1]["lh_ts_us"] == 1700000000123456 and rows[1]["lh_samplerate"] == 2
+    # float seconds floor to micros
+    assert rows[2]["lh_ts_us"] == 1700000000250000
+    assert rows[2]["lh_samplerate"] == 4 and rows[2]["lh_service"] == "api"
+    assert rows[2]["lh_data_csv"] is None          # service.name is a used field
+
+
+def test_xray_segment_parse_edges(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_xray_segment
+
+    rows = [
+        # well-formed, no subsegments, no annotations
+        ('{"trace_id":"1-5f84c7a1-e7d1852db8c4fd35d88bf49a","id":"00f067aa0ba902b7",'
+         '"name":"web","start_time":1.5e9,"end_time":1.5000001e9}',),
+        # malformed trace id (too short) -> xr_trace_id NULL, row still emitted
+        ('{"trace_id":"1-abc-def","id":"00f067aa0ba902b8","name":"x",'
+         '"start_time":1,"end_time":2,"error":true}',),
+        # not a segment at all -> dropped
+        ("[1,2,3]",),
+    ]
+    df = spark.createDataFrame(rows, "body string")
+    out = parse_xray_segment(df).orderBy("xr_id").collect()
+    assert len(out) == 2
+    a, b = out
+    assert a["xr_trace_id"] == "5f84c7a1e7d1852db8c4fd35d88bf49a"
+    assert a["xr_start_us"] == 1_500_000_000_000_000 and not a["xr_error"]
+    assert a["xr_annotations_csv"] is None and not a["xr_is_subsegment"]
+    assert b["xr_trace_id"] is None and b["xr_error"] and not b["xr_fault"]
