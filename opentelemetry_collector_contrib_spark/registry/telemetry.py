@@ -3539,8 +3539,36 @@ def q_xray_render_roundtrip(spark, sf_dir):
     )
 
 
+def q_arrow_ipc_roundtrip(spark, sf_dir):
+    """otelarrow wire kernel: pack events into one Arrow IPC stream
+    payload per user bucket, unpack back — lossless row/type round trip
+    (the oracle is the identity projection over the same table)."""
+    from ..operators.arrow_ipc import decode_arrow_ipc, encode_arrow_ipc
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("user_id") % 64).alias("bucket"),
+    )
+    packed = encode_arrow_ipc(
+        ev,
+        key_cols=["bucket"],
+        sort_cols=["event_id"],
+        payload_cols=["event_id", "user_id", "event_type", "value", "ts_us"],
+    )
+    out = decode_arrow_ipc(
+        packed,
+        schema="event_id bigint, user_id bigint, event_type string, value double, ts_us bigint",
+        passthrough=["bucket", "aip_rows"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "value", "ts_us", "bucket", "aip_rows"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
     "xray_render_roundtrip": q_xray_render_roundtrip,
     "wavefront_render_roundtrip": q_wavefront_render_roundtrip,
     "libhoney_render_roundtrip": q_libhoney_render_roundtrip,
@@ -3794,6 +3822,14 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    o["arrow_ipc_roundtrip"] = """
+WITH b AS (SELECT user_id % 64 AS bucket, count(*) AS n FROM events GROUP BY 1)
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       epoch_us(e.ts) AS ts_us,
+       e.user_id % 64 AS bucket,
+       b.n AS aip_rows
+FROM events e JOIN b ON e.user_id % 64 = b.bucket"""
 
     o["xray_render_roundtrip"] = """
 WITH e AS (
