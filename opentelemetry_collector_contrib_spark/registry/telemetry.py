@@ -3566,8 +3566,42 @@ def q_arrow_ipc_roundtrip(spark, sf_dir):
     )
 
 
+def q_faro_render_roundtrip(spark, sf_dir):
+    """Grafana Faro SDK payload render -> faroreceiver/translator parse:
+    one log+measurement+event per payload (exception every 7th), kind
+    fan-out with the translator's kv conventions (context_/event_data_/
+    value_ prefixes, %f measurement rendering, empty-level -> info)."""
+    from ..operators.faro import parse_faro, render_faro
+
+    ev = _events(spark, sf_dir)
+    rendered = render_faro(
+        ev,
+        ts=F.col("ts").cast("timestamp"),
+        app_name=F.lit("webapp"),
+        session_id=F.concat(F.lit("s"), (F.col("user_id") % 100).cast("string")),
+        log_message=F.concat(F.lit("evt "), F.col("event_type")),
+        log_level=F.when(F.col("event_id") % 3 == 0, F.lit("warn")).otherwise(F.lit("")),
+        log_context=[("page", F.concat(F.lit("p"), (F.col("user_id") % 9).cast("string")))],
+        exception=(
+            F.when(F.col("event_id") % 7 == 0, F.lit("TypeError")),
+            F.concat(F.lit("v"), (F.col("event_id") % 10).cast("string")),
+        ),
+        measurement=(
+            F.lit("page_load"),
+            [("ttfb", F.col("value")), ("dom", (F.col("event_id") % 500).cast("double"))],
+        ),
+        event=(F.lit("click"), [("target", F.concat(F.lit("btn"), (F.col("event_id") % 5).cast("string")))]),
+    )
+    out = parse_faro(rendered.select("event_id", "body"), "body")
+    return out.select(
+        "event_id", "fr_kind", "fr_timestamp", "fr_level", "fr_message",
+        "fr_type", "fr_event_name", "fr_kv_csv", "fr_app_name", "fr_session_id",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "faro_render_roundtrip": q_faro_render_roundtrip,
     "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
     "xray_render_roundtrip": q_xray_render_roundtrip,
     "wavefront_render_roundtrip": q_wavefront_render_roundtrip,
@@ -3822,6 +3856,35 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    o["faro_render_roundtrip"] = """
+WITH e AS (SELECT *,
+                  strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS tss,
+                  's' || CAST(user_id % 100 AS VARCHAR) AS sid
+           FROM events)
+SELECT event_id, 'log' AS fr_kind, tss AS fr_timestamp,
+       CASE WHEN event_id % 3 = 0 THEN 'warn' ELSE 'info' END AS fr_level,
+       'evt ' || event_type AS fr_message,
+       CAST(NULL AS VARCHAR) AS fr_type, CAST(NULL AS VARCHAR) AS fr_event_name,
+       'context_page=p' || CAST(user_id % 9 AS VARCHAR) AS fr_kv_csv,
+       'webapp' AS fr_app_name, sid AS fr_session_id
+FROM e
+UNION ALL
+SELECT event_id, 'exception', tss, 'error',
+       'TypeError: v' || CAST(event_id % 10 AS VARCHAR), 'TypeError',
+       NULL, NULL, 'webapp', sid
+FROM e WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id, 'measurement', tss, 'info', NULL, 'page_load', NULL,
+       'value_dom=' || printf('%f', CAST(event_id % 500 AS DOUBLE))
+         || ',value_ttfb=' || printf('%f', value),
+       'webapp', sid
+FROM e
+UNION ALL
+SELECT event_id, 'event', tss, 'info', NULL, NULL, 'click',
+       'event_data_target=btn' || CAST(event_id % 5 AS VARCHAR),
+       'webapp', sid
+FROM e"""
 
     o["arrow_ipc_roundtrip"] = """
 WITH b AS (SELECT user_id % 64 AS bucket, count(*) AS n FROM events GROUP BY 1)

@@ -306,3 +306,31 @@ def test_xray_segment_parse_edges(spark):
     assert a["xr_start_us"] == 1_500_000_000_000_000 and not a["xr_error"]
     assert a["xr_annotations_csv"] is None and not a["xr_is_subsegment"]
     assert b["xr_trace_id"] is None and b["xr_error"] and not b["xr_fault"]
+
+
+def test_faro_parse_kind_semantics(spark):
+    from opentelemetry_collector_contrib_spark.operators.faro import parse_faro
+
+    payload = (
+        '{"logs":[{"timestamp":"2024-01-01T00:00:00.000Z","message":"m",'
+        '"level":"","context":{"b":"2","a":"1"}}],'
+        '"exceptions":[{"timestamp":"t","type":"Error","value":"boom"}],'
+        '"measurements":[{"timestamp":"t","type":"cls","values":{"cls":0.25}}],'
+        '"events":[{"timestamp":"t","name":"nav","domain":"browser",'
+        '"attributes":{"to":"/x"}}],'
+        '"meta":{"app":{"name":"a1","version":"1.2","environment":"prod"},'
+        '"session":{"id":"sess"},"user":{"id":"u9"}}}'
+    )
+    df = spark.createDataFrame([(payload,)], "body string")
+    rows = {r["fr_kind"]: r for r in parse_faro(df).collect()}
+    assert set(rows) == {"log", "exception", "measurement", "event"}
+    assert rows["log"]["fr_level"] == "info"          # empty level -> default
+    assert rows["log"]["fr_kv_csv"] == "context_a=1,context_b=2"
+    assert rows["exception"]["fr_message"] == "Error: boom"
+    assert rows["exception"]["fr_level"] == "error"
+    assert rows["measurement"]["fr_kv_csv"] == "value_cls=0.250000"  # %f form
+    assert rows["event"]["fr_event_name"] == "nav"
+    assert rows["event"]["fr_kv_csv"] == "event_data_to=/x"
+    assert all(r["fr_app_name"] == "a1" and r["fr_session_id"] == "sess" for r in rows.values())
+    # payloads with no parseable envelope drop
+    assert parse_faro(spark.createDataFrame([("]",)], "body string")).count() == 0
