@@ -1905,3 +1905,118 @@ def parse_xray_segment(df: DataFrame, source: str = "body") -> DataFrame:
         F.when(F.size(F.map_entries(s["annotations"])) > 0, ann).alias("xr_annotations_csv"),
         F.col("xr_is_subsegment"),
     )
+
+
+# (upper bound, SeverityNumber, plog SeverityNumber.String()) — logs.go:433-446
+_CF_SEVERITY = [
+    (300, 9, "Info"),
+    (400, 10, "Info2"),
+    (500, 13, "Warn"),
+    (600, 17, "Error"),
+]
+
+
+def parse_cloudflare(
+    df: DataFrame,
+    source: str = "body",
+    timestamp_field: str = "EdgeStartTimestamp",
+    timestamp_format: str = "rfc3339",
+    attributes: dict[str, str] | None = None,
+) -> DataFrame:
+    """Cloudflare Logpush NDJSON (receiver/cloudflarereceiver/logs.go:
+    225-430): one record per line; `ZoneName` becomes the cloudflare.zone
+    resource attribute (:244-259); the configured timestamp field parses
+    per timestamp_format unix|unixnano|rfc3339 (:268-325, config.go:44-45
+    defaults EdgeStartTimestamp/rfc3339); severity derives from
+    EdgeResponseStatus by century bucket (:433-446); and attributes either
+    pass through wholesale or filter+rename through the config mapping
+    (:354-365). Emits cf_zone, cf_ts_us, cf_severity_num/cf_severity_text,
+    cf_status, cf_attrs_csv (sorted k=v over raw JSON tokens). split +
+    explode + from_json — pure projection."""
+    lines = F.explode(F.split(F.col(source), "\n")).alias("_line")
+    step = df.select(*df.columns, lines).where(F.trim(F.col("_line")) != "")
+    m = F.from_json(F.col("_line"), "map<string,string>")
+    step = step.select(*df.columns, m.alias("_cf")).where(F.col("_cf").isNotNull())
+    m = F.col("_cf")
+    tsv = F.element_at(m, timestamp_field)
+    if timestamp_format == "unix":
+        ts_us = tsv.try_cast("bigint") * 1_000_000
+    elif timestamp_format == "unixnano":
+        ts_us = F.floor(tsv.try_cast("bigint") / 1000).cast("bigint")
+    else:
+        ts_us = F.unix_micros(F.try_to_timestamp(tsv))
+    status = F.element_at(m, "EdgeResponseStatus").try_cast("bigint")
+    sev_num: Column = F.lit(None).cast("int")
+    sev_txt: Column = F.lit(None).cast("string")
+    for bound, num, txt in reversed(_CF_SEVERITY):
+        sev_num = F.when(status < bound, F.lit(num)).otherwise(sev_num)
+        sev_txt = F.when(status < bound, F.lit(txt)).otherwise(sev_txt)
+    sev_num = F.when(status >= 0, sev_num)
+    sev_txt = F.when(status >= 0, sev_txt)
+    if attributes:
+        renames = F.map_from_entries(
+            F.array(*[F.struct(F.lit(k).alias("k"), F.lit(v).alias("v")) for k, v in attributes.items()])
+        )
+        kept = F.map_filter(m, lambda k, _v: F.map_contains_key(renames, k))
+        shown = F.transform(
+            F.map_entries(kept),
+            lambda e: F.concat(F.element_at(renames, e["key"]), F.lit("="), e["value"]),
+        )
+    else:
+        shown = F.transform(
+            F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+        )
+    attrs_csv = F.array_join(F.array_sort(shown), ",")
+    return step.select(
+        *df.columns,
+        F.element_at(m, "ZoneName").alias("cf_zone"),
+        ts_us.alias("cf_ts_us"),
+        sev_num.alias("cf_severity_num"),
+        sev_txt.alias("cf_severity_text"),
+        status.alias("cf_status"),
+        F.when(attrs_csv != "", attrs_csv).alias("cf_attrs_csv"),
+    )
+
+
+_AM_SCHEMA = (
+    "array<struct<labels: map<string,string>, annotations: map<string,string>,"
+    " startsAt: string, generatorURL: string>>"
+)
+
+
+def parse_alertmanager(df: DataFrame, source: str = "body") -> DataFrame:
+    """Alertmanager v1 alert-array JSON (the POST body
+    exporter/alertmanagerexporter/alertmanager_exporter.go:295-301 sends):
+    one row per alert — severity/event_name split from the label set
+    (createLogLabels puts them there), Body/TraceID/SpanID split from the
+    annotations (createLogAnnotations), remainders as sorted CSVs."""
+    step = df.select(
+        *df.columns, F.explode(F.from_json(F.col(source), _AM_SCHEMA)).alias("_al")
+    )
+    lab = F.col("_al")["labels"]
+    ann = F.col("_al")["annotations"]
+
+    def rest_csv(m: Column, *skip: str) -> Column:
+        kept = F.map_filter(m, lambda k, _v: ~k.isin(*[F.lit(s) for s in skip]))
+        csv = F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(kept), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+                )
+            ),
+            ",",
+        )
+        return F.when(csv != "", csv)
+
+    return step.select(
+        *df.columns,
+        F.element_at(lab, "severity").alias("am_severity"),
+        F.element_at(lab, "event_name").alias("am_event_name"),
+        rest_csv(lab, "severity", "event_name").alias("am_labels_csv"),
+        F.element_at(ann, "Body").alias("am_body"),
+        F.element_at(ann, "TraceID").alias("am_trace_id"),
+        F.element_at(ann, "SpanID").alias("am_span_id"),
+        rest_csv(ann, "Body", "TraceID", "SpanID").alias("am_annotations_csv"),
+        F.col("_al")["startsAt"].alias("am_starts_at"),
+        F.col("_al")["generatorURL"].alias("am_generator_url"),
+    )

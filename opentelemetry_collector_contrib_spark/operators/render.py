@@ -627,3 +627,72 @@ def xray_subsegment_struct(
     if namespace is not None:
         fields.append(namespace.cast("string").alias("namespace"))
     return F.struct(*fields)
+
+
+def _am_sanitize(name: str) -> str:
+    """alertmanager_exporter.go:57-70 sanitizeLabelName: [a-zA-Z_] keep,
+    digits keep except a leading digit gains a '_' prefix, everything
+    else becomes '_'. Keys are static config strings, so this runs once
+    in Python, not per row."""
+    out = []
+    for i, ch in enumerate(name):
+        if ch.isascii() and (ch.isalpha() or ch == "_"):
+            out.append(ch)
+        elif ch.isdigit():
+            if i == 0:
+                out.append("_")
+            out.append(ch)
+        else:
+            out.append("_")
+    return "".join(out)
+
+
+def render_alertmanager(
+    df: DataFrame,
+    starts_at: Column,
+    severity: Column,
+    event_name: Column,
+    labels: list[tuple[str, Column]] | None = None,
+    annotations: list[tuple[str, Column]] | None = None,
+    body: Column | None = None,
+    trace_id: Column | None = None,
+    span_id: Column | None = None,
+    generator_url: str = "otel-collector",
+    out: str = "body",
+) -> DataFrame:
+    """alertmanagerexporter POST payload (alertmanager_exporter.go:
+    256-293): a JSON array of model.Alert. Labels carry the configured
+    event_labels subset plus severity and event_name (createLogLabels,
+    :239-254); annotations carry the record attributes plus TraceID/SpanID
+    when present and the stringified Body (createLogAnnotations,
+    :203-216); label keys pass sanitizeLabelName. startsAt is a column
+    (the reference stamps non-deterministic time.Now()). Pure projection."""
+    def kv_map(pairs, extra):
+        keys, vals = [], []
+        for k, v in pairs or []:
+            keys.append(F.lit(_am_sanitize(k)))
+            vals.append(v.cast("string"))
+        for k, v in extra:
+            keys.append(F.lit(k))
+            vals.append(v.cast("string"))
+        return F.map_filter(
+            F.map_from_arrays(F.array(*keys), F.array(*vals)),
+            lambda _k, v: v.isNotNull(),
+        )
+
+    lab = kv_map(labels, [("severity", severity), ("event_name", event_name)])
+    ann_extra = []
+    if trace_id is not None:
+        ann_extra.append(("TraceID", trace_id))
+    if span_id is not None:
+        ann_extra.append(("SpanID", span_id))
+    if body is not None:
+        ann_extra.append(("Body", body))
+    ann = kv_map(annotations, ann_extra)
+    alert = F.struct(
+        lab.alias("labels"),
+        ann.alias("annotations"),
+        F.date_format(starts_at, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("startsAt"),
+        F.lit(generator_url).alias("generatorURL"),
+    )
+    return df.withColumn(out, F.to_json(F.array(alert)))

@@ -3599,8 +3599,77 @@ def q_faro_render_roundtrip(spark, sf_dir):
     )
 
 
+def q_cloudflare_logpush(spark, sf_dir):
+    """Cloudflare Logpush NDJSON parse with the config attribute mapping:
+    zone resource attr, rfc3339 timestamp field, EdgeResponseStatus ->
+    severity buckets, mapped-fields-only attribute CSV."""
+    from ..operators.parse import parse_cloudflare
+
+    ev = _events(spark, sf_dir)
+    st = (
+        F.when(F.col("event_id") % 13 == 0, F.lit(503))
+        .when(F.col("event_id") % 13 == 1, F.lit(302))
+        .when(F.col("event_id") % 13 == 2, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    rendered = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("zone"), (F.col("user_id") % 4).cast("string"), F.lit(".example.com")).alias("ZoneName"),
+                F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("EdgeStartTimestamp"),
+                st.cast("long").alias("EdgeResponseStatus"),
+                F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")).alias("ClientIP"),
+                F.when(F.col("event_id") % 2 == 0, F.lit("GET")).otherwise(F.lit("POST")).alias("ClientRequestMethod"),
+                F.concat(F.lit("/api/"), F.col("event_type")).alias("ClientRequestURI"),
+            )
+        ).alias("body"),
+    )
+    out = parse_cloudflare(
+        rendered,
+        "body",
+        attributes={
+            "ClientIP": "http.client_ip",
+            "ClientRequestMethod": "http.request.method",
+            "ClientRequestURI": "http.url",
+        },
+    )
+    return out.select(
+        "event_id", "cf_zone", "cf_ts_us", "cf_severity_num",
+        "cf_severity_text", "cf_status", "cf_attrs_csv",
+    )
+
+
+def q_alertmanager_render_roundtrip(spark, sf_dir):
+    """alertmanagerexporter alert-array render -> parse: sanitized label
+    keys, severity/event_name labels, Body+TraceID annotations,
+    RFC3339-millis startsAt."""
+    from ..operators.parse import parse_alertmanager
+    from ..operators.render import render_alertmanager
+
+    ev = _events(spark, sf_dir)
+    rendered = render_alertmanager(
+        ev,
+        starts_at=F.col("ts").cast("timestamp"),
+        severity=F.when(F.col("event_id") % 5 == 0, F.lit("critical")).otherwise(F.lit("warning")),
+        event_name=F.col("event_type"),
+        labels=[("service.tier", F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")))],
+        annotations=[("0rate", F.col("value").cast("decimal(18,2)"))],
+        body=F.concat(F.lit("event "), F.col("event_id").cast("string")),
+        trace_id=F.when(F.col("event_id") % 2 == 0, F.lpad(F.conv(F.col("user_id").cast("string"), 10, 16), 32, "0")),
+    )
+    out = parse_alertmanager(rendered.select("event_id", "body"), "body")
+    return out.select(
+        "event_id", "am_severity", "am_event_name", "am_labels_csv",
+        "am_body", "am_trace_id", "am_annotations_csv", "am_starts_at",
+        "am_generator_url",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "alertmanager_render_roundtrip": q_alertmanager_render_roundtrip,
+    "cloudflare_logpush_parse": q_cloudflare_logpush,
     "faro_render_roundtrip": q_faro_render_roundtrip,
     "arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
     "xray_render_roundtrip": q_xray_render_roundtrip,
@@ -3856,6 +3925,38 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    o["alertmanager_render_roundtrip"] = """
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN 'critical' ELSE 'warning' END AS am_severity,
+       event_type AS am_event_name,
+       'service_tier=t' || CAST(user_id % 3 AS VARCHAR) AS am_labels_csv,
+       'event ' || CAST(event_id AS VARCHAR) AS am_body,
+       CASE WHEN event_id % 2 = 0 THEN printf('%032X', user_id) END AS am_trace_id,
+       '_0rate=' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS am_annotations_csv,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS am_starts_at,
+       'otel-collector' AS am_generator_url
+FROM events"""
+
+    o["cloudflare_logpush_parse"] = """
+WITH e AS (SELECT *,
+                  CASE WHEN event_id % 13 = 0 THEN 503
+                       WHEN event_id % 13 = 1 THEN 302
+                       WHEN event_id % 13 = 2 THEN 404
+                       ELSE 200 END AS st
+           FROM events)
+SELECT event_id,
+       'zone' || CAST(user_id % 4 AS VARCHAR) || '.example.com' AS cf_zone,
+       (epoch_us(ts) // 1000000) * 1000000 AS cf_ts_us,
+       CASE WHEN st = 503 THEN 17 WHEN st = 302 THEN 10
+            WHEN st = 404 THEN 13 ELSE 9 END AS cf_severity_num,
+       CASE WHEN st = 503 THEN 'Error' WHEN st = 302 THEN 'Info2'
+            WHEN st = 404 THEN 'Warn' ELSE 'Info' END AS cf_severity_text,
+       CAST(st AS BIGINT) AS cf_status,
+       'http.client_ip=10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1'
+         || ',http.request.method=' || CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END
+         || ',http.url=/api/' || event_type AS cf_attrs_csv
+FROM e"""
 
     o["faro_render_roundtrip"] = """
 WITH e AS (SELECT *,

@@ -334,3 +334,60 @@ def test_faro_parse_kind_semantics(spark):
     assert all(r["fr_app_name"] == "a1" and r["fr_session_id"] == "sess" for r in rows.values())
     # payloads with no parseable envelope drop
     assert parse_faro(spark.createDataFrame([("]",)], "body string")).count() == 0
+
+
+def test_cloudflare_ndjson_formats_and_mapping(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_cloudflare
+
+    body = (
+        '{"ZoneName":"z.com","EdgeStartTimestamp":1700000000,"EdgeResponseStatus":200,"X":"1"}\n'
+        '{"EdgeStartTimestamp":1700000001,"EdgeResponseStatus":650}\n'
+        "\n"
+        "not json\n"
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = parse_cloudflare(df, timestamp_format="unix").orderBy("cf_ts_us").collect()
+    assert len(rows) == 2
+    a, b = rows
+    assert a["cf_zone"] == "z.com" and a["cf_ts_us"] == 1700000000000000
+    assert a["cf_severity_text"] == "Info" and a["cf_severity_num"] == 9
+    # all fields pass through when no mapping is configured
+    assert "X=1" in a["cf_attrs_csv"] and "ZoneName=z.com" in a["cf_attrs_csv"]
+    # status >= 600 -> unspecified severity (logs.go:443-445)
+    assert b["cf_zone"] is None and b["cf_severity_num"] is None
+
+    nano = spark.createDataFrame(
+        [('{"EdgeStartTimestamp":1700000000123456789}',)], "body string"
+    )
+    r = parse_cloudflare(nano, timestamp_format="unixnano").collect()[0]
+    assert r["cf_ts_us"] == 1700000000123456
+
+
+def test_alertmanager_sanitize_and_splits(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_alertmanager
+    from opentelemetry_collector_contrib_spark.operators.render import (
+        _am_sanitize,
+        render_alertmanager,
+    )
+
+    # sanitizeLabelName (alertmanager_exporter.go:57-70)
+    assert _am_sanitize("service.tier") == "service_tier"
+    assert _am_sanitize("0rate") == "_0rate"
+    assert _am_sanitize("a-b c9") == "a_b_c9"
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rendered = render_alertmanager(
+        df,
+        starts_at=F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        severity=F.lit("warning"),
+        event_name=F.lit("exception"),
+        labels=[("k8s.pod", F.lit("p1")), ("drop", F.lit(None).cast("string"))],
+        body=F.lit("boom"),
+        trace_id=F.lit(None).cast("string"),  # empty trace id -> omitted
+    )
+    row = parse_alertmanager(rendered, "body").collect()[0]
+    assert row["am_severity"] == "warning" and row["am_event_name"] == "exception"
+    assert row["am_labels_csv"] == "k8s_pod=p1"  # NULL-valued label dropped
+    assert row["am_body"] == "boom" and row["am_trace_id"] is None
+    assert row["am_annotations_csv"] is None
+    assert row["am_starts_at"] == "2024-01-01T00:00:00.000Z"
