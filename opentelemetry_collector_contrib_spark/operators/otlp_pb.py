@@ -1166,3 +1166,167 @@ def synthesize_signalfx(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", gen("event_id", "event_type", "user_id", "value"))
+
+
+# --- SkyWalking v3 segment protobuf -------------------------------------------
+
+_SW_SPAN_TYPES = {0: "Entry", 1: "Exit", 2: "Local"}
+_SW_LAYERS = {0: "Unknown", 1: "Database", 2: "RPCFramework", 3: "Http", 4: "MQ", 5: "Cache", 6: "FAAS"}
+
+_SW_FIELDS = [
+    T.StructField("sw_trace_id", T.StringType()),
+    T.StructField("sw_segment_id", T.StringType()),
+    T.StructField("sw_service", T.StringType()),
+    T.StructField("sw_instance", T.StringType()),
+    T.StructField("sw_span_id", T.IntegerType()),
+    T.StructField("sw_parent_span_id", T.IntegerType()),
+    T.StructField("sw_op", T.StringType()),
+    T.StructField("sw_peer", T.StringType()),
+    T.StructField("sw_type", T.StringType()),
+    T.StructField("sw_layer", T.StringType()),
+    T.StructField("sw_component_id", T.IntegerType()),
+    T.StructField("sw_is_error", T.BooleanType()),
+    T.StructField("sw_start_ms", T.LongType()),
+    T.StructField("sw_end_ms", T.LongType()),
+    T.StructField("sw_tags_csv", T.StringType()),
+]
+
+
+def decode_skywalking_segment(payload: bytes) -> list[dict]:
+    """SkyWalking v3 SegmentObject (the message pkg/translator/skywalking/
+    skywalkingproto_to_traces.go translates; layout from the public
+    skywalking-data-collect-protocol language-agent/Tracing.proto:
+    traceId=1 traceSegmentId=2 spans=3 service=4 serviceInstance=5;
+    SpanObject spanId=1 parentSpanId=2 startTime=3(ms) endTime=4 refs=5
+    operationName=6 peer=7 spanType=8 spanLayer=9 componentId=10
+    isError=11 tags=12 KeyStringValuePair{key=1,value=2}). One row per
+    span; parentSpanId -1 (the root marker) arrives zigzag-free as the
+    two's-complement varint."""
+    trace_id = seg_id = service = instance = None
+    spans = []
+    for f1, _, v1 in _fields(payload):
+        if f1 == 1:
+            trace_id = _b(v1).decode("utf-8", errors="replace")
+        elif f1 == 2:
+            seg_id = _b(v1).decode("utf-8", errors="replace")
+        elif f1 == 4:
+            service = _b(v1).decode("utf-8", errors="replace")
+        elif f1 == 5:
+            instance = _b(v1).decode("utf-8", errors="replace")
+        elif f1 == 3:
+            sp = {
+                "sw_span_id": 0, "sw_parent_span_id": 0, "sw_op": None,
+                "sw_peer": None, "sw_type": "Entry", "sw_layer": "Unknown",
+                "sw_component_id": 0, "sw_is_error": False,
+                "sw_start_ms": 0, "sw_end_ms": 0,
+            }
+            tags: list[tuple[str, str]] = []
+            for f2, _, v2 in _fields(_b(v1)):
+                if f2 == 1:
+                    sp["sw_span_id"] = _i32(int(v2))
+                elif f2 == 2:
+                    sp["sw_parent_span_id"] = _i32(int(v2))
+                elif f2 == 3:
+                    sp["sw_start_ms"] = _i64_signed(int(v2))
+                elif f2 == 4:
+                    sp["sw_end_ms"] = _i64_signed(int(v2))
+                elif f2 == 6:
+                    sp["sw_op"] = _b(v2).decode("utf-8", errors="replace")
+                elif f2 == 7:
+                    sp["sw_peer"] = _b(v2).decode("utf-8", errors="replace")
+                elif f2 == 8:
+                    sp["sw_type"] = _SW_SPAN_TYPES.get(int(v2), str(int(v2)))
+                elif f2 == 9:
+                    sp["sw_layer"] = _SW_LAYERS.get(int(v2), str(int(v2)))
+                elif f2 == 10:
+                    sp["sw_component_id"] = _i32(int(v2))
+                elif f2 == 11:
+                    sp["sw_is_error"] = bool(int(v2))
+                elif f2 == 12:
+                    k = v = ""
+                    for f3, _, v3 in _fields(_b(v2)):
+                        if f3 == 1:
+                            k = _b(v3).decode("utf-8", errors="replace")
+                        elif f3 == 2:
+                            v = _b(v3).decode("utf-8", errors="replace")
+                    tags.append((k, v))
+            sp["sw_tags_csv"] = ",".join(f"{k}={v}" for k, v in sorted(tags)) or None
+            spans.append(sp)
+    return [
+        {
+            "sw_trace_id": trace_id, "sw_segment_id": seg_id,
+            "sw_service": service, "sw_instance": instance, **sp,
+        }
+        for sp in spans
+    ]
+
+
+def parse_skywalking(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per span in each SkyWalking SegmentObject payload."""
+    return _pb_map(df, source, _SW_FIELDS, decode_skywalking_segment)
+
+
+def enc_sw_span(
+    span_id: int,
+    parent_id: int,
+    start_ms: int,
+    end_ms: int,
+    op: str,
+    peer: str | None = None,
+    span_type: int = 0,
+    layer: int = 0,
+    component_id: int = 0,
+    is_error: bool = False,
+    tags: dict | None = None,
+) -> bytes:
+    sp = _tag(1, 0) + _enc_varint(span_id & ((1 << 64) - 1))
+    sp += _tag(2, 0) + _enc_varint(parent_id & ((1 << 64) - 1))
+    sp += _tag(3, 0) + _enc_varint(start_ms & ((1 << 64) - 1))
+    sp += _tag(4, 0) + _enc_varint(end_ms & ((1 << 64) - 1))
+    sp += _ld(6, op.encode("utf-8"))
+    if peer is not None:
+        sp += _ld(7, peer.encode("utf-8"))
+    if span_type:
+        sp += _tag(8, 0) + _enc_varint(span_type)
+    if layer:
+        sp += _tag(9, 0) + _enc_varint(layer)
+    if component_id:
+        sp += _tag(10, 0) + _enc_varint(component_id)
+    if is_error:
+        sp += _tag(11, 0) + _enc_varint(1)
+    for k, v in (tags or {}).items():
+        sp += _ld(12, _ld(1, k.encode("utf-8")) + _ld(2, str(v).encode("utf-8")))
+    return sp
+
+
+def enc_sw_segment(
+    trace_id: str, segment_id: str, service: str, instance: str, spans: list[bytes]
+) -> bytes:
+    out = _ld(1, trace_id.encode("utf-8")) + _ld(2, segment_id.encode("utf-8"))
+    for sp in spans:
+        out += _ld(3, sp)
+    out += _ld(4, service.encode("utf-8")) + _ld(5, instance.encode("utf-8"))
+    return out
+
+
+def synthesize_skywalking(df: DataFrame) -> DataFrame:
+    """Deterministic SegmentObjects from (event_id, event_type, user_id):
+    an Entry root (parent -1) plus an Exit child per event."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, types: pd.Series, users: pd.Series) -> pd.Series:
+        out = []
+        for i, t, u in zip(ids, types, users):
+            i, u = int(i), int(u)
+            ms = (1_700_000_000 + i % 86400) * 1000
+            root = enc_sw_span(0, -1, ms, ms + 120, f"/{t}", span_type=0, layer=3,
+                               component_id=49, is_error=i % 10 == 0,
+                               tags={"http.method": "GET" if i % 2 == 0 else "POST"})
+            child = enc_sw_span(1, 0, ms + 10, ms + 90, "SELECT users", peer=f"db{u % 3}:3306",
+                                span_type=1, layer=1, component_id=5)
+            out.append(
+                enc_sw_segment(f"{u:032x}", f"{i:032x}", f"svc-{u % 4}", f"inst-{u % 7}", [root, child])
+            )
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "event_type", "user_id"))

@@ -2020,3 +2020,70 @@ def parse_alertmanager(df: DataFrame, source: str = "body") -> DataFrame:
         F.col("_al")["startsAt"].alias("am_starts_at"),
         F.col("_al")["generatorURL"].alias("am_generator_url"),
     )
+
+
+_AZURE_SCHEMA = (
+    "struct<records: array<struct<"
+    "time: string, timeStamp: string, resourceId: string, category: string,"
+    " operationName: string, operationVersion: string, level: string,"
+    " durationMs: string, correlationId: string, resultType: string,"
+    " resultSignature: string, resultDescription: string, tenantId: string,"
+    " callerIpAddress: string, location: string,"
+    " properties: map<string,string>>>>"
+)
+
+# asSeverity (pkg/translator/azure/resourcelogs_to_logs.go:169-195)
+_AZURE_SEVERITY = {"Informational": 9, "Warning": 13, "Error": 17, "Critical": 21}
+
+
+def parse_azure_resource_logs(df: DataFrame, source: str = "body") -> DataFrame:
+    """Azure resource-log export JSON (pkg/translator/azure/
+    resourcelogs_to_logs.go:75-232 — the envelope azureblobreceiver /
+    azureeventhubreceiver hand the translator): `{"records": [...]}`, one
+    output row per record. Timestamp prefers `time` over `timeStamp`
+    (getTimestamp, :139-146); Level maps Informational/Warning/Error/
+    Critical to severity 9/13/17/21, a positive numeric Level passes
+    through as its own number with FormatFloat text (:119-127,169-195);
+    attributes mirror extractRawAttributes (:197-226): category,
+    operation, durationMs parsed to int, correlationId/resultType/
+    tenantId/callerIpAddress set-if-nonempty, cloud.region from location,
+    properties as the sorted raw-token CSV. from_json + explode — pure
+    projection."""
+    env = F.from_json(F.col(source), _AZURE_SCHEMA)
+    step = df.select(*df.columns, F.explode(env["records"]).alias("_az"))
+    r = F.col("_az")
+    tsv = F.coalesce(F.nullif(r["time"], F.lit("")), F.nullif(r["timeStamp"], F.lit("")))
+    lvl = r["level"]
+    is_num = lvl.rlike(r"^\d+(\.\d+)?$")
+    sev_num: Column = F.lit(None).cast("int")
+    for name, num in _AZURE_SEVERITY.items():
+        sev_num = F.when(lvl == name, F.lit(num)).otherwise(sev_num)
+    sev_num = F.when(
+        is_num & (lvl.try_cast("double") > 0), F.floor(lvl.try_cast("double")).cast("int")
+    ).otherwise(sev_num)
+    # numeric text via FormatFloat(-1): the raw token is already minimal
+    sev_text = F.when(lvl.isNotNull(), lvl)
+    props = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.coalesce(r["properties"], F.expr("map()"))),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return step.where(tsv.isNotNull()).select(
+        *df.columns,
+        F.unix_micros(F.try_to_timestamp(tsv)).alias("az_ts_us"),
+        r["resourceId"].alias("az_resource_id"),
+        r["category"].alias("az_category"),
+        r["operationName"].alias("az_operation"),
+        sev_num.alias("az_severity_num"),
+        sev_text.alias("az_severity_text"),
+        r["durationMs"].try_cast("bigint").alias("az_duration_ms"),
+        F.nullif(r["correlationId"], F.lit("")).alias("az_correlation_id"),
+        F.nullif(r["resultType"], F.lit("")).alias("az_result_type"),
+        F.nullif(r["callerIpAddress"], F.lit("")).alias("az_caller_ip"),
+        F.nullif(r["location"], F.lit("")).alias("az_cloud_region"),
+        F.when(props != "", props).alias("az_props_csv"),
+    )

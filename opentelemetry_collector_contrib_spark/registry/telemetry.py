@@ -3666,8 +3666,71 @@ def q_alertmanager_render_roundtrip(spark, sf_dir):
     )
 
 
+def q_azure_logs_roundtrip(spark, sf_dir):
+    """Azure resource-log envelope render -> translator parse: records
+    explode, time-over-timeStamp preference, Level name/number severity
+    dual path, extractRawAttributes set-if-nonempty fields."""
+    from ..operators.parse import parse_azure_resource_logs
+
+    ev = _events(spark, sf_dir)
+    lvl = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("Informational"))
+        .when(F.col("event_id") % 4 == 1, F.lit("Warning"))
+        .when(F.col("event_id") % 4 == 2, F.lit("Error"))
+        .otherwise(F.lit("4"))
+    )
+    rec = F.struct(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("time"),
+        F.concat(
+            F.lit("/SUBSCRIPTIONS/S1/RESOURCEGROUPS/rg"),
+            (F.col("user_id") % 5).cast("string"),
+        ).alias("resourceId"),
+        F.lit("AuditLogs").alias("category"),
+        F.concat(F.lit("Microsoft.Web/"), F.col("event_type")).alias("operationName"),
+        lvl.alias("level"),
+        (F.col("event_id") % 1000).cast("string").alias("durationMs"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("corr-"), (F.col("event_id") % 97).cast("string"))
+        ).alias("correlationId"),
+        F.concat(F.lit("10.1."), (F.col("user_id") % 200).cast("string"), F.lit(".9")).alias("callerIpAddress"),
+        F.lit("westeurope").alias("location"),
+        F.map_from_arrays(
+            F.array(F.lit("status"), F.lit("path")),
+            F.array((200 + (F.col("event_id") % 3) * 100).cast("string"), F.concat(F.lit("/"), F.col("event_type"))),
+        ).alias("properties"),
+    )
+    rendered = ev.select(
+        "event_id", F.to_json(F.struct(F.array(rec).alias("records"))).alias("body")
+    )
+    out = parse_azure_resource_logs(rendered, "body")
+    return out.select(
+        "event_id", "az_ts_us", "az_resource_id", "az_category", "az_operation",
+        "az_severity_num", "az_severity_text", "az_duration_ms",
+        "az_correlation_id", "az_result_type", "az_caller_ip",
+        "az_cloud_region", "az_props_csv",
+    )
+
+
+def q_skywalking_pb(spark, sf_dir):
+    """SkyWalking v3 SegmentObject protobuf: Entry root (parent -1 via
+    two's-complement varint) + Exit child per segment, span type/layer
+    enums, sorted tag CSV."""
+    from ..operators.otlp_pb import parse_skywalking, synthesize_skywalking
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    out = parse_skywalking(synthesize_skywalking(ev), "payload")
+    return out.select(
+        "event_id", "sw_trace_id", "sw_segment_id", "sw_service", "sw_instance",
+        "sw_span_id", "sw_parent_span_id", "sw_op", "sw_peer", "sw_type",
+        "sw_layer", "sw_component_id", "sw_is_error", "sw_start_ms",
+        "sw_end_ms", "sw_tags_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "skywalking_pb_parse": q_skywalking_pb,
+    "azure_logs_roundtrip": q_azure_logs_roundtrip,
     "alertmanager_render_roundtrip": q_alertmanager_render_roundtrip,
     "cloudflare_logpush_parse": q_cloudflare_logpush,
     "faro_render_roundtrip": q_faro_render_roundtrip,
@@ -3925,6 +3988,48 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    o["skywalking_pb_parse"] = """
+WITH x AS (SELECT e.*, s.i, (1700000000 + event_id % 86400) * 1000 AS ms
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+SELECT event_id,
+  printf('%032x', user_id) AS sw_trace_id,
+  printf('%032x', event_id) AS sw_segment_id,
+  'svc-' || CAST(user_id % 4 AS VARCHAR) AS sw_service,
+  'inst-' || CAST(user_id % 7 AS VARCHAR) AS sw_instance,
+  CAST(i AS INT) AS sw_span_id,
+  CAST(CASE WHEN i = 0 THEN -1 ELSE 0 END AS INT) AS sw_parent_span_id,
+  CASE WHEN i = 0 THEN '/' || event_type ELSE 'SELECT users' END AS sw_op,
+  CASE WHEN i = 1 THEN 'db' || CAST(user_id % 3 AS VARCHAR) || ':3306' END AS sw_peer,
+  CASE WHEN i = 0 THEN 'Entry' ELSE 'Exit' END AS sw_type,
+  CASE WHEN i = 0 THEN 'Http' ELSE 'Database' END AS sw_layer,
+  CAST(CASE WHEN i = 0 THEN 49 ELSE 5 END AS INT) AS sw_component_id,
+  i = 0 AND event_id % 10 = 0 AS sw_is_error,
+  ms + CASE WHEN i = 0 THEN 0 ELSE 10 END AS sw_start_ms,
+  ms + CASE WHEN i = 0 THEN 120 ELSE 90 END AS sw_end_ms,
+  CASE WHEN i = 0 THEN 'http.method=' || CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END END
+    AS sw_tags_csv
+FROM x"""
+
+    o["azure_logs_roundtrip"] = """
+SELECT event_id,
+       (epoch_us(ts) // 1000) * 1000 AS az_ts_us,
+       '/SUBSCRIPTIONS/S1/RESOURCEGROUPS/rg' || CAST(user_id % 5 AS VARCHAR) AS az_resource_id,
+       'AuditLogs' AS az_category,
+       'Microsoft.Web/' || event_type AS az_operation,
+       CASE WHEN event_id % 4 = 0 THEN 9 WHEN event_id % 4 = 1 THEN 13
+            WHEN event_id % 4 = 2 THEN 17 ELSE 4 END AS az_severity_num,
+       CASE WHEN event_id % 4 = 0 THEN 'Informational' WHEN event_id % 4 = 1 THEN 'Warning'
+            WHEN event_id % 4 = 2 THEN 'Error' ELSE '4' END AS az_severity_text,
+       event_id % 1000 AS az_duration_ms,
+       CASE WHEN event_id % 2 <> 0 THEN 'corr-' || CAST(event_id % 97 AS VARCHAR) END
+         AS az_correlation_id,
+       CAST(NULL AS VARCHAR) AS az_result_type,
+       '10.1.' || CAST(user_id % 200 AS VARCHAR) || '.9' AS az_caller_ip,
+       'westeurope' AS az_cloud_region,
+       'path=/' || event_type || ',status=' || CAST(200 + (event_id % 3) * 100 AS VARCHAR)
+         AS az_props_csv
+FROM events"""
 
     o["alertmanager_render_roundtrip"] = """
 SELECT event_id,

@@ -284,6 +284,7 @@ def test_proto_decoders_never_hang_or_crash_unexpectedly(raw):
         m.decode_exp_histograms_data,
         m.decode_remote_write,
         m.decode_signalfx,
+        m.decode_skywalking_segment,
     ):
         try:
             out = dec(raw)
@@ -324,3 +325,29 @@ def test_signalfx_datapoint_roundtrip_and_negatives():
     # negative int64 varints (two's complement, NOT zigzag) round-trip
     assert c["sfx_value"] == -7.0 and c["sfx_is_int"] and c["sfx_ts_ms"] == -1000
     assert c["sfx_type"] == "CUMULATIVE_COUNTER" and c["sfx_dims_csv"] is None
+
+
+def test_skywalking_segment_negative_parent_and_enums():
+    from opentelemetry_collector_contrib_spark.operators.otlp_pb import (
+        decode_skywalking_segment,
+        enc_sw_segment,
+        enc_sw_span,
+    )
+
+    seg = enc_sw_segment(
+        "t" * 32, "s" * 32, "svc", "inst",
+        [
+            enc_sw_span(0, -1, 1000, 2000, "/root", span_type=0, layer=3,
+                        is_error=True, tags={"b": "2", "a": "1"}),
+            enc_sw_span(1, 0, 1100, 1900, "child", peer="db:3306", span_type=1, layer=1),
+        ],
+    )
+    rows = decode_skywalking_segment(seg)
+    assert len(rows) == 2
+    root, child = rows
+    assert root["sw_parent_span_id"] == -1 and root["sw_is_error"]
+    assert root["sw_type"] == "Entry" and root["sw_layer"] == "Http"
+    assert root["sw_tags_csv"] == "a=1,b=2"
+    assert child["sw_peer"] == "db:3306" and child["sw_type"] == "Exit"
+    assert child["sw_layer"] == "Database" and not child["sw_is_error"]
+    assert all(r["sw_service"] == "svc" and r["sw_trace_id"] == "t" * 32 for r in rows)

@@ -391,3 +391,29 @@ def test_alertmanager_sanitize_and_splits(spark):
     assert row["am_body"] == "boom" and row["am_trace_id"] is None
     assert row["am_annotations_csv"] is None
     assert row["am_starts_at"] == "2024-01-01T00:00:00.000Z"
+
+
+def test_azure_level_number_and_time_fallback(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        parse_azure_resource_logs,
+    )
+
+    body = (
+        '{"records":['
+        '{"timeStamp":"2024-01-01T00:00:00Z","category":"c1","operationName":"op",'
+        '"level":2.0,"durationMs":"not-a-number","correlationId":""},'
+        '{"time":"2024-01-01T00:00:01Z","category":"c2","operationName":"op2",'
+        '"level":"Verbose"},'
+        '{"category":"dropped-no-timestamp","operationName":"op3"}'
+        "]}"
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = parse_azure_resource_logs(df).orderBy("az_ts_us").collect()
+    assert len(rows) == 2  # missing both time fields -> errMissingTimestamp drop
+    a, b = rows
+    # timeStamp fallback + numeric level: severity = number, text = raw token
+    assert a["az_ts_us"] == 1704067200000000 and a["az_severity_num"] == 2
+    assert a["az_severity_text"] == "2.0"
+    assert a["az_duration_ms"] is None and a["az_correlation_id"] is None
+    # unknown level name -> unspecified severity, text preserved
+    assert b["az_severity_num"] is None and b["az_severity_text"] == "Verbose"
