@@ -2087,3 +2087,107 @@ def parse_azure_resource_logs(df: DataFrame, source: str = "body") -> DataFrame:
         F.nullif(r["location"], F.lit("")).alias("az_cloud_region"),
         F.when(props != "", props).alias("az_props_csv"),
     )
+
+
+_DD_SERIES_SCHEMA = (
+    "struct<series: array<struct<metric: string, type: string, interval: bigint,"
+    " host: string, tags: array<string>, points: array<array<double>>>>>"
+)
+
+
+def parse_datadog_series_v1(df: DataFrame, source: str = "body") -> DataFrame:
+    """Datadog /api/v1/series JSON (receiver/datadogreceiver/internal/
+    translator/series.go:55-117 TranslateSeriesV1): one output row per
+    (series, point). Type dispatch: count -> delta sum non-monotonic,
+    gauge -> gauge, rate -> delta sum with value *= interval when set
+    (:64-77,102-106); an unset/unknown type skips the whole series; a
+    point that is not a [ts, value] pair skips (:93-95). Timestamps are
+    seconds (int64-truncated); `k:v` tags split on the FIRST colon
+    (tagsToAttributes) into the sorted k=v CSV. Two explodes over one
+    from_json — pure projection."""
+    env = F.from_json(F.col(source), _DD_SERIES_SCHEMA)
+    step = df.select(*df.columns, F.explode(env["series"]).alias("_se"))
+    se = F.col("_se")
+    known = se["type"].isin("count", "gauge", "rate")
+    step = step.where(known).select(*df.columns, se.alias("_se"), F.explode(se["points"]).alias("_pt"))
+    se, pt = F.col("_se"), F.col("_pt")
+    ok_pt = F.size(pt) == 2
+    ts_s = F.get(pt, 0).cast("bigint")
+    raw_v = F.get(pt, 1)
+    value = F.when(
+        (se["type"] == "rate") & se["interval"].isNotNull(),
+        raw_v * se["interval"],
+    ).otherwise(raw_v)
+    def _tag_kv(t: Column) -> Column:
+        k = F.substring_index(t, ":", 1)
+        v = t.substr(F.length(k) + 2, F.length(t))
+        return F.concat(k, F.lit("="), v)
+
+    tags_csv = F.array_join(
+        F.array_sort(F.transform(F.coalesce(se["tags"], F.array()), _tag_kv)), ","
+    )
+    return step.where(ok_pt).select(
+        *df.columns,
+        se["metric"].alias("dd_metric"),
+        F.when(se["type"] == "gauge", F.lit("gauge")).otherwise(F.lit("sum_delta")).alias("dd_otel_type"),
+        F.lit(False).alias("dd_monotonic"),
+        se["host"].alias("dd_host"),
+        F.when(tags_csv != "", tags_csv).alias("dd_tags_csv"),
+        ts_s.alias("dd_ts_s"),
+        value.alias("dd_value"),
+    )
+
+
+# scraper.go:79-106 record order — (metric suffix, Go MemStats JSON field)
+_EXPVAR_INT_FIELDS = [
+    ("total_alloc", "TotalAlloc"), ("sys", "Sys"), ("lookups", "Lookups"),
+    ("mallocs", "Mallocs"), ("frees", "Frees"), ("heap_alloc", "HeapAlloc"),
+    ("heap_sys", "HeapSys"), ("heap_idle", "HeapIdle"), ("heap_inuse", "HeapInuse"),
+    ("heap_released", "HeapReleased"), ("heap_objects", "HeapObjects"),
+    ("stack_inuse", "StackInuse"), ("stack_sys", "StackSys"),
+    ("mspan_inuse", "MSpanInuse"), ("mspan_sys", "MSpanSys"),
+    ("mcache_inuse", "MCacheInuse"), ("mcache_sys", "MCacheSys"),
+    ("buck_hash_sys", "BuckHashSys"), ("gc_sys", "GCSys"), ("other_sys", "OtherSys"),
+    ("next_gc", "NextGC"), ("pause_total", "PauseTotalNs"),
+    ("num_forced_gc", "NumForcedGC"),
+]
+
+_EXPVAR_SCHEMA = (
+    "struct<memstats: struct<"
+    + ", ".join(f"{go}: bigint" for _, go in _EXPVAR_INT_FIELDS)
+    + ", NumGC: bigint, GCCPUFraction: double, PauseNs: array<bigint>>>"
+)
+
+
+def parse_expvar(df: DataFrame, source: str = "body") -> DataFrame:
+    """Go /debug/vars expvar JSON -> one row per memstats metric
+    (receiver/expvarreceiver/scraper.go:64-108): the 23 int64 gauges in
+    record order, num_gc, gc_cpu_fraction, and last_pause =
+    PauseNs[(NumGC+255)%256] — the circular-buffer read the scraper
+    documents (:104-106). A body without a memstats object yields nothing
+    (the scraper errors, :73-75). Metric names carry the
+    process.runtime.memstats. prefix from the receiver's metadata. One
+    from_json + one stack unpivot — pure projection."""
+    env = F.from_json(F.col(source), _EXPVAR_SCHEMA)
+    ms = env["memstats"]
+    step = df.select(*df.columns, ms.alias("_ms")).where(F.col("_ms").isNotNull())
+    ms = F.col("_ms")
+    pairs: list[Column] = []
+    for name, go in _EXPVAR_INT_FIELDS:
+        pairs.append(F.lit(f"process.runtime.memstats.{name}"))
+        pairs.append(ms[go].cast("double"))
+    pairs.append(F.lit("process.runtime.memstats.num_gc"))
+    pairs.append(ms["NumGC"].cast("double"))
+    pairs.append(F.lit("process.runtime.memstats.gc_cpu_fraction"))
+    pairs.append(ms["GCCPUFraction"])
+    last_pause = F.get(ms["PauseNs"], ((ms["NumGC"] + 255) % 256).cast("int"))
+    pairs.append(F.lit("process.runtime.memstats.last_pause"))
+    pairs.append(last_pause.cast("double"))
+    n = len(pairs) // 2
+    unpivot = F.expr(
+        f"stack({n}, " + ", ".join(f"_p{i}" for i in range(len(pairs))) + ") AS (ev_metric, ev_value)"
+    )
+    named = step.select(
+        *df.columns, *[p.alias(f"_p{i}") for i, p in enumerate(pairs)]
+    )
+    return named.select(*df.columns, unpivot)

@@ -3727,8 +3727,70 @@ def q_skywalking_pb(spark, sf_dir):
     )
 
 
+def q_datadog_series(spark, sf_dir):
+    """Datadog v1 series render -> receiver-translator parse: type
+    dispatch with unset-type series dropped, rate interval scaling,
+    first-colon tag split, per-point fan-out."""
+    from ..operators.parse import parse_datadog_series_v1
+
+    ev = _events(spark, sf_dir)
+    typ = (
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 3 == 0, F.lit("rate"))
+        .when(F.col("event_id") % 3 == 1, F.lit("count"))
+        .otherwise(F.lit("gauge"))
+    )
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("double")
+    serie = F.struct(
+        F.concat(F.lit("app."), F.col("event_type")).alias("metric"),
+        typ.alias("type"),
+        F.lit(10).cast("long").alias("interval"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
+        F.array(
+            F.concat(F.lit("env:prod")),
+            F.concat(F.lit("url:https://x/"), F.col("event_type")),
+        ).alias("tags"),
+        F.array(
+            F.array(sec, F.col("value")),
+            F.array(sec + 10.0, F.col("value") + 1.0),
+        ).alias("points"),
+    )
+    rendered = ev.select(
+        "event_id", F.to_json(F.struct(F.array(serie).alias("series"))).alias("body")
+    )
+    out = parse_datadog_series_v1(rendered, "body")
+    return out.select(
+        "event_id", "dd_metric", "dd_otel_type", "dd_monotonic", "dd_host",
+        "dd_tags_csv", "dd_ts_s", "dd_value",
+    )
+
+
+def q_expvar_parse(spark, sf_dir):
+    """expvar /debug/vars render -> scraper parse: 23 int gauges in record
+    order, num_gc, gc_cpu_fraction, and the PauseNs[(NumGC+255)%256]
+    circular-buffer last_pause read."""
+    from ..operators.parse import _EXPVAR_INT_FIELDS, parse_expvar
+
+    ev = _events(spark, sf_dir)
+    e = F.col("event_id")
+    fields = [
+        ((e % 1000) * (i + 1) + i).cast("long").alias(go)
+        for i, (_n, go) in enumerate(_EXPVAR_INT_FIELDS)
+    ]
+    ms = F.struct(
+        *fields,
+        (e % 512).cast("long").alias("NumGC"),
+        ((e % 100).cast("double") / 256.0).alias("GCCPUFraction"),
+        F.transform(F.sequence(F.lit(0), F.lit(255)), lambda j: (j * 3 + e % 7).cast("long")).alias("PauseNs"),
+    )
+    rendered = ev.select("event_id", F.to_json(F.struct(ms.alias("memstats"))).alias("body"))
+    return parse_expvar(rendered, "body").select("event_id", "ev_metric", "ev_value")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "expvar_memstats_parse": q_expvar_parse,
+    "datadog_series_v1_parse": q_datadog_series,
     "skywalking_pb_parse": q_skywalking_pb,
     "azure_logs_roundtrip": q_azure_logs_roundtrip,
     "alertmanager_render_roundtrip": q_alertmanager_render_roundtrip,
@@ -3988,6 +4050,45 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    from ..operators.parse import _EXPVAR_INT_FIELDS
+
+    _ev_names = ", ".join(f"'{n}'" for n, _go in _EXPVAR_INT_FIELDS)
+    o["expvar_memstats_parse"] = f"""
+WITH n AS (SELECT unnest(generate_series(0, 22)) AS i),
+x AS (SELECT e.event_id, n.i FROM events e CROSS JOIN n)
+SELECT event_id,
+       'process.runtime.memstats.' || ([{_ev_names}])[i + 1] AS ev_metric,
+       CAST((event_id % 1000) * (i + 1) + i AS DOUBLE) AS ev_value
+FROM x
+UNION ALL
+SELECT event_id, 'process.runtime.memstats.num_gc', CAST(event_id % 512 AS DOUBLE)
+FROM events
+UNION ALL
+SELECT event_id, 'process.runtime.memstats.gc_cpu_fraction',
+       CAST(event_id % 100 AS DOUBLE) / 256.0
+FROM events
+UNION ALL
+SELECT event_id, 'process.runtime.memstats.last_pause',
+       CAST(((event_id % 512 + 255) % 256) * 3 + event_id % 7 AS DOUBLE)
+FROM events"""
+
+    o["datadog_series_v1_parse"] = """
+WITH x AS (SELECT e.*, s.i,
+                  CAST(epoch_us(ts) // 1000000 AS DOUBLE) AS sec,
+                  CASE WHEN event_id % 3 = 0 THEN 'rate'
+                       WHEN event_id % 3 = 1 THEN 'count' ELSE 'gauge' END AS typ
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS i) s
+           WHERE event_id % 11 <> 0)
+SELECT event_id,
+  'app.' || event_type AS dd_metric,
+  CASE WHEN typ = 'gauge' THEN 'gauge' ELSE 'sum_delta' END AS dd_otel_type,
+  FALSE AS dd_monotonic,
+  'h' || CAST(user_id % 5 AS VARCHAR) AS dd_host,
+  'env=prod,url=https://x/' || event_type AS dd_tags_csv,
+  CAST(sec + i * 10.0 AS BIGINT) AS dd_ts_s,
+  CASE WHEN typ = 'rate' THEN (value + i) * 10 ELSE value + i END AS dd_value
+FROM x"""
 
     o["skywalking_pb_parse"] = """
 WITH x AS (SELECT e.*, s.i, (1700000000 + event_id % 86400) * 1000 AS ms

@@ -417,3 +417,45 @@ def test_azure_level_number_and_time_fallback(spark):
     assert a["az_duration_ms"] is None and a["az_correlation_id"] is None
     # unknown level name -> unspecified severity, text preserved
     assert b["az_severity_num"] is None and b["az_severity_text"] == "Verbose"
+
+
+def test_datadog_series_skips_and_rate_scaling(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        parse_datadog_series_v1,
+    )
+
+    body = (
+        '{"series":['
+        '{"metric":"m1","type":"rate","interval":20,"points":[[1700000000,2.5],[1700000010]]},'
+        '{"metric":"m2","points":[[1700000000,1.0]]},'
+        '{"metric":"m3","type":"count","host":"h","tags":["a:1","u:x:y"],'
+        '"points":[[1700000000,3.0]]}'
+        "]}"
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = parse_datadog_series_v1(df).orderBy("dd_metric").collect()
+    # m2 (no type) dropped entirely; m1's 1-element point dropped
+    assert [r["dd_metric"] for r in rows] == ["m1", "m3"]
+    assert rows[0]["dd_value"] == 50.0            # 2.5 * interval 20
+    assert rows[0]["dd_otel_type"] == "sum_delta"
+    assert rows[1]["dd_tags_csv"] == "a=1,u=x:y"  # first-colon split only
+    assert rows[1]["dd_host"] == "h"
+
+
+def test_expvar_circular_pause_buffer(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_expvar
+
+    pause = [0] * 256
+    pause[(300 + 255) % 256] = 777  # NumGC=300 wraps the ring
+    body = (
+        '{"memstats":{"TotalAlloc":10,"NumGC":300,"GCCPUFraction":0.125,'
+        f'"PauseNs":{pause}}}}}'
+    )
+    df = spark.createDataFrame([(body,), ("{}",)], "body string")
+    out = {r["ev_metric"]: r["ev_value"] for r in parse_expvar(df).collect()}
+    assert out["process.runtime.memstats.total_alloc"] == 10.0
+    assert out["process.runtime.memstats.num_gc"] == 300.0
+    assert out["process.runtime.memstats.gc_cpu_fraction"] == 0.125
+    assert out["process.runtime.memstats.last_pause"] == 777.0
+    # a body without memstats contributes no rows (scraper errors)
+    assert parse_expvar(df).count() == 26
