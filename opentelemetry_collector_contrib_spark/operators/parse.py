@@ -2191,3 +2191,38 @@ def parse_expvar(df: DataFrame, source: str = "body") -> DataFrame:
         *df.columns, *[p.alias(f"_p{i}") for i, p in enumerate(pairs)]
     )
     return named.select(*df.columns, unpivot)
+
+
+_MEZMO_SCHEMA = (
+    "struct<lines: array<struct<timestamp: bigint, line: string, app: string,"
+    " level: string, meta: map<string,string>>>>"
+)
+
+
+def parse_mezmo(df: DataFrame, source: str = "body") -> DataFrame:
+    """Mezmo (LogDNA) ingest body (exporter/mezmoexporter/exporter.go:
+    31-41 mezmoLogBody): `{"lines":[{timestamp ms, line, app, level,
+    meta}]}` — one row per line, meta as the sorted k=v CSV with
+    hostname/trace.id/span.id split out (the exporter folds them into
+    meta, :95-105)."""
+    env = F.from_json(F.col(source), _MEZMO_SCHEMA)
+    step = df.select(*df.columns, F.explode(env["lines"]).alias("_ln"))
+    ln = F.col("_ln")
+    meta = F.coalesce(ln["meta"], F.expr("map()"))
+    rest = F.map_filter(meta, lambda k, _v: ~k.isin("hostname", "trace.id", "span.id"))
+    csv = F.array_join(
+        F.array_sort(
+            F.transform(F.map_entries(rest), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ",",
+    )
+    return step.select(
+        *df.columns,
+        ln["timestamp"].alias("mz_ts_ms"),
+        ln["line"].alias("mz_line"),
+        F.nullif(ln["app"], F.lit("")).alias("mz_app"),
+        ln["level"].alias("mz_level"),
+        F.element_at(meta, "hostname").alias("mz_hostname"),
+        F.element_at(meta, "trace.id").alias("mz_trace_id"),
+        F.when(csv != "", csv).alias("mz_meta_csv"),
+    )

@@ -696,3 +696,91 @@ def render_alertmanager(
         F.lit(generator_url).alias("generatorURL"),
     )
     return df.withColumn(out, F.to_json(F.array(alert)))
+
+
+def render_mezmo(
+    df: DataFrame,
+    ts_ms: Column,
+    line: Column,
+    app: Column | None = None,
+    level: Column | None = None,
+    hostname: Column | None = None,
+    trace_id: Column | None = None,
+    meta: list[tuple[str, Column]] | None = None,
+    out: str = "body",
+) -> DataFrame:
+    """mezmoexporter POST body (exporter.go:124-131,160-168): a
+    `{"lines":[...]}` batch (one line per record here; batching is the
+    sink's partition concern). Level truncates to 80 chars and defaults
+    "info" (:119-122); line truncates to the 16 KiB maxMessageSize
+    (config.go:29); hostname/trace.id fold into meta (:95-105)."""
+    lvl = F.coalesce(F.nullif((level if level is not None else F.lit(None)).cast("string"), F.lit("")), F.lit("info"))
+    entries = [(F.lit(k), v.cast("string")) for k, v in meta or []]
+    if hostname is not None:
+        entries.append((F.lit("hostname"), hostname.cast("string")))
+    if trace_id is not None:
+        entries.append((F.lit("trace.id"), trace_id.cast("string")))
+    m = F.map_filter(
+        F.map_from_arrays(F.array(*[k for k, _ in entries]), F.array(*[v for _, v in entries])),
+        lambda _k, v: v.isNotNull(),
+    ) if entries else F.expr("map()")
+    rec = F.struct(
+        ts_ms.cast("long").alias("timestamp"),
+        F.substring(line.cast("string"), 1, 16 * 1024).alias("line"),
+        F.coalesce(app.cast("string") if app is not None else F.lit(None).cast("string"), F.lit("")).alias("app"),
+        F.substring(lvl, 1, 80).alias("level"),
+        m.alias("meta"),
+    )
+    return df.withColumn(out, F.to_json(F.struct(F.array(rec).alias("lines"))))
+
+
+def honeycomb_markers(
+    df: DataFrame,
+    markers: list[dict],
+    path_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """honeycombmarkerexporter (exporter/honeycombmarkerexporter/
+    logs_exporter.go:70-131): each log record is tested against every
+    configured marker's OTTL boolean condition; a match POSTs
+    `{"type", "message"?, "url"?}` to /1/markers/{dataset} where message/
+    url pull from the configured attribute keys and the dataset defaults
+    "__all__" (:29,129-131). Here each marker spec is
+    {type, condition (OTTL string), message_col?, url_col?, dataset?} —
+    the condition compiles through the repo's OTTL statement compiler
+    (functions/ottl_compiler.parse_condition) into a native filter, and
+    matches fan out one row per (record, marker): hm_dataset, hm_type,
+    hm_body (the sorted-key JSON Go's json.Marshal of the map emits).
+    A when-chain projection per marker + one explode — no UDF."""
+    from ..functions.ottl_compiler import parse_condition
+
+    structs = []
+    for m in markers:
+        cond = parse_condition(m["condition"], path_map)
+        message = F.col(m["message_col"]) if m.get("message_col") else F.lit(None)
+        url = F.col(m["url_col"]) if m.get("url_col") else F.lit(None)
+        body = F.to_json(
+            F.struct(
+                message.cast("string").alias("message"),
+                F.lit(m["type"]).alias("type"),
+                url.cast("string").alias("url"),
+            )
+        )
+        structs.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(m.get("dataset") or "__all__").alias("hm_dataset"),
+                    F.lit(m["type"]).alias("hm_type"),
+                    body.alias("hm_body"),
+                ),
+            )
+        )
+    exploded = df.select(
+        *df.columns, F.explode(F.filter(F.array(*structs), lambda s: s.isNotNull())).alias("_mk")
+    )
+    return exploded.select(
+        *df.columns,
+        F.col("_mk")["hm_dataset"].alias("hm_dataset"),
+        F.col("_mk")["hm_type"].alias("hm_type"),
+        F.col("_mk")["hm_body"].alias("hm_body"),
+    )

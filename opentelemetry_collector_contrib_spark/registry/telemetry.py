@@ -3787,8 +3787,63 @@ def q_expvar_parse(spark, sf_dir):
     return parse_expvar(rendered, "body").select("event_id", "ev_metric", "ev_value")
 
 
+def q_mezmo_render_roundtrip(spark, sf_dir):
+    """Mezmo ingest-body render -> parse: ms timestamps, empty-level ->
+    info default, hostname/trace.id meta folding."""
+    from ..operators.parse import parse_mezmo
+    from ..operators.render import render_mezmo
+
+    ev = _events(spark, sf_dir)
+    rendered = render_mezmo(
+        ev,
+        ts_ms=F.unix_millis(F.col("ts").cast("timestamp")),
+        line=F.concat(F.lit("handled "), F.col("event_type")),
+        app=F.when(F.col("event_id") % 4 != 0, F.concat(F.lit("app"), (F.col("user_id") % 3).cast("string"))),
+        level=F.when(F.col("event_id") % 2 == 0, F.lit("warn")).otherwise(F.lit("")),
+        hostname=F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+        trace_id=F.when(F.col("event_id") % 3 == 0, F.lpad(F.conv(F.col("user_id").cast("string"), 10, 16), 32, "0")),
+        meta=[("team", F.concat(F.lit("t"), (F.col("user_id") % 7).cast("string")))],
+    )
+    out = parse_mezmo(rendered.select("event_id", "body"), "body")
+    return out.select(
+        "event_id", "mz_ts_ms", "mz_line", "mz_app", "mz_level",
+        "mz_hostname", "mz_trace_id", "mz_meta_csv",
+    )
+
+
+def q_honeycomb_markers(spark, sf_dir):
+    """honeycombmarkerexporter: OTTL marker conditions compiled through
+    the statement compiler gate records; matches fan out one marker JSON
+    per (record, marker) with message/url attribute pulls and the
+    __all__ dataset default."""
+    from ..operators.render import honeycomb_markers
+
+    ev = _events(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("https://run/"), F.col("event_id").cast("string"))
+    )
+    out = honeycomb_markers(
+        ev,
+        markers=[
+            {
+                "type": "error-spike",
+                "condition": 'attributes["event_type"] == "purchase" and attributes["value"] > 400.0',
+                "message_col": "event_type",
+                "url_col": "url",
+            },
+            {
+                "type": "deploy",
+                "condition": 'attributes["event_type"] == "signup"',
+                "dataset": "prod",
+            },
+        ],
+    )
+    return out.select("event_id", "hm_dataset", "hm_type", "hm_body")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "honeycomb_markers": q_honeycomb_markers,
+    "mezmo_render_roundtrip": q_mezmo_render_roundtrip,
     "expvar_memstats_parse": q_expvar_parse,
     "datadog_series_v1_parse": q_datadog_series,
     "skywalking_pb_parse": q_skywalking_pb,
@@ -4050,6 +4105,26 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY hr ORDER BY event_id) AS rn FROM b)
 SELECT event_id, user_id, event_type, hr * 1000000 AS tap_sec_us
 FROM r WHERE rn <= 5"""
+
+    o["honeycomb_markers"] = """
+SELECT event_id, '__all__' AS hm_dataset, 'error-spike' AS hm_type,
+       '{"message":"purchase","type":"error-spike","url":"https://run/'
+         || CAST(event_id AS VARCHAR) || '"}' AS hm_body
+FROM events WHERE event_type = 'purchase' AND value > 400.0
+UNION ALL
+SELECT event_id, 'prod', 'deploy', '{"type":"deploy"}'
+FROM events WHERE event_type = 'signup'"""
+
+    o["mezmo_render_roundtrip"] = """
+SELECT event_id,
+       epoch_ms(ts) AS mz_ts_ms,
+       'handled ' || event_type AS mz_line,
+       CASE WHEN event_id % 4 <> 0 THEN 'app' || CAST(user_id % 3 AS VARCHAR) END AS mz_app,
+       CASE WHEN event_id % 2 = 0 THEN 'warn' ELSE 'info' END AS mz_level,
+       'h' || CAST(user_id % 5 AS VARCHAR) AS mz_hostname,
+       CASE WHEN event_id % 3 = 0 THEN printf('%032X', user_id) END AS mz_trace_id,
+       'team=t' || CAST(user_id % 7 AS VARCHAR) AS mz_meta_csv
+FROM events"""
 
     from ..operators.parse import _EXPVAR_INT_FIELDS
 

@@ -459,3 +459,39 @@ def test_expvar_circular_pause_buffer(spark):
     assert out["process.runtime.memstats.last_pause"] == 777.0
     # a body without memstats contributes no rows (scraper errors)
     assert parse_expvar(df).count() == 26
+
+
+def test_mezmo_defaults_and_meta_folding(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_mezmo
+    from opentelemetry_collector_contrib_spark.operators.render import render_mezmo
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rendered = render_mezmo(
+        df, ts_ms=F.lit(1700000000123), line=F.lit("x" * 20000),  # over 16 KiB
+        level=F.lit(""), hostname=F.lit("hostA"),
+    )
+    row = parse_mezmo(rendered, "body").collect()[0]
+    assert row["mz_level"] == "info"                # empty -> default
+    assert len(row["mz_line"]) == 16 * 1024         # maxMessageSize truncation
+    assert row["mz_app"] is None and row["mz_hostname"] == "hostA"
+    assert row["mz_meta_csv"] is None and row["mz_ts_ms"] == 1700000000123
+
+
+def test_honeycomb_markers_ottl_gating(spark):
+    from opentelemetry_collector_contrib_spark.operators.render import honeycomb_markers
+
+    df = spark.createDataFrame(
+        [(1, "err", "u"), (2, "ok", "v")], "id long, kind string, url string"
+    )
+    out = honeycomb_markers(
+        df,
+        markers=[
+            {"type": "alert", "condition": 'attributes["kind"] == "err"',
+             "message_col": "kind", "url_col": "url"},
+            {"type": "all", "condition": "true", "dataset": "d1"},
+        ],
+    ).collect()
+    by = {(r["id"], r["hm_type"]): r for r in out}
+    assert set(by) == {(1, "alert"), (1, "all"), (2, "all")}
+    assert by[(1, "alert")]["hm_body"] == '{"message":"err","type":"alert","url":"u"}'
+    assert by[(2, "all")]["hm_dataset"] == "d1" and by[(2, "all")]["hm_body"] == '{"type":"all"}'
