@@ -272,6 +272,36 @@ def main() -> None:
         ).collect()
         timed("q14_otlp_pb_decode", wire_decode)
 
+    # q15: Arrow IPC pack+unpack kernel (the otelarrow wire shape) — rows
+    # regroup into one IPC stream payload per conv bucket and come back out,
+    # fully materialized. Exercises the mapInPandas group-carry encode and
+    # the declared-schema decode end to end.
+    def arrow_roundtrip():
+        from opentelemetry_collector_contrib_spark.operators.arrow_ipc import (
+            decode_arrow_ipc,
+            encode_arrow_ipc,
+        )
+
+        src = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir))).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.pmod(F.xxhash64("conv_id"), F.lit(256)).alias("bucket"),
+        )
+        packed = encode_arrow_ipc(
+            src, ["bucket"], ["conv_id", "turn_idx"],
+            ["conv_id", "turn_idx", "role", "text", "tool"],
+        )
+        out = decode_arrow_ipc(
+            packed,
+            schema="conv_id string, turn_idx int, role string, text string, tool string",
+            passthrough=["bucket"],
+        )
+        force(out)
+
+    if selected is None or "q15_arrow_ipc_roundtrip" in selected:
+        from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
+
+        timed("q15_arrow_ipc_roundtrip", arrow_roundtrip)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",
