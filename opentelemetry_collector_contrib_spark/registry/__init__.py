@@ -4,4 +4,4 @@ oracle implementing the identical algorithm."""
 
 from __future__ import annotations
 
-from . import datapipe, sampling_reg, telemetry  # noqa: F401
+from . import datapipe, profiles_reg, sampling_reg, telemetry  # noqa: F401

@@ -1,0 +1,53 @@
+"""Registry: pprof profiles signal (pprofreceiver / pkg/translator/pprof)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def q_pprof_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pprof profile.proto decode: per-(sample, sample_type) rows with
+    leaf-first resolved stacks and labels; half the payloads gzip'd (the
+    runtime/pprof on-disk form, inflated transparently like the
+    receiver's confighttp path)."""
+    from ..operators.pprof_pb import parse_pprof_profiles, synthesize_pprof
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = parse_pprof_profiles(synthesize_pprof(ev), "payload")
+    return out.select(
+        "event_id", "sample_idx", "sample_type", "sample_unit", "value",
+        "stack", "labels_csv", "num_labels_csv", "time_nanos",
+        "duration_nanos", "period_type", "period",
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pprof_profile_samples": q_pprof_samples,
+}
+
+ORACLES: dict[str, str] = {
+    "pprof_profile_samples": """
+SELECT e.event_id,
+  CAST(s AS INTEGER) AS sample_idx,
+  st.sty AS sample_type,
+  st.sun AS sample_unit,
+  CASE st.ti WHEN 0 THEN e.event_id * 100 + s ELSE s + 1 END AS value,
+  'func_' || CAST((e.event_id + s) % 5 AS VARCHAR) || ';main_' || CAST(e.user_id % 3 AS VARCHAR) AS stack,
+  'thread=t' || CAST(e.user_id % 4 AS VARCHAR) AS labels_csv,
+  'alloc=' || CAST(e.event_id % 1000 AS VARCHAR) || ':bytes' AS num_labels_csv,
+  epoch_us(e.ts) * 1000 AS time_nanos,
+  10000000000 AS duration_nanos,
+  'cpu' AS period_type,
+  CAST(10000000 AS BIGINT) AS period
+FROM events e,
+  UNNEST(range(0, 1 + e.event_id % 2)) AS t(s),
+  (VALUES (0, 'cpu', 'nanoseconds'), (1, 'samples', 'count')) AS st(ti, sty, sun)
+""",
+}
