@@ -239,6 +239,43 @@ def parse_pprof_profiles(df: DataFrame, source: str = "payload") -> DataFrame:
     return _pb_map(df, source, _PPROF_FIELDS, decode_pprof_profile)
 
 
+def flame_rollup(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    stack_col: str = "stack",
+    value_col: str = "value",
+) -> DataFrame:
+    """Flame-graph rollup over decoded samples: per function,
+    **inclusive** = sum of values of every sample whose stack contains it
+    (counted once per sample even for recursive frames — array_distinct
+    before the explode, matching how pprof's `-top` cum column treats
+    recursion), **exclusive/flat** = sum of values of samples where it is
+    the leaf (stack position 0). This is the `pprof -top` table as one
+    explode + one hash aggregation — scan-speed at any corpus size; the
+    only exchange is the final groupBy on (group_cols, func).
+    """
+    from pyspark.sql import functions as F
+
+    group_cols = group_cols or []
+    frames = F.split(F.col(stack_col), ";")
+    rows = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.element_at(frames, 1).alias("_leaf"),
+        F.explode(F.array_distinct(frames)).alias("func"),
+    )
+    return (
+        rows.groupBy(*group_cols, "func")
+        .agg(
+            F.sum("_v").alias("inclusive"),
+            F.sum(F.when(F.col("func") == F.col("_leaf"), F.col("_v")).otherwise(F.lit(0))).alias(
+                "exclusive"
+            ),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
 # --- encoder (fixtures/tests; also the round-trip oracle's ground truth) ---
 
 

@@ -28,8 +28,21 @@ def q_pprof_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pprof_flame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end profiles pipeline: wire decode -> flame rollup (the
+    `pprof -top` table): per-function inclusive/exclusive cpu sums over
+    every decoded sample."""
+    from ..operators.pprof_pb import flame_rollup
+
+    cpu = q_pprof_samples(spark, sf_dir).filter(F.col("sample_type") == "cpu")
+    return flame_rollup(cpu, group_cols=[]).select(
+        "func", "inclusive", "exclusive", "n_samples"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pprof_profile_samples": q_pprof_samples,
+    "pprof_flame_rollup": q_pprof_flame,
 }
 
 ORACLES: dict[str, str] = {
@@ -49,5 +62,21 @@ SELECT e.event_id,
 FROM events e,
   UNNEST(range(0, 1 + e.event_id % 2)) AS t(s),
   (VALUES (0, 'cpu', 'nanoseconds'), (1, 'samples', 'count')) AS st(ti, sty, sun)
+""",
+    "pprof_flame_rollup": """
+WITH base AS (
+  SELECT e.event_id * 100 + s AS v,
+    'func_' || CAST((e.event_id + s) % 5 AS VARCHAR) AS leaf,
+    'main_' || CAST(e.user_id % 3 AS VARCHAR) AS root
+  FROM events e, UNNEST(range(0, 1 + e.event_id % 2)) AS t(s)),
+x AS (
+  SELECT leaf AS func, v, TRUE AS is_leaf FROM base
+  UNION ALL
+  SELECT root AS func, v, FALSE AS is_leaf FROM base)
+SELECT func,
+  CAST(sum(v) AS BIGINT) AS inclusive,
+  CAST(sum(CASE WHEN is_leaf THEN v ELSE 0 END) AS BIGINT) AS exclusive,
+  count(*) AS n_samples
+FROM x GROUP BY func
 """,
 }

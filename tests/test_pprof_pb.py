@@ -125,6 +125,24 @@ def test_decoder_total_on_arbitrary_bytes(data):
         assert isinstance(r["stack"], str)
 
 
+def test_flame_rollup_recursion_counted_once(spark):
+    from opentelemetry_collector_contrib_spark.operators.pprof_pb import flame_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("a;b;a;main", 10),  # recursive 'a': inclusive counts 10 once
+            ("b;main", 5),
+            ("a;main", 1),
+        ],
+        "stack string, value long",
+    )
+    got = {r.func: r for r in flame_rollup(df).collect()}
+    assert got["a"].inclusive == 11 and got["a"].exclusive == 11
+    assert got["b"].inclusive == 15 and got["b"].exclusive == 5
+    assert got["main"].inclusive == 16 and got["main"].exclusive == 0
+    assert got["main"].n_samples == 3
+
+
 def test_spark_parse_matches_local(spark):
     df = spark.createDataFrame(
         [(i, i % 5, 1_700_000_000_000_000 + i) for i in range(40)],
