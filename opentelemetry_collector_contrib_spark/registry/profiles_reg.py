@@ -1,4 +1,5 @@
-"""Registry: pprof profiles signal (pprofreceiver / pkg/translator/pprof)."""
+"""Registry: pprof profiles signal (pprofreceiver / pkg/translator/pprof)
+and the sqlqueryreceiver analogue."""
 
 from __future__ import annotations
 
@@ -40,9 +41,46 @@ def q_pprof_flame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_query_polls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqlqueryreceiver tracking semantics as two polls over the events
+    table: poll 1 sees the table as of event_id < midpoint and advances
+    the tracking value to the last ordered row; poll 2 runs over the full
+    table bound to that value — together they read every row past
+    tracking_start exactly once (the no-duplicate contract)."""
+    from ..sources.sql_query import sql_query_logs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    mid = n // 2
+    start = str(n // 10)
+    ev.createOrReplaceTempView("my_logs_sqlq")
+
+    sql1 = (
+        f"SELECT event_id, props, event_type FROM my_logs_sqlq "
+        f"WHERE event_id > :tracking AND event_id < {mid} ORDER BY event_id"
+    )
+    p1, tv1 = sql_query_logs(
+        spark, sql1, "props", ["event_type"],
+        tracking_column="event_id", tracking_value=start,
+    )
+    sql2 = (
+        "SELECT event_id, props, event_type FROM my_logs_sqlq "
+        "WHERE event_id > :tracking ORDER BY event_id"
+    )
+    p2, _ = sql_query_logs(
+        spark, sql2, "props", ["event_type"],
+        tracking_column="event_id", tracking_value=tv1,
+    )
+    u = p1.select(F.lit(1).alias("poll_idx"), "body", "event_type", "_tracking").unionByName(
+        p2.select(F.lit(2).alias("poll_idx"), "body", "event_type", "_tracking")
+    )
+    return u.select("poll_idx", "body", "event_type", F.col("_tracking").alias("event_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pprof_profile_samples": q_pprof_samples,
     "pprof_flame_rollup": q_pprof_flame,
+    "sql_query_polls": q_sql_query_polls,
 }
 
 ORACLES: dict[str, str] = {
@@ -78,5 +116,20 @@ SELECT func,
   CAST(sum(CASE WHEN is_leaf THEN v ELSE 0 END) AS BIGINT) AS exclusive,
   count(*) AS n_samples
 FROM x GROUP BY func
+""",
+    # two polls: (start, mid) then (mid-1's last value, end); together every
+    # row with event_id > n/10 appears exactly once
+    "sql_query_polls": """
+WITH n AS (SELECT count(*) AS n FROM events),
+p1 AS (
+  SELECT 1 AS poll_idx, props AS body, event_type, event_id
+  FROM events, n WHERE event_id > n // 10 AND event_id < n // 2),
+t1 AS (SELECT max(event_id) AS tv FROM p1),
+p2 AS (
+  SELECT 2 AS poll_idx, props AS body, event_type, event_id
+  FROM events, t1 WHERE event_id > t1.tv)
+SELECT poll_idx, body, event_type, event_id FROM p1
+UNION ALL
+SELECT poll_idx, body, event_type, event_id FROM p2
 """,
 }
