@@ -302,6 +302,36 @@ def main() -> None:
 
         timed("q15_arrow_ipc_roundtrip", arrow_roundtrip)
 
+    # q16: OTEP-235 consistent sampling — tracestate parse + equalizing
+    # decision + T-value restamp over every turn. Pure column math (hex
+    # conv, FNV aggregate HOF not needed here), so this should read at
+    # scan speed; it is the per-record cost every modern-mode
+    # probabilisticsampler deployment pays.
+    def consistent_sampling():
+        from opentelemetry_collector_contrib_spark.operators.sampling import (
+            consistent_sample,
+            parse_sampling_state,
+        )
+
+        src = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir))).select(
+            "conv_id", "turn_idx",
+            F.md5(F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string"))).alias(
+                "trace_id"
+            ),
+            F.when(F.xxhash64("conv_id") % 3 == 0, F.lit("ot=th:8")).alias("tracestate"),
+        )
+        parsed = parse_sampling_state(src, "tracestate", "trace_id")
+        out = consistent_sample(
+            parsed.withColumn("tv", F.col("tvalue")).withColumn("rv", F.col("rvalue")),
+            25, "equalizing", tvalue_col="tv", rvalue_col="rv", precision=4,
+        )
+        force(out.select("conv_id", "turn_idx", "sampling_threshold", "adjusted_count"))
+
+    if selected is None or "q16_consistent_sampling" in selected:
+        from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
+
+        timed("q16_consistent_sampling", consistent_sampling)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Align whole-stage-codegen fallback with HotSpot's JIT ceiling:
+        # methods over ~8000 bytecodes are never JIT-compiled
+        # (-XX:DontCompileHugeMethods), so a fused stage between 8K and the
+        # 64K default limit runs INTERPRETED — measured 2.5x slower on the
+        # deeply-stacked sampling projections. Falling back to per-operator
+        # codegen keeps every method JIT-able.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
