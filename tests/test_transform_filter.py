@@ -442,3 +442,32 @@ def test_geoip_lookup_plan_is_broadcast_hash_join(spark):
     plan = geoip_lookup(df, "ip", _geo_blocks(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_resource_to_telemetry_resource_wins(spark):
+    from opentelemetry_collector_contrib_spark.operators.transform import resource_to_telemetry
+
+    df = spark.createDataFrame(
+        [({"service.name": "svc", "host": "h1", "k": "res"}, {"k": "dp", "own": "x"})],
+        "resource map<string,string>, attributes map<string,string>",
+    )
+    out = resource_to_telemetry(df).collect()[0].attributes
+    assert out == {"service.name": "svc", "host": "h1", "k": "res", "own": "x"}
+    out2 = resource_to_telemetry(df, exclude_service_attributes=True).collect()[0].attributes
+    assert "service.name" not in out2 and out2["k"] == "res"
+
+
+def test_batch_per_resource_attr_partitions_by_value(spark):
+    from opentelemetry_collector_contrib_spark.operators.transform import batch_per_resource_attr
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", None][i % 3]) for i in range(30)], "id long, tenant string"
+    )
+    out = batch_per_resource_attr(df, "tenant")
+    rows = out.select("_batch_key", F.spark_partition_id().alias("p")).distinct().collect()
+    parts = {}
+    for r in rows:
+        parts.setdefault(r._batch_key, set()).add(r.p)
+    # each tenant's rows land in exactly one partition (single-value batches)
+    assert all(len(v) == 1 for v in parts.values())
+    assert set(parts) == {"a", "b", ""}
