@@ -142,6 +142,10 @@ def tail_sampling(
 #   {"name": n, "type": "span_count", "min": a, "max": b|None} (span_count_filter.go)
 #   {"name": n, "type": "probabilistic", "percent": p}         (probabilistic_filter.go;
 #       portable h60(trace_id) threshold so the oracle reproduces verdicts)
+#   {"name": n, "type": "probabilistic_tracestate", "percent": p,
+#       "tracestate_col": c, "trace_id_hex_col": c}             (probabilistic.go
+#       usetracestate gate: OTEP-235 rv/TraceID randomness vs the encoded
+#       threshold when any span carries ot sampling info; legacy hash else)
 #   {"name": n, "type": "ottl_condition", "condition": "<OTTL bool expr>"}
 #   {"name": n, "type": "and"|"or", "of": [names]}             (and_filter / composite OR)
 #   {"name": n, "type": "not", "of": name}
@@ -186,6 +190,40 @@ def _compile_base_policy(spec: dict, trace_col: str, ts_col: str) -> Column:
 
         threshold = int(spec["percent"] / 100.0 * (1 << 60))
         return F.min(h60(F.col(trace_col))) < threshold
+    if kind == "probabilistic_tracestate":
+        # probabilistic.go EvaluateWithThreshold under the usetracestate
+        # feature gate: when any span of the trace carries OTel sampling
+        # info (an `ot` section with rv and/or th), the decision is
+        # OTEP-235 — explicit rv (first across the trace; min() here for
+        # a deterministic distributed equivalent) or TraceID randomness,
+        # compared against ProbabilityToThreshold(percent). Traces with
+        # no sampling info fall back to the engine-portable legacy hash
+        # (the reference's salted FNV path).
+        from .sampling import (
+            ot_field_col,
+            probability_to_threshold,
+            rvalue_randomness_col,
+            trace_id_randomness_col,
+            w3c_ot_section_col,
+        )
+        from .textstats import h60
+
+        ts_colname = spec.get("tracestate_col", "tracestate")
+        ot = w3c_ot_section_col(F.col(ts_colname))
+        rv = rvalue_randomness_col(ot_field_col(ot, "rv"))
+        has_info = _bool_any(
+            ot_field_col(ot, "rv").isNotNull() | ot_field_col(ot, "th").isNotNull()
+        )
+        tid_col = spec.get("trace_id_hex_col", trace_col)
+        rnd = F.coalesce(
+            F.min(rv), F.min(trace_id_randomness_col(F.col(tid_col))), F.lit(0)
+        )
+        try:
+            otel_th = probability_to_threshold(spec["percent"] / 100.0)
+        except ValueError:
+            otel_th = 0 if spec["percent"] >= 100 else (1 << 56)
+        legacy = F.min(h60(F.col(trace_col))) < int(spec["percent"] / 100.0 * (1 << 60))
+        return F.when(has_info, F.lit(otel_th) <= rnd).otherwise(legacy)
     if kind == "ottl_condition":
         from ..functions.ottl_compiler import parse_condition
 

@@ -157,11 +157,52 @@ def q_sample_hash_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tail_sampling_tracestate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tailsampling probabilistic policy under the usetracestate gate
+    (probabilistic.go EvaluateWithThreshold): traces whose spans carry ot
+    sampling info decide by OTEP-235 (explicit rv, else TraceID
+    randomness); the rest fall back to the legacy hash. Traces = user_id
+    groups over events; per-trace-consistent rv on 1-in-3 traces, th-only
+    info on another slice."""
+    from ..operators.recombine import tail_sampling_policies
+
+    ev = _events(spark, sf_dir)
+    uid = F.col("user_id")
+    rv14 = F.substring(F.md5(F.concat(F.lit("rv"), uid.cast("string"))), 1, 14)
+    ts_attr = (
+        F.when((uid % 3 == 0) & (F.col("event_id") % 2 == 0), F.concat(F.lit("ot=rv:"), rv14))
+        .when(uid % 7 == 0, F.lit("vendor=x,ot=th:c"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    df = ev.select(
+        uid.cast("string").alias("trace"),
+        F.col("ts"),
+        F.md5(uid.cast("string")).alias("tid"),
+        ts_attr.alias("tracestate"),
+    )
+    out = tail_sampling_policies(
+        df,
+        [
+            {
+                "name": "prob",
+                "type": "probabilistic_tracestate",
+                "percent": 25,
+                "tracestate_col": "tracestate",
+                "trace_id_hex_col": "tid",
+            }
+        ],
+        trace_col="trace",
+        ts_col="ts",
+    )
+    return out.select("trace", "prob", "sampled")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "consistent_tracestate_parse": q_tracestate_parse,
     "consistent_sample_proportional": q_sample_proportional,
     "consistent_sample_equalizing": q_sample_equalizing,
     "consistent_sample_hash_seed": q_sample_hash_seed,
+    "tail_sampling_tracestate": q_tail_sampling_tracestate,
 }
 
 
@@ -369,6 +410,44 @@ SELECT event_id, key,
   {_adj_sql(str(hs_th))} AS adjusted_count
 FROM rnd
 WHERE {hs_th} <= rnd56"""
+
+    # tailsampling probabilistic under usetracestate: OTEP-235 when any
+    # span has ot info, legacy portable hash otherwise
+    otel_th_25 = S.probability_to_threshold(0.25)  # 0.75 * 2^56
+    legacy_th_25 = int(0.25 * (1 << 60))
+    o["tail_sampling_tracestate"] = f"""
+WITH rows_ AS (
+  SELECT CAST(user_id AS VARCHAR) AS trace,
+    md5(CAST(user_id AS VARCHAR)) AS tid,
+    CASE
+      WHEN user_id % 3 = 0 AND event_id % 2 = 0
+        THEN 'ot=rv:' || substr(md5('rv' || CAST(user_id AS VARCHAR)), 1, 14)
+      WHEN user_id % 7 = 0 THEN 'vendor=x,ot=th:c'
+    END AS tracestate
+  FROM events),
+fields AS (
+  SELECT trace, tid,
+    nullif(regexp_extract(
+      nullif(rtrim(regexp_extract(tracestate, '(?:^|,)[ \t]*ot=([^,]*)', 1)), ''),
+      '(?:^|;)rv:([^;]*)', 1), '') AS rv_f,
+    nullif(regexp_extract(
+      nullif(rtrim(regexp_extract(tracestate, '(?:^|,)[ \t]*ot=([^,]*)', 1)), ''),
+      '(?:^|;)th:([^;]*)', 1), '') AS tv_f
+  FROM rows_),
+agg AS (
+  SELECT trace,
+    bool_or(rv_f IS NOT NULL OR tv_f IS NOT NULL) AS has_info,
+    min(CASE WHEN regexp_matches(rv_f, '^[0-9a-f]{{14}}$')
+             THEN ('0x' || rv_f)::BIGINT END) AS rv_rnd,
+    min(('0x' || substr(tid, 19, 14))::BIGINT) AS tid_rnd,
+    min(('0x' || substr(md5(trace), 1, 15))::BIGINT) AS h60
+  FROM fields GROUP BY trace)
+SELECT trace,
+  CASE WHEN has_info THEN {otel_th_25} <= coalesce(rv_rnd, tid_rnd, 0)
+       ELSE h60 < {legacy_th_25} END AS prob,
+  CASE WHEN has_info THEN {otel_th_25} <= coalesce(rv_rnd, tid_rnd, 0)
+       ELSE h60 < {legacy_th_25} END AS sampled
+FROM agg"""
 
     return o
 

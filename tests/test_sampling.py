@@ -316,3 +316,53 @@ def test_adjusted_count_conservation(spark):
     out = S.consistent_sample(df, 10, "equalizing", precision=14)
     total = out.agg(F.sum("adjusted_count")).collect()[0][0]
     assert total == pytest.approx(n, rel=0.1)
+
+
+def test_tailsampling_probabilistic_tracestate(spark):
+    """probabilistic.go EvaluateWithThreshold under usetracestate: ot info
+    -> OTEP-235 decision (explicit rv beats TraceID randomness); no info
+    -> legacy hash fallback."""
+    from opentelemetry_collector_contrib_spark.operators.recombine import (
+        tail_sampling_policies,
+    )
+
+    high = "f0000000000000"
+    low = "10000000000000"
+    rows = [
+        # trace A: rv says sample (rnd high vs 25% threshold 0xc0...)
+        ("A", _tid(1), f"ot=rv:{high}", "2024-01-01 00:00:00"),
+        ("A", _tid(1), None, "2024-01-01 00:00:01"),
+        # trace B: rv low -> not sampled despite tid randomness being high
+        ("B", _tid(int(high, 16)), f"ot=rv:{low}", "2024-01-01 00:00:00"),
+        # trace C: th-only info -> OTEP path on tid randomness (high -> keep)
+        ("C", _tid(int(high, 16)), "ot=th:c", "2024-01-01 00:00:00"),
+        # trace D: th-only info, tid randomness low -> drop
+        ("D", _tid(int(low, 16)), "ot=th:c", "2024-01-01 00:00:00"),
+        # trace E: no info -> legacy hash path decides
+        ("E", _tid(int(high, 16)), None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace string, tid string, tracestate string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = tail_sampling_policies(
+        df,
+        [
+            {
+                "name": "prob",
+                "type": "probabilistic_tracestate",
+                "percent": 25,
+                "tracestate_col": "tracestate",
+                "trace_id_hex_col": "tid",
+            }
+        ],
+        trace_col="trace",
+        ts_col="ts",
+    )
+    got = {r.trace: r.sampled for r in out.collect()}
+    assert got["A"] is True
+    assert got["B"] is False
+    assert got["C"] is True
+    assert got["D"] is False
+    from opentelemetry_collector_contrib_spark.operators.textstats import h60
+    legacy = df.filter(F.col("trace") == "E").select(h60(F.col("trace")).alias("h")).collect()[0].h
+    assert got["E"] == (legacy < int(0.25 * (1 << 60)))
