@@ -366,3 +366,35 @@ def test_tailsampling_probabilistic_tracestate(spark):
     from opentelemetry_collector_contrib_spark.operators.textstats import h60
     legacy = df.filter(F.col("trace") == "E").select(h60(F.col("trace")).alias("h")).collect()[0].h
     assert got["E"] == (legacy < int(0.25 * (1 << 60)))
+
+
+def test_streaming_consistent_sample_matches_batch(spark, tmp_path):
+    """The sampler is a stateless projection+filter, so it composes with
+    readStream unchanged: an availableNow drain must equal the batch run
+    over the same parquet spool."""
+    spool = str(tmp_path / "spool")
+    spark.createDataFrame(
+        [
+            (i, _tid(S.randomness_from_bytes(str(i).encode())),
+             ["8", "c", None, "zz"][i % 4], None, None)
+            for i in range(200)
+        ],
+        "id long, trace_id string, tv string, rv string, pri double",
+    ).write.parquet(spool)
+
+    def pipe(df):
+        return S.consistent_sample(
+            df, 50, "equalizing", tvalue_col="tv", rvalue_col="rv", fail_closed=False
+        ).select("id", "sampling_threshold", "sampling_randomness", "adjusted_count")
+
+    schema = "id long, trace_id string, tv string, rv string, pri double"
+    sdf = pipe(spark.readStream.schema(schema).parquet(spool))
+    assert sdf.isStreaming
+    (
+        sdf.writeStream.format("memory").queryName("samp_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start().awaitTermination(60)
+    )
+    got = sorted(tuple(r) for r in spark.table("samp_stream").collect())
+    want = sorted(tuple(r) for r in pipe(spark.read.parquet(spool)).collect())
+    assert got == want and len(got) > 0
