@@ -77,10 +77,29 @@ def q_sql_query_polls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select("poll_idx", "body", "event_type", F.col("_tracking").alias("event_id"))
 
 
+def q_prw2_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote-write 2.0: symbol-table label resolution, per-series
+    validation skips (duplicate labels, missing __name__), and the
+    target_info resource bridge applied as a broadcast dimension join."""
+    from ..operators.prw2 import parse_remote_write_v2, prw2_apply_target_info, synthesize_prw2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("ts_ms"),
+    )
+    out = prw2_apply_target_info(parse_remote_write_v2(synthesize_prw2(ev), "payload"))
+    return out.select(
+        "event_id", "prw_name", "prw_job", "prw_instance", "prw_labels_csv",
+        "prw_unit", "prw_help", "prw_type", "prw_ts_ms", "prw_value", "resource_csv",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pprof_profile_samples": q_pprof_samples,
     "pprof_flame_rollup": q_pprof_flame,
     "sql_query_polls": q_sql_query_polls,
+    "prw2_samples": q_prw2_samples,
 }
 
 ORACLES: dict[str, str] = {
@@ -131,5 +150,21 @@ p2 AS (
 SELECT poll_idx, body, event_type, event_id FROM p1
 UNION ALL
 SELECT poll_idx, body, event_type, event_id FROM p2
+""",
+    # one row per event: the counter sample with target_info labels joined
+    # on; the dup-label and nameless series are skipped by validation
+    "prw2_samples": """
+SELECT event_id,
+  'http_requests_total' AS prw_name,
+  'svc' AS prw_job,
+  'host-' || CAST(user_id % 5 AS VARCHAR) AS prw_instance,
+  'path=/p' || CAST(event_id % 4 AS VARCHAR) AS prw_labels_csv,
+  '1' AS prw_unit,
+  'requests' AS prw_help,
+  'counter' AS prw_type,
+  epoch_ms(ts) AS prw_ts_ms,
+  CAST(event_id % 100 AS DOUBLE) AS prw_value,
+  'k8s_cluster=c' || CAST((user_id % 5) % 3 AS VARCHAR) AS resource_csv
+FROM events
 """,
 }
