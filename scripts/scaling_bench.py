@@ -114,6 +114,16 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Sections appended after this script's own template (any "## ..." block,
+    # e.g. the q14 wire-decode evidence) must survive a re-run: the template
+    # itself has no "## " headers, so everything from the first one onward is
+    # carried over verbatim.
+    appended = ""
+    if os.path.exists(md):
+        old = open(md).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            appended = old[idx:]
     with open(md, "w") as f:
         f.write(
             f"""# Scaling evidence — two-parallelism throughput run
@@ -154,6 +164,7 @@ comparable-or-better per-core rates, plus the full 11-query bench
 aggregation/dedup/similarity paths.
 """
         )
+        f.write(appended)
     print(f"wrote {md}", file=sys.stderr)
 
 
