@@ -1,0 +1,416 @@
+"""NetFlow v5 / IPFIX flow-record decode — the netflowreceiver re-expressed
+over a payload column.
+
+The reference (receiver/netflowreceiver) listens on UDP, lets goflow2
+decode NetFlow v5 / v9 / IPFIX / sFlow datagrams, and flattens every flow
+message into one OTel log record whose attributes follow
+receiver/netflowreceiver/parser.go:217-301 (source.address, source.port,
+destination.address, destination.port, network.transport, network.type,
+flow.io.bytes, flow.io.packets, flow.type, flow.sequence_num,
+flow.sampling_rate, flow.tcp_flags, flow.src_as, flow.dst_as, ...), with
+enum-name tables at parser.go:21-192 (etypeNames, transportProtocolNames,
+flowTypeNames).
+
+Here the datagram is a `binary` column (the spool bridge delivers exported
+packets as rows; our ingress is a table, not a socket) and the decode is an
+Arrow-batched mapInPandas kernel — same operator shape as the OTLP/SignalFx/
+SkyWalking protobuf decoders in otlp_pb.py: decode cost is per-row Python
+but embarrassingly parallel across parquet splits, so at 100 TB the job
+scales with cores; a JVM datasource could swap in without changing the
+plan shape. Malformed or truncated packets drop (on_error=send analogue).
+
+Wire layouts are reimplemented from the public format specifications only:
+NetFlow v5 is the fixed 24-byte header + 48-byte records Cisco documents
+(and goflow2 decodes in decoders/netflow/nfv5.go); IPFIX is RFC 7011
+(version 10 header, set headers, template sets describing data sets). The
+IPFIX path handles the stateless common case — template sets and the data
+sets that reference them arriving in the same export packet; templates are
+scoped to the packet, never to driver state, so the operator stays a pure
+row→rows map (cross-packet template caches are a receiver concern, not a
+table-scan concern)."""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# IANA protocol numbers -> names, the subset of parser.go:37-180's table
+# that flow exports actually carry in practice; anything else renders
+# "unknown" exactly like getTransportName (parser.go:202-207).
+TRANSPORT_NAMES = {
+    0: "hopopt", 1: "icmp", 2: "igmp", 4: "ipv4", 6: "tcp", 17: "udp",
+    41: "ipv6", 46: "rsvp", 47: "gre", 50: "esp", 51: "ah", 58: "ipv6-icmp",
+    88: "eigrp", 89: "ospfigp", 94: "ipip", 103: "pim", 112: "vrrp",
+    115: "l2tp", 132: "sctp", 136: "udplite", 137: "mpls-in-ip",
+}
+
+# parser.go:21-33 etypeNames; NetFlow v5 is IPv4-only so the v5 decoder
+# always stamps 0x800, IPFIX uses the template's address IE family.
+ETYPE_NAMES = {0x806: "arp", 0x800: "ipv4", 0x86DD: "ipv6", 0x8847: "mpls"}
+
+
+def _transport(proto: int) -> str:
+    return TRANSPORT_NAMES.get(proto, "unknown")
+
+
+def _ip4(raw: bytes) -> str:
+    return ".".join(str(b) for b in raw)
+
+
+_NF_FIELDS = [
+    T.StructField("nf_type", T.StringType()),          # flow.type
+    T.StructField("nf_src_addr", T.StringType()),      # source.address
+    T.StructField("nf_src_port", T.IntegerType()),     # source.port
+    T.StructField("nf_dst_addr", T.StringType()),      # destination.address
+    T.StructField("nf_dst_port", T.IntegerType()),     # destination.port
+    T.StructField("nf_transport", T.StringType()),     # network.transport
+    T.StructField("nf_etype", T.StringType()),         # network.type
+    T.StructField("nf_bytes", T.LongType()),           # flow.io.bytes
+    T.StructField("nf_packets", T.LongType()),         # flow.io.packets
+    T.StructField("nf_sequence_num", T.LongType()),    # flow.sequence_num
+    T.StructField("nf_sampling_rate", T.LongType()),   # flow.sampling_rate
+    T.StructField("nf_tcp_flags", T.IntegerType()),    # flow.tcp_flags
+    T.StructField("nf_src_as", T.LongType()),          # flow.src_as
+    T.StructField("nf_dst_as", T.LongType()),          # flow.dst_as
+    T.StructField("nf_next_hop", T.StringType()),      # flow.next_hop
+    T.StructField("nf_in_if", T.LongType()),           # flow.in_if
+    T.StructField("nf_out_if", T.LongType()),          # flow.out_if
+    T.StructField("nf_start_ms", T.LongType()),        # flow.start (ms here)
+    T.StructField("nf_end_ms", T.LongType()),          # flow.end
+    T.StructField("nf_ip_tos", T.IntegerType()),       # flow.ip_tos
+]
+
+_V5_HEADER = struct.Struct(">HHIIIIBBH")   # version count uptime secs nsecs seq etype eid sampling
+_V5_RECORD = struct.Struct(">4s4s4sHHIIIIHHBBBBHHBBH")
+
+
+def decode_netflow_v5(payload: bytes) -> list[dict]:
+    """One dict per flow record in a NetFlow v5 export packet.
+
+    Header: version(2) count(2) sys_uptime_ms(4) unix_secs(4) unix_nsecs(4)
+    flow_sequence(4) engine_type(1) engine_id(1) sampling(2); then `count`
+    48-byte records: srcaddr dstaddr nexthop input output dPkts dOctets
+    first last srcport dstport pad tcp_flags prot tos src_as dst_as
+    src_mask dst_mask pad. First/Last are sysuptime offsets in ms; absolute
+    flow time = export wall clock - (sys_uptime - offset), the same
+    reconstruction goflow2's producer performs before parser.go stamps
+    flow.start / flow.end."""
+    if len(payload) < _V5_HEADER.size:
+        raise ValueError("short v5 header")
+    version, count, uptime, secs, nsecs, seq, _etype, _eid, sampling = _V5_HEADER.unpack_from(
+        payload, 0
+    )
+    if version != 5:
+        raise ValueError(f"not a v5 packet: version={version}")
+    need = _V5_HEADER.size + count * _V5_RECORD.size
+    if len(payload) < need:
+        # corrupt framing: a declared count past the payload end drops the
+        # packet rather than silently decoding a prefix
+        raise ValueError("truncated v5 packet")
+    export_ms = secs * 1000 + nsecs // 1_000_000
+    sampling_rate = sampling & 0x3FFF  # top 2 bits are the sampling mode
+    rows = []
+    off = _V5_HEADER.size
+    for _ in range(count):
+        (src, dst, nexthop, in_if, out_if, pkts, octets, first, last,
+         sport, dport, _pad1, flags, proto, tos, src_as, dst_as,
+         _smask, _dmask, _pad2) = _V5_RECORD.unpack_from(payload, off)
+        off += _V5_RECORD.size
+        rows.append({
+            "nf_type": "netflow_v5",
+            "nf_src_addr": _ip4(src),
+            "nf_src_port": sport,
+            "nf_dst_addr": _ip4(dst),
+            "nf_dst_port": dport,
+            "nf_transport": _transport(proto),
+            "nf_etype": "ipv4",
+            "nf_bytes": octets,
+            "nf_packets": pkts,
+            "nf_sequence_num": seq,
+            "nf_sampling_rate": sampling_rate,
+            "nf_tcp_flags": flags,
+            "nf_src_as": src_as,
+            "nf_dst_as": dst_as,
+            "nf_next_hop": _ip4(nexthop),
+            "nf_in_if": in_if,
+            "nf_out_if": out_if,
+            "nf_start_ms": export_ms - (uptime - first),
+            "nf_end_ms": export_ms - (uptime - last),
+            "nf_ip_tos": tos,
+        })
+    return rows
+
+
+# --- IPFIX (RFC 7011) ---------------------------------------------------------
+
+# information elements the decoder understands: IE id -> output key.
+# Unsigned big-endian integers unless keyed as an address. Reduced-size
+# encoding (RFC 7011 §6.2) is legal for any unsigned IE, so lengths are
+# taken from the template, not assumed.
+_IPFIX_IE = {
+    1: "nf_bytes",           # octetDeltaCount
+    2: "nf_packets",         # packetDeltaCount
+    4: "_proto",             # protocolIdentifier
+    5: "nf_ip_tos",          # ipClassOfService
+    6: "nf_tcp_flags",       # tcpControlBits
+    7: "nf_src_port",        # sourceTransportPort
+    8: "_src4",              # sourceIPv4Address
+    10: "nf_in_if",          # ingressInterface
+    11: "nf_dst_port",       # destinationTransportPort
+    12: "_dst4",             # destinationIPv4Address
+    14: "nf_out_if",         # egressInterface
+    15: "_hop4",             # ipNextHopIPv4Address
+    16: "nf_src_as",         # bgpSourceAsNumber
+    17: "nf_dst_as",         # bgpDestinationAsNumber
+    27: "_src6",             # sourceIPv6Address
+    28: "_dst6",             # destinationIPv6Address
+    152: "nf_start_ms",      # flowStartMilliseconds
+    153: "nf_end_ms",        # flowEndMilliseconds
+}
+
+_INT_DEFAULTS = {
+    "nf_src_port": 0, "nf_dst_port": 0, "nf_bytes": 0, "nf_packets": 0,
+    "nf_tcp_flags": 0, "nf_src_as": 0, "nf_dst_as": 0, "nf_in_if": 0,
+    "nf_out_if": 0, "nf_start_ms": 0, "nf_end_ms": 0, "nf_ip_tos": 0,
+}
+
+
+def _ip6(raw: bytes) -> str:
+    import ipaddress
+
+    return str(ipaddress.IPv6Address(raw))
+
+
+def decode_ipfix(payload: bytes) -> list[dict]:
+    """One dict per data record in an IPFIX export packet (RFC 7011).
+
+    Header: version=10(2) length(2) export_time_s(4) sequence(4)
+    observation_domain_id(4). Then sets: set_id(2) set_len(2) + content.
+    set_id 2 = template set ((template_id, field_count, field_count ×
+    (ie_id, ie_len)) — enterprise-bit IEs are skipped over but consume
+    their slot); set_id ≥ 256 = data set of fixed-size records laid out by
+    the referenced template. Templates resolve within the packet they
+    arrive in (the stateless export-bundle case); a data set whose
+    template never arrived is skipped, mirroring how a collector drops
+    data it cannot yet decode rather than guessing."""
+    if len(payload) < 16:
+        raise ValueError("short ipfix header")
+    version, total_len, _export_s, seq, _odid = struct.unpack_from(">HHIII", payload, 0)
+    if version != 10:
+        raise ValueError(f"not an ipfix packet: version={version}")
+    if total_len > len(payload):
+        raise ValueError("truncated ipfix packet")
+    templates: dict[int, list[tuple[int, int]]] = {}
+    rows: list[dict] = []
+    off = 16
+    while off + 4 <= total_len:
+        set_id, set_len = struct.unpack_from(">HH", payload, off)
+        if set_len < 4 or off + set_len > total_len:
+            raise ValueError("bad set length")
+        body = payload[off + 4 : off + set_len]
+        off += set_len
+        if set_id == 2:
+            p = 0
+            while p + 4 <= len(body):
+                tid, nfields = struct.unpack_from(">HH", body, p)
+                p += 4
+                fields: list[tuple[int, int]] = []
+                for _ in range(nfields):
+                    if p + 4 > len(body):
+                        raise ValueError("truncated template")
+                    ie, ln = struct.unpack_from(">HH", body, p)
+                    p += 4
+                    if ie & 0x8000:  # enterprise IE: 4-byte PEN follows
+                        p += 4
+                        ie = -1  # unknown -> skipped at decode, keeps its width
+                    fields.append((ie, ln))
+                templates[tid] = fields
+        elif set_id >= 256 and set_id in templates:
+            fields = templates[set_id]
+            rec_len = sum(ln for _, ln in fields)
+            if rec_len <= 0:
+                continue
+            p = 0
+            # trailing padding shorter than one record is legal (§3.3.1)
+            while p + rec_len <= len(body):
+                row: dict = dict(_INT_DEFAULTS)
+                row.update({
+                    "nf_type": "ipfix",
+                    "nf_src_addr": None, "nf_dst_addr": None,
+                    "nf_transport": "unknown", "nf_etype": "unknown",
+                    "nf_next_hop": None,
+                    "nf_sequence_num": seq, "nf_sampling_rate": 0,
+                })
+                proto = None
+                for ie, ln in fields:
+                    raw = body[p : p + ln]
+                    p += ln
+                    key = _IPFIX_IE.get(ie)
+                    if key is None:
+                        continue
+                    if key == "_src4":
+                        row["nf_src_addr"], row["nf_etype"] = _ip4(raw), "ipv4"
+                    elif key == "_dst4":
+                        row["nf_dst_addr"], row["nf_etype"] = _ip4(raw), "ipv4"
+                    elif key == "_src6":
+                        row["nf_src_addr"], row["nf_etype"] = _ip6(raw), "ipv6"
+                    elif key == "_dst6":
+                        row["nf_dst_addr"], row["nf_etype"] = _ip6(raw), "ipv6"
+                    elif key == "_hop4":
+                        row["nf_next_hop"] = _ip4(raw)
+                    elif key == "_proto":
+                        proto = int.from_bytes(raw, "big")
+                    else:
+                        row[key] = int.from_bytes(raw, "big")
+                if proto is not None:
+                    row["nf_transport"] = _transport(proto)
+                rows.append(row)
+    return rows
+
+
+def _nf_map(df: DataFrame, source: str, decode) -> DataFrame:
+    """mapInPandas fan-out: passthrough columns + one output row per flow
+    record; malformed packets drop. Identical shape to otlp_pb._pb_map —
+    kept local so the two modules stay independently importable."""
+    passthrough = [f for f in df.schema.fields if f.name != source]
+    names = [f.name for f in passthrough]
+    out_schema = T.StructType([*passthrough, *_NF_FIELDS])
+    out_names = [*names, *[f.name for f in _NF_FIELDS]]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                payload = rec[source]
+                if payload is None:
+                    continue
+                try:
+                    decoded = decode(bytes(payload))
+                except Exception:  # noqa: BLE001
+                    continue
+                base = {k: rec[k] for k in names}
+                rows.extend({**base, **d} for d in decoded)
+            yield pd.DataFrame(rows, columns=out_names)
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def parse_netflow_v5(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per NetFlow v5 flow record, attributes per parser.go:217-301."""
+    return _nf_map(df, source, decode_netflow_v5)
+
+
+def parse_ipfix(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per IPFIX data record (in-packet templates, RFC 7011)."""
+    return _nf_map(df, source, decode_ipfix)
+
+
+# --- deterministic fixtures ---------------------------------------------------
+
+
+def enc_netflow_v5(secs: int, seq: int, records: list[dict], uptime_ms: int = 3_600_000) -> bytes:
+    out = _V5_HEADER.pack(5, len(records), uptime_ms, secs, 0, seq, 0, 0, 0)
+    for r in records:
+        out += _V5_RECORD.pack(
+            bytes(r["src"]), bytes(r["dst"]), bytes(r.get("hop", [0, 0, 0, 0])),
+            r.get("in_if", 0), r.get("out_if", 0), r["pkts"], r["octets"],
+            r["first"], r["last"], r["sport"], r["dport"], 0,
+            r.get("flags", 0), r["proto"], r.get("tos", 0),
+            r.get("src_as", 0), r.get("dst_as", 0), 24, 24, 0,
+        )
+    return out
+
+
+def enc_ipfix(secs: int, seq: int, template: list[tuple[int, int]],
+              records: list[list[int | bytes]], template_id: int = 256) -> bytes:
+    tmpl_body = struct.pack(">HH", template_id, len(template))
+    for ie, ln in template:
+        tmpl_body += struct.pack(">HH", ie, ln)
+        if ie & 0x8000:  # enterprise IE: the 4-byte PEN follows (RFC 7011 §3.2)
+            tmpl_body += struct.pack(">I", 29305)
+    tmpl_set = struct.pack(">HH", 2, 4 + len(tmpl_body)) + tmpl_body
+    data_body = b""
+    for rec in records:
+        for (ie, ln), v in zip(template, rec):
+            data_body += bytes(v) if isinstance(v, (bytes, bytearray, list)) else int(v).to_bytes(ln, "big")
+    data_set = struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
+    body = tmpl_set + data_set
+    return struct.pack(">HHIII", 10, 16 + len(body), secs, seq, 1) + body
+
+
+def synthesize_netflow_v5(df: DataFrame) -> DataFrame:
+    """Deterministic v5 export packets from (event_id, user_id): one packet
+    per event carrying two flow records (a TCP/443 flow and a UDP/53 flow),
+    every field a pure function of the keys so the DuckDB oracle can
+    recompute the decoded table without touching the binary."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, users: pd.Series) -> pd.Series:
+        out = []
+        for i, u in zip(ids, users):
+            i, u = int(i), int(u)
+            secs = 1_700_000_000 + i % 86400
+            recs = []
+            for r in (0, 1):
+                recs.append({
+                    "src": bytes([10, u % 256, i % 256, r + 1]),
+                    "dst": bytes([192, 168, i % 256, u % 256]),
+                    "hop": bytes([10, 0, 0, 254]),
+                    "in_if": i % 8, "out_if": (i + 1) % 8,
+                    "pkts": i % 100 + 1,
+                    "octets": (i * 37 + r * 1000) % 100_000 + 40,
+                    "first": 3_600_000 - 10_000 - (i % 1000),
+                    "last": 3_600_000 - (i % 1000),
+                    "sport": 1024 + i % 1000,
+                    "dport": 443 if r == 0 else 53,
+                    "flags": 0x1B if r == 0 else 0,
+                    "proto": 6 if r == 0 else 17,
+                    "src_as": u % 64512, "dst_as": (u * 7) % 64512,
+                })
+            out.append(enc_netflow_v5(secs, i * 2, recs))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "user_id"))
+
+
+def synthesize_ipfix(df: DataFrame) -> DataFrame:
+    """Deterministic IPFIX packets: template set + two-record data set per
+    event. The template exercises reduced-size encoding (2-byte AS
+    numbers, 4-byte counters) and an unknown enterprise IE the decoder
+    must skip over without losing alignment."""
+    template = [
+        (8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+        (1, 4), (2, 4), (16, 2), (17, 2),
+        (152, 8), (153, 8),
+        (0x8000 | 100, 4),  # enterprise IE (PEN follows in template) -> skipped
+    ]
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, users: pd.Series) -> pd.Series:
+        out = []
+        for i, u in zip(ids, users):
+            i, u = int(i), int(u)
+            ms = (1_700_000_000 + i % 86400) * 1000
+            recs = []
+            for r in (0, 1):
+                recs.append([
+                    bytes([172, 16, u % 256, r + 1]),
+                    bytes([10, 0, i % 256, u % 256]),
+                    2048 + i % 500,
+                    8080 if r == 0 else 9092,
+                    6 if r == 0 else 132,
+                    (i * 53 + r * 7) % 1_000_000 + 64,
+                    i % 1000 + 1,
+                    u % 4096, (u * 3) % 4096,
+                    ms - 5000 - r, ms - r,
+                    (i + r).to_bytes(4, "big"),
+                ])
+            out.append(enc_ipfix(1_700_000_000 + i % 86400, i, template, recs))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "user_id"))

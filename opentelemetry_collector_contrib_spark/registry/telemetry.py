@@ -2633,6 +2633,38 @@ def q_remote_write(spark, sf_dir):
     return out.select("event_id", "rw_name", "rw_labels_csv", "rw_ts_ms", "rw_value")
 
 
+def q_netflow_v5(spark, sf_dir):
+    """NetFlow v5 export-packet decode (netflowreceiver parser.go:217-301
+    attribute surface): one row per 48-byte flow record, absolute flow
+    times reconstructed from sysuptime offsets, IANA transport names."""
+    from ..operators.netflow import parse_netflow_v5, synthesize_netflow_v5
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    out = parse_netflow_v5(synthesize_netflow_v5(ev), "payload")
+    return out.select(
+        "event_id", "nf_type", "nf_src_addr", "nf_src_port", "nf_dst_addr",
+        "nf_dst_port", "nf_transport", "nf_bytes", "nf_packets",
+        "nf_sequence_num", "nf_tcp_flags", "nf_src_as", "nf_dst_as",
+        "nf_next_hop", "nf_in_if", "nf_out_if", "nf_start_ms", "nf_end_ms",
+    )
+
+
+def q_ipfix(spark, sf_dir):
+    """IPFIX (RFC 7011) decode with in-packet templates: template set +
+    data set per export, reduced-size integer encoding, enterprise IE
+    skipped without losing record alignment."""
+    from ..operators.netflow import parse_ipfix, synthesize_ipfix
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    out = parse_ipfix(synthesize_ipfix(ev), "payload")
+    return out.select(
+        "event_id", "nf_type", "nf_etype", "nf_src_addr", "nf_src_port",
+        "nf_dst_addr", "nf_dst_port", "nf_transport", "nf_bytes",
+        "nf_packets", "nf_src_as", "nf_dst_as", "nf_start_ms", "nf_end_ms",
+        "nf_sequence_num",
+    )
+
+
 def q_signalfx_pb(spark, sf_dir):
     """SignalFx v2 datapoint protobuf (the sfxpb DataPointUploadMessage the
     signalfxreceiver unmarshals on /v2/datapoint): one row per datapoint,
@@ -3877,6 +3909,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_agg_attr_value": q_metric_agg_attr_value,
     "prom_remote_write_parse": q_remote_write,
     "signalfx_pb_parse": q_signalfx_pb,
+    "netflow_v5_parse": q_netflow_v5,
+    "ipfix_parse": q_ipfix,
     "splunk_hec_roundtrip": q_hec_roundtrip,
     "gcp_log_entry_parse": q_gcp_log_entry,
     "waf_log_parse": q_waf_log,
@@ -5307,6 +5341,53 @@ SELECT event_id,
     || ',job=j' || CAST(event_id % 3 AS VARCHAR) AS rw_labels_csv,
   ms + i * 15000 AS rw_ts_ms,
   CASE WHEN i = 0 THEN value ELSE value + 1.0 END AS rw_value
+FROM x"""
+
+    o["netflow_v5_parse"] = """
+WITH x AS (SELECT e.*, s.r, (1700000000 + event_id % 86400) * 1000 AS ms
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS r) s)
+SELECT event_id,
+  'netflow_v5' AS nf_type,
+  '10.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR)
+    || '.' || CAST(r + 1 AS VARCHAR) AS nf_src_addr,
+  CAST(1024 + event_id % 1000 AS INTEGER) AS nf_src_port,
+  '192.168.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR)
+    AS nf_dst_addr,
+  CAST(CASE WHEN r = 0 THEN 443 ELSE 53 END AS INTEGER) AS nf_dst_port,
+  CASE WHEN r = 0 THEN 'tcp' ELSE 'udp' END AS nf_transport,
+  (event_id * 37 + r * 1000) % 100000 + 40 AS nf_bytes,
+  event_id % 100 + 1 AS nf_packets,
+  event_id * 2 AS nf_sequence_num,
+  CAST(CASE WHEN r = 0 THEN 27 ELSE 0 END AS INTEGER) AS nf_tcp_flags,
+  user_id % 64512 AS nf_src_as,
+  (user_id * 7) % 64512 AS nf_dst_as,
+  '10.0.0.254' AS nf_next_hop,
+  event_id % 8 AS nf_in_if,
+  (event_id + 1) % 8 AS nf_out_if,
+  ms - 10000 - (event_id % 1000) AS nf_start_ms,
+  ms - (event_id % 1000) AS nf_end_ms
+FROM x"""
+
+    o["ipfix_parse"] = """
+WITH x AS (SELECT e.*, s.r, (1700000000 + event_id % 86400) * 1000 AS ms
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS r) s)
+SELECT event_id,
+  'ipfix' AS nf_type,
+  'ipv4' AS nf_etype,
+  '172.16.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(r + 1 AS VARCHAR)
+    AS nf_src_addr,
+  CAST(2048 + event_id % 500 AS INTEGER) AS nf_src_port,
+  '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR)
+    AS nf_dst_addr,
+  CAST(CASE WHEN r = 0 THEN 8080 ELSE 9092 END AS INTEGER) AS nf_dst_port,
+  CASE WHEN r = 0 THEN 'tcp' ELSE 'sctp' END AS nf_transport,
+  (event_id * 53 + r * 7) % 1000000 + 64 AS nf_bytes,
+  event_id % 1000 + 1 AS nf_packets,
+  user_id % 4096 AS nf_src_as,
+  (user_id * 3) % 4096 AS nf_dst_as,
+  ms - 5000 - r AS nf_start_ms,
+  ms - r AS nf_end_ms,
+  event_id AS nf_sequence_num
 FROM x"""
 
     o["signalfx_pb_parse"] = """

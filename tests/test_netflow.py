@@ -1,0 +1,168 @@
+"""NetFlow v5 / IPFIX decode kernels vs the netflowreceiver's attribute
+surface (receiver/netflowreceiver/parser.go:217-301, enum tables
+parser.go:21-192) and the public wire formats (Cisco NetFlow v5 fixed
+layout; IPFIX RFC 7011)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.netflow import (
+    decode_ipfix,
+    decode_netflow_v5,
+    enc_ipfix,
+    enc_netflow_v5,
+    parse_ipfix,
+    parse_netflow_v5,
+    synthesize_ipfix,
+    synthesize_netflow_v5,
+)
+
+_REC = {
+    "src": bytes([10, 1, 2, 3]), "dst": bytes([192, 168, 4, 5]),
+    "hop": bytes([10, 0, 0, 254]), "in_if": 3, "out_if": 4,
+    "pkts": 7, "octets": 500, "first": 3_590_000, "last": 3_599_000,
+    "sport": 1111, "dport": 443, "flags": 0x1B, "proto": 6,
+    "src_as": 100, "dst_as": 700,
+}
+
+
+def test_v5_decode_attribute_surface():
+    rows = decode_netflow_v5(enc_netflow_v5(1_700_000_123, 42, [_REC]))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["nf_type"] == "netflow_v5"
+    assert (r["nf_src_addr"], r["nf_src_port"]) == ("10.1.2.3", 1111)
+    assert (r["nf_dst_addr"], r["nf_dst_port"]) == ("192.168.4.5", 443)
+    assert r["nf_transport"] == "tcp" and r["nf_etype"] == "ipv4"
+    assert (r["nf_bytes"], r["nf_packets"]) == (500, 7)
+    assert r["nf_sequence_num"] == 42 and r["nf_tcp_flags"] == 0x1B
+    assert (r["nf_src_as"], r["nf_dst_as"]) == (100, 700)
+    assert r["nf_next_hop"] == "10.0.0.254"
+    # absolute time = export wall clock - (sys_uptime - offset)
+    assert r["nf_start_ms"] == 1_700_000_123_000 - 10_000
+    assert r["nf_end_ms"] == 1_700_000_123_000 - 1_000
+
+
+def test_v5_transport_name_table():
+    # parser.go getTransportName: known protocols by IANA name, else "unknown"
+    for proto, name in ((17, "udp"), (1, "icmp"), (132, "sctp"), (200, "unknown")):
+        rows = decode_netflow_v5(enc_netflow_v5(1, 0, [{**_REC, "proto": proto}]))
+        assert rows[0]["nf_transport"] == name
+
+
+def test_v5_sampling_mode_bits_masked():
+    # top 2 bits of the sampling field are the mode; rate is the low 14
+    pkt = bytearray(enc_netflow_v5(1, 0, [_REC]))
+    struct.pack_into(">H", pkt, 22, 0x4000 | 100)  # mode=1, rate=100
+    assert decode_netflow_v5(bytes(pkt))[0]["nf_sampling_rate"] == 100
+
+
+def test_v5_malformed_packets_raise():
+    pkt = enc_netflow_v5(1_700_000_000, 1, [_REC, _REC])
+    with pytest.raises(ValueError):
+        decode_netflow_v5(pkt[:10])  # short header
+    with pytest.raises(ValueError):
+        decode_netflow_v5(pkt[:-5])  # count says 2, payload holds fewer bytes
+    v9 = bytearray(pkt)
+    struct.pack_into(">H", v9, 0, 9)
+    with pytest.raises(ValueError):
+        decode_netflow_v5(bytes(v9))  # wrong version
+
+
+_TPL = [
+    (8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+    (1, 4), (2, 4), (16, 2), (17, 2), (152, 8), (153, 8),
+]
+
+
+def _ipfix_rec(sport=2100, proto=6):
+    ms = 1_700_000_123_000
+    return [
+        bytes([172, 16, 1, 1]), bytes([10, 0, 2, 3]), sport, 8080, proto,
+        999, 12, 77, 231, ms - 5000, ms,
+    ]
+
+
+def test_ipfix_template_and_data_in_one_packet():
+    rows = decode_ipfix(enc_ipfix(1_700_000_123, 9, _TPL, [_ipfix_rec(), _ipfix_rec(sport=2101)]))
+    assert [r["nf_src_port"] for r in rows] == [2100, 2101]
+    r = rows[0]
+    assert r["nf_type"] == "ipfix" and r["nf_etype"] == "ipv4"
+    assert (r["nf_src_addr"], r["nf_dst_addr"]) == ("172.16.1.1", "10.0.2.3")
+    assert r["nf_transport"] == "tcp"
+    # reduced-size encoding: 2-byte AS numbers decode as plain unsigned ints
+    assert (r["nf_src_as"], r["nf_dst_as"]) == (77, 231)
+    assert (r["nf_start_ms"], r["nf_end_ms"]) == (1_700_000_118_000, 1_700_000_123_000)
+    assert r["nf_sequence_num"] == 9
+
+
+def test_ipfix_enterprise_ie_skipped_without_misalignment():
+    tpl = [*_TPL, (0x8000 | 100, 4)]
+    rows = decode_ipfix(enc_ipfix(1, 0, tpl, [[*_ipfix_rec(), (7).to_bytes(4, "big")]]))
+    assert rows[0]["nf_src_port"] == 2100 and rows[0]["nf_dst_port"] == 8080
+
+
+def test_ipfix_ipv6_addresses():
+    tpl = [(27, 16), (28, 16), (7, 2)]
+    v6a = bytes.fromhex("20010db8000000000000000000000001")
+    v6b = bytes.fromhex("20010db8000000000000000000000002")
+    rows = decode_ipfix(enc_ipfix(1, 0, tpl, [[v6a, v6b, 80]]))
+    assert rows[0]["nf_src_addr"] == "2001:db8::1"
+    assert rows[0]["nf_dst_addr"] == "2001:db8::2"
+    assert rows[0]["nf_etype"] == "ipv6"
+
+
+def test_ipfix_orphan_data_set_skipped():
+    # data set whose template never arrived in this packet -> no rows, no guess
+    pkt = enc_ipfix(1, 0, _TPL, [_ipfix_rec()], template_id=256)
+    # retarget the data set header to template 999 (template set stays 256)
+    body = bytearray(pkt)
+    data_set_off = 16 + 4 + 4 + 4 * len(_TPL)  # header + tmpl set hdr + tmpl body
+    assert struct.unpack_from(">H", body, data_set_off)[0] == 256
+    struct.pack_into(">H", body, data_set_off, 999)
+    assert decode_ipfix(bytes(body)) == []
+
+
+def test_ipfix_trailing_padding_tolerated():
+    pkt = bytearray(enc_ipfix(1, 0, [(7, 2), (11, 2)], [[80, 443]]))
+    # grow the data set by 3 pad bytes (< one 4-byte record)
+    pkt += b"\x00\x00\x00"
+    struct.pack_into(">H", pkt, 2, len(pkt))          # packet length
+    struct.pack_into(">H", pkt, 16 + 4 + 4 + 8 + 2, 4 + 4 + 3)  # data set length
+    rows = decode_ipfix(bytes(pkt))
+    assert [(r["nf_src_port"], r["nf_dst_port"]) for r in rows] == [(80, 443)]
+
+
+def test_ipfix_malformed_raises():
+    pkt = enc_ipfix(1, 0, _TPL, [_ipfix_rec()])
+    with pytest.raises(ValueError):
+        decode_ipfix(pkt[:8])  # short header
+    with pytest.raises(ValueError):
+        decode_ipfix(pkt[:-3])  # declared length past payload end
+    v5 = bytearray(pkt)
+    struct.pack_into(">H", v5, 0, 5)
+    with pytest.raises(ValueError):
+        decode_ipfix(bytes(v5))
+
+
+def test_spark_roundtrip_and_malformed_rows_drop(spark):
+    df = spark.range(4).selectExpr("id AS event_id", "id % 2 AS user_id")
+    out = parse_netflow_v5(synthesize_netflow_v5(df), "payload")
+    rows = out.orderBy("event_id", "nf_dst_port").collect()
+    assert len(rows) == 8  # 2 flow records per packet
+    assert {r["nf_transport"] for r in rows} == {"tcp", "udp"}
+    # a corrupted payload drops its packet, keeps everyone else's
+    from pyspark.sql import functions as F
+
+    bad = synthesize_netflow_v5(df).withColumn(
+        "payload",
+        F.when(F.col("event_id") == 2, F.lit(b"\x00\x05garbage")).otherwise(F.col("payload")),
+    )
+    assert parse_netflow_v5(bad, "payload").count() == 6
+
+    out6 = parse_ipfix(synthesize_ipfix(df), "payload")
+    assert out6.count() == 8
+    assert out6.filter("nf_transport = 'sctp'").count() == 4

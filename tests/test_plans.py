@@ -297,3 +297,15 @@ def test_statsd_aggregate_bounded_exchanges(spark):
     for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, f"statsd plan contains {node}"
     assert re.search(r"partial", plan, re.IGNORECASE)
+
+
+@pytest.mark.parametrize("name", ["netflow_v5_parse", "ipfix_parse"])
+def test_netflow_decode_is_shuffle_free_arrow_map(spark, name):
+    """Flow-packet decode is a per-row fan-out: one Arrow-batched
+    mapInPandas over the scan, zero Exchange, no joins — the same shape as
+    the OTLP/SignalFx protobuf decoders, so it scales with splits."""
+    plan = plan_of(_query(name)(spark, SF))
+    assert n_exchanges(plan) == 0, tree_of(plan)
+    assert "MapInPandas" in plan, "decode kernel must be Arrow-batched mapInPandas"
+    for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython"):
+        assert node not in plan, f"{name} plan contains {node}"
