@@ -343,6 +343,172 @@ def enc_ipfix(secs: int, seq: int, template: list[tuple[int, int]],
     return struct.pack(">HHIII", 10, 16 + len(body), secs, seq, 1) + body
 
 
+# --- sFlow v5 (sflow.org version-5 spec, the third netflowreceiver scheme) ----
+
+
+def _parse_sampled_header(raw: bytes) -> dict:
+    """Decode the sampled raw-packet header record (record type 1):
+    Ethernet II frame -> IPv4 (or 802.1Q-tagged) -> TCP/UDP ports. Exactly
+    the reconstruction goflow2 performs to populate Src/DstAddr and ports
+    from an sFlow flow sample. Non-IPv4 payloads keep NULL addresses."""
+    out = {
+        "nf_src_addr": None, "nf_dst_addr": None, "nf_src_port": 0,
+        "nf_dst_port": 0, "nf_transport": "unknown", "nf_etype": "unknown",
+        "nf_tcp_flags": 0, "nf_ip_tos": 0,
+    }
+    if len(raw) < 14:
+        return out
+    etype = int.from_bytes(raw[12:14], "big")
+    off = 14
+    if etype == 0x8100 and len(raw) >= 18:  # 802.1Q tag
+        etype = int.from_bytes(raw[16:18], "big")
+        off = 18
+    out["nf_etype"] = ETYPE_NAMES.get(etype, "unknown")
+    if etype != 0x800 or len(raw) < off + 20:
+        return out
+    ihl = (raw[off] & 0x0F) * 4
+    out["nf_ip_tos"] = raw[off + 1]
+    proto = raw[off + 9]
+    out["nf_transport"] = _transport(proto)
+    out["nf_src_addr"] = _ip4(raw[off + 12 : off + 16])
+    out["nf_dst_addr"] = _ip4(raw[off + 16 : off + 20])
+    l4 = off + ihl
+    if proto in (6, 17, 132) and len(raw) >= l4 + 4:
+        out["nf_src_port"] = int.from_bytes(raw[l4 : l4 + 2], "big")
+        out["nf_dst_port"] = int.from_bytes(raw[l4 + 2 : l4 + 4], "big")
+        if proto == 6 and len(raw) >= l4 + 14:
+            out["nf_tcp_flags"] = raw[l4 + 13]
+    return out
+
+
+def decode_sflow(payload: bytes) -> list[dict]:
+    """One dict per flow sample in an sFlow v5 datagram.
+
+    Datagram: version=5(4) agent_ip_version(4) agent_ip(4|16) sub_agent(4)
+    seq(4) uptime_ms(4) n_samples(4); each sample: sample_type(4)
+    sample_len(4) + body. Flow sample (type 1): seq(4) source_id(4)
+    sampling_rate(4) sample_pool(4) drops(4) input_if(4) output_if(4)
+    n_records(4); each record: record_type(4) record_len(4) + body; record
+    type 1 = raw packet header: protocol(4) frame_length(4) stripped(4)
+    header_len(4) + header bytes (padded to 4). Counter samples (type 2)
+    and unknown record types skip by their declared length — same walk
+    goflow2's decoder performs. Everything is 4-byte-aligned XDR."""
+    if len(payload) < 28:
+        raise ValueError("short sflow datagram")
+    version, agent_af = struct.unpack_from(">II", payload, 0)
+    if version != 5:
+        raise ValueError(f"not an sflow v5 datagram: version={version}")
+    off = 8
+    addr_len = 4 if agent_af == 1 else 16
+    off += addr_len  # agent address
+    _sub_agent, seq, _uptime, n_samples = struct.unpack_from(">IIII", payload, off)
+    off += 16
+    rows: list[dict] = []
+    for _ in range(n_samples):
+        if off + 8 > len(payload):
+            raise ValueError("truncated sample header")
+        sample_type, sample_len = struct.unpack_from(">II", payload, off)
+        off += 8
+        if off + sample_len > len(payload):
+            raise ValueError("truncated sample body")
+        body = payload[off : off + sample_len]
+        off += sample_len
+        if sample_type != 1:  # counter / expanded samples: skip whole body
+            continue
+        if len(body) < 32:
+            raise ValueError("short flow sample")
+        (_fseq, _source_id, rate, _pool, _drops, in_if, out_if, n_recs) = struct.unpack_from(
+            ">IIIIIIII", body, 0
+        )
+        p = 32
+        row = {
+            **_INT_DEFAULTS,
+            "nf_type": "sflow_5",
+            "nf_src_addr": None, "nf_dst_addr": None,
+            "nf_transport": "unknown", "nf_etype": "unknown",
+            "nf_next_hop": None,
+            "nf_sequence_num": seq,
+            "nf_sampling_rate": rate,
+            "nf_in_if": in_if, "nf_out_if": out_if,
+        }
+        for _ in range(n_recs):
+            if p + 8 > len(body):
+                raise ValueError("truncated flow record")
+            rec_type, rec_len = struct.unpack_from(">II", body, p)
+            p += 8
+            rec = body[p : p + rec_len]
+            p += rec_len + ((4 - rec_len % 4) % 4)  # XDR pad
+            if rec_type == 1 and len(rec) >= 16:
+                _proto, frame_len, _stripped, hdr_len = struct.unpack_from(">IIII", rec, 0)
+                row["nf_bytes"] = frame_len
+                row["nf_packets"] = 1
+                row.update(_parse_sampled_header(rec[16 : 16 + hdr_len]))
+        rows.append(row)
+    return rows
+
+
+def parse_sflow(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per sFlow v5 flow sample (raw-header record reconstructed)."""
+    return _nf_map(df, source, decode_sflow)
+
+
+def enc_sflow(seq: int, samples: list[dict], agent_ip: bytes = b"\x0a\x00\x00\x01") -> bytes:
+    out = struct.pack(">II", 5, 1) + agent_ip + struct.pack(">IIII", 0, seq, 1000, len(samples))
+    for s in samples:
+        hdr = s["header"]
+        # record body = proto(1=ethernet) frame_len stripped hdr_len + header
+        pad = (4 - len(hdr) % 4) % 4
+        rec_body = struct.pack(">IIII", 1, s["frame_len"], s.get("stripped", 4), len(hdr)) + hdr + b"\x00" * pad
+        body = struct.pack(
+            ">IIIIIIII", s.get("fseq", 1), 1, s.get("rate", 1024), s.get("pool", 0),
+            s.get("drops", 0), s.get("in_if", 0), s.get("out_if", 0), 1
+        ) + struct.pack(">II", 1, len(rec_body)) + rec_body
+        out += struct.pack(">II", 1, len(body)) + body
+    return out
+
+
+def eth_ipv4_frame(src: bytes, dst: bytes, proto: int, sport: int, dport: int,
+                   tcp_flags: int = 0, tos: int = 0) -> bytes:
+    """Minimal Ethernet II + IPv4 + TCP/UDP header prefix (the part a
+    128-byte sFlow header sample actually captures)."""
+    eth = b"\x02\x00\x00\x00\x00\x01" + b"\x02\x00\x00\x00\x00\x02" + b"\x08\x00"
+    ip = bytes([0x45, tos]) + (40).to_bytes(2, "big") + b"\x00\x00\x40\x00" + bytes([64, proto]) + b"\x00\x00" + src + dst
+    if proto == 6:
+        l4 = sport.to_bytes(2, "big") + dport.to_bytes(2, "big") + b"\x00" * 9 + bytes([tcp_flags]) + b"\x00" * 6
+    else:
+        l4 = sport.to_bytes(2, "big") + dport.to_bytes(2, "big") + b"\x00\x08\x00\x00"
+    return eth + ip + l4
+
+
+def synthesize_sflow(df: DataFrame) -> DataFrame:
+    """Deterministic sFlow v5 datagrams from (event_id, user_id): one
+    datagram per event with two flow samples (TCP/8443 and UDP/514 frames
+    reconstructed from a sampled Ethernet+IPv4 header)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, users: pd.Series) -> pd.Series:
+        out = []
+        for i, u in zip(ids, users):
+            i, u = int(i), int(u)
+            samples = []
+            for r in (0, 1):
+                frame = eth_ipv4_frame(
+                    bytes([10, 1, u % 256, r + 1]), bytes([10, 2, i % 256, u % 256]),
+                    6 if r == 0 else 17,
+                    3000 + i % 2000, 8443 if r == 0 else 514,
+                    tcp_flags=0x18 if r == 0 else 0,
+                )
+                samples.append({
+                    "header": frame, "frame_len": 64 + (i * 13 + r) % 1400,
+                    "rate": 1 << (6 + r), "in_if": i % 16, "out_if": (i + 3) % 16,
+                    "fseq": i + r,
+                })
+            out.append(enc_sflow(i, samples))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "user_id"))
+
+
 def synthesize_netflow_v5(df: DataFrame) -> DataFrame:
     """Deterministic v5 export packets from (event_id, user_id): one packet
     per event carrying two flow records (a TCP/443 flow and a UDP/53 flow),

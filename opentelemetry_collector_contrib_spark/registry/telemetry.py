@@ -2665,6 +2665,22 @@ def q_ipfix(spark, sf_dir):
     )
 
 
+def q_sflow(spark, sf_dir):
+    """sFlow v5 datagram decode (the netflowreceiver's third scheme): one
+    row per flow sample, src/dst/ports reconstructed from the sampled
+    Ethernet+IPv4+L4 header record exactly as goflow2 does."""
+    from ..operators.netflow import parse_sflow, synthesize_sflow
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    out = parse_sflow(synthesize_sflow(ev), "payload")
+    return out.select(
+        "event_id", "nf_type", "nf_src_addr", "nf_src_port", "nf_dst_addr",
+        "nf_dst_port", "nf_transport", "nf_etype", "nf_bytes", "nf_packets",
+        "nf_sequence_num", "nf_sampling_rate", "nf_tcp_flags", "nf_in_if",
+        "nf_out_if",
+    )
+
+
 def q_signalfx_pb(spark, sf_dir):
     """SignalFx v2 datapoint protobuf (the sfxpb DataPointUploadMessage the
     signalfxreceiver unmarshals on /v2/datapoint): one row per datapoint,
@@ -3911,6 +3927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "signalfx_pb_parse": q_signalfx_pb,
     "netflow_v5_parse": q_netflow_v5,
     "ipfix_parse": q_ipfix,
+    "sflow_parse": q_sflow,
     "splunk_hec_roundtrip": q_hec_roundtrip,
     "gcp_log_entry_parse": q_gcp_log_entry,
     "waf_log_parse": q_waf_log,
@@ -5388,6 +5405,26 @@ SELECT event_id,
   ms - 5000 - r AS nf_start_ms,
   ms - r AS nf_end_ms,
   event_id AS nf_sequence_num
+FROM x"""
+
+    o["sflow_parse"] = """
+WITH x AS (SELECT e.*, s.r FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS r) s)
+SELECT event_id,
+  'sflow_5' AS nf_type,
+  '10.1.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(r + 1 AS VARCHAR) AS nf_src_addr,
+  CAST(3000 + event_id % 2000 AS INTEGER) AS nf_src_port,
+  '10.2.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR)
+    AS nf_dst_addr,
+  CAST(CASE WHEN r = 0 THEN 8443 ELSE 514 END AS INTEGER) AS nf_dst_port,
+  CASE WHEN r = 0 THEN 'tcp' ELSE 'udp' END AS nf_transport,
+  'ipv4' AS nf_etype,
+  64 + (event_id * 13 + r) % 1400 AS nf_bytes,
+  CAST(1 AS BIGINT) AS nf_packets,
+  event_id AS nf_sequence_num,
+  CAST(CASE WHEN r = 0 THEN 64 ELSE 128 END AS BIGINT) AS nf_sampling_rate,
+  CAST(CASE WHEN r = 0 THEN 24 ELSE 0 END AS INTEGER) AS nf_tcp_flags,
+  event_id % 16 AS nf_in_if,
+  (event_id + 3) % 16 AS nf_out_if
 FROM x"""
 
     o["signalfx_pb_parse"] = """

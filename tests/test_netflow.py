@@ -166,3 +166,74 @@ def test_spark_roundtrip_and_malformed_rows_drop(spark):
     out6 = parse_ipfix(synthesize_ipfix(df), "payload")
     assert out6.count() == 8
     assert out6.filter("nf_transport = 'sctp'").count() == 4
+
+
+# --- sFlow v5 -----------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.operators.netflow import (  # noqa: E402
+    decode_sflow,
+    enc_sflow,
+    eth_ipv4_frame,
+    parse_sflow,
+    synthesize_sflow,
+)
+
+
+def test_sflow_flow_sample_header_reconstruction():
+    frame = eth_ipv4_frame(bytes([10, 1, 5, 1]), bytes([10, 2, 9, 5]), 6, 3456, 8443,
+                           tcp_flags=0x18, tos=0x10)
+    pkt = enc_sflow(77, [{"header": frame, "frame_len": 900, "rate": 64,
+                          "in_if": 2, "out_if": 5}])
+    r, = decode_sflow(pkt)
+    assert r["nf_type"] == "sflow_5"
+    assert (r["nf_src_addr"], r["nf_src_port"]) == ("10.1.5.1", 3456)
+    assert (r["nf_dst_addr"], r["nf_dst_port"]) == ("10.2.9.5", 8443)
+    assert r["nf_transport"] == "tcp" and r["nf_etype"] == "ipv4"
+    assert r["nf_tcp_flags"] == 0x18 and r["nf_ip_tos"] == 0x10
+    assert (r["nf_bytes"], r["nf_packets"]) == (900, 1)
+    assert (r["nf_sequence_num"], r["nf_sampling_rate"]) == (77, 64)
+    assert (r["nf_in_if"], r["nf_out_if"]) == (2, 5)
+
+
+def test_sflow_vlan_tag_and_non_ip_frames():
+    frame = eth_ipv4_frame(bytes([10, 1, 1, 1]), bytes([10, 2, 2, 2]), 17, 68, 67)
+    vlan = frame[:12] + b"\x81\x00\x00\x05" + frame[12:]
+    r, = decode_sflow(enc_sflow(1, [{"header": vlan, "frame_len": 100}]))
+    assert r["nf_src_addr"] == "10.1.1.1" and r["nf_transport"] == "udp"
+    arp = frame[:12] + b"\x08\x06" + b"\x00" * 28
+    r, = decode_sflow(enc_sflow(1, [{"header": arp, "frame_len": 60}]))
+    assert r["nf_etype"] == "arp" and r["nf_src_addr"] is None and r["nf_src_port"] == 0
+
+
+def test_sflow_counter_sample_skipped():
+    frame = eth_ipv4_frame(bytes([10, 0, 0, 1]), bytes([10, 0, 0, 2]), 6, 1, 2)
+    pkt = bytearray(enc_sflow(3, [{"header": frame, "frame_len": 64}]))
+    # prepend a counter sample (type 2) before the flow sample; the
+    # datagram header is 28 bytes (version af agent sub_agent seq uptime n)
+    counter = struct.pack(">II", 2, 8) + b"\x00" * 8
+    body = bytearray(bytes(pkt[:28]) + counter + bytes(pkt[28:]))
+    struct.pack_into(">I", body, 24, 2)  # n_samples = 2
+    rows = decode_sflow(bytes(body))
+    assert len(rows) == 1 and rows[0]["nf_src_addr"] == "10.0.0.1"
+
+
+def test_sflow_malformed_raises():
+    frame = eth_ipv4_frame(bytes([10, 0, 0, 1]), bytes([10, 0, 0, 2]), 6, 1, 2)
+    pkt = enc_sflow(3, [{"header": frame, "frame_len": 64}])
+    with pytest.raises(ValueError):
+        decode_sflow(pkt[:10])
+    with pytest.raises(ValueError):
+        decode_sflow(pkt[:-4])
+    v4 = bytearray(pkt)
+    struct.pack_into(">I", v4, 0, 4)
+    with pytest.raises(ValueError):
+        decode_sflow(bytes(v4))
+
+
+def test_sflow_spark_roundtrip(spark):
+    df = spark.range(3).selectExpr("id AS event_id", "id + 10 AS user_id")
+    out = parse_sflow(synthesize_sflow(df), "payload")
+    rows = out.orderBy("event_id", "nf_dst_port").collect()
+    assert len(rows) == 6
+    assert {r["nf_dst_port"] for r in rows} == {8443, 514}
+    assert {r["nf_sampling_rate"] for r in rows} == {64, 128}
