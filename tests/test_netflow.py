@@ -237,3 +237,41 @@ def test_sflow_spark_roundtrip(spark):
     assert len(rows) == 6
     assert {r["nf_dst_port"] for r in rows} == {8443, 514}
     assert {r["nf_sampling_rate"] for r in rows} == {64, 128}
+
+
+def test_v5_vectorized_batch_equals_reference_decoder():
+    """The numpy batch path (used by parse_netflow_v5) must agree with the
+    per-packet reference decoder row for row — including which malformed
+    packets drop — on a mixed batch of variable-record packets."""
+    import random
+
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.operators.netflow import _v5_decode_batch
+
+    random.seed(11)
+    pkts = []
+    for i in range(300):
+        recs = [
+            {**_REC, "sport": 1000 + i, "dport": r, "proto": random.choice([6, 17, 200]),
+             "octets": i * 31 + r}
+            for r in range(random.randint(1, 9))
+        ]
+        pkts.append(enc_netflow_v5(1_700_000_000 + i, i, recs))
+    mixed = pkts + [b"\x00\x05garbage", None, pkts[0][:-7], b""]
+    pdf = pd.DataFrame({"k": range(len(mixed)), "payload": mixed})
+
+    ref = []
+    for k, p in enumerate(mixed):
+        if p is None:
+            continue
+        try:
+            decoded = decode_netflow_v5(bytes(p))
+        except ValueError:
+            continue
+        ref.extend({"k": k, **d} for d in decoded)
+    ref_df = pd.DataFrame(ref)
+    out = _v5_decode_batch(pdf["payload"], pdf, ["k"]).reset_index(drop=True)
+    assert list(out.columns) == list(ref_df.columns)
+    for c in out.columns:
+        assert ref_df[c].tolist() == out[c].tolist(), c
