@@ -2665,6 +2665,67 @@ def q_ipfix(spark, sf_dir):
     )
 
 
+def q_windows_event(spark, sf_dir):
+    """Windows Event Log XML render→parse round trip (windowseventlog
+    receiver's xml.go mapping): RenderingInfo level/task/opcode/keywords
+    override, parseSeverity rendered-name + numeric fallback, EventData
+    paramN anonymous numbering, optional Qualifiers/Execution/Security —
+    all as one native from_xml projection (no Python, no shuffle)."""
+    from ..operators.winevent import parse_windows_event, render_windows_event
+
+    e = _events(spark, sf_dir)
+    i, u = F.col("event_id"), F.col("user_id")
+    fixture = e.select(
+        "event_id",
+        (i % 4096 + 1000).alias("we_id"),
+        F.when(i % 3 == 0, F.lit(16384).cast("long")).alias("we_qualifiers"),
+        F.concat(F.lit("Prov-"), (u % 5).cast("string")).alias("we_provider"),
+        F.concat(F.lit("{0000-"), (u % 5).cast("string"), F.lit("}")).alias("we_provider_guid"),
+        (i % 3).cast("int").alias("we_version"),
+        (i % 6).cast("string").alias("we_level_raw"),
+        (i % 20).cast("string").alias("we_task_raw"),
+        (i % 4).cast("string").alias("we_opcode_raw"),
+        F.lit("0x8020000000000000").alias("we_keywords_raw"),
+        F.concat(
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            F.lit("Z"),
+        ).alias("we_system_time"),
+        (i + 100000).alias("we_record_id"),
+        F.when(u % 5 != 0, u + 100).alias("we_pid"),
+        F.when(u % 5 != 0, u + 200).alias("we_tid"),
+        F.when(i % 7 == 0, F.lit("Security")).otherwise("Application").alias("we_channel"),
+        F.concat(F.lit("host-"), (u % 10).cast("string")).alias("we_computer"),
+        F.when(i % 7 == 0, F.concat(F.lit("S-1-5-"), u.cast("string"))).alias("we_user_id"),
+        F.concat(
+            F.lit('<Data Name="k1">'), F.col("event_type"), F.lit("</Data>"),
+            F.lit('<Data Name="k2">'), (i % 50).cast("string"), F.lit("</Data>"),
+            F.when(i % 3 == 0, F.concat(F.lit("<Data>anon-"), i.cast("string"), F.lit("</Data>")))
+            .otherwise(""),
+        ).alias("we_data_xml"),
+        F.when(i % 2 == 0, F.concat(F.lit("msg "), F.col("event_type"))).alias("we_message"),
+        F.element_at(
+            F.array(F.lit("Information"), F.lit("Error"), F.lit("Warning"), F.lit("Critical")),
+            (u % 4 + 1).cast("int"),
+        ).alias("we_level_rendered"),
+        F.concat(F.lit("T"), (i % 20).cast("string")).alias("we_task_rendered"),
+        F.lit("Op").alias("we_opcode_rendered"),
+        F.concat(
+            F.lit("<Keyword>Audit Success</Keyword>"),
+            F.when(u % 2 == 0, F.lit("<Keyword>KW2</Keyword>")).otherwise(""),
+        ).alias("we_keywords_rendered_xml"),
+    )
+    out = parse_windows_event(
+        render_windows_event(fixture).select("event_id", "body"), "body"
+    )
+    return out.select(
+        "event_id", "we_id", "we_qualifiers", "we_provider", "we_provider_guid",
+        "we_computer", "we_channel", "we_record_id", "we_system_time", "we_ts_us",
+        "we_level", "we_task", "we_opcode", "we_keywords_csv", "we_severity",
+        "we_severity_num", "we_message", "we_event_data_csv", "we_user_id",
+        "we_pid", "we_tid", "we_version",
+    )
+
+
 def q_sflow(spark, sf_dir):
     """sFlow v5 datagram decode (the netflowreceiver's third scheme): one
     row per flow sample, src/dst/ports reconstructed from the sampled
@@ -3928,6 +3989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "netflow_v5_parse": q_netflow_v5,
     "ipfix_parse": q_ipfix,
     "sflow_parse": q_sflow,
+    "windows_event_parse": q_windows_event,
     "splunk_hec_roundtrip": q_hec_roundtrip,
     "gcp_log_entry_parse": q_gcp_log_entry,
     "waf_log_parse": q_waf_log,
@@ -5405,6 +5467,58 @@ SELECT event_id,
   ms - 5000 - r AS nf_start_ms,
   ms - r AS nf_end_ms,
   event_id AS nf_sequence_num
+FROM x"""
+
+    o["windows_event_parse"] = """
+WITH e AS (SELECT *, event_id AS i, user_id AS u FROM events),
+x AS (SELECT e.*,
+  CASE WHEN i % 2 = 0 THEN ['Information','Error','Warning','Critical'][CAST(u % 4 AS INTEGER) + 1] END AS rlevel
+FROM e)
+SELECT event_id,
+  i % 4096 + 1000 AS we_id,
+  CASE WHEN i % 3 = 0 THEN CAST(16384 AS BIGINT) END AS we_qualifiers,
+  'Prov-' || CAST(u % 5 AS VARCHAR) AS we_provider,
+  '{0000-' || CAST(u % 5 AS VARCHAR) || '}' AS we_provider_guid,
+  'host-' || CAST(u % 10 AS VARCHAR) AS we_computer,
+  CASE WHEN i % 7 = 0 THEN 'Security' ELSE 'Application' END AS we_channel,
+  i + 100000 AS we_record_id,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS we_system_time,
+  epoch_us(ts) AS we_ts_us,
+  CASE WHEN i % 2 = 0 THEN rlevel ELSE CAST(i % 6 AS VARCHAR) END AS we_level,
+  CASE WHEN i % 2 = 0 THEN 'T' || CAST(i % 20 AS VARCHAR) ELSE CAST(i % 20 AS VARCHAR) END AS we_task,
+  CASE WHEN i % 2 = 0 THEN 'Op' ELSE CAST(i % 4 AS VARCHAR) END AS we_opcode,
+  CASE WHEN i % 2 = 0
+       THEN 'Audit Success' || CASE WHEN u % 2 = 0 THEN ',KW2' ELSE '' END
+       ELSE '0x8020000000000000' END AS we_keywords_csv,
+  CASE WHEN i % 2 = 0 THEN
+    CASE rlevel WHEN 'Critical' THEN 'FATAL' WHEN 'Error' THEN 'ERROR'
+                WHEN 'Warning' THEN 'WARN' WHEN 'Information' THEN 'INFO'
+                ELSE 'DEFAULT' END
+  ELSE
+    CASE CAST(i % 6 AS VARCHAR) WHEN '1' THEN 'FATAL' WHEN '2' THEN 'ERROR'
+                                WHEN '3' THEN 'WARN' WHEN '4' THEN 'INFO'
+                                ELSE 'DEFAULT' END
+  END AS we_severity,
+  CAST(CASE
+    CASE WHEN i % 2 = 0 THEN
+      CASE rlevel WHEN 'Critical' THEN 'FATAL' WHEN 'Error' THEN 'ERROR'
+                  WHEN 'Warning' THEN 'WARN' WHEN 'Information' THEN 'INFO'
+                  ELSE 'DEFAULT' END
+    ELSE
+      CASE CAST(i % 6 AS VARCHAR) WHEN '1' THEN 'FATAL' WHEN '2' THEN 'ERROR'
+                                  WHEN '3' THEN 'WARN' WHEN '4' THEN 'INFO'
+                                  ELSE 'DEFAULT' END
+    END
+    WHEN 'FATAL' THEN 21 WHEN 'ERROR' THEN 17 WHEN 'WARN' THEN 13
+    WHEN 'INFO' THEN 9 ELSE 0 END AS INTEGER) AS we_severity_num,
+  CASE WHEN i % 2 = 0 THEN 'msg ' || event_type END AS we_message,
+  'k1=' || event_type || ',k2=' || CAST(i % 50 AS VARCHAR)
+    || CASE WHEN i % 3 = 0 THEN ',param1=anon-' || CAST(i AS VARCHAR) ELSE '' END
+    AS we_event_data_csv,
+  CASE WHEN i % 7 = 0 THEN 'S-1-5-' || CAST(u AS VARCHAR) END AS we_user_id,
+  CASE WHEN u % 5 != 0 THEN u + 100 END AS we_pid,
+  CASE WHEN u % 5 != 0 THEN u + 200 END AS we_tid,
+  CAST(i % 3 AS INTEGER) AS we_version
 FROM x"""
 
     o["sflow_parse"] = """
