@@ -332,6 +332,35 @@ def main() -> None:
 
         timed("q16_consistent_sampling", consistent_sampling)
 
+    # q17: NetFlow v5 flow-record decode throughput — the vectorized
+    # numpy-batch kernel over a cached packet spool (one packet per turn,
+    # 8 flow records each), fully materialized. flow records/s =
+    # 8 * n_rows / q17 seconds; compare the reference testbed's raw
+    # filelog ingest (200k-330k lines/s) where each "record" is a text
+    # line, not a binary flow record.
+    def netflow_decode():
+        from opentelemetry_collector_contrib_spark.operators.netflow import parse_netflow_v5
+
+        force(parse_netflow_v5(spark.read.parquet(nf_spool), "payload"))
+
+    if selected is None or "q17_netflow_decode" in selected:
+        from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
+        from opentelemetry_collector_contrib_spark.fixtures.transcripts import tier_dir
+        from opentelemetry_collector_contrib_spark.operators.netflow import synthesize_netflow_v5
+
+        tier = tier_for_sf_dir(sf_dir)
+        nf_spool = os.path.join(tier_dir(tier), "wire_netflow")
+        if not os.path.exists(os.path.join(nf_spool, "_SUCCESS")):
+            src = spark.read.parquet(ensure_tier(tier)).select(
+                (F.abs(F.xxhash64("conv_id")) % 1_000_000 + F.col("turn_idx")).alias("event_id"),
+                (F.abs(F.xxhash64("conv_id")) % 150).alias("user_id"),
+            )
+            synthesize_netflow_v5(src, records_per_packet=8).write.mode("overwrite").parquet(
+                nf_spool
+            )
+        spark.read.parquet(nf_spool).select(F.sum(F.octet_length("payload"))).collect()
+        timed("q17_netflow_decode", netflow_decode)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

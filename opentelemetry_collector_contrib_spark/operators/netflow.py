@@ -609,11 +609,13 @@ def synthesize_sflow(df: DataFrame) -> DataFrame:
     return df.withColumn("payload", gen("event_id", "user_id"))
 
 
-def synthesize_netflow_v5(df: DataFrame) -> DataFrame:
+def synthesize_netflow_v5(df: DataFrame, records_per_packet: int = 2) -> DataFrame:
     """Deterministic v5 export packets from (event_id, user_id): one packet
-    per event carrying two flow records (a TCP/443 flow and a UDP/53 flow),
-    every field a pure function of the keys so the DuckDB oracle can
-    recompute the decoded table without touching the binary."""
+    per event carrying `records_per_packet` flow records (record 0 a
+    TCP/443 flow, the rest UDP/53), every field a pure function of the keys
+    so the DuckDB oracle can recompute the decoded table without touching
+    the binary. The bench uses a higher record count to measure decode
+    throughput at realistic packet fill."""
 
     @F.pandas_udf(T.BinaryType())
     def gen(ids: pd.Series, users: pd.Series) -> pd.Series:
@@ -622,7 +624,7 @@ def synthesize_netflow_v5(df: DataFrame) -> DataFrame:
             i, u = int(i), int(u)
             secs = 1_700_000_000 + i % 86400
             recs = []
-            for r in (0, 1):
+            for r in range(records_per_packet):
                 recs.append({
                     "src": bytes([10, u % 256, i % 256, r + 1]),
                     "dst": bytes([192, 168, i % 256, u % 256]),
