@@ -2665,6 +2665,91 @@ def q_ipfix(spark, sf_dir):
     )
 
 
+def q_webhook_split(spark, sf_dir):
+    """webhookeventreceiver body handling: JSON-boundary splitting with
+    raw-text preservation and non-JSON fallback, include_headers_regex
+    header filtering into `header.<Name>` list attributes, query params
+    as resource attributes (empty values skipped)."""
+    from ..operators.event_ingest import webhook_events
+
+    e = _events(spark, sf_dir)
+    i = F.col("event_id")
+    fixture = e.select(
+        "event_id",
+        F.when(
+            i % 3 != 0,
+            F.concat(
+                F.lit('{"a":'), i.cast("string"), F.lit('} {"b":"'),
+                F.col("event_type"), F.lit('"}'),
+            ),
+        ).otherwise(F.concat(F.lit("plain text "), i.cast("string"))).alias("body"),
+        F.create_map(
+            F.lit("X-Keep"),
+            F.array(F.lit("v1"), F.concat(F.lit("u"), (F.col("user_id") % 7).cast("string"))),
+            F.lit("X-Secret"), F.array(F.lit("drop-me")),
+        ).alias("headers"),
+        F.create_map(
+            F.lit("src"), F.lit("hook"),
+            F.lit("empty"), F.lit(""),
+            F.lit("qid"), (i % 9).cast("string"),
+        ).alias("query"),
+    )
+    out = webhook_events(
+        fixture, "body", headers="headers", query="query",
+        split="json", include_headers_regex="^X-Keep",
+    )
+    return out.select("event_id", "wh_body", "wh_headers_csv", "wh_resource_csv")
+
+
+def q_osquery_logs(spark, sf_dir):
+    """osqueryreceiver queryToLogs: one record per result row, body = the
+    query text, attributes = the row's column map (sorted k=v render)."""
+    from ..operators.event_ingest import osquery_logs
+
+    e = _events(spark, sf_dir)
+    i = F.col("event_id")
+    fixture = e.select(
+        "event_id",
+        F.concat(F.lit("select * from processes where uid = "), (i % 10).cast("string")).alias(
+            "query"
+        ),
+        F.concat(
+            F.lit('[{"pid":"'), (i % 30000).cast("string"), F.lit('","name":"'),
+            F.col("event_type"), F.lit('"},{"pid":"'), (i % 30000 + 1).cast("string"),
+            F.lit('","name":"helper"}]'),
+        ).alias("rows_json"),
+    )
+    out = osquery_logs(fixture, "query", "rows_json")
+    return out.select("event_id", "os_body", "os_attrs_csv")
+
+
+def q_macos_logs(spark, sf_dir):
+    """macosunifiedloggingreceiver ndjson style: body passthrough,
+    timestamp parse of the fixed `-0700` layout, messageType → severity,
+    completion trailer lines dropped."""
+    from ..operators.event_ingest import macos_log_lines
+
+    e = _events(spark, sf_dir)
+    i = F.col("event_id")
+    mtype = F.element_at(
+        F.array(F.lit("Error"), F.lit("Fault"), F.lit("Default"), F.lit("Info"), F.lit("Debug")),
+        (i % 5 + 1).cast("int"),
+    )
+    fixture = e.select(
+        "event_id",
+        F.when(i % 10 == 0, F.lit('{"count":540659,"finished":1}')).otherwise(
+            F.concat(
+                F.lit('{"timestamp":"2023-10-12 08:15:'),
+                F.lpad((i % 60).cast("string"), 2, "0"),
+                F.lit('.123456-0700","messageType":"'), mtype,
+                F.lit('","eventMessage":"ev '), F.col("event_type"), F.lit('"}'),
+            )
+        ).alias("line"),
+    )
+    out = macos_log_lines(fixture, "line", fmt="ndjson")
+    return out.select("event_id", "ml_body", "ml_ts_us", "ml_severity_text", "ml_severity_num")
+
+
 def q_windows_event(spark, sf_dir):
     """Windows Event Log XML render→parse round trip (windowseventlog
     receiver's xml.go mapping): RenderingInfo level/task/opcode/keywords
@@ -3990,6 +4075,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ipfix_parse": q_ipfix,
     "sflow_parse": q_sflow,
     "windows_event_parse": q_windows_event,
+    "webhook_split_events": q_webhook_split,
+    "osquery_result_logs": q_osquery_logs,
+    "macos_unified_logs": q_macos_logs,
     "splunk_hec_roundtrip": q_hec_roundtrip,
     "gcp_log_entry_parse": q_gcp_log_entry,
     "waf_log_parse": q_waf_log,
@@ -5467,6 +5555,47 @@ SELECT event_id,
   ms - 5000 - r AS nf_start_ms,
   ms - r AS nf_end_ms,
   event_id AS nf_sequence_num
+FROM x"""
+
+    o["webhook_split_events"] = """
+WITH e AS (SELECT *, event_id AS i FROM events),
+parts AS (
+  SELECT i, event_id, user_id, event_type,
+         CASE WHEN i % 3 != 0 THEN 2 ELSE 1 END AS n
+  FROM e
+),
+x AS (SELECT p.*, s.r FROM parts p CROSS JOIN (SELECT unnest([1, 2]) AS r) s WHERE s.r <= p.n)
+SELECT event_id,
+  CASE WHEN i % 3 = 0 THEN 'plain text ' || CAST(i AS VARCHAR)
+       WHEN r = 1 THEN '{"a":' || CAST(i AS VARCHAR) || '}'
+       ELSE '{"b":"' || event_type || '"}' END AS wh_body,
+  'header.X-Keep=[v1|u' || CAST(user_id % 7 AS VARCHAR) || ']' AS wh_headers_csv,
+  'qid=' || CAST(i % 9 AS VARCHAR) || ',src=hook' AS wh_resource_csv
+FROM x"""
+
+    o["osquery_result_logs"] = """
+WITH x AS (SELECT e.*, s.r FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS r) s)
+SELECT event_id,
+  'select * from processes where uid = ' || CAST(event_id % 10 AS VARCHAR) AS os_body,
+  CASE WHEN r = 0
+       THEN 'name=' || event_type || ',pid=' || CAST(event_id % 30000 AS VARCHAR)
+       ELSE 'name=helper,pid=' || CAST(event_id % 30000 + 1 AS VARCHAR) END AS os_attrs_csv
+FROM x"""
+
+    o["macos_unified_logs"] = """
+WITH e AS (SELECT *, event_id AS i FROM events WHERE event_id % 10 != 0),
+x AS (SELECT e.*,
+  ['Error','Fault','Default','Info','Debug'][CAST(i % 5 AS INTEGER) + 1] AS mtype,
+  '2023-10-12 08:15:' || lpad(CAST(i % 60 AS VARCHAR), 2, '0') || '.123456-0700' AS tstr
+FROM e)
+SELECT event_id,
+  '{"timestamp":"' || tstr || '","messageType":"' || mtype
+    || '","eventMessage":"ev ' || event_type || '"}' AS ml_body,
+  epoch_us(strptime(tstr, '%Y-%m-%d %H:%M:%S.%f%z')) AS ml_ts_us,
+  mtype AS ml_severity_text,
+  CAST(CASE mtype WHEN 'Error' THEN 17 WHEN 'Fault' THEN 21 WHEN 'Default' THEN 9
+                  WHEN 'Info' THEN 9 WHEN 'Debug' THEN 5 ELSE 0 END AS INTEGER)
+    AS ml_severity_num
 FROM x"""
 
     o["windows_event_parse"] = """
