@@ -275,3 +275,28 @@ def test_v5_vectorized_batch_equals_reference_decoder():
     assert list(out.columns) == list(ref_df.columns)
     for c in out.columns:
         assert ref_df[c].tolist() == out[c].tolist(), c
+
+
+def test_netflow_stream_equals_batch_via_wire_spool(spark, tmp_path):
+    """The flow decoders are WIRE_DECODERS entries: an availableNow drain
+    over a payload spool must equal the batch parse of the same files."""
+    from opentelemetry_collector_contrib_spark.sources.file_source import wire_spool_source
+
+    df = spark.range(25).selectExpr("id AS event_id", "id % 7 AS user_id")
+    spool = str(tmp_path / "nf_spool")
+    synthesize_netflow_v5(df).write.parquet(spool)
+    batch = wire_spool_source(spark, spool, "netflow_v5")
+    sdf = wire_spool_source(spark, spool, "netflow_v5", streaming=True)
+    out = str(tmp_path / "out")
+    (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    cols = ["event_id", "nf_src_addr", "nf_dst_port", "nf_bytes", "nf_start_ms"]
+    got = spark.read.parquet(out).select(cols).collect()
+    want = batch.select(cols).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) == 50
