@@ -409,6 +409,36 @@ def q_curation_gopher(spark, sf_dir):
     return out.select("doc_id", "gopher_pass")
 
 
+def q_curation_url_filter(spark, sf_dir):
+    """C4/RefinedWeb URL front gate: domain-suffix blocklist (broadcast
+    DataFrame path — exploded suffix equi-join, blocked-subset-only
+    shuffle) + badword pattern, over synthesized per-doc URLs including a
+    suffix-trap domain (`bad.net.evil.io` must NOT match `bad.net`)."""
+    from ..operators.curation import url_filter
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    domain = (
+        F.when(i % 5 == 0, "ads.example.com")
+        .when(i % 5 == 1, "example.com")
+        .when(i % 5 == 2, "news.good.org")
+        .when(i % 5 == 3, "bad.net.evil.io")
+        .otherwise("fine.io")
+    )
+    fixture = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), domain, F.lit("/d/"), i.cast("string"),
+            F.when(i % 11 == 0, F.lit("/casino/x")).otherwise(""),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame([("example.com",), ("bad.net",)], "domain string")
+    out = url_filter(fixture, "url", blocked_domains=blocked, blocked_url_regex="/casino/")
+    return out.select(
+        "doc_id", "url", "uf_domain", "uf_blocked_domain", "uf_blocked_pattern", "uf_keep"
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed-ngram importance log-weights; target domain = src0 docs.
     Decimal-exact per-doc sums keep both engines bit-equal (the 64 bucket
@@ -580,6 +610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_balanced_sample": q_cluster_balance,
     "curation_repetition": q_curation_repetition,
     "curation_gopher": q_curation_gopher,
+    "curation_url_filter": q_curation_url_filter,
     "curation_dsir_weights": q_dsir_weights,
     "bpe_train_merges": q_bpe_merges,
     "bpe_encode_docs": q_bpe_encode,
@@ -696,6 +727,25 @@ SELECT doc_id,
    AND symbol_word_ratio <= 0.10 AND alpha_word_frac >= 0.80) AS gopher_pass
 FROM stats"""
     )
+
+    o["curation_url_filter"] = """
+WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'ads.example.com'
+       WHEN doc_id % 5 = 1 THEN 'example.com'
+       WHEN doc_id % 5 = 2 THEN 'news.good.org'
+       WHEN doc_id % 5 = 3 THEN 'bad.net.evil.io'
+       ELSE 'fine.io' END AS dom,
+  doc_id % 11 = 0 AS casino
+FROM documents),
+x AS (SELECT doc_id, dom, casino,
+  'https://' || dom || '/d/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN casino THEN '/casino/x' ELSE '' END AS url,
+  CASE WHEN dom IN ('ads.example.com', 'example.com') THEN 'example.com' END AS blk
+FROM d)
+SELECT doc_id, url, dom AS uf_domain, blk AS uf_blocked_domain,
+  casino AS uf_blocked_pattern,
+  (blk IS NULL AND NOT casino) AS uf_keep
+FROM x"""
 
     o["curation_train_split"] = """
 SELECT doc_id,

@@ -304,3 +304,53 @@ def test_train_split_accepts_fractions_that_sum_to_one_in_floats(spark):
     out = train_split(df, {f"s{i}": 1 / 6 for i in range(6)}).collect()
     assert all(r["split"] is not None for r in out)
     assert {r["split"] for r in out} <= {f"s{i}" for i in range(6)}
+
+
+# --- URL / domain blocklist gate ---------------------------------------------
+
+
+def test_url_filter_suffix_semantics_and_paths_agree(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import url_filter
+
+    urls = [
+        "https://ads.example.com/x",       # blocked via suffix example.com
+        "http://EXAMPLE.com/y",            # case-folded exact match
+        "https://sub.bad.net/a?q=1",       # blocked via suffix bad.net
+        "https://bad.net.evil.io/trap",    # suffix TRAP: must NOT match bad.net
+        "https://good.org/casino/page",    # domain fine, pattern hit
+        "https://fine.io/page",            # kept
+        "not a url at all",                # no host -> kept (NULL domain)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    lit = url_filter(df, "url", ["example.com", "bad.net"], blocked_url_regex="/casino/")
+    got = {r["url"]: (r["uf_blocked_domain"], r["uf_blocked_pattern"], r["uf_keep"])
+           for r in lit.collect()}
+    assert got["https://ads.example.com/x"] == ("example.com", False, False)
+    assert got["http://EXAMPLE.com/y"] == ("example.com", False, False)
+    assert got["https://sub.bad.net/a?q=1"] == ("bad.net", False, False)
+    assert got["https://bad.net.evil.io/trap"] == (None, False, True)
+    assert got["https://good.org/casino/page"] == (None, True, False)
+    assert got["https://fine.io/page"] == (None, False, True)
+    assert got["not a url at all"] == (None, False, True)
+
+    # DataFrame blocklist path (the UT1-scale join shape) must agree
+    blocked = spark.createDataFrame([("example.com",), ("bad.net",)], "domain string")
+    dfp = url_filter(df, "url", blocked, blocked_url_regex="/casino/")
+    got2 = {r["url"]: (r["uf_blocked_domain"], r["uf_blocked_pattern"], r["uf_keep"])
+            for r in dfp.collect()}
+    assert got2 == got
+
+
+def test_url_filter_literal_path_is_projection(spark):
+    import contextlib
+    import io
+
+    from opentelemetry_collector_contrib_spark.operators.curation import url_filter
+
+    df = spark.createDataFrame([("https://a.b/x",)], "url string")
+    out = url_filter(df, "url", ["b"], blocked_url_regex="z")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
