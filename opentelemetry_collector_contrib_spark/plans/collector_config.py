@@ -109,15 +109,37 @@ def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[
     filelog = receivers.get("filelog") or {}
     if not isinstance(filelog, dict):
         raise ValueError("receivers.filelog must be a mapping")
+    netflow = receivers.get("netflow") or {}
+    if not isinstance(netflow, dict):
+        raise ValueError("receivers.netflow must be a mapping")
     if source_path is not None:
         spec["source"] = {"path": source_path}
+    elif "netflow" in receivers:
+        # receiver/netflowreceiver config.go:40-50: scheme is netflow or
+        # sflow (the netflow scheme covers both v5 and ipfix exports);
+        # the UDP socket is out of scope, so `spool` points at the payload
+        # table the network bridge lands packets in.
+        spool = netflow.get("spool")
+        if not spool:
+            raise ValueError("netflow receiver needs spool (payload table path)")
+        scheme = netflow.get("scheme", "netflow")
+        if scheme not in ("netflow", "sflow"):
+            raise ValueError("scheme must be netflow or sflow")
+        if scheme == "sflow":
+            wire = "sflow"
+        else:
+            fmt = netflow.get("format", "v5")
+            if fmt not in ("v5", "ipfix"):
+                raise ValueError("netflow format must be v5 or ipfix")
+            wire = "netflow_v5" if fmt == "v5" else "ipfix"
+        spec["source"] = {"wire_spool": spool, "wire": wire}
     elif "filelog" in receivers:
         include = filelog.get("include") or []
         if not include or not isinstance(include, list):
             raise ValueError("filelog receiver needs include[]")
         spec["source"] = {"path": include[0] if len(include) == 1 else include}
     else:
-        raise ValueError("no supported receiver (filelog) and no source_path override")
+        raise ValueError("no supported receiver (filelog/netflow) and no source_path override")
 
     stanza_ops = filelog.get("operators")
     if stanza_ops:

@@ -56,8 +56,17 @@ def validate_spec(spec: dict[str, Any]) -> None:
     sections, empty route tables, condition-less routes, and bad OTTL all
     fail at build time, never mid-job."""
     src = spec.get("source")
-    if not isinstance(src, dict) or not ("path" in src or "table" in src):
-        raise ValueError("source.path or source.table is required")
+    if not isinstance(src, dict) or not (
+        "path" in src or "table" in src or "wire_spool" in src
+    ):
+        raise ValueError("source.path, source.table, or source.wire_spool is required")
+    if "wire_spool" in src:
+        from ..sources.file_source import WIRE_DECODERS
+
+        if src.get("wire") not in WIRE_DECODERS:
+            raise ValueError(
+                f"source.wire must be one of {sorted(WIRE_DECODERS)}, got {src.get('wire')!r}"
+            )
     _validate_sections(spec)
 
 
@@ -186,6 +195,16 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     validate_spec(spec)
 
     src = spec["source"]
+    if "wire_spool" in src:
+        # binary-wire receiver: the decoder IS the parse stage; processors
+        # below see the decoded columns (nf_*, ff_*, ol_* ...)
+        from ..sources.file_source import wire_spool_source
+
+        df = wire_spool_source(spark, src["wire_spool"], src["wire"])
+        # decoded wire rows are not transcripts: the stable turn-order
+        # window has no conv_id/turn_idx to order on
+        spec = {**spec, "order": spec.get("order", {"enabled": False})}
+        return _apply_sections(spark, df, spec)
     df = spark.read.parquet(src["path"]) if "path" in src else spark.read.table(src["table"])
 
     if spec.get("stanza_operators"):

@@ -203,3 +203,54 @@ def test_service_graph_cycle_fails(spark):
     }
     with pytest.raises(ValueError, match="cyclic service graph"):
         build_service(spark, svc)
+
+
+NETFLOW_YAML = """
+receivers:
+  netflow:
+    scheme: netflow
+    format: v5
+    spool: __SPOOL__
+processors:
+  filter:
+    logs:
+      log_record:
+        - nf_transport == "udp"
+exporters:
+  file:
+    path: /tmp/out
+service:
+  pipelines:
+    logs:
+      receivers: [netflow]
+      processors: [filter]
+      exporters: [file]
+"""
+
+
+def test_netflow_receiver_yaml_pipeline(spark, tmp_path):
+    """A collector config with a netflow receiver builds a pipeline whose
+    parse stage IS the flow decoder; processors see nf_* columns."""
+    from opentelemetry_collector_contrib_spark.operators.netflow import synthesize_netflow_v5
+
+    spool = str(tmp_path / "nf")
+    src = spark.range(20).selectExpr("id AS event_id", "id % 3 AS user_id")
+    synthesize_netflow_v5(src).write.parquet(spool)
+    yaml_doc = NETFLOW_YAML.replace("__SPOOL__", spool)
+    spec = spec_from_collector_yaml(yaml_doc)
+    assert spec["source"] == {"wire_spool": spool, "wire": "netflow_v5"}
+    df = build_from_collector_yaml(spark, yaml_doc)
+    # 2 records per packet; the filter drops the UDP one
+    assert df.count() == 20
+    assert df.filter(df.nf_transport != "tcp").count() == 0
+
+
+def test_netflow_receiver_yaml_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spool"):
+        spec_from_collector_yaml("receivers:\n  netflow: {scheme: netflow}\n")
+    with _pytest.raises(ValueError, match="scheme"):
+        spec_from_collector_yaml("receivers:\n  netflow: {scheme: tcp, spool: /x}\n")
+    with _pytest.raises(ValueError, match="format"):
+        spec_from_collector_yaml("receivers:\n  netflow: {spool: /x, format: v9}\n")
