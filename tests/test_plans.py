@@ -309,3 +309,45 @@ def test_netflow_decode_is_shuffle_free_arrow_map(spark, name):
     assert "MapInPandas" in plan, "decode kernel must be Arrow-batched mapInPandas"
     for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython"):
         assert node not in plan, f"{name} plan contains {node}"
+
+
+def test_windows_event_parse_native_projection(spark):
+    """Event XML parse is one from_xml projection: zero Exchange, zero
+    Python of any kind — the whole query including the render fixture is
+    JVM-side expression eval."""
+    plan = plan_of(_query("windows_event_parse")(spark, SF))
+    assert n_exchanges(plan) == 0, tree_of(plan)
+    for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"plan contains {node}"
+
+
+@pytest.mark.parametrize("name", ["osquery_result_logs", "macos_unified_logs"])
+def test_event_ingest_native_queries_shuffle_free(spark, name):
+    """osquery row fan-out (from_json + explode) and the macOS line
+    mapping are fully native scan->project(->generate) chains."""
+    plan = plan_of(_query(name)(spark, SF))
+    assert n_exchanges(plan) == 0, tree_of(plan)
+    for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"{name} plan contains {node}"
+
+
+def test_webhook_split_is_arrow_batched_no_shuffle(spark):
+    """The JSON-boundary splitter is the one honest Python piece
+    (streaming raw_decode has no Catalyst equivalent) — Arrow-batched,
+    zero Exchange, no row-at-a-time Python."""
+    plan = plan_of(_query("webhook_split_events")(spark, SF))
+    assert n_exchanges(plan) == 0, tree_of(plan)
+    assert "ArrowEvalPython" in plan
+    for node in (*FORBIDDEN, "SortMergeJoin", "BatchEvalPython"):
+        assert node not in plan, f"plan contains {node}"
+
+
+def test_url_filter_query_blocked_subset_shuffle_only(spark):
+    """The DataFrame-blocklist URL gate: one broadcast equi-join over the
+    exploded suffixes; the only Exchanges belong to the blocked-subset
+    aggregation + its rejoin — never a nested loop."""
+    plan = plan_of(_query("curation_url_filter")(spark, SF))
+    for node in (*FORBIDDEN, "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, f"plan contains {node}"
+    assert "BroadcastHashJoin" in plan, "blocklist join lost its broadcast"
+    assert n_exchanges(plan) <= 3, tree_of(plan)
