@@ -2665,6 +2665,24 @@ def q_ipfix(spark, sf_dir):
     )
 
 
+def q_envoy_als(spark, sf_dir):
+    """Envoy ALS StreamAccessLogsMessage decode (envoyalsreceiver
+    server.go:63-99 surface, structured beyond its debug-string body):
+    one row per HTTP/TCP entry — identifier log_name, timings, request/
+    response properties, downstream address, cluster/route."""
+    from ..operators.envoy_als import parse_envoy_als, synthesize_envoy_als
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    out = parse_envoy_als(synthesize_envoy_als(ev), "payload")
+    return out.select(
+        "event_id", "ea_type", "ea_log_name", "ea_start_us", "ea_duration_us",
+        "ea_protocol", "ea_method", "ea_scheme", "ea_authority", "ea_path",
+        "ea_user_agent", "ea_request_id", "ea_down_addr", "ea_down_port",
+        "ea_upstream_cluster", "ea_route_name", "ea_req_body_bytes",
+        "ea_resp_code", "ea_resp_body_bytes", "ea_rx_bytes", "ea_tx_bytes",
+    )
+
+
 def q_webhook_split(spark, sf_dir):
     """webhookeventreceiver body handling: JSON-boundary splitting with
     raw-text preservation and non-JSON fallback, include_headers_regex
@@ -4076,6 +4094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sflow_parse": q_sflow,
     "windows_event_parse": q_windows_event,
     "webhook_split_events": q_webhook_split,
+    "envoy_als_entries": q_envoy_als,
     "osquery_result_logs": q_osquery_logs,
     "macos_unified_logs": q_macos_logs,
     "splunk_hec_roundtrip": q_hec_roundtrip,
@@ -5555,6 +5574,34 @@ SELECT event_id,
   ms - 5000 - r AS nf_start_ms,
   ms - r AS nf_end_ms,
   event_id AS nf_sequence_num
+FROM x"""
+
+    o["envoy_als_entries"] = """
+WITH e AS (SELECT *, event_id AS i, user_id AS u,
+  (1700000000 + event_id % 86400) * 1000000 + (event_id % 1000) * 1000 AS us
+FROM events),
+x AS (SELECT e.*, s.k FROM e CROSS JOIN (SELECT unnest(['http', 'tcp']) AS k) s)
+SELECT event_id,
+  k AS ea_type,
+  'als-' || CAST(u % 3 AS VARCHAR) AS ea_log_name,
+  us AS ea_start_us,
+  CASE WHEN k = 'http' THEN (i % 500 + 1) * 1000 ELSE 0 END AS ea_duration_us,
+  CASE WHEN k = 'http' THEN CASE WHEN i % 2 = 0 THEN 'HTTP3' ELSE 'HTTP2' END END AS ea_protocol,
+  CASE WHEN k = 'http' THEN CASE WHEN i % 4 = 0 THEN 'POST' ELSE 'GET' END END AS ea_method,
+  CASE WHEN k = 'http' THEN 'https' END AS ea_scheme,
+  CASE WHEN k = 'http' THEN 'svc-' || CAST(u % 5 AS VARCHAR) || '.internal' END AS ea_authority,
+  CASE WHEN k = 'http' THEN '/api/v' || CAST(i % 3 AS VARCHAR) || '/items/' || CAST(i % 100 AS VARCHAR) END AS ea_path,
+  CASE WHEN k = 'http' THEN 'client/' || CAST(u % 7 AS VARCHAR) END AS ea_user_agent,
+  CASE WHEN k = 'http' THEN 'req-' || CAST(i AS VARCHAR) END AS ea_request_id,
+  '10.' || CAST(u % 256 AS VARCHAR) || '.' || CAST(i % 256 AS VARCHAR) || '.9' AS ea_down_addr,
+  CAST(40000 + i % 1000 AS INTEGER) AS ea_down_port,
+  'cl-' || CAST(u % 4 AS VARCHAR) AS ea_upstream_cluster,
+  CASE WHEN k = 'http' THEN 'route-' || CAST(i % 6 AS VARCHAR) END AS ea_route_name,
+  CASE WHEN k = 'http' THEN (i * 17) % 4000 ELSE 0 END AS ea_req_body_bytes,
+  CAST(CASE WHEN k = 'http' THEN CASE WHEN i % 10 = 0 THEN 503 ELSE 200 END ELSE 0 END AS INTEGER) AS ea_resp_code,
+  CASE WHEN k = 'http' THEN (i * 31) % 100000 ELSE 0 END AS ea_resp_body_bytes,
+  CASE WHEN k = 'tcp' THEN (i * 7) % 50000 ELSE 0 END AS ea_rx_bytes,
+  CASE WHEN k = 'tcp' THEN (i * 11) % 50000 ELSE 0 END AS ea_tx_bytes
 FROM x"""
 
     o["webhook_split_events"] = """
