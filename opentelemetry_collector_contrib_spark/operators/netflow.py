@@ -501,6 +501,8 @@ def decode_sflow(payload: bytes) -> list[dict]:
     off = 8
     addr_len = 4 if agent_af == 1 else 16
     off += addr_len  # agent address
+    if len(payload) < off + 16:
+        raise ValueError("short sflow datagram header")
     _sub_agent, seq, _uptime, n_samples = struct.unpack_from(">IIII", payload, off)
     off += 16
     rows: list[dict] = []
