@@ -124,6 +124,28 @@ GROK_PATTERNS: dict[str, str] = {
         r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
     ),
     "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    # remainder of the legacy grok-patterns base set (public logstash
+    # patterns file / go-grok defaults), closing the library to the names
+    # a stock ExtractGrokPatterns config can reference:
+    "BASE16FLOAT": r"\b(?:0[xX])?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b",
+    "MONTHNUM2": r"0[1-9]|1[0-2]",
+    "ISO8601_SECOND": r"%{SECOND}",
+    "HOST": r"%{HOSTNAME}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)",
+    "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    # modern aliases (the patterns file renamed the apache pair)
+    "HTTPD_COMMONLOG": r"%{COMMONAPACHELOG}",
+    "HTTPD_COMBINEDLOG": r"%{COMBINEDAPACHELOG}",
 }
 
 _GROK_TYPES = {"int": "bigint", "long": "bigint", "float": "double",

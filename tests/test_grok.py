@@ -206,3 +206,45 @@ def test_typed_capture_bad_values_null_not_abort(spark):
     fv = {r["id"]: r["f"] for r in grok_parser_vectorized(fdf, "line", fpat).collect()}
     fexpect = {1: 1.5, 2: 1000.0, 3: None}
     assert fn == fexpect and fv == fexpect
+
+
+def test_base_library_extension_names_compile_and_match():
+    """The remainder of the legacy grok-patterns base set: every name
+    compiles through the translator and matches a canonical sample."""
+    import re as _re
+
+    from opentelemetry_collector_contrib_spark.operators.grok import (
+        GROK_PATTERNS,
+        compile_grok,
+    )
+
+    samples = {
+        "BASE16FLOAT": "0x1A.f3",
+        "MONTHNUM2": "09",
+        "ISO8601_SECOND": "59",
+        "HOST": "api.example.com",
+        "MAC": "001B.6300.1234",
+        "CISCOMAC": "001B.6300.1234",
+        "WINDOWSMAC": "00-1B-63-00-12-34",
+        "TTY": "/dev/pts/3",
+        "URN": "urn:ietf:rfc:2648",
+        "SYSLOGFACILITY": "<13.5>",
+        "HTTPDUSER": "alice@example.com",
+        "HTTPDERROR_DATE": "Mon Oct 12 08:15:23 2023",
+        "DATESTAMP_RFC822": "Mon Oct 12 2023 08:15:23 UTC",
+        "DATESTAMP_RFC2822": "Mon, 12 Oct 2023 08:15:23 +00:00",
+        "DATESTAMP_OTHER": "Mon Oct 12 08:15:23 UTC 2023",
+        "DATESTAMP_EVENTLOG": "20231012081523",
+        "HTTPD_COMMONLOG": '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326',
+        "HTTPD_COMBINEDLOG": (
+            '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 2326'
+            ' "http://ref" "UA/1.0"'
+        ),
+    }
+    assert set(samples) <= set(GROK_PATTERNS)
+    for name, sample in samples.items():
+        # named_captures_only=True: bare refs expand non-capturing, so
+        # composite patterns with repeated sub-patterns (TIME inside
+        # RFC2822, USER twice in the apache line) stay duplicate-free
+        cg = compile_grok(f"^%{{{name}:f}}$", named_captures_only=True)
+        assert _re.match(cg.regex, sample), f"{name} failed on {sample!r}"
