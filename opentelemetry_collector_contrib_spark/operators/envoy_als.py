@@ -27,6 +27,16 @@ from pyspark.sql import types as T
 
 from .otlp_pb import _b, _enc_varint, _fields, _ld, _pb_map, _tag
 
+
+def _i63(v: int) -> int:
+    """Byte counters are uint64 on the wire but land in LongType columns;
+    a value >= 2^63 would abort the task at Arrow conversion instead of
+    dropping the one malformed message — raise so _pb_map drops it."""
+    v = int(v)
+    if v >> 63:
+        raise ValueError(f"counter {v} exceeds int64")
+    return v
+
 # core.v3.RequestMethod / HTTPAccessLogEntry.HTTPVersion enums
 _METHODS = {
     0: "METHOD_UNSPECIFIED", 1: "GET", 2: "HEAD", 3: "POST", 4: "PUT",
@@ -68,7 +78,7 @@ def _dec_socket_address(buf: bytes) -> tuple[str | None, int]:
                 if f2 == 2:
                     addr = _b(v2).decode("utf-8", errors="replace")
                 elif f2 == 3:
-                    port = int(v2)
+                    port = int(v2) & 0x7FFFFFFF  # int32 column; mask corrupt varints
             return addr, port
     return None, 0
 
@@ -81,7 +91,7 @@ def _dec_ts_us(buf: bytes) -> int:
             secs = int(v)
         elif f == 2:
             nanos = int(v)
-    return secs * 1_000_000 + nanos // 1000
+    return _i63(secs * 1_000_000 + nanos // 1000)
 
 
 def _dec_common(buf: bytes, row: dict) -> None:
@@ -161,16 +171,16 @@ def decode_als_message(payload: bytes) -> list[dict]:
                     elif f2 == 9:
                         row["ea_request_id"] = _b(v2).decode("utf-8", errors="replace")
                     elif f2 == 12:
-                        row["ea_req_body_bytes"] = int(v2)
+                        row["ea_req_body_bytes"] = _i63(v2)
             elif f == 4:
                 for f2, _, v2 in _fields(_b(v)):
                     if f2 == 1:
                         # response_code is a google.protobuf.UInt32Value
                         for f3, _, v3 in _fields(_b(v2)):
                             if f3 == 1:
-                                row["ea_resp_code"] = int(v3)
+                                row["ea_resp_code"] = int(v3) & 0x7FFFFFFF
                     elif f2 == 3:
-                        row["ea_resp_body_bytes"] = int(v2)
+                        row["ea_resp_body_bytes"] = _i63(v2)
         rows.append(row)
     for entry in tcp_entries:
         row = _new_row("tcp", log_name)
@@ -180,9 +190,9 @@ def decode_als_message(payload: bytes) -> list[dict]:
             elif f == 2:
                 for f2, _, v2 in _fields(_b(v)):
                     if f2 == 1:
-                        row["ea_rx_bytes"] = int(v2)
+                        row["ea_rx_bytes"] = _i63(v2)
                     elif f2 == 2:
-                        row["ea_tx_bytes"] = int(v2)
+                        row["ea_tx_bytes"] = _i63(v2)
         rows.append(row)
     return rows
 

@@ -90,14 +90,22 @@ def webhook_events(
         raise ValueError(f"unknown split mode {split!r}")
     out = df.withColumn("wh_body", F.explode(parts))
     if headers is not None and include_headers_regex is not None:
+        # native HOFs with the regex as a Column literal — splicing the
+        # pattern into a SQL expr string would mangle backslash classes
+        # (\\d collapses under SQL literal escaping) and break on quotes
+        matched = F.map_filter(
+            F.col(headers), lambda k, v: k.rlike(include_headers_regex)
+        )
         out = out.withColumn(
             "wh_headers_csv",
             F.array_join(
                 F.sort_array(
-                    F.expr(
-                        "transform(map_entries("
-                        f"map_filter({headers}, (k, v) -> k rlike '{include_headers_regex}')"
-                        "), e -> concat('header.', e.key, '=[', array_join(e.value, '|'), ']'))"
+                    F.transform(
+                        F.map_entries(matched),
+                        lambda e: F.concat(
+                            F.lit("header."), e.getField("key"), F.lit("=["),
+                            F.array_join(e.getField("value"), "|"), F.lit("]"),
+                        ),
                     )
                 ),
                 ",",

@@ -135,7 +135,9 @@ GROK_PATTERNS: dict[str, str] = {
     "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
     "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
     "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)",
-    "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
+    # single % before the hex escape: the compiler treats '%' not followed
+    # by '{' as a literal, so no doubling (percent-encoded chars must match)
+    "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
     "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
     "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
     "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",

@@ -187,6 +187,17 @@ def _ip6(raw: bytes) -> str:
     return str(ipaddress.IPv6Address(raw))
 
 
+def _i64(v: int, bits: int = 63) -> int:
+    """Guard a decoded unsigned integer against the output column's signed
+    range. A value that cannot represent (>= 2^63 for bigint, >= 2^31 for
+    int columns) marks the packet corrupt — raising here keeps the
+    'malformed packets drop' contract; letting it through would abort the
+    whole task at Arrow conversion instead of dropping one packet."""
+    if v >> bits:
+        raise ValueError(f"IE value {v} exceeds the {bits + 1}-bit signed column range")
+    return v
+
+
 def decode_ipfix(payload: bytes) -> list[dict]:
     """One dict per data record in an IPFIX export packet (RFC 7011).
 
@@ -267,7 +278,11 @@ def decode_ipfix(payload: bytes) -> list[dict]:
                     elif key == "_proto":
                         proto = int.from_bytes(raw, "big")
                     else:
-                        row[key] = int.from_bytes(raw, "big")
+                        # int columns (ports/flags/tos) guard at 31 bits,
+                        # long columns at 63 — oversize = corrupt packet
+                        bits = 31 if key in ("nf_src_port", "nf_dst_port",
+                                             "nf_tcp_flags", "nf_ip_tos") else 63
+                        row[key] = _i64(int.from_bytes(raw, "big"), bits)
                 if proto is not None:
                     row["nf_transport"] = _transport(proto)
                 rows.append(row)
@@ -361,29 +376,11 @@ def _v5_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.DataFr
 
 def _nf_map(df: DataFrame, source: str, decode) -> DataFrame:
     """mapInPandas fan-out: passthrough columns + one output row per flow
-    record; malformed packets drop. Identical shape to otlp_pb._pb_map —
-    kept local so the two modules stay independently importable."""
-    passthrough = [f for f in df.schema.fields if f.name != source]
-    names = [f.name for f in passthrough]
-    out_schema = T.StructType([*passthrough, *_NF_FIELDS])
-    out_names = [*names, *[f.name for f in _NF_FIELDS]]
+    record; malformed packets drop. Delegates to the shared otlp_pb
+    kernel so per-payload guard fixes apply in exactly one place."""
+    from .otlp_pb import _pb_map
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                payload = rec[source]
-                if payload is None:
-                    continue
-                try:
-                    decoded = decode(bytes(payload))
-                except Exception:  # noqa: BLE001
-                    continue
-                base = {k: rec[k] for k in names}
-                rows.extend({**base, **d} for d in decoded)
-            yield pd.DataFrame(rows, columns=out_names)
-
-    return df.mapInPandas(gen, out_schema)
+    return _pb_map(df, source, _NF_FIELDS, decode)
 
 
 def parse_netflow_v5(df: DataFrame, source: str = "payload") -> DataFrame:
@@ -538,6 +535,10 @@ def decode_sflow(payload: bytes) -> list[dict]:
                 raise ValueError("truncated flow record")
             rec_type, rec_len = struct.unpack_from(">II", body, p)
             p += 8
+            if p + rec_len > len(body):
+                # corrupt framing: a declared record length past the sample
+                # body drops the packet, same as every sibling truncation
+                raise ValueError("truncated flow record body")
             rec = body[p : p + rec_len]
             p += rec_len + ((4 - rec_len % 4) % 4)  # XDR pad
             if rec_type == 1 and len(rec) >= 16:

@@ -67,6 +67,10 @@ def validate_spec(spec: dict[str, Any]) -> None:
             raise ValueError(
                 f"source.wire must be one of {sorted(WIRE_DECODERS)}, got {src.get('wire')!r}"
             )
+        # decoder kwargs ride in source.options; decoders with REQUIRED
+        # kwargs must fail at validate time, not with a TypeError mid-build
+        if src["wire"] == "avro" and not (src.get("options") or {}).get("schema_json"):
+            raise ValueError("source.wire 'avro' requires source.options.schema_json")
     _validate_sections(spec)
 
 
@@ -200,7 +204,7 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         # below see the decoded columns (nf_*, ff_*, ol_* ...)
         from ..sources.file_source import wire_spool_source
 
-        df = wire_spool_source(spark, src["wire_spool"], src["wire"])
+        df = wire_spool_source(spark, src["wire_spool"], src["wire"], **(src.get("options") or {}))
         # decoded wire rows are not transcripts: the stable turn-order
         # window has no conv_id/turn_idx to order on
         spec = {**spec, "order": spec.get("order", {"enabled": False})}

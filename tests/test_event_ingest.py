@@ -98,3 +98,26 @@ def test_macos_severity_completion_and_timestamp(spark):
         _df(spark, [("plain syslog line",)], "line string"), "line", fmt="syslog"
     ).collect()
     assert r["ml_body"] == "plain syslog line" and r["ml_severity_text"] is None
+
+
+def test_webhook_header_regex_with_backslash_class_and_quote(spark):
+    # regression: the pattern must survive backslash classes and quotes
+    # (a SQL-spliced expr would collapse \d or break on the apostrophe)
+    df = spark.range(1).select(
+        F.lit("x").alias("body"),
+        F.create_map(
+            F.lit("X-Req-7"), F.array(F.lit("a")),
+            F.lit("X-Req-d"), F.array(F.lit("b")),
+            F.lit("X-O'Brien"), F.array(F.lit("c")),
+        ).alias("headers"),
+    )
+    r, = webhook_events(
+        df, "body", headers="headers", split="none",
+        include_headers_regex=r"^X-Req-\d+$",
+    ).collect()
+    assert r["wh_headers_csv"] == "header.X-Req-7=[a]"
+    r, = webhook_events(
+        df, "body", headers="headers", split="none",
+        include_headers_regex=r"^X-O'",
+    ).collect()
+    assert r["wh_headers_csv"] == "header.X-O'Brien=[c]"

@@ -248,3 +248,12 @@ def test_base_library_extension_names_compile_and_match():
         # RFC2822, USER twice in the apache line) stay duplicate-free
         cg = compile_grok(f"^%{{{name}:f}}$", named_captures_only=True)
         assert _re.match(cg.regex, sample), f"{name} failed on {sample!r}"
+
+
+def test_urn_percent_encoded_chars_match():
+    import re as _re
+
+    from opentelemetry_collector_contrib_spark.operators.grok import compile_grok
+
+    cg = compile_grok("^%{URN:u}$", named_captures_only=True)
+    assert _re.match(cg.regex, "urn:example:a%3Fb")

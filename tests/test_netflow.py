@@ -300,3 +300,26 @@ def test_netflow_stream_equals_batch_via_wire_spool(spark, tmp_path):
     got = spark.read.parquet(out).select(cols).collect()
     want = batch.select(cols).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) == 50
+
+
+def test_ipfix_oversized_ie_value_drops_packet():
+    # a counter >= 2^63 cannot land in a bigint column; the packet is
+    # corrupt and must drop via ValueError, not abort at Arrow conversion
+    tpl = [(1, 8), (7, 2)]
+    pkt = enc_ipfix(1, 0, tpl, [[0xFFFFFFFFFFFFFFFF, 80]])
+    with pytest.raises(ValueError):
+        decode_ipfix(pkt)
+    tpl2 = [(7, 4)]  # reduced-size port wider than int32
+    with pytest.raises(ValueError):
+        decode_ipfix(enc_ipfix(1, 0, tpl2, [[0x80000000]]))
+
+
+def test_sflow_declared_record_length_past_body_raises():
+    frame = eth_ipv4_frame(bytes([10, 0, 0, 1]), bytes([10, 0, 0, 2]), 6, 1, 2)
+    pkt = bytearray(enc_sflow(3, [{"header": frame, "frame_len": 64}]))
+    # sample body starts at 28+8; record header rec_len field is 4 bytes
+    # after the 32-byte flow-sample prefix + 4-byte record type
+    rec_len_off = 28 + 8 + 32 + 4
+    struct.pack_into(">I", pkt, rec_len_off, 0xFFFF)
+    with pytest.raises(ValueError, match="truncated flow record"):
+        decode_sflow(bytes(pkt))
