@@ -323,3 +323,52 @@ def test_sflow_declared_record_length_past_body_raises():
     struct.pack_into(">I", pkt, rec_len_off, 0xFFFF)
     with pytest.raises(ValueError, match="truncated flow record"):
         decode_sflow(bytes(pkt))
+
+
+def test_ipfix_vectorized_batch_equals_scalar_decoder():
+    """The template-grouped numpy path (used by parse_ipfix) must agree
+    with decode_ipfix row for row across mixed templates, reduced-size
+    widths, IPv6, odd-width fallback layouts, and malformed packets."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.operators.netflow import _ipfix_decode_batch
+
+    ms = 1_700_000_123_000
+    pkts = []
+    # standard template (vectorizable)
+    for i in range(40):
+        pkts.append(enc_ipfix(1, i, _TPL, [_ipfix_rec(sport=2000 + i), _ipfix_rec(proto=17)]))
+    # IPv6 template
+    tpl6 = [(27, 16), (28, 16), (7, 2), (4, 1)]
+    v6a = bytes.fromhex("20010db8000000000000000000000001")
+    v6b = bytes.fromhex("20010db8000000000000000000000002")
+    pkts.append(enc_ipfix(1, 99, tpl6, [[v6a, v6b, 443, 6]]))
+    # odd-width (3-byte counter) -> scalar fallback group
+    tpl_odd = [(1, 3), (7, 2)]
+    pkts.append(enc_ipfix(1, 7, tpl_odd, [[0x010203, 8080]]))
+    # enterprise-IE skip + unknown IE
+    tpl_ent = [*_TPL, (0x8000 | 100, 4), (999, 2)]
+    pkts.append(enc_ipfix(1, 5, tpl_ent, [[*_ipfix_rec(), (1).to_bytes(4, "big"), 3]]))
+    # malformed: truncated, wrong version, oversize port (drops whole packet
+    # in both paths — single data set)
+    good = enc_ipfix(1, 0, _TPL, [_ipfix_rec()])
+    pkts += [good[:-3], b"\x00\x05xx", enc_ipfix(1, 0, [(7, 4)], [[0x80000000]]), None]
+
+    ref = []
+    for k, p in enumerate(pkts):
+        if p is None:
+            continue
+        try:
+            decoded = decode_ipfix(bytes(p))
+        except ValueError:
+            continue
+        ref.extend({"k": k, **d} for d in decoded)
+    pdf = pd.DataFrame({"k": range(len(pkts)), "payload": pkts})
+    out = _ipfix_decode_batch(pdf["payload"], pdf, ["k"]).reset_index(drop=True)
+    ref_df = pd.DataFrame(ref)[list(out.columns)]
+    key = ["k", "nf_src_port", "nf_sequence_num"]
+    ref_s = ref_df.sort_values(key).reset_index(drop=True)
+    out_s = out.sort_values(key).reset_index(drop=True)
+    assert len(ref_s) == len(out_s)
+    for c in ref_s.columns:
+        assert ref_s[c].tolist() == out_s[c].tolist(), c
