@@ -199,61 +199,27 @@ def _i64(v: int, bits: int = 63) -> int:
 
 
 def decode_ipfix(payload: bytes) -> list[dict]:
-    """One dict per data record in an IPFIX export packet (RFC 7011).
+    """One dict per flow data record in an IPFIX export packet (RFC 7011).
 
     Header: version=10(2) length(2) export_time_s(4) sequence(4)
     observation_domain_id(4). Then sets: set_id(2) set_len(2) + content.
     set_id 2 = template set ((template_id, field_count, field_count ×
     (ie_id, ie_len)) — enterprise-bit IEs are skipped over but consume
-    their slot); set_id ≥ 256 = data set of fixed-size records laid out by
-    the referenced template. Templates resolve within the packet they
-    arrive in (the stateless export-bundle case); a data set whose
-    template never arrived is skipped, mirroring how a collector drops
-    data it cannot yet decode rather than guessing."""
-    if len(payload) < 16:
-        raise ValueError("short ipfix header")
-    version, total_len, _export_s, seq, _odid = struct.unpack_from(">HHIII", payload, 0)
-    if version != 10:
-        raise ValueError(f"not an ipfix packet: version={version}")
-    if total_len > len(payload):
-        raise ValueError("truncated ipfix packet")
-    templates: dict[int, list[tuple[int, int]]] = {}
+    their slot); set_id 3 = options template set (sampling metadata — see
+    _ipfix_scan_packet); set_id ≥ 256 = data set of fixed-size records
+    laid out by the referenced template. Templates resolve within the
+    packet they arrive in (the stateless export-bundle case); a data set
+    whose template never arrived is skipped, mirroring how a collector
+    drops data it cannot yet decode rather than guessing. Trailing
+    padding shorter than one record is legal (§3.3.1)."""
+    seq, sampling, regions = _ipfix_scan_packet(bytes(payload))
     rows: list[dict] = []
-    off = 16
-    while off + 4 <= total_len:
-        set_id, set_len = struct.unpack_from(">HH", payload, off)
-        if set_len < 4 or off + set_len > total_len:
-            raise ValueError("bad set length")
-        body = payload[off + 4 : off + set_len]
-        off += set_len
-        if set_id == 2:
-            p = 0
-            while p + 4 <= len(body):
-                tid, nfields = struct.unpack_from(">HH", body, p)
-                p += 4
-                fields: list[tuple[int, int]] = []
-                for _ in range(nfields):
-                    if p + 4 > len(body):
-                        raise ValueError("truncated template")
-                    ie, ln = struct.unpack_from(">HH", body, p)
-                    p += 4
-                    if ie & 0x8000:  # enterprise IE: 4-byte PEN follows
-                        p += 4
-                        ie = -1  # unknown -> skipped at decode, keeps its width
-                    fields.append((ie, ln))
-                templates[tid] = fields
-        elif set_id >= 256 and set_id in templates:
-            fields = templates[set_id]
-            rec_len = sum(ln for _, ln in fields)
-            if rec_len <= 0:
-                continue
-            # trailing padding shorter than one record is legal (§3.3.1)
-            n = len(body) // rec_len
-            rows.extend(_decode_ipfix_region(fields, body[: n * rec_len], n, seq))
+    for fields, region, n in regions:
+        rows.extend(_decode_ipfix_region(fields, region, n, seq, sampling))
     return rows
 
 
-def _decode_ipfix_region(fields, body: bytes, n: int, seq: int) -> list[dict]:
+def _decode_ipfix_region(fields, body: bytes, n: int, seq: int, sampling: int = 0) -> list[dict]:
     """Scalar decode of one data-set region (`n` fixed-size records laid
     out by `fields`) — the reference implementation the vectorized batch
     path is equivalence-tested against, and its fallback for odd layouts."""
@@ -266,7 +232,7 @@ def _decode_ipfix_region(fields, body: bytes, n: int, seq: int) -> list[dict]:
             "nf_src_addr": None, "nf_dst_addr": None,
             "nf_transport": "unknown", "nf_etype": "unknown",
             "nf_next_hop": None,
-            "nf_sequence_num": seq, "nf_sampling_rate": 0,
+            "nf_sequence_num": seq, "nf_sampling_rate": sampling,
         })
         proto = None
         for ie, ln in fields:
@@ -422,10 +388,29 @@ _IPFIX_INT_COLS = {
 _IPFIX_I32_COLS = {"nf_src_port", "nf_dst_port", "nf_tcp_flags", "nf_ip_tos"}
 
 
+# Options-data IEs that carry the exporter's packet-sampling interval
+# (RFC 7011 §3.4.2.2 options scope; IE 34 samplingInterval is the
+# ubiquitous v9-bridged form, 49 samplerRandomInterval the sampler-table
+# form, 305 samplingPacketInterval the PSAMP form). A 1-in-N interval
+# maps to nf_sampling_rate = N, matching the v5 header semantics.
+_IPFIX_SAMPLING_IES = (34, 49, 305)
+
+
 def _ipfix_scan_packet(b: bytes):
-    """Header + set walk WITHOUT record decode: returns (seq, [(fields,
-    region_bytes, n_records)]). Raises ValueError exactly where
-    decode_ipfix does for framing corruption."""
+    """Header + set walk WITHOUT flow-record decode: returns (seq,
+    sampling_rate, [(fields, region_bytes, n_records)]). Both the scalar
+    decoder and the vectorized batch path layer on this single walk.
+
+    set_id 2 = template set; set_id 3 = OPTIONS template set (RFC 7011
+    §3.4.2.2: template_id, field_count, scope_field_count, then specs —
+    scope fields first, wire-identical to ordinary specs). Data sets
+    referencing an options template are metadata, not flow records: they
+    decode inline (they carry a handful of records at most) and any
+    sampling-interval IE found sets the packet-level sampling rate, which
+    stamps every flow record of the packet — the same application a
+    netflow collector performs when an exporter reports its sampler
+    configuration through options data. Raises ValueError exactly where
+    decode_ipfix historically did for framing corruption."""
     if len(b) < 16:
         raise ValueError("short ipfix header")
     version, total_len, _export_s, seq, _odid = struct.unpack_from(">HHIII", b, 0)
@@ -434,6 +419,8 @@ def _ipfix_scan_packet(b: bytes):
     if total_len > len(b):
         raise ValueError("truncated ipfix packet")
     templates: dict[int, tuple] = {}
+    options_tids: set[int] = set()
+    sampling = 0
     out = []
     off = 16
     while off + 4 <= total_len:
@@ -442,11 +429,15 @@ def _ipfix_scan_packet(b: bytes):
             raise ValueError("bad set length")
         body = b[off + 4 : off + set_len]
         off += set_len
-        if set_id == 2:
+        if set_id in (2, 3):
             p = 0
             while p + 4 <= len(body):
                 tid, nfields = struct.unpack_from(">HH", body, p)
                 p += 4
+                if set_id == 3:  # scope_field_count — counted within nfields
+                    if p + 2 > len(body):
+                        raise ValueError("truncated options template")
+                    p += 2
                 fields = []
                 for _ in range(nfields):
                     if p + 4 > len(body):
@@ -458,15 +449,27 @@ def _ipfix_scan_packet(b: bytes):
                         ie = -1
                     fields.append((ie, ln))
                 templates[tid] = tuple(fields)
+                (options_tids.add if set_id == 3 else options_tids.discard)(tid)
         elif set_id >= 256 and set_id in templates:
             fields = templates[set_id]
             rec_len = sum(ln for _, ln in fields)
             if rec_len <= 0:
                 continue
             n = len(body) // rec_len
-            if n:
+            if not n:
+                continue
+            if set_id in options_tids:
+                p = 0
+                for _ in range(n):
+                    for ie, ln in fields:
+                        if ie in _IPFIX_SAMPLING_IES:
+                            v = int.from_bytes(body[p : p + ln], "big")
+                            if v:
+                                sampling = _i64(v)
+                        p += ln
+            else:
                 out.append((fields, body[: n * rec_len], n))
-    return seq, out
+    return seq, sampling, out
 
 
 def _ipfix_np_dtype(fields) -> "np.dtype | None":
@@ -498,16 +501,16 @@ def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.Dat
     with odd layouts, and packets whose values overflow their output
     column, fall back to the scalar decoder per packet — preserving the
     exact per-packet drop semantics of decode_ipfix."""
-    groups: dict[tuple, list] = {}   # fields -> [(row_pos, seq, region, n)]
+    groups: dict[tuple, list] = {}   # fields -> [(row_pos, seq, sampling, region, n)]
     scalar_rows: list[tuple[int, dict]] = []
     for pos, p in enumerate(payloads):
         if p is None:
             continue
         b = bytes(p)
         try:
-            seq, sets = _ipfix_scan_packet(b)
+            seq, sampling, sets = _ipfix_scan_packet(b)
             for fields, region, n in sets:
-                groups.setdefault(fields, []).append((pos, seq, region, n))
+                groups.setdefault(fields, []).append((pos, seq, sampling, region, n))
         except ValueError:
             continue
     out_frames = []
@@ -515,13 +518,13 @@ def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.Dat
         dt = _ipfix_np_dtype(fields)
         use_scalar = dt is None
         if not use_scalar:
-            recs = np.frombuffer(b"".join(r for _, _, r, _ in items), dtype=dt)
-            counts = np.asarray([n for _, _, _, n in items])
+            recs = np.frombuffer(b"".join(r for _, _, _, r, _ in items), dtype=dt)
+            counts = np.asarray([n for *_, n in items])
             cols: dict = dict(_INT_DEFAULTS)
             cols.update({
                 "nf_type": "ipfix", "nf_src_addr": None, "nf_dst_addr": None,
                 "nf_transport": "unknown", "nf_etype": "unknown",
-                "nf_next_hop": None, "nf_sampling_rate": 0,
+                "nf_next_hop": None,
             })
             try:
                 for i, (ie, _ln) in enumerate(fields):
@@ -562,9 +565,12 @@ def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.Dat
             if not use_scalar:
                 total_n = int(counts.sum())
                 cols["nf_sequence_num"] = np.repeat(
-                    np.asarray([s for _, s, _, _ in items], dtype=np.int64), counts
+                    np.asarray([s for _, s, _, _, _ in items], dtype=np.int64), counts
                 )
-                row_pos = np.repeat(np.asarray([rp for rp, _, _, _ in items]), counts)
+                cols["nf_sampling_rate"] = np.repeat(
+                    np.asarray([sr for _, _, sr, _, _ in items], dtype=np.int64), counts
+                )
+                row_pos = np.repeat(np.asarray([rp for rp, *_ in items]), counts)
                 base = pdf.iloc[row_pos][names].reset_index(drop=True)
                 out = pd.DataFrame(cols, index=pd.RangeIndex(total_n))
                 out_frames.append(pd.concat([base, out], axis=1))
@@ -572,9 +578,9 @@ def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.Dat
             # decode ONLY this group's regions (a packet's other data sets
             # may already be emitted by a vectorized group); each region
             # decodes independently so only corrupt regions drop
-            for pos, seq, region, n in items:
+            for pos, seq, sampling, region, n in items:
                 try:
-                    for d in _decode_ipfix_region(fields, region, n, seq):
+                    for d in _decode_ipfix_region(fields, region, n, seq, sampling):
                         scalar_rows.append((pos, d))
                 except Exception:  # noqa: BLE001 — drop this region
                     continue
@@ -626,19 +632,36 @@ def enc_netflow_v5(secs: int, seq: int, records: list[dict], uptime_ms: int = 3_
 
 
 def enc_ipfix(secs: int, seq: int, template: list[tuple[int, int]],
-              records: list[list[int | bytes]], template_id: int = 256) -> bytes:
+              records: list[list[int | bytes]], template_id: int = 256,
+              options: "tuple[list[tuple[int, int]], int, list[list[int]]] | None" = None,
+              options_template_id: int = 257) -> bytes:
+    """`options`, when given, is (field_specs, scope_field_count,
+    records): an options template set (set_id 3, RFC 7011 §3.4.2.2) plus
+    its data set are emitted before the flow sets — e.g.
+    ([(302, 4), (34, 4)], 1, [[1, 1000]]) reports 1-in-1000 sampling."""
+    body = b""
+    if options is not None:
+        ofields, scope_n, orecs = options
+        ot = struct.pack(">HHH", options_template_id, len(ofields), scope_n)
+        for ie, ln in ofields:
+            ot += struct.pack(">HH", ie, ln)
+        body += struct.pack(">HH", 3, 4 + len(ot)) + ot
+        od = b"".join(
+            int(v).to_bytes(ln, "big")
+            for rec in orecs for (_, ln), v in zip(ofields, rec)
+        )
+        body += struct.pack(">HH", options_template_id, 4 + len(od)) + od
     tmpl_body = struct.pack(">HH", template_id, len(template))
     for ie, ln in template:
         tmpl_body += struct.pack(">HH", ie, ln)
         if ie & 0x8000:  # enterprise IE: the 4-byte PEN follows (RFC 7011 §3.2)
             tmpl_body += struct.pack(">I", 29305)
-    tmpl_set = struct.pack(">HH", 2, 4 + len(tmpl_body)) + tmpl_body
+    body += struct.pack(">HH", 2, 4 + len(tmpl_body)) + tmpl_body
     data_body = b""
     for rec in records:
         for (ie, ln), v in zip(template, rec):
             data_body += bytes(v) if isinstance(v, (bytes, bytearray, list)) else int(v).to_bytes(ln, "big")
-    data_set = struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
-    body = tmpl_set + data_set
+    body += struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
     return struct.pack(">HHIII", 10, 16 + len(body), secs, seq, 1) + body
 
 

@@ -115,6 +115,38 @@ def test_ipfix_ipv6_addresses():
     assert rows[0]["nf_etype"] == "ipv6"
 
 
+def test_ipfix_options_sampling_applied_to_flow_records():
+    """An options-data record carrying a sampling-interval IE (34/49/305)
+    stamps nf_sampling_rate on every flow record of the packet (RFC 7011
+    §3.4.2.2 — the sampler-configuration options export)."""
+    opts = ([(302, 4), (34, 4)], 1, [[7, 1000]])  # selectorId scope + samplingInterval
+    rows = decode_ipfix(enc_ipfix(1, 3, _TPL, [_ipfix_rec(), _ipfix_rec(sport=2101)], options=opts))
+    assert [r["nf_sampling_rate"] for r in rows] == [1000, 1000]
+    assert [r["nf_src_port"] for r in rows] == [2100, 2101]  # options rows are not flow rows
+    # PSAMP form (samplingPacketInterval, IE 305)
+    rows = decode_ipfix(enc_ipfix(1, 3, _TPL, [_ipfix_rec()], options=([(305, 4)], 1, [[64]])))
+    assert rows[0]["nf_sampling_rate"] == 64
+    # zero interval = unconfigured -> keeps the 0 default
+    rows = decode_ipfix(enc_ipfix(1, 3, _TPL, [_ipfix_rec()], options=([(34, 4)], 1, [[0]])))
+    assert rows[0]["nf_sampling_rate"] == 0
+
+
+def test_ipfix_options_data_after_flow_data_still_applies():
+    """Sampling metadata applies packet-wide regardless of set order: the
+    walk collects regions first and stamps afterwards."""
+    base = enc_ipfix(1, 3, _TPL, [_ipfix_rec()], options=([(34, 4)], 1, [[500]]))
+    # enc_ipfix lays out [opt_tmpl, opt_data, tmpl, data]; splice the
+    # options DATA set (2nd set) to the end of the packet
+    sets, off = [], 16
+    while off < len(base):
+        _, set_len = struct.unpack_from(">HH", base, off)
+        sets.append(base[off : off + set_len])
+        off += set_len
+    reordered = base[:16] + sets[0] + sets[2] + sets[3] + sets[1]
+    rows = decode_ipfix(reordered)
+    assert [r["nf_sampling_rate"] for r in rows] == [500]
+
+
 def test_ipfix_orphan_data_set_skipped():
     # data set whose template never arrived in this packet -> no rows, no guess
     pkt = enc_ipfix(1, 0, _TPL, [_ipfix_rec()], template_id=256)
@@ -349,6 +381,9 @@ def test_ipfix_vectorized_batch_equals_scalar_decoder():
     # enterprise-IE skip + unknown IE
     tpl_ent = [*_TPL, (0x8000 | 100, 4), (999, 2)]
     pkts.append(enc_ipfix(1, 5, tpl_ent, [[*_ipfix_rec(), (1).to_bytes(4, "big"), 3]]))
+    # options-template sampling metadata (vectorized group must stamp it too)
+    pkts.append(enc_ipfix(1, 6, _TPL, [_ipfix_rec(sport=2107), _ipfix_rec(sport=2108)],
+                          options=([(302, 4), (34, 4)], 1, [[7, 250]])))
     # malformed: truncated, wrong version, oversize port (drops whole packet
     # in both paths — single data set)
     good = enc_ipfix(1, 0, _TPL, [_ipfix_rec()])
