@@ -219,16 +219,20 @@ def decode_ipfix(payload: bytes) -> list[dict]:
     return rows
 
 
-def _decode_ipfix_region(fields, body: bytes, n: int, seq: int, sampling: int = 0) -> list[dict]:
+def _decode_ipfix_region(fields, body: bytes, n: int, seq: int, sampling: int = 0,
+                         boot_ms: int = 0, nf_type: str = "ipfix") -> list[dict]:
     """Scalar decode of one data-set region (`n` fixed-size records laid
     out by `fields`) — the reference implementation the vectorized batch
-    path is equivalence-tested against, and its fallback for odd layouts."""
+    path is equivalence-tested against, and its fallback for odd layouts.
+    Negative pseudo-IEs -21/-22 are NetFlow v9 LAST/FIRST_SWITCHED
+    (sysuptime-relative ms): `boot_ms` (export unix ms − sysuptime)
+    rebases them to absolute wall-clock ms, as goflow2 does."""
     rows: list[dict] = []
     p = 0
     for _ in range(n):
         row: dict = dict(_INT_DEFAULTS)
         row.update({
-            "nf_type": "ipfix",
+            "nf_type": nf_type,
             "nf_src_addr": None, "nf_dst_addr": None,
             "nf_transport": "unknown", "nf_etype": "unknown",
             "nf_next_hop": None,
@@ -238,6 +242,12 @@ def _decode_ipfix_region(fields, body: bytes, n: int, seq: int, sampling: int = 
         for ie, ln in fields:
             raw = body[p : p + ln]
             p += ln
+            if ie == -22:
+                row["nf_start_ms"] = boot_ms + int.from_bytes(raw, "big")
+                continue
+            if ie == -21:
+                row["nf_end_ms"] = boot_ms + int.from_bytes(raw, "big")
+                continue
             key = _IPFIX_IE.get(ie)
             if key is None:
                 continue
@@ -472,6 +482,115 @@ def _ipfix_scan_packet(b: bytes):
     return seq, sampling, out
 
 
+def _nfv9_scan_packet(b: bytes):
+    """NetFlow v9 (RFC 3954) header + flowset walk: returns (seq,
+    sampling_rate, boot_ms, [(fields, region_bytes, n_records)]).
+
+    Header (20B): version=9, count, sys_uptime_ms, unix_secs, sequence,
+    source_id. FlowSet 0 = templates (template_id ≥ 256, field_count,
+    field_count × (type, len) — v9 types share IPFIX IE numbering for the
+    classic fields, no enterprise bit); FlowSet 1 = options template
+    (§6.1: scope and option spec lengths are in BYTES, not counts);
+    id ≥ 256 = data flowsets, 4-byte-aligned padding tolerated. v9's
+    FIRST/LAST_SWITCHED (types 22/21) are sysuptime-relative ms — they
+    map to pseudo-IEs -22/-21 and `boot_ms = unix_secs*1000 − sys_uptime`
+    rebases them to wall-clock, exactly the goflow2 TimeFlowStart
+    reconstruction. Options data carrying sampling IE 34 sets the
+    packet-level sampling rate, as in the IPFIX walk."""
+    if len(b) < 20:
+        raise ValueError("short netflow v9 header")
+    version, _count, uptime_ms, secs, seq, _src_id = struct.unpack_from(">HHIIII", b, 0)
+    if version != 9:
+        raise ValueError(f"not a netflow v9 packet: version={version}")
+    boot_ms = secs * 1000 - uptime_ms
+    templates: dict[int, tuple] = {}
+    options_tids: set[int] = set()
+    sampling = 0
+    out = []
+    off = 20
+    while off + 4 <= len(b):
+        set_id, set_len = struct.unpack_from(">HH", b, off)
+        if set_len < 4 or off + set_len > len(b):
+            raise ValueError("bad flowset length")
+        body = b[off + 4 : off + set_len]
+        off += set_len
+        if set_id == 0:
+            p = 0
+            while p + 4 <= len(body):
+                tid, nfields = struct.unpack_from(">HH", body, p)
+                p += 4
+                if tid == 0 and nfields == 0:  # alignment padding
+                    break
+                fields = []
+                for _ in range(nfields):
+                    if p + 4 > len(body):
+                        raise ValueError("truncated template")
+                    ftype, ln = struct.unpack_from(">HH", body, p)
+                    p += 4
+                    if ftype == 22:
+                        ftype = -22  # FIRST_SWITCHED: uptime-relative ms
+                    elif ftype == 21:
+                        ftype = -21  # LAST_SWITCHED
+                    elif ftype in (152, 153) or ftype > 32767:
+                        ftype = -1   # out of the shared IE space -> skip
+                    fields.append((ftype, ln))
+                templates[tid] = tuple(fields)
+                options_tids.discard(tid)
+        elif set_id == 1:
+            p = 0
+            while p + 6 <= len(body):
+                tid, scope_bytes, opt_bytes = struct.unpack_from(">HHH", body, p)
+                p += 6
+                if tid == 0:
+                    break
+                if p + scope_bytes + opt_bytes > len(body):
+                    raise ValueError("truncated options template")
+                fields = []
+                for q in range(p, p + scope_bytes, 4):
+                    _stype, ln = struct.unpack_from(">HH", body, q)
+                    fields.append((-1, ln))  # scope fields: width only
+                for q in range(p + scope_bytes, p + scope_bytes + opt_bytes, 4):
+                    ftype, ln = struct.unpack_from(">HH", body, q)
+                    fields.append((ftype, ln))
+                p += scope_bytes + opt_bytes
+                templates[tid] = tuple(fields)
+                options_tids.add(tid)
+        elif set_id >= 256 and set_id in templates:
+            fields = templates[set_id]
+            rec_len = sum(ln for _, ln in fields)
+            if rec_len <= 0:
+                continue
+            n = len(body) // rec_len
+            if not n:
+                continue
+            if set_id in options_tids:
+                p = 0
+                for _ in range(n):
+                    for ie, ln in fields:
+                        if ie in _IPFIX_SAMPLING_IES:
+                            v = int.from_bytes(body[p : p + ln], "big")
+                            if v:
+                                sampling = _i64(v)
+                        p += ln
+            else:
+                out.append((fields, body[: n * rec_len], n))
+    return seq, sampling, boot_ms, out
+
+
+def decode_netflow_v9(payload: bytes) -> list[dict]:
+    """One dict per flow data record in a NetFlow v9 export packet
+    (RFC 3954), in-packet template resolution — the v9 sibling of
+    decode_ipfix with uptime-relative timestamps rebased to wall-clock
+    and options-data sampling applied packet-wide."""
+    seq, sampling, boot_ms, regions = _nfv9_scan_packet(bytes(payload))
+    rows: list[dict] = []
+    for fields, region, n in regions:
+        rows.extend(
+            _decode_ipfix_region(fields, region, n, seq, sampling, boot_ms, "netflow_v9")
+        )
+    return rows
+
+
 def _ipfix_np_dtype(fields) -> "np.dtype | None":
     """numpy structured dtype for a template whose every IE is a standard
     power-of-two width; None -> that template group falls back to the
@@ -493,24 +612,31 @@ def _ipfix_np_dtype(fields) -> "np.dtype | None":
     return np.dtype(specs)
 
 
-def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.DataFrame:
-    """Vectorized IPFIX decode of one Arrow batch. Data-set regions group
-    by template layout; each group with a power-of-two-width layout
-    decodes through ONE numpy.frombuffer (exports overwhelmingly reuse a
-    handful of templates, so a batch yields a handful of groups). Groups
-    with odd layouts, and packets whose values overflow their output
-    column, fall back to the scalar decoder per packet — preserving the
-    exact per-packet drop semantics of decode_ipfix."""
-    groups: dict[tuple, list] = {}   # fields -> [(row_pos, seq, sampling, region, n)]
+def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str],
+                        scan=None, nf_type: str = "ipfix") -> pd.DataFrame:
+    """Vectorized IPFIX / NetFlow v9 decode of one Arrow batch. Data-set
+    regions group by template layout; each group with a power-of-two-width
+    layout decodes through ONE numpy.frombuffer (exports overwhelmingly
+    reuse a handful of templates, so a batch yields a handful of groups).
+    Groups with odd layouts, and packets whose values overflow their
+    output column, fall back to the scalar decoder per packet — preserving
+    the exact per-packet drop semantics of decode_ipfix/decode_netflow_v9.
+    `scan` maps a packet to (seq, sampling, boot_ms, regions); the IPFIX
+    walk is adapted with boot_ms=0 (its timestamps are absolute)."""
+    if scan is None:
+        def scan(b):
+            seq, sampling, sets = _ipfix_scan_packet(b)
+            return seq, sampling, 0, sets
+    groups: dict[tuple, list] = {}   # fields -> [(row_pos, seq, sampling, boot, region, n)]
     scalar_rows: list[tuple[int, dict]] = []
     for pos, p in enumerate(payloads):
         if p is None:
             continue
         b = bytes(p)
         try:
-            seq, sampling, sets = _ipfix_scan_packet(b)
+            seq, sampling, boot, sets = scan(b)
             for fields, region, n in sets:
-                groups.setdefault(fields, []).append((pos, seq, sampling, region, n))
+                groups.setdefault(fields, []).append((pos, seq, sampling, boot, region, n))
         except ValueError:
             continue
     out_frames = []
@@ -518,18 +644,23 @@ def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.Dat
         dt = _ipfix_np_dtype(fields)
         use_scalar = dt is None
         if not use_scalar:
-            recs = np.frombuffer(b"".join(r for _, _, _, r, _ in items), dtype=dt)
+            recs = np.frombuffer(b"".join(r for *_, r, _ in items), dtype=dt)
             counts = np.asarray([n for *_, n in items])
+            boots = np.asarray([bt for _, _, _, bt, _, _ in items], dtype=np.int64)
             cols: dict = dict(_INT_DEFAULTS)
             cols.update({
-                "nf_type": "ipfix", "nf_src_addr": None, "nf_dst_addr": None,
+                "nf_type": nf_type, "nf_src_addr": None, "nf_dst_addr": None,
                 "nf_transport": "unknown", "nf_etype": "unknown",
                 "nf_next_hop": None,
             })
             try:
                 for i, (ie, _ln) in enumerate(fields):
                     a = recs[f"f{i}"]
-                    if ie == 8:
+                    if ie == -22:
+                        cols["nf_start_ms"] = a.astype(np.int64) + np.repeat(boots, counts)
+                    elif ie == -21:
+                        cols["nf_end_ms"] = a.astype(np.int64) + np.repeat(boots, counts)
+                    elif ie == 8:
                         cols["nf_src_addr"], cols["nf_etype"] = _ip4_col(a), "ipv4"
                     elif ie == 12:
                         cols["nf_dst_addr"], cols["nf_etype"] = _ip4_col(a), "ipv4"
@@ -565,10 +696,10 @@ def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.Dat
             if not use_scalar:
                 total_n = int(counts.sum())
                 cols["nf_sequence_num"] = np.repeat(
-                    np.asarray([s for _, s, _, _, _ in items], dtype=np.int64), counts
+                    np.asarray([s for _, s, _, _, _, _ in items], dtype=np.int64), counts
                 )
                 cols["nf_sampling_rate"] = np.repeat(
-                    np.asarray([sr for _, _, sr, _, _ in items], dtype=np.int64), counts
+                    np.asarray([sr for _, _, sr, _, _, _ in items], dtype=np.int64), counts
                 )
                 row_pos = np.repeat(np.asarray([rp for rp, *_ in items]), counts)
                 base = pdf.iloc[row_pos][names].reset_index(drop=True)
@@ -578,9 +709,10 @@ def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str]) -> pd.Dat
             # decode ONLY this group's regions (a packet's other data sets
             # may already be emitted by a vectorized group); each region
             # decodes independently so only corrupt regions drop
-            for pos, seq, sampling, region, n in items:
+            for pos, seq, sampling, boot, region, n in items:
                 try:
-                    for d in _decode_ipfix_region(fields, region, n, seq, sampling):
+                    for d in _decode_ipfix_region(fields, region, n, seq, sampling,
+                                                  boot, nf_type):
                         scalar_rows.append((pos, d))
                 except Exception:  # noqa: BLE001 — drop this region
                     continue
@@ -611,6 +743,23 @@ def parse_ipfix(df: DataFrame, source: str = "payload") -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _ipfix_decode_batch(pdf[source], pdf, names)
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def parse_netflow_v9(df: DataFrame, source: str = "payload") -> DataFrame:
+    """One row per NetFlow v9 flow record (RFC 3954, in-packet
+    templates) — same template-grouped vectorization as parse_ipfix,
+    with uptime-relative FIRST/LAST_SWITCHED rebased to wall-clock ms
+    and options-data sampling stamped packet-wide."""
+    passthrough = [f for f in df.schema.fields if f.name != source]
+    names = [f.name for f in passthrough]
+    out_schema = T.StructType([*passthrough, *_NF_FIELDS])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _ipfix_decode_batch(pdf[source], pdf, names,
+                                      _nfv9_scan_packet, "netflow_v9")
 
     return df.mapInPandas(gen, out_schema)
 
@@ -663,6 +812,80 @@ def enc_ipfix(secs: int, seq: int, template: list[tuple[int, int]],
             data_body += bytes(v) if isinstance(v, (bytes, bytearray, list)) else int(v).to_bytes(ln, "big")
     body += struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
     return struct.pack(">HHIII", 10, 16 + len(body), secs, seq, 1) + body
+
+
+def enc_netflow_v9(secs: int, seq: int, template: list[tuple[int, int]],
+                   records: list[list[int | bytes]], template_id: int = 256,
+                   uptime_ms: int = 3_600_000,
+                   options: "tuple[list[tuple[int, int]], list[tuple[int, int]], list[list[int]]] | None" = None,
+                   options_template_id: int = 257) -> bytes:
+    """NetFlow v9 export packet: template flowset (id 0) + data flowset.
+    `options`, when given, is (scope_specs, option_specs, records) — an
+    options template flowset (id 1, byte-length layout per RFC 3954 §6.1)
+    plus its data flowset precede the flow sets."""
+    body = b""
+    n_recs = len(records)
+    if options is not None:
+        scope, opts, orecs = options
+        ot = struct.pack(">HHH", options_template_id, 4 * len(scope), 4 * len(opts))
+        for t, ln in [*scope, *opts]:
+            ot += struct.pack(">HH", t, ln)
+        body += struct.pack(">HH", 1, 4 + len(ot)) + ot
+        od = b"".join(
+            int(v).to_bytes(ln, "big")
+            for rec in orecs for (_, ln), v in zip([*scope, *opts], rec)
+        )
+        body += struct.pack(">HH", options_template_id, 4 + len(od)) + od
+        n_recs += len(orecs)
+    tmpl_body = struct.pack(">HH", template_id, len(template))
+    for t, ln in template:
+        tmpl_body += struct.pack(">HH", t, ln)
+    body += struct.pack(">HH", 0, 4 + len(tmpl_body)) + tmpl_body
+    data_body = b""
+    for rec in records:
+        for (t, ln), v in zip(template, rec):
+            data_body += bytes(v) if isinstance(v, (bytes, bytearray, list)) else int(v).to_bytes(ln, "big")
+    body += struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
+    return struct.pack(">HHIIII", 9, n_recs, uptime_ms, secs, seq, 0) + body
+
+
+def synthesize_netflow_v9(df: DataFrame) -> DataFrame:
+    """Deterministic NetFlow v9 packets: options flowset reporting a
+    1-in-(user_id%4+1)*64 sampling interval, then a template + two-record
+    data flowset with uptime-relative FIRST/LAST_SWITCHED the decoder
+    must rebase to wall-clock ms."""
+    template = [
+        (8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+        (1, 4), (2, 4), (16, 2), (17, 2),
+        (22, 4), (21, 4),  # FIRST_SWITCHED / LAST_SWITCHED, sysuptime ms
+    ]
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series, users: pd.Series) -> pd.Series:
+        out = []
+        for i, u in zip(ids, users):
+            i, u = int(i), int(u)
+            secs = 1_700_000_000 + i % 86400
+            uptime = 3_600_000 + i % 1000
+            recs = []
+            for r in (0, 1):
+                recs.append([
+                    bytes([172, 16, u % 256, r + 1]),
+                    bytes([10, 0, i % 256, u % 256]),
+                    2048 + i % 500,
+                    8080 if r == 0 else 9092,
+                    6 if r == 0 else 17,
+                    (i * 53 + r * 7) % 1_000_000 + 64,
+                    i % 1000 + 1,
+                    u % 4096, (u * 3) % 4096,
+                    uptime - 5000 - r, uptime - r,
+                ])
+            opts = ([(1, 4)], [(34, 4)], [[0, (u % 4 + 1) * 64]])
+            out.append(enc_netflow_v9(secs, i, template, recs, options=opts,
+                                      uptime_ms=uptime))
+        return pd.Series(out)
+
+    return df.withColumn("payload", gen("event_id", "user_id"))
 
 
 # --- sFlow v5 (sflow.org version-5 spec, the third netflowreceiver scheme) ----

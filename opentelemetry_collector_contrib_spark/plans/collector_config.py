@@ -129,9 +129,9 @@ def spec_from_collector_yaml(text: str, source_path: str | None = None) -> dict[
             wire = "sflow"
         else:
             fmt = netflow.get("format", "v5")
-            if fmt not in ("v5", "ipfix"):
-                raise ValueError("netflow format must be v5 or ipfix")
-            wire = "netflow_v5" if fmt == "v5" else "ipfix"
+            if fmt not in ("v5", "v9", "ipfix"):
+                raise ValueError("netflow format must be v5, v9, or ipfix")
+            wire = {"v5": "netflow_v5", "v9": "netflow_v9", "ipfix": "ipfix"}[fmt]
         spec["source"] = {"wire_spool": spool, "wire": wire}
     elif "filelog" in receivers:
         include = filelog.get("include") or []

@@ -2665,6 +2665,23 @@ def q_ipfix(spark, sf_dir):
     )
 
 
+def q_netflow_v9(spark, sf_dir):
+    """NetFlow v9 (RFC 3954) decode: options flowset sampling applied
+    packet-wide, FIRST/LAST_SWITCHED rebased from sysuptime-relative ms
+    to wall-clock via the header's boot time (goflow2's TimeFlowStart
+    reconstruction), in-packet template resolution."""
+    from ..operators.netflow import parse_netflow_v9, synthesize_netflow_v9
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    out = parse_netflow_v9(synthesize_netflow_v9(ev), "payload")
+    return out.select(
+        "event_id", "nf_type", "nf_src_addr", "nf_src_port",
+        "nf_dst_addr", "nf_dst_port", "nf_transport", "nf_bytes",
+        "nf_packets", "nf_start_ms", "nf_end_ms", "nf_sequence_num",
+        "nf_sampling_rate",
+    )
+
+
 def q_envoy_als(spark, sf_dir):
     """Envoy ALS StreamAccessLogsMessage decode (envoyalsreceiver
     server.go:63-99 surface, structured beyond its debug-string body):
@@ -4091,6 +4108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "signalfx_pb_parse": q_signalfx_pb,
     "netflow_v5_parse": q_netflow_v5,
     "ipfix_parse": q_ipfix,
+    "netflow_v9_parse": q_netflow_v9,
     "sflow_parse": q_sflow,
     "windows_event_parse": q_windows_event,
     "webhook_split_events": q_webhook_split,
@@ -5574,6 +5592,28 @@ SELECT event_id,
   ms - 5000 - r AS nf_start_ms,
   ms - r AS nf_end_ms,
   event_id AS nf_sequence_num
+FROM x"""
+
+    # v9 rebase check: boot_ms = secs*1000 − uptime, start = boot +
+    # (uptime − 5000 − r) — uptime cancels, so the oracle needs only secs
+    o["netflow_v9_parse"] = """
+WITH x AS (SELECT e.*, s.r, (1700000000 + event_id % 86400) * 1000 AS ms
+           FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS r) s)
+SELECT event_id,
+  'netflow_v9' AS nf_type,
+  '172.16.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(r + 1 AS VARCHAR)
+    AS nf_src_addr,
+  CAST(2048 + event_id % 500 AS INTEGER) AS nf_src_port,
+  '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR)
+    AS nf_dst_addr,
+  CAST(CASE WHEN r = 0 THEN 8080 ELSE 9092 END AS INTEGER) AS nf_dst_port,
+  CASE WHEN r = 0 THEN 'tcp' ELSE 'udp' END AS nf_transport,
+  (event_id * 53 + r * 7) % 1000000 + 64 AS nf_bytes,
+  event_id % 1000 + 1 AS nf_packets,
+  ms - 5000 - r AS nf_start_ms,
+  ms - r AS nf_end_ms,
+  event_id AS nf_sequence_num,
+  (user_id % 4 + 1) * 64 AS nf_sampling_rate
 FROM x"""
 
     o["envoy_als_entries"] = """

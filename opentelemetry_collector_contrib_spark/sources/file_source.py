@@ -156,6 +156,7 @@ WIRE_DECODERS = {
     "cloudtrail": ("opentelemetry_collector_contrib_spark.operators.parse", "parse_cloudtrail"),
     "firehose": ("opentelemetry_collector_contrib_spark.operators.parse", "parse_firehose_envelope"),
     "netflow_v5": ("opentelemetry_collector_contrib_spark.operators.netflow", "parse_netflow_v5"),
+    "netflow_v9": ("opentelemetry_collector_contrib_spark.operators.netflow", "parse_netflow_v9"),
     "ipfix": ("opentelemetry_collector_contrib_spark.operators.netflow", "parse_ipfix"),
     "sflow": ("opentelemetry_collector_contrib_spark.operators.netflow", "parse_sflow"),
 }

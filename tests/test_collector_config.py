@@ -253,4 +253,6 @@ def test_netflow_receiver_yaml_validation():
     with _pytest.raises(ValueError, match="scheme"):
         spec_from_collector_yaml("receivers:\n  netflow: {scheme: tcp, spool: /x}\n")
     with _pytest.raises(ValueError, match="format"):
-        spec_from_collector_yaml("receivers:\n  netflow: {spool: /x, format: v9}\n")
+        spec_from_collector_yaml("receivers:\n  netflow: {spool: /x, format: v7}\n")
+    spec = spec_from_collector_yaml("receivers:\n  netflow: {spool: /x, format: v9}\n")
+    assert spec["source"] == {"wire_spool": "/x", "wire": "netflow_v9"}

@@ -147,6 +147,95 @@ def test_ipfix_options_data_after_flow_data_still_applies():
     assert [r["nf_sampling_rate"] for r in rows] == [500]
 
 
+_V9_TPL = [
+    (8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
+    (1, 4), (2, 4), (16, 2), (17, 2), (22, 4), (21, 4),
+]
+
+
+def _v9_rec(sport=3100, proto=6, uptime=3_600_000):
+    return [
+        bytes([172, 16, 9, 1]), bytes([10, 0, 2, 3]), sport, 8080, proto,
+        4242, 17, 77, 231, uptime - 5000, uptime,
+    ]
+
+
+def test_netflow_v9_decode_rebases_switched_times():
+    from opentelemetry_collector_contrib_spark.operators.netflow import (
+        decode_netflow_v9,
+        enc_netflow_v9,
+    )
+
+    secs, uptime = 1_700_000_123, 3_600_000
+    rows = decode_netflow_v9(
+        enc_netflow_v9(secs, 11, _V9_TPL, [_v9_rec(), _v9_rec(sport=3101)], uptime_ms=uptime)
+    )
+    assert [r["nf_src_port"] for r in rows] == [3100, 3101]
+    r = rows[0]
+    assert r["nf_type"] == "netflow_v9" and r["nf_transport"] == "tcp"
+    assert (r["nf_src_addr"], r["nf_dst_addr"]) == ("172.16.9.1", "10.0.2.3")
+    # boot = secs*1000 - uptime; start = boot + (uptime-5000) = secs*1000 - 5000
+    assert r["nf_start_ms"] == secs * 1000 - 5000
+    assert r["nf_end_ms"] == secs * 1000
+    assert r["nf_sequence_num"] == 11 and r["nf_sampling_rate"] == 0
+
+
+def test_netflow_v9_options_sampling_and_malformed():
+    from opentelemetry_collector_contrib_spark.operators.netflow import (
+        decode_netflow_v9,
+        enc_netflow_v9,
+    )
+
+    opts = ([(1, 4)], [(34, 4)], [[0, 512]])  # scope System + samplingInterval
+    pkt = enc_netflow_v9(1_700_000_000, 4, _V9_TPL, [_v9_rec()], options=opts)
+    rows = decode_netflow_v9(pkt)
+    assert len(rows) == 1 and rows[0]["nf_sampling_rate"] == 512
+    with pytest.raises(ValueError, match="short netflow v9 header"):
+        decode_netflow_v9(pkt[:12])
+    with pytest.raises(ValueError, match="version"):
+        decode_netflow_v9(enc_ipfix(1, 0, _TPL, [_ipfix_rec()]))
+    with pytest.raises(ValueError, match="bad flowset length"):
+        decode_netflow_v9(pkt[:-3])
+
+
+def test_netflow_v9_vectorized_batch_equals_scalar_decoder():
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.operators.netflow import (
+        _ipfix_decode_batch,
+        _nfv9_scan_packet,
+        decode_netflow_v9,
+        enc_netflow_v9,
+    )
+
+    pkts = []
+    for i in range(30):
+        pkts.append(enc_netflow_v9(1_700_000_000 + i, i, _V9_TPL,
+                                   [_v9_rec(sport=3000 + i), _v9_rec(proto=17)],
+                                   uptime_ms=3_600_000 + i * 7,
+                                   options=([(1, 4)], [(34, 4)], [[0, (i % 3) * 128]])))
+    # odd-width field -> scalar fallback group
+    pkts.append(enc_netflow_v9(1, 7, [(1, 3), (7, 2), (22, 4)], [[0x010203, 8080, 100]]))
+    pkts += [pkts[0][:-3], b"\x00\x09xx", None]
+    ref = []
+    for k, p in enumerate(pkts):
+        if p is None:
+            continue
+        try:
+            ref.extend({"k": k, **d} for d in decode_netflow_v9(bytes(p)))
+        except ValueError:
+            continue
+    pdf = pd.DataFrame({"k": range(len(pkts)), "payload": pkts})
+    out = _ipfix_decode_batch(pdf["payload"], pdf, ["k"],
+                              _nfv9_scan_packet, "netflow_v9").reset_index(drop=True)
+    key = ["k", "nf_src_port", "nf_sequence_num"]
+    ref_df = pd.DataFrame(ref)[list(out.columns)].sort_values(key).reset_index(drop=True)
+    out_s = out.sort_values(key).reset_index(drop=True)
+    assert len(ref_df) == len(out_s) > 0
+    for c in ref_df.columns:
+        assert ref_df[c].tolist() == out_s[c].tolist(), c
+
+
 def test_ipfix_orphan_data_set_skipped():
     # data set whose template never arrived in this packet -> no rows, no guess
     pkt = enc_ipfix(1, 0, _TPL, [_ipfix_rec()], template_id=256)
