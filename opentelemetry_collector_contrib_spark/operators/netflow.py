@@ -462,6 +462,12 @@ def _ipfix_scan_packet(b: bytes):
                 (options_tids.add if set_id == 3 else options_tids.discard)(tid)
         elif set_id >= 256 and set_id in templates:
             fields = templates[set_id]
+            if any(ln == 0xFFFF for _, ln in fields):
+                if set_id not in options_tids:  # varlen sampling options: unsupported, skip
+                    region = _ipfix_normalize_varlen(fields, body)
+                    if region is not None:
+                        out.append(region)
+                continue
             rec_len = sum(ln for _, ln in fields)
             if rec_len <= 0:
                 continue
@@ -480,6 +486,55 @@ def _ipfix_scan_packet(b: bytes):
             else:
                 out.append((fields, body[: n * rec_len], n))
     return seq, sampling, out
+
+
+def _ipfix_normalize_varlen(fields, body: bytes):
+    """RFC 7011 §7 variable-length IEs (field length 0xFFFF carry a
+    1-byte length prefix, 255 escaping to a 2-byte length). No varlen IE
+    maps to an output column, but its bytes must be skipped EXACTLY to
+    keep the fixed fields aligned — without this, a template containing
+    one string IE silently drops every record. The walk copies each
+    record's fixed-width bytes into one contiguous buffer, so downstream
+    (including the template-grouped numpy vectorization) sees an
+    ordinary fixed-size region keyed by the varlen-stripped template.
+    A record that overruns the set is treated as trailing padding /
+    truncation: emit what decoded cleanly, stop (§3.3.1 analogue)."""
+    fixed_fields = tuple((ie, ln) for ie, ln in fields if ln != 0xFFFF)
+    parts: list[bytes] = []
+    p, n, blen = 0, 0, len(body)
+    while p < blen:
+        rec_parts = []
+        q, ok = p, True
+        for ie, ln in fields:
+            if ln == 0xFFFF:
+                if q >= blen:
+                    ok = False
+                    break
+                vlen = body[q]
+                q += 1
+                if vlen == 255:
+                    if q + 2 > blen:
+                        ok = False
+                        break
+                    vlen = int.from_bytes(body[q : q + 2], "big")
+                    q += 2
+                if q + vlen > blen:
+                    ok = False
+                    break
+                q += vlen  # content skipped: no varlen output column
+            else:
+                if q + ln > blen:
+                    ok = False
+                    break
+                rec_parts.append(body[q : q + ln])
+                q += ln
+        if not ok:
+            break
+        parts.append(b"".join(rec_parts))
+        p, n = q, n + 1
+    if not n:
+        return None
+    return fixed_fields, b"".join(parts), n
 
 
 def _nfv9_scan_packet(b: bytes):
@@ -609,7 +664,7 @@ def _ipfix_np_dtype(fields) -> "np.dtype | None":
             specs.append((f"f{i}", f">u{ln}"))
         else:
             return None
-    return np.dtype(specs)
+    return np.dtype(specs) if specs else None
 
 
 def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str],
@@ -809,7 +864,12 @@ def enc_ipfix(secs: int, seq: int, template: list[tuple[int, int]],
     data_body = b""
     for rec in records:
         for (ie, ln), v in zip(template, rec):
-            data_body += bytes(v) if isinstance(v, (bytes, bytearray, list)) else int(v).to_bytes(ln, "big")
+            if ln == 0xFFFF:  # variable-length IE: 1-byte prefix, 255 -> 2-byte escape
+                vb = bytes(v)
+                pre = bytes([len(vb)]) if len(vb) < 255 else b"\xff" + len(vb).to_bytes(2, "big")
+                data_body += pre + vb
+            else:
+                data_body += bytes(v) if isinstance(v, (bytes, bytearray, list)) else int(v).to_bytes(ln, "big")
     body += struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
     return struct.pack(">HHIII", 10, 16 + len(body), secs, seq, 1) + body
 

@@ -147,6 +147,56 @@ def test_ipfix_options_data_after_flow_data_still_applies():
     assert [r["nf_sampling_rate"] for r in rows] == [500]
 
 
+def test_ipfix_variable_length_ie_alignment():
+    """RFC 7011 §7: a varlen IE (length 0xFFFF) carries a 1-byte length
+    prefix (255 escapes to 2-byte). Its content is skipped but the fixed
+    fields around it must stay aligned — including a >=255-byte value
+    and a record after it."""
+    tpl = [(7, 2), (82, 0xFFFF), (11, 2)]  # interfaceName: varlen string
+    recs = [
+        [1001, b"eth0", 443],
+        [1002, b"x" * 300, 8080],   # 255-escaped 2-byte length
+        [1003, b"", 9092],          # zero-length value
+    ]
+    rows = decode_ipfix(enc_ipfix(1, 5, tpl, recs))
+    assert [(r["nf_src_port"], r["nf_dst_port"]) for r in rows] == [
+        (1001, 443), (1002, 8080), (1003, 9092),
+    ]
+    assert all(r["nf_sequence_num"] == 5 for r in rows)
+
+
+def test_ipfix_varlen_truncated_record_stops_cleanly():
+    """A varlen record that overruns the set emits nothing past the last
+    clean record (truncation == trailing-padding handling)."""
+    tpl = [(7, 2), (82, 0xFFFF)]
+    pkt = bytearray(enc_ipfix(1, 0, tpl, [[80, b"abc"], [81, b"defgh"]]))
+    # corrupt the SECOND record's length prefix to point past the set end
+    # layout: ...data_set_hdr(4) + rec1(2+1+3) + rec2 starts at +6
+    data_off = len(pkt) - (2 + 1 + 3) - (2 + 1 + 5)
+    pkt[data_off + 6 + 2] = 250  # rec2's varlen prefix now overruns
+    rows = decode_ipfix(bytes(pkt))
+    assert [(r["nf_src_port"]) for r in rows] == [80]
+
+
+def test_ipfix_varlen_vectorized_matches_scalar():
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.operators.netflow import _ipfix_decode_batch
+
+    tpl = [(8, 4), (7, 2), (82, 0xFFFF), (1, 4)]
+    pkts = [
+        enc_ipfix(1, i, tpl, [[bytes([10, 0, 0, i % 250]), 2000 + i, b"if%d" % i, i * 3]])
+        for i in range(20)
+    ]
+    ref = [{"k": k, **d} for k, p in enumerate(pkts) for d in decode_ipfix(p)]
+    pdf = pd.DataFrame({"k": range(len(pkts)), "payload": pkts})
+    out = _ipfix_decode_batch(pdf["payload"], pdf, ["k"]).sort_values("k").reset_index(drop=True)
+    ref_df = pd.DataFrame(ref)[list(out.columns)].sort_values("k").reset_index(drop=True)
+    assert len(ref_df) == len(out) == 20
+    for c in ref_df.columns:
+        assert ref_df[c].tolist() == out[c].tolist(), c
+
+
 _V9_TPL = [
     (8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
     (1, 4), (2, 4), (16, 2), (17, 2), (22, 4), (21, 4),

@@ -299,7 +299,10 @@ def test_statsd_aggregate_bounded_exchanges(spark):
     assert re.search(r"partial", plan, re.IGNORECASE)
 
 
-@pytest.mark.parametrize("name", ["netflow_v5_parse", "ipfix_parse", "sflow_parse", "envoy_als_entries"])
+@pytest.mark.parametrize(
+    "name",
+    ["netflow_v5_parse", "netflow_v9_parse", "ipfix_parse", "sflow_parse", "envoy_als_entries"],
+)
 def test_netflow_decode_is_shuffle_free_arrow_map(spark, name):
     """Flow-packet decode is a per-row fan-out: one Arrow-batched
     mapInPandas over the scan, zero Exchange, no joins — the same shape as
