@@ -198,7 +198,63 @@ def _i64(v: int, bits: int = 63) -> int:
     return v
 
 
-def decode_ipfix(payload: bytes) -> list[dict]:
+def collect_ipfix_templates(df: DataFrame, source: str = "payload") -> dict:
+    """Pass-1 template harvest over a packet spool: {observation_domain_id
+    -> {template_id: (kind, fields)}} with kind 't'/'o' (data / options
+    template). Real exporters send templates periodically, NOT in every
+    packet (RFC 7011 §8), so a spool decode needs the per-exporter
+    template cache a live collector accumulates. The harvest is one
+    scan-bound mapInPandas that emits only template records (a few rows
+    per exporter), distinct()s the tiny result, and collects it for
+    broadcast into the decode pass — two passes over the spool, the
+    second carrying the cache to every executor. Conflicting duplicate
+    definitions resolve deterministically (sorted last-wins); at 100 TB
+    you would persist this table once per spool window instead of
+    re-harvesting per query."""
+    schema = T.StructType([
+        T.StructField("odid", T.LongType()),
+        T.StructField("tid", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("spec", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[source]:
+                if p is None:
+                    continue
+                b = bytes(p)
+                if len(b) < 16:
+                    continue
+                version, total_len, _s, _q, odid = struct.unpack_from(">HHIII", b, 0)
+                if version != 10 or total_len > len(b):
+                    continue
+                try:
+                    off = 16
+                    while off + 4 <= total_len:
+                        set_id, set_len = struct.unpack_from(">HH", b, off)
+                        if set_len < 4 or off + set_len > total_len:
+                            break
+                        body = b[off + 4 : off + set_len]
+                        off += set_len
+                        if set_id in (2, 3):
+                            for tid, fields in _ipfix_parse_tmpl_records(body, set_id == 3):
+                                spec = b"".join(struct.pack(">hH", ie, ln) for ie, ln in fields)
+                                rows.append((odid, tid, "o" if set_id == 3 else "t", spec))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(rows, columns=["odid", "tid", "kind", "spec"])
+
+    out: dict = {}
+    collected = df.mapInPandas(gen, schema).distinct().collect()
+    for r in sorted(collected, key=lambda r: (r.odid, r.tid, r.kind, bytes(r.spec))):
+        fields = tuple(struct.unpack_from(">hH", r.spec, i) for i in range(0, len(r.spec), 4))
+        out.setdefault(r.odid, {})[r.tid] = (r.kind, fields)
+    return out
+
+
+def decode_ipfix(payload: bytes, shared_templates: "dict | None" = None) -> list[dict]:
     """One dict per flow data record in an IPFIX export packet (RFC 7011).
 
     Header: version=10(2) length(2) export_time_s(4) sequence(4)
@@ -211,8 +267,10 @@ def decode_ipfix(payload: bytes) -> list[dict]:
     packet they arrive in (the stateless export-bundle case); a data set
     whose template never arrived is skipped, mirroring how a collector
     drops data it cannot yet decode rather than guessing. Trailing
-    padding shorter than one record is legal (§3.3.1)."""
-    seq, sampling, regions = _ipfix_scan_packet(bytes(payload))
+    padding shorter than one record is legal (§3.3.1). `shared_templates`
+    (collect_ipfix_templates output) resolves data sets whose template
+    arrived in a different packet of the same exporter stream."""
+    seq, sampling, regions = _ipfix_scan_packet(bytes(payload), shared_templates)
     rows: list[dict] = []
     for fields, region, n in regions:
         rows.extend(_decode_ipfix_region(fields, region, n, seq, sampling))
@@ -398,6 +456,32 @@ _IPFIX_INT_COLS = {
 _IPFIX_I32_COLS = {"nf_src_port", "nf_dst_port", "nf_tcp_flags", "nf_ip_tos"}
 
 
+def _ipfix_parse_tmpl_records(body: bytes, options: bool):
+    """Template records of one (options-)template set body: yields
+    (template_id, ((ie, len), ...)). Enterprise-bit IEs keep their slot
+    width under pseudo-IE -1; options templates consume the extra
+    scope_field_count word (scope fields are wire-identical to specs)."""
+    p = 0
+    while p + 4 <= len(body):
+        tid, nfields = struct.unpack_from(">HH", body, p)
+        p += 4
+        if options:  # scope_field_count — counted within nfields
+            if p + 2 > len(body):
+                raise ValueError("truncated options template")
+            p += 2
+        fields = []
+        for _ in range(nfields):
+            if p + 4 > len(body):
+                raise ValueError("truncated template")
+            ie, ln = struct.unpack_from(">HH", body, p)
+            p += 4
+            if ie & 0x8000:
+                p += 4
+                ie = -1
+            fields.append((ie, ln))
+        yield tid, tuple(fields)
+
+
 # Options-data IEs that carry the exporter's packet-sampling interval
 # (RFC 7011 §3.4.2.2 options scope; IE 34 samplingInterval is the
 # ubiquitous v9-bridged form, 49 samplerRandomInterval the sampler-table
@@ -406,10 +490,18 @@ _IPFIX_I32_COLS = {"nf_src_port", "nf_dst_port", "nf_tcp_flags", "nf_ip_tos"}
 _IPFIX_SAMPLING_IES = (34, 49, 305)
 
 
-def _ipfix_scan_packet(b: bytes):
+def _ipfix_scan_packet(b: bytes, shared: "dict | None" = None):
     """Header + set walk WITHOUT flow-record decode: returns (seq,
     sampling_rate, [(fields, region_bytes, n_records)]). Both the scalar
     decoder and the vectorized batch path layer on this single walk.
+
+    `shared`, when given, maps observation_domain_id -> {template_id:
+    (kind, fields)} (kind 't' = template, 'o' = options template) —
+    templates learned from OTHER packets of the same exporter stream
+    (collect_ipfix_templates). In-packet templates override shared ones,
+    mirroring a collector's per-exporter template cache where the latest
+    definition wins; without `shared`, only in-packet templates resolve
+    (the stateless export-bundle case).
 
     set_id 2 = template set; set_id 3 = OPTIONS template set (RFC 7011
     §3.4.2.2: template_id, field_count, scope_field_count, then specs —
@@ -423,13 +515,18 @@ def _ipfix_scan_packet(b: bytes):
     decode_ipfix historically did for framing corruption."""
     if len(b) < 16:
         raise ValueError("short ipfix header")
-    version, total_len, _export_s, seq, _odid = struct.unpack_from(">HHIII", b, 0)
+    version, total_len, _export_s, seq, odid = struct.unpack_from(">HHIII", b, 0)
     if version != 10:
         raise ValueError(f"not an ipfix packet: version={version}")
     if total_len > len(b):
         raise ValueError("truncated ipfix packet")
     templates: dict[int, tuple] = {}
     options_tids: set[int] = set()
+    if shared:
+        for tid, (kind, fields) in shared.get(odid, {}).items():
+            templates[tid] = fields
+            if kind == "o":
+                options_tids.add(tid)
     sampling = 0
     out = []
     off = 16
@@ -440,25 +537,8 @@ def _ipfix_scan_packet(b: bytes):
         body = b[off + 4 : off + set_len]
         off += set_len
         if set_id in (2, 3):
-            p = 0
-            while p + 4 <= len(body):
-                tid, nfields = struct.unpack_from(">HH", body, p)
-                p += 4
-                if set_id == 3:  # scope_field_count — counted within nfields
-                    if p + 2 > len(body):
-                        raise ValueError("truncated options template")
-                    p += 2
-                fields = []
-                for _ in range(nfields):
-                    if p + 4 > len(body):
-                        raise ValueError("truncated template")
-                    ie, ln = struct.unpack_from(">HH", body, p)
-                    p += 4
-                    if ie & 0x8000:
-                        p += 4
-                        ie = -1
-                    fields.append((ie, ln))
-                templates[tid] = tuple(fields)
+            for tid, fields in _ipfix_parse_tmpl_records(body, set_id == 3):
+                templates[tid] = fields
                 (options_tids.add if set_id == 3 else options_tids.discard)(tid)
         elif set_id >= 256 and set_id in templates:
             fields = templates[set_id]
@@ -782,22 +862,37 @@ def _ipfix_decode_batch(payloads, pdf: pd.DataFrame, names: list[str],
     return pd.concat(out_frames, ignore_index=True)[[*names, *out_cols]]
 
 
-def parse_ipfix(df: DataFrame, source: str = "payload") -> DataFrame:
-    """One row per IPFIX data record (in-packet templates, RFC 7011).
+def parse_ipfix(df: DataFrame, source: str = "payload",
+                shared_templates: dict | None = None) -> DataFrame:
+    """One row per IPFIX data record (RFC 7011).
 
     Vectorized per Arrow batch: data sets group by template layout and
     each group decodes via one numpy.frombuffer — measured 3.3x the
     scalar walk at 12 records/packet on a shared template (exports reuse
     a handful of templates, so real batches form a handful of groups).
     Odd layouts and overflow packets fall back to the per-region scalar
-    decoder; an equivalence test pins the two paths row for row."""
+    decoder; an equivalence test pins the two paths row for row.
+
+    Templates resolve in-packet by default (the stateless bundle case);
+    pass `shared_templates` (collect_ipfix_templates output, shipped to
+    executors as a Spark broadcast) to also resolve data sets whose
+    template arrived in another packet of the same observation domain —
+    the periodic-template-refresh reality of RFC 7011 §8 exporters."""
     passthrough = [f for f in df.schema.fields if f.name != source]
     names = [f.name for f in passthrough]
     out_schema = T.StructType([*passthrough, *_NF_FIELDS])
 
+    scan = None
+    if shared_templates:
+        bc = df.sparkSession.sparkContext.broadcast(shared_templates)
+
+        def scan(b):
+            seq, sampling, sets = _ipfix_scan_packet(b, bc.value)
+            return seq, sampling, 0, sets
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _ipfix_decode_batch(pdf[source], pdf, names)
+            yield _ipfix_decode_batch(pdf[source], pdf, names, scan)
 
     return df.mapInPandas(gen, out_schema)
 
@@ -838,7 +933,8 @@ def enc_netflow_v5(secs: int, seq: int, records: list[dict], uptime_ms: int = 3_
 def enc_ipfix(secs: int, seq: int, template: list[tuple[int, int]],
               records: list[list[int | bytes]], template_id: int = 256,
               options: "tuple[list[tuple[int, int]], int, list[list[int]]] | None" = None,
-              options_template_id: int = 257) -> bytes:
+              options_template_id: int = 257, odid: int = 1,
+              include_template: bool = True) -> bytes:
     """`options`, when given, is (field_specs, scope_field_count,
     records): an options template set (set_id 3, RFC 7011 §3.4.2.2) plus
     its data set are emitted before the flow sets — e.g.
@@ -855,12 +951,13 @@ def enc_ipfix(secs: int, seq: int, template: list[tuple[int, int]],
             for rec in orecs for (_, ln), v in zip(ofields, rec)
         )
         body += struct.pack(">HH", options_template_id, 4 + len(od)) + od
-    tmpl_body = struct.pack(">HH", template_id, len(template))
-    for ie, ln in template:
-        tmpl_body += struct.pack(">HH", ie, ln)
-        if ie & 0x8000:  # enterprise IE: the 4-byte PEN follows (RFC 7011 §3.2)
-            tmpl_body += struct.pack(">I", 29305)
-    body += struct.pack(">HH", 2, 4 + len(tmpl_body)) + tmpl_body
+    if include_template:
+        tmpl_body = struct.pack(">HH", template_id, len(template))
+        for ie, ln in template:
+            tmpl_body += struct.pack(">HH", ie, ln)
+            if ie & 0x8000:  # enterprise IE: the 4-byte PEN follows (RFC 7011 §3.2)
+                tmpl_body += struct.pack(">I", 29305)
+        body += struct.pack(">HH", 2, 4 + len(tmpl_body)) + tmpl_body
     data_body = b""
     for rec in records:
         for (ie, ln), v in zip(template, rec):
@@ -871,7 +968,7 @@ def enc_ipfix(secs: int, seq: int, template: list[tuple[int, int]],
             else:
                 data_body += bytes(v) if isinstance(v, (bytes, bytearray, list)) else int(v).to_bytes(ln, "big")
     body += struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
-    return struct.pack(">HHIII", 10, 16 + len(body), secs, seq, 1) + body
+    return struct.pack(">HHIII", 10, 16 + len(body), secs, seq, odid) + body
 
 
 def enc_netflow_v9(secs: int, seq: int, template: list[tuple[int, int]],
@@ -1157,11 +1254,17 @@ def synthesize_netflow_v5(df: DataFrame, records_per_packet: int = 2) -> DataFra
     return df.withColumn("payload", gen("event_id", "user_id"))
 
 
-def synthesize_ipfix(df: DataFrame) -> DataFrame:
+def synthesize_ipfix(df: DataFrame, template_every: int | None = None) -> DataFrame:
     """Deterministic IPFIX packets: template set + two-record data set per
     event. The template exercises reduced-size encoding (2-byte AS
     numbers, 4-byte counters) and an unknown enterprise IE the decoder
-    must skip over without losing alignment."""
+    must skip over without losing alignment.
+
+    `template_every=N` models the periodic template refresh of a real
+    exporter (RFC 7011 §8): packets carry the template set only when
+    event_id % N == 0, observation domains split by user_id % 4 + 1 —
+    data-only packets then decode only through a cross-packet template
+    cache (collect_ipfix_templates)."""
     template = [
         (8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
         (1, 4), (2, 4), (16, 2), (17, 2),
@@ -1189,7 +1292,11 @@ def synthesize_ipfix(df: DataFrame) -> DataFrame:
                     ms - 5000 - r, ms - r,
                     (i + r).to_bytes(4, "big"),
                 ])
-            out.append(enc_ipfix(1_700_000_000 + i % 86400, i, template, recs))
+            kw = {}
+            if template_every is not None:
+                kw = {"odid": u % 4 + 1,
+                      "include_template": i % template_every == 0}
+            out.append(enc_ipfix(1_700_000_000 + i % 86400, i, template, recs, **kw))
         return pd.Series(out)
 
     return df.withColumn("payload", gen("event_id", "user_id"))

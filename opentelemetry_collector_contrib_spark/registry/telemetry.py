@@ -2665,6 +2665,31 @@ def q_ipfix(spark, sf_dir):
     )
 
 
+def q_ipfix_cross_packet(spark, sf_dir):
+    """IPFIX decode with a cross-packet template cache (RFC 7011 §8
+    periodic refresh): only every-100th packet carries the template set,
+    so 99% of packets are data-only and decode solely through the
+    harvested per-observation-domain broadcast (collect_ipfix_templates
+    pass 1 → broadcast → decode pass 2). Without the cache these rows
+    drop; the oracle gates that data-only packets of a template-covered
+    domain decode in full."""
+    from ..operators.netflow import (
+        collect_ipfix_templates,
+        parse_ipfix,
+        synthesize_ipfix,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    spool = synthesize_ipfix(ev, template_every=100)
+    shared = collect_ipfix_templates(spool)
+    out = parse_ipfix(spool, "payload", shared_templates=shared)
+    return out.select(
+        "event_id", "nf_type", "nf_src_addr", "nf_src_port",
+        "nf_dst_addr", "nf_dst_port", "nf_transport", "nf_bytes",
+        "nf_sequence_num",
+    )
+
+
 def q_netflow_v9(spark, sf_dir):
     """NetFlow v9 (RFC 3954) decode: options flowset sampling applied
     packet-wide, FIRST/LAST_SWITCHED rebased from sysuptime-relative ms
@@ -4108,6 +4133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "signalfx_pb_parse": q_signalfx_pb,
     "netflow_v5_parse": q_netflow_v5,
     "ipfix_parse": q_ipfix,
+    "ipfix_cross_packet_templates": q_ipfix_cross_packet,
     "netflow_v9_parse": q_netflow_v9,
     "sflow_parse": q_sflow,
     "windows_event_parse": q_windows_event,
@@ -5591,6 +5617,27 @@ SELECT event_id,
   (user_id * 3) % 4096 AS nf_dst_as,
   ms - 5000 - r AS nf_start_ms,
   ms - r AS nf_end_ms,
+  event_id AS nf_sequence_num
+FROM x"""
+
+    # cross-packet rule: a packet decodes iff it carries the template
+    # itself (event_id%100=0) or its observation domain (user_id%4) has
+    # at least one template-bearing packet in the spool
+    o["ipfix_cross_packet_templates"] = """
+WITH x AS (SELECT e.*, s.r FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS r) s
+           WHERE e.event_id % 100 = 0
+              OR e.user_id % 4 IN (SELECT DISTINCT user_id % 4 FROM events
+                                   WHERE event_id % 100 = 0))
+SELECT event_id,
+  'ipfix' AS nf_type,
+  '172.16.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(r + 1 AS VARCHAR)
+    AS nf_src_addr,
+  CAST(2048 + event_id % 500 AS INTEGER) AS nf_src_port,
+  '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR)
+    AS nf_dst_addr,
+  CAST(CASE WHEN r = 0 THEN 8080 ELSE 9092 END AS INTEGER) AS nf_dst_port,
+  CASE WHEN r = 0 THEN 'tcp' ELSE 'sctp' END AS nf_transport,
+  (event_id * 53 + r * 7) % 1000000 + 64 AS nf_bytes,
   event_id AS nf_sequence_num
 FROM x"""
 

@@ -197,6 +197,36 @@ def test_ipfix_varlen_vectorized_matches_scalar():
         assert ref_df[c].tolist() == out[c].tolist(), c
 
 
+def test_ipfix_cross_packet_template_cache(spark):
+    """Data-only packets (no in-packet template) decode through the
+    harvested per-observation-domain broadcast; a domain with no template
+    anywhere in the spool still drops, and in-packet templates override
+    the shared ones."""
+    from opentelemetry_collector_contrib_spark.operators.netflow import (
+        collect_ipfix_templates,
+        parse_ipfix,
+    )
+
+    tpl_a = [(7, 2), (11, 2)]
+    tpl_b = [(7, 4), (11, 4)]  # wider layout under its own tid (RFC: tids unique per domain)
+    pkts = [
+        enc_ipfix(1, 0, tpl_a, [[80, 443]], odid=1),                           # template source, odid 1
+        enc_ipfix(1, 1, tpl_a, [[81, 8080]], odid=1, include_template=False),  # data-only, cache hit
+        enc_ipfix(1, 2, tpl_a, [[82, 9092]], odid=2, include_template=False),  # odid 2: no template -> drop
+        enc_ipfix(1, 3, tpl_b, [[99, 7000]], odid=1, template_id=257),         # second tid, in-packet
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pkts)], "k int, payload binary")
+    shared = collect_ipfix_templates(df)
+    assert set(shared) == {1} and set(shared[1]) == {256, 257}
+    assert shared[1][256] == ("t", ((7, 2), (11, 2)))
+    rows = {r.k: r for r in parse_ipfix(df, "payload", shared_templates=shared).collect()}
+    assert set(rows) == {0, 1, 3}
+    assert (rows[1].nf_src_port, rows[1].nf_dst_port) == (81, 8080)
+    assert (rows[3].nf_src_port, rows[3].nf_dst_port) == (99, 7000)
+    # without the cache the data-only packet drops
+    assert {r.k for r in parse_ipfix(df, "payload").collect()} == {0, 3}
+
+
 _V9_TPL = [
     (8, 4), (12, 4), (7, 2), (11, 2), (4, 1),
     (1, 4), (2, 4), (16, 2), (17, 2), (22, 4), (21, 4),

@@ -301,7 +301,8 @@ def test_statsd_aggregate_bounded_exchanges(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["netflow_v5_parse", "netflow_v9_parse", "ipfix_parse", "sflow_parse", "envoy_als_entries"],
+    ["netflow_v5_parse", "netflow_v9_parse", "ipfix_parse",
+     "ipfix_cross_packet_templates", "sflow_parse", "envoy_als_entries"],
 )
 def test_netflow_decode_is_shuffle_free_arrow_map(spark, name):
     """Flow-packet decode is a per-row fan-out: one Arrow-batched
