@@ -2448,6 +2448,22 @@ def q_jaeger_pb_spans(spark, sf_dir):
     )
 
 
+def q_zipkin_pb_spans(spark, sf_dir):
+    """Zipkin protobuf ListOfSpans (zipkinencodingextension 'zipkin_proto'
+    protocol): a SERVER root + CLIENT child per payload, fixed64 µs
+    timestamps, map<string,string> tags, annotations, endpoint services,
+    debug/shared bools."""
+    from ..operators.zipkin_pb import parse_zipkin_pb_spans, synthesize_zipkin_pb
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    out = parse_zipkin_pb_spans(synthesize_zipkin_pb(ev).drop("ts"), "payload")
+    return out.select(
+        "event_id", "zk_trace_id", "zk_span_id", "zk_parent_span_id", "zk_name",
+        "zk_kind", "zk_ts_us", "zk_duration_us", "zk_service", "zk_remote_service",
+        "zk_tags_csv", "zk_anno_csv", "zk_debug", "zk_shared",
+    )
+
+
 def q_cw_metric_stream(spark, sf_dir):
     """CloudWatch Metric Streams JSON lines: statistics-set records ->
     summary datapoints with sorted dimension CSVs; every 8th line is not
@@ -4147,6 +4163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "network_firewall_parse": q_network_firewall,
     "cw_metric_stream_parse": q_cw_metric_stream,
     "jaeger_pb_spans": q_jaeger_pb_spans,
+    "zipkin_pb_spans": q_zipkin_pb_spans,
     "s3_access_log_parse": q_s3_access_log,
     "otlp_pb_pipeline": q_otlp_pb_pipeline,
     "otlp_pb_exp_histograms": q_otlp_pb_exp_histograms,
@@ -5927,6 +5944,24 @@ SELECT event_id,
   'svc-' || CAST(user_id % 4 AS VARCHAR) AS jg_service,
   'host=h' || CAST(user_id % 5 AS VARCHAR) AS jg_process_tags_csv
 FROM events"""
+
+    o["zipkin_pb_spans"] = """
+SELECT event_id,
+  printf('%032x', event_id) AS zk_trace_id,
+  CASE WHEN s = 0 THEN printf('%016x', event_id)
+       ELSE printf('%016x', 2 * event_id + 1) END AS zk_span_id,
+  CASE WHEN s = 0 THEN NULL ELSE printf('%016x', event_id) END AS zk_parent_span_id,
+  CASE WHEN s = 0 THEN event_type ELSE event_type || '_call' END AS zk_name,
+  CASE WHEN s = 0 THEN 'SERVER' ELSE 'CLIENT' END AS zk_kind,
+  epoch_us(ts) AS zk_ts_us,
+  CAST(CASE WHEN s = 0 THEN 1000 ELSE 500 END AS BIGINT) AS zk_duration_us,
+  CASE WHEN s = 0 THEN 'api' END AS zk_service,
+  CASE WHEN s = 1 THEN 'db' END AS zk_remote_service,
+  CASE WHEN s = 0 THEN 'env=prod,user=u' || CAST(user_id % 7 AS VARCHAR) END AS zk_tags_csv,
+  CASE WHEN s = 0 THEN CAST(epoch_us(ts) AS VARCHAR) || ':recv' END AS zk_anno_csv,
+  s = 0 AND event_id % 5 = 0 AS zk_debug,
+  s = 1 AND event_id % 3 = 0 AS zk_shared
+FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS s) g"""
 
     o["s3_access_log_parse"] = """
 WITH e AS (SELECT *, event_id % 13 = 0 AS bad,

@@ -1,0 +1,54 @@
+"""Zipkin protobuf decode: wire-level tables mirroring
+receiver/zipkinreceiver/proto_parse_test.go's payload shapes."""
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.zipkin_pb import (
+    decode_zipkin_list,
+    enc_zipkin_list,
+    enc_zipkin_span,
+)
+
+
+def test_two_span_list_roundtrip():
+    trace = bytes(range(16))
+    s1 = enc_zipkin_span(
+        trace, b"\x01" * 8, "ProtoSpan1", 1_541_015_015_000_789, 12_000_000,
+        kind=4, service="svc-1", remote_service="memcached",
+        tags={"a": "1", "b": "2"}, annotations=[(7, "DB reset"), (3, "GC Cycle 39")],
+    )
+    s2 = enc_zipkin_span(
+        trace, b"\x02" * 8, "CacheWarmUp", 10, 7_000_000,
+        kind=3, parent_id=b"\x01" * 8, debug=True, shared=True,
+    )
+    rows = decode_zipkin_list(enc_zipkin_list([s1, s2]))
+    assert len(rows) == 2
+    r1, r2 = rows
+    assert r1["zk_trace_id"] == trace.hex()
+    assert r1["zk_kind"] == "CONSUMER" and r2["zk_kind"] == "PRODUCER"
+    assert r1["zk_ts_us"] == 1_541_015_015_000_789
+    assert r1["zk_duration_us"] == 12_000_000
+    assert r1["zk_service"] == "svc-1" and r1["zk_remote_service"] == "memcached"
+    assert r1["zk_tags_csv"] == "a=1,b=2"
+    # annotations sort by timestamp
+    assert r1["zk_anno_csv"] == "3:GC Cycle 39,7:DB reset"
+    assert r1["zk_parent_span_id"] is None and r2["zk_parent_span_id"] == ("01" * 8)
+    assert (r1["zk_debug"], r1["zk_shared"]) == (False, False)
+    assert (r2["zk_debug"], r2["zk_shared"]) == (True, True)
+
+
+def test_kind_unspecified_and_unknown_rank_null():
+    t, s = b"\x00" * 16, b"\x01" * 8
+    row = decode_zipkin_list(enc_zipkin_list([enc_zipkin_span(t, s, "x", 1, 1, kind=0)]))[0]
+    assert row["zk_kind"] is None
+    # forward-compat: an enum value this decoder doesn't know -> NULL, not error
+    row = decode_zipkin_list(enc_zipkin_list([enc_zipkin_span(t, s, "x", 1, 1, kind=9)]))[0]
+    assert row["zk_kind"] is None
+
+
+def test_malformed_payloads_raise():
+    with pytest.raises(ValueError):
+        decode_zipkin_list(b"")  # empty ListOfSpans
+    with pytest.raises(ValueError):
+        # span missing trace_id/id
+        decode_zipkin_list(enc_zipkin_list([b""]))
