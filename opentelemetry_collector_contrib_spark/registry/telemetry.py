@@ -2464,6 +2464,22 @@ def q_zipkin_pb_spans(spark, sf_dir):
     )
 
 
+def q_jaeger_thrift_batches(spark, sf_dir):
+    """Jaeger Thrift compact-protocol batches (jaegerreceiver
+    thrift_compact, the agent's UDP emitBatch payload): process stamped
+    per span, typed tags, span logs, 128-bit trace ids from
+    traceIdHigh/Low, parentSpanId 0 = unset."""
+    from ..operators.jaeger_thrift import parse_jaeger_thrift_batches, synthesize_jaeger_thrift
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    out = parse_jaeger_thrift_batches(synthesize_jaeger_thrift(ev).drop("ts"), "payload")
+    return out.select(
+        "event_id", "jt_trace_id", "jt_span_id", "jt_parent_span_id", "jt_op",
+        "jt_flags", "jt_start_us", "jt_duration_us", "jt_tags_csv", "jt_logs_csv",
+        "jt_service", "jt_process_tags_csv",
+    )
+
+
 def q_cw_metric_stream(spark, sf_dir):
     """CloudWatch Metric Streams JSON lines: statistics-set records ->
     summary datapoints with sorted dimension CSVs; every 8th line is not
@@ -4164,6 +4180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cw_metric_stream_parse": q_cw_metric_stream,
     "jaeger_pb_spans": q_jaeger_pb_spans,
     "zipkin_pb_spans": q_zipkin_pb_spans,
+    "jaeger_thrift_batches": q_jaeger_thrift_batches,
     "s3_access_log_parse": q_s3_access_log,
     "otlp_pb_pipeline": q_otlp_pb_pipeline,
     "otlp_pb_exp_histograms": q_otlp_pb_exp_histograms,
@@ -5961,6 +5978,24 @@ SELECT event_id,
   CASE WHEN s = 0 THEN CAST(epoch_us(ts) AS VARCHAR) || ':recv' END AS zk_anno_csv,
   s = 0 AND event_id % 5 = 0 AS zk_debug,
   s = 1 AND event_id % 3 = 0 AS zk_shared
+FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS s) g"""
+
+    o["jaeger_thrift_batches"] = """
+SELECT event_id,
+  printf('%016x', user_id) || printf('%016x', event_id) AS jt_trace_id,
+  CASE WHEN s = 0 THEN printf('%016x', event_id + 1)
+       ELSE printf('%016x', 2 * event_id + 3) END AS jt_span_id,
+  CASE WHEN s = 0 THEN NULL ELSE printf('%016x', event_id + 1) END AS jt_parent_span_id,
+  CASE WHEN s = 0 THEN event_type ELSE event_type || '_call' END AS jt_op,
+  CAST(1 AS BIGINT) AS jt_flags,
+  epoch_us(ts) AS jt_start_us,
+  CAST(CASE WHEN s = 0 THEN 1000 ELSE 500 END AS BIGINT) AS jt_duration_us,
+  CASE WHEN s = 0 THEN 'code=' || CAST(event_id % 7 AS VARCHAR) || ',etype=' || event_type
+    || ',ok=' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END)
+    || ',ratio=0.25' END AS jt_tags_csv,
+  CASE WHEN s = 0 THEN CAST(epoch_us(ts) AS VARCHAR) || ':event=recv' END AS jt_logs_csv,
+  'svc-' || CAST(user_id % 4 AS VARCHAR) AS jt_service,
+  'host=h' || CAST(user_id % 5 AS VARCHAR) AS jt_process_tags_csv
 FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS s) g"""
 
     o["s3_access_log_parse"] = """

@@ -1,0 +1,90 @@
+"""Thrift compact-protocol decode tables: field-header forms, typed tags,
+unknown-field skip, malformed payloads (receiver/jaegerreceiver
+thrift_compact semantics)."""
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.jaeger_thrift import (
+    _W,
+    decode_jaeger_batch,
+    enc_jaeger_thrift_batch,
+    enc_jaeger_thrift_span,
+    enc_tag,
+)
+
+
+def _batch(*spans, service="svc", ptags=None):
+    return enc_jaeger_thrift_batch(service, list(spans), process_tags=ptags)
+
+
+def test_typed_tags_render_like_protobuf_path():
+    sp = enc_jaeger_thrift_span(
+        1, 0, 2, "op", 5, 6,
+        tags={"s": "str", "b": True, "n": False, "i": -42, "d": 1.5, "raw": b"\xde\xad"},
+    )
+    row = decode_jaeger_batch(_batch(sp))[0]
+    assert row["jt_tags_csv"] == "b=true,d=1.5,i=-42,n=false,raw=dead,s=str"
+
+
+def test_trace_id_128_bit_and_unset_parent():
+    sp = enc_jaeger_thrift_span(0x0102, 0xA0B0, 9, "op", 1, 2)
+    row = decode_jaeger_batch(_batch(sp))[0]
+    assert row["jt_trace_id"] == format(0xA0B0, "016x") + format(0x0102, "016x")
+    assert row["jt_parent_span_id"] is None  # 0 = unset
+
+
+def test_long_form_field_header_and_big_list():
+    # field ids with delta > 15 force the long (zigzag id) header form
+    w = _W()
+    w.i(1, 7)
+    w.i(20, 99)  # delta 19 -> long form
+    raw = w.done()
+    from opentelemetry_collector_contrib_spark.operators.jaeger_thrift import _read_struct
+
+    fields, _ = _read_struct(raw, 0)
+    assert fields == {1: 7, 20: 99}
+    # >=15 tags exercises the 0xF long list header
+    sp = enc_jaeger_thrift_span(1, 0, 2, "op", 1, 2, tags={f"k{i:02d}": i for i in range(20)})
+    row = decode_jaeger_batch(_batch(sp))[0]
+    assert row["jt_tags_csv"].count("=") == 20
+
+
+def test_unknown_fields_skip_by_type():
+    # a span with extra fields from a "future IDL": double f20, string f21,
+    # struct f22, list f23 — decoder must skip all and still read the span
+    w = _W()
+    w.i(1, 5)
+    w.i(2, 0)
+    w.i(3, 6)
+    w.s(5, "op")
+    w.i(8, 100)
+    w.i(9, 200)
+    w.d(20, 3.5)
+    w.s(21, "future")
+    inner = _W()
+    inner.i(1, 1)
+    w.st(22, inner.done())
+    w.lst(23, [enc_tag("x", 1)])
+    row = decode_jaeger_batch(_batch(w.done()))[0]
+    assert row["jt_span_id"] == format(6, "016x")
+    assert row["jt_start_us"] == 100 and row["jt_duration_us"] == 200
+
+
+def test_span_logs_sorted_by_timestamp():
+    sp = enc_jaeger_thrift_span(
+        1, 0, 2, "op", 1, 2,
+        logs=[(300, {"b": 2}), (100, {"a": 1})],
+    )
+    row = decode_jaeger_batch(_batch(sp))[0]
+    assert row["jt_logs_csv"] == "100:a=1,300:b=2"
+
+
+def test_malformed_payloads_raise():
+    with pytest.raises(Exception):
+        decode_jaeger_batch(b"")  # no struct at all
+    with pytest.raises(ValueError):
+        decode_jaeger_batch(_batch())  # empty span list
+    # truncated binary length
+    bad = bytes([0x18, 0x7F]) + b"x"  # field 1 BINARY claims 127 bytes, has 1
+    with pytest.raises(Exception):
+        decode_jaeger_batch(bad)
