@@ -135,6 +135,66 @@ def _read_struct(buf: bytes, pos: int) -> tuple[dict[int, object], int]:
             fields[fid], pos = _read_value(buf, pos, t)
 
 
+# --- Thrift binary protocol (the thrift_binary UDP variant, config.go:42) ----
+# Fixed-width big-endian grammar: 1-byte type, i16 field id, i32 lengths.
+# Type codes differ from compact: 2 BOOL, 3 BYTE, 4 DOUBLE, 6 I16, 8 I32,
+# 10 I64, 11 STRING, 12 STRUCT, 13 MAP, 14 SET, 15 LIST.
+
+_BIN_FIXED = {2: 1, 3: 1, 4: 8, 6: 2, 8: 4, 10: 8}
+
+
+def _read_value_binary(buf: bytes, pos: int, t: int):
+    if t in _BIN_FIXED:
+        n = _BIN_FIXED[t]
+        raw = buf[pos : pos + n]
+        pos += n
+        if t == 2:
+            return raw[0] == 1, pos
+        if t == 4:
+            return struct.unpack(">d", raw)[0], pos
+        return int.from_bytes(raw, "big", signed=True), pos
+    if t == 11:
+        n = int.from_bytes(buf[pos : pos + 4], "big")
+        pos += 4
+        if pos + n > len(buf):
+            raise ValueError("truncated binary")
+        return bytes(buf[pos : pos + n]), pos + n
+    if t in (14, 15):
+        et = buf[pos]
+        size = int.from_bytes(buf[pos + 1 : pos + 5], "big")
+        pos += 5
+        out = []
+        for _ in range(size):
+            v, pos = _read_value_binary(buf, pos, et)
+            out.append(v)
+        return out, pos
+    if t == 13:
+        kt, vt = buf[pos], buf[pos + 1]
+        size = int.from_bytes(buf[pos + 2 : pos + 6], "big")
+        pos += 6
+        out = {}
+        for _ in range(size):
+            k, pos = _read_value_binary(buf, pos, kt)
+            v, pos = _read_value_binary(buf, pos, vt)
+            out[k] = v
+        return out, pos
+    if t == 12:
+        return _read_struct_binary(buf, pos)
+    raise ValueError(f"unknown binary type {t}")
+
+
+def _read_struct_binary(buf: bytes, pos: int) -> tuple[dict[int, object], int]:
+    fields: dict[int, object] = {}
+    while True:
+        t = buf[pos]
+        pos += 1
+        if t == CT_STOP:
+            return fields, pos
+        fid = int.from_bytes(buf[pos : pos + 2], "big", signed=True)
+        pos += 2
+        fields[fid], pos = _read_value_binary(buf, pos, t)
+
+
 def _tag_render(tag: dict[int, object]) -> tuple[str, str]:
     key = (tag.get(1) or b"").decode("utf-8", errors="replace") if isinstance(tag.get(1), bytes) else str(tag.get(1, ""))
     vtype = tag.get(2, 0)
@@ -180,10 +240,13 @@ _JT_FIELDS = [
 ]
 
 
-def decode_jaeger_batch(payload: bytes) -> list[dict]:
+def decode_jaeger_batch(payload: bytes, protocol: str = "compact") -> list[dict]:
     """One Batch payload → one row per span, process stamped on all
-    (the receiver's ThriftBatchToInternalTraces path)."""
-    batch, _ = _read_struct(payload, 0)
+    (the receiver's ThriftBatchToInternalTraces path). protocol selects
+    the wire grammar — 'compact' (thrift_compact) or 'binary'
+    (thrift_binary); the struct interpretation is shared."""
+    reader = _read_struct if protocol == "compact" else _read_struct_binary
+    batch, _ = reader(payload, 0)
     proc = batch.get(1) or {}
     service = None
     if isinstance(proc.get(1), bytes):
@@ -222,10 +285,10 @@ def decode_jaeger_batch(payload: bytes) -> list[dict]:
     return out
 
 
-def parse_jaeger_thrift_batches(df: DataFrame, source: str = "payload") -> DataFrame:
+def parse_jaeger_thrift_batches(df: DataFrame, source: str = "payload", protocol: str = "compact") -> DataFrame:
     """Arrow-batched decode; malformed payloads drop (the UDP server's
     discard path). Scale: shuffle-free mapInPandas over the scan."""
-    return _pb_map(df, source, _JT_FIELDS, decode_jaeger_batch)
+    return _pb_map(df, source, _JT_FIELDS, lambda p: decode_jaeger_batch(p, protocol))
 
 
 # --- encode side (fixtures/tests) --------------------------------------------
@@ -297,8 +360,64 @@ class _W:
         return bytes(self.buf) + b"\x00"
 
 
-def enc_tag(key: str, value) -> bytes:
-    w = _W()
+# Compact type code -> (binary type code, fixed width) for the writer;
+# compact STRUCT (12) happens to equal binary STRUCT.
+_BIN_OF = {CT_BYTE: (3, 1), CT_I16: (6, 2), CT_I32: (8, 4), CT_I64: (10, 8)}
+_BIN_ELEM = {CT_STRUCT: 12, CT_BINARY: 11, CT_I64: 10, CT_I32: 8, CT_DOUBLE: 4,
+             CT_TRUE: 2, CT_FALSE: 2, CT_BYTE: 3, CT_I16: 6}
+
+
+class _WB:
+    """Binary-protocol struct writer — same interface as ``_W`` so the
+    enc_* fixtures emit either wire grammar (type codes translate via
+    _BIN_OF/_BIN_ELEM; field headers are 1-byte type + i16 id)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def _hdr(self, fid: int, t: int):
+        self.buf.append(t)
+        self.buf += fid.to_bytes(2, "big", signed=True)
+
+    def i(self, fid: int, v: int, t: int = CT_I64):
+        bt, n = _BIN_OF[t]
+        self._hdr(fid, bt)
+        self.buf += int(v).to_bytes(n, "big", signed=True)
+
+    def d(self, fid: int, v: float):
+        self._hdr(fid, 4)
+        self.buf += struct.pack(">d", v)
+
+    def b(self, fid: int, v: bool):
+        self._hdr(fid, 2)
+        self.buf.append(1 if v else 0)
+
+    def s(self, fid: int, v: bytes | str):
+        raw = v.encode("utf-8") if isinstance(v, str) else v
+        self._hdr(fid, 11)
+        self.buf += len(raw).to_bytes(4, "big") + raw
+
+    def lst(self, fid: int, items: list[bytes], et: int = CT_STRUCT):
+        self._hdr(fid, 15)
+        self.buf.append(_BIN_ELEM[et])
+        self.buf += len(items).to_bytes(4, "big")
+        for it in items:
+            self.buf += it
+
+    def st(self, fid: int, payload: bytes):
+        self._hdr(fid, 12)
+        self.buf += payload
+
+    def done(self) -> bytes:
+        return bytes(self.buf) + b"\x00"
+
+
+def _writer(protocol: str):
+    return _W if protocol == "compact" else _WB
+
+
+def enc_tag(key: str, value, protocol: str = "compact") -> bytes:
+    w = _writer(protocol)()
     w.s(1, key)
     if isinstance(value, bool):
         w.i(2, 2, CT_I32)
@@ -322,8 +441,9 @@ def enc_jaeger_thrift_span(
     trace_low: int, trace_high: int, span_id: int, op: str,
     start_us: int, duration_us: int, parent_id: int = 0, flags: int = 1,
     tags: dict | None = None, logs: list[tuple[int, dict]] | None = None,
+    protocol: str = "compact",
 ) -> bytes:
-    w = _W()
+    w = _writer(protocol)()
     w.i(1, trace_low)
     w.i(2, trace_high)
     w.i(3, span_id)
@@ -333,24 +453,26 @@ def enc_jaeger_thrift_span(
     w.i(8, start_us)
     w.i(9, duration_us)
     if tags:
-        w.lst(10, [enc_tag(k, v) for k, v in tags.items()])
+        w.lst(10, [enc_tag(k, v, protocol) for k, v in tags.items()])
     if logs:
         ls = []
         for ts, fields in logs:
-            lw = _W()
+            lw = _writer(protocol)()
             lw.i(1, ts)
-            lw.lst(2, [enc_tag(k, v) for k, v in fields.items()])
+            lw.lst(2, [enc_tag(k, v, protocol) for k, v in fields.items()])
             ls.append(lw.done())
         w.lst(11, ls)
     return w.done()
 
 
-def enc_jaeger_thrift_batch(service: str, spans: list[bytes], process_tags: dict | None = None) -> bytes:
-    pw = _W()
+def enc_jaeger_thrift_batch(
+    service: str, spans: list[bytes], process_tags: dict | None = None, protocol: str = "compact"
+) -> bytes:
+    pw = _writer(protocol)()
     pw.s(1, service)
     if process_tags:
-        pw.lst(2, [enc_tag(k, v) for k, v in process_tags.items()])
-    w = _W()
+        pw.lst(2, [enc_tag(k, v, protocol) for k, v in process_tags.items()])
+    w = _writer(protocol)()
     w.st(1, pw.done())
     w.lst(2, spans)
     return w.done()

@@ -79,6 +79,57 @@ def test_span_logs_sorted_by_timestamp():
     assert row["jt_logs_csv"] == "100:a=1,300:b=2"
 
 
+def _roundtrip(protocol):
+    sp = enc_jaeger_thrift_span(
+        0x0102, 0xA0B0, 9, "op", 100, 200, parent_id=5, flags=1,
+        tags={"s": "str", "b": True, "n": False, "i": -42, "d": 1.5, "raw": b"\xde\xad"},
+        logs=[(300, {"b": 2}), (100, {"a": 1})],
+        protocol=protocol,
+    )
+    batch = enc_jaeger_thrift_batch("svc", [sp], process_tags={"host": "h1"}, protocol=protocol)
+    return decode_jaeger_batch(batch, protocol=protocol)
+
+
+def test_binary_protocol_decodes_same_rows_as_compact():
+    # the two wire grammars carry the same Batch: decoded rows must be equal
+    assert _roundtrip("binary") == _roundtrip("compact")
+
+
+def test_binary_protocol_negative_and_bool_fields():
+    sp = enc_jaeger_thrift_span(-1, 0, 2, "op", 1, 2, tags={"neg": -9999999999}, protocol="binary")
+    row = decode_jaeger_batch(enc_jaeger_thrift_batch("s", [sp], protocol="binary"), protocol="binary")[0]
+    assert row["jt_trace_id"].endswith("ffffffffffffffff")  # -1 low word renders unsigned
+    assert row["jt_tags_csv"] == "neg=-9999999999"
+
+
+def test_binary_unknown_fields_skip_by_type():
+    from opentelemetry_collector_contrib_spark.operators.jaeger_thrift import _WB
+
+    w = _WB()
+    w.i(1, 5)
+    w.i(2, 0)
+    w.i(3, 6)
+    w.s(5, "op")
+    w.i(8, 100)
+    w.i(9, 200)
+    w.d(20, 3.5)
+    w.s(21, "future")
+    inner = _WB()
+    inner.i(1, 1)
+    w.st(22, inner.done())
+    w.lst(23, [enc_tag("x", 1, protocol="binary")])
+    batch = enc_jaeger_thrift_batch("s", [w.done()], protocol="binary")
+    row = decode_jaeger_batch(batch, protocol="binary")[0]
+    assert row["jt_span_id"] == format(6, "016x")
+    assert row["jt_start_us"] == 100 and row["jt_duration_us"] == 200
+
+
+def test_binary_malformed_truncated_string_raises():
+    bad = bytes([11, 0, 1]) + (127).to_bytes(4, "big") + b"x"  # claims 127 bytes, has 1
+    with pytest.raises(Exception):
+        decode_jaeger_batch(bad, protocol="binary")
+
+
 def test_malformed_payloads_raise():
     with pytest.raises(Exception):
         decode_jaeger_batch(b"")  # no struct at all
