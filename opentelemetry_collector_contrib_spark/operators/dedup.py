@@ -653,6 +653,89 @@ def embedding_dup_pairs_bucketed(
 # ---------------------------------------------------------------------------
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup, REMOVAL step (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": cut every occurrence of a
+    cross-document verbatim repeat except one). `duplicated_ngram_spans`
+    detects; this rewrites the corpus.
+
+    Semantics: for each n-token window repeated in >= min_docs distinct
+    docs, the globally FIRST occurrence (min (doc, start_pos)) survives;
+    every other occurrence marks its n token positions for removal. Marked
+    windows may overlap — positions union, so a span is cut once. A
+    survivor window's positions can still be cut by a *different* flagged
+    window that overlaps it and keeps elsewhere — per-window semantics,
+    exactly like the suffix-array pipeline's per-repeat decisions. Output
+    text is rebuilt from surviving tokens (whitespace-normalized, one
+    space between tokens).
+
+    Returns (doc, removed_tokens, kept_tokens, text_clean).
+
+    Plan & scale: tokenize once; explode positional n-grams (linear in
+    corpus tokens); ONE groupBy(ngram_hash) computes both the distinct-doc
+    count and the keeper (min struct) — no second aggregation; equi-join
+    back on the hash; non-keepers explode to n positions each (bounded
+    linear blowup, n small); distinct + collect_set per doc; one final
+    equi-join on doc and a pure-projection rebuild. No pair join exists
+    anywhere, so unlike jaccard there is no f² skew — a boilerplate
+    n-gram shared by millions of docs costs exactly its occurrence count."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+    rows = toks.select(
+        "doc",
+        "_toks",
+        F.explode(
+            F.when(F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    grams = rows.select(
+        "doc",
+        (F.col("i") - 1).alias("start_pos"),
+        h60(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("i"), F.lit(n)))).alias("ngram_hash"),
+    )
+    flagged = (
+        grams.groupBy("ngram_hash")
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.min(F.struct(F.col("doc"), F.col("start_pos"))).alias("keep"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("ngram_hash", "keep")
+    )
+    removals = (
+        grams.join(flagged, "ngram_hash")
+        .filter((F.col("doc") != F.col("keep.doc")) | (F.col("start_pos") != F.col("keep.start_pos")))
+        .select("doc", F.explode(F.sequence(F.col("start_pos"), F.col("start_pos") + (n - 1))).alias("pos"))
+        .distinct()
+        .groupBy("doc")
+        .agg(F.collect_set("pos").alias("_rm"))
+    )
+    merged = toks.join(removals, "doc", "left").withColumn(
+        "_rm", F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("_toks"),
+            F.sequence(F.lit(0), F.greatest(F.size("_toks"), F.lit(1)) - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: s["t"].isNotNull() & ~F.array_contains(F.col("_rm"), s["i"]),
+    )
+    return merged.select(
+        "doc",
+        F.size("_rm").cast("long").alias("removed_tokens"),
+        (F.size("_toks") - F.size("_rm")).cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_clean"),
+    )
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     id_col: str,

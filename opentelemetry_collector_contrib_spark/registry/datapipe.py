@@ -375,6 +375,12 @@ def q_ngram_spans(spark, sf_dir):
     return duplicated_ngram_spans(_docs(spark, sf_dir), "doc_id", n=5, min_docs=2)
 
 
+def q_remove_spans(spark, sf_dir):
+    from ..operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(_docs(spark, sf_dir), "doc_id", n=5, min_docs=2)
+
+
 def q_text_chunks(spark, sf_dir):
     from ..operators.textstats import chunk_documents
 
@@ -621,6 +627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_mixture": q_curation_mixture,
     "curation_line_dedup": q_curation_line_dedup,
     "dedup_ngram_spans": q_ngram_spans,
+    "dedup_span_removal": q_remove_spans,
     "text_chunks": q_text_chunks,
     "emb_quantized": q_emb_quantized,
     "lineitem_pricing_summary": q_lineitem_pricing,
@@ -1261,6 +1268,38 @@ cnt AS (SELECT ngram_hash, count(DISTINCT doc) AS n_docs
         FROM spans GROUP BY 1 HAVING count(DISTINCT doc) >= 2)
 SELECT s.doc, s.start_pos, s.ngram_hash, c.n_docs
 FROM spans s JOIN cnt c USING (ngram_hash)"""
+    )
+
+    o["dedup_span_removal"] = (
+        _DOC_TOKS_CTE
+        + f""",
+spans AS (
+  SELECT doc_id AS doc, CAST(i - 1 AS INT) AS start_pos,
+         {sql_h60("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS ngram_hash
+  FROM tokd, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+  WHERE len(toks) >= 5),
+flag AS (SELECT ngram_hash, min(ROW(doc, start_pos)) AS keep
+         FROM spans GROUP BY 1 HAVING count(DISTINCT doc) >= 2),
+rm AS (SELECT DISTINCT s.doc, CAST(s.start_pos + u.j AS INT) AS pos
+       FROM spans s JOIN flag f USING (ngram_hash),
+            unnest(generate_series(0, 4)) AS u(j)
+       WHERE ROW(s.doc, s.start_pos) <> f.keep),
+rmagg AS (SELECT doc, count(*) AS n_rm FROM rm GROUP BY doc),
+tokpos AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+           FROM tokd, unnest(generate_series(1, len(toks))) AS t(i)),
+kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         FROM tokpos tp LEFT JOIN rm ON rm.doc = tp.doc_id AND rm.pos = tp.pos
+         WHERE rm.doc IS NULL),
+clean AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY pos) AS text_clean
+          FROM kept GROUP BY doc_id)
+SELECT t.doc_id AS doc,
+       CAST(coalesce(r.n_rm, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.toks) - coalesce(r.n_rm, 0) AS BIGINT) AS kept_tokens,
+       coalesce(c.text_clean, '') AS text_clean
+FROM tokd t
+LEFT JOIN rmagg r ON r.doc = t.doc_id
+LEFT JOIN clean c ON c.doc_id = t.doc_id"""
     )
 
     o["text_chunks"] = (

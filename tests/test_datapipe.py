@@ -260,6 +260,31 @@ def test_duplicated_ngram_spans(spark):
     assert all(r["n_docs"] == 2 for r in out)
 
 
+def test_remove_duplicated_spans(spark):
+    rows = [
+        (1, "a b c d e"),                 # keeper for both flagged 3-grams
+        (2, "x a b c y"),                 # "a b c" at pos 1 -> cut
+        (3, "q a b c d w"),               # "a b c"@1 and "b c d"@2 -> union cut 1..4
+        (4, "no shared grams here"),      # untouched
+        (5, "ab"),                        # shorter than n
+        (6, ""),                          # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc"]: r for r in dedup.remove_duplicated_spans(df, "doc_id", n=3, min_docs=2).collect()}
+    assert len(out) == 6
+    # globally-first occurrence survives verbatim
+    assert out[1]["text_clean"] == "a b c d e" and out[1]["removed_tokens"] == 0
+    # single flagged window cut
+    assert out[2]["text_clean"] == "x y" and out[2]["removed_tokens"] == 3
+    # overlapping flagged windows union before cutting
+    assert out[3]["text_clean"] == "q w" and out[3]["removed_tokens"] == 4
+    assert out[3]["kept_tokens"] == 2
+    # untouched / short / empty docs pass through
+    assert out[4]["text_clean"] == "no shared grams here"
+    assert out[5]["text_clean"] == "ab" and out[6]["text_clean"] == ""
+    assert out[6]["removed_tokens"] == 0 and out[6]["kept_tokens"] == 0
+
+
 def test_chunk_documents(spark):
     from opentelemetry_collector_contrib_spark.operators.textstats import chunk_documents
 
