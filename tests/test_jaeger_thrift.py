@@ -3,8 +3,11 @@ unknown-field skip, malformed payloads (receiver/jaegerreceiver
 thrift_compact semantics)."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from opentelemetry_collector_contrib_spark.operators.jaeger_thrift import (
+    _JT_FIELDS,
     _W,
     decode_jaeger_batch,
     enc_jaeger_thrift_batch,
@@ -139,3 +142,36 @@ def test_malformed_payloads_raise():
     bad = bytes([0x18, 0x7F]) + b"x"  # field 1 BINARY claims 127 bytes, has 1
     with pytest.raises(Exception):
         decode_jaeger_batch(bad)
+
+
+_JT_KEYS = {f.name for f in _JT_FIELDS}
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200), st.sampled_from(["compact", "binary"]))
+def test_decoder_total_on_arbitrary_bytes(data, protocol):
+    """Same contract as the other wire readers: bounded failure (raise) or
+    a well-formed row list — never a hang, never a partial row. Every list
+    element consumes >= 1 byte in both grammars, so iteration is bounded
+    by payload length even for hostile declared sizes."""
+    try:
+        rows = decode_jaeger_batch(data, protocol=protocol)
+    except Exception:
+        return
+    for r in rows:
+        assert set(r) == _JT_KEYS
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=120), st.sampled_from(["compact", "binary"]))
+def test_decoder_total_with_valid_batch_prefix(tail, protocol):
+    # splice arbitrary bytes after a valid process struct header so the
+    # fuzz reaches deep into the span-list walk, not just the first byte
+    sp = enc_jaeger_thrift_span(1, 0, 2, "op", 1, 2, protocol=protocol)
+    good = enc_jaeger_thrift_batch("svc", [sp], protocol=protocol)
+    try:
+        rows = decode_jaeger_batch(good[:-1] + tail, protocol=protocol)
+    except Exception:
+        return
+    for r in rows:
+        assert set(r) == _JT_KEYS

@@ -52,3 +52,36 @@ def test_malformed_payloads_raise():
     with pytest.raises(ValueError):
         # span missing trace_id/id
         decode_zipkin_list(enc_zipkin_list([b""]))
+
+
+# --- property: bounded failure or well-formed rows on arbitrary bytes --------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from opentelemetry_collector_contrib_spark.operators.zipkin_pb import _ZK_FIELDS  # noqa: E402
+
+_ZK_KEYS = {f.name for f in _ZK_FIELDS}
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_decoder_total_on_arbitrary_bytes(data):
+    try:
+        rows = decode_zipkin_list(data)
+    except Exception:
+        return
+    for r in rows:
+        assert set(r) == _ZK_KEYS
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=120))
+def test_decoder_total_with_valid_span_prefix(tail):
+    good = enc_zipkin_list([enc_zipkin_span(bytes(range(16)), b"\x01" * 8, "op", 1, 2)])
+    try:
+        rows = decode_zipkin_list(good + tail)
+    except Exception:
+        return
+    for r in rows:
+        assert set(r) == _ZK_KEYS
