@@ -310,6 +310,67 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents whose
+    n-gram Jaccard similarity against ANY eval/benchmark document is
+    >= threshold — the near-duplicate contamination the exact-overlap
+    `decontaminate` protocol misses (paraphrased eval questions, extracts
+    with edits — the regime the GPT-3 appendix-C dedup handles with fuzzy
+    13-gram matching).
+
+    Bipartite MinHash LSH composed from the dedup primitives: both sides
+    get band buckets, candidates come from a bucket equi-join with the
+    EVAL side broadcast (a benchmark suite is MBs even when the train side
+    is 100 TB), and exact-Jaccard verification runs on candidates only.
+    The train side is never self-joined — cost is O(train buckets) scan +
+    O(candidate pairs) verify.
+
+    Output one row per train doc: (id, n_matches, max_jaccard,
+    matched_eval = smallest matching eval id for determinism,
+    contaminated). Docs with < n tokens have no shingles and are never
+    contaminated. Emits flags rather than dropping so callers audit."""
+    from .dedup import _verify_candidates, lsh_buckets, minhash_signatures, shingle_table
+
+    bk_t = lsh_buckets(minhash_signatures(train_df, id_col, text_col, n, bands, rows), bands, rows)
+    bk_e = lsh_buckets(minhash_signatures(eval_df, id_col, text_col, n, bands, rows), bands, rows)
+    cands = (
+        bk_t.join(F.broadcast(bk_e.withColumnRenamed("doc", "_edoc")), ["band", "bucket"])
+        .select(F.col("doc").alias("doc_a"), F.col("_edoc").alias("doc_b"))
+        .distinct()
+    )
+    verified = _verify_candidates(
+        cands,
+        shingle_table(train_df, id_col, text_col, n),
+        shingle_table(eval_df, id_col, text_col, n),
+        threshold,
+    )
+    per_doc = verified.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("doc_b").alias("matched_eval"),
+    )
+    return (
+        train_df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("doc_a", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+            F.col("matched_eval"),
+            (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic training-order shuffle (seeded shard assignment)
 # ---------------------------------------------------------------------------

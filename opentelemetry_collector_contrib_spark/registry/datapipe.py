@@ -590,6 +590,17 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev, n=3)
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (MinHash-LSH) decontamination: same % 37 eval/train split as
+    the exact protocol, verified Jaccard >= 0.4 against any eval doc."""
+    from ..operators.curation import decontaminate_fuzzy
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 37 == 0)
+    tr = d.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate_fuzzy(tr, ev, n=3, bands=4, rows=2, threshold=0.4)
+
+
 def q_train_shuffle(spark, sf_dir):
     """Deterministic seeded training-order shuffle: 16 shards, seed 'r3'."""
     from ..operators.curation import train_shuffle
@@ -612,6 +623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_topk": q_tfidf_topk,
     "corpus_summary": q_corpus_summary,
     "curation_decontaminate": q_decontaminate,
+    "curation_decontaminate_fuzzy": q_decontaminate_fuzzy,
     "curation_train_shuffle": q_train_shuffle,
     "cluster_balanced_sample": q_cluster_balance,
     "curation_repetition": q_curation_repetition,
@@ -988,6 +1000,43 @@ SELECT dd.doc_id,
        ELSE 0.0 END AS overlap_frac,
   coalesce(agg.n_overlap, 0) >= 1 AS contaminated
 FROM documents dd LEFT JOIN agg ON agg.doc = dd.doc_id
+WHERE dd.doc_id % 37 <> 0"""
+    )
+
+    o["curation_decontaminate_fuzzy"] = (
+        _SHINGLE_CTE
+        + ",\n"
+        + _minhash_sig_sql()
+        + ",\n"
+        + _lsh_bucket_sql()
+        + """,
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  WHERE a.doc % 37 <> 0 AND b.doc % 37 = 0),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shing a ON a.doc = c.doc_a
+  JOIN shing b ON b.doc = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+ver AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4),
+per AS (
+  SELECT doc_a, count(*) AS n_matches, max(jaccard) AS max_jaccard,
+         min(doc_b) AS matched_eval
+  FROM ver GROUP BY 1)
+SELECT dd.doc_id,
+  CAST(coalesce(p.n_matches, 0) AS BIGINT) AS n_matches,
+  coalesce(p.max_jaccard, 0.0) AS max_jaccard,
+  p.matched_eval,
+  coalesce(p.n_matches, 0) > 0 AS contaminated
+FROM documents dd LEFT JOIN per p ON p.doc_a = dd.doc_id
 WHERE dd.doc_id % 37 <> 0"""
     )
 

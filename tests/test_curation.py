@@ -140,6 +140,35 @@ def test_decontaminate_flags_overlap(spark):
     assert out[3]["overlap_frac"] == 0.0
 
 
+def test_decontaminate_fuzzy_flags_near_dup(spark):
+    # train doc 1 is a light edit of eval doc 100 (one word changed) —
+    # high Jaccard, caught; doc 2 shares a phrase but is mostly different
+    # — below threshold; doc 3 is clean; doc 4 too short for any shingle
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy cat tonight"),
+            (2, "the quick brown fox is a completely different story about weather"),
+            (3, "unrelated corpus text with no shared content at all"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.decontaminate_fuzzy(tr, ev, n=3, bands=4, rows=2, threshold=0.4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["contaminated"] and out[1]["matched_eval"] == 100
+    assert out[1]["max_jaccard"] >= 0.4 and out[1]["n_matches"] == 1
+    assert not out[2]["contaminated"] and out[2]["max_jaccard"] == 0.0
+    assert not out[3]["contaminated"]
+    assert not out[4]["contaminated"] and out[4]["matched_eval"] is None
+
+
 def test_decontaminate_min_overlap_threshold(spark):
     ev = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
     tr = spark.createDataFrame([(1, "a b c d x")], ["doc_id", "text"])  # 2 shared grams
