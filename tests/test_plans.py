@@ -62,6 +62,8 @@ HEADLINERS = [
     "service_graph_edges",
     "drain_templates",
     "text_chunks",
+    "dedup_span_removal",
+    "curation_decontaminate_fuzzy",
 ]
 
 
@@ -83,6 +85,14 @@ def test_pipeline_dims_are_broadcast(spark):
     assert len(re.findall(r"BroadcastHashJoin", tree_of(plan))) >= 2
     assert "SortMergeJoin" not in plan
     assert n_exchanges(plan) <= 1, plan[:2000]
+
+
+def test_span_removal_bounded_exchanges(spark):
+    """Exact-substring removal: one gram agg, one gram join, one doc agg —
+    no pair join anywhere, so exchanges stay constant (<= 4) regardless of
+    how hot a boilerplate n-gram is."""
+    plan = plan_of(_query("dedup_span_removal")(spark, SF))
+    assert n_exchanges(plan) <= 4, plan[:2000]
 
 
 def test_salted_agg_shuffles_at_most_twice(spark):
