@@ -648,6 +648,73 @@ def embedding_dup_pairs_bucketed(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    probes: int = 1,
+    centroids: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas, Tirumala et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column. Vectors cluster under
+    the coarse quantizer; cosine >= threshold pairs are found WITHIN
+    shared cells only (equi-join on cell — never all-pairs); pairs connect
+    into components; ONE document per component survives. Keep policy is
+    the paper's: the member with the LOWEST cosine similarity to its
+    cluster centroid (the least prototypical exemplar — prototypical
+    members carry the least marginal information), ties broken on id.
+
+    Output one row per vector: (id, cell, centroid_sim, cluster_rep,
+    keep). Vectors in no near-dup pair form singleton components and keep
+    themselves. Pass `centroids` (e.g. ivf_centroids_kmeans output) for
+    the production quantizer; the default first-n quantizer is the
+    oracle-parity path.
+
+    Scale: cell scoring is an inlined-centroid codegen projection (no
+    join); the pair join is Σ|cell|² like embedding_dup_pairs_bucketed;
+    components are pointer-doubling CC (O(log diameter) rounds); keeper
+    selection is one min(struct) aggregation per component, map-side
+    combinable — no window sort."""
+    from .similarity import ivf_assign_topp, ivf_centroids
+
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    cells = ivf_assign_topp(emb, cents, probes, id_col, vec_col).select(id_col, "cell")
+    a = cells.select(F.col(id_col).alias("id_a"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"), "cell")
+    cands = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    comp = dup_clusters(pairs, max_iters)
+    one = ivf_assign_topp(emb, cents, 1, id_col, vec_col).select(
+        F.col(id_col).alias("doc"), "cell", F.col("cell_cos").alias("centroid_sim")
+    )
+    labeled = one.join(comp, "doc", "left").withColumn(
+        "cluster_rep", F.coalesce(F.col("cluster_rep"), F.col("doc"))
+    )
+    keepers = labeled.groupBy("cluster_rep").agg(
+        F.min(F.struct(F.col("centroid_sim"), F.col("doc"))).alias("_k")
+    )
+    return (
+        labeled.join(keepers, "cluster_rep")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            "centroid_sim",
+            "cluster_rep",
+            (F.col("doc") == F.col("_k.doc")).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicated n-gram span detection (exact-substring dedup, positional form)
 # ---------------------------------------------------------------------------

@@ -215,6 +215,14 @@ def q_embedding_dup_pairs_bucketed(spark, sf_dir):
     return embedding_dup_pairs_bucketed(_embs(spark, sf_dir), threshold=0.35, n_cells=8, probes=2)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings corpus: multi-probe cells, cosine
+    >= 0.35 components, keep = least-prototypical member per component."""
+    from ..operators.dedup import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), threshold=0.35, n_cells=8, probes=2)
+
+
 def _query_vectors(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
@@ -661,6 +669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_dhash_pairs": q_multimodal_dhash_pairs,
     "dedup_embedding_pairs": q_embedding_dup_pairs,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_pairs_bucketed,
+    "dedup_semantic": q_semantic_dedup,
     "sim_topk_brute": q_topk_brute,
     "sim_topk_ivf": q_topk_ivf,
     "multimodal_features": q_multimodal_features,
@@ -1439,6 +1448,40 @@ FROM cand
 JOIN embeddings a ON a.vec_id = id_a
 JOIN embeddings b ON b.vec_id = id_b
 WHERE {cos_ab} >= 0.35"""
+
+    o["dedup_semantic"] = f"""
+WITH RECURSIVE cents AS (SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT v.vec_id, c.cell, {cos_vc2} AS cc,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc2} DESC, c.cell ASC) AS r
+  FROM embeddings v CROSS JOIN cents c),
+cells AS (SELECT vec_id, cell FROM scored WHERE r <= 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b USING (cell) WHERE a.vec_id < b.vec_id),
+pairsv AS (
+  SELECT id_a, id_b FROM cand
+  JOIN embeddings a ON a.vec_id = id_a
+  JOIN embeddings b ON b.vec_id = id_b
+  WHERE {cos_ab} >= 0.35),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairsv
+          UNION SELECT id_b, id_a FROM pairsv),
+reach AS (
+  SELECT src AS doc, src AS label FROM edges
+  UNION
+  SELECT e.src AS doc, r.label AS label FROM edges e JOIN reach r ON r.doc = e.dst),
+comp AS (SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc),
+lab AS (
+  SELECT s.vec_id AS doc, s.cell, s.cc AS centroid_sim,
+         coalesce(c.cluster_rep, s.vec_id) AS cluster_rep
+  FROM scored s LEFT JOIN comp c ON c.doc = s.vec_id
+  WHERE s.r = 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                               ORDER BY centroid_sim ASC, doc ASC) AS rn
+  FROM lab)
+SELECT doc AS vec_id, cell, centroid_sim, cluster_rep, rn = 1 AS keep
+FROM ranked"""
 
     cos_qn = sql_cosine("q.embedding", "n.embedding")
     o["sim_topk_brute"] = f"""

@@ -260,6 +260,22 @@ def test_duplicated_ngram_spans(spark):
     assert all(r["n_docs"] == 2 for r in out)
 
 
+def test_semantic_dedup_keeps_least_prototypical(spark):
+    # two near-identical vectors in cell 0; the SemDeDup keep rule picks
+    # the one with LOWER cosine to the centroid (v11), not the min id
+    cents = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, centroid array<double>")
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.10]), (11, [1.0, 0.12]), (20, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in dedup.semantic_dedup(emb, threshold=0.99, centroids=cents).collect()}
+    assert out[10]["cluster_rep"] == 10 and out[11]["cluster_rep"] == 10
+    assert not out[10]["keep"] and out[11]["keep"]          # 11 is less prototypical
+    assert out[11]["centroid_sim"] < out[10]["centroid_sim"]
+    assert out[20]["keep"] and out[20]["cluster_rep"] == 20  # singleton survives
+    assert out[10]["cell"] == 0 and out[20]["cell"] == 1
+
+
 def test_remove_duplicated_spans(spark):
     rows = [
         (1, "a b c d e"),                 # keeper for both flagged 3-grams
