@@ -1,0 +1,172 @@
+"""Prometheus naming translator — ``pkg/translator/prometheus``
+(normalize_name.go:22-133, normalize_unit.go:16-129,
+normalize_label.go:22-47) as pure codegen projections.
+
+The OTel → Prometheus naming rules every Prometheus-facing exporter
+applies (prometheusexporter, prometheusremotewriteexporter both call
+BuildCompliantName / NormalizeLabel):
+
+  - metric name splits into tokens on every non-alphanumeric rune;
+  - the OTLP/UCUM unit maps to its Prometheus base-unit word (By→bytes,
+    ms→milliseconds, %→percent, "1"→nothing) and is appended unless the
+    token is already present; a "/per" unit appends "per_<word>";
+    {annotated} units never append;
+  - monotonic sums end in "_total" (existing "total" tokens dedup);
+  - unit "1" gauges end in "_ratio";
+  - an optional namespace prefixes; a leading digit gets "_";
+  - labels sanitize every non-alphanumeric rune to "_", and a leading
+    digit/single-underscore prefixes "key"/"key_";
+  - TrimPromSuffixes is the receiver-direction inverse (type suffix for
+    sums, then the unit-word suffix if it matches exactly).
+
+Unicode classes mirror Go's unicode.IsLetter/IsDigit via \\p{L}/\\p{Nd}
+(both Spark's Java regex and DuckDB's RE2 support them), so "°F" cleans
+to "F" exactly like the reference's CleanUpString."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# unitMap / perUnitMap, normalize_unit.go:16-62 (reproduced semantics)
+UNIT_MAP = {
+    "d": "days", "h": "hours", "min": "minutes", "s": "seconds",
+    "ms": "milliseconds", "us": "microseconds", "ns": "nanoseconds",
+    "By": "bytes", "KiBy": "kibibytes", "MiBy": "mebibytes",
+    "GiBy": "gibibytes", "TiBy": "tibibytes", "KBy": "kilobytes",
+    "MBy": "megabytes", "GBy": "gigabytes", "TBy": "terabytes",
+    "m": "meters", "V": "volts", "A": "amperes", "J": "joules",
+    "W": "watts", "g": "grams", "Cel": "celsius", "Hz": "hertz",
+    "1": "", "%": "percent",
+}
+PER_UNIT_MAP = {
+    "s": "second", "m": "minute", "h": "hour", "d": "day",
+    "w": "week", "mo": "month", "y": "year",
+}
+
+_NONALNUM = r"[^\p{L}\p{Nd}]+"
+
+
+def _clean(col: Column) -> Column:
+    """CleanUpString: join the letter/digit runs with underscores."""
+    return F.concat_ws("_", F.filter(F.split(col, _NONALNUM), lambda t: t != ""))
+
+
+def _map_get(col: Column, mapping: dict[str, str]) -> Column:
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return F.coalesce(F.element_at(m, col), col)
+
+
+def _trimspace(col: Column) -> Column:
+    # Go strings.TrimSpace strips all whitespace; Spark's trim() strips
+    # only ' ' — a '\t'-padded unit would otherwise dodge the unit map
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def _main_unit(unit: Column) -> Column:
+    """buildCompliantMainUnit: the part before the first '/', trimmed,
+    mapped, cleaned; '' when empty/annotated ({...})."""
+    raw = _trimspace(F.substring_index(unit, "/", 1))
+    cleaned = _clean(_map_get(raw, UNIT_MAP))
+    return F.when((raw != "") & ~raw.rlike(r"[{}]"), cleaned).otherwise(F.lit(""))
+
+
+def _per_unit(unit: Column) -> Column:
+    """buildCompliantPerUnit: the part after the first '/' (if any)."""
+    raw = F.when(
+        F.instr(unit, "/") > 0, _trimspace(F.substr(unit, F.instr(unit, "/") + F.lit(1)))
+    ).otherwise(F.lit(""))
+    cleaned = _clean(_map_get(raw, PER_UNIT_MAP))
+    return F.when((raw != "") & ~raw.rlike(r"[{}]"), cleaned).otherwise(F.lit(""))
+
+
+def prometheus_names(
+    df: DataFrame,
+    name_col: str = "metric_name",
+    unit_col: str = "unit",
+    type_col: str = "metric_type",
+    monotonic_col: str = "is_monotonic",
+    namespace: str = "",
+    add_suffixes: bool = True,
+    out_col: str = "prom_name",
+) -> DataFrame:
+    """BuildCompliantName over a metric-description table.
+
+    `type_col` holds the pdata type name lowercased ('gauge', 'sum',
+    'histogram', ...); `monotonic_col` a boolean (only consulted for
+    sums). add_suffixes=False is the trim-forbidden-runes-only path
+    (normalize_name.go:29-44). Scale: a single scan-speed projection —
+    token arrays are a handful of words, every step is array algebra in
+    whole-stage codegen."""
+    name, unit = F.col(name_col), F.col(unit_col)
+    if not add_suffixes:
+        cleaned = F.concat_ws(
+            "_", F.filter(F.split(name, r"[^\p{L}\p{Nd}_:]+"), lambda t: t != "")
+        )
+        if namespace:
+            out = F.concat(F.lit(namespace + "_"), cleaned)
+        else:
+            out = F.when(
+                (cleaned != "") & cleaned.rlike(r"^\p{Nd}"), F.concat(F.lit("_"), cleaned)
+            ).otherwise(cleaned)
+        return df.withColumn(out_col, out)
+
+    # stage the token array and unit words once (multiply-referenced)
+    staged = df.select(
+        "*",
+        F.filter(F.split(name, _NONALNUM), lambda t: t != "").alias("_ptoks"),
+        _main_unit(unit).alias("_pu"),
+        _per_unit(unit).alias("_ppu"),
+    )
+    toks, pu, ppu = F.col("_ptoks"), F.col("_pu"), F.col("_ppu")
+    t1 = F.when(
+        (pu != "") & ~F.array_contains(toks, pu), F.concat(toks, F.array(pu))
+    ).otherwise(toks)
+    staged = staged.select("*", t1.alias("_pt1"))  # per-unit check sees the updated list
+    t1c = F.col("_pt1")
+    t2 = F.when(
+        (ppu != "") & ~F.array_contains(t1c, ppu),
+        F.concat(t1c, F.array(F.lit("per"), ppu)),
+    ).otherwise(t1c)
+    is_counter = (F.col(type_col) == "sum") & F.col(monotonic_col)
+    t3 = F.when(
+        is_counter, F.concat(F.array_remove(t2, "total"), F.array(F.lit("total")))
+    ).otherwise(t2)
+    is_ratio = (unit == "1") & (F.col(type_col) == "gauge")
+    t4 = F.when(
+        is_ratio, F.concat(F.array_remove(t3, "ratio"), F.array(F.lit("ratio")))
+    ).otherwise(t3)
+    if namespace:
+        t4 = F.concat(F.array(F.lit(namespace)), t4)
+    nm = F.concat_ws("_", t4)
+    nm = F.when((nm != "") & nm.rlike(r"^\p{Nd}"), F.concat(F.lit("_"), nm)).otherwise(nm)
+    return staged.select(*df.columns, nm.alias(out_col))
+
+
+def prom_normalize_label(label: Column, drop_sanitization: bool = False) -> Column:
+    """NormalizeLabel (normalize_label.go:22-47): every non-alphanumeric
+    rune → '_'; leading digit → 'key_' prefix; leading single underscore
+    → 'key' prefix unless the permissive feature gate is on; '__' stays."""
+    s = F.regexp_replace(label, r"[^\p{L}\p{Nd}]", "_")
+    out = F.when(s.rlike(r"^\p{Nd}"), F.concat(F.lit("key_"), s))
+    if not drop_sanitization:
+        out = out.when(s.rlike("^_") & ~s.rlike("^__"), F.concat(F.lit("key"), s))
+    return F.when(label == "", label).otherwise(out.otherwise(s))
+
+
+def prom_trim_suffixes(name: Column, metric_type: Column, unit: Column) -> Column:
+    """TrimPromSuffixes (normalize_name.go:95-142): the receiver-direction
+    inverse — drop a trailing 'total' for sums, then the unit words if
+    they suffix-match token-for-token."""
+    toks = F.split(name, "_")  # strings.Split keeps empties
+    n = F.size(toks)
+    t1 = F.when(
+        (metric_type == "sum") & (F.element_at(toks, -1) == "total"),
+        F.slice(toks, 1, n - 1),
+    ).otherwise(toks)
+    ut = F.split(unit, "_")
+    lu = F.size(ut)
+    n1 = F.size(t1)
+    suffixed = (n1 > lu) & (F.slice(t1, n1 - lu + 1, lu) == ut)
+    t2 = F.when(suffixed, F.slice(t1, 1, n1 - lu)).otherwise(t1)
+    return F.when(n == 1, name).otherwise(F.concat_ws("_", t2))

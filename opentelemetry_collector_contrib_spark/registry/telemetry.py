@@ -4126,8 +4126,38 @@ def q_honeycomb_markers(spark, sf_dir):
     return out.select("event_id", "hm_dataset", "hm_type", "hm_body")
 
 
+_PROM_UNITS = ["By", "ms", "1", "%", "{requests}", "By/s", "GiBy/h", "connections", "°F", ""]
+
+
+def q_prom_names(spark, sf_dir):
+    """pkg/translator/prometheus BuildCompliantName + NormalizeLabel over
+    a synthesized metric-description table: name from the event type,
+    unit cycling through the UCUM/annotated/per-unit matrix, type and
+    monotonicity from the id — the exporter-side naming path."""
+    from ..operators.prom_translate import prom_normalize_label, prometheus_names
+
+    units = F.array(*[F.lit(u) for u in _PROM_UNITS])
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.col("event_type"), F.lit(".io.rate")).alias("metric_name"),
+        F.element_at(units, (F.col("event_id") % 10 + 1).cast("int")).alias("unit"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("sum")).otherwise(F.lit("gauge")).alias("metric_type"),
+        (F.col("event_id") % 2 == 0).alias("is_monotonic"),
+    )
+    out = prometheus_names(src)
+    return out.select(
+        "event_id",
+        "metric_name",
+        "unit",
+        "metric_type",
+        "prom_name",
+        prom_normalize_label(F.concat(F.lit("0."), F.col("metric_type"))).alias("prom_label"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
+    "prom_name_normalize": q_prom_names,
     "honeycomb_markers": q_honeycomb_markers,
     "mezmo_render_roundtrip": q_mezmo_render_roundtrip,
     "expvar_memstats_parse": q_expvar_parse,
@@ -4305,6 +4335,68 @@ def _oracles() -> dict[str, str]:
     win60 = _WIN_SQL.format(i=60)
     win3600 = _WIN_SQL.format(i=3600)
     o: dict[str, str] = {}
+
+    # --- prometheus naming translator ------------------------------------------
+
+    from ..operators.prom_translate import PER_UNIT_MAP, UNIT_MAP
+
+    _mu_case = (
+        "CASE mu_raw "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in UNIT_MAP.items())
+        + " ELSE mu_raw END"
+    )
+    _ppu_case = (
+        "CASE pu_raw "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in PER_UNIT_MAP.items())
+        + " ELSE pu_raw END"
+    )
+    _units_sql = "[" + ",".join(f"'{u}'" for u in _PROM_UNITS) + "]"
+    _na = r"[^\p{L}\p{Nd}]+"
+    o["prom_name_normalize"] = f"""
+WITH src AS (
+  SELECT event_id,
+    event_type || '.io.rate' AS metric_name,
+    ({_units_sql})[CAST(event_id % 10 + 1 AS INT)] AS unit,
+    CASE WHEN event_id % 3 = 0 THEN 'sum' ELSE 'gauge' END AS metric_type,
+    event_id % 2 = 0 AS is_monotonic
+  FROM events),
+u AS (
+  SELECT *,
+    regexp_replace(CASE WHEN instr(unit, '/') > 0 THEN substr(unit, 1, instr(unit, '/') - 1)
+                        ELSE unit END, '^\\s+|\\s+$', '', 'g') AS mu_raw,
+    CASE WHEN instr(unit, '/') > 0
+         THEN regexp_replace(substr(unit, instr(unit, '/') + 1), '^\\s+|\\s+$', '', 'g')
+         ELSE '' END AS pu_raw
+  FROM src),
+m AS (
+  SELECT *,
+    CASE WHEN mu_raw = '' OR contains(mu_raw, '{{') OR contains(mu_raw, '}}') THEN ''
+         ELSE array_to_string(list_filter(regexp_split_to_array({_mu_case}, '{_na}'), t -> t <> ''), '_')
+    END AS pu,
+    CASE WHEN pu_raw = '' OR contains(pu_raw, '{{') OR contains(pu_raw, '}}') THEN ''
+         ELSE array_to_string(list_filter(regexp_split_to_array({_ppu_case}, '{_na}'), t -> t <> ''), '_')
+    END AS ppu,
+    list_filter(regexp_split_to_array(metric_name, '{_na}'), t -> t <> '') AS toks
+  FROM u),
+s1 AS (SELECT *, CASE WHEN pu <> '' AND NOT list_contains(toks, pu)
+                      THEN list_append(toks, pu) ELSE toks END AS t1 FROM m),
+s2 AS (SELECT *, CASE WHEN ppu <> '' AND NOT list_contains(t1, ppu)
+                      THEN list_concat(t1, ['per', ppu]) ELSE t1 END AS t2 FROM s1),
+s3 AS (SELECT *, CASE WHEN metric_type = 'sum' AND is_monotonic
+                      THEN list_append(list_filter(t2, x -> x <> 'total'), 'total')
+                      ELSE t2 END AS t3 FROM s2),
+s4 AS (SELECT *, CASE WHEN unit = '1' AND metric_type = 'gauge'
+                      THEN list_append(list_filter(t3, x -> x <> 'ratio'), 'ratio')
+                      ELSE t3 END AS t4 FROM s3),
+nm AS (SELECT *, array_to_string(t4, '_') AS nm0,
+              regexp_replace('0.' || metric_type, '[^\\p{{L}}\\p{{Nd}}]', '_', 'g') AS lbl0
+       FROM s4)
+SELECT event_id, metric_name, unit, metric_type,
+  CASE WHEN nm0 <> '' AND regexp_matches(nm0, '^\\p{{Nd}}') THEN '_' || nm0 ELSE nm0 END AS prom_name,
+  CASE WHEN regexp_matches(lbl0, '^\\p{{Nd}}') THEN 'key_' || lbl0
+       WHEN lbl0 LIKE '\\_%' ESCAPE '\\' AND lbl0 NOT LIKE '\\_\\_%' ESCAPE '\\' THEN 'key' || lbl0
+       ELSE lbl0 END AS prom_label
+FROM nm"""
 
     # --- datadogconnector APM stats -------------------------------------------
 
