@@ -4155,9 +4155,64 @@ def q_prom_names(spark, sf_dir):
     )
 
 
+def q_loki_streams(spark, sf_dir):
+    """pkg/translator/loki stream-label derivation over a synthesized
+    attribute matrix: default job/instance labels, resource + attribute
+    hints (with a two-name trimmed hint list), severity-driven level
+    label with an existing-attr override, indirect tenant hint, format
+    hint — rest maps rendered as sorted CSVs for the hash gate."""
+    from ..operators.loki_translate import loki_stream_labels
+
+    eid, uid = F.col("event_id"), F.col("user_id")
+
+    def mk(*pairs):
+        return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
+
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        mk(
+            F.lit("event"), F.col("event_type"),
+            F.lit("level"), F.when(eid % 11 == 0, F.lit("custom")),
+            F.lit("team"), F.concat(F.lit("t"), (eid % 3).cast("string")),
+            F.lit("loki.attribute.labels"), F.when(eid % 2 == 0, F.lit("event")),
+            F.lit("loki.format"), F.when(eid % 5 == 0, F.lit("logfmt")),
+            F.lit("loki.tenant"), F.when(eid % 13 == 0, F.lit("team")),
+        ).alias("log_attrs"),
+        mk(
+            F.lit("service.name"), F.concat(F.lit("svc-"), (uid % 4).cast("string")),
+            F.lit("service.namespace"), F.when(uid % 2 == 0, F.lit("prod")),
+            F.lit("service.instance.id"), F.when(uid % 3 == 0, F.concat(F.lit("i-"), uid.cast("string"))),
+            F.lit("region"), F.concat(F.lit("r"), (uid % 4).cast("string")),
+            F.lit("zone"), F.when(eid % 2 == 1, F.lit("z1")),
+            F.lit("loki.resource.labels"), F.when(eid % 3 == 0, F.lit("region, zone")),
+            F.lit("loki.tenant"), F.when(eid % 7 == 0, F.lit("team")),
+        ).alias("res_attrs"),
+        F.when(eid % 4 == 0, F.lit("ERROR")).alias("sev"),
+    )
+    out = loki_stream_labels(src, severity_col="sev")
+
+    def csv(col):
+        return F.concat_ws(
+            ",",
+            F.array_sort(
+                F.transform(F.map_entries(col), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+            ),
+        )
+
+    return out.select(
+        "event_id",
+        "loki_labels",
+        "loki_tenant",
+        "loki_format",
+        csv(F.col("log_attrs_rest")).alias("log_rest"),
+        csv(F.col("res_attrs_rest")).alias("res_rest"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apm_stats_buckets": q_apm_stats,
     "prom_name_normalize": q_prom_names,
+    "loki_stream_labels": q_loki_streams,
     "honeycomb_markers": q_honeycomb_markers,
     "mezmo_render_roundtrip": q_mezmo_render_roundtrip,
     "expvar_memstats_parse": q_expvar_parse,
@@ -4397,6 +4452,38 @@ SELECT event_id, metric_name, unit, metric_type,
        WHEN lbl0 LIKE '\\_%' ESCAPE '\\' AND lbl0 NOT LIKE '\\_\\_%' ESCAPE '\\' THEN 'key' || lbl0
        ELSE lbl0 END AS prom_label
 FROM nm"""
+
+    o["loki_stream_labels"] = """
+WITH e AS (SELECT event_id AS e, user_id AS u, event_type FROM events),
+lbl AS (
+  SELECT e, u, event_type,
+    list_sort(list_filter([
+      'exporter=OTLP',
+      'job=' || CASE WHEN u % 2 = 0 THEN 'prod/' ELSE '' END || 'svc-' || CAST(u % 4 AS VARCHAR),
+      CASE WHEN u % 3 = 0 THEN 'instance=i-' || CAST(u AS VARCHAR) END,
+      CASE WHEN e % 3 = 0 THEN 'region=r' || CAST(u % 4 AS VARCHAR) END,
+      CASE WHEN e % 3 = 0 AND e % 2 = 1 THEN 'zone=z1' END,
+      CASE WHEN e % 2 = 0 THEN 'event=' || event_type END,
+      CASE WHEN e % 4 = 0 THEN 'level=' || CASE WHEN e % 11 = 0 THEN 'custom' ELSE 'ERROR' END END
+    ], x -> x IS NOT NULL)) AS lbls
+  FROM e)
+SELECT e AS event_id,
+  array_to_string(lbls, ',') AS loki_labels,
+  CASE WHEN e % 7 = 0 OR e % 13 = 0 THEN 't' || CAST(e % 3 AS VARCHAR) ELSE '' END AS loki_tenant,
+  CASE WHEN e % 5 = 0 THEN 'logfmt' ELSE 'json' END AS loki_format,
+  array_to_string(list_sort(list_filter([
+      CASE WHEN e % 2 <> 0 THEN 'event=' || event_type END,
+      CASE WHEN e % 11 = 0 AND e % 4 <> 0 THEN 'level=custom' END,
+      'team=t' || CAST(e % 3 AS VARCHAR)
+    ], x -> x IS NOT NULL)), ',') AS log_rest,
+  array_to_string(list_sort(list_filter([
+      CASE WHEN e % 3 <> 0 THEN 'region=r' || CAST(u % 4 AS VARCHAR) END,
+      CASE WHEN e % 2 = 1 AND e % 3 <> 0 THEN 'zone=z1' END,
+      'service.name=svc-' || CAST(u % 4 AS VARCHAR),
+      CASE WHEN u % 2 = 0 THEN 'service.namespace=prod' END,
+      CASE WHEN u % 3 = 0 THEN 'service.instance.id=i-' || CAST(u AS VARCHAR) END
+    ], x -> x IS NOT NULL)), ',') AS res_rest
+FROM lbl"""
 
     # --- datadogconnector APM stats -------------------------------------------
 
