@@ -681,7 +681,8 @@ def semantic_dedup(
     from .similarity import ivf_assign_topp, ivf_centroids
 
     cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
-    cells = ivf_assign_topp(emb, cents, probes, id_col, vec_col).select(id_col, "cell")
+    assign = ivf_assign_topp(emb, cents, probes, id_col, vec_col)
+    cells = assign.select(id_col, "cell")
     a = cells.select(F.col(id_col).alias("id_a"), "cell")
     b = cells.select(F.col(id_col).alias("id_b"), "cell")
     cands = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
@@ -694,7 +695,9 @@ def semantic_dedup(
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     )
     comp = dup_clusters(pairs, max_iters)
-    one = ivf_assign_topp(emb, cents, 1, id_col, vec_col).select(
+    # probe 0 of the SAME assignment is the top-1 cell — no second
+    # centroid-scoring pass over the table
+    one = assign.filter(F.col("probe") == 0).select(
         F.col(id_col).alias("doc"), "cell", F.col("cell_cos").alias("centroid_sim")
     )
     labeled = one.join(comp, "doc", "left").withColumn(
@@ -718,6 +721,33 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 # duplicated n-gram span detection (exact-substring dedup, positional form)
 # ---------------------------------------------------------------------------
+
+
+def _positional_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> tuple[DataFrame, DataFrame]:
+    """Shared gram construction for the exact-substring detect + removal
+    paths: returns (toks, grams) where toks = (doc, _toks) and grams =
+    (doc, start_pos, ngram_hash) with EVERY occurrence kept (no distinct —
+    positions matter). Positions explode FIRST and the window slice happens
+    above the Generate node, where the token array is a bound attribute —
+    slicing inside a transform() lambda would let projection collapse
+    inline the tokenizer per element (the O(tokens²) trap
+    textstats.shingles_of documents)."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
+    rows = toks.select(
+        "doc",
+        "_toks",
+        F.explode(
+            F.when(F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    grams = rows.select(
+        "doc",
+        (F.col("i") - 1).alias("start_pos"),
+        h60(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("i"), F.lit(n)))).alias("ngram_hash"),
+    )
+    return toks, grams
 
 
 def remove_duplicated_spans(
@@ -748,25 +778,12 @@ def remove_duplicated_spans(
     corpus tokens); ONE groupBy(ngram_hash) computes both the distinct-doc
     count and the keeper (min struct) — no second aggregation; equi-join
     back on the hash; non-keepers explode to n positions each (bounded
-    linear blowup, n small); distinct + collect_set per doc; one final
+    linear blowup, n small); one collect_set agg per doc (deduplicating,
+    map-side combinable — no separate distinct shuffle); one final
     equi-join on doc and a pure-projection rebuild. No pair join exists
     anywhere, so unlike jaccard there is no f² skew — a boilerplate
     n-gram shared by millions of docs costs exactly its occurrence count."""
-    toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
-    rows = toks.select(
-        "doc",
-        "_toks",
-        F.explode(
-            F.when(F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("i"),
-    )
-    grams = rows.select(
-        "doc",
-        (F.col("i") - 1).alias("start_pos"),
-        h60(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("i"), F.lit(n)))).alias("ngram_hash"),
-    )
+    toks, grams = _positional_grams(df, id_col, text_col, n)
     flagged = (
         grams.groupBy("ngram_hash")
         .agg(
@@ -780,7 +797,8 @@ def remove_duplicated_spans(
         grams.join(flagged, "ngram_hash")
         .filter((F.col("doc") != F.col("keep.doc")) | (F.col("start_pos") != F.col("keep.start_pos")))
         .select("doc", F.explode(F.sequence(F.col("start_pos"), F.col("start_pos") + (n - 1))).alias("pos"))
-        .distinct()
+        # no distinct() here: collect_set deduplicates (map-side too), and
+        # a pre-distinct would add a second shuffle of the exploded rows
         .groupBy("doc")
         .agg(F.collect_set("pos").alias("_rm"))
     )
@@ -824,25 +842,10 @@ def duplicated_ngram_spans(
     jaccard_pairs' max_doc_freq. Output: (doc, start_pos, ngram_hash,
     n_docs) — the spans a curation pass would mask or drop.
 
-    Positions explode FIRST and the window slice happens above the Generate
-    node, where the token array is a bound attribute — slicing inside a
-    transform() lambda would let projection collapse inline the tokenizer
-    per element (the O(tokens²) trap textstats.shingles_of documents)."""
-    toks = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks"))
-    rows = toks.select(
-        "doc",
-        "_toks",
-        F.explode(
-            F.when(F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("i"),
-    )
-    grams = rows.select(
-        "doc",
-        (F.col("i") - 1).alias("start_pos"),
-        h60(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("i"), F.lit(n)))).alias("ngram_hash"),
-    )
+    Gram construction is shared with remove_duplicated_spans via
+    _positional_grams (one definition of the tokenize/explode/slice shape,
+    so detect and removal can never diverge on which spans they flag)."""
+    _, grams = _positional_grams(df, id_col, text_col, n)
     df_counts = grams.groupBy("ngram_hash").agg(F.count_distinct("doc").alias("n_docs")).filter(
         F.col("n_docs") >= min_docs
     )

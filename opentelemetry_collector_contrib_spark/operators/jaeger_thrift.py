@@ -87,6 +87,8 @@ def _read_value(buf: bytes, pos: int, t: int):
         size, et = hdr >> 4, hdr & 0xF
         if size == 0xF:
             size, pos = _rv(buf, pos)
+        if size > len(buf) - pos:  # every element consumes >= 1 byte
+            raise ValueError("list size exceeds payload")
         out = []
         for _ in range(size):
             v, pos = _read_value(buf, pos, et)
@@ -96,6 +98,8 @@ def _read_value(buf: bytes, pos: int, t: int):
         size, pos = _rv(buf, pos)
         if size == 0:
             return {}, pos
+        if 2 * size > len(buf) - pos:  # every k,v pair consumes >= 2 bytes
+            raise ValueError("map size exceeds payload")
         kv = buf[pos]
         pos += 1
         kt, vt = kv >> 4, kv & 0xF
@@ -144,8 +148,14 @@ _BIN_FIXED = {2: 1, 3: 1, 4: 8, 6: 2, 8: 4, 10: 8}
 
 
 def _read_value_binary(buf: bytes, pos: int, t: int):
+    # Every fixed-width and size read bounds-checks BEFORE consuming:
+    # buf[pos:pos+n] silently shortens past the end (int.from_bytes(b'')
+    # is 0), so an unchecked hostile list size would drive O(declared)
+    # work on an empty buffer instead of raising.
     if t in _BIN_FIXED:
         n = _BIN_FIXED[t]
+        if pos + n > len(buf):
+            raise ValueError("truncated fixed-width value")
         raw = buf[pos : pos + n]
         pos += n
         if t == 2:
@@ -154,24 +164,34 @@ def _read_value_binary(buf: bytes, pos: int, t: int):
             return struct.unpack(">d", raw)[0], pos
         return int.from_bytes(raw, "big", signed=True), pos
     if t == 11:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated string header")
         n = int.from_bytes(buf[pos : pos + 4], "big")
         pos += 4
         if pos + n > len(buf):
             raise ValueError("truncated binary")
         return bytes(buf[pos : pos + n]), pos + n
     if t in (14, 15):
+        if pos + 5 > len(buf):
+            raise ValueError("truncated list header")
         et = buf[pos]
         size = int.from_bytes(buf[pos + 1 : pos + 5], "big")
         pos += 5
+        if size > len(buf) - pos:  # every element consumes >= 1 byte
+            raise ValueError("list size exceeds payload")
         out = []
         for _ in range(size):
             v, pos = _read_value_binary(buf, pos, et)
             out.append(v)
         return out, pos
     if t == 13:
+        if pos + 6 > len(buf):
+            raise ValueError("truncated map header")
         kt, vt = buf[pos], buf[pos + 1]
         size = int.from_bytes(buf[pos + 2 : pos + 6], "big")
         pos += 6
+        if 2 * size > len(buf) - pos:  # every k,v pair consumes >= 2 bytes
+            raise ValueError("map size exceeds payload")
         out = {}
         for _ in range(size):
             k, pos = _read_value_binary(buf, pos, kt)
@@ -190,6 +210,8 @@ def _read_struct_binary(buf: bytes, pos: int) -> tuple[dict[int, object], int]:
         pos += 1
         if t == CT_STOP:
             return fields, pos
+        if pos + 2 > len(buf):
+            raise ValueError("truncated field id")
         fid = int.from_bytes(buf[pos : pos + 2], "big", signed=True)
         pos += 2
         fields[fid], pos = _read_value_binary(buf, pos, t)
@@ -267,12 +289,17 @@ def decode_jaeger_batch(payload: bytes, protocol: str = "compact") -> list[dict]
             or None
         )
         op = sp.get(5)
+        if op is not None and not isinstance(op, bytes):
+            # a non-BINARY wire type in the operationName slot is corrupt
+            # framing; letting e.g. an int through would blow up at the
+            # Arrow boundary instead of taking the per-payload drop path
+            raise ValueError("operationName is not a binary field")
         out.append(
             {
                 "jt_trace_id": trace,
                 "jt_span_id": _hex64(int(sp.get(3, 0))),
                 "jt_parent_span_id": _hex64(int(sp.get(4, 0))),
-                "jt_op": op.decode("utf-8", errors="replace") if isinstance(op, bytes) else op,
+                "jt_op": op.decode("utf-8", errors="replace") if op is not None else None,
                 "jt_flags": int(sp.get(7, 0)),
                 "jt_start_us": int(sp.get(8, 0)),
                 "jt_duration_us": int(sp.get(9, 0)),

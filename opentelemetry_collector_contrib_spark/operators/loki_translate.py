@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .prom_translate import prom_normalize_label
+from .prom_translate import _trimspace, prom_normalize_label
 
 HINT_ATTRIBUTES = "loki.attribute.labels"
 HINT_RESOURCES = "loki.resource.labels"
@@ -50,9 +50,10 @@ _HINTS = [HINT_ATTRIBUTES, HINT_RESOURCES, HINT_TENANT, HINT_FORMAT]
 def _hint_names(m: Column, hint: str) -> Column:
     """Comma-split, trimmed attribute names from a hint value ('' → [])."""
     raw = F.element_at(m, hint)
+    # _trimspace, not F.trim: Go strings.TrimSpace strips tabs/newlines too
     return F.when(
         raw.isNotNull(),
-        F.transform(F.split(raw, ","), lambda s: F.trim(s)),
+        F.transform(F.split(raw, ","), lambda s: _trimspace(s)),
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -193,13 +193,15 @@ def ivf_assign_topp(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-`probes` cells per vector (multi-probe assignment for recall):
-    (id, cell, cell_cos), `probes` rows per vector. sort+slice of the
-    per-row centroid-score array, then a `probes`-wide explode — still a
-    single scan-side projection, no shuffle."""
+    (id, cell, cell_cos, probe), `probes` rows per vector with probe = the
+    0-based rank (probe 0 IS the top-1 assignment, so callers needing both
+    the probe set and the primary cell read one scan, not two). sort+slice
+    of the per-row centroid-score array, then a `probes`-wide explode —
+    still a single scan-side projection, no shuffle."""
     top = F.slice(F.sort_array(_centroid_entries(centroids, F.col(vec_col)), asc=False), 1, probes)
     return (
-        emb.select(id_col, F.explode(top).alias("t"))
-        .select(id_col, F.col("t.cell").alias("cell"), F.col("t.cc").alias("cell_cos"))
+        emb.select(id_col, F.posexplode(top).alias("probe", "t"))
+        .select(id_col, F.col("t.cell").alias("cell"), F.col("t.cc").alias("cell_cos"), "probe")
     )
 
 

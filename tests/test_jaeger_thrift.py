@@ -127,6 +127,28 @@ def test_binary_unknown_fields_skip_by_type():
     assert row["jt_start_us"] == 100 and row["jt_duration_us"] == 200
 
 
+def test_binary_hostile_declared_sizes_fail_fast():
+    import time
+
+    # an 8-byte payload declaring a 4.29e9-element i64 list must raise
+    # immediately, not iterate the declared size (buf slices past the end
+    # return b'' and int.from_bytes(b'') == 0 raises nothing by itself)
+    hostile = bytes([15, 0, 1, 10]) + (0xFFFFFFFF).to_bytes(4, "big")
+    t0 = time.monotonic()
+    with pytest.raises(ValueError):
+        decode_jaeger_batch(hostile, protocol="binary")
+    assert time.monotonic() - t0 < 0.1
+    # same for a hostile map header and the compact long-form list size
+    hostile_map = bytes([13, 0, 1, 10, 10]) + (0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        decode_jaeger_batch(hostile_map, protocol="binary")
+    compact = bytes([0x19, 0xF6]) + b"\xff\xff\xff\xff\x0f"  # field 1 LIST, size 2^32-1
+    t0 = time.monotonic()
+    with pytest.raises(Exception):
+        decode_jaeger_batch(compact)
+    assert time.monotonic() - t0 < 0.1
+
+
 def test_binary_malformed_truncated_string_raises():
     bad = bytes([11, 0, 1]) + (127).to_bytes(4, "big") + b"x"  # claims 127 bytes, has 1
     with pytest.raises(Exception):
