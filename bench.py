@@ -361,6 +361,19 @@ def main() -> None:
         spark.read.parquet(nf_spool).select(F.sum(F.octet_length("payload"))).collect()
         timed("q17_netflow_decode", netflow_decode)
 
+    # q18: exact-substring span REMOVAL over the documents corpus — the
+    # Lee-et-al training-data curation cut step (positional n-gram index,
+    # keeper selection, per-doc position union, columnar text rebuild).
+    # Cost is linear in flagged-gram occurrences; no pair join exists.
+    def span_removal():
+        from opentelemetry_collector_contrib_spark.operators.dedup import remove_duplicated_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(2 * int(cpus))
+        force(remove_duplicated_spans(docs, "doc_id", n=5, min_docs=2))
+
+    if selected is None or "q18_span_removal" in selected:
+        timed("q18_span_removal", span_removal)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",
