@@ -154,6 +154,108 @@ def prom_normalize_label(label: Column, drop_sanitization: bool = False) -> Colu
     return F.when(label == "", label).otherwise(out.otherwise(s))
 
 
+def histogram_to_prw_series(
+    df: DataFrame,
+    name_col: str = "hh_name",
+    count_col: str = "hh_count",
+    sum_col: str = "hh_sum",
+    counts_csv_col: str = "hh_bucket_counts_csv",
+    bounds_csv_col: str = "hh_bounds_csv",
+) -> DataFrame:
+    """OTLP explicit-bounds histogram datapoints → Prometheus remote-write
+    style series rows (``pkg/translator/prometheusremotewrite/helper.go``
+    addHistogramDataPoints:254-334):
+
+      - ``<name>_sum`` when the datapoint carries a sum (HasSum — NULL
+        sum column means omitted);
+      - ``<name>_count`` with the total count;
+      - ``<name>_bucket`` per explicit bound with the CUMULATIVE count of
+        buckets 0..i and an ``le`` label (bound iteration stops at
+        min(len(bounds), len(counts)) exactly like the reference loop);
+      - the ``le="+Inf"`` bucket carrying the total count.
+
+    Adds (series, le, value) one row per emitted sample; every other
+    input column passes through (timestamps, attrs CSV). Fidelity notes:
+    ``le`` carries the bound string as decoded into the bounds CSV
+    (``1.0``) where Go renders FormatFloat('f',-1) (``1``); exemplars and
+    the NoRecordedValue→StaleNaN flag have no column in the decode model.
+
+    Scale: one staged projection + one explode — the bucket cumsum is an
+    O(B²) fold over a handful of buckets per row, arrays staged as bound
+    attributes first so projection collapse can't inline the CSV split
+    once per element."""
+    clash = {"series", "le", "value"} & set(df.columns)
+    if clash:
+        raise ValueError(f"histogram_to_prw_series output columns collide with input: {sorted(clash)}")
+    empty_l = F.array().cast("array<long>")
+    empty_s = F.array().cast("array<string>")
+    ccsv, bcsv = F.col(counts_csv_col), F.col(bounds_csv_col)
+    staged = df.select(
+        "*",
+        F.when(
+            ccsv.isNotNull() & (ccsv != ""),
+            F.transform(F.split(ccsv, ","), lambda s: s.cast("long")),
+        )
+        .otherwise(empty_l)
+        .alias("_hcounts"),
+        F.when(bcsv.isNotNull() & (bcsv != ""), F.split(bcsv, ",")).otherwise(empty_s).alias(
+            "_hbounds"
+        ),
+    )
+    counts, bounds = F.col("_hcounts"), F.col("_hbounds")
+    cnt, total = F.col(count_col), F.col(count_col).cast("double")
+    nb = F.least(F.size(bounds), F.size(counts))
+    entry = "struct<suffix:string,le:string,value:double>"
+    buckets = F.transform(
+        F.when(nb >= 1, F.sequence(F.lit(1), nb)).otherwise(F.array().cast("array<int>")),
+        lambda i: F.struct(
+            F.lit("_bucket").alias("suffix"),
+            F.element_at(bounds, i).alias("le"),
+            F.aggregate(F.slice(counts, F.lit(1), i), F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double")
+            .alias("value"),
+        ),
+    )
+    entries = F.concat(
+        F.when(
+            F.col(sum_col).isNotNull(),
+            F.array(
+                F.struct(
+                    F.lit("_sum").alias("suffix"),
+                    F.lit(None).cast("string").alias("le"),
+                    F.col(sum_col).cast("double").alias("value"),
+                )
+            ),
+        ).otherwise(F.array().cast(f"array<{entry}>")),
+        F.array(
+            F.struct(
+                F.lit("_count").alias("suffix"),
+                F.lit(None).cast("string").alias("le"),
+                total.alias("value"),
+            )
+        ),
+        buckets,
+        F.array(
+            F.struct(
+                F.lit("_bucket").alias("suffix"),
+                F.lit("+Inf").alias("le"),
+                total.alias("value"),
+            )
+        ),
+    )
+    out_cols = [c for c in df.columns]
+    return (
+        staged.select(*out_cols, F.explode(entries).alias("_e"))
+        .select(
+            *out_cols,
+            F.concat(F.col(name_col), F.col("_e.suffix")).alias("series"),
+            F.col("_e.le").alias("le"),
+            F.col("_e.value").alias("value"),
+        )
+        .drop("_e")
+    )
+
+
 def prom_trim_suffixes(name: Column, metric_type: Column, unit: Column) -> Column:
     """TrimPromSuffixes (normalize_name.go:95-142): the receiver-direction
     inverse — drop a trailing 'total' for sums, then the unit words if

@@ -2331,6 +2331,21 @@ def q_otlp_pb_histograms(spark, sf_dir):
     )
 
 
+def q_prw_histogram_series(spark, sf_dir):
+    """OTLP histogram datapoints → PRW series rows: the exporter-side
+    _sum/_count/cumulative-_bucket/le expansion (prometheusremotewrite
+    helper.go:254-334) composed over the protobuf wire decode."""
+    from ..operators.otlp_pb import parse_otlp_pb_histograms, synthesize_otlp_pb_histograms
+    from ..operators.prom_translate import histogram_to_prw_series
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    dec = parse_otlp_pb_histograms(synthesize_otlp_pb_histograms(ev), "payload").drop(
+        "value", "event_type"  # the operator emits its own `value` column
+    )
+    out = histogram_to_prw_series(dec)
+    return out.select("event_id", "hh_ts_us", "series", "le", "value")
+
+
 def q_cloudtrail(spark, sf_dir):
     """CloudTrail log-file envelopes (awslogsencodingextension
     cloudtraillog): gzip JSON Records fan-out with identity context and
@@ -4271,6 +4286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "otlp_pb_exp_histograms": q_otlp_pb_exp_histograms,
     "cloudtrail_records": q_cloudtrail,
     "otlp_pb_histograms": q_otlp_pb_histograms,
+    "prw_histogram_series": q_prw_histogram_series,
     "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
     "vpc_flow_parse": q_vpc_flow,
@@ -6267,6 +6283,26 @@ SELECT event_id,
   '1.0,5.0' AS hh_bounds_csv,
   'etype=' || event_type AS hh_attrs_csv
 FROM events"""
+
+    o["prw_histogram_series"] = """
+WITH h AS (
+  SELECT event_id,
+    event_type || '.latency' AS nm,
+    (1700000000 + event_id % 86400) * 1000000 AS hh_ts_us,
+    CAST((event_id % 4) + ((event_id + 1) % 3) + ((event_id + 2) % 5) AS DOUBLE) AS cnt,
+    CAST(value AS DOUBLE) AS sm,
+    CAST(event_id % 4 AS DOUBLE) AS c1,
+    CAST(event_id % 4 AS DOUBLE) + CAST((event_id + 1) % 3 AS DOUBLE) AS c2
+  FROM events)
+SELECT event_id, hh_ts_us, nm || '_sum' AS series, CAST(NULL AS VARCHAR) AS le, sm AS value FROM h
+UNION ALL
+SELECT event_id, hh_ts_us, nm || '_count', NULL, cnt FROM h
+UNION ALL
+SELECT event_id, hh_ts_us, nm || '_bucket', '1.0', c1 FROM h
+UNION ALL
+SELECT event_id, hh_ts_us, nm || '_bucket', '5.0', c2 FROM h
+UNION ALL
+SELECT event_id, hh_ts_us, nm || '_bucket', '+Inf', cnt FROM h"""
 
     o["alb_access_log_parse"] = """
 WITH e AS (SELECT *, event_id % 13 = 0 AS bad, event_id % 9 = 0 AS unset FROM events)

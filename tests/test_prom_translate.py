@@ -130,3 +130,41 @@ def test_normalize_label_both_gates(spark):
         for r in df.select("i", prom_normalize_label(F.col("s"), drop_sanitization=True).alias("o")).collect()
     }
     assert [perm[i] for i in range(6)] == ["", "_test", "key_0test", "test", "test__", "__test"]
+
+
+def test_histogram_to_prw_series_expansion(spark):
+    import pytest as pt
+
+    from opentelemetry_collector_contrib_spark.operators.prom_translate import (
+        histogram_to_prw_series,
+    )
+
+    rows = [
+        # (name, count, sum, counts_csv, bounds_csv)
+        (0, "lat", 6, 2.5, "1,2,3", "0.5,1.0"),     # normal: 2 bounds, 3 counts
+        (1, "lat", 4, None, "4", "1.0"),            # no sum -> _sum omitted
+        (2, "lat", 0, 0.0, "", ""),                 # no buckets -> count + +Inf only
+        (3, "lat", 5, 1.0, "2,3", "1.0,2.0,9.0"),   # bounds longer than counts -> trim
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, hh_name string, hh_count long, hh_sum double, "
+              "hh_bucket_counts_csv string, hh_bounds_csv string"
+    )
+    got = {}
+    for r in histogram_to_prw_series(df).collect():
+        got.setdefault(r["i"], []).append((r["series"], r["le"], r["value"]))
+    assert got[0] == [
+        ("lat_sum", None, 2.5), ("lat_count", None, 6.0),
+        ("lat_bucket", "0.5", 1.0), ("lat_bucket", "1.0", 3.0),  # CUMULATIVE
+        ("lat_bucket", "+Inf", 6.0),
+    ]
+    assert got[1] == [("lat_count", None, 4.0), ("lat_bucket", "1.0", 4.0), ("lat_bucket", "+Inf", 4.0)]
+    assert got[2] == [("lat_sum", None, 0.0), ("lat_count", None, 0.0), ("lat_bucket", "+Inf", 0.0)]
+    # reference loop stops at min(len(bounds), len(counts)): bound 9.0 never emits
+    assert got[3] == [
+        ("lat_sum", None, 1.0), ("lat_count", None, 5.0),
+        ("lat_bucket", "1.0", 2.0), ("lat_bucket", "2.0", 5.0), ("lat_bucket", "+Inf", 5.0),
+    ]
+    # output-name collision fails loudly
+    with pt.raises(ValueError):
+        histogram_to_prw_series(df.withColumn("value", F.lit(1)))
