@@ -256,6 +256,67 @@ def histogram_to_prw_series(
     )
 
 
+def summary_to_prw_series(
+    df: DataFrame,
+    name_col: str = "metric_name",
+    count_col: str = "s_count",
+    sum_col: str = "s_sum",
+    quantiles_csv_col: str = "quantiles_csv",
+) -> DataFrame:
+    """OTLP summary datapoints → Prometheus remote-write series rows
+    (``prometheusremotewrite/helper.go`` addSummaryDataPoints): always a
+    ``<name>_sum`` and ``<name>_count`` pair, plus one ``<name>`` series
+    per quantile value carrying a ``quantile`` label. Quantile pairs ride
+    a ``q:value`` CSV (the statsd-aggregate output shape); the quantile
+    label string passes through verbatim (the reference renders
+    FormatFloat('f',-1)). Adds (series, quantile, value)."""
+    clash = {"series", "quantile", "value"} & set(df.columns)
+    if clash:
+        raise ValueError(f"summary_to_prw_series output columns collide with input: {sorted(clash)}")
+    qcsv = F.col(quantiles_csv_col)
+    staged = df.select(
+        "*",
+        F.when(
+            qcsv.isNotNull() & (qcsv != ""),
+            F.transform(
+                F.split(qcsv, ","),
+                lambda p: F.struct(
+                    F.substring_index(p, ":", 1).alias("q"),
+                    F.substring_index(p, ":", -1).cast("double").alias("v"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<q:string,v:double>>"))
+        .alias("_sq"),
+    )
+    entry = "array<struct<suffix:string,quantile:string,value:double>>"
+    nullq = F.lit(None).cast("string")
+    entries = F.concat(
+        F.array(
+            F.struct(F.lit("_sum").alias("suffix"), nullq.alias("quantile"),
+                     F.col(sum_col).cast("double").alias("value")),
+            F.struct(F.lit("_count").alias("suffix"), nullq.alias("quantile"),
+                     F.col(count_col).cast("double").alias("value")),
+        ),
+        F.transform(
+            F.col("_sq"),
+            lambda s: F.struct(
+                F.lit("").alias("suffix"), s["q"].alias("quantile"), s["v"].alias("value")
+            ),
+        ).cast(entry),
+    )
+    out_cols = list(df.columns)
+    return (
+        staged.select(*out_cols, F.explode(entries).alias("_e"))
+        .select(
+            *out_cols,
+            F.concat(F.col(name_col), F.col("_e.suffix")).alias("series"),
+            F.col("_e.quantile").alias("quantile"),
+            F.col("_e.value").alias("value"),
+        )
+    )
+
+
 def prom_trim_suffixes(name: Column, metric_type: Column, unit: Column) -> Column:
     """TrimPromSuffixes (normalize_name.go:95-142): the receiver-direction
     inverse — drop a trailing 'total' for sums, then the unit words if

@@ -2346,6 +2346,31 @@ def q_prw_histogram_series(spark, sf_dir):
     return out.select("event_id", "hh_ts_us", "series", "le", "value")
 
 
+def q_prw_summary_series(spark, sf_dir):
+    """Summary datapoints → PRW series rows: _sum/_count plus one
+    quantile-labeled series per q:value pair (helper.go
+    addSummaryDataPoints), over a deterministic synthesis with an
+    empty-quantiles stripe."""
+    from ..operators.prom_translate import summary_to_prw_series
+
+    eid = F.col("event_id")
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.col("event_type"), F.lit(".duration")).alias("metric_name"),
+        (eid % 7 + 1).alias("s_count"),
+        F.col("value").cast("double").alias("s_sum"),
+        F.when(
+            eid % 10 != 0,
+            F.concat(
+                F.lit("0.5:"), (eid % 100).cast("string"),
+                F.lit(",0.9:"), (eid % 250).cast("string"),
+                F.lit(",0.99:"), (eid % 500).cast("string"),
+            ),
+        ).alias("quantiles_csv"),
+    )
+    return summary_to_prw_series(src).select("event_id", "series", "quantile", "value")
+
+
 def q_cloudtrail(spark, sf_dir):
     """CloudTrail log-file envelopes (awslogsencodingextension
     cloudtraillog): gzip JSON Records fan-out with identity context and
@@ -4287,6 +4312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cloudtrail_records": q_cloudtrail,
     "otlp_pb_histograms": q_otlp_pb_histograms,
     "prw_histogram_series": q_prw_histogram_series,
+    "prw_summary_series": q_prw_summary_series,
     "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
     "vpc_flow_parse": q_vpc_flow,
@@ -6303,6 +6329,23 @@ UNION ALL
 SELECT event_id, hh_ts_us, nm || '_bucket', '5.0', c2 FROM h
 UNION ALL
 SELECT event_id, hh_ts_us, nm || '_bucket', '+Inf', cnt FROM h"""
+
+    o["prw_summary_series"] = """
+WITH s AS (
+  SELECT event_id, event_type || '.duration' AS nm,
+         CAST(event_id % 7 + 1 AS DOUBLE) AS cnt,
+         CAST(value AS DOUBLE) AS sm,
+         event_id % 10 <> 0 AS has_q
+  FROM events)
+SELECT event_id, nm || '_sum' AS series, CAST(NULL AS VARCHAR) AS quantile, sm AS value FROM s
+UNION ALL
+SELECT event_id, nm || '_count', NULL, cnt FROM s
+UNION ALL
+SELECT event_id, nm, '0.5', CAST(event_id % 100 AS DOUBLE) FROM s WHERE has_q
+UNION ALL
+SELECT event_id, nm, '0.9', CAST(event_id % 250 AS DOUBLE) FROM s WHERE has_q
+UNION ALL
+SELECT event_id, nm, '0.99', CAST(event_id % 500 AS DOUBLE) FROM s WHERE has_q"""
 
     o["alb_access_log_parse"] = """
 WITH e AS (SELECT *, event_id % 13 = 0 AS bad, event_id % 9 = 0 AS unset FROM events)

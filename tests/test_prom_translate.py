@@ -168,3 +168,22 @@ def test_histogram_to_prw_series_expansion(spark):
     # output-name collision fails loudly
     with pt.raises(ValueError):
         histogram_to_prw_series(df.withColumn("value", F.lit(1)))
+
+
+def test_summary_to_prw_series_expansion(spark):
+    from opentelemetry_collector_contrib_spark.operators.prom_translate import (
+        summary_to_prw_series,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "rpc", 4, 10.5, "0.5:12,0.99:30"), (1, "rpc", 0, 0.0, None)],
+        "i int, metric_name string, s_count long, s_sum double, quantiles_csv string",
+    )
+    got = {}
+    for r in summary_to_prw_series(df).collect():
+        got.setdefault(r["i"], []).append((r["series"], r["quantile"], r["value"]))
+    assert got[0] == [
+        ("rpc_sum", None, 10.5), ("rpc_count", None, 4.0),
+        ("rpc", "0.5", 12.0), ("rpc", "0.99", 30.0),
+    ]
+    assert got[1] == [("rpc_sum", None, 0.0), ("rpc_count", None, 0.0)]
