@@ -256,6 +256,25 @@ def histogram_to_prw_series(
     )
 
 
+# wordToUCUM / perWordToUCUM, unit_to_ucum.go:8-53 (reproduced semantics)
+WORD_TO_UCUM = {v: k for k, v in UNIT_MAP.items() if v} | {"ratio": "1"}
+PER_WORD_TO_UCUM = {v: k for k, v in PER_UNIT_MAP.items()}
+
+
+def prom_unit_word_to_ucum(unit: Column) -> Column:
+    """UnitWordToUCUM (unit_to_ucum.go:55-69): english unit words back to
+    UCUM — the receiver-direction inverse of the exporter's unit mapping.
+    Splits on the FIRST '_per_', maps each side through the word tables
+    (unknown words pass through), joins with '/'."""
+    main = F.substring_index(unit, "_per_", 1)
+    pos = F.instr(unit, "_per_")
+    rest = F.when(pos > 0, F.substr(unit, pos + F.lit(5))).otherwise(F.lit(""))
+    out = _map_get(main, WORD_TO_UCUM)
+    return F.when(
+        rest != "", F.concat(out, F.lit("/"), _map_get(rest, PER_WORD_TO_UCUM))
+    ).otherwise(out)
+
+
 def summary_to_prw_series(
     df: DataFrame,
     name_col: str = "metric_name",

@@ -187,3 +187,21 @@ def test_summary_to_prw_series_expansion(spark):
         ("rpc", "0.5", 12.0), ("rpc", "0.99", 30.0),
     ]
     assert got[1] == [("rpc_sum", None, 0.0), ("rpc_count", None, 0.0)]
+
+
+def test_unit_word_to_ucum_table(spark):
+    # unit_to_ucum_test.go:13-53
+    from opentelemetry_collector_contrib_spark.operators.prom_translate import (
+        prom_unit_word_to_ucum,
+    )
+
+    vectors = [
+        ("", ""), ("days", "d"), ("seconds", "s"), ("kibibytes", "KiBy"),
+        ("volts", "V"), ("bananas_per_day", "bananas/d"),
+        ("meters_per_hour", "m/h"), ("ratio", "1"), ("percent", "%"),
+        ("x_per_", "x"),  # empty per-side emits no slash (SplitN semantics)
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(vectors)], "i int, u string")
+    got = {r["i"]: r["o"] for r in df.select("i", prom_unit_word_to_ucum(F.col("u")).alias("o")).collect()}
+    for i, (s, want) in enumerate(vectors):
+        assert got[i] == want, f"{s!r}: {got[i]!r} != {want!r}"
