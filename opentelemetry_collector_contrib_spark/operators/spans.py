@@ -248,3 +248,106 @@ def counter_reset_adjust(
     prev = F.lag(F.col(value_col)).over(w)
     reset_carry = F.when(prev.isNotNull() & (F.col(value_col) < prev), prev).otherwise(F.lit(0.0))
     return df.withColumn(out_col, F.round(F.col(value_col) + F.sum(reset_carry).over(run), 6))
+
+
+def jaeger_tags_to_otlp(df: DataFrame, tags_col: str = "jt_tags_csv") -> DataFrame:
+    """Jaeger tag conventions → OTLP span fields
+    (pkg/translator/jaeger/jaegerproto_to_traces.go:212-471): the semantic
+    half of the Jaeger receiver path, applied over the decoded tag CSV
+    the wire modules emit (sorted ``k=v`` pairs; values are the decoders'
+    canonical renders, so the reference's bool-typed checks become
+    'true'/'false' string checks here).
+
+      - ``span.kind`` tag → kind ('client'/'server'/'producer'/'consumer'/
+        'internal', else 'unspecified'); tag consumed.
+      - status precedence (setInternalSpanStatus:268-330): a BOOL ``error``
+        tag that is true wins (code=error, message from
+        ``otel.status_description`` else ``http.status_message``; error +
+        used description consumed); else ``otel.status_code`` (upper-cased
+        OK/ERROR match, message from the description; the code tag is
+        consumed even when the error tag already decided); else the HTTP
+        code fallback (``http.status_code`` or ``http.response.status_code``,
+        integer-parseable only): 4xx → error for client kind / unset for
+        server, otherwise 100..398 → unset, else error — status only SET
+        when the derived code isn't unset, message from
+        ``http.status_message`` (never consumed).
+      - ``w3c.tracestate`` → trace_state; consumed.
+
+    Adds (otlp_kind, otlp_status_set, otlp_status_code,
+    otlp_status_message, otlp_trace_state, attrs_rest_csv). Pure
+    projection; one str_to_map + map algebra, zero shuffle."""
+    raw = F.col(tags_col)
+    staged = df.select(
+        "*",
+        F.when(raw.isNotNull() & (raw != ""), F.str_to_map(raw, F.lit(","), F.lit("="))).otherwise(
+            F.create_map().cast("map<string,string>")
+        ).alias("_jm"),
+    )
+    m = F.col("_jm")
+    kind_raw = F.element_at(m, "span.kind")
+    kind = (
+        F.when(kind_raw.isin("client", "server", "producer", "consumer", "internal"), kind_raw)
+        .otherwise(F.lit("unspecified"))
+    )
+    err = F.element_at(m, "error")
+    st1 = err == "true"  # bool-typed true per the decoders' render
+    osc = F.element_at(m, "otel.status_code")
+    osd = F.element_at(m, "otel.status_description")
+    hsm = F.element_at(m, "http.status_message")
+    hraw = F.coalesce(
+        F.element_at(m, "http.status_code"), F.element_at(m, "http.response.status_code")
+    )
+    hcode = hraw.try_cast("long")  # NULL when not integer-parseable (codeFromAttr err)
+    http_code = (
+        F.when(hcode.between(400, 499) & (kind == "client"), F.lit("error"))
+        .when(hcode.between(400, 499) & (kind == "server"), F.lit("unset"))
+        .when(hcode.between(100, 398), F.lit("unset"))  # StatusCodeFromHTTP: >=100 && <399
+        .otherwise(F.lit("error"))
+    )
+    http_branch = ~F.coalesce(st1, F.lit(False)) & osc.isNull() & hcode.isNotNull()
+    st1b = F.coalesce(st1, F.lit(False))
+    status_set = st1b | osc.isNotNull() | (http_branch & (http_code != "unset"))
+    status_code = (
+        F.when(st1b, F.lit("error"))
+        .when(
+            osc.isNotNull(),
+            F.when(F.upper(osc) == "OK", F.lit("ok"))
+            .when(F.upper(osc) == "ERROR", F.lit("error"))
+            .otherwise(F.lit("unset")),
+        )
+        .when(http_branch & (http_code != "unset"), http_code)
+        .otherwise(F.lit("unset"))
+    )
+    status_message = (
+        F.when(st1b, F.coalesce(osd, hsm, F.lit("")))
+        .when(osc.isNotNull(), F.coalesce(osd, F.lit("")))
+        .when(http_branch & (http_code != "unset"), F.coalesce(hsm, F.lit("")))
+        .otherwise(F.lit(""))
+    )
+    trace_state = F.coalesce(F.element_at(m, "w3c.tracestate"), F.lit(""))
+    osd_consumed = (st1b & osd.isNotNull()) | (~st1b & osc.isNotNull() & osd.isNotNull())
+    rest = F.map_filter(
+        m,
+        lambda k, _v: ~(
+            (k == "span.kind")
+            | ((k == "error") & st1b)
+            | (k == "otel.status_code")
+            | ((k == "otel.status_description") & osd_consumed)
+            | (k == "w3c.tracestate")
+        ),
+    )
+    rest_csv = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(F.map_entries(rest), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+    )
+    return staged.select(
+        *df.columns,
+        kind.alias("otlp_kind"),
+        status_set.alias("otlp_status_set"),
+        status_code.alias("otlp_status_code"),
+        status_message.alias("otlp_status_message"),
+        trace_state.alias("otlp_trace_state"),
+        rest_csv.alias("attrs_rest_csv"),
+    )

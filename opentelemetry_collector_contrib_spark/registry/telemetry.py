@@ -2371,6 +2371,35 @@ def q_prw_summary_series(spark, sf_dir):
     return summary_to_prw_series(src).select("event_id", "series", "quantile", "value")
 
 
+def q_jaeger_tags_otlp(spark, sf_dir):
+    """Jaeger tag-convention translation over a deterministic tag matrix:
+    kind mapping, error-tag precedence, otel.status_code casing, HTTP
+    code fallback with per-kind 4xx rules, tracestate extraction, and
+    consumed-tag removal (jaegerproto_to_traces.go:212-471)."""
+    from ..operators.spans import jaeger_tags_to_otlp
+
+    e = F.col("event_id")
+    kinds = F.array(F.lit("client"), F.lit("server"), F.lit("producer"), F.lit("internal"))
+    entries = F.array(
+        F.concat(F.lit("etype="), F.col("event_type")),
+        F.when(e % 5 < 4, F.concat(F.lit("span.kind="), F.element_at(kinds, (e % 5 + 1).cast("int")))),
+        F.when(e % 7 == 0, F.lit("error=true")).when(e % 7 == 1, F.lit("error=false")),
+        F.when(e % 3 == 0, F.when(e % 6 == 0, F.lit("otel.status_code=Ok")).otherwise(F.lit("otel.status_code=ERROR"))),
+        F.when(e % 4 == 0, F.concat(F.lit("otel.status_description=d"), (e % 10).cast("string"))),
+        F.when(e % 2 == 0, F.concat(F.lit("http.status_code="), (e % 500 + 100).cast("string"))),
+        F.when(e % 8 == 0, F.lit("http.status_message=hm")),
+        F.when(e % 9 == 0, F.lit("w3c.tracestate=vendor:1")),
+    )
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.filter(entries, lambda x: x.isNotNull()))).alias("jt_tags_csv"),
+    )
+    return jaeger_tags_to_otlp(src).select(
+        "event_id", "otlp_kind", "otlp_status_set", "otlp_status_code",
+        "otlp_status_message", "otlp_trace_state", "attrs_rest_csv",
+    )
+
+
 def q_cloudtrail(spark, sf_dir):
     """CloudTrail log-file envelopes (awslogsencodingextension
     cloudtraillog): gzip JSON Records fan-out with identity context and
@@ -4313,6 +4342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "otlp_pb_histograms": q_otlp_pb_histograms,
     "prw_histogram_series": q_prw_histogram_series,
     "prw_summary_series": q_prw_summary_series,
+    "jaeger_tags_otlp": q_jaeger_tags_otlp,
     "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
     "vpc_flow_parse": q_vpc_flow,
@@ -6346,6 +6376,51 @@ UNION ALL
 SELECT event_id, nm, '0.9', CAST(event_id % 250 AS DOUBLE) FROM s WHERE has_q
 UNION ALL
 SELECT event_id, nm, '0.99', CAST(event_id % 500 AS DOUBLE) FROM s WHERE has_q"""
+
+    o["jaeger_tags_otlp"] = """
+WITH t AS (
+  SELECT event_id AS e, event_type,
+    CASE e % 5 WHEN 0 THEN 'client' WHEN 1 THEN 'server'
+               WHEN 2 THEN 'producer' WHEN 3 THEN 'internal'
+               ELSE 'unspecified' END AS kind,
+    e % 7 = 0 AS st1,
+    e % 3 = 0 AS has_osc,
+    CASE WHEN e % 6 = 0 THEN 'ok' ELSE 'error' END AS osc_code,
+    e % 4 = 0 AS has_osd,
+    'd' || CAST(e % 10 AS VARCHAR) AS osd_val,
+    e % 2 = 0 AS has_http,
+    e % 500 + 100 AS hcode,
+    e % 8 = 0 AS has_hsm,
+    e % 9 = 0 AS has_ts
+  FROM (SELECT event_id, event_type FROM events) _ (event_id, event_type)),
+d AS (
+  SELECT *,
+    (NOT st1) AND (NOT has_osc) AND has_http AS http_branch,
+    CASE WHEN hcode BETWEEN 400 AND 499 AND kind = 'client' THEN 'error'
+         WHEN hcode BETWEEN 400 AND 499 AND kind = 'server' THEN 'unset'
+         WHEN hcode BETWEEN 100 AND 398 THEN 'unset'
+         ELSE 'error' END AS http_code_status
+  FROM t)
+SELECT e AS event_id,
+  kind AS otlp_kind,
+  st1 OR has_osc OR (http_branch AND http_code_status <> 'unset') AS otlp_status_set,
+  CASE WHEN st1 THEN 'error'
+       WHEN has_osc THEN osc_code
+       WHEN http_branch AND http_code_status <> 'unset' THEN http_code_status
+       ELSE 'unset' END AS otlp_status_code,
+  CASE WHEN st1 THEN (CASE WHEN has_osd THEN osd_val WHEN has_hsm THEN 'hm' ELSE '' END)
+       WHEN has_osc THEN (CASE WHEN has_osd THEN osd_val ELSE '' END)
+       WHEN http_branch AND http_code_status <> 'unset' THEN (CASE WHEN has_hsm THEN 'hm' ELSE '' END)
+       ELSE '' END AS otlp_status_message,
+  CASE WHEN has_ts THEN 'vendor:1' ELSE '' END AS otlp_trace_state,
+  array_to_string(list_sort(list_filter([
+    'etype=' || event_type,
+    CASE WHEN e % 7 = 1 THEN 'error=false' END,
+    CASE WHEN has_osd AND NOT st1 AND NOT has_osc THEN 'otel.status_description=' || osd_val END,
+    CASE WHEN has_http THEN 'http.status_code=' || CAST(hcode AS VARCHAR) END,
+    CASE WHEN has_hsm THEN 'http.status_message=hm' END
+  ], x -> x IS NOT NULL)), ',') AS attrs_rest_csv
+FROM d"""
 
     o["alb_access_log_parse"] = """
 WITH e AS (SELECT *, event_id % 13 = 0 AS bad, event_id % 9 = 0 AS unset FROM events)
