@@ -351,3 +351,83 @@ def jaeger_tags_to_otlp(df: DataFrame, tags_col: str = "jt_tags_csv") -> DataFra
         trace_state.alias("otlp_trace_state"),
         rest_csv.alias("attrs_rest_csv"),
     )
+
+
+def zipkin_tags_to_otlp(
+    df: DataFrame, kind_col: str = "zk_kind", tags_col: str = "zk_tags_csv"
+) -> DataFrame:
+    """Zipkin v2 tag conventions → OTLP span fields
+    (pkg/translator/zipkin/zipkinv2/to_translator.go:245-282,623-631) over
+    the decoded (kind, tag CSV) columns. The rules differ from Jaeger's
+    deliberately — mirror them exactly:
+
+      - kind: the wire kind enum wins; only when it is absent does a
+        ``span.kind`` tag get consulted (and consumed regardless of its
+        value), recognizing only 'internal'.
+      - ``otel.status_code``: matched against BOTH naming generations
+        (STATUS_CODE_* and the older Unset/Ok/Error); an unrecognized
+        value maps to unset via the Go zero value. The code tag is
+        consumed; the description is applied + consumed only when the
+        code tag was present.
+      - ``error``: ANY value sets code=error (presence semantics), but
+        the tag is consumed only when the value is exactly 'true' —
+        ``error=false`` still reads as an error and stays an attribute.
+
+    Adds (otlp_kind, otlp_status_set, otlp_status_code,
+    otlp_status_message, attrs_rest_csv). Pure projection."""
+    raw = F.col(tags_col)
+    staged = df.select(
+        "*",
+        F.when(raw.isNotNull() & (raw != ""), F.str_to_map(raw, F.lit(","), F.lit("="))).otherwise(
+            F.create_map().cast("map<string,string>")
+        ).alias("_zm"),
+    )
+    m = F.col("_zm")
+    wire_kind = F.upper(F.col(kind_col))
+    kind_tag = F.element_at(m, "span.kind")
+    wire_known = wire_kind.isin("CLIENT", "SERVER", "PRODUCER", "CONSUMER")
+    kind = (
+        F.when(wire_known, F.lower(wire_kind))
+        .when(kind_tag == "internal", F.lit("internal"))
+        .otherwise(F.lit("unspecified"))
+    )
+    osc = F.element_at(m, "otel.status_code")
+    osd = F.element_at(m, "otel.status_description")
+    code_map = F.create_map(
+        *[F.lit(x) for kv in {
+            "STATUS_CODE_UNSET": "unset", "STATUS_CODE_OK": "ok", "STATUS_CODE_ERROR": "error",
+            "Unset": "unset", "Ok": "ok", "Error": "error",
+        }.items() for x in kv]
+    )
+    osc_code = F.coalesce(F.element_at(code_map, osc), F.lit("unset"))  # Go map zero value
+    err = F.element_at(m, "error")
+    status_code = (
+        F.when(err.isNotNull(), F.lit("error"))
+        .when(osc.isNotNull(), osc_code)
+        .otherwise(F.lit("unset"))
+    )
+    status_set = osc.isNotNull() | err.isNotNull()
+    status_message = F.when(osc.isNotNull(), F.coalesce(osd, F.lit(""))).otherwise(F.lit(""))
+    rest = F.map_filter(
+        m,
+        lambda k, v: ~(
+            (k == "otel.status_code")
+            | ((k == "otel.status_description") & osc.isNotNull())
+            | ((k == "error") & (v == "true"))
+            | ((k == "span.kind") & ~wire_known)
+        ),
+    )
+    rest_csv = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(F.map_entries(rest), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+    )
+    return staged.select(
+        *df.columns,
+        kind.alias("otlp_kind"),
+        status_set.alias("otlp_status_set"),
+        status_code.alias("otlp_status_code"),
+        status_message.alias("otlp_status_message"),
+        rest_csv.alias("attrs_rest_csv"),
+    )

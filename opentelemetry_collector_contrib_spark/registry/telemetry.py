@@ -2400,6 +2400,34 @@ def q_jaeger_tags_otlp(spark, sf_dir):
     )
 
 
+def q_zipkin_tags_otlp(spark, sf_dir):
+    """Zipkin v2 tag-convention translation over a deterministic matrix:
+    wire-kind precedence over the span.kind tag, both status-code naming
+    generations + the Go zero-value, error-tag presence semantics with
+    the only-'true'-consumed quirk (to_translator.go:245-282)."""
+    from ..operators.spans import zipkin_tags_to_otlp
+
+    e = F.col("event_id")
+    kinds = F.array(F.lit("CLIENT"), F.lit("SERVER"), F.lit("PRODUCER"), F.lit("CONSUMER"))
+    entries = F.array(
+        F.concat(F.lit("etype="), F.col("event_type")),
+        F.when(e % 4 == 0, F.lit("span.kind=internal")).when(e % 4 == 1, F.lit("span.kind=weird")),
+        F.when(e % 3 == 0, F.when(e % 6 == 0, F.lit("otel.status_code=Ok")).otherwise(F.lit("otel.status_code=STATUS_CODE_ERROR")))
+         .when(e % 3 == 1, F.when(e % 9 == 1, F.lit("otel.status_code=bogus"))),
+        F.when(e % 5 == 0, F.concat(F.lit("otel.status_description=d"), (e % 10).cast("string"))),
+        F.when(e % 7 == 0, F.lit("error=true")).when(e % 7 == 1, F.lit("error=oops")),
+    )
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(e % 2 == 0, F.element_at(kinds, (e % 4 + 1).cast("int"))).alias("zk_kind"),
+        F.concat_ws(",", F.array_sort(F.filter(entries, lambda x: x.isNotNull()))).alias("zk_tags_csv"),
+    )
+    return zipkin_tags_to_otlp(src).select(
+        "event_id", "otlp_kind", "otlp_status_set", "otlp_status_code",
+        "otlp_status_message", "attrs_rest_csv",
+    )
+
+
 def q_cloudtrail(spark, sf_dir):
     """CloudTrail log-file envelopes (awslogsencodingextension
     cloudtraillog): gzip JSON Records fan-out with identity context and
@@ -4343,6 +4371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prw_histogram_series": q_prw_histogram_series,
     "prw_summary_series": q_prw_summary_series,
     "jaeger_tags_otlp": q_jaeger_tags_otlp,
+    "zipkin_tags_otlp": q_zipkin_tags_otlp,
     "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
     "vpc_flow_parse": q_vpc_flow,
@@ -6421,6 +6450,33 @@ SELECT e AS event_id,
     CASE WHEN has_hsm THEN 'http.status_message=hm' END
   ], x -> x IS NOT NULL)), ',') AS attrs_rest_csv
 FROM d"""
+
+    o["zipkin_tags_otlp"] = """
+WITH t AS (
+  SELECT event_id AS e, event_type,
+    e0.* FROM (SELECT event_id, event_type FROM events) _ (event_id, event_type),
+    LATERAL (SELECT
+      event_id % 2 = 0 AS wire_known,
+      (event_id % 3 = 0) OR (event_id % 3 = 1 AND event_id % 9 = 1) AS has_osc,
+      CASE WHEN event_id % 3 = 0 AND event_id % 6 = 0 THEN 'ok'
+           WHEN event_id % 3 = 0 THEN 'error' ELSE 'unset' END AS osc_code,
+      event_id % 5 = 0 AS has_osd,
+      'd' || CAST(event_id % 10 AS VARCHAR) AS osd_val,
+      event_id % 7 IN (0, 1) AS has_err
+    ) e0)
+SELECT e AS event_id,
+  CASE WHEN wire_known THEN (CASE WHEN e % 4 = 0 THEN 'client' ELSE 'producer' END)
+       WHEN e % 4 = 0 THEN 'internal' ELSE 'unspecified' END AS otlp_kind,
+  has_osc OR has_err AS otlp_status_set,
+  CASE WHEN has_err THEN 'error' WHEN has_osc THEN osc_code ELSE 'unset' END AS otlp_status_code,
+  CASE WHEN has_osc AND has_osd THEN osd_val ELSE '' END AS otlp_status_message,
+  array_to_string(list_sort(list_filter([
+    'etype=' || event_type,
+    CASE WHEN e % 4 = 0 THEN 'span.kind=internal' END,
+    CASE WHEN has_osd AND NOT has_osc THEN 'otel.status_description=' || osd_val END,
+    CASE WHEN e % 7 = 1 THEN 'error=oops' END
+  ], x -> x IS NOT NULL)), ',') AS attrs_rest_csv
+FROM t"""
 
     o["alb_access_log_parse"] = """
 WITH e AS (SELECT *, event_id % 13 = 0 AS bad, event_id % 9 = 0 AS unset FROM events)

@@ -67,10 +67,53 @@ def test_http_code_fallback_kind_rules(spark):
 
 
 def test_tracestate_extraction(spark):
-    r = _run(spark, "w3c.tracestate=ot=th:8;x,a=1")
-    # NB str_to_map splits on the FIRST '=' only for k=v? It splits every
-    # pair on '='; the tracestate value itself contains '=' so the split
-    # keeps the remainder intact only if the decoder escaped it — use a
-    # simple value here (wire CSVs render flat values)
+    # '='-free tracestate value: the CSV map split is first-'='-only per
+    # pair, so the fixtures keep label values flat like the wire decoders
     r = _run(spark, "a=1,w3c.tracestate=vendor:1")
     assert r["otlp_trace_state"] == "vendor:1" and r["attrs_rest_csv"] == "a=1"
+
+
+# --- zipkin v2 conventions (to_translator.go:245-282,623-631) ----------------
+
+from opentelemetry_collector_contrib_spark.operators.spans import zipkin_tags_to_otlp
+
+
+def _zrun(spark, kind, tags_csv):
+    df = spark.createDataFrame([(1, kind, tags_csv)], "i int, zk_kind string, zk_tags_csv string")
+    return zipkin_tags_to_otlp(df).collect()[0]
+
+
+def test_zipkin_wire_kind_wins_over_tag(spark):
+    r = _zrun(spark, "CLIENT", "span.kind=internal")
+    assert r["otlp_kind"] == "client"
+    # the tag is NOT consumed when the wire kind decided
+    assert r["attrs_rest_csv"] == "span.kind=internal"
+    r2 = _zrun(spark, None, "span.kind=internal,a=1")
+    assert r2["otlp_kind"] == "internal" and r2["attrs_rest_csv"] == "a=1"
+    # default-branch span.kind tag consumed even when unrecognized
+    r3 = _zrun(spark, None, "span.kind=weird,a=1")
+    assert r3["otlp_kind"] == "unspecified" and r3["attrs_rest_csv"] == "a=1"
+
+
+def test_zipkin_status_code_both_generations_and_zero_value(spark):
+    assert _zrun(spark, None, "otel.status_code=STATUS_CODE_OK")["otlp_status_code"] == "ok"
+    assert _zrun(spark, None, "otel.status_code=Error")["otlp_status_code"] == "error"
+    r = _zrun(spark, None, "otel.status_code=bogus")
+    assert r["otlp_status_set"] and r["otlp_status_code"] == "unset"  # Go map zero value
+    r2 = _zrun(spark, None, "otel.status_code=Ok,otel.status_description=fine")
+    assert r2["otlp_status_message"] == "fine" and r2["attrs_rest_csv"] == ""
+    # description without the code tag stays an attribute, no message
+    r3 = _zrun(spark, None, "otel.status_description=orphan")
+    assert not r3["otlp_status_set"] and r3["otlp_status_message"] == ""
+    assert r3["attrs_rest_csv"] == "otel.status_description=orphan"
+
+
+def test_zipkin_error_tag_presence_semantics(spark):
+    # ANY error value sets code=error; only 'true' is consumed
+    r = _zrun(spark, None, "error=true")
+    assert r["otlp_status_code"] == "error" and r["attrs_rest_csv"] == ""
+    r2 = _zrun(spark, None, "error=false")
+    assert r2["otlp_status_code"] == "error" and r2["attrs_rest_csv"] == "error=false"
+    # error overrides otel.status_code=Ok
+    r3 = _zrun(spark, None, "error=oops,otel.status_code=Ok")
+    assert r3["otlp_status_code"] == "error" and r3["attrs_rest_csv"] == "error=oops"
