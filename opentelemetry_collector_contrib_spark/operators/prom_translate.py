@@ -184,9 +184,9 @@ def histogram_to_prw_series(
     O(B²) fold over a handful of buckets per row, arrays staged as bound
     attributes first so projection collapse can't inline the CSV split
     once per element."""
-    clash = {"series", "le", "value"} & set(df.columns)
+    clash = {"series", "le", "value", "_hcounts", "_hbounds"} & set(df.columns)
     if clash:
-        raise ValueError(f"histogram_to_prw_series output columns collide with input: {sorted(clash)}")
+        raise ValueError(f"histogram_to_prw_series output/staging columns collide with input: {sorted(clash)}")
     empty_l = F.array().cast("array<long>")
     empty_s = F.array().cast("array<string>")
     ccsv, bcsv = F.col(counts_csv_col), F.col(bounds_csv_col)
@@ -252,7 +252,6 @@ def histogram_to_prw_series(
             F.col("_e.le").alias("le"),
             F.col("_e.value").alias("value"),
         )
-        .drop("_e")
     )
 
 
@@ -289,9 +288,9 @@ def summary_to_prw_series(
     a ``q:value`` CSV (the statsd-aggregate output shape); the quantile
     label string passes through verbatim (the reference renders
     FormatFloat('f',-1)). Adds (series, quantile, value)."""
-    clash = {"series", "quantile", "value"} & set(df.columns)
+    clash = {"series", "quantile", "value", "_sq"} & set(df.columns)
     if clash:
-        raise ValueError(f"summary_to_prw_series output columns collide with input: {sorted(clash)}")
+        raise ValueError(f"summary_to_prw_series output/staging columns collide with input: {sorted(clash)}")
     qcsv = F.col(quantiles_csv_col)
     staged = df.select(
         "*",
@@ -419,6 +418,11 @@ def exponential_to_native_histogram(df: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
+    clash = {c for c in df.columns if c.startswith("nh_")}
+    if clash:
+        raise ValueError(
+            f"exponential_to_native_histogram output columns collide with input: {sorted(clash)}"
+        )
     passthrough = [f for f in df.schema.fields]
     names = [f.name for f in passthrough]
     extra = [

@@ -250,6 +250,39 @@ def counter_reset_adjust(
     return df.withColumn(out_col, F.round(F.col(value_col) + F.sum(reset_carry).over(run), 6))
 
 
+def _csv_map(raw: Column) -> Column:
+    """Tag CSV ('k=v,k=v', values split on the FIRST '=') → map, LAST
+    occurrence of a duplicate key winning — Jaeger tags are a repeated
+    list, so duplicate keys are legal on the wire and the reference's
+    sequential PutStr gives last-wins; str_to_map would instead throw
+    under Spark's default mapKeyDedupPolicy=EXCEPTION and fail the batch
+    on one such span. Limitation (shared with the decoders' CSV render):
+    a value containing a literal ',' or '=' is ambiguous in this summary
+    format and splits — delimiter-bearing values need the full wire row,
+    not the CSV."""
+    pairs = F.split(raw, ",")
+    ent = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.substring_index(p, "=", 1).alias("k"),
+            F.when(F.instr(p, "=") > 0, F.substr(p, F.instr(p, "=") + F.lit(1))).alias("v"),
+        ),
+    )
+    keys = F.array_distinct(F.transform(ent, lambda e: e["k"]))
+    merged = F.transform(
+        keys,
+        lambda k: F.struct(
+            k.alias("k"),
+            F.aggregate(
+                ent,
+                F.lit(None).cast("string"),
+                lambda acc, e: F.when(e["k"] == k, e["v"]).otherwise(acc),
+            ).alias("v"),
+        ),
+    )
+    return F.map_from_entries(merged)
+
+
 def jaeger_tags_to_otlp(df: DataFrame, tags_col: str = "jt_tags_csv") -> DataFrame:
     """Jaeger tag conventions → OTLP span fields
     (pkg/translator/jaeger/jaegerproto_to_traces.go:212-471): the semantic
@@ -276,10 +309,12 @@ def jaeger_tags_to_otlp(df: DataFrame, tags_col: str = "jt_tags_csv") -> DataFra
     Adds (otlp_kind, otlp_status_set, otlp_status_code,
     otlp_status_message, otlp_trace_state, attrs_rest_csv). Pure
     projection; one str_to_map + map algebra, zero shuffle."""
+    if "_jm" in df.columns:
+        raise ValueError("jaeger_tags_to_otlp stages an internal `_jm` column; rename the input's")
     raw = F.col(tags_col)
     staged = df.select(
         "*",
-        F.when(raw.isNotNull() & (raw != ""), F.str_to_map(raw, F.lit(","), F.lit("="))).otherwise(
+        F.when(raw.isNotNull() & (raw != ""), _csv_map(raw)).otherwise(
             F.create_map().cast("map<string,string>")
         ).alias("_jm"),
     )
@@ -336,12 +371,9 @@ def jaeger_tags_to_otlp(df: DataFrame, tags_col: str = "jt_tags_csv") -> DataFra
             | (k == "w3c.tracestate")
         ),
     )
-    rest_csv = F.concat_ws(
-        ",",
-        F.array_sort(
-            F.transform(F.map_entries(rest), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
-        ),
-    )
+    from .parse import sorted_kv_csv
+
+    rest_csv = sorted_kv_csv(rest)
     return staged.select(
         *df.columns,
         kind.alias("otlp_kind"),
@@ -375,10 +407,12 @@ def zipkin_tags_to_otlp(
 
     Adds (otlp_kind, otlp_status_set, otlp_status_code,
     otlp_status_message, attrs_rest_csv). Pure projection."""
+    if "_zm" in df.columns:
+        raise ValueError("zipkin_tags_to_otlp stages an internal `_zm` column; rename the input's")
     raw = F.col(tags_col)
     staged = df.select(
         "*",
-        F.when(raw.isNotNull() & (raw != ""), F.str_to_map(raw, F.lit(","), F.lit("="))).otherwise(
+        F.when(raw.isNotNull() & (raw != ""), _csv_map(raw)).otherwise(
             F.create_map().cast("map<string,string>")
         ).alias("_zm"),
     )
@@ -417,12 +451,9 @@ def zipkin_tags_to_otlp(
             | ((k == "span.kind") & ~wire_known)
         ),
     )
-    rest_csv = F.concat_ws(
-        ",",
-        F.array_sort(
-            F.transform(F.map_entries(rest), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
-        ),
-    )
+    from .parse import sorted_kv_csv
+
+    rest_csv = sorted_kv_csv(rest)
     return staged.select(
         *df.columns,
         kind.alias("otlp_kind"),

@@ -117,3 +117,13 @@ def test_zipkin_error_tag_presence_semantics(spark):
     # error overrides otel.status_code=Ok
     r3 = _zrun(spark, None, "error=oops,otel.status_code=Ok")
     assert r3["otlp_status_code"] == "error" and r3["attrs_rest_csv"] == "error=oops"
+
+
+def test_duplicate_tag_keys_last_wins_not_crash(spark):
+    # Jaeger tags are a repeated list: duplicate keys are legal on the
+    # wire and the reference's sequential PutStr gives last-wins —
+    # str_to_map would throw under mapKeyDedupPolicy=EXCEPTION instead
+    r = _run(spark, "error=false,error=true,a=1")
+    assert r["otlp_status_code"] == "error" and r["attrs_rest_csv"] == "a=1"
+    rz = _zrun(spark, None, "otel.status_code=Error,otel.status_code=Ok")
+    assert rz["otlp_status_code"] == "ok"
