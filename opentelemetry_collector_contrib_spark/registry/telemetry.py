@@ -2428,6 +2428,41 @@ def q_zipkin_tags_otlp(spark, sf_dir):
     )
 
 
+def q_filelog_header(spark, sf_dir):
+    """filelog header-metadata parsing over a synthesized per-file line
+    table: maximal-prefix header detection, named-capture metadata regex,
+    per-key upsert merge, merged attrs stamped on every data line
+    (fileconsumer/internal/header + filelogreceiver README)."""
+    from pyspark.sql import Window
+
+    from ..operators.parse import sorted_kv_csv
+    from ..sources.file_source import filelog_header_metadata
+
+    e = F.col("event_id")
+    fid = (e % 50).alias("fid")
+    base = _events(spark, sf_dir).select("event_id", fid)
+    rn = F.row_number().over(Window.partitionBy("fid").orderBy("event_id"))
+    lines = base.withColumn("rn", rn).withColumn(
+        "text",
+        F.when((F.col("rn") == 1) & (F.col("fid") % 7 != 0),
+               F.concat(F.lit("# host=h"), (F.col("fid") % 5).cast("string")))
+        .when((F.col("rn") == 2) & (F.col("fid") % 3 == 0), F.lit("# host=h9"))
+        .when((F.col("rn") == 3) & (F.col("fid") % 2 == 0),
+              F.concat(F.lit("# region=r"), (F.col("fid") % 4).cast("string")))
+        .otherwise(F.concat(F.lit("msg "), e.cast("string"))),
+    )
+    out = filelog_header_metadata(
+        lines,
+        header_pattern="^#",
+        metadata_regex=r"^# (host=(?P<host>\S+)|region=(?P<region>\S+))$",
+        file_col="fid",
+        line_col="rn",
+    )
+    return out.select(
+        "event_id", "fid", "rn", "text", sorted_kv_csv(F.col("header_attrs")).alias("hdr_csv")
+    )
+
+
 def q_cloudtrail(spark, sf_dir):
     """CloudTrail log-file envelopes (awslogsencodingextension
     cloudtraillog): gzip JSON Records fan-out with identity context and
@@ -4372,6 +4407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prw_summary_series": q_prw_summary_series,
     "jaeger_tags_otlp": q_jaeger_tags_otlp,
     "zipkin_tags_otlp": q_zipkin_tags_otlp,
+    "filelog_header_metadata": q_filelog_header,
     "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
     "vpc_flow_parse": q_vpc_flow,
@@ -6450,6 +6486,37 @@ SELECT e AS event_id,
     CASE WHEN has_hsm THEN 'http.status_message=hm' END
   ], x -> x IS NOT NULL)), ',') AS attrs_rest_csv
 FROM d"""
+
+    o["filelog_header_metadata"] = r"""
+WITH b AS (
+  SELECT event_id, event_id % 50 AS fid,
+         row_number() OVER (PARTITION BY event_id % 50 ORDER BY event_id) AS rn
+  FROM events),
+l AS (
+  SELECT *, CASE
+    WHEN rn = 1 AND fid % 7 <> 0 THEN '# host=h' || CAST(fid % 5 AS VARCHAR)
+    WHEN rn = 2 AND fid % 3 = 0 THEN '# host=h9'
+    WHEN rn = 3 AND fid % 2 = 0 THEN '# region=r' || CAST(fid % 4 AS VARCHAR)
+    ELSE 'msg ' || CAST(event_id AS VARCHAR) END AS text
+  FROM b),
+fl AS (
+  SELECT *, min(CASE WHEN text LIKE '#%' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY fid ORDER BY rn ROWS UNBOUNDED PRECEDING) = 1 AS is_hdr
+  FROM l),
+h AS (
+  SELECT fid,
+    arg_max(regexp_extract(text, '^# host=(\S+)$', 1), rn)
+      FILTER (WHERE regexp_extract(text, '^# host=(\S+)$', 1) <> '') AS host,
+    arg_max(regexp_extract(text, '^# region=(\S+)$', 1), rn)
+      FILTER (WHERE regexp_extract(text, '^# region=(\S+)$', 1) <> '') AS region
+  FROM fl WHERE is_hdr GROUP BY fid)
+SELECT d.event_id, d.fid, CAST(d.rn AS INT) AS rn, d.text,
+  coalesce(array_to_string(list_sort(list_filter([
+    CASE WHEN h.host IS NOT NULL THEN 'host=' || h.host END,
+    CASE WHEN h.region IS NOT NULL THEN 'region=' || h.region END
+  ], x -> x IS NOT NULL)), ','), '') AS hdr_csv
+FROM fl d LEFT JOIN h ON h.fid = d.fid
+WHERE NOT d.is_hdr"""
 
     o["zipkin_tags_otlp"] = """
 WITH t AS (

@@ -193,3 +193,102 @@ def wire_spool_source(
     else:
         df = spark.read.parquet(path)
     return decode(df, payload_col, **decoder_kwargs)
+
+
+def filelog_header_metadata(
+    df: DataFrame,
+    header_pattern: str,
+    metadata_regex: str,
+    file_col: str = "file_name",
+    line_col: str = "line_no",
+    text_col: str = "text",
+    out_col: str = "header_attrs",
+) -> DataFrame:
+    """filelog header metadata parsing (pkg/stanza/fileconsumer/internal/
+    header/reader.go + filelogreceiver README "header" section, behind the
+    `filelog.allowHeaderMetadataParsing` gate): the header is the maximal
+    PREFIX of lines matching `header_pattern`; each header line runs
+    through the metadata pipeline — here a single regex with named
+    captures, the README's canonical regex_parser shape — and the per-line
+    attributes merge with an UPSERT (later lines win per key). Header
+    lines are not emitted; every data line of the file carries the merged
+    attributes.
+
+    Adds `out_col` as map<string,string> (absent captures omitted; files
+    with no header get an empty map). Shape: one per-file prefix window
+    (running AND of the pattern match), one per-file aggregation for the
+    merged attrs, one equi-join back on the file key — everything keyed
+    by file, so a 10^9-file corpus spreads evenly."""
+    import re as _re
+
+    # group NUMBERS count every capturing group (named or not), so an
+    # outer alternation group shifts the named groups' indices — walk the
+    # pattern and assign real indices instead of assuming 1..n
+    def _group_indices(pattern: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        idx = i = 0
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\":
+                i += 2
+                continue
+            if c == "[":  # character class: '(' inside is literal
+                i += 1
+                while i < len(pattern) and pattern[i] != "]":
+                    i += 2 if pattern[i] == "\\" else 1
+                i += 1
+                continue
+            if c == "(":
+                if pattern[i : i + 2] == "(?":
+                    m = _re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>", pattern[i:])
+                    if m:
+                        idx += 1
+                        out[m.group(1)] = idx
+                    # other (?...) forms are non-capturing
+                else:
+                    idx += 1
+            i += 1
+        return out
+
+    indices = _group_indices(metadata_regex)
+    if not indices:
+        raise ValueError("metadata_regex needs at least one named capture group")
+    java_re = metadata_regex.replace("(?P<", "(?<")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(line_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "_is_hdr",
+        F.min(F.when(F.col(text_col).rlike(header_pattern), 1).otherwise(0)).over(w) == 1,
+    )
+    hdr = flagged.filter(F.col("_is_hdr"))
+    # upsert: per capture key, the value from the LAST header line where
+    # the group participated (non-empty extract)
+    aggs = []
+    for k, gi in indices.items():
+        v = F.regexp_extract(F.col(text_col), java_re, gi)
+        aggs.append(
+            F.max_by(F.when(v != "", v), F.when(v != "", F.col(line_col))).alias(f"_h_{k}")
+        )
+    merged = hdr.groupBy(file_col).agg(*aggs)
+    entries = F.filter(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("k"), F.col(f"_h_{k}").alias("v"))
+                for k in indices
+            ]
+        ),
+        lambda e: e["v"].isNotNull(),
+    )
+    merged = merged.select(file_col, F.map_from_entries(entries).alias(out_col))
+    return (
+        flagged.filter(~F.col("_is_hdr"))
+        .drop("_is_hdr")
+        .join(merged, file_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.create_map().cast("map<string,string>")))
+    )

@@ -460,3 +460,34 @@ def test_wire_spool_source_batch_stream_and_unknown(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown wire format"):
         wire_spool_source(spark, spool, "nope")
+
+
+def test_filelog_header_metadata(spark):
+    from opentelemetry_collector_contrib_spark.sources.file_source import filelog_header_metadata
+
+    rows = [
+        # file A: 3-line header with an upsert, then data; a later '#' line
+        # is NOT header (prefix semantics)
+        ("A", 1, "# host=h1"),
+        ("A", 2, "# region=r2"),
+        ("A", 3, "# host=h9"),
+        ("A", 4, "msg one"),
+        ("A", 5, "# stray"),
+        # file B: no header at all
+        ("B", 1, "plain"),
+        # file C: all lines are header -> file emits nothing
+        ("C", 1, "# host=x"),
+    ]
+    df = spark.createDataFrame(rows, "file_name string, line_no int, text string")
+    out = filelog_header_metadata(
+        df,
+        header_pattern="^#",
+        metadata_regex=r"^# (host=(?P<host>\S+)|region=(?P<region>\S+))$",
+    )
+    got = {(r["file_name"], r["line_no"]): r for r in out.collect()}
+    assert set(got) == {("A", 4), ("A", 5), ("B", 1)}
+    # upsert: the LAST host header line wins; region survives alongside
+    assert got[("A", 4)]["header_attrs"] == {"host": "h9", "region": "r2"}
+    assert got[("A", 5)]["header_attrs"] == {"host": "h9", "region": "r2"}
+    assert got[("A", 5)]["text"] == "# stray"  # post-header '#' line is data
+    assert got[("B", 1)]["header_attrs"] == {}
