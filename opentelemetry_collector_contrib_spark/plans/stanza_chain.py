@@ -79,6 +79,12 @@ def validate_stanza_ops(ops: list[dict[str, Any]]) -> None:
         t = op.get("type")
         if not isinstance(t, str) or t not in _SUPPORTED:
             raise ValueError(f"{where}: unknown operator type {t!r} (supported: {sorted(_SUPPORTED)})")
+        gate = op.get("if")
+        if gate is not None:
+            if not isinstance(gate, str) or not gate.strip():
+                raise ValueError(f"{where}: `if` must be a non-empty boolean expression string")
+            if t in ("router", "recombine"):
+                raise ValueError(f"{where}: `if` is not supported on {t} (fork/stateful operators)")
         if t == "regex_parser":
             rx = op.get("regex")
             if not rx or not isinstance(rx, str):
@@ -183,6 +189,27 @@ def apply_stanza_operators(
     for op in ops:
         t = op["type"]
         pf = _field(op.get("parse_from", "body"), body_col)
+        # stanza's universal `if` gate (helper/transformer.go: every
+        # transformer/parser runs only when the expression is true; other
+        # entries pass through untouched). Relational form: snapshot the
+        # pre-op columns, apply the op to every row, then per column pick
+        # op-output where gated / original otherwise. A column the op
+        # REMOVES stays present carrying its original value on ungated
+        # rows (entries are maps in stanza, columns here — documented).
+        # filter composes directly: drop iff gate AND expr.
+        gate_sql = op.get("if")
+        if gate_sql is not None and t == "filter":
+            df = df.filter(
+                ~(
+                    F.coalesce(F.expr(gate_sql), F.lit(False))
+                    & F.coalesce(F.expr(op["expr"]), F.lit(False))
+                )
+            )
+            continue
+        if gate_sql is not None:
+            pre_cols = list(df.columns)
+            df = df.withColumn("_gate", F.coalesce(F.expr(gate_sql), F.lit(False)))
+            df = df.select("*", *[F.col(c).alias(f"_g_{c}") for c in pre_cols])
         if t == "regex_parser":
             df = _apply_regex_parser(df, op, body_col)
         elif t == "json_parser":
@@ -266,4 +293,19 @@ def apply_stanza_operators(
                 default=op.get("default", "general"),
             )
             df = apply_routes(df, table)
+        if gate_sql is not None:
+            gate = F.col("_gate")
+            out_cols = [c for c in df.columns if not c.startswith("_g_") and c != "_gate"]
+            combined = []
+            for c in out_cols:
+                if f"_g_{c}" in df.columns:
+                    combined.append(F.when(gate, F.col(c)).otherwise(F.col(f"_g_{c}")).alias(c))
+                else:  # column the op created: NULL on ungated rows
+                    combined.append(F.when(gate, F.col(c)).alias(c))
+            # columns the op removed come back carrying the original value
+            # on ungated rows (NULL where the gate fired)
+            for c in (set(df.columns) - set(out_cols)):
+                if c.startswith("_g_") and c[3:] not in out_cols and c != "_gate":
+                    combined.append(F.when(~gate, F.col(c)).alias(c[3:]))
+            df = df.select(*combined)
     return df

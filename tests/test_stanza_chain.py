@@ -403,3 +403,48 @@ def test_java_invalid_regex_fails_at_build(spark):
         apply_stanza_operators(
             df, [{"type": "regex_parser", "regex": r"(?P<a>x)(?(a)y|z)"}]
         )
+
+
+def test_if_gate_on_parser_and_add(logs):
+    # helper/transformer.go: the op runs only where `if` is true; other
+    # entries pass through untouched (parsed columns NULL there)
+    out = apply_stanza_operators(
+        logs,
+        [
+            {"type": "regex_parser", "regex": _RX, "if": "id != 'b'"},
+            {"type": "add", "field": "env", "value": "prod", "if": "id = 'a'"},
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["lvl"] == "ERROR" and rows["a"]["env"] == "prod"
+    assert rows["b"]["lvl"] is None and rows["b"]["env"] is None  # gated out
+    assert rows["c"]["lvl"] is None  # gated in but non-matching (send)
+    assert rows["b"]["text"].endswith("web: ok")  # untouched passthrough
+
+
+def test_if_gate_on_remove_preserves_ungated(logs):
+    out = apply_stanza_operators(
+        logs, [{"type": "remove", "field": "text", "if": "id = 'a'"}]
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["text"] is None       # removed where gated
+    assert rows["b"]["text"] is not None   # preserved where not
+
+
+def test_if_gate_composes_with_filter(logs):
+    # drop iff gate AND expr
+    out = apply_stanza_operators(
+        logs, [{"type": "filter", "expr": "text rlike 'ok'", "if": "id = 'b'"}]
+    )
+    assert {r["id"] for r in out.collect()} == {"a", "c"}
+    out2 = apply_stanza_operators(
+        logs, [{"type": "filter", "expr": "text rlike 'ok'", "if": "id = 'a'"}]
+    )
+    assert {r["id"] for r in out2.collect()} == {"a", "b", "c"}
+
+
+def test_if_gate_validation():
+    with pytest.raises(ValueError):
+        validate_stanza_ops([{"type": "router", "routes": [], "if": "true"}])
+    with pytest.raises(ValueError):
+        validate_stanza_ops([{"type": "add", "field": "x", "value": 1, "if": "  "}])
