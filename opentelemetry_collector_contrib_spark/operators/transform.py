@@ -308,3 +308,150 @@ def batch_per_resource_attr(df, attr_col: str, batch_key: str = "_batch_key"):
     does with per-value pdata copies is a free groupBy here."""
     out = df.withColumn(batch_key, F.coalesce(F.col(attr_col).cast("string"), F.lit("")))
     return out.repartition(F.col(batch_key))
+
+
+def redact_attributes(
+    df: DataFrame,
+    attrs_col: str = "attrs",
+    allow_all_keys: bool = False,
+    allowed_keys: list[str] | None = None,
+    ignored_keys: list[str] | None = None,
+    allowed_values: list[str] | None = None,
+    blocked_values: list[str] | None = None,
+    blocked_key_patterns: list[str] | None = None,
+    mask: str = "****",
+    hash_function: str | None = None,
+    summary: str = "info",
+) -> DataFrame:
+    """redactionprocessor over a map attribute column — the full config
+    surface (processor.go:330-381, README): per key, in the reference's
+    exact order:
+
+      1. `ignored_keys` (exact match) pass through untouched;
+      2. fail-closed allowlist — with allow_all_keys=False a key missing
+         from `allowed_keys` is DELETED;
+      3. a value matching any `allowed_values` regex is exempt from
+         masking;
+      4. a key matching any `blocked_key_patterns` regex has its WHOLE
+         value masked (the mask literal, or hex digest when
+         `hash_function` ∈ md5/sha1/sha256);
+      5. otherwise every `blocked_values` regex match in the value is
+         replaced by the mask. Divergence (documented): with a
+         hash_function set, a value containing any blocked match becomes
+         the digest of the whole original value — per-match hashing needs
+         a per-row UDF, which this operator refuses to be. The reference's
+         db-statement SQL obfuscation lives in `spans.sql_normalize`.
+
+    Summary attributes (addMetaAttrs:417-437) join the map:
+    `redaction.redacted.count/keys`, `.masked.count/keys`,
+    `.allowed.count/keys`, `.ignored.count` — counts at summary='info',
+    plus sorted key-name CSVs at 'debug' (the reference preserves Go map
+    iteration order; sorted here for determinism), nothing at 'silent'.
+
+    Pure map/array algebra in one projection — no shuffle, no UDF."""
+    if summary not in ("debug", "info", "silent"):
+        raise ValueError("summary must be debug|info|silent")
+    if hash_function not in (None, "md5", "sha1", "sha256"):
+        raise ValueError("hash_function must be md5|sha1|sha256 or None")
+
+    def _hashed(v: Column) -> Column:
+        if hash_function == "md5":
+            return F.md5(v)
+        if hash_function == "sha1":
+            return F.sha1(v)
+        if hash_function == "sha256":
+            return F.sha2(v, 256)
+        return F.lit(mask)
+
+    def _any_match(v: Column, patterns: list[str]) -> Column:
+        out = F.lit(False)
+        for p in patterns:
+            out = out | v.rlike(p)
+        return out
+
+    m = F.col(attrs_col)
+    ents = F.map_entries(m)
+
+    def cls_of(e: Column) -> Column:
+        k, v = e["key"], e["value"]
+        ignored = k.isin(*ignored_keys) if ignored_keys else F.lit(False)
+        redacted = (
+            F.lit(False)
+            if allow_all_keys
+            else (~k.isin(*allowed_keys) if allowed_keys else F.lit(True))
+        )
+        allowed_v = _any_match(v, allowed_values) if allowed_values else F.lit(False)
+        mask_key = _any_match(k, blocked_key_patterns) if blocked_key_patterns else F.lit(False)
+        return (
+            F.when(ignored, F.lit("i"))
+            .when(redacted, F.lit("r"))
+            .when(allowed_v, F.lit("a"))
+            .when(mask_key, F.lit("m"))
+            .otherwise(F.lit("v"))
+        )
+
+    def new_value(e: Column) -> Column:
+        v = e["value"]
+        replaced = v
+        for p in blocked_values or []:
+            replaced = F.regexp_replace(replaced, p, mask)
+        if hash_function is not None and blocked_values:
+            # documented divergence: whole-value digest when any match hit
+            replaced = F.when(replaced != v, _hashed(v)).otherwise(v)
+        return (
+            F.when(e["cls"] == "m", _hashed(v))
+            .when(e["cls"] == "v", replaced)
+            .otherwise(v)
+        )
+
+    tagged = F.transform(
+        ents,
+        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value"), cls_of(e).alias("cls")),
+    )
+    staged = df.select("*", tagged.alias("_rtag"))
+    t = F.col("_rtag")
+    finished = F.transform(
+        F.filter(t, lambda e: e["cls"] != "r"),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            new_value(e).alias("value"),
+            (F.when(e["cls"] == "m", True)
+             .when(e["cls"] == "v", new_value(e) != e["value"])
+             .otherwise(F.lit(False))).alias("masked"),
+        ),
+    )
+    staged = staged.select(*df.columns, finished.alias("_rfin"), t.alias("_rtag2"))
+    fin, tag = F.col("_rfin"), F.col("_rtag2")
+
+    def keys_where(src: Column, cond) -> Column:
+        return F.array_sort(F.transform(F.filter(src, cond), lambda e: e["key"]))
+
+    red_keys = keys_where(tag, lambda e: e["cls"] == "r")
+    ign_keys = keys_where(tag, lambda e: e["cls"] == "i")
+    alw_keys = keys_where(tag, lambda e: e["cls"] == "a")
+    msk_keys = keys_where(fin, lambda e: e["masked"])
+    base_map = F.map_from_entries(
+        F.transform(fin, lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")))
+    )
+    meta: list[tuple[str, Column]] = []
+    if summary in ("info", "debug"):
+        meta += [
+            ("redaction.redacted.count", F.size(red_keys).cast("string")),
+            ("redaction.masked.count", F.size(msk_keys).cast("string")),
+            ("redaction.allowed.count", F.size(alw_keys).cast("string")),
+            ("redaction.ignored.count", F.size(ign_keys).cast("string")),
+        ]
+    if summary == "debug":
+        meta += [
+            ("redaction.redacted.keys", F.array_join(red_keys, ",")),
+            ("redaction.masked.keys", F.array_join(msk_keys, ",")),
+            ("redaction.allowed.keys", F.array_join(alw_keys, ",")),
+        ]
+    out_map = base_map
+    if meta:
+        out_map = F.map_concat(
+            base_map, F.create_map(*[x for k, v in meta for x in (F.lit(k), v)])
+        )
+    return staged.select(
+        *[c for c in df.columns if c != attrs_col], out_map.alias(attrs_col)
+    )

@@ -2463,6 +2463,38 @@ def q_filelog_header(spark, sf_dir):
     )
 
 
+def q_redact_full(spark, sf_dir):
+    """Full-config redaction over a synthesized attr map: fail-closed
+    allowlist, ignored keys, blocked key patterns, blocked values, debug
+    summary attributes (processor.go:330-381)."""
+    from ..operators.parse import sorted_kv_csv
+    from ..operators.transform import redact_attributes
+
+    e = F.col("event_id")
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        F.map_filter(
+            F.create_map(
+                F.lit("etype"), F.col("event_type"),
+                F.lit("env"), F.lit("prod"),
+                F.lit("ssn"), F.when(e % 3 == 0, F.concat(F.lit("123-45-"), F.lpad((e % 10000).cast("string"), 4, "0"))),
+                F.lit("token"), F.when(e % 5 == 0, F.concat(F.lit("tok"), e.cast("string"))),
+                F.lit("extra"), F.when(e % 2 == 0, F.lit("x")),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("attrs"),
+    )
+    out = redact_attributes(
+        src,
+        allowed_keys=["etype", "ssn", "token", "env"],
+        ignored_keys=["env"],
+        blocked_values=[r"\d{3}-\d{2}-\d{4}"],
+        blocked_key_patterns=["^token$"],
+        summary="debug",
+    )
+    return out.select("event_id", sorted_kv_csv(F.col("attrs")).alias("attrs_csv"))
+
+
 def q_cloudtrail(spark, sf_dir):
     """CloudTrail log-file envelopes (awslogsencodingextension
     cloudtraillog): gzip JSON Records fan-out with identity context and
@@ -4408,6 +4440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaeger_tags_otlp": q_jaeger_tags_otlp,
     "zipkin_tags_otlp": q_zipkin_tags_otlp,
     "filelog_header_metadata": q_filelog_header,
+    "redaction_full_config": q_redact_full,
     "alb_access_log_parse": q_alb_access_log,
     "cloudwatch_sub_events": q_cloudwatch_sub,
     "vpc_flow_parse": q_vpc_flow,
@@ -6517,6 +6550,32 @@ SELECT d.event_id, d.fid, CAST(d.rn AS INT) AS rn, d.text,
   ], x -> x IS NOT NULL)), ','), '') AS hdr_csv
 FROM fl d LEFT JOIN h ON h.fid = d.fid
 WHERE NOT d.is_hdr"""
+
+    o["redaction_full_config"] = """
+WITH t AS (
+  SELECT event_id AS e, event_type,
+    event_id % 3 = 0 AS has_ssn,
+    event_id % 5 = 0 AS has_token,
+    event_id % 2 = 0 AS has_extra
+  FROM events)
+SELECT e AS event_id,
+  array_to_string(list_sort(list_filter([
+    'env=prod',
+    'etype=' || event_type,
+    CASE WHEN has_ssn THEN 'ssn=****' END,
+    CASE WHEN has_token THEN 'token=****' END,
+    'redaction.redacted.count=' || CASE WHEN has_extra THEN '1' ELSE '0' END,
+    'redaction.redacted.keys=' || CASE WHEN has_extra THEN 'extra' ELSE '' END,
+    'redaction.masked.count=' || CAST((CASE WHEN has_ssn THEN 1 ELSE 0 END)
+                                     + (CASE WHEN has_token THEN 1 ELSE 0 END) AS VARCHAR),
+    'redaction.masked.keys=' || CASE WHEN has_ssn AND has_token THEN 'ssn,token'
+                                     WHEN has_ssn THEN 'ssn'
+                                     WHEN has_token THEN 'token' ELSE '' END,
+    'redaction.allowed.count=0',
+    'redaction.allowed.keys=',
+    'redaction.ignored.count=1'
+  ], x -> x IS NOT NULL)), ',') AS attrs_csv
+FROM t"""
 
     o["zipkin_tags_otlp"] = """
 WITH t AS (

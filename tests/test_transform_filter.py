@@ -471,3 +471,56 @@ def test_batch_per_resource_attr_partitions_by_value(spark):
     # each tenant's rows land in exactly one partition (single-value batches)
     assert all(len(v) == 1 for v in parts.values())
     assert set(parts) == {"a", "b", ""}
+
+
+def test_redact_attributes_full_config(spark):
+    """redactionprocessor map semantics (processor.go:330-381): class
+    order ignored > redacted > allowed-value > masked-key > blocked-value,
+    fail-closed allowlist, summary meta attributes."""
+    from opentelemetry_collector_contrib_spark.operators.transform import redact_attributes
+
+    df = spark.createDataFrame(
+        [(1, {"name": "alice", "ssn": "123-45-6789", "token": "secret",
+              "dropme": "x", "env": "prod", "ok": "123-45-6789"})],
+        "i int, attrs map<string,string>",
+    )
+    out = redact_attributes(
+        df,
+        allowed_keys=["name", "ssn", "token", "env", "ok"],
+        ignored_keys=["env"],
+        allowed_values=["^123-45-6789$"],  # exempts `ok` AND `ssn` by value
+        blocked_values=[r"\d{3}-\d{2}-\d{4}"],
+        blocked_key_patterns=["^token$"],
+        summary="debug",
+    ).collect()[0]["attrs"]
+    # allowed-value exemption fires BEFORE the blocked-value mask
+    assert out["ssn"] == "123-45-6789" and out["ok"] == "123-45-6789"
+    assert out["token"] == "****" and out["env"] == "prod"
+    assert "dropme" not in out
+    assert out["redaction.redacted.keys"] == "dropme"
+    assert out["redaction.masked.keys"] == "token"
+    assert out["redaction.allowed.keys"] == "ok,ssn"
+    assert out["redaction.ignored.count"] == "1"
+
+
+def test_redact_attributes_hash_and_silent(spark):
+    import hashlib
+
+    from opentelemetry_collector_contrib_spark.operators.transform import redact_attributes
+
+    df = spark.createDataFrame(
+        [(1, {"token": "secret", "msg": "id 123-45-6789 end"})],
+        "i int, attrs map<string,string>",
+    )
+    out = redact_attributes(
+        df,
+        allow_all_keys=True,
+        blocked_values=[r"\d{3}-\d{2}-\d{4}"],
+        blocked_key_patterns=["^token$"],
+        hash_function="md5",
+        summary="silent",
+    ).collect()[0]["attrs"]
+    assert out["token"] == hashlib.md5(b"secret").hexdigest()
+    # documented divergence: whole-value digest when a blocked match hit
+    assert out["msg"] == hashlib.md5(b"id 123-45-6789 end").hexdigest()
+    assert not any(k.startswith("redaction.") for k in out)
