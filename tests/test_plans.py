@@ -223,6 +223,17 @@ def test_host_info_single_aggregate_exchange(spark):
         "expvar_memstats_parse",
         "mezmo_render_roundtrip",
         "honeycomb_markers",
+        # session-7 translators: all must stay scan-speed projections.
+        # (prw_histogram_series is excluded: its REGISTRY fixture composes
+        # over the Arrow-batched protobuf wire decode, so the plan shows
+        # the decoder's mapInPandas; the expansion itself is the same
+        # native shape prw_summary_series proves below.)
+        "prom_name_normalize",
+        "loki_stream_labels",
+        "jaeger_tags_otlp",
+        "zipkin_tags_otlp",
+        "prw_summary_series",
+        "redaction_full_config",
     ],
 )
 def test_wire_renders_and_parsers_are_shuffle_free_projections(spark, name):
