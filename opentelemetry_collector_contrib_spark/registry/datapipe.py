@@ -73,6 +73,12 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import ensure_tier, tier_for_sf_dir
+
+    return spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
+
+
 def q_token_stats(spark, sf_dir):
     from ..operators.textstats import token_stats
 
@@ -627,7 +633,30 @@ def q_cluster_balance(spark, sf_dir):
     return cluster_balance(_embs(spark, sf_dir), cap=40, n_cells=8)
 
 
+def q_sft_examples(spark, sf_dir):
+    """Transcript -> SFT (prompt, completion) pairs: one example per
+    assistant turn, chat-template context from the 6 preceding turns
+    (bounded frame), prompt left-truncated to its rightmost 400 chars so
+    the rolling-context-window path is exercised on real rows."""
+    from ..operators.sft import sft_examples
+
+    return sft_examples(
+        _transcripts(spark, sf_dir), max_context_turns=6, max_prompt_chars=400
+    )
+
+
+def q_sft_masked_sequence(spark, sf_dir):
+    """Transcript -> per-conversation packed sequence + char-span loss
+    mask over assistant turns (offsets from a running-length window, the
+    whole construction pinned by seq_md5)."""
+    from ..operators.sft import conversation_masked_sequence
+
+    return conversation_masked_sequence(_transcripts(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sft_examples": q_sft_examples,
+    "sft_masked_sequence": q_sft_masked_sequence,
     "text_tfidf_topk": q_tfidf_topk,
     "corpus_summary": q_corpus_summary,
     "curation_decontaminate": q_decontaminate,
@@ -710,7 +739,69 @@ def _lsh_bucket_sql(bands: int = 4, rows: int = 2) -> str:
 
 
 def _oracles() -> dict[str, str]:
+    from .transcript_sql import T2_TRANSCRIPTS
+
     o: dict[str, str] = {}
+
+    # chat-template render shared by the SFT oracles (operators/sft.py
+    # render_turn: <|role|>\n{text}\n<|end|>\n, NULLs render empty)
+    _sft_cte = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+    '<|' || coalesce(role, '') || '|>' || chr(10)
+         || coalesce(text, '') || chr(10) || '<|end|>' || chr(10) AS r
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+)
+"""
+
+    o["sft_examples"] = (
+        _sft_cte
+        + f"""
+, w AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(r, '') OVER win AS ctx,
+    count(*) OVER win AS nctx
+  FROM t
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts
+                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+), p AS (
+  SELECT conv_id, turn_idx, role, text, nctx,
+    CASE WHEN length(ctx) > 400
+         THEN substr(ctx, length(ctx) - 399, 400) ELSE ctx END AS prompt
+  FROM w
+)
+SELECT conv_id, turn_idx,
+  CAST(nctx AS BIGINT) AS n_context_turns,
+  prompt,
+  text AS completion,
+  CAST(length(prompt) AS BIGINT) AS prompt_chars,
+  CAST(len({SQL_TOKS}) AS BIGINT) AS completion_tokens
+FROM p WHERE role = 'assistant' AND nctx >= 1"""
+    )
+
+    o["sft_masked_sequence"] = (
+        _sft_cte
+        + """
+, ofs AS (
+  SELECT conv_id, role, r, CAST(length(r) AS BIGINT) AS len,
+    row_number() OVER w AS rn,
+    coalesce(sum(CAST(length(r) AS BIGINT)) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx, ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(len) AS BIGINT) AS n_chars,
+  md5(string_agg(r, '' ORDER BY rn)) AS seq_md5,
+  string_agg(CASE WHEN role = 'assistant'
+                  THEN CAST(s AS VARCHAR) || '-' || CAST(s + len AS VARCHAR) END,
+             ';' ORDER BY rn) AS mask_csv,
+  CAST(coalesce(sum(len) FILTER (WHERE role = 'assistant'), 0) AS BIGINT) AS trainable_chars,
+  round(coalesce(sum(len) FILTER (WHERE role = 'assistant'), 0) / sum(len), 6) AS trainable_frac
+FROM ofs GROUP BY conv_id"""
+    )
 
     # shared synthesis CTEs for the curation family
     _lined = """
