@@ -136,6 +136,56 @@ def sft_examples(
     return out
 
 
+def preference_pairs(
+    df: DataFrame,
+    key_col: str = "prompt_key",
+    completion_col: str = "completion",
+    score_col: str = "score",
+    require_margin: bool = True,
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF-style) construction: for every prompt
+    key with at least two distinct completions, emit one (chosen,
+    rejected) pair — chosen is the score-maximal completion, rejected
+    the score-minimal one, ties broken by the completion bytes so the
+    pick is total and deterministic.
+
+    The grouping key and the score are deliberately pluggable columns:
+    real pipelines group by a semantic prompt cluster and score with a
+    reward model (mounted exactly like the textstats BatchModel hook);
+    the registry exercise uses a prefix-normalized prompt key and a
+    verbosity-baseline score. `require_margin=True` drops pairs whose
+    chosen and rejected scores tie — a zero-margin pair carries no
+    preference signal and only adds label noise.
+
+    Scale shape: ONE hash aggregation on the prompt key (min/max of a
+    (score, completion) struct + distinct count — partial map-side
+    combine applies), no window sort, no self-join; output is one row
+    per key, so the result is strictly smaller than the input.
+
+    Output: <key_col>, chosen, rejected, score_chosen, score_rejected,
+    margin, n_candidates.
+    """
+    s = F.col(score_col).cast("double")
+    cand = F.struct(s.alias("s"), F.col(completion_col).alias("c"))
+    agg = df.groupBy(key_col).agg(
+        F.max(cand).alias("_hi"),
+        F.min(cand).alias("_lo"),
+        F.countDistinct(completion_col).alias("n_candidates"),
+    )
+    out = agg.where(F.col("_hi.c") != F.col("_lo.c"))
+    if require_margin:
+        out = out.where(F.col("_hi.s") > F.col("_lo.s"))
+    return out.select(
+        key_col,
+        F.col("_hi.c").alias("chosen"),
+        F.col("_lo.c").alias("rejected"),
+        F.col("_hi.s").alias("score_chosen"),
+        F.col("_lo.s").alias("score_rejected"),
+        (F.col("_hi.s") - F.col("_lo.s")).alias("margin"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+    )
+
+
 def conversation_masked_sequence(
     df: DataFrame,
     trainable_role: str = "assistant",

@@ -645,6 +645,33 @@ def q_sft_examples(spark, sf_dir):
     )
 
 
+def q_preference_pairs(spark, sf_dir):
+    """DPO pair construction over (user turn -> assistant reply) pairs:
+    prompt key = first-4-token prefix of the user turn (the synthetic
+    tier's stand-in for semantic prompt clustering), score = reply
+    whitespace-token count (the verbosity baseline a reward model
+    replaces via the pluggable score column)."""
+    from pyspark.sql import Window
+
+    from ..operators.sft import preference_pairs
+    from ..operators.textstats import tokens
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc(), F.col("ts").asc())
+    o = t.select(
+        "role",
+        "text",
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag("text").over(w).alias("_prev_text"),
+    ).where((F.col("role") == "assistant") & (F.col("_prev_role") == "user"))
+    pairs = o.select(
+        F.concat_ws(" ", F.slice(tokens(F.col("_prev_text")), 1, 4)).alias("prompt_key"),
+        F.col("text").alias("completion"),
+        F.size(tokens(F.col("text"))).cast("double").alias("score"),
+    )
+    return preference_pairs(pairs)
+
+
 def q_sft_masked_sequence(spark, sf_dir):
     """Transcript -> per-conversation packed sequence + char-span loss
     mask over assistant turns (offsets from a running-length window, the
@@ -657,6 +684,7 @@ def q_sft_masked_sequence(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_examples": q_sft_examples,
     "sft_masked_sequence": q_sft_masked_sequence,
+    "preference_pairs": q_preference_pairs,
     "text_tfidf_topk": q_tfidf_topk,
     "corpus_summary": q_corpus_summary,
     "curation_decontaminate": q_decontaminate,
@@ -778,6 +806,39 @@ SELECT conv_id, turn_idx,
   CAST(len({SQL_TOKS}) AS BIGINT) AS completion_tokens
 FROM p WHERE role = 'assistant' AND nctx >= 1"""
     )
+
+    _sql_toks_of = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), x -> x <> '')"
+    o["preference_pairs"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{T2_TRANSCRIPTS}')),
+lagd AS (
+  SELECT role, text,
+    lag(role) OVER w AS prev_role, lag(text) OVER w AS prev_text
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+),
+pairs AS (
+  SELECT
+    coalesce(array_to_string(list_slice({_sql_toks_of.format(c='prev_text')}, 1, 4), ' '), '') AS prompt_key,
+    text AS completion,
+    CAST(len({_sql_toks_of.format(c='text')}) AS DOUBLE) AS score
+  FROM lagd WHERE role = 'assistant' AND prev_role = 'user'
+),
+ranked AS (
+  SELECT prompt_key, completion, score,
+    row_number() OVER (PARTITION BY prompt_key ORDER BY score DESC, completion DESC) AS rh,
+    row_number() OVER (PARTITION BY prompt_key ORDER BY score ASC, completion ASC) AS rl
+  FROM pairs
+),
+counts AS (
+  SELECT prompt_key, CAST(count(DISTINCT completion) AS BIGINT) AS n_candidates
+  FROM pairs GROUP BY 1
+)
+SELECT h.prompt_key, h.completion AS chosen, l.completion AS rejected,
+  h.score AS score_chosen, l.score AS score_rejected,
+  h.score - l.score AS margin, c.n_candidates
+FROM (SELECT * FROM ranked WHERE rh = 1) h
+JOIN (SELECT * FROM ranked WHERE rl = 1) l USING (prompt_key)
+JOIN counts c USING (prompt_key)
+WHERE h.completion <> l.completion AND h.score > l.score"""
 
     o["sft_masked_sequence"] = (
         _sft_cte

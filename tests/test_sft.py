@@ -144,3 +144,49 @@ def test_fixture_tier_invariants(spark, t1):
     agg = exploded.groupBy("conv_id").agg(F.sum(F.col("b") - F.col("a")).alias("w"))
     joined = seqs.join(agg, "conv_id", "inner").where(F.col("w") != F.col("trainable_chars"))
     assert joined.count() == 0
+
+
+def test_preference_pairs_pick_and_margin(spark):
+    from opentelemetry_collector_contrib_spark.operators.sft import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("k1", "short", 1.0),
+            ("k1", "a much longer reply", 4.0),
+            ("k1", "medium reply", 2.0),
+            # tie group: two completions, equal scores -> dropped
+            ("k2", "aaa", 2.0),
+            ("k2", "bbb", 2.0),
+            # single-completion group (duplicated row) -> dropped
+            ("k3", "only", 3.0),
+            ("k3", "only", 3.0),
+        ],
+        "prompt_key string, completion string, score double",
+    )
+    out = {r["prompt_key"]: r for r in preference_pairs(df).collect()}
+    assert set(out) == {"k1"}
+    r = out["k1"]
+    assert r["chosen"] == "a much longer reply"
+    assert r["rejected"] == "short"
+    assert r["margin"] == 3.0
+    assert r["n_candidates"] == 3
+    # without the margin requirement the tie group survives, picked by bytes
+    loose = {
+        r["prompt_key"]: r
+        for r in preference_pairs(df, require_margin=False).collect()
+    }
+    assert set(loose) == {"k1", "k2"}
+    assert loose["k2"]["chosen"] == "bbb" and loose["k2"]["rejected"] == "aaa"
+    assert loose["k2"]["margin"] == 0.0
+
+
+def test_preference_pairs_deterministic_tiebreak_within_score(spark):
+    from opentelemetry_collector_contrib_spark.operators.sft import preference_pairs
+
+    # chosen score ties: lexicographically-largest completion wins
+    df = spark.createDataFrame(
+        [("k", "zebra", 5.0), ("k", "apple", 5.0), ("k", "low", 1.0)],
+        "prompt_key string, completion string, score double",
+    )
+    (r,) = preference_pairs(df).collect()
+    assert r["chosen"] == "zebra" and r["rejected"] == "low"
