@@ -216,6 +216,60 @@ def pack_sequences(
     )
 
 
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    bucket_edges: tuple[int, ...] = (64, 128, 256, 512, 1024),
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Padding-efficiency batching for variable-length examples: each row
+    is assigned the smallest bucket edge that fits its token count (rows
+    longer than the largest edge clamp to it and are flagged
+    `truncated`), then rows inside a bucket are laid out in
+    deterministic id order and cut into fixed-size batches —
+    batch_id = floor(rank/batch_size), pos_in_batch = rank%batch_size.
+    `pad_frac` reports the padding wasted on the row at its bucket cap,
+    the quantity this layout exists to minimize.
+
+    Scale: one window per (partition_cols…, bucket) group. With only a
+    handful of buckets a global layout would funnel 100 TB through ~5
+    partitions, so `partition_cols` (source/domain/date — the shards a
+    training loader reads independently anyway) is the production path:
+    batches are per-shard and the window key has real cardinality. The
+    default (no partition cols) matches the single-host semantics the
+    oracle checks.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    edges = sorted(bucket_edges)
+    n = F.col(token_count_col).cast("bigint")
+    edge_arr = F.array(*[F.lit(e).cast("bigint") for e in edges])
+    cap = F.coalesce(
+        F.array_min(F.filter(edge_arr, lambda e: e >= n)),
+        F.lit(edges[-1]).cast("bigint"),
+    )
+    parts = [F.col(c) for c in (partition_cols or [])]
+    staged = df.select(
+        *df.columns,
+        cap.alias("bucket_cap"),
+        (n > F.lit(edges[-1])).alias("truncated"),
+    )
+    w = Window.partitionBy(*parts, F.col("bucket_cap")).orderBy(F.col(id_col))
+    rank0 = F.row_number().over(w) - 1
+    return staged.select(
+        *staged.columns,
+        F.floor(rank0 / F.lit(batch_size)).cast("bigint").alias("batch_id"),
+        (rank0 % F.lit(batch_size)).cast("bigint").alias("pos_in_batch"),
+        F.round(
+            (F.col("bucket_cap") - F.least(n, F.col("bucket_cap")))
+            / F.col("bucket_cap").cast("double"),
+            6,
+        ).alias("pad_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # mixture sampling (domain re-weighting)
 # ---------------------------------------------------------------------------

@@ -672,6 +672,21 @@ def q_preference_pairs(spark, sf_dir):
     return preference_pairs(pairs)
 
 
+def q_length_batches(spark, sf_dir):
+    """Padding-efficiency batching over the documents table: ws-token
+    counts, per-source shards (the at-scale window key), 16-row batches
+    in deterministic doc_id order within each (source, bucket)."""
+    from ..operators.curation import length_bucketed_batches
+    from ..operators.textstats import tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return length_bucketed_batches(
+        d, batch_size=16, partition_cols=["source"]
+    )
+
+
 def q_sft_masked_sequence(spark, sf_dir):
     """Transcript -> per-conversation packed sequence + char-span loss
     mask over assistant turns (offsets from a running-length window, the
@@ -685,6 +700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_examples": q_sft_examples,
     "sft_masked_sequence": q_sft_masked_sequence,
     "preference_pairs": q_preference_pairs,
+    "length_bucketed_batches": q_length_batches,
     "text_tfidf_topk": q_tfidf_topk,
     "corpus_summary": q_corpus_summary,
     "curation_decontaminate": q_decontaminate,
@@ -806,6 +822,25 @@ SELECT conv_id, turn_idx,
   CAST(len({SQL_TOKS}) AS BIGINT) AS completion_tokens
 FROM p WHERE role = 'assistant' AND nctx >= 1"""
     )
+
+    o["length_bucketed_batches"] = f"""
+WITH d AS (SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+b AS (
+  SELECT *,
+    CAST(coalesce(list_min(list_filter([64, 128, 256, 512, 1024],
+                                       e -> e >= n_tokens)), 1024) AS BIGINT) AS bucket_cap,
+    n_tokens > 1024 AS truncated
+  FROM d
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source, bucket_cap ORDER BY doc_id) - 1 AS rk
+  FROM b
+)
+SELECT doc_id, source, n_tokens, bucket_cap, truncated,
+  CAST(rk // 16 AS BIGINT) AS batch_id,
+  CAST(rk % 16 AS BIGINT) AS pos_in_batch,
+  round((bucket_cap - least(n_tokens, bucket_cap)) / bucket_cap, 6) AS pad_frac
+FROM r"""
 
     _sql_toks_of = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), x -> x <> '')"
     o["preference_pairs"] = f"""

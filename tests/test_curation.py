@@ -383,3 +383,29 @@ def test_url_filter_literal_path_is_projection(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_length_bucketed_batches_layout(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        length_bucketed_batches,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", 10), ("d2", 64), ("d3", 65), ("d4", 100), ("d5", 3000)],
+        "doc_id string, n_tokens int",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in length_bucketed_batches(df, batch_size=2).collect()
+    }
+    # smallest edge that fits; overflow clamps to the last edge
+    assert out["d1"]["bucket_cap"] == 64 and not out["d1"]["truncated"]
+    assert out["d2"]["bucket_cap"] == 64  # boundary is inclusive
+    assert out["d3"]["bucket_cap"] == 128
+    assert out["d5"]["bucket_cap"] == 1024 and out["d5"]["truncated"]
+    # deterministic id-ordered batching inside the 64 bucket
+    assert (out["d1"]["batch_id"], out["d1"]["pos_in_batch"]) == (0, 0)
+    assert (out["d2"]["batch_id"], out["d2"]["pos_in_batch"]) == (0, 1)
+    # pad_frac: wasted padding at the bucket cap (clamped for overflow)
+    assert out["d1"]["pad_frac"] == round((64 - 10) / 64, 6)
+    assert out["d5"]["pad_frac"] == 0.0
