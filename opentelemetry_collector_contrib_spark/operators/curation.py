@@ -139,6 +139,70 @@ def gopher_filter(
     )
 
 
+# C4-style policy phrases: a line containing any of these (case-insensitive)
+# is boilerplate chrome, not content (Raffel et al. 2020 §2.2 cleaning).
+C4_POLICY_PHRASES: tuple[str, ...] = (
+    "javascript",
+    "privacy policy",
+    "terms of use",
+    "cookie policy",
+    "uses cookies",
+)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 3,
+    policy_phrases: tuple[str, ...] = C4_POLICY_PHRASES,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """LINE-level cleaning from the C4 rule family (Raffel et al. 2020
+    §2.2) — the complement of the doc-level gopher_filter gate: instead of
+    rejecting whole documents it rewrites them, keeping only lines that
+    look like prose. A (trimmed) line survives iff it
+      * has ≥ `min_words_per_line` whitespace words,
+      * ends in terminal punctuation (. ! ? or a closing quote), and
+      * contains none of `policy_phrases` (case-insensitive) — the
+        javascript/cookie/policy boilerplate C4 strips.
+    Page verdict `c4_pass` then applies the C4 doc rules to the CLEANED
+    doc: ≥ `min_kept_lines` surviving lines, no "lorem ipsum", no "{".
+
+    One scan-speed projection (split → filter lambda → array_join), zero
+    shuffle, zero Python — the whole rule bank runs inside codegen, so at
+    100 TB this is bounded by parquet scan throughput.
+    """
+    t = F.col(text_col)
+    nonblank = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+    def _keep(x: Column) -> Column:
+        wc = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+        cond = (wc >= min_words_per_line) & x.rlike('[.!?"]$')
+        low = F.lower(x)
+        for p in policy_phrases:
+            cond = cond & ~low.contains(p)
+        return cond
+
+    staged = df.select("*", F.filter(nonblank, _keep).alias("_kept"))
+    kept = F.col("_kept")
+    n_kept = F.size(kept)
+    page_pass = (
+        (n_kept >= min_kept_lines)
+        & ~F.lower(F.array_join(kept, "\n")).contains("lorem ipsum")
+        & ~F.array_join(kept, "\n").contains("{")
+    )
+    return staged.select(
+        *df.columns,
+        F.array_join(kept, "\n").alias(out_col),
+        n_kept.cast("int").alias("n_lines_kept"),
+        (F.size(nonblank) - n_kept).cast("int").alias("n_lines_dropped"),
+        page_pass.alias("c4_pass"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------

@@ -231,6 +231,54 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    max_chars: int = 2000,
+    out_col: str = "char_entropy",
+) -> DataFrame:
+    """Shannon entropy (bits/char) of the character distribution over the
+    first `max_chars` characters — the classic gibberish / binary-blob /
+    key-dump detector: natural language sits ~3.5-4.5 bits, base64 and
+    random hex push toward log2(alphabet), single-char spam collapses
+    toward 0. Complements the word-level Gopher signals
+    (curation.repetition_stats), which are blind to sub-word garbage.
+
+    H = log2(n) − Σ c·log2(c) / n over per-char counts c. Computed as ONE
+    scan-speed projection with zero shuffle: chars → array_sort → a single
+    linear fold that accumulates c·log2(c) per equal-run (the same
+    sorted-run trick as repetition_stats' top-bigram count, O(m log m)
+    per row, bounded by the cap). Empty text scores 0.0. Rounded to 6
+    places (both engines sum float logs in different orders).
+    """
+    s = F.substring(F.col(text_col), 1, max_chars)
+    n = F.length(s)
+    # sequence(1, 0) descends in Spark — guard the empty string explicitly
+    chars = F.when(
+        n > 0, F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, F.lit(1)))
+    ).otherwise(F.array().cast("array<string>"))
+    run_log = lambda run: run.cast("double") * F.log2(run.cast("double"))  # noqa: E731
+    fold = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0.0).alias("acc")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            # close out the previous run when the char changes
+            F.when(x == a["prev"], a["acc"])
+            .otherwise(a["acc"] + F.when(a["run"] > 0, run_log(a["run"])).otherwise(F.lit(0.0)))
+            .alias("acc"),
+        ),
+        lambda a: a["acc"] + F.when(a["run"] > 0, run_log(a["run"])).otherwise(F.lit(0.0)),
+    )
+    h = F.when(n > 0, F.round(F.log2(n.cast("double")) - fold / n.cast("double"), 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(*df.columns, h.alias(out_col))
+
+
 # ---------------------------------------------------------------------------
 # document chunking (training-data windowing)
 # ---------------------------------------------------------------------------

@@ -696,7 +696,27 @@ def q_sft_masked_sequence(spark, sf_dir):
     return conversation_masked_sequence(_transcripts(spark, sf_dir))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per doc (gibberish /
+    binary-blob detector) — one zero-shuffle fold projection."""
+    from ..operators.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir)).select("doc_id", "char_entropy")
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level cleaning: keep prose-looking lines, rewrite the
+    doc, and apply the page-level lorem-ipsum/brace/min-lines verdict."""
+    from ..operators.curation import c4_line_filter
+
+    return c4_line_filter(_docs(spark, sf_dir)).select(
+        "doc_id", "text_clean", "n_lines_kept", "n_lines_dropped", "c4_pass"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_char_entropy": q_char_entropy,
+    "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
     "sft_masked_sequence": q_sft_masked_sequence,
     "preference_pairs": q_preference_pairs,
@@ -841,6 +861,41 @@ SELECT doc_id, source, n_tokens, bucket_cap, truncated,
   CAST(rk % 16 AS BIGINT) AS pos_in_batch,
   round((bucket_cap - least(n_tokens, bucket_cap)) / bucket_cap, 6) AS pad_frac
 FROM r"""
+
+    o["text_char_entropy"] = """
+WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),
+c AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(s)), i -> s[i])) AS ch FROM d),
+g AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY doc_id, ch),
+e AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * log2(cnt)) AS sl FROM g GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(round(log2(CAST(e.n AS DOUBLE)) - e.sl / e.n, 6), 0.0) AS char_entropy
+FROM d LEFT JOIN e USING (doc_id)"""
+
+    _c4_keep = (
+        "len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> '')) >= 3"
+        " AND regexp_matches(x, '[.!?\"]$')"
+        " AND NOT contains(lower(x), 'javascript')"
+        " AND NOT contains(lower(x), 'privacy policy')"
+        " AND NOT contains(lower(x), 'terms of use')"
+        " AND NOT contains(lower(x), 'cookie policy')"
+        " AND NOT contains(lower(x), 'uses cookies')"
+    )
+    o["curation_c4_lines"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+nb AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+  FROM d
+),
+k AS (SELECT doc_id, lines, list_filter(lines, x -> {_c4_keep}) AS kept FROM nb)
+SELECT doc_id,
+  coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+  CAST(len(kept) AS INT) AS n_lines_kept,
+  CAST(len(lines) - len(kept) AS INT) AS n_lines_dropped,
+  len(kept) >= 3
+    AND NOT contains(coalesce(lower(array_to_string(kept, chr(10))), ''), 'lorem ipsum')
+    AND NOT contains(coalesce(array_to_string(kept, chr(10)), ''), '{{') AS c4_pass
+FROM k"""
 
     _sql_toks_of = "list_filter(regexp_split_to_array(trim({c}), '\\s+'), x -> x <> '')"
     o["preference_pairs"] = f"""

@@ -409,3 +409,49 @@ def test_length_bucketed_batches_layout(spark):
     # pad_frac: wasted padding at the bucket cap (clamped for overflow)
     assert out["d1"]["pad_frac"] == round((64 - 10) / 64, 6)
     assert out["d5"]["pad_frac"] == 0.0
+
+
+def test_c4_line_filter_rules(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import c4_line_filter
+
+    text = "\n".join(
+        [
+            "This is a good prose sentence.",  # kept
+            "short line.",  # < 3 words
+            "No terminal punctuation here",  # no . ! ? "
+            "Enable JavaScript to view this page.",  # policy phrase
+            "We described the cookie policy above.",  # policy phrase
+            'He said "stop right there!"',  # ends in closing quote
+            "   ",  # blank after trim
+            "Another fine sentence follows here?",  # kept
+        ]
+    )
+    df = spark.createDataFrame([("d1", text), ("d2", "x { y.")], "doc_id string, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    r = out["d1"]
+    assert r["text_clean"].split("\n") == [
+        "This is a good prose sentence.",
+        'He said "stop right there!"',
+        "Another fine sentence follows here?",
+    ]
+    assert r["n_lines_kept"] == 3 and r["n_lines_dropped"] == 4
+    assert r["c4_pass"]  # 3 kept lines, no lorem ipsum, no brace in CLEANED text
+    # the brace line survives LINE rules (3 words, terminal punctuation)
+    # but fails the PAGE verdict: < min_kept_lines and contains '{'
+    r2 = out["d2"]
+    assert r2["n_lines_kept"] == 1 and not r2["c4_pass"]
+    assert r2["text_clean"] == "x { y."
+
+
+def test_c4_line_filter_is_projection(spark):
+    import contextlib
+    import io
+
+    from opentelemetry_collector_contrib_spark.operators.curation import c4_line_filter
+
+    df = spark.createDataFrame([("d1", "a.")], "doc_id string, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        c4_line_filter(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan

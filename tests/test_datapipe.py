@@ -678,3 +678,36 @@ def test_exact_dedup_incremental_cross_batch_twin(spark):
     assert {r["doc_id"] for r in novel1.collect()} == {1, 2}
     assert {r["doc_id"] for r in novel2.collect()} == {4}  # 3 dups 1; 5 dups 4 in-batch
     assert state.count() == 3  # three distinct normalized texts ever seen
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from opentelemetry_collector_contrib_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [("uniform", "abcd"), ("single", "aaaa"), ("empty", ""), ("skew", "aab")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df).collect()}
+    assert out["uniform"] == 2.0  # 4 distinct chars, equal counts
+    assert out["single"] == 0.0
+    assert out["empty"] == 0.0
+    expect = round(math.log2(3) - (2 * math.log2(2)) / 3, 6)
+    assert out["skew"] == expect
+
+
+def test_char_entropy_cap_and_plan(spark):
+    import contextlib
+    import io
+
+    from opentelemetry_collector_contrib_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame([("d", "ab" * 5000)], "doc_id string, text string")
+    row = char_entropy(df, max_chars=10).collect()[0]
+    assert row["char_entropy"] == 1.0  # only the first 10 chars counted
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        char_entropy(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
