@@ -255,3 +255,57 @@ def range_join_buckets(
         .agg(F.count(F.when(near, F.lit(1))).alias("n_nearby"))
         .withColumnRenamed("__lid", left_id)
     )
+
+
+# --- trailing-window rolling stats ------------------------------------------
+def rolling_window_stats(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Trailing time-window aggregates per key — the SLO / error-rate /
+    burn-rate primitive: for every event, count / sum / mean / stddev of
+    `value_col` over the trailing `window_s` seconds (inclusive of the
+    current row), plus the z-score of the current value against that
+    trailing window. This is the batch analogue of a streaming sliding
+    window without the bucket quantization a tumbling groupBy imposes.
+
+    stddev is computed EXPLICITLY from (n, Σv, Σv²) rather than via the
+    engine's windowed stddev aggregate: sliding-frame stddev uses
+    engine-specific incremental algorithms (segment trees vs
+    recomputation) whose float error exceeds the 6-place parity
+    contract; the two-moment formula is the same arithmetic on both
+    engines. NULL when n < 2.
+
+    Plan: ONE exchange on `keys`, then a single RANGE window frame over
+    the microsecond epoch — Spark evaluates all four aggregates in one
+    Window node. Skewed keys (one monster user) serialize within the key,
+    the same trade every per-key window in this module makes; the frame
+    itself is O(window density) per row via the sliding accumulator.
+    """
+    us = _us(ts_col)
+    v = F.col(value_col)
+    staged = df.select("*", us.alias("__us"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__us"))
+        .rangeBetween(-window_s * _US, 0)
+    )
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean = s1 / n
+    # clamp tiny negative cancellation to 0; keep NULL (not 0) when n < 2
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    std = F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+    z = F.when(std > 0, (v - mean) / std)
+    return staged.select(
+        *df.columns,
+        n.cast("bigint").alias("n_window"),
+        F.round(s1, 6).alias("sum_window"),
+        F.round(mean, 6).alias("mean_window"),
+        F.round(std, 6).alias("std_window"),
+        F.round(z, 6).alias("z_window"),
+    )

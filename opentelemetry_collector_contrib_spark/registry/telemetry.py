@@ -1637,6 +1637,19 @@ def q_group_quantiles(spark, sf_dir):
     return group_quantiles(_events(spark, sf_dir), ["event_type"], "value", [0.5, 0.9, 0.99])
 
 
+def q_rolling_stats(spark, sf_dir):
+    """Per-user trailing-1h rolling count/sum/mean/std of value + z-score
+    of the current event vs its own trailing window (one RANGE frame)."""
+    from ..operators.timeseries import rolling_window_stats
+
+    return rolling_window_stats(
+        _events(spark, sf_dir), ["user_id"], "ts", "value", window_s=3600
+    ).select(
+        "event_id", "user_id", "n_window", "sum_window", "mean_window",
+        "std_window", "z_window",
+    )
+
+
 def q_range_burst(spark, sf_dir):
     """Events within ±300 s of each error event for the same user, counted
     via the banded equi-join (3 probe buckets; oracle = inequality join)."""
@@ -4474,6 +4487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_stats": q_session_stats,
     "events_rollup_gapfill": q_rollup_gapfill,
     "events_quantiles": q_group_quantiles,
+    "events_rolling_stats": q_rolling_stats,
     "events_range_burst": q_range_burst,
     "grok_parse_fields": q_grok_parse,
     "ottl_lambdas": q_ottl_lambdas,
@@ -5704,6 +5718,26 @@ SELECT event_type,
        round(quantile_cont(value, 0.99), 6) AS p99,
        count(*) AS n
 FROM events GROUP BY 1"""
+
+    o["events_rolling_stats"] = """
+WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events),
+w AS (
+  SELECT event_id, user_id, value,
+    count(value)       OVER win AS n,
+    sum(value)         OVER win AS s1,
+    sum(value * value) OVER win AS s2
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+  CAST(n AS BIGINT) AS n_window,
+  round(s1, 6) AS sum_window,
+  round(s1 / n, 6) AS mean_window,
+  round(CASE WHEN n >= 2 THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END, 6) AS std_window,
+  round(CASE WHEN n >= 2 AND sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) > 0
+             THEN (value - s1 / n) / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END, 6) AS z_window
+FROM w"""
 
     o["events_range_burst"] = """
 WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error')

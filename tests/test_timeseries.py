@@ -165,3 +165,57 @@ def test_sessionize_agrees_with_spark_session_window(spark):
         (r["user_id"], r["session_start"].timestamp()) for r in native.collect()
     )
     assert ours_starts == native_starts
+
+
+def test_rolling_window_stats_semantics(spark):
+    import math
+    from datetime import datetime
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import (
+        rolling_window_stats,
+    )
+
+    from datetime import timedelta
+
+    def t(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    rows = [
+        ("u1", 1, t(0), 10.0),
+        ("u1", 2, t(30), 20.0),   # window: [10, 20]
+        ("u1", 3, t(100), 40.0),  # 60s window: only itself + t(100-60=40)..: [40]
+        ("u2", 4, t(10), 5.0),    # other key, isolated
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id int, ts timestamp, value double")
+    out = {
+        r["event_id"]: r
+        for r in rolling_window_stats(df, ["user_id"], "ts", "value", window_s=60).collect()
+    }
+    r1, r2, r3, r4 = out[1], out[2], out[3], out[4]
+    assert r1["n_window"] == 1 and r1["std_window"] is None and r1["z_window"] is None
+    assert r2["n_window"] == 2 and r2["sum_window"] == 30.0 and r2["mean_window"] == 15.0
+    assert r2["std_window"] == round(math.sqrt(50.0), 6)  # stddev_samp of [10, 20]
+    assert r2["z_window"] == round((20.0 - 15.0) / math.sqrt(50.0), 6)
+    assert r3["n_window"] == 1  # 100 - 30 > 60: the earlier rows fell out
+    assert r4["n_window"] == 1 and r4["user_id"] == "u2"
+
+
+def test_rolling_window_stats_single_exchange(spark):
+    import contextlib
+    import io
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import (
+        rolling_window_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 1, "2024-01-01 00:00:00", 1.0)],
+        "user_id string, event_id int, ts string, value double",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rolling_window_stats(df, ["user_id"]).explain("formatted")
+    plan = buf.getvalue()
+    # one Exchange node in the plan tree (it reappears once in the node
+    # details section), and no join anywhere
+    assert plan.count("+- Exchange") == 1 and "Join" not in plan
