@@ -309,3 +309,55 @@ def rolling_window_stats(
         F.round(std, 6).alias("std_window"),
         F.round(z, 6).alias("z_window"),
     )
+
+
+# --- per-key lag delta (turn / event latency) --------------------------------
+def lag_delta(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    ts_col: str = "ts",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key previous-row timestamp delta under a deterministic order —
+    the turn-latency / inter-arrival primitive: for each row, `delta_us` =
+    its timestamp minus the previous row's within the key (NULL on the
+    first row), plus each `carry_cols` column's previous value as
+    `prev_<col>` (e.g. the previous turn's role, to select
+    user→assistant response latencies downstream).
+
+    Plan: ONE exchange on `keys` + one window; every output is integer
+    microseconds, so the result is engine-exact (no float rounding
+    contract needed)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    us = _us(ts_col)
+    prev_us = F.lag(us).over(w)
+    carried = [
+        F.lag(F.col(c)).over(w).alias(f"prev_{c}") for c in (carry_cols or [])
+    ]
+    return df.select(
+        "*",
+        *carried,
+        (us - prev_us).cast("bigint").alias("delta_us"),
+    )
+
+
+# --- per-key running sum ------------------------------------------------------
+def running_sum(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value: Column,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Per-key cumulative sum of an arbitrary expression under a
+    deterministic order — the context-window-accounting primitive (running
+    token total per conversation). `order_cols` must be unique within a
+    key or the frame boundary is tie-ambiguous; a rows-frame over the
+    given order keeps it exact. ONE exchange + one window."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select("*", F.sum(value).over(w).alias(out_col))

@@ -714,7 +714,49 @@ def q_c4_line_filter(spark, sf_dir):
     )
 
 
+def q_turn_latency(spark, sf_dir):
+    """Assistant response latency: for every assistant turn whose previous
+    turn (by turn_idx, ts within the conversation) was a user turn, the
+    microsecond delta to that user turn — integer-exact, one exchange."""
+    from ..operators.timeseries import lag_delta
+
+    t = lag_delta(
+        _transcripts(spark, sf_dir),
+        ["conv_id"],
+        ["turn_idx", "ts"],
+        "ts",
+        carry_cols=["role"],
+    )
+    return t.filter(
+        (F.col("role") == "assistant") & (F.col("prev_role") == "user")
+    ).select("conv_id", "turn_idx", "tool", "delta_us")
+
+
+def q_context_budget(spark, sf_dir):
+    """Context-window accounting: running whitespace-token total per
+    conversation up to and including each turn, plus the over-budget flag
+    at 2000 tokens — the truncation-point signal for context packing."""
+    from ..operators.textstats import tokens
+    from ..operators.timeseries import running_sum
+
+    out = running_sum(
+        _transcripts(spark, sf_dir),
+        ["conv_id"],
+        ["turn_idx", "ts"],
+        F.size(tokens(F.col("text"))).cast("bigint"),
+        out_col="cum_tokens",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "cum_tokens",
+        (F.col("cum_tokens") > 2000).alias("over_budget"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "conv_turn_latency": q_turn_latency,
+    "conv_context_budget": q_context_budget,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -861,6 +903,28 @@ SELECT doc_id, source, n_tokens, bucket_cap, truncated,
   CAST(rk % 16 AS BIGINT) AS pos_in_batch,
   round((bucket_cap - least(n_tokens, bucket_cap)) / bucket_cap, 6) AS pad_frac
 FROM r"""
+
+    o["conv_turn_latency"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{T2_TRANSCRIPTS}')),
+lagd AS (
+  SELECT conv_id, turn_idx, tool, role,
+    lag(role) OVER w AS prev_role,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+)
+SELECT conv_id, turn_idx, tool, CAST(delta_us AS BIGINT) AS delta_us
+FROM lagd WHERE role = 'assistant' AND prev_role = 'user'"""
+
+    o["conv_context_budget"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{T2_TRANSCRIPTS}'))
+SELECT conv_id, turn_idx,
+  CAST(sum(CAST(len({SQL_TOKS}) AS BIGINT))
+       OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+  sum(CAST(len({SQL_TOKS}) AS BIGINT))
+       OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 2000 AS over_budget
+FROM t"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

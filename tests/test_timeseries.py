@@ -219,3 +219,39 @@ def test_rolling_window_stats_single_exchange(spark):
     # one Exchange node in the plan tree (it reappears once in the node
     # details section), and no join anywhere
     assert plan.count("+- Exchange") == 1 and "Join" not in plan
+
+
+def test_lag_delta_and_running_sum(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import (
+        lag_delta,
+        running_sum,
+    )
+
+    rows = [
+        ("c1", 0, "user", datetime(2024, 1, 1, 0, 0, 0), 10),
+        ("c1", 1, "assistant", datetime(2024, 1, 1, 0, 0, 5), 20),
+        ("c1", 2, "user", datetime(2024, 1, 1, 0, 1, 0), 30),
+        ("c2", 0, "user", datetime(2024, 1, 1, 0, 0, 0), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp, n int"
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in lag_delta(df, ["conv_id"], ["turn_idx", "ts"], "ts", ["role"]).collect()
+    }
+    assert out[("c1", 0)]["delta_us"] is None and out[("c1", 0)]["prev_role"] is None
+    assert out[("c1", 1)]["delta_us"] == 5_000_000
+    assert out[("c1", 1)]["prev_role"] == "user"
+    assert out[("c2", 0)]["delta_us"] is None  # keys don't bleed
+
+    run = {
+        (r["conv_id"], r["turn_idx"]): r["cum"]
+        for r in running_sum(df, ["conv_id"], ["turn_idx", "ts"], F.col("n"), "cum").collect()
+    }
+    assert [run[("c1", i)] for i in range(3)] == [10, 30, 60]
+    assert run[("c2", 0)] == 7
