@@ -361,3 +361,37 @@ def running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.select("*", F.sum(value).over(w).alias(out_col))
+
+
+# --- threshold state transitions ---------------------------------------------
+def threshold_transitions(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    state: Column,
+    edge_col: str = "edge",
+) -> DataFrame:
+    """Edge detection over a per-key boolean signal — the alert open/close
+    primitive: under the (unique-per-key) deterministic order, emit only
+    the rows where the signal CHANGES. `edge` is 'rising' when the state
+    turns true (including a true first row — an alert that is already
+    firing when observation starts must still open) and 'falling' when it
+    turns false. Steady-state rows are dropped, so downstream alert
+    routing sees state transitions, not per-event noise — this is what
+    turns a rolling-window breach signal (rolling_window_stats) into
+    alertmanager-style open/close events.
+
+    Plan: ONE exchange on `keys`, one lag window, one filter."""
+    staged = df.select("*", state.alias("__state"))
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(F.col("__state")).over(w)
+    st = F.col("__state")
+    edge = (
+        F.when((prev.isNull() | ~prev) & st, F.lit("rising"))
+        .when(prev & ~st, F.lit("falling"))
+    )
+    return (
+        staged.select("*", edge.alias(edge_col))
+        .filter(F.col(edge_col).isNotNull())
+        .drop("__state")
+    )

@@ -1650,6 +1650,21 @@ def q_rolling_stats(spark, sf_dir):
     )
 
 
+def q_error_transitions(spark, sf_dir):
+    """Alert open/close edges per user: the is-error signal's rising and
+    falling transitions under (ts, event_id) order — per-event noise
+    collapses to state changes."""
+    from ..operators.timeseries import threshold_transitions
+
+    out = threshold_transitions(
+        _events(spark, sf_dir),
+        ["user_id"],
+        ["ts", "event_id"],
+        F.col("event_type") == "error",
+    )
+    return out.select("user_id", "event_id", "edge")
+
+
 def q_range_burst(spark, sf_dir):
     """Events within ±300 s of each error event for the same user, counted
     via the banded equi-join (3 probe buckets; oracle = inequality join)."""
@@ -4488,6 +4503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup_gapfill": q_rollup_gapfill,
     "events_quantiles": q_group_quantiles,
     "events_rolling_stats": q_rolling_stats,
+    "events_error_transitions": q_error_transitions,
     "events_range_burst": q_range_burst,
     "grok_parse_fields": q_grok_parse,
     "ottl_lambdas": q_ottl_lambdas,
@@ -5738,6 +5754,18 @@ SELECT event_id, user_id,
   round(CASE WHEN n >= 2 AND sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) > 0
              THEN (value - s1 / n) / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END, 6) AS z_window
 FROM w"""
+
+    o["events_error_transitions"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type = 'error' AS st,
+    lag(event_type = 'error') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, event_id,
+  CASE WHEN (prev IS NULL OR NOT prev) AND st THEN 'rising'
+       WHEN prev AND NOT st THEN 'falling' END AS edge
+FROM e
+WHERE (prev IS NULL OR NOT prev) AND st OR (prev AND NOT st)"""
 
     o["events_range_burst"] = """
 WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error')

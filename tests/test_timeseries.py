@@ -255,3 +255,26 @@ def test_lag_delta_and_running_sum(spark):
     }
     assert [run[("c1", i)] for i in range(3)] == [10, 30, 60]
     assert run[("c2", 0)] == 7
+
+
+def test_threshold_transitions_edges(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import (
+        threshold_transitions,
+    )
+
+    rows = [
+        ("k1", 1, False),
+        ("k1", 2, True),   # rising
+        ("k1", 3, True),   # steady — dropped
+        ("k1", 4, False),  # falling
+        ("k2", 1, True),   # already firing at start → rising
+        ("k2", 2, True),   # steady — dropped
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, sig boolean")
+    out = {
+        (r["k"], r["i"]): r["edge"]
+        for r in threshold_transitions(df, ["k"], ["i"], F.col("sig")).collect()
+    }
+    assert out == {("k1", 2): "rising", ("k1", 4): "falling", ("k2", 1): "rising"}
