@@ -754,9 +754,52 @@ def q_context_budget(spark, sf_dir):
     )
 
 
+def q_tool_retry_chains(spark, sf_dir):
+    """Consecutive tool-failure runs (gaps-and-islands over stable turn
+    order) with the recovered-on-next-call verdict per chain."""
+    from ..operators.conv_qa import tool_retry_chains
+
+    return tool_retry_chains(_transcripts(spark, sf_dir))
+
+
+def q_role_sequence_qa(spark, sf_dir):
+    """Role-protocol validation per conversation: double-assistant,
+    orphan-tool, bad-open counts + the qa_pass verdict."""
+    from ..operators.conv_qa import role_sequence_qa
+
+    return role_sequence_qa(_transcripts(spark, sf_dir))
+
+
+def q_conv_exact_dedup(spark, sf_dir):
+    """Conversation-level dedup digest (ordered fold of per-turn md5s)
+    with duplicate-group size / keeper / is_dup for every conversation."""
+    from ..operators.conv_qa import conv_exact_dedup
+
+    return conv_exact_dedup(_transcripts(spark, sf_dir))
+
+
+def q_conv_self_repetition(spark, sf_dir):
+    """Within-conversation repeated turn text — stuck-agent loops."""
+    from ..operators.conv_qa import conv_self_repetition
+
+    return conv_self_repetition(_transcripts(spark, sf_dir))
+
+
+def q_turn_boilerplate(spark, sf_dir):
+    """Cross-conversation repeated turn text (boilerplate digests)."""
+    from ..operators.conv_qa import turn_boilerplate
+
+    return turn_boilerplate(_transcripts(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_latency": q_turn_latency,
     "conv_context_budget": q_context_budget,
+    "conv_tool_retry_chains": q_tool_retry_chains,
+    "conv_role_sequence_qa": q_role_sequence_qa,
+    "conv_exact_dedup": q_conv_exact_dedup,
+    "conv_self_repetition": q_conv_self_repetition,
+    "conv_turn_boilerplate": q_turn_boilerplate,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -925,6 +968,93 @@ SELECT conv_id, turn_idx,
        OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 2000 AS over_budget
 FROM t"""
+
+    o["conv_tool_retry_chains"] = f"""
+WITH t AS (
+  SELECT conv_id, tool, turn_idx, regexp_extract(text, 'status=(\\w+)', 1) AS status
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+  WHERE tool <> 'none' AND regexp_extract(text, 'status=(\\w+)', 1) <> ''
+),
+w AS (
+  SELECT *,
+    CASE WHEN lag(status) OVER win IS NULL OR status <> lag(status) OVER win
+         THEN 1 ELSE 0 END AS chg,
+    lead(status) OVER win AS next_status
+  FROM t WINDOW win AS (PARTITION BY conv_id, tool ORDER BY turn_idx)
+),
+i AS (
+  SELECT *, sum(chg) OVER (PARTITION BY conv_id, tool ORDER BY turn_idx) AS island
+  FROM w
+)
+SELECT conv_id, tool,
+  min(turn_idx) AS chain_start,
+  max(turn_idx) AS chain_end,
+  count(*) AS n_failures,
+  coalesce(arg_max(next_status, turn_idx) = 'ok', false) AS recovered
+FROM i WHERE status = 'err'
+GROUP BY conv_id, tool, island"""
+
+    o["conv_role_sequence_qa"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+),
+f AS (
+  SELECT conv_id, role,
+    (role = 'assistant' AND prev = 'assistant') AS f_da,
+    (role = 'tool' AND (prev IS NULL OR prev NOT IN ('assistant', 'tool'))) AS f_ot,
+    (turn_idx = 0 AND role NOT IN ('system', 'user')) AS f_bo
+  FROM t
+),
+a AS (
+  SELECT conv_id,
+    count(*) AS n_turns,
+    CAST(sum(CASE WHEN f_da THEN 1 ELSE 0 END) AS BIGINT) AS double_assistant,
+    CAST(sum(CASE WHEN f_ot THEN 1 ELSE 0 END) AS BIGINT) AS orphan_tool,
+    CAST(sum(CASE WHEN f_bo THEN 1 ELSE 0 END) AS BIGINT) AS bad_open,
+    bool_or(role = 'assistant') AS has_assistant
+  FROM f GROUP BY conv_id
+)
+SELECT conv_id, n_turns, double_assistant, orphan_tool, bad_open, has_assistant,
+  (double_assistant = 0 AND orphan_tool = 0 AND bad_open = 0 AND has_assistant)
+    AS qa_pass
+FROM a"""
+
+    o["conv_exact_dedup"] = f"""
+WITH s AS (
+  SELECT conv_id, turn_idx,
+    md5(coalesce(role, '') || '|' || coalesce(text, '')) AS h
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+),
+g AS (
+  SELECT conv_id, md5(string_agg(h, '' ORDER BY turn_idx)) AS digest
+  FROM s GROUP BY conv_id
+)
+SELECT conv_id, digest,
+  count(*) OVER (PARTITION BY digest) AS group_size,
+  min(conv_id) OVER (PARTITION BY digest) AS keeper,
+  conv_id <> min(conv_id) OVER (PARTITION BY digest) AS is_dup
+FROM g"""
+
+    o["conv_self_repetition"] = f"""
+WITH g AS (
+  SELECT conv_id, text, count(*) AS n_repeats,
+    min(turn_idx) AS first_idx, max(turn_idx) AS last_idx
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+  GROUP BY conv_id, text HAVING count(*) > 1
+)
+SELECT conv_id, md5(text) AS text_digest, n_repeats, first_idx, last_idx,
+  last_idx - first_idx AS span
+FROM g"""
+
+    o["conv_turn_boilerplate"] = f"""
+SELECT md5(text) AS text_digest,
+  count(*) AS n_occurrences,
+  count(DISTINCT conv_id) AS n_convs
+FROM read_parquet('{T2_TRANSCRIPTS}')
+GROUP BY md5(text)
+HAVING count(*) >= 2 AND count(DISTINCT conv_id) > 1"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

@@ -1,0 +1,117 @@
+"""Transcript-QA operator semantics on hand-built conversations.
+
+Pins the behaviors the fixture can't isolate: chain splitting at a
+success, the recovered flag at run end, orphan-tool/first-turn edge
+cases, digest equality for identical conversations, and loop spans.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.conv_qa import (
+    conv_exact_dedup,
+    conv_self_repetition,
+    role_sequence_qa,
+    tool_retry_chains,
+    turn_boilerplate,
+)
+
+_TS = dt.datetime(2026, 1, 1)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit(_TS).cast("timestamp"))
+
+
+def test_tool_retry_chains_split_and_recovered(spark):
+    rows = [
+        # conv a / search: err,err,ok -> one chain of 2, recovered
+        ("a", 0, "assistant", "LOG lvl=info tool=search latency_ms=1 status=err", "search"),
+        ("a", 1, "tool", "LOG lvl=info tool=search latency_ms=1 status=err", "search"),
+        ("a", 2, "tool", "LOG lvl=info tool=search latency_ms=1 status=ok", "search"),
+        # conv a / calc: ok,err (trailing err, nothing after) -> chain of 1, not recovered
+        ("a", 3, "tool", "LOG lvl=info tool=calc latency_ms=1 status=ok", "calc"),
+        ("a", 4, "tool", "LOG lvl=info tool=calc latency_ms=1 status=err", "calc"),
+        # conv b / search: err,ok,err,err -> chains [1 recovered], [2 not]
+        ("b", 0, "tool", "LOG lvl=info tool=search latency_ms=1 status=err", "search"),
+        ("b", 1, "tool", "LOG lvl=info tool=search latency_ms=1 status=ok", "search"),
+        ("b", 2, "tool", "LOG lvl=info tool=search latency_ms=1 status=err", "search"),
+        ("b", 3, "tool", "LOG lvl=info tool=search latency_ms=1 status=err", "search"),
+        # non-tool rows never enter
+        ("b", 4, "user", "please retry status=err", "none"),
+    ]
+    out = {
+        (r.conv_id, r.tool, r.chain_start): r
+        for r in tool_retry_chains(_frame(spark, rows)).collect()
+    }
+    assert set(out) == {("a", "search", 0), ("a", "calc", 4), ("b", "search", 0), ("b", "search", 2)}
+    assert out[("a", "search", 0)].n_failures == 2
+    assert out[("a", "search", 0)].chain_end == 1
+    assert out[("a", "search", 0)].recovered is True
+    assert out[("a", "calc", 4)].recovered is False
+    assert out[("b", "search", 0)].n_failures == 1
+    assert out[("b", "search", 0)].recovered is True  # the ok at turn 1
+    assert out[("b", "search", 2)].n_failures == 2
+    assert out[("b", "search", 2)].recovered is False
+
+
+def test_role_sequence_qa_flags(spark):
+    rows = [
+        # good: system,user,assistant,tool
+        ("g", 0, "system", "s", "none"),
+        ("g", 1, "user", "u", "none"),
+        ("g", 2, "assistant", "a", "search"),
+        ("g", 3, "tool", "t", "search"),
+        # bad: opens with tool (orphan + bad_open), double assistant, no... has assistant
+        ("b", 0, "tool", "t", "calc"),
+        ("b", 1, "assistant", "a", "none"),
+        ("b", 2, "assistant", "a", "none"),
+        # no assistant at all
+        ("n", 0, "user", "u", "none"),
+    ]
+    out = {r.conv_id: r for r in role_sequence_qa(_frame(spark, rows)).collect()}
+    assert out["g"].qa_pass is True and out["g"].n_turns == 4
+    b = out["b"]
+    assert (b.double_assistant, b.orphan_tool, b.bad_open) == (1, 1, 1)
+    assert b.qa_pass is False
+    assert out["n"].has_assistant is False and out["n"].qa_pass is False
+
+
+def test_conv_exact_dedup_groups_identical_conversations(spark):
+    rows = [
+        ("a", 0, "user", "hi", "none"),
+        ("a", 1, "assistant", "hello", "none"),
+        ("b", 0, "user", "hi", "none"),
+        ("b", 1, "assistant", "hello", "none"),
+        ("c", 0, "user", "hi there", "none"),
+    ]
+    out = {r.conv_id: r for r in conv_exact_dedup(_frame(spark, rows)).collect()}
+    assert out["a"].digest == out["b"].digest != out["c"].digest
+    assert out["a"].group_size == 2 and out["c"].group_size == 1
+    assert out["a"].is_dup is False and out["b"].is_dup is True
+    assert out["b"].keeper == "a"
+
+
+def test_self_repetition_and_boilerplate(spark):
+    rows = [
+        ("a", 0, "assistant", "let me try again", "none"),
+        ("a", 1, "tool", "boom", "calc"),
+        ("a", 2, "assistant", "let me try again", "none"),
+        ("a", 3, "assistant", "let me try again", "none"),
+        ("b", 0, "assistant", "let me try again", "none"),
+        ("b", 1, "user", "unique line", "none"),
+    ]
+    df = _frame(spark, rows)
+    rep = conv_self_repetition(df).collect()
+    assert len(rep) == 1
+    assert (rep[0].conv_id, rep[0].n_repeats, rep[0].first_idx, rep[0].last_idx, rep[0].span) == ("a", 3, 0, 3, 3)
+
+    bp = turn_boilerplate(df).collect()
+    assert len(bp) == 1
+    assert bp[0].n_occurrences == 4 and bp[0].n_convs == 2
