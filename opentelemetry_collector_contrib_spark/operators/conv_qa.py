@@ -202,6 +202,56 @@ def conv_self_repetition(df: DataFrame) -> DataFrame:
     )
 
 
+def transcript_curation_gate(
+    df: DataFrame, max_consecutive_failures: int = 3
+) -> DataFrame:
+    """Composite per-conversation curation verdict — the transcript
+    analogue of the document-side ``curation_e2e`` pipeline.
+
+    Joins the three QA surfaces (role protocol, conversation-exact
+    dedup, tool-retry chains) into one row per conversation with every
+    gate's evidence plus the final ``eligible`` flag: protocol-clean,
+    not a duplicate (keeper survives), and no failure chain at or above
+    ``max_consecutive_failures``. All three inputs are per-conversation
+    frames keyed on ``conv_id``, so the joins shuffle conv-count rows,
+    not turns; at 10^12 turns the verdict table is ~10^8 rows.
+    """
+    qa = role_sequence_qa(df)
+    dd = conv_exact_dedup(df).select("conv_id", "is_dup")
+    ch = (
+        tool_retry_chains(df)
+        .groupBy("conv_id")
+        .agg(
+            F.max("n_failures").alias("max_chain_failures"),
+            F.max((~F.col("recovered")).cast("int")).cast("boolean").alias(
+                "has_unrecovered_chain"
+            ),
+        )
+    )
+    out = (
+        qa.join(dd, "conv_id", "left")
+        .join(ch, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            "qa_pass",
+            "is_dup",
+            F.coalesce(F.col("max_chain_failures"), F.lit(0)).alias(
+                "max_chain_failures"
+            ),
+            F.coalesce(F.col("has_unrecovered_chain"), F.lit(False)).alias(
+                "has_unrecovered_chain"
+            ),
+        )
+    )
+    return out.withColumn(
+        "eligible",
+        F.col("qa_pass")
+        & ~F.col("is_dup")
+        & (F.col("max_chain_failures") < max_consecutive_failures),
+    )
+
+
 def turn_boilerplate(df: DataFrame, min_occurrences: int = 2) -> DataFrame:
     """Cross-conversation repeated turn text (boilerplate detector).
 

@@ -785,6 +785,14 @@ def q_conv_self_repetition(spark, sf_dir):
     return conv_self_repetition(_transcripts(spark, sf_dir))
 
 
+def q_transcript_curation_gate(spark, sf_dir):
+    """Composite per-conversation eligibility verdict: role protocol +
+    dedup keeper + retry-chain caps joined into one gate row."""
+    from ..operators.conv_qa import transcript_curation_gate
+
+    return transcript_curation_gate(_transcripts(spark, sf_dir))
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -800,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_exact_dedup": q_conv_exact_dedup,
     "conv_self_repetition": q_conv_self_repetition,
     "conv_turn_boilerplate": q_turn_boilerplate,
+    "conv_curation_gate": q_transcript_curation_gate,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1055,6 +1064,71 @@ SELECT md5(text) AS text_digest,
 FROM read_parquet('{T2_TRANSCRIPTS}')
 GROUP BY md5(text)
 HAVING count(*) >= 2 AND count(DISTINCT conv_id) > 1"""
+
+    o["conv_curation_gate"] = f"""
+WITH rq AS (
+  SELECT conv_id, turn_idx, role,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+),
+qa AS (
+  SELECT conv_id,
+    count(*) AS n_turns,
+    (sum(CASE WHEN role = 'assistant' AND prev = 'assistant' THEN 1 ELSE 0 END) = 0
+     AND sum(CASE WHEN role = 'tool' AND (prev IS NULL OR prev NOT IN ('assistant','tool')) THEN 1 ELSE 0 END) = 0
+     AND sum(CASE WHEN turn_idx = 0 AND role NOT IN ('system','user') THEN 1 ELSE 0 END) = 0
+     AND bool_or(role = 'assistant')) AS qa_pass
+  FROM rq GROUP BY conv_id
+),
+hs AS (
+  SELECT conv_id, turn_idx,
+    md5(coalesce(role, '') || '|' || coalesce(text, '')) AS h
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+),
+dg AS (
+  SELECT conv_id, md5(string_agg(h, '' ORDER BY turn_idx)) AS digest
+  FROM hs GROUP BY conv_id
+),
+dd AS (
+  SELECT conv_id,
+    conv_id <> min(conv_id) OVER (PARTITION BY digest) AS is_dup
+  FROM dg
+),
+ts AS (
+  SELECT conv_id, tool, turn_idx, regexp_extract(text, 'status=(\\w+)', 1) AS status
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+  WHERE tool <> 'none' AND regexp_extract(text, 'status=(\\w+)', 1) <> ''
+),
+tw AS (
+  SELECT *,
+    CASE WHEN lag(status) OVER win IS NULL OR status <> lag(status) OVER win
+         THEN 1 ELSE 0 END AS chg,
+    lead(status) OVER win AS next_status
+  FROM ts WINDOW win AS (PARTITION BY conv_id, tool ORDER BY turn_idx)
+),
+ti AS (
+  SELECT *, sum(chg) OVER (PARTITION BY conv_id, tool ORDER BY turn_idx) AS island
+  FROM tw
+),
+tc AS (
+  SELECT conv_id, count(*) AS n_failures,
+    coalesce(arg_max(next_status, turn_idx) = 'ok', false) AS recovered
+  FROM ti WHERE status = 'err'
+  GROUP BY conv_id, tool, island
+),
+ch AS (
+  SELECT conv_id, max(n_failures) AS max_chain_failures,
+    bool_or(NOT recovered) AS has_unrecovered_chain
+  FROM tc GROUP BY conv_id
+)
+SELECT qa.conv_id, qa.n_turns, qa.qa_pass, dd.is_dup,
+  coalesce(ch.max_chain_failures, 0) AS max_chain_failures,
+  coalesce(ch.has_unrecovered_chain, false) AS has_unrecovered_chain,
+  (qa.qa_pass AND NOT dd.is_dup AND coalesce(ch.max_chain_failures, 0) < 3)
+    AS eligible
+FROM qa
+LEFT JOIN dd USING (conv_id)
+LEFT JOIN ch USING (conv_id)"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

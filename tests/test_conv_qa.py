@@ -16,6 +16,7 @@ from opentelemetry_collector_contrib_spark.operators.conv_qa import (
     conv_self_repetition,
     role_sequence_qa,
     tool_retry_chains,
+    transcript_curation_gate,
     turn_boilerplate,
 )
 
@@ -115,3 +116,31 @@ def test_self_repetition_and_boilerplate(spark):
     bp = turn_boilerplate(df).collect()
     assert len(bp) == 1
     assert bp[0].n_occurrences == 4 and bp[0].n_convs == 2
+
+
+def test_transcript_curation_gate_composes(spark):
+    err = "LOG lvl=info tool=search latency_ms=1 status=err"
+    rows = [
+        # clean conversation -> eligible
+        ("a", 0, "user", "hi", "none"),
+        ("a", 1, "assistant", "hello", "none"),
+        # duplicate of a -> not eligible (is_dup)
+        ("b", 0, "user", "hi", "none"),
+        ("b", 1, "assistant", "hello", "none"),
+        # 3 consecutive failures -> not eligible (chain cap)
+        ("c", 0, "user", "go", "none"),
+        ("c", 1, "assistant", err, "search"),
+        ("c", 2, "tool", err, "search"),
+        ("c", 3, "tool", err, "search"),
+        # protocol violation (double assistant) -> not eligible
+        ("d", 0, "user", "x", "none"),
+        ("d", 1, "assistant", "y1", "none"),
+        ("d", 2, "assistant", "y2", "none"),
+    ]
+    out = {r.conv_id: r for r in transcript_curation_gate(_frame(spark, rows)).collect()}
+    assert out["a"].eligible is True
+    assert out["b"].eligible is False and out["b"].is_dup is True
+    c = out["c"]
+    assert c.max_chain_failures == 3 and c.has_unrecovered_chain is True
+    assert c.eligible is False
+    assert out["d"].eligible is False and out["d"].qa_pass is False
