@@ -24,6 +24,12 @@ def main() -> None:
     ap.add_argument("--vectorized", action="store_true", help="use the pandas-UDF parse bank")
     ap.add_argument("--repartition-conv", type=int, default=None, help="explicit conv_id hash partitions pre-agg")
     ap.add_argument(
+        "--qa-gate",
+        action="store_true",
+        help="also emit the per-conversation curation verdict "
+        "(operators/conv_qa.transcript_curation_gate) as an extra sink",
+    )
+    ap.add_argument(
         "--config",
         default=None,
         help="JSON pipeline spec (plans/config.py schema) — the YAML-config "
@@ -86,6 +92,17 @@ def main() -> None:
                     aggs["tail_sampling_verdicts"] = verdicts
             else:
                 aggs = pipeline_aggregates(routed)
+            if args.qa_gate:
+                from opentelemetry_collector_contrib_spark.operators.conv_qa import (
+                    transcript_curation_gate,
+                )
+                from opentelemetry_collector_contrib_spark.plans.pipeline import (
+                    load_transcripts,
+                )
+
+                aggs["conv_qa_gate"] = transcript_curation_gate(
+                    load_transcripts(spark, args.input)
+                )
             for name, adf in aggs.items():
                 adf.write.mode("overwrite").parquet(f"{args.output}/{name}")
                 counts[name] = adf.count()
