@@ -374,6 +374,22 @@ def main() -> None:
     if selected is None or "q18_span_removal" in selected:
         timed("q18_span_removal", span_removal)
 
+    # q19: composite transcript curation gate — three per-conversation QA
+    # surfaces (role protocol, conversation-exact dedup digest, tool-retry
+    # chains) computed and joined per conv_id. Exercises the multi-window +
+    # multi-join per-conv analytics path; every shuffle key is conv_id or a
+    # 32-byte digest, never turn text.
+    def conv_qa_gate():
+        from opentelemetry_collector_contrib_spark.operators.conv_qa import (
+            transcript_curation_gate,
+        )
+        from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
+
+        force(transcript_curation_gate(load_transcripts(spark, sf_dir)))
+
+    if selected is None or "q19_conv_qa_gate" in selected:
+        timed("q19_conv_qa_gate", conv_qa_gate)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

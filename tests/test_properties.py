@@ -517,3 +517,80 @@ def test_collector_yaml_shim_rejects_garbage_cleanly(cfg):
         spec_from_collector_yaml(_yaml.safe_dump(cfg), source_path="/tmp/x")
     except ValueError:
         pass  # the documented malformed-config contract
+
+
+# --- transcript-QA invariants (operators/conv_qa.py) -------------------------
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_conv_digest_is_input_order_invariant(spark, data):
+    """conv_exact_dedup digests depend only on (turn_idx-ordered) content,
+    never on row arrival order — the property that makes the digest a
+    valid cache/versioning key across re-ingests."""
+    from opentelemetry_collector_contrib_spark.operators.conv_qa import conv_exact_dedup
+
+    a = {r.conv_id: r.digest for r in conv_exact_dedup(_df(spark, data)).collect()}
+    b = {
+        r.conv_id: r.digest
+        for r in conv_exact_dedup(_df(spark, list(reversed(data)))).collect()
+    }
+    assert a == b
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_cloned_conversation_shares_digest(spark, data):
+    from opentelemetry_collector_contrib_spark.operators.conv_qa import conv_exact_dedup
+
+    clone = [("c1clone", t, r, x, tl, s) for (c, t, r, x, tl, s) in data if c == "c1"]
+    if not clone:
+        return
+    out = {r.conv_id: r for r in conv_exact_dedup(_df(spark, data + clone)).collect()}
+    assert out["c1clone"].digest == out["c1"].digest
+    assert out["c1clone"].group_size >= 2 and out["c1clone"].is_dup is True
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_retry_chains_partition_error_rows(spark, data):
+    """Chains partition the err tool rows exactly: failure counts sum to
+    the number of err rows, and chain index ranges never overlap within
+    a (conv, tool) group."""
+    from opentelemetry_collector_contrib_spark.operators.conv_qa import tool_retry_chains
+
+    df = _df(spark, data)
+    chains = tool_retry_chains(df).collect()
+    n_err = df.filter(
+        (F.col("tool") != "none")
+        & (F.regexp_extract("text", r"status=(\w+)", 1) == "err")
+    ).count()
+    assert sum(c.n_failures for c in chains) == n_err
+    by_group: dict = {}
+    for c in chains:
+        by_group.setdefault((c.conv_id, c.tool), []).append(c)
+    for group in by_group.values():
+        group.sort(key=lambda c: c.chain_start)
+        for prev_c, next_c in zip(group, group[1:]):
+            assert prev_c.chain_end < next_c.chain_start
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_curation_gate_is_the_conjunction(spark, data):
+    from opentelemetry_collector_contrib_spark.operators.conv_qa import (
+        conv_exact_dedup,
+        role_sequence_qa,
+        tool_retry_chains,
+        transcript_curation_gate,
+    )
+
+    df = _df(spark, data)
+    gate = {r.conv_id: r for r in transcript_curation_gate(df).collect()}
+    qa = {r.conv_id: r.qa_pass for r in role_sequence_qa(df).collect()}
+    dup = {r.conv_id: r.is_dup for r in conv_exact_dedup(df).collect()}
+    mx: dict = {}
+    for c in tool_retry_chains(df).collect():
+        mx[c.conv_id] = max(mx.get(c.conv_id, 0), c.n_failures)
+    for cid, r in gate.items():
+        assert r.eligible == (qa[cid] and not dup[cid] and mx.get(cid, 0) < 3)
