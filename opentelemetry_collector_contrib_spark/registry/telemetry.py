@@ -861,6 +861,16 @@ def q_unroll_tokens(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "element")
 
 
+def q_pipeline_quarantine(spark, sf_dir):
+    """Dead-letter split over the routed frame: rows failing the content
+    invariants (unparsable line, tool call without a status) tagged with
+    the first-match reason — plans/dlq.py."""
+    from ..plans.dlq import fixture_rules, split_quarantine
+
+    _, bad = split_quarantine(_routed(spark, sf_dir), fixture_rules())
+    return bad.select("conv_id", "turn_idx", "error_reason")
+
+
 def q_ottl_showcase(spark, sf_dir):
     """A projection built entirely from the OTTL function registry."""
     from ..functions.ottl import call
@@ -4575,6 +4585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attr_actions": q_attr_actions,
     "redaction_mask": q_redaction,
     "unroll_tokens": q_unroll_tokens,
+    "pipeline_quarantine": q_pipeline_quarantine,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7593,6 +7604,17 @@ FROM ordered"""
 SELECT conv_id, turn_idx,
        unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS element
 FROM ordered WHERE pattern_id = 'raw'"""
+    )
+
+    o["pipeline_quarantine"] = (
+        cte
+        + """
+SELECT conv_id, turn_idx,
+  CASE WHEN pattern_id = 'raw' THEN 'unparsed'
+       WHEN tool <> 'none' AND status IS NULL THEN 'missing_tool_status'
+  END AS error_reason
+FROM ordered
+WHERE pattern_id = 'raw' OR (tool <> 'none' AND status IS NULL)"""
     )
 
     o["ottl_showcase"] = (
