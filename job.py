@@ -30,6 +30,12 @@ def main() -> None:
         "(operators/conv_qa.transcript_curation_gate) as an extra sink",
     )
     ap.add_argument(
+        "--dlq",
+        action="store_true",
+        help="divert content-failure rows (plans/dlq.py fixture rules) to a "
+        "quarantine sink instead of passing them through",
+    )
+    ap.add_argument(
         "--config",
         default=None,
         help="JSON pipeline spec (plans/config.py schema) — the YAML-config "
@@ -77,6 +83,14 @@ def main() -> None:
         # a config with no routes section has no route_id column — the whole
         # stream is one sink, the single-exporter topology
         sinks = sink_frames(routed, table) if table is not None else {"all": routed}
+        if args.dlq:
+            from opentelemetry_collector_contrib_spark.plans.dlq import (
+                fixture_rules,
+                split_quarantine,
+            )
+
+            _, quarantined = split_quarantine(routed, fixture_rules())
+            sinks["quarantine"] = quarantined
         paths = write_sinks_resumable(routed, sinks, args.output, metrics=metrics)
         counts = {name: spark.read.parquet(p).count() for name, p in paths.items()}
         with metrics.time_stage("aggregates"):

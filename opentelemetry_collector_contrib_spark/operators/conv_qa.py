@@ -202,6 +202,84 @@ def conv_self_repetition(df: DataFrame) -> DataFrame:
     )
 
 
+def curation_gate_state(df: DataFrame) -> DataFrame:
+    """Per-conversation component state for the curation gate — every
+    column that can be computed from ONE conversation's own turns (role
+    QA, content digest, retry-chain extremes). The corpus-global parts
+    (duplicate grouping, the final verdict) live in
+    ``curation_gate_from_state`` so state rows can be carried forward
+    unchanged for conversations an append batch never touched.
+    """
+    qa = role_sequence_qa(df).select("conv_id", "n_turns", "qa_pass")
+    s = F.md5(
+        F.concat(
+            F.coalesce(F.col("role"), F.lit("")),
+            F.lit("|"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    dg = (
+        df.select("conv_id", "turn_idx", s.alias("h"))
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "h"))).alias("hs"))
+        .select(
+            "conv_id",
+            F.md5(
+                F.concat_ws("", F.transform(F.col("hs"), lambda x: x["h"]))
+            ).alias("digest"),
+        )
+    )
+    ch = (
+        tool_retry_chains(df)
+        .groupBy("conv_id")
+        .agg(
+            F.max("n_failures").alias("max_chain_failures"),
+            F.max((~F.col("recovered")).cast("int")).cast("boolean").alias(
+                "has_unrecovered_chain"
+            ),
+        )
+    )
+    return (
+        qa.join(dg, "conv_id", "left")
+        .join(ch, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            "qa_pass",
+            "digest",
+            F.coalesce(F.col("max_chain_failures"), F.lit(0)).alias(
+                "max_chain_failures"
+            ),
+            F.coalesce(F.col("has_unrecovered_chain"), F.lit(False)).alias(
+                "has_unrecovered_chain"
+            ),
+        )
+    )
+
+
+def curation_gate_from_state(
+    state: DataFrame, max_consecutive_failures: int = 3
+) -> DataFrame:
+    """Assemble the verdict table from per-conversation state: the
+    duplicate-group window over digests (the only corpus-global step —
+    one row per CONVERSATION, 32-byte keys) plus the eligibility
+    conjunction."""
+    wd = Window.partitionBy("digest")
+    return state.select(
+        "conv_id",
+        "n_turns",
+        "qa_pass",
+        (F.col("conv_id") != F.min("conv_id").over(wd)).alias("is_dup"),
+        "max_chain_failures",
+        "has_unrecovered_chain",
+    ).withColumn(
+        "eligible",
+        F.col("qa_pass")
+        & ~F.col("is_dup")
+        & (F.col("max_chain_failures") < max_consecutive_failures),
+    )
+
+
 def transcript_curation_gate(
     df: DataFrame, max_consecutive_failures: int = 3
 ) -> DataFrame:
@@ -216,40 +294,39 @@ def transcript_curation_gate(
     frames keyed on ``conv_id``, so the joins shuffle conv-count rows,
     not turns; at 10^12 turns the verdict table is ~10^8 rows.
     """
-    qa = role_sequence_qa(df)
-    dd = conv_exact_dedup(df).select("conv_id", "is_dup")
-    ch = (
-        tool_retry_chains(df)
-        .groupBy("conv_id")
-        .agg(
-            F.max("n_failures").alias("max_chain_failures"),
-            F.max((~F.col("recovered")).cast("int")).cast("boolean").alias(
-                "has_unrecovered_chain"
-            ),
-        )
+    return curation_gate_from_state(
+        curation_gate_state(df), max_consecutive_failures
     )
-    out = (
-        qa.join(dd, "conv_id", "left")
-        .join(ch, "conv_id", "left")
-        .select(
-            "conv_id",
-            "n_turns",
-            "qa_pass",
-            "is_dup",
-            F.coalesce(F.col("max_chain_failures"), F.lit(0)).alias(
-                "max_chain_failures"
-            ),
-            F.coalesce(F.col("has_unrecovered_chain"), F.lit(False)).alias(
-                "has_unrecovered_chain"
-            ),
-        )
-    )
-    return out.withColumn(
-        "eligible",
-        F.col("qa_pass")
-        & ~F.col("is_dup")
-        & (F.col("max_chain_failures") < max_consecutive_failures),
-    )
+
+
+def curation_gate_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    prior_state: DataFrame,
+    max_consecutive_failures: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Append-batch refresh: recompute state ONLY for conversations the
+    delta touches; carry every other conversation's state forward.
+
+    ``base`` is the full table AFTER the append (old rows + delta),
+    ``delta`` the appended turns, ``prior_state`` the
+    ``curation_gate_state`` output from before the append. Returns
+    ``(new_state, verdicts)`` where verdicts equals a full
+    ``transcript_curation_gate(base)`` recompute exactly (pytest +
+    oracle gated) — including duplicate-group shifts caused by touched
+    conversations entering or leaving digest groups, because the
+    dedup window runs over the complete (carried + recomputed) state.
+
+    Per-append cost: per-turn work is O(turns of touched conversations)
+    (one semi-join against base, partition-pruned under the bucketed
+    layout); the global window touches one 32-byte row per conversation,
+    never raw turns.
+    """
+    touched = delta.select("conv_id").distinct()
+    recomputed = curation_gate_state(base.join(touched, "conv_id", "left_semi"))
+    carried = prior_state.join(touched, "conv_id", "left_anti")
+    new_state = carried.unionByName(recomputed)
+    return new_state, curation_gate_from_state(new_state, max_consecutive_failures)
 
 
 def turn_boilerplate(df: DataFrame, min_occurrences: int = 2) -> DataFrame:

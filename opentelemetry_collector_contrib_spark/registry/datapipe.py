@@ -793,6 +793,28 @@ def q_transcript_curation_gate(spark, sf_dir):
     return transcript_curation_gate(_transcripts(spark, sf_dir))
 
 
+def q_conv_gate_incremental(spark, sf_dir):
+    """Incremental refresh parity: simulate an append (the final turn of
+    every conversation whose id ends in 0-3 arrives as the delta batch),
+    carry prior state for untouched convs, and return the refreshed
+    verdicts — which must equal the full recompute (the oracle is the
+    same SQL as conv_curation_gate)."""
+    from pyspark.sql import Window
+
+    from ..operators.conv_qa import curation_gate_incremental, curation_gate_state
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    mx = t.withColumn("_mx", F.max("turn_idx").over(w))
+    touched = F.substring("conv_id", -1, 1).isin("0", "1", "2", "3")
+    is_new = touched & (F.col("turn_idx") == F.col("_mx"))
+    delta = mx.filter(is_new).drop("_mx")
+    old = mx.filter(~is_new).drop("_mx")
+    prior = curation_gate_state(old)
+    _, verdicts = curation_gate_incremental(t, delta, prior)
+    return verdicts
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -809,6 +831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_self_repetition": q_conv_self_repetition,
     "conv_turn_boilerplate": q_turn_boilerplate,
     "conv_curation_gate": q_transcript_curation_gate,
+    "conv_gate_incremental": q_conv_gate_incremental,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1129,6 +1152,8 @@ SELECT qa.conv_id, qa.n_turns, qa.qa_pass, dd.is_dup,
 FROM qa
 LEFT JOIN dd USING (conv_id)
 LEFT JOIN ch USING (conv_id)"""
+
+    o["conv_gate_incremental"] = o["conv_curation_gate"]
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

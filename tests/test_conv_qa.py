@@ -144,3 +144,37 @@ def test_transcript_curation_gate_composes(spark):
     assert c.max_chain_failures == 3 and c.has_unrecovered_chain is True
     assert c.eligible is False
     assert out["d"].eligible is False and out["d"].qa_pass is False
+
+
+def test_incremental_gate_equals_full_recompute_with_group_shift(spark):
+    """A touched conversation LEAVES its duplicate group when a new turn
+    lands, so the prior dup must become the keeper — the corpus-global
+    effect the incremental path must still get right."""
+    from opentelemetry_collector_contrib_spark.operators.conv_qa import (
+        curation_gate_incremental,
+        curation_gate_state,
+        transcript_curation_gate,
+    )
+
+    old_rows = [
+        # a and b identical -> a keeper, b dup
+        ("a", 0, "user", "hi", "none"),
+        ("a", 1, "assistant", "hello", "none"),
+        ("b", 0, "user", "hi", "none"),
+        ("b", 1, "assistant", "hello", "none"),
+        # untouched singleton
+        ("z", 0, "user", "zzz", "none"),
+        ("z", 1, "assistant", "ok", "none"),
+    ]
+    delta_rows = [("a", 2, "user", "more", "none")]  # a diverges from b
+    old = _frame(spark, old_rows)
+    delta = _frame(spark, delta_rows)
+    base = old.unionByName(delta)
+
+    prior = curation_gate_state(old)
+    _, verdicts = curation_gate_incremental(base, delta, prior)
+    got = {r.conv_id: r.asDict() for r in verdicts.collect()}
+    want = {r.conv_id: r.asDict() for r in transcript_curation_gate(base).collect()}
+    assert got == want
+    assert got["b"]["is_dup"] is False  # b is now its group's only member
+    assert got["a"]["is_dup"] is False and got["a"]["n_turns"] == 3
