@@ -413,3 +413,40 @@ def streaming_keep_first_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_sinks_with_dlq(
+    routed: DataFrame,
+    base_path: str,
+    checkpoint_dir: str,
+    rules=None,
+    route_table=None,
+    trigger_available_now: bool = True,
+):
+    """Streaming fan-out with a quarantine sink: each micro-batch is split
+    by the DLQ rules (plans/dlq.py, first-match-wins reasons) BEFORE
+    routing, so content-failure rows land in ``{base}/quarantine`` with
+    their ``error_reason`` instead of polluting route sinks. Same
+    idempotent `_batch=<id>` overwrite contract as write_stream_sinks."""
+    from ..operators.route import FIXTURE_ROUTES, sink_frames
+    from ..plans.dlq import fixture_rules, split_quarantine
+
+    table = route_table or FIXTURE_ROUTES
+    dlq_rules = rules if rules is not None else fixture_rules()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            accepted, quarantined = split_quarantine(batch_df, dlq_rules)
+            sinks = sink_frames(accepted, table)
+            sinks["quarantine"] = quarantined
+            for name, sdf in sinks.items():
+                out = sdf.drop(*[c for c in sdf.columns if c.startswith("copy_")])
+                out.write.mode("overwrite").parquet(f"{base_path}/{name}/_batch={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    writer = routed.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -491,3 +491,38 @@ def test_filelog_header_metadata(spark):
     assert got[("A", 5)]["header_attrs"] == {"host": "h9", "region": "r2"}
     assert got[("A", 5)]["text"] == "# stray"  # post-header '#' line is data
     assert got[("B", 1)]["header_attrs"] == {}
+
+
+def test_streaming_sink_fanout_with_dlq(spark, stream_input, tmp_path, dims):
+    """Micro-batch quarantine: content-failure rows land in the DLQ sink
+    with reasons; route sinks receive only accepted rows; totals conserve."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import enrich_transcripts
+    from opentelemetry_collector_contrib_spark.operators.parse import parse_native
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        write_stream_sinks_with_dlq,
+    )
+
+    tool_dim, role_dim = dims
+    routed = streaming_route(
+        enrich_transcripts(
+            parse_native(transcripts_stream(spark, stream_input + "/*.json")),
+            tool_dim,
+            role_dim,
+        )
+    )
+    base = str(tmp_path / "stream_sinks_dlq")
+    q = write_stream_sinks_with_dlq(routed, base, str(tmp_path / "ck_sinks_dlq"))
+    q.awaitTermination()
+
+    def cnt(name):
+        try:
+            return spark.read.parquet(f"{base}/{name}").count()
+        except Exception:
+            return 0
+
+    move_total = cnt("errors") + cnt("tool_events") + cnt("general")
+    dlq = cnt("quarantine")
+    assert move_total + dlq == 6  # move sinks + DLQ partition the input
+    if dlq:
+        bad = spark.read.parquet(f"{base}/quarantine")
+        assert bad.filter(F.col("error_reason").isNull()).count() == 0
