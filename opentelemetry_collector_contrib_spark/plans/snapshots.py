@@ -123,10 +123,16 @@ class SnapshotStore:
         operation: str,
         summary: dict | None = None,
         stats: dict[str, dict] | None = None,
+        schema_json: str | None = None,
     ) -> str:
         snaps = self._load()
         parent = snaps[-1] if snaps else None
         seq = (parent["sequence"] if parent else 0) + 1
+        # schema rides on the snapshot (Iceberg: schema lives in table
+        # metadata, never in data-file footers); parent's carries forward
+        # when the commit doesn't declare one
+        if schema_json is None and parent is not None:
+            schema_json = parent.get("schema")
         base = []
         if operation == "append" and parent is not None:
             base = parent["files"]
@@ -149,6 +155,8 @@ class SnapshotStore:
             "summary": summary or {},
             "stats": {f: s for f, s in merged_stats.items() if f in all_files_set},
         }
+        if schema_json is not None:
+            snap["schema"] = schema_json
         self._publish(snaps + [snap], expected_seq=seq - 1)
         return snap["snapshot_id"]
 
@@ -166,6 +174,8 @@ class SnapshotStore:
             "summary": {"rolled_back_to": snapshot_id},
             "stats": target.get("stats", {}),
         }
+        if target.get("schema") is not None:
+            snap["schema"] = target["schema"]
         self._publish(snaps + [snap], expected_seq=seq - 1)
         return snap["snapshot_id"]
 
@@ -231,12 +241,50 @@ def collect_file_stats(files: list[str], cols: list[str]) -> dict[str, dict]:
     return out
 
 
+def _schema_fields(schema_json: str) -> dict[str, object]:
+    """name -> type (json repr) map from a StructType.json() string."""
+    return {f["name"]: f["type"] for f in json.loads(schema_json)["fields"]}
+
+
+def _evolved_schema(cur_json: str, new_json: str, evolve: bool) -> str:
+    """Iceberg-style schema check at commit time: common columns must keep
+    identical types (no silent coercion, ever); column ADDS are accepted
+    only under `evolve` and produce the merged table schema (old field
+    order, new fields appended). Anything else is a schema-enforcement
+    error — the writer must conform, not the table."""
+    cur, new = json.loads(cur_json), json.loads(new_json)
+    cur_fields = {f["name"]: f["type"] for f in cur["fields"]}
+    new_fields = {f["name"]: f["type"] for f in new["fields"]}
+    for name in cur_fields.keys() & new_fields.keys():
+        if cur_fields[name] != new_fields[name]:
+            raise ValueError(
+                f"schema evolution cannot change column type: {name!r} "
+                f"{cur_fields[name]!r} -> {new_fields[name]!r}"
+            )
+    added = [f for f in new["fields"] if f["name"] not in cur_fields]
+    if set(new_fields) == set(cur_fields):
+        return cur_json  # same columns (order-insensitive): table schema stands
+    if not evolve:
+        raise ValueError(
+            "commit schema differs from table schema "
+            f"(added={sorted(set(new_fields) - set(cur_fields))}, "
+            f"missing={sorted(set(cur_fields) - set(new_fields))}); "
+            "pass evolve_schema=True to add columns"
+        )
+    # adds (and writer-side omissions of existing columns — old columns
+    # stay in the table schema and read as NULL from the new files)
+    merged = dict(cur)
+    merged["fields"] = list(cur["fields"]) + [dict(f, nullable=True) for f in added]
+    return json.dumps(merged)
+
+
 def write_snapshot(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     summary: dict | None = None,
     stats_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> str:
     """Commit `df` to the snapshot table. Data lands in a fresh immutable
     commit directory (never overwritten); `mode='append'` unions with the
@@ -244,10 +292,22 @@ def write_snapshot(
     set. `summary` entries ride on the snapshot (Iceberg summary props);
     `stats_cols` records per-file min/max bounds for those columns in the
     snapshot (footer-only scan) so `read_snapshot(..., where=)` can prune
-    files. Returns the new snapshot id."""
+    files. Returns the new snapshot id.
+
+    Schema contract (Iceberg-faithful: schema is table METADATA, applied
+    at read, never inferred from footers): a commit whose columns match
+    the table schema commits as-is; extra columns require
+    `evolve_schema=True` and widen the table schema (old files read the
+    new columns as NULL); changing an existing column's type always
+    raises. `mode='overwrite'` replaces the schema outright (the table is
+    whatever the overwrite says it is)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     store = SnapshotStore(table_path)
+    new_schema = df.schema.json()
+    current = store.current()
+    if mode == "append" and current is not None and current.get("schema"):
+        new_schema = _evolved_schema(current["schema"], new_schema, evolve_schema)
     commit_dir = os.path.join(table_path, "data", f"commit-{uuid.uuid4().hex}")
     df.write.mode("error").parquet(commit_dir)
     files = sorted(
@@ -262,6 +322,7 @@ def write_snapshot(
             operation=mode,
             summary={**(summary or {}), "added_files": len(files)},
             stats=stats,
+            schema_json=new_schema,
         )
     except CommitConflict:
         _drop_commit_dir(commit_dir)
@@ -314,13 +375,21 @@ def read_snapshot(
     snap = store.snapshot(as_of) if as_of else store.current()
     if snap is None or not snap["files"]:
         raise ValueError(f"snapshot table {table_path!r} is empty")
+    reader = spark.read
+    if snap.get("schema"):
+        # the snapshot's schema governs the read (Iceberg metadata schema):
+        # files missing an evolved column yield NULLs, and no footer
+        # mergeSchema pass is ever needed — planning stays metadata-only
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(snap["schema"])))
     kept = prune_files(snap, where)
     if not kept:
         # all files pruned: preserve the schema with an empty scan of ONE
         # file (uniform-schema table) — footer-scanning the whole file list
         # here would cost exactly the planning work pruning exists to avoid
-        return spark.read.parquet(snap["files"][0]).limit(0)
-    return spark.read.parquet(*kept)
+        return reader.parquet(snap["files"][0]).limit(0)
+    return reader.parquet(*kept)
 
 
 def compact_snapshot(
@@ -345,7 +414,12 @@ def compact_snapshot(
     if not snaps or not snaps[-1]["files"]:
         raise ValueError(f"snapshot table {table_path!r} is empty")
     resolved = snaps[-1]
-    df = spark.read.parquet(*resolved["files"])
+    reader = spark.read
+    if resolved.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(resolved["schema"])))
+    df = reader.parquet(*resolved["files"])
     n_rows = df.count()
     n_files = max(1, -(-n_rows // int(target_records_per_file)))
     commit_dir = os.path.join(table_path, "data", f"commit-{uuid.uuid4().hex}")
@@ -370,6 +444,8 @@ def compact_snapshot(
         },
         "stats": collect_file_stats(files, stat_cols) if stat_cols else {},
     }
+    if resolved.get("schema"):
+        snap["schema"] = resolved["schema"]
     try:
         store._publish(snaps + [snap], expected_seq=resolved["sequence"])  # noqa: SLF001
     except CommitConflict:
@@ -445,7 +521,14 @@ def merge_snapshot(
         touched = [f for f in candidates if os.path.abspath(f) in hit_paths]
 
     if touched:
-        remaining = spark.read.parquet(*touched).join(upd_keys, keys, "left_anti")
+        treader = spark.read
+        if resolved.get("schema"):
+            # evolved tables: old files read under the table schema so the
+            # rewrite carries every column (missing ones as NULL)
+            from pyspark.sql.types import StructType
+
+            treader = treader.schema(StructType.fromJson(json.loads(resolved["schema"])))
+        remaining = treader.parquet(*touched).join(upd_keys, keys, "left_anti")
         new_rows = remaining.unionByName(updates.select(*remaining.columns))
     else:
         new_rows = updates
@@ -474,6 +557,8 @@ def merge_snapshot(
         },
         "stats": {**carried, **(collect_file_stats(files_new, stat_cols) if stat_cols else {})},
     }
+    if resolved.get("schema"):
+        snap["schema"] = resolved["schema"]
     try:
         store._publish(snaps + [snap], expected_seq=resolved["sequence"])  # noqa: SLF001
     except CommitConflict:

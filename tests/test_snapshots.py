@@ -428,3 +428,73 @@ def test_wire_to_snapshot_lakehouse_e2e(spark, tmp_path):
     # time travel still sees the pre-merge body
     pre = read_snapshot(spark, tbl, as_of=snap["snapshot_id"])
     assert pre.filter(F.col("ol_body") == "CORRECTED").count() == 0
+
+
+# --- schema evolution (Iceberg metadata-schema contract) ----------------------
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "evo")
+    s1 = write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), t
+    )
+    # mismatched append without evolve -> schema enforcement error
+    wide = spark.createDataFrame([(3, "c", 9.5)], "id int, v string, score double")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        write_snapshot(wide, t)
+    s2 = write_snapshot(wide, t, evolve_schema=True)
+
+    cur = read_snapshot(spark, t)
+    assert cur.columns == ["id", "v", "score"]
+    rows = {r.id: r.score for r in cur.collect()}
+    assert rows == {1: None, 2: None, 3: 9.5}  # old files NULL-fill
+    # time travel: the old snapshot still reads with the OLD schema
+    old = read_snapshot(spark, t, as_of=s1)
+    assert old.columns == ["id", "v"] and old.count() == 2
+    assert read_snapshot(spark, t, as_of=s2).count() == 3
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import write_snapshot
+
+    t = str(tmp_path / "evo_type")
+    write_snapshot(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    bad = spark.createDataFrame([(2, 3.0)], "id int, v double")
+    with pytest.raises(ValueError, match="cannot change column type"):
+        write_snapshot(bad, t, evolve_schema=True)
+
+
+def test_schema_evolution_survives_compaction_and_merge(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import (
+        compact_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "evo_maint")
+    write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), t)
+    write_snapshot(
+        spark.createDataFrame([(3, "c", 9.5)], "id int, v string, score double"),
+        t,
+        evolve_schema=True,
+    )
+    # upsert touching an OLD (pre-evolution) file must rewrite it under the
+    # table schema, not the file schema
+    merge_snapshot(
+        spark,
+        t,
+        spark.createDataFrame([(2, "B", 1.5)], "id int, v string, score double"),
+        "id",
+    )
+    after_merge = {r.id: (r.v, r.score) for r in read_snapshot(spark, t).collect()}
+    assert after_merge == {1: ("a", None), 2: ("B", 1.5), 3: ("c", 9.5)}
+
+    compact_snapshot(spark, t, target_records_per_file=10)
+    after = {r.id: (r.v, r.score) for r in read_snapshot(spark, t).collect()}
+    assert after == after_merge
