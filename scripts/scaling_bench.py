@@ -159,7 +159,7 @@ Reference baseline for context (BASELINE.md): the collector sustains 10k
 items/s per scenario at GOMAXPROCS=2 and 200k-330k lines/s raw file ingest
 (testbed/tests/log_test.go:27-299). The throughput above carries far richer
 per-row work (3-pattern parse, 2 joins, route, ordering window) at
-comparable-or-better per-core rates, plus the full 11-query bench
+comparable-or-better per-core rates, plus the full 19-query bench
 (`python bench.py`, recorded per-round in BENCH_r{{N}}.json) covers the
 aggregation/dedup/similarity paths.
 """
