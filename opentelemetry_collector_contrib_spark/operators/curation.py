@@ -848,3 +848,73 @@ def url_filter(
     return d.withColumn(
         "uf_keep", F.col("uf_blocked_domain").isNull() & ~F.col("uf_blocked_pattern")
     )
+
+
+def pack_conversations(
+    df: DataFrame,
+    budget: int = 2000,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Conversation-aware sequence packing: next-fit bin packing of WHOLE
+    conversations into `budget`-token context windows, per shard.
+
+    `pack_sequences` above is the GPT-style concatenate-then-chunk layout
+    where a document may straddle packs; an SFT/dialogue corpus must never
+    split a conversation mid-context, so this packs at conversation
+    granularity: shard-ordered next-fit (a conversation opens a new pack
+    when it doesn't fit the current fill). Conversations larger than the
+    budget get a pack of their own, flagged `oversize` (truncate/window
+    downstream — silently dropping them would bias against long dialogues).
+
+    Scale: per-conv token totals are ONE hash aggregate; the sequential
+    next-fit state lives inside applyInPandas per SHARD (fill counter +
+    pack counter — O(1) state, conversations stream through in conv_id
+    order), and shards are independent, so parallelism = shard count. No
+    global ordering is ever required; at 10^12 turns pick shards ≈ 4-16×
+    cluster parallelism. Deterministic: (shard, conv_id) order fixes the
+    layout, so reruns produce byte-identical packs (resume/caching safe).
+    """
+    from ..operators.textstats import tokens as _ws_tokens
+
+    shard = shard_col if shard_col is not None else F.substring("conv_id", -1, 1).cast("int")
+    toks = (
+        df.select(shard.alias("shard"), "conv_id", F.size(_ws_tokens(F.col("text"))).cast("bigint").alias("t"))
+        .groupBy("shard", "conv_id")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+
+    schema = (
+        "shard int, conv_id string, n_tokens bigint, pack_id bigint, "
+        "pack_pos bigint, fill bigint, oversize boolean"
+    )
+
+    def _next_fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("conv_id").reset_index(drop=True)
+        n = pdf["n_tokens"].to_numpy()
+        pack = [0] * len(pdf)
+        pos = [0] * len(pdf)
+        fill_out = [0] * len(pdf)
+        cur_pack, cur_fill, cur_pos = 0, 0, 0
+        for i in range(len(pdf)):
+            if i > 0 and cur_fill + int(n[i]) > budget:
+                cur_pack += 1
+                cur_fill = 0
+                cur_pos = 0
+            cur_fill += int(n[i])
+            pack[i], pos[i], fill_out[i] = cur_pack, cur_pos, cur_fill
+            cur_pos += 1
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "conv_id": pdf["conv_id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": pack,
+                "pack_pos": pos,
+                "fill": fill_out,
+                "oversize": pdf["n_tokens"] > budget,
+            }
+        )
+
+    return toks.groupBy("shard").applyInPandas(_next_fit, schema)

@@ -815,6 +815,15 @@ def q_conv_gate_incremental(spark, sf_dir):
     return verdicts
 
 
+def q_pack_conversations(spark, sf_dir):
+    """Conversation-aware next-fit packing: whole conversations into
+    2000-token windows per shard (never split mid-dialogue); oracle is a
+    per-shard linear recursive CTE replaying the same next-fit."""
+    from ..operators.curation import pack_conversations
+
+    return pack_conversations(_transcripts(spark, sf_dir), budget=2000)
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -832,6 +841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_boilerplate": q_turn_boilerplate,
     "conv_curation_gate": q_transcript_curation_gate,
     "conv_gate_incremental": q_conv_gate_incremental,
+    "conv_pack": q_pack_conversations,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1154,6 +1164,34 @@ LEFT JOIN dd USING (conv_id)
 LEFT JOIN ch USING (conv_id)"""
 
     o["conv_gate_incremental"] = o["conv_curation_gate"]
+
+    o["conv_pack"] = f"""
+WITH toks AS (
+  SELECT conv_id,
+    CAST(right(conv_id, 1) AS INT) AS shard,
+    CAST(sum(CAST(len({SQL_TOKS}) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM read_parquet('{T2_TRANSCRIPTS}') GROUP BY conv_id
+),
+seq AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY conv_id) AS rn FROM toks
+),
+packs AS (
+  WITH RECURSIVE r AS (
+    SELECT shard, rn, conv_id, n_tokens, CAST(0 AS BIGINT) AS pack_id,
+           n_tokens AS fill
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.shard, s.rn, s.conv_id, s.n_tokens,
+      CASE WHEN r.fill + s.n_tokens > 2000 THEN r.pack_id + 1 ELSE r.pack_id END,
+      CASE WHEN r.fill + s.n_tokens > 2000 THEN s.n_tokens
+           ELSE r.fill + s.n_tokens END
+    FROM seq s JOIN r ON s.shard = r.shard AND s.rn = r.rn + 1
+  ) SELECT * FROM r
+)
+SELECT shard, conv_id, n_tokens, pack_id,
+  row_number() OVER (PARTITION BY shard, pack_id ORDER BY conv_id) - 1 AS pack_pos,
+  fill, n_tokens > 2000 AS oversize
+FROM packs"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

@@ -178,3 +178,39 @@ def test_incremental_gate_equals_full_recompute_with_group_shift(spark):
     assert got == want
     assert got["b"]["is_dup"] is False  # b is now its group's only member
     assert got["a"]["is_dup"] is False and got["a"]["n_turns"] == 3
+
+
+def test_pack_conversations_invariants(spark, t1):
+    """No pack exceeds budget unless it holds a single oversize
+    conversation; packs are contiguous per shard; every conv packed once."""
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        pack_conversations,
+    )
+
+    budget = 500
+    out = pack_conversations(t1, budget=budget).collect()
+    assert len(out) == t1.select("conv_id").distinct().count()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r.shard, r.pack_id), []).append(r)
+    for (shard, pid), rows in by_pack.items():
+        total = sum(r.n_tokens for r in rows)
+        if total > budget:
+            # only legal when a single oversize conversation owns the pack
+            assert len(rows) == 1 and rows[0].oversize, (shard, pid, total)
+        assert sorted(r.pack_pos for r in rows) == list(range(len(rows)))
+        assert max(r.fill for r in rows) == total
+    # contiguity: pack ids per shard are 0..max with no gaps
+    for shard in {r.shard for r in out}:
+        pids = sorted({r.pack_id for r in out if r.shard == shard})
+        assert pids == list(range(len(pids)))
+
+
+def test_pack_conversations_never_splits_and_is_deterministic(spark, t1):
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        pack_conversations,
+    )
+
+    a = {r.conv_id: (r.shard, r.pack_id, r.pack_pos) for r in pack_conversations(t1, budget=500).collect()}
+    b = {r.conv_id: (r.shard, r.pack_id, r.pack_pos) for r in pack_conversations(t1.orderBy(F.rand(7)), budget=500).collect()}
+    assert a == b  # layout depends only on (shard, conv_id), not input order
