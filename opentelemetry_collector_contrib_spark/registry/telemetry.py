@@ -861,6 +861,22 @@ def q_unroll_tokens(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "element")
 
 
+def q_events_value_drift(spark, sf_dir):
+    """PSI drift of the event value distribution: first half of January
+    as the reference window vs the second half as current — the daily
+    did-the-data-change-shape gate (operators/drift.py)."""
+    from ..operators.drift import psi_drift
+
+    e = _events(spark, sf_dir)
+    return psi_drift(
+        e,
+        F.col("value"),
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        n_buckets=10,
+        feature_name="value",
+    )
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4586,6 +4602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redaction_mask": q_redaction,
     "unroll_tokens": q_unroll_tokens,
     "pipeline_quarantine": q_pipeline_quarantine,
+    "events_value_drift": q_events_value_drift,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7605,6 +7622,33 @@ SELECT conv_id, turn_idx,
        unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS element
 FROM ordered WHERE pattern_id = 'raw'"""
     )
+
+    o["events_value_drift"] = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+         ts >= TIMESTAMP '2024-01-16' AS cur
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
+bk AS (
+  SELECT CAST(CASE WHEN b.mx = b.mn THEN 0
+              ELSE least(CAST(floor((x - b.mn) / ((b.mx - b.mn) / 10)) AS INT), 9)
+         END AS INT) AS bucket, cur
+  FROM base, bounds b
+),
+counts AS (
+  SELECT bucket,
+    CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM bk GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref, CAST(sum(n_cur) AS BIGINT) AS t_cur FROM counts)
+SELECT 'value' AS feature, bucket, n_ref, n_cur,
+  round(greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6), 6) AS p_ref,
+  round(greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6), 6) AS p_cur,
+  round((greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6) - greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))
+        * (ln(greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6)) - ln(greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))), 6) AS psi_term
+FROM counts, tot"""
 
     o["pipeline_quarantine"] = (
         cte

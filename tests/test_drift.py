@@ -1,0 +1,45 @@
+"""PSI drift gate: zero on identical distributions, large on a shift."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.drift import psi_drift
+
+
+def _psi(df):
+    return sum(r.psi_term for r in df.collect())
+
+
+def test_identical_distributions_have_near_zero_psi(spark):
+    base = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") % 2 == 0).alias("cur"),
+    )
+    out = psi_drift(base, F.col("x"), F.col("cur"))
+    assert abs(_psi(out)) < 1e-9  # same proportions bucket-by-bucket
+
+
+def test_shifted_distribution_flags_drift(spark):
+    # reference uniform on [0, 100); current uniform on [50, 150)
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("x"), F.lit(False).alias("cur")
+    )
+    cur = spark.range(1000).select(
+        (F.col("id") % 100 + 50).cast("double").alias("x"), F.lit(True).alias("cur")
+    )
+    out = psi_drift(ref.unionByName(cur), F.col("x"), F.col("cur"))
+    assert _psi(out) > 0.25  # investigate-level drift
+    rows = {r.bucket: r for r in out.collect()}
+    # the disjoint tails: bucket 0 is reference-only, bucket 9 current-only
+    assert rows[0].n_cur == 0 and rows[0].n_ref > 0
+    assert rows[9].n_ref == 0 and rows[9].n_cur > 0
+
+
+def test_null_features_excluded_and_constant_feature_single_bucket(spark):
+    df = spark.createDataFrame(
+        [(5.0, False), (5.0, True), (None, True)], "x double, cur boolean"
+    )
+    out = psi_drift(df, F.col("x"), F.col("cur")).collect()
+    assert len(out) == 1 and out[0].bucket == 0
+    assert out[0].n_ref == 1 and out[0].n_cur == 1
