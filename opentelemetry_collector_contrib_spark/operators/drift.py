@@ -77,3 +77,42 @@ def psi_drift(
             "psi_term"
         ),
     )
+
+
+def psi_drift_categorical(
+    df: DataFrame,
+    feature: Column,
+    is_current: Column,
+    eps: float = 1e-6,
+    feature_name: str = "feature",
+) -> DataFrame:
+    """Categorical PSI: one bucket per category value (NULL categories
+    tracked as their own bucket — a surge of NULLs IS drift). Same
+    smoothing and output contract as the numeric variant; categories are
+    their own edges, so no bounds pass is needed."""
+    base = df.select(
+        F.coalesce(feature.cast("string"), F.lit("<null>")).alias("cat"),
+        is_current.alias("cur"),
+    )
+    counts = base.groupBy("cat").agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
+    )
+    tot = counts.groupBy().agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    ).withColumn("k", F.lit(1))
+    out = counts.withColumn("k", F.lit(1)).join(F.broadcast(tot), "k").drop("k")
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
+    return out.select(
+        F.lit(feature_name).alias("feature"),
+        "cat",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * (F.log(p_cur) - F.log(p_ref)), 6).alias(
+            "psi_term"
+        ),
+    )

@@ -824,6 +824,19 @@ def q_pack_conversations(spark, sf_dir):
     return pack_conversations(_transcripts(spark, sf_dir), budget=2000)
 
 
+def q_conv_role_drift(spark, sf_dir):
+    """Categorical PSI of the role mix: February+ vs January traffic —
+    did the role distribution of incoming transcripts change shape?"""
+    from ..operators.drift import psi_drift_categorical
+
+    return psi_drift_categorical(
+        _transcripts(spark, sf_dir),
+        F.col("role"),
+        F.col("ts") >= F.lit("2025-02-01").cast("timestamp"),
+        feature_name="role",
+    )
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -842,6 +855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_curation_gate": q_transcript_curation_gate,
     "conv_gate_incremental": q_conv_gate_incremental,
     "conv_pack": q_pack_conversations,
+    "conv_role_drift": q_conv_role_drift,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1192,6 +1206,26 @@ SELECT shard, conv_id, n_tokens, pack_id,
   row_number() OVER (PARTITION BY shard, pack_id ORDER BY conv_id) - 1 AS pack_pos,
   fill, n_tokens > 2000 AS oversize
 FROM packs"""
+
+    o["conv_role_drift"] = f"""
+WITH base AS (
+  SELECT coalesce(CAST(role AS VARCHAR), '<null>') AS cat,
+         ts >= TIMESTAMP '2025-02-01' AS cur
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+),
+counts AS (
+  SELECT cat,
+    CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM base GROUP BY cat
+),
+tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref, CAST(sum(n_cur) AS BIGINT) AS t_cur FROM counts)
+SELECT 'role' AS feature, cat, n_ref, n_cur,
+  round(greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6), 6) AS p_ref,
+  round(greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6), 6) AS p_cur,
+  round((greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6) - greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))
+        * (ln(greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6)) - ln(greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))), 6) AS psi_term
+FROM counts, tot"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

@@ -43,3 +43,20 @@ def test_null_features_excluded_and_constant_feature_single_bucket(spark):
     out = psi_drift(df, F.col("x"), F.col("cur")).collect()
     assert len(out) == 1 and out[0].bucket == 0
     assert out[0].n_ref == 1 and out[0].n_cur == 1
+
+
+def test_categorical_drift_tracks_nulls_and_new_categories(spark):
+    from opentelemetry_collector_contrib_spark.operators.drift import (
+        psi_drift_categorical,
+    )
+
+    df = spark.createDataFrame(
+        [("a", False)] * 8 + [("b", False)] * 2
+        + [("a", True)] * 2 + [("b", True)] * 4 + [(None, True)] * 4,
+        "cat string, cur boolean",
+    )
+    out = {r.cat: r for r in psi_drift_categorical(df, F.col("cat"), F.col("cur")).collect()}
+    assert set(out) == {"a", "b", "<null>"}
+    assert out["<null>"].n_ref == 0 and out["<null>"].n_cur == 4
+    assert out["<null>"].psi_term > 0  # NULL surge counts as drift
+    assert sum(r.psi_term for r in out.values()) > 0.25
