@@ -450,3 +450,86 @@ def write_stream_sinks_with_dlq(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_curation_gate(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_consecutive_failures: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming per-conversation curation verdicts: turn files arrive as
+    micro-batches (conversations may span batches); each batch appends to
+    a snapshot-store turns archive, refreshes gate state ONLY for the
+    conversations the batch touches (operators/conv_qa.py
+    curation_gate_incremental), and publishes the full verdict table.
+
+    State = two snapshot tables under `{out_dir}`: `turns` (append-only
+    archive, replay-guarded by a max_batch high-water mark) and `state`
+    (per-conversation component rows, overwritten per batch — one tiny
+    row per conversation, never per turn). Crash/replay safety: a
+    replayed batch skips the already-committed turns append, and the
+    incremental refresh is idempotent (touched conversations recompute
+    to identical rows from the archive). Verdicts land per-batch in
+    overwrite partitions (the write_stream_sinks contract).
+
+    At scale the touched-conv recompute reads the turns archive through
+    a semi-join on conv_id — under the bucketed layout
+    (plans/bucketing.py) that is a bucket-pruned read, not a table scan.
+    """
+    import os
+
+    from ..operators.conv_qa import (
+        curation_gate_from_state,
+        curation_gate_incremental,
+        curation_gate_state,
+    )
+    from ..plans.snapshots import SnapshotStore, read_snapshot, write_snapshot
+
+    turns_tbl = os.path.join(out_dir, "turns")
+    state_tbl = os.path.join(out_dir, "state")
+    verdict_dir = os.path.join(out_dir, "verdicts")
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        turns_cur = SnapshotStore(turns_tbl).current()
+        committed = (turns_cur.get("summary") or {}).get("max_batch", -1) if turns_cur else -1
+        if batch_id > committed:
+            write_snapshot(
+                batch_df, turns_tbl, mode="append", summary={"max_batch": batch_id}
+            )
+        base = read_snapshot(spark, turns_tbl)
+        state_cur = SnapshotStore(state_tbl).current()
+        if state_cur and state_cur["files"]:
+            prior = read_snapshot(spark, state_tbl)
+            new_state, verdicts = curation_gate_incremental(
+                base, batch_df, prior, max_consecutive_failures
+            )
+        else:
+            new_state = curation_gate_state(base)
+            verdicts = curation_gate_from_state(new_state, max_consecutive_failures)
+        new_state.persist()
+        try:
+            verdicts.write.mode("overwrite").parquet(f"{verdict_dir}/_batch={batch_id}")
+            write_snapshot(
+                new_state, state_tbl, mode="overwrite", summary={"max_batch": batch_id}
+            )
+        finally:
+            new_state.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

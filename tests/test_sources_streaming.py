@@ -526,3 +526,65 @@ def test_streaming_sink_fanout_with_dlq(spark, stream_input, tmp_path, dims):
     if dlq:
         bad = spark.read.parquet(f"{base}/quarantine")
         assert bad.filter(F.col("error_reason").isNull()).count() == 0
+
+
+def test_streaming_curation_gate_equals_batch(spark, tmp_path):
+    """Conversations arrive split across micro-batches; the final streamed
+    verdict table equals the one-shot gate over everything seen, and a
+    replayed run (same checkpoint) changes nothing."""
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.operators.conv_qa import (
+        transcript_curation_gate,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_curation_gate,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    err = "LOG lvl=info tool=search latency_ms=1 status=err"
+    batches = [
+        # batch 0: conv a opens; conv b complete (dup of a's eventual shape? no — own)
+        [("a", 0, "user", "hi", "none", ts), ("b", 0, "user", "hi", "none", ts), ("b", 1, "assistant", "hello", "none", ts)],
+        # batch 1: conv a continues (now identical to b); conv c with failures
+        [("a", 1, "assistant", "hello", "none", ts), ("c", 0, "user", "go", "none", ts), ("c", 1, "assistant", err, "search", ts)],
+        # batch 2: conv c keeps failing past the cap
+        [("c", 2, "tool", err, "search", ts), ("c", 3, "tool", err, "search", ts)],
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+        all_rows += rows
+
+    out = str(tmp_path / "gate_out")
+    q = streaming_curation_gate(spark, str(src) + "/*", out, str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    # latest verdict partition = the final full table
+    import os
+
+    last = sorted(os.listdir(f"{out}/verdicts"))[-1]
+    streamed = {
+        r.conv_id: (r.n_turns, r.qa_pass, r.is_dup, r.max_chain_failures, r.eligible)
+        for r in spark.read.parquet(f"{out}/verdicts/{last}").collect()
+    }
+    batch_df = spark.createDataFrame(all_rows, schema)
+    expected = {
+        r.conv_id: (r.n_turns, r.qa_pass, r.is_dup, r.max_chain_failures, r.eligible)
+        for r in transcript_curation_gate(batch_df).collect()
+    }
+    assert streamed == expected
+    assert streamed["b"][2] is True or streamed["a"][2] is True  # a/b dup pair resolved
+    assert streamed["c"][4] is False  # 3-failure chain blocks eligibility
+
+    # replay with the same checkpoint: no new work, verdicts unchanged
+    q2 = streaming_curation_gate(spark, str(src) + "/*", out, str(tmp_path / "ck"))
+    q2.awaitTermination()
+    streamed2 = {
+        r.conv_id: (r.n_turns, r.qa_pass, r.is_dup, r.max_chain_failures, r.eligible)
+        for r in spark.read.parquet(f"{out}/verdicts/{last}").collect()
+    }
+    assert streamed2 == streamed
