@@ -9,19 +9,42 @@ is the standard gate: bucket a feature identically on both sides,
 compare proportions; psi < 0.1 stable, 0.1-0.25 moderate shift, > 0.25
 investigate.
 
-Plan shape: one tiny global min/max aggregate (broadcast back via a
-literal-key join — never a collect, never a crossJoin), then ONE hash
-aggregate over (side, bucket) and a pivot-free reshape. The shuffle
-carries `2 × n_buckets` rows per feature regardless of input size.
+Plan shape: the numeric variant's bucket edges come from a two-scalar
+min/max aggregate collected driver-side and inlined as literals (the
+same justified-tiny-collect pattern as the IVF centroid inlining —
+2 doubles, never data rows; a literal-key join would plan a
+BroadcastNestedLoopJoin and a global window would funnel every row to
+one partition). After that: ONE hash aggregate over buckets; side
+totals are an unpartitioned window over the n_buckets-row counts frame
+(bounded by bucket count, not input). The shuffle carries
+``2 × n_buckets`` rows per feature regardless of input size.
 Smoothing: proportions are floored at ``eps`` so empty buckets
-contribute a large-but-finite term instead of ±inf (the standard PSI
+contribute a large-but-finite term instead of ±inf (standard PSI
 practice), keeping the statistic engine-portable and NaN-free.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+def _psi_select(counts: DataFrame, bucket_col: str, feature_name: str, eps: float):
+    tot = Window.partitionBy()  # over the tiny counts frame only — never raw rows
+    t_ref = F.sum("n_ref").over(tot)
+    t_cur = F.sum("n_cur").over(tot)
+    p_ref = F.greatest(F.col("n_ref") / t_ref, F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / t_cur, F.lit(eps))
+    return counts.select(
+        F.lit(feature_name).alias("feature"),
+        bucket_col,
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * (F.log(p_cur) - F.log(p_ref)), 6).alias(
+            "psi_term"
+        ),
+    )
 
 
 def psi_drift(
@@ -38,45 +61,27 @@ def psi_drift(
     Buckets are fixed-width over the COMBINED min/max (both sides see
     identical bucket edges — bucketing per side would hide drift);
     rows with a NULL feature are excluded on both sides alike. Output:
-    one row per bucket with both proportions and the PSI term
+    one row per non-empty bucket with both proportions and the PSI term
     (rounded to 6 for engine portability); sum(psi_term) is the PSI.
     """
     base = df.select(
         feature.cast("double").alias("x"), is_current.alias("cur")
     ).filter(F.col("x").isNotNull())
-    bounds = base.groupBy().agg(
-        F.min("x").alias("mn"), F.max("x").alias("mx")
-    ).withColumn("k", F.lit(1))
-    b = base.withColumn("k", F.lit(1)).join(F.broadcast(bounds), "k").drop("k")
-    width = (F.col("mx") - F.col("mn")) / F.lit(n_buckets)
-    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col("x") - F.col("mn")) / width).cast("int"),
+    row = base.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None or mx is None or mx == mn:
+        bucket = F.lit(0)
+    else:
+        width = (mx - mn) / n_buckets
+        bucket = F.least(
+            F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
             F.lit(n_buckets - 1),
         )
-    )
-    counts = b.groupBy(bucket.alias("bucket")).agg(
+    counts = base.groupBy(bucket.alias("bucket")).agg(
         F.sum(F.when(~F.col("cur"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
         F.sum(F.when(F.col("cur"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
     )
-    tot = counts.groupBy().agg(
-        F.sum("n_ref").cast("bigint").alias("t_ref"),
-        F.sum("n_cur").cast("bigint").alias("t_cur"),
-    ).withColumn("k", F.lit(1))
-    out = counts.withColumn("k", F.lit(1)).join(F.broadcast(tot), "k").drop("k")
-    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
-    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
-    return out.select(
-        F.lit(feature_name).alias("feature"),
-        "bucket",
-        "n_ref",
-        "n_cur",
-        F.round(p_ref, 6).alias("p_ref"),
-        F.round(p_cur, 6).alias("p_cur"),
-        F.round((p_cur - p_ref) * (F.log(p_cur) - F.log(p_ref)), 6).alias(
-            "psi_term"
-        ),
-    )
+    return _psi_select(counts, "bucket", feature_name, eps)
 
 
 def psi_drift_categorical(
@@ -89,7 +94,8 @@ def psi_drift_categorical(
     """Categorical PSI: one bucket per category value (NULL categories
     tracked as their own bucket — a surge of NULLs IS drift). Same
     smoothing and output contract as the numeric variant; categories are
-    their own edges, so no bounds pass is needed."""
+    their own edges, so no bounds pass is needed and the whole statistic
+    is ONE hash aggregate + a window over the category-count frame."""
     base = df.select(
         F.coalesce(feature.cast("string"), F.lit("<null>")).alias("cat"),
         is_current.alias("cur"),
@@ -98,21 +104,4 @@ def psi_drift_categorical(
         F.sum(F.when(~F.col("cur"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
         F.sum(F.when(F.col("cur"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
     )
-    tot = counts.groupBy().agg(
-        F.sum("n_ref").cast("bigint").alias("t_ref"),
-        F.sum("n_cur").cast("bigint").alias("t_cur"),
-    ).withColumn("k", F.lit(1))
-    out = counts.withColumn("k", F.lit(1)).join(F.broadcast(tot), "k").drop("k")
-    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
-    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
-    return out.select(
-        F.lit(feature_name).alias("feature"),
-        "cat",
-        "n_ref",
-        "n_cur",
-        F.round(p_ref, 6).alias("p_ref"),
-        F.round(p_cur, 6).alias("p_cur"),
-        F.round((p_cur - p_ref) * (F.log(p_cur) - F.log(p_ref)), 6).alias(
-            "psi_term"
-        ),
-    )
+    return _psi_select(counts, "cat", feature_name, eps)

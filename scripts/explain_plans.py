@@ -23,7 +23,7 @@ from opentelemetry_collector_contrib_spark.session import get_spark
 def main() -> None:
     which = set(sys.argv[1:]) or {
         "q1", "agg", "dedup", "grok", "drain", "curation", "pack",
-        "decontam", "shuffle", "balance", "timeseries",
+        "decontam", "shuffle", "balance", "timeseries", "convqa", "drift",
     }
     spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -112,6 +112,27 @@ def main() -> None:
         ]:
             print("=" * 30, name, "=" * 30)
             q(spark, sf).explain("formatted")
+    if "convqa" in which:
+        from opentelemetry_collector_contrib_spark.registry.datapipe import (
+            q_pack_conversations,
+            q_tool_retry_chains,
+            q_transcript_curation_gate,
+        )
+
+        for name, q in [
+            ("tool retry chains (one exchange, island agg reuses it)", q_tool_retry_chains),
+            ("curation gate (per-conv joins + digest window)", q_transcript_curation_gate),
+            ("conversation packing (agg + per-shard applyInPandas)", q_pack_conversations),
+        ]:
+            print("=" * 30, name, "=" * 30)
+            q(spark, sf).explain("formatted")
+    if "drift" in which:
+        from opentelemetry_collector_contrib_spark.registry.telemetry import (
+            q_events_value_drift,
+        )
+
+        print("=" * 30, "PSI drift (bounds broadcast, one hash agg)", "=" * 30)
+        q_events_value_drift(spark, sf).explain("formatted")
     spark.stop()
 
 
