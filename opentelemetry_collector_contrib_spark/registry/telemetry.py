@@ -877,6 +877,19 @@ def q_events_value_drift(spark, sf_dir):
     )
 
 
+def q_events_value_ks(spark, sf_dir):
+    """KS drift of the event value distribution on the 10k-cell grid,
+    same window split as events_value_drift."""
+    from ..operators.drift import ks_drift
+
+    return ks_drift(
+        _events(spark, sf_dir),
+        F.col("value"),
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        feature_name="value",
+    )
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4603,6 +4616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unroll_tokens": q_unroll_tokens,
     "pipeline_quarantine": q_pipeline_quarantine,
     "events_value_drift": q_events_value_drift,
+    "events_value_ks": q_events_value_ks,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7649,6 +7663,39 @@ SELECT 'value' AS feature, bucket, n_ref, n_cur,
   round((greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6) - greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))
         * (ln(greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6)) - ln(greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))), 6) AS psi_term
 FROM counts, tot"""
+
+    o["events_value_ks"] = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+         ts >= TIMESTAMP '2024-01-16' AS cur
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
+cells AS (
+  SELECT CAST(CASE WHEN b.mx = b.mn THEN 0
+              ELSE least(CAST(floor((x - b.mn) / ((b.mx - b.mn) / 10000)) AS INT), 9999)
+         END AS INT) AS cell, cur
+  FROM base, b
+),
+counts AS (
+  SELECT cell,
+    CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM cells GROUP BY cell
+),
+d AS (
+  SELECT cell, n_ref, n_cur,
+    sum(n_ref) OVER (ORDER BY cell) / CAST((SELECT sum(n_ref) FROM counts) AS DOUBLE)
+    - sum(n_cur) OVER (ORDER BY cell) / CAST((SELECT sum(n_cur) FROM counts) AS DOUBLE) AS gap
+  FROM counts
+),
+m AS (SELECT max(abs(gap)) AS mg FROM d)
+SELECT 'value' AS feature,
+  CAST(sum(n_ref) AS BIGINT) AS n_ref,
+  CAST(sum(n_cur) AS BIGINT) AS n_cur,
+  round((SELECT mg FROM m), 6) AS ks_stat,
+  (SELECT min(cell) FROM d, m WHERE abs(gap) = mg) AS ks_at
+FROM counts"""
 
     o["pipeline_quarantine"] = (
         cte

@@ -60,3 +60,28 @@ def test_categorical_drift_tracks_nulls_and_new_categories(spark):
     assert out["<null>"].n_ref == 0 and out["<null>"].n_cur == 4
     assert out["<null>"].psi_term > 0  # NULL surge counts as drift
     assert sum(r.psi_term for r in out.values()) > 0.25
+
+
+def test_ks_drift_detects_shift_and_zero_on_identical(spark):
+    from opentelemetry_collector_contrib_spark.operators.drift import ks_drift
+
+    # alternate FULL 0-99 sweeps between sides so both ECDFs are identical
+    # (a per-row id%2 split would give evens to one side, odds to the other
+    # — genuinely different distributions with a real 1/50 gap)
+    same = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        ((F.col("id") / 100).cast("int") % 2 == 0).alias("cur"),
+    )
+    r = ks_drift(same, F.col("x"), F.col("cur")).collect()[0]
+    assert r.ks_stat == 0.0 and r.n_ref == 1000 and r.n_cur == 1000
+
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("x"), F.lit(False).alias("cur")
+    )
+    cur = spark.range(1000).select(
+        (F.col("id") % 100 + 50).cast("double").alias("x"), F.lit(True).alias("cur")
+    )
+    r2 = ks_drift(ref.unionByName(cur), F.col("x"), F.col("cur")).collect()[0]
+    # disjoint halves overlap 50%: the ECDF gap peaks at 0.5 where the
+    # reference has finished its exclusive low range
+    assert abs(r2.ks_stat - 0.5) < 0.02
