@@ -890,6 +890,32 @@ def q_events_value_ks(spark, sf_dir):
     )
 
 
+def q_tool_slo_report(spark, sf_dir):
+    """Per-tool SLO table over the parsed pipeline: call volume, error
+    rate, and exact p50/p95/p99 latency — the RED-metrics dashboard row
+    (spanmetrics semantics at tool granularity, explicit quantiles)."""
+    r = _routed(spark, sf_dir).filter(
+        (F.col("tool") != "none")
+        & F.col("status").isNotNull()
+        & F.col("latency_ms").isNotNull()
+    )
+    q = F.expr("percentile(latency_ms, array(0.5, 0.95, 0.99))")
+    return r.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum(F.when(F.col("status") == "err", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+        F.round(
+            F.sum(F.when(F.col("status") == "err", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("err_rate"),
+        F.round(q.getItem(0), 6).alias("p50_ms"),
+        F.round(q.getItem(1), 6).alias("p95_ms"),
+        F.round(q.getItem(2), 6).alias("p99_ms"),
+    )
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4617,6 +4643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_quarantine": q_pipeline_quarantine,
     "events_value_drift": q_events_value_drift,
     "events_value_ks": q_events_value_ks,
+    "tool_slo_report": q_tool_slo_report,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7696,6 +7723,21 @@ SELECT 'value' AS feature,
   round((SELECT mg FROM m), 6) AS ks_stat,
   (SELECT min(cell) FROM d, m WHERE abs(gap) = mg) AS ks_at
 FROM counts"""
+
+    o["tool_slo_report"] = (
+        cte
+        + """
+SELECT tool,
+  count(*) AS n_calls,
+  CAST(sum(CASE WHEN status = 'err' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+  round(sum(CASE WHEN status = 'err' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS err_rate,
+  round(quantile_cont(latency_ms, 0.5), 6) AS p50_ms,
+  round(quantile_cont(latency_ms, 0.95), 6) AS p95_ms,
+  round(quantile_cont(latency_ms, 0.99), 6) AS p99_ms
+FROM ordered
+WHERE tool <> 'none' AND status IS NOT NULL AND latency_ms IS NOT NULL
+GROUP BY tool"""
+    )
 
     o["pipeline_quarantine"] = (
         cte
