@@ -393,3 +393,92 @@ def corpus_summary(
             F.lit(1.0) - F.countDistinct(h60(F.col(text_col))) / n.cast("double"), 6
         ).alias("dup_frac"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 retrieval scoring: top-k documents per query.
+
+    Okapi BM25 with the Robertson/Lucene non-negative idf,
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — the retrieval pass a training
+    pipeline runs to mine paired data or dedup against a query set.
+
+    Scale: doc side is tokenized once into a (doc, term, tf) index with
+    per-doc lengths (two hash aggs); candidates come from an inverted
+    equi-join of query terms against that index — never a doc×query
+    cross product; cost is Σ df(t) over query terms. ``max_df`` drops
+    stop-like terms from candidate GENERATION (the classic df cap that
+    bounds join skew at corpus scale; scoring semantics shift accordingly
+    — the oracle gate runs uncapped). Corpus constants N and avgdl are
+    two driver-side scalars inlined as literals. Final top-k is one
+    window per query (WindowGroupLimit), ties broken by doc id.
+    """
+    d_terms = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = d_terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = d_terms.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = row["n"], float(row["avgdl"])
+
+    q_terms = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    cand = (
+        q_terms.join(dfreq, "term")
+        .join(tf, "term")
+        .join(dlen, "doc")
+        .select(
+            "qid",
+            "doc",
+            "term",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("s"),
+        )
+    )
+    # term-sorted sequential fold, NOT F.sum: float addition is not
+    # associative, and a partial-aggregation sum order varies run-to-run
+    # and engine-to-engine — the fold pins one deterministic order (the
+    # same trick the embedding dot-product oracle uses)
+    scored = cand.groupBy("qid", "doc").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda a, x: a + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("doc").alias(id_col),
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )

@@ -837,6 +837,23 @@ def q_conv_role_drift(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 retrieval: the 5 lowest-id documents' first 8 tokens
+    serve as deterministic queries against the whole corpus."""
+    from ..operators.textstats import bm25_search, tokens
+
+    docs = _docs(spark, sf_dir)
+    qs = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)).alias("query_text"),
+        )
+    )
+    return bm25_search(docs, qs, top_k=10)
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -856,6 +873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_gate_incremental": q_conv_gate_incremental,
     "conv_pack": q_pack_conversations,
     "conv_role_drift": q_conv_role_drift,
+    "bm25_search": q_bm25_search,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1226,6 +1244,41 @@ SELECT 'role' AS feature, cat, n_ref, n_cur,
   round((greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6) - greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))
         * (ln(greatest(n_cur / CAST(t_cur AS DOUBLE), 1e-6)) - ln(greatest(n_ref / CAST(t_ref AS DOUBLE), 1e-6))), 6) AS psi_term
 FROM counts, tot"""
+
+    o["bm25_search"] = f"""
+WITH dterms AS (SELECT doc_id AS doc, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc, term, count(*) AS tf FROM dterms GROUP BY doc, term),
+dlen AS (SELECT doc, count(*) AS dl FROM dterms GROUP BY doc),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(CAST(len({SQL_TOKS}) AS DOUBLE)) AS avgdl
+          FROM documents),
+qs AS (
+  SELECT doc_id AS qid,
+         list_distinct(list_filter(regexp_split_to_array(trim(
+           array_to_string(list_slice({SQL_TOKS}, 1, 8), ' ')), '\s+'), t -> t <> '')) AS qterms
+  FROM documents ORDER BY doc_id LIMIT 5
+),
+qt AS (SELECT qid, unnest(qterms) AS term FROM qs),
+cand AS (
+  SELECT qt.qid, tf.doc, tf.term,
+    ln(1.0 + ((s.n - dfq.df) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dlen.dl AS DOUBLE)) / s.avgdl)) AS s
+  FROM qt JOIN dfq USING (term) JOIN tf USING (term) JOIN dlen USING (doc), stats s
+),
+scored AS (
+  SELECT qid, doc, list_sum(list(s ORDER BY term)) AS score
+  FROM cand GROUP BY qid, doc
+),
+ranked AS (
+  SELECT qid, doc, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS score,
+  CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

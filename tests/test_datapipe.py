@@ -711,3 +711,29 @@ def test_char_entropy_cap_and_plan(spark):
         char_entropy(df).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bm25_self_retrieval_and_df_cap(spark):
+    from opentelemetry_collector_contrib_spark.operators.textstats import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over the lazy dog"),
+            (2, "the quick blue hare sleeps all day long"),
+            (3, "unrelated text about spark shuffles and joins"),
+            (4, "the the the the the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(100, "quick brown fox")], "query_id long, query_text string"
+    )
+    out = bm25_search(docs, qs, top_k=3).collect()
+    assert out[0].doc_id == 1 and out[0].rank == 1  # exact-phrase doc wins
+    assert all(a.score >= b.score for a, b in zip(out, out[1:]))
+    assert {r.doc_id for r in out} <= {1, 2}  # doc 3/4 share no query term... (4 has 'the'? no)
+    # df cap: 'the' appears in 3 docs; max_df=2 drops it from candidates,
+    # so a 'the'-only query matches nothing
+    only_the = spark.createDataFrame([(7, "the")], "query_id long, query_text string")
+    assert bm25_search(docs, only_the, max_df=2).count() == 0
+    assert bm25_search(docs, only_the).count() == 3
