@@ -395,3 +395,52 @@ def threshold_transitions(
         .filter(F.col(edge_col).isNotNull())
         .drop("__state")
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered funnel completion per key — earliest-completion semantics.
+
+    ``step1_us`` is the key's first step-1 event; ``step{i}_us`` the
+    first step-i event STRICTLY after step i-1 (and, with ``within_us``,
+    no later than step1 + window — the anchored funnel window). Output:
+    one row per key that entered the funnel, the per-step timestamps
+    (NULL once the funnel stalls), ``n_steps`` reached and ``converted``.
+
+    Scale: one filtered min-aggregate plus one equi-join per step, every
+    one keyed on ``key_col`` — Catalyst/AQE reuses the same hash
+    partitioning down the chain, so a k-step funnel over 10^12 events is
+    k narrow passes over the (key, ts) projection of the matching types,
+    never a per-key event-list materialization.
+    """
+    us = _us(ts_col)
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(us).alias("step1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(key_col), us.alias("_ev_us")
+        )
+        j = ev.join(cur, key_col).filter(F.col("_ev_us") > F.col(f"step{i-1}_us"))
+        if within_us is not None:
+            j = j.filter(F.col("_ev_us") <= F.col("step1_us") + F.lit(within_us))
+        nxt = j.groupBy(key_col).agg(F.min("_ev_us").alias(f"step{i}_us"))
+        cur = cur.join(nxt, key_col, "left")
+    n_steps = sum(
+        F.when(F.col(f"step{i}_us").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.select(
+        key_col,
+        *[f"step{i}_us" for i in range(1, len(steps) + 1)],
+        n_steps.cast("int").alias("n_steps"),
+        F.col(f"step{len(steps)}_us").isNotNull().alias("converted"),
+    )

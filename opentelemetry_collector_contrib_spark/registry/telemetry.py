@@ -916,6 +916,18 @@ def q_tool_slo_report(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel per user, earliest-completion
+    semantics with a 7-day anchored window."""
+    from ..operators.timeseries import funnel_steps
+
+    return funnel_steps(
+        _events(spark, sf_dir),
+        ["view", "click", "purchase"],
+        within_us=7 * 24 * 3600 * 1_000_000,
+    )
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4644,6 +4656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_drift": q_events_value_drift,
     "events_value_ks": q_events_value_ks,
     "tool_slo_report": q_tool_slo_report,
+    "events_funnel": q_events_funnel,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7738,6 +7751,31 @@ FROM ordered
 WHERE tool <> 'none' AND status IS NOT NULL AND latency_ms IS NOT NULL
 GROUP BY tool"""
     )
+
+    o["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS step1_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS step2_us
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.step1_us
+    AND epoch_us(e.ts) <= s1.step1_us + 604800000000
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS step3_us
+  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step2_us
+    AND epoch_us(e.ts) <= s1.step1_us + 604800000000
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, step1_us, step2_us, step3_us,
+  CAST(1 + CASE WHEN step2_us IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN step3_us IS NULL THEN 0 ELSE 1 END AS INT) AS n_steps,
+  step3_us IS NOT NULL AS converted
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
 
     o["pipeline_quarantine"] = (
         cte

@@ -278,3 +278,38 @@ def test_threshold_transitions_edges(spark):
         for r in threshold_transitions(df, ["k"], ["i"], F.col("sig")).collect()
     }
     assert out == {("k1", 2): "rising", ("k1", 4): "falling", ("k2", 1): "rising"}
+
+
+def test_funnel_steps_ordering_and_window(spark):
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import funnel_steps
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 completes in order
+        (1, "view", at(0)), (1, "click", at(5)), (1, "purchase", at(9)),
+        # u2: click BEFORE view never counts; no click after view -> stalls at 1
+        (2, "click", at(0)), (2, "view", at(3)), (2, "purchase", at(4)),
+        # u3: completes but purchase outside the 10-minute window
+        (3, "view", at(0)), (3, "click", at(2)), (3, "purchase", at(30)),
+        # u4 never enters (no view)
+        (4, "click", at(1)), (4, "purchase", at(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r.user_id: r
+        for r in funnel_steps(
+            df, ["view", "click", "purchase"], within_us=10 * 60 * 1_000_000
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # u4 never entered
+    assert out[1].converted is True and out[1].n_steps == 3
+    assert out[2].n_steps == 1 and out[2].step2_us is None  # pre-view click ignored
+    assert out[3].n_steps == 2 and out[3].converted is False  # window cut
+    # earliest-completion: u1 step ts are the first qualifying events
+    assert out[1].step2_us - out[1].step1_us == 5 * 60 * 1_000_000
