@@ -444,3 +444,36 @@ def funnel_steps(
         n_steps.cast("int").alias("n_steps"),
         F.col(f"step{len(steps)}_us").isNotNull().alias("converted"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: keys cohorted by the week of their
+    first event; one row per (cohort_week, week_offset) with the number
+    of cohort members active that week. Both week edges come from
+    ``date_trunc('week', ...)`` (Monday start in Spark AND DuckDB), so
+    offsets are exact 7-day multiples.
+
+    Scale: first-seen is one min-aggregate on the key; activity weeks are
+    one distinct projection; both shuffle on the key, then the matrix is
+    one hash aggregate over (cohort, offset) — output is
+    O(cohorts × horizon), independent of event count.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    first = df.groupBy(key_col).agg(
+        F.date_trunc("week", F.min(ts)).alias("cohort_week")
+    )
+    active = df.select(
+        F.col(key_col), F.date_trunc("week", ts).alias("act_week")
+    ).distinct()
+    j = active.join(first, key_col)
+    offset = (
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("int")
+    return (
+        j.groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

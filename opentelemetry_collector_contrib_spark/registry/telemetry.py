@@ -928,6 +928,13 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table."""
+    from ..operators.timeseries import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4657,6 +4664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_ks": q_events_value_ks,
     "tool_slo_report": q_tool_slo_report,
     "events_funnel": q_events_funnel,
+    "events_cohorts": q_events_cohorts,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7776,6 +7784,20 @@ SELECT s1.user_id, step1_us, step2_us, step3_us,
          + CASE WHEN step3_us IS NULL THEN 0 ELSE 1 END AS INT) AS n_steps,
   step3_us IS NOT NULL AS converted
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+
+    o["events_cohorts"] = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week FROM events
+)
+SELECT cohort_week,
+  CAST((epoch(act_week) - epoch(cohort_week)) / 604800 AS INT) AS week_offset,
+  count(*) AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset"""
 
     o["pipeline_quarantine"] = (
         cte

@@ -313,3 +313,33 @@ def test_funnel_steps_ordering_and_window(spark):
     assert out[3].n_steps == 2 and out[3].converted is False  # window cut
     # earliest-completion: u1 step ts are the first qualifying events
     assert out[1].step2_us - out[1].step1_us == 5 * 60 * 1_000_000
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    mon = dt.datetime(2026, 1, 5)  # a Monday
+
+    def wk(w, d=0):
+        return mon + dt.timedelta(weeks=w, days=d)
+
+    rows = [
+        # cohort week 0: u1 active weeks 0,1,2; u2 weeks 0,2
+        (1, wk(0)), (1, wk(0, 3)), (1, wk(1)), (1, wk(2)),
+        (2, wk(0, 1)), (2, wk(2, 4)),
+        # cohort week 1: u3 active weeks 1 only
+        (3, wk(1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_week.isocalendar()[:2], r.week_offset): r.n_active
+        for r in cohort_retention(df).collect()
+    }
+    w0, w1 = mon.isocalendar()[:2], wk(1).isocalendar()[:2]
+    assert out[(w0, 0)] == 2 and out[(w0, 1)] == 1 and out[(w0, 2)] == 2
+    assert out[(w1, 0)] == 1
+    assert len(out) == 4
