@@ -477,3 +477,41 @@ def cohort_retention(
         j.groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list,  # str column names or (name, Column) pairs
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled gauge per key —
+    each sample holds until the next one (step interpolation), so the
+    average is the integral over held intervals divided by covered time.
+    The final sample of a key has no successor and carries no weight;
+    keys with fewer than two samples yield no row.
+
+    Engine-portable determinism: the weighted sum runs in DECIMAL
+    (exact, associative — immune to float-addition ordering across
+    partial aggregates and engines); only the single final division
+    happens in double. One window for the successor gap + one hash agg.
+    """
+    us = _us(ts_col)
+    names = [k if isinstance(k, str) else k[0] for k in keys]
+    cols = [F.col(k).alias(k) if isinstance(k, str) else k[1].alias(k[0]) for k in keys]
+    named = df.select(*cols, us.alias("us"), F.col(value_col).alias("v"))
+    w = Window.partitionBy(*names).orderBy("us")
+    gap = (F.lead("us").over(w) - F.col("us")).alias("w_us")
+    t = named.select("*", gap).filter(F.col("w_us").isNotNull())
+    vw = F.col("v").cast("decimal(18,6)") * F.col("w_us").cast("decimal(20,0)")
+    agg = t.groupBy(*names).agg(
+        F.sum(vw).alias("sum_vw"),
+        F.sum("w_us").alias("sum_w"),
+    )
+    return agg.select(
+        *names,
+        F.round(
+            F.col("sum_vw").cast("double") / F.col("sum_w").cast("double"), 6
+        ).alias("twa"),
+        F.col("sum_w").alias("covered_us"),
+    )

@@ -935,6 +935,17 @@ def q_events_cohorts(spark, sf_dir):
     return cohort_retention(_events(spark, sf_dir))
 
 
+def q_events_twa(spark, sf_dir):
+    """Per-(user, day) time-weighted average of the gauge value — step
+    interpolation over irregular samples, decimal-exact integral."""
+    from ..operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(
+        _events(spark, sf_dir),
+        ["user_id", ("day", F.date_trunc("day", F.col("ts").cast("timestamp")))],
+    )
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4665,6 +4676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_slo_report": q_tool_slo_report,
     "events_funnel": q_events_funnel,
     "events_cohorts": q_events_cohorts,
+    "events_twa": q_events_twa,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7798,6 +7810,28 @@ SELECT cohort_week,
   count(*) AS n_active
 FROM active JOIN first USING (user_id)
 GROUP BY cohort_week, week_offset"""
+
+    o["events_twa"] = """
+WITH s AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         epoch_us(ts) AS us, value AS v
+  FROM events
+),
+g AS (
+  SELECT *, lead(us) OVER (PARTITION BY user_id, day ORDER BY us) - us AS w_us
+  FROM s
+),
+a AS (
+  SELECT user_id, day,
+    sum(CAST(v AS DECIMAL(18,6)) * CAST(w_us AS DECIMAL(20,0))) AS sum_vw,
+    CAST(sum(w_us) AS BIGINT) AS sum_w
+  FROM g WHERE w_us IS NOT NULL
+  GROUP BY user_id, day
+)
+SELECT user_id, day,
+  round(CAST(sum_vw AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS twa,
+  sum_w AS covered_us
+FROM a"""
 
     o["pipeline_quarantine"] = (
         cte

@@ -343,3 +343,26 @@ def test_cohort_retention_matrix(spark):
     assert out[(w0, 0)] == 2 and out[(w0, 1)] == 1 and out[(w0, 2)] == 2
     assert out[(w1, 0)] == 1
     assert len(out) == 4
+
+
+def test_time_weighted_avg_step_interpolation(spark):
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # value 10 held for 30s, then 20 held for 10s -> twa = (10*30+20*10)/40 = 12.5
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=30), 20.0),
+        (1, t0 + dt.timedelta(seconds=40), 99.0),  # final sample carries no weight
+        # single-sample key yields no row
+        (2, t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.user_id: r for r in time_weighted_avg(df, ["user_id"]).collect()}
+    assert set(out) == {1}
+    assert out[1].twa == 12.5
+    assert out[1].covered_us == 40 * 1_000_000
