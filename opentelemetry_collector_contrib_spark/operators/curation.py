@@ -918,3 +918,41 @@ def pack_conversations(
         )
 
     return toks.groupBy("shard").applyInPandas(_next_fit, schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws a reproducible uniform from the
+    portable 60-bit hash of (seed, id), gets key = -ln(u)/w — an
+    Exp(rate=w) draw — and the k SMALLEST keys win (the exponential
+    race: heavier rates finish sooner), inclusion probability
+    proportional to weight, exactly the reservoir rule (u^(1/w)
+    max-form log-transformed), but with zero RNG state so every engine
+    and every rerun selects the identical sample (resume/caching safe).
+    Rows with weight <= 0 or NULL never win.
+
+    Scale: a scan-side projection plus ONE top-k (window row_number,
+    WindowGroupLimit ships at most k rows per map task) — no global sort
+    of the corpus.
+    """
+    from .textstats import h60
+
+    u = (h60(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))) + 1).cast(
+        "double"
+    ) / F.lit(float(2**60))
+    key = -F.log(u) / weight
+    t = df.withColumn("_wkey", key).filter(
+        weight.isNotNull() & (weight > 0) & F.col("_wkey").isNotNull()
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("_wkey").asc(), F.col(id_col))
+    return (
+        t.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_wkey")
+    )

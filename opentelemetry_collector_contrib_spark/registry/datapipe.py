@@ -854,6 +854,16 @@ def q_bm25_search(spark, sf_dir):
     return bm25_search(docs, qs, top_k=10)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus sample: 200 documents drawn by the
+    deterministic A-ES rule with weight = doc length in chars."""
+    from ..operators.curation import weighted_sample
+
+    d = _docs(spark, sf_dir)
+    out = weighted_sample(d, F.col("n_chars").cast("double"), 200)
+    return out.select("doc_id", "sample_rank")
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -874,6 +884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_pack": q_pack_conversations,
     "conv_role_drift": q_conv_role_drift,
     "bm25_search": q_bm25_search,
+    "curation_weighted_sample": q_weighted_sample,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1279,6 +1290,20 @@ ranked AS (
 SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS score,
   CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
+
+    o["curation_weighted_sample"] = f"""
+WITH keyed AS (
+  SELECT doc_id,
+    -ln(CAST({sql_h60("'ws1:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+        / 1152921504606846976.0)
+      / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY wkey ASC, doc_id) AS INT) AS sample_rank
+FROM keyed
+QUALIFY sample_rank <= 200"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

@@ -455,3 +455,29 @@ def test_c4_line_filter_is_projection(spark):
         c4_line_filter(df).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 100.0).otherwise(1.0).alias("wt"),
+    )
+    out = weighted_sample(df, F.col("wt"), 100, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 100
+    heavy = sum(1 for r in rows if r.doc_id < 500)
+    assert heavy > 80  # 100x-weighted group dominates the sample
+    # deterministic under input order
+    again = weighted_sample(df.orderBy(F.rand(3)), F.col("wt"), 100, id_col="doc_id")
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in rows}
+    # zero/negative/null weights never win
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)], "doc_id long, wt double"
+    )
+    assert [r.doc_id for r in weighted_sample(bad, F.col("wt"), 10).collect()] == [4]
