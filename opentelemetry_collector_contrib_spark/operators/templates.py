@@ -226,3 +226,66 @@ def robust_anomaly_score(
     return scored.withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("anomaly_score")) > z_threshold, F.lit(False))
     ).drop("_med", "_mad")
+
+
+def pagerank_iterations(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src_col: str = "caller",
+    dst_col: str = "callee",
+    weight_col: str | None = "call_count",
+) -> DataFrame:
+    """Weighted PageRank by a FIXED number of unrolled power iterations —
+    node centrality over the service graph (which tool/role is the hub).
+
+    Deterministic and engine-portable by construction: a fixed iteration
+    count (no convergence test — the plan is a static DAG an oracle can
+    mirror by unrolling the same CTE levels), uniform 1/N init, dangling
+    nodes redistribute nothing (standard simplification, documented),
+    and each node's incoming contributions are summed by a SRC-SORTED
+    sequential fold, never a hash-agg float sum, so addition order is
+    pinned. In-degree bounds the per-node fold state; N (node count) is
+    one tiny driver scalar.
+
+    Scale: per iteration, one equi-join of the rank table against the
+    edge list (both keyed on the node) + one fold aggregation — the
+    standard message-passing shape; n_iter is small and fixed.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # edge share: fraction of src's rank shipped along this edge
+    share = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("out_w")).alias("frac")
+    )
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(n_iter):
+        contrib = share.join(
+            pr.withColumnRenamed("node", "src"), "src"
+        ).select("dst", "src", (F.col("pr") * F.col("frac")).alias("c"))
+        summed = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda a, x: a + x["c"],
+            ).alias("in_sum")
+        )
+        pr = nodes.join(
+            summed.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

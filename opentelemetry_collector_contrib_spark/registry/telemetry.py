@@ -946,6 +946,15 @@ def q_events_twa(spark, sf_dir):
     )
 
 
+def q_service_graph_pagerank(spark, sf_dir):
+    """3-iteration weighted PageRank over the role service graph — which
+    node is the hub; fixed unrolled iterations so the oracle mirrors."""
+    from ..operators.templates import pagerank_iterations, service_graph_edges
+
+    edges = service_graph_edges(_routed(spark, sf_dir), order_cols=["turn_rn"])
+    return pagerank_iterations(edges, n_iter=3)
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4677,6 +4686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_cohorts": q_events_cohorts,
     "events_twa": q_events_twa,
+    "service_graph_pagerank": q_service_graph_pagerank,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7832,6 +7842,59 @@ SELECT user_id, day,
   round(CAST(sum_vw AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS twa,
   sum_w AS covered_us
 FROM a"""
+
+    o["service_graph_pagerank"] = (
+        cte
+        + """,
+lagged AS (SELECT conv_id, role,
+                  lag(role) OVER (PARTITION BY conv_id ORDER BY turn_rn) AS caller
+           FROM ordered),
+e AS (SELECT caller AS src, role AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM lagged WHERE caller IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nstat AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+share AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / ow.out_w AS frac
+          FROM e JOIN ow USING (src)),
+pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT nn FROM nstat) AS pr FROM nodes),
+pr1 AS (
+  SELECT n.node,
+    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn FROM nstat))
+      + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT dst AS node, list_sum(list(c ORDER BY src)) AS in_sum
+    FROM (
+      SELECT sh.dst, sh.src, p.pr * sh.frac AS c
+      FROM share sh JOIN pr0 p ON p.node = sh.src
+    ) GROUP BY dst
+  ) s USING (node)
+),
+pr2 AS (
+  SELECT n.node,
+    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn FROM nstat))
+      + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT dst AS node, list_sum(list(c ORDER BY src)) AS in_sum
+    FROM (
+      SELECT sh.dst, sh.src, p.pr * sh.frac AS c
+      FROM share sh JOIN pr1 p ON p.node = sh.src
+    ) GROUP BY dst
+  ) s USING (node)
+),
+pr3 AS (
+  SELECT n.node,
+    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nn FROM nstat))
+      + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT dst AS node, list_sum(list(c ORDER BY src)) AS in_sum
+    FROM (
+      SELECT sh.dst, sh.src, p.pr * sh.frac AS c
+      FROM share sh JOIN pr2 p ON p.node = sh.src
+    ) GROUP BY dst
+  ) s USING (node)
+)
+SELECT node, round(pr, 6) AS pagerank FROM pr3"""
+    )
 
     o["pipeline_quarantine"] = (
         cte

@@ -88,3 +88,21 @@ def test_service_graph_edges(spark):
     assert out[("assistant", "user")] == 1
     assert out[("system", "user")] == 1
     assert sum(out.values()) == 4  # n_rows - n_traces
+
+def test_pagerank_hub_wins_and_mass_conserved(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.templates import (
+        pagerank_iterations,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1), ("hub", "a", 3)],
+        "caller string, callee string, call_count long",
+    )
+    out = {r.node: r.pagerank for r in pagerank_iterations(edges, n_iter=5).collect()}
+    assert out["hub"] == max(out.values())
+    assert out["b"] == out["c"]  # symmetric spokes tie
+    assert out["a"] > out["b"]  # a also receives the hub's outflow
+    # no dangling nodes in this graph -> total mass conserved
+    assert abs(sum(out.values()) - 1.0) < 1e-4
