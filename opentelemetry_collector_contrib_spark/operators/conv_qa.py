@@ -347,3 +347,34 @@ def turn_boilerplate(df: DataFrame, min_occurrences: int = 2) -> DataFrame:
             (F.col("n_occurrences") >= min_occurrences) & (F.col("n_convs") > 1)
         )
     )
+
+
+def rl_transitions(df: DataFrame, status_pattern: str = STATUS_RE) -> DataFrame:
+    """Agent-RL transition tuples from transcripts: one row per tool
+    call with (step index, action, reward, done) — the trajectory
+    extraction an RL-on-agent-traces pipeline runs before advantage
+    estimation. Reward is the tool outcome (+1 ok / -1 err), ``done``
+    marks the conversation's final tool call, and ``state_digest`` is a
+    bounded stand-in for the observation: the md5 of the PREVIOUS turn's
+    text (the context the policy saw), 32 bytes regardless of turn size.
+
+    One exchange on conv_id (shared stable order), two window passes.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = df.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        _status(F.col("text"), status_pattern).alias("status"),
+        F.md5(F.coalesce(F.lag("text").over(w), F.lit(""))).alias("state_digest"),
+    ).filter((F.col("tool") != "none") & (F.col("status") != ""))
+    wt = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id",
+        F.row_number().over(wt).alias("step"),
+        "turn_idx",
+        F.col("tool").alias("action"),
+        F.when(F.col("status") == "ok", 1.0).otherwise(-1.0).alias("reward"),
+        (F.lead("turn_idx").over(wt).isNull()).alias("done"),
+        "state_digest",
+    )

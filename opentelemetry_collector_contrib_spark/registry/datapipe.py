@@ -864,6 +864,14 @@ def q_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "sample_rank")
 
 
+def q_rl_transitions(spark, sf_dir):
+    """Agent-RL trajectory tuples: (step, action, reward, done) per tool
+    call with a bounded previous-turn state digest."""
+    from ..operators.conv_qa import rl_transitions
+
+    return rl_transitions(_transcripts(spark, sf_dir))
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -885,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_role_drift": q_conv_role_drift,
     "bm25_search": q_bm25_search,
     "curation_weighted_sample": q_weighted_sample,
+    "conv_rl_transitions": q_rl_transitions,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1304,6 +1313,24 @@ SELECT doc_id,
   CAST(row_number() OVER (ORDER BY wkey ASC, doc_id) AS INT) AS sample_rank
 FROM keyed
 QUALIFY sample_rank <= 200"""
+
+    o["conv_rl_transitions"] = f"""
+WITH lagd AS (
+  SELECT conv_id, turn_idx, tool,
+    regexp_extract(text, 'status=(\\w+)', 1) AS status,
+    md5(coalesce(lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx), ''))
+      AS state_digest
+  FROM read_parquet('{T2_TRANSCRIPTS}')
+),
+t AS (SELECT * FROM lagd WHERE tool <> 'none' AND status <> '')
+SELECT conv_id,
+  CAST(row_number() OVER w AS INT) AS step,
+  turn_idx,
+  tool AS action,
+  CASE WHEN status = 'ok' THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS reward,
+  lead(turn_idx) OVER w IS NULL AS done,
+  state_digest
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

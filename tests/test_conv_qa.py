@@ -214,3 +214,25 @@ def test_pack_conversations_never_splits_and_is_deterministic(spark, t1):
     a = {r.conv_id: (r.shard, r.pack_id, r.pack_pos) for r in pack_conversations(t1, budget=500).collect()}
     b = {r.conv_id: (r.shard, r.pack_id, r.pack_pos) for r in pack_conversations(t1.orderBy(F.rand(7)), budget=500).collect()}
     assert a == b  # layout depends only on (shard, conv_id), not input order
+
+
+def test_rl_transitions_rewards_steps_done(spark):
+    from opentelemetry_collector_contrib_spark.operators.conv_qa import rl_transitions
+
+    ok = "LOG lvl=info tool=search latency_ms=1 status=ok"
+    err = "LOG lvl=info tool=calc latency_ms=1 status=err"
+    rows = [
+        ("a", 0, "user", "find it", "none"),
+        ("a", 1, "assistant", ok, "search"),
+        ("a", 2, "tool", err, "calc"),
+        ("a", 3, "assistant", "done", "none"),
+        ("b", 0, "user", "x", "none"),
+    ]
+    out = {r.step: r for r in rl_transitions(_frame(spark, rows)).collect()}
+    assert len(out) == 2  # only tool-status turns become transitions
+    assert out[1].action == "search" and out[1].reward == 1.0 and out[1].done is False
+    assert out[2].action == "calc" and out[2].reward == -1.0 and out[2].done is True
+    # state digest = md5 of the PREVIOUS turn's text
+    import hashlib
+
+    assert out[1].state_digest == hashlib.md5(b"find it").hexdigest()
