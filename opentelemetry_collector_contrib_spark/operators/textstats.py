@@ -482,3 +482,50 @@ def bm25_search(
             "rank",
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    common_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Memorization-risk scoring: what fraction of a document's distinct
+    word n-grams also appear in at least ``common_df`` OTHER documents.
+    High commonality means the doc is mostly corpus-repeated phrasing
+    (boilerplate, templates — memorization fuel); high novelty marks
+    fresh text worth keeping. The metric companion to span REMOVAL
+    (`dedup.remove_duplicated_spans` cuts; this scores).
+
+    Scale: distinct grams per doc via one hash agg; gram document
+    frequency via a second agg on the 60-bit gram hash (fixed-width
+    shuffle key, never gram text); one equi-join back. Same inverted-
+    index cost shape as the Jaccard/span family.
+    """
+    # shingles_of is already per-doc distinct, so no extra distinct (and
+    # no extra Exchange) is needed before the df aggregation
+    grams = (
+        df.select(F.col(id_col).alias("doc"), shingles_of(tokens(F.col(text_col)), n).alias("gs"))
+        .select("doc", F.explode("gs").alias("g"))
+        .select("doc", h60(F.col("g")).alias("gh"))
+    )
+    gdf = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("gram_df"))
+    j = grams.join(gdf, "gh")
+    return (
+        j.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gram_df") > common_df, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_common",
+            F.round(
+                F.lit(1.0) - F.col("n_common") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )

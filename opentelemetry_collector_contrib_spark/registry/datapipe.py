@@ -872,6 +872,14 @@ def q_rl_transitions(spark, sf_dir):
     return rl_transitions(_transcripts(spark, sf_dir))
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Memorization-risk score per document: fraction of its distinct
+    3-gram hashes appearing in more than 2 documents corpus-wide."""
+    from ..operators.textstats import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3, common_df=2)
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -894,6 +902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "curation_weighted_sample": q_weighted_sample,
     "conv_rl_transitions": q_rl_transitions,
+    "text_ngram_novelty": q_ngram_novelty,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1331,6 +1340,23 @@ SELECT conv_id,
   lead(turn_idx) OVER w IS NULL AS done,
   state_digest
 FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"""
+
+    o["text_ngram_novelty"] = f"""
+WITH tokd AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+shing_list AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tokd),
+grams AS (
+  SELECT doc_id AS doc,
+    {sql_h60('g')} AS gh
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM shing_list)
+),
+gdf AS (SELECT gh, CAST(count(*) AS BIGINT) AS gram_df FROM grams GROUP BY gh)
+SELECT doc AS doc_id,
+  count(*) AS n_grams,
+  CAST(sum(CASE WHEN gram_df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+  round(1.0 - sum(CASE WHEN gram_df > 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+    AS novelty
+FROM grams JOIN gdf USING (gh)
+GROUP BY doc"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),

@@ -737,3 +737,25 @@ def test_bm25_self_retrieval_and_df_cap(spark):
     only_the = spark.createDataFrame([(7, "the")], "query_id long, query_text string")
     assert bm25_search(docs, only_the, max_df=2).count() == 0
     assert bm25_search(docs, only_the).count() == 3
+
+
+def test_ngram_novelty_flags_corpus_common_phrases(spark):
+    from opentelemetry_collector_contrib_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    common = "terms of service apply"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {common}"),
+            (2, f"delta epsilon zeta {common}"),
+            (3, f"eta theta iota {common}"),
+            (4, "completely novel text with unique phrasing here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs, n=3, common_df=2).collect()}
+    # 'terms of service' + 'of service apply' appear in 3 docs (> 2)
+    assert out[1].n_common == 2 and out[1].novelty < 1.0
+    assert out[4].n_common == 0 and out[4].novelty == 1.0
+    assert out[1].n_grams == 5  # 7 tokens -> 5 3-grams
