@@ -880,6 +880,14 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir), n=3, common_df=2)
 
 
+def q_transcript_contract(spark, sf_dir):
+    """Ingest data contract over the transcript table: six checks in one
+    aggregate pass (plans/contracts.py)."""
+    from ..plans.contracts import transcript_contract, validate_contract
+
+    return validate_contract(_transcripts(spark, sf_dir), transcript_contract())
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -903,6 +911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_weighted_sample": q_weighted_sample,
     "conv_rl_transitions": q_rl_transitions,
     "text_ngram_novelty": q_ngram_novelty,
+    "transcript_contract": q_transcript_contract,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1357,6 +1366,25 @@ SELECT doc AS doc_id,
     AS novelty
 FROM grams JOIN gdf USING (gh)
 GROUP BY doc"""
+
+    o["transcript_contract"] = f"""
+WITH t AS (SELECT * FROM read_parquet('{T2_TRANSCRIPTS}')),
+s AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN turn_idx IS NOT NULL AND turn_idx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN conv_id IS NOT NULL AND NOT regexp_matches(conv_id, '^conv-\\d{{8}}$') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(sum(CASE WHEN role IS NOT NULL AND role NOT IN ('system','user','assistant','tool') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+    CAST(count(*) - count(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS v5
+  FROM t
+)
+SELECT 'not_null:conv_id' AS check, n AS n_rows, v0 AS n_violations, v0 <= 0 AS passed FROM s
+UNION ALL SELECT 'not_null:ts', n, v1, v1 <= 0 FROM s
+UNION ALL SELECT 'range:turn_idx', n, v2, v2 <= 0 FROM s
+UNION ALL SELECT 'regex:conv_id', n, v3, v3 <= 0 FROM s
+UNION ALL SELECT 'enum:role', n, v4, v4 <= 0 FROM s
+UNION ALL SELECT 'unique:conv_id_turn_idx', n, v5, v5 <= 0 FROM s"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),
