@@ -390,6 +390,49 @@ def main() -> None:
     if selected is None or "q19_conv_qa_gate" in selected:
         timed("q19_conv_qa_gate", conv_qa_gate)
 
+    # q20/q21: the bucketing payoff, measured. The same per-conv aggregate
+    # (count + max latency proxy via text length) over the plain parquet
+    # scan (shuffles all turns on conv_id) vs the bucketBy(conv_id) catalog
+    # table (zero Exchange — plans/bucketing.py). Bucketed write happens
+    # once, untimed: it is the amortized ingest cost the comparison is
+    # ABOUT.
+    if selected is None or {"q20_order_plain", "q21_order_bucketed"} & (selected or set()):
+        from opentelemetry_collector_contrib_spark.plans.bucketing import (
+            read_bucketed,
+            write_bucketed,
+        )
+        from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
+
+        plain = load_transcripts(spark, sf_dir)
+        tbl = "bench_transcripts_bucketed"
+        if not spark.catalog.tableExists(tbl):
+            write_bucketed(
+                plain,
+                tbl,
+                os.path.join("fixtures_data", "bench_bucketed"),
+                n_buckets=2 * int(cpus),
+            )
+        bucketed = read_bucketed(spark, tbl)
+
+        from pyspark.sql import Window
+
+        def _order(src):
+            # the stable-order window — the pipeline stage whose Exchange
+            # bucketing eliminates; full rows must reach their conv's
+            # partition, so this is shuffle-bound on the plain scan
+            w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+            force(
+                src.select(
+                    "conv_id",
+                    "turn_idx",
+                    F.row_number().over(w).alias("turn_rn"),
+                    F.lag("role").over(w).alias("prev_role"),
+                )
+            )
+
+        timed("q20_order_plain", lambda: _order(plain))
+        timed("q21_order_bucketed", lambda: _order(bucketed))
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",
