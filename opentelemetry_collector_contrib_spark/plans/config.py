@@ -40,8 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 VALID_SECTIONS = {
     "source", "parse", "stanza_operators", "stanza_operators_post",
     "transform", "filter", "filter_match", "enrich", "routes", "order",
-    "aggregates", "sample", "tail_sampling",
+    "aggregates", "sample", "tail_sampling", "contract", "dlq",
 }
+
+_CONTRACT_TYPES = {"not_null", "range", "regex", "enum", "unique"}
 
 _SAMPLE_KINDS = {"probabilistic", "probabilistic_portable", "mod", "adaptive"}
 _TAIL_POLICY_TYPES = {
@@ -89,6 +91,24 @@ def _validate_sections(spec: dict[str, Any]) -> None:
             if not isinstance(ops, list):
                 raise ValueError(f"{key} must be a list of operator configs")
             validate_stanza_ops(ops)
+    contract = spec.get("contract")
+    if contract is not None:
+        checks = contract.get("checks")
+        if not checks or not isinstance(checks, list):
+            raise ValueError("contract.checks must be a non-empty list")
+        for c in checks:
+            if c.get("type") not in _CONTRACT_TYPES:
+                raise ValueError(f"unknown contract check type {c.get('type')!r}")
+        if contract.get("mode", "fail") not in ("fail", "report"):
+            raise ValueError("contract.mode must be 'fail' or 'report'")
+    dlq = spec.get("dlq")
+    if dlq is not None:
+        rules = dlq.get("rules")
+        if not rules or not isinstance(rules, list):
+            raise ValueError("dlq.rules must be a non-empty list")
+        for r in rules:
+            if not r.get("reason") or not r.get("when"):
+                raise ValueError("each dlq rule needs 'reason' and 'when'")
     routes = spec.get("routes", {})
     if routes:
         if not isinstance(routes, dict):
@@ -211,6 +231,19 @@ def build_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         return _apply_sections(spark, df, spec)
     df = spark.read.parquet(src["path"]) if "path" in src else spark.read.table(src["table"])
 
+    contract = spec.get("contract")
+    if contract:
+        # data contract gates the BATCH at the source, before any compute
+        # is spent on it (the confmap-style eager check lifted to data):
+        # mode 'fail' raises on any failed check; 'report' proceeds (the
+        # report frame is re-derivable cheaply by the caller)
+        from .contracts import validate_contract
+
+        verdicts = validate_contract(df, contract["checks"]).collect()
+        failed = [r.check for r in verdicts if not r.passed]
+        if failed and contract.get("mode", "fail") == "fail":
+            raise ValueError(f"data contract failed: {failed}")
+
     if spec.get("stanza_operators"):
         # a filelog `operators:` list IS the parse stage (the receiver runs
         # it on raw entries before any processor)
@@ -254,7 +287,25 @@ def _apply_sections(spark: SparkSession, df: DataFrame, spec: dict[str, Any]) ->
         dim = spark.read.parquet(e["dim_path"])
         df = lookup(df, dim, e["key"], e.get("defaults"))
 
-    if spec.get("routes"):
+    dlq = spec.get("dlq")
+    if dlq:
+        # first-match reason column; the quarantine ROUTE (prepended in
+        # route_table_from_spec) is what moves these rows to their sink —
+        # the reason column just rides along as evidence
+        from pyspark.sql import functions as F
+
+        reason = F.coalesce(
+            *[
+                F.when(
+                    F.coalesce(parse_condition(r["when"]), F.lit(False)),
+                    F.lit(r["reason"]),
+                )
+                for r in dlq["rules"]
+            ]
+        )
+        df = df.withColumn("error_reason", reason)
+
+    if spec.get("routes") or dlq:
         df = apply_routes(df, route_table_from_spec(spec))
 
     sample = spec.get("sample")
@@ -286,14 +337,26 @@ def route_table_from_spec(spec: dict[str, Any]):
     from ..operators.route import Route, RouteTable
 
     routes = spec.get("routes")
-    if not routes:
+    dlq = spec.get("dlq")
+    if not routes and not dlq:
         return None
+    table = [
+        Route(r["name"], parse_condition(r["condition"]), r.get("mode", "move"))
+        for r in (routes or {}).get("table", [])
+    ]
+    if dlq:
+        # quarantine wins first (first-match-wins routing): a content
+        # failure must never leak into a regular sink
+        from pyspark.sql import functions as F
+
+        bad = None
+        for r in dlq["rules"]:
+            c = F.coalesce(parse_condition(r["when"]), F.lit(False))
+            bad = c if bad is None else (bad | c)
+        table = [Route("quarantine", bad, "move")] + table
     return RouteTable(
-        routes=[
-            Route(r["name"], parse_condition(r["condition"]), r.get("mode", "move"))
-            for r in routes["table"]
-        ],
-        default=routes.get("default", "general"),
+        routes=table,
+        default=(routes or {}).get("default", "general"),
     )
 
 

@@ -52,3 +52,69 @@ def test_contract_single_pass_plan(spark, t1):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
+
+
+def test_config_contract_section_gates_the_batch(spark):
+    from opentelemetry_collector_contrib_spark.plans.config import build_pipeline
+
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+
+    base = {
+        "source": {"path": ensure_tier("t1")},
+        "order": {"enabled": False},
+    }
+    ok_spec = {
+        **base,
+        "contract": {"checks": [{"type": "not_null", "col": "conv_id"}]},
+    }
+    assert build_pipeline(spark, ok_spec).count() > 0
+
+    import pytest as _pt
+
+    bad_spec = {
+        **base,
+        "contract": {
+            "checks": [{"type": "enum", "col": "role", "allowed": ["user"]}]
+        },
+    }
+    with _pt.raises(ValueError, match="data contract failed"):
+        build_pipeline(spark, bad_spec)
+    # report mode proceeds despite the violation
+    report_spec = {**bad_spec, "contract": {**bad_spec["contract"], "mode": "report"}}
+    assert build_pipeline(spark, report_spec).count() > 0
+
+
+def test_config_dlq_section_routes_to_quarantine(spark):
+    from opentelemetry_collector_contrib_spark.operators.route import sink_frames
+    from opentelemetry_collector_contrib_spark.plans.config import (
+        build_pipeline,
+        route_table_from_spec,
+    )
+
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_tier
+
+    spec = {
+        "source": {"path": ensure_tier("t1")},
+        "order": {"enabled": False},
+        "dlq": {"rules": [{"reason": "unparsed", "when": 'pattern_id == "raw"'}]},
+        "routes": {
+            "table": [{"name": "errors", "condition": 'sev == "error"'}],
+            "default": "general",
+        },
+    }
+    routed = build_pipeline(spark, spec).persist()
+    try:
+        sinks = sink_frames(routed, route_table_from_spec(spec))
+        assert set(sinks) == {"quarantine", "errors", "general"}
+        nq = sinks["quarantine"].count()
+        assert nq > 0  # the fixture's ~2% unparsable lines land here
+        # quarantine wins first-match: no raw rows leak into other sinks
+        from pyspark.sql import functions as F
+
+        for name in ("errors", "general"):
+            assert sinks[name].filter(F.col("pattern_id") == "raw").count() == 0
+        assert sinks["quarantine"].filter(F.col("error_reason").isNull()).count() == 0
+        total = sum(s.count() for s in sinks.values())
+        assert total == routed.count()
+    finally:
+        routed.unpersist()
