@@ -515,3 +515,46 @@ def time_weighted_avg(
         ).alias("twa"),
         F.col("sum_w").alias("covered_us"),
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal baseline + per-day deviation — the SRE
+    "is today abnormal for a Tuesday 3pm" primitive. Per (key, hour-of-
+    day, day): the day's mean value; baseline = median of those day
+    means across all days for that (key, hour); deviation = day mean /
+    baseline.
+
+    Determinism: day means are summed in DECIMAL (exact, associative)
+    with one final double division, and the median is the exact
+    interpolating percentile (quantile_cont semantics in both engines).
+    Two hash aggregates + one equi-join on (key, hod) — output is
+    O(keys × 24 × days), independent of event volume.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.hour(ts).alias("hod"),
+        F.date_trunc("day", ts).alias("day"),
+        F.col(value_col).cast("decimal(18,6)").alias("v"),
+    )
+    daily = base.groupBy("key", "hod", "day").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("day_mean"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    med = daily.groupBy("key", "hod").agg(
+        F.expr("percentile(day_mean, 0.5)").alias("baseline")
+    )
+    return daily.join(med, ["key", "hod"]).select(
+        F.col("key").alias(key_col),
+        "hod",
+        "day",
+        "n_events",
+        F.round("day_mean", 6).alias("day_mean"),
+        F.round("baseline", 6).alias("baseline"),
+        F.round(F.col("day_mean") / F.col("baseline"), 6).alias("deviation"),
+    )

@@ -955,6 +955,13 @@ def q_service_graph_pagerank(spark, sf_dir):
     return pagerank_iterations(edges, n_iter=3)
 
 
+def q_events_seasonal(spark, sf_dir):
+    """Hour-of-day seasonal baseline + per-day deviation per event type."""
+    from ..operators.timeseries import seasonal_baseline
+
+    return seasonal_baseline(_events(spark, sf_dir))
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4687,6 +4694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohorts": q_events_cohorts,
     "events_twa": q_events_twa,
     "service_graph_pagerank": q_service_graph_pagerank,
+    "events_seasonal_baseline": q_events_seasonal,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7895,6 +7903,29 @@ pr3 AS (
 )
 SELECT node, round(pr, 6) AS pagerank FROM pr3"""
     )
+
+    o["events_seasonal_baseline"] = """
+WITH base AS (
+  SELECT event_type AS key, CAST(hour(ts) AS INT) AS hod,
+    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+daily AS (
+  SELECT key, hod, day,
+    CAST(sum(v) AS DOUBLE) / count(*) AS day_mean,
+    count(*) AS n_events
+  FROM base GROUP BY key, hod, day
+),
+med AS (
+  SELECT key, hod, quantile_cont(day_mean, 0.5) AS baseline
+  FROM daily GROUP BY key, hod
+)
+SELECT daily.key AS event_type, hod, day, n_events,
+  round(day_mean, 6) AS day_mean,
+  round(baseline, 6) AS baseline,
+  round(day_mean / baseline, 6) AS deviation
+FROM daily JOIN med USING (key, hod)"""
 
     o["pipeline_quarantine"] = (
         cte

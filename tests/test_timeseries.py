@@ -366,3 +366,22 @@ def test_time_weighted_avg_step_interpolation(spark):
     assert set(out) == {1}
     assert out[1].twa == 12.5
     assert out[1].covered_us == 40 * 1_000_000
+
+
+def test_seasonal_baseline_deviation(spark):
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import (
+        seasonal_baseline,
+    )
+
+    rows = []
+    for day in range(5):
+        v = 10.0 if day < 4 else 30.0  # day 4 is 3x the baseline
+        for i in range(3):
+            rows.append(("err", dt.datetime(2026, 1, 1 + day, 9, i), v))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r.day.day: r for r in seasonal_baseline(df).collect()}
+    assert all(r.hod == 9 for r in out.values())
+    assert out[1].baseline == 10.0 and out[1].deviation == 1.0
+    assert out[5].day_mean == 30.0 and out[5].deviation == 3.0
