@@ -962,6 +962,26 @@ def q_events_seasonal(spark, sf_dir):
     return seasonal_baseline(_events(spark, sf_dir))
 
 
+def q_events_transitions_matrix(spark, sf_dir):
+    """User-journey Markov matrix: event_type -> next event_type counts
+    and row-normalized probabilities (lag window + hash agg + a window
+    over the 25-row count table)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
 def q_pipeline_quarantine(spark, sf_dir):
     """Dead-letter split over the routed frame: rows failing the content
     invariants (unparsable line, tool call without a status) tagged with
@@ -4695,6 +4715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_twa": q_events_twa,
     "service_graph_pagerank": q_service_graph_pagerank,
     "events_seasonal_baseline": q_events_seasonal,
+    "events_transition_matrix": q_events_transitions_matrix,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
 }
@@ -7926,6 +7947,19 @@ SELECT daily.key AS event_type, hod, day, n_events,
   round(baseline, 6) AS baseline,
   round(day_mean / baseline, 6) AS deviation
 FROM daily JOIN med USING (key, hod)"""
+
+    o["events_transition_matrix"] = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, count(*) AS n FROM pairs WHERE src IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+  round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+FROM counts"""
 
     o["pipeline_quarantine"] = (
         cte
