@@ -888,6 +888,38 @@ def q_transcript_contract(spark, sf_dir):
     return validate_contract(_transcripts(spark, sf_dir), transcript_contract())
 
 
+def q_conv_funnel(spark, sf_dir):
+    """Conversation funnel: user -> assistant -> tool progression per
+    conversation under stable turn order (funnel_steps over roles, keyed
+    on conv_id with turn_idx micro-ordering via ts)."""
+    from ..operators.timeseries import funnel_steps
+
+    return funnel_steps(
+        _transcripts(spark, sf_dir),
+        ["user", "assistant", "tool"],
+        key_col="conv_id",
+        ts_col="ts",
+        type_col="role",
+    )
+
+
+def q_hashed_features(spark, sf_dir):
+    """Hashing-trick featurizer: sparse (doc, bucket, tf) rows over a
+    256-bucket token hash space — the model-free vectorizer feeding
+    clustering/classifiers; shuffle key is a small int."""
+    from ..operators.textstats import h60, tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.select("doc_id", F.pmod(h60(F.col("tok")), F.lit(256)).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def q_turn_boilerplate(spark, sf_dir):
     """Cross-conversation repeated turn text (boilerplate digests)."""
     from ..operators.conv_qa import turn_boilerplate
@@ -912,6 +944,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_rl_transitions": q_rl_transitions,
     "text_ngram_novelty": q_ngram_novelty,
     "transcript_contract": q_transcript_contract,
+    "conv_funnel": q_conv_funnel,
+    "text_hashed_features": q_hashed_features,
     "text_char_entropy": q_char_entropy,
     "curation_c4_lines": q_c4_line_filter,
     "sft_examples": q_sft_examples,
@@ -1385,6 +1419,36 @@ UNION ALL SELECT 'range:turn_idx', n, v2, v2 <= 0 FROM s
 UNION ALL SELECT 'regex:conv_id', n, v3, v3 <= 0 FROM s
 UNION ALL SELECT 'enum:role', n, v4, v4 <= 0 FROM s
 UNION ALL SELECT 'unique:conv_id_turn_idx', n, v5, v5 <= 0 FROM s"""
+
+    o["conv_funnel"] = f"""
+WITH s1 AS (
+  SELECT conv_id, min(epoch_us(ts)) AS step1_us
+  FROM read_parquet('{T2_TRANSCRIPTS}') WHERE role = 'user' GROUP BY conv_id
+),
+s2 AS (
+  SELECT e.conv_id, min(epoch_us(e.ts)) AS step2_us
+  FROM read_parquet('{T2_TRANSCRIPTS}') e JOIN s1 USING (conv_id)
+  WHERE e.role = 'assistant' AND epoch_us(e.ts) > s1.step1_us
+  GROUP BY e.conv_id
+),
+s3 AS (
+  SELECT e.conv_id, min(epoch_us(e.ts)) AS step3_us
+  FROM read_parquet('{T2_TRANSCRIPTS}') e JOIN s2 USING (conv_id)
+  WHERE e.role = 'tool' AND epoch_us(e.ts) > s2.step2_us
+  GROUP BY e.conv_id
+)
+SELECT s1.conv_id, step1_us, step2_us, step3_us,
+  CAST(1 + CASE WHEN step2_us IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN step3_us IS NULL THEN 0 ELSE 1 END AS INT) AS n_steps,
+  step3_us IS NOT NULL AS converted
+FROM s1 LEFT JOIN s2 USING (conv_id) LEFT JOIN s3 USING (conv_id)"""
+
+    o["text_hashed_features"] = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents)
+SELECT doc_id,
+  CAST({sql_h60('tok')} % 256 AS INT) AS bucket,
+  count(*) AS tf
+FROM toks GROUP BY doc_id, bucket"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),
