@@ -927,6 +927,29 @@ def q_turn_boilerplate(spark, sf_dir):
     return turn_boilerplate(_transcripts(spark, sf_dir))
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (the C4/RefinedWeb markup-strip stage):
+    deterministic HTML wrapping of the corpus (script/style/comment
+    chrome, entity-escaped body, per-doc inline-anchor and
+    unclosed-tag variants), then the native codegen extraction chain —
+    text with line structure, decoded entities, title, link count."""
+    from ..operators.html_extract import extract_html_text, synthesize_html_docs
+
+    d = synthesize_html_docs(_docs(spark, sf_dir))
+    return extract_html_text(d).select("doc_id", "html_text", "html_title", "n_links")
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT token heavy hitters (> 2% corpus frequency) via the
+    Misra-Gries candidates -> single collapsed-key recount pattern: the
+    shuffle carries at most |candidates|+1 keys, never the vocabulary."""
+    from ..operators.sketches import heavy_hitters
+    from ..operators.textstats import tokens
+
+    toks = _docs(spark, sf_dir).select(F.explode(tokens(F.col("text"))).alias("item"))
+    return heavy_hitters(toks, "item", 0.02)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_latency": q_turn_latency,
     "conv_context_budget": q_context_budget,
@@ -935,6 +958,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_exact_dedup": q_conv_exact_dedup,
     "conv_self_repetition": q_conv_self_repetition,
     "conv_turn_boilerplate": q_turn_boilerplate,
+    "html_text_extract": q_html_extract,
+    "heavy_hitters_tokens": q_heavy_hitters,
     "conv_curation_gate": q_transcript_curation_gate,
     "conv_gate_incremental": q_conv_gate_incremental,
     "conv_pack": q_pack_conversations,
@@ -1328,7 +1353,7 @@ stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
 qs AS (
   SELECT doc_id AS qid,
          list_distinct(list_filter(regexp_split_to_array(trim(
-           array_to_string(list_slice({SQL_TOKS}, 1, 8), ' ')), '\s+'), t -> t <> '')) AS qterms
+           array_to_string(list_slice({SQL_TOKS}, 1, 8), ' ')), '\\s+'), t -> t <> '')) AS qterms
   FROM documents ORDER BY doc_id LIMIT 5
 ),
 qt AS (SELECT qid, unnest(qterms) AS term FROM qs),
@@ -1449,6 +1474,32 @@ SELECT doc_id,
   CAST({sql_h60('tok')} % 256 AS INT) AS bucket,
   count(*) AS tf
 FROM toks GROUP BY doc_id, bucket"""
+
+    # html_text_extract: the oracle recomputes the EXPECTED extraction from
+    # the raw fields (the registry's encode->decode convention): the Spark
+    # side only ever sees the synthesized markup; equality proves the
+    # extractor inverted the wrapping (tags dropped, entities decoded,
+    # whitespace normalized) exactly.
+    o["html_text_extract"] = """
+SELECT doc_id,
+  'Doc ' || doc_id || ' — ' || source || chr(10) ||
+  'Home' || chr(10) || 'About' || chr(10) ||
+  'Doc ' || doc_id || chr(10) ||
+  (CASE WHEN doc_id % 5 = 0 THEN 'note: ' ELSE '' END)
+    || trim(regexp_replace(text, '[ \t]+', ' ', 'g'))
+    || (CASE WHEN doc_id % 3 = 0 THEN ' ref' ELSE '' END) || chr(10) ||
+  'Read more' || chr(10) ||
+  '© 2026 Example & Co.' AS html_text,
+  'Doc ' || doc_id || ' — ' || source AS html_title,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INTEGER) AS n_links
+FROM documents"""
+
+    o["heavy_hitters_tokens"] = f"""
+WITH toks AS (SELECT unnest({SQL_TOKS}) AS item FROM documents),
+g AS (SELECT item, count(*) AS cnt FROM toks GROUP BY item),
+t AS (SELECT sum(cnt) AS total FROM g)
+SELECT item, cnt, round(CAST(cnt AS DOUBLE) / total, 9) AS freq
+FROM g, t WHERE cnt > total * 0.02"""
 
     o["text_char_entropy"] = """
 WITH d AS (SELECT doc_id, substr(text, 1, 2000) AS s FROM documents),
