@@ -433,6 +433,53 @@ def main() -> None:
         timed("q20_order_plain", lambda: _order(plain))
         timed("q21_order_bucketed", lambda: _order(bucketed))
 
+    # q22: HTML -> text extraction over every turn — the C4-style markup
+    # strip as a pure codegen projection. Markup is synthesized once into
+    # a cached column so the timed pass measures extraction, not synthesis.
+    def html_strip():
+        from opentelemetry_collector_contrib_spark.operators.html_extract import (
+            extract_html_text,
+        )
+
+        force(
+            extract_html_text(html_src).select("conv_id", "turn_idx", "html_text", "n_links")
+        )
+
+    if selected is None or "q22_html_extract" in selected:
+        from opentelemetry_collector_contrib_spark.operators.html_extract import (
+            synthesize_html_docs,
+        )
+        from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
+
+        html_src = synthesize_html_docs(
+            load_transcripts(spark, sf_dir).select(
+                "conv_id", "turn_idx",
+                F.col("turn_idx").cast("long").alias("doc_id"),
+                F.coalesce(F.col("tool"), F.lit("none")).alias("source"),
+                "text",
+            )
+        ).persist()
+        html_src.count()
+        timed("q22_html_extract", html_strip)
+        html_src.unpersist()
+
+    # q23: exact token heavy hitters over the full turn-token stream —
+    # the Misra-Gries candidate pass (bounded memory per task) + the
+    # collapsed-key exact recount. The shuffle carries |candidates|+1
+    # keys; the vocabulary never shuffles.
+    def heavy_hit():
+        from opentelemetry_collector_contrib_spark.operators.sketches import heavy_hitters
+        from opentelemetry_collector_contrib_spark.operators.textstats import tokens
+        from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
+
+        toks = load_transcripts(spark, sf_dir).select(
+            F.explode(tokens(F.col("text"))).alias("item")
+        )
+        force(heavy_hitters(toks, "item", 0.005))
+
+    if selected is None or "q23_heavy_hitters" in selected:
+        timed("q23_heavy_hitters", heavy_hit)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",
