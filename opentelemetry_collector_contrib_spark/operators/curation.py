@@ -956,3 +956,86 @@ def weighted_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("_wkey")
     )
+
+
+# Default public-suffix subset for registrable-domain extraction. The real
+# Mozilla PSL is ~10k rules; inline what the fixture + common crawl hosts
+# need and let callers pass the full list (it compiles to the same literal
+# array — ~10k entries is still a cheap broadcast-free projection).
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "com", "org", "net", "io", "dev", "edu", "gov", "mil", "info", "biz",
+    "co.uk", "ac.uk", "org.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+)
+
+
+def registrable_domain(
+    df: DataFrame,
+    host_col: str = "uf_domain",
+    out_col: str = "rd_domain",
+    public_suffixes: "tuple[str, ...] | list[str]" = PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """eTLD+1 extraction (the public-suffix-list algorithm, subset rules):
+    the registrable domain is the label left of the LONGEST matching
+    public suffix plus that suffix; a host that IS a public suffix has no
+    registrable domain (NULL); an unknown TLD falls back to the PSL
+    default rule (`*` — the last label is the suffix, so eTLD+1 is the
+    last two labels). Per-domain caps, per-domain dedup, and domain
+    mixture accounting (RefinedWeb/FineWeb style) all key on this.
+
+    Scale design: the host's <=n label-suffixes are generated once from a
+    materialized label-array column (materialized exactly to dodge the
+    projection-collapse trap where Catalyst would re-split the host once
+    per suffix), matched against the suffix set as an inlined literal
+    array — a pure projection, zero joins, zero shuffle at any corpus
+    size. Case-normalize and IDNA-decode hosts upstream.
+    """
+    lits = F.array(*[F.lit(s.lower()) for s in public_suffixes])
+    d = df.withColumn("_rd_labels", F.split(F.lower(F.col(host_col)), r"\."))
+    labels, n = F.col("_rd_labels"), F.size("_rd_labels")
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    # try_element_at: no suffix match -> NULL (ANSI element_at would abort)
+    longest = F.try_element_at(F.filter(sufs, lambda s: F.array_contains(lits, s)), F.lit(1))
+    n_suf = F.size(F.split(longest, r"\."))
+    reg = (
+        F.when(F.col(host_col).isNull() | (n < 1), F.lit(None).cast("string"))
+        .when(longest.isNull(), F.when(n >= 2, F.array_join(F.slice(labels, n - 1, 2), ".")))
+        .when(longest == F.lower(F.col(host_col)), F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.slice(labels, n - n_suf, n_suf + 1), "."))
+    )
+    return d.withColumn(out_col, reg).drop("_rd_labels")
+
+
+def domain_cap(
+    df: DataFrame,
+    host_col: str,
+    cap: int,
+    order_col: str,
+    public_suffixes: "tuple[str, ...] | list[str]" = PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """Per-registrable-domain document cap: keep at most ``cap`` documents
+    per eTLD+1, chosen deterministically by ``order_col`` (pass a hash
+    column for an unbiased sample, an id for reproducible fixtures). Rows
+    without a registrable domain (bare public suffixes, IPs, malformed
+    hosts) are kept — they cannot be attributed to a domain, and dropping
+    them would silently bias against non-DNS sources.
+
+    The domain-cap is how web pipelines stop a single boilerplate-heavy
+    site from dominating the corpus (RefinedWeb caps, C4's per-domain
+    dedup). One window shuffle keyed on rd_domain; a pathological
+    mega-domain skews that shuffle — at 100 TB pre-filter such domains
+    with `heavy_hitters` (operators/sketches.py) and route them through
+    a dedicated sampled path instead of the window.
+    """
+    from pyspark.sql.window import Window
+
+    d = registrable_domain(df, host_col, public_suffixes=public_suffixes)
+    w = Window.partitionBy("rd_domain").orderBy(F.col(order_col).asc())
+    rank = F.when(F.col("rd_domain").isNull(), F.lit(1)).otherwise(
+        F.row_number().over(w)
+    )
+    return d.withColumn("dc_keep", rank <= F.lit(cap))

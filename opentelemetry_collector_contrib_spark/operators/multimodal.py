@@ -448,3 +448,119 @@ def png_dhash(df: DataFrame, payload_col: str = "png", out_col: str = "dhash") -
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, dh(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG header decode: dimensions/colorspace come from a bounded marker
+# walk (SOI -> segments -> SOFn), no pixel codec needed — the metadata
+# extraction a multimodal curation pipeline runs on every crawled image
+# before deciding whether to decode at all. Synthesis emits genuine JFIF
+# byte streams (SOI, APP0, variable APP1, DQT, SOF0/SOF2, SOS, EOI).
+# ---------------------------------------------------------------------------
+
+_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+_SOF_PROGRESSIVE = frozenset([0xC2, 0xC6, 0xCA, 0xCE])
+
+
+def _jpeg_bytes(doc_id: int) -> bytes:
+    import struct as _struct
+
+    width = 1 + doc_id % 200
+    height = 1 + doc_id % 120
+    ncomp = 3 if doc_id % 2 else 1
+    sof = 0xC2 if doc_id % 4 == 0 else 0xC0
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + _struct.pack(">HH", 1, 1) + b"\x00\x00")
+    # variable-length metadata segment so the walk sees shifting offsets
+    app1 = seg(0xE1, b"Exif\x00\x00" + bytes((doc_id + j) % 256 for j in range(doc_id % 7)))
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    comps = b"".join(bytes([c + 1, 0x11, 0x00]) for c in range(ncomp))
+    sof_seg = seg(sof, _struct.pack(">BHHB", 8, height, width, ncomp) + comps)
+    sos = seg(0xDA, bytes([ncomp]) + b"".join(bytes([c + 1, 0x00]) for c in range(ncomp)) + b"\x00\x3f\x00")
+    body = b"\xff\xd8" + app0 + app1 + dqt + sof_seg + sos + b"\x12\x34" + b"\xff\xd9"
+    if doc_id % 13 == 0:
+        # corrupt variant: stream truncated before any SOF marker
+        return (b"\xff\xd8" + app0 + app1)[: 4 + len(app0)]
+    return body
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id", out_col: str = "jpeg") -> DataFrame:
+    """Deterministic per-row JFIF streams: width = 1 + id%200, height =
+    1 + id%120, components = 3 when id is odd else 1, progressive (SOF2)
+    when id%4==0; every id%13==0 payload is truncated before SOF."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: _jpeg_bytes(int(i)))
+
+    return df.withColumn(out_col, gen(F.col(id_col)))
+
+
+def decode_jpeg_meta(df: DataFrame, payload_col: str = "jpeg") -> DataFrame:
+    """REAL bounded marker walk: verify SOI, skip stand-alone markers
+    (RSTn/TEM), length-hop every segment, parse the first SOFn frame
+    header (precision, height, width, component count, progressive
+    class), stop at SOS/EOI. At most 64 segments are visited and every
+    length is bounds-checked, so hostile declared sizes fail the row
+    fast instead of scanning the payload — malformed input yields
+    jp_valid=false with NULL fields, never an exception."""
+    out_type = T.StructType(
+        [
+            T.StructField("valid", T.BooleanType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("components", T.IntegerType()),
+            T.StructField("precision", T.IntegerType()),
+            T.StructField("progressive", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def decode(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        bad = (False, None, None, None, None, None)
+        for p in payloads:
+            try:
+                data = bytes(p)
+                if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+                    rows.append(bad)
+                    continue
+                pos, found = 2, None
+                for _ in range(64):
+                    if pos + 2 > len(data) or data[pos] != 0xFF:
+                        break
+                    m = data[pos + 1]
+                    if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                        pos += 2
+                        continue
+                    if m == 0xD9 or m == 0xDA:
+                        break
+                    if pos + 4 > len(data):
+                        break
+                    ln = (data[pos + 2] << 8) | data[pos + 3]
+                    if ln < 2 or pos + 2 + ln > len(data):
+                        break
+                    if m in _SOF_MARKERS:
+                        if ln < 10:
+                            break
+                        prec = data[pos + 4]
+                        h = (data[pos + 5] << 8) | data[pos + 6]
+                        w = (data[pos + 7] << 8) | data[pos + 8]
+                        nc = data[pos + 9]
+                        found = (True, w, h, nc, prec, m in _SOF_PROGRESSIVE)
+                        break
+                    pos += 2 + ln
+                rows.append(found if found else bad)
+            except Exception:  # noqa: BLE001 — malformed payload -> invalid row
+                rows.append(bad)
+        return pd.DataFrame(
+            rows,
+            columns=["valid", "width", "height", "components", "precision", "progressive"],
+        )
+
+    return df.withColumn("jpeg_meta", decode(F.col(payload_col)))

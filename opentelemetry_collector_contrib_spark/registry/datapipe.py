@@ -939,6 +939,53 @@ def q_html_extract(spark, sf_dir):
     return extract_html_text(d).select("doc_id", "html_text", "html_title", "n_links")
 
 
+def q_jpeg_meta(spark, sf_dir):
+    """REAL JPEG header decode: synthesized JFIF byte streams (variable
+    APP segments, SOF0/SOF2 frames, a truncated-corrupt variant every
+    13th doc) walked marker-by-marker for dimensions/components/
+    progressive class — the decode-free metadata pass a multimodal
+    pipeline runs on every crawled image."""
+    from ..operators.multimodal import decode_jpeg_meta, synthesize_jpeg
+
+    d = synthesize_jpeg(_docs(spark, sf_dir).select("doc_id"))
+    m = decode_jpeg_meta(d)
+    return m.select(
+        "doc_id",
+        F.col("jpeg_meta.valid").alias("jp_valid"),
+        F.col("jpeg_meta.width").alias("jp_width"),
+        F.col("jpeg_meta.height").alias("jp_height"),
+        F.col("jpeg_meta.components").alias("jp_components"),
+        F.col("jpeg_meta.precision").alias("jp_precision"),
+        F.col("jpeg_meta.progressive").alias("jp_progressive"),
+    )
+
+
+_DC_HOSTS = (
+    "news.example.com", "blog.example.com", "shop.example.co.uk",
+    "sub.project.github.io", "example.com", "co.uk", "node7.internal-corp",
+)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-registrable-domain corpus cap: deterministic URLs over seven
+    host shapes (known suffix, multi-label suffix, PSL wildcard default,
+    bare public suffix), eTLD+1 via the literal-array suffix projection,
+    then keep <=100 docs per domain ordered by doc_id."""
+    from ..operators.curation import domain_cap
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _DC_HOSTS]),
+        (F.pmod(F.col("doc_id"), F.lit(7)) + 1).cast("int"),
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string"))
+    d = d.withColumn("url", url).withColumn(
+        "host", F.lower(F.expr("try_parse_url(url, 'HOST')"))
+    )
+    out = domain_cap(d, "host", cap=100, order_col="doc_id")
+    return out.select("doc_id", "rd_domain", "dc_keep")
+
+
 def q_heavy_hitters(spark, sf_dir):
     """EXACT token heavy hitters (> 2% corpus frequency) via the
     Misra-Gries candidates -> single collapsed-key recount pattern: the
@@ -960,6 +1007,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_boilerplate": q_turn_boilerplate,
     "html_text_extract": q_html_extract,
     "heavy_hitters_tokens": q_heavy_hitters,
+    "multimodal_jpeg_meta": q_jpeg_meta,
+    "curation_domain_cap": q_domain_cap,
     "conv_curation_gate": q_transcript_curation_gate,
     "conv_gate_incremental": q_conv_gate_incremental,
     "conv_pack": q_pack_conversations,
@@ -1493,6 +1542,41 @@ SELECT doc_id,
   'Doc ' || doc_id || ' — ' || source AS html_title,
   CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INTEGER) AS n_links
 FROM documents"""
+
+    # multimodal_jpeg_meta / curation_domain_cap: oracle recomputes the
+    # expected decode/extraction from the synthesis parameters (the
+    # encode->decode convention) — the Spark side sees only bytes/URLs.
+    o["multimodal_jpeg_meta"] = """
+SELECT doc_id,
+  doc_id % 13 <> 0 AS jp_valid,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(1 + doc_id % 200 AS INTEGER) END AS jp_width,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(1 + doc_id % 120 AS INTEGER) END AS jp_height,
+  CASE WHEN doc_id % 13 = 0 THEN NULL
+       WHEN doc_id % 2 = 1 THEN CAST(3 AS INTEGER) ELSE CAST(1 AS INTEGER) END AS jp_components,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(8 AS INTEGER) END AS jp_precision,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id % 4 = 0 END AS jp_progressive
+FROM documents"""
+
+    o["curation_domain_cap"] = """
+WITH d AS (
+  SELECT doc_id,
+    CASE doc_id % 7
+      WHEN 0 THEN 'example.com'
+      WHEN 1 THEN 'example.com'
+      WHEN 2 THEN 'example.co.uk'
+      WHEN 3 THEN 'project.github.io'
+      WHEN 4 THEN 'example.com'
+      WHEN 5 THEN NULL
+      ELSE 'node7.internal-corp'
+    END AS rd_domain
+  FROM documents
+),
+r AS (
+  SELECT doc_id, rd_domain,
+    row_number() OVER (PARTITION BY rd_domain ORDER BY doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, rd_domain, (rd_domain IS NULL OR rn <= 100) AS dc_keep FROM r"""
 
     o["heavy_hitters_tokens"] = f"""
 WITH toks AS (SELECT unnest({SQL_TOKS}) AS item FROM documents),
