@@ -986,6 +986,21 @@ def q_domain_cap(spark, sf_dir):
     return out.select("doc_id", "rd_domain", "dc_keep")
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over two event dimensions — the
+    multi-dimensional file-layout key (Iceberg/Delta ZORDER BY shape):
+    clamp + shift quantization, bit interleave, pure codegen."""
+    from ..operators.zorder import zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c1 = F.pmod(F.col("user_id"), F.lit(2048))
+    c2 = F.pmod(F.col("event_id"), F.lit(2048))
+    return ev.select(
+        "event_id",
+        zorder_key([c1, c2], [(0, 2047), (0, 2047)], bits=10).alias("z_key"),
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """EXACT token heavy hitters (> 2% corpus frequency) via the
     Misra-Gries candidates -> single collapsed-key recount pattern: the
@@ -1009,6 +1024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_tokens": q_heavy_hitters,
     "multimodal_jpeg_meta": q_jpeg_meta,
     "curation_domain_cap": q_domain_cap,
+    "zorder_key_events": q_zorder_key,
     "conv_curation_gate": q_transcript_curation_gate,
     "conv_gate_incremental": q_conv_gate_incremental,
     "conv_pack": q_pack_conversations,
@@ -1577,6 +1593,11 @@ r AS (
   FROM d
 )
 SELECT doc_id, rd_domain, (rd_domain IS NULL OR rn <= 100) AS dc_keep FROM r"""
+
+    from ..operators.zorder import zorder_sql
+
+    _zsql = zorder_sql(["(user_id % 2048)", "(event_id % 2048)"], [(0, 2047), (0, 2047)], bits=10)
+    o["zorder_key_events"] = f"SELECT event_id, {_zsql} AS z_key FROM events"
 
     o["heavy_hitters_tokens"] = f"""
 WITH toks AS (SELECT unnest({SQL_TOKS}) AS item FROM documents),
