@@ -16,8 +16,11 @@ Scale notes (10^12 docs):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .textstats import h60, shingles_of, tokens
 
@@ -1039,3 +1042,85 @@ def domain_cap(
         F.row_number().over(w)
     )
     return d.withColumn("dc_keep", rank <= F.lit(cap))
+
+
+def canonicalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "canon_text",
+) -> DataFrame:
+    """Unicode canonicalization ahead of exact/near dedup: NFC-normalize
+    (composed and decomposed accent sequences become one byte form),
+    lowercase, collapse all whitespace runs to single spaces, trim. Two
+    documents that differ only in combining-character form, case, or
+    spacing must hash to the SAME dedup key — without this, exact dedup
+    silently misses the most common crawl-duplicate class (same page,
+    different normalization at the source).
+
+    Arrow-batched pandas UDF (Unicode normalization has no Catalyst
+    builtin); the per-row work is a C-level str pass, and the column
+    feeds straight into h60/minhash keys. The DuckDB oracle mirrors it
+    with nfc_normalize + lower + regexp ws collapse — both engines
+    implement the same Unicode standard, so equality is exact.
+    """
+    @F.pandas_udf(T.StringType())
+    def canon(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            return " ".join(unicodedata.normalize("NFC", x).lower().split())
+
+        return s.map(one)
+
+    return df.withColumn(out_col, canon(F.col(text_col)))
+
+
+# robots.txt gate: (domain, path prefix, allow) rules with longest-match
+# semantics (REP / RFC 9309: the most specific rule wins; on a tie the
+# ALLOW rule wins). The crawl-compliance filter of a web corpus pipeline.
+def robots_gate(
+    df: DataFrame,
+    host_col: str,
+    path_col: str,
+    rules: DataFrame,
+) -> DataFrame:
+    """Evaluate robots rules per URL. ``rules`` columns: domain (exact
+    host match — resolve hosts to registrable domains upstream if rules
+    are domain-wide), prefix (path prefix), allow (boolean). No matching
+    rule -> allowed (REP default).
+
+    Scale design: rules broadcast (a robots corpus is small relative to
+    documents) and equi-join on domain, so each URL meets only ITS
+    domain's rules (bounded fan-out, no nested loop); prefix match
+    filters, then one aggregation picks the winner by (prefix length,
+    allow) — max_by with a struct ordering key, no window needed. Adds
+    rg_allow (boolean) and rg_rule (winning prefix, NULL when no rule
+    matched).
+    """
+    matched = (
+        df.select(F.col(host_col).alias("_rg_domain"), F.col(path_col).alias("_rg_path"))
+        .dropDuplicates(["_rg_domain", "_rg_path"])
+        .join(
+            F.broadcast(rules.select(F.col("domain").alias("_rg_domain"), "prefix", "allow")),
+            "_rg_domain",
+        )
+        .filter(F.col("_rg_path").startswith(F.col("prefix")))
+    )
+    verdicts = matched.groupBy("_rg_domain", "_rg_path").agg(
+        F.max_by(
+            F.struct(F.col("allow").alias("a"), F.col("prefix").alias("p")),
+            F.struct(F.length("prefix").alias("l"), F.col("allow").alias("a")),
+        ).alias("_rg_win")
+    )
+    out = df.join(
+        verdicts,
+        (F.col(host_col) == F.col("_rg_domain")) & (F.col(path_col) == F.col("_rg_path")),
+        "left",
+    ).drop("_rg_domain", "_rg_path")
+    return (
+        out.withColumn("rg_allow", F.coalesce(F.col("_rg_win.a"), F.lit(True)))
+        .withColumn("rg_rule", F.col("_rg_win.p"))
+        .drop("_rg_win")
+    )

@@ -986,6 +986,59 @@ def q_domain_cap(spark, sf_dir):
     return out.select("doc_id", "rd_domain", "dc_keep")
 
 
+def q_canon_text(spark, sf_dir):
+    """Unicode canonicalization for dedup keys: the corpus decorated with
+    the crawl-duplicate classes (decomposed combining accents, case
+    variance, ragged ASCII whitespace) must canonicalize to one form —
+    NFC + lower + whitespace fold, with the portable h60 as the key."""
+    from ..operators.curation import canonicalize_text
+    from ..operators.textstats import h60
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    decorated = F.concat(
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+        F.lit("  Café \t No"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit("  "),
+    )
+    out = canonicalize_text(d.withColumn("decorated", decorated), "decorated")
+    return out.select("doc_id", "canon_text", h60(F.col("canon_text")).alias("canon_key"))
+
+
+_ROBOTS_RULES = (
+    ("example.com", "/private", False),
+    ("example.com", "/private/archive", True),
+    ("example.co.uk", "/", False),
+    ("project.github.io", "/tmp", False),
+)
+
+_RG_PATHS = ("/public/x", "/private/doc", "/private/archive/old", "/tmp/cache", "/")
+
+
+def q_robots_gate(spark, sf_dir):
+    """Crawl-compliance gate: hosts resolve to registrable domains, then
+    robots (domain, prefix, allow) rules apply with RFC 9309 longest-match
+    semantics (most specific rule wins; allow wins ties) — allow-override
+    inside a disallowed subtree included. Unattributable hosts pass."""
+    from ..operators.curation import registrable_domain, robots_gate
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _DC_HOSTS]),
+        (F.pmod(F.col("doc_id"), F.lit(7)) + 1).cast("int"),
+    )
+    path = F.element_at(
+        F.array(*[F.lit(p) for p in _RG_PATHS]),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    d = registrable_domain(d.withColumn("host", host).withColumn("path", path), "host")
+    rules = spark.createDataFrame(list(_ROBOTS_RULES), "domain string, prefix string, allow boolean")
+    out = robots_gate(d, "rd_domain", "path", rules)
+    return out.select("doc_id", "rd_domain", "path", "rg_allow", "rg_rule")
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton (Z-order) clustering key over two event dimensions — the
     multi-dimensional file-layout key (Iceberg/Delta ZORDER BY shape):
@@ -1025,6 +1078,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_meta": q_jpeg_meta,
     "curation_domain_cap": q_domain_cap,
     "zorder_key_events": q_zorder_key,
+    "text_canonical_key": q_canon_text,
+    "curation_robots_gate": q_robots_gate,
     "conv_curation_gate": q_transcript_curation_gate,
     "conv_gate_incremental": q_conv_gate_incremental,
     "conv_pack": q_pack_conversations,
@@ -1593,6 +1648,48 @@ r AS (
   FROM d
 )
 SELECT doc_id, rd_domain, (rd_domain IS NULL OR rn <= 100) AS dc_keep FROM r"""
+
+    # text_canonical_key: both engines implement the same Unicode NFC, so
+    # the canonical form (and its h60 key) must match exactly; chr(769) is
+    # the combining acute the Spark decoration appends in decomposed form.
+    _canon = (
+        "trim(regexp_replace(lower(nfc_normalize("
+        "(CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END)"
+        " || '  Cafe' || chr(769) || ' ' || chr(9) || ' No'"
+        " || CAST(doc_id % 3 AS VARCHAR) || '  '"
+        ")), '\\s+', ' ', 'g'))"
+    )
+    o["text_canonical_key"] = f"""
+WITH c AS (SELECT doc_id, {_canon} AS canon_text FROM documents)
+SELECT doc_id, canon_text, {sql_h60('canon_text')} AS canon_key FROM c"""
+
+    o["curation_robots_gate"] = """
+WITH d AS (
+  SELECT doc_id,
+    CASE doc_id % 7
+      WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.com' WHEN 2 THEN 'example.co.uk'
+      WHEN 3 THEN 'project.github.io' WHEN 4 THEN 'example.com' WHEN 5 THEN NULL
+      ELSE 'node7.internal-corp' END AS rd_domain,
+    CASE doc_id % 5
+      WHEN 0 THEN '/public/x' WHEN 1 THEN '/private/doc' WHEN 2 THEN '/private/archive/old'
+      WHEN 3 THEN '/tmp/cache' ELSE '/' END AS path
+  FROM documents
+),
+rules(domain, prefix, allow) AS (VALUES
+  ('example.com', '/private', FALSE),
+  ('example.com', '/private/archive', TRUE),
+  ('example.co.uk', '/', FALSE),
+  ('project.github.io', '/tmp', FALSE)
+),
+m AS (
+  SELECT d.doc_id, r.prefix, r.allow,
+         row_number() OVER (PARTITION BY d.doc_id
+                            ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+  FROM d JOIN rules r ON d.rd_domain = r.domain AND d.path LIKE r.prefix || '%'
+)
+SELECT d.doc_id, d.rd_domain, d.path,
+  coalesce(m.allow, TRUE) AS rg_allow, m.prefix AS rg_rule
+FROM d LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)"""
 
     from ..operators.zorder import zorder_sql
 
