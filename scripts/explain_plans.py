@@ -24,6 +24,7 @@ def main() -> None:
     which = set(sys.argv[1:]) or {
         "q1", "agg", "dedup", "grok", "drain", "curation", "pack",
         "decontam", "shuffle", "balance", "timeseries", "convqa", "drift",
+        "corpus",
     }
     spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -133,6 +134,24 @@ def main() -> None:
 
         print("=" * 30, "PSI drift (bounds broadcast, one hash agg)", "=" * 30)
         q_events_value_drift(spark, sf).explain("formatted")
+    if "corpus" in which:
+        from opentelemetry_collector_contrib_spark.registry.datapipe import (
+            q_domain_cap,
+            q_heavy_hitters,
+            q_html_extract,
+            q_robots_gate,
+            q_zorder_key,
+        )
+
+        for name, q in [
+            ("html extract (pure codegen projection, no UDF)", q_html_extract),
+            ("heavy hitters (MG candidates + collapsed-key recount)", q_heavy_hitters),
+            ("zorder key (shift/or projection)", q_zorder_key),
+            ("domain cap (suffix projection + one window)", q_domain_cap),
+            ("robots gate (broadcast rules + max_by)", q_robots_gate),
+        ]:
+            print("=" * 30, name, "=" * 30)
+            q(spark, sf).explain("formatted")
     spark.stop()
 
 
