@@ -1220,3 +1220,47 @@ def statsd_aggregate(
     return pad(counters, "counter").unionByName(pad(gauges, "gauge")).unionByName(
         pad(timers, "summary")
     )
+
+
+# --- incremental aggregate refresh (materialized-view maintenance) ----------
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    spec: dict[str, str],
+) -> DataFrame:
+    """Merge a NEW batch's aggregate into a persisted aggregate state so
+    the result EQUALS a full recompute over history+batch — without ever
+    rescanning history. This is the maintenance contract behind the
+    count/sum connectors at 10^12 rows: history is write-once (snapshot
+    commits), so every refresh should cost O(batch) + O(state), never
+    O(corpus).
+
+    ``spec`` maps each value column to its merge op:
+      * 'sum'   — partial sums/counts add (NULL-absent side = identity 0)
+      * 'min' / 'max' — least/greatest, NULL-safe
+    Only decomposable aggregates belong here (count/sum/min/max — and avg
+    as a derived sum/count pair); a non-decomposable aggregate (exact
+    median, distinct count) must use its own mergeable form (exact:
+    re-aggregate; approximate: the HLL sketch rollups in sketches.py).
+
+    Plan: ONE full-outer broadcast-or-shuffle join on the dims — both
+    sides are aggregate-sized (one row per live dim combination), so the
+    shuffle carries group counts, not row counts.
+    """
+    s = state.select(*keys, *[F.col(c).alias(f"_s_{c}") for c in spec])
+    d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in spec])
+    joined = s.join(d, on=keys, how="full_outer")
+    merged = []
+    for c, op in spec.items():
+        a, b = F.col(f"_s_{c}"), F.col(f"_d_{c}")
+        if op == "sum":
+            zero = F.lit(0).cast("bigint")
+            merged.append((F.coalesce(a, zero) + F.coalesce(b, zero)).alias(c))
+        elif op == "min":
+            merged.append(F.least(F.coalesce(a, b), F.coalesce(b, a)).alias(c))
+        elif op == "max":
+            merged.append(F.greatest(F.coalesce(a, b), F.coalesce(b, a)).alias(c))
+        else:
+            raise ValueError(f"unmergeable op {op!r} for column {c!r}")
+    return joined.select(*keys, *merged)

@@ -46,6 +46,34 @@ def q_count_by_type(spark, sf_dir):
     return count_connector(_events(spark, sf_dir), ["event_type"], condition="value > 50")
 
 
+def q_count_incremental(spark, sf_dir):
+    """Materialized-view maintenance for the connector aggregates:
+    history (event_id%10 < 9) folds into a persisted state, the new
+    batch (%10 == 9) into a delta, merge_agg_state joins the two — the
+    result must EQUAL the full recompute (the oracle) without rescanning
+    history: O(batch)+O(state) per refresh at any corpus size."""
+    from ..operators.aggregate import merge_agg_state
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+
+    def agg(d):
+        return d.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min("us").alias("first_us"),
+            F.max("value").alias("max_value"),
+        )
+
+    state = agg(ev.filter(F.pmod(F.col("event_id"), F.lit(10)) < 9))
+    delta = agg(ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 9))
+    return merge_agg_state(
+        state, delta, ["event_type"],
+        {"log_count": "sum", "first_us": "min", "max_value": "max"},
+    )
+
+
 def q_sum_by_type(spark, sf_dir):
     from ..operators.aggregate import sum_connector
 
@@ -4666,6 +4694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_isolation_forest": q_isolation_forest,
     "events_active_users_hourly": q_active_users_hourly,
     "events_count_by_type": q_count_by_type,
+    "events_count_incremental": q_count_incremental,
     "events_sum_by_type": q_sum_by_type,
     "events_logdedup": q_logdedup,
     "events_interval_last": q_interval_last,
@@ -5919,6 +5948,13 @@ GROUP BY 1, 2"""
     o["events_count_by_type"] = (
         "SELECT event_type, count(*) AS log_count FROM events WHERE value > 50 GROUP BY 1"
     )
+
+    # incremental refresh must equal the FULL recompute — that equality IS
+    # the materialized-view maintenance contract under test.
+    o["events_count_incremental"] = """
+SELECT event_type, count(*) AS log_count,
+       min(epoch_us(ts)) AS first_us, max(value) AS max_value
+FROM events GROUP BY 1"""
 
     o["events_sum_by_type"] = (
         "SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total"
