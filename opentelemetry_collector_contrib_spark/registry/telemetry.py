@@ -813,6 +813,84 @@ def q_enrich_composite(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role_group", "tool_category", "session_tier", "tier_weight")
 
 
+def _scd2_changes(spark, sf_dir, pred=None):
+    """Deterministic dimension change log derived from the events table:
+    each event is a change record for entity user_id carrying two tracked
+    attributes (tier = event_type, region = floor(value) % 7), ordered by
+    (ts, event_id)."""
+    ev = _events(spark, sf_dir)
+    if pred is not None:
+        ev = ev.filter(pred)
+    return ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_id").alias("seq"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from"),
+        F.col("event_type").alias("tier"),
+        (F.floor("value").cast("bigint") % 7).alias("region"),
+    )
+
+
+def q_scd2_dim(spark, sf_dir):
+    """SCD2 versioned dimension from a change log: consecutive changes with
+    identical tracked attrs collapse into one version; each version carries
+    a half-open [valid_from, valid_to) interval (NULL = current). The
+    static lookupprocessor dim (processor/lookupprocessor) generalized to
+    dims that change over an ingest measured in months."""
+    from ..operators.scd import scd2_build
+
+    return scd2_build(_scd2_changes(spark, sf_dir), "entity_id", ["tier", "region"])
+
+
+def q_scd2_lookup(spark, sf_dir):
+    """As-of enrichment against the versioned dim: every 10th event is a
+    fact, the rest form the change log; each fact picks the version in
+    force at its own timestamp (facts before any version keep NULLs). One
+    broadcast hash join with the validity interval as residual — zero
+    shuffle on the fact side."""
+    from ..operators.scd import scd2_build, scd2_lookup
+
+    is_fact = F.col("event_id") % 10 == 7
+    dim = scd2_build(
+        _scd2_changes(spark, sf_dir, ~is_fact), "entity_id", ["tier", "region"]
+    ).withColumn("version_from", F.col("valid_from"))
+    facts = (
+        _events(spark, sf_dir)
+        .filter(is_fact)
+        .select(
+            "event_id",
+            F.col("user_id").alias("entity_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
+        )
+    )
+    return scd2_lookup(
+        facts, dim, "entity_id", "event_us", attrs=["tier", "region", "version_from"]
+    )
+
+
+def q_scd2_incremental(spark, sf_dir):
+    """Incremental SCD2 maintenance contract: history (first 80% of the
+    time span) builds the persisted dim, the remainder arrives as a batch,
+    scd2_merge folds it in touching only open versions of affected keys —
+    and the result must EQUAL the full replay (the oracle). O(batch + open
+    rows) per refresh at any corpus size. The cutoff attaches as a 1-row
+    broadcast aggregate (the scalar-subquery plan shape: a
+    BroadcastNestedLoopJoin whose inner side is exactly one row — O(n)
+    work, not a quadratic nested loop, and no driver collect)."""
+    from ..operators.scd import scd2_build, scd2_merge
+    from pyspark.sql.functions import broadcast
+
+    ch = _scd2_changes(spark, sf_dir)
+    cut = ch.agg(
+        (F.min("valid_from") + (F.max("valid_from") - F.min("valid_from")) * 4 / 5)
+        .cast("bigint")
+        .alias("__cut")
+    )
+    hist = ch.join(broadcast(cut)).filter(F.col("valid_from") < F.col("__cut")).drop("__cut")
+    batch = ch.join(broadcast(cut)).filter(F.col("valid_from") >= F.col("__cut")).drop("__cut")
+    dim = scd2_build(hist, "entity_id", ["tier", "region"])
+    return scd2_merge(dim, batch, "entity_id", ["tier", "region"])
+
+
 def q_geoip_enrich(spark, sf_dir):
     """geoipprocessor analogue (processor/geoipprocessor/geoip_processor.go,
     maxmindprovider): CIDR-block range lookup as a bucketed broadcast
@@ -4731,6 +4809,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampler_deterministic_mod": q_sampler_mod,
     "sampler_hash_consistent": q_sampler_hash,
     "enrich_composite_dim": q_enrich_composite,
+    "enrich_scd2_dim": q_scd2_dim,
+    "enrich_scd2_lookup": q_scd2_lookup,
+    "enrich_scd2_incremental": q_scd2_incremental,
     "geoip_enrich": q_geoip_enrich,
     "attr_actions": q_attr_actions,
     "redaction_mask": q_redaction,
@@ -7699,6 +7780,49 @@ SELECT o.conv_id, o.turn_idx, o.role_group, o.tool_category,
        coalesce(CAST(d.tier_weight AS DOUBLE), 0.0) AS tier_weight
 FROM ordered o
 LEFT JOIN d ON d.role_group = o.role_group AND d.tool_category = o.tool_category"""
+    )
+
+    # SCD2: the versioned-dim replay is pure window SQL, so the oracle
+    # runs the identical collapse; floor(double) is integral, so DuckDB's
+    # round-on-cast equals Spark's truncate-on-cast.
+    def _scd2_sql(where: str = "") -> str:
+        return f"""
+WITH ch AS (
+  SELECT user_id AS entity_id, event_id AS seq, epoch_us(ts) AS valid_from,
+         event_type AS tier, CAST(floor(value) AS BIGINT) % 7 AS region
+  FROM events{where}
+),
+flagged AS (
+  SELECT entity_id, tier, region, valid_from, seq,
+         lag(seq) OVER w IS NULL AS frst,
+         lag(tier) OVER w AS p_tier, lag(region) OVER w AS p_region
+  FROM ch WINDOW w AS (PARTITION BY entity_id ORDER BY valid_from, seq)
+),
+vers AS (
+  SELECT entity_id, tier, region, valid_from, seq FROM flagged
+  WHERE frst OR p_tier IS DISTINCT FROM tier OR p_region IS DISTINCT FROM region
+)
+SELECT entity_id, tier, region, valid_from,
+       lead(valid_from) OVER (PARTITION BY entity_id ORDER BY valid_from, seq) AS valid_to,
+       seq
+FROM vers"""
+
+    o["enrich_scd2_dim"] = _scd2_sql()
+    # incremental merge must equal the FULL replay — that equality IS the
+    # maintenance contract under test.
+    o["enrich_scd2_incremental"] = _scd2_sql()
+    o["enrich_scd2_lookup"] = (
+        "WITH vers AS ("
+        + _scd2_sql(" WHERE event_id % 10 <> 7")
+        + """
+)
+SELECT f.event_id, f.entity_id, f.event_us, v.tier, v.region,
+       v.valid_from AS version_from
+FROM (SELECT event_id, user_id AS entity_id, epoch_us(ts) AS event_us
+      FROM events WHERE event_id % 10 = 7) f
+LEFT JOIN vers v
+  ON v.entity_id = f.entity_id AND f.event_us >= v.valid_from
+ AND (v.valid_to IS NULL OR f.event_us < v.valid_to)"""
     )
 
     # geoip: same ip derivation + block table built from range(); the
