@@ -168,3 +168,131 @@ def heavy_hitters(
             F.round(F.col("cnt").cast("double") / F.col("total"), 9).alias("freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches (DDSketch-shaped log-bucket histograms)
+# ---------------------------------------------------------------------------
+#
+# Exact percentiles need a sort (tool_slo_report does that, correctly, on a
+# per-tool slice); percentile_approx gives one-shot estimates but exposes no
+# mergeable state. For the cube-materialization pattern — store fine-grained
+# sketches once, answer every coarser rollup without raw data — the right
+# structure is the DDSketch (Masson, Rim & Lee, VLDB 2019): log-spaced
+# buckets, bucket(v) = ceil(ln(v)/ln(gamma)), which guarantees RELATIVE
+# error <= alpha for every quantile with gamma = (1+alpha)/(1-alpha), and
+# whose merge is literally bucket-count addition — EXACT, associative,
+# commutative (stronger than HLL's union, which is only lossless up to
+# register state). Everything below is built-in column functions: the
+# sketch is a map<int,bigint>, no UDFs, no binary blobs, map-side partial
+# aggregation applies.
+
+def _gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def quantile_sketch_rollup(
+    df: DataFrame,
+    keys: list[str | Column],
+    value_col: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Materialize per-group DDSketch bucket maps of ``value_col``.
+
+    Values must be >= 0 (latencies, sizes, counts — the telemetry cases);
+    a negative value raises at execution time rather than silently
+    corrupting the sketch. Zeros sit outside the log domain and are
+    tracked exactly in ``zero_n``.
+
+    Output: keys..., buckets map<int,bigint>, zero_n, n_rows.
+    Plan: two hash aggs — (keys, bucket) counts (map-side combine does
+    the heavy lifting: at most |buckets| rows per task survive), then a
+    bucket-count -> map collect per key group. Both shuffles carry group
+    counts, never row counts.
+    """
+    import math
+
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    names = [df.select(c).columns[0] for c in cols]
+    v = F.col(value_col).cast("double")
+    v = F.when(v < 0, F.raise_error(F.lit("quantile_sketch: negative value"))).otherwise(v)
+    bucket = F.when(
+        v > 0, F.ceil(F.log(v) / F.lit(math.log(_gamma(alpha)))).cast("int")
+    )  # v == 0 -> NULL bucket -> zero_n
+    per_bucket = df.select(*cols, bucket.alias("__b")).groupBy(*names, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per_bucket.groupBy(*names).agg(
+        F.map_from_entries(
+            F.collect_list(  # collect_list drops NULLs -> zero rows excluded
+                F.when(F.col("__b").isNotNull(), F.struct(F.col("__b"), F.col("__c")))
+            )
+        ).alias("buckets"),
+        F.sum(F.when(F.col("__b").isNull(), F.col("__c")).otherwise(F.lit(0))).alias("zero_n"),
+        F.sum("__c").alias("n_rows"),
+    )
+
+
+def merge_quantile_rollup(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Roll a sketch table up to coarser keys: bucket counts ADD — the
+    merge is exact, so estimate(merged fine sketches) == estimate(sketch
+    built directly at the coarse grain), bit for bit.
+
+    One hash agg; the per-group map fold is map_zip_with (key-union with
+    coalesce-to-0 addition) over the collected fine sketches — fine-tier
+    group counts are bounded (hours per day, shards per table), so the
+    collected array is small by construction.
+    """
+    empty = F.create_map().cast("map<int,bigint>")
+    return sketches.groupBy(*[F.col(k) for k in keys]).agg(
+        F.aggregate(
+            F.collect_list("buckets"),
+            empty,
+            lambda acc, m: F.map_zip_with(
+                acc, m, lambda _, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            ),
+        ).alias("buckets"),
+        F.sum("zero_n").alias("zero_n"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def quantile_estimates(
+    sketches: DataFrame,
+    qs: list[float],
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Attach quantile-estimate columns (``p50``-style names) to a sketch
+    table; keeps the sketch so further rollups remain possible.
+
+    DDSketch read path: the q-quantile is the first bucket whose
+    cumulative count exceeds q*(n-1) (zeros counted first); the bucket's
+    midpoint-in-log-space 2*gamma^i/(gamma+1) is within relative error
+    alpha of the true order statistic. The rank scan is an F.aggregate
+    fold over the array-sorted map entries — per-row array work over an
+    aggregate-sized table.
+    """
+    g = _gamma(alpha)
+    entries = F.array_sort(F.map_entries("buckets"))
+    out = sketches
+    for q in qs:
+        rank = F.lit(q) * (F.col("n_rows") - 1).cast("double")
+        scan = F.aggregate(
+            entries,
+            F.struct(
+                F.col("zero_n").cast("bigint").alias("cum"),
+                F.lit(None).cast("int").alias("idx"),
+            ),
+            lambda acc, e: F.when(acc["idx"].isNotNull(), acc).otherwise(
+                F.struct(
+                    (acc["cum"] + e["value"]).alias("cum"),
+                    F.when(acc["cum"] + e["value"] > rank, e["key"]).alias("idx"),
+                )
+            ),
+        )
+        est = F.when(F.col("zero_n") > rank, F.lit(0.0)).otherwise(
+            F.lit(2.0) * F.pow(F.lit(g), scan["idx"]) / F.lit(g + 1.0)
+        )
+        label = f"p{int(round(q * 100))}"
+        out = out.withColumn(label, F.when(F.col("n_rows") > 0, est))
+    return out

@@ -84,3 +84,85 @@ def test_global_rollup_from_fine_tier(spark, events):
     bound = 3 * 1.04 / math.sqrt(2**LG_K)
     assert abs(total.distinct_estimate - exact_total) <= max(2, bound * exact_total)
     assert total.n_rows == events.count()
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantile rollups: exact merge + relative-error bound
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.operators.sketches import (  # noqa: E402
+    merge_quantile_rollup,
+    quantile_estimates,
+    quantile_sketch_rollup,
+)
+
+ALPHA = 0.01
+
+
+def _map_key(df, keys):
+    return {
+        tuple(getattr(r, k) for k in keys): (sorted(r.buckets.items()), r.zero_n, r.n_rows)
+        for r in df.collect()
+    }
+
+
+def test_quantile_merge_is_exact(spark, events):
+    hourly = quantile_sketch_rollup(
+        events,
+        ["day", F.date_trunc("hour", "ts").alias("hour"), "event_type"],
+        "value",
+        alpha=ALPHA,
+    )
+    rolled = merge_quantile_rollup(hourly, ["day", "event_type"])
+    direct = quantile_sketch_rollup(events, ["day", "event_type"], "value", alpha=ALPHA)
+    # merge identity is EXACT: identical bucket maps, not just estimates
+    assert _map_key(rolled, ["day", "event_type"]) == _map_key(direct, ["day", "event_type"])
+
+
+def test_quantile_estimates_within_alpha(spark, events):
+    est = quantile_estimates(
+        quantile_sketch_rollup(events, ["event_type"], "value", alpha=ALPHA),
+        [0.5, 0.95, 0.99],
+        alpha=ALPHA,
+    )
+    got = {r.event_type: (r.p50, r.p95, r.p99) for r in est.collect()}
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, xs in vals.items():
+        xs.sort()
+        for q, e in zip([0.5, 0.95, 0.99], got[et]):
+            exact = xs[math.floor(q * (len(xs) - 1))]
+            # DDSketch guarantee: relative error <= alpha (float slack 1e-9)
+            assert abs(e - exact) <= ALPHA * exact + 1e-9, (et, q, e, exact)
+
+
+def test_quantile_zero_and_negative_handling(spark):
+    df = spark.createDataFrame(
+        [("k", 0.0)] * 5 + [("k", 10.0)] * 5, "g string, value double"
+    )
+    sk = quantile_estimates(
+        quantile_sketch_rollup(df, ["g"], "value", alpha=ALPHA), [0.25, 0.9], alpha=ALPHA
+    ).collect()[0]
+    assert sk.zero_n == 5 and sk.n_rows == 10
+    assert sk.p25 == 0.0
+    assert abs(sk.p90 - 10.0) <= ALPHA * 10.0 + 1e-9
+
+    neg = spark.createDataFrame([("k", -1.0)], "g string, value double")
+    with pytest.raises(Exception, match="negative value"):
+        quantile_sketch_rollup(neg, ["g"], "value").collect()
+
+
+def test_quantile_reassociation_chain(spark, events):
+    """Folding shards one at a time equals one direct sketch — the
+    multi-commit snapshot-append sequence (associativity)."""
+    parts = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    shards = [
+        quantile_sketch_rollup(p, ["event_type"], "value", alpha=ALPHA) for p in parts
+    ]
+    folded = merge_quantile_rollup(
+        merge_quantile_rollup(shards[0].unionByName(shards[1]), ["event_type"]).unionByName(shards[2]),
+        ["event_type"],
+    )
+    direct = quantile_sketch_rollup(events, ["event_type"], "value", alpha=ALPHA)
+    assert _map_key(folded, ["event_type"]) == _map_key(direct, ["event_type"])
