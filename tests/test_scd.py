@@ -115,3 +115,38 @@ def test_lookup_plan_is_broadcast(changes, spark):
     plan = scd2_lookup(facts, dim, "entity_id", "us")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_streaming_lookup_matches_batch(changes, spark, tmp_path):
+    """scd2_lookup is stream-safe: the versioned dim is static, the fact
+    side streams, the as-of join rides the stream-static broadcast hash
+    join — micro-batch enrichment agrees with the batch answer exactly."""
+    import json
+
+    from opentelemetry_collector_contrib_spark.streaming import run_available_now
+
+    d = tmp_path / "facts"
+    d.mkdir()
+    rows = [
+        {"fact_id": i, "entity_id": e, "us": us}
+        for i, (e, us) in enumerate(
+            [("a", 99), ("a", 150), ("a", 350), ("b", 200), ("b", 400), ("c", 500), ("z", 1)]
+        )
+    ]
+    (d / "f1.json").write_text("\n".join(json.dumps(r) for r in rows[:4]))
+    (d / "f2.json").write_text("\n".join(json.dumps(r) for r in rows[4:]))
+
+    dim = scd2_build(changes, "entity_id", ["tier", "region"])
+    schema = "fact_id long, entity_id string, us long"
+    sdf = scd2_lookup(
+        spark.readStream.schema(schema).json(str(d)), dim, "entity_id", "us", attrs=["tier"]
+    )
+    assert sdf.isStreaming
+    run_available_now(sdf, "scd2_stream", str(tmp_path / "ck"))
+    got = {r.fact_id: r.tier for r in spark.table("scd2_stream").collect()}
+
+    bdf = scd2_lookup(
+        spark.read.schema(schema).json(str(d)), dim, "entity_id", "us", attrs=["tier"]
+    )
+    want = {r.fact_id: r.tier for r in bdf.collect()}
+    assert got == want and len(got) == len(rows)
