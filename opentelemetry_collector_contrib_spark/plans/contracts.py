@@ -109,3 +109,73 @@ def transcript_contract() -> list[dict]:
         {"type": "enum", "col": "role", "allowed": ["system", "user", "assistant", "tool"]},
         {"type": "unique", "cols": ["conv_id", "turn_idx"]},
     ]
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential integrity (the FK half of the contract surface)
+# ---------------------------------------------------------------------------
+
+def fk_orphans(child: DataFrame, parent: DataFrame, on: dict[str, str]) -> DataFrame:
+    """Child rows whose FK tuple exists but matches no parent row.
+
+    ``on`` maps child column -> parent column. SQL MATCH SIMPLE semantics:
+    a tuple with ANY NULL component is not checkable and never counts as
+    an orphan (exactly the NULLable-FK rule).
+
+    Plan: the parent side collapses to DISTINCT keys first (aggregate-
+    sized — key cardinality, not row count), then one LEFT ANTI join.
+    Catalyst broadcasts the key set when it fits and falls back to a
+    shuffled anti join (AQE-skew-aware) when it doesn't; either way the
+    child side is scanned once with only the FK columns read.
+    """
+    ckeys = list(on)
+    pkeys = [on[c] for c in ckeys]
+    pk = parent.select(*[F.col(p).alias(c) for c, p in on.items()]).dropDuplicates(ckeys)
+    checkable = child
+    for c in ckeys:
+        checkable = checkable.filter(F.col(c).isNotNull())
+    return checkable.join(pk, on=ckeys, how="left_anti")
+
+
+def referential_summary(
+    tables: dict[str, DataFrame],
+    fks: list[dict],
+) -> DataFrame:
+    """One row per declared FK: (fk, n_child, n_checkable, n_orphans,
+    passed). Each ``fks`` entry: {"name", "child", "parent", "on":
+    {child_col: parent_col}, "max_violation_frac"? (default 0)}.
+
+    Each FK costs one anti join over only its key columns; results union
+    into a single verdict table (the batch-gate shape of
+    validate_contract, extended across tables).
+    """
+    parts = []
+    for fk in fks:
+        child = tables[fk["child"]]
+        ckeys = list(fk["on"])
+        notnull = F.lit(True)
+        for c in ckeys:
+            notnull = notnull & F.col(c).isNotNull()
+        counts = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(notnull.cast("int")).cast("bigint").alias("n_checkable"),
+        )
+        orphans = (
+            fk_orphans(child, tables[fk["parent"]], fk["on"])
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        budget = float(fk.get("max_violation_frac", 0.0))
+        parts.append(
+            counts.join(orphans)  # two 1-row aggregates: trivial cross
+            .select(
+                F.lit(fk["name"]).alias("fk"),
+                "n_child",
+                "n_checkable",
+                "n_orphans",
+                (F.col("n_orphans") <= F.lit(budget) * F.col("n_checkable")).alias("passed"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -383,6 +383,47 @@ def q_lineitem_pricing(spark, sf_dir):
     )
 
 
+def q_fk_summary(spark, sf_dir):
+    """Cross-table referential integrity as a batch gate: one verdict row
+    per declared FK. The TPC-H edges (lineitem→orders→customer→nation)
+    are clean by construction; events.user_id→supplier.s_suppkey is
+    deliberately violated (150 users, 100 suppliers) so the fail path is
+    exercised. Each FK is one distinct-key anti join over only its key
+    columns."""
+    from ..plans.contracts import referential_summary
+
+    t = {
+        n: spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for n in ("lineitem", "orders", "customer", "nation", "events", "supplier")
+    }
+    return referential_summary(
+        t,
+        [
+            {"name": "lineitem_orders", "child": "lineitem", "parent": "orders",
+             "on": {"l_orderkey": "o_orderkey"}},
+            {"name": "orders_customer", "child": "orders", "parent": "customer",
+             "on": {"o_custkey": "c_custkey"}},
+            {"name": "customer_nation", "child": "customer", "parent": "nation",
+             "on": {"c_nationkey": "n_nationkey"}},
+            {"name": "events_supplier", "child": "events", "parent": "supplier",
+             "on": {"user_id": "s_suppkey"}},
+        ],
+    )
+
+
+def q_fk_orphan_rows(spark, sf_dir):
+    """The row-level complement of fk_summary: WHICH child rows dangle.
+    Anti join against the distinct parent key set; NULL FKs are exempt
+    (SQL MATCH SIMPLE)."""
+    from ..plans.contracts import fk_orphans
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return fk_orphans(ev, sup, {"user_id": "s_suppkey"}).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 def q_ngram_spans(spark, sf_dir):
     from ..operators.dedup import duplicated_ngram_spans
 
@@ -1120,6 +1161,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": q_text_chunks,
     "emb_quantized": q_emb_quantized,
     "lineitem_pricing_summary": q_lineitem_pricing,
+    "fk_summary": q_fk_summary,
+    "fk_orphan_rows": q_fk_orphan_rows,
     "curation_e2e": q_curation_e2e,
     "container_parse": q_container_parse,
     "dedup_near_clusters": q_dedup_clusters,
@@ -2396,6 +2439,33 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2"""
+
+    def _fk_row(name: str, child: str, parent: str, ck: str, pk: str) -> str:
+        return f"""
+SELECT '{name}' AS fk,
+  (SELECT count(*) FROM {child}) AS n_child,
+  (SELECT count(*) FROM {child} WHERE {ck} IS NOT NULL) AS n_checkable,
+  (SELECT count(*) FROM {child} c
+     WHERE c.{ck} IS NOT NULL
+       AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS n_orphans,
+  (SELECT count(*) FROM {child} c
+     WHERE c.{ck} IS NOT NULL
+       AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) = 0 AS passed"""
+
+    o["fk_summary"] = " UNION ALL ".join(
+        [
+            _fk_row("lineitem_orders", "lineitem", "orders", "l_orderkey", "o_orderkey"),
+            _fk_row("orders_customer", "orders", "customer", "o_custkey", "c_custkey"),
+            _fk_row("customer_nation", "customer", "nation", "c_nationkey", "n_nationkey"),
+            _fk_row("events_supplier", "events", "supplier", "user_id", "s_suppkey"),
+        ]
+    )
+
+    o["fk_orphan_rows"] = """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)"""
 
     o["dedup_ngram_spans"] = (
         _DOC_TOKS_CTE

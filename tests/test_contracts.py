@@ -118,3 +118,52 @@ def test_config_dlq_section_routes_to_quarantine(spark):
         assert total == routed.count()
     finally:
         routed.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.plans.contracts import (  # noqa: E402
+    fk_orphans,
+    referential_summary,
+)
+
+
+def test_fk_null_exemption_and_composite(spark):
+    child = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 99), (None, None, 40)],
+        "k1 long, k2 string, payload long",
+    )
+    parent = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "p1 long, p2 string"
+    )
+    got = fk_orphans(child, parent, {"k1": "p1", "k2": "p2"}).collect()
+    # (3, NULL) and (NULL, NULL) are exempt (MATCH SIMPLE); (4,'a') dangles
+    assert [(r.k1, r.k2) for r in got] == [(4, "a")]
+
+
+def test_fk_summary_budget(spark):
+    child = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(i,) for i in range(9)], "pk long")  # fk=9 dangles
+    tables = {"c": child, "p": parent}
+    strict, lax = referential_summary(
+        tables,
+        [
+            {"name": "strict", "child": "c", "parent": "p", "on": {"fk": "pk"}},
+            {"name": "lax", "child": "c", "parent": "p", "on": {"fk": "pk"},
+             "max_violation_frac": 0.2},
+        ],
+    ).collect()
+    assert (strict.n_child, strict.n_checkable, strict.n_orphans, strict.passed) == (100, 100, 10, False)
+    assert lax.passed is True
+
+
+def test_fk_duplicate_parent_keys_dont_multiply(spark):
+    # parent has duplicate key rows; anti join must not duplicate children
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (1,), (1,)], "pk long")
+    got = fk_orphans(child, parent, {"fk": "pk"})
+    assert [r.fk for r in got.collect()] == [2]
