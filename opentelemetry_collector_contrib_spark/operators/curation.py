@@ -776,6 +776,138 @@ def train_split(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: documents connected by a
+    near-duplicate pair ALWAYS land in the same split. A plain hash split
+    (train_split) puts two crawls of the same page on opposite sides ~2pq
+    of the time — manufacturing train→test leakage inside the corpus
+    itself, the internal counterpart of the external-eval overlap that
+    decontaminate() removes. Here the split key is the document's
+    connected-component representative over the `pairs` graph
+    (dedup.dup_clusters min-label CC), so a whole duplicate cluster moves
+    as one unit; unpaired docs are their own singleton component and hash
+    exactly as train_split would.
+
+    `pairs` is any (doc_a, doc_b) near-dup table — MinHash-LSH, SimHash,
+    or embedding-cosine output all fit. Output: df columns + cluster_rep
+    + `out_col`.
+
+    Scale: the CC runs on the PAIR graph only (O(duplicates), not corpus
+    size); mapping back is one equi-join on id, and the band gate is the
+    same pure projection as train_split — appending new docs never moves
+    an existing cluster's split."""
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(pairs).withColumnRenamed("doc", id_col)
+    with_rep = df.join(clusters, on=id_col, how="left").withColumn(
+        "cluster_rep", F.coalesce(F.col("cluster_rep"), F.col(id_col))
+    )
+    return train_split(with_rep, fractions, key_col="cluster_rep", salt=salt, out_col=out_col)
+
+
+def recipe_targets(weights: dict[str, float], token_budget: int) -> dict[str, int]:
+    """Per-source token targets for data_recipe: floor(budget * w / Σw),
+    computed driver-side once so both the Spark plan and any oracle see
+    the same integer literals (no float math inside either engine)."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    return {s: int(token_budget * w / total) for s, w in weights.items()}
+
+
+def data_recipe(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "recipe",
+    n_bucket_bits: int = 10,
+) -> DataFrame:
+    """Execute a training-data recipe: given mixture weights and a total
+    token budget ("1T tokens at 60% web / 30% code / 10% books"), select
+    documents per source — in a deterministic hash-shuffled order — until
+    each source's token target is met. The selection rule is: a document
+    is kept iff the token sum of all earlier documents (in h60(salt:id)
+    order within its source) is still below the source's target, so the
+    boundary-crossing document is included and every source lands within
+    one document of its target (or is exhausted). Zero RNG: reruns,
+    engines, and retries produce the identical document set.
+
+    Targets are floor(budget·w/Σw) per source (recipe_targets); sources
+    absent from `weights` are excluded. Output: (id, source, n_tokens,
+    target_tokens) for selected docs only.
+
+    Scale: the naive formulation is a running-sum window per source — one
+    partition PER SOURCE, i.e. a handful of executor-melting partitions at
+    100 TB. Instead the order key's high bits define `2^n_bucket_bits`
+    contiguous hash-range buckets, and selection runs in two phases:
+    (1) per-(source, bucket) token sums — a fixed-width hash agg — and a
+    cumulative sum over the TINY (sources × buckets) bucket table decide
+    each bucket wholesale: fully inside the target, fully beyond, or THE
+    one boundary bucket per source; (2) only boundary-bucket documents
+    (~1/2^bits of the corpus) get the within-bucket running-sum window,
+    partitioned by (source, bucket) — bounded partitions. Bucket order is
+    a prefix of the document order (high bits of the same key), so the
+    two-phase answer equals the single-window answer exactly."""
+    targets = recipe_targets(weights, token_budget)
+    u = h60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    target_map = F.create_map(
+        *[F.lit(x) for s, t in sorted(targets.items()) for x in (s, t)]
+    )
+    base = (
+        df.filter(F.col(source_col).isin(*targets.keys()))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col(tokens_col).cast("bigint").alias("_tok"),
+            u.alias("_u"),
+        )
+        .withColumn("_b", F.shiftrightunsigned(F.col("_u"), 60 - n_bucket_bits))
+        .withColumn("_target", F.element_at(target_map, F.col(source_col)).cast("bigint"))
+    )
+    bsum = base.groupBy(source_col, "_b").agg(F.sum("_tok").alias("_bt"))
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcum = bsum.withColumn("_bcum", F.coalesce(F.sum("_bt").over(wb), F.lit(0)))
+    joined = base.join(F.broadcast(bcum), [source_col, "_b"])
+    out_cols = [
+        F.col(id_col),
+        F.col(source_col),
+        F.col("_tok").alias(tokens_col),
+        F.col("_target").alias("target_tokens"),
+    ]
+    full = joined.filter(F.col("_bcum") + F.col("_bt") <= F.col("_target")).select(*out_cols)
+    ww = (
+        Window.partitionBy(source_col, "_b")
+        .orderBy("_u", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        joined.filter(
+            (F.col("_bcum") < F.col("_target"))
+            & (F.col("_bcum") + F.col("_bt") > F.col("_target"))
+        )
+        .withColumn("_win", F.coalesce(F.sum("_tok").over(ww), F.lit(0)))
+        .filter(F.col("_bcum") + F.col("_win") < F.col("_target"))
+        .select(*out_cols)
+    )
+    return full.unionByName(boundary)
+
+
 # ---------------------------------------------------------------------------
 # URL / domain blocklist filtering (the C4 / RefinedWeb front gate)
 # ---------------------------------------------------------------------------

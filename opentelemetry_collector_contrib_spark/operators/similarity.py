@@ -318,3 +318,62 @@ def cluster_balance(
         )
         .filter(F.col("bal_rank") <= cap)
     )
+
+
+def mine_contrastive_pairs(
+    emb: DataFrame,
+    pos_threshold: float = 0.95,
+    neg_floor: float = 0.5,
+    k_negatives: int = 3,
+    centroids: DataFrame | None = None,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mine (anchor, other) training pairs for contrastive embedding
+    fine-tuning from the corpus itself: *positives* are same-cell pairs
+    whose cosine ≥ `pos_threshold` (near-duplicates — two crawls of the
+    same content make a natural positive pair), *hard negatives* are each
+    anchor's top-`k_negatives` same-cell neighbors with cosine in
+    [`neg_floor`, `pos_threshold`) — semantically close but NOT duplicates,
+    exactly the negatives that teach a bi-encoder its decision boundary
+    (the in-batch-negatives literature: only near-misses carry gradient).
+
+    Output: (anchor_id, other_id, cos double, label 'pos'|'hard_neg',
+    rank int) — rank 0 for positives, 1..k for negatives ordered by
+    cosine desc. Directed: both (a,b) and (b,a) rows exist, so every
+    anchor sees its full positive/negative set (what a per-anchor
+    training batch consumes).
+
+    Scale: candidate generation is the IVF-bucketed equi-join on `cell`
+    (Σ|cell|² work, never n² — the same blocking as
+    dedup.embedding_dup_pairs_bucketed); the only shuffle beyond the join
+    is one per-anchor window for the negative top-k, which AQE reuses from
+    the join's hash partitioning on the anchor side. Below-floor pairs are
+    filtered BEFORE the window so the ranked set is candidates-only.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_av"), F.col("cell").alias("_ac")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("other_id"), F.col(vec_col).alias("_bv"), F.col("cell").alias("_bc")
+    )
+    cand = (
+        a.join(b, (F.col("_ac") == F.col("_bc")) & (F.col("anchor_id") != F.col("other_id")))
+        .withColumn("cos", F.round(cosine(F.col("_av"), F.col("_bv")), 6))
+        .filter(F.col("cos") >= F.lit(float(neg_floor)))
+        .select("anchor_id", "other_id", "cos")
+    )
+    pos = cand.filter(F.col("cos") >= F.lit(float(pos_threshold))).select(
+        "anchor_id", "other_id", "cos", F.lit("pos").alias("label"), F.lit(0).alias("rank")
+    )
+    negw = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("other_id").asc())
+    neg = (
+        cand.filter(F.col("cos") < F.lit(float(pos_threshold)))
+        .withColumn("rank", F.row_number().over(negw))
+        .filter(F.col("rank") <= k_negatives)
+        .select("anchor_id", "other_id", "cos", F.lit("hard_neg").alias("label"), "rank")
+    )
+    return pos.unionByName(neg)

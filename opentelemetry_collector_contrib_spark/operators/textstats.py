@@ -395,6 +395,62 @@ def corpus_summary(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication matrix — the "data Venn" a corpus audit
+    runs before mixing sources: for every source pair (a ≤ b, including
+    the a = a diagonal), how many DISTINCT text keys appear in both, and
+    what fraction of each side that overlap is. A source that is 40%
+    contained in another is a mixture-weights bug waiting to happen (the
+    duplicated mass silently doubles its effective weight); the diagonal
+    gives each source's own distinct-key count for reference.
+
+    Keys are the h60 exact-dedup hash of the text (compose with
+    curation.canonicalize_text upstream for normalization-insensitive
+    keys, or swap in a MinHash band key for near-dup overlap — the matrix
+    shape is key-agnostic).
+
+    Output: (src_a, src_b, n_overlap, n_a, n_b, frac_of_a, frac_of_b),
+    src_a <= src_b.
+
+    Scale: one distinct on (source, key) — fixed-width rows, map-side
+    combined — then a self-equi-join ON KEY (each key meets only its own
+    other-source copies; a key present in s sources contributes s² rows,
+    never a cross join) and a hash agg on the (src_a, src_b) pair, whose
+    cardinality is sources², tiny. Per-source totals ride the same
+    distinct frame; the final join is broadcast-size."""
+    keyed = df.select(
+        F.col(group_col).alias("_src"), h60(F.col(text_col)).alias("_k")
+    ).distinct()
+    totals = keyed.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    a = keyed.select(F.col("_src").alias("src_a"), "_k")
+    b = keyed.select(F.col("_src").alias("src_b"), "_k")
+    overlap = (
+        a.join(b, "_k")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ta = totals.select(F.col("_src").alias("src_a"), F.col("_n").alias("n_a"))
+    tb = totals.select(F.col("_src").alias("src_b"), F.col("_n").alias("n_b"))
+    return (
+        overlap.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_overlap",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_overlap") / F.col("n_a"), 6).alias("frac_of_a"),
+            F.round(F.col("n_overlap") / F.col("n_b"), 6).alias("frac_of_b"),
+        )
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     queries: DataFrame,

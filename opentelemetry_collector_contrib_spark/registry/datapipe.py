@@ -674,6 +674,59 @@ def q_cluster_balance(spark, sf_dir):
     return cluster_balance(_embs(spark, sf_dir), cap=40, n_cells=8)
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive training pairs mined from the embedding corpus:
+    same-cell positives (cos >= 0.35, the near-dup band on this fixture)
+    plus per-anchor top-3 hard negatives in [0.2, 0.35) — close but not
+    duplicate, the bi-encoder decision-boundary examples."""
+    from ..operators.similarity import mine_contrastive_pairs
+
+    return mine_contrastive_pairs(
+        _embs(spark, sf_dir), pos_threshold=0.35, neg_floor=0.2, k_negatives=3, n_cells=8
+    )
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe 90/10 split: MinHash-LSH near-dup pairs → connected
+    components → the whole duplicate cluster follows its representative's
+    hash band, so near-dups never straddle train/test."""
+    from ..operators.curation import leakage_safe_split
+    from ..operators.dedup import minhash_lsh_dedup_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(d, "doc_id", threshold=0.4)
+    out = leakage_safe_split(d, pairs, {"train": 0.9, "test": 0.1})
+    return out.select("doc_id", "cluster_rep", "split")
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix over the corpus plus a mirrored
+    stratum (doc_id % 3 == 0 re-labeled 'mirror_<source>' with identical
+    text) so the fixture carries guaranteed cross-source duplicate mass."""
+    from ..operators.textstats import source_overlap_matrix
+
+    d = _docs(spark, sf_dir)
+    mirrored = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "source", F.concat(F.lit("mirror_"), F.col("source"))
+    )
+    return source_overlap_matrix(d.unionByName(mirrored))
+
+
+def q_data_recipe(spark, sf_dir):
+    """Token-budget recipe execution: 2,000 tokens at 60/30/10 over
+    src0/src1/src2 (each source holds ~1.4k tokens at sf0.01, so every
+    target is a proper subset and the boundary rule is exercised)."""
+    from ..operators.curation import data_recipe
+    from ..operators.textstats import tokens as _tok
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(_tok(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return data_recipe(
+        d, weights={"src0": 0.6, "src1": 0.3, "src2": 0.1}, token_budget=2000
+    )
+
+
 def q_sft_examples(spark, sf_dir):
     """Transcript -> SFT (prompt, completion) pairs: one example per
     assistant turn, chat-template context from the 6 preceding turns
@@ -1184,6 +1237,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_semantic_dedup,
     "sim_topk_brute": q_topk_brute,
     "sim_topk_ivf": q_topk_ivf,
+    "emb_contrastive_pairs": q_contrastive_pairs,
+    "leakage_split_docs": q_leakage_split,
+    "source_overlap": q_source_overlap,
+    "curation_recipe": q_data_recipe,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_wav_decode": q_multimodal_wav,
@@ -2635,6 +2692,84 @@ ranked AS (
   FROM lab)
 SELECT doc AS vec_id, cell, centroid_sim, cluster_rep, rn = 1 AS keep
 FROM ranked"""
+
+    # contrastive pair mining: exact (r=1) cell assignment, same-cell
+    # directed candidates >= neg_floor, split at pos_threshold
+    o["emb_contrastive_pairs"] = f"""
+WITH cents AS (SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc2} DESC, c.cell ASC) AS r
+    FROM embeddings v CROSS JOIN cents c) t WHERE r = 1),
+cand AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS other_id, {cos_ab} AS cos
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE {cos_ab} >= 0.2)
+SELECT anchor_id, other_id, cos, 'pos' AS label, 0 AS rank
+FROM cand WHERE cos >= 0.35
+UNION ALL
+SELECT anchor_id, other_id, cos, 'hard_neg' AS label, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos DESC, other_id ASC) AS rank
+  FROM cand WHERE cos < 0.35) t
+WHERE rank <= 3"""
+
+    # leakage-safe split: same CC as dedup_near_clusters, then the
+    # train_split hash band applied to the component representative
+    o["leakage_split_docs"] = o["dedup_near_clusters"].replace(
+        "SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc",
+        """, comp AS (SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc),
+rep AS (
+  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id)
+SELECT doc_id, cluster_rep,
+  CASE WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 15) AS BIGINT)
+            % 1000000 < 900000 THEN 'train' ELSE 'test' END AS split
+FROM rep""",
+    )
+
+    o["source_overlap"] = f"""
+WITH d AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror_' || source AS source, text FROM documents WHERE doc_id % 3 = 0),
+keyed AS (SELECT DISTINCT source, {sql_h60('text')} AS k FROM d),
+tot AS (SELECT source, count(*) AS n FROM keyed GROUP BY source),
+ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_overlap
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.source <= b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, n_overlap, ta.n AS n_a, tb.n AS n_b,
+  round(n_overlap / CAST(ta.n AS DOUBLE), 6) AS frac_of_a,
+  round(n_overlap / CAST(tb.n AS DOUBLE), 6) AS frac_of_b
+FROM ov
+JOIN tot ta ON ta.source = src_a
+JOIN tot tb ON tb.source = src_b"""
+
+    from ..operators.curation import recipe_targets as _recipe_targets_fn
+
+    _recipe_targets = _recipe_targets_fn(
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1}, 2000
+    )
+    _recipe_case = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in sorted(_recipe_targets.items())
+    )
+    o["curation_recipe"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+         {sql_h60("'recipe:' || CAST(doc_id AS VARCHAR)")} AS u
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         CASE source {_recipe_case} END AS target_tokens
+  FROM d)
+SELECT doc_id, source, n_tokens, CAST(target_tokens AS BIGINT) AS target_tokens
+FROM c WHERE cum_before < target_tokens"""
 
     cos_qn = sql_cosine("q.embedding", "n.embedding")
     o["sim_topk_brute"] = f"""
