@@ -985,6 +985,80 @@ def url_filter(
     )
 
 
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src)(=.*)?$"
+
+
+def canonicalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    tracking_param_re: str = _TRACKING_PARAM_RE,
+    out_col: str = "canonical_url",
+    key_col: str = "url_key",
+) -> DataFrame:
+    """URL canonicalization for crawl dedup keys: the same page arrives
+    under `HTTP://Example.COM:80/a?utm_source=x&b=1#frag` and
+    `http://example.com/a?b=1` — a corpus keyed on raw URLs re-crawls and
+    re-trains on it twice. Applies the standard normalization ladder
+    (each rule is a pure string rewrite, so the operator composes with
+    `canonicalize_text` for the content-side key):
+
+      1. strip the fragment (never sent to the server),
+      2. lowercase scheme + host,
+      3. drop the scheme's default port (:80 http, :443 https),
+      4. empty path → '/',
+      5. drop tracking parameters (``tracking_param_re``, matched
+         case-insensitively against the whole `name=value` token:
+         utm_*, gclid, fbclid, msclkid, igshid, mc_eid, ref, ref_src),
+      6. byte-sort the surviving query parameters (param order is
+         semantically irrelevant to ~every framework but breaks exact
+         keys).
+
+    Adds ``out_col`` (NULL when the value has no `scheme://` prefix —
+    unparseable rows stay visible instead of colliding on a garbage key)
+    and ``key_col`` = h60(canonical) for the downstream exact-dedup
+    groupBy. Deliberately NOT done: percent-encoding normalization and
+    path dot-segment removal (both change semantics on hostile servers;
+    add behind flags if a corpus needs them).
+
+    Scale: one whole-stage-codegen projection — regexp rewrites + an
+    array sort over query params, zero joins, zero shuffles, zero UDFs.
+    Engine-portable: the DuckDB oracle mirrors each rule with the same
+    regexes (list_sort's byte order == array_sort's on ASCII URLs)."""
+    u = F.regexp_replace(F.col(url_col), "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).otherwise(
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", "")).otherwise(
+            hostport
+        )
+    )
+    pathq = after.substr(F.length(hostport) + F.lit(1), F.length(after))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"^[^?]*\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~F.lower(p).rlike(tracking_param_re),
+        )
+    )
+    q_norm = F.array_join(kept, "&")
+    canon = F.when(
+        scheme != "",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q_norm != "", F.concat(F.lit("?"), q_norm)).otherwise(F.lit("")),
+        ),
+    )
+    return df.withColumn(out_col, canon).withColumn(key_col, h60(F.col(out_col)))
+
+
 def pack_conversations(
     df: DataFrame,
     budget: int = 2000,

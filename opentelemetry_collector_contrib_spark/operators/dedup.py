@@ -148,6 +148,81 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT join: C(A→B) = |A∩B| / |A|, the
+    sub-document duplication detector Jaccard structurally misses. A page
+    quoted whole inside a 10× larger page has containment ≈ 1.0 from the
+    quote's side but Jaccard ≈ 0.1 — below any resemblance threshold —
+    yet it is exactly the boilerplate/mirror mass a pretraining corpus
+    must down-weight (the "A is inside B" case `duplicated_ngram_spans`
+    localizes span-by-span; this is its cheap doc-level verdict).
+
+    Output: one row per DIRECTED pair with containment ≥ ``threshold``:
+    (doc_a, doc_b, n_inter, containment) meaning "containment of doc_a's
+    shingle set inside doc_b's". Both directions of an overlapping pair
+    are scored independently (small-in-big fires, big-over-small
+    usually doesn't).
+
+    Scale: identical plan family to `jaccard_pairs` — shingle inverted
+    index, equi-join on shingle, ONE intersection aggregate per unordered
+    pair, then the two directions materialize as a 2-element explode (no
+    second join pass). ``max_doc_freq`` caps stop-shingle skew exactly as
+    in jaccard_pairs: intersections only shrink while |A| stays honest,
+    so the capped score is a strict lower bound (misses possible, false
+    positives impossible). Default None = exact (the oracle gate)."""
+    sh_all = shingle_table(df, id_col, text_col, n)
+    sh = sh_all
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+        )
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh_all.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sized = inter.join(
+        sizes.withColumnRenamed("doc", "da").withColumnRenamed("n_sh", "n_a"), "da"
+    ).join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("n_sh", "n_b"), "db")
+    both = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("da").alias("doc_a"),
+                    F.col("db").alias("doc_b"),
+                    F.col("n_inter"),
+                    F.col("n_a").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("db").alias("doc_a"),
+                    F.col("da").alias("doc_b"),
+                    F.col("n_inter"),
+                    F.col("n_b").alias("n_src"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return (
+        both.withColumn("containment", F.round(F.col("n_inter") / F.col("n_src"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

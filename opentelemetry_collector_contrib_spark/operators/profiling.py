@@ -1,0 +1,133 @@
+"""Data-shape profilers: the diagnostics a 100 TB pipeline runs BEFORE
+committing to a partitioning or join strategy.
+
+Two operators:
+
+- ``key_skew_profile`` — the pre-join skew check. Every groupBy/join in
+  this engine shuffles on its keys; one hot key (the north rule's skewed
+  conversations) decides whether the salted path (`aggregate.salted_agg`)
+  or AQE skew-join splitting is needed. This profiler answers that with
+  numbers: the top-N keys by row count, each with its share of the table
+  and its multiple of the uniform-key expectation (``skew_factor`` —
+  a key at 1.0 is average; a key at 500 melts an executor).
+
+- ``column_profile`` — the ANALYZE TABLE shape: per-column row/null/
+  distinct counts and average rendered width, feeding join-side choice
+  (is the dim broadcastable?), dictionary-encoding decisions, and
+  contract drift checks (a column whose null fraction jumps is the
+  classic silent upstream break; compose with `plans/contracts.py` for
+  the gating version).
+
+Reference counterpart: the collector exposes pipeline self-observability
+via obsreport/telemetry counters (accepted/refused/dropped per
+processor); a columnar engine's equivalent introspection is data-shape
+statistics. These are engine extensions in the same spirit as
+`plans/metrics.py`'s job counters.
+
+Scale notes are on each function; both shuffle fixed-width rows only
+(hashes and lengths, never payload strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import h60
+
+
+def key_skew_profile(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
+    """Top-``top_n`` key tuples by frequency with skew diagnostics.
+
+    Output: (*keys, n, frac, skew_factor, rank) —
+      frac        = n / total_rows
+      skew_factor = n / (total_rows / n_distinct_keys), the multiple of
+                    the uniform expectation (rounded 6)
+      rank        = 1-based dense position by (n desc, keys asc)
+
+    Plan shape: ONE hash aggregate on the keys (map-side combined), then
+    the (total, n_keys) scalars come from a 1-row aggregate over the
+    counts frame collected driver-side and inlined as literals — the
+    justified-tiny-collect pattern (2 scalars, never data rows; a
+    literal-key join would plan a BroadcastNestedLoopJoin). The top-N
+    rank is a row_number over the counts frame that Spark rewrites to
+    TakeOrderedAndProject(limit=top_n): each map task forwards its own
+    top ``top_n`` candidates and the driver merges, so no global sort of
+    the key universe happens even with billions of distinct keys (the
+    residual single-partition Window then numbers only those ≤ top_n
+    survivors). Plan-asserted in tests/test_profiling.py."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    tot_row = counts.select(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    total, n_keys = int(tot_row["t"] or 0), int(tot_row["k"] or 0)
+    if total == 0:
+        return counts.select(
+            *keys,
+            "n",
+            F.lit(None).cast("double").alias("frac"),
+            F.lit(None).cast("double").alias("skew_factor"),
+            F.lit(None).cast("int").alias("rank"),
+        ).limit(0)
+    w = Window.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            *keys,
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("frac"),
+            F.round(
+                F.col("n") * F.lit(float(n_keys)) / F.lit(float(total)), 6
+            ).alias("skew_factor"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column stats in ONE pass over ONE scan: (column, n_rows,
+    n_null, n_distinct, avg_len) — n_distinct counts distinct NON-NULL
+    values; avg_len is the average rendered (string-cast) width of
+    non-null values, rounded 6 (NULL when the column is all-NULL).
+
+    Plan shape: the table melts to one fixed-width row per (row, column)
+    — (name, h60(value), len, is_null), an inline explode of a struct
+    array, so the shuffle carries 8-byte hashes and ints, never the
+    payload strings — then one groupBy(column) with a single distinct
+    aggregate: partial dedup on (column, hash) before the first
+    exchange, merge, then the final #cols-key exchange. Two exchanges
+    total, both over fixed-width pre-deduped rows; a per-column
+    multi-count(DISTINCT) formulation would instead Expand the scan
+    #cols× AND replay it per aggregate. Cost is #cols × rows melt inside
+    the scan stage.
+
+    Caveat: n_distinct is hash-distinct (h60 — md5-derived, 60 bits);
+    collisions are ~n²/2⁶¹, negligible below ~10⁹ distinct values per
+    column and identical across engines (the DuckDB oracle hashes the
+    same way). Rendered widths for doubles/timestamps are
+    engine-specific — profile those as their raw semantics demand, but
+    oracle-gate only int/string columns."""
+    names = cols or df.columns
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                h60(F.col(c).cast("string")).alias("h"),
+                F.length(F.col(c).cast("string")).alias("l"),
+                F.col(c).isNull().alias("z"),
+            )
+            for c in names
+        ]
+    )
+    melted = df.select(F.explode(entries).alias("e")).select("e.*")
+    return (
+        melted.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("z").cast("bigint")).alias("n_null"),
+            F.count_distinct(F.when(~F.col("z"), F.col("h"))).alias("n_distinct"),
+            F.round(F.avg(F.when(~F.col("z"), F.col("l"))), 6).alias("avg_len"),
+        )
+        .select("column", "n_rows", "n_null", "n_distinct", "avg_len")
+    )

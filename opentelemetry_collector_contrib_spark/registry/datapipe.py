@@ -1159,6 +1159,56 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "item", 0.02)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directed sub-document duplication: containment |A∩B|/|A| >= 0.5
+    over 3-gram shingles — catches the quote-inside-a-bigger-page case
+    whose Jaccard sits below any resemblance threshold."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
+
+
+def q_key_skew(spark, sf_dir):
+    """Pre-join skew diagnostic over events.user_id: top-20 keys with
+    their corpus share and multiple of the uniform-key expectation."""
+    from ..operators.profiling import key_skew_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_profile(ev, ["user_id"], top_n=20)
+
+
+def q_column_profile(spark, sf_dir):
+    """ANALYZE-shape column statistics for the documents table: per-column
+    null/distinct counts and average rendered width, one scan."""
+    from ..operators.profiling import column_profile
+
+    return column_profile(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_url_canonical(spark, sf_dir):
+    """Crawl URL canonicalization over five deterministic variants per
+    doc (case/port/fragment/tracking-param/param-order noise + one
+    scheme-less unparseable) — variants of the same page collapse to one
+    url_key; the scheme-less row keys NULL."""
+    from ..operators.curation import canonicalize_url
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    page = F.pmod(F.col("doc_id"), F.lit(97)).cast("string")
+    variants = F.array(
+        F.concat(F.lit("http://example.com/p/"), page),
+        F.concat(F.lit("HTTP://EXAMPLE.com:80/p/"), page, F.lit("#frag")),
+        F.concat(F.lit("http://example.com/p/"), page, F.lit("?utm_source=x&utm_medium=y")),
+        F.concat(F.lit("http://example.com/p/"), page, F.lit("?b=2&a=1&gclid=z")),
+        F.concat(F.lit("example.com/p/"), page),
+    )
+    d = d.withColumn(
+        "url", F.element_at(variants, (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"))
+    )
+    return canonicalize_url(d).select("doc_id", "url", "canonical_url", "url_key")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_latency": q_turn_latency,
     "conv_context_budget": q_context_budget,
@@ -1225,6 +1275,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_fingerprint,
     "dedup_exact_docs": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
+    "dedup_containment_pairs": q_containment_pairs,
+    "profile_key_skew": q_key_skew,
+    "profile_columns": q_column_profile,
+    "curation_url_canonical": q_url_canonical,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2397,6 +2451,91 @@ JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.4"""
     )
+
+    o["dedup_containment_pairs"] = (
+        _SHINGLE_CTE
+        + """,
+inter AS (
+  SELECT a.doc AS da, b.doc AS db, count(*) AS n_inter
+  FROM shing a JOIN shing b USING (shingle)
+  WHERE a.doc < b.doc GROUP BY 1, 2),
+sized AS (
+  SELECT da, db, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter JOIN sizes sa ON sa.doc = da JOIN sizes sb ON sb.doc = db),
+directed AS (
+  SELECT da AS doc_a, db AS doc_b, n_inter, n_a AS n_src FROM sized
+  UNION ALL
+  SELECT db AS doc_a, da AS doc_b, n_inter, n_b AS n_src FROM sized)
+SELECT doc_a, doc_b, n_inter,
+       round(n_inter / CAST(n_src AS DOUBLE), 6) AS containment
+FROM directed
+WHERE round(n_inter / CAST(n_src AS DOUBLE), 6) >= 0.5"""
+    )
+
+    o["profile_key_skew"] = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS k FROM c),
+r AS (SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+      FROM c)
+SELECT user_id, n,
+       round(n / t.total, 6) AS frac,
+       round(n * t.k / t.total, 6) AS skew_factor,
+       CAST(rank AS INT) AS rank
+FROM r, t WHERE rank <= 20"""
+
+    o["profile_columns"] = "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  count(DISTINCT CASE WHEN {c} IS NOT NULL THEN {sql_h60(f'CAST({c} AS VARCHAR)')} END) AS n_distinct,
+  round(avg(CASE WHEN {c} IS NOT NULL THEN len(CAST({c} AS VARCHAR)) END), 6) AS avg_len
+FROM documents"""
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+    _track_re = "^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src)(=.*)?$"
+    o["curation_url_canonical"] = f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS pg FROM documents),
+d AS (
+  SELECT doc_id,
+    ['http://example.com/p/' || pg,
+     'HTTP://EXAMPLE.com:80/p/' || pg || '#frag',
+     'http://example.com/p/' || pg || '?utm_source=x&utm_medium=y',
+     'http://example.com/p/' || pg || '?b=2&a=1&gclid=z',
+     'example.com/p/' || pg][CAST(doc_id % 5 AS INT) + 1] AS url
+  FROM base),
+s AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM d),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS after
+  FROM s),
+q AS (
+  SELECT *, lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+    substr(after, length(regexp_extract(after, '^([^/?]*)', 1)) + 1) AS pathq
+  FROM p),
+r AS (
+  SELECT *,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS host,
+    CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+    regexp_extract(pathq, '^[^?]*\\?(.*)$', 1) AS query
+  FROM q)
+SELECT doc_id, url, canonical_url,
+       {sql_h60('canonical_url')} AS url_key
+FROM (
+  SELECT doc_id, url,
+    CASE WHEN scheme <> '' THEN scheme || '://' || host || path ||
+      CASE WHEN qn <> '' THEN '?' || qn ELSE '' END END AS canonical_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(
+        regexp_split_to_array(query, '&'),
+        x -> x <> '' AND NOT regexp_matches(lower(x), '{_track_re}'))), '&') AS qn
+    FROM r) t1) t2"""
 
     o["dedup_minhash_lsh_pairs"] = (
         _SHINGLE_CTE

@@ -1,0 +1,143 @@
+"""Unit tests for operators/profiling.py, dedup.containment_pairs and
+curation.canonicalize_url — edge semantics the registry oracle queries
+don't isolate (all-NULL columns, empty input, directed containment
+asymmetry, URL normalization rule table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.curation import canonicalize_url
+from opentelemetry_collector_contrib_spark.operators.dedup import containment_pairs
+from opentelemetry_collector_contrib_spark.operators.profiling import (
+    column_profile,
+    key_skew_profile,
+)
+
+
+def test_key_skew_profile_values(spark):
+    # 6 rows of 'a', 2 of 'b', 1 each of 'c','d' → total 10, 4 keys
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["k"]: r for r in key_skew_profile(df, ["k"], top_n=2).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n"] == 6 and out["a"]["rank"] == 1
+    assert abs(out["a"]["frac"] - 0.6) < 1e-9
+    # uniform expectation = 10/4 = 2.5 rows/key → a's skew factor 2.4
+    assert abs(out["a"]["skew_factor"] - 2.4) < 1e-9
+    assert out["b"]["rank"] == 2 and abs(out["b"]["skew_factor"] - 0.8) < 1e-9
+
+
+def test_key_skew_profile_tie_break_and_empty(spark):
+    df = spark.createDataFrame([("b",), ("a",)], "k string")
+    ranks = {r["k"]: r["rank"] for r in key_skew_profile(df, ["k"], top_n=5).collect()}
+    assert ranks == {"a": 1, "b": 2}  # equal counts → key asc decides
+    empty = spark.createDataFrame([], "k string")
+    assert key_skew_profile(empty, ["k"]).count() == 0
+
+
+def test_column_profile_nulls_and_distinct(spark):
+    df = spark.createDataFrame(
+        [("x", None, 1), ("x", None, 2), ("yy", None, 2)],
+        "a string, b string, c int",
+    )
+    out = {r["column"]: r for r in column_profile(df).collect()}
+    assert out["a"]["n_rows"] == 3 and out["a"]["n_null"] == 0
+    assert out["a"]["n_distinct"] == 2
+    assert abs(out["a"]["avg_len"] - (1 + 1 + 2) / 3) < 1e-6
+    # all-NULL column: zero distinct, NULL avg_len
+    assert out["b"]["n_null"] == 3 and out["b"]["n_distinct"] == 0
+    assert out["b"]["avg_len"] is None
+    assert out["c"]["n_distinct"] == 2 and out["c"]["avg_len"] == 1.0
+
+
+def test_containment_directed_asymmetry(spark):
+    # small = 5 tokens → 3 shingles, all inside big (12 tokens, 10 shingles)
+    small = "w1 w2 w3 w4 w5"
+    big = small + " w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", threshold=0.0).collect()
+    }
+    assert rows[(1, 2)] == 1.0  # small fully contained in big
+    assert abs(rows[(2, 1)] - 0.3) < 1e-6  # 3 of big's 10 shingles shared
+    # jaccard for this pair is 0.3 — a 0.5 containment threshold keeps only
+    # the small→big direction, the case resemblance misses
+    kept = containment_pairs(df, "doc_id", threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in kept] == [(1, 2)]
+
+
+def test_containment_max_doc_freq_lower_bound(spark):
+    # a shingle shared by all 3 docs is capped out at max_doc_freq=2:
+    # intersections shrink, |A| doesn't → capped score <= exact score
+    t = "a b c"
+    df = spark.createDataFrame(
+        [(1, t), (2, t + " x y z"), (3, t + " p q r")], "doc_id long, text string"
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", threshold=0.0, max_doc_freq=2).collect()
+    }
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9
+
+
+URL_CASES = [
+    # (input, canonical)
+    ("http://Example.COM:80/a?b=1#frag", "http://example.com/a?b=1"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
+    ("http://example.com", "http://example.com/"),  # empty path → /
+    ("http://example.com/a?utm_source=x&b=2&a=1", "http://example.com/a?a=1&b=2"),
+    ("http://example.com/a?UTM_Source=x", "http://example.com/a"),  # case-insensitive
+    ("http://example.com/a?gclid=1&fbclid=2&ref=x", "http://example.com/a"),
+    ("http://example.com/a?refresh=1", "http://example.com/a?refresh=1"),  # not 'ref'
+    ("http://example.com/a?", "http://example.com/a"),  # empty query dropped
+    ("HTTP://example.com/A/B", "http://example.com/A/B"),  # path case preserved
+    ("no-scheme.com/a", None),  # unparseable → NULL
+]
+
+
+def test_canonicalize_url_table(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], "i long, url string"
+    )
+    got = {r["i"]: r for r in canonicalize_url(df).collect()}
+    for i, (u, want) in enumerate(URL_CASES):
+        assert got[i]["canonical_url"] == want, (u, got[i]["canonical_url"], want)
+    # NULL canonical → NULL key; equal canonicals → equal keys
+    assert got[len(URL_CASES) - 1]["url_key"] is None
+
+
+def test_canonicalize_url_collapses_variants(spark):
+    variants = [
+        "http://example.com/p/1?b=2&a=1",
+        "HTTP://EXAMPLE.com:80/p/1?a=1&b=2#x",
+        "http://example.com/p/1?a=1&utm_medium=m&b=2",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)], "i long, url string")
+    keys = {r["url_key"] for r in canonicalize_url(df).collect()}
+    assert len(keys) == 1
+
+
+def test_profile_plan_shapes(spark):
+    """column_profile: one scan, two fixed-width exchanges (distinct
+    partial-dedup + final); key_skew's top-n rank plans as
+    TakeOrderedAndProject — per-partition top-k, never a global sort of
+    the key universe."""
+    df = spark.createDataFrame([("a", 1)] * 4 + [("b", 2)], "k string, v int")
+    plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Scan") == 1
+    skew_plan = (
+        key_skew_profile(df, ["k"], top_n=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in skew_plan
