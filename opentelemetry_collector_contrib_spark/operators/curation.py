@@ -985,6 +985,39 @@ def url_filter(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+    rank_col: str = "strata_rank",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample — the eval-set builder: exactly
+    ``k`` documents from every (source × length-bucket × language × …)
+    cell, so the held-out set covers the corpus's structure instead of
+    mirroring its skew (a uniform corpus sample of a 90%-web mixture
+    contains ~no books; a stratified one holds k of each).
+
+    The per-stratum order is h60(salt:id) ascending — the equal-weights
+    special case of `weighted_sample`'s A-ES rule, so it inherits the
+    same guarantees: ZERO RNG state, rerun/engine identical, and
+    appending new strata never changes an existing stratum's picks
+    (each doc's key is independent of corpus contents). Strata with
+    fewer than ``k`` rows return whole. Adds ``rank_col`` (1..k).
+
+    Scale: one window partitioned by the strata columns that Spark
+    executes with WindowGroupLimit — each map task forwards at most k
+    rows per stratum before the exchange, so the shuffle carries
+    O(strata × k), not the corpus."""
+    u = h60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 _TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid|ref|ref_src)(=.*)?$"
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import h60, tokens, word_shingles
@@ -640,6 +640,45 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             "a near-dup chain is longer than expected — raise max_iters"
         )
     return labels.select(F.col("doc"), F.col("label").alias("cluster_rep"))
+
+
+def dup_cluster_sizes(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplication-factor histogram — the corpus-audit number behind every
+    dedup decision: "what fraction of the corpus exists in N copies?"
+    (CCNet/RefinedWeb report exactly this curve; a corpus where 30% of
+    mass sits in 100+-member clusters needs cluster-level caps, not just
+    keep-first).
+
+    Unpaired documents count as singleton clusters — omitting them (the
+    easy bug) silently reports duplication share of the DUPLICATED subset
+    instead of the corpus. Output: one row per distinct cluster size:
+    (cluster_size, n_clusters, n_docs, frac_docs), frac over the full
+    corpus, rounded 6.
+
+    Scale: the CC runs on the pair graph only (O(duplicates)); mapping
+    back is one left equi-join on id with coalesce-to-self; then two hash
+    aggs, the second over |distinct cluster| rows and the histogram frame
+    bounded by distinct sizes (≪ corpus). frac totals ride an
+    unpartitioned window over that tiny histogram frame, never raw
+    rows."""
+    clusters = dup_clusters(pairs).withColumnRenamed("doc", id_col)
+    rep = (
+        df.select(id_col)
+        .join(clusters, on=id_col, how="left")
+        .select(F.coalesce(F.col("cluster_rep"), F.col(id_col)).alias("rep"))
+    )
+    sizes = rep.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = Window.partitionBy()  # over the size-histogram frame only
+    return (
+        hist.withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+        .withColumn(
+            "frac_docs", F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6)
+        )
+        .select("cluster_size", "n_clusters", "n_docs", "frac_docs")
+    )
 
 
 def drop_near_dups(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

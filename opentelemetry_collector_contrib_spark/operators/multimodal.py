@@ -564,3 +564,62 @@ def decode_jpeg_meta(df: DataFrame, payload_col: str = "jpeg") -> DataFrame:
         )
 
     return df.withColumn("jpeg_meta", decode(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# content-type sniffing (magic bytes)
+# ---------------------------------------------------------------------------
+
+# (mime, hex prefix at offset 1). RIFF containers disambiguate on bytes 9-12.
+_MAGIC_PREFIXES = [
+    ("image/png", "89504E470D0A1A0A"),
+    ("image/jpeg", "FFD8FF"),
+    ("image/gif", "474946383761"),
+    ("image/gif", "474946383961"),
+    ("application/pdf", "25504446"),
+    ("application/gzip", "1F8B"),
+    ("application/zip", "504B0304"),
+    ("application/zip", "504B0506"),  # empty archive
+    ("application/zip", "504B0708"),  # spanned archive
+    ("application/x-elf", "7F454C46"),
+    ("audio/mpeg", "494433"),  # ID3-tagged mp3
+    ("audio/mpeg", "FFFB"),
+    ("audio/mpeg", "FFF3"),
+]
+
+
+def sniff_content_type(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "content_type"
+) -> DataFrame:
+    """Magic-byte content-type detection over an opaque binary column —
+    the decode-free first gate of a multimodal crawl pipeline: route rows
+    to the right decoder (or quarantine) BEFORE paying any decode cost,
+    and catch the classic poisoning vector of an extension/Content-Type
+    header lying about the payload (an "image" that is actually an ELF
+    executable never reaches an image codec).
+
+    Detects PNG, JPEG, GIF (87a/89a), PDF, GZIP, ZIP (incl. empty and
+    spanned archive variants), ELF, MP3 (ID3 or bare frame-sync), and the
+    RIFF containers WAV/WebP/AVI (disambiguated on the format tag at
+    bytes 9-12, as RFC 2361 framing requires). Unknown or NULL payloads
+    label 'application/octet-stream' / NULL respectively — unknown is a
+    VALUE, not a dropped row.
+
+    Scale: a pure whole-stage-codegen projection — one hex() of the first
+    12 bytes and a literal when-chain. Zero UDFs, zero shuffles; runs at
+    scan speed over 100 TB of blobs (and the 12-byte substring never
+    materializes the payload column's full bytes in the row cache)."""
+    head = F.hex(F.expr(f"substring({payload_col}, 1, 12)"))
+    riff_tag = F.substring(head, 17, 8)  # bytes 9-12 in hex chars
+    chain = F.when(F.col(payload_col).isNull(), F.lit(None).cast("string"))
+    for mime, prefix in _MAGIC_PREFIXES:
+        chain = chain.when(head.startswith(prefix), F.lit(mime))
+    chain = (
+        chain.when(
+            head.startswith("52494646") & (riff_tag == "57415645"), F.lit("audio/wav")
+        )
+        .when(head.startswith("52494646") & (riff_tag == "57454250"), F.lit("image/webp"))
+        .when(head.startswith("52494646") & (riff_tag == "41564920"), F.lit("video/avi"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return df.withColumn(out_col, chain)

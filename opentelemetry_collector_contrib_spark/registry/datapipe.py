@@ -1209,6 +1209,73 @@ def q_url_canonical(spark, sf_dir):
     return canonicalize_url(d).select("doc_id", "url", "canonical_url", "url_key")
 
 
+def q_cluster_sizes(spark, sf_dir):
+    """Duplication-factor histogram: what fraction of the corpus exists in
+    N copies — MinHash-LSH pairs → CC → per-size cluster counts, with
+    unpaired docs counted as singleton clusters (corpus-denominated)."""
+    from ..operators.dedup import dup_cluster_sizes, minhash_lsh_dedup_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(d, "doc_id", threshold=0.4)
+    return dup_cluster_sizes(d, pairs)
+
+
+_SNIFF_HEX = [
+    "89504E470D0A1A0A0000000D49484452",  # png
+    "FFD8FFE000104A46494600",  # jpeg/JFIF
+    "474946383961AAAA",  # gif89a
+    "255044462D312E37",  # %PDF-1.7
+    "1F8B08000000000000",  # gzip
+    "504B030414000000",  # zip
+    "7F454C4602010100",  # elf
+    "4944330400000000",  # mp3 ID3
+    "524946460000002457415645666D7420",  # riff/wav
+    "52494646000000245745425056503820",  # riff/webp
+    "DEADBEEF00112233",  # unknown
+]
+
+_SNIFF_WANT = [
+    "image/png",
+    "image/jpeg",
+    "image/gif",
+    "application/pdf",
+    "application/gzip",
+    "application/zip",
+    "application/x-elf",
+    "audio/mpeg",
+    "audio/wav",
+    "image/webp",
+    "application/octet-stream",
+]
+
+
+def q_sniff_content_type(spark, sf_dir):
+    """Magic-byte MIME sniffing over real synthesized binary payloads
+    (12 variants per doc incl. RIFF wav/webp disambiguation, an unknown
+    blob and a NULL payload); oracle = ground truth from the variant id."""
+    from ..operators.multimodal import sniff_content_type
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    v = F.pmod(F.col("doc_id"), F.lit(12))
+    hexes = F.array(*[F.lit(h) for h in _SNIFF_HEX])
+    payload = F.when(v < 11, F.unhex(F.element_at(hexes, (v + 1).cast("int"))))
+    out = sniff_content_type(d.withColumn("payload", payload))
+    return out.select("doc_id", "content_type")
+
+
+def q_strata_sample(spark, sf_dir):
+    """Deterministic 5-per-(source, length-bucket) eval sample via the
+    hash-ordered equal-weights A-ES rule; short strata return whole."""
+    from ..operators.curation import stratified_sample
+
+    d = _docs(spark, sf_dir).withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / F.lit(100))
+    )
+    return stratified_sample(d, ["source", "len_bucket"], k=5).select(
+        "doc_id", "source", "len_bucket", "strata_rank"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_latency": q_turn_latency,
     "conv_context_budget": q_context_budget,
@@ -1276,9 +1343,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_containment_pairs": q_containment_pairs,
+    "dedup_cluster_sizes": q_cluster_sizes,
     "profile_key_skew": q_key_skew,
     "profile_columns": q_column_profile,
     "curation_url_canonical": q_url_canonical,
+    "curation_strata_sample": q_strata_sample,
+    "multimodal_sniff": q_sniff_content_type,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2472,6 +2542,27 @@ FROM directed
 WHERE round(n_inter / CAST(n_src AS DOUBLE), 6) >= 0.5"""
     )
 
+    _sniff_case = " ".join(
+        f"WHEN {i} THEN '{m}'" for i, m in enumerate(_SNIFF_WANT)
+    )
+    o["multimodal_sniff"] = f"""
+SELECT doc_id,
+       CASE CAST(doc_id % 12 AS INT) {_sniff_case} END AS content_type
+FROM documents"""
+
+    o["curation_strata_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         {sql_h60("'strata:' || CAST(doc_id AS VARCHAR)")} AS u
+  FROM documents),
+r AS (
+  SELECT doc_id, source, len_bucket,
+         row_number() OVER (PARTITION BY source, len_bucket
+                            ORDER BY u ASC, doc_id ASC) AS strata_rank
+  FROM d)
+SELECT doc_id, source, len_bucket, CAST(strata_rank AS INT) AS strata_rank
+FROM r WHERE strata_rank <= 5"""
+
     o["profile_key_skew"] = """
 WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
 t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS k FROM c),
@@ -2857,6 +2948,21 @@ WHERE rank <= 3"""
 
     # leakage-safe split: same CC as dedup_near_clusters, then the
     # train_split hash band applied to the component representative
+    o["dedup_cluster_sizes"] = o["dedup_near_clusters"].replace(
+        "SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc",
+        """, comp AS (SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc),
+rep AS (
+  SELECT coalesce(c.cluster_rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+sz AS (SELECT rep, count(*) AS cluster_size FROM rep GROUP BY rep),
+hist AS (SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size)
+SELECT cluster_size, n_clusters,
+       cluster_size * n_clusters AS n_docs,
+       round((cluster_size * n_clusters) /
+             CAST(sum(cluster_size * n_clusters) OVER () AS DOUBLE), 6) AS frac_docs
+FROM hist""",
+    )
+
     o["leakage_split_docs"] = o["dedup_near_clusters"].replace(
         "SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc",
         """, comp AS (SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc),

@@ -141,3 +141,70 @@ def test_profile_plan_shapes(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in skew_plan
+
+
+def test_dup_cluster_sizes_includes_singletons(spark):
+    from opentelemetry_collector_contrib_spark.operators.dedup import dup_cluster_sizes
+
+    corpus = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # {0,1,2} one cluster, {3,4} another, 5 singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {r["cluster_size"]: r for r in dup_cluster_sizes(corpus, pairs).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1
+    assert out[1]["n_clusters"] == 1  # doc 5 counted
+    assert abs(sum(r["frac_docs"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_sniff_content_type_table(spark):
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        sniff_content_type,
+    )
+
+    cases = [
+        (0, bytes.fromhex("89504E470D0A1A0A") + b"rest", "image/png"),
+        (1, b"\xff\xd8\xff\xe0body", "image/jpeg"),
+        (2, b"GIF87a..", "image/gif"),
+        (3, b"%PDF-1.4", "application/pdf"),
+        (4, b"\x1f\x8b\x08\x00", "application/gzip"),
+        (5, b"PK\x03\x04zz", "application/zip"),
+        (6, b"\x7fELF\x02", "application/x-elf"),
+        (7, b"ID3\x04tag", "audio/mpeg"),
+        (8, b"RIFF\x00\x00\x00\x24WAVEfmt ", "audio/wav"),
+        (9, b"RIFF\x00\x00\x00\x24WEBPVP8 ", "image/webp"),
+        (10, b"RIFF\x00\x00\x00\x24AVI LIST", "video/avi"),
+        (11, b"RIFF\x00\x00\x00\x24XXXX", "application/octet-stream"),  # unknown RIFF
+        (12, b"plain text", "application/octet-stream"),
+        (13, b"", "application/octet-stream"),
+        (14, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "i long, payload binary"
+    )
+    got = {r["i"]: r["content_type"] for r in sniff_content_type(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i < 20 else "b") for i in range(23)]  # b has only 3
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out1 = stratified_sample(df, ["src"], k=5).collect()
+    out2 = stratified_sample(df, ["src"], k=5).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r["src"], []).append(r["strata_rank"])
+    assert sorted(by_src["a"]) == [1, 2, 3, 4, 5]
+    assert sorted(by_src["b"]) == [1, 2, 3]  # short stratum returns whole
+    # picks for stratum 'a' are independent of 'b' rows existing at all
+    only_a = stratified_sample(df.filter("src = 'a'"), ["src"], k=5).collect()
+    assert {r["doc_id"] for r in only_a} == {
+        r["doc_id"] for r in out1 if r["src"] == "a"
+    }
