@@ -36,6 +36,14 @@ def main() -> None:
         "quarantine sink instead of passing them through",
     )
     ap.add_argument(
+        "--profile",
+        action="store_true",
+        help="also emit data-shape diagnostics (operators/profiling.py): "
+        "top-20 conv_id key-skew over the routed frame and per-column "
+        "null/distinct/width stats — the pre-flight check for the "
+        "salted-agg / AQE-skew decision at a new data scale",
+    )
+    ap.add_argument(
         "--config",
         default=None,
         help="JSON pipeline spec (plans/config.py schema) — the YAML-config "
@@ -116,6 +124,18 @@ def main() -> None:
 
                 aggs["conv_qa_gate"] = transcript_curation_gate(
                     load_transcripts(spark, args.input)
+                )
+            if args.profile:
+                from opentelemetry_collector_contrib_spark.operators.profiling import (
+                    column_profile,
+                    key_skew_profile,
+                )
+
+                aggs["profile_key_skew"] = key_skew_profile(
+                    routed, ["conv_id"], top_n=20
+                )
+                aggs["profile_columns"] = column_profile(
+                    routed, ["conv_id", "role", "tool", "route_id", "sev", "status"]
                 )
             for name, adf in aggs.items():
                 adf.write.mode("overwrite").parquet(f"{args.output}/{name}")
