@@ -160,3 +160,54 @@ def ks_drift(
         F.round(F.max(F.abs(F.col("gap"))), 6).alias("ks_stat"),
         F.min_by("cell", F.struct((-F.abs(F.col("gap"))).alias("g"), F.col("cell"))).alias("ks_at"),
     )
+
+
+def window_diff(
+    df: DataFrame,
+    keys: list[str],
+    is_current: Column,
+    min_total: int = 1,
+) -> DataFrame:
+    """Key-population diff between a reference window (``is_current``
+    false) and a current window (true) — the "what changed" companion of
+    PSI/KS above, which answer "did it change". Applied to masked log
+    templates this is the incident primitive ("which error shape is NEW
+    since the deploy"); applied to plain keys it is the top-movers table
+    a daily corpus/telemetry report leads with. A key's verdict:
+
+      new    — absent from reference, present now
+      gone   — present in reference, absent now
+      grew / shrank / stable — both sides present, by count comparison
+
+    plus ``ratio`` = n_cur/n_ref rounded 6 (NULL for new keys, where no
+    reference denominator exists — NULL is honest; 'inf' is not
+    portable). ``min_total`` drops keys whose combined count is below the
+    noise floor BEFORE any verdict, so one stray row doesn't report a
+    "new" template per log line.
+
+    Scale: exactly ONE hash aggregate over the key columns (both side
+    counts are conditional sums inside it, map-side combined); the
+    verdict/ratio are projections on the aggregated frame (rows =
+    distinct keys). No joins, no windows, no second pass — the two-frame
+    full-outer-join formulation this replaces shuffles the input twice
+    and loses map-side combine on the join key."""
+    sided = df.select(*[F.col(k) for k in keys], is_current.alias("_cur"))
+    counts = sided.groupBy(*keys).agg(
+        F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).cast("bigint").alias("n_cur"),
+    )
+    status = (
+        F.when(F.col("n_ref") == 0, F.lit("new"))
+        .when(F.col("n_cur") == 0, F.lit("gone"))
+        .when(F.col("n_cur") > F.col("n_ref"), F.lit("grew"))
+        .when(F.col("n_cur") < F.col("n_ref"), F.lit("shrank"))
+        .otherwise(F.lit("stable"))
+    )
+    ratio = F.when(
+        F.col("n_ref") > 0, F.round(F.col("n_cur") / F.col("n_ref"), 6)
+    )
+    return (
+        counts.filter(F.col("n_ref") + F.col("n_cur") >= min_total)
+        .withColumn("status", status)
+        .withColumn("ratio", ratio)
+    )

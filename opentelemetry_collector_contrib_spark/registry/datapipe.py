@@ -1276,6 +1276,23 @@ def q_strata_sample(spark, sf_dir):
     )
 
 
+def q_events_window_diff(spark, sf_dir):
+    """Top-movers table over (event_type, user-bucket) keys between the
+    morning (reference) and afternoon (current) event windows: one hash
+    agg, new/gone/grew/shrank verdict + ratio per key, noise floor 3."""
+    from ..operators.drift import window_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = ev.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(50)).alias("user_bucket"),
+        "ts",
+    )
+    return window_diff(
+        keyed, ["event_type", "user_bucket"], F.hour(F.col("ts")) >= 12, min_total=3
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_latency": q_turn_latency,
     "conv_context_budget": q_context_budget,
@@ -1349,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_url_canonical": q_url_canonical,
     "curation_strata_sample": q_strata_sample,
     "multimodal_sniff": q_sniff_content_type,
+    "events_window_diff": q_events_window_diff,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2562,6 +2580,22 @@ r AS (
   FROM d)
 SELECT doc_id, source, len_bucket, CAST(strata_rank AS INT) AS strata_rank
 FROM r WHERE strata_rank <= 5"""
+
+    o["events_window_diff"] = """
+WITH sided AS (
+  SELECT event_type, user_id % 50 AS user_bucket, (hour(ts) >= 12) AS cur
+  FROM events),
+c AS (
+  SELECT event_type, user_bucket,
+    CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM sided GROUP BY 1, 2)
+SELECT event_type, user_bucket, n_ref, n_cur,
+  CASE WHEN n_ref = 0 THEN 'new' WHEN n_cur = 0 THEN 'gone'
+       WHEN n_cur > n_ref THEN 'grew' WHEN n_cur < n_ref THEN 'shrank'
+       ELSE 'stable' END AS status,
+  CASE WHEN n_ref > 0 THEN round(n_cur / CAST(n_ref AS DOUBLE), 6) END AS ratio
+FROM c WHERE n_ref + n_cur >= 3"""
 
     o["profile_key_skew"] = """
 WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),

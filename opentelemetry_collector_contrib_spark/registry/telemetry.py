@@ -1157,6 +1157,19 @@ def q_drain_templates(spark, sf_dir):
     return drain_templates(_routed(spark, sf_dir))
 
 
+def q_template_window_diff(spark, sf_dir):
+    """Template-population diff between the morning (reference) and
+    afternoon (current) halves of the routed transcripts: which masked
+    log shapes are new / gone / growing — the after-the-deploy incident
+    primitive (drift.window_diff over mask_template keys)."""
+    from ..operators.drift import window_diff
+    from ..operators.templates import mask_template
+
+    r = _routed(spark, sf_dir)
+    masked = r.select(mask_template(F.col("text")).alias("template"), F.col("ts"))
+    return window_diff(masked, ["template"], F.hour(F.col("ts")) >= 12, min_total=3)
+
+
 def q_cardinality_guard(spark, sf_dir):
     from ..operators.templates import cardinality_guard
 
@@ -4765,6 +4778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_metrics_label_merge": q_metrics_label_merge,
     "genai_normalize": q_genai_normalize,
     "drain_templates": q_drain_templates,
+    "template_window_diff": q_template_window_diff,
     "cardinality_guard": q_cardinality_guard,
     "metrics_generation_ratio": q_metrics_generation,
     "service_graph_edges": q_service_graph,
@@ -7625,6 +7639,22 @@ r AS (SELECT text,
       FROM j)
 SELECT template, count(*) AS match_count, min(text) AS example
 FROM r GROUP BY 1"""
+    )
+
+    o["template_window_diff"] = (
+        cte
+        + f""",
+m AS (SELECT {masked} AS template, (hour(ts) >= 12) AS cur FROM ordered),
+c AS (SELECT template,
+        CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM m GROUP BY 1)
+SELECT template, n_ref, n_cur,
+  CASE WHEN n_ref = 0 THEN 'new' WHEN n_cur = 0 THEN 'gone'
+       WHEN n_cur > n_ref THEN 'grew' WHEN n_cur < n_ref THEN 'shrank'
+       ELSE 'stable' END AS status,
+  CASE WHEN n_ref > 0 THEN round(n_cur / CAST(n_ref AS DOUBLE), 6) END AS ratio
+FROM c WHERE n_ref + n_cur >= 3"""
     )
 
     o["cardinality_guard"] = (

@@ -85,3 +85,27 @@ def test_ks_drift_detects_shift_and_zero_on_identical(spark):
     # disjoint halves overlap 50%: the ECDF gap peaks at 0.5 where the
     # reference has finished its exclusive low range
     assert abs(r2.ks_stat - 0.5) < 0.02
+
+
+def test_window_diff_verdicts_and_noise_floor(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.drift import window_diff
+
+    rows = (
+        [("new_k", True)] * 3
+        + [("gone_k", False)] * 4
+        + [("grew_k", False)] * 2 + [("grew_k", True)] * 5
+        + [("stable_k", False)] * 3 + [("stable_k", True)] * 3
+        + [("noise_k", True)] * 2  # below min_total=3 → dropped
+    )
+    df = spark.createDataFrame(rows, "k string, cur boolean")
+    out = {r["k"]: r for r in window_diff(df, ["k"], F.col("cur"), min_total=3).collect()}
+    assert "noise_k" not in out
+    assert out["new_k"]["status"] == "new" and out["new_k"]["ratio"] is None
+    assert out["gone_k"]["status"] == "gone" and out["gone_k"]["ratio"] == 0.0
+    assert out["grew_k"]["status"] == "grew" and out["grew_k"]["ratio"] == 2.5
+    assert out["stable_k"]["status"] == "stable" and out["stable_k"]["ratio"] == 1.0
+    # one hash aggregate, no joins
+    plan = window_diff(df, ["k"], F.col("cur"))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") == 1
