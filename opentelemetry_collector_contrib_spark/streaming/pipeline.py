@@ -533,3 +533,103 @@ def streaming_curation_gate(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_template_diff(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    masks: list | None = None,
+    trigger_available_now: bool = True,
+):
+    """Novel-error-shape alert stream — the streaming counterpart of
+    `drift.window_diff` over masked templates: every micro-batch of
+    transcript turns is masked (templates.mask_template), compared
+    against the accumulated historical template counts, and emits one
+    alert row per template seen this batch:
+
+        (batch_id, template, n_batch, n_hist, status 'new'|'recurring')
+
+    'new' fires in exactly the FIRST batch a template ever appears in —
+    the page-worthy event ("an error shape we have never logged started
+    after this deploy"); recurring rows carry the history count for rate
+    context. Alerts land under `{out_dir}/alerts/_batch=N`, history under
+    `{out_dir}/state` (snapshot store).
+
+    Exactly-once state under every crash window, without assuming the
+    sink and state commit together:
+      * alerts are computed against the PRE-batch state and written
+        per-batch-partition overwrite (idempotent under retry);
+      * history counts are committed as an aggregated OVERWRITE snapshot
+        (bounded by distinct templates — ≪ corpus — so no quadratic
+        append-scan growth) carrying `last_batch` in the snapshot
+        summary; a replayed batch (crash after state commit, before
+        checkpoint commit) sees `batch_id <= last_batch` and SKIPS the
+        state fold while still rewriting its alert partition, so history
+        never double-counts.
+
+    Scale: per batch ONE hash agg over batch rows + one equi-join against
+    the template state (state rows = distinct templates). The final state
+    equals the one-shot template census over everything seen — asserted
+    in tests against the batch computation."""
+    import os
+
+    from ..operators.templates import mask_template
+    from ..plans.snapshots import SnapshotStore, read_snapshot, write_snapshot
+
+    state_tbl = os.path.join(out_dir, "state")
+    alerts_dir = os.path.join(out_dir, "alerts")
+    stream = transcripts_stream(spark, input_path, max_files_per_trigger=1)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = SnapshotStore(state_tbl).current()
+        have_state = bool(cur and cur["files"])
+        state = read_snapshot(spark, state_tbl) if have_state else None
+        last_batch = (cur.get("summary") or {}).get("last_batch", -1) if cur else -1
+        batch_counts = (
+            batch_df.select(mask_template(F.col("text"), masks).alias("template"))
+            .groupBy("template")
+            .agg(F.count(F.lit(1)).alias("n_batch"))
+        )
+        batch_counts.persist()
+        try:
+            hist = (
+                state.withColumnRenamed("n", "n_hist")
+                if state is not None
+                else spark.createDataFrame([], "template string, n_hist long")
+            )
+            alerts = (
+                batch_counts.join(hist, "template", "left")
+                .select(
+                    F.lit(batch_id).alias("batch_id"),
+                    "template",
+                    "n_batch",
+                    F.coalesce(F.col("n_hist"), F.lit(0)).alias("n_hist"),
+                    F.when(F.col("n_hist").isNull(), F.lit("new"))
+                    .otherwise(F.lit("recurring"))
+                    .alias("status"),
+                )
+            )
+            alerts.write.mode("overwrite").parquet(f"{alerts_dir}/_batch={batch_id}")
+            if batch_id > last_batch:
+                folded = (
+                    state.unionByName(
+                        batch_counts.withColumnRenamed("n_batch", "n")
+                    ).groupBy("template").agg(F.sum("n").alias("n"))
+                    if state is not None
+                    else batch_counts.withColumnRenamed("n_batch", "n")
+                )
+                write_snapshot(
+                    folded, state_tbl, mode="overwrite",
+                    summary={"last_batch": batch_id},
+                )
+        finally:
+            batch_counts.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
