@@ -296,3 +296,123 @@ def quantile_estimates(
         label = f"p{int(round(q * 100))}"
         out = out.withColumn(label, F.when(F.col("n_rows") > 0, est))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate per-item counts
+# ---------------------------------------------------------------------------
+
+
+def countmin_sketch_rollup(
+    df: DataFrame,
+    keys: list[str | Column],
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Materialize a per-group Count-Min sketch of ``item_col`` frequencies
+    — the mergeable counterpart of `heavy_hitters`: that operator answers
+    "which items are frequent" exactly for ONE threshold and ONE pass;
+    a CM sketch stored per (fine window, dim) answers "how often did
+    item X occur" for ANY later item and ANY coarser rollup without
+    rescanning raw data, with the classic one-sided guarantee
+    (estimate >= true; overshoot <= e/width × group size w.p. 1-e^-depth).
+    Completes the mergeable-rollup family: HLL (distinct), DDSketch
+    (quantiles), CM (per-item counts) — all map-addition merges.
+
+    Output: keys..., cm map<int,bigint> (cell = d·width + xxhash64(d,item)
+    mod width; only touched cells are stored), n_rows. NULL items count
+    into ``n_rows`` but hash no cells (NULL is absence, not a value).
+
+    Plan: a depth-element array explode (fixed small melt inside the scan
+    stage) → ONE (keys, cell) hash agg with map-side combine (≤
+    width·depth cells per group survive per task) → per-group map
+    collect. Shuffles carry cell counts, never rows."""
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    names = [df.select(c).columns[0] for c in cols]
+    item = F.col(item_col).cast("string")
+    cells = F.array(
+        *[
+            (
+                F.lit(d * width)
+                + F.pmod(F.xxhash64(F.lit(d), item), F.lit(width))
+            ).cast("int")
+            for d in range(depth)
+        ]
+    )
+    melted = df.select(
+        *cols, F.explode(F.when(item.isNotNull(), cells).otherwise(F.array())).alias("__cell")
+    )
+    per_cell = melted.groupBy(*names, "__cell").agg(F.count(F.lit(1)).alias("__c"))
+    counts = per_cell.groupBy(*names).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__cell"), F.col("__c")))
+        ).alias("cm")
+    )
+    totals = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    # right-join keeps all-NULL-item groups (empty sketch) with n_rows intact
+    return counts.join(totals, on=names, how="right").withColumn(
+        "cm", F.coalesce(F.col("cm"), F.create_map().cast("map<int,bigint>"))
+    )
+
+
+def merge_countmin_rollup(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Roll CM sketches to coarser keys: cell counts ADD, so the merge is
+    exact — merged fine sketches equal the sketch built directly at the
+    coarse grain, bit for bit (same property as merge_quantile_rollup;
+    pytest-gated identity)."""
+    empty = F.create_map().cast("map<int,bigint>")
+    return sketches.groupBy(*[F.col(k) for k in keys]).agg(
+        F.aggregate(
+            F.collect_list("cm"),
+            empty,
+            lambda acc, m: F.map_zip_with(
+                acc, m, lambda _, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            ),
+        ).alias("cm"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def countmin_estimates(
+    sketches: DataFrame,
+    items: list[str],
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query a CM sketch table for literal ``items``: one row per
+    (group, item) with ``cm_est`` = min over the depth cells (0 when a
+    cell was never touched — the one-sided floor). Pure projection +
+    explode over the tiny sketch frame; ``width``/``depth`` must match
+    the build (cell layout is positional)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(it).alias("item"),
+                F.least(
+                    *[
+                        F.coalesce(
+                            F.element_at(
+                                F.col("cm"),
+                                (
+                                    F.lit(d * width)
+                                    + F.pmod(
+                                        F.xxhash64(F.lit(d), F.lit(it)), F.lit(width)
+                                    )
+                                ).cast("int"),
+                            ),
+                            F.lit(0),
+                        )
+                        for d in range(depth)
+                    ]
+                ).alias("cm_est"),
+            )
+            for it in items
+        ]
+    )
+    return sketches.select(
+        *[c for c in sketches.columns if c not in ("cm",)],
+        F.explode(entries).alias("__e"),
+    ).select(
+        *[c for c in sketches.columns if c not in ("cm",)], "__e.item", "__e.cm_est"
+    )

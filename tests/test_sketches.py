@@ -166,3 +166,90 @@ def test_quantile_reassociation_chain(spark, events):
     )
     direct = quantile_sketch_rollup(events, ["event_type"], "value", alpha=ALPHA)
     assert _map_key(folded, ["event_type"]) == _map_key(direct, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketches
+# ---------------------------------------------------------------------------
+
+
+def _cm_key(df, keys):
+    return {
+        tuple(r[k] for k in keys): (dict(r["cm"]), r["n_rows"]) for r in df.collect()
+    }
+
+
+def test_countmin_merge_is_exact(spark, events):
+    from opentelemetry_collector_contrib_spark.operators.sketches import (
+        countmin_sketch_rollup,
+        merge_countmin_rollup,
+    )
+
+    hourly = countmin_sketch_rollup(
+        events.withColumn("hour", F.date_trunc("hour", "ts")),
+        ["day", "hour", "event_type"],
+        "user_id",
+    )
+    merged = merge_countmin_rollup(hourly, ["day", "event_type"])
+    direct = countmin_sketch_rollup(events, ["day", "event_type"], "user_id")
+    assert _cm_key(merged, ["day", "event_type"]) == _cm_key(direct, ["day", "event_type"])
+
+
+def test_countmin_one_sided_and_tight_on_fixture(spark, events):
+    """estimate >= true count always; with width 1024 >> distinct users the
+    overshoot on this fixture is tiny (<= e/width * n_rows bound)."""
+    from opentelemetry_collector_contrib_spark.operators.sketches import (
+        countmin_estimates,
+        countmin_sketch_rollup,
+    )
+
+    W, D = 1024, 4
+    sk = countmin_sketch_rollup(events, ["event_type"], "user_id", width=W, depth=D)
+    items = ["1", "7", "42", "999999"]  # incl. a never-seen item
+    est = {
+        (r["event_type"], r["item"]): r["cm_est"]
+        for r in countmin_estimates(sk, items, width=W, depth=D).collect()
+    }
+    true = {
+        (r["event_type"], str(r["user_id"])): r["n"]
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    import math
+
+    for (etype, item), e in est.items():
+        t = true.get((etype, item), 0)
+        assert e >= t, (etype, item, e, t)
+        assert e - t <= math.e / W * totals[etype] * 3  # 3x slack on the bound
+    # the never-seen item should estimate ~0 with this width
+    assert all(est[(k, "999999")] <= math.e / W * totals[k] * 3 for k in totals)
+
+
+def test_countmin_null_items_and_reassociation(spark):
+    from opentelemetry_collector_contrib_spark.operators.sketches import (
+        countmin_sketch_rollup,
+        merge_countmin_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("g", None), ("h", None)], "grp string, item string"
+    )
+    sk = countmin_sketch_rollup(df, ["grp"], "item")
+    rows = {r["grp"]: r for r in sk.collect()}
+    assert rows["g"]["n_rows"] == 3  # NULL counts toward rows
+    assert sum(rows["g"]["cm"].values()) == 2 * 4  # 2 items x depth cells
+    assert rows["h"]["cm"] == {} and rows["h"]["n_rows"] == 1  # all-NULL group kept
+    # splitting the build arbitrarily and folding in any order is identical
+    df_i = spark.createDataFrame(
+        [(0, "g", "a"), (1, "g", "a"), (2, "g", None), (3, "h", None)],
+        "i long, grp string, item string",
+    )
+    a = countmin_sketch_rollup(df_i.filter("i < 2"), ["grp"], "item")
+    b = countmin_sketch_rollup(df_i.filter("i >= 2"), ["grp"], "item")
+    folded = merge_countmin_rollup(a.unionByName(b), ["grp"])
+    assert _cm_key(folded, ["grp"]) == _cm_key(sk, ["grp"])
