@@ -211,3 +211,67 @@ def window_diff(
         .withColumn("status", status)
         .withColumn("ratio", ratio)
     )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    group_col: str,
+    is_current: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift per group: cosine between the REFERENCE
+    window's centroid (mean vector) and the CURRENT window's — the check
+    a retrieval/dedup pipeline runs when the upstream embedding model or
+    content mix changes (PSI/KS above watch scalar distributions; vector
+    spaces drift by direction, which only the centroid angle sees).
+    centroid_cos ≈ 1 means the space is stable; a drop flags re-indexing
+    (IVF centroids, ANN thresholds) before recall silently decays.
+
+    Output: (group, n_ref, n_cur, centroid_cos double) — NULL cosine when
+    either side is empty or a centroid is all-zero (honest absence).
+
+    Scale: one posexplode melt (dim× rows, fused into the scan) → ONE
+    (group, side, dim) hash aggregate (map-side combined, fixed-width
+    rows) → per-(group, side) sorted re-assembly into an array — the
+    shuffle carries groups × sides × dims rows, never vectors — then a
+    self-join ON GROUP of the tiny centroid frame. The sequential-fold
+    cosine pins float order, matching the DuckDB oracle exactly."""
+    from .dedup import cosine
+
+    sided = emb.select(
+        F.col(group_col).alias("grp"),
+        is_current.alias("_cur"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    cents = (
+        sided.groupBy("grp", "_cur", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"), F.count(F.lit(1)).alias("n"))
+        .groupBy("grp", "_cur")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("entries"),
+            F.max("n").alias("n_rows"),
+        )
+        .select(
+            "grp",
+            "_cur",
+            F.transform(F.col("entries"), lambda e: e["m"]).alias("centroid"),
+            "n_rows",
+        )
+    )
+    ref = cents.filter(~F.col("_cur")).select(
+        "grp", F.col("centroid").alias("c_ref"), F.col("n_rows").alias("n_ref")
+    )
+    cur = cents.filter(F.col("_cur")).select(
+        "grp", F.col("centroid").alias("c_cur"), F.col("n_rows").alias("n_cur")
+    )
+    joined = ref.join(cur, "grp", "full")
+    return joined.select(
+        F.col("grp").alias(group_col),
+        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        F.when(
+            F.col("c_ref").isNotNull() & F.col("c_cur").isNotNull(),
+            F.round(cosine(F.col("c_ref"), F.col("c_cur")), 6),
+        ).alias("centroid_cos"),
+    )

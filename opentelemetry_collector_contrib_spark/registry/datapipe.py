@@ -1293,6 +1293,19 @@ def q_events_window_diff(spark, sf_dir):
     )
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift: centroid cosine between the even-id
+    (current) and odd-id (reference) halves of each of three vector
+    groups — the re-index-the-ANN-before-recall-decays check."""
+    from ..operators.drift import embedding_drift
+
+    e = _embs(spark, sf_dir).withColumn(
+        "grp_id",
+        F.concat(F.lit("g"), F.pmod(F.col("vec_id"), F.lit(3)).cast("string")),
+    )
+    return embedding_drift(e, "grp_id", F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_latency": q_turn_latency,
     "conv_context_budget": q_context_budget,
@@ -1367,6 +1380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_strata_sample": q_strata_sample,
     "multimodal_sniff": q_sniff_content_type,
     "events_window_diff": q_events_window_diff,
+    "embedding_drift": q_embedding_drift,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2580,6 +2594,27 @@ r AS (
   FROM d)
 SELECT doc_id, source, len_bucket, CAST(strata_rank AS INT) AS strata_rank
 FROM r WHERE strata_rank <= 5"""
+
+    _cent_terms = ", ".join(
+        f"avg(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, 65)
+    )
+    cos_rc = sql_cosine("r.centroid", "c.centroid")
+    o["embedding_drift"] = f"""
+WITH s AS (
+  SELECT 'g' || CAST(vec_id % 3 AS VARCHAR) AS grp_id,
+         (vec_id % 2 = 0) AS cur, embedding
+  FROM embeddings),
+cent AS (
+  SELECT grp_id, cur, [{_cent_terms}] AS centroid, count(*) AS n_rows
+  FROM s GROUP BY 1, 2),
+r AS (SELECT grp_id, centroid, n_rows FROM cent WHERE NOT cur),
+c AS (SELECT grp_id, centroid, n_rows FROM cent WHERE cur)
+SELECT coalesce(r.grp_id, c.grp_id) AS grp_id,
+       coalesce(r.n_rows, 0) AS n_ref,
+       coalesce(c.n_rows, 0) AS n_cur,
+       CASE WHEN r.centroid IS NOT NULL AND c.centroid IS NOT NULL
+            THEN {cos_rc} END AS centroid_cos
+FROM r FULL JOIN c ON r.grp_id = c.grp_id"""
 
     o["events_window_diff"] = """
 WITH sided AS (

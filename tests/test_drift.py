@@ -109,3 +109,24 @@ def test_window_diff_verdicts_and_noise_floor(spark):
     # one hash aggregate, no joins
     plan = window_diff(df, ["k"], F.col("cur"))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and plan.count("Exchange") == 1
+
+
+def test_embedding_drift_identical_and_rotated(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.drift import embedding_drift
+
+    # group 'same': both sides identical direction → cos 1.0
+    # group 'flip': current is the negation → cos -1.0
+    # group 'only_ref': no current rows → NULL cosine, n_cur 0
+    rows = [
+        ("same", False, [1.0, 0.0]), ("same", True, [2.0, 0.0]),
+        ("flip", False, [1.0, 1.0]), ("flip", True, [-1.0, -1.0]),
+        ("only_ref", False, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "g string, cur boolean, embedding array<double>")
+    out = {r["g"]: r for r in embedding_drift(df, "g", F.col("cur"), vec_col="embedding").collect()}
+    assert out["same"]["centroid_cos"] == 1.0
+    assert out["flip"]["centroid_cos"] == -1.0
+    assert out["only_ref"]["centroid_cos"] is None and out["only_ref"]["n_cur"] == 0
+    assert out["same"]["n_ref"] == 1 and out["same"]["n_cur"] == 1
