@@ -1363,3 +1363,81 @@ def robots_gate(
         .withColumn("rg_rule", F.col("_rg_win.p"))
         .drop("_rg_win")
     )
+
+
+def ccnet_thresholds(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    score_col: str = "lm_logprob",
+) -> DataFrame:
+    """Per-language head/middle cut points for ccnet_buckets' threshold
+    path: the exact 1/3 and 2/3 quantiles of the LM score within each
+    language (CCNet trains these on a sample, then applies them to the
+    full corpus). Output: (lang, t_head, t_mid) — one tiny row per
+    language, broadcastable. Run this on a SAMPLE at 100 TB; exact
+    `percentile` needs the group's values in memory, which is fine for a
+    per-language sample and wrong for the full corpus.
+    """
+    return scored.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.percentile(F.col(score_col), F.lit(2.0 / 3.0)).alias("t_head"),
+        F.percentile(F.col(score_col), F.lit(1.0 / 3.0)).alias("t_mid"),
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 32,
+    thresholds: DataFrame | None = None,
+    score_col: str = "lm_logprob",
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): score every document with the corpus-trained LM
+    (lm_quality_score), then split each LANGUAGE into three equal tiers —
+    'head' = most corpus-typical third (lowest perplexity / highest mean
+    logprob), 'middle', 'tail'. Pretraining recipes keep head+middle and
+    drop or downweight tail.
+
+    Two paths, same contract:
+
+    * thresholds=None (exact / oracle path): ntile(3) over a window
+      partitioned by language ordered by (score DESC NULLS LAST, id) —
+      deterministic total order, bit-equal against the SQL oracle because
+      the LM scores themselves are decimal-quantized (see
+      lm_quality_score). Scale caveat: a window partitioned by language
+      sends EACH language to one task — per-language sort concentrates on
+      the largest language. Fine to ~10^8 rows/language; at 100 TB use
+      the threshold path.
+    * thresholds=<DataFrame(lang, t_head, t_mid)> (scale path): broadcast
+      the tiny per-language cut-point table (train it on a sample with
+      ccnet_thresholds) and bucket by comparison — a scan-speed
+      projection, no sort, no per-language skew. This is CCNet's actual
+      production shape: percentile cut points come from the LM training
+      sample, not a full-corpus sort.
+
+    Unscoreable docs (<2 tokens → NULL score) land in 'tail' on both
+    paths. Output adds score_col and bucket_col.
+    """
+    scored = lm_quality_score(df, id_col=id_col, text_col=text_col, n_buckets=n_buckets)
+    if thresholds is None:
+        w = Window.partitionBy(F.col(lang_col)).orderBy(
+            F.col(score_col).desc_nulls_last(), F.col(id_col)
+        )
+        tile = F.ntile(3).over(w)
+        bucket = (
+            F.when(tile == 1, F.lit("head"))
+            .when(tile == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        return scored.withColumn(bucket_col, bucket)
+    t = F.broadcast(thresholds.select(F.col("lang").alias("_cc_lang"), "t_head", "t_mid"))
+    out = scored.join(t, F.col(lang_col) == F.col("_cc_lang"), "left")
+    bucket = (
+        F.when(F.col(score_col) >= F.col("t_head"), F.lit("head"))
+        .when(F.col(score_col) >= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn(bucket_col, bucket).drop("_cc_lang", "t_head", "t_mid")

@@ -526,6 +526,17 @@ def q_lm_quality(spark, sf_dir):
     return out.select("doc_id", "lm_logprob")
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity tiers per language: corpus-trained
+    bucketed-bigram LM score, then ntile(3) within each language ordered by
+    (score DESC NULLS LAST, doc_id). The exact/oracle path; the threshold
+    path (broadcast per-language cut points, scan-speed) is pytest-gated."""
+    from ..operators.curation import ccnet_buckets
+
+    out = ccnet_buckets(_docs(spark, sf_dir), n_buckets=32)
+    return out.select("doc_id", "lang", "lm_logprob", "ppl_bucket")
+
+
 def q_bpe_encode(spark, sf_dir):
     """Tokenize every document with the 3 merges trained on the corpus
     itself (bpe_train drives 3 tiny argmax actions; bpe_apply compiles the
@@ -1351,6 +1362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": q_bpe_merges,
     "bpe_encode_docs": q_bpe_encode,
     "curation_lm_quality": q_lm_quality,
+    "curation_ccnet_buckets": q_ccnet_buckets,
     "curation_train_split": q_train_split,
     "curation_pii_scrub": q_curation_pii,
     "curation_pack": q_curation_pack,
@@ -2143,6 +2155,34 @@ lp AS (SELECT hb, cb, CAST(round(ln((n + 1.0) / (tot + 32.0)), 9) AS DECIMAL(18,
 s AS (SELECT doc_id, CAST(sum(lp) AS DOUBLE) / count(*) AS lm_logprob
       FROM b JOIN lp USING (hb, cb) GROUP BY doc_id)
 SELECT doc_id, lm_logprob FROM documents LEFT JOIN s USING (doc_id)"""
+
+    # CCNet head/middle/tail: the lm_quality score CTEs verbatim, then
+    # ntile(3) per language ordered by (score DESC NULLS LAST, doc_id) —
+    # same deterministic total order as the Spark window.
+    o["curation_ccnet_buckets"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> [CAST('0x' || substr(md5(toks[i]), 1, 15) AS BIGINT) % 32,
+                      CAST('0x' || substr(md5(toks[i+1]), 1, 15) AS BIGINT) % 32])) AS bg
+  FROM d),
+b AS (SELECT doc_id, bg[1] AS hb, bg[2] AS cb FROM g),
+cnts AS (SELECT hb, cb, count(*) AS n FROM b GROUP BY hb, cb),
+tots AS (SELECT hb, sum(n) AS tot FROM cnts GROUP BY hb),
+lp AS (SELECT hb, cb, CAST(round(ln((n + 1.0) / (tot + 32.0)), 9) AS DECIMAL(18,9)) AS lp
+       FROM cnts JOIN tots USING (hb)),
+s AS (SELECT doc_id, CAST(sum(lp) AS DOUBLE) / count(*) AS lm_logprob
+      FROM b JOIN lp USING (hb, cb) GROUP BY doc_id),
+sc AS (SELECT doc_id, lang, lm_logprob FROM documents LEFT JOIN s USING (doc_id))
+SELECT doc_id, lang, lm_logprob,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY lm_logprob DESC NULLS LAST, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM sc"""
 
     # BPE: k=3 merge rounds unrolled; chr(31) is the symbol delimiter.
     # Symbols are joined with DOUBLE delimiters (single at the ends), so

@@ -481,3 +481,51 @@ def test_weighted_sample_deterministic_and_proportional(spark):
         [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)], "doc_id long, wt double"
     )
     assert [r.doc_id for r in weighted_sample(bad, F.col("wt"), 10).collect()] == [4]
+
+
+def test_ccnet_buckets_tiers_and_threshold_path(spark):
+    # 30 docs in one language: 10 corpus-typical (common bigrams), 10
+    # mid, 10 noise-heavy; plus a 1-token doc (NULL score -> tail) and a
+    # second language with 3 docs (its own independent tiers).
+    rows = []
+    for i in range(10):
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en"))
+    for i in range(10, 20):
+        rows.append((i, f"the quick brown fox item{i} over the lazy dog", "en"))
+    for i in range(20, 30):
+        rows.append((i, f"zz{i} qq{i} xx{i} vv{i} kk{i} jj{i}", "en"))
+    rows.append((30, "solo", "en"))
+    rows += [(31, "la plume de ma tante", "fr"),
+             (32, "la plume de ma tante", "fr"),
+             (33, "xyzzy plugh foo", "fr")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    out = curation.ccnet_buckets(df, n_buckets=16)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # per-language tier sizes: en has 31 docs -> 11/10/10, fr 3 -> 1/1/1
+    from collections import Counter
+    en = Counter(got[i]["ppl_bucket"] for i in range(31))
+    assert en == {"head": 11, "middle": 10, "tail": 10}
+    fr = Counter(got[i]["ppl_bucket"] for i in (31, 32, 33))
+    assert fr == {"head": 1, "middle": 1, "tail": 1}
+    # the NULL-score doc sorts last -> tail; noise docs never reach head
+    assert got[30]["lm_logprob"] is None and got[30]["ppl_bucket"] == "tail"
+    assert all(got[i]["ppl_bucket"] != "head" for i in range(20, 30))
+    # corpus-typical docs outrank noise docs
+    assert all(got[i]["lm_logprob"] > got[j]["lm_logprob"]
+               for i in range(10) for j in range(20, 30))
+
+    # threshold path: cut points trained on the SAME scored corpus must
+    # reproduce the ntile assignment away from ties (here scores within a
+    # tier group are identical, so compare tier POPULATIONS per score)
+    scored = curation.lm_quality_score(df, n_buckets=16)
+    th = curation.ccnet_thresholds(scored)
+    out2 = curation.ccnet_buckets(df, n_buckets=16, thresholds=th)
+    got2 = {r["doc_id"]: r["ppl_bucket"] for r in out2.collect()}
+    assert got2[30] == "tail"                       # NULL score -> tail
+    assert all(got2[i] == "head" for i in range(10))
+    assert all(got2[i] == "tail" for i in range(20, 30))
+    # no sort in the threshold plan: ntile/Window absent, broadcast join present
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
