@@ -1441,3 +1441,88 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
     )
     return out.withColumn(bucket_col, bucket).drop("_cc_lang", "t_head", "t_mid")
+
+
+def nb_hash_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    score_col: str = "nb_score",
+    pred_col: str = "nb_pred",
+) -> DataFrame:
+    """Hashed multinomial Naive-Bayes text classifier — the fastText-shaped
+    trainable quality/label filter (Joulin et al. 2017: linear bag-of-words
+    over hashed tokens) that curation recipes use to keep "looks like the
+    positive seed" documents. Train and apply in the same closed form:
+
+    Train (two aggregations, no iterations): hash every token into
+    `n_buckets` buckets (portable h60 % B), count per (bucket, class),
+    and turn counts into per-bucket log-odds weights with add-one
+    smoothing: w[b] = ln((c_pos+1)/(T_pos+B)) − ln((c_neg+1)/(T_neg+B)).
+    Class prior = ln((N_pos+1)/(N_neg+1)) over document counts.
+
+    Apply: score(doc) = prior + Σ_tokens w[bucket(token)]; pred = score>0.
+    A document with no tokens scores the prior alone.
+
+    Scale (10^12 docs): training is ONE hash aggregation onto ≤B·2 cells
+    (map-side combine collapses each partition to ≤B rows before the
+    shuffle); the model is B log-odds values — collected driver-side,
+    quantized to decimal(18,9) (the lm_quality_score convention that keeps
+    Spark and the DuckDB oracle bit-equal), and inlined as a literal array,
+    so scoring is explode → element_at → one groupBy(doc): no model join,
+    no UDF, no broadcast. Like CCNet's LM, at 100 TB you train on a sample
+    and apply to the corpus; the closed form makes sample-train trivially
+    cheap.
+
+    Reference anchor: extends the collector's static quality gates
+    (processor/filterprocessor, logdedupprocessor) with the *trainable*
+    membership filter a training-data pipeline needs; no collector
+    equivalent exists — this is datapipe territory.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = lambda x: Decimal(math.log(x)).quantize(  # noqa: E731
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    )
+
+    y = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        y.alias("_y"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    ).select(
+        "_id", "_y", F.pmod(h60(F.col("_tok")), F.lit(n_buckets)).cast("int").alias("_b")
+    )
+
+    counts = {
+        (r["_b"], r["_y"]): r["n"]
+        for r in toks.groupBy("_b", "_y").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    t_pos = sum(n for (_, yy), n in counts.items() if yy)
+    t_neg = sum(n for (_, yy), n in counts.items() if not yy)
+    n_pos = df.where(y).count()
+    n_neg = df.count() - n_pos
+    weights = [
+        q9((counts.get((b, True), 0) + 1.0) / (t_pos + n_buckets))
+        - q9((counts.get((b, False), 0) + 1.0) / (t_neg + n_buckets))
+        for b in range(n_buckets)
+    ]
+    prior = q9((n_pos + 1.0) / (n_neg + 1.0))
+
+    arr = F.array(*[F.lit(w).cast("decimal(19,9)") for w in weights])
+    doc_sum = toks.groupBy("_id").agg(
+        F.sum(F.element_at(arr, F.col("_b") + 1)).alias("_sw")
+    )
+    score = (
+        F.lit(prior).cast("decimal(19,9)")
+        + F.coalesce(F.col("_sw"), F.lit(0).cast("decimal(19,9)"))
+    ).cast("double")
+    return (
+        df.join(doc_sum.withColumnRenamed("_id", id_col), on=id_col, how="left")
+        .withColumn(score_col, score)
+        .withColumn(pred_col, F.col(score_col) > 0)
+        .drop("_sw")
+    )

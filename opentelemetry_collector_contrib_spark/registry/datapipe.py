@@ -537,6 +537,18 @@ def q_ccnet_buckets(spark, sf_dir):
     return out.select("doc_id", "lang", "lm_logprob", "ppl_bucket")
 
 
+def q_nb_classifier(spark, sf_dir):
+    """Hashed Naive-Bayes quality classifier (fastText-shaped): train
+    per-bucket log-odds on the corpus with label = (lang == 'en'), then
+    score every document — prior + Σ w[h60(token) % 256]; pred = score>0.
+    Closed-form two-aggregation training, literal-array model apply."""
+    from ..operators.curation import nb_hash_classifier
+
+    d = _docs(spark, sf_dir).withColumn("label", F.col("lang") == "en")
+    out = nb_hash_classifier(d, label_col="label")
+    return out.select("doc_id", "lang", "nb_score", "nb_pred")
+
+
 def q_bpe_encode(spark, sf_dir):
     """Tokenize every document with the 3 merges trained on the corpus
     itself (bpe_train drives 3 tiny argmax actions; bpe_apply compiles the
@@ -1363,6 +1375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_docs": q_bpe_encode,
     "curation_lm_quality": q_lm_quality,
     "curation_ccnet_buckets": q_ccnet_buckets,
+    "curation_nb_classifier": q_nb_classifier,
     "curation_train_split": q_train_split,
     "curation_pii_scrub": q_curation_pii,
     "curation_pack": q_curation_pack,
@@ -2183,6 +2196,34 @@ SELECT doc_id, lang, lm_logprob,
                            ORDER BY lm_logprob DESC NULLS LAST, doc_id)
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
 FROM sc"""
+
+    # Hashed Naive-Bayes: per-bucket log-odds with add-one smoothing,
+    # trained and applied on the same corpus (so every bucket a document
+    # looks up exists in the count table). Each ln() is rounded to 9
+    # places and cast to decimal BEFORE the subtraction — the exact
+    # quantization the Spark side does driver-side with Decimal.quantize.
+    o["curation_nb_classifier"] = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents),
+lab AS (SELECT doc_id, lang, coalesce(lang = 'en', FALSE) AS y FROM documents),
+b AS (SELECT doc_id, CAST({sql_h60('tok')} % 256 AS INT) AS bucket FROM toks),
+cnt AS (SELECT bucket,
+          sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+          sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+        FROM b JOIN lab USING (doc_id) GROUP BY bucket),
+tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+docs_tot AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+                    sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn FROM lab),
+w AS (SELECT bucket,
+        CAST(round(ln((cp + 1.0) / (tp + 256.0)), 9) AS DECIMAL(19,9))
+        - CAST(round(ln((cn + 1.0) / (tn + 256.0)), 9) AS DECIMAL(19,9)) AS w
+      FROM cnt, tot),
+pr AS (SELECT CAST(round(ln((np + 1.0) / (nn + 1.0)), 9) AS DECIMAL(19,9)) AS prior
+       FROM docs_tot),
+s AS (SELECT doc_id, sum(w) AS sw FROM b JOIN w USING (bucket) GROUP BY doc_id)
+SELECT lab.doc_id, lab.lang,
+  CAST(prior + coalesce(sw, CAST(0 AS DECIMAL(19,9))) AS DOUBLE) AS nb_score,
+  CAST(prior + coalesce(sw, CAST(0 AS DECIMAL(19,9))) AS DOUBLE) > 0 AS nb_pred
+FROM lab LEFT JOIN s USING (doc_id) CROSS JOIN pr"""
 
     # BPE: k=3 merge rounds unrolled; chr(31) is the symbol delimiter.
     # Symbols are joined with DOUBLE delimiters (single at the ends), so

@@ -529,3 +529,26 @@ def test_ccnet_buckets_tiers_and_threshold_path(spark):
     plan = out2._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_nb_hash_classifier_recovers_classes(spark):
+    # two disjoint vocabularies; a mixed doc leans to its majority side;
+    # an empty doc scores the prior alone
+    pos = [(i, "good clean prose sentence flows nicely today", True) for i in range(8)]
+    neg = [(i, "zz9 qq8 xx7 vv6 kk5 jj4 spam spam", False) for i in range(8, 16)]
+    mixed = [(16, "good clean prose zz9", True), (17, "", False)]
+    df = spark.createDataFrame(pos + neg + mixed, ["doc_id", "text", "label"])
+
+    out = curation.nb_hash_classifier(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert all(got[i]["nb_pred"] for i in range(8))
+    assert all(not got[i]["nb_pred"] for i in range(8, 16))
+    # mixed doc: 3 positive-vocab tokens vs 1 negative-vocab token -> positive
+    assert got[16]["nb_pred"] and got[16]["nb_score"] > 0
+    # empty doc scores exactly the prior: ln((np+1)/(nn+1)), np=9 nn=9 -> 0
+    assert abs(got[17]["nb_score"]) < 1e-9
+
+    # model is an inlined literal array: no extra join for the weights —
+    # the only join in the plan is the doc-score left join back to df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
