@@ -377,3 +377,56 @@ def mine_contrastive_pairs(
         .select("anchor_id", "other_id", "cos", F.lit("hard_neg").alias("label"), "rank")
     )
     return pos.unionByName(neg)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    top_k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    score_col: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) over any number of
+    per-query ranked lists — the standard hybrid-retrieval combiner
+    (BM25 lexical + dense ANN) a RAG/data-mining pipeline runs: a
+    candidate's fused score is Σ_lists 1/(k0 + rank), with k0=60 the
+    canonical damping constant; candidates missing from a list simply
+    contribute nothing (no rank imputation).
+
+    Each list's contribution is quantized to decimal(19,9) before the
+    sum so the fused score is order-independent and bit-equal across
+    engines (the repo's float-determinism convention). Scale: inputs are
+    already top-k-per-query (tiny relative to the corpus); the fusion is
+    one union + one hash agg + one per-query window — cost O(queries ×
+    k × lists), independent of corpus size.
+    """
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(query_col).alias("_q"),
+            F.col(id_col).alias("_d"),
+            F.round(F.lit(1.0) / (F.lit(k0) + F.col(rank_col)), 9)
+            .cast("decimal(19,9)")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy("_q", "_d")
+        .agg(F.sum("_c").alias("_s"))
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_s").desc(), F.col("_d").asc())
+    return (
+        fused.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= top_k)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_d").alias(id_col),
+            F.col("_s").cast("double").alias(score_col),
+            rank_col,
+        )
+    )

@@ -971,6 +971,33 @@ def q_bm25_search(spark, sf_dir):
     return bm25_search(docs, qs, top_k=10)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-10 + dense cosine top-10 fused
+    with reciprocal-rank fusion (k0=60) — the 5 lowest-id documents serve
+    as queries on both sides (text = their first 8 tokens, vector = their
+    aligned embedding). Output: fused top-10 per query."""
+    from ..operators.similarity import brute_force_topk, rrf_fuse
+    from ..operators.textstats import bm25_search, tokens
+
+    docs = _docs(spark, sf_dir)
+    qs = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)).alias("query_text"),
+        )
+    )
+    lex = bm25_search(docs, qs, top_k=10)
+    emb = _embs(spark, sf_dir)
+    qd = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_force_topk(emb, qd, k=10).withColumnRenamed("neighbor_id", "doc_id")
+    return rrf_fuse([lex.select("query_id", "doc_id", "rank"),
+                     dense.select("query_id", "doc_id", "rank")], top_k=10)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-weighted corpus sample: 200 documents drawn by the
     deterministic A-ES rule with weight = doc length in chars."""
@@ -1349,6 +1376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_pack": q_pack_conversations,
     "conv_role_drift": q_conv_role_drift,
     "bm25_search": q_bm25_search,
+    "hybrid_search_rrf": q_hybrid_search,
     "curation_weighted_sample": q_weighted_sample,
     "conv_rl_transitions": q_rl_transitions,
     "text_ngram_novelty": q_ngram_novelty,
@@ -1777,6 +1805,63 @@ ranked AS (
 SELECT qid AS query_id, doc AS doc_id, round(score, 6) AS score,
   CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
+
+    # Hybrid RRF = the bm25_search CTE chain + the sim_topk_brute chain
+    # (queries restricted to vec_id < 5, k=10), each contribution
+    # quantized to decimal(19,9) before the order-independent sum.
+    _cos_qn_h = sql_cosine("q.embedding", "n.embedding")
+    o["hybrid_search_rrf"] = f"""
+WITH dterms AS (SELECT doc_id AS doc, unnest({SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc, term, count(*) AS tf FROM dterms GROUP BY doc, term),
+dlen AS (SELECT doc, count(*) AS dl FROM dterms GROUP BY doc),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(CAST(len({SQL_TOKS}) AS DOUBLE)) AS avgdl
+          FROM documents),
+qs AS (
+  SELECT doc_id AS qid,
+         list_distinct(list_filter(regexp_split_to_array(trim(
+           array_to_string(list_slice({SQL_TOKS}, 1, 8), ' ')), '\\s+'), t -> t <> '')) AS qterms
+  FROM documents ORDER BY doc_id LIMIT 5
+),
+qt AS (SELECT qid, unnest(qterms) AS term FROM qs),
+cand AS (
+  SELECT qt.qid, tf.doc, tf.term,
+    ln(1.0 + ((s.n - dfq.df) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dlen.dl AS DOUBLE)) / s.avgdl)) AS s
+  FROM qt JOIN dfq USING (term) JOIN tf USING (term) JOIN dlen USING (doc), stats s
+),
+lexscored AS (
+  SELECT qid, doc, list_sum(list(s ORDER BY term)) AS score
+  FROM cand GROUP BY qid, doc
+),
+lexranked AS (
+  SELECT qid, doc, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+  FROM lexscored
+),
+dq AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),
+densescored AS (
+  SELECT q.qid, n.vec_id AS doc, {_cos_qn_h} AS cos
+  FROM dq q JOIN embeddings n ON n.vec_id <> q.qid),
+denseranked AS (
+  SELECT qid, doc,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc ASC) AS rank
+  FROM densescored),
+contrib AS (
+  SELECT qid, doc, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(19,9)) AS c
+  FROM lexranked WHERE rank <= 10
+  UNION ALL
+  SELECT qid, doc, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(19,9)) AS c
+  FROM denseranked WHERE rank <= 10),
+fused AS (SELECT qid, doc, sum(c) AS s FROM contrib GROUP BY qid, doc),
+fr AS (
+  SELECT qid, doc, s,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc ASC) AS rank
+  FROM fused)
+SELECT qid AS query_id, doc AS doc_id, CAST(s AS DOUBLE) AS rrf_score,
+  CAST(rank AS INT) AS rank
+FROM fr WHERE rank <= 10"""
 
     o["curation_weighted_sample"] = f"""
 WITH keyed AS (

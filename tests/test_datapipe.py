@@ -759,3 +759,26 @@ def test_ngram_novelty_flags_corpus_common_phrases(spark):
     assert out[1].n_common == 2 and out[1].novelty < 1.0
     assert out[4].n_common == 0 and out[4].novelty == 1.0
     assert out[1].n_grams == 5  # 7 tokens -> 5 3-grams
+
+
+def test_rrf_fuse_combines_lists(spark):
+    # doc 10 ranks 1st in both lists; doc 20 is lexical-only rank 2;
+    # doc 30 is dense-only rank 2; doc 40 dense rank 1 only
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 40, 1), (1, 10, 2), (1, 30, 3)], "query_id long, doc_id long, rank int"
+    )
+    out = similarity.rrf_fuse([lex, dense], k0=60, top_k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    # both-lists doc wins: 1/61 + 1/62 > 1/61 (single first place)
+    assert rows[10].rank == 1 and rows[40].rank == 2
+    assert abs(rows[10].rrf_score - (1 / 61 + 1 / 62)) < 1e-8
+    # single-list docs score exactly their one contribution
+    assert abs(rows[20].rrf_score - 1 / 62) < 1e-8
+    assert abs(rows[30].rrf_score - 1 / 63) < 1e-8
+    # deterministic tie-break on doc_id when scores tie
+    lex2 = spark.createDataFrame([(2, 7, 1), (2, 5, 1)], "query_id long, doc_id long, rank int")
+    tied = {r.doc_id: r.rank for r in similarity.rrf_fuse([lex2]).filter(F.col("query_id") == 2).collect()}
+    assert tied == {5: 1, 7: 2}
