@@ -1526,3 +1526,56 @@ def nb_hash_classifier(
         .withColumn(pred_col, F.col(score_col) > 0)
         .drop("_sw")
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity equivalence-class audit (Sweeney 2002) over a chosen
+    quasi-identifier combination — the release gate a training-data
+    pipeline runs AFTER PII scrubbing (pii_scrub masks direct
+    identifiers; this measures re-identification risk from the indirect
+    ones). One row per equivalence class: `class_size` (the class's k),
+    `l_diversity` = distinct sensitive values when `sensitive_col` is
+    given (Machanavajjhala 2007 — a k-anonymous class is still unsafe if
+    everyone in it shares the sensitive value), and `at_risk` =
+    class_size < k. Callers generalize quasi-identifiers (bucket, trunc,
+    coarsen) in the projection they pass in — generalization is an
+    expression, not a config.
+
+    Scale: ONE hash aggregation on the quasi-identifier key with
+    map-side combine; distinct-count rides the same shuffle. At 10^12
+    rows the class table is as small as the quasi-space — the audit is
+    strictly cheaper than the groupbyattrs aggregates the pipeline
+    already runs."""
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("l_diversity"))
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    return out.withColumn("at_risk", F.col("class_size") < k)
+
+
+def k_anonymity_summary(
+    df: DataFrame, quasi_cols: list, k: int = 5
+) -> DataFrame:
+    """Corpus-level k-anonymity verdict: (n_classes, k_min, rows_at_risk,
+    pct_at_risk) — the single-row gate a release pipeline asserts on
+    (pct_at_risk == 0 ships; anything else goes back to generalization).
+    Two chained aggregations over the class table; ratios rounded to 6
+    (the engine-portability convention)."""
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").alias("k_min"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n"))), F.lit(0)
+        ).alias("rows_at_risk"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("n") < k, F.col("n"))), F.lit(0))
+            / F.sum("n"),
+            6,
+        ).alias("pct_at_risk"),
+    )

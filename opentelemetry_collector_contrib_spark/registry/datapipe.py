@@ -998,6 +998,24 @@ def q_hybrid_search(spark, sf_dir):
                      dense.select("query_id", "doc_id", "rank")], top_k=10)
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over events: quasi-identifiers = (event_type,
+    hour-of-day, value decade band), sensitive = user_id. One class row
+    with size, l-diversity and the k<5 risk flag — the release gate run
+    after PII scrubbing."""
+    from ..operators.curation import k_anonymity_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+        F.floor(F.col("value") / 10).alias("value_band"),
+        "user_id",
+    )
+    return k_anonymity_audit(
+        ev, ["event_type", "hr", "value_band"], sensitive_col="user_id", k=5
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-weighted corpus sample: 200 documents drawn by the
     deterministic A-ES rule with weight = doc length in chars."""
@@ -1377,6 +1395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_role_drift": q_conv_role_drift,
     "bm25_search": q_bm25_search,
     "hybrid_search_rrf": q_hybrid_search,
+    "privacy_k_anonymity": q_k_anonymity,
     "curation_weighted_sample": q_weighted_sample,
     "conv_rl_transitions": q_rl_transitions,
     "text_ngram_novelty": q_ngram_novelty,
@@ -1862,6 +1881,16 @@ fr AS (
 SELECT qid AS query_id, doc AS doc_id, CAST(s AS DOUBLE) AS rrf_score,
   CAST(rank AS INT) AS rank
 FROM fr WHERE rank <= 10"""
+
+    o["privacy_k_anonymity"] = """
+SELECT event_type,
+  CAST(extract(hour FROM ts) AS INT) AS hr,
+  CAST(floor(value / 10) AS BIGINT) AS value_band,
+  count(*) AS class_size,
+  count(DISTINCT user_id) AS l_diversity,
+  count(*) < 5 AS at_risk
+FROM events
+GROUP BY event_type, hr, value_band"""
 
     o["curation_weighted_sample"] = f"""
 WITH keyed AS (

@@ -552,3 +552,34 @@ def test_nb_hash_classifier_recovers_classes(spark):
     # the only join in the plan is the doc-score left join back to df
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_k_anonymity_audit_and_summary(spark):
+    rows = [
+        # class (a, 1): 3 rows, all same sensitive value -> l_diversity 1
+        ("a", 1, "s1"), ("a", 1, "s1"), ("a", 1, "s1"),
+        # class (a, 2): 6 rows, 2 sensitive values -> not at risk at k=5
+        *[("a", 2, "s" + str(i % 2)) for i in range(6)],
+        # class (b, 1): singleton -> at risk
+        ("b", 1, "s9"),
+    ]
+    df = spark.createDataFrame(rows, "qa string, qb int, sens string")
+
+    classes = {
+        (r["qa"], r["qb"]): r
+        for r in curation.k_anonymity_audit(df, ["qa", "qb"], "sens", k=5).collect()
+    }
+    assert classes[("a", 1)]["class_size"] == 3 and classes[("a", 1)]["at_risk"]
+    assert classes[("a", 1)]["l_diversity"] == 1
+    assert classes[("a", 2)]["class_size"] == 6 and not classes[("a", 2)]["at_risk"]
+    assert classes[("a", 2)]["l_diversity"] == 2
+    assert classes[("b", 1)]["at_risk"]
+
+    s = curation.k_anonymity_summary(df, ["qa", "qb"], k=5).collect()[0]
+    assert s["n_classes"] == 3 and s["k_min"] == 1
+    assert s["rows_at_risk"] == 4  # 3 + 1
+    assert abs(s["pct_at_risk"] - round(4 / 10, 6)) < 1e-9
+
+    # generalizing qb away merges the classes and clears the risk
+    s2 = curation.k_anonymity_summary(df.drop("qb"), ["qa"], k=5).collect()[0]
+    assert s2["rows_at_risk"] == 1  # only the (b,) singleton remains
