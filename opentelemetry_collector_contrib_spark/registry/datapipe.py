@@ -264,6 +264,18 @@ def q_multimodal_frames(spark, sf_dir):
     return frames.select("doc_id", "frame_ms")
 
 
+def q_multimodal_wav_windows(spark, sf_dir):
+    """Audio segmentation through the multimodal plumbing: synthesize real
+    WAV containers, decode and split into 25 ms windows (200 samples at
+    8 kHz), one row per window with exact sample count + RMS. Oracle =
+    ground truth from the synthesis parameters (square wave: every
+    window's RMS equals the amplitude; window count = ceil(n/200))."""
+    from ..operators.multimodal import segment_wav_windows, synthesize_wav
+
+    docs = synthesize_wav(_docs(spark, sf_dir).select("doc_id"))
+    return segment_wav_windows(docs, window_ms=25)
+
+
 def q_multimodal_wav(spark, sf_dir):
     """REAL audio decode through the multimodal plumbing: synthesize valid
     WAV containers per doc, parse them back with the stdlib codec inside an
@@ -1472,6 +1484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_wav_decode": q_multimodal_wav,
+    "multimodal_wav_windows": q_multimodal_wav_windows,
     "multimodal_png_decode": q_multimodal_png,
 }
 
@@ -3339,6 +3352,25 @@ SELECT doc_id,
   CAST(8 AS INT) AS bit_depth,
   CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
 FROM documents"""
+
+    # wav windows: synthesis params n = 100+(id%50)*10, amp = 1000+(id%7)*100,
+    # 8 kHz mono; 25 ms windows = 200 samples. Square wave -> every window's
+    # RMS is exactly the amplitude (integer square, exact double sqrt).
+    o["multimodal_wav_windows"] = """
+WITH p AS (SELECT doc_id,
+             100 + (doc_id % 50) * 10 AS n,
+             CAST(1000 + (doc_id % 7) * 100 AS DOUBLE) AS amp
+           FROM documents),
+w AS (SELECT doc_id, n, amp,
+        unnest(range(0, CAST(ceil(n / 200.0) AS BIGINT))) AS win_idx
+      FROM p)
+SELECT doc_id,
+  CAST(win_idx AS INT) AS win_idx,
+  CAST(win_idx * 25 AS BIGINT) AS start_ms,
+  CAST(least(200, n - win_idx * 200) AS BIGINT) AS win_samples,
+  round(amp, 6) AS win_rms,
+  FALSE AS is_silence
+FROM w"""
 
     o["multimodal_frames"] = """
 SELECT doc_id, CAST(unnest(generate_series(0,

@@ -782,3 +782,38 @@ def test_rrf_fuse_combines_lists(spark):
     lex2 = spark.createDataFrame([(2, 7, 1), (2, 5, 1)], "query_id long, doc_id long, rank int")
     tied = {r.doc_id: r.rank for r in similarity.rrf_fuse([lex2]).filter(F.col("query_id") == 2).collect()}
     assert tied == {5: 1, 7: 2}
+
+
+def test_wav_window_segmentation(spark):
+    import io
+    import struct
+    import wave
+
+    from opentelemetry_collector_contrib_spark.operators.multimodal import (
+        segment_wav_windows,
+        synthesize_wav,
+    )
+
+    # doc 0: 100 samples -> one partial 25ms window (win = 200 samples @8k)
+    # doc 30: 100+30%50*10 = 400 samples -> exactly two full windows
+    docs = spark.createDataFrame([(0,), (30,)], ["doc_id"])
+    out = segment_wav_windows(synthesize_wav(docs), window_ms=25)
+    rows = {(r["doc_id"], r["win_idx"]): r for r in out.collect()}
+    assert set(rows) == {(0, 0), (30, 0), (30, 1)}
+    assert rows[(0, 0)]["win_samples"] == 100 and rows[(0, 0)]["win_rms"] == 1000.0
+    assert rows[(30, 1)]["start_ms"] == 25 and rows[(30, 1)]["win_samples"] == 200
+    assert not rows[(0, 0)]["is_silence"]
+
+    # a half-silent payload: 200 loud samples then 200 zeros -> window 1 silent
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<h", 500 if i < 200 else 0) for i in range(400)))
+    mixed = spark.createDataFrame([(7, buf.getvalue())], "doc_id long, wav binary")
+    got = {r["win_idx"]: r for r in segment_wav_windows(mixed, window_ms=25).collect()}
+    assert got[0]["win_rms"] == 500.0 and not got[0]["is_silence"]
+    assert got[1]["win_rms"] == 0.0 and got[1]["is_silence"]
+
+    # malformed payload contributes zero windows
+    bad = spark.createDataFrame([(9, b"junk")], "doc_id long, wav binary")
+    assert segment_wav_windows(bad).count() == 0
