@@ -395,6 +395,86 @@ def q_lineitem_pricing(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): the 3-table big-join pattern —
+    filtered customer ⨝ orders ⨝ lineitem, revenue per order, top 10.
+    Join strategy at 100 TB: customer/orders/lineitem all scale with the
+    corpus, so BOTH joins are shuffle joins on their natural keys
+    (custkey, orderkey) — no broadcast; the segment/date filters push to
+    the scans and AQE right-sizes the post-filter shuffles. Exact decimal
+    revenue, top-10 by (revenue DESC, orderkey) = one WindowGroupLimit."""
+    cutoff = "1996-06-30"
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate").cast("timestamp") < cutoff
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate").cast("timestamp") > cutoff
+    )
+    d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - d("l_discount")))
+            .cast("decimal(28,6)")
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the star-join pattern with
+    fixed-size dims — nation (25) and region (5) are BROADCAST (the only
+    tables that stay small at any scale factor); customer, orders,
+    lineitem, supplier shuffle on their keys. The c_nationkey ==
+    s_nationkey "local" predicate rides the supplier join condition."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate").cast("timestamp") >= "1996-01-01")
+        & (F.col("o_orderdate").cast("timestamp") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - d("l_discount")))
+            .cast("decimal(28,6)")
+            .alias("revenue")
+        )
+    )
+
+
 def q_fk_summary(spark, sf_dir):
     """Cross-table referential integrity as a batch gate: one verdict row
     per declared FK. The TPC-H edges (lineitem→orders→customer→nation)
@@ -1445,6 +1525,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": q_text_chunks,
     "emb_quantized": q_emb_quantized,
     "lineitem_pricing_summary": q_lineitem_pricing,
+    "tpch_shipping_priority": q_tpch_q3,
+    "tpch_local_supplier_volume": q_tpch_q5,
     "fk_summary": q_fk_summary,
     "fk_orphan_rows": q_fk_orphan_rows,
     "curation_e2e": q_curation_e2e,
@@ -3003,6 +3085,36 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2"""
+
+    o["tpch_shipping_priority"] = """
+SELECT l_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(28,6)) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10"""
+
+    o["tpch_local_supplier_volume"] = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(28,6)) AS revenue
+FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name"""
 
     def _fk_row(name: str, child: str, parent: str, ck: str, pk: str) -> str:
         return f"""

@@ -376,3 +376,35 @@ def test_url_filter_query_blocked_subset_shuffle_only(spark):
         assert node not in plan, f"plan contains {node}"
     assert "BroadcastHashJoin" in plan, "blocklist join lost its broadcast"
     assert n_exchanges(plan) <= 3, tree_of(plan)
+
+
+def test_tpch_q5_broadcasts_only_fixed_size_dims(spark):
+    """Q5 star join: nation/region (fixed 25/5 rows at ANY scale factor)
+    carry explicit broadcast hints; customer/orders/lineitem/supplier —
+    all corpus-proportional — must rely on STATISTICS only, so that at
+    100 TB they degrade to shuffle joins instead of OOMing an executor.
+    Verified by dropping autoBroadcastJoinThreshold (simulating big-table
+    stats): exactly the two hinted joins stay broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(_query("tpch_local_supplier_volume")(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    t = tree_of(plan)
+    for node in FORBIDDEN:
+        assert node not in plan, f"plan contains {node}"
+    assert len(re.findall(r"BroadcastHashJoin", t)) == 2, t  # nation + region
+    # the three big-table joins are shuffle joins (SMJ or shuffled-hash)
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", t)) == 3, t
+
+
+def test_tpch_q3_filters_reach_scans(spark):
+    """Q3: segment/date predicates must push into the parquet scans and
+    the big joins stay shuffle joins."""
+    plan = plan_of(_query("tpch_shipping_priority")(spark, SF))
+    for node in FORBIDDEN:
+        assert node not in plan, f"plan contains {node}"
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan, (
+        "customer segment filter did not reach the scan"
+    )
