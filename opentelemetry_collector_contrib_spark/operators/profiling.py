@@ -131,3 +131,81 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         )
         .select("column", "n_rows", "n_null", "n_distinct", "avg_len")
     )
+
+
+def json_path_profile(
+    df: DataFrame,
+    json_col: str,
+    max_depth: int = 4,
+    out_cols: tuple[str, str, str] = ("path", "jtype", "n"),
+) -> DataFrame:
+    """Schema-on-read profiler for a semi-structured JSON column: walk
+    every document's JSON tree (to `max_depth`) and count occurrences of
+    each (path, type) — the inventory pass that tells a pipeline what
+    shape its `props`/tool-args payloads actually have before anyone
+    writes `from_json` schemas. Paths use the JSONPath-ish convention
+    `$.a.b`, with array elements collapsed to `$.a[*]` (element schemas
+    matter, indices don't). Types: object/array/string/number/boolean/
+    null; malformed JSON counts under the synthetic path `$` with type
+    `malformed`.
+
+    Shape: Arrow-batched mapInPandas walker (JSON traversal has no
+    Catalyst equivalent) emitting fixed-width (path, type) rows, then one
+    hash aggregation — the shuffle carries path strings and counts, never
+    payloads. Scale: per-row work is linear in payload size; the result
+    is as small as the key-space, like column_profile."""
+    import json as _json
+
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(out_cols[0], T.StringType()),
+            T.StructField(out_cols[1], T.StringType()),
+        ]
+    )
+
+    def walk(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        def jtype(v) -> str:
+            if v is None:
+                return "null"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, (int, float)):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, list):
+                return "array"
+            return "object"
+
+        for pdf in batches:
+            rows: list[tuple[str, str]] = []
+
+            def visit(node, path: str, depth: int) -> None:
+                rows.append((path, jtype(node)))
+                if depth >= max_depth:
+                    return
+                if isinstance(node, dict):
+                    for k, v in node.items():
+                        visit(v, f"{path}.{k}", depth + 1)
+                elif isinstance(node, list):
+                    for v in node:
+                        visit(v, f"{path}[*]", depth + 1)
+
+            for raw in pdf[json_col]:
+                if raw is None:
+                    continue
+                try:
+                    visit(_json.loads(raw), "$", 0)
+                except (ValueError, RecursionError):
+                    rows.append(("$", "malformed"))
+            yield _pd.DataFrame(rows, columns=[out_cols[0], out_cols[1]])
+
+    paths = df.select(json_col).mapInPandas(walk, schema)
+    return paths.groupBy(out_cols[0], out_cols[1]).agg(
+        F.count(F.lit(1)).alias(out_cols[2])
+    )

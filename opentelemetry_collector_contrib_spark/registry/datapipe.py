@@ -1347,6 +1347,32 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+def q_json_path_profile(spark, sf_dir):
+    """Schema-on-read JSON inventory: synthesize a nested JSON payload per
+    document (the registry's encode→decode convention — conditional keys,
+    arrays, nulls, and a malformed 1-in-13 slice), then profile every
+    (path, type) with the Arrow-batched walker. Oracle recomputes the
+    expected counts from the synthesis parameters."""
+    from ..operators.profiling import json_path_profile
+
+    d = _docs(spark, sf_dir)
+    full = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "meta": {"lang": "'),
+        F.col("lang"),
+        F.lit('", "source": "'),
+        F.col("source"),
+        F.lit('"}, "tags": ["a", "b"], "score": '),
+        F.col("n_chars").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(', "opt": {"deep": true}')).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(', "note": null')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    payload = F.when(F.col("doc_id") % 13 == 0, F.lit('{"broken": ')).otherwise(full)
+    return json_path_profile(d.select(payload.alias("payload")), "payload")
+
+
 def q_url_canonical(spark, sf_dir):
     """Crawl URL canonicalization over five deterministic variants per
     doc (case/port/fragment/tracking-param/param-order noise + one
@@ -1542,6 +1568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_sizes": q_cluster_sizes,
     "profile_key_skew": q_key_skew,
     "profile_columns": q_column_profile,
+    "profile_json_paths": q_json_path_profile,
     "curation_url_canonical": q_url_canonical,
     "curation_strata_sample": q_strata_sample,
     "multimodal_sniff": q_sniff_content_type,
@@ -1976,6 +2003,31 @@ fr AS (
 SELECT qid AS query_id, doc AS doc_id, CAST(s AS DOUBLE) AS rrf_score,
   CAST(rank AS INT) AS rank
 FROM fr WHERE rank <= 10"""
+
+    # json path profile: expected (path, type) counts reconstructed from
+    # the synthesis rule — %13 docs are malformed (and contribute ONLY the
+    # '$ malformed' row), %3/%7 add conditional keys.
+    o["profile_json_paths"] = """
+WITH c AS (SELECT
+    count(*) FILTER (doc_id % 13 <> 0) AS ok,
+    count(*) FILTER (doc_id % 13 = 0) AS bad_n,
+    count(*) FILTER (doc_id % 3 = 0 AND doc_id % 13 <> 0) AS opt_n,
+    count(*) FILTER (doc_id % 7 = 0 AND doc_id % 13 <> 0) AS note_n
+  FROM documents)
+SELECT path, jtype, n FROM (
+  SELECT '$' AS path, 'object' AS jtype, ok AS n FROM c
+  UNION ALL SELECT '$', 'malformed', bad_n FROM c
+  UNION ALL SELECT '$.id', 'number', ok FROM c
+  UNION ALL SELECT '$.meta', 'object', ok FROM c
+  UNION ALL SELECT '$.meta.lang', 'string', ok FROM c
+  UNION ALL SELECT '$.meta.source', 'string', ok FROM c
+  UNION ALL SELECT '$.tags', 'array', ok FROM c
+  UNION ALL SELECT '$.tags[*]', 'string', 2 * ok FROM c
+  UNION ALL SELECT '$.score', 'number', ok FROM c
+  UNION ALL SELECT '$.opt', 'object', opt_n FROM c
+  UNION ALL SELECT '$.opt.deep', 'boolean', opt_n FROM c
+  UNION ALL SELECT '$.note', 'null', note_n FROM c
+) t WHERE n > 0"""
 
     o["privacy_k_anonymity"] = """
 SELECT event_type,

@@ -817,3 +817,31 @@ def test_wav_window_segmentation(spark):
     # malformed payload contributes zero windows
     bad = spark.createDataFrame([(9, b"junk")], "doc_id long, wav binary")
     assert segment_wav_windows(bad).count() == 0
+
+
+def test_json_path_profile_walks_nested_and_malformed(spark):
+    from opentelemetry_collector_contrib_spark.operators.profiling import json_path_profile
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": {"b": [1, "x", null]}, "c": true}',),
+            ('{"a": {"b": []}}',),
+            ("not json",),
+            (None,),
+        ],
+        "payload string",
+    )
+    got = {(r["path"], r["jtype"]): r["n"] for r in json_path_profile(df, "payload").collect()}
+    assert got[("$", "object")] == 2 and got[("$", "malformed")] == 1
+    assert got[("$.a.b", "array")] == 2
+    # array elements collapse to [*] with per-type counts
+    assert got[("$.a.b[*]", "number")] == 1
+    assert got[("$.a.b[*]", "string")] == 1
+    assert got[("$.a.b[*]", "null")] == 1
+    assert got[("$.c", "boolean")] == 1
+    assert ("$", "null") not in got  # NULL payloads are skipped, not typed
+
+    # depth cap stops descent but still types the node at the cap
+    deep = spark.createDataFrame([('{"a": {"b": {"c": {"d": 1}}}}',)], "payload string")
+    capped = {r["path"] for r in json_path_profile(deep, "payload", max_depth=2).collect()}
+    assert "$.a.b" in capped and "$.a.b.c" not in capped
