@@ -1579,3 +1579,84 @@ def k_anonymity_summary(
             6,
         ).alias("pct_at_risk"),
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    alpha: float = 0.7,
+    domain_col: str = "source",
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture rates (the multilingual sampling rule of
+    mBERT/XLM-R, Conneau et al. 2020): p_d ∝ n_d^alpha, so alpha < 1
+    flattens the domain distribution — tail domains are upsampled, head
+    domains downsampled. Returns per-domain rates for mixture_sample /
+    upsample_repeat: rate_d = p_d · T / n_d with T = target_total
+    (default: the current corpus size, preserving expected row count).
+
+    Driver-side closed form over the tiny per-domain count table (one
+    hash agg + collect of #domains rows), every float quantized to 6
+    places at each step (pow → ordered sum → ratio) so the resulting
+    rates are bit-identical to the SQL oracle's ordered-fold recompute."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = lambda x: float(  # noqa: E731
+        Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    t = target_total if target_total is not None else total
+    w = {d: q6(math.pow(n, alpha)) for d, n in counts.items()}
+    sw = q6(sum(w[d] for d in sorted(w)))  # ordered fold, engine-portable
+    return {d: q6(q6(w[d] / sw) * t / counts[d]) for d in sorted(counts)}
+
+
+def upsample_repeat(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "up",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Epoch-aware up/down-sampling to arbitrary positive rates — the half
+    of the data-recipe story mixture_sample (rates ≤ 1) can't express: a
+    rate of 2.3 repeats every row twice and keeps a deterministic 30%
+    hash-gated slice a third time (fractional epochs, Muennighoff et al.
+    2023 data-constrained scaling). Copies carry `copy_col` = 0..k-1 so a
+    downstream shuffle/pack can spread them across shards.
+
+    Pure projection + bounded explode: n_copies(row) = floor(rate) +
+    [h60(salt‖key) % 1e6 < frac·1e6], then explode(sequence(...)) — no
+    shuffle, no RNG state, resumable (the same row always draws the same
+    verdict, the mixture_sample contract). Unlisted domains default to
+    rate 1.0 (pass-through)."""
+    micros = {d: int(round(r * 1_000_000)) for d, r in rates.items()}
+    if any(m < 0 for m in micros.values()):
+        raise ValueError("rates must be non-negative")
+    base = F.lit(1_000_000)
+    rate_u = F.lit(None).cast("long")
+    expr = None
+    for d in sorted(micros):
+        cond = F.col(domain_col) == d
+        expr = F.when(cond, micros[d]) if expr is None else expr.when(cond, micros[d])
+    rate_u = (expr.otherwise(base) if expr is not None else base).cast("long")
+    whole = (rate_u / base).cast("long")
+    frac = rate_u % base
+    gate = (
+        F.pmod(h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), base)
+        < frac
+    ).cast("long")
+    n_copies = (whole + gate).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )

@@ -1108,6 +1108,19 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened language mixture (alpha=0.5, corpus-size-
+    preserving): English (the head language) is downsampled below rate 1,
+    tail languages repeat whole epochs plus a deterministic hash-gated
+    fractional slice. Output one row per KEPT COPY with its copy index."""
+    from ..operators.curation import temperature_mixture_rates, upsample_repeat
+
+    d = _docs(spark, sf_dir)
+    rates = temperature_mixture_rates(d, alpha=0.5, domain_col="lang")
+    out = upsample_repeat(d, rates, domain_col="lang")
+    return out.select("doc_id", "lang", "copy_idx")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-weighted corpus sample: 200 documents drawn by the
     deterministic A-ES rule with weight = doc length in chars."""
@@ -1514,6 +1527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "hybrid_search_rrf": q_hybrid_search,
     "privacy_k_anonymity": q_k_anonymity,
+    "curation_temperature_mix": q_temperature_mix,
     "curation_weighted_sample": q_weighted_sample,
     "conv_rl_transitions": q_rl_transitions,
     "text_ngram_novelty": q_ngram_novelty,
@@ -2028,6 +2042,26 @@ SELECT path, jtype, n FROM (
   UNION ALL SELECT '$.opt.deep', 'boolean', opt_n FROM c
   UNION ALL SELECT '$.note', 'null', note_n FROM c
 ) t WHERE n > 0"""
+
+    # temperature mixture: mirror the driver-side quantization chain —
+    # round 6 after pow, after the d-ordered sum, after the share ratio,
+    # and after the final rate; then exact integer micro-rate arithmetic.
+    o["curation_temperature_mix"] = f"""
+WITH c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT d, n, round(pow(CAST(n AS DOUBLE), 0.5), 6) AS w FROM c),
+sw AS (SELECT round(list_sum(list(w ORDER BY d)), 6) AS sw FROM w),
+r AS (SELECT d, n,
+        CAST(round(round(round(w / sw, 6)
+             * (SELECT sum(n) FROM c) / n, 6) * 1000000) AS BIGINT) AS micros
+      FROM w, sw),
+docs AS (SELECT doc_id, lang, micros FROM documents JOIN r ON lang = r.d),
+nc AS (SELECT doc_id, lang,
+         micros // 1000000
+         + CASE WHEN {sql_h60("'up:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                     < micros % 1000000 THEN 1 ELSE 0 END AS k
+       FROM docs)
+SELECT doc_id, lang, CAST(unnest(range(0, k)) AS BIGINT) AS copy_idx
+FROM nc WHERE k > 0"""
 
     o["privacy_k_anonymity"] = """
 SELECT event_type,
