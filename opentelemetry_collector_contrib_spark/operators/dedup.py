@@ -964,3 +964,36 @@ def duplicated_ngram_spans(
         F.col("n_docs") >= min_docs
     )
     return grams.join(df_counts, "ngram_hash").select("doc", "start_pos", "ngram_hash", "n_docs")
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup winner selection: given the (doc, cluster_rep)
+    table from dup_clusters and a per-row score, keep the HIGHEST-scoring
+    member of each near-dup cluster (ties → smallest id) instead of
+    keep-first's min-id convention — the curation-pipeline refinement
+    where near-dups differ in quality (boilerplate-stripped vs raw crawl
+    of the same page: keep the clean one). Docs in no cluster are their
+    own cluster and always keep.
+
+    Output: (id, cluster_rep, keep). Shape: one left join onto the
+    cluster table (near-dup docs only — usually a small fraction of the
+    corpus) + one per-cluster window; the window's partition is a
+    cluster, so the sort is bounded by the largest duplicate family, the
+    same bound dup_clusters itself already guarantees converging."""
+    j = df.select(F.col(id_col), F.col(score_col)).join(
+        clusters.select(F.col("doc").alias(id_col), "cluster_rep"),
+        on=id_col,
+        how="left",
+    )
+    rep = F.coalesce(F.col("cluster_rep"), F.col(id_col))
+    w = Window.partitionBy(rep).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        j.withColumn("cluster_rep", rep)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_rep", "keep")
+    )

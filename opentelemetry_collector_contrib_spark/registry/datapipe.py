@@ -355,6 +355,17 @@ def q_dedup_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup winner: MinHash-LSH pairs → components →
+    keep the LONGEST member of each cluster (n_chars score, ties → min
+    id); singletons keep themselves."""
+    from ..operators.dedup import dup_clusters, keep_best_per_cluster, minhash_lsh_dedup_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(d, "doc_id", threshold=0.4)
+    return keep_best_per_cluster(d, dup_clusters(pairs), score_col="n_chars")
+
+
 def q_emb_quantized(spark, sf_dir):
     """int8 scalar quantization of the embeddings table (storage path for
     the ANN candidate stage)."""
@@ -1572,6 +1583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_e2e": q_curation_e2e,
     "container_parse": q_container_parse,
     "dedup_near_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -3423,6 +3435,19 @@ WHERE rank <= 3"""
 
     # leakage-safe split: same CC as dedup_near_clusters, then the
     # train_split hash band applied to the component representative
+    o["dedup_keep_best"] = o["dedup_near_clusters"].replace(
+        "SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc",
+        """, comp AS (SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc),
+alldocs AS (
+  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS rep, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+win AS (
+  SELECT doc_id, rep,
+         row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS rn
+  FROM alldocs)
+SELECT doc_id, rep AS cluster_rep, rn = 1 AS keep FROM win""",
+    )
+
     o["dedup_cluster_sizes"] = o["dedup_near_clusters"].replace(
         "SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc",
         """, comp AS (SELECT doc, min(label) AS cluster_rep FROM reach GROUP BY doc),

@@ -845,3 +845,19 @@ def test_json_path_profile_walks_nested_and_malformed(spark):
     deep = spark.createDataFrame([('{"a": {"b": {"c": {"d": 1}}}}',)], "payload string")
     capped = {r["path"] for r in json_path_profile(deep, "payload", max_depth=2).collect()}
     assert "$.a.b" in capped and "$.a.b.c" not in capped
+
+
+def test_keep_best_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, 5.0), (9, 1.0)],
+        "doc_id long, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc long, cluster_rep long"
+    )
+    got = {r["doc_id"]: r for r in dedup.keep_best_per_cluster(docs, clusters, "q").collect()}
+    # cluster 1: docs 2 and 3 tie on score -> smaller id (2) wins
+    assert got[2]["keep"] and not got[3]["keep"] and not got[1]["keep"]
+    assert got[2]["cluster_rep"] == 1
+    # singleton-in-cluster-table and unclustered doc both keep themselves
+    assert got[4]["keep"] and got[9]["keep"] and got[9]["cluster_rep"] == 9
