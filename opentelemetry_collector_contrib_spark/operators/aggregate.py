@@ -1264,3 +1264,37 @@ def merge_agg_state(
         else:
             raise ValueError(f"unmergeable op {op!r} for column {c!r}")
     return joined.select(*keys, *merged)
+
+
+def rollup_report(
+    df: DataFrame,
+    dims: list[str],
+    aggs: dict[str, Column],
+    mode: str = "rollup",
+) -> DataFrame:
+    """Multi-granularity aggregate in ONE pass: GROUP BY ROLLUP/CUBE.
+
+    The telemetry-report shape every dashboard needs — per-(type, hour),
+    per-type, grand total — computed as a single shuffle instead of one job
+    per granularity: Spark expands the grouping sets BEFORE the exchange
+    and partial-aggregates each set map-side, so the network carries group
+    rows, not data rows, and the scan happens once. `grouping_id` (standard
+    bit encoding, first dim = MSB) disambiguates a rolled-up NULL from a
+    genuine NULL dim value.
+
+    mode: "rollup" → prefix hierarchy (d1,d2), (d1), (); "cube" → all 2^n
+    subsets. At 100 TB prefer rollup — cube's 2^n expansion multiplies the
+    pre-shuffle row count by the number of grouping sets.
+    """
+    if mode == "rollup":
+        grouped = df.rollup(*dims)
+    elif mode == "cube":
+        grouped = df.cube(*dims)
+    else:
+        raise ValueError(f"mode must be rollup|cube, got {mode!r}")
+    # grouping_id() is an aggregate-scope expression — it must be computed
+    # in the agg itself, not a downstream projection
+    out = grouped.agg(
+        F.grouping_id().alias("gid"), *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select("gid", *dims, *aggs.keys())

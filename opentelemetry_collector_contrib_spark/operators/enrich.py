@@ -241,3 +241,134 @@ def geoip_lookup(
         how="left",
     )
     return out.drop("_bucket", "_ip_long", "_start", "_end", "_prefix")
+
+
+# --- Bloom-filter join pruning ---------------------------------------------
+#
+# At 100 TB the probe side of a selective join is the dominant shuffle. When
+# the build side's key set is too large to broadcast-HASH-join outright but a
+# few-MB *bit* summary of it fits everywhere, a Bloom filter prunes the probe
+# rows BEFORE the exchange — the same idea as Spark's runtime row-level
+# bloom (spark.sql.optimizer.runtime.bloomFilter.*), exposed here as an
+# explicit, deterministic operator so the pruning factor is testable and the
+# filter can be persisted/reused across jobs. The filter admits false
+# positives only, so `bloom_join` stays EXACT: survivors still flow through
+# the real equi-join; the bloom merely shrinks the exchange.
+
+import math
+
+
+def bloom_parameters(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n ln p / (ln 2)^2 bits, k = (m/n) ln 2 hashes.
+    m is rounded up to a multiple of 64 (whole words)."""
+    if expected_items <= 0:
+        raise ValueError("expected_items must be positive")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+    m = -expected_items * math.log(fpp) / (math.log(2.0) ** 2)
+    num_bits = max(64, int(math.ceil(m / 64.0)) * 64)
+    num_hashes = max(1, round(num_bits / expected_items * math.log(2.0)))
+    return num_bits, num_hashes
+
+
+def _bit_positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k independent bit positions via seeded xxhash64 — JVM-side, codegen."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(num_bits))
+        for seed in range(num_hashes)
+    ]
+
+
+def bloom_build(keys: DataFrame, key: str, num_bits: int, num_hashes: int) -> list[int]:
+    """Distributed Bloom-filter build: ONE pass over the build side.
+
+    Each key contributes k bit positions (seeded xxhash64 projections, no
+    UDF); positions group to 64-bit words with a map-side-combining bit_or
+    aggregate, so the driver collects at most num_bits/64 rows (the set
+    words) — never the keys. Returns the bitmap as a Python list of longs
+    (length num_bits//64), ready to inline or broadcast."""
+    pos = F.explode(F.array(*_bit_positions(F.col(key), num_bits, num_hashes))).alias("p")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["word"]
+    return bitmap
+
+
+def bloom_might_contain(col: Column, bitmap: list[int], num_hashes: int) -> Column:
+    """Membership predicate against an inlined bitmap: all k bits set.
+
+    The bitmap rides the plan as ONE array<bigint> literal (the same
+    inlined-small-state trick as the IVF centroid projection —
+    similarity.py), so the probe is a pure projection: zero joins, zero
+    Python, whole-stage codegen. At the default 1% fpp the literal is
+    ~1.2 KB per 1k build keys; for build sides beyond ~10M keys raise fpp
+    or fall back to a broadcast semi-join on the exact key set."""
+    num_bits = len(bitmap) * 64
+    arr = F.lit(bitmap)
+    checks = [
+        F.element_at(arr, (p / 64).cast("int") + 1)
+        .bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")))
+        != 0
+        for p in _bit_positions(col, num_bits, num_hashes)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_join(
+    big: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Exact equi-join with Bloom pre-pruning of the probe side.
+
+    Builds the filter from dim's distinct keys (one aggregation), prunes
+    `big` scan-side with `bloom_might_contain` (false positives survive to
+    the real join and are eliminated there — the result is exactly
+    join(big, dim)), then runs the ordinary shuffle join on the pruned
+    probe. Worth it when dim is selective vs big's key domain: the
+    exchange shrinks by ~the true match fraction + fpp.
+
+    For how="left" the prune cannot DROP probe rows — bloom misses are
+    guaranteed non-matches, so they bypass the shuffle entirely and rejoin
+    the result with typed-null dim columns (same rows as a plain left join,
+    but only the might-match slice ever exchanges).
+
+    expected_items sizes the filter; when None, a cheap distinct count on
+    the dim keys (the build side — small by assumption) decides it."""
+    if how not in ("inner", "left", "semi", "leftsemi", "left_semi"):
+        raise ValueError(f"bloom_join supports inner/left/semi, got {how!r}")
+    right_key = right_key or left_key
+    dkeys = dim.select(right_key).distinct()
+    if expected_items is None:
+        expected_items = dkeys.count()
+    num_bits, num_hashes = bloom_parameters(max(1, expected_items), fpp)
+    bitmap = bloom_build(dkeys, right_key, num_bits, num_hashes)
+    mc = bloom_might_contain(F.col(left_key), bitmap, num_hashes)
+    pruned = big.filter(mc)
+    cond = pruned[left_key] == dim[right_key]
+    if how != "left":
+        # NULL probe keys never equi-match: dropping them at the bloom
+        # (NULL predicate → filtered) is a correct bonus prune here.
+        return pruned.join(dim, on=cond, how=how)
+    matched = pruned.join(dim, on=cond, how="left")
+    misses = big.filter(~F.coalesce(mc, F.lit(False)))  # keep NULL keys
+    for name, dtype in dim.dtypes:
+        misses = misses.withColumn(name, F.lit(None).cast(dtype))
+    return matched.unionByName(misses)

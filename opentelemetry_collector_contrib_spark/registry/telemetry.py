@@ -46,6 +46,28 @@ def q_count_by_type(spark, sf_dir):
     return count_connector(_events(spark, sf_dir), ["event_type"], condition="value > 50")
 
 
+def q_events_rollup_report(spark, sf_dir):
+    """Multi-granularity telemetry report in ONE shuffle: GROUP BY ROLLUP
+    (event_type, hour) — per-(type,hour) cells, per-type subtotals, grand
+    total, disambiguated by grouping_id. The alternative (three groupBy
+    jobs + union) scans the corpus three times; rollup expands grouping
+    sets pre-exchange and partial-aggregates map-side. Decimal sum keeps
+    the value total order-insensitive for the cross-engine hash."""
+    from ..operators.aggregate import rollup_report
+
+    ev = _events(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    )
+    return rollup_report(
+        ev,
+        ["event_type", "hour"],
+        {
+            "n": F.count(F.lit(1)),
+            "total": F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+        },
+    )
+
+
 def q_count_incremental(spark, sf_dir):
     """Materialized-view maintenance for the connector aggregates:
     history (event_id%10 < 9) folds into a persisted state, the new
@@ -4786,6 +4808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_isolation_forest": q_isolation_forest,
     "events_active_users_hourly": q_active_users_hourly,
     "events_count_by_type": q_count_by_type,
+    "events_rollup_report": q_events_rollup_report,
     "events_count_incremental": q_count_incremental,
     "events_sum_by_type": q_sum_by_type,
     "events_logdedup": q_logdedup,
@@ -6043,6 +6066,15 @@ GROUP BY 1, 2"""
     o["events_count_by_type"] = (
         "SELECT event_type, count(*) AS log_count FROM events WHERE value > 50 GROUP BY 1"
     )
+
+    # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
+    # engines implement; ts is never NULL in the fixture so a NULL hour
+    # always means "rolled up".
+    o["events_rollup_report"] = """
+SELECT CAST(GROUPING(event_type, hour) AS BIGINT) AS gid, event_type, hour,
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM (SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events)
+GROUP BY ROLLUP (event_type, hour)"""
 
     # incremental refresh must equal the FULL recompute — that equality IS
     # the materialized-view maintenance contract under test.

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.operators import aggregate as agg
@@ -586,3 +588,33 @@ def test_start_time_strategies(spark):
 
     with _pt.raises(ValueError):
         start_time_adjust(df, ["k"], ["i"], strategy="nope")
+
+
+def test_rollup_report_levels(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import rollup_report
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)], "d1 string, d2 string, v double"
+    )
+    out = rollup_report(df, ["d1", "d2"], {"n": F.count(F.lit(1)), "s": F.sum("v")})
+    rows = {(r["gid"], r["d1"], r["d2"]): (r["n"], r["s"]) for r in out.collect()}
+    # leaf cells (gid=0), per-d1 subtotals (gid=1: d2 rolled), grand total (gid=3)
+    assert rows[(0, "a", "x")] == (1, 1.0)
+    assert rows[(1, "a", None)] == (2, 3.0)
+    assert rows[(1, "b", None)] == (1, 4.0)
+    assert rows[(3, None, None)] == (3, 7.0)
+    assert len(rows) == 3 + 2 + 1  # rollup: no (d2-only) level
+
+
+def test_rollup_report_cube_adds_d2_level(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import rollup_report
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("b", "x", 4.0)], "d1 string, d2 string, v double"
+    )
+    out = rollup_report(df, ["d1", "d2"], {"n": F.count(F.lit(1))}, mode="cube")
+    rows = {(r["gid"], r["d1"], r["d2"]): r["n"] for r in out.collect()}
+    assert rows[(2, None, "x")] == 2  # gid=2: d1 rolled up — cube-only level
+
+    with pytest.raises(ValueError):
+        rollup_report(df, ["d1"], {"n": F.count(F.lit(1))}, mode="bogus")
