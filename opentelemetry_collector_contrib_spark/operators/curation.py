@@ -1660,3 +1660,80 @@ def upsample_repeat(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
         .drop("_n_copies")
     )
+
+
+# --- differentially-private aggregate release --------------------------------
+_TWO60 = float(1 << 60)
+
+
+def _laplace_noise(key: Column, scale: float, seed: str) -> Column:
+    """Deterministic Laplace(scale) noise from the portable 60-bit hash:
+    u = h60/2^60 - 0.5 ∈ [-0.5, 0.5), noise = -scale·sign(u)·ln(1-2|u|)
+    (inverse-CDF). Seeded by (key, seed) so releases are reproducible AND
+    engine-portable — the DuckDB oracle draws the identical noise. The
+    1-2|u|=0 edge (probability 2^-60) is floored at 1e-18 instead of ±inf."""
+    u = (h60(F.concat_ws("\x1f", key, F.lit(seed))) / F.lit(_TWO60)) - 0.5
+    mag = F.greatest(F.lit(1.0) - 2.0 * F.abs(u), F.lit(1e-18))
+    return -F.lit(scale) * F.signum(u) * F.log(mag)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    keys: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """ε-DP group-count release via the Laplace mechanism: count per key
+    group + Laplace(1/ε) noise (count sensitivity = 1 under add/remove-one).
+
+    Completes the privacy family k_anonymity_audit starts: the audit says
+    which quasi-identifier classes are too small to publish; this releases
+    the histogram itself with a per-group noise draw instead of
+    suppressing. Noise is seeded from the group key — deterministic
+    replays release the SAME value (re-querying must not refine the
+    estimate by averaging fresh draws).
+
+    ONE hash aggregation (map-side combined) + a noise projection; the
+    noise never touches row data, so the plan is the plain count at any
+    scale."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    gk = F.concat_ws("\x1f", *[F.col(k) for k in keys])
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .select(
+            *keys,
+            F.round(
+                F.col("true_n") + _laplace_noise(gk, 1.0 / epsilon, seed), 6
+            ).alias("noisy_n"),
+        )
+    )
+
+
+def dp_noisy_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    clip: float,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """ε-DP group-sum release: per-row contributions are CLIPPED to
+    [0, clip] first (bounding sensitivity — without the clip one outlier
+    row reveals itself through the sum), then Laplace(clip/ε) noise is
+    added per group. Same seeding contract as dp_noisy_counts."""
+    if epsilon <= 0 or clip <= 0:
+        raise ValueError("epsilon and clip must be positive")
+    v = F.least(F.greatest(F.col(value_col).cast("double"), F.lit(0.0)), F.lit(clip))
+    gk = F.concat_ws("\x1f", *[F.col(k) for k in keys])
+    return (
+        df.groupBy(*keys)
+        .agg(F.sum(v.cast("decimal(18,6)")).cast("double").alias("true_sum"))
+        .select(
+            *keys,
+            F.round(
+                F.col("true_sum") + _laplace_noise(gk, clip / epsilon, seed), 6
+            ).alias("noisy_sum"),
+        )
+    )

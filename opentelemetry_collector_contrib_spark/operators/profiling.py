@@ -209,3 +209,81 @@ def json_path_profile(
     return paths.groupBy(out_cols[0], out_cols[1]).agg(
         F.count(F.lit(1)).alias(out_cols[2])
     )
+
+
+# --- Poisson-bootstrap confidence intervals ---------------------------------
+# Cumulative CDF of Poisson(1) at k = 0..7: a weight >7 has probability
+# ~1e-8 — beyond the 60-bit uniform's useful resolution for corpus QA.
+_POIS1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+_TWO60 = float(1 << 60)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicas: int = 32,
+    seed: str = "boot",
+    z: float = 1.96,
+) -> DataFrame:
+    """Poisson-bootstrap standard error / CI for a corpus mean in ONE pass.
+
+    The classic bootstrap resamples the corpus B times — impossible at
+    100 TB. The Poisson approximation (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012) gives each row an
+    independent Poisson(1) weight per replica, so all B resamples fold
+    into a single aggregation: per replica r, the weighted (Σw·v, Σw)
+    pair; replica means then yield the bootstrap SE. No shuffle of row
+    data beyond the one aggregation; B only widens the aggregate row.
+
+    Weights are DETERMINISTIC — the portable h60(id:replica:seed) uniform
+    inverted through the Poisson(1) CDF — so the oracle (and any rerun)
+    reproduces the interval exactly. Returns one row: n rows, the plain
+    mean `est`, bootstrap `se`, and the z·se interval [ci_lo, ci_hi].
+    """
+    if replicas < 2:
+        raise ValueError("replicas must be >= 2")
+    v = F.col(value_col).cast("decimal(18,6)")
+    cdf = F.lit(_POIS1_CDF)
+
+    def w(r: int) -> Column:
+        u = h60(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(r)), F.lit(seed))
+        ) / F.lit(_TWO60)
+        return F.size(F.filter(cdf, lambda c: c < u))
+
+    # exact-decimal corpus sum: avg(double) is summation-order-sensitive
+    # across partitions, which the cross-engine parity hash can't tolerate
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("decimal(28,6)").alias("_sv"),
+    ]
+    for r in range(replicas):
+        wr = w(r)
+        aggs.append(F.sum(wr.cast("decimal(18,6)") * v).alias(f"_s{r}"))
+        aggs.append(F.sum(wr).cast("long").alias(f"_w{r}"))
+    one = df.agg(*aggs).withColumn(
+        "raw_mean", F.col("_sv").cast("double") / F.col("n")
+    )
+    means = F.array(
+        *[
+            (F.col(f"_s{r}").cast("double") / F.col(f"_w{r}"))
+            for r in range(replicas)
+        ]
+    )
+    mbar = F.aggregate(means, F.lit(0.0), lambda a, x: a + x) / F.lit(replicas)
+    var = F.aggregate(
+        means, F.lit(0.0), lambda a, x: a + (x - mbar) * (x - mbar)
+    ) / F.lit(replicas - 1)
+    se = F.sqrt(var)
+    return one.select(
+        F.col("n"),
+        F.round("raw_mean", 6).alias("est"),
+        F.round(se, 6).alias("se"),
+        F.round(F.col("raw_mean") - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(F.col("raw_mean") + F.lit(z) * se, 6).alias("ci_hi"),
+    )

@@ -558,3 +558,54 @@ def seasonal_baseline(
         F.round("baseline", 6).alias("baseline"),
         F.round(F.col("day_mean") / F.col("baseline"), 6).alias("deviation"),
     )
+
+
+# --- multi-window SLO burn-rate alerts --------------------------------------
+def burn_rate_alerts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    err_col: str = "is_err",
+    slo_target: float = 0.99,
+    long_s: int = 6 * 3600,
+    short_s: int = 1800,
+    factor: float = 2.0,
+) -> DataFrame:
+    """Google-SRE multi-window burn-rate alerting as a batch operator.
+
+    burn rate = (trailing error rate) / (1 - slo_target): 1.0 consumes the
+    error budget exactly at the SLO period's natural pace; `factor`× faster
+    over BOTH a long window (magnitude) and a short window (still
+    happening) pages. The two-window AND is what kills both false pages on
+    ancient incidents (long alone) and flappy pages on blips (short
+    alone) — the standard multiwindow multi-burn-rate recipe.
+
+    Emits one row per event with burn_long / burn_short / alert. Plan: ONE
+    exchange on `keys`, one sort, two RANGE frames over the same ordered
+    spec (Spark folds them into sibling Window nodes over one sort).
+    Trailing-window semantics match rolling_window_stats; at 10^12 rows
+    the per-key serialization trade is the same one every per-key window
+    in this module makes.
+    """
+    if not (0.0 < slo_target < 1.0):
+        raise ValueError("slo_target must be in (0, 1)")
+    budget = 1.0 - slo_target
+    us = _us(ts_col)
+    e = F.col(err_col).cast("int").cast("double")
+    staged = df.select("*", us.alias("__us"))
+
+    def frame(sec: int):
+        return (
+            Window.partitionBy(*keys).orderBy(F.col("__us")).rangeBetween(-sec * _US, 0)
+        )
+
+    burn_long = F.avg(e).over(frame(long_s)) / F.lit(budget)
+    burn_short = F.avg(e).over(frame(short_s)) / F.lit(budget)
+    return (
+        staged.withColumn("burn_long", F.round(burn_long, 6))
+        .withColumn("burn_short", F.round(burn_short, 6))
+        .withColumn(
+            "alert", (F.col("burn_long") >= factor) & (F.col("burn_short") >= factor)
+        )
+        .drop("__us")
+    )

@@ -486,6 +486,20 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_corpus_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the corpus mean document length in ONE
+    aggregation pass (Chamandy et al. 2012): 32 deterministic Poisson(1)
+    weights per doc (portable-hash uniform inverted through the CDF), all
+    replica (Σw·v, Σw) pairs in one agg row, SE from the replica means.
+    The determinism is the point — the oracle re-derives the identical
+    interval, and a rerun at 100 TB reproduces it without storing
+    weights."""
+    from ..operators.profiling import bootstrap_ci
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bootstrap_ci(docs, "doc_id", "n_chars", replicas=32)
+
+
 def q_join_bloom_prune(spark, sf_dir):
     """Bloom-pruned selective join: lineitem (probe, corpus-scale) ⨝ the
     p_size=1 slice of part (build, selective). The build side's distinct
@@ -1604,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pricing_summary": q_lineitem_pricing,
     "tpch_shipping_priority": q_tpch_q3,
     "tpch_local_supplier_volume": q_tpch_q5,
+    "corpus_bootstrap_ci": q_corpus_bootstrap_ci,
     "join_bloom_prune": q_join_bloom_prune,
     "fk_summary": q_fk_summary,
     "fk_orphan_rows": q_fk_orphan_rows,
@@ -3240,6 +3255,47 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name"""
+
+    # Poisson-bootstrap: the oracle re-derives the 32 deterministic weight
+    # columns (portable h60 uniform -> Poisson(1) inverse CDF) and folds
+    # replica means left-to-right exactly as the Spark F.aggregate does.
+    from ..operators.profiling import _POIS1_CDF
+
+    _cdf = "[" + ", ".join(repr(c) for c in _POIS1_CDF) + "]"
+    _R = 32
+
+    def _bu(r: int) -> str:
+        return (
+            f"(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{r}:boot'), 1, 15) AS BIGINT)"
+            " / 1152921504606846976.0)"
+        )
+
+    _wcols = ",\n    ".join(
+        f"len(list_filter({_cdf}, c -> c < {_bu(r)})) AS w{r}" for r in range(_R)
+    )
+    _aggs = ",\n    ".join(
+        f"CAST(sum(CAST(w{r} AS DECIMAL(18,6)) * CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / sum(w{r}) AS m{r}"
+        for r in range(_R)
+    )
+    _msum = " + ".join(f"m{r}" for r in range(_R))
+    _vsum = " + ".join(f"(m{r} - mbar) * (m{r} - mbar)" for r in range(_R))
+    o["corpus_bootstrap_ci"] = f"""
+WITH w AS (
+  SELECT n_chars,
+    {_wcols}
+  FROM documents),
+a AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS raw_mean,
+    {_aggs}
+  FROM w),
+s AS (SELECT *, ({_msum}) / {_R}.0 AS mbar FROM a),
+v AS (SELECT n, raw_mean, sqrt(({_vsum}) / {_R - 1}.0) AS se FROM s)
+SELECT n, round(raw_mean, 6) AS est, round(se, 6) AS se,
+       round(raw_mean - 1.96 * se, 6) AS ci_lo,
+       round(raw_mean + 1.96 * se, 6) AS ci_hi
+FROM v"""
 
     # The bloom prune is correctness-invisible (false positives die in the
     # equi-join), so the oracle is the PLAIN join.

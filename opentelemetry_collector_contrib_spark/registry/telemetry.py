@@ -1044,6 +1044,43 @@ def q_tool_slo_report(spark, sf_dir):
     )
 
 
+def q_events_burn_rate(spark, sf_dir):
+    """Multi-window SLO burn-rate alerting (Google SRE workbook recipe)
+    per user over the events stream: error-rate over a 6 h magnitude
+    window AND a 30 min still-happening window, both divided by the 10%
+    error budget; both ≥ 2× pages. One exchange, two RANGE frames."""
+    from ..operators.timeseries import burn_rate_alerts
+
+    ev = _events(spark, sf_dir).withColumn(
+        "is_err", F.col("event_type") == "error"
+    )
+    out = burn_rate_alerts(
+        ev, ["user_id"], slo_target=0.9, long_s=6 * 3600, short_s=1800, factor=2.0
+    )
+    return out.select("user_id", "event_id", "burn_long", "burn_short", "alert")
+
+
+def q_dp_event_counts(spark, sf_dir):
+    """ε-DP release of the event-type histogram (Laplace mechanism,
+    ε=1.0, sensitivity 1). The noise draw is seeded from the group key so
+    the release is reproducible — and the oracle draws the identical
+    noise, which is exactly the reproducibility contract under test."""
+    from ..operators.curation import dp_noisy_counts
+
+    return dp_noisy_counts(_events(spark, sf_dir), ["event_type"], epsilon=1.0)
+
+
+def q_dp_event_sums(spark, sf_dir):
+    """ε-DP per-type value sums: contributions clipped to [0, 100]
+    (bounding sensitivity), Laplace(clip/ε) on the clipped exact-decimal
+    sum, ε=2.0."""
+    from ..operators.curation import dp_noisy_sum
+
+    return dp_noisy_sum(
+        _events(spark, sf_dir), ["event_type"], "value", clip=100.0, epsilon=2.0
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """view -> click -> purchase funnel per user, earliest-completion
     semantics with a 7-day anchored window."""
@@ -4809,6 +4846,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_active_users_hourly": q_active_users_hourly,
     "events_count_by_type": q_count_by_type,
     "events_rollup_report": q_events_rollup_report,
+    "events_burn_rate": q_events_burn_rate,
+    "dp_event_counts": q_dp_event_counts,
+    "dp_event_sums": q_dp_event_sums,
     "events_count_incremental": q_count_incremental,
     "events_sum_by_type": q_sum_by_type,
     "events_logdedup": q_logdedup,
@@ -6070,6 +6110,44 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    # Two trailing RANGE frames over epoch-µs; RANGE peers (equal ts)
+    # are frame-included identically by both engines, so ties are safe.
+    o["events_burn_rate"] = """
+SELECT user_id, event_id,
+  round(avg(CAST(event_type = 'error' AS INT)) OVER wl / 0.1, 6) AS burn_long,
+  round(avg(CAST(event_type = 'error' AS INT)) OVER ws / 0.1, 6) AS burn_short,
+  (round(avg(CAST(event_type = 'error' AS INT)) OVER wl / 0.1, 6) >= 2.0
+   AND round(avg(CAST(event_type = 'error' AS INT)) OVER ws / 0.1, 6) >= 2.0) AS alert
+FROM events
+WINDOW
+  wl AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW),
+  ws AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)"""
+
+    # The DP releases re-draw the IDENTICAL seeded Laplace noise: u from
+    # the portable 60-bit md5 uniform of (group key || US || 'dp'),
+    # noise = -scale*sign(u)*ln(1-2|u|), floored at 1e-18.
+    _lap = (
+        "(-({scale}) * sign(u) * ln(greatest(1.0 - 2.0 * abs(u), 1e-18)))"
+    )
+    _u60 = (
+        "(CAST('0x' || substr(md5({key} || chr(31) || 'dp'), 1, 15) AS BIGINT)"
+        " / 1152921504606846976.0 - 0.5)"
+    )
+    o["dp_event_counts"] = f"""
+WITH g AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
+n AS (SELECT event_type, true_n, {_u60.format(key='event_type')} AS u FROM g)
+SELECT event_type, round(true_n + {_lap.format(scale='1.0')}, 6) AS noisy_n FROM n"""
+
+    o["dp_event_sums"] = f"""
+WITH g AS (
+  SELECT event_type,
+    CAST(sum(CAST(least(greatest(CAST(value AS DOUBLE), 0.0), 100.0) AS DECIMAL(18,6))) AS DOUBLE) AS true_sum
+  FROM events GROUP BY 1),
+n AS (SELECT event_type, true_sum, {_u60.format(key='event_type')} AS u FROM g)
+SELECT event_type, round(true_sum + {_lap.format(scale='50.0')}, 6) AS noisy_sum FROM n"""
+
     o["events_rollup_report"] = """
 SELECT CAST(GROUPING(event_type, hour) AS BIGINT) AS gid, event_type, hour,
        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -623,3 +623,40 @@ def test_temperature_mixture_and_upsample(spark):
     # unlisted domains pass through exactly once
     other = spark.createDataFrame([(999, "x")], "doc_id long, source string")
     assert [(r["doc_id"], r["copy_idx"]) for r in curation.upsample_repeat(other, rates).collect()] == [(999, 0)]
+
+
+def test_dp_noisy_counts_reproducible_and_bounded(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(f"t{i % 4}",) for i in range(400)], "event_type string"
+    )
+    a = {r["event_type"]: r["noisy_n"] for r in dp_noisy_counts(df, ["event_type"]).collect()}
+    b = {r["event_type"]: r["noisy_n"] for r in dp_noisy_counts(df, ["event_type"]).collect()}
+    assert a == b  # seeded: re-release must NOT refine the estimate
+    # Laplace(1) at eps=1: draws beyond |20| have probability ~2e-9
+    for k, v in a.items():
+        assert abs(v - 100) < 20.0
+    # a different seed is a different (still deterministic) release
+    c = {r["event_type"]: r["noisy_n"] for r in dp_noisy_counts(df, ["event_type"], seed="other").collect()}
+    assert c != a
+
+
+def test_dp_noisy_sum_clip_bounds_outlier_influence(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import dp_noisy_sum
+
+    base = [("g", float(i % 50)) for i in range(200)]
+    df0 = spark.createDataFrame(base, "g string, v double")
+    df1 = spark.createDataFrame(base + [("g", 1e9)], "g string, v double")
+    s0 = dp_noisy_sum(df0, ["g"], "v", clip=100.0, epsilon=2.0).collect()[0]["noisy_sum"]
+    s1 = dp_noisy_sum(df1, ["g"], "v", clip=100.0, epsilon=2.0).collect()[0]["noisy_sum"]
+    # the 1e9 outlier moves the release by AT MOST the clip bound — the
+    # sensitivity guarantee that makes the epsilon meaningful
+    assert abs(s1 - s0) <= 100.0 + 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dp_noisy_sum(df0, ["g"], "v", clip=0.0)
+    with _pytest.raises(ValueError):
+        dp_noisy_sum(df0, ["g"], "v", clip=1.0, epsilon=-1.0)

@@ -5,6 +5,7 @@ asymmetry, URL normalization rule table)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.operators.curation import canonicalize_url
@@ -208,3 +209,35 @@ def test_stratified_sample_deterministic_and_capped(spark):
     assert {r["doc_id"] for r in only_a} == {
         r["doc_id"] for r in out1 if r["src"] == "a"
     }
+
+
+def test_bootstrap_ci_sane_and_deterministic(spark):
+    from opentelemetry_collector_contrib_spark.operators.profiling import bootstrap_ci
+
+    import math
+
+    rows = [(f"d{i}", float((i * 37) % 200)) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id string, v double")
+    r1 = bootstrap_ci(df, "doc_id", "v", replicas=32).collect()[0]
+    r2 = bootstrap_ci(df, "doc_id", "v", replicas=32).collect()[0]
+    assert r1 == r2  # deterministic weights -> identical interval
+    assert r1["n"] == 600
+    mean = sum(v for _, v in rows) / 600
+    assert r1["est"] == pytest.approx(mean, abs=1e-4)
+    sd = math.sqrt(sum((v - mean) ** 2 for _, v in rows) / 599)
+    theo_se = sd / math.sqrt(600)
+    # bootstrap SE should land near the analytic SE (wide tolerance: B=32)
+    assert 0.5 * theo_se < r1["se"] < 2.0 * theo_se
+    assert r1["ci_lo"] < r1["est"] < r1["ci_hi"]
+
+
+def test_bootstrap_ci_constant_corpus_zero_se(spark):
+    from opentelemetry_collector_contrib_spark.operators.profiling import bootstrap_ci
+
+    df = spark.createDataFrame([(f"d{i}", 7.0) for i in range(50)], "doc_id string, v double")
+    r = bootstrap_ci(df, "doc_id", "v", replicas=8).collect()[0]
+    assert r["se"] == pytest.approx(0.0)
+    assert r["ci_lo"] == pytest.approx(7.0)
+
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "doc_id", "v", replicas=1)

@@ -385,3 +385,47 @@ def test_seasonal_baseline_deviation(spark):
     assert all(r.hod == 9 for r in out.values())
     assert out[1].baseline == 10.0 and out[1].deviation == 1.0
     assert out[5].day_mean == 30.0 and out[5].deviation == 3.0
+
+
+def test_burn_rate_alerts_two_window_and(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import burn_rate_alerts
+
+    # key "a": a burst of errors NOW — both windows hot -> alert.
+    # key "b": errors only long ago (outside the short window at the last
+    # event) — long window hot, short window cold -> NO alert.
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(10):  # a: 5 ok then 5 err, all within 10 min
+        rows.append(("a", base + dt.timedelta(minutes=i), i >= 5))
+    for i in range(10):  # b: 5 err early, 5 ok in the last 10 minutes
+        ts = base + dt.timedelta(minutes=i * 40)  # spread over ~6h
+        rows.append(("b", ts, i < 5))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, is_err boolean")
+    out = burn_rate_alerts(
+        df, ["k"], slo_target=0.9, long_s=6 * 3600, short_s=600, factor=2.0
+    )
+    last = {
+        r["k"]: r
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "k"
+                ).orderBy(F.col("ts").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    # a at its last event: long window err rate 5/10 -> burn 5.0;
+    # short window (10 min) holds rows 1..9 -> 5/10? (rows 0..9 all within
+    # 10 min RANGE) -> 5/10 -> burn 5.0 -> alert
+    assert last["a"]["alert"] is True
+    assert last["a"]["burn_long"] == pytest.approx(5.0)
+    # b at its last event: short window has only the final ok row -> burn 0
+    assert last["b"]["alert"] is False
+    assert last["b"]["burn_short"] == pytest.approx(0.0)
+    assert last["b"]["burn_long"] >= 2.0  # magnitude alone must not page
+
+    with pytest.raises(ValueError):
+        burn_rate_alerts(df, ["k"], slo_target=1.5)
