@@ -1737,3 +1737,166 @@ def dp_noisy_sum(
             ).alias("noisy_sum"),
         )
     )
+
+
+# --- classifier evaluation: lift table + AUC --------------------------------
+def score_decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Calibration/lift table by score decile: rank rows by (score DESC,
+    id) into equal-frequency buckets; per bucket the positive rate and the
+    cumulative gains curve (what fraction of ALL positives the top-k
+    deciles capture). The eval every quality-filter threshold decision
+    reads — a well-ordered classifier has monotone pos_rate and a gains
+    curve far above the diagonal.
+
+    Everything derives from integer counts (no transcendental transforms
+    of the score), so results are exact across engines. One sort
+    (global ntile) + one hash agg + one small cumulative window over
+    `buckets` rows. At 10^12 rows replace ntile with precomputed quantile
+    cut points (quantile_sketch_rollup) to avoid the global sort; at eval
+    scale — labeled data is small by definition — ntile is the simpler
+    exact form."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    d = df.select(
+        F.ntile(buckets).over(w).alias("decile"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.round(
+            F.sum("n_pos").over(cum) / F.sum("n_pos").over(tot), 6
+        ).alias("cum_gain"),
+    )
+
+
+def auc_rank_sum(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank-sum identity:
+    AUC = (Σ avg-ranks of positives − P(P+1)/2) / (P·N). Tied scores get
+    the average rank of their tie group — rank() + (peers−1)/2 — which is
+    the standard mid-rank correction, all integer-derived and
+    engine-exact. ONE global sort on score + one aggregate; no pairwise
+    comparison (the naive AUC is a P×N cross join)."""
+    y = F.col(label_col).cast("int")
+    w = Window.orderBy(F.col(score_col))
+    peers = Window.partitionBy(score_col)
+    d = df.select(
+        y.alias("_y"),
+        (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(peers) - 1) / 2.0
+        ).alias("_r"),
+    )
+    agg = d.agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("rank_pos"),
+        F.sum("_y").cast("bigint").alias("p"),
+        F.sum(1 - F.col("_y")).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "p",
+        "n",
+        F.round(
+            (F.col("rank_pos") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("n")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --- label QA: majority vote + chance-corrected agreement --------------------
+def majority_vote(
+    votes: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-item consensus over a (item, rater, label) vote table: the
+    modal label (ties broken by label string order — deterministic), its
+    support, and the per-item pairwise agreement
+    P_i = Σ_c n_c(n_c−1) / (n(n−1)) — the fraction of rater PAIRS that
+    agree. The first step of every human-labeling pipeline. Two hash
+    aggs + one WindowGroupLimit (rank over per-item label counts)."""
+    counts = votes.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy(item_col).orderBy(F.col("_c").desc(), F.col(label_col))
+    ranked = counts.select(
+        item_col,
+        label_col,
+        "_c",
+        F.row_number().over(w).alias("_rn"),
+        F.sum("_c").over(Window.partitionBy(item_col)).alias("_n"),
+        F.sum(F.col("_c") * (F.col("_c") - 1))
+        .over(Window.partitionBy(item_col))
+        .alias("_agree_pairs"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        F.col(item_col),
+        F.col(label_col).alias("majority_label"),
+        F.col("_c").cast("bigint").alias("support"),
+        F.col("_n").cast("bigint").alias("n_raters"),
+        F.when(F.col("_n") > 1, F.round(F.col("_agree_pairs") / (F.col("_n") * (F.col("_n") - 1)), 6))
+        .alias("agreement"),
+    )
+
+
+def fleiss_kappa(
+    votes: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Chance-corrected inter-rater agreement, generalized to varying
+    raters-per-item: observed agreement is pooled over rater PAIRS
+    (Σ_i Σ_c n_ic(n_ic−1)) / (Σ_i n_i(n_i−1)) — exact integer sums, not a
+    mean of per-item ratios, so items with more raters weigh as many
+    pairs — and expected agreement is Σ_c p_c² from the pooled label
+    marginals. kappa = (Po − Pe)/(1 − Pe). Single-row output
+    (n_items, n_votes, po, pe, kappa); everything up to the final
+    division is integer-exact."""
+    counts = votes.groupBy(item_col, label_col).agg(F.count(F.lit(1)).alias("_c"))
+    per_item = counts.groupBy(item_col).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ap"),
+    )
+    obs = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_n").cast("bigint").alias("n_votes"),
+        F.sum("_ap").cast("bigint").alias("_agree"),
+        F.sum(F.col("_n") * (F.col("_n") - 1)).cast("bigint").alias("_pairs"),
+    )
+    marg = counts.groupBy(label_col).agg(F.sum("_c").alias("_lc"))
+    pe = marg.agg(
+        (
+            F.sum(F.col("_lc") * F.col("_lc")).cast("double")
+            / (F.sum("_lc") * F.sum("_lc"))
+        ).alias("_pe")
+    )
+    # scalar×scalar combine: literal-key equi-join of two 1-row aggregates
+    return (
+        obs.withColumn("_k", F.lit(1))
+        .join(pe.withColumn("_k", F.lit(1)), "_k")
+        .select(
+        "n_items",
+        "n_votes",
+        F.round(F.col("_agree") / F.col("_pairs"), 6).alias("po"),
+        F.round(F.col("_pe"), 6).alias("pe"),
+        F.round(
+            (F.col("_agree") / F.col("_pairs") - F.col("_pe")) / (1.0 - F.col("_pe")),
+            6,
+        ).alias("kappa"),
+        )
+    )

@@ -609,3 +609,45 @@ def burn_rate_alerts(
         )
         .drop("__us")
     )
+
+
+# --- late-arrival / watermark profiler --------------------------------------
+def late_arrival_profile(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-order arrival diagnostics per key — the measurement that
+    picks a Structured Streaming watermark delay instead of guessing it.
+
+    `seq_col` is the ARRIVAL order (ingestion sequence); `ts_col` is event
+    time. A row is late iff its event time is behind the running max over
+    everything that arrived before it; its lateness is that gap. Reports
+    per key: row count, late count/fraction, max and exact p95 lateness
+    (seconds), and the suggested watermark = max observed lateness — the
+    smallest delay that would have dropped nothing.
+
+    ONE exchange on `keys`, one window (running cummax over arrival
+    order), one hash agg. The running-max frame excludes the current row,
+    so the first arrival is never late."""
+    us = _us(ts_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(seq_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.greatest(F.max(us).over(w) - us, F.lit(0))
+    staged = df.select(*keys, F.coalesce(late_us, F.lit(0)).alias("_late_us"))
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_late_us") > 0).cast("int")).cast("bigint").alias("n_late"),
+        F.round(
+            F.sum((F.col("_late_us") > 0).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("late_frac"),
+        F.round(F.max("_late_us") / F.lit(1e6), 6).alias("max_lateness_s"),
+        F.round(
+            F.expr("percentile(_late_us, 0.95)") / F.lit(1e6), 6
+        ).alias("p95_lateness_s"),
+        F.round(F.max("_late_us") / F.lit(1e6), 6).alias("suggested_watermark_s"),
+    )

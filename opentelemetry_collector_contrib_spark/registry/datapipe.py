@@ -486,6 +486,30 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_nb_lift_deciles(spark, sf_dir):
+    """Calibration/lift table for the hashed-NB quality classifier:
+    ntile(10) by (score DESC, doc_id), per-decile positive rate and
+    cumulative gains. The eval artifact behind every keep-threshold
+    choice; integer-exact so it cross-engine hashes."""
+    from ..operators.curation import nb_hash_classifier, score_decile_lift
+
+    d = _docs(spark, sf_dir).withColumn("label", F.col("lang") == "en")
+    scored = nb_hash_classifier(d, label_col="label")
+    return score_decile_lift(scored, "nb_score", "label")
+
+
+def q_nb_auc(spark, sf_dir):
+    """Exact ROC AUC of the NB classifier via the Mann-Whitney rank-sum
+    identity with mid-rank tie correction — one sort + one aggregate, no
+    P×N pairwise comparison. Ranks are half-integers (exactly
+    representable doubles), so the sum is order-insensitive."""
+    from ..operators.curation import auc_rank_sum, nb_hash_classifier
+
+    d = _docs(spark, sf_dir).withColumn("label", F.col("lang") == "en")
+    scored = nb_hash_classifier(d, label_col="label")
+    return auc_rank_sum(scored, "nb_score", "label")
+
+
 def q_corpus_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap CI for the corpus mean document length in ONE
     aggregation pass (Chamandy et al. 2012): 32 deterministic Poisson(1)
@@ -1619,6 +1643,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_shipping_priority": q_tpch_q3,
     "tpch_local_supplier_volume": q_tpch_q5,
     "corpus_bootstrap_ci": q_corpus_bootstrap_ci,
+    "nb_lift_deciles": q_nb_lift_deciles,
+    "nb_auc": q_nb_auc,
     "join_bloom_prune": q_join_bloom_prune,
     "fk_summary": q_fk_summary,
     "fk_orphan_rows": q_fk_orphan_rows,
@@ -2573,6 +2599,32 @@ SELECT lab.doc_id, lab.lang,
   CAST(prior + coalesce(sw, CAST(0 AS DECIMAL(19,9))) AS DOUBLE) AS nb_score,
   CAST(prior + coalesce(sw, CAST(0 AS DECIMAL(19,9))) AS DOUBLE) > 0 AS nb_pred
 FROM lab LEFT JOIN s USING (doc_id) CROSS JOIN pr"""
+
+    # NB-classifier evals reuse the classifier oracle verbatim as a CTE
+    # (nested WITH is legal in a parenthesized subquery) — one definition
+    # of the model, two derived artifacts.
+    _nb_scored = o["curation_nb_classifier"]
+    o["nb_lift_deciles"] = f"""
+WITH scored AS ({_nb_scored}),
+lab AS (SELECT doc_id, nb_score, CAST(lang = 'en' AS INT) AS y FROM scored),
+d AS (SELECT CAST(ntile(10) OVER (ORDER BY nb_score DESC, doc_id) AS INT) AS decile, y FROM lab),
+per AS (SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM d GROUP BY 1)
+SELECT decile, n, n_pos,
+  round(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+  round(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / CAST((SELECT sum(n_pos) FROM per) AS DOUBLE), 6) AS cum_gain
+FROM per"""
+
+    o["nb_auc"] = f"""
+WITH scored AS ({_nb_scored}),
+r AS (SELECT CAST(lang = 'en' AS INT) AS y,
+        rank() OVER (ORDER BY nb_score) + (count(*) OVER (PARTITION BY nb_score) - 1) / 2.0 AS rr
+      FROM scored),
+a AS (SELECT sum(CASE WHEN y = 1 THEN rr END) AS rank_pos,
+        CAST(sum(y) AS BIGINT) AS p,
+        CAST(sum(1 - y) AS BIGINT) AS n
+      FROM r)
+SELECT p, n, round((rank_pos - p * (p + 1) / 2.0) / (p * CAST(n AS DOUBLE)), 6) AS auc FROM a"""
 
     # BPE: k=3 merge rounds unrolled; chr(31) is the symbol delimiter.
     # Symbols are joined with DOUBLE delimiters (single at the ends), so

@@ -1081,6 +1081,44 @@ def q_dp_event_sums(spark, sf_dir):
     )
 
 
+def _votes(spark, sf_dir):
+    """Deterministic (item, rater, label) vote table from events:
+    item = event_id % 500 (~20 raters per item), rater = user_id,
+    label = event_type — the label-QA shape for human-annotation audits."""
+    return _events(spark, sf_dir).select(
+        F.pmod(F.col("event_id"), F.lit(500)).cast("bigint").alias("item_id"),
+        F.col("user_id").alias("rater"),
+        F.col("event_type").alias("label"),
+    )
+
+
+def q_label_majority_vote(spark, sf_dir):
+    """Per-item label consensus: modal label (count desc, label asc
+    tie-break), support, rater count, and pairwise per-item agreement —
+    the first aggregation of every human-labeling pipeline."""
+    from ..operators.curation import majority_vote
+
+    return majority_vote(_votes(spark, sf_dir), "item_id", "rater", "label")
+
+
+def q_label_fleiss_kappa(spark, sf_dir):
+    """Chance-corrected inter-rater agreement pooled over rater pairs
+    (varying raters-per-item generalization of Fleiss' kappa); one-row
+    verdict, integer-exact up to the final divisions."""
+    from ..operators.curation import fleiss_kappa
+
+    return fleiss_kappa(_votes(spark, sf_dir), "item_id", "rater", "label")
+
+
+def q_events_late_profile(spark, sf_dir):
+    """Out-of-order arrival diagnostics per user (arrival order =
+    event_id, event time = ts): late fraction, max/p95 lateness, and the
+    suggested streaming watermark delay — measured, not guessed."""
+    from ..operators.timeseries import late_arrival_profile
+
+    return late_arrival_profile(_events(spark, sf_dir), ["user_id"])
+
+
 def q_events_funnel(spark, sf_dir):
     """view -> click -> purchase funnel per user, earliest-completion
     semantics with a 7-day anchored window."""
@@ -4847,6 +4885,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_count_by_type": q_count_by_type,
     "events_rollup_report": q_events_rollup_report,
     "events_burn_rate": q_events_burn_rate,
+    "label_majority_vote": q_label_majority_vote,
+    "label_fleiss_kappa": q_label_fleiss_kappa,
+    "events_late_profile": q_events_late_profile,
     "dp_event_counts": q_dp_event_counts,
     "dp_event_sums": q_dp_event_sums,
     "events_count_incremental": q_count_incremental,
@@ -6110,6 +6151,55 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    _votes_sql = (
+        "SELECT event_id % 500 AS item_id, user_id AS rater, event_type AS label"
+        " FROM events"
+    )
+    o["label_majority_vote"] = f"""
+WITH v AS ({_votes_sql}),
+c AS (SELECT item_id, label, count(*) AS c FROM v GROUP BY 1, 2),
+r AS (SELECT item_id, label, c,
+        row_number() OVER (PARTITION BY item_id ORDER BY c DESC, label) AS rn,
+        sum(c) OVER (PARTITION BY item_id) AS n,
+        sum(c * (c - 1)) OVER (PARTITION BY item_id) AS ap
+      FROM c)
+SELECT item_id, label AS majority_label, CAST(c AS BIGINT) AS support,
+       CAST(n AS BIGINT) AS n_raters,
+       CASE WHEN n > 1 THEN round(ap / CAST(n * (n - 1) AS DOUBLE), 6) END AS agreement
+FROM r WHERE rn = 1"""
+
+    o["label_fleiss_kappa"] = f"""
+WITH v AS ({_votes_sql}),
+c AS (SELECT item_id, label, count(*) AS c FROM v GROUP BY 1, 2),
+pi AS (SELECT item_id, sum(c) AS n, sum(c * (c - 1)) AS ap FROM c GROUP BY 1),
+obs AS (SELECT CAST(count(*) AS BIGINT) AS n_items, CAST(sum(n) AS BIGINT) AS n_votes,
+          CAST(sum(ap) AS BIGINT) AS agree, CAST(sum(n * (n - 1)) AS BIGINT) AS pairs
+        FROM pi),
+m AS (SELECT label, sum(c) AS lc FROM c GROUP BY 1),
+pe AS (SELECT sum(lc * lc) / CAST(sum(lc) * sum(lc) AS DOUBLE) AS pe FROM m)
+SELECT n_items, n_votes,
+       round(agree / CAST(pairs AS DOUBLE), 6) AS po,
+       round(pe, 6) AS pe,
+       round((agree / CAST(pairs AS DOUBLE) - pe) / (1.0 - pe), 6) AS kappa
+FROM obs, pe"""
+
+    # arrival order = event_id; running event-time max over prior
+    # arrivals only (frame ends at 1 PRECEDING), first arrival never late
+    o["events_late_profile"] = """
+WITH l AS (
+  SELECT user_id,
+    greatest(coalesce(max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), epoch_us(ts))
+             - epoch_us(ts), 0) AS late_us
+  FROM events)
+SELECT user_id, count(*) AS n,
+  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS late_frac,
+  round(max(late_us) / 1e6, 6) AS max_lateness_s,
+  round(quantile_cont(late_us, 0.95) / 1e6, 6) AS p95_lateness_s,
+  round(max(late_us) / 1e6, 6) AS suggested_watermark_s
+FROM l GROUP BY 1"""
+
     # Two trailing RANGE frames over epoch-µs; RANGE peers (equal ts)
     # are frame-included identically by both engines, so ties are safe.
     o["events_burn_rate"] = """

@@ -660,3 +660,75 @@ def test_dp_noisy_sum_clip_bounds_outlier_influence(spark):
         dp_noisy_sum(df0, ["g"], "v", clip=0.0)
     with _pytest.raises(ValueError):
         dp_noisy_sum(df0, ["g"], "v", clip=1.0, epsilon=-1.0)
+
+
+def test_auc_rank_sum_perfect_and_ties(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import auc_rank_sum
+
+    perfect = spark.createDataFrame(
+        [(float(i), i >= 5) for i in range(10)], "s double, y boolean"
+    )
+    assert auc_rank_sum(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    # all scores tied -> mid-rank correction must give exactly 0.5
+    tied = spark.createDataFrame(
+        [(1.0, i % 2 == 0) for i in range(10)], "s double, y boolean"
+    )
+    assert auc_rank_sum(tied, "s", "y").collect()[0]["auc"] == 0.5
+    # hand case: scores 1,2,3,4 labels 0,1,0,1 -> pairs: (2>1)+(2<3? no)+(4>1)+(4>3)=3 of 4 -> 0.75
+    hand = spark.createDataFrame(
+        [(1.0, False), (2.0, True), (3.0, False), (4.0, True)], "s double, y boolean"
+    )
+    assert auc_rank_sum(hand, "s", "y").collect()[0]["auc"] == 0.75
+
+
+def test_score_decile_lift_orders_and_gains(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import score_decile_lift
+
+    # 20 rows, top half scores are the positives -> decile 1..5 pure pos
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", float(100 - i), i < 10) for i in range(20)],
+        "doc_id string, s double, y boolean",
+    )
+    out = {r["decile"]: r for r in score_decile_lift(df, "s", "y").collect()}
+    assert out[1]["pos_rate"] == 1.0 and out[10]["pos_rate"] == 0.0
+    assert out[5]["cum_gain"] == 1.0  # all positives captured by decile 5
+    assert out[10]["cum_gain"] == 1.0
+    assert sum(r["n"] for r in out.values()) == 20
+
+
+def test_majority_vote_and_kappa(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        fleiss_kappa,
+        majority_vote,
+    )
+
+    votes = spark.createDataFrame(
+        [
+            ("i1", "r1", "a"), ("i1", "r2", "a"), ("i1", "r3", "b"),
+            ("i2", "r1", "b"), ("i2", "r2", "b"), ("i2", "r3", "b"),
+            ("i3", "r1", "a"), ("i3", "r2", "b"),  # 1-1 tie -> 'a' by label order
+        ],
+        "item string, rater string, label string",
+    )
+    mv = {r["item"]: r for r in majority_vote(votes, "item", "rater", "label").collect()}
+    assert mv["i1"]["majority_label"] == "a" and mv["i1"]["support"] == 2
+    assert mv["i1"]["agreement"] == pytest.approx(2 / 6)  # pairs: aa agree of 3 pairs... 2*1+1*0 / 3*2
+    assert mv["i2"]["agreement"] == 1.0
+    assert mv["i3"]["majority_label"] == "a"  # deterministic tie-break
+    assert mv["i3"]["agreement"] == 0.0
+
+    k = fleiss_kappa(votes, "item", "rater", "label").collect()[0]
+    # pooled: agree pairs = 2 + 6 + 0 = 8? i1: n_a=2,n_b=1 -> 2; i2: 6; i3: 0 -> 8
+    # total pairs = 6 + 6 + 2 = 14 -> po = 8/14
+    assert k["po"] == pytest.approx(8 / 14, abs=1e-6)
+    # marginals: a=3, b=5 of 8 -> pe = (9+25)/64
+    assert k["pe"] == pytest.approx(34 / 64, abs=1e-6)
+    assert k["n_items"] == 3 and k["n_votes"] == 8
+
+    # unanimous labels -> po = 1, kappa = 1
+    uni = spark.createDataFrame(
+        [("i1", "r1", "a"), ("i1", "r2", "a"), ("i2", "r1", "b"), ("i2", "r2", "b")],
+        "item string, rater string, label string",
+    )
+    ku = fleiss_kappa(uni, "item", "rater", "label").collect()[0]
+    assert ku["po"] == 1.0 and ku["kappa"] == 1.0

@@ -429,3 +429,21 @@ def test_burn_rate_alerts_two_window_and(spark):
 
     with pytest.raises(ValueError):
         burn_rate_alerts(df, ["k"], slo_target=1.5)
+
+
+def test_late_arrival_profile_hand_case(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import late_arrival_profile
+
+    base = dt.datetime(2026, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    # arrival order 1..5; event times: 0, 30, 10 (late by 20s), 40, 35 (late by 5s)
+    rows = [
+        ("u", 1, t(0)), ("u", 2, t(30)), ("u", 3, t(10)),
+        ("u", 4, t(40)), ("u", 5, t(35)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    r = late_arrival_profile(df, ["user_id"]).collect()[0]
+    assert r["n"] == 5 and r["n_late"] == 2
+    assert r["late_frac"] == pytest.approx(0.4)
+    assert r["max_lateness_s"] == pytest.approx(20.0)
+    assert r["suggested_watermark_s"] == pytest.approx(20.0)
