@@ -585,3 +585,177 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+# --- collocation mining (word2phrase PMI-lift) ------------------------------
+def phrase_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Phrase (collocation) mining by the word2phrase score (Mikolov et
+    al. 2013): score(a,b) = (count(ab) − δ) · N / (count(a) · count(b))
+    with δ = min_count — bigrams whose joint frequency beats the
+    independence expectation become tokenizer-merge / phrase candidates.
+
+    All-counts arithmetic (exact integers → one double division), so the
+    score is engine-exact without transcendental rounding traps. Plan:
+    one explode for unigram counts, one slide-zip explode for bigram
+    counts, ONE equi-join per side token (unigram table, the only
+    corpus-sized join), scalars inlined by a literal-key join of 1-row
+    aggregates, top-k = TakeOrderedAndProject."""
+    toks = df.select(tokens(F.col(text_col)).alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c_tok").alias("n_uni")).withColumn("_k", F.lit(1))
+    scored = (
+        bi.join(uni.select(F.col("tok").alias("a"), F.col("c_tok").alias("c_a")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c_tok").alias("c_b")), "b")
+        .withColumn("_k", F.lit(1))
+        .join(n_uni, "_k")
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            F.round(
+                (F.col("c_ab") - min_count).cast("double")
+                * F.col("n_uni")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("a"), F.col("b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .drop("rnk")
+    )
+
+
+# --- chi-squared distinctive keywords per class ------------------------------
+def chi2_keywords(
+    df: DataFrame,
+    class_col: str,
+    text_col: str = "text",
+    top_k: int = 10,
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-class distinctive terms by the χ² statistic over the 2×2
+    document-frequency table (term presence × class membership):
+    χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). The classic feature-selection
+    / corpus-characterization pass ("what words make this source
+    different"). Presence counts (distinct per doc), not raw frequency —
+    the standard formulation, and it bounds any single doc's influence.
+
+    Integer-exact through the final division. One explode + distinct,
+    two hash aggs, one equi-join on term, scalars by literal-key join;
+    per-class top-k via WindowGroupLimit."""
+    docs = df.select(F.col(class_col).alias("cls"), tokens(F.col(text_col)).alias("_t"))
+    pres = docs.select("cls", F.explode(F.array_distinct("_t")).alias("term"))
+    tc = pres.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("a"))
+    t_tot = pres.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    c_tot = docs.groupBy("cls").agg(F.count(F.lit(1)).alias("n_c"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    j = (
+        tc.join(t_tot, "term")
+        .filter(F.col("c_t") >= min_df)
+        .join(c_tot, "cls")
+        .withColumn("_k", F.lit(1))
+        .join(n_tot, "_k")
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("c_t") - F.col("a")).cast("double")
+    c = (F.col("n_c") - F.col("a")).cast("double")
+    d = (F.col("n") - F.col("c_t") - F.col("n_c") + F.col("a")).cast("double")
+    chi2 = (
+        F.col("n")
+        * (a * d - b * c)
+        * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    scored = j.select(
+        "cls",
+        "term",
+        F.col("a").cast("bigint").alias("df_in_class"),
+        F.col("c_t").cast("bigint").alias("df_total"),
+        F.round(chi2, 6).alias("chi2"),
+    ).filter(a * (F.col("n") * 1.0) > F.col("c_t") * F.col("n_c"))  # enriched only
+    w = Window.partitionBy("cls").orderBy(F.col("chi2").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .drop("rnk")
+    )
+
+
+# --- vocabulary growth (Heaps' law) ------------------------------------------
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct vocabulary and
+    cumulative token count at each corpus-prefix checkpoint (docs ordered
+    by id — deterministic), the measurement behind tokenizer vocab sizing
+    and "is more data still adding words" decisions.
+
+    Each token contributes its FIRST-occurrence doc rank (one min agg
+    over the exploded stream); each checkpoint then counts tokens whose
+    first occurrence falls at or before it — a histogram over checkpoint
+    buckets + a cumulative window over `checkpoints` rows, never a
+    per-checkpoint rescan. Integer-exact."""
+    n_docs_row = df.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("_k", F.lit(1))
+    w = Window.orderBy(F.col(id_col))
+    ranked = df.select(
+        F.row_number().over(w).alias("_r"), tokens(F.col(text_col)).alias("_t")
+    ).withColumn("_k", F.lit(1)).join(n_docs_row, "_k")
+    # checkpoint index of a doc rank: ceil(rank * K / n_docs) in 1..K
+    cp = F.ceil(F.col("_r") * checkpoints / F.col("n_docs")).cast("int")
+    staged = ranked.select(cp.alias("_cp"), "_r", "_t", "n_docs")
+    tok_first = (
+        staged.select(F.explode("_t").alias("tok"), "_cp")
+        .groupBy("tok")
+        .agg(F.min("_cp").alias("_fcp"))
+        .groupBy("_fcp")
+        .agg(F.count(F.lit(1)).alias("_new_vocab"))
+    )
+    per_cp = staged.groupBy("_cp").agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum(F.size("_t")).alias("_toks"),
+    )
+    cum = Window.orderBy("checkpoint").rowsBetween(Window.unboundedPreceding, 0)
+    joined = per_cp.join(tok_first, per_cp["_cp"] == tok_first["_fcp"], "left").select(
+        per_cp["_cp"].alias("checkpoint"),
+        "_docs",
+        "_toks",
+        F.coalesce("_new_vocab", F.lit(0)).alias("_nv"),
+    )
+    return joined.select(
+        "checkpoint",
+        F.sum("_docs").over(cum).cast("bigint").alias("n_docs"),
+        F.sum("_toks").over(cum).cast("bigint").alias("n_tokens"),
+        F.sum("_nv").over(cum).cast("bigint").alias("vocab"),
+    )

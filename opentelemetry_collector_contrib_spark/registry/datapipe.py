@@ -486,6 +486,32 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_text_phrase_pmi(spark, sf_dir):
+    """Collocation mining by the word2phrase score over the documents
+    corpus: top-50 bigrams whose joint count beats independence
+    (min_count discounted). Counts-only arithmetic — engine-exact."""
+    from ..operators.textstats import phrase_pmi
+
+    return phrase_pmi(_docs(spark, sf_dir), min_count=5, top_k=50)
+
+
+def q_text_chi2_keywords(spark, sf_dir):
+    """Per-language distinctive terms by χ² over the presence×class 2×2
+    table, top-10 enriched terms per language."""
+    from ..operators.textstats import chi2_keywords
+
+    return chi2_keywords(_docs(spark, sf_dir), "lang", top_k=10)
+
+
+def q_corpus_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve at 10 corpus-prefix checkpoints
+    (docs ordered by id): cumulative docs, tokens, and distinct vocab —
+    one explode + min-per-token, never a per-checkpoint rescan."""
+    from ..operators.textstats import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir))
+
+
 def q_nb_lift_deciles(spark, sf_dir):
     """Calibration/lift table for the hashed-NB quality classifier:
     ntile(10) by (score DESC, doc_id), per-decile positive rate and
@@ -1644,6 +1670,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_local_supplier_volume": q_tpch_q5,
     "corpus_bootstrap_ci": q_corpus_bootstrap_ci,
     "nb_lift_deciles": q_nb_lift_deciles,
+    "text_phrase_pmi": q_text_phrase_pmi,
+    "text_chi2_keywords": q_text_chi2_keywords,
+    "corpus_vocab_growth": q_corpus_vocab_growth,
     "nb_auc": q_nb_auc,
     "join_bloom_prune": q_join_bloom_prune,
     "fk_summary": q_fk_summary,
@@ -2599,6 +2628,63 @@ SELECT lab.doc_id, lab.lang,
   CAST(prior + coalesce(sw, CAST(0 AS DECIMAL(19,9))) AS DOUBLE) AS nb_score,
   CAST(prior + coalesce(sw, CAST(0 AS DECIMAL(19,9))) AS DOUBLE) > 0 AS nb_pred
 FROM lab LEFT JOIN s USING (doc_id) CROSS JOIN pr"""
+
+    # word2phrase collocations: bigrams via the chr(31)-join trick the BPE
+    # oracle established; score arithmetic mirrors Spark's operator order
+    # ((c_ab-δ as double) * N) / (c_a * c_b) so doubles are bit-equal.
+    o["text_phrase_pmi"] = f"""
+WITH t AS (SELECT {SQL_TOKS} AS toks FROM documents),
+uni AS (SELECT tok, count(*) AS c_tok FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+bi AS (
+  SELECT string_split(pair, chr(31))[1] AS a, string_split(pair, chr(31))[2] AS b,
+         count(*) AS c_ab
+  FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || chr(31) || toks[i+1])) AS pair FROM t)
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+n AS (SELECT sum(c_tok) AS n_uni FROM uni),
+sc AS (
+  SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+         CAST(ua.c_tok AS BIGINT) AS c_a, CAST(ub.c_tok AS BIGINT) AS c_b,
+         round(CAST(c_ab - 5 AS DOUBLE) * n.n_uni / (ua.c_tok * ub.c_tok), 6) AS score
+  FROM bi JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, n)
+SELECT a, b, c_ab, c_a, c_b, score FROM sc
+ORDER BY score DESC, a, b LIMIT 50"""
+
+    o["text_chi2_keywords"] = f"""
+WITH d AS (SELECT lang AS cls, {SQL_TOKS} AS toks FROM documents),
+pres AS (SELECT cls, unnest(list_distinct(toks)) AS term FROM d),
+tc AS (SELECT cls, term, count(*) AS a FROM pres GROUP BY 1, 2),
+tt AS (SELECT term, count(*) AS c_t FROM pres GROUP BY 1),
+ct AS (SELECT cls, count(*) AS n_c FROM d GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM d),
+j AS (SELECT cls, term, a, c_t, n_c, nn.n,
+        CAST(a AS DOUBLE) AS ad_, CAST(c_t - a AS DOUBLE) AS bd_,
+        CAST(n_c - a AS DOUBLE) AS cd_, CAST(nn.n - c_t - n_c + a AS DOUBLE) AS dd_
+      FROM tc JOIN tt USING (term) JOIN ct USING (cls), nn
+      WHERE c_t >= 3),
+sc AS (
+  SELECT cls, term, CAST(a AS BIGINT) AS df_in_class, CAST(c_t AS BIGINT) AS df_total,
+    round(n * (ad_ * dd_ - bd_ * cd_) * (ad_ * dd_ - bd_ * cd_)
+          / ((ad_ + bd_) * (cd_ + dd_) * (ad_ + cd_) * (bd_ + dd_)), 6) AS chi2
+  FROM j WHERE ad_ * (n * 1.0) > c_t * n_c),
+r AS (SELECT *, row_number() OVER (PARTITION BY cls ORDER BY chi2 DESC, term) AS rn FROM sc)
+SELECT cls, term, df_in_class, df_total, chi2 FROM r WHERE rn <= 10"""
+
+    o["corpus_vocab_growth"] = f"""
+WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+r AS (SELECT row_number() OVER (ORDER BY doc_id) AS rr, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT CAST(ceil(rr * 10 / CAST(n_docs AS DOUBLE)) AS INT) AS cp, toks FROM r, nd),
+tf AS (SELECT tok, min(cp) AS fcp
+       FROM (SELECT cp, unnest(toks) AS tok FROM s) GROUP BY 1),
+nv AS (SELECT fcp, count(*) AS nvocab FROM tf GROUP BY 1),
+pc AS (SELECT cp, count(*) AS docs, sum(len(toks)) AS toks FROM s GROUP BY 1),
+j AS (SELECT cp AS checkpoint, docs, toks, coalesce(nvocab, 0) AS nv
+      FROM pc LEFT JOIN nv ON pc.cp = nv.fcp)
+SELECT checkpoint,
+  CAST(sum(docs) OVER w AS BIGINT) AS n_docs,
+  CAST(sum(toks) OVER w AS BIGINT) AS n_tokens,
+  CAST(sum(nv) OVER w AS BIGINT) AS vocab
+FROM j
+WINDOW w AS (ORDER BY checkpoint ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
     # NB-classifier evals reuse the classifier oracle verbatim as a CTE
     # (nested WITH is legal in a parenthesized subquery) — one definition
