@@ -1900,3 +1900,36 @@ def fleiss_kappa(
         ).alias("kappa"),
         )
     )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Kish effective sample size of a weighted corpus: (Σw)² / Σw² —
+    the diagnostic every importance-weighted mixture (dsir_weights,
+    temperature_mixture_rates, quality-weighted sampling) needs before
+    training on the weights: ESS/n near 1 means the weights barely matter;
+    near 0 means a handful of documents dominate the gradient.
+
+    Weights are quantized to decimal(18,9) before the two power sums, so
+    both sums are exact regardless of either engine's float-summation
+    order (the dsir log-ratio convention). One hash aggregation."""
+    w = F.round(F.col(weight_col).cast("double"), 9).cast("decimal(18,9)")
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    agg = grouped.agg(
+        F.count(F.col(weight_col)).alias("n"),
+        F.sum(w).cast("decimal(28,9)").alias("_sw"),
+        F.sum(w * w).cast("decimal(38,18)").alias("_sw2"),
+    )
+    ess = (
+        F.col("_sw").cast("double") * F.col("_sw").cast("double")
+        / F.col("_sw2").cast("double")
+    )
+    return agg.select(
+        *(by or []),
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_frac"),
+    )

@@ -759,3 +759,44 @@ def vocab_growth(
         F.sum("_toks").over(cum).cast("bigint").alias("n_tokens"),
         F.sum("_nv").over(cum).cast("bigint").alias("vocab"),
     )
+
+
+# --- corpus diversity indices ------------------------------------------------
+def diversity_indices(
+    df: DataFrame,
+    class_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-distribution diversity per class (or whole-corpus): vocabulary
+    size, token count, type-token ratio, the UNBIASED Simpson concentration
+    Σ c_i(c_i−1) / (N(N−1)) (probability two draws without replacement are
+    the same type — integer-exact, no entropy/log needed), and its inverse
+    (effective vocabulary: how many equally-common types would concentrate
+    the same). The corpus-balance monitor for mixture design — a source
+    whose effective vocab collapses is template spam even when raw vocab
+    looks healthy.
+
+    One explode + two hash aggs, everything integer until two final
+    divisions."""
+    keys = [class_col] if class_col else []
+    toks = df.select(*keys, F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy(*keys, "tok").agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("_c") * (F.col("_c") - 1)).cast("bigint").alias("_rep"),
+    )
+    # NULL guards (ANSI mode): simpson undefined for n_tokens < 2;
+    # effective vocab unbounded (NULL) when no pair repeats
+    simpson = F.when(
+        F.col("n_tokens") > 1,
+        F.col("_rep") / (F.col("n_tokens") * (F.col("n_tokens") - 1)),
+    )
+    return agg.select(
+        *keys,
+        "vocab",
+        "n_tokens",
+        F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        F.round(simpson, 6).alias("simpson"),
+        F.round(F.when(F.col("_rep") > 0, F.lit(1.0) / simpson), 6).alias("effective_vocab"),
+    )

@@ -179,3 +179,62 @@ def referential_summary(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two versions of a table — the regression
+    gate between pipeline runs (did the code change alter anything it
+    shouldn't have?) and the audit view behind snapshot rollbacks. One
+    FULL OUTER equi-join on the key, then a null-safe column compare:
+
+      verdict ∈ added | removed | changed | unchanged
+      changed_cols — the names that differ (null-safe), empty otherwise
+
+    Emits old/new value pairs for every compared column so the diff is
+    actionable without re-querying either side. At 10^12 rows both sides
+    shuffle once on the key; 'unchanged' rows are usually filtered by the
+    caller BEFORE any collect/sink (diff consumers want the delta)."""
+    # explicit presence markers: a present row whose compared values are
+    # all NULL must still read as present
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=key_cols, how="full_outer")
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
+    diffs = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    verdict = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *key_cols,
+        verdict.alias("verdict"),
+        F.when(in_old & in_new, diffs).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

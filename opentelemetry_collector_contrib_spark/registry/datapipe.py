@@ -486,6 +486,27 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_mixture_ess(spark, sf_dir):
+    """Kish effective sample size per source when documents are weighted
+    by their quality score — the pre-training diagnostic for any weighted
+    mixture: ess_frac near 0 means a few docs dominate. Weights quantized
+    to decimal(18,9) so both power sums are order-insensitive."""
+    from ..operators.curation import effective_sample_size
+    from ..operators.textstats import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir))
+    return effective_sample_size(scored, "quality", by=["source"])
+
+
+def q_corpus_diversity(spark, sf_dir):
+    """Token-distribution diversity per source: vocab, tokens, type-token
+    ratio, unbiased Simpson concentration (integer-exact) and effective
+    vocabulary — the template-spam / corpus-balance monitor."""
+    from ..operators.textstats import diversity_indices
+
+    return diversity_indices(_docs(spark, sf_dir), "source")
+
+
 def q_text_phrase_pmi(spark, sf_dir):
     """Collocation mining by the word2phrase score over the documents
     corpus: top-50 bigrams whose joint count beats independence
@@ -1670,6 +1691,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_local_supplier_volume": q_tpch_q5,
     "corpus_bootstrap_ci": q_corpus_bootstrap_ci,
     "nb_lift_deciles": q_nb_lift_deciles,
+    "mixture_ess": q_mixture_ess,
+    "corpus_diversity": q_corpus_diversity,
     "text_phrase_pmi": q_text_phrase_pmi,
     "text_chi2_keywords": q_text_chi2_keywords,
     "corpus_vocab_growth": q_corpus_vocab_growth,
@@ -3047,6 +3070,38 @@ SELECT doc_id,
       + 0.15 * (1.0 - least((n_digit / n_char) * 5, 1.0)), 6) AS quality
 FROM m"""
     )
+
+    # ESS reuses the text_quality oracle as a CTE (+ a doc_id join to
+    # re-attach source); weights quantized to decimal(18,9) exactly as the
+    # operator does, so the power sums are order-free on both engines.
+    _q_scored = o["text_quality"]
+    o["mixture_ess"] = f"""
+WITH scored AS ({_q_scored}),
+w AS (SELECT d.source, CAST(round(s.quality, 9) AS DECIMAL(18,9)) AS w
+      FROM scored s JOIN documents d USING (doc_id)),
+a AS (SELECT source, count(w) AS n,
+        CAST(sum(w) AS DECIMAL(28,9)) AS sw,
+        CAST(sum(w * w) AS DECIMAL(38,18)) AS sw2
+      FROM w GROUP BY 1)
+SELECT source, n,
+  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6) AS ess,
+  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE) / n, 6) AS ess_frac
+FROM a"""
+
+    o["corpus_diversity"] = f"""
+WITH t AS (SELECT source, unnest({SQL_TOKS}) AS tok FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+      FROM c GROUP BY 1)
+SELECT source, vocab, n_tokens,
+  round(vocab / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+  round(CASE WHEN n_tokens > 1 THEN rep / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) END, 6) AS simpson,
+  round(CASE WHEN rep > 0 AND n_tokens > 1
+        THEN 1.0 / (rep / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)) END, 6) AS effective_vocab
+FROM a"""
+
 
     scores = ",\n  ".join(
         f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}" for lang, pat in _LANG_MARKERS.items()

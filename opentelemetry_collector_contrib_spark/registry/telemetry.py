@@ -1119,6 +1119,40 @@ def q_events_late_profile(spark, sf_dir):
     return late_arrival_profile(_events(spark, sf_dir), ["user_id"])
 
 
+def q_events_table_diff(spark, sf_dir):
+    """Row-level regression diff between two deterministic versions of
+    the events table (old drops event_id%13==0; new drops %17==0 and
+    doubles error values): FULL OUTER join on the key + null-safe column
+    compare → added/removed/changed/unchanged verdicts with the changed
+    column list — the audit gate between pipeline runs."""
+    from ..plans.contracts import table_diff
+
+    ev = _events(spark, sf_dir)
+    old = ev.filter(F.pmod(F.col("event_id"), F.lit(13)) != 0).select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.filter(F.pmod(F.col("event_id"), F.lit(17)) != 0).select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.when(F.col("event_type") == "error", F.col("value") * 2).otherwise(
+                F.col("value")
+            ),
+            6,
+        ).alias("value"),
+    )
+    out = table_diff(old, new, ["event_id"], ["event_type", "value"])
+    return out.select(
+        "event_id",
+        "verdict",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+        "old_event_type",
+        "new_event_type",
+        "old_value",
+        "new_value",
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """view -> click -> purchase funnel per user, earliest-completion
     semantics with a 7-day anchored window."""
@@ -4888,6 +4922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_majority_vote": q_label_majority_vote,
     "label_fleiss_kappa": q_label_fleiss_kappa,
     "events_late_profile": q_events_late_profile,
+    "events_table_diff": q_events_table_diff,
     "dp_event_counts": q_dp_event_counts,
     "dp_event_sums": q_dp_event_sums,
     "events_count_incremental": q_count_incremental,
@@ -6151,6 +6186,29 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    o["events_table_diff"] = """
+WITH o AS (SELECT event_id, event_type, value FROM events WHERE event_id % 13 <> 0),
+n AS (SELECT event_id, event_type,
+        round(CASE WHEN event_type = 'error' THEN value * 2 ELSE value END, 6) AS value
+      FROM events WHERE event_id % 17 <> 0),
+j AS (SELECT coalesce(o.event_id, n.event_id) AS event_id,
+        o.event_id IS NOT NULL AS in_old, n.event_id IS NOT NULL AS in_new,
+        o.event_type AS old_event_type, n.event_type AS new_event_type,
+        o.value AS old_value, n.value AS new_value
+      FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+SELECT event_id,
+  CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed'
+       WHEN (old_event_type IS DISTINCT FROM new_event_type)
+         OR (old_value IS DISTINCT FROM new_value) THEN 'changed'
+       ELSE 'unchanged' END AS verdict,
+  CASE WHEN in_old AND in_new THEN coalesce(array_to_string(list_filter(
+         [CASE WHEN old_event_type IS DISTINCT FROM new_event_type THEN 'event_type' END,
+          CASE WHEN old_value IS DISTINCT FROM new_value THEN 'value' END],
+         x -> x IS NOT NULL), ','), '')
+       ELSE '' END AS changed_cols,
+  old_event_type, new_event_type, old_value, new_value
+FROM j"""
+
     _votes_sql = (
         "SELECT event_id % 500 AS item_id, user_id AS rater, event_type AS label"
         " FROM events"

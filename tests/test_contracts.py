@@ -167,3 +167,36 @@ def test_fk_duplicate_parent_keys_dont_multiply(spark):
     parent = spark.createDataFrame([(1,), (1,), (1,)], "pk long")
     got = fk_orphans(child, parent, {"fk": "pk"})
     assert [r.fk for r in got.collect()] == [2]
+
+
+def test_table_diff_verdicts(spark):
+    from opentelemetry_collector_contrib_spark.plans.contracts import table_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id int, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", None), (4, "d", 9.0), (5, "e", 5.0)],
+        "id int, t string, v double",
+    )
+    out = {r["id"]: r for r in table_diff(old, new, ["id"], ["t", "v"]).collect()}
+    assert out[1]["verdict"] == "removed"
+    assert out[2]["verdict"] == "unchanged" and out[2]["changed_cols"] == []
+    # NULL == NULL must compare as unchanged (null-safe equality)
+    assert out[3]["verdict"] == "unchanged"
+    assert out[4]["verdict"] == "changed" and out[4]["changed_cols"] == ["v"]
+    assert out[4]["old_v"] == 4.0 and out[4]["new_v"] == 9.0
+    assert out[5]["verdict"] == "added" and out[5]["changed_cols"] == []
+
+
+def test_table_diff_present_row_with_all_null_values(spark):
+    from opentelemetry_collector_contrib_spark.plans.contracts import table_diff
+
+    old = spark.createDataFrame([(1, None)], "id int, v double")
+    new = spark.createDataFrame([(1, None), (2, None)], "id int, v double")
+    out = {r["id"]: r for r in table_diff(old, new, ["id"], ["v"]).collect()}
+    # row 1 exists on both sides with NULL v -> unchanged, NOT added/removed
+    assert out[1]["verdict"] == "unchanged"
+    assert out[2]["verdict"] == "added"

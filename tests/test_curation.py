@@ -732,3 +732,25 @@ def test_majority_vote_and_kappa(spark):
     )
     ku = fleiss_kappa(uni, "item", "rater", "label").collect()[0]
     assert ku["po"] == 1.0 and ku["kappa"] == 1.0
+
+
+def test_effective_sample_size_extremes(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import effective_sample_size
+
+    # equal weights -> ESS == n
+    eq = spark.createDataFrame([(f"d{i}", 0.5) for i in range(40)], "id string, w double")
+    r = effective_sample_size(eq, "w").collect()[0]
+    assert r["n"] == 40 and r["ess"] == pytest.approx(40.0) and r["ess_frac"] == 1.0
+    # one dominant weight -> ESS ~ 1
+    dom = spark.createDataFrame(
+        [("big", 1000.0)] + [(f"d{i}", 0.001) for i in range(39)], "id string, w double"
+    )
+    r2 = effective_sample_size(dom, "w").collect()[0]
+    assert r2["ess"] < 1.1
+    # grouped path
+    g = spark.createDataFrame(
+        [("a", 1.0)] * 10 + [("b", 2.0)] * 5, "grp string, w double"
+    )
+    rows = {r["grp"]: r for r in effective_sample_size(g, "w", by=["grp"]).collect()}
+    assert rows["a"]["ess"] == pytest.approx(10.0)
+    assert rows["b"]["ess"] == pytest.approx(5.0)

@@ -166,3 +166,18 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert [r["n_tokens"] for r in out] == [10, 20, 30, 40]
     # vocab: 5 new words + 'x' at cp1, then +5 per checkpoint
     assert [r["vocab"] for r in out] == [6, 11, 16, 21]
+
+
+def test_diversity_indices_hand_case(spark):
+    from opentelemetry_collector_contrib_spark.operators.textstats import diversity_indices
+
+    # source A: 4 tokens all distinct -> simpson 0, TTR 1
+    # source B: "x x x x" -> simpson 1 (every pair identical), eff vocab 1
+    df = spark.createDataFrame(
+        [("A", "a b c d"), ("B", "x x x x")], "source string, text string"
+    )
+    rows = {r["source"]: r for r in diversity_indices(df, "source").collect()}
+    assert rows["A"]["vocab"] == 4 and rows["A"]["type_token_ratio"] == 1.0
+    assert rows["A"]["simpson"] == 0.0
+    assert rows["A"]["effective_vocab"] is None  # no repeated pair: unbounded
+    assert rows["B"]["simpson"] == 1.0 and rows["B"]["effective_vocab"] == 1.0
