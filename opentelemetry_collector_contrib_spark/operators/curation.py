@@ -1933,3 +1933,56 @@ def effective_sample_size(
         F.round(ess, 6).alias("ess"),
         F.round(ess / F.col("n"), 6).alias("ess_frac"),
     )
+
+
+def proportional_allocation(
+    df: DataFrame,
+    strata: list[str],
+    budget: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation of an integer sample budget
+    across strata — the step BEFORE stratified/weighted sampling when the
+    per-stratum take should track corpus shares exactly: quota_i =
+    budget · share_i; every stratum gets floor(quota) and the leftover
+    seats go to the largest fractional remainders (ties by stratum key,
+    deterministic). Guarantees Σ alloc == budget exactly and |alloc −
+    quota| < 1 — naive per-stratum round() violates both.
+
+    Shares come from row counts, or Σ weight_col (token budgets: weight =
+    doc token count allocates tokens, not docs). Integer-exact: quotas
+    are exact rationals compared via cross-multiplication — floor and
+    remainder-rank never touch a float. One hash agg over strata + one
+    rank window over the (tiny) strata table."""
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    per = df.groupBy(*strata).agg(w.cast("bigint").alias("_w"))
+    tot = per.agg(F.sum("_w").cast("bigint").alias("_tw")).withColumn("_k", F.lit(1))
+    j = per.withColumn("_k", F.lit(1)).join(tot, "_k")
+    # floor(budget * w / tw) and remainder via INTEGER div/mod — a double
+    # division here can misplace floor() at the boundary. w*budget must
+    # fit int64: for token-weighted allocations at extreme scale,
+    # pre-divide weights (shares only need relative magnitudes).
+    flr = F.expr(f"(_w * CAST({budget} AS BIGINT)) div _tw")
+    rem = F.expr(f"(_w * CAST({budget} AS BIGINT)) % _tw")
+    staged = j.select(*strata, "_w", "_tw", flr.alias("_flr"), rem.alias("_rem"))
+    # leftover seats = budget - Σ floor; rank remainders desc, strata asc
+    leftover = staged.agg(
+        (F.lit(budget) - F.sum("_flr")).cast("bigint").alias("_left")
+    ).withColumn("_k", F.lit(1))
+    ranked = (
+        staged.withColumn("_k", F.lit(1))
+        .join(leftover, "_k")
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("_rem").desc(), *[F.col(c) for c in strata])
+            ),
+        )
+    )
+    return ranked.select(
+        *strata,
+        F.col("_w").alias("stratum_weight"),
+        (F.col("_flr") + (F.col("_rnk") <= F.col("_left")).cast("int")).cast("bigint").alias("alloc"),
+    )

@@ -651,3 +651,62 @@ def late_arrival_profile(
         ).alias("p95_lateness_s"),
         F.round(F.max("_late_us") / F.lit(1e6), 6).alias("suggested_watermark_s"),
     )
+
+
+# --- per-group OLS trend -----------------------------------------------------
+def group_trend(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key least-squares trend line (slope per hour, intercept, R²) —
+    the metric-drift detector: "is this tool's latency creeping" answered
+    with a statistic instead of eyeballing dashboards.
+
+    Numerics: x is the epoch-hour offset from the per-key minimum
+    (two-pass via one extra agg join) — centering bounds the magnitudes
+    so the five sufficient-statistic sums (Σx, Σy, Σxy, Σx², Σy²) stay
+    exact as decimals; every sum is decimal-accumulated (order-free) and
+    only the final slope/intercept/R² divisions are double. NULL slope
+    for degenerate keys (n < 2 or zero x-variance); R² NULL when y is
+    constant. ONE hash agg for the x-origin + ONE for the sums."""
+    us = _us(ts_col)
+    origin = df.groupBy(*keys).agg(F.min(us).alias("_x0"))
+    staged = df.join(origin, keys).select(
+        *keys,
+        F.round((us - F.col("_x0")) / F.lit(3600.0 * _US), 9)
+        .cast("decimal(18,9)")
+        .alias("_x"),
+        F.col(value_col).cast("decimal(18,6)").alias("_y"),
+    )
+    agg = staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").cast("decimal(38,9)").alias("_sx"),
+        F.sum("_y").cast("decimal(38,6)").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("decimal(38,15)").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,18)").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("decimal(38,12)").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when((F.col("n") > 1) & (den_x != 0.0), num / den_x)
+    intercept = (sy - slope * sx) / n
+    r2 = F.when(
+        (den_y != 0.0) & (den_x != 0.0) & (F.col("n") > 1),
+        (num / den_x) * (num / den_x) * den_x / den_y,
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(F.when(slope.isNotNull(), r2), 6).alias("r2"),
+    )

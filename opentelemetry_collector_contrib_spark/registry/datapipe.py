@@ -486,6 +486,15 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_curation_allocation(spark, sf_dir):
+    """Largest-remainder allocation of a 1000-doc eval budget across
+    (source, lang) strata — Σ alloc == budget exactly, |alloc − quota| < 1,
+    all integer arithmetic (div/mod, never a float floor)."""
+    from ..operators.curation import proportional_allocation
+
+    return proportional_allocation(_docs(spark, sf_dir), ["source", "lang"], 1000)
+
+
 def q_mixture_ess(spark, sf_dir):
     """Kish effective sample size per source when documents are weighted
     by their quality score — the pre-training diagnostic for any weighted
@@ -1691,6 +1700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_local_supplier_volume": q_tpch_q5,
     "corpus_bootstrap_ci": q_corpus_bootstrap_ci,
     "nb_lift_deciles": q_nb_lift_deciles,
+    "curation_allocation": q_curation_allocation,
     "mixture_ess": q_mixture_ess,
     "corpus_diversity": q_corpus_diversity,
     "text_phrase_pmi": q_text_phrase_pmi,
@@ -3070,6 +3080,16 @@ SELECT doc_id,
       + 0.15 * (1.0 - least((n_digit / n_char) * 5, 1.0)), 6) AS quality
 FROM m"""
     )
+
+    o["curation_allocation"] = """
+WITH per AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS w FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM per),
+st AS (SELECT source, lang, w, tw, (w * 1000) // tw AS flr, (w * 1000) % tw AS rem FROM per, tot),
+lo AS (SELECT 1000 - sum(flr) AS leftover FROM st),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rnk FROM st, lo)
+SELECT source, lang, w AS stratum_weight,
+  CAST(flr + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r"""
 
     # ESS reuses the text_quality oracle as a CTE (+ a doc_id join to
     # re-attach source); weights quantized to decimal(18,9) exactly as the

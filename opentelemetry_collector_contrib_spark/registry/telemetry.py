@@ -1119,6 +1119,15 @@ def q_events_late_profile(spark, sf_dir):
     return late_arrival_profile(_events(spark, sf_dir), ["user_id"])
 
 
+def q_events_trend(spark, sf_dir):
+    """Per-event-type OLS trend (slope per hour, intercept, R²) of the
+    gauge value over time — metric creep as a statistic. Decimal-exact
+    sufficient statistics; only the final divisions are double."""
+    from ..operators.timeseries import group_trend
+
+    return group_trend(_events(spark, sf_dir), ["event_type"])
+
+
 def q_events_table_diff(spark, sf_dir):
     """Row-level regression diff between two deterministic versions of
     the events table (old drops event_id%13==0; new drops %17==0 and
@@ -4923,6 +4932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_fleiss_kappa": q_label_fleiss_kappa,
     "events_late_profile": q_events_late_profile,
     "events_table_diff": q_events_table_diff,
+    "events_trend": q_events_trend,
     "dp_event_counts": q_dp_event_counts,
     "dp_event_sums": q_dp_event_sums,
     "events_count_incremental": q_count_incremental,
@@ -6186,6 +6196,37 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    # OLS: the double expressions mirror the Spark operator's association
+    # order exactly (n*sxx - sx*sx etc.) so the final doubles are
+    # bit-equal; all sums are decimal (order-free).
+    o["events_trend"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+o AS (SELECT event_type, min(us) AS x0 FROM e GROUP BY 1),
+st AS (SELECT e.event_type,
+         CAST(round((us - x0) / 3600000000.0, 9) AS DECIMAL(18,9)) AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+       FROM e JOIN o USING (event_type)),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS DECIMAL(38,9)) AS sx, CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+        CAST(sum(CAST(x AS DECIMAL(19,9)) * y) AS DECIMAL(38,15)) AS sxy,
+        CAST(sum(CAST(x AS DECIMAL(19,9)) * x) AS DECIMAL(38,18)) AS sxx,
+        CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DECIMAL(38,12)) AS syy
+      FROM st GROUP BY 1),
+d AS (SELECT event_type, n,
+        CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      FROM a),
+f AS (SELECT event_type, n,
+        nd * sxxd - sxd * sxd AS den_x, nd * syyd - syd * syd AS den_y,
+        nd * sxyd - sxd * syd AS num, nd, sxd, syd
+      FROM d)
+SELECT event_type, n,
+  round(CASE WHEN n > 1 AND den_x <> 0 THEN num / den_x END, 6) AS slope_per_hour,
+  round(CASE WHEN n > 1 AND den_x <> 0 THEN (syd - (num / den_x) * sxd) / nd END, 6) AS intercept,
+  round(CASE WHEN n > 1 AND den_x <> 0 AND den_y <> 0
+        THEN (num / den_x) * (num / den_x) * den_x / den_y END, 6) AS r2
+FROM f"""
+
     o["events_table_diff"] = """
 WITH o AS (SELECT event_id, event_type, value FROM events WHERE event_id % 13 <> 0),
 n AS (SELECT event_id, event_type,

@@ -754,3 +754,35 @@ def test_effective_sample_size_extremes(spark):
     rows = {r["grp"]: r for r in effective_sample_size(g, "w", by=["grp"]).collect()}
     assert rows["a"]["ess"] == pytest.approx(10.0)
     assert rows["b"]["ess"] == pytest.approx(5.0)
+
+
+def test_proportional_allocation_exact_budget(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import proportional_allocation
+
+    # shares 1:2:3:4 of budget 10 -> quotas 1.0, 2.0, 3.0, 4.0 exact
+    rows = [("a",)] * 1 + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 4
+    df = spark.createDataFrame(rows, "s string")
+    out = {r["s"]: r["alloc"] for r in proportional_allocation(df, ["s"], 10).collect()}
+    assert out == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+    # 3 equal strata, budget 10 -> quota 3.33 each; remainders tie ->
+    # the two lexicographically-smallest strata get the extra seats
+    eq = spark.createDataFrame([("x",)] * 5 + [("y",)] * 5 + [("z",)] * 5, "s string")
+    out2 = {r["s"]: r["alloc"] for r in proportional_allocation(eq, ["s"], 10).collect()}
+    assert sum(out2.values()) == 10
+    assert out2 == {"x": 4, "y": 3, "z": 3}
+    # every allocation within 1 of its exact quota
+    assert all(abs(v - 10 / 3) < 1 for v in out2.values())
+
+    # weighted mode: weight column drives shares
+    w = spark.createDataFrame([("p", 90), ("q", 10)], "s string, tokens int")
+    out3 = {
+        r["s"]: r["alloc"]
+        for r in proportional_allocation(w, ["s"], 100, weight_col="tokens").collect()
+    }
+    assert out3 == {"p": 90, "q": 10}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        proportional_allocation(df, ["s"], -1)

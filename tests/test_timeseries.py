@@ -447,3 +447,23 @@ def test_late_arrival_profile_hand_case(spark):
     assert r["late_frac"] == pytest.approx(0.4)
     assert r["max_lateness_s"] == pytest.approx(20.0)
     assert r["suggested_watermark_s"] == pytest.approx(20.0)
+
+
+def test_group_trend_exact_line_and_degenerate(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import group_trend
+
+    base = dt.datetime(2026, 1, 1)
+    # key a: exact line y = 2x + 5 over hours 0..4 -> slope 2, r2 = 1
+    rows = [("a", base + dt.timedelta(hours=h), 2.0 * h + 5.0) for h in range(5)]
+    # key b: constant y -> slope 0, r2 NULL (zero y-variance)
+    rows += [("b", base + dt.timedelta(hours=h), 7.0) for h in range(3)]
+    # key c: single point -> slope NULL
+    rows += [("c", base, 1.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r["k"]: r for r in group_trend(df, ["k"]).collect()}
+    assert out["a"]["slope_per_hour"] == pytest.approx(2.0)
+    assert out["a"]["intercept"] == pytest.approx(5.0)
+    assert out["a"]["r2"] == pytest.approx(1.0)
+    assert out["b"]["slope_per_hour"] == pytest.approx(0.0)
+    assert out["b"]["r2"] is None
+    assert out["c"]["slope_per_hour"] is None
