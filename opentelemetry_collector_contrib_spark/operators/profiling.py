@@ -287,3 +287,57 @@ def bootstrap_ci(
         F.round(F.col("raw_mean") - F.lit(z) * se, 6).alias("ci_lo"),
         F.round(F.col("raw_mean") + F.lit(z) * se, 6).alias("ci_hi"),
     )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+# P(d) = log10(1 + 1/d), d = 1..9 — precomputed so no runtime logs.
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/truncated-data screen for metric pipelines: a
+    gauge that suddenly stops being Benford-ish (when it was) usually
+    means clamping, unit bugs, or synthetic backfill upstream.
+
+    One projection extracts the first digit of floor(|v|) — INTEGER
+    renderings are engine-identical, unlike double→string (e-notation
+    thresholds differ), and no log10 touches the value, so zero
+    transcendental parity risk. One hash agg counts per digit; the χ²
+    distance against the Benford expectation uses precomputed literal
+    probabilities. Rows with |v| < 1 or NULL lack an integer first digit
+    and are excluded (reported in n_skipped)."""
+    keys = by or []
+    mag = F.floor(F.abs(F.col(value_col))).cast("bigint")
+    fd = F.substring(mag.cast("string"), 1, 1)
+    staged = df.select(
+        *keys, F.when(mag >= 1, fd.cast("int")).alias("_d")
+    )
+    counts = staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_d").isNull().cast("int")).cast("bigint").alias("n_skipped"),
+        *[
+            F.sum((F.col("_d") == d).cast("int")).cast("bigint").alias(f"d{d}")
+            for d in range(1, 10)
+        ],
+    )
+    n = (F.col("n_rows") - F.col("n_skipped")).cast("double")
+    chi2 = None
+    for i, p in enumerate(_BENFORD_P, start=1):
+        term = (F.col(f"d{i}") - n * p) * (F.col(f"d{i}") - n * p) / (n * p)
+        chi2 = term if chi2 is None else chi2 + term
+    return counts.select(
+        *keys,
+        (F.col("n_rows") - F.col("n_skipped")).cast("bigint").alias("n_used"),
+        "n_skipped",
+        *[f"d{d}" for d in range(1, 10)],
+        F.round(F.when(n > 0, chi2), 6).alias("benford_chi2"),
+    )

@@ -710,3 +710,89 @@ def group_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(F.when(slope.isNotNull(), r2), 6).alias("r2"),
     )
+
+
+# --- state flapping detection ------------------------------------------------
+def flap_profile(
+    df: DataFrame,
+    keys: list[str],
+    state_col: str,
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Status-flapping diagnostics per key — the alert-fatigue analysis:
+    how often does this entity's state CHANGE, and how long is its
+    longest stable run? A service alternating ok/error every sample needs
+    hysteresis, not more alerts.
+
+    One window (lag over event order) marks transitions; run ids come
+    from the standard gaps-and-islands cumulative sum; two hash aggs
+    produce transitions, flap rate, run count, and the longest run
+    length. All integer counts."""
+    order = [F.col("__us"), *( [F.col(seq_col)] if seq_col else [] )]
+    staged = df.select(*keys, F.col(state_col).alias("_s"), _us(ts_col).alias("__us"),
+                       *( [seq_col] if seq_col else [] ))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    flagged = staged.select(
+        *keys,
+        "_s",
+        "__us",
+        *([seq_col] if seq_col else []),
+        F.when(
+            F.lag("_s").over(w).isNull() | ~F.lag("_s").over(w).eqNullSafe(F.col("_s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_run"),
+    ).withColumn("_run", F.sum("_new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = flagged.groupBy(*keys, "_run").agg(F.count(F.lit(1)).alias("_len"))
+    return runs.groupBy(*keys).agg(
+        F.sum("_len").cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("transitions"),
+        F.round((F.count(F.lit(1)) - 1) / F.sum("_len"), 6).alias("flap_rate"),
+        F.max("_len").cast("bigint").alias("longest_run"),
+    )
+
+
+# --- lag-k autocorrelation ---------------------------------------------------
+def autocorrelation(
+    df: DataFrame,
+    keys: list[str],
+    lag: int = 1,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Per-key lag-k sample autocorrelation of the value series (ordered
+    by event time) — the seasonality/persistence detector: r(1) near 1
+    means the gauge trends, near 0 it's noise, negative it oscillates.
+    Pearson correlation of (y_t, y_{t−k}) over the overlapping pairs,
+    decimal-exact sufficient statistics like group_trend; NULL when
+    fewer than 2 pairs or zero variance on either side."""
+    order = [F.col("__us"), *( [F.col(seq_col)] if seq_col else [] )]
+    staged = df.select(*keys, _us(ts_col).alias("__us"),
+                       F.col(value_col).cast("decimal(18,6)").alias("_y"),
+                       *( [seq_col] if seq_col else [] ))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pairs = staged.select(*keys, "_y", F.lag("_y", lag).over(w).alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    agg = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_x").cast("decimal(38,6)").alias("_sx"),
+        F.sum("_y").cast("decimal(38,6)").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("decimal(38,12)").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,12)").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("decimal(38,12)").alias("_syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    r = F.when(
+        (F.col("n_pairs") > 1) & (den_x > 0.0) & (den_y > 0.0),
+        (n * sxy - sx * sy) / F.sqrt(den_x * den_y),
+    )
+    return agg.select(*keys, "n_pairs", F.round(r, 6).alias(f"acf_lag{lag}"))

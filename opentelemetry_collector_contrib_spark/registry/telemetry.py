@@ -1119,6 +1119,34 @@ def q_events_late_profile(spark, sf_dir):
     return late_arrival_profile(_events(spark, sf_dir), ["user_id"])
 
 
+def q_events_benford(spark, sf_dir):
+    """First-digit Benford audit of the gauge value per event type — the
+    fabricated/clamped-data screen. Integer-rendered first digits (no
+    double→string or log10 parity traps), χ² vs the literal Benford
+    expectation."""
+    from ..operators.profiling import benford_audit
+
+    return benford_audit(_events(spark, sf_dir), "value", by=["event_type"])
+
+
+def q_events_flap_profile(spark, sf_dir):
+    """Status-flapping diagnostics per user over the event_type stream:
+    transitions, flap rate, longest stable run (gaps-and-islands)."""
+    from ..operators.timeseries import flap_profile
+
+    return flap_profile(
+        _events(spark, sf_dir), ["user_id"], "event_type", seq_col="event_id"
+    )
+
+
+def q_events_autocorr(spark, sf_dir):
+    """Per-type lag-1 autocorrelation of the gauge value — persistence /
+    seasonality detector; decimal-exact sufficient statistics."""
+    from ..operators.timeseries import autocorrelation
+
+    return autocorrelation(_events(spark, sf_dir), ["event_type"], seq_col="event_id")
+
+
 def q_events_trend(spark, sf_dir):
     """Per-event-type OLS trend (slope per hour, intercept, R²) of the
     gauge value over time — metric creep as a statistic. Decimal-exact
@@ -4933,6 +4961,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_late_profile": q_events_late_profile,
     "events_table_diff": q_events_table_diff,
     "events_trend": q_events_trend,
+    "events_benford": q_events_benford,
+    "events_flap_profile": q_events_flap_profile,
+    "events_autocorr": q_events_autocorr,
     "dp_event_counts": q_dp_event_counts,
     "dp_event_sums": q_dp_event_sums,
     "events_count_incremental": q_count_incremental,
@@ -6196,6 +6227,85 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    # Benford χ² folds terms d1..d9 left-to-right exactly as the Spark
+    # loop builds the expression, so the doubles agree bit-for-bit.
+    _bp = [
+        "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+        "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+        "0.05799194697768673", "0.05115252244738129", "0.04575749056067514",
+    ]
+    _dcols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN d = {i} THEN 1 ELSE 0 END) AS BIGINT) AS d{i}"
+        for i in range(1, 10)
+    )
+    _chi = " + ".join(
+        f"(d{i} - nu * {p}) * (d{i} - nu * {p}) / (nu * {p})"
+        for i, p in enumerate(_bp, start=1)
+    )
+    o["events_benford"] = f"""
+WITH s AS (
+  SELECT event_type,
+    CASE WHEN CAST(floor(abs(value)) AS BIGINT) >= 1
+         THEN CAST(substr(CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+    END AS d
+  FROM events),
+c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+    {_dcols}
+  FROM s GROUP BY 1),
+u AS (SELECT *, CAST(n_rows - n_skipped AS DOUBLE) AS nu FROM c)
+SELECT event_type, CAST(n_rows - n_skipped AS BIGINT) AS n_used, n_skipped,
+  d1, d2, d3, d4, d5, d6, d7, d8, d9,
+  round(CASE WHEN nu > 0 THEN {_chi} END, 6) AS benford_chi2
+FROM u"""
+
+    o["events_flap_profile"] = """
+WITH s AS (
+  SELECT user_id, event_type AS st, epoch_us(ts) AS us, event_id FROM events),
+f AS (
+  SELECT user_id, st, us, event_id,
+    CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w IS DISTINCT FROM st
+         THEN 1 ELSE 0 END AS new_run
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+g AS (
+  SELECT user_id, st,
+    sum(new_run) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM f),
+r AS (SELECT user_id, run, count(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n,
+  CAST(count(*) - 1 AS BIGINT) AS transitions,
+  round((count(*) - 1) / CAST(sum(len) AS DOUBLE), 6) AS flap_rate,
+  CAST(max(len) AS BIGINT) AS longest_run
+FROM r GROUP BY 1"""
+
+    o["events_autocorr"] = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events),
+p AS (
+  SELECT event_type, y, lag(y) OVER (PARTITION BY event_type ORDER BY us, event_id) AS x
+  FROM s),
+q AS (SELECT event_type, x, y FROM p WHERE x IS NOT NULL),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(x) AS DECIMAL(38,6)) AS sx, CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DECIMAL(38,12)) AS sxy,
+    CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DECIMAL(38,12)) AS sxx,
+    CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DECIMAL(38,12)) AS syy
+  FROM q GROUP BY 1),
+d AS (SELECT event_type, n_pairs, CAST(n_pairs AS DOUBLE) AS nd,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      FROM a)
+SELECT event_type, n_pairs,
+  round(CASE WHEN n_pairs > 1 AND (nd * sxxd - sxd * sxd) > 0 AND (nd * syyd - syd * syd) > 0
+        THEN (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        END, 6) AS acf_lag1
+FROM d"""
+
     # OLS: the double expressions mirror the Spark operator's association
     # order exactly (n*sxx - sx*sx etc.) so the final doubles are
     # bit-equal; all sums are decimal (order-free).

@@ -241,3 +241,26 @@ def test_bootstrap_ci_constant_corpus_zero_se(spark):
 
     with pytest.raises(ValueError):
         bootstrap_ci(df, "doc_id", "v", replicas=1)
+
+
+def test_benford_audit_uniform_vs_benford(spark):
+    import math
+
+    from opentelemetry_collector_contrib_spark.operators.profiling import benford_audit
+
+    # perfect Benford sample: digit d appears round(P(d)*1000) times
+    rows = []
+    for d in range(1, 10):
+        n_d = round(math.log10(1 + 1 / d) * 1000)
+        rows += [("b", float(d * 10))] * n_d
+    # uniform digits 1..9 (anti-Benford): chi2 must be much larger
+    for d in range(1, 10):
+        rows += [("u", float(d))] * 100
+    # skipped rows: |v| < 1 and zero
+    rows += [("b", 0.5), ("b", 0.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in benford_audit(df, "v", by=["g"]).collect()}
+    assert out["b"]["n_skipped"] == 2
+    assert out["b"]["benford_chi2"] < 1.0  # near-perfect fit
+    assert out["u"]["benford_chi2"] > 100.0
+    assert out["b"]["d1"] == 301

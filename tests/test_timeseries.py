@@ -467,3 +467,32 @@ def test_group_trend_exact_line_and_degenerate(spark):
     assert out["b"]["slope_per_hour"] == pytest.approx(0.0)
     assert out["b"]["r2"] is None
     assert out["c"]["slope_per_hour"] is None
+
+
+def test_flap_profile_runs_and_rate(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import flap_profile
+
+    base = dt.datetime(2026, 1, 1)
+    seq = ["ok", "ok", "err", "ok", "ok", "ok", "err"]  # 4 runs, 3 transitions
+    rows = [("a", i, base + dt.timedelta(minutes=i), s) for i, s in enumerate(seq)]
+    rows += [("b", i, base + dt.timedelta(minutes=i), "ok") for i in range(5)]  # stable
+    df = spark.createDataFrame(rows, "k string, seq long, ts timestamp, st string")
+    out = {r["k"]: r for r in flap_profile(df, ["k"], "st", seq_col="seq").collect()}
+    assert out["a"]["transitions"] == 3 and out["a"]["longest_run"] == 3
+    assert out["a"]["flap_rate"] == pytest.approx(3 / 7)
+    assert out["b"]["transitions"] == 0 and out["b"]["longest_run"] == 5
+
+
+def test_autocorrelation_alternating_and_trend(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import autocorrelation
+
+    base = dt.datetime(2026, 1, 1)
+    # alternating +1/-1 -> acf(1) == -1; linear ramp -> acf(1) == 1
+    rows = [("alt", i, base + dt.timedelta(minutes=i), float((-1) ** i)) for i in range(20)]
+    rows += [("ramp", i, base + dt.timedelta(minutes=i), float(i)) for i in range(20)]
+    rows += [("const", i, base + dt.timedelta(minutes=i), 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, seq long, ts timestamp, value double")
+    out = {r["k"]: r for r in autocorrelation(df, ["k"], seq_col="seq").collect()}
+    assert out["alt"]["acf_lag1"] == pytest.approx(-1.0)
+    assert out["ramp"]["acf_lag1"] == pytest.approx(1.0)
+    assert out["const"]["acf_lag1"] is None  # zero variance
