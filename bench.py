@@ -480,6 +480,51 @@ def main() -> None:
     if selected is None or "q23_heavy_hitters" in selected:
         timed("q23_heavy_hitters", heavy_hit)
 
+    # q24/q25: the bloom-join pruning trade, measured honestly. Same
+    # selective join (turns ⨝ the ~1% of conversations whose numeric
+    # suffix % 97 == 0) twice, with autoBroadcastJoinThreshold=-1 so BOTH
+    # run the shuffle join a 100 TB non-broadcastable dim would force:
+    # q24 shuffles every wide probe row (~6M at sf0.1); q25 prunes the
+    # probe scan-side with the inlined-bitmap filter, so the exchange
+    # carries only might-match rows (~86k = 1% + fpp, a ~70× exchange-row
+    # reduction — THE metric that matters when the exchange is
+    # network/disk-bound). On local[*] the shuffle is a memcpy, so q25's
+    # extra per-row hash work makes it measure slightly SLOWER here —
+    # expected, and exactly why the operator is opt-in rather than a
+    # default rewrite: it wins when exchange cost dominates probe CPU.
+    if selected is None or {"q24_join_plain_shuffle", "q25_join_bloom_pruned"} & (selected or set()):
+        from opentelemetry_collector_contrib_spark.operators.enrich import bloom_join
+        from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
+
+        t24 = load_transcripts(spark, sf_dir)
+        # the dim is ITS OWN small table in the modeled scenario — derive
+        # and persist it outside the timed region so neither variant pays
+        # a hidden corpus rescan for it (the bloom build's jobs then run
+        # over ~600 cached rows, not 6M)
+        dim24 = (
+            t24.filter(F.regexp_extract(F.col("conv_id"), r"(\d+)$", 1).cast("long") % 97 == 0)
+            .select(F.col("conv_id").alias("dconv"))
+            .distinct()
+            .withColumn("conv_attr", F.length("dconv"))
+            .persist()
+        )
+        dim24.count()
+        probe24 = t24.select("conv_id", "turn_idx", "role", "text")
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            timed(
+                "q24_join_plain_shuffle",
+                lambda: force(probe24.join(dim24, probe24.conv_id == dim24.dconv)),
+            )
+            timed(
+                "q25_join_bloom_pruned",
+                lambda: force(bloom_join(probe24, dim24, "conv_id", "dconv")),
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+            dim24.unpersist()
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",
