@@ -486,6 +486,22 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_corpus_gini(spark, sf_dir):
+    """Gini coefficient of document-length mass per source — corpus
+    inequality as one number per source; exact rank formulation."""
+    from ..operators.profiling import gini_concentration
+
+    return gini_concentration(_docs(spark, sf_dir), "n_chars", by=["source"])
+
+
+def q_corpus_lorenz(spark, sf_dir):
+    """Lorenz curve at decile resolution per source: cumulative share of
+    character mass held by the bottom k/10 of documents."""
+    from ..operators.profiling import lorenz_deciles
+
+    return lorenz_deciles(_docs(spark, sf_dir), "n_chars", by=["source"])
+
+
 def q_curation_allocation(spark, sf_dir):
     """Largest-remainder allocation of a 1000-doc eval budget across
     (source, lang) strata — Σ alloc == budget exactly, |alloc − quota| < 1,
@@ -1700,6 +1716,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_local_supplier_volume": q_tpch_q5,
     "corpus_bootstrap_ci": q_corpus_bootstrap_ci,
     "nb_lift_deciles": q_nb_lift_deciles,
+    "corpus_gini": q_corpus_gini,
+    "corpus_lorenz": q_corpus_lorenz,
     "curation_allocation": q_curation_allocation,
     "mixture_ess": q_mixture_ess,
     "corpus_diversity": q_corpus_diversity,
@@ -3080,6 +3098,42 @@ SELECT doc_id,
       + 0.15 * (1.0 - least((n_digit / n_char) * 5, 1.0)), 6) AS quality
 FROM m"""
     )
+
+    # Gini/Lorenz: tied values make rank order engine-arbitrary, but the
+    # statistics are tie-invariant (equal values contribute identically
+    # whichever rank in the tie block they take).
+    o["corpus_gini"] = """
+WITH r AS (
+  SELECT source, CAST(n_chars AS DECIMAL(18,6)) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars ASC) AS i
+  FROM documents),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(v) AS DECIMAL(38,6)) AS sv,
+    CAST(sum(CAST(i AS DECIMAL(19,0)) * v) AS DECIMAL(38,6)) AS siv
+  FROM r GROUP BY 1)
+SELECT source, n, round(CAST(sv AS DOUBLE), 6) AS total,
+  round(CASE WHEN CAST(sv AS DOUBLE) > 0
+        THEN 2.0 * CAST(siv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END, 6) AS gini
+FROM a"""
+
+    o["corpus_lorenz"] = """
+WITH r AS (
+  SELECT source, CAST(n_chars AS DECIMAL(18,6)) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars ASC) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+p AS (
+  SELECT source, CAST(ceil(i * 10 / CAST(n AS DOUBLE)) AS INT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(v) AS DECIMAL(38,6)) AS m
+  FROM r GROUP BY 1, 2)
+SELECT source, decile, n_rows,
+  round(CAST(m AS DOUBLE), 6) AS mass,
+  round(CAST(sum(m) OVER (PARTITION BY source ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(sum(m) OVER (PARTITION BY source) AS DOUBLE), 6) AS cum_share
+FROM p"""
 
     o["curation_allocation"] = """
 WITH per AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS w FROM documents GROUP BY 1, 2),

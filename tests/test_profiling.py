@@ -264,3 +264,27 @@ def test_benford_audit_uniform_vs_benford(spark):
     assert out["b"]["benford_chi2"] < 1.0  # near-perfect fit
     assert out["u"]["benford_chi2"] > 100.0
     assert out["b"]["d1"] == 301
+
+
+def test_gini_and_lorenz_extremes(spark):
+    from opentelemetry_collector_contrib_spark.operators.profiling import (
+        gini_concentration,
+        lorenz_deciles,
+    )
+
+    # perfectly equal masses -> gini 0; one row holds everything -> gini -> 1
+    eq = spark.createDataFrame([("e", 10.0)] * 50, "g string, v double")
+    un = spark.createDataFrame(
+        [("u", 0.000001)] * 49 + [("u", 1000.0)], "g string, v double"
+    )
+    both = eq.union(un)
+    out = {r["g"]: r for r in gini_concentration(both, "v", by=["g"]).collect()}
+    assert out["e"]["gini"] == pytest.approx(0.0, abs=1e-6)
+    assert out["u"]["gini"] > 0.95
+    # hand case: values 1,2,3 -> G = 2*(1+4+9)/(3*6) - 4/3 = 28/18 - 24/18 = 2/9
+    h = spark.createDataFrame([("h", 1.0), ("h", 2.0), ("h", 3.0)], "g string, v double")
+    assert gini_concentration(h, "v", by=["g"]).collect()[0]["gini"] == pytest.approx(2 / 9)
+
+    lz = {r["decile"]: r for r in lorenz_deciles(eq, "v", by=["g"]).collect()}
+    assert lz[10]["cum_share"] == 1.0
+    assert lz[5]["cum_share"] == pytest.approx(0.5)  # equal masses: linear Lorenz
