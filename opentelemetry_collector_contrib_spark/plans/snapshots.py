@@ -605,3 +605,75 @@ def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
     for d in {os.path.dirname(f) for f in doomed} - live_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    checks: list[dict],
+    mode: str = "append",
+    summary: dict | None = None,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Write-Audit-Publish: the production ingest gate (Iceberg's WAP
+    pattern, branch-free version). Data is STAGED into an immutable
+    commit directory that no snapshot references yet; the contract checks
+    (plans/contracts.validate_contract) run against the STAGED FILES as
+    readers will see them — catching writer/serialization bugs a
+    pre-write audit misses — and only a fully-passing audit commits the
+    metadata pointer. A failing audit drops the staged directory and the
+    table is bit-for-bit untouched: downstream readers can never observe
+    un-audited data, and there is no window where they could (the commit
+    IS the publish).
+
+    Returns {"published": bool, "snapshot_id": str|None,
+    "audit": [per-check rows], "n_violations": int}. Commit conflicts
+    propagate (CommitConflict) after the staged data is dropped — the
+    caller rebuilds and retries, the optimistic model commit_files
+    already defines."""
+    from .contracts import validate_contract
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    store = SnapshotStore(table_path)
+    new_schema = df.schema.json()
+    current = store.current()
+    if mode == "append" and current is not None and current.get("schema"):
+        new_schema = _evolved_schema(current["schema"], new_schema, False)
+    commit_dir = os.path.join(table_path, "data", f"commit-{uuid.uuid4().hex}")
+    df.write.mode("error").parquet(commit_dir)
+    files = sorted(
+        os.path.join(commit_dir, f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+    staged = spark.read.schema(df.schema).parquet(*files)
+    audit_rows = [r.asDict() for r in validate_contract(staged, checks).collect()]
+    n_viol = sum(int(r["n_violations"]) for r in audit_rows)
+    if not all(r["passed"] for r in audit_rows):
+        _drop_commit_dir(commit_dir)
+        return {
+            "published": False,
+            "snapshot_id": None,
+            "audit": audit_rows,
+            "n_violations": n_viol,
+        }
+    stats = collect_file_stats(files, stats_cols) if stats_cols else None
+    try:
+        snap_id = store.commit_files(
+            files,
+            operation=mode,
+            summary={**(summary or {}), "added_files": len(files), "wap_audited": True},
+            stats=stats,
+            schema_json=new_schema,
+        )
+    except CommitConflict:
+        _drop_commit_dir(commit_dir)
+        raise
+    return {
+        "published": True,
+        "snapshot_id": snap_id,
+        "audit": audit_rows,
+        "n_violations": n_viol,
+    }

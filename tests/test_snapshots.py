@@ -498,3 +498,44 @@ def test_schema_evolution_survives_compaction_and_merge(spark, tmp_path):
     compact_snapshot(spark, t, target_records_per_file=10)
     after = {r.id: (r.v, r.score) for r in read_snapshot(spark, t).collect()}
     assert after == after_merge
+
+
+def test_write_audit_publish_gates_commits(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import (
+        SnapshotStore,
+        read_snapshot,
+        write_audit_publish,
+    )
+
+    table = str(tmp_path / "wap_table")
+    checks = [
+        {"type": "not_null", "col": "k"},
+        {"type": "unique", "cols": ["k"]},
+    ]
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    r1 = write_audit_publish(spark, clean, table, checks)
+    assert r1["published"] and r1["n_violations"] == 0
+    assert read_snapshot(spark, table).count() == 2
+
+    # dirty batch: NULL key + duplicate -> abort, table untouched,
+    # staged files removed
+    dirty = spark.createDataFrame([(None, "x"), (3, "y"), (3, "z")], "k int, v string")
+    r2 = write_audit_publish(spark, dirty, table, checks)
+    assert not r2["published"] and r2["snapshot_id"] is None
+    assert r2["n_violations"] >= 2
+    assert read_snapshot(spark, table).count() == 2  # still the clean snapshot
+    store = SnapshotStore(table)
+    snaps = store._load()
+    assert len(snaps) == 1  # no metadata entry for the aborted batch
+    # no orphaned staged data directory beyond the published commit
+    import os
+
+    data_dir = os.path.join(table, "data")
+    assert len(os.listdir(data_dir)) == 1
+
+    # second clean batch appends past the aborted one
+    more = spark.createDataFrame([(4, "c")], "k int, v string")
+    r3 = write_audit_publish(spark, more, table, checks)
+    assert r3["published"]
+    assert read_snapshot(spark, table).count() == 3
+    assert snaps[0]["summary"].get("wap_audited") is True
