@@ -673,3 +673,77 @@ def test_streaming_template_diff_matches_batch_and_replays(spark, tmp_path):
     after = SnapshotStore(f"{out}/state").current()["summary"]
     assert after["last_batch"] == before["last_batch"]
     assert replay_df.count() > 0
+
+
+def test_watermark_sized_by_late_arrival_profile(spark, tmp_path):
+    """The late_arrival_profile → watermark contract on a real stream.
+
+    Append-mode windowed aggregation EMITS a window once the watermark
+    passes its end; a later batch's row for an already-emitted window
+    MUST be dropped (append results are immutable — Spark's one hard
+    late-data guarantee; a late row whose window is merely un-emitted
+    still merges). With watermark ≥ the profiler's max observed lateness
+    the late row arrives before its window ever finalizes and counts;
+    with a tight watermark the window was emitted a batch earlier and
+    the row vanishes — the silent loss the profiler exists to size."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import late_arrival_profile
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    files = [
+        # batch 0: seeds window 00:01 and advances event time to 00:05:00
+        [{"k": "a", "seq": 1, "ts": "2025-01-01 00:01:30"},
+         {"k": "a", "seq": 2, "ts": "2025-01-01 00:05:00"}],
+        # batch 1: with a tight watermark, processing this batch emits +
+        # evicts window 00:01 (wm passed its end after batch 0)
+        [{"k": "a", "seq": 3, "ts": "2025-01-01 00:05:40"}],
+        # batch 2: the LATE row, 270 s behind the max seen — targets the
+        # (tight-wm: already emitted) 00:01 window
+        [{"k": "a", "seq": 4, "ts": "2025-01-01 00:01:10"},
+         {"k": "a", "seq": 5, "ts": "2025-01-01 00:05:50"}],
+        # batch 3: far-future row so every earlier window finalizes
+        [{"k": "a", "seq": 6, "ts": "2025-01-01 01:00:00"}],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(files):
+        f = d / f"f{i}.json"
+        f.write_text("\n".join(_json.dumps(r) for r in rows))
+        _os.utime(f, (now - 100 + i, now - 100 + i))
+
+    schema = "k string, seq long, ts timestamp"
+    batch = spark.read.schema(schema).json(str(d))
+    prof = late_arrival_profile(batch, ["k"], ts_col="ts", seq_col="seq").collect()[0]
+    assert prof["n_late"] == 1
+    assert prof["max_lateness_s"] == 270.0
+
+    def drain(delay_s: int, name: str) -> int:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .json(str(d))
+            .withWatermark("ts", f"{delay_s} seconds")
+            .groupBy(F.window("ts", "1 minute"))
+            .count()
+        )
+        (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        return sum(r["count"] for r in spark.table(name).collect())
+
+    # (the 01:00 window never finalizes in either drain — absent from both)
+    # watermark ≥ suggested (280 ≥ 270): window 00:01 stays open until
+    # the late row has merged -> rows 1-5 all emitted
+    assert drain(280, "wm_ok") == 5
+    # tight watermark: window 00:01 was emitted one batch BEFORE the late
+    # row arrived -> the late row is dropped (emitted results immutable)
+    assert drain(10, "wm_tight") == 4
