@@ -796,3 +796,66 @@ def autocorrelation(
         (n * sxy - sx * sy) / F.sqrt(den_x * den_y),
     )
     return agg.select(*keys, "n_pairs", F.round(r, 6).alias(f"acf_lag{lag}"))
+
+
+# --- CUSUM change-point detection --------------------------------------------
+def cusum_alarms(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    target: float = 0.0,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Page's CUSUM mean-shift detector per key — the change-point
+    primitive behind "when did this metric's level actually move"
+    (deploy regressions, drift onset), far more sensitive to small
+    persistent shifts than any fixed threshold.
+
+    The textbook recurrence C_t = max(0, C_{t−1} + (x_t − target −
+    slack)) looks sequential, but has a closed form over prefix sums:
+    with P_t = Σ_{i≤t}(x_i − target − slack) and P_0 = 0,
+    C_t = P_t − min_{0≤j≤t} P_j — a running sum and a running min, TWO
+    window aggregates over one sort (the same gaps-and-islands trick
+    family; no applyInPandas, no recursion). The mirrored detector for
+    downward shifts uses the prefix MAX the same way. Sums are decimal
+    (order-free, exact); alarms fire where the statistic exceeds
+    `threshold`.
+
+    Output: one row per event with cusum_pos / cusum_neg / alarm, the
+    audit trail a responder reads; aggregate with any groupBy downstream
+    for first-alarm-per-key."""
+    order = [F.col("__us"), *([F.col(seq_col)] if seq_col else [])]
+    dev = (
+        F.col(value_col).cast("decimal(18,6)")
+        - F.lit(target).cast("decimal(18,6)")
+        - F.lit(slack).cast("decimal(18,6)")
+    )
+    staged = df.select(
+        *keys,
+        _us(ts_col).alias("__us"),
+        *([seq_col] if seq_col else []),
+        dev.alias("_dev"),
+    )
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    p = F.sum("_dev").over(w).cast("decimal(38,6)")
+    run = staged.select(*keys, "__us", *([seq_col] if seq_col else []), p.alias("_p"))
+    # prefix min/max INCLUDING the virtual P_0 = 0 (least/greatest with 0)
+    wmin = Window.partitionBy(*keys).orderBy("__us", *([seq_col] if seq_col else [])).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    pmin = F.least(F.min("_p").over(wmin), zero)
+    pmax = F.greatest(F.max("_p").over(wmin), zero)
+    c_pos = (F.col("_p") - pmin).cast("double")
+    c_neg = (pmax - F.col("_p")).cast("double")
+    return run.select(
+        *keys,
+        "__us",
+        *([seq_col] if seq_col else []),
+        F.round(c_pos, 6).alias("cusum_pos"),
+        F.round(c_neg, 6).alias("cusum_neg"),
+        ((c_pos > threshold) | (c_neg > threshold)).alias("alarm"),
+    ).withColumnRenamed("__us", "event_us")

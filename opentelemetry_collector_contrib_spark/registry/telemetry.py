@@ -1119,6 +1119,22 @@ def q_events_late_profile(spark, sf_dir):
     return late_arrival_profile(_events(spark, sf_dir), ["user_id"])
 
 
+def q_events_cusum(spark, sf_dir):
+    """Page's CUSUM mean-shift statistic per event type over the gauge
+    value (target 50, threshold 500) — the sequential-looking recurrence
+    computed via its prefix-sum/running-extremum closed form: two window
+    aggregates, no recursion, decimal-exact."""
+    from ..operators.timeseries import cusum_alarms
+
+    return cusum_alarms(
+        _events(spark, sf_dir),
+        ["event_type"],
+        target=50.0,
+        threshold=500.0,
+        seq_col="event_id",
+    )
+
+
 def q_events_benford(spark, sf_dir):
     """First-digit Benford audit of the gauge value per event type — the
     fabricated/clamped-data screen. Integer-rendered first digits (no
@@ -4962,6 +4978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_table_diff": q_events_table_diff,
     "events_trend": q_events_trend,
     "events_benford": q_events_benford,
+    "events_cusum": q_events_cusum,
     "events_flap_profile": q_events_flap_profile,
     "events_autocorr": q_events_autocorr,
     "dp_event_counts": q_dp_event_counts,
@@ -6227,6 +6244,28 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    o["events_cusum"] = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS event_us, event_id,
+         CAST(value AS DECIMAL(18,6)) - CAST(50.0 AS DECIMAL(18,6))
+           - CAST(0.0 AS DECIMAL(18,6)) AS dev
+  FROM events),
+p AS (
+  SELECT event_type, event_us, event_id,
+    CAST(sum(dev) OVER w AS DECIMAL(38,6)) AS pp
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY event_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (
+  SELECT event_type, event_us, event_id,
+    CAST(pp - least(min(pp) OVER w, CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS cp,
+    CAST(greatest(max(pp) OVER w, CAST(0 AS DECIMAL(38,6))) - pp AS DOUBLE) AS cn
+  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY event_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, event_us, event_id,
+  round(cp, 6) AS cusum_pos, round(cn, 6) AS cusum_neg,
+  (cp > 500.0 OR cn > 500.0) AS alarm
+FROM c"""
+
     # Benford χ² folds terms d1..d9 left-to-right exactly as the Spark
     # loop builds the expression, so the doubles agree bit-for-bit.
     _bp = [

@@ -496,3 +496,32 @@ def test_autocorrelation_alternating_and_trend(spark):
     assert out["alt"]["acf_lag1"] == pytest.approx(-1.0)
     assert out["ramp"]["acf_lag1"] == pytest.approx(1.0)
     assert out["const"]["acf_lag1"] is None  # zero variance
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import cusum_alarms
+
+    base = dt.datetime(2026, 1, 1)
+    # level 10 for 10 samples, then shifts to 13: CUSUM(target=10) ramps
+    vals = [10.0] * 10 + [13.0] * 10
+    rows = [("a", i, base + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, seq long, ts timestamp, value double")
+    out = sorted(
+        cusum_alarms(df, ["k"], target=10.0, slack=0.5, threshold=10.0, seq_col="seq").collect(),
+        key=lambda r: r["seq"],
+    )
+
+    # reference: the literal recurrence
+    cp = cn = 0.0
+    expect = []
+    for v in vals:
+        d = v - 10.0 - 0.5
+        cp = max(0.0, cp + d)
+        cn = max(0.0, cn - d)
+        expect.append((cp, cn))
+    for r, (ecp, ecn) in zip(out, expect):
+        assert r["cusum_pos"] == pytest.approx(ecp, abs=1e-6)
+        assert r["cusum_neg"] == pytest.approx(ecn, abs=1e-6)
+    # alarm fires once the shift persists: 2.5/sample -> sample 14 (5th after shift)
+    alarms = [r["seq"] for r in out if r["alarm"]]
+    assert alarms and min(alarms) == 14
