@@ -1986,3 +1986,66 @@ def proportional_allocation(
         F.col("_w").alias("stratum_weight"),
         (F.col("_flr") + (F.col("_rnk") <= F.col("_left")).cast("int")).cast("bigint").alias("alloc"),
     )
+
+
+def confusion_matrix(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Multiclass confusion counts: one row per (label, pred) pair that
+    occurs, with the count — the raw artifact behind every classifier
+    eval. One hash aggregation; integer-exact."""
+    return (
+        df.groupBy(F.col(label_col).alias("label"), F.col(pred_col).alias("pred"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 + support over a multiclass
+    prediction table (the sklearn classification_report shape, computed
+    distributed). Classes = union of observed labels and predictions, so
+    a class the model never predicts still reports (precision NULL,
+    recall 0). All counts integer-exact; the three ratios are the only
+    doubles. Two hash aggs + one outer join on class."""
+    tp = (
+        df.filter(F.col(label_col).eqNullSafe(F.col(pred_col)))
+        .groupBy(F.col(label_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("_tp"))
+    )
+    actual = df.groupBy(F.col(label_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("_support")
+    )
+    predicted = df.groupBy(F.col(pred_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("_pred_n")
+    )
+    j = (
+        actual.join(predicted, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("_support", F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce("_pred_n", F.lit(0)).cast("bigint").alias("n_predicted"),
+            F.coalesce("_tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    precision = F.when(F.col("n_predicted") > 0, F.col("tp") / F.col("n_predicted"))
+    recall = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & ((precision + recall) > 0),
+        2.0 * precision * recall / (precision + recall),
+    )
+    return j.select(
+        "cls",
+        "support",
+        "n_predicted",
+        "tp",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

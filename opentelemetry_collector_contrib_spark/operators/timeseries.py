@@ -859,3 +859,76 @@ def cusum_alarms(
         F.round(c_neg, 6).alias("cusum_neg"),
         ((c_pos > threshold) | (c_neg > threshold)).alias("alarm"),
     ).withColumnRenamed("__us", "event_us")
+
+
+# --- Welch's t-test between two variants -------------------------------------
+def welch_t(
+    df: DataFrame,
+    keys: list[str],
+    variant_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's unequal-variance t-statistic between the two variants of
+    `variant_col` per key — the A/B-comparison primitive ("did the
+    canary's latency move?") that works without equal group sizes or
+    pooled variance. Emits per key: both ns/means, the t statistic, and
+    the Welch–Satterthwaite degrees of freedom (compare |t| against the
+    caller's critical value; no p-value — that needs the t CDF, a table
+    lookup that doesn't belong in the engine).
+
+    Decimal-exact sufficient statistics (n, Σv, Σv²) per (key, variant)
+    in ONE hash agg; the pivot to two variant columns is a conditional
+    re-aggregation over at most 2 rows per key. Sample variance via the
+    two-moment identity; NULL t when either side has n < 2 or both
+    variances are zero. Exactly two distinct variant values are expected;
+    extras raise."""
+    v = F.col(value_col).cast("decimal(18,6)")
+    per = df.groupBy(*keys, F.col(variant_col).alias("_var")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(v).cast("decimal(38,6)").alias("_s1"),
+        F.sum(F.col(value_col).cast("decimal(19,6)") * v).cast("decimal(38,12)").alias("_s2"),
+    )
+    variants = [r["_var"] for r in per.select("_var").distinct().orderBy("_var").collect()]
+    if len(variants) != 2:
+        raise ValueError(f"welch_t expects exactly 2 variants, got {variants}")
+    a, b = variants
+
+    def side(tag: str, val) -> list[Column]:
+        cond = F.col("_var") == val
+        return [
+            F.sum(F.when(cond, F.col("_n"))).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("_s1"))).cast("decimal(38,6)").alias(f"_s1{tag}"),
+            F.sum(F.when(cond, F.col("_s2"))).cast("decimal(38,12)").alias(f"_s2{tag}"),
+        ]
+
+    piv = per.groupBy(*keys).agg(*side("a", a), *side("b", b))
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s1 = F.col(f"_s1{tag}").cast("double")
+        s2 = F.col(f"_s2{tag}").cast("double")
+        mean = s1 / n
+        var = F.when(
+            F.col(f"n_{tag}") > 1, F.greatest((s2 - s1 * s1 / n) / (n - 1.0), F.lit(0.0))
+        )
+        return n, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    se2 = va / na + vb / nb
+    t = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0.0), (ma - mb) / F.sqrt(se2)
+    )
+    dof = F.when(
+        se2 > 0.0,
+        se2 * se2 / ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0)),
+    )
+    return piv.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(F.when(t.isNotNull(), dof), 6).alias("welch_df"),
+    )

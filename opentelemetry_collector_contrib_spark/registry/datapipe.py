@@ -486,6 +486,27 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Confusion counts of the heuristic language-ID against the corpus
+    labels — one row per observed (label, pred) pair."""
+    from ..operators.curation import confusion_matrix
+    from ..operators.textstats import lang_id
+
+    scored = lang_id(_docs(spark, sf_dir))
+    return confusion_matrix(scored, "lang", "lang_pred")
+
+
+def q_lang_report(spark, sf_dir):
+    """Per-class precision/recall/F1 + support for the language-ID — the
+    sklearn classification_report shape, computed distributed; classes
+    never predicted still report (precision NULL, recall 0)."""
+    from ..operators.curation import classification_report
+    from ..operators.textstats import lang_id
+
+    scored = lang_id(_docs(spark, sf_dir))
+    return classification_report(scored, "lang", "lang_pred")
+
+
 def q_corpus_gini(spark, sf_dir):
     """Gini coefficient of document-length mass per source — corpus
     inequality as one number per source; exact rank formulation."""
@@ -1716,6 +1737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_local_supplier_volume": q_tpch_q5,
     "corpus_bootstrap_ci": q_corpus_bootstrap_ci,
     "nb_lift_deciles": q_nb_lift_deciles,
+    "lang_confusion": q_lang_confusion,
+    "lang_report": q_lang_report,
     "corpus_gini": q_corpus_gini,
     "corpus_lorenz": q_corpus_lorenz,
     "curation_allocation": q_curation_allocation,
@@ -3190,6 +3213,34 @@ WITH s AS (SELECT doc_id,
   {scores}
 FROM documents)
 SELECT doc_id, {chain} AS lang_pred FROM s"""
+
+    # language-ID evals reuse the lang_id oracle as a CTE
+    _lid = o["text_lang_id"]
+    o["lang_confusion"] = f"""
+WITH pred AS ({_lid}),
+j AS (SELECT d.lang AS label, p.lang_pred AS pred FROM documents d JOIN pred p USING (doc_id))
+SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2"""
+
+    o["lang_report"] = f"""
+WITH pred AS ({_lid}),
+j AS (SELECT d.lang AS label, p.lang_pred AS pred FROM documents d JOIN pred p USING (doc_id)),
+tp AS (SELECT label AS cls, count(*) AS tp FROM j WHERE label IS NOT DISTINCT FROM pred GROUP BY 1),
+act AS (SELECT label AS cls, count(*) AS support FROM j GROUP BY 1),
+prd AS (SELECT pred AS cls, count(*) AS n_predicted FROM j GROUP BY 1),
+m AS (SELECT cls,
+        CAST(coalesce(support, 0) AS BIGINT) AS support,
+        CAST(coalesce(n_predicted, 0) AS BIGINT) AS n_predicted,
+        CAST(coalesce(tp, 0) AS BIGINT) AS tp
+      FROM act FULL OUTER JOIN prd USING (cls) LEFT JOIN tp USING (cls)),
+r AS (SELECT *,
+        CASE WHEN n_predicted > 0 THEN tp / CAST(n_predicted AS DOUBLE) END AS p_,
+        CASE WHEN support > 0 THEN tp / CAST(support AS DOUBLE) END AS r_
+      FROM m)
+SELECT cls, support, n_predicted, tp,
+  round(p_, 6) AS precision, round(r_, 6) AS recall,
+  round(CASE WHEN p_ IS NOT NULL AND r_ IS NOT NULL AND (p_ + r_) > 0
+        THEN 2.0 * p_ * r_ / (p_ + r_) END, 6) AS f1
+FROM r"""
 
     o["text_fingerprint"] = (
         _DOC_TOKS_CTE

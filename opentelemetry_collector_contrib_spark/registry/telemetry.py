@@ -1119,6 +1119,19 @@ def q_events_late_profile(spark, sf_dir):
     return late_arrival_profile(_events(spark, sf_dir), ["user_id"])
 
 
+def q_events_welch_ab(spark, sf_dir):
+    """Welch's unequal-variance t between the even/odd user cohorts per
+    event type — the A/B metric-comparison primitive. Decimal-exact
+    sufficient statistics; t and Welch–Satterthwaite df are the only
+    doubles (no p-value: that's a CDF table, not engine work)."""
+    from ..operators.timeseries import welch_t
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ab", F.pmod(F.col("user_id"), F.lit(2)).cast("int")
+    )
+    return welch_t(ev, ["event_type"], "ab")
+
+
 def q_events_cusum(spark, sf_dir):
     """Page's CUSUM mean-shift statistic per event type over the gauge
     value (target 50, threshold 500) — the sequential-looking recurrence
@@ -4979,6 +4992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trend": q_events_trend,
     "events_benford": q_events_benford,
     "events_cusum": q_events_cusum,
+    "events_welch_ab": q_events_welch_ab,
     "events_flap_profile": q_events_flap_profile,
     "events_autocorr": q_events_autocorr,
     "dp_event_counts": q_dp_event_counts,
@@ -6244,6 +6258,49 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    # Welch t: the double expressions mirror the Spark operator's
+    # association order; all sums decimal (order-free).
+    o["events_welch_ab"] = """
+WITH s AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS ab,
+         CAST(value AS DECIMAL(18,6)) AS v, value
+  FROM events),
+per AS (
+  SELECT event_type, ab, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(v) AS DECIMAL(38,6)) AS s1,
+    CAST(sum(CAST(value AS DECIMAL(19,6)) * v) AS DECIMAL(38,12)) AS s2
+  FROM s GROUP BY 1, 2),
+piv AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN ab = 0 THEN n END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN ab = 1 THEN n END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN ab = 0 THEN s1 END) AS DECIMAL(38,6)) AS s1a,
+    CAST(sum(CASE WHEN ab = 1 THEN s1 END) AS DECIMAL(38,6)) AS s1b,
+    CAST(sum(CASE WHEN ab = 0 THEN s2 END) AS DECIMAL(38,12)) AS s2a,
+    CAST(sum(CASE WHEN ab = 1 THEN s2 END) AS DECIMAL(38,12)) AS s2b
+  FROM per GROUP BY 1),
+d AS (
+  SELECT event_type, n_a, n_b,
+    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+    CAST(s1a AS DOUBLE) AS s1ad, CAST(s1b AS DOUBLE) AS s1bd,
+    CAST(s2a AS DOUBLE) AS s2ad, CAST(s2b AS DOUBLE) AS s2bd
+  FROM piv),
+f AS (
+  SELECT event_type, n_a, n_b,
+    s1ad / nad AS ma, s1bd / nbd AS mb,
+    CASE WHEN n_a > 1 THEN greatest((s2ad - s1ad * s1ad / nad) / (nad - 1.0), 0.0) END AS va,
+    CASE WHEN n_b > 1 THEN greatest((s2bd - s1bd * s1bd / nbd) / (nbd - 1.0), 0.0) END AS vb,
+    nad, nbd
+  FROM d),
+g AS (SELECT *, va / nad + vb / nbd AS se2 FROM f)
+SELECT event_type, n_a, n_b,
+  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+  round(CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN (ma - mb) / sqrt(se2) END, 6) AS t_stat,
+  round(CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+        THEN se2 * se2 / ((va / nad) * (va / nad) / (nad - 1.0)
+                          + (vb / nbd) * (vb / nbd) / (nbd - 1.0)) END, 6) AS welch_df
+FROM g"""
+
     o["events_cusum"] = """
 WITH s AS (
   SELECT event_type, epoch_us(ts) AS event_us, event_id,

@@ -786,3 +786,25 @@ def test_proportional_allocation_exact_budget(spark):
 
     with _pytest.raises(ValueError):
         proportional_allocation(df, ["s"], -1)
+
+
+def test_classification_report_hand_case(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        classification_report,
+        confusion_matrix,
+    )
+
+    # labels: a,a,a,b,b,c ; preds: a,a,b,b,b,b  (c never predicted)
+    rows = list(zip(["a", "a", "a", "b", "b", "c"], ["a", "a", "b", "b", "b", "b"]))
+    df = spark.createDataFrame(rows, "y string, p string")
+    cm = {(r["label"], r["pred"]): r["n"] for r in confusion_matrix(df, "y", "p").collect()}
+    assert cm[("a", "a")] == 2 and cm[("a", "b")] == 1 and cm[("c", "b")] == 1
+
+    rep = {r["cls"]: r for r in classification_report(df, "y", "p").collect()}
+    assert rep["a"]["precision"] == 1.0 and rep["a"]["recall"] == pytest.approx(2 / 3)
+    assert rep["a"]["f1"] == pytest.approx(0.8)
+    assert rep["b"]["precision"] == pytest.approx(0.5) and rep["b"]["recall"] == 1.0
+    # class never predicted: precision NULL, recall 0, f1 NULL
+    assert rep["c"]["precision"] is None and rep["c"]["recall"] == 0.0
+    assert rep["c"]["f1"] is None
+    assert rep["c"]["support"] == 1 and rep["c"]["n_predicted"] == 0

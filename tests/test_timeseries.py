@@ -525,3 +525,35 @@ def test_cusum_closed_form_matches_recurrence(spark):
     # alarm fires once the shift persists: 2.5/sample -> sample 14 (5th after shift)
     alarms = [r["seq"] for r in out if r["alarm"]]
     assert alarms and min(alarms) == 14
+
+
+def test_welch_t_hand_case_and_guards(spark):
+    import math
+
+    from opentelemetry_collector_contrib_spark.operators.timeseries import welch_t
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]          # mean 3, var 2.5
+    b = [6.0, 6.0, 8.0, 8.0]               # mean 7, var 4/3
+    rows = [("k", 0, v) for v in a] + [("k", 1, v) for v in b]
+    df = spark.createDataFrame(rows, "k string, ab int, value double")
+    r = welch_t(df, ["k"], "ab").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["mean_a"] == 3.0 and r["mean_b"] == 7.0
+    se2 = 2.5 / 5 + (4 / 3) / 4
+    assert r["t_stat"] == pytest.approx((3.0 - 7.0) / math.sqrt(se2), abs=1e-6)
+    dof = se2**2 / ((0.5) ** 2 / 4 + (1 / 3) ** 2 / 3)
+    assert r["welch_df"] == pytest.approx(dof, abs=1e-4)
+
+    # degenerate: single-sample side -> NULL t
+    tiny = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 1, 2.0), ("k", 1, 3.0)], "k string, ab int, value double"
+    )
+    assert welch_t(tiny, ["k"], "ab").collect()[0]["t_stat"] is None
+
+    import pytest as _pytest
+
+    three = spark.createDataFrame(
+        [("k", i % 3, float(i)) for i in range(9)], "k string, ab int, value double"
+    )
+    with _pytest.raises(ValueError):
+        welch_t(three, ["k"], "ab")
