@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 _US = 1_000_000
 
@@ -931,4 +932,61 @@ def welch_t(
         F.round(mb, 6).alias("mean_b"),
         F.round(t, 6).alias("t_stat"),
         F.round(F.when(t.isNotNull(), dof), 6).alias("welch_df"),
+    )
+
+
+# --- seasonal baseline + residual anomalies ----------------------------------
+def seasonal_profile(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season: str = "hour_of_day",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-naive baseline per key: the per-(key, season-bucket) mean
+    and stddev become the expected level for every event in that bucket,
+    and the residual z-score flags events that deviate from their OWN
+    hour's normal — the fix for the classic false-alarm source where a
+    flat threshold pages every night-vs-day swing.
+
+    season: hour_of_day (0-23) | day_of_week (1-7) | hour_of_week
+    (0-167). Two-moment decimal-exact per-bucket stats (order-free), one
+    broadcast-sized join back (buckets = keys × season cardinality, tiny
+    vs rows). z NULL when the bucket has n < 2 or zero variance.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    if season == "hour_of_day":
+        bucket = F.hour(ts)
+    elif season == "day_of_week":
+        bucket = F.dayofweek(ts)
+    elif season == "hour_of_week":
+        bucket = (F.dayofweek(ts) - 1) * 24 + F.hour(ts)
+    else:
+        raise ValueError(f"unknown season {season!r}")
+    v = F.col(value_col).cast("decimal(18,6)")
+    staged = df.withColumn("_b", bucket.cast("int"))
+    prof = staged.groupBy(*keys, "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(v).cast("decimal(38,6)").alias("_s1"),
+        F.sum(F.col(value_col).cast("decimal(19,6)") * v).cast("decimal(38,12)").alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    var = F.when(F.col("_n") > 1, F.greatest((s2 - s1 * s1 / n) / (n - 1.0), F.lit(0.0)))
+    prof = prof.select(
+        *keys, "_b", "_n", mean.alias("_mean"), F.sqrt(var).alias("_sd")
+    )
+    joined = staged.join(broadcast(prof), [*keys, "_b"])
+    resid = F.col(value_col).cast("double") - F.col("_mean")
+    z = F.when(F.col("_sd") > 0.0, resid / F.col("_sd"))
+    return joined.select(
+        *[c for c in df.columns],
+        F.col("_b").alias("season_bucket"),
+        F.round("_mean", 6).alias("baseline"),
+        F.round(resid, 6).alias("residual"),
+        F.round(z, 6).alias("season_z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("season_anomaly"),
     )

@@ -1119,6 +1119,21 @@ def q_events_late_profile(spark, sf_dir):
     return late_arrival_profile(_events(spark, sf_dir), ["user_id"])
 
 
+def q_events_hourly_residuals(spark, sf_dir):
+    """Per-EVENT residual z against the (event_type, hour-of-day)
+    seasonal-naive baseline — deviations measured against each hour's
+    OWN normal rather than a flat threshold (the night-vs-day
+    false-alarm fix). Complements events_seasonal_baseline's per-day
+    deviation rollup with row-level anomaly flags."""
+    from ..operators.timeseries import seasonal_profile
+
+    out = seasonal_profile(_events(spark, sf_dir), ["event_type"])
+    return out.select(
+        "event_id", "event_type", "season_bucket",
+        "baseline", "residual", "season_z", "season_anomaly",
+    )
+
+
 def q_events_welch_ab(spark, sf_dir):
     """Welch's unequal-variance t between the even/odd user cohorts per
     event type — the A/B metric-comparison primitive. Decimal-exact
@@ -4993,6 +5008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_benford": q_events_benford,
     "events_cusum": q_events_cusum,
     "events_welch_ab": q_events_welch_ab,
+    "events_hourly_residuals": q_events_hourly_residuals,
     "events_flap_profile": q_events_flap_profile,
     "events_autocorr": q_events_autocorr,
     "dp_event_counts": q_dp_event_counts,
@@ -6258,6 +6274,34 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    o["events_hourly_residuals"] = """
+WITH s AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+         CAST(hour(ts) AS INT) AS b,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events),
+prof AS (
+  SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(v) AS DECIMAL(38,6)) AS s1,
+    CAST(sum(CAST(value AS DECIMAL(19,6)) * v) AS DECIMAL(38,12)) AS s2
+  FROM s GROUP BY 1, 2),
+p2 AS (
+  SELECT event_type, b, n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    sqrt(CASE WHEN n > 1 THEN greatest(
+      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0), 0.0) END) AS sd
+  FROM prof),
+j AS (
+  SELECT s.event_id, s.event_type, s.b AS season_bucket,
+         p2.mean, p2.sd, s.value - p2.mean AS resid
+  FROM s JOIN p2 ON s.event_type = p2.event_type AND s.b = p2.b)
+SELECT event_id, event_type, season_bucket,
+  round(mean, 6) AS baseline, round(resid, 6) AS residual,
+  round(CASE WHEN sd > 0 THEN resid / sd END, 6) AS season_z,
+  coalesce(abs(CASE WHEN sd > 0 THEN resid / sd END) > 3.0, FALSE) AS season_anomaly
+FROM j"""
+
     # Welch t: the double expressions mirror the Spark operator's
     # association order; all sums decimal (order-free).
     o["events_welch_ab"] = """

@@ -557,3 +557,28 @@ def test_welch_t_hand_case_and_guards(spark):
     )
     with _pytest.raises(ValueError):
         welch_t(three, ["k"], "ab")
+
+
+def test_seasonal_profile_flags_off_hour_value(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import seasonal_profile
+
+    base = dt.datetime(2026, 1, 5)  # Monday
+    rows = []
+    # hour 3 normally ~10 (20 samples, small spread); hour 12 normally ~100
+    for d in range(10):
+        rows.append(("k", base + dt.timedelta(days=d, hours=3), 10.0 + (d % 2)))
+        rows.append(("k", base + dt.timedelta(days=d, hours=12), 100.0 + (d % 2)))
+    # an 80 at 3am is a screaming anomaly vs hour-3's normal, but would
+    # look FINE vs a flat threshold tuned to hour-12 traffic
+    rows.append(("k", base + dt.timedelta(days=10, hours=3), 80.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = seasonal_profile(df, ["k"])
+    anom = [r for r in out.collect() if r["season_anomaly"]]
+    assert len(anom) == 1
+    assert anom[0]["value"] == 80.0 and anom[0]["season_bucket"] == 3
+    assert anom[0]["season_z"] > 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        seasonal_profile(df, ["k"], season="lunar")
