@@ -990,3 +990,72 @@ def seasonal_profile(
         F.round(z, 6).alias("season_z"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("season_anomaly"),
     )
+
+
+# --- Mann-Whitney U (rank-sum) A/B -------------------------------------------
+def mann_whitney_u(
+    df: DataFrame,
+    keys: list[str],
+    variant_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two variants of
+    `variant_col` per key — the non-parametric sibling of welch_t for
+    skewed metrics (latencies) where means mislead. Mid-ranks handle
+    ties; the normal-approximation z uses the tie-corrected variance
+    n1·n2/12 · ((N+1) − Σ(t³−t)/(N(N−1))). Everything through the rank
+    sums is half-integer-exact; z is the only transcendental-free double
+    chain (one sqrt).
+
+    One rank window per key + two hash aggs (rank sums + tie groups).
+    U/n1n2 is also the A>B win probability — the effect size worth
+    reading alongside z."""
+    v = F.col(value_col)
+    w = Window.partitionBy(*keys).orderBy(v)
+    peers = Window.partitionBy(*keys, value_col)
+    ranked = df.select(
+        *keys,
+        F.col(variant_col).alias("_var"),
+        v.alias("_v"),
+        (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(peers) - 1) / 2.0
+        ).alias("_r"),
+    )
+    variants = [r["_var"] for r in ranked.select("_var").distinct().orderBy("_var").collect()]
+    if len(variants) != 2:
+        raise ValueError(f"mann_whitney_u expects exactly 2 variants, got {variants}")
+    a, b = variants
+    ties = (
+        ranked.groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_t").cast("decimal(19,0)") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).cast("decimal(38,0)").alias("_tie3"),
+        )
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_var") == a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("_var") == b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("_var") == a, F.col("_r"))).alias("_ra"),
+    ).join(ties, keys)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("_ra") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    var = (
+        na * nb / 12.0 * ((n + 1.0) - F.col("_tie3").cast("double") / (n * (n - 1.0)))
+    )
+    z = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0.0), (u - mu) / F.sqrt(var))
+    win = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), u / (na * nb))
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(win, 6).alias("p_a_gt_b"),
+    )

@@ -1147,6 +1147,19 @@ def q_events_welch_ab(spark, sf_dir):
     return welch_t(ev, ["event_type"], "ab")
 
 
+def q_events_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U between the even/odd user cohorts per event type —
+    the non-parametric A/B sibling of events_welch_ab for skewed
+    metrics; tie-corrected normal-approximation z + the U/n1n2 win
+    probability effect size."""
+    from ..operators.timeseries import mann_whitney_u
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ab", F.pmod(F.col("user_id"), F.lit(2)).cast("int")
+    )
+    return mann_whitney_u(ev, ["event_type"], "ab")
+
+
 def q_events_cusum(spark, sf_dir):
     """Page's CUSUM mean-shift statistic per event type over the gauge
     value (target 50, threshold 500) — the sequential-looking recurrence
@@ -5009,6 +5022,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum": q_events_cusum,
     "events_welch_ab": q_events_welch_ab,
     "events_hourly_residuals": q_events_hourly_residuals,
+    "events_mann_whitney": q_events_mann_whitney,
     "events_flap_profile": q_events_flap_profile,
     "events_autocorr": q_events_autocorr,
     "dp_event_counts": q_dp_event_counts,
@@ -6274,6 +6288,44 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    o["events_mann_whitney"] = """
+WITH s AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS ab, value FROM events),
+r AS (
+  SELECT event_type, ab, value,
+    rank() OVER (PARTITION BY event_type ORDER BY value)
+      + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rr
+  FROM s),
+ties AS (
+  SELECT event_type,
+    CAST(sum(CAST(t AS DECIMAL(19,0)) * t * t - t) AS DECIMAL(38,0)) AS tie3
+  FROM (SELECT event_type, value, count(*) AS t FROM s GROUP BY 1, 2)
+  GROUP BY 1),
+a AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN ab = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN ab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    sum(CASE WHEN ab = 0 THEN rr END) AS ra
+  FROM r GROUP BY 1),
+d AS (
+  SELECT a.event_type, n_a, n_b,
+    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+    ra, CAST(tie3 AS DOUBLE) AS tie3d
+  FROM a JOIN ties ON a.event_type = ties.event_type),
+f AS (
+  SELECT event_type, n_a, n_b,
+    ra - nad * (nad + 1.0) / 2.0 AS u,
+    nad * nbd / 2.0 AS mu,
+    nad * nbd / 12.0 * (((nad + nbd) + 1.0)
+      - tie3d / ((nad + nbd) * ((nad + nbd) - 1.0))) AS var,
+    nad, nbd
+  FROM d)
+SELECT event_type, n_a, n_b,
+  round(u, 6) AS u_stat,
+  round(CASE WHEN n_a > 0 AND n_b > 0 AND var > 0 THEN (u - mu) / sqrt(var) END, 6) AS z,
+  round(CASE WHEN n_a > 0 AND n_b > 0 THEN u / (nad * nbd) END, 6) AS p_a_gt_b
+FROM f"""
+
     o["events_hourly_residuals"] = """
 WITH s AS (
   SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,

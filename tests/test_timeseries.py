@@ -582,3 +582,33 @@ def test_seasonal_profile_flags_off_hour_value(spark):
 
     with _pytest.raises(ValueError):
         seasonal_profile(df, ["k"], season="lunar")
+
+
+def test_mann_whitney_hand_case(spark):
+    from opentelemetry_collector_contrib_spark.operators.timeseries import mann_whitney_u
+
+    # a = {1,2,3}, b = {4,5,6}: every b beats every a -> U_a = 0, win P(a>b)=0
+    rows = [("k", 0, 1.0), ("k", 0, 2.0), ("k", 0, 3.0),
+            ("k", 1, 4.0), ("k", 1, 5.0), ("k", 1, 6.0)]
+    df = spark.createDataFrame(rows, "k string, ab int, value double")
+    r = mann_whitney_u(df, ["k"], "ab").collect()[0]
+    assert r["u_stat"] == 0.0 and r["p_a_gt_b"] == 0.0
+    assert r["z"] == pytest.approx(-1.963961, abs=1e-4)  # (0-4.5)/sqrt(5.25)
+
+    # identical distributions -> U = n1*n2/2, z = 0... ties everywhere
+    same = spark.createDataFrame(
+        [("k", i % 2, 7.0) for i in range(10)], "k string, ab int, value double"
+    )
+    r2 = mann_whitney_u(same, ["k"], "ab").collect()[0]
+    assert r2["u_stat"] == pytest.approx(12.5)  # all mid-ranks equal
+    assert r2["z"] is None  # all-tied: tie-corrected variance is 0
+    assert r2["p_a_gt_b"] == pytest.approx(0.5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mann_whitney_u(
+            spark.createDataFrame([("k", i % 3, float(i)) for i in range(6)],
+                                  "k string, ab int, value double"),
+            ["k"], "ab",
+        )
