@@ -121,3 +121,91 @@ def write_sinks_resumable(
             metrics.record_sink(name, sum(part_rows))
         written[name] = path
     return written
+
+
+# --- backfill planner --------------------------------------------------------
+def input_fingerprint(part_dir: str) -> str:
+    """Content fingerprint of one input partition directory: md5 over the
+    sorted (relative name, size, mtime_ns) of its data files. Metadata-
+    only — no data read — so planning over thousands of partitions is a
+    listing, not a scan; any rewrite/append/delete changes the print."""
+    import hashlib
+
+    entries = []
+    for root, _dirs, files in os.walk(part_dir):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            entries.append(f"{os.path.relpath(p, part_dir)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+
+
+class BackfillLedger:
+    """Which input partitions a pipeline has processed, and the input
+    fingerprint each was processed AT. Same atomic-replace JSON commit
+    contract as LineageManifest."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._done: dict[str, str] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self._done = json.load(f)
+
+    def mark_processed(self, partition: str, fingerprint: str) -> None:
+        self._done[partition] = fingerprint
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(self._done, f)
+        os.replace(tmp, self.path)
+
+    def processed(self) -> dict[str, str]:
+        return dict(self._done)
+
+
+def plan_backfill(
+    input_root: str,
+    ledger: BackfillLedger,
+    pattern: str = "*=*",
+) -> dict:
+    """The work-list diff every scheduled 100 TB pipeline starts from:
+    list the hive-style input partitions under `input_root`, compare
+    against the ledger, and bucket them —
+
+      todo   — never processed
+      stale  — processed, but the input fingerprint CHANGED since
+               (late-arriving rewrite/append → reprocess)
+      done   — processed and unchanged
+      orphan — in the ledger but no longer on disk (input retention
+               passed it; surfaced, never silently dropped)
+
+    Deterministic, metadata-only, idempotent: running the plan twice
+    yields the same lists. Each entry carries the current fingerprint so
+    the runner can mark_processed() exactly what it planned against
+    (TOCTOU-safe: a partition that changes mid-run re-plans as stale)."""
+    import fnmatch
+
+    parts = sorted(
+        d
+        for d in os.listdir(input_root)
+        if os.path.isdir(os.path.join(input_root, d)) and fnmatch.fnmatch(d, pattern)
+    ) if os.path.isdir(input_root) else []
+    done = ledger.processed()
+    plan = {"todo": [], "stale": [], "done": [], "orphan": []}
+    for p in parts:
+        fp = input_fingerprint(os.path.join(input_root, p))
+        entry = {"partition": p, "fingerprint": fp}
+        if p not in done:
+            plan["todo"].append(entry)
+        elif done[p] != fp:
+            plan["stale"].append(entry)
+        else:
+            plan["done"].append(entry)
+    on_disk = set(parts)
+    plan["orphan"] = [
+        {"partition": p, "fingerprint": fp} for p, fp in sorted(done.items()) if p not in on_disk
+    ]
+    return plan

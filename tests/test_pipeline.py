@@ -178,3 +178,59 @@ def test_kafka_partitioner_algebra(spark):
         for r in rows:
             by_key.setdefault(r["key"], set()).add(r["kafka_partition"])
         assert all(len(v) == 1 for v in by_key.values())  # sticky
+
+
+def test_backfill_planner_diffs_input_partitions(tmp_path):
+    import os
+    import time
+
+    from opentelemetry_collector_contrib_spark.plans.lineage import (
+        BackfillLedger,
+        input_fingerprint,
+        plan_backfill,
+    )
+
+    root = tmp_path / "in"
+    for d in ("dt=2026-01-01", "dt=2026-01-02", "dt=2026-01-03"):
+        p = root / d
+        p.mkdir(parents=True)
+        (p / "part-0.parquet").write_bytes(b"x" * 10)
+        (p / "_SUCCESS").write_text("")  # marker files excluded from prints
+
+    ledger = BackfillLedger(str(tmp_path / "ledger.json"))
+    plan = plan_backfill(str(root), ledger, "dt=*")
+    assert [e["partition"] for e in plan["todo"]] == [
+        "dt=2026-01-01", "dt=2026-01-02", "dt=2026-01-03"
+    ]
+    assert plan["stale"] == plan["done"] == plan["orphan"] == []
+
+    # process two partitions at their planned fingerprints
+    for e in plan["todo"][:2]:
+        ledger.mark_processed(e["partition"], e["fingerprint"])
+    plan2 = plan_backfill(str(root), ledger, "dt=*")
+    assert [e["partition"] for e in plan2["todo"]] == ["dt=2026-01-03"]
+    assert len(plan2["done"]) == 2
+
+    # late-arriving rewrite: change a file in a done partition -> stale
+    f = root / "dt=2026-01-01" / "part-0.parquet"
+    f.write_bytes(b"y" * 99)
+    os.utime(f, (time.time() + 5, time.time() + 5))
+    plan3 = plan_backfill(str(root), ledger, "dt=*")
+    assert [e["partition"] for e in plan3["stale"]] == ["dt=2026-01-01"]
+
+    # reprocess at the CURRENT print -> done again; ledger survives reload
+    ledger2 = BackfillLedger(str(tmp_path / "ledger.json"))
+    ledger2.mark_processed("dt=2026-01-01", plan3["stale"][0]["fingerprint"])
+    plan4 = plan_backfill(str(root), ledger2, "dt=*")
+    assert plan4["stale"] == [] and len(plan4["done"]) == 2
+
+    # retention removed a partition the ledger knows -> orphan, surfaced
+    import shutil
+
+    shutil.rmtree(root / "dt=2026-01-02")
+    plan5 = plan_backfill(str(root), ledger2, "dt=*")
+    assert [e["partition"] for e in plan5["orphan"]] == ["dt=2026-01-02"]
+
+    # marker files don't perturb the fingerprint
+    (root / "dt=2026-01-01" / "_metadata").write_text("noise")
+    assert input_fingerprint(str(root / "dt=2026-01-01")) == plan3["stale"][0]["fingerprint"]
