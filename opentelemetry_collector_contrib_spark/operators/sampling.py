@@ -47,8 +47,9 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 MAX_ADJUSTED_COUNT = 1 << 56  # threshold.go:14 (2^56)
 NUM_HEX_DIGITS = 14
@@ -514,4 +515,64 @@ def consistent_sample(
         .withColumn("adjusted_count", out_adj)
         .drop("_tv_raw", "_rv_raw", "_th_in", "_rnd_explicit", "_rnd0", "_th_dec",
               "_cerr", "_th_fin", "_th_in_eff")
+    )
+
+
+# --- max-min fair share allocation -------------------------------------------
+def max_min_fair_share(
+    df: DataFrame,
+    tenant_cols: list[str],
+    demand_col: str,
+    capacity: float,
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a shared ingest
+    capacity across tenants — the multi-tenant rate-limit planner: small
+    tenants get their full demand, large tenants split what remains
+    equally, and no tenant can gain without a smaller one losing. The
+    dynamicsampling/rate-limit policies decide WHEN to shed; this decides
+    WHO gets how much.
+
+    The iterative water-level algorithm has a sort-order closed form:
+    with demands ascending, tenant i is fully satisfiable iff
+    prefix_{i−1} + d_i·(n−i+1) ≤ C (serving it at level d_i fits), and
+    the final water level T = (C − Σ satisfied demands) / #unsatisfied.
+    One sort window + one aggregate — no iteration, no driver loop.
+    Demands and prefixes are decimal-exact; T is the one double
+    division. If total demand ≤ C everyone gets their demand. Ties in
+    demand are safe: satisfiability is monotone in the sorted order and
+    equal demands share equal verdicts.
+
+    Output per tenant: demand, share (≤ demand), capped flag."""
+    if capacity < 0:
+        raise ValueError("capacity must be non-negative")
+    d = F.col(demand_col).cast("decimal(18,6)")
+    w = Window.orderBy(F.col(demand_col).asc(), *[F.col(c) for c in tenant_cols])
+    cum = w.rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    cap = F.lit(capacity).cast("decimal(18,6)")
+    staged = df.select(
+        *tenant_cols,
+        d.alias("_d"),
+        F.coalesce(F.sum(d).over(cum), F.lit(0).cast("decimal(28,6)")).alias("_pfx"),
+        (F.count(F.lit(1)).over(tot) - F.row_number().over(w) + 1).alias("_rem"),
+    )
+    sat = (F.col("_pfx") + F.col("_d") * F.col("_rem")) <= cap
+    flagged = staged.select(*tenant_cols, "_d", sat.alias("_sat"))
+    level = flagged.select(
+        F.coalesce(
+            F.sum(F.when(F.col("_sat"), F.col("_d"))), F.lit(0).cast("decimal(28,6)")
+        ).alias("_served"),
+        F.sum((~F.col("_sat")).cast("int")).alias("_n_uns"),
+    ).withColumn("_k", F.lit(1))
+    out = flagged.withColumn("_k", F.lit(1)).join(broadcast(level), "_k")
+    t_level = F.when(
+        F.col("_n_uns") > 0,
+        (cap.cast("double") - F.col("_served").cast("double")) / F.col("_n_uns"),
+    )
+    share = F.when(F.col("_sat"), F.col("_d").cast("double")).otherwise(t_level)
+    return out.select(
+        *tenant_cols,
+        F.round(F.col("_d").cast("double"), 6).alias("demand"),
+        F.round(share, 6).alias("share"),
+        (~F.col("_sat")).alias("capped"),
     )

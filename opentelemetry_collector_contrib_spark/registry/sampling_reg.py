@@ -197,7 +197,23 @@ def q_tail_sampling_tracestate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("trace", "prob", "sampled")
 
 
+def q_tenant_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) split of a 5,000 events/interval
+    ingest capacity across per-user demands — small tenants keep their
+    full volume, big tenants split the remainder equally at the computed
+    water level. Sort-window closed form, no iteration."""
+    from ..operators.sampling import max_min_fair_share
+
+    demand = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("demand"))
+    )
+    return max_min_fair_share(demand, ["user_id"], "demand", 5000.0)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tenant_fair_share": q_tenant_fair_share,
     "consistent_tracestate_parse": q_tracestate_parse,
     "consistent_sample_proportional": q_sample_proportional,
     "consistent_sample_equalizing": q_sample_equalizing,
@@ -249,6 +265,33 @@ def _adj_sql(th: str) -> str:
 
 def _oracles() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    # water-filling closed form: satisfiable iff prefix + d*(remaining) <= C
+    o["tenant_fair_share"] = """
+WITH dem AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS demand FROM events GROUP BY 1),
+s AS (
+  SELECT user_id, CAST(demand AS DECIMAL(18,6)) AS d, demand,
+    CAST(coalesce(sum(CAST(demand AS DECIMAL(18,6))) OVER
+      (ORDER BY demand ASC, user_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      CAST(0 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS pfx,
+    count(*) OVER () - row_number() OVER (ORDER BY demand ASC, user_id) + 1 AS rem
+  FROM dem),
+f AS (
+  SELECT user_id, d,
+    (pfx + CAST(d AS DECIMAL(19,6)) * rem) <= CAST(5000.0 AS DECIMAL(18,6)) AS sat
+  FROM s),
+lvl AS (
+  SELECT CAST(coalesce(sum(CASE WHEN sat THEN d END), CAST(0 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS served,
+    sum(CASE WHEN sat THEN 0 ELSE 1 END) AS n_uns
+  FROM f)
+SELECT user_id, round(CAST(d AS DOUBLE), 6) AS demand,
+  round(CASE WHEN sat THEN CAST(d AS DOUBLE)
+        ELSE CASE WHEN n_uns > 0
+             THEN (CAST(CAST(5000.0 AS DECIMAL(18,6)) AS DOUBLE) - CAST(served AS DOUBLE)) / n_uns END
+        END, 6) AS share,
+  NOT sat AS capped
+FROM f, lvl"""
 
     o["consistent_tracestate_parse"] = r"""
 WITH base AS (

@@ -398,3 +398,33 @@ def test_streaming_consistent_sample_matches_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.table("samp_stream").collect())
     want = sorted(tuple(r) for r in pipe(spark.read.parquet(spool)).collect())
     assert got == want and len(got) > 0
+
+
+def test_max_min_fair_share_water_filling(spark):
+    from opentelemetry_collector_contrib_spark.operators.sampling import max_min_fair_share
+
+    # demands 2, 4, 10, 10 with capacity 20: 2 and 4 fully served,
+    # the two big tenants split the remaining 14 -> 7 each
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", 4.0), ("c", 10.0), ("d", 10.0)], "t string, demand double"
+    )
+    out = {r["t"]: r for r in max_min_fair_share(df, ["t"], "demand", 20.0).collect()}
+    assert out["a"]["share"] == 2.0 and not out["a"]["capped"]
+    assert out["b"]["share"] == 4.0 and not out["b"]["capped"]
+    assert out["c"]["share"] == 7.0 and out["c"]["capped"]
+    assert out["d"]["share"] == 7.0 and out["d"]["capped"]
+    assert sum(r["share"] for r in out.values()) == pytest.approx(20.0)
+
+    # capacity exceeds total demand -> everyone satisfied
+    out2 = {r["t"]: r for r in max_min_fair_share(df, ["t"], "demand", 100.0).collect()}
+    assert all(not r["capped"] for r in out2.values())
+    assert sum(r["share"] for r in out2.values()) == pytest.approx(26.0)
+
+    # zero capacity -> every tenant capped at level 0
+    out3 = {r["t"]: r for r in max_min_fair_share(df, ["t"], "demand", 0.0).collect()}
+    assert all(r["capped"] and r["share"] == 0.0 for r in out3.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        max_min_fair_share(df, ["t"], "demand", -1.0)
