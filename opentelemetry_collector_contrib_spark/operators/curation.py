@@ -1663,16 +1663,15 @@ def upsample_repeat(
 
 
 # --- differentially-private aggregate release --------------------------------
-_TWO60 = float(1 << 60)
-
-
 def _laplace_noise(key: Column, scale: float, seed: str) -> Column:
     """Deterministic Laplace(scale) noise from the portable 60-bit hash:
-    u = h60/2^60 - 0.5 ∈ [-0.5, 0.5), noise = -scale·sign(u)·ln(1-2|u|)
+    u = u60(key:seed) - 0.5 ∈ [-0.5, 0.5), noise = -scale·sign(u)·ln(1-2|u|)
     (inverse-CDF). Seeded by (key, seed) so releases are reproducible AND
     engine-portable — the DuckDB oracle draws the identical noise. The
     1-2|u|=0 edge (probability 2^-60) is floored at 1e-18 instead of ±inf."""
-    u = (h60(F.concat_ws("\x1f", key, F.lit(seed))) / F.lit(_TWO60)) - 0.5
+    from .textstats import u60
+
+    u = u60(F.concat_ws("\x1f", key, F.lit(seed))) - 0.5
     mag = F.greatest(F.lit(1.0) - 2.0 * F.abs(u), F.lit(1e-18))
     return -F.lit(scale) * F.signum(u) * F.log(mag)
 
@@ -1698,7 +1697,9 @@ def dp_noisy_counts(
     scale."""
     if epsilon <= 0:
         raise ValueError("epsilon must be positive")
-    gk = F.concat_ws("\x1f", *[F.col(k) for k in keys])
+    gk = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in keys]
+    )
     return (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("true_n"))
@@ -1726,7 +1727,9 @@ def dp_noisy_sum(
     if epsilon <= 0 or clip <= 0:
         raise ValueError("epsilon and clip must be positive")
     v = F.least(F.greatest(F.col(value_col).cast("double"), F.lit(0.0)), F.lit(clip))
-    gk = F.concat_ws("\x1f", *[F.col(k) for k in keys])
+    gk = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(k).cast("string"), F.lit("\x00null")) for k in keys]
+    )
     return (
         df.groupBy(*keys)
         .agg(F.sum(v.cast("decimal(18,6)")).cast("double").alias("true_sum"))
@@ -1809,8 +1812,11 @@ def auc_rank_sum(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         "p",
         "n",
         F.round(
-            (F.col("rank_pos") - F.col("p") * (F.col("p") + 1) / 2.0)
-            / (F.col("p") * F.col("n")),
+            F.when(
+                (F.col("p") > 0) & (F.col("n") > 0),
+                (F.col("rank_pos") - F.col("p") * (F.col("p") + 1) / 2.0)
+                / (F.col("p") * F.col("n")),
+            ),
             6,
         ).alias("auc"),
     )
@@ -1827,10 +1833,15 @@ def majority_vote(
     modal label (ties broken by label string order — deterministic), its
     support, and the per-item pairwise agreement
     P_i = Σ_c n_c(n_c−1) / (n(n−1)) — the fraction of rater PAIRS that
-    agree. The first step of every human-labeling pipeline. Two hash
-    aggs + one WindowGroupLimit (rank over per-item label counts)."""
-    counts = votes.groupBy(item_col, label_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    agree. Duplicate (item, rater, label) submissions collapse to ONE
+    vote first — a rater re-submitting must not inflate support or count
+    a self-pair as agreement. Two hash aggs + one WindowGroupLimit
+    (rank over per-item label counts)."""
+    counts = (
+        votes.select(item_col, rater_col, label_col)
+        .distinct()
+        .groupBy(item_col, label_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     w = Window.partitionBy(item_col).orderBy(F.col("_c").desc(), F.col(label_col))
     ranked = counts.select(
@@ -1867,7 +1878,12 @@ def fleiss_kappa(
     marginals. kappa = (Po − Pe)/(1 − Pe). Single-row output
     (n_items, n_votes, po, pe, kappa); everything up to the final
     division is integer-exact."""
-    counts = votes.groupBy(item_col, label_col).agg(F.count(F.lit(1)).alias("_c"))
+    counts = (
+        votes.select(item_col, rater_col, label_col)
+        .distinct()
+        .groupBy(item_col, label_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     per_item = counts.groupBy(item_col).agg(
         F.sum("_c").alias("_n"),
         F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ap"),

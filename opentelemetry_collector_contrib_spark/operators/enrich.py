@@ -367,8 +367,20 @@ def bloom_join(
         # NULL probe keys never equi-match: dropping them at the bloom
         # (NULL predicate → filtered) is a correct bonus prune here.
         return pruned.join(dim, on=cond, how=how)
-    matched = pruned.join(dim, on=cond, how="left")
+    # Left path: dim columns ride under a __dim_ prefix internally so a
+    # dim column sharing a name with a probe column (the right_key ==
+    # left_key default included) can neither collide in the union nor
+    # clobber probe data in the misses branch; prefixes are stripped
+    # afterwards wherever the bare name is free.
+    dtypes = dict(dim.dtypes)
+    renamed = dim.select([F.col(c).alias(f"__dim_{c}") for c in dim.columns])
+    cond = pruned[left_key] == renamed[f"__dim_{right_key}"]
+    matched = pruned.join(renamed, on=cond, how="left")
     misses = big.filter(~F.coalesce(mc, F.lit(False)))  # keep NULL keys
-    for name, dtype in dim.dtypes:
-        misses = misses.withColumn(name, F.lit(None).cast(dtype))
-    return matched.unionByName(misses)
+    for name in dim.columns:
+        misses = misses.withColumn(f"__dim_{name}", F.lit(None).cast(dtypes[name]))
+    out = matched.unionByName(misses)
+    for name in dim.columns:
+        if name not in big.columns:
+            out = out.withColumnRenamed(f"__dim_{name}", name)
+    return out

@@ -219,9 +219,6 @@ _POIS1_CDF = [
     0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
     0.9999167588507119, 0.9999897508033253,
 ]
-_TWO60 = float(1 << 60)
-
-
 def bootstrap_ci(
     df: DataFrame,
     id_col: str,
@@ -251,9 +248,9 @@ def bootstrap_ci(
     cdf = F.lit(_POIS1_CDF)
 
     def w(r: int) -> Column:
-        u = h60(
-            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(r)), F.lit(seed))
-        ) / F.lit(_TWO60)
+        from .textstats import u60
+
+        u = u60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(r)), F.lit(seed)))
         return F.size(F.filter(cdf, lambda c: c < u))
 
     # exact-decimal corpus sum: avg(double) is summation-order-sensitive

@@ -32,6 +32,15 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def u60(col: Column) -> Column:
+    """Portable uniform in [0, 1): h60/2^60. The ONE normalization every
+    hash-seeded draw (Laplace noise, bootstrap weights) must share — a
+    second hand-rolled copy that drifts desynchronizes Spark from every
+    oracle. DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT) /
+    1152921504606846976.0."""
+    return h60(col) / F.lit(float(1 << 60))
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization, empty-safe, identical to DuckDB's
     regexp_split_to_array(trim(x), '\\s+') filtered of empties."""

@@ -615,6 +615,7 @@ def write_audit_publish(
     mode: str = "append",
     summary: dict | None = None,
     stats_cols: list[str] | None = None,
+    audit_scope: str = "batch",
 ) -> dict:
     """Write-Audit-Publish: the production ingest gate (Iceberg's WAP
     pattern, branch-free version). Data is STAGED into an immutable
@@ -627,6 +628,13 @@ def write_audit_publish(
     un-audited data, and there is no window where they could (the commit
     IS the publish).
 
+    audit_scope: "batch" audits the staged files alone (cheap — right
+    for row-local checks like not_null/range/regex); "table" audits the
+    would-be post-commit state (current snapshot ∪ staged) — REQUIRED
+    for table-level invariants like `unique` under append, where a
+    batch-only audit cannot see a duplicate against already-published
+    rows (Iceberg's WAP audits the branch state for the same reason).
+
     Returns {"published": bool, "snapshot_id": str|None,
     "audit": [per-check rows], "n_violations": int}. Commit conflicts
     propagate (CommitConflict) after the staged data is dropped — the
@@ -636,6 +644,8 @@ def write_audit_publish(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if audit_scope not in ("batch", "table"):
+        raise ValueError(f"audit_scope must be batch|table, got {audit_scope!r}")
     store = SnapshotStore(table_path)
     new_schema = df.schema.json()
     current = store.current()
@@ -649,7 +659,13 @@ def write_audit_publish(
         if f.endswith(".parquet")
     )
     staged = spark.read.schema(df.schema).parquet(*files)
-    audit_rows = [r.asDict() for r in validate_contract(staged, checks).collect()]
+    audited = staged
+    if audit_scope == "table" and mode == "append" and current is not None:
+        existing = current.get("files") or []
+        if existing:
+            # audit the post-commit state readers would actually see
+            audited = spark.read.schema(df.schema).parquet(*existing).unionByName(staged)
+    audit_rows = [r.asDict() for r in validate_contract(audited, checks).collect()]
     n_viol = sum(int(r["n_violations"]) for r in audit_rows)
     if not all(r["passed"] for r in audit_rows):
         _drop_commit_dir(commit_dir)

@@ -2784,7 +2784,7 @@ a AS (SELECT sum(CASE WHEN y = 1 THEN rr END) AS rank_pos,
         CAST(sum(y) AS BIGINT) AS p,
         CAST(sum(1 - y) AS BIGINT) AS n
       FROM r)
-SELECT p, n, round((rank_pos - p * (p + 1) / 2.0) / (p * CAST(n AS DOUBLE)), 6) AS auc FROM a"""
+SELECT p, n, round(CASE WHEN p > 0 AND n > 0 THEN (rank_pos - p * (p + 1) / 2.0) / (p * CAST(n AS DOUBLE)) END, 6) AS auc FROM a"""
 
     # BPE: k=3 merge rounds unrolled; chr(31) is the symbol delimiter.
     # Symbols are joined with DOUBLE delimiters (single at the ends), so

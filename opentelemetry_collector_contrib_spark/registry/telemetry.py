@@ -6552,9 +6552,10 @@ SELECT event_id,
   old_event_type, new_event_type, old_value, new_value
 FROM j"""
 
+    # DISTINCT mirrors the operators' duplicate-submission collapse
     _votes_sql = (
-        "SELECT event_id % 500 AS item_id, user_id AS rater, event_type AS label"
-        " FROM events"
+        "SELECT DISTINCT event_id % 500 AS item_id, user_id AS rater,"
+        " event_type AS label FROM events"
     )
     o["label_majority_vote"] = f"""
 WITH v AS ({_votes_sql}),
@@ -6622,8 +6623,11 @@ WINDOW
     _lap = (
         "(-({scale}) * sign(u) * ln(greatest(1.0 - 2.0 * abs(u), 1e-18)))"
     )
+    # coalesce mirrors the operator's NULL-key sentinel (concat_ws skips
+    # NULLs in Spark; || propagates them in SQL)
     _u60 = (
-        "(CAST('0x' || substr(md5({key} || chr(31) || 'dp'), 1, 15) AS BIGINT)"
+        "(CAST('0x' || substr(md5(coalesce(CAST({key} AS VARCHAR), chr(0) || 'null')"
+        " || chr(31) || 'dp'), 1, 15) AS BIGINT)"
         " / 1152921504606846976.0 - 0.5)"
     )
     o["dp_event_counts"] = f"""

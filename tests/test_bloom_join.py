@@ -86,3 +86,17 @@ def test_bloom_prunes_probe_side(spark):
     # surviving fraction must stay well under 5%
     assert kept >= 500  # all true matches survive (5 rows per key value)
     assert kept <= 0.05 * 50_000
+
+
+def test_bloom_join_left_shared_key_name(spark):
+    # right_key defaults to left_key: dim's key column shares the probe's
+    # name — the misses branch must neither clobber probe keys with NULL
+    # nor break the union on duplicate names
+    big = spark.range(0, 50).select(F.col("id").alias("key"), (F.col("id") * 2).alias("payload"))
+    dim = spark.range(0, 10).select(F.col("id").alias("key"), F.lit("x").alias("attr"))
+    out = bloom_join(big, dim, "key", how="left")
+    rows = {r["key"]: r for r in out.collect()}
+    assert len(rows) == 50
+    assert rows[5]["attr"] == "x"
+    assert rows[45]["attr"] is None and rows[45]["key"] == 45  # key survives
+    assert rows[45]["payload"] == 90

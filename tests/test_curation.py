@@ -808,3 +808,42 @@ def test_classification_report_hand_case(spark):
     assert rep["c"]["precision"] is None and rep["c"]["recall"] == 0.0
     assert rep["c"]["f1"] is None
     assert rep["c"]["support"] == 1 and rep["c"]["n_predicted"] == 0
+
+
+def test_dp_noisy_counts_null_key_group(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import dp_noisy_counts
+
+    df = spark.createDataFrame([("a",)] * 5 + [(None,)] * 3, "event_type string")
+    rows = {r["event_type"]: r["noisy_n"] for r in dp_noisy_counts(df, ["event_type"]).collect()}
+    # the NULL-key group gets a real, deterministic release (sentinel
+    # seed), distinct from any literal-key group's draw
+    assert rows[None] is not None
+    assert abs(rows[None] - 3) < 20 and rows[None] != rows["a"]
+
+
+def test_auc_rank_sum_single_class_null(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import auc_rank_sum
+
+    pos_only = spark.createDataFrame([(float(i), True) for i in range(5)], "s double, y boolean")
+    assert auc_rank_sum(pos_only, "s", "y").collect()[0]["auc"] is None
+    neg_only = spark.createDataFrame([(float(i), False) for i in range(5)], "s double, y boolean")
+    assert auc_rank_sum(neg_only, "s", "y").collect()[0]["auc"] is None
+
+
+def test_majority_vote_duplicate_rater_submissions_collapse(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        fleiss_kappa,
+        majority_vote,
+    )
+
+    # r1 submits the same vote 3 times: must count once — a self-pair is
+    # not "agreement" and support must not inflate
+    votes = spark.createDataFrame(
+        [("i1", "r1", "a"), ("i1", "r1", "a"), ("i1", "r1", "a"), ("i1", "r2", "b")],
+        "item string, rater string, label string",
+    )
+    mv = majority_vote(votes, "item", "rater", "label").collect()[0]
+    assert mv["support"] == 1 and mv["n_raters"] == 2
+    assert mv["agreement"] == 0.0  # one a-vote, one b-vote: no agreeing pair
+    k = fleiss_kappa(votes, "item", "rater", "label").collect()[0]
+    assert k["n_votes"] == 2 and k["po"] == 0.0

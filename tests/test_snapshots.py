@@ -539,3 +539,34 @@ def test_write_audit_publish_gates_commits(spark, tmp_path):
     assert r3["published"]
     assert read_snapshot(spark, table).count() == 3
     assert snaps[0]["summary"].get("wap_audited") is True
+
+
+def test_write_audit_publish_table_scope_catches_cross_batch_dup(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.snapshots import (
+        read_snapshot,
+        write_audit_publish,
+    )
+
+    table = str(tmp_path / "wap_table_scope")
+    checks = [{"type": "unique", "cols": ["k"]}]
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert write_audit_publish(spark, b1, table, checks, audit_scope="table")["published"]
+
+    # batch 2 duplicates k=1 ACROSS batches: batch-scope audit misses it,
+    # table-scope audit must abort
+    b2 = spark.createDataFrame([(1, "dup"), (3, "c")], "k int, v string")
+    r_batch = write_audit_publish(spark, b2, table, checks, audit_scope="batch")
+    assert r_batch["published"]  # the documented batch-scope blind spot
+    # roll the table back to a clean 2-row state for the table-scope case
+    from opentelemetry_collector_contrib_spark.plans.snapshots import SnapshotStore
+
+    store = SnapshotStore(table)
+    store.rollback(store.snapshots()[0]["snapshot_id"])
+    r_table = write_audit_publish(spark, b2, table, checks, audit_scope="table")
+    assert not r_table["published"] and r_table["n_violations"] >= 1
+    assert read_snapshot(spark, table).count() == 2  # still clean
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_audit_publish(spark, b1, table, checks, audit_scope="bogus")
