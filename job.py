@@ -44,6 +44,22 @@ def main() -> None:
         "salted-agg / AQE-skew decision at a new data scale",
     )
     ap.add_argument(
+        "--plan-backfill",
+        default=None,
+        metavar="INPUT_ROOT",
+        help="plan-only mode: diff the hive partitions under INPUT_ROOT "
+        "against the backfill ledger at <output>/_backfill.json and print "
+        "the todo/stale/done/orphan work list (plans/lineage.plan_backfill); "
+        "no Spark job runs",
+    )
+    ap.add_argument(
+        "--mark-processed",
+        default=None,
+        metavar="PARTITION",
+        help="with --plan-backfill: record PARTITION as processed at its "
+        "current fingerprint in the ledger (the runner's commit step)",
+    )
+    ap.add_argument(
         "--config",
         default=None,
         help="JSON pipeline spec (plans/config.py schema) — the YAML-config "
@@ -51,6 +67,24 @@ def main() -> None:
         "--output for sinks)",
     )
     args = ap.parse_args()
+
+    if args.plan_backfill:
+        # metadata-only: listing + fingerprints, no SparkSession
+        import os
+
+        from opentelemetry_collector_contrib_spark.plans.lineage import (
+            BackfillLedger,
+            input_fingerprint,
+            plan_backfill,
+        )
+
+        ledger = BackfillLedger(os.path.join(args.output, "_backfill.json"))
+        if args.mark_processed:
+            part_dir = os.path.join(args.plan_backfill, args.mark_processed)
+            ledger.mark_processed(args.mark_processed, input_fingerprint(part_dir))
+        plan = plan_backfill(args.plan_backfill, ledger)
+        print(json.dumps(plan))
+        return
 
     # spark-submit provides the session; builder.getOrCreate attaches to it
     from pyspark.sql import SparkSession

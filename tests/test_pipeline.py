@@ -234,3 +234,32 @@ def test_backfill_planner_diffs_input_partitions(tmp_path):
     # marker files don't perturb the fingerprint
     (root / "dt=2026-01-01" / "_metadata").write_text("noise")
     assert input_fingerprint(str(root / "dt=2026-01-01")) == plan3["stale"][0]["fingerprint"]
+
+
+def test_job_plan_backfill_cli(tmp_path):
+    """job.py --plan-backfill is a metadata-only mode: prints the work
+    list without ever starting a SparkSession."""
+    import json
+    import subprocess
+    import sys
+
+    root = tmp_path / "in"
+    for d in ("dt=2026-02-01", "dt=2026-02-02"):
+        (root / d).mkdir(parents=True)
+        (root / d / "p.parquet").write_bytes(b"data")
+    out = tmp_path / "out"
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "job.py", "--input", "x", "--output", str(out),
+             "--plan-backfill", str(root), *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=60,
+        )
+        assert r.returncode == 0, r.stderr
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    plan = run()
+    assert [e["partition"] for e in plan["todo"]] == ["dt=2026-02-01", "dt=2026-02-02"]
+    plan2 = run("--mark-processed", "dt=2026-02-01")
+    assert [e["partition"] for e in plan2["done"]] == ["dt=2026-02-01"]
+    assert [e["partition"] for e in plan2["todo"]] == ["dt=2026-02-02"]
