@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql import types as T
 
 from .textstats import h60, shingles_of, tokens
@@ -2064,4 +2065,67 @@ def classification_report(
         F.round(precision, 6).alias("precision"),
         F.round(recall, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    id_col: str,
+    resolution: int = 100,
+) -> DataFrame:
+    """Quantile normalization across groups — the batch-effect correction
+    for mixing per-source quality/perplexity scores whose scales aren't
+    comparable: each row's value maps to the GLOBAL distribution's value
+    at the same within-group rank fraction, so "top 10% of source A"
+    and "top 10% of source B" land on the same normalized scale (the
+    bioinformatics quantile-normalization shape, at corpus scale).
+
+    Mechanics, all integer-exact (no float percent_rank boundary risk):
+    within-group rank r of n rows → ladder bucket
+    ceil((r−1)·R/(n−1)) (clamped to ≥1; single-row groups map to the
+    global median bucket R/2); the global ladder is the max value per
+    bucket of the SAME integer bucketing over the global rank — R
+    step-quantiles. Two sort windows (one global, one per group) + one
+    broadcast join against the R-row ladder. R ≤ global row count is
+    required (every ladder bucket is then non-empty)."""
+    if resolution < 2:
+        raise ValueError("resolution must be >= 2")
+    v = F.col(value_col)
+    wg = Window.orderBy(v.asc(), F.col(id_col))
+    gtot = Window.partitionBy()
+    ladder = (
+        df.select(
+            v.alias("_v"),
+            F.row_number().over(wg).alias("_gr"),
+            F.count(F.lit(1)).over(gtot).alias("_gn"),
+        )
+        .select(
+            F.expr(f"CAST((_gr * {resolution} + _gn - 1) div _gn AS INT)").alias("_bkt"),
+            "_v",
+        )
+        .groupBy("_bkt")
+        .agg(F.max("_v").alias("_norm"))
+    )
+    ws = Window.partitionBy(by).orderBy(v.asc(), F.col(id_col))
+    stot = Window.partitionBy(by)
+    staged = df.select(
+        "*",
+        F.row_number().over(ws).alias("_r"),
+        F.count(F.lit(1)).over(stot).alias("_n"),
+    )
+    # ceil((r-1)*R/(n-1)) in INTEGER space: (k*R + n-2) div (n-1)
+    bkt = F.when(
+        F.col("_n") > 1,
+        F.greatest(
+            F.lit(1),
+            F.expr(f"((_r - 1) * {resolution} + _n - 2) div (_n - 1)"),
+        ).cast("int"),
+    ).otherwise(F.lit(resolution // 2).cast("int"))
+    out = staged.withColumn("_bkt", bkt).join(broadcast(ladder), "_bkt")
+    return out.select(
+        *df.columns,
+        F.col("_bkt").alias("q_bucket"),
+        F.round(F.col("_norm").cast("double"), 6).alias("norm_value"),
     )

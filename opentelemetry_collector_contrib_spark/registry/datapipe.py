@@ -507,6 +507,18 @@ def q_lang_report(spark, sf_dir):
     return classification_report(scored, "lang", "lang_pred")
 
 
+def q_quantile_norm(spark, sf_dir):
+    """Quantile-normalize per-source quality scores onto the global
+    distribution (resolution 50) — 'top decile of source A' and 'top
+    decile of source B' land on the same scale; integer-exact rank →
+    ladder-bucket mapping, no float percent_rank boundary risk."""
+    from ..operators.curation import quantile_normalize
+    from ..operators.textstats import quality_score
+
+    q = quality_score(_docs(spark, sf_dir)).select("doc_id", "source", "quality")
+    return quantile_normalize(q, "quality", "source", "doc_id", resolution=50)
+
+
 def q_corpus_gini(spark, sf_dir):
     """Gini coefficient of document-length mass per source — corpus
     inequality as one number per source; exact rank formulation."""
@@ -1737,6 +1749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_local_supplier_volume": q_tpch_q5,
     "corpus_bootstrap_ci": q_corpus_bootstrap_ci,
     "nb_lift_deciles": q_nb_lift_deciles,
+    "curation_quantile_norm": q_quantile_norm,
     "lang_confusion": q_lang_confusion,
     "lang_report": q_lang_report,
     "corpus_gini": q_corpus_gini,
@@ -3171,6 +3184,30 @@ FROM r"""
     # ESS reuses the text_quality oracle as a CTE (+ a doc_id join to
     # re-attach source); weights quantized to decimal(18,9) exactly as the
     # operator does, so the power sums are order-free on both engines.
+    # quantile normalization: same integer bucket formulas as the Spark op
+    # (ceil via div — no float percent_rank at bucket boundaries)
+    _q_for_norm = o["text_quality"]
+    o["curation_quantile_norm"] = f"""
+WITH scored AS ({_q_for_norm}),
+s AS (SELECT sc.doc_id, d.source, sc.quality FROM scored sc JOIN documents d USING (doc_id)),
+g AS (SELECT quality AS v, doc_id,
+        row_number() OVER (ORDER BY quality, doc_id) AS gr,
+        count(*) OVER () AS gn
+      FROM s),
+lad AS (SELECT CAST((gr * 50 + gn - 1) // gn AS INT) AS bkt, max(v) AS norm FROM g GROUP BY 1),
+st AS (SELECT doc_id, source, quality,
+        row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS r,
+        count(*) OVER (PARTITION BY source) AS n
+       FROM s),
+b AS (SELECT doc_id, source, quality,
+        CASE WHEN n > 1 THEN CAST(greatest(1, ((r - 1) * 50 + n - 2) // (n - 1)) AS INT)
+             ELSE 25 END AS q_bucket
+      FROM st)
+SELECT b.doc_id, b.source, b.quality, b.q_bucket,
+       round(CAST(norm AS DOUBLE), 6) AS norm_value
+FROM b JOIN lad ON b.q_bucket = lad.bkt"""
+
+
     _q_scored = o["text_quality"]
     o["mixture_ess"] = f"""
 WITH scored AS ({_q_scored}),

@@ -847,3 +847,31 @@ def test_majority_vote_duplicate_rater_submissions_collapse(spark):
     assert mv["agreement"] == 0.0  # one a-vote, one b-vote: no agreeing pair
     k = fleiss_kappa(votes, "item", "rater", "label").collect()[0]
     assert k["n_votes"] == 2 and k["po"] == 0.0
+
+
+def test_quantile_normalize_equalizes_sources(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import quantile_normalize
+
+    # source A scores in [0,1], source B in [100,101] — same shape,
+    # wildly different scales; after normalization the rank-k rows of
+    # both sources map to the SAME global ladder values
+    rows = [("A", f"a{i:02d}", i / 10.0) for i in range(10)]
+    rows += [("B", f"b{i:02d}", 100 + i / 10.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, score double")
+    out = quantile_normalize(df, "score", "source", "doc_id", resolution=10)
+    by = {(r["source"], r["doc_id"][1:]): r["norm_value"] for r in out.collect()}
+    for i in range(10):
+        assert by[("A", f"{i:02d}")] == by[("B", f"{i:02d}")]
+    # normalized values are drawn from the global distribution and monotone
+    vals = [by[("A", f"{i:02d}")] for i in range(10)]
+    assert vals == sorted(vals)
+
+    # single-row group maps to the median bucket without dividing by zero
+    one = df.union(spark.createDataFrame([("C", "c00", 0.5)], df.schema))
+    outc = {r["doc_id"]: r for r in quantile_normalize(one, "score", "source", "doc_id", 10).collect()}
+    assert outc["c00"]["q_bucket"] == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_normalize(df, "score", "source", "doc_id", resolution=1)
