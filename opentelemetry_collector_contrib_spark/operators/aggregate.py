@@ -1298,3 +1298,64 @@ def rollup_report(
         F.grouping_id().alias("gid"), *[c.alias(n) for n, c in aggs.items()]
     )
     return out.select("gid", *dims, *aggs.keys())
+
+
+def collapse_long_tail(
+    df: DataFrame,
+    key_col: str,
+    aggs: dict[str, Column],
+    top_k: int | None = None,
+    min_frac: float | None = None,
+    count_col: str = "n",
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Dashboard-cardinality control: aggregate per key, keep the top-k
+    (and/or every key holding ≥ min_frac of rows), and fold the long
+    tail into ONE `__other__` row so totals are preserved — the
+    difference between a legend with 8 entries and one with 80,000, and
+    the pre-aggregation that keeps a BI export's cardinality bounded no
+    matter what the key's true cardinality does.
+
+    Selection is deterministic (count desc, key asc). Plan: one hash
+    agg to per-key rows, a TakeOrdered-style rank over the (already
+    aggregate-sized) frame, then ONE more fold of the tail — row data
+    shuffles once. `aggs` must be re-aggregable sums/counts (the fold
+    re-sums them into the other-row); non-additive aggregates would be
+    silently wrong, so only sum/count columns belong here."""
+    from pyspark.sql import Window
+
+    if top_k is None and min_frac is None:
+        raise ValueError("need top_k and/or min_frac")
+    per = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias(count_col),
+        *[c.alias(n) for n, c in aggs.items()],
+    )
+    w = Window.orderBy(F.col(count_col).desc(), F.col(key_col))
+    tot = Window.partitionBy()
+    ranked = per.select(
+        "*",
+        F.row_number().over(w).alias("_rnk"),
+        F.sum(count_col).over(tot).alias("_tot"),
+    )
+    keep = F.lit(False)
+    if top_k is not None:
+        keep = keep | (F.col("_rnk") <= top_k)
+    if min_frac is not None:
+        keep = keep | (F.col(count_col) >= F.lit(min_frac) * F.col("_tot"))
+    flagged = ranked.withColumn("_keep", keep)
+    # the key is emitted as STRING so the other-label row unions cleanly
+    # with numeric keys
+    kept = flagged.filter("_keep").select(
+        F.col(key_col).cast("string").alias(key_col), count_col, *aggs.keys()
+    )
+    other = (
+        flagged.filter(~F.col("_keep"))
+        .groupBy()
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(n).alias(n) for n in aggs.keys()],
+        )
+        .filter(F.col(count_col).isNotNull())
+        .select(F.lit(other_label).alias(key_col), count_col, *aggs.keys())
+    )
+    return kept.unionByName(other)

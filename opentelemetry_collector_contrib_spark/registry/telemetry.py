@@ -1147,6 +1147,23 @@ def q_events_welch_ab(spark, sf_dir):
     return welch_t(ev, ["event_type"], "ab")
 
 
+def q_events_top_users_other(spark, sf_dir):
+    """Bounded-cardinality dashboard rollup: top-10 users by event count
+    + ONE __other__ row folding the long tail, totals preserved exactly
+    (decimal sums through the fold, double only at the edge)."""
+    from ..operators.aggregate import collapse_long_tail
+
+    out = collapse_long_tail(
+        _events(spark, sf_dir),
+        "user_id",
+        {"total": F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)")},
+        top_k=10,
+    )
+    return out.select(
+        "user_id", "n", F.col("total").cast("double").alias("total")
+    )
+
+
 def q_events_mann_whitney(spark, sf_dir):
     """Mann-Whitney U between the even/odd user cohorts per event type —
     the non-parametric A/B sibling of events_welch_ab for skewed
@@ -5023,6 +5040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_welch_ab": q_events_welch_ab,
     "events_hourly_residuals": q_events_hourly_residuals,
     "events_mann_whitney": q_events_mann_whitney,
+    "events_top_users_other": q_events_top_users_other,
     "events_flap_profile": q_events_flap_profile,
     "events_autocorr": q_events_autocorr,
     "dp_event_counts": q_dp_event_counts,
@@ -6288,6 +6306,19 @@ GROUP BY 1, 2"""
     # GROUPING() bit encoding (first arg = MSB) is the SQL standard both
     # engines implement; ts is never NULL in the fixture so a NULL hour
     # always means "rolled up".
+    o["events_top_users_other"] = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
+  FROM events GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY n DESC, user_id) AS rnk FROM per),
+kept AS (SELECT CAST(user_id AS VARCHAR) AS user_id, n, CAST(total AS DOUBLE) AS total
+         FROM r WHERE rnk <= 10),
+oth AS (SELECT '__other__' AS user_id, CAST(sum(n) AS BIGINT) AS n,
+          CAST(CAST(sum(total) AS DECIMAL(28,6)) AS DOUBLE) AS total
+        FROM r WHERE rnk > 10 HAVING sum(n) IS NOT NULL)
+SELECT user_id, n, total FROM kept UNION ALL SELECT user_id, n, total FROM oth"""
+
     o["events_mann_whitney"] = """
 WITH s AS (
   SELECT event_type, CAST(user_id % 2 AS INT) AS ab, value FROM events),

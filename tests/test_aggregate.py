@@ -618,3 +618,34 @@ def test_rollup_report_cube_adds_d2_level(spark):
 
     with pytest.raises(ValueError):
         rollup_report(df, ["d1"], {"n": F.count(F.lit(1))}, mode="bogus")
+
+
+def test_collapse_long_tail_preserves_totals(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import collapse_long_tail
+
+    rows = [(f"k{i % 20}", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = collapse_long_tail(
+        df, "k", {"s": F.sum(F.col("v").cast("decimal(18,6)")).cast("decimal(28,6)")},
+        top_k=3,
+    ).collect()
+    assert len(out) == 4  # 3 kept + __other__
+    assert sum(r["n"] for r in out) == 200
+    assert float(sum(r["s"] for r in out)) == sum(float(i) for i in range(200))
+    other = [r for r in out if r["k"] == "__other__"][0]
+    assert other["n"] == 200 - sum(r["n"] for r in out if r["k"] != "__other__")
+
+    # min_frac mode: a dominant key survives regardless of top_k
+    skew = spark.createDataFrame([("big", 1.0)] * 90 + [(f"t{i}", 1.0) for i in range(10)], "k string, v double")
+    out2 = collapse_long_tail(skew, "k", {"s": F.sum(F.col("v").cast("decimal(18,6)"))}, top_k=1, min_frac=0.5)
+    keys = {r["k"] for r in out2.collect()}
+    assert "big" in keys and "__other__" in keys
+
+    # no tail at all: no __other__ row emitted
+    out3 = collapse_long_tail(skew, "k", {"s": F.sum(F.col("v").cast("decimal(18,6)"))}, top_k=100).collect()
+    assert not any(r["k"] == "__other__" for r in out3)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        collapse_long_tail(df, "k", {})
