@@ -4893,7 +4893,59 @@ def q_loki_streams(spark, sf_dir):
     )
 
 
+_RELABEL_RULES = [
+    {"action": "replace", "source_labels": ["__meta_kubernetes_namespace", "__meta_kubernetes_pod_name"],
+     "separator": "/", "regex": "(.+)/(.+)", "target_label": "job", "replacement": "$1/${2}"},
+    {"action": "hashmod", "source_labels": ["__address__"], "modulus": 8, "target_label": "__tmp_shard"},
+    {"action": "keep", "source_labels": ["__tmp_shard"], "regex": "[0-5]"},
+    {"action": "lowercase", "source_labels": ["__meta_kubernetes_pod_label_App"], "target_label": "app"},
+    {"action": "replace", "source_labels": ["app"], "regex": "web(\\d+)", "target_label": "tier",
+     "replacement": "t$1"},
+    {"action": "labelmap", "regex": "__meta_kubernetes_(.+)", "replacement": "k8s_$1"},
+    {"action": "dropequal", "source_labels": ["instance"], "target_label": "__address__"},
+    {"action": "labeldrop", "regex": "__(meta|tmp).*"},
+    {"action": "uppercase", "source_labels": ["__scheme__"], "target_label": "scheme_uc"},
+]
+
+
+def q_prom_relabel(spark, sf_dir):
+    """Prometheus relabel_configs chain (receiver/prometheusreceiver
+    README.md:91-105 — 'relabeling behaves like Prometheus') over a
+    synthesized service-discovery label set: replace with group refs +
+    separator join, md5-based hashmod sharding, keep gate on the shard,
+    lowercase with a sometimes-absent source, a chained replace off the
+    cased value, __meta_* labelmap promotion, dropequal on instance vs
+    address, labeldrop of the scratch/meta names, uppercase — all nine
+    actions in one codegen projection chain, no shuffle."""
+    from ..operators.prom_relabel import labels_csv, relabel
+
+    e, u = F.col("event_id"), F.col("user_id")
+    addr = F.concat(
+        F.lit("10.0."), (e % 200).cast("string"), F.lit("."), u.cast("string"), F.lit(":9100")
+    )
+
+    def mk(*pairs):
+        return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
+
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        mk(
+            F.lit("__address__"), addr,
+            F.lit("__scheme__"), F.when(e % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+            F.lit("__meta_kubernetes_namespace"), F.concat(F.lit("ns-"), (e % 5).cast("string")),
+            F.lit("__meta_kubernetes_pod_name"), F.concat(F.lit("pod-"), (e % 7).cast("string")),
+            F.lit("__meta_kubernetes_pod_label_App"),
+            F.when(e % 3 != 0, F.concat(F.lit("Web"), (e % 4).cast("string"))),
+            F.lit("instance"), F.when(e % 11 == 0, addr),
+            F.lit("job"), F.lit("scrape"),
+        ).alias("labels"),
+    )
+    out = relabel(src, _RELABEL_RULES)
+    return out.select("event_id", labels_csv(F.col("labels")).alias("labels"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "prom_relabel_pipeline": q_prom_relabel,
     "apm_stats_buckets": q_apm_stats,
     "prom_name_normalize": q_prom_names,
     "loki_stream_labels": q_loki_streams,
@@ -8927,6 +8979,38 @@ FROM s)
 SELECT doc_id,
   {_grok_cols}
 FROM l"""
+
+    # --- prometheus relabel_configs chain ---------------------------------
+    # hashmod: uint64_be(md5[8:16]) % 8 == (last hex digit) % 8, because
+    # 16 ≡ 0 (mod 8) — the oracle exploits the fixed modulus; the Spark
+    # operator computes the full DECIMAL(38,0) value.
+    o["prom_relabel_pipeline"] = """
+WITH base AS (
+  SELECT event_id AS e,
+    '10.0.' || CAST(event_id % 200 AS VARCHAR) || '.' || CAST(user_id AS VARCHAR) || ':9100' AS addr,
+    CASE WHEN event_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    'ns-' || CAST(event_id % 5 AS VARCHAR) AS ns,
+    'pod-' || CAST(event_id % 7 AS VARCHAR) AS pod,
+    CASE WHEN event_id % 3 <> 0 THEN 'Web' || CAST(event_id % 4 AS VARCHAR) END AS app_raw
+  FROM events),
+kept AS (
+  SELECT * FROM base
+  WHERE (strpos('0123456789abcdef', substr(md5(addr), 32, 1)) - 1) % 8 <= 5
+    AND e % 11 <> 0),
+fin AS (
+  SELECT e, list_sort(list_filter([
+      '__address__=' || addr,
+      '__scheme__=' || scheme,
+      'job=' || ns || '/' || pod,
+      CASE WHEN app_raw IS NOT NULL THEN 'app=' || lower(app_raw) END,
+      CASE WHEN app_raw IS NOT NULL THEN 'tier=t' || CAST(e % 4 AS VARCHAR) END,
+      'k8s_namespace=' || ns,
+      'k8s_pod_name=' || pod,
+      CASE WHEN app_raw IS NOT NULL THEN 'k8s_pod_label_App=' || app_raw END,
+      'scheme_uc=' || upper(scheme)
+    ], x -> x IS NOT NULL)) AS lbls
+  FROM kept)
+SELECT e AS event_id, array_to_string(lbls, ',') AS labels FROM fin"""
 
     return o
 

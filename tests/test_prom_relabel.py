@@ -1,0 +1,188 @@
+"""Prometheus relabel_config engine — per-action semantics mirroring the
+public Prometheus relabeling contract (receiver/prometheusreceiver
+README.md:91-105 embeds it verbatim)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.prom_relabel import labels_csv, relabel
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, m) for i, m in enumerate(rows)], "id int, labels map<string,string>"
+    )
+
+
+def _out(df):
+    return {
+        r["id"]: dict(r["labels"] or {})
+        for r in df.select("id", "labels").collect()
+    }
+
+
+def test_replace_sets_expands_and_deletes(spark):
+    df = _df(spark, [{"a": "x1", "b": "y"}, {"a": "nope", "b": "y"}])
+    out = _out(
+        relabel(
+            df,
+            [
+                {
+                    "action": "replace",
+                    "source_labels": ["a"],
+                    "regex": "x(\\d+)",
+                    "target_label": "t",
+                    "replacement": "v${1}",
+                }
+            ],
+        )
+    )
+    assert out[0]["t"] == "v1"
+    assert "t" not in out[1]  # no match -> no-op
+
+    # empty expansion deletes the target label
+    out = _out(
+        relabel(
+            df,
+            [
+                {
+                    "action": "replace",
+                    "source_labels": ["b"],
+                    "regex": "y",
+                    "target_label": "a",
+                    "replacement": "",
+                }
+            ],
+        )
+    )
+    assert "a" not in out[0] and "a" not in out[1]
+
+
+def test_replace_target_label_expansion(spark):
+    df = _df(spark, [{"__meta_dc": "east"}])
+    out = _out(
+        relabel(
+            df,
+            [
+                {
+                    "action": "replace",
+                    "source_labels": ["__meta_dc"],
+                    "regex": "(.+)",
+                    "target_label": "zone_$1",
+                    "replacement": "on",
+                }
+            ],
+        )
+    )
+    assert out[0]["zone_east"] == "on"
+
+
+def test_keep_drop_and_equal_filters(spark):
+    df = _df(spark, [{"job": "api"}, {"job": "db"}, {"job": "api", "alias": "api"}])
+    assert set(_out(relabel(df, [{"action": "keep", "source_labels": ["job"], "regex": "api"}]))) == {0, 2}
+    assert set(_out(relabel(df, [{"action": "drop", "source_labels": ["job"], "regex": "api"}]))) == {1}
+    assert set(
+        _out(relabel(df, [{"action": "keepequal", "source_labels": ["job"], "target_label": "alias"}]))
+    ) == {2}
+    assert set(
+        _out(relabel(df, [{"action": "dropequal", "source_labels": ["job"], "target_label": "alias"}]))
+    ) == {0, 1}
+
+
+def test_hashmod_matches_reference_md5(spark):
+    rows = [{"__address__": f"10.0.0.{i}:9100"} for i in range(16)]
+    out = _out(
+        relabel(
+            _df(spark, rows),
+            [
+                {
+                    "action": "hashmod",
+                    "source_labels": ["__address__"],
+                    "modulus": 1000,
+                    "target_label": "shard",
+                }
+            ],
+        )
+    )
+    for i, row in enumerate(rows):
+        digest = hashlib.md5(row["__address__"].encode()).digest()
+        expect = int.from_bytes(digest[8:16], "big") % 1000
+        assert out[i]["shard"] == str(expect), i
+
+
+def test_labelmap_and_label_filters(spark):
+    df = _df(spark, [{"__meta_k8s_pod": "p1", "__meta_k8s_ns": "n1", "job": "j"}])
+    out = _out(
+        relabel(
+            df,
+            [{"action": "labelmap", "regex": "__meta_k8s_(.+)", "replacement": "k8s_$1"}],
+        )
+    )
+    assert out[0]["k8s_pod"] == "p1" and out[0]["k8s_ns"] == "n1" and out[0]["job"] == "j"
+
+    out = _out(relabel(df, [{"action": "labeldrop", "regex": "__meta_.*"}]))
+    assert set(out[0]) == {"job"}
+    out = _out(relabel(df, [{"action": "labelkeep", "regex": "job|__meta_k8s_pod"}]))
+    assert set(out[0]) == {"job", "__meta_k8s_pod"}
+
+
+def test_case_actions_and_missing_source(spark):
+    df = _df(spark, [{"App": "WebAPI"}, {"other": "x"}])
+    out = _out(
+        relabel(
+            df,
+            [{"action": "lowercase", "source_labels": ["App"], "target_label": "app"}],
+        )
+    )
+    assert out[0]["app"] == "webapi"
+    assert "app" not in out[1]  # missing source -> empty -> delete/no-op
+
+    out = _out(
+        relabel(df, [{"action": "uppercase", "source_labels": ["App"], "target_label": "APP"}])
+    )
+    assert out[0]["APP"] == "WEBAPI"
+
+
+def test_separator_join_and_chain(spark):
+    df = _df(spark, [{"ns": "prod", "pod": "api-1"}])
+    out = _out(
+        relabel(
+            df,
+            [
+                {
+                    "action": "replace",
+                    "source_labels": ["ns", "pod"],
+                    "separator": "/",
+                    "regex": "(.+)/(.+)",
+                    "target_label": "job",
+                    "replacement": "$1-$2",
+                },
+                {"action": "labeldrop", "regex": "ns|pod"},
+            ],
+        )
+    )
+    assert out[0] == {"job": "prod-api-1"}
+
+
+def test_labels_csv_is_sorted(spark):
+    df = _df(spark, [{"b": "2", "a": "1"}])
+    row = df.select(labels_csv(F.col("labels")).alias("csv")).collect()[0]
+    assert row["csv"] == "a=1,b=2"
+
+
+def test_plan_stays_native(spark):
+    """The whole chain is Column expressions — no Python stages."""
+    df = _df(spark, [{"a": "x"}])
+    chained = relabel(
+        df,
+        [
+            {"action": "replace", "source_labels": ["a"], "regex": "(.+)", "target_label": "b", "replacement": "$1"},
+            {"action": "labelmap", "regex": "(a)", "replacement": "m_$1"},
+            {"action": "hashmod", "source_labels": ["a"], "modulus": 7, "target_label": "h"},
+        ],
+    )
+    plan = chained._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
