@@ -4944,8 +4944,121 @@ def q_prom_relabel(spark, sf_dir):
     return out.select("event_id", labels_csv(F.col("labels")).alias("labels"))
 
 
+def q_github_job_spans(spark, sf_dir):
+    """githubreceiver workflow_job webhooks → job/queue/step span rows
+    (trace_event_handling.go:50-88 topology, newSpanIDFromCheckRun ids,
+    newUniqueSteps duplicate suffixing, correctActionTimestamps) over a
+    synthesized CI event stream: attempts cycle 1-3, conclusions walk the
+    full switch incl. NULL, one job in 13 has completed < created
+    (correction path), 3-step jobs carry a duplicate step name."""
+    from ..operators.github_ci import workflow_job_spans
+
+    e = F.col("event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    concl = (
+        F.when(e % 6 == 0, F.lit("success"))
+        .when(e % 6 == 1, F.lit("failure"))
+        .when(e % 6 == 2, F.lit("cancelled"))
+        .when(e % 6 == 3, F.lit("skipped"))
+        .when(e % 6 == 4, F.lit("timed_out"))
+    )
+
+    def step(i: int):
+        name = {1: "checkout", 2: "test", 3: "test"}[i]
+        si = (e + i) % 6
+        s_concl = (
+            F.when(si == 0, F.lit("success"))
+            .when(si == 1, F.lit("failure"))
+            .when(si == 2, F.lit("cancelled"))
+            .when(si == 3, F.lit("skipped"))
+            .when(si == 4, F.lit("in_progress"))
+        )
+        return F.struct(
+            F.lit(name).alias("name"),
+            F.lit(i).alias("number"),
+            F.lit("completed").alias("status"),
+            s_concl.alias("conclusion"),
+            F.timestamp_micros(us + i * 1_000_000).alias("started_at"),
+            F.timestamp_micros(us + (i + ((e + i) % 3).cast("int") - 1) * 1_000_000).alias(
+                "completed_at"
+            ),
+        )
+
+    cnt = (e % 4).cast("int")
+    steps = (
+        F.when(cnt == 0, F.array().cast(
+            "array<struct<name string, number int, status string, conclusion string, "
+            "started_at timestamp, completed_at timestamp>>"))
+        .when(cnt == 1, F.array(step(1)))
+        .when(cnt == 2, F.array(step(1), step(2)))
+        .otherwise(F.array(step(1), step(2), step(3)))
+    )
+    src = _events(spark, sf_dir).select(
+        e.alias("run_id"),
+        (1 + e % 3).cast("int").alias("run_attempt"),
+        (e * 31 + 7).alias("check_run_id"),
+        F.concat(F.lit("build-"), (e % 4).cast("string")).alias("job_name"),
+        F.timestamp_micros(us).alias("created_at"),
+        F.timestamp_micros(us + (e % 7) * 1_000_000).alias("started_at"),
+        F.timestamp_micros(
+            F.when(e % 13 == 0, us - 5_000_000).otherwise(us + 60_000_000)
+        ).alias("completed_at"),
+        concl.alias("conclusion"),
+        steps.alias("steps"),
+    )
+    out = workflow_job_spans(src)
+    return out.select(
+        "trace_id", "span_id", "parent_span_id", "name", "span_type", "kind",
+        F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+        "status_code", "status_message", "queue_duration_ns", "task_status",
+    )
+
+
+def q_github_run_roots(spark, sf_dir):
+    """githubreceiver workflow_run webhooks → root spans with previous-
+    attempt trace links, run-status mapping (model.go:132-146) and the
+    getServiceName formatting chain (model.go:270-289)."""
+    from ..operators.github_ci import workflow_run_spans
+
+    e = F.col("event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    concl = (
+        F.when(e % 6 == 0, F.lit("success"))
+        .when(e % 6 == 1, F.lit("failure"))
+        .when(e % 6 == 2, F.lit("cancelled"))
+        .when(e % 6 == 3, F.lit("skipped"))
+        .when(e % 6 == 4, F.lit("timed_out"))
+    )
+    src = _events(spark, sf_dir).select(
+        e.alias("run_id"),
+        (1 + e % 3).cast("int").alias("run_attempt"),
+        F.concat(F.lit("deploy-"), (e % 3).cast("string")).alias("workflow_name"),
+        F.timestamp_micros(us).alias("run_started_at"),
+        F.timestamp_micros(
+            F.when(e % 13 == 0, us - 5_000_000).otherwise(us + 90_000_000)
+        ).alias("updated_at"),
+        concl.alias("conclusion"),
+        F.when(e % 4 == 0, F.lit("https://api.github.example/prev")).alias(
+            "previous_attempt_url"
+        ),
+        F.when(e % 9 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("My_Repo_"), (e % 5).cast("string"))
+        ).alias("repo_name"),
+    )
+    out = workflow_run_spans(src)
+    return out.select(
+        "trace_id", "span_id", "name", "kind",
+        F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+        "status_code", "status_message", "link_trace_id", "service_name", "run_status",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prom_relabel_pipeline": q_prom_relabel,
+    "github_workflow_spans": q_github_job_spans,
+    "github_run_roots": q_github_run_roots,
     "apm_stats_buckets": q_apm_stats,
     "prom_name_normalize": q_prom_names,
     "loki_stream_labels": q_loki_streams,
@@ -9011,6 +9124,113 @@ fin AS (
     ], x -> x IS NOT NULL)) AS lbls
   FROM kept)
 SELECT e AS event_id, array_to_string(lbls, ',') AS labels FROM fin"""
+
+    # --- githubreceiver workflow -> trace conversion ----------------------
+    # deterministic sha256 span ids (trace_event_handling.go:91-124,464-480);
+    # corrected timestamps = greatest(start, end); duplicate step names get
+    # "-k" suffixes but share the raw-name span id (reference collision)
+    _gh_concl = (
+        "CASE e % 6 WHEN 0 THEN 'success' WHEN 1 THEN 'failure' WHEN 2 THEN 'cancelled' "
+        "WHEN 3 THEN 'skipped' WHEN 4 THEN 'timed_out' END"
+    )
+    o["github_workflow_spans"] = f"""
+WITH base AS (
+  SELECT event_id AS e,
+    CAST(event_id AS VARCHAR) AS rid,
+    CAST(1 + event_id % 3 AS VARCHAR) AS att,
+    CAST(event_id * 31 + 7 AS VARCHAR) AS crid,
+    'build-' || CAST(event_id % 4 AS VARCHAR) AS job_name,
+    epoch_us(ts) AS us,
+    {_gh_concl} AS concl,
+    CAST(event_id % 4 AS INT) AS cnt
+  FROM events),
+ids AS (
+  SELECT *,
+    substr(sha256(rid || att || 't'), 1, 32) AS trace_id,
+    substr(sha256(rid || att || 's'), 17, 16) AS root_id,
+    substr(sha256(crid || '-j'), 17, 16) AS job_id,
+    substr(sha256(crid || '-q'), 17, 16) AS queue_id,
+    us AS created_us,
+    us + (e % 7) * 1000000 AS started_us,
+    CASE WHEN e % 13 = 0 THEN us - 5000000 ELSE us + 60000000 END AS completed_us,
+    CASE WHEN concl = 'success' THEN 'STATUS_CODE_OK'
+         WHEN concl = 'failure' THEN 'STATUS_CODE_ERROR'
+         ELSE 'STATUS_CODE_UNSET' END AS job_code,
+    coalesce(concl, '') AS msg
+  FROM base),
+jobs AS (
+  SELECT trace_id, job_id AS span_id, root_id AS parent_span_id, job_name AS name,
+    'job' AS span_type, 'SPAN_KIND_INTERNAL' AS kind,
+    created_us AS start_us, greatest(completed_us, created_us) AS end_us,
+    job_code AS status_code, msg AS status_message,
+    CAST(NULL AS DOUBLE) AS queue_duration_ns, CAST(NULL AS VARCHAR) AS task_status
+  FROM ids),
+queues AS (
+  SELECT trace_id, queue_id AS span_id, job_id AS parent_span_id,
+    'queue-' || job_name AS name, 'queue' AS span_type, 'SPAN_KIND_INTERNAL' AS kind,
+    created_us AS start_us, greatest(started_us, created_us) AS end_us,
+    'STATUS_CODE_UNSET' AS status_code, msg AS status_message,
+    CAST((greatest(started_us, created_us) - created_us) * 1000 AS DOUBLE) AS queue_duration_ns,
+    CAST(NULL AS VARCHAR) AS task_status
+  FROM ids),
+srows AS (
+  SELECT ids.*, s.i,
+    CASE s.i WHEN 1 THEN 'checkout' ELSE 'test' END AS sname,
+    CASE WHEN cnt = 3 AND s.i = 3 THEN 'test-1'
+         WHEN s.i = 1 THEN 'checkout' ELSE 'test' END AS uname,
+    CASE (e + s.i) % 6 WHEN 0 THEN 'success' WHEN 1 THEN 'failure' WHEN 2 THEN 'cancelled'
+         WHEN 3 THEN 'skipped' WHEN 4 THEN 'in_progress' END AS sconcl,
+    us + s.i * 1000000 AS s_start,
+    us + (s.i + (e + s.i) % 3 - 1) * 1000000 AS s_comp
+  FROM ids, (SELECT unnest(generate_series(1, 3)) AS i) s
+  WHERE s.i <= cnt),
+steps AS (
+  SELECT trace_id,
+    substr(sha256(crid || '-' || sname || '-s'), 17, 16) AS span_id,
+    job_id AS parent_span_id, uname AS name, 'step' AS span_type,
+    'SPAN_KIND_INTERNAL' AS kind,
+    s_start AS start_us, greatest(s_comp, s_start) AS end_us,
+    CASE WHEN sconcl = 'success' THEN 'STATUS_CODE_OK'
+         WHEN sconcl = 'failure' THEN 'STATUS_CODE_ERROR'
+         ELSE 'STATUS_CODE_UNSET' END AS status_code,
+    msg AS status_message,
+    CAST(NULL AS DOUBLE) AS queue_duration_ns,
+    CASE sconcl WHEN 'success' THEN 'success' WHEN 'failure' THEN 'failure'
+         WHEN 'skipped' THEN 'failure' WHEN 'cancelled' THEN 'cancellation'
+         ELSE 'completed' END AS task_status
+  FROM srows)
+SELECT * FROM jobs UNION ALL SELECT * FROM queues UNION ALL SELECT * FROM steps"""
+
+    o["github_run_roots"] = f"""
+WITH base AS (
+  SELECT event_id AS e,
+    CAST(event_id AS VARCHAR) AS rid,
+    CAST(1 + event_id % 3 AS VARCHAR) AS att,
+    1 + event_id % 3 AS attn,
+    'deploy-' || CAST(event_id % 3 AS VARCHAR) AS wf,
+    epoch_us(ts) AS us,
+    {_gh_concl} AS concl,
+    CASE WHEN event_id % 4 = 0 THEN 'https://api.github.example/prev' END AS prev,
+    CASE WHEN event_id % 9 = 0 THEN ''
+         ELSE 'My_Repo_' || CAST(event_id % 5 AS VARCHAR) END AS repo
+  FROM events)
+SELECT substr(sha256(rid || att || 't'), 1, 32) AS trace_id,
+  substr(sha256(rid || att || 's'), 17, 16) AS span_id,
+  wf AS name, 'SPAN_KIND_SERVER' AS kind,
+  us AS start_us,
+  greatest(CASE WHEN e % 13 = 0 THEN us - 5000000 ELSE us + 90000000 END, us) AS end_us,
+  CASE WHEN concl = 'success' THEN 'STATUS_CODE_OK'
+       WHEN concl = 'failure' THEN 'STATUS_CODE_ERROR'
+       ELSE 'STATUS_CODE_UNSET' END AS status_code,
+  coalesce(concl, '') AS status_message,
+  CASE WHEN prev IS NOT NULL AND attn > 1
+       THEN substr(sha256(rid || CAST(attn - 1 AS VARCHAR) || 't'), 1, 32) END AS link_trace_id,
+  CASE WHEN repo = '' THEN 'unknown_service'
+       ELSE replace(lower(repo), '_', '-') END AS service_name,
+  CASE WHEN concl = 'success' THEN 'success' WHEN concl = 'failure' THEN 'failure'
+       WHEN concl = 'skipped' THEN 'skip' WHEN concl = 'cancelled' THEN 'cancellation'
+       ELSE lower(coalesce(concl, '')) END AS run_status
+FROM base"""
 
     return o
 
