@@ -5055,10 +5055,56 @@ def q_github_run_roots(spark, sf_dir):
     )
 
 
+def q_es_route_index(spark, sf_dir):
+    """elasticsearchexporter data-stream routing (data_stream_router.go:
+    182-262) over a synthesized attribute matrix: manual
+    elasticsearch.index overrides, record>scope>resource dataset and
+    namespace precedence, self-telemetry / encoding.format / receiver-
+    regex scope routing, disallowed-rune sanitization and the OTel-mode
+    '.otel' dataset suffix — one projection, routing feeds partitionBy."""
+    from ..operators.es_routing import route_documents
+
+    e = F.col("event_id")
+
+    def mk(*pairs):
+        return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
+
+    contrib = "github.com/open-telemetry/opentelemetry-collector-contrib"
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(e % 3 == 0, F.lit("logs"))
+        .when(e % 3 == 1, F.lit("metrics"))
+        .otherwise(F.lit("traces"))
+        .alias("signal"),
+        mk(
+            F.lit("elasticsearch.index"),
+            F.when(e % 17 == 0, F.concat(F.lit("manual-idx-"), (e % 4).cast("string"))),
+            F.lit("data_stream.dataset"),
+            F.when(e % 3 == 0, F.concat(F.lit("Web App/"), (e % 4).cast("string"))),
+            F.lit("data_stream.namespace"),
+            F.when(e % 5 == 0, F.concat(F.lit("NS,"), (e % 3).cast("string"))),
+        ).alias("attrs"),
+        mk(
+            F.lit("encoding.format"), F.when(e % 7 == 0, F.lit("aws.vpcflow")),
+            F.lit("data_stream.namespace"), F.when(e % 11 == 0, F.lit("ScopeNS")),
+        ).alias("scope_attrs"),
+        mk(
+            F.lit("data_stream.dataset"), F.when(e % 13 == 0, F.lit("res-ds")),
+        ).alias("res_attrs"),
+        F.when(e % 6 == 0, F.lit("go.opentelemetry.io/collector/receiver/receiverhelper"))
+        .when(e % 6 == 1, F.lit(f"{contrib}/receiver/filelogreceiver/internal/adapter"))
+        .when(e % 6 == 2, F.lit(f"{contrib}/connector/countconnector"))
+        .otherwise(F.lit("custom.scope.lib"))
+        .alias("scope_name"),
+    )
+    return route_documents(src, mode="otel").select("event_id", "es_index")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prom_relabel_pipeline": q_prom_relabel,
     "github_workflow_spans": q_github_job_spans,
     "github_run_roots": q_github_run_roots,
+    "es_route_index": q_es_route_index,
     "apm_stats_buckets": q_apm_stats,
     "prom_name_normalize": q_prom_names,
     "loki_stream_labels": q_loki_streams,
@@ -9231,6 +9277,37 @@ SELECT substr(sha256(rid || att || 't'), 1, 32) AS trace_id,
        WHEN concl = 'skipped' THEN 'skip' WHEN concl = 'cancelled' THEN 'cancellation'
        ELSE lower(coalesce(concl, '')) END AS run_status
 FROM base"""
+
+    # --- elasticsearch data-stream routing --------------------------------
+    # sanitize = lowercase + translate(disallowed -> '_') + 95/100-char cap
+    # + '.otel' dataset suffix; precedence record > scope > resource; scope
+    # routing only when no dataset attribute exists
+    o["es_route_index"] = """
+WITH base AS (
+  SELECT event_id AS e,
+    CASE e % 3 WHEN 0 THEN 'logs' WHEN 1 THEN 'metrics' ELSE 'traces' END AS sig,
+    CASE WHEN e % 17 = 0 THEN 'manual-idx-' || CAST(e % 4 AS VARCHAR) END AS manual,
+    CASE WHEN e % 3 = 0 THEN 'Web App/' || CAST(e % 4 AS VARCHAR)
+         WHEN e % 13 = 0 THEN 'res-ds' END AS ds_attr,
+    CASE WHEN e % 5 = 0 THEN 'NS,' || CAST(e % 3 AS VARCHAR)
+         WHEN e % 11 = 0 THEN 'ScopeNS' END AS ns_attr,
+    CASE WHEN e % 6 = 0 THEN 'collectortelemetry'
+         WHEN e % 7 = 0 THEN 'aws.vpcflow'
+         WHEN e % 6 = 1 THEN 'filelogreceiver'
+         WHEN e % 6 = 2 THEN 'countconnector' END AS scope_ds
+  FROM (SELECT event_id FROM events) ev(event_id)),
+resolved AS (
+  SELECT e, sig, manual,
+    coalesce(ds_attr, scope_ds, 'generic') AS ds,
+    coalesce(ns_attr, 'default') AS ns
+  FROM base)
+SELECT e AS event_id,
+  coalesce(manual,
+    sig || '-' ||
+    substr(translate(lower(ds), '-\\/*?"<>| ,#:', '_____________'), 1, 95) || '.otel-' ||
+    substr(translate(lower(ns), '\\/*?"<>| ,#:', '____________'), 1, 100)
+  ) AS es_index
+FROM resolved"""
 
     return o
 
