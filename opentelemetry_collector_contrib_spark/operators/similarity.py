@@ -430,3 +430,216 @@ def rrf_fuse(
             rank_col,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the storage-compression ANN path
+# ---------------------------------------------------------------------------
+#
+# PQ splits each dim-d vector into m subvectors and replaces every
+# subvector with the id of its nearest codeword from a per-subspace
+# codebook of k_codes entries (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public literature; the reference
+# collector has no ANN, this extends our similarity family). A 64-dim
+# float32 vector (256 B) becomes m=4 uint8 codes (4 B): a 64× scan-size
+# cut, which at 10^12 vectors is the difference between scanning 256 TB
+# and 4 TB for a candidate sweep. Search uses ADC (asymmetric distance):
+# the query stays exact, each candidate's distance is approximated by
+# summing per-subspace query→codeword distances from a precomputed
+# m×k_codes lookup table — O(m) per candidate instead of O(dim).
+#
+# Cross-engine determinism: every squared-L2 is the sequential zip_with
+# fold in double (same order as the DuckDB oracle's list_sum), then
+# snapped to integer micro-units via floor(d*1e6 + 0.5) — ADC sums
+# integers, so accumulation order can never flip a rank between engines.
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared euclidean distance in double."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _micro(d: Column) -> Column:
+    """floor(d*1e6 + 0.5): half-up integer micro-units, identical in
+    Spark, DuckDB, and a Python float loop (no banker's rounding)."""
+    return F.floor(d * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic codebooks: codeword j of subspace s is subvector s of
+    the table's vector with id j — the oracle-parity quantizer (same role
+    as ivf_centroids' first-n rule). Schema: (subspace, code, codeword).
+    Production recall comes from pq_codebooks_kmeans; both honor the same
+    contract so every downstream plan is identical."""
+    dsub = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("codeword"),
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        emb.filter(F.col(id_col) < k_codes)
+        .select(F.col(id_col).cast("int").alias("code"), F.explode(subs).alias("e"))
+        .select("e.subspace", "code", "e.codeword")
+    )
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 10,
+    sample_n: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained codebooks: per-subspace Lloyd k-means on a seeded
+    hash-ordered sample (same bounded-sample rationale as
+    ivf_centroids_kmeans — FAISS trains PQ exactly this way). Runs
+    driver-side in NumPy on ≤ sample_n×dim floats; empty clusters reseed
+    from the farthest points in deterministic order."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(vec_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    dsub = dim // m
+    out = []
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cent = xs[:k_codes].copy()
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k_codes):
+                mask = assign == j
+                if mask.any():
+                    cent[j] = xs[mask].mean(axis=0)
+                else:
+                    far = d2.min(axis=1).argmax()
+                    cent[j] = xs[far]
+        out.extend(
+            (s, j, [float(v) for v in cent[j]]) for j in range(k_codes)
+        )
+    return emb.sparkSession.createDataFrame(
+        out, "subspace int, code int, codeword array<double>"
+    )
+
+
+def pq_encode(
+    codebooks: DataFrame,
+    emb: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-codeword ids. The codebook is
+    tiny (m×k_codes×dsub floats) and inlines as literals, so assignment is
+    ONE codegen projection over the scan — zero joins, zero shuffle, the
+    same shape that makes ivf_assign scale. Ties break to the lowest code
+    (argmin-first), matching the oracle's ORDER BY dist, code."""
+    cb: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.collect():
+        cb.setdefault(r["subspace"], []).append((r["code"], list(r["codeword"])))
+    dsub = dim // m
+    code_cols = []
+    for s in range(m):
+        entries = sorted(cb[s])
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                _micro(_l2sq(sub, F.array(*[F.lit(float(v)) for v in cw])))
+                for _code, cw in entries
+            ]
+        )
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return emb.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: per query, a flat m×k_codes integer LUT of
+    query-subvector→codeword distances is built driver-side (a Python
+    sequential-fold loop — bit-identical to the JVM fold) and broadcast;
+    each candidate costs one O(m) integer gather-sum over its codes.
+    Distances are exact-integer micro-units, so ranking is engine-stable;
+    ties break to the lower neighbor id."""
+    import math
+
+    cb: dict[tuple[int, int], list[float]] = {
+        (r["subspace"], r["code"]): list(r["codeword"]) for r in codebooks.collect()
+    }
+    dsub = dim // m
+    lut_rows = []
+    for qr in queries.select(F.col(query_id_col), F.col(vec_col)).collect():
+        qid, qv = qr[0], [float(v) for v in qr[1]]
+        flat = []
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            for c in range(k_codes):
+                cw = cb[(s, c)]
+                d = 0.0
+                for i in range(dsub):
+                    t = qs[i] - cw[i]
+                    d += t * t
+                flat.append(int(math.floor(d * 1_000_000.0 + 0.5)))
+        lut_rows.append((qid, flat))
+    lut_df = codes_df.sparkSession.createDataFrame(
+        lut_rows, f"query_id {dict(queries.dtypes)[query_id_col]}, lut array<bigint>"
+    )
+    joined = codes_df.join(
+        F.broadcast(lut_df), F.col("query_id") != F.col(id_col)
+    ).withColumn(
+        "adc_dist",
+        F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, s: F.element_at(F.col("lut"), (s * k_codes + c + 1).cast("int")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_dist", "rank")
+    )

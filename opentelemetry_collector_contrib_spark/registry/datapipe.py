@@ -249,6 +249,33 @@ def q_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, _query_vectors(emb), k=5, n_cells=8)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode: every 64-dim vector → 4 codeword ids
+    (16 codes/subspace, deterministic first-k codebooks). The codebook
+    inlines as literals so assignment is one codegen projection — the
+    64×-compression storage path for the ANN candidate sweep."""
+    from ..operators.similarity import pq_codebooks, pq_encode
+
+    e = _embs(spark, sf_dir)
+    codes = pq_encode(pq_codebooks(e), e)
+    return codes.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), "-").alias("codes_csv"),
+    )
+
+
+def q_topk_pq(spark, sf_dir):
+    """ADC top-k over PQ codes: per-query integer LUT broadcast, O(m)
+    gather-sum per candidate, exact-integer micro-unit distances so the
+    ranking is engine-stable."""
+    from ..operators.similarity import pq_codebooks, pq_encode, pq_topk_adc
+
+    e = _embs(spark, sf_dir)
+    cb = pq_codebooks(e)
+    codes = pq_encode(cb, e)
+    return pq_topk_adc(codes, cb, e.filter(F.col("vec_id") % 50 == 0))
+
+
 def q_multimodal_features(spark, sf_dir):
     from ..operators.multimodal import attach_binary_payload, decode_and_featurize
 
@@ -1796,6 +1823,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_semantic_dedup,
     "sim_topk_brute": q_topk_brute,
     "sim_topk_ivf": q_topk_ivf,
+    "emb_pq_codes": q_pq_codes,
+    "sim_topk_pq": q_topk_pq,
     "emb_contrastive_pairs": q_contrastive_pairs,
     "leakage_split_docs": q_leakage_split,
     "source_overlap": q_source_overlap,
@@ -3990,6 +4019,46 @@ ranked AS (
   FROM cand)
 SELECT qid AS query_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # --- product quantization: encode + ADC top-k -------------------------
+    # the d CTE is both the assignment table (v = any vector) and the
+    # query LUT (v = a query): dist(vector v's subspace s, codeword c) in
+    # exact integer micro-units — floor(d*1e6+0.5) matches the Spark fold
+    _pq_dint = (
+        "CAST(floor(list_sum(list_transform(generate_series(1, 16), i -> "
+        "(CAST(v.embedding[s.s*16+i] AS DOUBLE) - CAST(c.cv[s.s*16+i] AS DOUBLE)) * "
+        "(CAST(v.embedding[s.s*16+i] AS DOUBLE) - CAST(c.cv[s.s*16+i] AS DOUBLE))"
+        ")) * 1000000 + 0.5) AS BIGINT)"
+    )
+    _pq_cte = f"""
+WITH subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+cbv AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
+d AS (
+  SELECT v.vec_id, s.s, c.code, {_pq_dint} AS dint
+  FROM embeddings v, subs s, cbv c),
+best AS (
+  SELECT vec_id, s, code,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY dint, code) AS rn
+  FROM d)"""
+
+    o["emb_pq_codes"] = f"""{_pq_cte}
+SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes_csv
+FROM best WHERE rn = 1 GROUP BY vec_id"""
+
+    o["sim_topk_pq"] = f"""{_pq_cte},
+codes AS (SELECT vec_id, s, code FROM best WHERE rn = 1),
+adc AS (
+  SELECT dq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(dq.dint) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN d dq ON dq.s = c.s AND dq.code = c.code
+  WHERE dq.vec_id % 50 = 0 AND dq.vec_id <> c.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+  FROM adc)
+SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5"""
 
     feats = ",\n  ".join(
         f"round(CAST('0x' || substr(md5(text), {2 * (i % 16) + 1}, 2) AS INT) / 255.0, 6) AS f{i}"
