@@ -5100,11 +5100,70 @@ def q_es_route_index(spark, sf_dir):
     return route_documents(src, mode="otel").select("event_id", "es_index")
 
 
+def q_gitlab_pipeline_spans(spark, sf_dir):
+    """gitlabreceiver pipeline webhooks → pipeline/stage/job span trees
+    (traces_event_handling.go:44-380): stages derived in-array from the
+    builds list (first-build status, min/max job window), string-hashed
+    sha256 ids, commit-title name fallback, queued-never-ran stages
+    skipped, unfinished jobs dropped."""
+    from ..operators.gitlab_ci import pipeline_spans
+
+    e = F.col("event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def fmt(off_sec):
+        return F.concat(
+            F.date_format(F.timestamp_micros(us + off_sec * 1_000_000), "yyyy-MM-dd HH:mm:ss"),
+            F.lit(" UTC"),
+        )
+
+    def cyc(shift):
+        i = (e + shift) % 5
+        return (
+            F.when(i == 0, F.lit("success"))
+            .when(i == 1, F.lit("failed"))
+            .when(i == 2, F.lit("canceled"))
+            .when(i == 3, F.lit("skipped"))
+            .otherwise(F.lit("running"))
+        )
+
+    def job(i: int):
+        unran = (e + i) % 7 == 0
+        return F.struct(
+            (e * 10 + i).alias("id"),
+            F.lit("build" if i == 1 else "test").alias("stage"),
+            F.lit(f"job-{i}").alias("name"),
+            cyc(i).alias("status"),
+            F.when(unran, F.lit("")).otherwise(fmt(i * 10)).alias("started_at"),
+            F.when(unran, F.lit("")).otherwise(fmt(i * 10 + 60)).alias("finished_at"),
+        )
+
+    cnt = (e % 3).cast("int")
+    builds = (
+        F.when(cnt == 0, F.array(job(1)))
+        .when(cnt == 1, F.array(job(1), job(2)))
+        .otherwise(F.array(job(1), job(2), job(3)))
+    )
+    src = _events(spark, sf_dir).select(
+        e.alias("pipeline_id"),
+        F.when(e % 3 != 0, F.concat(F.lit("Pipeline-"), (e % 5).cast("string")))
+        .otherwise(F.lit(""))
+        .alias("pipeline_name"),
+        F.concat(F.lit("commit-"), (e % 7).cast("string")).alias("commit_title"),
+        cyc(0).alias("status"),
+        fmt(0).alias("created_at"),
+        fmt(300).alias("finished_at"),
+        builds.alias("builds"),
+    )
+    return pipeline_spans(src)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prom_relabel_pipeline": q_prom_relabel,
     "github_workflow_spans": q_github_job_spans,
     "github_run_roots": q_github_run_roots,
     "es_route_index": q_es_route_index,
+    "gitlab_pipeline_spans": q_gitlab_pipeline_spans,
     "apm_stats_buckets": q_apm_stats,
     "prom_name_normalize": q_prom_names,
     "loki_stream_labels": q_loki_streams,
@@ -9277,6 +9336,84 @@ SELECT substr(sha256(rid || att || 't'), 1, 32) AS trace_id,
        WHEN concl = 'skipped' THEN 'skip' WHEN concl = 'cancelled' THEN 'cancellation'
        ELSE lower(coalesce(concl, '')) END AS run_status
 FROM base"""
+
+    # --- gitlabreceiver pipeline -> trace conversion ----------------------
+    # ids hash the raw GitLab time STRINGS; stage window = min/max over the
+    # ran jobs of the stage; status code: success->OK, failed/canceled->
+    # ERROR, else UNSET
+    _gl_code = (
+        "CASE WHEN {s} = 'success' THEN 'STATUS_CODE_OK' "
+        "WHEN {s} IN ('failed', 'canceled') THEN 'STATUS_CODE_ERROR' "
+        "ELSE 'STATUS_CODE_UNSET' END"
+    )
+    _gl_cyc = (
+        "CASE (e + {i}) % 5 WHEN 0 THEN 'success' WHEN 1 THEN 'failed' "
+        "WHEN 2 THEN 'canceled' WHEN 3 THEN 'skipped' ELSE 'running' END"
+    )
+    _gl_fmt = "strftime(make_timestamp(CAST({us} AS BIGINT)), '%Y-%m-%d %H:%M:%S') || ' UTC'"
+    o["gitlab_pipeline_spans"] = f"""
+WITH base AS (
+  SELECT event_id AS e,
+    CAST(epoch_us(ts) // 1000000 * 1000000 AS BIGINT) AS us,
+    {_gl_fmt.format(us="epoch_us(ts) // 1000000 * 1000000")} AS c_str,
+    {_gl_fmt.format(us="epoch_us(ts) // 1000000 * 1000000 + 300000000")} AS f_str,
+    {_gl_cyc.format(i="0")} AS pstatus,
+    CASE WHEN event_id % 3 <> 0 THEN 'Pipeline-' || CAST(event_id % 5 AS VARCHAR)
+         ELSE 'commit-' || CAST(event_id % 7 AS VARCHAR) END AS pname
+  FROM events),
+jobs0 AS (
+  SELECT b.*, s.i,
+    CASE WHEN s.i = 1 THEN 'build' ELSE 'test' END AS stg,
+    'job-' || CAST(s.i AS VARCHAR) AS jname,
+    e * 10 + s.i AS jid,
+    {_gl_cyc.format(i="s.i")} AS jstatus,
+    (e + s.i) % 7 = 0 AS unran,
+    {_gl_fmt.format(us="us + s.i * 10000000")} AS st_str,
+    us + s.i * 10000000 AS st_us,
+    us + (s.i * 10 + 60) * 1000000 AS fi_us
+  FROM base b, (SELECT unnest(generate_series(1, 3)) AS i) s
+  WHERE s.i <= 1 + b.e % 3),
+stages0 AS (
+  SELECT e, stg, arg_min(jstatus, i) AS sstat,
+    min(CASE WHEN NOT unran THEN i END) AS min_ran,
+    max(CASE WHEN NOT unran THEN i END) AS max_ran
+  FROM jobs0 GROUP BY e, stg),
+stagesr AS (
+  SELECT s.*, b.us, b.f_str,
+    {_gl_fmt.format(us="b.us + s.min_ran * 10000000")} AS s_start_str
+  FROM stages0 s JOIN base b ON b.e = s.e
+  WHERE s.min_ran IS NOT NULL),
+pipes AS (
+  SELECT substr(sha256(CAST(e AS VARCHAR) || 't' || f_str), 1, 32) AS trace_id,
+    substr(sha256(CAST(e AS VARCHAR) || f_str), 17, 16) AS span_id,
+    CAST(NULL AS VARCHAR) AS parent_span_id,
+    pname AS name, 'pipeline' AS span_type, 'SPAN_KIND_SERVER' AS kind,
+    us AS start_us, us + 300000000 AS end_us,
+    {_gl_code.format(s="pstatus")} AS status_code, pstatus AS status,
+    CAST(NULL AS BIGINT) AS job_id, CAST(NULL AS VARCHAR) AS stage
+  FROM base),
+stages AS (
+  SELECT substr(sha256(CAST(e AS VARCHAR) || 't' || f_str), 1, 32),
+    substr(sha256(CAST(e AS VARCHAR) || stg || s_start_str), 17, 16),
+    substr(sha256(CAST(e AS VARCHAR) || f_str), 17, 16),
+    stg, 'stage', 'SPAN_KIND_SERVER',
+    us + min_ran * 10000000, us + (max_ran * 10 + 60) * 1000000,
+    {_gl_code.format(s="sstat")}, sstat,
+    CAST(NULL AS BIGINT), stg
+  FROM stagesr),
+jobs AS (
+  SELECT substr(sha256(CAST(j.e AS VARCHAR) || 't' || b.f_str), 1, 32),
+    substr(sha256(CAST(j.jid AS VARCHAR) || j.st_str), 17, 16),
+    substr(sha256(CAST(j.e AS VARCHAR) || j.stg || sr.s_start_str), 17, 16),
+    j.jname, 'job', 'SPAN_KIND_SERVER',
+    j.st_us, j.fi_us,
+    {_gl_code.format(s="j.jstatus")}, j.jstatus,
+    j.jid, j.stg
+  FROM jobs0 j
+  JOIN base b ON b.e = j.e
+  JOIN stagesr sr ON sr.e = j.e AND sr.stg = j.stg
+  WHERE NOT j.unran)
+SELECT * FROM pipes UNION ALL SELECT * FROM stages UNION ALL SELECT * FROM jobs"""
 
     # --- elasticsearch data-stream routing --------------------------------
     # sanitize = lowercase + translate(disallowed -> '_') + 95/100-char cap
