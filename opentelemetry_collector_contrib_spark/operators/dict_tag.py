@@ -1,0 +1,101 @@
+"""Dictionary phrase tagging — scalable keyword/blocklist matching for
+corpus curation (brand-safety blocklists, topic lexicons, compliance
+term sets). No reference-collector counterpart (their filtering is
+regex-per-record); this is the scale-correct equivalent of an
+Aho-Corasick dictionary scan, re-expressed relationally:
+
+  1. normalize: lowercase, whitespace-tokenize, strip edge punctuation;
+  2. emit every 1..max_ngram-word window (positional, one posexplode —
+     output rows ≤ max_ngram × token count, bounded);
+  3. hash-join the windows against the BROADCAST dictionary (term → tag).
+
+Why this beats per-row regex alternation at 10^12 docs: an alternation
+of 10^5 terms recompiles per executor and scans each text 10^5 times
+at worst; the n-gram join scans each text once, the dictionary ships
+once per executor, and Catalyst keeps the probe side pipelined — no
+shuffle on the corpus. For dictionaries too large to broadcast, the same
+plan degrades gracefully to a shuffle hash join on the term — switch is
+one hint, not a rewrite.
+
+Matching is exact on normalized word boundaries (the dictionary must be
+pre-normalized the same way); substring matches inside words are out of
+scope by design — that is what dedup_ngram_spans' character shingles
+cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EDGE_PUNCT = r"^[^a-z0-9]+|[^a-z0-9]+$"
+
+
+def _norm_tokens(text: Column) -> Column:
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    cleaned = F.transform(toks, lambda t: F.regexp_replace(t, _EDGE_PUNCT, ""))
+    return F.filter(cleaned, lambda t: t != "")
+
+
+def tag_matches(
+    docs: DataFrame,
+    dictionary: DataFrame,
+    max_ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    tag_col: str = "tag",
+) -> DataFrame:
+    """One row per (document, position, matched term): (id, pos, term,
+    tag). ``pos`` is the 0-based token index where the phrase starts."""
+    toks = _norm_tokens(F.col(text_col))
+    grams = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - n + 1, F.lit(0))),
+                    lambda _t, i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+                    ),
+                )
+                for n in range(1, max_ngram + 1)
+            ]
+        )
+    )
+    exploded = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    dim = dictionary.select(F.col(term_col).alias("gram"), F.col(tag_col).alias("tag"))
+    return exploded.join(F.broadcast(dim), "gram").select(
+        id_col, "pos", F.col("gram").alias("term"), "tag"
+    )
+
+
+def tag_summary(
+    docs: DataFrame,
+    dictionary: DataFrame,
+    max_ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document rollup: hit count, sorted distinct tags and terms.
+    Documents with no matches keep hits=0 and empty CSVs (left join), so
+    the output is a total function of the corpus — a curation gate can
+    filter on it directly."""
+    m = tag_matches(docs, dictionary, max_ngram, id_col=id_col, text_col=text_col)
+    agg = m.groupBy(id_col).agg(
+        F.count("*").alias("hits"),
+        F.concat_ws(",", F.array_sort(F.collect_set("tag"))).alias("tags_csv"),
+        F.concat_ws(",", F.array_sort(F.collect_set("term"))).alias("terms_csv"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.coalesce(F.col("tags_csv"), F.lit("")).alias("tags_csv"),
+            F.coalesce(F.col("terms_csv"), F.lit("")).alias("terms_csv"),
+        )
+    )

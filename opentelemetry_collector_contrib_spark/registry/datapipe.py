@@ -276,6 +276,25 @@ def q_topk_pq(spark, sf_dir):
     return pq_topk_adc(codes, cb, e.filter(F.col("vec_id") % 50 == 0))
 
 
+_DICT_TERMS = [
+    ("spark", "engine"), ("stream", "engine"), ("customer", "entity"),
+    ("slow query", "perf"), ("fast table", "perf"),
+    ("window window", "dup"), ("batch batch", "dup"),
+    ("value table part", "pattern"), ("the line sort", "pattern"),
+]
+
+
+def q_text_dict_tags(spark, sf_dir):
+    """Dictionary phrase tagging over the documents corpus: 1-3-word
+    lexicon broadcast-joined against positional n-gram windows — the
+    Aho-Corasick-equivalent blocklist/topic tagger, one corpus scan,
+    no shuffle on the doc side."""
+    from ..operators.dict_tag import tag_summary
+
+    dictionary = spark.createDataFrame(_DICT_TERMS, "term string, tag string")
+    return tag_summary(_docs(spark, sf_dir), dictionary)
+
+
 def q_multimodal_features(spark, sf_dir):
     from ..operators.multimodal import attach_binary_payload, decode_and_featurize
 
@@ -1825,6 +1844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": q_topk_ivf,
     "emb_pq_codes": q_pq_codes,
     "sim_topk_pq": q_topk_pq,
+    "text_dict_tags": q_text_dict_tags,
     "emb_contrastive_pairs": q_contrastive_pairs,
     "leakage_split_docs": q_leakage_split,
     "source_overlap": q_source_overlap,
@@ -4019,6 +4039,36 @@ ranked AS (
   FROM cand)
 SELECT qid AS query_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5"""
+
+    # --- dictionary phrase tagging ----------------------------------------
+    _dict_vals = ", ".join(f"('{t}', '{g}')" for t, g in _DICT_TERMS)
+    o["text_dict_tags"] = f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')), t -> t <> '') AS toks
+  FROM documents),
+dict(term, tag) AS (VALUES {_dict_vals}),
+grams AS (
+  SELECT doc_id, unnest(list_concat(list_concat(
+      list_transform(generate_series(1, greatest(len(toks), 0)), i -> toks[i]),
+      list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                     i -> toks[i] || ' ' || toks[i+1])),
+      list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS gram
+  FROM d),
+m AS (SELECT g.doc_id, g.gram AS term, dict.tag FROM grams g JOIN dict ON dict.term = g.gram),
+agg AS (
+  SELECT doc_id, count(*) AS hits,
+    array_to_string(list_sort(list_distinct(list(tag))), ',') AS tags_csv,
+    array_to_string(list_sort(list_distinct(list(term))), ',') AS terms_csv
+  FROM m GROUP BY doc_id)
+SELECT doc.doc_id,
+  CAST(coalesce(agg.hits, 0) AS BIGINT) AS hits,
+  coalesce(agg.tags_csv, '') AS tags_csv,
+  coalesce(agg.terms_csv, '') AS terms_csv
+FROM documents doc LEFT JOIN agg USING (doc_id)"""
 
     # --- product quantization: encode + ADC top-k -------------------------
     # the d CTE is both the assignment table (v = any vector) and the

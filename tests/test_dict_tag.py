@@ -1,0 +1,58 @@
+"""Dictionary phrase tagging — word-boundary n-gram matching against a
+broadcast lexicon (operators/dict_tag.py)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.dict_tag import tag_matches, tag_summary
+
+
+def _dict(spark):
+    return spark.createDataFrame(
+        [
+            ("privacy", "policy"),
+            ("credit card", "pii"),
+            ("machine learning", "topic"),
+            ("large language model", "topic"),
+        ],
+        "term string, tag string",
+    )
+
+
+def test_phrase_matching_positions_and_normalization(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Our Privacy, policy covers CREDIT card data."),
+            (2, "large language model training uses machine learning."),
+            (3, "no matches here"),
+        ],
+        "doc_id int, text string",
+    )
+    m = tag_matches(docs, _dict(spark)).collect()
+    got = {(r["doc_id"], r["term"], r["pos"]) for r in m}
+    # edge punctuation stripped, case folded; positions are token indexes
+    assert (1, "privacy", 1) in got
+    assert (1, "credit card", 4) in got
+    assert (2, "large language model", 0) in got
+    assert (2, "machine learning", 5) in got
+    assert not any(r["doc_id"] == 3 for r in m)
+
+
+def test_summary_is_total_with_sorted_csvs(spark):
+    docs = spark.createDataFrame(
+        [(1, "credit card privacy credit card"), (2, "nothing")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in tag_summary(docs, _dict(spark)).collect()}
+    assert out[1]["hits"] == 3
+    assert out[1]["tags_csv"] == "pii,policy"
+    assert out[1]["terms_csv"] == "credit card,privacy"
+    assert out[2]["hits"] == 0 and out[2]["tags_csv"] == ""
+
+
+def test_short_docs_and_plan_shape(spark):
+    docs = spark.createDataFrame([(1, "hi"), (2, "")], "doc_id int, text string")
+    out = tag_summary(docs, _dict(spark))
+    assert out.count() == 2  # sub-n-gram docs never error
+    plan = tag_matches(docs, _dict(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dictionary ships once per executor
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
