@@ -525,6 +525,63 @@ def main() -> None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
             dim24.unpersist()
 
+    # q26: Prometheus relabel chain over per-turn scrape-style labels —
+    # nine actions (replace/hashmod/keep/lowercase/replace/labelmap/
+    # dropequal/labeldrop/uppercase) as one codegen projection; measures
+    # the map-column rewrite throughput at corpus scale.
+    if selected is None or "q26_prom_relabel" in selected:
+        from opentelemetry_collector_contrib_spark.operators.prom_relabel import (
+            labels_csv,
+            relabel,
+        )
+        from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
+        from opentelemetry_collector_contrib_spark.registry.telemetry import _RELABEL_RULES
+
+        t26 = load_transcripts(spark, sf_dir)
+        h = F.xxhash64("conv_id", "turn_idx")
+        addr26 = F.concat(
+            F.lit("10.0."), F.pmod(h, F.lit(200)).cast("string"), F.lit("."),
+            F.pmod(h, F.lit(50)).cast("string"), F.lit(":9100"),
+        )
+        labeled = t26.select(
+            F.map_filter(
+                F.create_map(
+                    F.lit("__address__"), addr26,
+                    F.lit("__scheme__"), F.when(h % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+                    F.lit("__meta_kubernetes_namespace"), F.concat(F.lit("ns-"), F.pmod(h, F.lit(5)).cast("string")),
+                    F.lit("__meta_kubernetes_pod_name"), F.concat(F.lit("pod-"), F.pmod(h, F.lit(7)).cast("string")),
+                    F.lit("__meta_kubernetes_pod_label_App"),
+                    F.when(h % 3 != 0, F.concat(F.lit("Web"), F.pmod(h, F.lit(4)).cast("string"))),
+                    F.lit("instance"), F.when(h % 11 == 0, addr26),
+                    F.lit("job"), F.lit("scrape"),
+                ),
+                lambda _k, v: v.isNotNull(),
+            ).alias("labels")
+        )
+        q26 = relabel(labeled, _RELABEL_RULES).select(labels_csv(F.col("labels")).alias("l"))
+        timed("q26_prom_relabel", lambda: force(q26))
+
+    # q27: dictionary phrase tagging over every turn's text — bounded
+    # 1-3-gram explode + broadcast lexicon join + per-doc rollup.
+    if selected is None or "q27_dict_tags" in selected:
+        from opentelemetry_collector_contrib_spark.operators.dict_tag import tag_summary
+        from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
+
+        t27 = load_transcripts(spark, sf_dir).select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+            "text",
+        )
+        lex = spark.createDataFrame(
+            [
+                ("log", "syslog"), ("status=ok", "ok"), ("status=error", "err"),
+                ("lvl=debug", "debug"), ("lvl=error", "err"),
+                ("log lvl=error", "err-line"), ("tool=none", "no-tool"),
+            ],
+            "term string, tag string",
+        )
+        q27 = tag_summary(t27, lex, id_col="doc_id")
+        timed("q27_dict_tags", lambda: force(q27))
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",

@@ -47,21 +47,34 @@ def tag_matches(
     tag_col: str = "tag",
 ) -> DataFrame:
     """One row per (document, position, matched term): (id, pos, term,
-    tag). ``pos`` is the 0-based token index where the phrase starts."""
-    toks = _norm_tokens(F.col(text_col))
-    grams = F.flatten(
-        F.array(
-            *[
-                F.transform(
-                    F.slice(toks, 1, F.greatest(F.size(toks) - n + 1, F.lit(0))),
-                    lambda _t, i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
-                    ),
-                )
-                for n in range(1, max_ngram + 1)
-            ]
-        )
+    tag). ``pos`` is the 0-based token index where the phrase starts.
+
+    Window construction cost is O(tokens × max_ngram) per doc: the token
+    array binds ONCE as a higher-order-function lambda variable (so
+    Catalyst never re-inlines the tokenizer per reference) and each
+    window extends via O(1) ``get`` lookups — never a per-position
+    ``slice`` (which is O(tokens) each and turns the builder O(n²))."""
+
+    def grams_of(t: Column) -> Column:
+        per_n = []
+        for n in range(1, max_ngram + 1):
+            windows = F.transform(
+                t,
+                lambda tok, i: F.struct(
+                    i.alias("pos"),
+                    F.when(
+                        i + n <= F.size(t),
+                        F.concat_ws(" ", tok, *[F.get(t, i + j) for j in range(1, n)]),
+                    ).alias("gram"),
+                ),
+            )
+            per_n.append(F.filter(windows, lambda s: s["gram"].isNotNull()))
+        return F.flatten(F.array(*per_n))
+
+    # bind the normalized token array once (lambda variable), then build
+    # all 1..max_ngram windows against that binding
+    grams = F.element_at(
+        F.transform(F.array(_norm_tokens(F.col(text_col))), grams_of), 1
     )
     exploded = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
         id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")

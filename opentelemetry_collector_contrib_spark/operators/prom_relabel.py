@@ -22,9 +22,28 @@ anchored ``^(?:re)$``), and then by ``action``:
   - ``labeldrop``/``labelkeep`` filter label names by regex
 
 Everything compiles to native map/regex Column expressions at plan-build
-time — one whole-stage-codegen projection per chain, zero Python in the
-hot path, so a 10^12-row scrape stream relabels at scan speed with no
-shuffle. Labels ride in a ``map<string,string>`` column.
+time — zero Python in the hot path, no shuffle, so a 10^12-row scrape
+stream relabels at scan speed. Labels ride in a ``map<string,string>``
+column.
+
+Two Catalyst hazards shape the implementation (both measured, both
+fatal at depth ~7 without the countermeasures):
+
+  1. **Multiplicative inlining.** A rule's expression naturally
+     references the incoming label map several times (joined source
+     value, cleared map, fallback branch). When Catalyst collapses the
+     per-rule projections, each reference re-inlines the whole upstream
+     chain — ~5 refs/rule × 9 rules ≈ 2M-node plans. Fix: every rule
+     binds the incoming map ONCE as a higher-order-function lambda
+     variable (``element_at(transform(array(labels), l -> rule(l)), 1)``)
+     — lambda-variable references are leaf nodes Catalyst never expands,
+     so the chain grows additively, not multiplicatively.
+  2. **Filter pushdown blowup.** A keep/drop Filter above the projection
+     stack gets pushed through it, substituting the full labels
+     expression into the predicate at every level. A nondeterministic
+     pass-through column (``monotonically_increasing_id``) right under
+     each Filter pins it in place; the column is dropped immediately and
+     results are unchanged.
 
 Replacement strings support RE2-style ``$1``/``${1}`` group references
 (translated to Java's ``$1``); a literal ``$`` in a replacement is not
@@ -34,6 +53,7 @@ supported (document-level limitation, as in Java's Matcher).
 from __future__ import annotations
 
 import re
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -55,13 +75,20 @@ def _java_repl(repl: str) -> str:
     return re.sub(r"\$\{(\d+)\}", r"$\1", repl)
 
 
-def _joined(labels: Column, source_labels: list[str], sep: str) -> Column:
+def _once(labels: Column, fn: Callable[[Column], Column]) -> Column:
+    """Bind ``labels`` as a lambda variable so ``fn`` may reference it
+    any number of times while the upstream expression appears exactly
+    once in the plan (hazard 1 above)."""
+    return F.element_at(F.transform(F.array(labels), fn), 1)
+
+
+def _joined(l: Column, source_labels: list[str], sep: str) -> Column:
     """Prometheus joins source label values with separator; a label that
     is absent contributes the empty string."""
     if not source_labels:
         return F.lit("")
     return F.concat_ws(
-        sep, *[F.coalesce(F.element_at(labels, F.lit(s)), F.lit("")) for s in source_labels]
+        sep, *[F.coalesce(F.element_at(l, F.lit(s)), F.lit("")) for s in source_labels]
     )
 
 
@@ -72,10 +99,10 @@ def _expand(val: Column, anchored: str, template: str) -> Column:
     return F.regexp_replace(val, anchored, _java_repl(template))
 
 
-def _set_label(labels: Column, name: Column, value: Column) -> Column:
+def _set_label(l: Column, name: Column, value: Column) -> Column:
     """lbls.Set(name, value): delete any existing entry, then insert —
     unless the value is empty, which is Prometheus's delete."""
-    cleared = F.map_filter(labels, lambda k, _v: k != name)
+    cleared = F.map_filter(l, lambda k, _v: k != name)
     return F.when(value == "", cleared).otherwise(
         F.map_concat(cleared, F.map_from_arrays(F.array(name), F.array(value)))
     )
@@ -99,69 +126,90 @@ def relabel(df: DataFrame, rules: list[dict], labels_col: str = "labels") -> Dat
     defaults. keep/drop/keepequal/dropequal filter rows; every other
     action rewrites the label map in place.
     """
-    labels = F.col(labels_col)
+
+    def _filtered(frame: DataFrame, pred: Column) -> DataFrame:
+        # nondeterministic pass-through pins the Filter above the
+        # projection stack (hazard 2 in the module docstring)
+        b = frame.withColumn("__rl_barrier", F.monotonically_increasing_id())
+        return b.filter(pred).drop("__rl_barrier")
+
     for raw in rules:
         rule = {**_DEFAULTS, **raw}
         action = rule["action"]
         anchored = _anchor(rule["regex"])
         srcs = rule.get("source_labels", [])
-        val = _joined(labels, srcs, rule["separator"])
+        sep = rule["separator"]
+        labels = F.col(labels_col)
 
         if action in ("keep", "drop"):
-            matched = val.rlike(anchored)
-            df = df.filter(matched if action == "keep" else ~matched)
+            matched = _once(labels, lambda l: _joined(l, srcs, sep).rlike(anchored))
+            df = _filtered(df, matched if action == "keep" else ~matched)
         elif action in ("keepequal", "dropequal"):
-            tgt_val = F.coalesce(F.element_at(labels, F.lit(rule["target_label"])), F.lit(""))
-            eq = val == tgt_val
-            df = df.filter(eq if action == "keepequal" else ~eq)
+            eq = _once(
+                labels,
+                lambda l: _joined(l, srcs, sep)
+                == F.coalesce(F.element_at(l, F.lit(rule["target_label"])), F.lit("")),
+            )
+            df = _filtered(df, eq if action == "keepequal" else ~eq)
         elif action == "replace":
-            matched = val.rlike(anchored)
-            name = _expand(val, anchored, rule["target_label"])
-            newval = _expand(val, anchored, rule["replacement"])
-            df = df.withColumn(
-                labels_col,
-                F.when(matched, _set_label(labels, name, newval)).otherwise(labels),
-            )
+
+            def _replace(l: Column) -> Column:
+                val = _joined(l, srcs, sep)
+                name = _expand(val, anchored, rule["target_label"])
+                newval = _expand(val, anchored, rule["replacement"])
+                return F.when(val.rlike(anchored), _set_label(l, name, newval)).otherwise(l)
+
+            df = df.withColumn(labels_col, _once(labels, _replace))
         elif action in ("lowercase", "uppercase"):
-            cased = F.lower(val) if action == "lowercase" else F.upper(val)
-            df = df.withColumn(
-                labels_col, _set_label(labels, F.lit(rule["target_label"]), cased)
-            )
+            case_fn = F.lower if action == "lowercase" else F.upper
+
+            def _cased(l: Column) -> Column:
+                return _set_label(
+                    l, F.lit(rule["target_label"]), case_fn(_joined(l, srcs, sep))
+                )
+
+            df = df.withColumn(labels_col, _once(labels, _cased))
         elif action == "hashmod":
-            df = df.withColumn(
-                labels_col,
-                _set_label(
-                    labels, F.lit(rule["target_label"]), _hashmod(val, int(rule["modulus"]))
-                ),
-            )
+            modulus = int(rule["modulus"])
+
+            def _hm(l: Column) -> Column:
+                return _set_label(
+                    l, F.lit(rule["target_label"]), _hashmod(_joined(l, srcs, sep), modulus)
+                )
+
+            df = df.withColumn(labels_col, _once(labels, _hm))
         elif action == "labelmap":
             repl = _java_repl(rule["replacement"])
-            renamed = F.transform(
-                F.filter(F.map_entries(labels), lambda e: e["key"].rlike(anchored)),
-                lambda e: F.struct(
-                    F.regexp_replace(e["key"], anchored, repl).alias("key"),
-                    e["value"].alias("value"),
-                ),
-            )
-            # fold Set() over the renamed entries: last write wins without
-            # relying on the session's mapKeyDedupPolicy
-            df = df.withColumn(
-                labels_col,
-                F.aggregate(
+
+            def _lmap(l: Column) -> Column:
+                renamed = F.transform(
+                    F.filter(F.map_entries(l), lambda e: e["key"].rlike(anchored)),
+                    lambda e: F.struct(
+                        F.regexp_replace(e["key"], anchored, repl).alias("key"),
+                        e["value"].alias("value"),
+                    ),
+                )
+                # fold Set() over the renamed entries: last write wins
+                # without relying on the session's mapKeyDedupPolicy
+                return F.aggregate(
                     renamed,
-                    labels,
+                    l,
                     lambda acc, e: F.map_concat(
                         F.map_filter(acc, lambda k, _v: k != e["key"]),
                         F.map_from_arrays(F.array(e["key"]), F.array(e["value"])),
                     ),
-                ),
-            )
+                )
+
+            df = df.withColumn(labels_col, _once(labels, _lmap))
         elif action in ("labeldrop", "labelkeep"):
-            if action == "labeldrop":
-                kept = F.map_filter(labels, lambda k, _v: ~k.rlike(anchored))
-            else:
-                kept = F.map_filter(labels, lambda k, _v: k.rlike(anchored))
-            df = df.withColumn(labels_col, kept)
+            keep = action == "labelkeep"
+
+            def _lfilter(l: Column) -> Column:
+                return F.map_filter(
+                    l, lambda k, _v: k.rlike(anchored) if keep else ~k.rlike(anchored)
+                )
+
+            df = df.withColumn(labels_col, _once(labels, _lfilter))
         else:
             raise ValueError(f"unknown relabel action: {action}")
     return df
