@@ -41,9 +41,10 @@ fatal at depth ~7 without the countermeasures):
   2. **Filter pushdown blowup.** A keep/drop Filter above the projection
      stack gets pushed through it, substituting the full labels
      expression into the predicate at every level. A nondeterministic
-     pass-through column (``monotonically_increasing_id``) right under
-     each Filter pins it in place; the column is dropped immediately and
-     results are unchanged.
+     pass-through column (``rand()`` — streaming-legal, unlike
+     monotonically_increasing_id) right under each Filter pins it in
+     place; the column is dropped immediately and results are
+     unchanged.
 
 Replacement strings support RE2-style ``$1``/``${1}`` group references
 (translated to Java's ``$1``); a literal ``$`` in a replacement is not
@@ -130,7 +131,7 @@ def relabel(df: DataFrame, rules: list[dict], labels_col: str = "labels") -> Dat
     def _filtered(frame: DataFrame, pred: Column) -> DataFrame:
         # nondeterministic pass-through pins the Filter above the
         # projection stack (hazard 2 in the module docstring)
-        b = frame.withColumn("__rl_barrier", F.monotonically_increasing_id())
+        b = frame.withColumn("__rl_barrier", F.rand())
         return b.filter(pred).drop("__rl_barrier")
 
     for raw in rules:

@@ -747,3 +747,71 @@ def test_watermark_sized_by_late_arrival_profile(spark, tmp_path):
     # tight watermark: window 00:01 was emitted one batch BEFORE the late
     # row arrived -> the late row is dropped (emitted results immutable)
     assert drain(10, "wm_tight") == 4
+
+
+def test_streaming_relabel_and_es_route_match_batch(spark, tmp_path):
+    """Session-15 operators are stateless projections/filters, so they
+    compose with readStream unchanged: the 9-action relabel chain and the
+    ES data-stream router over an availableNow drain must equal the batch
+    run on the same files. (Also exercises the filter-pushdown barrier
+    under the streaming planner.)"""
+    import json as _json
+
+    from opentelemetry_collector_contrib_spark.operators.es_routing import route_documents
+    from opentelemetry_collector_contrib_spark.operators.prom_relabel import labels_csv, relabel
+    from opentelemetry_collector_contrib_spark.registry.telemetry import _RELABEL_RULES
+
+    d = tmp_path / "rin"
+    d.mkdir()
+    rows = [
+        {"id": i, "ns": f"ns-{i % 3}", "pod": f"pod-{i % 5}",
+         "app": (f"Web{i % 4}" if i % 3 else None),
+         "dataset": ("My App/x" if i % 4 == 0 else None),
+         "scope": ("github.com/open-telemetry/opentelemetry-collector-contrib"
+                   "/receiver/filelogreceiver" if i % 2 else "custom")}
+        for i in range(40)
+    ]
+    (d / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "id int, ns string, pod string, app string, dataset string, scope string"
+
+    def pipe(df):
+        labeled = df.select(
+            "id",
+            F.map_filter(
+                F.create_map(
+                    F.lit("__address__"), F.concat(F.lit("10.0.0."), F.col("id").cast("string"), F.lit(":9100")),
+                    F.lit("__scheme__"), F.lit("http"),
+                    F.lit("__meta_kubernetes_namespace"), F.col("ns"),
+                    F.lit("__meta_kubernetes_pod_name"), F.col("pod"),
+                    F.lit("__meta_kubernetes_pod_label_App"), F.col("app"),
+                    F.lit("job"), F.lit("scrape"),
+                ),
+                lambda _k, v: v.isNotNull(),
+            ).alias("labels"),
+            F.map_filter(
+                F.create_map(F.lit("data_stream.dataset"), F.col("dataset")),
+                lambda _k, v: v.isNotNull(),
+            ).alias("attrs"),
+            F.create_map().cast("map<string,string>").alias("scope_attrs"),
+            F.create_map().cast("map<string,string>").alias("res_attrs"),
+            F.col("scope").alias("scope_name"),
+            F.lit("logs").alias("signal"),
+        )
+        out = relabel(labeled, _RELABEL_RULES)
+        out = route_documents(out, mode="otel")
+        return out.select("id", labels_csv(F.col("labels")).alias("lbl"), "es_index")
+
+    sdf = pipe(spark.readStream.schema(schema).json(str(d)))
+    assert sdf.isStreaming
+    (
+        sdf.writeStream.format("memory").queryName("relabel_stream")
+        .option("checkpointLocation", str(tmp_path / "rck"))
+        .trigger(availableNow=True).start().awaitTermination(60)
+    )
+    got = sorted(tuple(r) for r in spark.table("relabel_stream").collect())
+    want = sorted(tuple(r) for r in pipe(spark.read.schema(schema).json(str(d))).collect())
+    assert got == want
+    assert 0 < len(got) < 40  # the keep/dropequal filters actually dropped rows
+    by_id = {t[0]: t for t in got}
+    assert any(t[2] == "logs-my_app_x.otel-default" for t in got)
+    assert all("__meta" not in t[1] for t in got)  # labeldrop ran
