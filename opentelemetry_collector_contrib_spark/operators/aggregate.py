@@ -1359,3 +1359,58 @@ def collapse_long_tail(
         .select(F.lit(other_label).alias(key_col), count_col, *aggs.keys())
     )
     return kept.unionByName(other)
+
+
+def histogram_exemplars(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    trace_col: str,
+    span_col: str,
+    order_cols: list[str],
+    max_per_data_point: int = 5,
+) -> DataFrame:
+    """spanmetrics exemplars (connector/spanmetricsconnector README
+    `exemplars.max_per_data_point`, internal/metrics/metrics.go:312-320
+    AddExemplar): attach up to k (trace_id, span_id, value) samples per
+    datapoint group. The reference keeps the FIRST k spans by arrival
+    order within the flush; batch has no arrival order, so the analogue
+    is the first k by a caller-supplied stable ordering (event time +
+    tiebreaker) — deterministic and rerun-stable, strictly stronger than
+    the reference's whatever-arrived-first.
+
+    Plan: one window (same hash partitioning as the histogram aggregate
+    it decorates — the exchanges line up) + one hash agg; shuffle rows
+    after the rank filter are bounded by groups × k."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*dims).orderBy(*order_cols)
+    ranked = df.withColumn("_xr", F.row_number().over(w)).filter(
+        F.col("_xr") <= max_per_data_point
+    )
+    return (
+        ranked.groupBy(*dims)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_xr").alias("i"),
+                        F.col(trace_col).cast("string").alias("trace_id"),
+                        F.col(span_col).cast("string").alias("span_id"),
+                        F.col(value_col).cast("double").alias("value"),
+                    )
+                )
+            ).alias("_ex")
+        )
+        .select(
+            *dims,
+            F.transform(
+                F.col("_ex"),
+                lambda e: F.struct(
+                    e["trace_id"].alias("trace_id"),
+                    e["span_id"].alias("span_id"),
+                    e["value"].alias("value"),
+                ),
+            ).alias("exemplars"),
+        )
+    )

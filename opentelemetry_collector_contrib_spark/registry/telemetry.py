@@ -5158,12 +5158,46 @@ def q_gitlab_pipeline_spans(spark, sf_dir):
     return pipeline_spans(src)
 
 
+def q_events_histogram_exemplars(spark, sf_dir):
+    """spanmetrics exemplar attachment: per event_type datapoint, the
+    first 5 (trace_id, span_id, value) samples by stable (ts, event_id)
+    order — the batch-deterministic analogue of max_per_data_point
+    arrival-order sampling (spanmetricsconnector README :147-149)."""
+    from ..operators.aggregate import histogram_exemplars
+
+    e = F.col("event_id")
+    src = _events(spark, sf_dir).select(
+        "event_type", "value", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        F.substring(F.md5(F.concat(F.lit("t"), e.cast("string"))), 1, 32).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), e.cast("string"))), 17, 16).alias("span_id"),
+    )
+    ex = histogram_exemplars(
+        src, ["event_type"], "value", "trace_id", "span_id", ["ts", "event_id"], 5
+    )
+    counts = src.groupBy("event_type").agg(F.count("value").alias("h_count"))
+    cents = lambda v: F.floor(v * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return counts.join(ex, "event_type").select(
+        "event_type",
+        "h_count",
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.col("exemplars"),
+                lambda x: F.concat_ws(
+                    ":", x["trace_id"], x["span_id"], cents(x["value"]).cast("string")
+                ),
+            ),
+        ).alias("exemplars_csv"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prom_relabel_pipeline": q_prom_relabel,
     "github_workflow_spans": q_github_job_spans,
     "github_run_roots": q_github_run_roots,
     "es_route_index": q_es_route_index,
     "gitlab_pipeline_spans": q_gitlab_pipeline_spans,
+    "events_histogram_exemplars": q_events_histogram_exemplars,
     "apm_stats_buckets": q_apm_stats,
     "prom_name_normalize": q_prom_names,
     "loki_stream_labels": q_loki_streams,
@@ -9414,6 +9448,24 @@ jobs AS (
   JOIN stagesr sr ON sr.e = j.e AND sr.stg = j.stg
   WHERE NOT j.unran)
 SELECT * FROM pipes UNION ALL SELECT * FROM stages UNION ALL SELECT * FROM jobs"""
+
+    # --- spanmetrics exemplars -------------------------------------------
+    o["events_histogram_exemplars"] = """
+WITH src AS (
+  SELECT event_type, value, ts, event_id,
+    substr(md5('t' || CAST(event_id AS VARCHAR)), 1, 32) AS trace_id,
+    substr(md5('s' || CAST(event_id AS VARCHAR)), 17, 16) AS span_id
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn FROM src),
+ex AS (
+  SELECT event_type,
+    string_agg(trace_id || ':' || span_id || ':' ||
+               CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR),
+               '|' ORDER BY rn) AS exemplars_csv
+  FROM r WHERE rn <= 5 GROUP BY event_type),
+h AS (SELECT event_type, count(value) AS h_count FROM events GROUP BY event_type)
+SELECT h.event_type, h.h_count, ex.exemplars_csv
+FROM h JOIN ex USING (event_type)"""
 
     # --- elasticsearch data-stream routing --------------------------------
     # sanitize = lowercase + translate(disallowed -> '_') + 95/100-char cap

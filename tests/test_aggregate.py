@@ -649,3 +649,22 @@ def test_collapse_long_tail_preserves_totals(spark):
 
     with _pytest.raises(ValueError):
         collapse_long_tail(df, "k", {})
+
+
+def test_histogram_exemplars_first_k_stable_order(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import histogram_exemplars
+
+    rows = [("a", float(v), v, f"t{v}", f"s{v}") for v in range(8)] + [
+        ("b", 1.0, 0, "tb", "sb")
+    ]
+    df = spark.createDataFrame(rows, "dim string, value double, ord int, trace_id string, span_id string")
+    out = {
+        r["dim"]: r["exemplars"]
+        for r in histogram_exemplars(
+            df, ["dim"], "value", "trace_id", "span_id", ["ord"], max_per_data_point=3
+        ).collect()
+    }
+    # first 3 by the stable order, in order
+    assert [e["trace_id"] for e in out["a"]] == ["t0", "t1", "t2"]
+    assert [e["value"] for e in out["a"]] == [0.0, 1.0, 2.0]
+    assert len(out["b"]) == 1 and out["b"][0]["span_id"] == "sb"
