@@ -24,7 +24,7 @@ def main() -> None:
     which = set(sys.argv[1:]) or {
         "q1", "agg", "dedup", "grok", "drain", "curation", "pack",
         "decontam", "shuffle", "balance", "timeseries", "convqa", "drift",
-        "corpus",
+        "corpus", "session15",
     }
     spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -149,6 +149,28 @@ def main() -> None:
             ("zorder key (shift/or projection)", q_zorder_key),
             ("domain cap (suffix projection + one window)", q_domain_cap),
             ("robots gate (broadcast rules + max_by)", q_robots_gate),
+        ]:
+            print("=" * 30, name, "=" * 30)
+            q(spark, sf).explain("formatted")
+    if "session15" in which:
+        from opentelemetry_collector_contrib_spark.registry.datapipe import (
+            q_pq_codes,
+            q_text_dict_tags,
+            q_topk_pq,
+        )
+        from opentelemetry_collector_contrib_spark.registry.telemetry import (
+            q_es_route_index,
+            q_gitlab_pipeline_spans,
+            q_prom_relabel,
+        )
+
+        for name, q in [
+            ("prom relabel (lambda-bound rule chain, rand() filter barriers)", q_prom_relabel),
+            ("gitlab CI spans (in-array stage derivation, no shuffle)", q_gitlab_pipeline_spans),
+            ("es route index (single projection)", q_es_route_index),
+            ("pq encode (inlined codebook, zero joins)", q_pq_codes),
+            ("pq adc topk (broadcast integer LUT + window)", q_topk_pq),
+            ("dict tags (bounded explode + broadcast lexicon join)", q_text_dict_tags),
         ]:
             print("=" * 30, name, "=" * 30)
             q(spark, sf).explain("formatted")
