@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_EDGE_PUNCT = r"^[^a-z0-9]+|[^a-z0-9]+$"
+_EDGE_PUNCT = r"^[^\p{L}\p{Nd}]+|[^\p{L}\p{Nd}]+$"
 
 
 def _norm_tokens(text: Column) -> Column:

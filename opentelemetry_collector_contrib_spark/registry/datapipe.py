@@ -4046,7 +4046,7 @@ FROM ranked WHERE rank <= 5"""
 WITH d AS (
   SELECT doc_id,
     list_filter(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
-      t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')), t -> t <> '') AS toks
+      t -> regexp_replace(t, '^[^\\p{{L}}\\p{{Nd}}]+|[^\\p{{L}}\\p{{Nd}}]+$', '', 'g')), t -> t <> '') AS toks
   FROM documents),
 dict(term, tag) AS (VALUES {_dict_vals}),
 grams AS (

@@ -56,3 +56,13 @@ def test_short_docs_and_plan_shape(spark):
     plan = tag_matches(docs, _dict(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # dictionary ships once per executor
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unicode_tokens_survive_normalization(spark):
+    d = spark.createDataFrame([("café", "place"), ("naïve bayes", "topic")], "term string, tag string")
+    docs = spark.createDataFrame(
+        [(1, "Visit the (café)! Naïve Bayes wins.")], "doc_id int, text string"
+    )
+    out = tag_summary(docs, d).collect()[0]
+    assert out["hits"] == 2
+    assert out["terms_csv"] == "café,naïve bayes"
