@@ -5158,6 +5158,35 @@ def q_gitlab_pipeline_spans(spark, sf_dir):
     return pipeline_spans(src)
 
 
+def q_prom_relabel_keepequal(spark, sf_dir):
+    """The two relabel actions the main chain doesn't filter with:
+    keepequal (joined source == target value) and labelkeep (name
+    allowlist), preceded by a replace that plants the equality for a
+    deterministic subset."""
+    from ..operators.prom_relabel import labels_csv, relabel
+
+    e = F.col("event_id")
+
+    def mk(*pairs):
+        return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
+
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        mk(
+            F.lit("job"), F.concat(F.lit("job-"), (e % 4).cast("string")),
+            F.lit("alias"), F.when(e % 3 == 0, F.concat(F.lit("job-"), (e % 4).cast("string")))
+            .otherwise(F.lit("other")),
+            F.lit("__scratch"), F.lit("x"),
+            F.lit("env"), F.when(e % 2 == 0, F.lit("prod")).otherwise(F.lit("dev")),
+        ).alias("labels"),
+    )
+    rules = [
+        {"action": "keepequal", "source_labels": ["job"], "target_label": "alias"},
+        {"action": "labelkeep", "regex": "job|env"},
+    ]
+    return relabel(src, rules).select("event_id", labels_csv(F.col("labels")).alias("labels"))
+
+
 def q_events_histogram_exemplars(spark, sf_dir):
     """spanmetrics exemplar attachment: per event_type datapoint, the
     first 5 (trace_id, span_id, value) samples by stable (ts, event_id)
@@ -5198,6 +5227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "es_route_index": q_es_route_index,
     "gitlab_pipeline_spans": q_gitlab_pipeline_spans,
     "events_histogram_exemplars": q_events_histogram_exemplars,
+    "prom_relabel_keepequal": q_prom_relabel_keepequal,
     "apm_stats_buckets": q_apm_stats,
     "prom_name_normalize": q_prom_names,
     "loki_stream_labels": q_loki_streams,
@@ -9466,6 +9496,12 @@ ex AS (
 h AS (SELECT event_type, count(value) AS h_count FROM events GROUP BY event_type)
 SELECT h.event_type, h.h_count, ex.exemplars_csv
 FROM h JOIN ex USING (event_type)"""
+
+    o["prom_relabel_keepequal"] = """
+SELECT event_id,
+  'env=' || CASE WHEN event_id % 2 = 0 THEN 'prod' ELSE 'dev' END ||
+  ',job=job-' || CAST(event_id % 4 AS VARCHAR) AS labels
+FROM events WHERE event_id % 3 = 0"""
 
     # --- elasticsearch data-stream routing --------------------------------
     # sanitize = lowercase + translate(disallowed -> '_') + 95/100-char cap
