@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._catalyst import bind_once
+
 _EDGE_PUNCT = r"^[^\p{L}\p{Nd}]+|[^\p{L}\p{Nd}]+$"
 
 
@@ -73,9 +75,7 @@ def tag_matches(
 
     # bind the normalized token array once (lambda variable), then build
     # all 1..max_ngram windows against that binding
-    grams = F.element_at(
-        F.transform(F.array(_norm_tokens(F.col(text_col))), grams_of), 1
-    )
+    grams = bind_once(_norm_tokens(F.col(text_col)), grams_of)
     exploded = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
         id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
     )

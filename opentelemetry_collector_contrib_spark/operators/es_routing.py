@@ -121,6 +121,9 @@ def route_documents(
         _sanitize(dataset, DISALLOWED_DATASET, suffix),
         _sanitize(ns, DISALLOWED_NAMESPACE, ""),
     )
+    # a NULL type must NOT silently collapse to a two-segment index
+    # (concat_ws skips NULLs): surface the bad row as a NULL index
+    routed = F.when(ds_type.isNotNull(), routed)
     resolved = F.coalesce(es_index, routed)
     if mode == "bodymap":
         resolved = F.when(ds_type.isin(_ALLOWED_TYPES), resolved)  # else NULL = error/drop

@@ -54,7 +54,6 @@ supported (document-level limitation, as in Java's Matcher).
 from __future__ import annotations
 
 import re
-from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -68,19 +67,28 @@ _DEFAULTS = {
 
 
 def _anchor(regex: str) -> str:
-    return "^(?:" + regex + ")$"
+    """Prometheus anchors rules as ^(?:re)$ under RE2, where $ is
+    end-of-TEXT. Java's $ also matches before a final newline, so the
+    faithful Java translation is \\A(?:re)\\z (probe-confirmed: a label
+    value "x1\\n" must NOT full-match "x1")."""
+    return "\\A(?:" + regex + ")\\z"
 
 
-def _java_repl(repl: str) -> str:
-    """RE2 ``${1}`` → Java ``$1`` (plain ``$1`` passes through)."""
-    return re.sub(r"\$\{(\d+)\}", r"$\1", repl)
+def _java_repl(repl: str, n_groups: int | None = None) -> str:
+    """RE2 ``${1}`` → Java ``$1`` (plain ``$1`` passes through). When the
+    rule's group count is known, references to groups the regex does not
+    define are stripped — RE2's ExpandString yields "" for out-of-range
+    groups, while Java's replaceAll throws (probe-confirmed: an
+    unvalidated $2 against a 1-group regex aborts the whole job)."""
+    out = re.sub(r"\$\{(\d+)\}", r"$\1", repl)
+    if n_groups is not None:
+        out = re.sub(
+            r"\$(\d+)", lambda m: "" if int(m.group(1)) > n_groups else m.group(0), out
+        )
+    return out
 
 
-def _once(labels: Column, fn: Callable[[Column], Column]) -> Column:
-    """Bind ``labels`` as a lambda variable so ``fn`` may reference it
-    any number of times while the upstream expression appears exactly
-    once in the plan (hazard 1 above)."""
-    return F.element_at(F.transform(F.array(labels), fn), 1)
+from ._catalyst import bind_once as _once  # hazard 1: see module docstring
 
 
 def _joined(l: Column, source_labels: list[str], sep: str) -> Column:
@@ -93,11 +101,25 @@ def _joined(l: Column, source_labels: list[str], sep: str) -> Column:
     )
 
 
-def _expand(val: Column, anchored: str, template: str) -> Column:
+def _expand(val: Column, anchored: str, template: str, n_groups: int | None = None) -> Column:
     """Full-match group expansion: the template with $n refs substituted.
     Callers gate on the match, so replacing the (single, full-string)
     match IS the expansion."""
-    return F.regexp_replace(val, anchored, _java_repl(template))
+    return F.regexp_replace(val, anchored, _java_repl(template, n_groups))
+
+
+def _group_count(regex: str) -> int | None:
+    """Capture-group count of the rule regex (None if Python's re cannot
+    parse the pattern — then out-of-range refs are left to fail loudly)."""
+    try:
+        return re.compile(regex).groups
+    except re.error:
+        return None
+
+
+# Prometheus legacy label-name validation (model/labels): a replace whose
+# expanded target name is invalid is skipped, not applied
+_LABEL_NAME_RE = "\\A[a-zA-Z_][a-zA-Z0-9_]*\\z"
 
 
 def _set_label(l: Column, name: Column, value: Column) -> Column:
@@ -153,12 +175,18 @@ def relabel(df: DataFrame, rules: list[dict], labels_col: str = "labels") -> Dat
             )
             df = _filtered(df, eq if action == "keepequal" else ~eq)
         elif action == "replace":
+            n_groups = _group_count(rule["regex"])
 
             def _replace(l: Column) -> Column:
                 val = _joined(l, srcs, sep)
-                name = _expand(val, anchored, rule["target_label"])
-                newval = _expand(val, anchored, rule["replacement"])
-                return F.when(val.rlike(anchored), _set_label(l, name, newval)).otherwise(l)
+                name = _expand(val, anchored, rule["target_label"], n_groups)
+                newval = _expand(val, anchored, rule["replacement"], n_groups)
+                # invalid expanded target name -> rule skipped, as in
+                # Prometheus relabel.go's target.IsValid() gate
+                return F.when(
+                    val.rlike(anchored) & name.rlike(_LABEL_NAME_RE),
+                    _set_label(l, name, newval),
+                ).otherwise(l)
 
             df = df.withColumn(labels_col, _once(labels, _replace))
         elif action in ("lowercase", "uppercase"):

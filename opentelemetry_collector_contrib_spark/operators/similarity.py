@@ -537,13 +537,16 @@ def pq_codebooks_kmeans(
         for _ in range(n_iter):
             d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            # farthest-point order for empty-cluster reseeds, consumed
+            # one index per empty cluster so two empties in the same
+            # iteration never collapse onto the same codeword
+            far_order = iter(np.argsort(-d2.min(axis=1)))
             for j in range(k_codes):
                 mask = assign == j
                 if mask.any():
                     cent[j] = xs[mask].mean(axis=0)
                 else:
-                    far = d2.min(axis=1).argmax()
-                    cent[j] = xs[far]
+                    cent[j] = xs[next(far_order)]
         out.extend(
             (s, j, [float(v) for v in cent[j]]) for j in range(k_codes)
         )

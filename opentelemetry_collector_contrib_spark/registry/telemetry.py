@@ -22,6 +22,12 @@ from .transcript_sql import pipeline_cte
 _WIN_SQL = "CAST(floor(epoch_us(ts) / ({i} * CAST(1000000 AS BIGINT))) AS BIGINT) * {i}"
 
 
+def _nn_map(*pairs):
+    """Null-filtered literal map: absent attributes stay absent instead
+    of mapping to NULL values (the synthesized-attribute convention)."""
+    return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -4849,12 +4855,9 @@ def q_loki_streams(spark, sf_dir):
 
     eid, uid = F.col("event_id"), F.col("user_id")
 
-    def mk(*pairs):
-        return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
-
     src = _events(spark, sf_dir).select(
         "event_id",
-        mk(
+        _nn_map(
             F.lit("event"), F.col("event_type"),
             F.lit("level"), F.when(eid % 11 == 0, F.lit("custom")),
             F.lit("team"), F.concat(F.lit("t"), (eid % 3).cast("string")),
@@ -4862,7 +4865,7 @@ def q_loki_streams(spark, sf_dir):
             F.lit("loki.format"), F.when(eid % 5 == 0, F.lit("logfmt")),
             F.lit("loki.tenant"), F.when(eid % 13 == 0, F.lit("team")),
         ).alias("log_attrs"),
-        mk(
+        _nn_map(
             F.lit("service.name"), F.concat(F.lit("svc-"), (uid % 4).cast("string")),
             F.lit("service.namespace"), F.when(uid % 2 == 0, F.lit("prod")),
             F.lit("service.instance.id"), F.when(uid % 3 == 0, F.concat(F.lit("i-"), uid.cast("string"))),
@@ -4924,12 +4927,9 @@ def q_prom_relabel(spark, sf_dir):
         F.lit("10.0."), (e % 200).cast("string"), F.lit("."), u.cast("string"), F.lit(":9100")
     )
 
-    def mk(*pairs):
-        return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
-
     src = _events(spark, sf_dir).select(
         "event_id",
-        mk(
+        _nn_map(
             F.lit("__address__"), addr,
             F.lit("__scheme__"), F.when(e % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
             F.lit("__meta_kubernetes_namespace"), F.concat(F.lit("ns-"), (e % 5).cast("string")),
@@ -5066,9 +5066,6 @@ def q_es_route_index(spark, sf_dir):
 
     e = F.col("event_id")
 
-    def mk(*pairs):
-        return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
-
     contrib = "github.com/open-telemetry/opentelemetry-collector-contrib"
     src = _events(spark, sf_dir).select(
         "event_id",
@@ -5076,7 +5073,7 @@ def q_es_route_index(spark, sf_dir):
         .when(e % 3 == 1, F.lit("metrics"))
         .otherwise(F.lit("traces"))
         .alias("signal"),
-        mk(
+        _nn_map(
             F.lit("elasticsearch.index"),
             F.when(e % 17 == 0, F.concat(F.lit("manual-idx-"), (e % 4).cast("string"))),
             F.lit("data_stream.dataset"),
@@ -5084,11 +5081,11 @@ def q_es_route_index(spark, sf_dir):
             F.lit("data_stream.namespace"),
             F.when(e % 5 == 0, F.concat(F.lit("NS,"), (e % 3).cast("string"))),
         ).alias("attrs"),
-        mk(
+        _nn_map(
             F.lit("encoding.format"), F.when(e % 7 == 0, F.lit("aws.vpcflow")),
             F.lit("data_stream.namespace"), F.when(e % 11 == 0, F.lit("ScopeNS")),
         ).alias("scope_attrs"),
-        mk(
+        _nn_map(
             F.lit("data_stream.dataset"), F.when(e % 13 == 0, F.lit("res-ds")),
         ).alias("res_attrs"),
         F.when(e % 6 == 0, F.lit("go.opentelemetry.io/collector/receiver/receiverhelper"))
@@ -5167,12 +5164,9 @@ def q_prom_relabel_keepequal(spark, sf_dir):
 
     e = F.col("event_id")
 
-    def mk(*pairs):
-        return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
-
     src = _events(spark, sf_dir).select(
         "event_id",
-        mk(
+        _nn_map(
             F.lit("job"), F.concat(F.lit("job-"), (e % 4).cast("string")),
             F.lit("alias"), F.when(e % 3 == 0, F.concat(F.lit("job-"), (e % 4).cast("string")))
             .otherwise(F.lit("other")),

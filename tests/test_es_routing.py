@@ -112,3 +112,10 @@ def test_plan_stays_native(spark):
     df = spark.createDataFrame([(0, "logs", {}, {}, {}, "s")], _SCHEMA)
     plan = route_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_signal_yields_null_index(spark):
+    """A NULL type must surface as a NULL index, not a silently malformed
+    two-segment name (concat_ws skips NULLs)."""
+    out = _route(spark, [(0, None, {}, {}, {}, "s")], mode="otel")
+    assert out[0] is None

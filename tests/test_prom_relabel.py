@@ -186,3 +186,48 @@ def test_plan_stays_native(spark):
     )
     plan = chained._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_missing_group_refs_expand_empty_not_crash(spark):
+    """RE2 ExpandString semantics: a $2 against a 1-group regex expands
+    to "" (deleting the target on empty value) instead of aborting the
+    job as raw Java replaceAll would."""
+    df = _df(spark, [{"a": "x1", "t": "old"}])
+    out = _out(
+        relabel(
+            df,
+            [{"action": "replace", "source_labels": ["a"], "regex": "x(\\d+)",
+              "target_label": "t", "replacement": "g$2"}],
+        )
+    )
+    assert out[0]["t"] == "g"  # $2 -> ""
+    out = _out(
+        relabel(
+            df,
+            [{"action": "replace", "source_labels": ["a"], "regex": "x(\\d+)",
+              "target_label": "t", "replacement": "${2}"}],
+        )
+    )
+    assert "t" not in out[0]  # fully-empty expansion deletes
+
+
+def test_trailing_newline_does_not_full_match(spark):
+    """RE2's $ is end-of-text; Java's $ also matches before a final
+    newline — anchors must be \\A..\\z so "x1\\n" is NOT kept by regex x1."""
+    df = _df(spark, [{"a": "x1\n"}, {"a": "x1"}])
+    kept = set(_out(relabel(df, [{"action": "keep", "source_labels": ["a"], "regex": "x1"}])))
+    assert kept == {1}
+
+
+def test_invalid_expanded_target_name_skips_rule(spark):
+    """Prometheus validates the expanded target name (relabel.go
+    target.IsValid()); an invalid name (here 'my-dc') skips the rule."""
+    df = _df(spark, [{"a": "my-dc"}])
+    out = _out(
+        relabel(
+            df,
+            [{"action": "replace", "source_labels": ["a"], "regex": "(.+)",
+              "target_label": "$1", "replacement": "on"}],
+        )
+    )
+    assert out[0] == {"a": "my-dc"}  # no 'my-dc' label created
