@@ -646,3 +646,87 @@ def pq_topk_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_dist", "rank")
     )
+
+
+def pq_topk_ivf_adc(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ — the production ANN shape at 10^12 vectors (FAISS's
+    IVFPQ): the coarse quantizer prunes candidates to the query's
+    `nprobe` cells (candidate count ~ nprobe/n_cells of the corpus),
+    then PQ-ADC scores only those candidates from their 4-byte codes —
+    the scored scan touches codes + cell ids, never raw vectors. Both
+    stages reuse the oracle-parity quantizers by default (first-n
+    centroids, first-k codebooks); pass trained `centroids`/`codebooks`
+    for production recall — the plan shape is identical.
+
+    Plan: cell assignment and encoding are scan-side projections; the
+    candidate restriction is ONE equi-join on the (tiny, broadcast)
+    probe list; ADC distances are exact integers, so ranking is
+    engine-stable. Shuffle = the window top-k only."""
+    import math
+
+    cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
+    cb = codebooks if codebooks is not None else pq_codebooks(emb, dim, m, k_codes, id_col, vec_col)
+    codes = pq_encode(cb, emb, dim, m, id_col, vec_col)
+    assign = ivf_assign(emb, cents, id_col, vec_col).select(id_col, "cell")
+    pool = codes.join(assign, id_col)
+
+    cbmap: dict[tuple[int, int], list[float]] = {
+        (r["subspace"], r["code"]): list(r["codeword"]) for r in cb.collect()
+    }
+    dsub = dim // m
+    probe = ivf_assign_topp(queries, cents, nprobe, query_id_col, vec_col).select(
+        F.col(query_id_col).alias("query_id"), "cell"
+    )
+    lut_rows = []
+    for qr in queries.select(F.col(query_id_col), F.col(vec_col)).collect():
+        qid, qv = qr[0], [float(v) for v in qr[1]]
+        flat = []
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            for c in range(k_codes):
+                cw = cbmap[(s, c)]
+                d = 0.0
+                for i in range(dsub):
+                    t = qs[i] - cw[i]
+                    d += t * t
+                flat.append(int(math.floor(d * 1_000_000.0 + 0.5)))
+        lut_rows.append((qid, flat))
+    lut_df = emb.sparkSession.createDataFrame(
+        lut_rows, f"query_id {dict(queries.dtypes)[query_id_col]}, lut array<bigint>"
+    )
+    probe_lut = probe.join(lut_df, "query_id")
+
+    joined = pool.join(
+        F.broadcast(probe_lut),
+        (pool["cell"] == probe_lut["cell"]) & (probe_lut["query_id"] != pool[id_col]),
+    ).withColumn(
+        "adc_dist",
+        F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, s: F.element_at(F.col("lut"), (s * k_codes + c + 1).cast("int")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_dist", "rank")
+    )

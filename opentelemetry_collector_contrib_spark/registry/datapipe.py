@@ -295,6 +295,17 @@ def q_text_dict_tags(spark, sf_dir):
     return tag_summary(_docs(spark, sf_dir), dictionary)
 
 
+def q_topk_ivfpq(spark, sf_dir):
+    """IVF+PQ composed ANN (the FAISS IVFPQ shape): coarse cells prune
+    candidates to the query's nprobe=2 probes, integer-ADC scores only
+    those candidates from their 4-byte codes — candidate volume AND
+    scored bytes both collapse, the at-scale production path."""
+    from ..operators.similarity import pq_topk_ivf_adc
+
+    e = _embs(spark, sf_dir)
+    return pq_topk_ivf_adc(e, e.filter(F.col("vec_id") % 50 == 0))
+
+
 def q_multimodal_features(spark, sf_dir):
     from ..operators.multimodal import attach_binary_payload, decode_and_featurize
 
@@ -1844,6 +1855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": q_topk_ivf,
     "emb_pq_codes": q_pq_codes,
     "sim_topk_pq": q_topk_pq,
+    "sim_topk_ivfpq": q_topk_ivfpq,
     "text_dict_tags": q_text_dict_tags,
     "emb_contrastive_pairs": q_contrastive_pairs,
     "leakage_split_docs": q_leakage_split,
@@ -4109,6 +4121,34 @@ ranked AS (
   FROM adc)
 SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank
 FROM ranked WHERE rnk <= 5"""
+
+    cos_vc2 = sql_cosine("v.embedding", "c.centroid")
+    o["sim_topk_ivfpq"] = f"""{_pq_cte},
+codes AS (SELECT vec_id, s, code FROM best WHERE rn = 1),
+cents AS (SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc2} DESC, c.cell ASC) AS r
+    FROM embeddings v CROSS JOIN cents c) t WHERE r = 1),
+qprobe AS (
+  SELECT qid, cell FROM (
+    SELECT v.vec_id AS qid, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc2} DESC, c.cell ASC) AS r
+    FROM embeddings v CROSS JOIN cents c WHERE v.vec_id % 50 = 0) t WHERE r <= 2),
+adc AS (
+  SELECT dq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(dq.dint) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN qprobe qp ON qp.cell = a.cell AND qp.qid <> c.vec_id
+  JOIN d dq ON dq.vec_id = qp.qid AND dq.s = c.s AND dq.code = c.code
+  GROUP BY 1, 2),
+rankedq AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+  FROM adc)
+SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank
+FROM rankedq WHERE rnk <= 5"""
 
     feats = ",\n  ".join(
         f"round(CAST('0x' || substr(md5(text), {2 * (i % 16) + 1}, 2) AS INT) / 255.0, 6) AS f{i}"

@@ -948,3 +948,26 @@ def test_pq_kmeans_codebooks_cut_quantization_error(spark):
     e_first = mean_err(similarity.pq_codebooks(emb))
     e_kmeans = mean_err(similarity.pq_codebooks_kmeans(emb))
     assert e_kmeans < e_first
+
+
+def test_ivfpq_is_subset_scored_consistently(spark):
+    """IVF+PQ candidates are the probed-cells subset; for any (query,
+    neighbor) pair both IVF+PQ and flat PQ-ADC must agree on the integer
+    distance, and IVF+PQ recall vs flat ADC grows with nprobe."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    cb = similarity.pq_codebooks(emb)
+    flat = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in similarity.pq_topk_adc(
+            similarity.pq_encode(cb, emb), cb, qs, k=500
+        ).collect()
+    }
+    p1 = {(r["query_id"], r["neighbor_id"]): r["adc_dist"]
+          for r in similarity.pq_topk_ivf_adc(emb, qs, nprobe=1, k=500).collect()}
+    p3 = {(r["query_id"], r["neighbor_id"]): r["adc_dist"]
+          for r in similarity.pq_topk_ivf_adc(emb, qs, nprobe=3, k=500).collect()}
+    assert set(p1) <= set(flat) and set(p3) <= set(flat)
+    assert set(p1) <= set(p3)  # probing more cells only widens candidates
+    for pair, dist in p3.items():
+        assert flat[pair] == dist  # identical integer ADC scores
