@@ -252,3 +252,49 @@ def labels_csv(labels: Column) -> Column:
             F.transform(F.map_entries(labels), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
         ),
     )
+
+
+def merge_scrape_labels(
+    target_labels: Column, scraped_labels: Column, honor_labels: bool = False
+) -> Column:
+    """Prometheus scrape-time label conflict resolution (the
+    ``honor_labels`` scrape-config setting the prometheusreceiver embeds,
+    per the public scrape contract):
+
+      - honor_labels=false (default): the TARGET's labels win; a scraped
+        label whose name conflicts is kept under ``exported_<name>``;
+      - honor_labels=true: the SCRAPED label wins; the target's
+        conflicting label is dropped.
+
+    One map projection, no shuffle. A scraped ``exported_<name>`` that
+    collides with a renamed conflict resolves last-write-wins (matching
+    our Set() convention; the pathological double-exported case is not
+    name-chained, as in Prometheus)."""
+    if honor_labels:
+        only_target = F.map_filter(
+            target_labels, lambda k, _v: F.element_at(scraped_labels, k).isNull()
+        )
+        return F.map_concat(only_target, scraped_labels)
+    renamed_entries = F.transform(
+        F.map_entries(scraped_labels),
+        lambda e: F.struct(
+            F.when(
+                F.element_at(target_labels, e["key"]).isNotNull(),
+                F.concat(F.lit("exported_"), e["key"]),
+            )
+            .otherwise(e["key"])
+            .alias("key"),
+            e["value"].alias("value"),
+        ),
+    )
+    # fold Set() so a scraped 'exported_job' and a renamed 'job' ->
+    # 'exported_job' collide last-write-wins instead of erroring
+    renamed = F.aggregate(
+        renamed_entries,
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ),
+        lambda acc, e: _set_label(acc, e["key"], e["value"]),
+    )
+    only_new = F.map_filter(renamed, lambda k, _v: F.element_at(target_labels, k).isNull())
+    return F.map_concat(target_labels, only_new)

@@ -5181,6 +5181,40 @@ def q_prom_relabel_keepequal(spark, sf_dir):
     return relabel(src, rules).select("event_id", labels_csv(F.col("labels")).alias("labels"))
 
 
+def q_prom_scrape_merge(spark, sf_dir):
+    """Prometheus honor_labels scrape-merge (the conflict rule every
+    scrape applies before relabeling): target labels vs scraped labels
+    in BOTH modes — default (target wins, conflicts become exported_*)
+    and honor_labels=true (scraped wins) — over a synthesized conflict
+    matrix including a pre-existing scraped exported_job."""
+    from ..operators.prom_relabel import labels_csv, merge_scrape_labels
+
+    e, u = F.col("event_id"), F.col("user_id")
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        _nn_map(
+            F.lit("job"), F.lit("node"),
+            F.lit("instance"), F.concat(F.lit("i-"), u.cast("string")),
+            F.lit("dc"), F.when(e % 2 == 0, F.lit("east")),
+        ).alias("target"),
+        _nn_map(
+            F.lit("job"), F.concat(F.lit("app-"), (e % 3).cast("string")),
+            F.lit("metric"), F.concat(F.lit("m"), (e % 4).cast("string")),
+            F.lit("instance"), F.when(e % 5 == 0, F.lit("scr-i")),
+            F.lit("exported_job"), F.when(e % 7 == 0, F.lit("pre")),
+        ).alias("scraped"),
+    )
+    return src.select(
+        "event_id",
+        labels_csv(
+            merge_scrape_labels(F.col("target"), F.col("scraped"), honor_labels=False)
+        ).alias("merged_default"),
+        labels_csv(
+            merge_scrape_labels(F.col("target"), F.col("scraped"), honor_labels=True)
+        ).alias("merged_honor"),
+    )
+
+
 def q_events_histogram_exemplars(spark, sf_dir):
     """spanmetrics exemplar attachment: per event_type datapoint, the
     first 5 (trace_id, span_id, value) samples by stable (ts, event_id)
@@ -5222,6 +5256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gitlab_pipeline_spans": q_gitlab_pipeline_spans,
     "events_histogram_exemplars": q_events_histogram_exemplars,
     "prom_relabel_keepequal": q_prom_relabel_keepequal,
+    "prom_scrape_merge": q_prom_scrape_merge,
     "apm_stats_buckets": q_apm_stats,
     "prom_name_normalize": q_prom_names,
     "loki_stream_labels": q_loki_streams,
@@ -9490,6 +9525,26 @@ ex AS (
 h AS (SELECT event_type, count(value) AS h_count FROM events GROUP BY event_type)
 SELECT h.event_type, h.h_count, ex.exemplars_csv
 FROM h JOIN ex USING (event_type)"""
+
+    o["prom_scrape_merge"] = """
+WITH base AS (SELECT event_id AS e, user_id AS u FROM events)
+SELECT e AS event_id,
+  array_to_string(list_sort(list_filter([
+    'job=node',
+    'instance=i-' || CAST(u AS VARCHAR),
+    CASE WHEN e % 2 = 0 THEN 'dc=east' END,
+    'metric=m' || CAST(e % 4 AS VARCHAR),
+    'exported_job=' || CASE WHEN e % 7 = 0 THEN 'pre' ELSE 'app-' || CAST(e % 3 AS VARCHAR) END,
+    CASE WHEN e % 5 = 0 THEN 'exported_instance=scr-i' END
+  ], x -> x IS NOT NULL)), ',') AS merged_default,
+  array_to_string(list_sort(list_filter([
+    'job=app-' || CAST(e % 3 AS VARCHAR),
+    'metric=m' || CAST(e % 4 AS VARCHAR),
+    'instance=' || CASE WHEN e % 5 = 0 THEN 'scr-i' ELSE 'i-' || CAST(u AS VARCHAR) END,
+    CASE WHEN e % 7 = 0 THEN 'exported_job=pre' END,
+    CASE WHEN e % 2 = 0 THEN 'dc=east' END
+  ], x -> x IS NOT NULL)), ',') AS merged_honor
+FROM base"""
 
     o["prom_relabel_keepequal"] = """
 SELECT event_id,

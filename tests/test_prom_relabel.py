@@ -231,3 +231,26 @@ def test_invalid_expanded_target_name_skips_rule(spark):
         )
     )
     assert out[0] == {"a": "my-dc"}  # no 'my-dc' label created
+
+
+def test_merge_scrape_labels_honor_modes(spark):
+    from opentelemetry_collector_contrib_spark.operators.prom_relabel import merge_scrape_labels
+
+    df = spark.createDataFrame(
+        [(0, {"job": "target-job", "instance": "i1"},
+          {"job": "scraped-job", "metric_lbl": "x", "exported_job": "pre"})],
+        "id int, target map<string,string>, scraped map<string,string>",
+    )
+    lo = df.select(
+        merge_scrape_labels(F.col("target"), F.col("scraped"), honor_labels=False).alias("m")
+    ).collect()[0]["m"]
+    # target wins; conflicting scraped 'job' renamed exported_job
+    # (last-write-wins over the pre-existing scraped exported_job)
+    assert lo["job"] == "target-job" and lo["instance"] == "i1"
+    assert lo["metric_lbl"] == "x"
+    assert lo["exported_job"] in ("scraped-job", "pre")  # fold order: entries order, last wins
+    hi = df.select(
+        merge_scrape_labels(F.col("target"), F.col("scraped"), honor_labels=True).alias("m")
+    ).collect()[0]["m"]
+    # scraped wins; target's conflicting 'job' dropped, rest kept
+    assert hi["job"] == "scraped-job" and hi["instance"] == "i1" and hi["metric_lbl"] == "x"
