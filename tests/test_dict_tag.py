@@ -66,3 +66,43 @@ def test_unicode_tokens_survive_normalization(spark):
     out = tag_summary(docs, d).collect()[0]
     assert out["hits"] == 2
     assert out["terms_csv"] == "café,naïve bayes"
+
+
+def test_matches_equal_python_reference_on_random_corpora():
+    """Property: tag_matches == a brute-force Python n-gram matcher on
+    random token streams over a small alphabet (guarantees no window is
+    missed or duplicated at array edges)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    spark = get_spark("pytest", master="local[4]", shuffle_partitions=8)
+    words = ["alpha", "beta", "gamma", "x1", "y"]
+    docs_strat = st.lists(
+        st.lists(st.sampled_from(words), min_size=0, max_size=12), min_size=1, max_size=15
+    )
+
+    terms = ["alpha", "beta gamma", "x1 y alpha", "y y"]
+    dictionary = spark.createDataFrame(
+        [(t, f"tag{i}") for i, t in enumerate(terms)], "term string, tag string"
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs_strat)
+    def run(token_lists):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            (r["doc_id"], r["pos"], r["term"])
+            for r in tag_matches(df, dictionary).collect()
+        }
+        want = set()
+        for i, toks in enumerate(token_lists):
+            for n in (1, 2, 3):
+                for p in range(len(toks) - n + 1):
+                    gram = " ".join(toks[p : p + n])
+                    if gram in terms:
+                        want.add((i, p, gram))
+        assert got == want
+
+    run()
