@@ -734,16 +734,28 @@ def vocab_growth(
     Each token contributes its FIRST-occurrence doc rank (one min agg
     over the exploded stream); each checkpoint then counts tokens whose
     first occurrence falls at or before it — a histogram over checkpoint
-    buckets + a cumulative window over `checkpoints` rows, never a
-    per-checkpoint rescan. Integer-exact."""
-    n_docs_row = df.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("_k", F.lit(1))
-    w = Window.orderBy(F.col(id_col))
-    ranked = df.select(
-        F.row_number().over(w).alias("_r"), tokens(F.col(text_col)).alias("_t")
-    ).withColumn("_k", F.lit(1)).join(n_docs_row, "_k")
+    buckets. Integer-exact.
+
+    Scale shape (round-4 rewrite): the doc rank comes from the two-pass
+    distributed row_number (operators/rank.py) — range-bucketed,
+    broadcast offsets — NEVER an unpartitioned window funneling the
+    corpus through one task; the cumulative finish runs driver-side over
+    the ≤`checkpoints`-row aggregate, so the plan contains no WindowExec
+    at all. Eager (collects two ≤`checkpoints`-row aggregates)."""
+    from .rank import global_row_number
+
+    spark = df.sparkSession
+    schema = "checkpoint INT, n_docs BIGINT, n_tokens BIGINT, vocab BIGINT"
+    ranked, n_docs = global_row_number(
+        df.select(F.col(id_col).alias("_vid"), tokens(F.col(text_col)).alias("_t")),
+        [("_vid", "asc")],
+        out_col="_r",
+    )
+    if n_docs == 0:
+        return spark.createDataFrame([], schema)
     # checkpoint index of a doc rank: ceil(rank * K / n_docs) in 1..K
-    cp = F.ceil(F.col("_r") * checkpoints / F.col("n_docs")).cast("int")
-    staged = ranked.select(cp.alias("_cp"), "_r", "_t", "n_docs")
+    cp = F.ceil(F.col("_r") * checkpoints / F.lit(n_docs)).cast("int")
+    staged = ranked.select(cp.alias("_cp"), "_t")
     tok_first = (
         staged.select(F.explode("_t").alias("tok"), "_cp")
         .groupBy("tok")
@@ -755,19 +767,15 @@ def vocab_growth(
         F.count(F.lit(1)).alias("_docs"),
         F.sum(F.size("_t")).alias("_toks"),
     )
-    cum = Window.orderBy("checkpoint").rowsBetween(Window.unboundedPreceding, 0)
-    joined = per_cp.join(tok_first, per_cp["_cp"] == tok_first["_fcp"], "left").select(
-        per_cp["_cp"].alias("checkpoint"),
-        "_docs",
-        "_toks",
-        F.coalesce("_new_vocab", F.lit(0)).alias("_nv"),
-    )
-    return joined.select(
-        "checkpoint",
-        F.sum("_docs").over(cum).cast("bigint").alias("n_docs"),
-        F.sum("_toks").over(cum).cast("bigint").alias("n_tokens"),
-        F.sum("_nv").over(cum).cast("bigint").alias("vocab"),
-    )
+    nv = {r["_fcp"]: r["_new_vocab"] for r in tok_first.collect()}
+    pc = {r["_cp"]: (r["_docs"], r["_toks"] or 0) for r in per_cp.collect()}
+    out, cd, ct, cv = [], 0, 0, 0
+    for c in sorted(pc):
+        cd += pc[c][0]
+        ct += pc[c][1]
+        cv += nv.get(c, 0)
+        out.append((c, cd, ct, cv))
+    return spark.createDataFrame(out, schema)
 
 
 # --- corpus diversity indices ------------------------------------------------
