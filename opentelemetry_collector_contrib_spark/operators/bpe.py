@@ -21,10 +21,17 @@ single-delimiter encoding mispairs. This makes every round — pair counting,
 argmax, rewrite — expressible identically in SQL, so even this iterative
 algorithm gets a full DuckDB oracle (k rounds unrolled).
 
-Scale design: the word dict persists across rounds; each round is one
-projection (the double replace) + one explode/aggregate shuffle of
-(pairs × distinct words) + a driver collect of exactly ONE row (the argmax).
-k merges = k tiny collects, never data rows.
+Scale design (round-4 rewrite): the word-frequency dict is ONE distributed
+hash aggregation collected ONCE to the driver (~10^8 rows at 10^12 tokens —
+the same bounded-collect contract as the k-means centroid trainer; cap with
+``max_words`` to keep it strictly bounded), then the k-merge loop runs
+in-memory with incremental pair-count updates (only words containing the
+merged pair are touched per round — the classic tokenizer-trainer shape).
+The previous design scheduled one explode+groupBy+collect Spark job PER
+merge; at a real 30k-merge vocabulary that is 30k scheduled jobs against a
+dict that fits on the driver. ``bpe_apply`` stays a pure codegen projection.
+The driver's greedy left-to-right merge sweep is exactly the replace-all
+semantics above, so the unrolled SQL oracle is unchanged.
 """
 
 from __future__ import annotations
@@ -78,37 +85,72 @@ def bpe_train(
     k_merges: int,
     text_col: str = "text",
     lowercase: bool = True,
+    max_words: int | None = None,
 ) -> list[dict]:
     """Learn `k_merges` BPE merges; returns [{rank, left, right, merged,
-    pair_count}, …] in learned order. Stops early if no pair remains."""
-    wd = word_dict(df, text_col, lowercase).persist()
-    try:
-        merges: list[dict] = []
-        for rank in range(k_merges):
-            pair_counts = (
-                wd.select(F.explode(_pairs(F.col("syms"))).alias("pair"), "freq")
-                .groupBy("pair")
-                .agg(F.sum("freq").alias("cnt"))
-            )
-            top = pair_counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()
-            if not top:
-                break
-            a, b = top[0]["pair"].split(DELIM)
-            merges.append(
-                {
-                    "rank": rank,
-                    "left": a,
-                    "right": b,
-                    "merged": a + b,
-                    "pair_count": top[0]["cnt"],
-                }
-            )
-            wd2 = wd.withColumn("syms", _apply_merge(F.col("syms"), a, b)).persist()
-            wd.unpersist()
-            wd = wd2
-        return merges
-    finally:
-        wd.unpersist()
+    pair_count}, …] in learned order. Stops early if no pair remains.
+
+    One distributed word-frequency aggregation, collected once; the merge
+    loop is driver-side with incremental pair-count maintenance (each
+    round touches only the words that contain the winning pair). Argmax
+    ties break on the lexicographically smallest ``left+DELIM+right``
+    string — Spark/DuckDB binary string order == Python code-point order
+    for valid UTF-8, so the unrolled SQL oracle agrees bit-for-bit.
+    ``max_words`` bounds the driver collect (top-N by frequency, ties by
+    word — a deterministic TakeOrdered, same contract as the k-means
+    centroid sampler)."""
+    wd = word_dict(df, text_col, lowercase).select("word", "freq")
+    if max_words is not None:
+        wd = wd.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(max_words)
+    words: list[tuple[list[str], int]] = [
+        (list(r["word"]), r["freq"]) for r in wd.collect()
+    ]
+
+    from collections import defaultdict
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, freq) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += freq
+            pair_words[p].add(idx)
+
+    merges: list[dict] = []
+    for rank in range(k_merges):
+        if not pair_counts:
+            break
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0] + DELIM + kv[0][1])
+        )
+        merges.append(
+            {"rank": rank, "left": a, "right": b, "merged": a + b, "pair_count": cnt}
+        )
+        merged = a + b
+        # rewrite only the words containing (a,b); pair_words may hold stale
+        # indices (words rewritten since insertion) — the symmetric
+        # subtract-old/add-new update is a no-op for those, so they're safe
+        for idx in sorted(pair_words.pop((a, b), ())):
+            syms, freq = words[idx]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= freq
+            out: list[str] = []
+            i = 0
+            # greedy non-overlapping left-to-right sweep == replace-all
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = (out, freq)
+            for p in zip(out, out[1:]):
+                pair_counts[p] += freq
+                pair_words[p].add(idx)
+        for p in [p for p, c in pair_counts.items() if c <= 0]:
+            del pair_counts[p]
+            pair_words.pop(p, None)
+    return merges
 
 
 def bpe_merges_df(df: DataFrame, k_merges: int, text_col: str = "text") -> DataFrame:
