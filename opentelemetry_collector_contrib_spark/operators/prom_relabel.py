@@ -117,6 +117,77 @@ def _group_count(regex: str) -> int | None:
         return None
 
 
+# --- literal fast-path gates (round 4) ---------------------------------------
+# Prometheus's own relabeler front-loads a literal-prefix check before the
+# RE2 machine (model/relabel via the FastRegexMatcher family); the same
+# optimization here turns "anchored regex per row per rule" into "cheap
+# string compare per row, regex only on candidates". Each derived gate is
+# IMPLIED by the full anchored match, so results are unchanged.
+
+_META = set(".^$*+?()[]{}|\\")
+
+
+def _toplevel_alt(regex: str) -> bool:
+    """True if the pattern has a top-level alternation (which would make
+    any scanned prefix unsound: 'abc|def' does not require 'abc')."""
+    depth, esc, in_class = 0, False, False
+    for ch in regex:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if in_class:
+            in_class = ch != "]"
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return True
+    return False
+
+
+def _literal_prefix(regex: str) -> str:
+    """Longest literal string every match must START with: leading
+    literal chars up to the first metacharacter; a trailing char whose
+    quantifier makes it optional (* ? {) is dropped. Conservative —
+    returns "" whenever unsure, which only weakens the gate."""
+    if _toplevel_alt(regex):
+        return ""
+    out: list[str] = []
+    for ch in regex:
+        if ch in _META:
+            if ch in "*?{" and out:
+                out.pop()  # previous char is optional under this quantifier
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def _match_gate(val: Column, anchored: str, regex: str) -> Column:
+    """Full-match predicate with the literal fast path in front.
+    Prometheus's default '(.*)' matches everything (the joined source is
+    never NULL — concat_ws) and '(.+)' is just non-empty; both skip the
+    regex machine entirely."""
+    if regex in ("(.*)", ".*", "(.*)?"):
+        return F.lit(True)
+    if regex in ("(.+)", ".+"):
+        return val != ""
+    prefix = _literal_prefix(regex)
+    if prefix:
+        return val.startswith(prefix) & val.rlike(anchored)
+    return val.rlike(anchored)
+
+
+def _is_valid_label_name(name: str) -> bool:
+    return re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", name) is not None
+
+
 # Prometheus legacy label-name validation (model/labels): a replace whose
 # expanded target name is invalid is skipped, not applied
 _LABEL_NAME_RE = "\\A[a-zA-Z_][a-zA-Z0-9_]*\\z"
@@ -165,7 +236,10 @@ def relabel(df: DataFrame, rules: list[dict], labels_col: str = "labels") -> Dat
         labels = F.col(labels_col)
 
         if action in ("keep", "drop"):
-            matched = _once(labels, lambda l: _joined(l, srcs, sep).rlike(anchored))
+            matched = _once(
+                labels,
+                lambda l: _match_gate(_joined(l, srcs, sep), anchored, rule["regex"]),
+            )
             df = _filtered(df, matched if action == "keep" else ~matched)
         elif action in ("keepequal", "dropequal"):
             eq = _once(
@@ -176,17 +250,34 @@ def relabel(df: DataFrame, rules: list[dict], labels_col: str = "labels") -> Dat
             df = _filtered(df, eq if action == "keepequal" else ~eq)
         elif action == "replace":
             n_groups = _group_count(rule["regex"])
+            tgt_tpl = rule["target_label"]
+            rep_tpl = rule["replacement"]
+            # templates without group refs are compile-time constants —
+            # skip the per-row regexp_replace expansion (and for a literal
+            # target name, evaluate Prometheus's target.IsValid() gate now)
+            tgt_literal = "$" not in tgt_tpl
+            rep_literal = "$" not in rep_tpl
+            if tgt_literal and not _is_valid_label_name(tgt_tpl):
+                continue  # invalid literal target -> rule is always a no-op
 
             def _replace(l: Column) -> Column:
                 val = _joined(l, srcs, sep)
-                name = _expand(val, anchored, rule["target_label"], n_groups)
-                newval = _expand(val, anchored, rule["replacement"], n_groups)
-                # invalid expanded target name -> rule skipped, as in
-                # Prometheus relabel.go's target.IsValid() gate
-                return F.when(
-                    val.rlike(anchored) & name.rlike(_LABEL_NAME_RE),
-                    _set_label(l, name, newval),
-                ).otherwise(l)
+                name = (
+                    F.lit(tgt_tpl)
+                    if tgt_literal
+                    else _expand(val, anchored, tgt_tpl, n_groups)
+                )
+                newval = (
+                    F.lit(rep_tpl)
+                    if rep_literal
+                    else _expand(val, anchored, rep_tpl, n_groups)
+                )
+                cond = _match_gate(val, anchored, rule["regex"])
+                if not tgt_literal:
+                    # invalid expanded target name -> rule skipped, as in
+                    # Prometheus relabel.go's target.IsValid() gate
+                    cond = cond & name.rlike(_LABEL_NAME_RE)
+                return F.when(cond, _set_label(l, name, newval)).otherwise(l)
 
             df = df.withColumn(labels_col, _once(labels, _replace))
         elif action in ("lowercase", "uppercase"):
@@ -212,7 +303,10 @@ def relabel(df: DataFrame, rules: list[dict], labels_col: str = "labels") -> Dat
 
             def _lmap(l: Column) -> Column:
                 renamed = F.transform(
-                    F.filter(F.map_entries(l), lambda e: e["key"].rlike(anchored)),
+                    F.filter(
+                        F.map_entries(l),
+                        lambda e: _match_gate(e["key"], anchored, rule["regex"]),
+                    ),
                     lambda e: F.struct(
                         F.regexp_replace(e["key"], anchored, repl).alias("key"),
                         e["value"].alias("value"),
@@ -235,7 +329,12 @@ def relabel(df: DataFrame, rules: list[dict], labels_col: str = "labels") -> Dat
 
             def _lfilter(l: Column) -> Column:
                 return F.map_filter(
-                    l, lambda k, _v: k.rlike(anchored) if keep else ~k.rlike(anchored)
+                    l,
+                    lambda k, _v: (
+                        _match_gate(k, anchored, rule["regex"])
+                        if keep
+                        else ~_match_gate(k, anchored, rule["regex"])
+                    ),
                 )
 
             df = df.withColumn(labels_col, _once(labels, _lfilter))
