@@ -101,6 +101,85 @@ def group_by_trace(
     )
 
 
+def group_by_trace_waited(
+    df: DataFrame,
+    wait_s: int = 10,
+    trace_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """groupbytraceprocessor WITH the wait_duration release semantics
+    (processor/groupbytraceprocessor/processor.go:25-73: the first span of
+    a trace schedules a release wait_duration later; everything buffered
+    by then ships as ONE batch, and spans arriving after the release open
+    a NEW buffer). Expressed in event time so batch and stream agree
+    deterministically: a release group starts at the first un-grouped
+    row's ts and contains every row with ts < start + wait_s; the next
+    row starts the next group.
+
+    The fold is sequential per trace (each group's start depends on the
+    previous group's extent — not a fixed tumbling window), so it runs as
+    an Arrow-batched applyInPandas kernel per trace, the same bounded
+    per-trace contract as group_by_trace. One shuffle on the trace key.
+    The streaming twin (streaming/pipeline.py streaming_group_by_trace)
+    shares `fold_trace_groups`, so the two cannot diverge."""
+    out_schema = (
+        f"{trace_col} string, release_us bigint, n_turns bigint, "
+        "transcript string, first_ts_us bigint, last_ts_us bigint"
+    )
+    wait_us = wait_s * 1_000_000
+
+    def kernel(pdf):
+        import pandas as _pd
+
+        trace = pdf[trace_col].iloc[0]
+        rows = sorted(
+            zip(
+                (int(v) for v in pdf["_ts_us"]),
+                (int(v) for v in pdf[order_col]),
+                (str(v) for v in pdf[text_col]),
+            )
+        )
+        groups = fold_trace_groups(rows, wait_us)
+        return _pd.DataFrame(
+            [(trace, *g) for g in groups],
+            columns=[trace_col, "release_us", "n_turns", "transcript", "first_ts_us", "last_ts_us"],
+        )
+
+    staged = df.select(
+        trace_col,
+        order_col,
+        text_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+    )
+    return staged.groupBy(trace_col).applyInPandas(kernel, out_schema)
+
+
+def fold_trace_groups(
+    rows: list[tuple[int, int, str]], wait_us: int
+) -> list[tuple[int, int, str, int, int]]:
+    """The shared wait_duration fold: ``rows`` are (ts_us, order, text)
+    sorted ascending; returns one (release_us, n_turns, transcript,
+    first_ts_us, last_ts_us) per released group. Pure Python so the batch
+    kernel and the streaming state handler use the identical code path."""
+    out = []
+    start = None
+    buf: list[str] = []
+    first = last = 0
+    for ts_us, _order, text in rows:
+        if start is not None and ts_us >= start + wait_us:
+            out.append((start + wait_us, len(buf), "\n".join(buf), first, last))
+            start, buf = None, []
+        if start is None:
+            start = first = ts_us
+        last = ts_us
+        buf.append(text)
+    if buf:
+        out.append((start + wait_us, len(buf), "\n".join(buf), first, last))
+    return out
+
+
 def tail_sampling(
     df: DataFrame,
     trace_col: str = "conv_id",

@@ -317,6 +317,153 @@ def streaming_tail_sampling(
     )
 
 
+_GBT_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("release_us", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("first_ts_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+_GBT_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("orders", T.ArrayType(T.LongType())),
+        T.StructField("texts", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def streaming_group_by_trace(
+    df: DataFrame,
+    wait_s: int = 10,
+    watermark: str = "10 seconds",
+    trace_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """groupbytraceprocessor's wait_duration release as arbitrary stateful
+    streaming (processor/groupbytraceprocessor/processor.go:25-73): the
+    first buffered row of a trace fixes the release time at
+    first_ts + wait_s; when the event-time watermark passes it, the whole
+    buffered group ships as ONE row and later rows open a new buffer.
+
+    Event-time (not the reference's wall-clock timer) makes replay
+    idempotent: the same input files produce the same releases on every
+    run. The group fold is operators.recombine.fold_trace_groups — the
+    SAME code path as the batch twin group_by_trace_waited, so batch and
+    stream cannot diverge. State per trace = the un-released rows only
+    (bounded by wait_s × arrival rate); EventTimeTimeout wakes the trace
+    when the watermark crosses its pending release even if no new rows
+    arrive. Rows later than the watermark are dropped by Spark before the
+    operator, which is exactly the "arrived after release" case."""
+    from ..operators.recombine import fold_trace_groups
+
+    wait_us = wait_s * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        buffered: list[tuple[int, int, str]] = []
+        if state.exists:
+            ts_l, ord_l, txt_l = state.get
+            buffered = list(zip(ts_l, ord_l, txt_l))
+        new_rows: list[tuple[int, int, str]] = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for t, o, x in zip(pdf["_ts_us"], pdf[order_col], pdf[text_col]):
+                    new_rows.append((int(t), int(o), str(x)))
+        rows = sorted(buffered + new_rows)
+        if not rows:
+            state.remove()
+            return
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        groups = fold_trace_groups(rows, wait_us)
+        emit = [g for g in groups if g[0] <= wm_us]
+        n_emitted = sum(g[1] for g in emit)
+        retained = rows[n_emitted:]
+        if retained:
+            state.update(
+                (
+                    [r[0] for r in retained],
+                    [r[1] for r in retained],
+                    [r[2] for r in retained],
+                )
+            )
+            # wake when the watermark passes the first pending release
+            # (strictly later than the current watermark by construction)
+            state.setTimeoutTimestamp(retained[0][0] // 1000 + wait_us // 1000 + 1)
+        else:
+            state.remove()
+        if emit:
+            yield pd.DataFrame(
+                [(conv_id, *g) for g in emit],
+                columns=["conv_id", "release_us", "n_turns", "transcript", "first_ts_us", "last_ts_us"],
+            )
+
+    staged = df.withWatermark(ts_col, watermark).select(
+        F.col(trace_col).alias("conv_id"),
+        F.col(order_col),
+        F.col(text_col),
+        F.col(ts_col),  # the watermarked event-time attribute must survive
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+    )
+    return staged.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=_GBT_OUT,
+        stateStructType=_GBT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_log_dedup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    interval_s: int = 10,
+    key_cols: list[str] | None = None,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """logdedupprocessor's interval flush on a stream: the batch log_dedup
+    is already a tumbling-interval groupBy, so the streaming twin is the
+    SAME aggregation keyed on a watermark-tracked ``F.window`` (Spark
+    requires the event-time window for streaming aggregation state; its
+    start equals the batch path's floor(ts/interval)·interval exactly) —
+    each interval's collapsed rows flush once the watermark passes the
+    window end, the interval ticker of
+    processor/logdedupprocessor/counter.go:47-84 in event time. Batch
+    frames take the batch path unchanged, so outputs are comparable
+    column-for-column."""
+    from ..operators.aggregate import log_dedup
+
+    if not df.isStreaming:
+        return log_dedup(df, ts_col=ts_col, interval_s=interval_s, key_cols=key_cols)
+    keys = key_cols or ["text", "role", "tool"]
+    tsc = F.col(ts_col).cast("timestamp")
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(tsc, f"{interval_s} seconds").alias("_w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min(F.unix_micros(tsc)).alias("first_observed_us"),
+            F.max(F.unix_micros(tsc)).alias("last_observed_us"),
+        )
+        .select(
+            F.unix_timestamp(F.col("_w.start")).cast("bigint").alias("window_start"),
+            *keys,
+            "log_count",
+            "first_observed_us",
+            "last_observed_us",
+        )
+    )
+
+
 def streaming_keep_first_dedup(
     spark: SparkSession,
     input_path: str,

@@ -815,3 +815,78 @@ def test_streaming_relabel_and_es_route_match_batch(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert any(t[2] == "logs-my_app_x.otel-default" for t in got)
     assert all("__meta" not in t[1] for t in got)  # labeldrop ran
+
+
+def test_streaming_group_by_trace_matches_batch(spark, tmp_path):
+    """groupbytrace wait_duration release: the applyInPandasWithState twin
+    must emit exactly the batch fold's groups (release at first_ts+wait,
+    later rows open a new buffer). Two micro-batches force real state
+    carry-over; a far-future sentinel trace pushes the final watermark past
+    every real release (its own group stays in state, filtered out)."""
+    from opentelemetry_collector_contrib_spark.operators.recombine import (
+        group_by_trace_waited,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_group_by_trace,
+    )
+
+    d = tmp_path / "gbt_in"
+    d.mkdir()
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "a", "tool": "none", "ts": "2025-01-01T00:00:00.000Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "b", "tool": "none", "ts": "2025-01-01T00:00:10.000Z"},
+        {"conv_id": "c1", "turn_idx": 2, "role": "user", "text": "c", "tool": "none", "ts": "2025-01-01T00:01:05.000Z"},
+        {"conv_id": "c1", "turn_idx": 3, "role": "assistant", "text": "d", "tool": "none", "ts": "2025-01-01T00:01:06.000Z"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "x", "tool": "none", "ts": "2025-01-01T00:00:01.000Z"},
+        {"conv_id": "c2", "turn_idx": 1, "role": "user", "text": "y", "tool": "none", "ts": "2025-01-01T00:00:29.000Z"},
+    ]
+    sentinel = {"conv_id": "zz", "turn_idx": 0, "role": "user", "text": "wm", "tool": "none", "ts": "2025-01-01T01:00:00.000Z"}
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtime -> deterministic 2-batch order
+    (d / "b2.json").write_text(json.dumps(sentinel))
+
+    batch = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).json(str(d) + "/b1.json")
+    want = sorted(
+        tuple(r) for r in group_by_trace_waited(batch, wait_s=30).collect()
+    )
+    # c1 -> two releases ([a,b] @ +30s, [c,d] @ 00:01:35); c2 -> one
+    assert len(want) == 3
+
+    sdf = streaming_group_by_trace(
+        transcripts_stream(spark, str(d) + "/*.json", max_files_per_trigger=1),
+        wait_s=30,
+        watermark="0 seconds",
+    )
+    run_available_now(sdf, "gbt_stream", str(tmp_path / "ck_gbt"))
+    got = sorted(
+        tuple(r)
+        for r in spark.table("gbt_stream").filter(F.col("conv_id") != "zz").collect()
+    )
+    assert got == want
+
+
+def test_streaming_log_dedup_matches_batch(spark, stream_input, tmp_path):
+    """logdedup interval flush: the watermark-windowed streaming twin must
+    collapse identical (text, role, tool) rows per tumbling interval into
+    the SAME rows as the batch log_dedup."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import log_dedup
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_log_dedup,
+    )
+
+    batch = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).json(stream_input)
+    want = sorted(tuple(r) for r in log_dedup(batch, interval_s=30).collect())
+    assert any(r[-3] == 2 for r in want)  # the c2 dup pair collapsed
+
+    sdf = streaming_log_dedup(
+        transcripts_stream(spark, stream_input + "/*.json"), interval_s=30
+    )
+    run_available_now(sdf, "ld_stream", str(tmp_path / "ck_ld"), output_mode="complete")
+    got = sorted(tuple(r) for r in spark.table("ld_stream").collect())
+    assert got == want
