@@ -148,6 +148,56 @@ GROK_PATTERNS: dict[str, str] = {
     # modern aliases (the patterns file renamed the apache pair)
     "HTTPD_COMMONLOG": r"%{COMMONAPACHELOG}",
     "HTTPD_COMBINEDLOG": r"%{COMBINEDAPACHELOG}",
+    # ----------------------------------------------------------------------
+    # round 4: close the library to the full public default set a stock
+    # ExtractGrokPatterns config can name (go-grok defaults == the legacy
+    # logstash base file + the linux-syslog / httpd / java companion sets
+    # community expressions lean on). All entries are RE2-safe rewrites —
+    # no lookaround, no backrefs — so the same text compiles under Java,
+    # RE2 (DuckDB oracle) and Python `re`. SYSLOGPAMSESSION's upstream
+    # lookahead is replaced by a plain capture of the same span.
+    # ----------------------------------------------------------------------
+    "BOOLEAN": r"\b(?:[Tt]rue|[Ff]alse)\b",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "SYSLOGBASE2": r"(?:%{SYSLOGTIMESTAMP:timestamp}|%{TIMESTAMP_ISO8601:timestamp8601}) (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource}(?: %{SYSLOGPROG}:)?",
+    "SYSLOGLINE": r"%{SYSLOGBASE2} %{GREEDYDATA:message}",
+    "SYSLOGPAMSESSION": r"%{SYSLOGBASE} %{WORD:pam_module}\(%{DATA:pam_caller}\): session %{WORD:pam_session_state} for user %{USERNAME:username}(?: by %{GREEDYDATA:pam_by})?",
+    "CRON_ACTION": r"[A-Z ]+",
+    "CRONLOG": r"%{SYSLOGBASE} \(%{USER:user}\) %{CRON_ACTION:action} \(%{DATA:message}\)",
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "SYSLOG5424PRI": r"<%{NONNEGINT:syslog5424_pri}>",
+    "SYSLOG5424SD": r"\[%{DATA}\]+",
+    "SYSLOG5424BASE": (
+        r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} +"
+        r"(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) +"
+        r"(?:%{IPORHOST:syslog5424_host}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_app}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_proc}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_msgid}|-) +"
+        r"(?:%{SYSLOG5424SD:syslog5424_sd}|-|)"
+    ),
+    "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
+    # httpd error logs (2.0 and 2.4 formats + the union alias)
+    "HTTPD20_ERRORLOG": r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] (?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}",
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[(?:%{WORD:module})?:?%{LOGLEVEL:loglevel}\] "
+        r"\[pid %{POSINT:pid}(?::tid %{NONNEGINT:tid})?\]"
+        r"(?: \(%{POSINT:proxy_errorcode}\)%{DATA:proxy_message}:)?"
+        r"(?: \[client %{IPORHOST:clientip}:%{POSINT:clientport}\])?"
+        r"(?: %{DATA:errorcode}:)? %{GREEDYDATA:message}"
+    ),
+    "HTTPD_ERRORLOG": r"(?:%{HTTPD20_ERRORLOG}|%{HTTPD24_ERRORLOG})",
+    # java / tomcat
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"(?:[a-zA-Z$_0-9. -]+)",
+    "JAVAMETHOD": r"(?:<(?:cl)?init>|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    "JAVATHREAD": r"(?:[A-Z]{2}-Processor[0-9]+)",
+    "JAVALOGMESSAGE": r"(?:.*)",
+    "JAVASTACKTRACEPART": r"%{SPACE}at %{JAVACLASS:class}\.%{JAVAMETHOD:method}\(%{JAVAFILE:file}(?::%{NUMBER:line})?\)",
+    "CATALINA_DATESTAMP": r"%{MONTH} %{MONTHDAY}, %{YEAR} %{HOUR}:%{MINUTE}:%{SECOND} (?:AM|PM)",
+    "CATALINALOG": r"%{CATALINA_DATESTAMP:timestamp} %{JAVACLASS:class} %{JAVALOGMESSAGE:logmessage}",
+    "TOMCAT_DATESTAMP": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND}(?:[,.][0-9]+)?",
+    "TOMCATLOG": r"%{TOMCAT_DATESTAMP:timestamp} \| %{LOGLEVEL:level} \| %{JAVACLASS:class} - %{JAVALOGMESSAGE:logmessage}",
 }
 
 _GROK_TYPES = {"int": "bigint", "long": "bigint", "float": "double",
@@ -262,11 +312,14 @@ def compile_grok(
     regex = expand(pattern, 0)
     if named_captures_only and not fields:
         raise GrokError("at least 1 named capture group must be supplied in the given regex")
-    seen: set[str] = set()
-    for fname, _, _ in fields:
-        if fname in seen:
-            raise GrokError(f"duplicate capture name {fname!r}")
-        seen.add(fname)
+    # duplicate semantic names are legal (alternation-union patterns like
+    # %{HTTPD_ERRORLOG} name `timestamp` in every branch; Go 1.22 regexp
+    # accepts the same); the scalar contract is "first participating
+    # (non-empty) group wins". Conflicting declared TYPES stay an error.
+    typ_by_name: dict[str, str] = {}
+    for fname, _, typ in fields:
+        if typ_by_name.setdefault(fname, typ) != typ:
+            raise GrokError(f"duplicate capture name {fname!r} with conflicting types")
     return CompiledGrok(regex=regex, fields=tuple(fields))
 
 
@@ -299,12 +352,23 @@ def grok_parser(
     # pattern keeps grok's dot-no-newline semantics
     wrapped = "^(?s:.*?)(?:" + cg.regex + ")(?s:.*)$"
     arr = F.split(F.regexp_replace(s, wrapped, tpl), _SEP)
-    cols: list[Column] = []
+    # duplicate names (alternation unions): first participating group wins
+    by_name: dict[str, list[tuple[int, int, str]]] = {}
+    order: list[str] = []
     for pos, (fname, idx, typ) in enumerate(cg.fields):
-        fast = arr[pos]
-        slow = F.regexp_extract(s, cg.regex, idx)
-        v = F.when(matched & sep_free, fast).when(matched, slow)
-        v = F.nullif(v, F.lit(""))
+        if fname not in by_name:
+            order.append(fname)
+        by_name.setdefault(fname, []).append((pos, idx, typ))
+    cols: list[Column] = []
+    for fname in order:
+        variants = []
+        typ = by_name[fname][0][2]
+        for pos, idx, _t in by_name[fname]:
+            fast = arr[pos]
+            slow = F.regexp_extract(s, cg.regex, idx)
+            v = F.when(matched & sep_free, fast).when(matched, slow)
+            variants.append(F.nullif(v, F.lit("")))
+        v = F.coalesce(*variants) if len(variants) > 1 else variants[0]
         if typ != "string":
             # try_cast, not cast: a capture that doesn't parse as its
             # declared type is a per-record NULL (the reference errors
@@ -326,7 +390,16 @@ def grok_parser_vectorized(
     Python. Exists for patterns beyond the Java dialect and as the parity
     exhibit for the native path."""
     cg = compile_grok(pattern, definitions, named_captures_only)
-    spark_fields = [(f, t) for f, _, t in cg.fields]
+    # duplicate names coalesce to the first participating group (same
+    # contract as the native path)
+    grouped: dict[str, tuple[list[int], str]] = {}
+    order: list[str] = []
+    for fname, idx, typ in cg.fields:
+        if fname not in grouped:
+            order.append(fname)
+            grouped[fname] = ([], typ)
+        grouped[fname][0].append(idx)
+    spark_fields = [(f, grouped[f][1]) for f in order]
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -339,19 +412,27 @@ def grok_parser_vectorized(
             for f, t in spark_fields
         ]
     )
-    regex, fields = cg.regex, cg.fields
+    regex = cg.regex
+    fields = [(f, grouped[f][0], grouped[f][1]) for f in order]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         creg = re.compile(regex)  # once per executor task-closure, not per row
-        idxs = [idx for _, idx, _ in fields]
 
         def extract(text: str | None) -> tuple:
             if text is None:
-                return (None,) * len(idxs)
+                return (None,) * len(fields)
             m = creg.search(text)
             if not m:
-                return (None,) * len(idxs)
-            return tuple((m.group(i) or None) for i in idxs)
+                return (None,) * len(fields)
+            out = []
+            for _f, idxs, _t in fields:
+                v = None
+                for i in idxs:
+                    v = m.group(i) or None
+                    if v is not None:
+                        break
+                out.append(v)
+            return tuple(out)
 
         # typed-capture coercions mirror Spark try_cast so both paths stay
         # value-identical: bigint accepts only [+-]?digits (no '42.5'),
@@ -383,7 +464,7 @@ def grok_parser_vectorized(
 
         for pdf in batches:
             tup = pdf[source].map(extract)
-            for k, (fname, _, typ) in enumerate(fields):
+            for k, (fname, _idxs, typ) in enumerate(fields):
                 col = tup.map(lambda t, _k=k: t[_k])
                 if typ == "bigint":
                     col = col.map(to_int).astype("Int64")

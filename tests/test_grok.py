@@ -104,9 +104,17 @@ def test_anonymous_group_keeps_index_but_no_field():
     assert cg.fields == (("w", 2, "string"),)
 
 
-def test_duplicate_capture_name_rejected():
-    with pytest.raises(GrokError, match="duplicate"):
-        compile_grok(r"%{WORD:a} %{INT:a}")
+def test_duplicate_capture_name_coalesces_first_wins():
+    # alternation-union patterns (e.g. %{HTTPD_ERRORLOG}) legally name the
+    # same field in every branch; the scalar contract is first
+    # participating group wins (Go 1.22 regexp accepts the same shape)
+    cg = compile_grok(r"%{WORD:a} %{INT:a}")
+    assert [f for f, _, _ in cg.fields] == ["a", "a"]
+
+
+def test_duplicate_capture_name_conflicting_types_rejected():
+    with pytest.raises(GrokError, match="conflicting types"):
+        compile_grok(r"%{WORD:a} %{INT:a:int}")
 
 
 def test_recursion_cycle_detected():
@@ -257,3 +265,104 @@ def test_urn_percent_encoded_chars_match():
 
     cg = compile_grok("^%{URN:u}$", named_captures_only=True)
     assert _re.match(cg.regex, "urn:example:a%3Fb")
+
+
+# --- round-4 library completion: full default-set names -----------------------
+
+_R4_SAMPLES = {
+    "BOOLEAN": "true",
+    "SYSLOGBASE": "Oct 11 22:14:15 mymachine su[230]:",
+    "SYSLOGBASE2": "Oct 11 22:14:15 mymachine su[230]:",
+    "SYSLOGLINE": "Oct 11 22:14:15 mymachine su[230]: session opened",
+    "SYSLOGPAMSESSION": (
+        "Oct 11 22:14:15 host sshd[123]: pam_unix(sshd:session): "
+        "session opened for user alice by (uid=0)"
+    ),
+    "CRONLOG": "Oct 11 22:14:15 host CRON[111]: (root) CMD (run-parts /etc/cron.hourly)",
+    "SYSLOG5424LINE": (
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 1234 ID47 '
+        '[exampleSDID@32473 iut="3"] BOMAn application event log entry'
+    ),
+    "HTTPD20_ERRORLOG": "[Mon Oct 11 22:14:15 2023] [error] [client 1.2.3.4] File does not exist",
+    "HTTPD24_ERRORLOG": (
+        "[Mon Oct 11 22:14:15 2023] [core:error] [pid 1234:tid 5678]"
+        " [client 1.2.3.4:5678] AH00124: Request exceeded limits"
+    ),
+    "JAVACLASS": "com.example.Foo$Bar",
+    "JAVASTACKTRACEPART": "    at com.example.Foo.run(Foo.java:42)",
+    "CATALINA_DATESTAMP": "Oct 11, 2023 10:14:15 PM",
+    "CATALINALOG": "Oct 11, 2023 10:14:15 PM org.apache.Bootstrap started in 1234 ms",
+    "TOMCAT_DATESTAMP": "2023-10-11 22:14:15,003",
+    "TOMCATLOG": "2023-10-11 22:14:15,003 | ERROR | com.example.Foo - boom",
+}
+
+
+def test_round4_pattern_names_compile_and_match():
+    import re as _re
+
+    assert set(_R4_SAMPLES) <= set(GROK_PATTERNS)
+    for name, sample in _R4_SAMPLES.items():
+        cg = compile_grok(f"%{{{name}:f}}", named_captures_only=True)
+        assert _re.search(cg.regex, sample), f"{name} failed on {sample!r}"
+
+
+def test_httpd_errorlog_union_coalesces_both_branches(spark):
+    """%{HTTPD_ERRORLOG} names timestamp/loglevel/message in BOTH the 2.0
+    and 2.4 branches — whichever branch matched must populate the field,
+    on the native and the vectorized path identically."""
+    from opentelemetry_collector_contrib_spark.operators.grok import (
+        grok_parser,
+        grok_parser_vectorized,
+    )
+
+    rows = [
+        ("[Mon Oct 11 22:14:15 2023] [error] [client 1.2.3.4] old style",),
+        ("[Mon Oct 11 22:14:15 2023] [core:error] [pid 12:tid 34] new style",),
+    ]
+    df = spark.createDataFrame(rows, "line string")
+    pat = "%{HTTPD_ERRORLOG}"
+    want = [
+        ("error", "old style"),
+        ("error", "new style"),
+    ]
+    for impl in (grok_parser, grok_parser_vectorized):
+        out = impl(df, "line", pat).select("loglevel", "message").collect()
+        assert [(r["loglevel"], r["message"]) for r in out] == want, impl.__name__
+
+
+def test_default_set_name_coverage():
+    """≥95% of the public default pattern-set names resolve (the
+    done-criterion for the library completion)."""
+    default_names = [
+        # legacy base file
+        "USERNAME", "USER", "EMAILLOCALPART", "EMAILADDRESS", "INT",
+        "BASE10NUM", "NUMBER", "BASE16NUM", "BASE16FLOAT", "POSINT",
+        "NONNEGINT", "WORD", "NOTSPACE", "SPACE", "DATA", "GREEDYDATA",
+        "QUOTEDSTRING", "QS", "UUID", "URN", "MAC", "CISCOMAC",
+        "WINDOWSMAC", "COMMONMAC", "IPV6", "IPV4", "IP", "HOSTNAME",
+        "HOST", "IPORHOST", "HOSTPORT", "PATH", "UNIXPATH", "TTY",
+        "WINPATH", "URIPROTO", "URIHOST", "URIPATH", "URIPARAM",
+        "URIPATHPARAM", "URI", "MONTH", "MONTHNUM", "MONTHNUM2",
+        "MONTHDAY", "DAY", "YEAR", "HOUR", "MINUTE", "SECOND", "TIME",
+        "DATE_US", "DATE_EU", "ISO8601_TIMEZONE", "ISO8601_SECOND",
+        "TIMESTAMP_ISO8601", "DATE", "DATESTAMP", "TZ",
+        "DATESTAMP_RFC822", "DATESTAMP_RFC2822", "DATESTAMP_OTHER",
+        "DATESTAMP_EVENTLOG", "SYSLOGTIMESTAMP", "PROG", "SYSLOGPROG",
+        "SYSLOGHOST", "SYSLOGFACILITY", "HTTPDATE", "LOGLEVEL",
+        "SYSLOGBASE", "COMMONAPACHELOG", "COMBINEDAPACHELOG",
+        "HTTPDUSER", "HTTPDERROR_DATE", "HTTPD_COMMONLOG",
+        "HTTPD_COMBINEDLOG", "HTTPD20_ERRORLOG", "HTTPD24_ERRORLOG",
+        "HTTPD_ERRORLOG", "BOOLEAN",
+        # linux-syslog companion set
+        "SYSLOG5424PRINTASCII", "SYSLOGBASE2", "SYSLOGPAMSESSION",
+        "CRON_ACTION", "CRONLOG", "SYSLOGLINE", "SYSLOG5424PRI",
+        "SYSLOG5424SD", "SYSLOG5424BASE", "SYSLOG5424LINE",
+        # java companion set
+        "JAVACLASS", "JAVAFILE", "JAVAMETHOD", "JAVATHREAD",
+        "JAVALOGMESSAGE", "JAVASTACKTRACEPART", "CATALINA_DATESTAMP",
+        "CATALINALOG", "TOMCAT_DATESTAMP", "TOMCATLOG",
+    ]
+    have = [n for n in default_names if n in GROK_PATTERNS]
+    assert len(have) / len(default_names) >= 0.95, sorted(
+        set(default_names) - set(GROK_PATTERNS)
+    )
