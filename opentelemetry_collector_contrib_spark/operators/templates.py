@@ -120,6 +120,146 @@ def annotate_templates(df: DataFrame, text_col: str = "text", out_col: str = "lo
 
 
 # ---------------------------------------------------------------------------
+# Drain parse tree (round 4): the REAL fixed-depth tree + similarity
+# threshold, distributed
+# ---------------------------------------------------------------------------
+#
+# go-drain3's tree (processor/drainprocessor/internal/drain/drain.go wrapping
+# the public Drain3 algorithm, He et al. 2017) routes a log through: root →
+# token-count node → one node per leading token for depth-2 levels (a token
+# containing a digit navigates as "<*>") → a LEAF holding clusters; the leaf's
+# best cluster by seq_dist similarity wins if sim ≥ SimThreshold, else a new
+# cluster opens, and the winning template wildcards every differing position.
+#
+# The distributed insight: with effectively-unlimited children/clusters (the
+# reference's own defaults map MaxClusters→MaxInt32), rows in DIFFERENT leaves
+# can never share a cluster — the leaf key (token count + masked token prefix)
+# is a pure function of the row. So the tree is ONE hash shuffle on the leaf
+# key + an Arrow-batched per-leaf fold, the same two-level shape as the
+# heavy-hitters operator; no driver-side tree state at 10^12 rows.
+#
+# Determinism contract: Drain is arrival-order sensitive, so the batch
+# operator processes each leaf in a CANONICAL order (order_col if given, else
+# raw text). Simplifications vs go-drain3, documented: no MaxChildren
+# overflow branch and no LRU cluster eviction (both order/traffic dependent;
+# the reference's defaults make them rare), mask rules applied before
+# tokenising exactly as processor.go does.
+
+PARAM = "<*>"
+
+
+def _nav_token(tok: str) -> str:
+    """Tree-navigation form of a token: digits ⇒ wildcard (drain3's
+    add_seq_to_prefix_tree rule)."""
+    return PARAM if any(c.isdigit() for c in tok) else tok
+
+
+def drain_fold(
+    rows: list[tuple[str, str]], sim_th: float
+) -> list[tuple[str, int, str]]:
+    """The leaf-level cluster fold, shared verbatim by the Spark kernel and
+    the pure-Python whole-tree reference in tests. ``rows`` are
+    (masked_text, raw_text) in canonical order and MUST share one leaf
+    (same token count, same navigation prefix). Returns
+    (template, match_count, example-min-raw) per cluster.
+
+    seq_dist is drain3's add-path form (include_params=False): a template
+    wildcard contributes to param_count, an exact token match to
+    sim_count, sim = sim_count/len; best cluster by (sim, param_count);
+    match iff sim ≥ sim_th; update wildcards differing positions."""
+    clusters: list[dict] = []
+    for masked, raw in rows:
+        toks = masked.split()
+        n = len(toks)
+        best, best_sim, best_pc = None, -1.0, -1
+        for c in clusters:
+            tmpl = c["tmpl"]
+            if len(tmpl) != n:
+                continue
+            if n == 0:
+                sim, pc = 1.0, 0
+            else:
+                sim_count = pc = 0
+                for a, b in zip(tmpl, toks):
+                    if a == PARAM:
+                        pc += 1
+                    elif a == b:
+                        sim_count += 1
+                sim = sim_count / n
+            if sim > best_sim or (sim == best_sim and pc > best_pc):
+                best, best_sim, best_pc = c, sim, pc
+        if best is None or best_sim < sim_th:
+            clusters.append({"tmpl": list(toks), "count": 1, "example": raw})
+        else:
+            best["tmpl"] = [
+                a if a == b else PARAM for a, b in zip(best["tmpl"], toks)
+            ]
+            best["count"] += 1
+            if raw < best["example"]:
+                best["example"] = raw
+    return [(" ".join(c["tmpl"]), c["count"], c["example"]) for c in clusters]
+
+
+def drain_tree_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    sim_th: float = 0.4,
+    masks: list[tuple[str, str]] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Drain parse-tree clustering, distributed: (template, match_count,
+    example) per converged cluster — the tree-faithful sibling of
+    ``drain_templates`` (which remains the scan-speed mask+merge
+    approximation; on mixed-WORD-variability logs the two disagree and
+    THIS one matches the reference).
+
+    depth/sim_th mirror the processor's tree_depth / merge_threshold
+    config (config.go); depth counts root+length+prefix levels as in
+    drain3, so ``depth-2`` leading tokens route the tree."""
+    if depth < 3:
+        raise ValueError("depth must be >= 3 (go-drain3 requirement)")
+    prefix_len = depth - 2
+    masked = df.select(
+        mask_template(F.col(text_col), masks).alias("_masked"),
+        F.col(text_col).alias("_raw"),
+        (F.col(order_col) if order_col else F.col(text_col)).alias("_ord"),
+    )
+    toks = F.filter(F.split(F.trim(F.col("_masked")), r"\s+"), lambda x: x != "")
+    keyed = masked.select(
+        "_masked",
+        "_raw",
+        "_ord",
+        F.concat_ws(
+            "\x1f",
+            F.size(toks).cast("string"),
+            F.array_join(
+                F.transform(
+                    F.slice(toks, 1, prefix_len),
+                    lambda t: F.when(t.rlike(r"\d"), F.lit(PARAM)).otherwise(t),
+                ),
+                "\x1f",
+            ),
+        ).alias("_leaf"),
+    )
+
+    def kernel(pdf):
+        import pandas as _pd
+
+        rows = sorted(
+            zip(pdf["_ord"], pdf["_masked"], pdf["_raw"])
+        )  # canonical order within the leaf
+        out = drain_fold([(m, r) for _, m, r in rows], sim_th)
+        return _pd.DataFrame(
+            out, columns=["template", "match_count", "example"]
+        )
+
+    return keyed.groupBy("_leaf").applyInPandas(
+        kernel, "template string, match_count bigint, example string"
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def cardinality_guard(

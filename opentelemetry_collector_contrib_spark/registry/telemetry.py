@@ -1405,6 +1405,19 @@ def q_drain_templates(spark, sf_dir):
     return drain_templates(_routed(spark, sf_dir))
 
 
+def q_drain_tree_templates(spark, sf_dir):
+    """The REAL Drain parse tree (fixed depth + similarity threshold,
+    processor/drainprocessor/internal/drain/drain.go), distributed as one
+    shuffle on the leaf key + per-leaf Arrow fold. No SQL oracle: the
+    cluster fold is arrival-order-sensitive by construction (canonical
+    order makes it deterministic, but not window-expressible) — gated by
+    the sequential-reference equality pytest instead (test_templates.py);
+    the driver records the rows-only check."""
+    from ..operators.templates import drain_tree_templates
+
+    return drain_tree_templates(_routed(spark, sf_dir), sim_th=0.5)
+
+
 def q_template_window_diff(spark, sf_dir):
     """Template-population diff between the morning (reference) and
     afternoon (current) halves of the routed transcripts: which masked
@@ -5383,6 +5396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_metrics_label_merge": q_metrics_label_merge,
     "genai_normalize": q_genai_normalize,
     "drain_templates": q_drain_templates,
+    "drain_tree_templates": q_drain_tree_templates,
     "template_window_diff": q_template_window_diff,
     "cardinality_guard": q_cardinality_guard,
     "metrics_generation_ratio": q_metrics_generation,

