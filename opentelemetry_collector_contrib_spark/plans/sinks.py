@@ -155,6 +155,106 @@ def failover_write(
     raise RuntimeError(f"all {len(targets)} failover levels failed: {errors}")
 
 
+# --- exporterhelper retry/queue analogue (round 4) ---------------------------
+
+
+def retry_write(
+    df: DataFrame,
+    target: str,
+    batch_id: str,
+    write=write_sink,
+    max_retries: int = 4,
+    initial_interval_s: float = 5.0,
+    multiplier: float = 1.5,
+    max_interval_s: float = 30.0,
+    ledger_dir: str | None = None,
+    dlq_dir: str | None = None,
+    sleep=None,
+    **write_kwargs,
+) -> dict:
+    """Bounded-retry delivery with exponential backoff and a persistent
+    ledger — the batch analogue of the collector's exporterhelper
+    sending-queue + configretry contract (public semantics: retry the
+    batch at initial_interval × multiplier^n capped at max_interval;
+    exhaustion drops the batch — except here the drop is NEVER silent: the
+    rows land in a parquet quarantine with the failure reason, the DLQ
+    discipline the rest of this repo's contracts use).
+
+    The JSON ledger (one file per batch_id under ``ledger_dir``) is the
+    persistent-queue half: a rerun that finds the batch recorded as
+    ``committed`` is a no-op (idempotent resume, same contract as the
+    lineage manifest), a ``quarantined`` batch is not re-attempted, and
+    anything else retries from scratch. ``sleep`` is injectable for tests;
+    the backoff schedule is deterministic (no randomization_factor jitter —
+    batch reruns want reproducibility, and jitter exists to de-thunder
+    herds of streaming senders, not batch jobs)."""
+    import json
+    import os
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    ledger_path = None
+    if ledger_dir:
+        os.makedirs(ledger_dir, exist_ok=True)
+        ledger_path = os.path.join(ledger_dir, f"retry_{batch_id}.json")
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                prior = json.load(f)
+            if prior.get("status") in ("committed", "quarantined"):
+                return {**prior, "skipped": True}
+
+    def record(entry: dict) -> dict:
+        if ledger_path:
+            tmp = ledger_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            os.replace(tmp, ledger_path)
+        return entry
+
+    errors: list[str] = []
+    interval = initial_interval_s
+    for attempt in range(max_retries + 1):
+        if attempt > 0:
+            do_sleep(interval)
+            interval = min(interval * multiplier, max_interval_s)
+        try:
+            path = write(df, target, **write_kwargs)
+            return record(
+                {
+                    "status": "committed",
+                    "batch_id": batch_id,
+                    "target": target,
+                    "path": path,
+                    "attempts": attempt + 1,
+                    "errors": errors,
+                }
+            )
+        except Exception as e:  # noqa: BLE001 — every sink failure is retryable here
+            errors.append(f"{type(e).__name__}: {e}")
+    reason = errors[-1] if errors else "unknown"
+    dlq_path = None
+    if dlq_dir:
+        from pyspark.sql import functions as F
+
+        dlq_path = os.path.join(dlq_dir, f"batch_{batch_id}")
+        (
+            df.withColumn("dlq_reason", F.lit(f"retry_exhausted: {reason}"))
+            .withColumn("dlq_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(dlq_path)
+        )
+    return record(
+        {
+            "status": "quarantined",
+            "batch_id": batch_id,
+            "target": target,
+            "path": dlq_path,
+            "attempts": max_retries + 1,
+            "errors": errors,
+        }
+    )
+
+
 # --- kafka partitioner algebra (exporter/kafkaexporter/partitioner.go) -------
 # The broker is out of reach in-sandbox; the partition ASSIGNMENT — the part
 # that decides co-location and ordering — is pure algebra and implemented
