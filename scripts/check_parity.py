@@ -74,6 +74,70 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def _families() -> dict[str, list[str]]:
+    """Registry-module → query names (the driver-coverage strata: a driver
+    round's random sample can land entirely in one family, so the
+    stratified modes below give every family a fresh local run)."""
+    from opentelemetry_collector_contrib_spark.registry import (
+        datapipe,
+        profiles_reg,
+        sampling_reg,
+        telemetry,
+    )
+
+    return {
+        "datapipe": list(datapipe.QUERIES),
+        "profiles": list(profiles_reg.QUERIES),
+        "sampling": list(sampling_reg.QUERIES),
+        "telemetry": list(telemetry.QUERIES),
+    }
+
+
+def parse_args(argv: list[str] | None) -> tuple[list[str] | None, str]:
+    """Supports: explicit names; --family NAME (module name or name
+    substring); --sample N [--seed S] (N per family, stratified);
+    combinable (--family telemetry --sample 10)."""
+    import random
+
+    argv = list(argv or [])
+    family = sample = seed = None
+    names: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--family":
+            family, i = argv[i + 1], i + 2
+        elif a == "--sample":
+            sample, i = int(argv[i + 1]), i + 2
+        elif a == "--seed":
+            seed, i = int(argv[i + 1]), i + 2
+        else:
+            names.append(a)
+            i += 1
+    label = ""
+    if family is not None or sample is not None:
+        fams = _families()
+        if family is not None:
+            if family in fams:
+                pool = {family: fams[family]}
+            else:
+                pool = {
+                    f: [n for n in ns if family in n] for f, ns in fams.items()
+                }
+                pool = {f: ns for f, ns in pool.items() if ns}
+                if not pool:
+                    raise SystemExit(f"--family {family!r} matches no queries")
+        else:
+            pool = fams
+        rng = random.Random(seed if seed is not None else 0xC0FFEE)
+        for f in sorted(pool):
+            ns = sorted(pool[f])
+            picked = ns if sample is None else rng.sample(ns, min(sample, len(ns)))
+            names.extend(picked)
+        label = f" [family={family or 'ALL'} sample={sample or 'all'}]"
+    return (names or None), label
+
+
 def main(names: list[str] | None = None) -> int:
     import __spark_entry__ as entrymod
     from opentelemetry_collector_contrib_spark.session import get_spark
@@ -144,4 +208,7 @@ def main(names: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1:] or None) else 0)
+    _names, _label = parse_args(sys.argv[1:])
+    if _label:
+        print(f"parity{_label}: {len(_names or [])} queries", flush=True)
+    sys.exit(1 if main(_names) else 0)
