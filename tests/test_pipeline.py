@@ -263,3 +263,63 @@ def test_job_plan_backfill_cli(tmp_path):
     plan2 = run("--mark-processed", "dt=2026-02-01")
     assert [e["partition"] for e in plan2["done"]] == ["dt=2026-02-01"]
     assert [e["partition"] for e in plan2["todo"]] == ["dt=2026-02-02"]
+
+
+def test_kafka_partition_colocation_matches_assignment(spark, tmp_path):
+    """The claim users rely on (round-4 verdict item): repartitioning on
+    kafka_partitions() and writing one directory per partition yields key
+    sets IDENTICAL to Kafka's own assignment for the same topic config —
+    for both the Java-default murmur2 and the sarama FNV-1a hashers, over
+    the UtilsTest vector keys plus a spread of conv-id-style keys."""
+    from opentelemetry_collector_contrib_spark.plans.sinks import (
+        kafka_partition_for,
+        kafka_partitions,
+    )
+
+    n_parts = 8
+    keys = [
+        "21", "foobar", "a-little-bit-long-string",
+        "a-little-bit-longer-string",
+        "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8",
+    ] + [f"conv-{i:04d}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    for hasher in ("murmur2", "sarama_compat"):
+        parts = kafka_partitions(df, "key", n_parts, hasher=hasher)
+        out = str(tmp_path / f"kp_{hasher}")
+        # co-location: group all rows of a kafka partition into one task,
+        # then one file/dir per partition — the producer's broker layout
+        parts.repartition(n_parts, F.col("kafka_partition")).write.partitionBy(
+            "kafka_partition"
+        ).parquet(out)
+        back = spark.read.parquet(out)
+        got = {
+            r["kafka_partition"]: None
+            for r in back.select("kafka_partition").distinct().collect()
+        }
+        assert set(got) <= set(range(n_parts))
+        by_part = {
+            p: {
+                r["key"]
+                for r in back.filter(F.col("kafka_partition") == p).collect()
+            }
+            for p in got
+        }
+        # Kafka's assignment, computed independently per key
+        want: dict[int, set] = {}
+        for k in keys:
+            want.setdefault(
+                kafka_partition_for(k.encode("utf-8"), n_parts, hasher), set()
+            ).add(k)
+        assert by_part == want, hasher
+        # whole-partition co-location under repartition: every kafka
+        # partition lives in exactly one spark task
+        placement = (
+            parts.repartition(n_parts, F.col("kafka_partition"))
+            .select(F.spark_partition_id().alias("sp"), "kafka_partition")
+            .distinct()
+            .collect()
+        )
+        owners: dict[int, set] = {}
+        for r in placement:
+            owners.setdefault(r["kafka_partition"], set()).add(r["sp"])
+        assert all(len(v) == 1 for v in owners.values()), owners
