@@ -49,12 +49,18 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_QUERIES")  # comma list; default all
     selected = {q.strip() for q in only.split(",")} if only else None
 
+    qrows: dict[str, int] = {}
+
     def timed(name: str, fn) -> None:
         if selected is not None and name not in selected:
             return
         t0 = time.perf_counter()
-        fn()
+        out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # most query lambdas end in force(df), which returns the row count —
+        # record it so the report can state rows/s per query, not just secs
+        if isinstance(out, int):
+            qrows[name] = out
 
     # q1: full parse→enrich→route, all columns materialized. Sustained
     # throughput = best of SPARK_GRAFT_Q1_REPEATS passes after
@@ -75,6 +81,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best_q1 = dt if best_q1 is None else min(best_q1, dt)
         timings["q1_pipeline_routed"] = round(best_q1, 3)
+        qrows["q1_pipeline_routed"] = n_rows
 
     # q2: fan-out — single-pass partitionBy(route_id) write (the at-scale
     # sink path: one job, no persist, every move-sink lands in its own
@@ -98,14 +105,14 @@ def main() -> None:
     def agg_conv():
         from opentelemetry_collector_contrib_spark.operators.aggregate import salted_agg
 
-        force(salted_agg(build_routed(spark, sf_dir), ["route_id", "conv_id"], {"turn_count": ("count", ""), "sum_latency": ("sum", "latency_ms")}))
+        return force(salted_agg(build_routed(spark, sf_dir), ["route_id", "conv_id"], {"turn_count": ("count", ""), "sum_latency": ("sum", "latency_ms")}))
 
     timed("q3_agg_per_conv_salted", agg_conv)
 
     # q4: per-tool aggregate
     def agg_tool():
         routed = build_routed(spark, sf_dir)
-        force(pipeline_aggregates(routed)["agg_per_tool"])
+        return force(pipeline_aggregates(routed)["agg_per_tool"])
 
     timed("q4_agg_per_tool", agg_tool)
 
@@ -115,7 +122,7 @@ def main() -> None:
         from opentelemetry_collector_contrib_spark.operators.parse import parse_vectorized
 
         df = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
-        force(parse_vectorized(df).select("conv_id", "pattern_id", "sev", "latency_ms", "status"))
+        return force(parse_vectorized(df).select("conv_id", "pattern_id", "sev", "latency_ms", "status"))
 
     timed("q5_vectorized_parse", vec)
 
@@ -127,7 +134,7 @@ def main() -> None:
         from opentelemetry_collector_contrib_spark.operators.dedup import minhash_lsh_dedup_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(2 * int(cpus))
-        minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.4).count()
+        return minhash_lsh_dedup_pairs(docs, "doc_id", threshold=0.4).count()
 
     timed("q6_minhash_lsh_dedup", dedup_docs)
 
@@ -139,7 +146,7 @@ def main() -> None:
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(2 * int(cpus))
         q = emb.filter(FF.col("vec_id") % 50 == 0).select(FF.col("vec_id").alias("query_id"), "embedding")
-        ivf_topk(emb, q, k=5, n_cells=8).count()
+        return ivf_topk(emb, q, k=5, n_cells=8).count()
 
     timed("q7_ivf_topk", topk)
 
@@ -148,7 +155,7 @@ def main() -> None:
         from opentelemetry_collector_contrib_spark.operators.dedup import simhash_pairs
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(2 * int(cpus))
-        simhash_pairs(docs, "doc_id", max_hamming=3).count()
+        return simhash_pairs(docs, "doc_id", max_hamming=3).count()
 
     timed("q8_simhash_pairs", simhash_docs)
 
@@ -157,7 +164,7 @@ def main() -> None:
         from opentelemetry_collector_contrib_spark.operators.dedup import embedding_dup_pairs_bucketed
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(2 * int(cpus))
-        embedding_dup_pairs_bucketed(emb, threshold=0.35, n_cells=8, probes=2).count()
+        return embedding_dup_pairs_bucketed(emb, threshold=0.35, n_cells=8, probes=2).count()
 
     timed("q9_embedding_dup_bucketed", emb_bucketed)
 
@@ -170,7 +177,7 @@ def main() -> None:
 
         df = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
         out = pii_scrub(gopher_filter(df, "text"), "text")
-        force(out.select("conv_id", "gopher_pass", "pii_email_count", "text_scrubbed"))
+        return force(out.select("conv_id", "gopher_pass", "pii_email_count", "text_scrubbed"))
 
     timed("q10_curation_gate", curation_gate)
 
@@ -191,7 +198,7 @@ def main() -> None:
             .groupBy("conv_id", "ts")
             .agg(F.max("tool").alias("last_tool"))
         )
-        force(asof_join(left, right, ["conv_id"], "ts", ["last_tool"]))
+        return force(asof_join(left, right, ["conv_id"], "ts", ["last_tool"]))
 
     timed("q11_session_asof", session_asof)
 
@@ -219,7 +226,7 @@ def main() -> None:
             F.when(rn == 1, F.lit(0)).otherwise(1000 * (rn - 1)).cast("long").alias("start_ns"),
             F.when(rn == 1, 1000 * (nconv - 1) + 900).otherwise(1000 * (rn - 1) + 800).cast("long").alias("end_ns"),
         )
-        force(transactions_and_critical_path(frame))
+        return force(transactions_and_critical_path(frame))
 
     timed("q12_trace_tree", trace_tree)
 
@@ -238,7 +245,7 @@ def main() -> None:
         state = minhash_dedup_state(docs.filter(F.col("doc_id") < cut), "doc_id")
         batch = docs.filter(F.col("doc_id") >= cut)
         novel, _ = dedup_keep_first_incremental(batch, state, "doc_id", threshold=0.4)
-        novel.count()
+        return novel.count()
 
     timed("q13_incremental_dedup", incremental_dedup)
 
@@ -250,7 +257,7 @@ def main() -> None:
     def wire_decode():
         from opentelemetry_collector_contrib_spark.operators.otlp_pb import parse_otlp_pb_logs
 
-        force(parse_otlp_pb_logs(spark.read.parquet(wire_spool), "payload"))
+        return force(parse_otlp_pb_logs(spark.read.parquet(wire_spool), "payload"))
 
     if selected is None or "q14_otlp_pb_decode" in selected:
         from opentelemetry_collector_contrib_spark.fixtures import tier_for_sf_dir
@@ -295,7 +302,7 @@ def main() -> None:
             schema="conv_id string, turn_idx int, role string, text string, tool string",
             passthrough=["bucket"],
         )
-        force(out)
+        return force(out)
 
     if selected is None or "q15_arrow_ipc_roundtrip" in selected:
         from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
@@ -325,7 +332,7 @@ def main() -> None:
             parsed.withColumn("tv", F.col("tvalue")).withColumn("rv", F.col("rvalue")),
             25, "equalizing", tvalue_col="tv", rvalue_col="rv", precision=4,
         )
-        force(out.select("conv_id", "turn_idx", "sampling_threshold", "adjusted_count"))
+        return force(out.select("conv_id", "turn_idx", "sampling_threshold", "adjusted_count"))
 
     if selected is None or "q16_consistent_sampling" in selected:
         from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
@@ -341,7 +348,7 @@ def main() -> None:
     def netflow_decode():
         from opentelemetry_collector_contrib_spark.operators.netflow import parse_netflow_v5
 
-        force(parse_netflow_v5(spark.read.parquet(nf_spool), "payload"))
+        return force(parse_netflow_v5(spark.read.parquet(nf_spool), "payload"))
 
     if selected is None or "q17_netflow_decode" in selected:
         from opentelemetry_collector_contrib_spark.fixtures import ensure_tier, tier_for_sf_dir
@@ -369,7 +376,7 @@ def main() -> None:
         from opentelemetry_collector_contrib_spark.operators.dedup import remove_duplicated_spans
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(2 * int(cpus))
-        force(remove_duplicated_spans(docs, "doc_id", n=5, min_docs=2))
+        return force(remove_duplicated_spans(docs, "doc_id", n=5, min_docs=2))
 
     if selected is None or "q18_span_removal" in selected:
         timed("q18_span_removal", span_removal)
@@ -385,7 +392,7 @@ def main() -> None:
         )
         from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
 
-        force(transcript_curation_gate(load_transcripts(spark, sf_dir)))
+        return force(transcript_curation_gate(load_transcripts(spark, sf_dir)))
 
     if selected is None or "q19_conv_qa_gate" in selected:
         timed("q19_conv_qa_gate", conv_qa_gate)
@@ -441,7 +448,7 @@ def main() -> None:
             extract_html_text,
         )
 
-        force(
+        return force(
             extract_html_text(html_src).select("conv_id", "turn_idx", "html_text", "n_links")
         )
 
@@ -475,7 +482,7 @@ def main() -> None:
         toks = load_transcripts(spark, sf_dir).select(
             F.explode(tokens(F.col("text"))).alias("item")
         )
-        force(heavy_hitters(toks, "item", 0.005))
+        return force(heavy_hitters(toks, "item", 0.005))
 
     if selected is None or "q23_heavy_hitters" in selected:
         timed("q23_heavy_hitters", heavy_hit)
@@ -588,6 +595,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_out_rows": qrows,  # force() row count: == input rows for projection-shaped queries
+        "query_out_rows_per_sec": {
+            q: round(qrows[q] / timings[q], 1)
+            for q in qrows
+            if q in timings and timings[q] > 0
+        },
         "sf": sf_dir,
         "rows": n_rows,
         "turns_per_sec": (
