@@ -254,3 +254,36 @@ def test_merge_scrape_labels_honor_modes(spark):
     ).collect()[0]["m"]
     # scraped wins; target's conflicting 'job' dropped, rest kept
     assert hi["job"] == "scraped-job" and hi["instance"] == "i1" and hi["metric_lbl"] == "x"
+
+
+def test_entries_engine_equals_map_engine_full_matrix(spark):
+    """Round-4 entries-array engine: byte-identical results to the map
+    engine across all nine actions chained, including label order."""
+    from opentelemetry_collector_contrib_spark.registry.telemetry import _RELABEL_RULES
+
+    h = F.xxhash64("id")
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("__address__"), F.concat(F.lit("10.0."), F.pmod(h, F.lit(200)).cast("string"), F.lit(":9100")),
+                F.lit("__scheme__"), F.when(h % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+                F.lit("__meta_kubernetes_namespace"), F.concat(F.lit("ns-"), F.pmod(h, F.lit(5)).cast("string")),
+                F.lit("__meta_kubernetes_pod_name"), F.concat(F.lit("pod-"), F.pmod(h, F.lit(7)).cast("string")),
+                F.lit("__meta_kubernetes_pod_label_App"),
+                F.when(h % 3 != 0, F.concat(F.lit("Web"), F.pmod(h, F.lit(4)).cast("string"))),
+                F.lit("instance"), F.when(h % 11 == 0, F.lit("i")),
+                F.lit("job"), F.lit("scrape"),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("labels"),
+    )
+    m = {
+        r["id"]: list(r["labels"].items())  # order-sensitive compare
+        for r in relabel(df, _RELABEL_RULES, engine="map").collect()
+    }
+    e = {
+        r["id"]: list(r["labels"].items())
+        for r in relabel(df, _RELABEL_RULES, engine="entries").collect()
+    }
+    assert m == e and len(m) > 0
