@@ -464,6 +464,44 @@ def streaming_log_dedup(
     )
 
 
+def streaming_interval_last(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "latency_ms",
+    interval_s: int = 60,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """intervalprocessor's periodic flush on a stream (the reference
+    flushes the last datapoint per stream identity on an interval ticker;
+    processor/intervalprocessor): the batch interval_last is a tumbling
+    groupBy, so the twin keys the SAME max_by aggregation on a
+    watermark-tracked window — each interval's last datapoint flushes
+    when the watermark passes the window end. Batch frames take the
+    batch path unchanged (identical columns)."""
+    from ..operators.aggregate import interval_last
+
+    if not df.isStreaming:
+        return interval_last(df, id_cols, ts_col, value_col, interval_s=interval_s)
+    tsc = F.col(ts_col).cast("timestamp")
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(tsc, f"{interval_s} seconds").alias("_w"), *id_cols)
+        .agg(
+            F.max_by(
+                F.col(value_col), F.struct(F.col(ts_col), F.col(value_col))
+            ).alias("last_value"),
+            F.max(F.col(value_col)).alias("max_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("_w.start")).cast("bigint").alias("window_start"),
+            *id_cols,
+            "last_value",
+            "max_value",
+        )
+    )
+
+
 def streaming_keep_first_dedup(
     spark: SparkSession,
     input_path: str,

@@ -890,3 +890,27 @@ def test_streaming_log_dedup_matches_batch(spark, stream_input, tmp_path):
     run_available_now(sdf, "ld_stream", str(tmp_path / "ck_ld"), output_mode="complete")
     got = sorted(tuple(r) for r in spark.table("ld_stream").collect())
     assert got == want
+
+
+def test_streaming_interval_last_matches_batch(spark, stream_input, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import interval_last
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_interval_last,
+    )
+
+    batch = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).json(stream_input)
+    want = sorted(
+        tuple(r)
+        for r in interval_last(batch, ["conv_id"], "ts", "turn_idx", interval_s=30).collect()
+    )
+    sdf = streaming_interval_last(
+        transcripts_stream(spark, stream_input + "/*.json"),
+        ["conv_id"],
+        value_col="turn_idx",
+        interval_s=30,
+    )
+    run_available_now(sdf, "il_stream", str(tmp_path / "ck_il"), output_mode="complete")
+    got = sorted(tuple(r) for r in spark.table("il_stream").collect())
+    assert got == want and len(got) > 0
