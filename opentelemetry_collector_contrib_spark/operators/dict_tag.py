@@ -47,6 +47,7 @@ def tag_matches(
     text_col: str = "text",
     term_col: str = "term",
     tag_col: str = "tag",
+    first_token_gate: bool = True,
 ) -> DataFrame:
     """One row per (document, position, matched term): (id, pos, term,
     tag). ``pos`` is the 0-based token index where the phrase starts.
@@ -55,18 +56,50 @@ def tag_matches(
     array binds ONCE as a higher-order-function lambda variable (so
     Catalyst never re-inlines the tokenizer per reference) and each
     window extends via O(1) ``get`` lookups — never a per-position
-    ``slice`` (which is O(tokens) each and turns the builder O(n²))."""
+    ``slice`` (which is O(tokens) each and turns the builder O(n²)).
+
+    ``first_token_gate`` (round 4, default on): a literal Bloom filter
+    over the dictionary's FIRST tokens gates window construction — a
+    position whose token cannot start any term builds no grams at all,
+    so the posexplode and join probe volume drops from
+    max_ngram × tokens to max_ngram × candidate positions (typically a
+    tiny fraction for blocklist-shaped dictionaries). The broadcast join
+    still verifies exactly, so Bloom false positives only cost a probe —
+    results are byte-identical with the gate on or off. The distinct
+    first-token collect is bounded by the dictionary, which is
+    broadcast-sized by contract."""
+    gate = None
+    if first_token_gate:
+        from .enrich import bloom_build, bloom_might_contain, bloom_parameters
+
+        firsts = dictionary.select(
+            F.get(F.split(F.lower(F.col(term_col)), " "), 0).alias("ft")
+        ).distinct()
+        n_first = max(firsts.count(), 1)
+        num_bits, num_hashes = bloom_parameters(n_first, 0.01)
+        bitmap = bloom_build(firsts, "ft", num_bits, num_hashes)
+        gate = lambda tok: bloom_might_contain(tok, bitmap, num_hashes)  # noqa: E731
 
     def grams_of(t: Column) -> Column:
+        if gate is not None:
+            # candidate start positions only: gate evaluated once per token
+            starts = F.filter(
+                F.transform(t, lambda tok, i: F.when(gate(tok), i)),
+                lambda x: x.isNotNull(),
+            )
+        else:
+            starts = F.transform(t, lambda _tok, i: i)
         per_n = []
         for n in range(1, max_ngram + 1):
             windows = F.transform(
-                t,
-                lambda tok, i: F.struct(
+                starts,
+                lambda i: F.struct(
                     i.alias("pos"),
                     F.when(
                         i + n <= F.size(t),
-                        F.concat_ws(" ", tok, *[F.get(t, i + j) for j in range(1, n)]),
+                        F.concat_ws(
+                            " ", F.get(t, i), *[F.get(t, i + j) for j in range(1, n)]
+                        ),
                     ).alias("gram"),
                 ),
             )
