@@ -190,3 +190,21 @@ def test_auc_and_lift_no_single_partition(spark):
     ).collect()[0]
     exp_auc = round((ref["rp"] - ref["p"] * (ref["p"] + 1) / 2.0) / (ref["p"] * ref["n"]), 6)
     assert auc.collect()[0]["auc"] == exp_auc
+
+
+def test_row_number_extreme_ties_single_value(spark):
+    """A single key value (worst-case skew: every row in one bucket) must
+    still produce the exact total-order ranks via the tiebreaker."""
+    rows = [(f"id{i:03d}", 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "id string, v int").repartition(8)
+    got, total = global_row_number(df, [("v", "asc"), ("id", "asc")], out_col="r")
+    assert total == 500
+    ranks = {r["id"]: r["r"] for r in got.collect()}
+    assert [ranks[f"id{i:03d}"] for i in range(500)] == list(range(1, 501))
+
+
+def test_prefix_sum_inclusive_mode(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, c int")
+    ps, grand = global_prefix_sum(df, [("k", "asc")], "c", out_col="s", inclusive=True)
+    assert grand == 60
+    assert {r["k"]: r["s"] for r in ps.collect()} == {1: 10, 2: 30, 3: 60}
