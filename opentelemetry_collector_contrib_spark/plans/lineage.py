@@ -83,6 +83,12 @@ def write_sinks_resumable(
     base_path: str,
     manifest_path: str | None = None,
     metrics=None,
+    max_retries: int = 2,
+    backoff_initial_s: float = 5.0,
+    backoff_multiplier: float = 1.5,
+    backoff_max_s: float = 30.0,
+    sleep=None,
+    writer=None,
 ) -> dict[str, str]:
     """Fan-out write with idempotent resume.
 
@@ -91,9 +97,18 @@ def write_sinks_resumable(
     sink, no collect of data rows) after each successful atomic write.
     When a PipelineMetrics is passed (plans/metrics.py), per-sink rows,
     wall times, and resume decisions are recorded on it.
+
+    Each sink write retries transient failures with exporterhelper's
+    deterministic backoff (round 4: initial × multiplier^n capped at max —
+    the same schedule as plans/sinks.retry_write); exhaustion re-raises,
+    leaving the sink UNCOMMITTED in the manifest so the next run resumes
+    exactly there — the manifest IS the persistent sending queue.
+    ``sleep``/``writer`` are injectable for tests.
     """
     from pyspark.sql import functions as F
 
+    do_sleep = sleep if sleep is not None else time.sleep
+    do_write = writer or (lambda frame, p: frame.write.mode("overwrite").parquet(p))
     manifest = LineageManifest(manifest_path or os.path.join(base_path, "_lineage.json"))
     run_id = metrics.run_id if metrics is not None else uuid.uuid4().hex
     written: dict[str, str] = {}
@@ -106,7 +121,18 @@ def write_sinks_resumable(
             continue
         out = df.drop(*[c for c in df.columns if c.startswith("copy_")])
         t0 = time.time()
-        out.write.mode("overwrite").parquet(path)
+        interval = backoff_initial_s
+        for attempt in range(max_retries + 1):
+            try:
+                do_write(out, path)
+                if metrics is not None and attempt:
+                    metrics.stages[f"sink:{name}:attempts"] = attempt + 1
+                break
+            except Exception:
+                if attempt == max_retries:
+                    raise  # uncommitted in manifest -> next run resumes here
+                do_sleep(interval)
+                interval = min(interval * backoff_multiplier, backoff_max_s)
         # count from the WRITTEN files (footer-level scan of the output),
         # not by re-running the upstream plan — a non-persisted caller would
         # otherwise pay parse+enrich+route a second time per sink. The

@@ -137,3 +137,39 @@ def test_retry_write_ledger_makes_rerun_idempotent(spark, tmp_path):
     r4 = retry_write(df, str(tmp_path / "out4"), **kw2)
     assert r3["status"] == "quarantined" and calls["n"] == before + 1
     assert r4.get("skipped") is True and calls["n"] == before + 1
+
+
+def test_resumable_sinks_retry_then_resume_on_exhaustion(spark, tmp_path):
+    """write_sinks_resumable retries each sink with the exporterhelper
+    backoff; exhaustion leaves the sink uncommitted so the NEXT run
+    resumes exactly there — the manifest is the persistent queue."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.plans.lineage import (
+        write_sinks_resumable,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sinks = {"s_ok": df, "s_flaky": df}
+    calls = {"n": 0}
+    slept = []
+
+    def flaky_writer(frame, path):
+        if path.endswith("s_flaky"):
+            calls["n"] += 1
+            if calls["n"] <= 3:  # fails through max_retries=2 exhaustion
+                raise IOError("sink down")
+        frame.write.mode("overwrite").parquet(path)
+
+    base = str(tmp_path / "out")
+    with _pytest.raises(IOError):
+        write_sinks_resumable(
+            df, sinks, base, max_retries=2, sleep=slept.append, writer=flaky_writer
+        )
+    assert slept == [5.0, 7.5]  # deterministic schedule before exhaustion
+    # second run: committed sink skipped, flaky sink retried and now succeeds
+    res = write_sinks_resumable(
+        df, sinks, base, max_retries=2, sleep=slept.append, writer=flaky_writer
+    )
+    assert set(res) == {"s_ok", "s_flaky"}
+    assert spark.read.parquet(res["s_flaky"]).count() == 2
