@@ -30,6 +30,9 @@ def run_sweep() -> str:
 
 
 def render(log: str, session_note: str) -> str:
+    # Spark progress bars emit \r-terminated fragments that glue onto
+    # result lines; normalize so the line anchors still match
+    log = log.replace("\r", "\n")
     rows = []
     for m in re.finditer(r"^(OK|FAIL|SKIP) +(\S+?):? (.*)$", log, re.M):
         status, name, detail = m.groups()
