@@ -88,3 +88,64 @@ def test_replace_default_regex_copies_value(spark, rows):
             assert "job_copy" not in got  # empty expansion deletes
         else:
             assert got["job_copy"] == expect
+
+
+# --- round 4: engine equivalence under random rule chains --------------------
+
+import random as _random
+
+
+def _random_rules(rng):
+    regexes = ["(.*)", "(.+)", "web(\\d+)", "__meta_(.+)", "ns-.*", "[0-5]",
+               "(.+)/(.+)", "__(meta|tmp).*", "h.*p"]
+    actions = ["replace", "keep", "drop", "lowercase", "uppercase", "hashmod",
+               "labelmap", "labeldrop", "labelkeep", "keepequal", "dropequal"]
+    rules = []
+    for _ in range(rng.randint(1, 6)):
+        a = rng.choice(actions)
+        r = {"action": a, "regex": rng.choice(regexes)}
+        srcs = rng.sample(["a", "b", "job", "__meta_x", "missing"], rng.randint(1, 2))
+        if a in ("replace", "keep", "drop", "lowercase", "uppercase", "hashmod",
+                 "keepequal", "dropequal"):
+            r["source_labels"] = srcs
+        if a == "replace":
+            r["target_label"] = rng.choice(["t", "job", "$1", "x_$1"])
+            r["replacement"] = rng.choice(["$1", "lit", "p_$1", ""])
+        elif a in ("lowercase", "uppercase", "hashmod", "keepequal", "dropequal"):
+            r["target_label"] = rng.choice(["t", "job", "a"])
+        if a == "hashmod":
+            r["modulus"] = rng.choice([2, 7, 64])
+        if a == "labelmap":
+            r["replacement"] = rng.choice(["m_$1", "$1"])
+        rules.append(r)
+    return rules
+
+
+def test_entries_engine_equals_map_engine_random_chains(spark):
+    """50 random rule chains over a mixed label fixture: the two engines
+    must agree exactly (values AND label order) on every chain."""
+    from opentelemetry_collector_contrib_spark.operators.prom_relabel import relabel
+
+    h = F.xxhash64("id")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("a"), F.concat(F.lit("web"), F.pmod(h, F.lit(4)).cast("string")),
+                F.lit("b"), F.when(h % 3 == 0, F.concat(F.lit("ns-"), F.pmod(h, F.lit(5)).cast("string"))),
+                F.lit("job"), F.lit("scrape"),
+                F.lit("__meta_x"), F.pmod(h, F.lit(6)).cast("string"),
+                F.lit("__tmp_y"), F.when(h % 2 == 0, F.lit("1/2")),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("labels"),
+    ).persist()
+    rng = _random.Random(424242)
+    for trial in range(50):
+        rules = _random_rules(rng)
+        m = {r["id"]: list(r["labels"].items())
+             for r in relabel(df, rules, engine="map").collect()}
+        e = {r["id"]: list(r["labels"].items())
+             for r in relabel(df, rules, engine="entries").collect()}
+        assert m == e, (trial, rules)
+    df.unpersist()
