@@ -47,12 +47,34 @@ def force(df) -> int:
     return row["n"]
 
 
-def measure(cpus: int, sf_dir: str, warmup: int, passes: int) -> tuple[float, int]:
+def measure(cpus: int, sf_dir: str, warmup: int, passes: int, job: str = "pipeline",
+            shuffle_partitions: int | None = None) -> tuple[float, int]:
     from opentelemetry_collector_contrib_spark.plans.pipeline import build_routed
     from opentelemetry_collector_contrib_spark.session import get_spark
 
-    spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    # strong-scaling fairness: BOTH levels must run the identical plan, so
+    # the shuffle partitioning is fixed (default 2 x the BIG level) rather
+    # than scaled per level
+    spark = get_spark("scaling", master=f"local[{cpus}]",
+                      shuffle_partitions=shuffle_partitions or 2 * cpus)
     df = build_routed(spark, sf_dir)
+    if job == "agg":
+        # the shuffle-bearing shape: salted two-phase per-conv aggregation.
+        # The input is replicated 4x first: the raw agg finishes in ~2s at
+        # local[4N], where the ~1s fixed driver/stage overhead (constant in
+        # cores) would dominate the ratio — strong scaling needs enough
+        # parallel work to amortize the constant term, exactly as a real
+        # cluster run would have.
+        from opentelemetry_collector_contrib_spark.operators.aggregate import salted_agg
+
+        rep = df
+        for _ in range(3):
+            rep = rep.unionAll(df)
+        df = salted_agg(
+            rep,
+            ["route_id", "conv_id"],
+            {"turn_count": ("count", ""), "sum_latency": ("sum", "latency_ms")},
+        )
     n = 0
     for _ in range(warmup):
         n = force(df)
@@ -78,6 +100,9 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--job", choices=("pipeline", "agg"), default="pipeline",
+                    help="pipeline = scan-speed projection chain; agg = adds the"
+                         " salted per-conv aggregation (a real shuffle)")
     args = ap.parse_args()
 
     n, n4 = args.n, 4 * args.n
@@ -88,7 +113,8 @@ def main() -> None:
         warmup = 3 if rnd == 0 else 1
         order = (n, n4) if rnd % 2 == 0 else (n4, n)
         for cpus in order:
-            t, rows = measure(cpus, args.sf_dir, warmup, args.passes)
+            t, rows = measure(cpus, args.sf_dir, warmup, args.passes, args.job,
+                              shuffle_partitions=2 * n4)
             if best[cpus] is None or t < best[cpus]:
                 best[cpus] = t
             print(f"round {rnd} local[{cpus}]: {t:.2f}s", file=sys.stderr, flush=True)
@@ -99,7 +125,7 @@ def main() -> None:
     efficiency = round((tp_4n / tp_n) / 4.0, 3)
 
     result = {
-        "metric": "scaling efficiency, parse→enrich→route pipeline, local[N] vs local[4N]",
+        "metric": f"scaling efficiency, {args.job} job, local[N] vs local[4N]",
         "n": n,
         "rows": rows,
         "sf": args.sf_dir,
@@ -112,6 +138,8 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    if args.job != "pipeline":
+        return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     # Sections appended after this script's own template (any "## ..." block,
