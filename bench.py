@@ -589,6 +589,27 @@ def main() -> None:
         q27 = tag_summary(t27, lex, id_col="doc_id")
         timed("q27_dict_tags", lambda: force(q27))
 
+    # q28: two-pass distributed global rank over the full turn stream —
+    # the round-4 replacement for unpartitioned rank windows, exercised at
+    # corpus scale (global row_number by (ts, conv_id, turn_idx): boundary
+    # sample + per-bucket counts + balanced per-bucket window; the plan
+    # contains NO SinglePartition stage at any input size).
+    if selected is None or "q28_global_rank" in selected:
+        from opentelemetry_collector_contrib_spark.operators.rank import global_row_number
+        from opentelemetry_collector_contrib_spark.plans.pipeline import load_transcripts
+
+        t28 = load_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+
+        def rank_all():
+            ranked, _total = global_row_number(
+                t28,
+                [("ts", "asc"), ("conv_id", "asc"), ("turn_idx", "asc")],
+                out_col="global_rn",
+            )
+            return force(ranked)
+
+        timed("q28_global_rank", rank_all)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "parse→enrich→route→aggregate pipeline, transcripts",
