@@ -41,6 +41,12 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_routed(spark, sf_dir)
 
 
+def _fixture_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fixtures import ensure_tier, tier_for_sf_dir
+
+    return spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # events-table operator queries
 # ---------------------------------------------------------------------------
@@ -1403,6 +1409,65 @@ def q_drain_templates(spark, sf_dir):
     from ..operators.templates import drain_templates
 
     return drain_templates(_routed(spark, sf_dir))
+
+
+def q_trace_waited_release(spark, sf_dir):
+    """groupbytrace WITH wait_duration (processor/groupbytraceprocessor/
+    processor.go:25-73): event-time release groups — first buffered turn
+    fixes the release at first_ts + 60s, later turns open a new buffer —
+    assembled per group. The sequential fold turns out to be fully
+    SQL-expressible: the oracle derives each conversation's release-start
+    chain with a RECURSIVE CTE (start_{k+1} = min ts ≥ start_k + wait),
+    assigns each row to its latest start, and aggregates — so even this
+    'stateful' operator is hash-gated, not rows-only."""
+    from ..operators.recombine import group_by_trace_waited
+
+    return group_by_trace_waited(_fixture_transcripts(spark, sf_dir), wait_s=60)
+
+
+def q_k8s_attrs_enrich(spark, sf_dir):
+    """k8sattributes dim-table seam over a deterministic pod store derived
+    from event ids: priority pod-association (uid rule first, ip rule
+    second — a row whose uid is PRESENT but missing from the store stays
+    unenriched even when its ip would match, processor
+    pod_association.go:20-66), metadata stamping via per-rule broadcast
+    joins. Oracle = the same CASE rule-selection + two LEFT JOINs."""
+    from ..operators.enrich import k8s_attributes
+
+    e = F.col("event_id")
+    facts = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(
+            e % 5 != 0, F.concat(F.lit("uid-"), F.pmod(e, F.lit(40)).cast("string"))
+        ).alias("k8s_pod_uid_attr"),
+        F.when(
+            e % 3 != 0, F.concat(F.lit("10.0.0."), F.pmod(e, F.lit(30)).cast("string"))
+        ).alias("k8s_pod_ip"),
+    )
+    spark_range = spark.range(30)
+    pod_dim = spark_range.select(
+        F.concat(F.lit("uid-"), F.col("id").cast("string")).alias("pod_uid"),
+        F.concat(F.lit("10.0.0."), F.col("id").cast("string")).alias("pod_ip"),
+        F.concat(F.lit("ns-"), (F.col("id") % 4).cast("string")).alias("k8s_namespace_name"),
+        F.concat(F.lit("pod-"), F.col("id").cast("string")).alias("k8s_pod_name"),
+        F.concat(F.lit("node-"), (F.col("id") % 3).cast("string")).alias("k8s_node_name"),
+    )
+    out = k8s_attributes(
+        facts,
+        pod_dim,
+        associations=[
+            [("k8s_pod_uid_attr", "pod_uid")],
+            [("k8s_pod_ip", "pod_ip")],
+        ],
+    )
+    return out.select(
+        "event_id",
+        "k8s_pod_uid_attr",
+        "k8s_pod_ip",
+        "k8s_namespace_name",
+        "k8s_pod_name",
+        "k8s_node_name",
+    )
 
 
 def q_drain_tree_templates(spark, sf_dir):
@@ -5397,6 +5462,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "genai_normalize": q_genai_normalize,
     "drain_templates": q_drain_templates,
     "drain_tree_templates": q_drain_tree_templates,
+    "groupbytrace_waited_release": q_trace_waited_release,
+    "k8s_attrs_enrich": q_k8s_attrs_enrich,
     "template_window_diff": q_template_window_diff,
     "cardinality_guard": q_cardinality_guard,
     "metrics_generation_ratio": q_metrics_generation,
@@ -7068,6 +7135,68 @@ FROM events GROUP BY 1"""
         "SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total"
         " FROM events GROUP BY 1"
     )
+
+    o["k8s_attrs_enrich"] = """
+WITH f AS (
+  SELECT event_id,
+    CASE WHEN event_id % 5 != 0 THEN 'uid-' || CAST(event_id % 40 AS VARCHAR) END AS k8s_pod_uid_attr,
+    CASE WHEN event_id % 3 != 0 THEN '10.0.0.' || CAST(event_id % 30 AS VARCHAR) END AS k8s_pod_ip
+  FROM events
+),
+d AS (
+  SELECT 'uid-' || CAST(i AS VARCHAR) AS pod_uid,
+         '10.0.0.' || CAST(i AS VARCHAR) AS pod_ip,
+         'ns-' || CAST(i % 4 AS VARCHAR) AS ns,
+         'pod-' || CAST(i AS VARCHAR) AS pn,
+         'node-' || CAST(i % 3 AS VARCHAR) AS nd
+  FROM range(30) r(i)
+),
+ruled AS (
+  SELECT f.*,
+    CASE WHEN k8s_pod_uid_attr IS NOT NULL AND k8s_pod_uid_attr != '' THEN 0
+         WHEN k8s_pod_ip IS NOT NULL AND k8s_pod_ip != '' THEN 1 END AS rule
+  FROM f
+)
+SELECT r.event_id, r.k8s_pod_uid_attr, r.k8s_pod_ip,
+  coalesce(d0.ns, d1.ns) AS k8s_namespace_name,
+  coalesce(d0.pn, d1.pn) AS k8s_pod_name,
+  coalesce(d0.nd, d1.nd) AS k8s_node_name
+FROM ruled r
+LEFT JOIN d d0 ON r.rule = 0 AND r.k8s_pod_uid_attr = d0.pod_uid
+LEFT JOIN d d1 ON r.rule = 1 AND r.k8s_pod_ip = d1.pod_ip"""
+
+    from .transcript_sql import T2_TRANSCRIPTS as _T2W
+
+    _wait_us = 60 * 1_000_000
+    o["groupbytrace_waited_release"] = f"""
+WITH RECURSIVE t AS (
+  SELECT conv_id, turn_idx, text, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM read_parquet('{_T2W}')
+),
+starts AS (
+  SELECT conv_id, min(ts_us) AS start_us FROM t GROUP BY conv_id
+  UNION ALL
+  SELECT s.conv_id,
+         (SELECT min(ts_us) FROM t
+           WHERE t.conv_id = s.conv_id AND t.ts_us >= s.start_us + {_wait_us}) AS start_us
+  FROM starts s
+  WHERE EXISTS (SELECT 1 FROM t
+                 WHERE t.conv_id = s.conv_id AND t.ts_us >= s.start_us + {_wait_us})
+),
+assigned AS (
+  SELECT t.conv_id, t.turn_idx, t.text, t.ts_us,
+         (SELECT max(start_us) FROM starts st
+           WHERE st.conv_id = t.conv_id AND st.start_us <= t.ts_us) AS start_us
+  FROM t
+)
+SELECT conv_id,
+       start_us + {_wait_us} AS release_us,
+       count(*) AS n_turns,
+       string_agg(text, chr(10) ORDER BY ts_us, turn_idx) AS transcript,
+       min(ts_us) AS first_ts_us,
+       max(ts_us) AS last_ts_us
+FROM assigned
+GROUP BY conv_id, start_us"""
 
     o["events_logdedup"] = f"""
 SELECT {win60} AS window_start, event_type, count(*) AS log_count,
