@@ -237,6 +237,8 @@ def relabel(
     """
     if engine == "entries":
         return _relabel_entries(df, rules, labels_col)
+    if engine == "columnar":
+        return _relabel_columnar(df, rules, labels_col)
     if engine != "map":
         raise ValueError(f"unknown relabel engine {engine!r}")
 
@@ -509,6 +511,119 @@ def _relabel_entries(df: DataFrame, rules: list[dict], labels_col: str) -> DataF
         else:
             raise ValueError(f"unknown relabel action: {action}")
     return df.withColumn(labels_col, F.map_from_entries(F.col(ACOL))).drop(ACOL)
+
+
+_COLUMNAR_ACTIONS = {
+    "replace", "keep", "drop", "keepequal", "dropequal",
+    "lowercase", "uppercase", "hashmod",
+}
+
+
+def _relabel_columnar(df: DataFrame, rules: list[dict], labels_col: str) -> DataFrame:
+    """Opt-in WHOLE-STAGE-CODEGEN fast path for STATIC chains: when every
+    rule's touched label names are known at compile time (no labelmap /
+    labeldrop / labelkeep, no group refs in target names), the touched
+    labels lower onto plain string COLUMNS — extracted from the map once,
+    rewritten by pure codegen when-chains per rule, reassembled once at
+    the end. Array/map higher-order functions never enter the per-rule
+    hot path (they are CodegenFallback and dominate the dynamic engines'
+    cost — see PLANS.md round-4 profile).
+
+    Contract difference, documented: the output map is CANONICALLY SORTED
+    by label name (which is Prometheus's own labels.Labels invariant)
+    rather than insertion-ordered; values are identical to the other
+    engines. Raises ValueError for chains that need the dynamic
+    representation — callers fall back to engine="entries"."""
+    touched: list[str] = []
+
+    def touch(name: str) -> None:
+        if name not in touched:
+            touched.append(name)
+
+    compiled = []
+    for raw in rules:
+        rule = {**_DEFAULTS, **raw}
+        action = rule["action"]
+        if action not in _COLUMNAR_ACTIONS:
+            raise ValueError(
+                f"columnar engine cannot compile action {action!r} (dynamic "
+                "label names) — use engine='entries'"
+            )
+        if action == "replace" and "$" in rule["target_label"]:
+            raise ValueError(
+                "columnar engine needs a literal target_label — use engine='entries'"
+            )
+        for s in rule.get("source_labels", []):
+            touch(s)
+        if rule.get("target_label"):
+            touch(rule["target_label"])
+        compiled.append(rule)
+
+    # one map extraction per touched label (missing -> NULL; present-empty
+    # stays ""); deletion is represented as NULL from here on
+    work: dict[str, Column] = {
+        l: F.element_at(F.col(labels_col), F.lit(l)) for l in touched
+    }
+
+    def joined(srcs: list[str], sep: str) -> Column:
+        if not srcs:
+            return F.lit("")
+        return F.concat_ws(sep, *[F.coalesce(work[s], F.lit("")) for s in srcs])
+
+    def _filtered(frame: DataFrame, pred: Column) -> DataFrame:
+        b = frame.withColumn("__rl_barrier", F.rand())
+        return b.filter(pred).drop("__rl_barrier")
+
+    for rule in compiled:
+        action = rule["action"]
+        anchored = _anchor(rule["regex"])
+        srcs = rule.get("source_labels", [])
+        sep = rule["separator"]
+        if action in ("keep", "drop"):
+            m = _match_gate(joined(srcs, sep), anchored, rule["regex"])
+            df = _filtered(df, m if action == "keep" else ~m)
+        elif action in ("keepequal", "dropequal"):
+            eq = joined(srcs, sep) == F.coalesce(work[rule["target_label"]], F.lit(""))
+            df = _filtered(df, eq if action == "keepequal" else ~eq)
+        elif action == "replace":
+            n_groups = _group_count(rule["regex"])
+            tgt = rule["target_label"]
+            if not _is_valid_label_name(tgt):
+                continue  # literal target, invalid name -> rule is a no-op
+            rep = rule["replacement"]
+            val = joined(srcs, sep)
+            newval = (
+                F.lit(rep) if "$" not in rep else _expand(val, anchored, rep, n_groups)
+            )
+            cond = _match_gate(val, anchored, rule["regex"])
+            # Set(""): delete -> NULL; no match -> keep previous value
+            work[tgt] = F.when(cond, F.nullif(newval, F.lit(""))).otherwise(work[tgt])
+        elif action in ("lowercase", "uppercase"):
+            case_fn = F.lower if action == "lowercase" else F.upper
+            work[rule["target_label"]] = F.nullif(case_fn(joined(srcs, sep)), F.lit(""))
+        elif action == "hashmod":
+            work[rule["target_label"]] = _hashmod(
+                joined(srcs, sep), int(rule["modulus"])
+            )
+
+    # reassemble ONCE: untouched entries + surviving touched labels, sorted
+    untouched = F.filter(
+        F.map_entries(F.col(labels_col)),
+        lambda e: ~e["key"].isin(*touched) if touched else F.lit(True),
+    )
+    touched_entries = F.filter(
+        F.array(
+            *[
+                F.struct(F.lit(l).alias("key"), work[l].alias("value"))
+                for l in touched
+            ]
+        ),
+        lambda e: e["value"].isNotNull(),
+    )
+    assembled = F.map_from_entries(
+        F.array_sort(F.concat(untouched, touched_entries))
+    )
+    return df.withColumn(labels_col, assembled)
 
 
 def labels_csv(labels: Column) -> Column:

@@ -287,3 +287,69 @@ def test_entries_engine_equals_map_engine_full_matrix(spark):
         for r in relabel(df, _RELABEL_RULES, engine="entries").collect()
     }
     assert m == e and len(m) > 0
+
+
+_STATIC_RULES = [
+    {"action": "replace", "source_labels": ["__meta_kubernetes_namespace", "__meta_kubernetes_pod_name"],
+     "separator": "/", "regex": "(.+)/(.+)", "target_label": "job", "replacement": "$1/${2}"},
+    {"action": "hashmod", "source_labels": ["__address__"], "modulus": 8, "target_label": "__tmp_shard"},
+    {"action": "keep", "source_labels": ["__tmp_shard"], "regex": "[0-5]"},
+    {"action": "lowercase", "source_labels": ["__meta_kubernetes_pod_label_App"], "target_label": "app"},
+    {"action": "replace", "source_labels": ["app"], "regex": "web(\\d+)", "target_label": "tier",
+     "replacement": "t$1"},
+    {"action": "dropequal", "source_labels": ["instance"], "target_label": "__address__"},
+    {"action": "uppercase", "source_labels": ["__scheme__"], "target_label": "scheme_uc"},
+]
+
+
+def _label_fixture(spark, n=2000):
+    h = F.xxhash64("id")
+    return spark.range(n).select(
+        F.col("id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("__address__"), F.concat(F.lit("10.0."), F.pmod(h, F.lit(200)).cast("string"), F.lit(":9100")),
+                F.lit("__scheme__"), F.when(h % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+                F.lit("__meta_kubernetes_namespace"), F.concat(F.lit("ns-"), F.pmod(h, F.lit(5)).cast("string")),
+                F.lit("__meta_kubernetes_pod_name"), F.concat(F.lit("pod-"), F.pmod(h, F.lit(7)).cast("string")),
+                F.lit("__meta_kubernetes_pod_label_App"),
+                F.when(h % 3 != 0, F.concat(F.lit("Web"), F.pmod(h, F.lit(4)).cast("string"))),
+                F.lit("instance"), F.when(h % 11 == 0, F.lit("i")),
+                F.lit("job"), F.lit("scrape"),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("labels"),
+    )
+
+
+def test_columnar_engine_value_equals_entries_on_static_chain(spark):
+    """The codegen fast path for static chains: identical label VALUES to
+    the dynamic engines (order is canonical-sorted, Prometheus's own
+    labels.Labels invariant)."""
+    df = _label_fixture(spark)
+    e = {r["id"]: dict(r["labels"]) for r in relabel(df, _STATIC_RULES, engine="entries").collect()}
+    c = {r["id"]: dict(r["labels"]) for r in relabel(df, _STATIC_RULES, engine="columnar").collect()}
+    assert e == c and len(e) > 0
+
+
+def test_columnar_engine_rejects_dynamic_chains(spark):
+    import pytest
+
+    df = _label_fixture(spark, 5)
+    with pytest.raises(ValueError, match="columnar engine"):
+        relabel(df, [{"action": "labelmap", "regex": "(.+)"}], engine="columnar")
+    with pytest.raises(ValueError, match="literal target_label"):
+        relabel(df, [{"action": "replace", "source_labels": ["job"],
+                      "regex": "(.+)", "target_label": "x_$1"}], engine="columnar")
+
+
+def test_columnar_engine_hot_path_is_codegen(spark):
+    """Per-rule work must be plain column expressions: the only
+    higher-order functions allowed are the single extract/reassemble pair
+    at the chain boundaries."""
+    df = _label_fixture(spark, 10)
+    out = relabel(df, _STATIC_RULES, engine="columnar")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # boundary ops only: one map_entries-based filter + one map_from_entries
+    assert plan.count("map_from_entries") <= 2
