@@ -5022,6 +5022,39 @@ def q_prom_relabel(spark, sf_dir):
     return out.select("event_id", labels_csv(F.col("labels")).alias("labels"))
 
 
+def q_prom_relabel_columnar(spark, sf_dir):
+    """The columnar fast-path engine (round 4: static chains lower onto
+    plain codegen columns — see prom_relabel._relabel_columnar) over the
+    same service-discovery fixture, running the static subset of the main
+    chain (everything except the data-dependent labelmap/labeldrop).
+    Value-gated against an analytical oracle deriving each surviving
+    row's sorted label CSV directly."""
+    from ..operators.prom_relabel import labels_csv, relabel
+
+    e, u = F.col("event_id"), F.col("user_id")
+    addr = F.concat(
+        F.lit("10.0."), (e % 200).cast("string"), F.lit("."), u.cast("string"), F.lit(":9100")
+    )
+    src = _events(spark, sf_dir).select(
+        "event_id",
+        _nn_map(
+            F.lit("__address__"), addr,
+            F.lit("__scheme__"), F.when(e % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+            F.lit("__meta_kubernetes_namespace"), F.concat(F.lit("ns-"), (e % 5).cast("string")),
+            F.lit("__meta_kubernetes_pod_name"), F.concat(F.lit("pod-"), (e % 7).cast("string")),
+            F.lit("__meta_kubernetes_pod_label_App"),
+            F.when(e % 3 != 0, F.concat(F.lit("Web"), (e % 4).cast("string"))),
+            F.lit("instance"), F.when(e % 11 == 0, addr),
+            F.lit("job"), F.lit("scrape"),
+        ).alias("labels"),
+    )
+    static_rules = [
+        r for r in _RELABEL_RULES if r["action"] not in ("labelmap", "labeldrop")
+    ]
+    out = relabel(src, static_rules, engine="columnar")
+    return out.select("event_id", labels_csv(F.col("labels")).alias("labels"))
+
+
 def q_github_job_spans(spark, sf_dir):
     """githubreceiver workflow_job webhooks → job/queue/step span rows
     (trace_event_handling.go:50-88 topology, newSpanIDFromCheckRun ids,
@@ -5464,6 +5497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drain_tree_templates": q_drain_tree_templates,
     "groupbytrace_waited_release": q_trace_waited_release,
     "k8s_attrs_enrich": q_k8s_attrs_enrich,
+    "prom_relabel_columnar": q_prom_relabel_columnar,
     "template_window_diff": q_template_window_diff,
     "cardinality_guard": q_cardinality_guard,
     "metrics_generation_ratio": q_metrics_generation,
@@ -9462,6 +9496,36 @@ fin AS (
       'k8s_pod_name=' || pod,
       CASE WHEN app_raw IS NOT NULL THEN 'k8s_pod_label_App=' || app_raw END,
       'scheme_uc=' || upper(scheme)
+    ], x -> x IS NOT NULL)) AS lbls
+  FROM kept)
+SELECT e AS event_id, array_to_string(lbls, ',') AS labels FROM fin"""
+
+    o["prom_relabel_columnar"] = """
+WITH base AS (
+  SELECT event_id AS e,
+    '10.0.' || CAST(event_id % 200 AS VARCHAR) || '.' || CAST(user_id AS VARCHAR) || ':9100' AS addr,
+    CASE WHEN event_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    'ns-' || CAST(event_id % 5 AS VARCHAR) AS ns,
+    'pod-' || CAST(event_id % 7 AS VARCHAR) AS pod,
+    CASE WHEN event_id % 3 <> 0 THEN 'Web' || CAST(event_id % 4 AS VARCHAR) END AS app_raw
+  FROM events),
+sharded AS (
+  SELECT *, (strpos('0123456789abcdef', substr(md5(addr), 32, 1)) - 1) % 8 AS shard
+  FROM base),
+kept AS (
+  SELECT * FROM sharded WHERE shard <= 5 AND e % 11 <> 0),
+fin AS (
+  SELECT e, list_sort(list_filter([
+      '__address__=' || addr,
+      '__meta_kubernetes_namespace=' || ns,
+      CASE WHEN app_raw IS NOT NULL THEN '__meta_kubernetes_pod_label_App=' || app_raw END,
+      '__meta_kubernetes_pod_name=' || pod,
+      '__scheme__=' || scheme,
+      '__tmp_shard=' || CAST(shard AS VARCHAR),
+      CASE WHEN app_raw IS NOT NULL THEN 'app=' || lower(app_raw) END,
+      'job=' || ns || '/' || pod,
+      'scheme_uc=' || upper(scheme),
+      CASE WHEN app_raw IS NOT NULL THEN 'tier=t' || CAST(e % 4 AS VARCHAR) END
     ], x -> x IS NOT NULL)) AS lbls
   FROM kept)
 SELECT e AS event_id, array_to_string(lbls, ',') AS labels FROM fin"""
