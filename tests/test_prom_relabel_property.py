@@ -149,3 +149,40 @@ def test_entries_engine_equals_map_engine_random_chains(spark):
              for r in relabel(df, rules, engine="entries").collect()}
         assert m == e, (trial, rules)
     df.unpersist()
+
+
+def test_columnar_engine_joins_random_equivalence_when_eligible(spark):
+    """For every random chain the columnar engine can compile (static
+    label names only), its VALUES must equal the entries engine's."""
+    from opentelemetry_collector_contrib_spark.operators.prom_relabel import relabel
+
+    h = F.xxhash64("id")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("a"), F.concat(F.lit("web"), F.pmod(h, F.lit(4)).cast("string")),
+                F.lit("b"), F.when(h % 3 == 0, F.concat(F.lit("ns-"), F.pmod(h, F.lit(5)).cast("string"))),
+                F.lit("job"), F.lit("scrape"),
+                F.lit("__meta_x"), F.pmod(h, F.lit(6)).cast("string"),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("labels"),
+    ).persist()
+    rng = _random.Random(777)
+    tested = 0
+    for _ in range(60):
+        rules = _random_rules(rng)
+        eligible = all(
+            r["action"] not in ("labelmap", "labeldrop", "labelkeep")
+            and "$" not in r.get("target_label", "")
+            for r in rules
+        )
+        if not eligible:
+            continue
+        tested += 1
+        e = {r["id"]: dict(r["labels"]) for r in relabel(df, rules, engine="entries").collect()}
+        c = {r["id"]: dict(r["labels"]) for r in relabel(df, rules, engine="columnar").collect()}
+        assert e == c, rules
+    assert tested >= 5  # the generator must actually produce eligible chains
+    df.unpersist()
