@@ -730,3 +730,34 @@ def pq_topk_ivf_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "adc_dist", "rank")
     )
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    k: int = 5,
+) -> DataFrame:
+    """ANN index quality: recall@k of an approximate top-k result set
+    against the exact one — per query |approx ∩ exact| / k. THE
+    acceptance metric for every IVF/PQ deployment decision (an index
+    whose recall drifts under data growth needs retrained centroids).
+    One equi-join on (query, neighbor) + one hash agg; both inputs are
+    top-k frames (≤ k rows/query), so cost is negligible next to the
+    searches themselves."""
+    a = approx.select(F.col(query_col), F.col(neighbor_col))
+    e = exact.select(F.col(query_col), F.col(neighbor_col))
+    hits = a.join(e, [query_col, neighbor_col]).groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("_h")
+    )
+    return (
+        e.select(query_col)
+        .distinct()
+        .join(hits, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("_h"), F.lit(0)).cast("bigint").alias("hits"),
+            F.round(F.coalesce(F.col("_h"), F.lit(0)) / k, 6).alias("recall_at_k"),
+        )
+    )

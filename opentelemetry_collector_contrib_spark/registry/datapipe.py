@@ -235,6 +235,19 @@ def _query_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
+def q_sim_recall_ivf(spark, sf_dir):
+    """ANN acceptance metric: per-query recall@5 of the IVF index against
+    the exact brute-force neighbors (operators/similarity.ann_recall_at_k)
+    — both sides re-derived independently in the oracle."""
+    from ..operators.similarity import ann_recall_at_k, brute_force_topk, ivf_topk
+
+    emb = _embs(spark, sf_dir)
+    q = _query_vectors(emb)
+    return ann_recall_at_k(
+        ivf_topk(emb, q, k=5, n_cells=8), brute_force_topk(emb, q, k=5), k=5
+    )
+
+
 def q_topk_brute(spark, sf_dir):
     from ..operators.similarity import brute_force_topk
 
@@ -1851,6 +1864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_pairs": q_embedding_dup_pairs,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_pairs_bucketed,
     "dedup_semantic": q_semantic_dedup,
+    "sim_recall_ivf": q_sim_recall_ivf,
     "sim_topk_brute": q_topk_brute,
     "sim_topk_ivf": q_topk_ivf,
     "emb_pq_codes": q_pq_codes,
@@ -4023,6 +4037,36 @@ SELECT doc_id, source, n_tokens, CAST(target_tokens AS BIGINT) AS target_tokens
 FROM c WHERE cum_before < target_tokens"""
 
     cos_qn = sql_cosine("q.embedding", "n.embedding")
+    o["sim_recall_ivf"] = f"""
+WITH bq AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+bscored AS (
+  SELECT bq.query_id, n.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY bq.query_id
+                            ORDER BY {sql_cosine("bq.embedding", "n.embedding")} DESC, n.vec_id ASC) AS rank
+  FROM bq JOIN embeddings n ON n.vec_id <> bq.query_id),
+exact AS (SELECT query_id, neighbor_id FROM bscored WHERE rank <= 5),
+cents AS (SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {sql_cosine("v.embedding", "c.centroid")} DESC, c.cell ASC) AS r
+    FROM embeddings v CROSS JOIN cents c) t WHERE r = 1),
+iq AS (SELECT vec_id AS qid, embedding AS qv, cell AS qcell FROM assign WHERE vec_id % 50 = 0),
+iranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY {sql_cosine("iq.qv", "a.embedding")} DESC, vec_id ASC) AS rank
+  FROM iq JOIN assign a ON a.cell = iq.qcell AND a.vec_id <> iq.qid),
+approx AS (SELECT qid AS query_id, vec_id AS neighbor_id FROM iranked WHERE rank <= 5),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e JOIN approx a USING (query_id, neighbor_id) GROUP BY e.query_id)
+SELECT q.query_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       round(coalesce(h.h, 0) / 5.0, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits h USING (query_id)"""
+
     o["sim_topk_brute"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
 scored AS (
