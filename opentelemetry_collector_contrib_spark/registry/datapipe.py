@@ -308,6 +308,18 @@ def q_text_dict_tags(spark, sf_dir):
     return tag_summary(_docs(spark, sf_dir), dictionary)
 
 
+def q_sim_recall_ivfpq(spark, sf_dir):
+    """recall@5 of the composed IVF+PQ index (integer-ADC over 4-byte
+    codes, coarse-cell pruned) against exact brute-force — the quality
+    number that decides whether the compressed index is shippable."""
+    from ..operators.similarity import ann_recall_at_k, brute_force_topk, pq_topk_ivf_adc
+
+    e = _embs(spark, sf_dir)
+    approx = pq_topk_ivf_adc(e, e.filter(F.col("vec_id") % 50 == 0))
+    exact = brute_force_topk(e, _query_vectors(e), k=5)
+    return ann_recall_at_k(approx, exact, k=5)
+
+
 def q_topk_ivfpq(spark, sf_dir):
     """IVF+PQ composed ANN (the FAISS IVFPQ shape): coarse cells prune
     candidates to the query's nprobe=2 probes, integer-ADC scores only
@@ -1865,6 +1877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_pairs_bucketed": q_embedding_dup_pairs_bucketed,
     "dedup_semantic": q_semantic_dedup,
     "sim_recall_ivf": q_sim_recall_ivf,
+    "sim_recall_ivfpq": q_sim_recall_ivfpq,
     "sim_topk_brute": q_topk_brute,
     "sim_topk_ivf": q_topk_ivf,
     "emb_pq_codes": q_pq_codes,
@@ -4193,6 +4206,19 @@ rankedq AS (
   FROM adc)
 SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank
 FROM rankedq WHERE rnk <= 5"""
+
+    # recall of the compressed index vs exact — composes the two oracles
+    # above as derived tables (DuckDB allows nested WITH in subqueries)
+    o["sim_recall_ivfpq"] = f"""
+WITH approx AS (SELECT query_id, neighbor_id FROM ({o['sim_topk_ivfpq']}) t1),
+exact AS (SELECT query_id, neighbor_id FROM ({o['sim_topk_brute']}) t2),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e JOIN approx a USING (query_id, neighbor_id) GROUP BY 1)
+SELECT q.query_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       round(coalesce(h.h, 0) / 5.0, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits h USING (query_id)"""
 
     feats = ",\n  ".join(
         f"round(CAST('0x' || substr(md5(text), {2 * (i % 16) + 1}, 2) AS INT) / 255.0, 6) AS f{i}"
