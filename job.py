@@ -66,6 +66,14 @@ def main() -> None:
         "lifecycle; overrides the built-in fixture pipeline (still uses "
         "--output for sinks)",
     )
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run the same parse→enrich→route pipeline as a Structured "
+        "Streaming availableNow drain (file-arrival micro-batches, "
+        "checkpointed idempotent fan-out via foreachBatch); per-sink row "
+        "counts match the batch run over the same input",
+    )
     args = ap.parse_args()
 
     if args.plan_backfill:
@@ -90,6 +98,48 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("otel-contrib-spark-pipeline").getOrCreate()
+
+    if args.streaming:
+        import os
+
+        from opentelemetry_collector_contrib_spark.fixtures import (
+            ensure_dims,
+            ensure_tier,
+            tier_for_sf_dir,
+        )
+        from opentelemetry_collector_contrib_spark.operators.enrich import (
+            enrich_transcripts,
+        )
+        from opentelemetry_collector_contrib_spark.operators.parse import (
+            parse_native,
+            parse_vectorized,
+        )
+        from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+            streaming_route,
+            transcripts_stream,
+            write_stream_sinks,
+        )
+
+        # the file-stream source needs a directory/glob, not a single file
+        src_path = ensure_tier(tier_for_sf_dir(args.input))
+        if os.path.isfile(src_path):
+            src_path = os.path.join(os.path.dirname(src_path), "*.parquet")
+        tool_path, role_path = ensure_dims()
+        tool_dim = spark.read.parquet(tool_path)
+        role_dim = spark.read.parquet(role_path)
+        stream = transcripts_stream(spark, src_path)
+        parse = parse_vectorized if args.vectorized else parse_native
+        routed = streaming_route(enrich_transcripts(parse(stream), tool_dim, role_dim))
+        q = write_stream_sinks(routed, args.output, os.path.join(args.output, "_checkpoint"))
+        q.awaitTermination()
+        counts = {}
+        for name in sorted(os.listdir(args.output)):
+            p = os.path.join(args.output, name)
+            if name.startswith("_") or not os.path.isdir(p):
+                continue
+            counts[name] = spark.read.parquet(p).count()
+        print(json.dumps({"mode": "streaming", "sinks": counts}))
+        return
 
     from opentelemetry_collector_contrib_spark.operators.route import FIXTURE_ROUTES, sink_frames
     from opentelemetry_collector_contrib_spark.plans.lineage import write_sinks_resumable
