@@ -914,3 +914,42 @@ def test_streaming_interval_last_matches_batch(spark, stream_input, tmp_path):
     run_available_now(sdf, "il_stream", str(tmp_path / "ck_il"), output_mode="complete")
     got = sorted(tuple(r) for r in spark.table("il_stream").collect())
     assert got == want and len(got) > 0
+
+
+def test_fold_trace_groups_property_vs_naive():
+    """The shared wait_duration fold vs a naive reference: group starts at
+    the first unassigned row; membership = ts < start + wait; next row
+    starts the next group. Random event streams, many wait values."""
+    import random
+
+    from opentelemetry_collector_contrib_spark.operators.recombine import (
+        fold_trace_groups,
+    )
+
+    rng = random.Random(99)
+    for _ in range(200):
+        n = rng.randint(0, 30)
+        rows = sorted(
+            (rng.randint(0, 1000), i, f"t{i}") for i in range(n)
+        )
+        wait = rng.choice([1, 5, 50, 200, 2000])
+        got = fold_trace_groups(rows, wait)
+        # naive reference
+        want, i = [], 0
+        while i < len(rows):
+            start = rows[i][0]
+            grp = []
+            while i < len(rows) and rows[i][0] < start + wait:
+                grp.append(rows[i])
+                i += 1
+            want.append(
+                (
+                    start + wait,
+                    len(grp),
+                    "\n".join(t for _, _, t in grp),
+                    grp[0][0],
+                    grp[-1][0],
+                )
+            )
+        assert got == want, (rows, wait)
+        assert sum(g[1] for g in got) == n
