@@ -502,6 +502,35 @@ def streaming_interval_last(
     )
 
 
+def streaming_cardinality_guard(
+    df: DataFrame,
+    key_cols: list[str],
+    limit: int,
+    interval_s: int = 60,
+    ts_col: str = "ts",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """cardinalityguardianprocessor on a stream: per tumbling interval,
+    the HLL distinct-count of each guarded key column + the over-limit
+    flag — the label-explosion alarm evaluated continuously instead of
+    per batch. One windowed aggregation computes every key's sketch
+    (approx_count_distinct is hash-based and deterministic, so the batch
+    path — same code minus the watermark — is row-identical and the
+    equality test is exact); a stack() projection melts the per-column
+    counts into the batch guard's (key, distinct_count, over_limit)
+    shape."""
+    tsc = F.col(ts_col).cast("timestamp")
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    agg = src.groupBy(F.window(tsc, f"{interval_s} seconds").alias("_w")).agg(
+        *[F.approx_count_distinct(c).alias(f"_d_{c}") for c in key_cols]
+    )
+    stack = ", ".join(f"'{c}', _d_{c}" for c in key_cols)
+    return agg.selectExpr(
+        "CAST(unix_timestamp(_w.start) AS BIGINT) AS window_start",
+        f"stack({len(key_cols)}, {stack}) AS (key, distinct_count)",
+    ).withColumn("over_limit", F.col("distinct_count") > limit)
+
+
 def streaming_keep_first_dedup(
     spark: SparkSession,
     input_path: str,

@@ -953,3 +953,29 @@ def test_fold_trace_groups_property_vs_naive():
             )
         assert got == want, (rows, wait)
         assert sum(g[1] for g in got) == n
+
+
+def test_streaming_cardinality_guard_matches_batch(spark, stream_input, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_cardinality_guard,
+    )
+
+    batch = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).json(stream_input)
+    want = sorted(
+        tuple(r)
+        for r in streaming_cardinality_guard(
+            batch, ["conv_id", "role", "text"], limit=2, interval_s=60
+        ).collect()
+    )
+    assert any(r[3] for r in want)  # some window/key exceeds the limit
+    sdf = streaming_cardinality_guard(
+        transcripts_stream(spark, stream_input + "/*.json"),
+        ["conv_id", "role", "text"],
+        limit=2,
+        interval_s=60,
+    )
+    run_available_now(sdf, "cg_stream", str(tmp_path / "ck_cg"), output_mode="complete")
+    got = sorted(tuple(r) for r in spark.table("cg_stream").collect())
+    assert got == want
