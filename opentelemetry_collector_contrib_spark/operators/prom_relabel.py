@@ -235,6 +235,13 @@ def relabel(
     reference implementation and for callers composing on the map mid-
     chain); an equivalence pytest runs the full action matrix on both.
     """
+    if engine == "auto":
+        # columnar when the whole chain is statically compilable (raises
+        # before touching df otherwise), else the dynamic entries engine
+        try:
+            return _relabel_columnar(df, rules, labels_col)
+        except ValueError:
+            return _relabel_entries(df, rules, labels_col)
     if engine == "entries":
         return _relabel_entries(df, rules, labels_col)
     if engine == "columnar":

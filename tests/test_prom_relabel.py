@@ -353,3 +353,15 @@ def test_columnar_engine_hot_path_is_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # boundary ops only: one map_entries-based filter + one map_from_entries
     assert plan.count("map_from_entries") <= 2
+
+
+def test_auto_engine_picks_columnar_when_eligible(spark):
+    df = _label_fixture(spark, 300)
+    # static chain -> columnar plan (no per-rule HOFs beyond the boundary pair)
+    static_plan = relabel(df, _STATIC_RULES, engine="auto")._jdf.queryExecution().executedPlan().toString()
+    assert static_plan.count("map_from_entries") <= 2
+    # dynamic chain (labelmap) -> entries engine, same values as explicit
+    dyn = [{"action": "labelmap", "regex": "__meta_kubernetes_(.+)", "replacement": "k8s_$1"}]
+    a = {r["id"]: dict(r["labels"]) for r in relabel(df, dyn, engine="auto").collect()}
+    e = {r["id"]: dict(r["labels"]) for r in relabel(df, dyn, engine="entries").collect()}
+    assert a == e
