@@ -343,6 +343,13 @@ def grok_parser(
     JVM-side (try-cast semantics via the portable '' → NULL normalization).
     """
     cg = compile_grok(pattern, definitions, named_captures_only)
+    clash = {f for f, _, _ in cg.fields} & set(df.columns)
+    if clash:
+        raise GrokError(
+            f"capture name(s) {sorted(clash)} collide with input columns — "
+            "the reference writes into a fresh attribute map, the columnar "
+            "surface adds columns; rename the capture (%{PAT:other_name})"
+        )
     s = F.col(source)
     matched = s.rlike(cg.regex)
     sep_free = ~s.contains(_SEP)
@@ -390,6 +397,12 @@ def grok_parser_vectorized(
     Python. Exists for patterns beyond the Java dialect and as the parity
     exhibit for the native path."""
     cg = compile_grok(pattern, definitions, named_captures_only)
+    clash = {f for f, _, _ in cg.fields} & set(df.columns)
+    if clash:
+        raise GrokError(
+            f"capture name(s) {sorted(clash)} collide with input columns — "
+            "rename the capture (%{PAT:other_name})"
+        )
     # duplicate names coalesce to the first participating group (same
     # contract as the native path)
     grouped: dict[str, tuple[list[int], str]] = {}

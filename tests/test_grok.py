@@ -366,3 +366,29 @@ def test_default_set_name_coverage():
     assert len(have) / len(default_names) >= 0.95, sorted(
         set(default_names) - set(GROK_PATTERNS)
     )
+
+
+def test_round4_patterns_through_both_spark_paths(spark):
+    """Each new library pattern extracts identically on the native
+    (one-regex Catalyst) and vectorized (mapInPandas) paths over a real
+    DataFrame — not just compiler-level matching."""
+    rows = [(name, sample) for name, sample in _R4_SAMPLES.items()]
+    df = spark.createDataFrame(rows, "pat_name string, raw string")
+    for name in ("SYSLOGLINE", "SYSLOG5424LINE", "HTTPD24_ERRORLOG",
+                 "JAVASTACKTRACEPART", "TOMCATLOG", "CRONLOG"):
+        pat = f"%{{{name}}}"
+        sub = df.filter(F.col("pat_name") == name)
+        n = grok_parser(sub, "raw", pat, named_captures_only=False).collect()
+        v = grok_parser_vectorized(sub, "raw", pat, named_captures_only=False).collect()
+        nd = {k: x for k, x in n[0].asDict().items() if k not in ("pat_name", "raw")}
+        vd = {k: x for k, x in v[0].asDict().items() if k not in ("pat_name", "raw")}
+        assert nd == vd, (name, nd, vd)
+        assert any(x is not None for x in nd.values()), name
+
+
+def test_capture_collision_with_input_column_raises(spark):
+    df = spark.createDataFrame([("x=1",)], "line string")
+    with pytest.raises(GrokError, match="collide with input columns"):
+        grok_parser(df, "line", "x=%{INT:line}")
+    with pytest.raises(GrokError, match="collide with input columns"):
+        grok_parser_vectorized(df, "line", "x=%{INT:line}")
