@@ -85,7 +85,7 @@ def bpe_train(
     k_merges: int,
     text_col: str = "text",
     lowercase: bool = True,
-    max_words: int | None = None,
+    max_words: int | None = 1_000_000,
 ) -> list[dict]:
     """Learn `k_merges` BPE merges; returns [{rank, left, right, merged,
     pair_count}, …] in learned order. Stops early if no pair remains.
@@ -98,7 +98,14 @@ def bpe_train(
     for valid UTF-8, so the unrolled SQL oracle agrees bit-for-bit.
     ``max_words`` bounds the driver collect (top-N by frequency, ties by
     word — a deterministic TakeOrdered, same contract as the k-means
-    centroid sampler)."""
+    centroid sampler). It DEFAULTS to 1e6 so the collect is bounded by
+    contract, not caller discipline: a web-scale corpus has ~1e8 distinct
+    words (Heaps' law at 1e12 tokens) and an unbounded collect is a
+    driver OOM; merges learned from the top-1e6 words by frequency are
+    statistically indistinguishable for any realistic ``k_merges`` (rare
+    tail words cannot win a pair-count argmax). Pass ``max_words=None``
+    explicitly to collect the full dictionary (small-corpus exactness,
+    e.g. the DuckDB parity oracle)."""
     wd = word_dict(df, text_col, lowercase).select("word", "freq")
     if max_words is not None:
         wd = wd.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(max_words)

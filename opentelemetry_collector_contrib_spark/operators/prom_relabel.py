@@ -169,15 +169,26 @@ def _literal_prefix(regex: str) -> str:
     return "".join(out)
 
 
+# Characters '.' does NOT match in Java/RE2 default mode — a value
+# containing any of these cannot full-match \A(?:.*)\z (see _anchor's
+# probe: "x1\n" must NOT match "x1"). The default-regex fast paths below
+# must preserve that, so they gate on line-terminator absence instead of
+# short-circuiting to TRUE.
+_LINE_TERM = "[\n\r\u0085\u2028\u2029]"
+
+
 def _match_gate(val: Column, anchored: str, regex: str) -> Column:
     """Full-match predicate with the literal fast path in front.
-    Prometheus's default '(.*)' matches everything (the joined source is
-    never NULL — concat_ws) and '(.+)' is just non-empty; both skip the
-    regex machine entirely."""
+    Prometheus's default '(.*)' matches any line-terminator-free value
+    (the joined source is never NULL — concat_ws) and '(.+)' adds
+    non-emptiness; both skip the full regex machine, but NOT the
+    line-terminator check — '.' excludes \\n under both RE2 and Java, so
+    a newline-bearing value must fail exactly as the anchored regex
+    would."""
     if regex in ("(.*)", ".*", "(.*)?"):
-        return F.lit(True)
+        return ~val.rlike(_LINE_TERM)
     if regex in ("(.+)", ".+"):
-        return val != ""
+        return (val != "") & ~val.rlike(_LINE_TERM)
     prefix = _literal_prefix(regex)
     if prefix:
         return val.startswith(prefix) & val.rlike(anchored)
@@ -612,6 +623,14 @@ def _relabel_columnar(df: DataFrame, rules: list[dict], labels_col: str) -> Data
             work[rule["target_label"]] = _hashmod(
                 joined(srcs, sep), int(rule["modulus"])
             )
+
+    # nothing touched any label (chain is pure source-less filters) →
+    # the map is untouched; skip reassembly entirely. This also avoids
+    # F.array() with zero elements, whose array<null> type would fail the
+    # touched_entries filter at plan time with an AnalysisException that
+    # engine="auto" (which only catches ValueError) would not absorb.
+    if not touched:
+        return df
 
     # reassemble ONCE: untouched entries + surviving touched labels, sorted
     untouched = F.filter(

@@ -150,8 +150,12 @@ PARAM = "<*>"
 
 def _nav_token(tok: str) -> str:
     """Tree-navigation form of a token: digits ⇒ wildcard (drain3's
-    add_seq_to_prefix_tree rule)."""
-    return PARAM if any(c.isdigit() for c in tok) else tok
+    add_seq_to_prefix_tree rule). ASCII digits ONLY — the distributed
+    leaf key uses Java's ``rlike(r"\\d")`` which is ASCII-scoped, so this
+    reference path must agree exactly (Python's ``str.isdigit()`` also
+    counts Unicode digits like '٢'/'²' and would route such tokens to a
+    different leaf than the Spark operator)."""
+    return PARAM if any(c in "0123456789" for c in tok) else tok
 
 
 def drain_fold(

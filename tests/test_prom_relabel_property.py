@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_contrib_spark.operators.prom_relabel import relabel
 
 _VALUES = st.text(
-    alphabet=st.sampled_from(list("abcXYZ019 .*+?()[]{}|\\^$;/=é中")), max_size=12
+    alphabet=st.sampled_from(list("abcXYZ019 .*+?()[]{}|\\^$;/=é中\n")), max_size=12
 )
 _MAPS = st.dictionaries(
     st.sampled_from(["job", "instance", "__address__", "app", "zone"]), _VALUES, max_size=5
@@ -84,10 +84,74 @@ def test_replace_default_regex_copies_value(spark, rows):
         m = rows[r["id"]]
         got = dict(r["labels"] or {})
         expect = m.get("job", "")
-        if expect == "":
-            assert "job_copy" not in got  # empty expansion deletes
+        if expect == "" or any(c in expect for c in "\n\r  "):
+            # empty expansion deletes; a line-terminator-bearing value
+            # does not match '(.*)' at all ('.' excludes terminators
+            # under RE2 and Java alike), so the rule is a no-op
+            assert "job_copy" not in got
         else:
             assert got["job_copy"] == expect
+
+
+# --- round 5: default-regex line-terminator semantics ------------------------
+# '.' excludes line terminators under both RE2 and Java, so Prometheus's
+# default '(.*)' does NOT match a newline-bearing value; the fast-path gates
+# must agree with the anchored regex machine (the round-4 lit(True) shortcut
+# did not — ADVICE r4).
+
+
+def test_default_regex_rejects_line_terminators(spark):
+    vals = ["plain", "", "with\nnl", "x1\n", "\r", "a b", "ab", "end "]
+    df = spark.createDataFrame(
+        [(i, {"job": v}) for i, v in enumerate(vals)],
+        "id int, labels map<string,string>",
+    )
+    for regex, matches in [
+        ("(.*)", lambda v: not any(c in v for c in "\n\r  ")),
+        ("(.+)", lambda v: v != "" and not any(c in v for c in "\n\r  ")),
+    ]:
+        expect_keep = {i for i, v in enumerate(vals) if matches(v)}
+        for engine in ("map", "entries", "columnar"):
+            kept = {
+                r["id"]
+                for r in relabel(
+                    df,
+                    [{"action": "keep", "source_labels": ["job"], "regex": regex}],
+                    engine=engine,
+                ).collect()
+            }
+            assert kept == expect_keep, (regex, engine)
+        # replace with the default regex must be a no-op on non-matching rows
+        out = {
+            r["id"]: dict(r["labels"])
+            for r in relabel(
+                df,
+                [{"action": "replace", "source_labels": ["job"], "regex": regex,
+                  "target_label": "copy"}],
+            ).collect()
+        }
+        for i, v in enumerate(vals):
+            if i in expect_keep and v != "":
+                assert out[i].get("copy") == v, (regex, i)
+            else:
+                assert "copy" not in out[i], (regex, i)
+
+
+def test_columnar_empty_touched_chain_is_pure_filter(spark):
+    """A chain that touches no label (source-less keep/drop) must compile
+    on every engine — the columnar engine used to build a zero-element
+    F.array() whose array<null> type crashed at plan time, which
+    engine='auto' (catching only ValueError) did not absorb."""
+    df = spark.createDataFrame(
+        [(0, {"a": "x"}), (1, {"a": "y"})], "id int, labels map<string,string>"
+    )
+    for engine in ("map", "entries", "columnar", "auto"):
+        # regex "" full-matches the joined empty source -> keep everything
+        out = relabel(df, [{"action": "keep", "regex": ""}], engine=engine)
+        rows = {r["id"]: dict(r["labels"]) for r in out.collect()}
+        assert rows == {0: {"a": "x"}, 1: {"a": "y"}}, engine
+        # regex "nope" matches nothing -> drop everything
+        assert relabel(df, [{"action": "keep", "regex": "nope"}], engine=engine).count() == 0
 
 
 # --- round 4: engine equivalence under random rule chains --------------------

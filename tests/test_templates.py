@@ -122,7 +122,9 @@ def _ref_drain_stream(rows, depth, sim_th):
         key = (
             len(toks),
             tuple(
-                "<*>" if any(ch.isdigit() for ch in t) else t
+                # ASCII digits only — must agree with the Spark leaf key's
+                # Java rlike(r"\d") (str.isdigit would count '٢'/'²')
+                "<*>" if any(ch in "0123456789" for ch in t) else t
                 for t in toks[: depth - 2]
             ),
         )
@@ -182,6 +184,36 @@ def test_drain_tree_matches_sequential_reference(spark):
     }
     stream = sorted((raw, masked[raw]) for raw in raws)
     want = _ref_drain_stream([(m, r) for r, m in stream], depth=4, sim_th=0.5)
+    assert got == want
+    assert sum(n for _, n, _ in got) == len(raws)
+
+
+def test_drain_tree_unicode_digit_tokens_route_consistently(spark):
+    """Tokens containing only NON-ASCII digits ('٢' ARABIC-INDIC TWO,
+    '²' SUPERSCRIPT) must navigate as literals on BOTH the Spark leaf key
+    (Java \\d = ASCII) and the pure-Python reference — the round-4 code
+    disagreed (str.isdigit counts Unicode digits), splitting such rows
+    across leaves only in the Python path (ADVICE r4)."""
+    from opentelemetry_collector_contrib_spark.operators.templates import (
+        drain_tree_templates,
+        mask_template,
+    )
+
+    raws = (
+        ["page ٢ loaded fast", "page ٢ loaded slow", "page ² loaded fast"] * 3
+        + ["page 9 loaded fast", "page 7 loaded slow"]
+    )
+    df = spark.createDataFrame([(r,) for r in raws], "text string").repartition(5)
+    got = sorted(
+        (r["template"], r["match_count"], r["example"])
+        for r in drain_tree_templates(df, sim_th=0.5).collect()
+    )
+    masked = {
+        r["text"]: r["m"]
+        for r in df.select("text", mask_template(F.col("text")).alias("m")).collect()
+    }
+    ordered = sorted((raw, masked[raw]) for raw in raws)
+    want = _ref_drain_stream([(m, r) for r, m in ordered], depth=4, sim_th=0.5)
     assert got == want
     assert sum(n for _, n, _ in got) == len(raws)
 
