@@ -1317,12 +1317,17 @@ def collapse_long_tail(
     matter what the key's true cardinality does.
 
     Selection is deterministic (count desc, key asc). Plan: one hash
-    agg to per-key rows, a TakeOrdered-style rank over the (already
-    aggregate-sized) frame, then ONE more fold of the tail — row data
-    shuffles once. `aggs` must be re-aggregable sums/counts (the fold
-    re-sums them into the other-row); non-additive aggregates would be
-    silently wrong, so only sum/count columns belong here."""
-    from pyspark.sql import Window
+    agg to per-key rows, then the two-pass DISTRIBUTED rank of
+    :func:`rank.global_row_number` — no single-partition window ever
+    touches the key universe (a user-keyed rollup can hold hundreds of
+    millions of distinct keys at 100×; the round-4 form funnelled all of
+    them through ONE task's `Window.orderBy` sort because the `min_frac`
+    OR-branch defeats WindowGroupLimit pushdown). The `min_frac` total
+    comes from a plain scalar aggregate, not a window. `aggs` must be
+    re-aggregable sums/counts (the fold re-sums them into the
+    other-row); non-additive aggregates would be silently wrong, so only
+    sum/count columns belong here."""
+    from .rank import global_row_number
 
     if top_k is None and min_frac is None:
         raise ValueError("need top_k and/or min_frac")
@@ -1330,19 +1335,18 @@ def collapse_long_tail(
         F.count(F.lit(1)).cast("bigint").alias(count_col),
         *[c.alias(n) for n, c in aggs.items()],
     )
-    w = Window.orderBy(F.col(count_col).desc(), F.col(key_col))
-    tot = Window.partitionBy()
-    ranked = per.select(
-        "*",
-        F.row_number().over(w).alias("_rnk"),
-        F.sum(count_col).over(tot).alias("_tot"),
-    )
     keep = F.lit(False)
-    if top_k is not None:
-        keep = keep | (F.col("_rnk") <= top_k)
     if min_frac is not None:
-        keep = keep | (F.col(count_col) >= F.lit(min_frac) * F.col("_tot"))
-    flagged = ranked.withColumn("_keep", keep)
+        # grand total as a scalar: IEEE double `min_frac * tot` is
+        # bit-identical to the old `lit(min_frac) * sum().over(all)`
+        tot = per.agg(F.sum(count_col)).first()[0] or 0
+        keep = keep | (F.col(count_col) >= F.lit(float(min_frac) * tot))
+    if top_k is not None:
+        per, _ = global_row_number(
+            per, [(count_col, "desc"), (key_col, "asc")], out_col="_rnk"
+        )
+        keep = keep | (F.col("_rnk") <= top_k)
+    flagged = per.withColumn("_keep", keep)
     # the key is emitted as STRING so the other-label row unions cleanly
     # with numeric keys
     kept = flagged.filter("_keep").select(

@@ -208,3 +208,63 @@ def test_prefix_sum_inclusive_mode(spark):
     ps, grand = global_prefix_sum(df, [("k", "asc")], "c", out_col="s", inclusive=True)
     assert grand == 60
     assert {r["k"]: r["s"] for r in ps.collect()} == {1: 10, 2: 30, 3: 60}
+
+
+def test_collapse_long_tail_plan_no_single_partition(spark):
+    """Round-5 rewrite (r4 verdict #1): the top-k + min_frac rollup must
+    never funnel the key universe through a SinglePartition window sort —
+    total via scalar agg, rank via the two-pass distributed row_number."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        collapse_long_tail,
+    )
+
+    random.seed(17)
+    rows = [(f"u{random.randint(0, 400):03d}", random.randint(1, 9)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "k string, v int").repartition(8)
+    out = collapse_long_tail(
+        df, "k", {"s": F.sum("v")}, top_k=5, min_frac=0.01
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only SinglePartition exchange is the __other__ scalar fold's
+    # partial->final merge (<= one row per partition); the key-universe
+    # rank window is partitioned by the range bucket, never global
+    assert plan.count("SinglePartition") <= 1
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            assert "_gbkt" in ln, ln
+    # totals preserved through the __other__ fold
+    got = out.collect()
+    assert sum(r["n"] for r in got) == 4000
+    assert sum(r["s"] for r in got) == sum(v for _, v in rows)
+    kept = [r for r in got if r["k"] != "__other__"]
+    # top-k by (count desc, key asc) agrees with a driver-side reference
+    from collections import Counter
+
+    cnt = Counter(k for k, _ in rows)
+    ref_top = sorted(cnt, key=lambda k: (-cnt[k], k))[:5]
+    min_frac_keys = {k for k, c in cnt.items() if c >= 0.01 * 4000}
+    assert {r["k"] for r in kept} == set(ref_top) | min_frac_keys
+
+
+def test_phrase_pmi_topk_plan_keeps_limit_pushdown(spark):
+    """phrase_pmi's global top-k rides row_number().over(Window.orderBy)
+    and is rescued by limit-pushdown-through-window (per-partition top-k
+    before the single global stage). Pin the pushdown in the plan so a
+    refactor that defeats it (e.g. an OR-ed filter branch) cannot
+    silently reintroduce a full corpus-sized global sort (r4 verdict
+    'what's wrong' #3)."""
+    from opentelemetry_collector_contrib_spark.operators.textstats import phrase_pmi
+
+    random.seed(23)
+    words = [f"w{i}" for i in range(40)]
+    docs = [
+        (f"d{i}", " ".join(random.choices(words, k=12))) for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string").repartition(8)
+    out = phrase_pmi(df, text_col="text", min_count=2, top_k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # empty-partition row_number + rnk<=k lowers via
+    # LimitPushDownThroughWindow: per-partition top-k, a global
+    # TakeOrderedAndProject of k rows, THEN the window over just k rows
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert out.count() <= 10
