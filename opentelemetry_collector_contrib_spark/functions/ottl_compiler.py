@@ -503,6 +503,13 @@ EDITOR_BUILDERS: dict[str, Callable[..., Column]] = {
     "append": lambda c, v: F.array_append(c, v if isinstance(v, Column) else F.lit(v)),
     "delete_matching_keys": lambda c, pat: OTTL_FUNCTIONS["DeleteMatchingKeys"](c, pat),
     "keep_matching_keys": lambda c, pat: OTTL_FUNCTIONS["KeepMatchingKeys"](c, pat),
+    # round 5 (r4 verdict #4): the last three of the reference's 16 editor
+    # factories (ottlfuncs/functions.go:11-39) reach statement dispatch —
+    # the bodies already existed in OTTL_FUNCTIONS, only the parse was
+    # missing, so configs pasting `flatten(...)` etc. no longer error
+    "delete_index": lambda c, i: OTTL_FUNCTIONS["DeleteIndex"](c, i),
+    "flatten": lambda c: OTTL_FUNCTIONS["Flatten"](c),
+    "stringify_all": lambda c: OTTL_FUNCTIONS["StringifyAll"](c),
 }
 
 
@@ -596,6 +603,17 @@ def apply_statements(df: DataFrame, statements: list[str], path_map: dict[str, s
             builder = EDITOR_BUILDERS[st.editor]
             edited = builder(F.col(st.target), *st.args)
             if st.condition is not None:
+                if st.editor == "flatten":
+                    # a conditional flatten cannot type a relational
+                    # column: untouched rows keep array<array<T>>, edited
+                    # rows become array<T>, and one column holds both —
+                    # eager loud error (validate_spec contract), matching
+                    # keep_keys/delete_key under where
+                    raise ValueError(
+                        "flatten where <cond> is not column-expressible "
+                        "(the edit changes the column type); gate with a "
+                        "router/filter split instead"
+                    )
                 edited = F.when(st.condition, edited).otherwise(F.col(st.target))
             out = out.withColumn(st.target, edited)
     return out

@@ -29,7 +29,7 @@ so pruning happens at the parquet scan, never after Arrow transfer.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -82,13 +82,21 @@ def decode_and_featurize(
     content_col: str = "content",
     deterministic_fake: bool = True,
     batch_feature_dim: int = _FEAT_DIM,
+    decoder: Callable[[bytes], list[float]] | None = None,
 ) -> DataFrame:
     """mapInPandas decode + feature-extract stage.
 
-    Real path (unavailable in-sandbox): PIL/libav decode per batch →
-    np feature tensor. Stub path: content-hash features. Either way the
-    plumbing is identical: Iterator[pd.DataFrame] → Iterator[pd.DataFrame],
-    one Arrow batch at a time, features as array<double>."""
+    Decoder seam (round 5, r4 verdict #7): pass ``decoder`` — any
+    picklable ``bytes -> list[float]`` callable (a PIL/libav/torchvision
+    wrapper in a library-bearing environment) — and it runs per payload
+    inside the Arrow batch loop; length must be ``batch_feature_dim``
+    (enforced, so a mis-shaped encoder fails loudly on the first batch
+    instead of corrupting the column). With no decoder,
+    ``deterministic_fake=True`` uses content-hash features and
+    ``deterministic_fake=False`` keeps the honest in-sandbox raise.
+    Either way the plumbing is identical: Iterator[pd.DataFrame] →
+    Iterator[pd.DataFrame], one Arrow batch at a time, features as
+    array<double>."""
     in_fields = df.schema.fields
     out_schema = T.StructType(
         list(in_fields)
@@ -100,15 +108,33 @@ def decode_and_featurize(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
+            if decoder is not None:
+                feats = []
+                for p in pdf[content_col]:
+                    if p is None:
+                        feats.append(None)
+                        continue
+                    f = [float(v) for v in decoder(bytes(p))]
+                    if len(f) != batch_feature_dim:
+                        raise ValueError(
+                            f"decoder returned {len(f)} features, expected "
+                            f"batch_feature_dim={batch_feature_dim}"
+                        )
+                    feats.append(f)
+                pdf["features"] = feats
+            elif not deterministic_fake:
                 raise NotImplementedError(
-                    "real image/audio decode requires PIL/libav, not present in this environment"
+                    "real image/audio decode requires PIL/libav, not present in this "
+                    "environment — inject one via the `decoder` callable"
                 )
-            payloads = pdf[content_col]
-            pdf["features"] = [
-                _fake_features(bytes(p), batch_feature_dim) if p is not None else None for p in payloads
+            else:
+                pdf["features"] = [
+                    _fake_features(bytes(p), batch_feature_dim) if p is not None else None
+                    for p in pdf[content_col]
+                ]
+            pdf["payload_bytes"] = [
+                len(bytes(p)) if p is not None else 0 for p in pdf[content_col]
             ]
-            pdf["payload_bytes"] = [len(bytes(p)) if p is not None else 0 for p in payloads]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -586,29 +586,38 @@ def pq_encode(
     return emb.select(F.col(id_col), F.array(*code_cols).alias("codes"))
 
 
-def pq_topk_adc(
-    codes_df: DataFrame,
-    codebooks: DataFrame,
+# The ADC LUT loop below collects the QUERY SET to the driver — correct
+# and standard for search-sized batches (FAISS builds per-query tables the
+# same way), but catastrophic if a caller passes the corpus as its own
+# query set (all-pairs-dedup style). The bound makes the contract explicit.
+PQ_MAX_QUERIES = 10_000
+
+
+def _adc_luts(
     queries: DataFrame,
-    dim: int = 64,
-    m: int = 4,
-    k_codes: int = 16,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "vec_id",
-) -> DataFrame:
-    """ADC top-k: per query, a flat m×k_codes integer LUT of
-    query-subvector→codeword distances is built driver-side (a Python
-    sequential-fold loop — bit-identical to the JVM fold) and broadcast;
-    each candidate costs one O(m) integer gather-sum over its codes.
-    Distances are exact-integer micro-units, so ranking is engine-stable;
-    ties break to the lower neighbor id."""
+    cb: dict[tuple[int, int], list[float]],
+    dim: int,
+    m: int,
+    k_codes: int,
+    query_id_col: str,
+    vec_col: str,
+    max_queries: int,
+) -> list[tuple]:
+    """Driver-built flat m×k_codes integer LUTs, one per query —
+    bounded by ``max_queries`` (driver memory is m·k_codes ints per
+    query; the guard keeps the collect a contract, not caller
+    discipline). For corpus-sized query sets use the IVF cell join /
+    MinHash dedup operators instead of ADC."""
     import math
 
-    cb: dict[tuple[int, int], list[float]] = {
-        (r["subspace"], r["code"]): list(r["codeword"]) for r in codebooks.collect()
-    }
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"ADC query set has {n_q} rows > max_queries={max_queries}; "
+            "per-query LUTs are built on the driver. Raise max_queries "
+            "deliberately, or use an equi-join operator (ivf/minhash) "
+            "for corpus-scale query sets."
+        )
     dsub = dim // m
     lut_rows = []
     for qr in queries.select(F.col(query_id_col), F.col(vec_col)).collect():
@@ -624,6 +633,33 @@ def pq_topk_adc(
                     d += t * t
                 flat.append(int(math.floor(d * 1_000_000.0 + 0.5)))
         lut_rows.append((qid, flat))
+    return lut_rows
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    max_queries: int = PQ_MAX_QUERIES,
+) -> DataFrame:
+    """ADC top-k: per query, a flat m×k_codes integer LUT of
+    query-subvector→codeword distances is built driver-side (a Python
+    sequential-fold loop — bit-identical to the JVM fold) and broadcast;
+    each candidate costs one O(m) integer gather-sum over its codes.
+    Distances are exact-integer micro-units, so ranking is engine-stable;
+    ties break to the lower neighbor id. The query set is driver-collected
+    and bounded by ``max_queries`` (see :func:`_adc_luts`)."""
+    cb: dict[tuple[int, int], list[float]] = {
+        (r["subspace"], r["code"]): list(r["codeword"]) for r in codebooks.collect()
+    }
+    lut_rows = _adc_luts(queries, cb, dim, m, k_codes, query_id_col, vec_col, max_queries)
     lut_df = codes_df.sparkSession.createDataFrame(
         lut_rows, f"query_id {dict(queries.dtypes)[query_id_col]}, lut array<bigint>"
     )
@@ -662,6 +698,7 @@ def pq_topk_ivf_adc(
     query_id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    max_queries: int = PQ_MAX_QUERIES,
 ) -> DataFrame:
     """IVF+PQ — the production ANN shape at 10^12 vectors (FAISS's
     IVFPQ): the coarse quantizer prunes candidates to the query's
@@ -675,9 +712,9 @@ def pq_topk_ivf_adc(
     Plan: cell assignment and encoding are scan-side projections; the
     candidate restriction is ONE equi-join on the (tiny, broadcast)
     probe list; ADC distances are exact integers, so ranking is
-    engine-stable. Shuffle = the window top-k only."""
-    import math
-
+    engine-stable. Shuffle = the window top-k only. The query set is
+    driver-collected and bounded by ``max_queries`` (see
+    :func:`_adc_luts`)."""
     cents = centroids if centroids is not None else ivf_centroids(emb, n_cells, id_col, vec_col)
     cb = codebooks if codebooks is not None else pq_codebooks(emb, dim, m, k_codes, id_col, vec_col)
     codes = pq_encode(cb, emb, dim, m, id_col, vec_col)
@@ -687,24 +724,10 @@ def pq_topk_ivf_adc(
     cbmap: dict[tuple[int, int], list[float]] = {
         (r["subspace"], r["code"]): list(r["codeword"]) for r in cb.collect()
     }
-    dsub = dim // m
     probe = ivf_assign_topp(queries, cents, nprobe, query_id_col, vec_col).select(
         F.col(query_id_col).alias("query_id"), "cell"
     )
-    lut_rows = []
-    for qr in queries.select(F.col(query_id_col), F.col(vec_col)).collect():
-        qid, qv = qr[0], [float(v) for v in qr[1]]
-        flat = []
-        for s in range(m):
-            qs = qv[s * dsub : (s + 1) * dsub]
-            for c in range(k_codes):
-                cw = cbmap[(s, c)]
-                d = 0.0
-                for i in range(dsub):
-                    t = qs[i] - cw[i]
-                    d += t * t
-                flat.append(int(math.floor(d * 1_000_000.0 + 0.5)))
-        lut_rows.append((qid, flat))
+    lut_rows = _adc_luts(queries, cbmap, dim, m, k_codes, query_id_col, vec_col, max_queries)
     lut_df = emb.sparkSession.createDataFrame(
         lut_rows, f"query_id {dict(queries.dtypes)[query_id_col]}, lut array<bigint>"
     )

@@ -545,10 +545,10 @@ def q_stanza_chain(spark, sf_dir):
     groups, on_error=send) → time_parser (strptime) → severity_parser →
     add → router, compiled by plans/stanza_chain.py into one fused
     projection chain."""
-    from ..fixtures import ensure_tier
+    from ..fixtures import ensure_tier, tier_for_sf_dir
     from ..plans.stanza_chain import apply_stanza_operators
 
-    df = spark.read.parquet(ensure_tier("t2"))
+    df = spark.read.parquet(ensure_tier(tier_for_sf_dir(sf_dir)))
     ops = [
         {
             "type": "regex_parser",
@@ -574,10 +574,10 @@ def q_collector_service(spark, sf_dir):
     transcripts and exports to TWO connectors (count + sum), each feeding
     its own metrics pipeline (countconnector README:51-63 topology). The
     joined sinks prove both edges carried the same routed frame."""
-    from ..fixtures import ensure_tier
+    from ..fixtures import ensure_tier, tier_for_sf_dir
     from ..plans.config import build_service
 
-    src = ensure_tier("t2")
+    src = ensure_tier(tier_for_sf_dir(sf_dir))
     service = {
         "pipelines": {
             "logs/in": {
@@ -619,13 +619,13 @@ def q_collector_service_forward(spark, sf_dir):
     """service DAG with a forward (pass-through) connector edge: the logs
     pipeline routes, a forward connector bridges to a tap pipeline whose
     filter keeps only error-routed rows (core forwardconnector shape)."""
-    from ..fixtures import ensure_tier
+    from ..fixtures import ensure_tier, tier_for_sf_dir
     from ..plans.config import build_service
 
     service = {
         "pipelines": {
             "logs/in": {
-                "receivers": [{"path": ensure_tier("t2")}],
+                "receivers": [{"path": ensure_tier(tier_for_sf_dir(sf_dir))}],
                 "spec": {
                     "routes": {
                         "default": "general",

@@ -11,9 +11,38 @@ from __future__ import annotations
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-T2_TRANSCRIPTS = os.path.join(REPO, "fixtures_data", "t2", "transcripts.parquet")
 TOOL_DIM = os.path.join(REPO, "fixtures_data", "dims", "tool_dim.parquet")
 ROLE_DIM = os.path.join(REPO, "fixtures_data", "dims", "role_dim.parquet")
+
+
+def active_transcripts_path() -> str:
+    """Transcript parquet for the ACTIVE scale factor: derives the tier
+    from ``SPARK_GRAFT_SF_DIR`` exactly as the Spark side's
+    ``tier_for_sf_dir(sf_dir)`` does (check_parity and the driver both
+    set sf_dir from the same env/default), so the two engines always
+    read the same bytes at EVERY sf — the round-4 verdict flagged six
+    spurious sf0.001 FAILs caused by oracles pinning the t2 path while
+    the Spark side tiered off ``sf_dir``. Unset env → sf0.01 → t2, the
+    driver's contract tier, so driver behavior is byte-identical.
+    Sharded tiers materialize as a directory; DuckDB reads those via a
+    ``*.parquet`` glob."""
+    from ..fixtures import ensure_tier, tier_for_sf_dir
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = ensure_tier(tier_for_sf_dir(sf_dir))
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
+    return path
+
+
+def __getattr__(name: str) -> str:
+    """PEP 562: ``T2_TRANSCRIPTS`` stays importable (every oracle builder
+    does a call-time ``from .transcript_sql import T2_TRANSCRIPTS``) but
+    now resolves to the ACTIVE tier's path on each import instead of a
+    frozen t2 constant."""
+    if name == "T2_TRANSCRIPTS":
+        return active_transcripts_path()
+    raise AttributeError(name)
 
 KV_RE = r"^LOG lvl=(\w+) tool=(\w+) latency_ms=(\d+) status=(ok|err)$"
 SYSLOG_RE = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}) \[(\w+)\] (\w+): (.*)$"
@@ -24,7 +53,7 @@ ROW_COLS_SQL = "conv_id, turn_idx, turn_rn, role, tool, text, pattern_id, route_
 
 def pipeline_cte() -> str:
     return f"""
-WITH t AS (SELECT * FROM read_parquet('{T2_TRANSCRIPTS}')),
+WITH t AS (SELECT * FROM read_parquet('{active_transcripts_path()}')),
 parsed AS (
   SELECT t.*,
     CASE WHEN regexp_matches(text, '{KV_RE}') THEN 'kv'

@@ -147,14 +147,10 @@ def main(names: list[str] | None = None) -> int:
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    if os.path.basename(os.path.normpath(sf_dir)) != "sf0.01":
-        print(
-            f"WARNING: transcript-fixture oracles are pinned to the t2 (sf0.01) tier by the\n"
-            f"driver contract; at {sf_dir} every transcript-based query will mismatch BY\n"
-            f"DESIGN (Spark reads the tier mapped to this sf dir). Only the testdata-table\n"
-            f"queries (events/documents/embeddings/lineitem/...) are meaningful here.",
-            file=sys.stderr,
-        )
+    # Transcript oracles tier off SPARK_GRAFT_SF_DIR exactly like the Spark
+    # side (registry/transcript_sql.active_transcripts_path), so every scale
+    # factor is parity-meaningful — the round-4 t2 pin and its spurious
+    # sf0.001 FAILs are gone.
     # mirror the driver: testdata tables pre-registered as views
     for tbl in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()

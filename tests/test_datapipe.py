@@ -148,6 +148,31 @@ def test_multimodal_stub_raises(docs):
         multimodal.decode_and_featurize(env, deterministic_fake=False).collect()
 
 
+def test_multimodal_decoder_injection_seam(docs):
+    """Round-5 seam (r4 verdict #7): a PIL/libav-shaped callable plugs in
+    without code changes; mis-shaped encoders fail loudly on batch one."""
+    env = multimodal.attach_binary_payload(docs)
+
+    def stub_decoder(payload: bytes) -> list[float]:
+        # deterministic but DIFFERENT from _fake_features: first 4 bytes
+        return [float(b) for b in payload[:4]]
+
+    out = multimodal.decode_and_featurize(
+        env, deterministic_fake=False, batch_feature_dim=4, decoder=stub_decoder
+    )
+    r = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert r["features"] == [float(b) for b in r["text"].encode()[:4]]
+    assert r["payload_bytes"] == len(r["text"].encode())
+
+    def bad_decoder(payload: bytes) -> list[float]:
+        return [1.0, 2.0]  # wrong dim
+
+    with pytest.raises(Exception, match="batch_feature_dim"):
+        multimodal.decode_and_featurize(
+            env, batch_feature_dim=4, decoder=bad_decoder
+        ).collect()
+
+
 def test_resize_and_frames(docs):
     env = multimodal.attach_binary_payload(docs.filter(F.col("doc_id") == 4))
     resized = multimodal.resize_images(env, 224, 224)
@@ -971,3 +996,25 @@ def test_ivfpq_is_subset_scored_consistently(spark):
     assert set(p1) <= set(p3)  # probing more cells only widens candidates
     for pair, dist in p3.items():
         assert flat[pair] == dist  # identical integer ADC scores
+
+
+def test_pq_adc_max_queries_guard(spark):
+    """The per-query ADC LUT is built on the driver; a corpus-sized query
+    set must be refused loudly (r4 verdict 'what's wrong' #4) instead of
+    melting the driver. Small sets still work under an explicit bound."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(cb, emb)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    n_q = qs.count()
+    with _pytest.raises(ValueError, match="max_queries"):
+        similarity.pq_topk_adc(codes, cb, qs, k=3, max_queries=n_q - 1)
+    with _pytest.raises(ValueError, match="max_queries"):
+        similarity.pq_topk_ivf_adc(emb, qs, k=3, max_queries=n_q - 1)
+    # at the bound the search still runs and hashes like before
+    out = similarity.pq_topk_adc(codes, cb, qs, k=3, max_queries=n_q)
+    assert out.count() == n_q * 3

@@ -333,3 +333,75 @@ def test_context_prefixed_paths_resolve_like_bare(spark):
     df2 = spark.createDataFrame([("v",)], "k string")
     c = apply_statements(df2, ['set(copied, log.attributes["k"])'])
     assert c.collect()[0]["copied"] == "v"
+
+
+# --- round 5: full 16-editor statement dispatch ------------------------------
+# Reference: ottlfuncs/functions.go:11-39 registers 16 editor factories.
+# Round 4 dispatched 13; delete_index / flatten / stringify_all existed only
+# as OTTL_FUNCTIONS entries, so configs pasting those statements parse-errored.
+
+
+def test_all_16_editors_parse_from_statement_text():
+    stmts = {
+        "set": 'set(x, 1)',
+        "delete_key": 'delete_key(x)',
+        "keep_keys": 'keep_keys(x, y)',
+        "replace_pattern": 'replace_pattern(x, "a", "b")',
+        "replace_match": 'replace_match(x, "a*", "b")',
+        "replace_all_patterns": 'replace_all_patterns(x, "value", "a", "b")',
+        "replace_all_matches": 'replace_all_matches(x, "a*", "b")',
+        "merge_maps": 'merge_maps(x, y, "upsert")',
+        "limit": 'limit(x, 3)',
+        "truncate_all": 'truncate_all(x, 4)',
+        "append": 'append(x, "v")',
+        "delete_matching_keys": 'delete_matching_keys(x, "^a")',
+        "keep_matching_keys": 'keep_matching_keys(x, "^a")',
+        "delete_index": 'delete_index(x, 1)',
+        "flatten": 'flatten(x)',
+        "stringify_all": 'stringify_all(x)',
+    }
+    assert len(stmts) == 16
+    for editor, src in stmts.items():
+        st = parse_statement(src)
+        assert st.editor == editor, (editor, st.editor)
+
+
+def test_editor_delete_index_flatten_stringify_semantics(mapped):
+    df = mapped.withColumn(
+        "nested", F.array(F.array(F.lit("a"), F.lit("b")), F.array(F.lit("c")))
+    ).withColumn(
+        "nums", F.create_map(F.lit("n"), F.length("kvs"), F.lit("m"), F.lit(7))
+    )
+    out = apply_statements(
+        df,
+        [
+            "delete_index(arr, 0)",
+            "flatten(nested)",
+            "stringify_all(nums)",
+        ],
+    )
+    row = out.filter(F.col("id") == "a").collect()[0]
+    assert row["arr"] == []  # single element removed
+    assert row["nested"] == ["a", "b", "c"]
+    got = dict(row["nums"])
+    assert got == {"n": str(len("lvl=info tool=search latency_ms=1234 status=ok")), "m": "7"}
+    # values are genuinely strings now
+    assert dict(out.schema["nums"].dataType.__dict__)["valueType"].typeName() == "string"
+
+
+def test_editor_delete_index_where_condition(mapped):
+    out = apply_statements(mapped, ['delete_index(arr, 0) where status == "err"'])
+    got = {r["id"]: r["arr"] for r in out.collect()}
+    assert got["b"] == []      # deleted
+    assert got["a"] == ["x"]   # untouched
+
+
+def test_editor_flatten_where_raises_type_guard(mapped):
+    """A conditionally-applied flatten cannot type a relational column
+    (array<array<T>> and array<T> cannot share it) — eager loud error,
+    same validate_spec contract as keep_keys/delete_key under where."""
+    df = mapped.withColumn("nested", F.array(F.array(F.lit("a"))))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="flatten.*where"):
+        apply_statements(df, ['flatten(nested) where status == "err"'])
