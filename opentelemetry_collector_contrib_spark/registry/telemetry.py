@@ -1405,6 +1405,52 @@ def q_ottl_editors(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "pipeline", "masked", joined.alias("kv_edited"))
 
 
+def q_ottl_editors_full(spark, sf_dir):
+    """Round 5: the LAST THREE of the reference's 16 editor factories
+    (ottlfuncs/functions.go:11-39) driven from STATEMENT TEXT —
+    delete_index under a `where` gate, flatten, stringify_all — closing
+    the r4 statement-dispatch gap. Output is engine-neutral (arrays
+    joined, stringified map as a sorted k=v CSV)."""
+    from ..functions.ottl_compiler import apply_statements
+
+    r = _routed(spark, sf_dir).filter(F.col("pattern_id") == "kv")
+    r = (
+        r.withColumn("toks", F.split(F.col("text"), " "))
+        .withColumn("nest", F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2)))
+        .withColumn(
+            "nums",
+            F.create_map(
+                F.lit("lat"), F.col("latency_ms").cast("long"),
+                F.lit("turn"), F.col("turn_idx").cast("long"),
+            ),
+        )
+    )
+    out = apply_statements(
+        r,
+        [
+            'delete_index(toks, 0) where status == "err"',
+            "flatten(nest)",
+            "stringify_all(nums)",
+        ],
+    )
+    nums_csv = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries(F.col("nums")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join("toks", " ").alias("toks_joined"),
+        F.array_join("nest", " ").alias("nest_flat"),
+        nums_csv.alias("nums_csv"),
+    )
+
+
 def q_drain_templates(spark, sf_dir):
     from ..operators.templates import drain_templates
 
@@ -5579,6 +5625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transition_matrix": q_events_transitions_matrix,
     "ottl_showcase": q_ottl_showcase,
     "ottl_editors": q_ottl_editors,
+    "ottl_editors_full": q_ottl_editors_full,
 }
 
 
@@ -8789,6 +8836,22 @@ ed AS (SELECT conv_id, turn_idx,
 SELECT conv_id, turn_idx, pipeline, masked,
        array_to_string(list_sort(kvt), ',') AS kv_edited
 FROM ed"""
+    )
+
+    o["ottl_editors_full"] = (
+        cte
+        + r""",
+kvr AS (SELECT conv_id, turn_idx, text, status, latency_ms,
+               string_split(text, ' ') AS toks
+        FROM ordered WHERE pattern_id = 'kv')
+SELECT conv_id, turn_idx,
+       CASE WHEN status = 'err'
+            THEN array_to_string(toks[2:], ' ')
+            ELSE text END AS toks_joined,
+       array_to_string(toks[1:4], ' ') AS nest_flat,
+       'lat=' || CAST(latency_ms AS VARCHAR)
+         || ',turn=' || CAST(turn_idx AS VARCHAR) AS nums_csv
+FROM kvr"""
     )
 
     # two-pass Drain convergence mirrored in SQL: mask classes, then merge
