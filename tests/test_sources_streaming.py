@@ -979,3 +979,140 @@ def test_streaming_cardinality_guard_matches_batch(spark, stream_input, tmp_path
     run_available_now(sdf, "cg_stream", str(tmp_path / "ck_cg"), output_mode="complete")
     got = sorted(tuple(r) for r in spark.table("cg_stream").collect())
     assert got == want
+
+
+# --- round 5: restart-mid-stream soak for the stateful twins -----------------
+# (r4 verdict task #9): kill the query between micro-batches with late data
+# pending in state, restart from the SAME checkpoint, and require the resumed
+# run to converge to the batch answer — proving the state store carries the
+# buffers across process boundaries, not just across micro-batches.
+
+
+def test_streaming_group_by_trace_restart_resumes_state(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.recombine import (
+        group_by_trace_waited,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_group_by_trace,
+    )
+
+    d = tmp_path / "gbt_restart"
+    d.mkdir()
+    ck = str(tmp_path / "ck_gbt_restart")
+    rows1 = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "a", "tool": "none", "ts": "2025-01-01T00:00:00.000Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "b", "tool": "none", "ts": "2025-01-01T00:00:10.000Z"},
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    def make_stream():
+        return streaming_group_by_trace(
+            transcripts_stream(spark, str(d) + "/*.json", max_files_per_trigger=1),
+            wait_s=30,
+            watermark="0 seconds",
+        )
+
+    out = str(tmp_path / "gbt_restart_out")
+
+    def drain_to_files():
+        # the memory sink refuses checkpoint recovery; the FILE sink is the
+        # fault-tolerant one (exactly-once via its manifest log), which is
+        # precisely what a restart test must exercise
+        q = (
+            make_stream()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: release (00:00:30) is beyond the watermark (00:00:10) at
+    # termination -> the whole group is PENDING state when the query dies
+    drain_to_files()
+    assert spark.read.parquet(out).count() == 0
+
+    # late-but-pre-release row for the buffered trace + a sentinel that
+    # drives the watermark past every release
+    rows2 = [
+        {"conv_id": "c1", "turn_idx": 2, "role": "user", "text": "m", "tool": "none", "ts": "2025-01-01T00:00:20.000Z"},
+        {"conv_id": "zz", "turn_idx": 0, "role": "user", "text": "wm", "tool": "none", "ts": "2025-01-01T01:00:00.000Z"},
+    ]
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    # run 2: NEW query object, SAME checkpoint -> must recover the buffer,
+    # fold the late row into it, and release at first_ts + 30s
+    drain_to_files()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).filter(F.col("conv_id") != "zz").collect()
+    )
+    batch = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).json(str(d) + "/*.json").filter(F.col("conv_id") != "zz")
+    want = sorted(tuple(r) for r in group_by_trace_waited(batch, wait_s=30).collect())
+    assert got == want
+    # and the released group REALLY contains the pre-restart buffer + the
+    # post-restart late row (3 turns, one release)
+    assert len(got) == 1 and got[0][2] == 3
+
+
+def test_streaming_tail_sampling_restart_merges_open_session(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_tail_sampling,
+    )
+
+    policies = [
+        {"name": "many", "type": "span_count", "min": 3},
+        {"name": "keep", "type": "or", "of": ["many"]},
+    ]
+    d = tmp_path / "tsr"
+    d.mkdir()
+    ck = str(tmp_path / "ck_ts_restart")
+    rows1 = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "a", "tool": "none", "ts": "2025-01-01T00:00:00.000Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "b", "tool": "none", "ts": "2025-01-01T00:00:05.000Z"},
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    def make_stream():
+        return streaming_tail_sampling(
+            transcripts_stream(spark, str(d) + "/*.json", max_files_per_trigger=1),
+            policies,
+            gap="30 seconds",
+        )
+
+    run_available_now(make_stream(), "ts_restart_r1", ck, output_mode="complete")
+    # session open, only 2 rows buffered -> 'many' cannot hold yet
+    r1 = spark.table("ts_restart_r1").filter(F.col("conv_id") == "c1").collect()
+    assert len(r1) == 1 and not r1[0]["many"]
+
+    rows2 = [
+        # within the 30s gap of the pre-restart session -> must MERGE into it
+        {"conv_id": "c1", "turn_idx": 2, "role": "user", "text": "c", "tool": "none", "ts": "2025-01-01T00:00:20.000Z"},
+        # far later -> its own session
+        {"conv_id": "c1", "turn_idx": 3, "role": "user", "text": "d", "tool": "none", "ts": "2025-01-01T00:05:00.000Z"},
+    ]
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    run_available_now(make_stream(), "ts_restart_r2", ck, output_mode="complete")
+    got = sorted(
+        spark.table("ts_restart_r2").filter(F.col("conv_id") == "c1").collect(),
+        key=lambda r: r["session_start"],
+    )
+    # session 1 merged ACROSS the restart (3 rows -> many=True); session 2 alone
+    assert len(got) == 2
+    assert got[0]["many"] and got[0]["sampled"]
+    assert not got[1]["many"] and not got[1]["sampled"]
+    # converges to the batch answer on the full input
+    batch = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).json(str(d) + "/*.json")
+    want = sorted(
+        streaming_tail_sampling(batch, policies, gap="30 seconds")
+        .filter(F.col("conv_id") == "c1")
+        .collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
