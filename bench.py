@@ -570,7 +570,13 @@ def main() -> None:
                 lambda _k, v: v.isNotNull(),
             ).alias("labels")
         )
-        q26 = relabel(labeled, _RELABEL_RULES).select(labels_csv(F.col("labels")).alias("l"))
+        # engine="auto" (round 5): the 5-rule static prefix runs the
+        # columnar engine, only the labelmap/labeldrop suffix pays the
+        # entries engine — interleaved A/B: 1.39x over entries-only,
+        # hashes identical (BENCH/AB_r5.md)
+        q26 = relabel(labeled, _RELABEL_RULES, engine="auto").select(
+            labels_csv(F.col("labels")).alias("l")
+        )
         timed("q26_prom_relabel", lambda: force(q26))
 
     # q27: dictionary phrase tagging over every turn's text — bounded

@@ -248,11 +248,23 @@ def relabel(
     """
     if engine == "auto":
         # columnar when the whole chain is statically compilable (raises
-        # before touching df otherwise), else the dynamic entries engine
+        # before touching df otherwise); else TWO-PHASE (round 5): the
+        # maximal static PREFIX runs columnar and only the dynamic suffix
+        # pays the entries engine — scrape configs conventionally front-
+        # load their static replace/hashmod/keep rules before labelmap/
+        # labeldrop cleanup, so the prefix is usually most of the chain.
+        # Phase boundary: the columnar prefix re-emits the map CANONICALLY
+        # SORTED (its documented contract), so the composed output's label
+        # order is canonical, values identical to entries-only.
         try:
             return _relabel_columnar(df, rules, labels_col)
         except ValueError:
-            return _relabel_entries(df, rules, labels_col)
+            pass
+        k = _static_prefix_len(rules)
+        if k >= 2:
+            head = _relabel_columnar(df, rules[:k], labels_col)
+            return _relabel_entries(head, rules[k:], labels_col)
+        return _relabel_entries(df, rules, labels_col)
     if engine == "entries":
         return _relabel_entries(df, rules, labels_col)
     if engine == "columnar":
@@ -535,6 +547,21 @@ _COLUMNAR_ACTIONS = {
     "replace", "keep", "drop", "keepequal", "dropequal",
     "lowercase", "uppercase", "hashmod",
 }
+
+
+def _static_prefix_len(rules: list[dict]) -> int:
+    """Length of the maximal leading run of rules the columnar engine can
+    compile (same eligibility checks _relabel_columnar enforces: static
+    action set, literal replace targets)."""
+    n = 0
+    for raw in rules:
+        rule = {**_DEFAULTS, **raw}
+        if rule["action"] not in _COLUMNAR_ACTIONS:
+            break
+        if rule["action"] == "replace" and "$" in rule["target_label"]:
+            break
+        n += 1
+    return n
 
 
 def _relabel_columnar(df: DataFrame, rules: list[dict], labels_col: str) -> DataFrame:

@@ -250,3 +250,72 @@ def test_columnar_engine_joins_random_equivalence_when_eligible(spark):
         assert e == c, rules
     assert tested >= 5  # the generator must actually produce eligible chains
     df.unpersist()
+
+
+def test_auto_two_phase_mixed_chain_equals_entries(spark):
+    """Round-5 two-phase lowering: a mixed chain (static prefix + dynamic
+    labelmap/labeldrop suffix) under engine='auto' must produce exactly
+    the entries engine's label VALUES per row (order is canonical at the
+    phase boundary, by the columnar contract)."""
+    from opentelemetry_collector_contrib_spark.operators.prom_relabel import (
+        _static_prefix_len,
+    )
+    from opentelemetry_collector_contrib_spark.registry.telemetry import (
+        _RELABEL_RULES,
+    )
+
+    assert _static_prefix_len(_RELABEL_RULES) == 5  # q26's chain shape
+
+    h = F.xxhash64("id")
+    addr = F.concat(F.lit("10.0."), F.pmod(h, F.lit(200)).cast("string"),
+                    F.lit("."), F.pmod(h, F.lit(50)).cast("string"), F.lit(":9100"))
+    df = spark.range(400).select(
+        F.col("id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("__address__"), addr,
+                F.lit("__scheme__"), F.when(h % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+                F.lit("__meta_kubernetes_namespace"), F.concat(F.lit("ns-"), F.pmod(h, F.lit(5)).cast("string")),
+                F.lit("__meta_kubernetes_pod_name"), F.concat(F.lit("pod-"), F.pmod(h, F.lit(7)).cast("string")),
+                F.lit("__meta_kubernetes_pod_label_App"),
+                F.when(h % 3 != 0, F.concat(F.lit("Web"), F.pmod(h, F.lit(4)).cast("string"))),
+                F.lit("instance"), F.when(h % 11 == 0, addr),
+                F.lit("job"), F.lit("scrape"),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("labels"),
+    ).persist()
+    e = {r["id"]: dict(r["labels"]) for r in relabel(df, _RELABEL_RULES, engine="entries").collect()}
+    a = {r["id"]: dict(r["labels"]) for r in relabel(df, _RELABEL_RULES, engine="auto").collect()}
+    assert a == e
+    # the kept/dropped row set must agree too (keep gate sits in the prefix)
+    assert set(a) == set(e) and 0 < len(a) < 400
+    df.unpersist()
+
+
+def test_auto_engine_random_chains_value_equivalence(spark):
+    """auto (whole-columnar / two-phase / entries, whichever compiles)
+    must agree with the entries engine on label VALUES for random mixed
+    chains — label order may differ (canonical at the columnar phase
+    boundary, by contract)."""
+    h = F.xxhash64("id")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.map_filter(
+            F.create_map(
+                F.lit("a"), F.concat(F.lit("web"), F.pmod(h, F.lit(4)).cast("string")),
+                F.lit("b"), F.when(h % 3 == 0, F.concat(F.lit("ns-"), F.pmod(h, F.lit(5)).cast("string"))),
+                F.lit("job"), F.lit("scrape"),
+                F.lit("__meta_x"), F.pmod(h, F.lit(6)).cast("string"),
+                F.lit("__tmp_y"), F.when(h % 2 == 0, F.lit("1/2")),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("labels"),
+    ).persist()
+    rng = _random.Random(31337)
+    for trial in range(20):
+        rules = _random_rules(rng)
+        e = {r["id"]: dict(r["labels"]) for r in relabel(df, rules, engine="entries").collect()}
+        a = {r["id"]: dict(r["labels"]) for r in relabel(df, rules, engine="auto").collect()}
+        assert a == e, (trial, rules)
+    df.unpersist()
