@@ -138,7 +138,7 @@ def parse_args(argv: list[str] | None) -> tuple[list[str] | None, str]:
     return (names or None), label
 
 
-def main(names: list[str] | None = None) -> int:
+def main(names: list[str] | None = None, manifest: str | None = None) -> int:
     import __spark_entry__ as entrymod
     from opentelemetry_collector_contrib_spark.session import get_spark
 
@@ -157,6 +157,7 @@ def main(names: list[str] | None = None) -> int:
     ):
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
     failures = 0
+    man: dict[str, dict] = {}
     for name, fn in qs.items():
         if names and name not in names:
             continue
@@ -167,10 +168,15 @@ def main(names: list[str] | None = None) -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            man[name] = {"status": "FAIL", "error": f"spark {type(e).__name__}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(srows)} rows)")
+            man[name] = {
+                "status": "SKIP", "rows": len(srows),
+                "spark_hash": table_hash(srows, scols),
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -179,6 +185,7 @@ def main(names: list[str] | None = None) -> int:
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {e}")
+            man[name] = {"status": "FAIL", "error": "duckdb"}
             failures += 1
             continue
         ok_count = len(srows) == len(orows)
@@ -193,6 +200,10 @@ def main(names: list[str] | None = None) -> int:
         status = "OK  " if (ok_count and ok_cols and ok_types and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        man[name] = {
+            "status": status.strip(), "rows": len(srows),
+            "spark_hash": sh, "oracle_hash": oh,
+        }
         print(
             f"{status} {name}: rows {len(srows)}/{len(orows)}"
             f" cols={'=' if ok_cols else sorted(set(scols)^set(ocols))}"
@@ -200,11 +211,31 @@ def main(names: list[str] | None = None) -> int:
             f" hash {'=' if ok_hash else f'{sh} vs {oh}'}"
         )
     spark.stop()
+    if manifest:
+        import json as _json
+        import subprocess as _sp
+
+        head = _sp.run(
+            ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        with open(manifest, "w") as fh:
+            _json.dump(
+                {"head": head, "sf_dir": sf_dir, "queries": dict(sorted(man.items()))},
+                fh, indent=1,
+            )
+        print(f"manifest: {manifest} ({len(man)} queries @ {head[:10]})")
     return failures
 
 
 if __name__ == "__main__":
-    _names, _label = parse_args(sys.argv[1:])
+    _argv = sys.argv[1:]
+    _manifest = None
+    if "--manifest" in _argv:
+        i = _argv.index("--manifest")
+        _manifest = _argv[i + 1]
+        _argv = _argv[:i] + _argv[i + 2:]
+    _names, _label = parse_args(_argv)
     if _label:
         print(f"parity{_label}: {len(_names or [])} queries", flush=True)
-    sys.exit(1 if main(_names) else 0)
+    sys.exit(1 if main(_names, manifest=_manifest) else 0)

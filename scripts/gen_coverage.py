@@ -21,7 +21,8 @@ sys.path.insert(0, "/root/repo")
 
 def run_sweep() -> str:
     p = subprocess.run(
-        [sys.executable, "/root/repo/scripts/check_parity.py"],
+        [sys.executable, "/root/repo/scripts/check_parity.py",
+         "--manifest", "/root/repo/coverage_hashes.json"],
         capture_output=True,
         text=True,
         timeout=7200,
