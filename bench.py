@@ -570,13 +570,13 @@ def main() -> None:
                 lambda _k, v: v.isNotNull(),
             ).alias("labels")
         )
-        # engine="auto" (round 5): the 5-rule static prefix runs the
-        # columnar engine, only the labelmap/labeldrop suffix pays the
-        # entries engine — interleaved A/B: 1.39x over entries-only,
-        # hashes identical (BENCH/AB_r5.md)
-        q26 = relabel(labeled, _RELABEL_RULES, engine="auto").select(
-            labels_csv(F.col("labels")).alias("l")
-        )
+        # engine choice measured both ways (BENCH/AB_r5.md): the round-5
+        # two-phase auto path is 1.35x WHEN the label map is materialized
+        # (persisted / scanned — the production shape), but ~0.75x on
+        # THIS query, whose map is an in-plan synthetic expression — the
+        # phase boundary rebuilds map->entries->map in interpreted HOF
+        # land. q26 therefore stays on the entries engine.
+        q26 = relabel(labeled, _RELABEL_RULES).select(labels_csv(F.col("labels")).alias("l"))
         timed("q26_prom_relabel", lambda: force(q26))
 
     # q27: dictionary phrase tagging over every turn's text — bounded

@@ -256,6 +256,12 @@ def relabel(
         # Phase boundary: the columnar prefix re-emits the map CANONICALLY
         # SORTED (its documented contract), so the composed output's label
         # order is canonical, values identical to entries-only.
+        # Measured trade-off (BENCH/AB_r5.md): ~1.35x over entries when
+        # the label map is a MATERIALIZED attribute (scan/persist — the
+        # production shape), ~0.75x when the map is itself an in-plan
+        # expression (the boundary rebuilds map→entries→map inside
+        # interpreted HOF evaluation). Callers relabeling an
+        # expression-built map should pass engine="entries" explicitly.
         try:
             return _relabel_columnar(df, rules, labels_col)
         except ValueError:
