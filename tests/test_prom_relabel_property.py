@@ -319,3 +319,24 @@ def test_auto_engine_random_chains_value_equivalence(spark):
         a = {r["id"]: dict(r["labels"]) for r in relabel(df, rules, engine="auto").collect()}
         assert a == e, (trial, rules)
     df.unpersist()
+
+
+def test_static_prefix_len_edges():
+    from opentelemetry_collector_contrib_spark.operators.prom_relabel import (
+        _static_prefix_len,
+    )
+
+    assert _static_prefix_len([]) == 0
+    # dynamic head -> no prefix -> auto degrades to entries wholesale
+    assert _static_prefix_len([{"action": "labelmap", "regex": "(.+)"}]) == 0
+    # group-ref target breaks the static run
+    assert _static_prefix_len(
+        [{"action": "keep", "regex": "x"},
+         {"action": "replace", "source_labels": ["a"], "target_label": "$1"},
+         {"action": "drop", "regex": "y"}]
+    ) == 1
+    # fully static chain -> whole length (auto would go whole-columnar first)
+    assert _static_prefix_len(
+        [{"action": "keep", "regex": "x"}, {"action": "hashmod", "source_labels": ["a"],
+         "modulus": 2, "target_label": "t"}]
+    ) == 2
