@@ -603,14 +603,18 @@ def apply_statements(df: DataFrame, statements: list[str], path_map: dict[str, s
             builder = EDITOR_BUILDERS[st.editor]
             edited = builder(F.col(st.target), *st.args)
             if st.condition is not None:
-                if st.editor == "flatten":
-                    # a conditional flatten cannot type a relational
-                    # column: untouched rows keep array<array<T>>, edited
-                    # rows become array<T>, and one column holds both —
-                    # eager loud error (validate_spec contract), matching
-                    # keep_keys/delete_key under where
+                if st.editor in ("flatten", "stringify_all"):
+                    # a conditional type-changing edit cannot type a
+                    # relational column. flatten: array<array<T>> vs
+                    # array<T> is a plan-time AnalysisException; worse,
+                    # stringify_all would NOT error — CaseWhen coercion
+                    # widens the otherwise-branch map<string,long> to
+                    # map<string,string>, silently stringifying EVERY row
+                    # and turning the where-gate into a no-op. Eager loud
+                    # error (validate_spec contract), matching
+                    # keep_keys/delete_key under where.
                     raise ValueError(
-                        "flatten where <cond> is not column-expressible "
+                        f"{st.editor} where <cond> is not column-expressible "
                         "(the edit changes the column type); gate with a "
                         "router/filter split instead"
                     )

@@ -1331,10 +1331,19 @@ def collapse_long_tail(
 
     if top_k is None and min_frac is None:
         raise ValueError("need top_k and/or min_frac")
+    from pyspark import StorageLevel
+
     per = df.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("bigint").alias(count_col),
         *[c.alias(n) for n, c in aggs.items()],
     )
+    # the scalar total + the rank's eager passes (count, boundary sample,
+    # per-bucket offsets) + the kept/other branches would otherwise each
+    # re-execute the upstream scan + hash aggregation — persist the
+    # aggregate-sized per-key frame once (rank.py's documented contract
+    # for expensive upstreams); the cache is dropped by the ContextCleaner
+    # with the result's lineage
+    per = per.persist(StorageLevel.MEMORY_AND_DISK)
     keep = F.lit(False)
     if min_frac is not None:
         # grand total as a scalar: IEEE double `min_frac * tot` is

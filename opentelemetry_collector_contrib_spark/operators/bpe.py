@@ -160,10 +160,16 @@ def bpe_train(
     return merges
 
 
-def bpe_merges_df(df: DataFrame, k_merges: int, text_col: str = "text") -> DataFrame:
-    """bpe_train as a DataFrame (rank, left, right, merged, pair_count)."""
+def bpe_merges_df(
+    df: DataFrame, k_merges: int, text_col: str = "text",
+    max_words: int | None = None,
+) -> DataFrame:
+    """bpe_train as a DataFrame (rank, left, right, merged, pair_count).
+    Defaults to max_words=None (FULL dictionary) because this form backs
+    the exact DuckDB parity oracle, which folds every word — callers at
+    corpus scale should pass a bound like bpe_train's default."""
     spark = df.sparkSession
-    merges = bpe_train(df, k_merges, text_col)
+    merges = bpe_train(df, k_merges, text_col, max_words=max_words)
     schema = "rank int, left string, right string, merged string, pair_count bigint"
     return spark.createDataFrame(
         [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],

@@ -325,14 +325,24 @@ def logs_descriptor_set() -> bytes:
 
 def jvm_protobuf_available(spark) -> bool:
     """True iff the optional spark-protobuf module is on the session
-    classpath. Probes the expression class directly; any resolution
-    failure means the honest Python walk runs instead."""
+    classpath. Resolves through Spark's Utils.classForName first —
+    jars delivered via ``--packages``/``spark.jars`` land on Spark's
+    MutableURLClassLoader, which plain ``Class.forName`` (system
+    classloader) cannot see, so the naive probe would false-negative in
+    exactly the environments the seam exists for (round-5 review).
+    Any resolution failure means the honest Python walk runs instead."""
+    cls = "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
-        )
+        # (className, initialize, noSparkClassLoader) — uses the context-
+        # or-Spark classloader, the one session jars are registered on
+        spark._jvm.org.apache.spark.util.Utils.classForName(cls, True, False)
         return True
     except Exception:  # noqa: BLE001 — Py4J wraps ClassNotFoundException
+        pass
+    try:
+        spark._jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:  # noqa: BLE001
         return False
 
 
@@ -364,11 +374,24 @@ def _attrs_csv_col(attrs):
 
 
 def parse_otlp_pb_logs_jvm(df: DataFrame, source: str = "payload") -> DataFrame:
-    """JVM-side LogsData decode via spark-protobuf: same output schema and
-    semantics as parse_otlp_pb_logs (one row per LogRecord, resource and
-    scope flattened, malformed payloads dropped via PERMISSIVE-null).
-    Requires jvm_protobuf_available(); use parse_otlp_pb_logs_auto for
-    the probe-gated dispatch."""
+    """JVM-side LogsData decode via spark-protobuf: same output SCHEMA as
+    parse_otlp_pb_logs (one row per LogRecord, resource and scope
+    flattened, malformed payloads dropped via PERMISSIVE-null).
+
+    Known value-rendering divergences from the Python walk (round-5
+    review — both are rare on real payloads but hash-relevant):
+      - AnyValue doubles render via Spark's double→string cast (Java
+        ``Double.toString``: scientific notation at \|x\| ≥ 1e7 / < 1e-3)
+        while the walk uses Python ``repr`` — e.g. 12345678.5 renders
+        '1.23456785E7' here vs '12345678.5' there;
+      - a serializer that EXPLICITLY emits a default-valued oneof arm
+        (``string_value:""``, ``bool_value:false``, ``int_value:0``)
+        decodes to NULL here (no oneof presence in the hand descriptor +
+        emit.default.values=false) but renders ''/'false'/'0' in the walk.
+    String/str-int bodies and attrs — the shapes the fixtures and the
+    parity oracle exercise — agree exactly. Requires
+    jvm_protobuf_available(); use parse_otlp_pb_logs_auto for the
+    probe-gated dispatch."""
     from pyspark.sql.protobuf.functions import from_protobuf
 
     msg = from_protobuf(
@@ -411,8 +434,11 @@ def parse_otlp_pb_logs_jvm(df: DataFrame, source: str = "payload") -> DataFrame:
 
 def parse_otlp_pb_logs_auto(df: DataFrame, source: str = "payload") -> DataFrame:
     """Probe-gated dispatch: spark-protobuf JVM decode when the jar is
-    present, the Arrow-batched Python walk otherwise. The parity oracle
-    is identical either way."""
+    present, the Arrow-batched Python walk otherwise. Output schema is
+    identical either way; see parse_otlp_pb_logs_jvm for the two
+    documented value-rendering caveats (double formatting, explicitly
+    serialized default oneof arms) a jar-bearing environment should
+    pin with its own golden run before switching hashes over."""
     if jvm_protobuf_available(df.sparkSession):
         return parse_otlp_pb_logs_jvm(df, source)
     return parse_otlp_pb_logs(df, source)

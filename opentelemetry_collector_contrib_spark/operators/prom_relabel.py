@@ -359,10 +359,19 @@ def relabel(
             repl = _java_repl(rule["replacement"])
 
             def _lmap(l: Column) -> Column:
+                # iterate matched entries in SORTED source-name order —
+                # Prometheus's labels.Labels is canonically sorted, so a
+                # colliding expanded target resolves last-wins over the
+                # sorted source names; sorting here makes the fold order
+                # engine-independent (round-5 review: the two-phase auto
+                # boundary re-sorts the map, which would otherwise flip
+                # the collision winner vs the entries engine)
                 renamed = F.transform(
-                    F.filter(
-                        F.map_entries(l),
-                        lambda e: _match_gate(e["key"], anchored, rule["regex"]),
+                    F.array_sort(
+                        F.filter(
+                            F.map_entries(l),
+                            lambda e: _match_gate(e["key"], anchored, rule["regex"]),
+                        )
                     ),
                     lambda e: F.struct(
                         F.regexp_replace(e["key"], anchored, repl).alias("key"),
@@ -511,9 +520,14 @@ def _relabel_entries(df: DataFrame, rules: list[dict], labels_col: str) -> DataF
             repl = _java_repl(rule["replacement"])
 
             def _lmap(a: Column) -> Column:
+                # sorted source-name fold order — see the map engine's
+                # labelmap note (Prometheus sorted-labels semantics;
+                # engine-independent collision winner)
                 renamed = F.transform(
-                    F.filter(
-                        a, lambda e: _match_gate(e["k"], anchored, rule["regex"])
+                    F.array_sort(
+                        F.filter(
+                            a, lambda e: _match_gate(e["k"], anchored, rule["regex"])
+                        )
                     ),
                     lambda e: _entry(
                         F.regexp_replace(e["k"], anchored, repl), e["v"]

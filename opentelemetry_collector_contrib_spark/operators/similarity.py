@@ -601,17 +601,20 @@ def _adc_luts(
     k_codes: int,
     query_id_col: str,
     vec_col: str,
-    max_queries: int,
+    max_queries: int | None,
 ) -> list[tuple]:
     """Driver-built flat m×k_codes integer LUTs, one per query —
     bounded by ``max_queries`` (driver memory is m·k_codes ints per
     query; the guard keeps the collect a contract, not caller
     discipline). For corpus-sized query sets use the IVF cell join /
-    MinHash dedup operators instead of ADC."""
+    MinHash dedup operators instead of ADC. ``max_queries=None``
+    disables the guard — an explicit caller statement that the query
+    set is known input-proportional (e.g. the fixture-scale registry
+    parity queries), not an accident."""
     import math
 
-    n_q = queries.count()
-    if n_q > max_queries:
+    n_q = queries.count() if max_queries is not None else 0
+    if max_queries is not None and n_q > max_queries:
         raise ValueError(
             f"ADC query set has {n_q} rows > max_queries={max_queries}; "
             "per-query LUTs are built on the driver. Raise max_queries "
@@ -647,7 +650,7 @@ def pq_topk_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
-    max_queries: int = PQ_MAX_QUERIES,
+    max_queries: int | None = PQ_MAX_QUERIES,
 ) -> DataFrame:
     """ADC top-k: per query, a flat m×k_codes integer LUT of
     query-subvector→codeword distances is built driver-side (a Python
@@ -698,7 +701,7 @@ def pq_topk_ivf_adc(
     query_id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
-    max_queries: int = PQ_MAX_QUERIES,
+    max_queries: int | None = PQ_MAX_QUERIES,
 ) -> DataFrame:
     """IVF+PQ — the production ANN shape at 10^12 vectors (FAISS's
     IVFPQ): the coarse quantizer prunes candidates to the query's

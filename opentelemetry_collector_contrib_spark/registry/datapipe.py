@@ -286,7 +286,10 @@ def q_topk_pq(spark, sf_dir):
     e = _embs(spark, sf_dir)
     cb = pq_codebooks(e)
     codes = pq_encode(cb, e)
-    return pq_topk_adc(codes, cb, e.filter(F.col("vec_id") % 50 == 0))
+    # max_queries=None: the query slice is fixture-proportional (2% of
+    # embeddings) — the default guard would turn this parity query into a
+    # scale-dependent hard error at larger tiers
+    return pq_topk_adc(codes, cb, e.filter(F.col("vec_id") % 50 == 0), max_queries=None)
 
 
 _DICT_TERMS = [
@@ -315,7 +318,7 @@ def q_sim_recall_ivfpq(spark, sf_dir):
     from ..operators.similarity import ann_recall_at_k, brute_force_topk, pq_topk_ivf_adc
 
     e = _embs(spark, sf_dir)
-    approx = pq_topk_ivf_adc(e, e.filter(F.col("vec_id") % 50 == 0))
+    approx = pq_topk_ivf_adc(e, e.filter(F.col("vec_id") % 50 == 0), max_queries=None)
     exact = brute_force_topk(e, _query_vectors(e), k=5)
     return ann_recall_at_k(approx, exact, k=5)
 
@@ -328,7 +331,8 @@ def q_topk_ivfpq(spark, sf_dir):
     from ..operators.similarity import pq_topk_ivf_adc
 
     e = _embs(spark, sf_dir)
-    return pq_topk_ivf_adc(e, e.filter(F.col("vec_id") % 50 == 0))
+    # fixture-proportional query slice — see pq_topk_adc site
+    return pq_topk_ivf_adc(e, e.filter(F.col("vec_id") % 50 == 0), max_queries=None)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -912,7 +916,10 @@ def q_bpe_encode(spark, sf_dir):
     from ..operators.bpe import bpe_apply, bpe_train
 
     docs = _docs(spark, sf_dir)
-    merges = bpe_train(docs, 3)
+    # max_words=None: the SQL oracle folds the FULL word dictionary, so
+    # the Spark side must train on it too — the bounded default would
+    # silently diverge at a tier whose vocabulary exceeds the cap
+    merges = bpe_train(docs, 3, max_words=None)
     out = bpe_apply(docs, merges)
     return out.select(
         "doc_id",

@@ -233,6 +233,8 @@ if __name__ == "__main__":
     _manifest = None
     if "--manifest" in _argv:
         i = _argv.index("--manifest")
+        if i + 1 >= len(_argv):
+            raise SystemExit("--manifest requires a path argument")
         _manifest = _argv[i + 1]
         _argv = _argv[:i] + _argv[i + 2:]
     _names, _label = parse_args(_argv)

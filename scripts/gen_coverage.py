@@ -20,9 +20,21 @@ sys.path.insert(0, "/root/repo")
 
 
 def run_sweep() -> str:
+    import os
+
+    # manifest filename follows the scale factor so an off-tier sweep can
+    # never silently overwrite the sf0.01 driver-tier baseline
+    sf = os.path.basename(
+        os.path.normpath(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    )
+    manifest = (
+        "/root/repo/coverage_hashes.json"
+        if sf == "sf0.01"
+        else f"/root/repo/coverage_hashes_{sf.replace('.', '')}.json"
+    )
     p = subprocess.run(
         [sys.executable, "/root/repo/scripts/check_parity.py",
-         "--manifest", "/root/repo/coverage_hashes.json"],
+         "--manifest", manifest],
         capture_output=True,
         text=True,
         timeout=7200,

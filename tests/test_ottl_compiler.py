@@ -397,11 +397,16 @@ def test_editor_delete_index_where_condition(mapped):
 
 
 def test_editor_flatten_where_raises_type_guard(mapped):
-    """A conditionally-applied flatten cannot type a relational column
-    (array<array<T>> and array<T> cannot share it) — eager loud error,
-    same validate_spec contract as keep_keys/delete_key under where."""
-    df = mapped.withColumn("nested", F.array(F.array(F.lit("a"))))
+    """A conditionally-applied type-changing edit cannot type a relational
+    column — eager loud error, same validate_spec contract as
+    keep_keys/delete_key under where. flatten would AnalysisException at
+    plan time; stringify_all is WORSE: CaseWhen coercion would silently
+    stringify every row and no-op the where-gate (round-5 review)."""
     import pytest as _pytest
 
+    df = mapped.withColumn("nested", F.array(F.array(F.lit("a"))))
     with _pytest.raises(ValueError, match="flatten.*where"):
         apply_statements(df, ['flatten(nested) where status == "err"'])
+    df2 = mapped.withColumn("nums", F.create_map(F.lit("n"), F.lit(7)))
+    with _pytest.raises(ValueError, match="stringify_all.*where"):
+        apply_statements(df2, ['stringify_all(nums) where status == "err"'])

@@ -340,3 +340,27 @@ def test_static_prefix_len_edges():
         [{"action": "keep", "regex": "x"}, {"action": "hashmod", "source_labels": ["a"],
          "modulus": 2, "target_label": "t"}]
     ) == 2
+
+
+def test_labelmap_collision_winner_engine_independent(spark):
+    """Two source labels mapping to the SAME expanded target: Prometheus
+    iterates canonically-sorted labels, so the sorted-last source wins.
+    All engines (and auto's two-phase boundary, which re-sorts the map)
+    must agree — the round-5 review caught entries folding in insertion
+    order, flipping the winner vs auto."""
+    df = spark.createDataFrame(
+        [(0, {"__meta_svc_app": "S", "__meta_pod_app": "P", "job": "j"})],
+        "id int, labels map<string,string>",
+    )
+    rules = [
+        # static prefix so auto takes the two-phase path
+        {"action": "replace", "source_labels": ["job"], "target_label": "jc"},
+        {"action": "hashmod", "source_labels": ["job"], "modulus": 4, "target_label": "shard"},
+        {"action": "labelmap", "regex": "__meta_(?:pod|svc)_app", "replacement": "app"},
+    ]
+    got = {}
+    for engine in ("map", "entries", "auto"):
+        (row,) = relabel(df, rules, engine=engine).collect()
+        got[engine] = dict(row["labels"])["app"]
+    # sorted source names: __meta_pod_app < __meta_svc_app -> svc folds last
+    assert got == {"map": "S", "entries": "S", "auto": "S"}, got
