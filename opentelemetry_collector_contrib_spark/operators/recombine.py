@@ -201,10 +201,17 @@ def tail_sampling(
     }
     agg = df.groupBy(trace_col).agg(*[v.alias(k) for k, v in pol.items()])
     names = list(pol.keys())
+    # NULL verdicts (e.g. max over an all-NULL status column) read as "no
+    # match" = false, like the policy tree's _bool_any — without this,
+    # F.least SKIPS the NULL in mode='all' (a never-matched policy could
+    # not veto the AND) and a single NULL policy yields sampled=NULL,
+    # which both filter(sampled) and filter(~sampled) drop (round-5
+    # review).
+    verdict = {n: F.coalesce(F.col(n).cast("int"), F.lit(0)) for n in names}
     if mode == "any":  # OR composite
-        keep = F.greatest(*[F.col(n).cast("int") for n in names]) == 1 if len(names) > 1 else F.col(names[0])
+        keep = F.greatest(*[verdict[n] for n in names]) == 1 if len(names) > 1 else verdict[names[0]] == 1
     else:  # AND composite
-        keep = F.least(*[F.col(n).cast("int") for n in names]) == 1 if len(names) > 1 else F.col(names[0])
+        keep = F.least(*[verdict[n] for n in names]) == 1 if len(names) > 1 else verdict[names[0]] == 1
     return agg.withColumn("sampled", keep)
 
 
@@ -294,15 +301,19 @@ def _compile_base_policy(spec: dict, trace_col: str, ts_col: str) -> Column:
             ot_field_col(ot, "rv").isNotNull() | ot_field_col(ot, "th").isNotNull()
         )
         tid_col = spec.get("trace_id_hex_col", trace_col)
-        rnd = F.coalesce(
-            F.min(rv), F.min(trace_id_randomness_col(F.col(tid_col))), F.lit(0)
-        )
+        # NO lit(0) backstop: a trace carrying ot info (e.g. th only) but
+        # with NEITHER an explicit rv NOR a 32-hex trace id has no
+        # randomness source at all — coalescing to 0 would silently
+        # never-sample it below 100% (round-5 review). Randomness-less
+        # traces fall back to the legacy hash path instead, the same
+        # philosophy as the no-info fallback.
+        rnd = F.coalesce(F.min(rv), F.min(trace_id_randomness_col(F.col(tid_col))))
         try:
             otel_th = probability_to_threshold(spec["percent"] / 100.0)
         except ValueError:
             otel_th = 0 if spec["percent"] >= 100 else (1 << 56)
         legacy = F.min(h60(F.col(trace_col))) < int(spec["percent"] / 100.0 * (1 << 60))
-        return F.when(has_info, F.lit(otel_th) <= rnd).otherwise(legacy)
+        return F.when(has_info & rnd.isNotNull(), F.lit(otel_th) <= rnd).otherwise(legacy)
     if kind == "ottl_condition":
         from ..functions.ottl_compiler import parse_condition
 

@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fixtures import dims_dir, ensure_dims, ensure_tier, tier_for_sf_dir, transcripts_path
+from ..fixtures import ensure_dims, ensure_tier, tier_for_sf_dir
 from ..operators import aggregate as agg_ops
 from ..operators.enrich import enrich_transcripts
 from ..operators.order import stable_order
@@ -109,7 +109,12 @@ def run_pipeline(
         for name, adf in pipeline_aggregates(routed).items():
             if out_dir:
                 adf.write.mode("overwrite").parquet(os.path.join(out_dir, name))
-            counts[name] = adf.count()
+                # count what LANDED, like the sink path above: validates
+                # the write and avoids re-running the whole aggregation a
+                # second time just to count it (round-5 review)
+                counts[name] = spark.read.parquet(os.path.join(out_dir, name)).count()
+            else:
+                counts[name] = adf.count()
         return counts
     finally:
         routed.unpersist()

@@ -486,9 +486,11 @@ agg AS (
     min(('0x' || substr(md5(trace), 1, 15))::BIGINT) AS h60
   FROM fields GROUP BY trace)
 SELECT trace,
-  CASE WHEN has_info THEN {otel_th_25} <= coalesce(rv_rnd, tid_rnd, 0)
+  CASE WHEN has_info AND coalesce(rv_rnd, tid_rnd) IS NOT NULL
+       THEN {otel_th_25} <= coalesce(rv_rnd, tid_rnd)
        ELSE h60 < {legacy_th_25} END AS prob,
-  CASE WHEN has_info THEN {otel_th_25} <= coalesce(rv_rnd, tid_rnd, 0)
+  CASE WHEN has_info AND coalesce(rv_rnd, tid_rnd) IS NOT NULL
+       THEN {otel_th_25} <= coalesce(rv_rnd, tid_rnd)
        ELSE h60 < {legacy_th_25} END AS sampled
 FROM agg"""
 

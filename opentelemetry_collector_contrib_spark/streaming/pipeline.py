@@ -203,6 +203,25 @@ def write_stream_sinks(
     is only at-least-once. Readers scan `{base}/{sink}` as partitioned
     parquet (`_batch` surfaces as a partition column). Returns the started
     StreamingQuery."""
+    return _start_sink_fanout(
+        routed, base_path, checkpoint_dir, route_table, trigger_available_now
+    )
+
+
+def _start_sink_fanout(
+    routed: DataFrame,
+    base_path: str,
+    checkpoint_dir: str,
+    route_table,
+    trigger_available_now: bool,
+    split=None,
+):
+    """Shared write loop for the plain and DLQ fan-outs: the
+    persist/try-finally, copy_-column drop, and per-sink
+    ``_batch=<id>`` overwrite contract live in exactly one place, so an
+    idempotency/retry fix cannot silently diverge the two paths
+    (round-5 review). ``split(batch_df) -> (frame_for_routing,
+    extra_sinks)`` lets the DLQ path quarantine before routing."""
     from ..operators.route import FIXTURE_ROUTES, sink_frames
 
     table = route_table or FIXTURE_ROUTES
@@ -210,7 +229,10 @@ def write_stream_sinks(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            for name, sdf in sink_frames(batch_df, table).items():
+            to_route, extra = split(batch_df) if split else (batch_df, {})
+            sinks = sink_frames(to_route, table)
+            sinks.update(extra)
+            for name, sdf in sinks.items():
                 out = sdf.drop(*[c for c in sdf.columns if c.startswith("copy_")])
                 out.write.mode("overwrite").parquet(f"{base_path}/{name}/_batch={batch_id}")
         finally:
@@ -588,8 +610,19 @@ def streaming_keep_first_dedup(
         # already indexed, so the anti-join exempts them.
         prev_max = (cur.get("summary") or {}).get("max_doc") if cur else None
         if state is not None and prev_max is not None:
+            from ..operators.textstats import with_shingles
+
+            # shingle-less docs (< n tokens) carry NO index rows — the
+            # explode drops them from both state tables — so a replayed
+            # short doc would look "new below the high-water mark" and
+            # wedge the stream on a spurious ValueError forever (round-5
+            # review). Exempting them is semantically sound, not just
+            # pragmatic: a doc with no shingles can never collide, its
+            # keep-first verdict is order-INdependent, so the one-shot
+            # equality holds for it regardless of arrival order.
             stale_new = (
-                batch_df.filter(F.col(id_col) < prev_max)
+                with_shingles(batch_df.filter(F.col(id_col) < prev_max), text_col)
+                .filter(F.size("shingles") > 0)
                 .select(F.col(id_col).alias("doc"))
                 .join(state[0].select("doc").distinct(), "doc", "left_anti")
             )
@@ -642,28 +675,18 @@ def write_stream_sinks_with_dlq(
     routing, so content-failure rows land in ``{base}/quarantine`` with
     their ``error_reason`` instead of polluting route sinks. Same
     idempotent `_batch=<id>` overwrite contract as write_stream_sinks."""
-    from ..operators.route import FIXTURE_ROUTES, sink_frames
     from ..plans.dlq import fixture_rules, split_quarantine
 
-    table = route_table or FIXTURE_ROUTES
     dlq_rules = rules if rules is not None else fixture_rules()
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            accepted, quarantined = split_quarantine(batch_df, dlq_rules)
-            sinks = sink_frames(accepted, table)
-            sinks["quarantine"] = quarantined
-            for name, sdf in sinks.items():
-                out = sdf.drop(*[c for c in sdf.columns if c.startswith("copy_")])
-                out.write.mode("overwrite").parquet(f"{base_path}/{name}/_batch={batch_id}")
-        finally:
-            batch_df.unpersist()
+    def split(batch_df: DataFrame):
+        accepted, quarantined = split_quarantine(batch_df, dlq_rules)
+        return accepted, {"quarantine": quarantined}
 
-    writer = routed.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint_dir)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_sink_fanout(
+        routed, base_path, checkpoint_dir, route_table, trigger_available_now,
+        split=split,
+    )
 
 
 def streaming_curation_gate(
@@ -779,9 +802,12 @@ def streaming_template_diff(
         (bounded by distinct templates — ≪ corpus — so no quadratic
         append-scan growth) carrying `last_batch` in the snapshot
         summary; a replayed batch (crash after state commit, before
-        checkpoint commit) sees `batch_id <= last_batch` and SKIPS the
-        state fold while still rewriting its alert partition, so history
-        never double-counts.
+        checkpoint commit) sees `batch_id <= last_batch` and SKIPS both
+        the state fold AND the alert rewrite — the alert write precedes
+        the state commit, so a committed state implies the partition is
+        already present with the correct pre-state verdicts (recomputing
+        against post-commit state would flip 'new' to 'recurring');
+        history never double-counts.
 
     Scale: per batch ONE hash agg over batch rows + one equi-join against
     the template state (state rows = distinct templates). The final state
@@ -825,8 +851,18 @@ def streaming_template_diff(
                     .alias("status"),
                 )
             )
-            alerts.write.mode("overwrite").parquet(f"{alerts_dir}/_batch={batch_id}")
+            # BOTH writes are gated on the replay check: a replayed batch
+            # (crash after the state snapshot committed but before the
+            # checkpoint commit) would recompute these alerts against the
+            # POST-commit state — flipping the original, page-worthy
+            # 'new' rows to 'recurring' with n_hist inflated by the
+            # batch's own counts — and overwrite the correct partition
+            # the first attempt already wrote. The alert write precedes
+            # the state commit in-program, so state-committed implies the
+            # alert partition is already present and correct (round-5
+            # review).
             if batch_id > last_batch:
+                alerts.write.mode("overwrite").parquet(f"{alerts_dir}/_batch={batch_id}")
                 folded = (
                     state.unionByName(
                         batch_counts.withColumnRenamed("n_batch", "n")

@@ -368,6 +368,35 @@ def test_tailsampling_probabilistic_tracestate(spark):
     assert got["E"] == (legacy < int(0.25 * (1 << 60)))
 
 
+def test_tailsampling_tracestate_no_randomness_falls_back_to_legacy(spark):
+    """A trace carrying ot info (th only) but with NEITHER an rv NOR a
+    32-hex trace id has no randomness source: it must fall back to the
+    legacy hash, not coalesce randomness to 0 and never sample (round-5
+    review — the default trace_id_hex_col is the conv-id column, which is
+    rarely hex in this data model)."""
+    from opentelemetry_collector_contrib_spark.operators.recombine import (
+        tail_sampling_policies,
+    )
+    from opentelemetry_collector_contrib_spark.operators.textstats import h60
+
+    rows = [(f"conv-{i:04d}", "ot=th:c", "2024-01-01 00:00:00") for i in range(64)]
+    df = spark.createDataFrame(rows, "trace string, tracestate string, ts string")         .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = tail_sampling_policies(
+        df,
+        [{"name": "prob", "type": "probabilistic_tracestate", "percent": 25,
+          "tracestate_col": "tracestate"}],  # trace_id_hex_col defaults to trace
+        trace_col="trace", ts_col="ts",
+    )
+    got = {r.trace: r.sampled for r in out.collect()}
+    th = int(0.25 * (1 << 60))
+    legacy = {
+        r.trace: r.h < th
+        for r in df.select("trace", h60(F.col("trace")).alias("h")).distinct().collect()
+    }
+    assert got == legacy
+    assert any(got.values()) and not all(got.values())  # ~25%, not all-drop
+
+
 def test_streaming_consistent_sample_matches_batch(spark, tmp_path):
     """The sampler is a stateless projection+filter, so it composes with
     readStream unchanged: an availableNow drain must equal the batch run

@@ -653,16 +653,18 @@ def test_streaming_template_diff_matches_batch_and_replays(spark, tmp_path):
     for r in rows:
         assert (r["n_hist"] == 0) == (r["status"] == "new")
 
-    # replay the LAST batch against committed state: history must be
-    # unchanged (last_batch guard) and the rewritten alert partition is
-    # allowed to differ only by now-seen templates being 'recurring' —
-    # the exactly-once contract is on STATE, alerts are per-partition
-    # idempotent under the pre-state they were computed with
+    # replay against committed state: history must be unchanged
+    # (last_batch guard) AND the alert partitions must be byte-identical —
+    # a replayed batch computing alerts against POST-commit state would
+    # flip the original page-worthy 'new' rows to 'recurring' with
+    # inflated n_hist, so the replay guard now covers the alert write too
+    # (round-5 review)
     last_drop = sorted(glob.glob(f"{indir}/all/02_*.parquet"))
     replay_df = spark.read.parquet(*last_drop)
     from opentelemetry_collector_contrib_spark.plans.snapshots import SnapshotStore
 
     before = SnapshotStore(f"{out}/state").current()["summary"]
+    orig_alerts = sorted(tuple(r) for r in rows)
     # simulate the crash-window replay by re-running foreachBatch body:
     # easiest faithful route — restart the stream with the same input and
     # a FRESH checkpoint but the EXISTING out/state; every batch replays
@@ -673,6 +675,13 @@ def test_streaming_template_diff_matches_batch_and_replays(spark, tmp_path):
     after = SnapshotStore(f"{out}/state").current()["summary"]
     assert after["last_batch"] == before["last_batch"]
     assert replay_df.count() > 0
+    replay_alerts = sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", f"{out}/alerts")
+        .parquet(f"{out}/alerts/_batch=*")
+        .collect()
+    )
+    assert replay_alerts == orig_alerts  # 'new' rows survive the replay
 
 
 def test_watermark_sized_by_late_arrival_profile(spark, tmp_path):
@@ -1116,3 +1125,39 @@ def test_streaming_tail_sampling_restart_merges_open_session(spark, tmp_path):
         key=lambda r: r["session_start"],
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_keep_first_dedup_replayed_short_doc_not_flagged(spark, tmp_path):
+    """A doc with < n tokens produces NO shingles and therefore NO index
+    rows; a replayed batch containing one used to look 'new below the
+    high-water mark' and wedge the stream on a spurious ValueError
+    forever (round-5 review). Shingle-less docs are order-INdependent
+    (they can never collide), so the guard exempts them and the replay
+    stays idempotent."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_keep_first_dedup,
+    )
+
+    rows = [(0, "only two"), (1, "a much longer document with many words here"),
+            (2, "short one"), (3, "another fairly long document body with words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    indir = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(indir)
+    out = str(tmp_path / "out")
+    q = streaming_keep_first_dedup(spark, indir, out, str(tmp_path / "ck1"), threshold=0.4)
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(f"{out}/novel").collect()}
+    assert got == {0, 1, 2, 3}
+
+    # replay the SAME batch against the committed state (crash between
+    # state commit and checkpoint): docs 0 and 2 are short (no shingles,
+    # no state rows) and below the high-water mark — must NOT raise
+    out2 = str(tmp_path / "out2")
+    shutil.copytree(f"{out}/state", f"{out2}/state")
+    q2 = streaming_keep_first_dedup(spark, indir, out2, str(tmp_path / "ck2"), threshold=0.4)
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(f"{out2}/novel").collect()}
+    assert got2 == {0, 1, 2, 3}  # replay is idempotent, short docs re-emitted

@@ -524,3 +524,26 @@ def test_redact_attributes_hash_and_silent(spark):
     # documented divergence: whole-value digest when a blocked match hit
     assert out["msg"] == hashlib.md5(b"id 123-45-6789 end").hexdigest()
     assert not any(k.startswith("redaction.") for k in out)
+
+
+def test_tail_sampling_null_verdicts_read_as_no_match(spark):
+    """A policy aggregating an all-NULL column yields a NULL verdict;
+    it must read as 'no match' (false) — in mode='all' F.least would
+    otherwise SKIP the NULL and sample a trace a never-matched policy
+    should veto, and a single NULL policy would yield sampled=NULL,
+    which filter(sampled) and filter(~sampled) BOTH drop (round-5
+    review; matches the policy tree's _bool_any coalesce)."""
+    from opentelemetry_collector_contrib_spark.operators.recombine import tail_sampling
+
+    rows = [("c1", None, 6000), ("c1", None, 6000)]  # status all NULL
+    df = spark.createDataFrame(rows, "conv_id string, status string, latency_ms long")
+    pol = {
+        "has_error": F.max((F.col("status") == "err").cast("int")) == 1,  # NULL
+        "high_latency": F.sum("latency_ms") > 10000,                      # True
+    }
+    all_out = tail_sampling(df, policies=pol, mode="all").collect()[0]
+    assert all_out["sampled"] is False  # NULL verdict vetoes the AND
+    any_out = tail_sampling(df, policies=pol, mode="any").collect()[0]
+    assert any_out["sampled"] is True
+    single = tail_sampling(df, policies={"has_error": pol["has_error"]}).collect()[0]
+    assert single["sampled"] is False  # not NULL
