@@ -595,7 +595,8 @@ def dedup_lines_across_docs(
     )
     totals = df.select(
         F.col(id_col).alias("_id"),
-        F.size(F.split(F.col(text_col), r"\n")).alias("_total"),
+        # coalesce: split(NULL) -> NULL -> size NULL (ANSI); 0 lines
+        F.coalesce(F.size(F.split(F.col(text_col), r"\n")), F.lit(0)).alias("_total"),
     )
     return (
         totals.join(assembled, "_id", "left")
@@ -1097,6 +1098,9 @@ def pack_conversations(
     df: DataFrame,
     budget: int = 2000,
     shard_col: Column | None = None,
+    n_shards: int = 64,
+    id_col: str = "conv_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Conversation-aware sequence packing: next-fit bin packing of WHOLE
     conversations into `budget`-token context windows, per shard.
@@ -1119,9 +1123,26 @@ def pack_conversations(
     """
     from ..operators.textstats import tokens as _ws_tokens
 
-    shard = shard_col if shard_col is not None else F.substring("conv_id", -1, 1).cast("int")
+    # default shard key: engine-portable md5-derived hash mod n_shards.
+    # The previous last-character cast was a trap — under ANSI a
+    # non-digit suffix ('conv_abc', UUIDs ending a-f) CRASHES the cast,
+    # and without ANSI every such conversation collapsed into one NULL
+    # shard whose sequential next-fit loop then ran single-threaded over
+    # the whole corpus (round-5 review)
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col)), 1, 4), 16, 10).cast("int"),
+            F.lit(n_shards),
+        )
+    )
     toks = (
-        df.select(shard.alias("shard"), "conv_id", F.size(_ws_tokens(F.col("text"))).cast("bigint").alias("t"))
+        df.select(
+            shard.alias("shard"),
+            F.col(id_col).alias("conv_id"),
+            F.size(_ws_tokens(F.col(text_col))).cast("bigint").alias("t"),
+        )
         .groupBy("shard", "conv_id")
         .agg(F.sum("t").alias("n_tokens"))
     )
@@ -1277,7 +1298,17 @@ def domain_cap(
     from pyspark.sql.window import Window
 
     d = registrable_domain(df, host_col, public_suffixes=public_suffixes)
-    w = Window.partitionBy("rd_domain").orderBy(F.col(order_col).asc())
+    # NULL-domain rows get a synthetic per-order partition key: the
+    # window evaluates for EVERY row regardless of the F.when gate, and
+    # partitioning the (often-huge: IPs, bare suffixes, malformed hosts)
+    # NULL class on one key funneled it all through a single task whose
+    # rank was then discarded (round-5 review). The \x00 prefix cannot
+    # collide with a real domain; the when-branch still forces rank 1
+    # for NULL rows even when two share an order value.
+    part = F.coalesce(
+        F.col("rd_domain"), F.concat(F.lit("\x00"), F.col(order_col).cast("string"))
+    )
+    w = Window.partitionBy(part).orderBy(F.col(order_col).asc())
     rank = F.when(F.col("rd_domain").isNull(), F.lit(1)).otherwise(
         F.row_number().over(w)
     )
@@ -1428,8 +1459,14 @@ def ccnet_buckets(
             F.col(score_col).desc_nulls_last(), F.col(id_col)
         )
         tile = F.ntile(3).over(w)
+        # NULL-scored docs go to 'tail' DIRECTLY — ntile(3) would tile
+        # them like any other row (a NULL-scored doc can land 'middle',
+        # or even 'head' in a 2-doc language), diverging from the
+        # threshold path where the NULL comparison falls through to
+        # 'tail' (round-5 review; pins the documented contract)
         bucket = (
-            F.when(tile == 1, F.lit("head"))
+            F.when(F.col(score_col).isNull(), F.lit("tail"))
+            .when(tile == 1, F.lit("head"))
             .when(tile == 2, F.lit("middle"))
             .otherwise(F.lit("tail"))
         )
@@ -1642,7 +1679,6 @@ def upsample_repeat(
     if any(m < 0 for m in micros.values()):
         raise ValueError("rates must be non-negative")
     base = F.lit(1_000_000)
-    rate_u = F.lit(None).cast("long")
     expr = None
     for d in sorted(micros):
         cond = F.col(domain_col) == d
@@ -1906,10 +1942,14 @@ def fleiss_kappa(
         F.sum(F.col("_n") * (F.col("_n") - 1)).cast("bigint").alias("_pairs"),
     )
     marg = counts.groupBy(label_col).agg(F.sum("_c").alias("_lc"))
+    # double promotion BEFORE the products: bigint*bigint wraps (or
+    # ANSI-errors) once votes exceed ~3e9 — squarely inside the 1e12-row
+    # design regime; double products are exact below 2^53, so small-corpus
+    # oracle values are bit-identical (round-5 review)
     pe = marg.agg(
         (
-            F.sum(F.col("_lc") * F.col("_lc")).cast("double")
-            / (F.sum("_lc") * F.sum("_lc"))
+            F.sum(F.col("_lc").cast("double") * F.col("_lc"))
+            / (F.sum("_lc").cast("double") * F.sum("_lc"))
         ).alias("_pe")
     )
     # scalar×scalar combine: literal-key equi-join of two 1-row aggregates
@@ -2101,9 +2141,12 @@ def quantile_normalize(
     row_number (operators/rank.py: range buckets + broadcast offsets —
     no single-partition sort, round-4 rewrite of the unpartitioned
     window flagged by the r3 verdict), the per-group rank a partitioned
-    window, plus one broadcast join against the R-row ladder. R ≤
-    global row count is required (every ladder bucket is then
-    non-empty). Eager (the rank helper collects bucket offsets)."""
+    window, plus one broadcast join against the R-row ladder. R is
+    CLAMPED to the global row count (round-5 review: with R > n the
+    ladder misses buckets the group formula can produce and the inner
+    join silently DROPPED those rows; clamping keeps every bucket
+    non-empty, exact, and the default resolution usable on small
+    inputs). Eager (the rank helper collects bucket offsets)."""
     if resolution < 2:
         raise ValueError("resolution must be >= 2")
     from .rank import global_row_number
@@ -2120,6 +2163,16 @@ def quantile_normalize(
             F.lit(None).cast("int").alias("q_bucket"),
             F.lit(None).cast("double").alias("norm_value"),
         ).where(F.lit(False))
+    if gn == 1:
+        # one global row: it IS the whole distribution — bucket 1, its
+        # own value (the general machinery's single-row-group median
+        # bucket R//2 would miss the one-entry ladder)
+        return df.select(
+            *df.columns,
+            F.lit(1).cast("int").alias("q_bucket"),
+            F.round(v.cast("double"), 6).alias("norm_value"),
+        )
+    resolution = min(resolution, gn)  # see docstring: R <= n by clamping
     ladder = (
         ranked.select(
             F.expr(f"CAST((_gr * {resolution} + {gn} - 1) div {gn} AS INT)").alias(

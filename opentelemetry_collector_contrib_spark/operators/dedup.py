@@ -707,7 +707,17 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """Cosine similarity with a zero-norm guard: a zero vector (the common
+    failed-embedding sentinel) is similar to NOTHING — similarity 0, not a
+    DIVIDE_BY_ZERO abort of the whole job under ANSI mode (round-5
+    review; without ANSI it would be worse — 0/0=NaN compares GREATER
+    than any threshold in Spark, so every zero-vector pair would emit as
+    a spurious near-duplicate). try_divide returns NULL on zero divisor;
+    coalesce makes that the explicit 0.0 verdict."""
+    return F.coalesce(
+        F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))),
+        F.lit(0.0),
+    )
 
 
 def embedding_dup_pairs(
@@ -930,7 +940,8 @@ def remove_duplicated_spans(
     return merged.select(
         "doc",
         F.size("_rm").cast("long").alias("removed_tokens"),
-        (F.size("_toks") - F.size("_rm")).cast("long").alias("kept_tokens"),
+        # coalesce: size(NULL-toks) is NULL (ANSI) — a NULL-text doc keeps 0
+        (F.coalesce(F.size("_toks"), F.lit(0)) - F.size("_rm")).cast("long").alias("kept_tokens"),
         F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_clean"),
     )
 

@@ -122,12 +122,18 @@ def ivf_centroids_kmeans(
         sims = xn @ cents.T                        # cosine similarity
         assign = np.argmax(sims, axis=1)
         new = np.zeros_like(cents)
+        # least-covered-point order for empty-cluster reseeds, consumed
+        # one index per empty cluster — two cells going empty in the SAME
+        # iteration previously both reseeded to the identical argmin
+        # point and stayed duplicated forever (argmax ties break low, so
+        # the higher cell re-emptied every iteration), silently shrinking
+        # the effective quantizer (round-5 review; same fix as
+        # pq_codebooks_kmeans's far_order)
+        worst_order = iter(np.argsort(np.max(sims, axis=1)))
         for c in range(n_cells):
             members = xn[assign == c]
             if len(members) == 0:
-                # reseed from the point least covered by current centroids
-                worst = int(np.argmin(np.max(sims, axis=1)))
-                new[c] = xn[worst]
+                new[c] = xn[next(worst_order)]
                 continue
             m = members.mean(axis=0)
             n_ = np.linalg.norm(m)
@@ -487,6 +493,12 @@ def pq_codebooks(
     as ivf_centroids' first-n rule). Schema: (subspace, code, codeword).
     Production recall comes from pq_codebooks_kmeans; both honor the same
     contract so every downstream plan is identical."""
+    id_type = dict(emb.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pq_codebooks(first-n) needs a numeric id column, got {id_col}:{id_type};"
+            " use pq_codebooks_kmeans for arbitrary ids"
+        )
     dsub = dim // m
     subs = F.array(
         *[

@@ -2172,7 +2172,7 @@ LEFT JOIN ch USING (conv_id)"""
     o["conv_pack"] = f"""
 WITH toks AS (
   SELECT conv_id,
-    CAST(right(conv_id, 1) AS INT) AS shard,
+    CAST(('0x' || substr(md5(conv_id), 1, 4))::BIGINT % 64 AS INT) AS shard,
     CAST(sum(CAST(len({SQL_TOKS}) AS BIGINT)) AS BIGINT) AS n_tokens
   FROM read_parquet('{T2_TRANSCRIPTS}') GROUP BY conv_id
 ),
@@ -2778,9 +2778,11 @@ s AS (SELECT doc_id, CAST(sum(lp) AS DOUBLE) / count(*) AS lm_logprob
       FROM b JOIN lp USING (hb, cb) GROUP BY doc_id),
 sc AS (SELECT doc_id, lang, lm_logprob FROM documents LEFT JOIN s USING (doc_id))
 SELECT doc_id, lang, lm_logprob,
-       CASE ntile(3) OVER (PARTITION BY lang
-                           ORDER BY lm_logprob DESC NULLS LAST, doc_id)
-         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       CASE WHEN lm_logprob IS NULL THEN 'tail'
+            ELSE CASE ntile(3) OVER (PARTITION BY lang
+                                     ORDER BY lm_logprob DESC NULLS LAST, doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       END AS ppl_bucket
 FROM sc"""
 
     # Hashed Naive-Bayes: per-bucket log-odds with add-one smoothing,

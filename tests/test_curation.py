@@ -875,3 +875,51 @@ def test_quantile_normalize_equalizes_sources(spark):
 
     with _pytest.raises(ValueError):
         quantile_normalize(df, "score", "source", "doc_id", resolution=1)
+
+
+# --- round-5 third-review regressions ----------------------------------------
+
+
+def test_ccnet_null_score_lands_in_tail_on_exact_path(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import ccnet_buckets
+
+    rows = [(1, "en", "a much longer doc with plenty of words to score well"),
+            (2, "en", "another quite long document body with many words"),
+            (3, "en", "third reasonably long document with words"),
+            (4, "en", "x"),   # <2 tokens -> NULL score
+            (5, "en", "y")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r["ppl_bucket"] for r in ccnet_buckets(df, n_buckets=8).collect()}
+    assert out[4] == "tail" and out[5] == "tail"  # was 'middle'/'head' via ntile
+    assert set(out.values()) <= {"head", "middle", "tail"}
+
+
+def test_quantile_normalize_resolution_above_row_count_keeps_all_rows(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    rows = [(f"d{i}", "s" + str(i % 3), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, score double")
+    out = quantile_normalize(df, "score", "source", "doc_id", resolution=100)
+    assert out.count() == 10  # resolution clamps to n; no silent inner-join loss
+    assert out.filter(F.col("norm_value").isNull()).count() == 0
+    # single-row input: its own distribution
+    one = quantile_normalize(df.limit(1), "score", "source", "doc_id", resolution=100)
+    r = one.collect()[0]
+    assert r["q_bucket"] == 1 and r["norm_value"] is not None
+
+
+def test_pack_conversations_non_digit_ids_shard_and_pack(spark):
+    from opentelemetry_collector_contrib_spark.operators.curation import (
+        pack_conversations,
+    )
+
+    rows = [(f"conv_{c}", f"some words here {i}") for c in "abcdef" for i in range(3)]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = pack_conversations(df, budget=20)
+    got = out.collect()
+    # every conversation packed exactly once, across multiple hash shards
+    assert {r["conv_id"] for r in got} == {f"conv_{c}" for c in "abcdef"}
+    assert len({r["shard"] for r in got}) > 1
+    assert all(r["fill"] <= 20 or r["oversize"] for r in got)

@@ -1018,3 +1018,22 @@ def test_pq_adc_max_queries_guard(spark):
     # at the bound the search still runs and hashes like before
     out = similarity.pq_topk_adc(codes, cb, qs, k=3, max_queries=n_q)
     assert out.count() == n_q * 3
+
+
+def test_cosine_zero_vector_guard(spark):
+    """A zero-norm embedding (the failed-embedding sentinel) must score
+    similarity 0 against everything — not abort the job with ANSI
+    DIVIDE_BY_ZERO (round-5 review; without ANSI it would be a silent
+    false-duplicate: 0/0=NaN compares greater than any threshold)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        cosine,
+        embedding_dup_pairs,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vals = df.crossJoin(df.selectExpr("vec_id as v2", "embedding as e2")) \
+        .select(cosine(F.col("embedding"), F.col("e2")).alias("c")).collect()
+    assert all(r["c"] is not None for r in vals)  # no NULLs, no crash
+    got = {(r[0], r[1]) for r in embedding_dup_pairs(df, threshold=0.9).collect()}
+    assert got == {(2, 3)}  # zero-vector pairs are NOT near-duplicates
